@@ -1,0 +1,66 @@
+"""Scalar column-expression helpers (SURVEY.md §2.7, §2.9).
+
+The reference implements these as row-at-a-time Python inside its
+Lambdas; here every one is a native Catalyst column expression — no
+Python UDF in the hot path, so whole-stage codegen applies.
+
+Reference parity:
+- ``safe_int`` (CensusDataFetch.py:45-50): tolerant int parse with a
+  ``<= -999999`` sentinel mapped to null → ``safe_int_expr`` /
+  ``sentinel_to_null``.
+- ratio-of-sums metrics with null/zero-safe denominators
+  (CensusDataFetch.py:52-63) → ``null_safe_ratio`` / ``pct_of_total``.
+- deterministic sampling order (real_estate_etl_job.py:113 uses
+  ``rand(seed=42)``, which is partitioning-dependent and not
+  reproducible across engines) → ``deterministic_order_key``: md5 of
+  the primary key, identical in Spark and any ANSI-SQL oracle, stable
+  under any partitioning/cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+SENTINEL_FLOOR = -999999
+
+
+def sentinel_to_null(col: Column | str, floor: int = SENTINEL_FLOOR) -> Column:
+    """Census-style sentinel normalization: values <= floor become null
+    (CensusDataFetch.py:45-50 maps -666666666-style markers to None)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c <= F.lit(floor), F.lit(None)).otherwise(c)
+
+
+def safe_int_expr(col: Column | str, floor: int = SENTINEL_FLOOR) -> Column:
+    """Tolerant int parse + sentinel→null. Non-numeric strings become
+    null via try-cast semantics (cast returns null on failure)."""
+    c = F.col(col) if isinstance(col, str) else col
+    as_int = c.cast("int")
+    return F.when(as_int <= F.lit(floor), F.lit(None).cast("int")).otherwise(as_int)
+
+
+def null_safe_ratio(num: Column, den: Column, scale: int = 2) -> Column:
+    """num/den with a zero/null-safe denominator: null when den is null
+    or zero (the reference guards with ``or 1`` defaults —
+    CensusDataFetch.py:59,63 — we prefer null over a silently wrong 0/1
+    denominator; callers can coalesce)."""
+    return F.when(den.isNotNull() & (den != 0), F.round(num / den, scale))
+
+
+def pct_of_total(parts: list[Column], total: Column, scale: int = 1) -> Column:
+    """Ratio-of-sums percentage: 100 * (a+b+...)/total, rounded —
+    the college-% / unemployment-rate formula shape
+    (CensusDataFetch.py:52-63)."""
+    s = parts[0]
+    for p in parts[1:]:
+        s = s + p
+    return F.when(total.isNotNull() & (total != 0), F.round(100.0 * s / total, scale))
+
+
+def deterministic_order_key(col: Column | str) -> Column:
+    """Engine-portable pseudo-random order key: md5 hex of the key's
+    string form. Used for deterministic stratified sampling so the
+    DuckDB oracle (``md5(cast(k as varchar))``) sorts identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("string").cast("binary"))

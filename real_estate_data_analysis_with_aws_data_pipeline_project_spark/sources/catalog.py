@@ -1,0 +1,50 @@
+"""Table catalog over the driver testdata.
+
+Plays the role of the reference's Glue Data Catalog + Athena
+registration (``RealEstatePipeline.asl.json:124-127``, ``Schema.json``):
+tables become Spark temp views so the SQL surface (`spark.sql`) works
+over the same data as the DataFrame surface.
+
+Parquet is the canonical at-rest format here (columnar, predicate
+pushdown, column pruning) — the scalable replacement for the
+reference's CSV/JSON S3 objects (``real_estate_etl_job.py:34,49-54``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes filters/projections into it."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register temp views — the engine's stand-in for the Athena/Glue
+    catalog surface (SURVEY.md §1.4)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
