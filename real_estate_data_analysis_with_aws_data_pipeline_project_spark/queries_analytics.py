@@ -1,0 +1,456 @@
+"""Standard-surface completion queries (SURVEY.md §7 Phase 2).
+
+Categories the reference lacks but a complete engine must expose
+(SURVEY.md §2.4-§2.6 'absent' rows): analytic window functions, frame
+specs, top-k per group, set operations, distinct/approx aggregates,
+cube/rollup/grouping sets, pivot, and the SQL entry point (the Athena
+role — README.md:15).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.catalog import load_table, register_views
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 completion — analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_rank_dense_rank",
+    """
+    SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           row_number() OVER w AS rn
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def w3_rank_dense_rank(spark, sf_dir):
+    """rank/dense_rank/row_number with deterministic tie-break
+    (§2.5 'absent' completion)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+@register(
+    "w4_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(o_totalprice, 2) AS total_price,
+           round(lag(o_totalprice) OVER w, 2) AS prev_price,
+           round(lead(o_totalprice) OVER w, 2) AS next_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w4_lag_lead(spark, sf_dir):
+    """lag/lead over an event sequence per key (§2.5 completion)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round("o_totalprice", 2).alias("total_price"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@register(
+    "w5_running_sum_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def w5_running_sum_frame(spark, sf_dir):
+    """Explicit rowsBetween frame: running per-customer spend
+    (§2.5 frame-spec completion)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "w6_topk_per_group",
+    """
+    SELECT order_priority, o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM (
+        SELECT o_orderpriority AS order_priority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w6_topk_per_group(spark, sf_dir):
+    """Top-K per group — the canonical window pattern (§2.5 completion)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("order_priority"),
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set operations (absent in reference; engine completion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_distinct",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 completion — distinct/approx aggregates, cube/rollup/grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact multi-column distinct aggregation (§2.4 completion)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+           abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+               <= 0.10 * count(DISTINCT l_orderkey) AS approx_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog distinct: sketches differ across engines, so the
+    oracle-checkable claim is the accuracy envelope (|approx-exact| ≤
+    10 %, Spark sketch at rsd=0.02) — plus the exact count."""
+    exact = F.countDistinct("l_orderkey")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            exact.alias("exact_nd"),
+            (
+                F.abs(F.approx_count_distinct("l_orderkey", 0.02) - exact)
+                <= 0.10 * exact
+            ).alias("approx_within_10pct"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS return_flag,
+           coalesce(l_linestatus, 'ALL') AS line_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE multidimensional aggregate (§2.4 completion); null
+    subtotal markers coalesced to 'ALL' for engine-portable output."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("return_flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("line_status"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(r.r_name, 'ALL') AS region,
+           coalesce(n.n_name, 'ALL') AS nation,
+           round(sum(c.c_acctbal), 2) AS total_bal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchical subtotals over the dim hierarchy."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_bal",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
+           coalesce(o_orderpriority, 'ALL') AS order_priority,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (Catalyst plans it as a single
+    expand+aggregate, same as cube/rollup)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
+               coalesce(o_orderpriority, 'ALL') AS order_priority,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority AS order_priority,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS status_o,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS status_f,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS status_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot (wide conditional aggregation) with a bounded pivot-value
+    list — unbounded pivot would need a driver-side distinct pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "order_priority",
+            F.coalesce("O", F.lit(0)).alias("status_o"),
+            F.coalesce("F", F.lit(0)).alias("status_f"),
+            F.coalesce("P", F.lit(0)).alias("status_p"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry point (the Athena role — SURVEY §1.4, README.md:15)
+# ---------------------------------------------------------------------------
+
+_REVENUE_BY_NATION_SQL = """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY revenue DESC
+"""
+
+
+@register("sql_surface_revenue_by_nation", _REVENUE_BY_NATION_SQL, headline=True)
+def sql_surface_revenue_by_nation(spark, sf_dir):
+    """The engine's Athena-equivalent: plain SQL over catalog views;
+    a 4-way join + agg (TPC-H Q5 shape). Catalyst broadcasts the dims
+    and shuffles only on the join keys of the two fact tables."""
+    register_views(spark, sf_dir, ["lineitem", "orders", "customer", "nation"])
+    return spark.sql(_REVENUE_BY_NATION_SQL)
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 25
+    """,
+    headline=True,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: highly selective scan-agg — the pushdown
+    benchmark (filters reach the parquet reader; no shuffle at all)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority AS ship_priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+    headline=True,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
+    customer is broadcast; lineitem⋈orders shuffles on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.col("o_orderpriority").alias("ship_priority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

@@ -1,0 +1,452 @@
+"""Core reference-parity queries (SURVEY.md §2.2-§2.5, §3.1).
+
+Each named query maps one reference operator to its Spark-first form;
+docstrings cite the reference file:line it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.reference_pipeline import (
+    ENRICHED_SAMPLE_ORACLE,
+    enriched_sample_pipeline,
+)
+from .registry import register
+from .sources.catalog import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the reference's whole ETL pipeline as one query (SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+register("flagship_enriched_sample", ENRICHED_SAMPLE_ORACLE, headline=True)(
+    enriched_sample_pipeline
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_filter_isin",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+           round(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+    """,
+)
+def p1_filter_isin(spark, sf_dir):
+    """IN-list filter — real_estate_etl_job.py:64-65 (state IN MA/CA/NY)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "p2_filter_notnull",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL AND l_partkey IS NOT NULL
+      AND l_suppkey IS NOT NULL
+    """,
+)
+def p2_filter_notnull(spark, sf_dir):
+    """Conjunctive multi-column NOT NULL — real_estate_etl_job.py:79-85."""
+    df = _t(spark, sf_dir, "lineitem")
+    cond = None
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey"):
+        pred = F.col(c).isNotNull()
+        cond = pred if cond is None else (cond & pred)
+    return df.filter(cond).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "p3_semi_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def p3_semi_join(spark, sf_dir):
+    """Distributed left_semi replacing the reference's collect()+isin
+    manual semi-join — real_estate_etl_job.py:41,96 (SURVEY §4.3.2)."""
+    orders = _t(spark, sf_dir, "orders")
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.join(keys, "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total_price")
+    )
+
+
+@register(
+    "p4_project_alias",
+    """
+    SELECT c_custkey AS cust_key, c_name AS cust_name,
+           c_mktsegment AS segment, round(c_acctbal, 2) AS acct_balance
+    FROM customer
+    """,
+)
+def p4_project_alias(spark, sf_dir):
+    """Projection + rename — the 18-col aliased select,
+    real_estate_etl_job.py:172-191."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_name").alias("cust_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.round("c_acctbal", 2).alias("acct_balance"),
+    )
+
+
+@register(
+    "p7_distinct",
+    "SELECT DISTINCT o_custkey FROM orders",
+)
+def p7_distinct(spark, sf_dir):
+    """select(key).distinct() — real_estate_etl_job.py:41."""
+    return _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+
+
+@register(
+    "p6_match_rate",
+    """
+    SELECT round(100.0 * sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 2) AS match_rate_pct,
+           CAST(count(*) AS BIGINT) AS total_rows
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    headline=True,
+)
+def p6_match_rate(spark, sf_dir):
+    """Join match-rate quality gate (≥95 % check) —
+    real_estate_etl_job.py:140-150 — as a single-pass aggregate instead
+    of two count() actions."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+    return joined.agg(
+        F.round(
+            100.0 * F.sum(F.col("c_custkey").isNotNull().cast("int")) / F.count("*"), 2
+        ).alias("match_rate_pct"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_left_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price,
+           c.c_name, c.c_mktsegment, round(c.c_acctbal, 2) AS acct_balance
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    headline=True,
+)
+def j1_broadcast_left_join(spark, sf_dir):
+    """Broadcast left-outer enrichment join —
+    real_estate_etl_job.py:130-134."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "c_name",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acct_balance"),
+    )
+
+
+@register(
+    "j2_anti_join",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000
+    )
+    """,
+)
+def j2_anti_join(spark, sf_dir):
+    """left_anti — the 'rows without census data' diagnostic dual,
+    real_estate_etl_job.py:141."""
+    orders = _t(spark, sf_dir, "orders")
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return orders.join(rich, "o_custkey", "left_anti").select("o_orderkey", "o_custkey")
+
+
+@register(
+    "j3_inner_join_multi",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def j3_inner_join_multi(spark, sf_dir):
+    """Multi-way inner join over the dim hierarchy (Spark-completion of
+    §2.3 'absent' join types; both dims broadcast)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_global_count",
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem",
+)
+def a1_global_count(spark, sf_dir):
+    """Global count as a query (the reference runs 8 count() actions;
+    here it is one aggregate) — real_estate_etl_job.py:36 et al."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "a2_group_count_ordered",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def a2_group_count_ordered(spark, sf_dir):
+    """groupBy(k).count().orderBy(k) — real_estate_etl_job.py:70,102,120."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a4_null_skipping_avg",
+    """
+    SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_acctbal,
+           CAST(count(c_acctbal) AS BIGINT) AS n_with_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def a4_null_skipping_avg(spark, sf_dir):
+    """Null-skipping mean — CensusDataFetch.py:166-177 running-average
+    loop, as a native grouped avg."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.count("c_acctbal").alias("n_with_balance"),
+        )
+    )
+
+
+@register(
+    "a5_ratio_of_sums",
+    """
+    SELECT l_returnflag,
+           round(100.0 * sum(l_extendedprice * l_discount)
+                 / sum(l_extendedprice), 4) AS discount_pct,
+           round(sum(l_extendedprice), 2) AS gross
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a5_ratio_of_sums(spark, sf_dir):
+    """Ratio-of-sums derived metric (college-%/unemployment formula
+    shape) — CensusDataFetch.py:52-63."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.col("l_extendedprice") * F.col("l_discount"))
+                / F.sum("l_extendedprice"),
+                4,
+            ).alias("discount_pct"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical multi-agg scan — the engine's
+    headline benchmark query (partial aggregation + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Window / sampling / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_stratified_sample",
+    """
+    SELECT order_priority, CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM (
+        SELECT o_orderpriority AS order_priority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 50
+    GROUP BY order_priority ORDER BY order_priority
+    """,
+)
+def w2_stratified_sample(spark, sf_dir):
+    """Deterministic stratified exactly-N sample (W1+W2) —
+    real_estate_etl_job.py:107-115 — summarized per stratum so the
+    oracle checks the exact-N invariant AND the identical membership
+    (count distinct over the same sampled keys)."""
+    from .operators.sampling import stratified_sample_deterministic
+
+    sampled = stratified_sample_deterministic(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey", 50
+    )
+    return (
+        sampled.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("o_orderkey").alias("n_distinct"),
+        )
+        .orderBy("order_priority")
+    )
+
+
+@register(
+    "w2_stratified_sample_rows",
+    """
+    SELECT o_orderpriority AS order_priority, o_orderkey AS order_key
+    FROM (
+        SELECT o_orderpriority, o_orderkey,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 50
+    """,
+    headline=True,
+)
+def w2_stratified_sample_rows(spark, sf_dir):
+    """Row-level variant: the exact sampled membership must match the
+    oracle row for row (proves engine-portable determinism)."""
+    from .operators.sampling import stratified_sample_deterministic
+
+    sampled = stratified_sample_deterministic(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderkey", 50
+    )
+    return sampled.select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+
+
+@register(
+    "o1_topk",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o1_topk(spark, sf_dir):
+    """Global top-k — orderBy+limit plans as TakeOrderedAndProject (no
+    full sort at scale)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
