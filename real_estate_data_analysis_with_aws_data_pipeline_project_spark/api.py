@@ -12,5 +12,10 @@ from .registry import HEADLINE_QUERIES, QUERIES, QuerySpec, register
 from . import queries_core  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
+from . import queries_text  # noqa: E402,F401
+from . import queries_dedup  # noqa: E402,F401
+from . import queries_similarity  # noqa: E402,F401
+from . import queries_events  # noqa: E402,F401
+from . import queries_multimodal  # noqa: E402,F401
 
 __all__ = ["HEADLINE_QUERIES", "QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,73 @@
+"""Vector-similarity kernels ([ext] — SURVEY.md §2.11).
+
+Cosine similarity as pure Catalyst array expressions (zip_with +
+aggregate fold, all JVM-side, no Python) with mirrored DuckDB SQL
+builders. Floats are cast to double element-wise and folded
+left-to-right in both engines; emitted cosines are rounded to 6 dp so
+any last-ulp fold divergence cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from a precomputed-norm pair (norms computed once per
+    vector, not once per pair — the O(n·k) saving that matters when
+    one vector joins against millions)."""
+    return F.when(
+        (norm_a > 0) & (norm_b > 0), dot(a, b) / (norm_a * norm_b)
+    ).otherwise(F.lit(0.0))
+
+
+def cosine_sql(a: str, b: str, norm_a: str, norm_b: str) -> str:
+    return (
+        f"CASE WHEN {norm_a} > 0 AND {norm_b} > 0 "
+        f"THEN {dot_sql(a, b)} / ({norm_a} * {norm_b}) ELSE 0.0 END"
+    )
+
+
+def sign_bucket(a: Column, n_dims: int) -> Column:
+    """Axis-aligned sign-LSH bucket: the sign bits of the first
+    n_dims coordinates as a bit string. For roughly isotropic
+    embeddings this partitions the space into 2^n_dims cosine-coherent
+    buckets — the cheap ANN path (an equi-join key, no shuffle of the
+    full cross product)."""
+    bits = [
+        F.when(F.element_at(a, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_dims)
+    ]
+    return F.concat(*bits)
+
+
+def sign_bucket_sql(a: str, n_dims: int) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN {a}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(n_dims)
+    )
+    return f"({parts})"

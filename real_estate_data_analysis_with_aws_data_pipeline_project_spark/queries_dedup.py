@@ -1,0 +1,393 @@
+"""Deduplication queries over documents/embeddings ([ext] —
+SURVEY.md §2.11: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup).
+
+Engine-portability: every hash is md5-hex (identical lexicographic
+order in Spark and DuckDB), so minhash signatures, LSH bands and
+fingerprints agree bit-for-bit across engines — the whole dedup
+surface is oracle-checkable, not just rows-only.
+
+Scale design (100 TB): the exact/minhash/simhash paths are
+explode → hash → groupBy/band-join shapes whose shuffle volume is
+O(docs × shingles), independent of pair count; the quadratic
+verify step only runs on LSH candidates. The raw n-gram Jaccard
+all-pairs query is the *correctness baseline* for those (capped input)
+— at scale you run minhash/simhash, never the baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+# --- shared shingle kernel (word 3-grams, distinct) ------------------------
+
+SHINGLE_N = 3
+
+
+def shingles_col() -> "F.Column":
+    toks = X.tokens()
+    return F.when(
+        F.size(toks) >= SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SHINGLE_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+SHINGLES_SQL = (
+    f"CASE WHEN len({X.tokens_sql()}) >= {SHINGLE_N} THEN "
+    f"list_distinct(list_transform("
+    f"generate_series(1, len({X.tokens_sql()}) - {SHINGLE_N - 1}), "
+    f"i -> array_to_string(({X.tokens_sql()})[i:i+{SHINGLE_N - 1}], ' '))) "
+    f"ELSE [] END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM (SELECT doc_id, {X.fingerprint_sql()} AS fingerprint FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint;
+    keeper = min doc_id. One shuffle on the 16-byte hash — the shape
+    that holds at any scale."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", X.fingerprint().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_exact_summary",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT {X.fingerprint_sql()}) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT {X.fingerprint_sql()}) AS BIGINT)
+               AS n_duplicates
+    FROM documents
+    """,
+)
+def dedup_exact_summary(spark, sf_dir):
+    fp = X.fingerprint()
+    return _docs(spark, sf_dir).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+        (F.count("*") - F.countDistinct(fp)).alias("n_duplicates"),
+    )
+
+
+# --- n-gram Jaccard near-dup (exact baseline, capped input) ---------------
+
+_JACCARD_CAP = 2000  # bound the quadratic baseline; LSH paths are uncapped
+_JACCARD_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS (
+        SELECT doc_id, {SHINGLES_SQL} AS sh
+        FROM documents WHERE doc_id < {_JACCARD_CAP}
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    z AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s)
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / CAST(za.n + zb.n - n_common AS DOUBLE)
+               AS jaccard
+    FROM p
+    JOIN z za ON za.doc_id = doc_a
+    JOIN z zb ON zb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / CAST(za.n + zb.n - n_common AS DOUBLE)
+          >= {_JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs via shingle-inverted-index
+    join (explode → equi-join on shingle → per-pair common count).
+    Exact but quadratic in co-shingled docs — the correctness baseline
+    for the MinHash path; input capped at doc_id < 2000."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _JACCARD_CAP)
+    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("n_common")
+    ).cast("double")
+    return (
+        pairs.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# --- MinHash + LSH near-dup ------------------------------------------------
+
+_MINHASH_K = 8  # 8 hashes, 4 bands of 2 rows
+_MINHASH_BANDS = 4
+_MINHASH_THRESHOLD = 0.5
+
+_MINHASH_AGGS_SQL = ",\n               ".join(
+    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_K)
+)
+_BANDS_SQL = ", ".join(
+    f"(h{2 * i} || '|' || h{2 * i + 1}) AS band{i}" for i in range(_MINHASH_BANDS)
+)
+_BAND_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {i} AS band_idx, band{i} AS band_val FROM bands"
+    for i in range(_MINHASH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    mh AS (
+        SELECT doc_id, {_MINHASH_AGGS_SQL}
+        FROM e GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM mh),
+    bx AS ({_BAND_UNION_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                  AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh)
+                 - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                 AS DOUBLE) >= {_MINHASH_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → k=8 salted-md5 minhashes → 4
+    bands of 2 → band-bucket join for candidates → exact Jaccard
+    verify on candidates only.
+
+    The minhash value is the lexicographic MIN of md5 hex digests —
+    a valid uniform min-hash that both engines order identically.
+    Shuffle volume: O(docs×shingles) for signatures + O(docs×bands)
+    for the bucket join; the quadratic verify touches only same-bucket
+    candidates. This is the 100 TB dedup path."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+            ).alias(f"h{i}")
+            for i in range(_MINHASH_K)
+        ]
+    )
+    bands = mh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.concat_ws("|", f"h{2 * i}", f"h{2 * i + 1}")
+                for i in range(_MINHASH_BANDS)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jac = common.cast("double") / (
+        F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common
+    ).cast("double")
+    return (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MINHASH_THRESHOLD)
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+_HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+_SIMHASH_BIT_SQL = " || ".join(
+    f"(CASE WHEN 2 * len(list_filter(hs, s -> substr(s, {j}, 1) IN "
+    f"({', '.join(repr(n) for n in _HI_NIBBLES)}))) > len(hs) "
+    f"THEN '1' ELSE '0' END)"
+    for j in range(1, _SIMHASH_BITS + 1)
+)
+
+
+def _nibble_is_high(j: int):
+    # closure factory: a default-arg lambda would grow a second
+    # parameter, which F.filter would fill with the element index
+    return lambda s: s.substr(j, 1).isin(*_HI_NIBBLES)
+
+
+def _simhash_col() -> "F.Column":
+    toks = X.tokens()
+    hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+    n = F.size(toks)
+    bits = [
+        F.when(
+            2 * F.size(F.filter(hashes, _nibble_is_high(j))) > n,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for j in range(1, _SIMHASH_BITS + 1)
+    ]
+    return F.concat(*bits)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({X.tokens_sql()}, t -> md5(t)) AS hs
+        FROM documents
+    )
+    SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash
+    FROM h
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """SimHash document signature: 16-bit majority vote over the
+    high bit of each md5 nibble of every token. Near-identical docs
+    differ in ≤ a few bits; banding the bits gives an LSH for hamming
+    distance. Pure per-row expression — no shuffle at all."""
+    return _docs(spark, sf_dir).select("doc_id", _simhash_col().alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform({X.tokens_sql()}, t -> md5(t)) AS hs
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM h),
+    bx AS (
+        SELECT doc_id, simhash, band_idx,
+               substr(simhash, band_idx * 4 + 1, 4) AS band_val
+        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(generate_series(1, {_SIMHASH_BITS}),
+                j -> substr(sh_a, j, 1) <> substr(sh_b, j, 1))) AS BIGINT)
+               AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, {_SIMHASH_BITS}),
+              j -> substr(sh_a, j, 1) <> substr(sh_b, j, 1))) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4 bands of 4 bits → bucket join →
+    hamming ≤ 3 verify. Same LSH shape as minhash but on the compact
+    bit signature."""
+    sh = _docs(spark, sf_dir).select("doc_id", _simhash_col().alias("simhash"))
+    bx = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+    ).withColumn(
+        "band_val", F.expr("substr(simhash, band_idx * 4 + 1, 4)")
+    )
+    a, b = bx.alias("a"), bx.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(_SIMHASH_BITS)),
+            lambda j: F.col("sh_a").substr(j, F.lit(1))
+            != F.col("sh_b").substr(j, F.lit(1)),
+        )
+    ).cast("bigint")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+    )

@@ -1,0 +1,173 @@
+"""Event-time window queries over the events table ([ext] —
+SURVEY.md §2.8). Batch-first (oracle-checkable via DuckDB
+time_bucket / gaps-and-islands); the streaming layer runs the same
+shapes through Structured Streaming (streaming/, rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.catalog import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type
+    (F.window ≙ DuckDB time_bucket). The batch-checkable form of the
+    streaming aggregation."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_ORACLE = """
+    WITH shifted AS (
+        SELECT e.*, time_bucket(
+                   INTERVAL '1 hour', e.ts,
+                   TIMESTAMP '2024-01-01 00:00:00' + o.i * INTERVAL '15 minutes'
+               ) AS window_start
+        FROM events e, (SELECT unnest([0, 1, 2, 3]) AS i) o
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM shifted
+    GROUP BY 1
+"""
+
+
+@register("events_sliding_window", _SLIDING_ORACLE)
+def events_sliding_window(spark, sf_dir):
+    """Sliding windows (1 h length, 15 min slide): every event lands in
+    4 windows. Oracle replays it as 4 shifted tumbling grids — same
+    semantics, both engines align the grid to epoch-multiples."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            "total_value",
+        )
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, new_s
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + {_SESSION_GAP_US} AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s
+    GROUP BY user_id, sid
+"""
+
+
+@register("events_session_window", _SESSION_ORACLE)
+def events_session_window(spark, sf_dir):
+    """Session windows (30 min inactivity gap) per user via
+    F.session_window — Spark's session end = last event + gap; the
+    oracle reproduces it with the classic gaps-and-islands SQL.
+    Bounds emitted as epoch micros (engine-neutral, no fractional-
+    second formatting divergence)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization_lag",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts) >= {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM o GROUP BY user_id
+    """,
+)
+def events_sessionization_lag(spark, sf_dir):
+    """Sessionization via lag+gap-flag (the window-function route to
+    the same session count — cross-checks session_window)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _events(spark, sf_dir).withColumn("prev_ts", F.lag("ts").over(w))
+    new_s = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") >= _SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )

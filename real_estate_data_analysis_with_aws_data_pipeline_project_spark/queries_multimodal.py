@@ -1,0 +1,73 @@
+"""Multimodal + streaming driver-contract queries ([ext]).
+
+The multimodal metadata query is oracle-checkable (scalar projections
+of the payload); the feature-extraction and streaming jobs are
+rows-only checks (Pandas-UDF / Structured-Streaming surfaces the SQL
+oracle cannot express).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.multimodal import extract_features, pack_payloads
+from .registry import register
+from .sources.catalog import load_table
+from .streaming import (
+    streaming_session_window,
+    streaming_stateful_user_stats,
+    streaming_tumbling_counts,
+)
+
+
+@register(
+    "multimodal_payload_meta",
+    """
+    SELECT doc_id, 'utf8-text' AS media_format,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum, source
+    FROM documents
+    """,
+)
+def multimodal_payload_meta(spark, sf_dir):
+    """Binary payload packing: the metadata surface of the multimodal
+    table (byte length + md5 checksum computed on the binary payload
+    column). Text is ASCII here, so octet length == char length and
+    the oracle can recompute both on the string."""
+    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    return packed.select(
+        "doc_id",
+        "media_format",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+@register("multimodal_features", None)  # Pandas-UDF path → rows-only
+def multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (16-bin
+    byte histogram + mean/std). Deterministic; shape/partitioning
+    asserted in tests, rows-only for the driver."""
+    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    return extract_features(packed)
+
+
+@register("streaming_tumbling_counts", None)
+def q_streaming_tumbling_counts(spark, sf_dir):
+    """Structured Streaming: watermark + tumbling window counts via a
+    memory sink driven to completion (availableNow)."""
+    return streaming_tumbling_counts(spark, sf_dir)
+
+
+@register("streaming_session_window", None)
+def q_streaming_session_window(spark, sf_dir):
+    """Structured Streaming: watermarked session windows per user."""
+    return streaming_session_window(spark, sf_dir)
+
+
+@register("streaming_stateful_user_stats", None)
+def q_streaming_stateful_user_stats(spark, sf_dir):
+    """Structured Streaming: applyInPandasWithState custom stateful
+    per-user running stats."""
+    return streaming_stateful_user_stats(spark, sf_dir)

@@ -1,0 +1,138 @@
+"""Text-analysis queries over the documents table ([ext] —
+SURVEY.md §2.11: language-ID, quality scoring, token counting,
+fingerprinting). Spark expressions and oracle SQL are generated from
+the shared kernels in operators/text.py, so both engines evaluate the
+same formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --- language identification ----------------------------------------------
+
+_LANG_SCORES_SQL = X.lang_scores_sql()
+_LANG_ID_ORACLE = f"""
+    SELECT doc_id, lang AS declared_lang,
+           {X.lang_id_sql(_LANG_SCORES_SQL)} AS predicted_lang,
+           {_LANG_SCORES_SQL['en']} AS score_en,
+           {_LANG_SCORES_SQL['de']} AS score_de
+    FROM documents
+"""
+
+
+@register("text_lang_id", _LANG_ID_ORACLE)
+def text_lang_id(spark, sf_dir):
+    """Stopword-profile language-ID heuristic: per-language token-hit
+    scores, argmax with fixed priority tie-break."""
+    scores = X.lang_scores()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        X.lang_id(scores).alias("predicted_lang"),
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+    )
+
+
+# --- quality scoring -------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               {X.token_count_sql()} AS n_tokens,
+               {X.punct_ratio_sql()} AS punct_ratio,
+               {X.mean_token_len_sql()} AS mean_token_len,
+               {X.stopword_hits_sql(X.tokens_sql(), X.EN_STOPWORDS)} AS en_hits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, punct_ratio, mean_token_len,
+           CASE WHEN n_tokens > 0
+                THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (1.0 - punct_ratio) * 0.3
+             + least(CASE WHEN n_tokens > 0
+                          THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                          ELSE 0.0 END * 5.0, 1.0) * 0.3 AS quality_score
+    FROM feat
+"""
+
+
+@register("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark, sf_dir):
+    """Document quality score from length / punctuation / stopword
+    signals — the standard pre-training corpus filter features."""
+    n_tokens = X.token_count()
+    punct = X.punct_ratio()
+    en_hits = X.stopword_hits(X.tokens(), X.EN_STOPWORDS)
+    stop_ratio = F.when(
+        n_tokens > 0, en_hits.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        X.mean_token_len().alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+# --- token counting --------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = f"""
+    SELECT doc_id,
+           {X.token_count_sql()} AS n_tokens,
+           {X.bpe_token_estimate_sql()} AS bpe_tokens_est,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+"""
+
+
+@register("text_token_count", _TOKEN_COUNT_ORACLE)
+def text_token_count(spark, sf_dir):
+    """Whitespace token count + BPE-ish subword estimate
+    (ceil(len/4) per token)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        X.bpe_token_estimate().alias("bpe_tokens_est"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# --- fingerprinting --------------------------------------------------------
+
+_FINGERPRINT_ORACLE = f"""
+    SELECT doc_id,
+           {X.fingerprint_sql()} AS fingerprint,
+           substr({X.fingerprint_sql()}, 1, 8) AS fp_prefix
+    FROM documents
+"""
+
+
+@register("text_fingerprint", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 over normalized text (dedup key)."""
+    fp = X.fingerprint()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )

@@ -40,7 +40,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projections into it."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) — read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong), convert to the µs
+        # TimestampType. The data carries whole-µs values, so the
+        # integer floor-div loses nothing (and matches DuckDB's
+        # ns→µs truncation).
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

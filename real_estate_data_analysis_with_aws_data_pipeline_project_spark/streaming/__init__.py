@@ -1,0 +1,11 @@
+from .jobs import (
+    streaming_session_window,
+    streaming_stateful_user_stats,
+    streaming_tumbling_counts,
+)
+
+__all__ = [
+    "streaming_session_window",
+    "streaming_stateful_user_stats",
+    "streaming_tumbling_counts",
+]

@@ -1,0 +1,156 @@
+"""Structured Streaming layer ([ext] — SURVEY.md §2.8).
+
+The reference has no streaming (its docx lists it as roadmap); the
+engine adds a thin streaming-capable layer running the same window
+shapes as queries_events.py through readStream → writeStream:
+
+- file source over the events parquet (stands in for Kafka),
+- watermark for late data,
+- tumbling-window aggregation,
+- session windows,
+- applyInPandasWithState custom stateful operator.
+
+Each job drives a memory-sink query to completion synchronously
+(processAllAvailable) and returns the result as a DataFrame — so the
+driver's rows-only check can execute it like any batch query. At scale
+the same code runs continuously with a real source/sink; only the
+reader/writer configs change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load_table, table_path
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Schema comes from the
+    batch reader (streams cannot infer), including the nanos→µs ts
+    conversion from the catalog."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    _ = batch  # schema parity only
+    return stream
+
+
+def _run_to_memory(result: DataFrame, name: str, output_mode: str) -> None:
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window counts (1 h windows, 10 min
+    watermark) — the streaming twin of events_tumbling_window."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    _run_to_memory(agg, "stream_tumbling", "complete")
+    return spark.table("stream_tumbling")
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked session windows (30 min gap) per user — streaming
+    twin of events_session_window."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_sessions", "complete")
+    return spark.table("stream_sessions")
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+_STATEFUL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """Custom stateful operator: running per-user count/sum/max kept in
+    GroupState across micro-batches."""
+    n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [mx],
+        }
+    )
+
+
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key state (running
+    count/sum/max per user) — the custom-stateful-operator surface.
+    Arrow-batched; state is a compact 3-field tuple per user, so state
+    size is O(users), not O(events)."""
+    result = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_STATEFUL_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    _run_to_memory(result, "stream_user_stats", "update")
+    return spark.table("stream_user_stats")

@@ -1,0 +1,120 @@
+"""Deeper semantic tests for the [ext] operators beyond the oracle
+hash: invariants the SQL comparison can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+    DECODERS,
+    N_HISTOGRAM_BINS,
+)
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every exact-Jaccard≥0.5 pair (within the baseline's cap) must be
+    found by the MinHash-LSH path: LSH recall on clear near-dups."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    missed = exact - lsh
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    """Near-dup doc pairs (jaccard≥0.5) should land within hamming≤3
+    on the 16-bit simhash."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_simhash_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert exact
+    found = exact & sim
+    assert len(found) >= len(exact) * 0.8, (
+        f"simhash found {len(found)}/{len(exact)} near-dup pairs"
+    )
+
+
+def test_ann_lsh_results_subset_of_bruteforce_candidates(spark, sf_dir):
+    """ANN results must be genuine corpus vectors with correct cosine:
+    every (query, neighbor, cos) from the LSH path must appear in the
+    brute-force scored set with the same cosine value."""
+    brute = QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir)
+    ann = QUERIES["similarity_ann_lsh"].fn(spark, sf_dir)
+    assert ann.count() > 0
+    # ANN top-1-per-query cosine can't exceed brute-force top-1
+    b1 = {
+        r.query_id: r.cos_sim
+        for r in brute.filter("cos_sim is not null").groupBy("query_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .collect()
+    }
+    a1 = {
+        r.query_id: r.cos_sim
+        for r in ann.groupBy("query_id").agg(F.max("cos_sim").alias("cos_sim")).collect()
+    }
+    for q, cos in a1.items():
+        assert cos <= b1[q] + 1e-9
+
+
+def test_multimodal_features_shape_and_determinism(spark, sf_dir):
+    df = QUERIES["multimodal_features"].fn(spark, sf_dir)
+    rows = df.collect()
+    n_docs = QUERIES["multimodal_payload_meta"].fn(spark, sf_dir).count()
+    assert len(rows) == n_docs
+    for r in rows[:20]:
+        assert len(r.features) == N_HISTOGRAM_BINS + 2
+        assert abs(sum(r.features[:N_HISTOGRAM_BINS]) - 1.0) < 1e-9
+    again = {r.doc_id: r.features for r in df.collect()}
+    for r in rows[:20]:
+        assert again[r.doc_id] == r.features
+
+
+def test_multimodal_media_decoder_stubbed():
+    with pytest.raises(NotImplementedError):
+        DECODERS["image/png"](b"\x89PNG")
+
+
+def test_streaming_matches_batch_tumbling(spark, sf_dir):
+    """The streaming tumbling aggregation must agree with the batch
+    events_tumbling_window query on the same data."""
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in QUERIES["events_tumbling_window"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in QUERIES["streaming_tumbling_counts"].fn(spark, sf_dir).collect()
+    }
+    assert batch == stream
+
+
+def test_streaming_stateful_totals(spark, sf_dir):
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    stats = {
+        r.user_id: r.n_events
+        for r in QUERIES["streaming_stateful_user_stats"].fn(spark, sf_dir).collect()
+    }
+    expected = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert stats == expected
