@@ -17,5 +17,8 @@ from . import queries_dedup  # noqa: E402,F401
 from . import queries_similarity  # noqa: E402,F401
 from . import queries_events  # noqa: E402,F401
 from . import queries_multimodal  # noqa: E402,F401
+from . import queries_joins_ext  # noqa: E402,F401
+from . import queries_udf  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401
 
 __all__ = ["HEADLINE_QUERIES", "QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,94 @@
+"""As-of and range joins (SURVEY.md §2.3 — absent in both Spark and
+the reference; [ext] completions the guide's OLAP pattern list names).
+
+As-of join (``most recent right row at or before the left row's
+time``): Spark has no native operator, and a naive approach is a
+per-row subquery. The scalable form used here is the union-and-carry
+pattern: tag both sides, union, sort within key by (ts, side), carry
+the last right-side values forward with a running ``last(ignorenulls)``
+window, keep left rows. One shuffle on the key, no point lookups —
+O(n log n) per key partition, independent of time-gap distribution.
+
+Range join (``left.ts ∈ [right.start, right.end)`` with no equi key):
+the scalable form buckets the range dimension — each right interval
+explodes into the fixed-width buckets it overlaps, each left row maps
+to its bucket, the join becomes an equi-join on bucket plus an exact
+range filter. Bucket width trades replication (intervals spanning
+many buckets) against candidate fan-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """For every left row: the right row with the greatest right_ts <=
+    left_ts for the same key (ties at equal ts take the right row).
+    Carried right columns come back prefixed ``asof_``."""
+    carry_cols = carry_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(right_ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
+    )
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in carry_cols
+        ],
+    )
+    drop = ["_side", "_ats", "_r_ts"] + [f"_r_{c}" for c in carry_cols]
+    return carried.filter(F.col("_side") == 1).drop(*drop)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    left_point: Column,
+    right: DataFrame,
+    right_start: Column,
+    right_end: Column,
+    bucket_width_days: int = 7,
+) -> DataFrame:
+    """point-in-interval join via day-bucket equi-join + exact filter.
+    left gains nothing but the matched right rows (inner join).
+
+    Expects ``left_point``/``right_start``/``right_end`` as date-typed
+    Columns over `left`/`right`. The equi-join key is
+    floor(epoch_day / width); right intervals are exploded into every
+    bucket they overlap."""
+    epoch = F.lit("1970-01-01").cast("date")
+    l_bucket = F.floor(F.datediff(left_point, epoch) / bucket_width_days)
+    r_first = F.floor(F.datediff(right_start, epoch) / bucket_width_days)
+    r_last = F.floor(F.datediff(right_end, epoch) / bucket_width_days)
+    lb = left.withColumn("_bucket", l_bucket).withColumn("_point", left_point)
+    rb = (
+        right.withColumn("_start", right_start)
+        .withColumn("_end", right_end)
+        .withColumn("_bucket", F.explode(F.sequence(r_first, r_last)))
+    )
+    joined = lb.join(rb, "_bucket").filter(
+        (F.col("_point") >= F.col("_start")) & (F.col("_point") < F.col("_end"))
+    )
+    return joined.drop("_bucket", "_point", "_start", "_end")

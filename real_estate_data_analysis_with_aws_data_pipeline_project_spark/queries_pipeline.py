@@ -1,0 +1,122 @@
+"""Pipeline-metric, source-roundtrip and REST-ingestion queries
+(SURVEY.md §2.1, §4.3.1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.catalog import load_table
+from .sources.readers import read_csv, read_json
+from .sources.rest import fetch_rest_source, normalize_census_records
+from .sources.writers import write_csv, write_json
+
+
+@register(
+    "pipeline_single_pass_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_status_kept,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F')
+                          AND o_totalprice IS NOT NULL
+                          AND o_custkey IS NOT NULL
+                          AND o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_notnull_kept,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F')
+                          AND o_totalprice IS NOT NULL
+                          AND o_custkey IS NOT NULL
+                          AND o_orderdate IS NOT NULL
+                          AND c.c_custkey IS NOT NULL
+                          AND c.c_acctbal > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(100.0 * sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 2) AS match_rate_pct
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def pipeline_single_pass_metrics(spark, sf_dir):
+    """The reference's 8 interleaved count() actions
+    (real_estate_etl_job.py:36-140, anti-pattern §4.3.1) as ONE
+    conditional aggregation over a single scan + one broadcast join:
+    every stage's cardinality in a single pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    status_ok = F.col("o_orderstatus").isin("O", "F")
+    notnull_ok = (
+        status_ok
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_custkey").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
+    covered_ok = notnull_ok & F.col("c_custkey").isNotNull() & (F.col("c_acctbal") > 0)
+    return j.agg(
+        F.count("*").alias("n_raw"),
+        F.sum(status_ok.cast("int")).cast("bigint").alias("n_status_kept"),
+        F.sum(notnull_ok.cast("int")).cast("bigint").alias("n_notnull_kept"),
+        F.sum(covered_ok.cast("int")).cast("bigint").alias("n_covered"),
+        F.round(
+            100.0 * F.sum(F.col("c_custkey").isNotNull().cast("int")) / F.count("*"),
+            2,
+        ).alias("match_rate_pct"),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """S2/S6 CSV source+sink: write customer to headered CSV, read it
+    back with an explicit schema (no inference), aggregate — the
+    result must equal the same aggregate over the parquet original,
+    proving the CSV path is lossless for this schema."""
+    customer = load_table(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.gettempdir(), "engine_csv_roundtrip")
+    write_csv(customer, out, header=True)
+    back = read_csv(spark, out, schema=customer.schema, header=True)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """S1/S7 JSON source+sink roundtrip on the nation dim."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.gettempdir(), "engine_json_roundtrip")
+    write_json(nation, out)
+    back = read_json(spark, out, schema=nation.schema)
+    return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+@register("rest_census_ingest", None)  # external-source surface → rows-only
+def rest_census_ingest(spark, sf_dir):
+    """S3 REST-API source: keys fan out over executor partitions
+    (mapInPandas fetch loops), responses normalized sentinel→null with
+    derived percentage metrics (CensusDataFetch.py semantics). Uses
+    the deterministic offline fake endpoint; the fetch_fn is
+    injectable for a real API."""
+    keys = (
+        load_table(spark, sf_dir, "nation")
+        .select(F.col("n_name").alias("key"))
+        .repartition(4)
+    )
+    raw = fetch_rest_source(keys)
+    return normalize_census_records(raw)
