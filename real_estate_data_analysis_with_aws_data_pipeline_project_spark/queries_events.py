@@ -114,7 +114,7 @@ _SESSION_ORACLE = f"""
 """
 
 
-@register("events_session_window", _SESSION_ORACLE)
+@register("events_session_window", _SESSION_ORACLE, headline=True)
 def events_session_window(spark, sf_dir):
     """Session windows (30 min inactivity gap) per user via
     F.session_window — Spark's session end = last event + gap; the

@@ -46,7 +46,7 @@ _BRUTE_ORACLE = f"""
 """
 
 
-@register("similarity_topk_bruteforce", _BRUTE_ORACLE)
+@register("similarity_topk_bruteforce", _BRUTE_ORACLE, headline=True)
 def similarity_topk_bruteforce(spark, sf_dir):
     """Brute-force cosine top-k: query vectors broadcast against the
     full corpus, per-query window top-k. Exact; O(n·q) — the baseline

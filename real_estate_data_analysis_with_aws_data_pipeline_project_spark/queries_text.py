@@ -69,7 +69,7 @@ _QUALITY_ORACLE = f"""
 """
 
 
-@register("text_quality_score", _QUALITY_ORACLE)
+@register("text_quality_score", _QUALITY_ORACLE, headline=True)
 def text_quality_score(spark, sf_dir):
     """Document quality score from length / punctuation / stopword
     signals — the standard pre-training corpus filter features."""
