@@ -1,0 +1,167 @@
+"""Surface-completion extras: JSON column functions, explode/unnest,
+exact+approx percentiles, correlated scalar subqueries (SURVEY.md §2.7
+'absent' scalar categories + §2.4 quantiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """JSON scalar functions over the events.props string column
+    (semi-structured payloads ride along as JSON text; extraction is
+    a per-row expression, no Python)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
+@register(
+    "json_schema_on_read",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_schema_on_read(spark, sf_dir):
+    """from_json with a declared schema (the scalable path: parse once
+    into a typed struct, then aggregate JVM-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k")).cast("bigint").alias("total_k"),
+    )
+
+
+@register(
+    "explode_top_tokens",
+    f"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest({X.tokens_sql()}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 10
+    """,
+)
+def explode_top_tokens(spark, sf_dir):
+    """explode ≙ UNNEST: token frequency top-10 across the corpus —
+    the tf building block (explode → groupBy count → top-k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(X.tokens().alias("toks"))
+    return (
+        toks.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(10)
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           abs(approx_quantile(o_totalprice, 0.5) -
+               quantile_cont(o_totalprice, 0.5))
+               <= 0.10 * quantile_cont(o_totalprice, 0.5) AS approx_p50_close
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≙ DuckDB
+    quantile_cont) + approximate-quantile sketch checked via its
+    accuracy envelope (sketches differ across engines)."""
+    exact_p50 = F.expr("percentile(o_totalprice, 0.5)")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(exact_p50, 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            (
+                F.abs(F.percentile_approx("o_totalprice", 0.5) - exact_p50)
+                <= 0.10 * exact_p50
+            ).alias("approx_p50_close"),
+        )
+    )
+
+
+@register(
+    "subquery_scalar_correlated",
+    """
+    SELECT p_partkey, p_brand, round(p_retailprice, 2) AS retail_price
+    FROM part p
+    WHERE p_retailprice > 1.2 * (
+        SELECT avg(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def subquery_scalar_correlated(spark, sf_dir):
+    """Correlated scalar subquery (price > 1.2× its brand's average).
+    Spark plans the decorrelated form explicitly here — a window
+    average over the brand partition — which is also how Catalyst
+    rewrites the SQL; one shuffle on p_brand, no per-row subquery."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("p_brand")
+    return (
+        load_table(spark, sf_dir, "part")
+        .withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > 1.2 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("retail_price"),
+        )
+    )
+
+
+@register(
+    "subquery_exists_agg",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def subquery_exists_agg(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS with a cross-table predicate → semi-join
+    on the pre-filtered pair set, then aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    matched = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(matched, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
