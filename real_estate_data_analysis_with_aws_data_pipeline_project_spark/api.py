@@ -22,5 +22,7 @@ from . import queries_udf  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
 from . import queries_skew  # noqa: E402,F401
 from . import queries_extra  # noqa: E402,F401
+from . import queries_text2  # noqa: E402,F401
+from . import queries_window2  # noqa: E402,F401
 
 __all__ = ["HEADLINE_QUERIES", "QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,193 @@
+"""Second text-analysis batch: TF-IDF, edit-distance near-dup, and the
+composite training-data-prep pipeline (the [ext] operators composed
+end-to-end the way a corpus-preparation job would run them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+# --- TF-IDF ----------------------------------------------------------------
+
+_TFIDF_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({X.tokens_sql()}) AS token
+        FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.token,
+               round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, tfidf
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_ORACLE)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF via explode → tf groupBy → df groupBy → join → window
+    top-3 terms per doc (smoothed idf = ln((N+1)/(df+1))+1). The
+    df table is tiny (vocabulary-sized) and broadcasts; input capped
+    at doc_id < 100 to keep the oracle comparison small."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = toks.select("doc_id").distinct().count()
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --- edit-distance near-dup ------------------------------------------------
+
+
+@register(
+    "dedup_levenshtein_pairs",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def dedup_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs, blocked by brand (the blocking
+    key bounds the quadratic comparison — same pattern as the label-
+    blocked embedding near-dup). Integer distance → exact cross-engine
+    match."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
+# --- composite training-data-prep pipeline ---------------------------------
+
+_LANG_SCORES_SQL = X.lang_scores_sql()
+_PREP_ORACLE = f"""
+    WITH feat AS (
+        SELECT doc_id, source,
+               {X.token_count_sql()} AS n_tokens,
+               {X.punct_ratio_sql()} AS punct_ratio,
+               {X.stopword_hits_sql(X.tokens_sql(), X.EN_STOPWORDS)} AS en_hits,
+               {X.lang_id_sql(_LANG_SCORES_SQL)} AS predicted_lang,
+               {X.fingerprint_sql()} AS fingerprint
+        FROM documents
+    ),
+    scored AS (
+        SELECT *,
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - punct_ratio) * 0.3
+                 + least(CASE WHEN n_tokens > 0
+                              THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                              ELSE 0.0 END * 5.0, 1.0) * 0.3 AS quality
+        FROM feat
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND n_tokens >= 10
+    ),
+    deduped AS (
+        SELECT fingerprint, min(doc_id) AS doc_id FROM filtered
+        GROUP BY fingerprint
+    )
+    SELECT f.doc_id, f.source, f.predicted_lang, f.n_tokens,
+           round(f.quality, 6) AS quality
+    FROM filtered f JOIN deduped d ON f.doc_id = d.doc_id
+"""
+
+
+@register("training_data_prep_pipeline", _PREP_ORACLE)
+def training_data_prep_pipeline(spark, sf_dir):
+    """The [ext] operators composed as one corpus-preparation job:
+    feature extraction (token/punct/stopword) → quality scoring →
+    quality+length filter → exact dedup keeping the lowest doc_id per
+    fingerprint → curated corpus manifest. Single scan feeds the
+    feature stage; dedup is one hash shuffle — the end-to-end shape of
+    a 100 TB pre-training data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "text", X.tokens().alias("toks")
+    )
+    n_tokens = F.size("toks").cast("bigint")
+    punct = X.punct_ratio()
+    en_hits = F.size(
+        F.filter("toks", lambda t: t.isin(list(X.EN_STOPWORDS)))
+    ).cast("bigint")
+    stop_ratio = F.when(
+        n_tokens > 0, en_hits.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    scores = X.lang_scores()
+    scored = toks.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        X.lang_id(scores).alias("predicted_lang"),
+        X.fingerprint().alias("fingerprint"),
+        quality.alias("quality"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    keepers = filtered.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        filtered.join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "source",
+            "predicted_lang",
+            "n_tokens",
+            F.round("quality", 6).alias("quality"),
+        )
+    )

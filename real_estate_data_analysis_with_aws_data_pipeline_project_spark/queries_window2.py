@@ -1,0 +1,143 @@
+"""Window-function completion batch 2: range frames, distribution
+functions (ntile/percent_rank/cume_dist), first/last value frames, and
+null-handling projections (na.fill/na.drop surfaces).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.catalog import load_table
+
+
+@register(
+    "w7_range_frame_rolling_sum",
+    """
+    SELECT o_custkey, o_orderkey, day_no,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY day_no
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(date_diff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no
+        FROM orders
+    )
+    """,
+)
+def w7_range_frame_rolling_sum(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): rolling 30-day spend
+    per customer over an epoch-day sort key — rows at the same day
+    fall in one frame, unlike rowsBetween."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")).cast(
+            "bigint"
+        ),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@register(
+    "w8_distribution_functions",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w8_distribution_functions(spark, sf_dir):
+    """ntile / percent_rank / cume_dist over a fully-deterministic
+    ordering (balance + key tie-break)."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "w9_first_last_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w9_first_last_value(spark, sf_dir):
+    """first_value / last_value — last_value needs the full-partition
+    frame (the default frame ends at CURRENT ROW in both engines)."""
+    order_cols = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_default = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    w_full = w_default.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w_default).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+@register(
+    "na_fill_drop",
+    """
+    WITH holed AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(coalesce(bal, 0.0), 2) AS bal_filled,
+           coalesce(seg, 'UNKNOWN') AS seg_filled
+    FROM holed
+    WHERE bal IS NOT NULL OR seg IS NOT NULL
+    """,
+)
+def na_fill_drop(spark, sf_dir):
+    """The DataFrameNaFunctions surface (na.fill typed defaults +
+    na.drop how='all' on a subset) over deterministically synthesized
+    nulls — the engine's missing-data toolkit (P2 completion)."""
+    holed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 7 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    cleaned = holed.na.drop(how="all", subset=["bal", "seg"]).na.fill(
+        {"bal": 0.0, "seg": "UNKNOWN"}
+    )
+    return cleaned.select(
+        "c_custkey",
+        F.round("bal", 2).alias("bal_filled"),
+        F.col("seg").alias("seg_filled"),
+    )

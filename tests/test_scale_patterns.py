@@ -1,0 +1,76 @@
+"""Plan-level assertions: the scale behaviors the engine claims
+(pushdown, partition pruning, broadcast) must be visible in the
+physical plan, not just hoped for."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+    load_table,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    plan = _formatted(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 4 needed columns are read
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double" in plan
+
+
+def test_broadcast_join_in_flagship(spark, sf_dir):
+    plan = _formatted(QUERIES["flagship_enriched_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan  # the collect+isin replacement
+    assert "WindowGroupLimit" in plan  # partial top-N before the shuffle
+
+
+def test_partition_pruning_on_partitioned_write(spark, sf_dir):
+    """write partitioned by a column → a filtered read must prune to
+    the matching partition directories (PartitionFilters, not a full
+    scan)."""
+    out = os.path.join(tempfile.gettempdir(), "engine_partitioned_orders")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+    plan = _formatted(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    n_expected = orders.filter(F.col("o_orderstatus") == "O").count()
+    assert back.count() == n_expected
+
+
+def test_no_cartesian_in_similarity(spark, sf_dir):
+    """The ANN path must be an equi-join on the bucket key, not a
+    cartesian product."""
+    plan = _plan(QUERIES["similarity_ann_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_key(spark, sf_dir):
+    """The salted join's shuffle key must include the salt column."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.skew import (
+        salted_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    joined = salted_join(orders, customer, "c_custkey", "o_orderkey", n_salts=4)
+    assert "_salt" in _plan(joined)
