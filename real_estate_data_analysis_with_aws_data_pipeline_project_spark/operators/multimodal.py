@@ -141,3 +141,60 @@ def extract_features(payloads: DataFrame) -> DataFrame:
 
     cols = payloads.select("doc_id", "media_format", "payload")
     return cols.mapInPandas(fn, schema=FEATURES_SCHEMA)
+
+
+# --- frame sampling --------------------------------------------------------
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    payloads: DataFrame,
+    frame_bytes: int = 32,
+    every_k: int = 4,
+    resize_to: int | None = 16,
+) -> DataFrame:
+    """Frame sampling + resize over opaque media payloads: the payload
+    is chunked into fixed-size 'frames' (stand-in for video frame
+    decode — a real codec plugs into DECODERS), every k-th frame is
+    kept, and each kept frame is 'resized' (truncated/zero-padded) to
+    `resize_to` bytes. One input row explodes into O(payload/frame/k)
+    output rows — mapInPandas streams Arrow batches, so a huge payload
+    column never materializes on any single buffer."""
+    import hashlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for idx in range(0, max(len(data), 1) // frame_bytes + 1):
+                    if idx % every_k:
+                        continue
+                    frame = data[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    if not frame:
+                        continue
+                    if resize_to is not None:
+                        frame = frame[:resize_to].ljust(resize_to, b"\x00")
+                    rows.append(
+                        (
+                            int(doc_id),
+                            idx,
+                            frame,
+                            hashlib.md5(frame).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame", "frame_checksum"]
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(
+        fn, schema=FRAMES_SCHEMA
+    )

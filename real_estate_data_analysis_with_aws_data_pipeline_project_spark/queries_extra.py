@@ -165,3 +165,95 @@ def subquery_exists_agg(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT o_custkey AS cust_key, 'open' AS bucket FROM orders
+    WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_custkey AS cust_key, 'done' AS bucket FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    """unionByName: schema-evolution-tolerant union — columns align by
+    name even when the projections emit them in different orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("cust_key"), F.lit("open").alias("bucket")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.lit("done").alias("bucket"), F.col("o_custkey").alias("cust_key")
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "set_intersect_except_all",
+    """
+    WITH i AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    x AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n FROM i
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(count(*) AS BIGINT) AS n FROM x
+    """,
+)
+def set_intersect_except_all(spark, sf_dir):
+    """Multiset set-ops (INTERSECT ALL / EXCEPT ALL keep duplicate
+    multiplicities, unlike their distinct forms)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    ia = a.intersectAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("intersect_all").alias("op"), "n"
+    )
+    xa = a.exceptAll(b).agg(F.count("*").alias("n")).select(
+        F.lit("except_all").alias("op"), "n"
+    )
+    return ia.unionByName(xa)
+
+
+@register(
+    "f_date_functions_2",
+    """
+    SELECT o_orderkey,
+           round(CAST(date_diff('day', DATE '1995-06-15',
+                 CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4)
+               AS approx_months,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+               AS plus_3_months,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+               AS month_end,
+           CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders
+    """,
+)
+def f_date_functions_2(spark, sf_dir):
+    """Date surface batch 2: add_months, last_day, day-of-week,
+    quarter, and a day-based month-distance (months_between's engine
+    semantics differ around month ends, so the portable form divides
+    day deltas)."""
+    d = F.to_date("o_orderdate")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(
+            F.datediff(d, F.lit("1995-06-15").cast("date")).cast("double")
+            / 30.4375,
+            4,
+        ).alias("approx_months"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek(d) - 1).cast("int").alias("dow"),
+        F.quarter(d).cast("int").alias("qtr"),
+    )

@@ -71,3 +71,14 @@ def q_streaming_stateful_user_stats(spark, sf_dir):
     """Structured Streaming: applyInPandasWithState custom stateful
     per-user running stats."""
     return streaming_stateful_user_stats(spark, sf_dir)
+
+
+@register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sample + resize over binary payloads (every 4th 32-byte
+    frame, zero-padded to 16 bytes): the video-pipeline plumbing shape
+    with a deterministic fake chunker standing in for the codec."""
+    from .operators.multimodal import sample_frames
+
+    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    return sample_frames(packed)

@@ -118,3 +118,61 @@ def test_streaming_stateful_totals(spark, sf_dir):
         .collect()
     }
     assert stats == expected
+
+
+def test_frame_sampling_shape(spark, sf_dir):
+    df = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no frames sampled"
+    for r in rows[:50]:
+        assert r.frame_idx % 4 == 0  # every_k sampling
+        assert len(r.frame) == 16  # resize contract
+        assert len(r.frame_checksum) == 32
+    # deterministic across runs
+    again = df.collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_streaming_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: idempotent parquet sink keyed by epoch — the
+    exactly-once pattern for non-transactional sinks."""
+    import os
+
+    from pyspark.sql import functions as F
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _events_stream,
+    )
+
+    out = str(tmp_path / "fb_out")
+
+    def write_epoch(batch_df, epoch_id):
+        # epoch-keyed overwrite => re-delivered batches land in the
+        # same directory instead of duplicating rows
+        batch_df.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    agg = (
+        _events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_epoch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert os.path.exists(out)
+    back = {r.event_type: r.n for r in spark.read.parquet(out).collect()}
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    expected = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert back == expected
