@@ -14,6 +14,9 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import Q
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.plans import (
     enriched_sample_pipeline,
 )
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.registry import (
+    ensure_session_confs,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -22,6 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the reference's whole ETL pipeline
     (filter → semi-join → stratified sample → broadcast join → derive →
     select) transposed onto the testdata star schema."""
+    ensure_session_confs(spark)
     return enriched_sample_pipeline(spark, SMOKE_SF_DIR)
 
 

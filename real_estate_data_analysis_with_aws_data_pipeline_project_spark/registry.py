@@ -34,10 +34,36 @@ QUERIES: dict[str, QuerySpec] = {}
 # Benchmark set: representative, scale-sensitive queries (bench.py)
 HEADLINE_QUERIES: list[str] = []
 
+# Session confs every query needs regardless of who built the
+# SparkSession (the driver's harness session won't have run our
+# session.py factory): UTC so timestamp formatting/window alignment
+# agrees with the DuckDB oracle, nanosAsLong so the events table's
+# TIMESTAMP(NANOS) parquet column is readable at all. Both are
+# runtime SQL confs, safe to set on a live session.
+_REQUIRED_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
 
 def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = QuerySpec(fn, oracle)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = QuerySpec(wrapped, oracle)
         if headline:
             HEADLINE_QUERIES.append(name)
         return fn
