@@ -44,8 +44,13 @@ def null_safe_ratio(num: Column, den: Column, scale: int = 2) -> Column:
     """num/den with a zero/null-safe denominator: null when den is null
     or zero (the reference guards with ``or 1`` defaults —
     CensusDataFetch.py:59,63 — we prefer null over a silently wrong 0/1
-    denominator; callers can coalesce)."""
-    return F.when(den.isNotNull() & (den != 0), F.round(num / den, scale))
+    denominator; callers can coalesce). Also null when the quotient
+    overflows to ±inf (subnormal denominators — found by the
+    property-based tests), so downstream aggregates never see
+    non-finite values."""
+    q = F.try_divide(num, den)  # null (not ANSI error) on zero divisor
+    finite = q.isNotNull() & ~F.isnan(q) & (F.abs(q) != float("inf"))
+    return F.when(finite, F.round(q, scale))
 
 
 def pct_of_total(parts: list[Column], total: Column, scale: int = 1) -> Column:

@@ -81,7 +81,9 @@ def source_csv_roundtrip(spark, sf_dir):
     result must equal the same aggregate over the parquet original,
     proving the CSV path is lossless for this schema."""
     customer = load_table(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.gettempdir(), "engine_csv_roundtrip")
+    out = os.path.join(
+        tempfile.gettempdir(), f"engine_csv_roundtrip_{os.path.basename(sf_dir)}"
+    )
     write_csv(customer, out, header=True)
     back = read_csv(spark, out, schema=customer.schema, header=True)
     return back.groupBy("c_mktsegment").agg(
@@ -100,7 +102,9 @@ def source_csv_roundtrip(spark, sf_dir):
 def source_json_roundtrip(spark, sf_dir):
     """S1/S7 JSON source+sink roundtrip on the nation dim."""
     nation = load_table(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.gettempdir(), "engine_json_roundtrip")
+    out = os.path.join(
+        tempfile.gettempdir(), f"engine_json_roundtrip_{os.path.basename(sf_dir)}"
+    )
     write_json(nation, out)
     back = read_json(spark, out, schema=nation.schema)
     return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
