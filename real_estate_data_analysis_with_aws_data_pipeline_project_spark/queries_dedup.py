@@ -113,7 +113,7 @@ def dedup_exact_summary(spark, sf_dir):
 
 # --- n-gram Jaccard near-dup (exact baseline, capped input) ---------------
 
-_JACCARD_CAP = 2000  # bound the quadratic baseline; LSH paths are uncapped
+_JACCARD_CAP = 1000  # bound the quadratic baseline; LSH paths are uncapped
 _JACCARD_THRESHOLD = 0.5
 
 
@@ -146,7 +146,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs via shingle-inverted-index
     join (explode → equi-join on shingle → per-pair common count).
     Exact but quadratic in co-shingled docs — the correctness baseline
-    for the MinHash path; input capped at doc_id < 2000."""
+    for the MinHash path; input capped at doc_id < 1000."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _JACCARD_CAP)
     sh = _doc_shingles(docs)
     sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n"))
@@ -310,7 +310,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 # --- SimHash ---------------------------------------------------------------
 
 _SIMHASH_BITS = 16
-_SIMHASH_PAIRS_CAP = 1500
+_SIMHASH_PAIRS_CAP = 1000
 _HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 _SIMHASH_BIT_SQL = " || ".join(
@@ -453,4 +453,24 @@ def dedup_simhash_pairs(spark, sf_dir):
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
+    )
+
+
+@register(
+    "dedup_drop_duplicates",
+    """
+    SELECT o_orderstatus, o_orderpriority
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def dedup_drop_duplicates(spark, sf_dir):
+    """The dropDuplicates API surface (SURVEY §2.11 'exact dedup'):
+    distinct (status, priority) combinations via dropDuplicates on a
+    projection — Catalyst plans it as the same hash aggregate as
+    GROUP BY."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates(["o_orderstatus", "o_orderpriority"])
     )

@@ -201,3 +201,129 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
     )
+
+
+# --- IVF (inverted-file) ANN ----------------------------------------------
+
+_IVF_N_CENTROIDS = 16  # deterministic coarse quantizer: vec_id < 16
+_IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
+        FROM v WHERE vec_id < {_IVF_N_CENTROIDS}
+    ),
+    ranked AS (
+        SELECT v.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {S.cosine_sql('v.embedding', 'cent.c_emb',
+                                          'v.nrm', 'cent.c_nrm')} DESC, cent.cid
+               ) AS rnk
+        FROM v CROSS JOIN cent
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
+    probes AS (
+        SELECT vec_id AS query_id, cid FROM ranked
+        WHERE vec_id < {_N_QUERIES} AND rnk <= {_IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
+                     6) AS cos_sim
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+        JOIN v q ON q.vec_id = p.query_id
+        JOIN v c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+        ) AS rn
+        FROM scored
+    ) WHERE rn <= {_TOP_K}
+"""
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE)
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k: a deterministic coarse
+    quantizer (the first 16 vectors as centroids — a stand-in for
+    k-means training, which would be seeded and offline) assigns every
+    vector to its nearest centroid's inverted list; a query probes its
+    nprobe=2 closest lists only. Assignment is an O(n×k) broadcast
+    pass; search touches ~nprobe/k of the corpus — the IVF scale path
+    next to the sign-LSH variant."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    cent = (
+        v.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    ranked = (
+        v.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            S.cosine(
+                F.col("embedding"), F.col("c_emb"), F.col("nrm"), F.col("c_nrm")
+            ).alias("c_cos"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+            ),
+        )
+    )
+    assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < _N_QUERIES) & (F.col("rnk") <= _IVF_NPROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    q = v.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        F.col("nrm").alias("n_nrm"),
+    )
+    scored = (
+        probes.join(
+            assign.withColumnRenamed("vec_id", "neighbor_id"), "cid"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                S.cosine(
+                    F.col("q_emb"), F.col("n_emb"), F.col("q_nrm"), F.col("n_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .drop("rn")
+    )

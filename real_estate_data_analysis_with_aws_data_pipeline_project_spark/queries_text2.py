@@ -84,15 +84,22 @@ def text_tfidf_top_terms(spark, sf_dir):
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
     FROM part a JOIN part b
       ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    WHERE a.p_partkey < 4000 AND b.p_partkey < 4000
+      AND levenshtein(a.p_name, b.p_name) <= 4
     """,
 )
 def dedup_levenshtein_pairs(spark, sf_dir):
     """Edit-distance near-dup pairs, blocked by brand (the blocking
     key bounds the quadratic comparison — same pattern as the label-
     blocked embedding near-dup). Integer distance → exact cross-engine
-    match."""
-    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    match. Input capped (p_partkey < 4000) — brand-blocking bounds
+    the pair count per block, the cap bounds the block count for the
+    exact baseline."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 4000)
+        .select("p_partkey", "p_brand", "p_name")
+    )
     a, b = p.alias("a"), p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (

@@ -95,3 +95,30 @@ def test_asof_join_tie_takes_equal_timestamp(spark):
     assert out[(1, 100)] == (100, "a")  # equal ts matches (>= semantics)
     assert out[(1, 200)] == (150, "b")  # most recent earlier row
     assert out[(2, 50)] == (None, None)  # nothing at-or-before → nulls
+
+
+def test_range_join_interval_spanning_bucket_boundary(spark):
+    """An interval that crosses a bucket boundary must still match
+    points in its second bucket (the explode-over-buckets step)."""
+    from pyspark.sql import functions as F
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.asof import (
+        range_join_bucketed,
+    )
+
+    # interval [1970-01-05, 1970-01-12) spans week-bucket 0 and 1
+    right = spark.createDataFrame([("iv1",)], "iv string").select(
+        "iv",
+        F.lit("1970-01-05").cast("date").alias("start"),
+        F.lit("1970-01-12").cast("date").alias("end"),
+    )
+    left = spark.createDataFrame(
+        [("1970-01-05",), ("1970-01-08",), ("1970-01-11",), ("1970-01-12",)],
+        "d string",
+    ).select(F.col("d").cast("date").alias("point"))
+    out = range_join_bucketed(
+        left, F.col("point"), right, F.col("start"), F.col("end"),
+        bucket_width_days=7,
+    )
+    matched = sorted(str(r.point) for r in out.collect())
+    # end is exclusive: 01-12 must NOT match
+    assert matched == ["1970-01-05", "1970-01-08", "1970-01-11"]
