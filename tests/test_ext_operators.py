@@ -176,3 +176,25 @@ def test_streaming_foreach_batch_exactly_once_sink(spark, sf_dir, tmp_path):
         .collect()
     }
     assert back == expected
+
+
+def test_ivf_top1_bounded_by_bruteforce(spark, sf_dir):
+    """IVF results are genuine neighbors: per-query best cosine can't
+    exceed the brute-force best."""
+    brute = {
+        r.query_id: r.cos_sim
+        for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .collect()
+    }
+    ivf = {
+        r.query_id: r.cos_sim
+        for r in QUERIES["similarity_ivf_topk"].fn(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+        .collect()
+    }
+    assert ivf, "IVF returned nothing"
+    for q, cos in ivf.items():
+        assert cos <= brute[q] + 1e-9
