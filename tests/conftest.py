@@ -19,7 +19,16 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="engine-tests", master="local[4]", shuffle_partitions=4)
+    import tempfile
+
+    s = get_spark(
+        app_name="engine-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        # static conf — must be set at session build time; keeps
+        # saveAsTable (bucketing tests) out of the repo tree
+        extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp()},
+    )
     yield s
     s.stop()
 

@@ -198,3 +198,76 @@ def test_ivf_top1_bounded_by_bruteforce(spark, sf_dir):
     assert ivf, "IVF returned nothing"
     for q, cos in ivf.items():
         assert cos <= brute[q] + 1e-9
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode watermarked aggregation over two micro-batches:
+    batch 2 carries an event far older than the advanced watermark —
+    its window was already finalized, so the late row must not appear
+    in (or alter) the emitted results."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    on_time = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:05:00", "2024-01-01 00:10:00",
+                 "2024-01-01 02:00:00"]
+            ),
+            "v": [1.0, 2.0, 3.0],
+        }
+    )
+    late = pd.DataFrame(
+        {
+            # watermark after batch 1 = 02:00 - 10min = 01:50 →
+            # the 00:20 event lands in an already-finalized window
+            "ts": pd.to_datetime(["2024-01-01 00:20:00",
+                                  "2024-01-01 02:30:00"]),
+            "v": [100.0, 4.0],
+        }
+    )
+    spark.createDataFrame(on_time).coalesce(1).write.parquet(f"{src}/b1")
+    schema = spark.read.parquet(f"{src}/b1").schema
+    checkpoint = str(tmp_path / "wm_ckpt")
+
+    def run_once(name):
+        collected = {}
+
+        def sink(batch_df, epoch_id):
+            for r in batch_df.collect():
+                collected[r.h] = r.total
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.sum("v").alias("total"))
+            .select(F.date_format("w.start", "HH:mm").alias("h"), "total")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(sink)  # memory sink cannot recover checkpoints
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return collected
+
+    # run 1: only on-time data → watermark in the checkpoint advances
+    # to 02:00 - 10min = 01:50, past the 00:00-01:00 window's end
+    out1 = run_once("wm_out_1")
+    # run 2 (same checkpoint): the 00:20 late row targets a window the
+    # watermark already finalized → it must be dropped
+    spark.createDataFrame(late).coalesce(1).write.parquet(f"{src}/b2")
+    out2 = run_once("wm_out_2")
+
+    merged = {**out1, **out2}
+    assert merged.get("00:00") == 3.0, (out1, out2)  # late 100 excluded
+    for v in list(out1.values()) + list(out2.values()):
+        assert v not in (100.0, 103.0), (out1, out2)

@@ -74,3 +74,30 @@ def test_salted_join_spreads_key(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer").select("c_custkey")
     joined = salted_join(orders, customer, "c_custkey", "o_orderkey", n_salts=4)
     assert "_salt" in _plan(joined)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key → the join plan has no
+    Exchange (shuffle) on either side — the repeat-join co-location
+    strategy for 100 TB fact tables."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.writers import (
+        write_bucketed,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "orders_b", "o_orderkey", n_buckets=8)
+    write_bucketed(lineitem, "lineitem_b", "o_orderkey", n_buckets=8)
+    joined = spark.table("orders_b").join(spark.table("lineitem_b"), "o_orderkey")
+    # disable broadcast so the co-location actually decides the plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    n = joined.count()
+    assert n == lineitem.count()  # every lineitem matches its order
