@@ -257,3 +257,99 @@ def f_date_functions_2(spark, sf_dir):
         (F.dayofweek(d) - 1).cast("int").alias("dow"),
         F.quarter(d).cast("int").alias("qtr"),
     )
+
+
+@register(
+    "scd2_merge_emulation",
+    """
+    WITH updates AS (
+        SELECT c_custkey, 'RELOCATED' AS new_segment
+        FROM customer WHERE c_custkey % 10 = 0
+    ),
+    unchanged AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               1 AS version, true AS is_current
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM updates u
+                          WHERE u.c_custkey = c.c_custkey)
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.c_mktsegment AS segment,
+               1 AS version, false AS is_current
+        FROM customer c
+        JOIN updates u ON u.c_custkey = c.c_custkey
+    ),
+    fresh AS (
+        SELECT u.c_custkey, u.new_segment AS segment,
+               2 AS version, true AS is_current
+        FROM updates u
+    )
+    SELECT * FROM unchanged
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM fresh
+    """,
+)
+def scd2_merge_emulation(spark, sf_dir):
+    """MERGE INTO / SCD2 without Delta (guide 'CDC / SCD2' pattern):
+    anti-join keeps untouched rows current, the semi-joined old
+    versions close (is_current=false), updates append as version 2.
+    Three branches over one dim scan + a broadcast of the update set —
+    at warehouse scale this is the per-batch CDC apply job."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    updates = (
+        customer.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", F.lit("RELOCATED").alias("new_segment"))
+    )
+    upd_keys = updates.select("c_custkey")
+    unchanged = (
+        customer.join(F.broadcast(upd_keys), "c_custkey", "left_anti")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(1).alias("version"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    closed = (
+        customer.join(F.broadcast(upd_keys), "c_custkey", "left_semi")
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.lit(1).alias("version"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    fresh = updates.select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.lit(2).alias("version"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(fresh)
+
+
+@register(
+    "sample_fraction_envelope",
+    """
+    SELECT true AS within_5_sigma
+    """,
+)
+def sample_fraction_envelope(spark, sf_dir):
+    """Bernoulli df.sample: RNG streams differ across engines, so the
+    checkable claim is statistical — the sampled fraction lands within
+    5σ of p (binomial bound). The oracle is the constant the invariant
+    must evaluate to."""
+    import math
+
+    p = 0.2
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.select(
+        F.count("*").alias("total"),
+    ).collect()[0]
+    n_total = counts.total
+    n_sample = li.sample(fraction=p, seed=42).count()
+    sigma = math.sqrt(p * (1 - p) * n_total)
+    ok = abs(n_sample - p * n_total) <= 5 * sigma
+    return spark.createDataFrame([(ok,)], "within_5_sigma boolean")
