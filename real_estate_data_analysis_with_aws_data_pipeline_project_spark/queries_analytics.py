@@ -507,3 +507,43 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "heavy_shuffle_part_spend",
+    """
+    SELECT p.p_brand,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS spend,
+           round(max(part_spend.part_total), 2) AS top_part_spend
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS part_total
+        FROM lineitem GROUP BY l_partkey
+    ) part_spend ON part_spend.l_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    """,
+    headline=True,
+)
+def heavy_shuffle_part_spend(spark, sf_dir):
+    """Deliberately shuffle-bound benchmark: a high-cardinality
+    per-partkey aggregation re-joined to the fact table (shuffle on
+    l_partkey both times — AQE coalesces the post-shuffle partitions),
+    then brand rollup. Exercises the exchange/sort/merge path that
+    dominates at 100 TB, unlike the broadcast-friendly dim joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_spend = li.groupBy("l_partkey").agg(F.sum(disc).alias("part_total"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(part_spend, "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum(disc), 2).alias("spend"),
+            F.round(F.max("part_total"), 2).alias("top_part_spend"),
+        )
+    )

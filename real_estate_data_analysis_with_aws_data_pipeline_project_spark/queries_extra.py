@@ -353,3 +353,53 @@ def sample_fraction_envelope(spark, sf_dir):
     sigma = math.sqrt(p * (1 - p) * n_total)
     ok = abs(n_sample - p * n_total) <= 5 * sigma
     return spark.createDataFrame([(ok,)], "within_5_sigma boolean")
+
+
+@register(
+    "f_array_functions",
+    f"""
+    SELECT doc_id,
+           list_sort(list_distinct({X.tokens_sql()})) [1:5] AS first_tokens,
+           CAST(len(list_distinct({X.tokens_sql()})) AS BIGINT) AS n_distinct_tokens,
+           list_contains({X.tokens_sql()}, 'data') AS has_data,
+           ({X.tokens_sql()})[1] AS first_token
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def f_array_functions(spark, sf_dir):
+    """Array-function surface: sort, distinct, slice, contains,
+    element access over the token arrays (ArrayType as a first-class
+    value — absent in the reference's flat model, SURVEY §1.2)."""
+    toks = X.tokens()
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias(
+                "n_distinct_tokens"
+            ),
+            F.array_contains(toks, "data").alias("has_data"),
+            F.element_at(toks, 1).alias("first_token"),
+        )
+    )
+
+
+@register(
+    "f_regexp_extract",
+    """
+    SELECT c_custkey,
+           regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 2) AS id_digits,
+           regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed
+    FROM customer
+    """,
+)
+def f_regexp_extract(spark, sf_dir):
+    """regexp_extract group capture + full-match predicate
+    (rlike ≙ regexp_matches)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", "#(0*)([1-9][0-9]*)", 2).alias("id_digits"),
+        F.col("c_name").rlike("^Customer#[0-9]+$").alias("well_formed"),
+    )
