@@ -359,7 +359,8 @@ def sample_fraction_envelope(spark, sf_dir):
     "f_array_functions",
     f"""
     SELECT doc_id,
-           list_sort(list_distinct({X.tokens_sql()})) [1:5] AS first_tokens,
+           array_to_string(list_sort(list_distinct({X.tokens_sql()}))[1:5], ',')
+               AS first_tokens,
            CAST(len(list_distinct({X.tokens_sql()})) AS BIGINT) AS n_distinct_tokens,
            list_contains({X.tokens_sql()}, 'data') AS has_data,
            ({X.tokens_sql()})[1] AS first_token
@@ -367,16 +368,20 @@ def sample_fraction_envelope(spark, sf_dir):
     """,
 )
 def f_array_functions(spark, sf_dir):
-    """Array-function surface: sort, distinct, slice, contains,
+    """Array-function surface: sort, distinct, slice, join, contains,
     element access over the token arrays (ArrayType as a first-class
-    value — absent in the reference's flat model, SURVEY §1.2)."""
+    value — absent in the reference's flat model, SURVEY §1.2). The
+    sliced array is emitted string-joined so the oracle hash never
+    depends on engine-specific array stringification."""
     toks = X.tokens()
     return (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select(
             "doc_id",
-            F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first_tokens"),
+            F.array_join(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), ","
+            ).alias("first_tokens"),
             F.size(F.array_distinct(toks)).cast("bigint").alias(
                 "n_distinct_tokens"
             ),
