@@ -24,5 +24,6 @@ from . import queries_skew  # noqa: E402,F401
 from . import queries_extra  # noqa: E402,F401
 from . import queries_text2  # noqa: E402,F401
 from . import queries_window2  # noqa: E402,F401
+from . import queries_corpus  # noqa: E402,F401
 
 __all__ = ["HEADLINE_QUERIES", "QUERIES", "QuerySpec", "register"]

@@ -1,0 +1,186 @@
+"""Corpus-management queries ([ext] — the training-data-pipeline
+operations beyond dedup/quality: deterministic dataset splitting,
+token-budget shard packing, and test-set decontamination).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import deterministic_order_key
+from .operators import text as X
+from .queries_dedup import SHINGLES_SQL, _doc_shingles
+from .registry import register
+from .sources.catalog import load_table
+
+# --- deterministic train/val/test split ------------------------------------
+
+# md5-hex first byte partitions [00..ff] into 80/10/10
+_SPLIT_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id,
+               CASE WHEN bucket < 'cc' THEN 'train'
+                    WHEN bucket < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM tagged GROUP BY split
+"""
+
+
+@register("corpus_split_train_val_test", _SPLIT_ORACLE)
+def corpus_split_train_val_test(spark, sf_dir):
+    """Deterministic ~80/10/10 train/val/test split by hash-bucketing
+    the document key (first md5 byte < 0xcc / < 0xe6): stable across
+    runs, partitionings, and engines — the property a reproducible
+    dataset split needs (random splits are none of these). Emits
+    per-split summaries; the row-level assignment is the same
+    expression without the groupBy."""
+    bucket = F.substring(deterministic_order_key("doc_id"), 1, 2)
+    split = (
+        F.when(bucket < "cc", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# --- token-budget shard packing --------------------------------------------
+
+_SHARD_BUDGET = 5000  # tokens per training shard
+
+_PACK_ORACLE = f"""
+    WITH sized AS (
+        SELECT doc_id, {X.token_count_sql()} AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_tokens
+        FROM sized
+    )
+    SELECT CAST(floor((cum_tokens - 1) / {_SHARD_BUDGET}) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+    FROM ordered
+    GROUP BY 1
+"""
+
+
+@register("corpus_pack_token_shards", _PACK_ORACLE)
+def corpus_pack_token_shards(spark, sf_dir):
+    """Token-budget shard packing: documents in deterministic
+    (hash) order are packed greedily into shards of ~5000 tokens via a
+    running token sum (shard = (cumsum-1) div budget) — the sequence-
+    packing step that turns a corpus into fixed-budget training
+    shards. The single-partition window is the *spec*; at 100 TB the
+    same assignment is computed per hash-range partition with
+    per-range offsets (two passes), keeping the exact same output."""
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count().alias("n_tokens")
+    )
+    w = (
+        Window.orderBy(deterministic_order_key("doc_id"), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "shard",
+        F.floor((F.sum("n_tokens").over(w) - 1) / _SHARD_BUDGET).cast("bigint"),
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+
+
+# --- decontamination -------------------------------------------------------
+
+_EVAL_CUTOFF = 50  # doc_id < 50 play the held-out eval set
+
+_DECONTAM_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    eval_sh AS (
+        SELECT doc_id, unnest(sh) AS shingle FROM s
+        WHERE doc_id < {_EVAL_CUTOFF}
+    ),
+    train_sh AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM s
+        WHERE doc_id >= {_EVAL_CUTOFF}
+    ),
+    overlap AS (
+        SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM eval_sh e JOIN train_sh t ON e.shingle = t.shingle
+        GROUP BY e.doc_id
+    ),
+    totals AS (
+        SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM s
+        WHERE doc_id < {_EVAL_CUTOFF}
+    )
+    SELECT t.doc_id,
+           coalesce(o.n_overlap, 0) AS n_overlap,
+           t.n_shingles,
+           CASE WHEN t.n_shingles > 0
+                THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE)
+                     / CAST(t.n_shingles AS DOUBLE)
+                ELSE 0.0 END AS contamination_rate
+    FROM totals t LEFT JOIN overlap o ON o.doc_id = t.doc_id
+"""
+
+
+@register("corpus_decontamination", _DECONTAM_ORACLE)
+def corpus_decontamination(spark, sf_dir):
+    """Eval-set decontamination: per held-out document, the fraction
+    of its word-3-gram shingles that also occur anywhere in the
+    training split (eval shingles join the distinct train shingle set
+    — an inverted-index semi-overlap, shuffle O(shingles), never
+    pairwise). High contamination_rate docs are leaked/near-dup eval
+    items."""
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    eval_sh = sh.filter(F.col("doc_id") < _EVAL_CUTOFF).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    train_sh = (
+        sh.filter(F.col("doc_id") >= _EVAL_CUTOFF)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    overlap = (
+        eval_sh.join(train_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = sh.filter(F.col("doc_id") < _EVAL_CUTOFF).select(
+        "doc_id", F.size("sh").cast("bigint").alias("n_shingles")
+    )
+    rate = F.when(
+        F.col("n_shingles") > 0,
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+        / F.col("n_shingles").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            "n_shingles",
+            rate.alias("contamination_rate"),
+        )
+    )
