@@ -136,3 +136,78 @@ def text_fingerprint(spark, sf_dir):
         fp.alias("fingerprint"),
         F.substring(fp, 1, 8).alias("fp_prefix"),
     )
+
+
+_BPE_REGEX = "[a-z0-9]{1,4}"  # greedy ≤4-char subword pieces
+
+_TOKEN_REGEX_ORACLE = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all({X.norm_text_sql()}, '{_BPE_REGEX}'))
+                AS BIGINT) AS bpe_tokens_regex,
+           {X.token_count_sql()} AS n_tokens
+    FROM documents
+"""
+
+
+@register("text_token_count_regex", _TOKEN_REGEX_ORACLE)
+def text_token_count_regex(spark, sf_dir):
+    """BPE-ish regex token counting: subword pieces as greedy
+    ≤4-char alphanumeric matches over the normalized text
+    (regexp_extract_all) — the regex route to the same subword
+    estimate as the per-token arithmetic in text_token_count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        # idx=0 = whole match (Spark defaults to capture group 1)
+        F.size(F.regexp_extract_all(X.norm_text(), F.lit(_BPE_REGEX), F.lit(0)))
+        .cast("bigint")
+        .alias("bpe_tokens_regex"),
+        X.token_count().alias("n_tokens"),
+    )
+
+
+_ROLLING_WINDOW = 8  # character window width
+
+_ROLLING_FP_ORACLE = f"""
+    WITH n AS (SELECT doc_id, {X.norm_text_sql()} AS norm FROM documents),
+    w AS (
+        SELECT doc_id,
+               CASE WHEN length(norm) >= {_ROLLING_WINDOW}
+                    THEN list_transform(
+                        generate_series(1, length(norm) - {_ROLLING_WINDOW - 1}),
+                        i -> md5(substr(norm, i, {_ROLLING_WINDOW})))
+                    ELSE [md5(norm)] END AS hs
+        FROM n
+    )
+    SELECT doc_id,
+           list_min(hs) AS winnow_min,
+           CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct_windows
+    FROM w
+"""
+
+
+@register("text_rolling_fingerprint", _ROLLING_FP_ORACLE)
+def text_rolling_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (winnowing-style): hash every
+    8-char sliding window of the normalized text, keep the minimum
+    (the robust-to-edits fingerprint) plus the distinct-window count.
+    Shares near-dup robustness with minhash but at character
+    granularity — catches whitespace/punctuation-level edits."""
+    norm = _docs(spark, sf_dir).select("doc_id", X.norm_text().alias("norm"))
+    # substring with a Column start position needs the SQL expr form
+    hashed = norm.select(
+        "doc_id",
+        F.when(
+            F.length("norm") >= _ROLLING_WINDOW,
+            F.expr(
+                f"transform(sequence(1, length(norm) - {_ROLLING_WINDOW - 1}), "
+                f"i -> md5(cast(substring(norm, i, {_ROLLING_WINDOW}) as binary)))"
+            ),
+        )
+        .otherwise(F.array(F.md5(F.col("norm").cast("binary"))))
+        .alias("hs"),
+    )
+    return hashed.select(
+        "doc_id",
+        F.array_min("hs").alias("winnow_min"),
+        F.size(F.array_distinct("hs")).cast("bigint").alias("n_distinct_windows"),
+    )
