@@ -64,7 +64,15 @@ def salted_join(
     tasks; the small side is replicated n_salts× (explode), which is
     the explicit version of what a broadcast join does implicitly —
     use when the small side is too big to broadcast but hot keys
-    overwhelm single reducers."""
+    overwhelm single reducers.
+
+    Only inner/left are valid: under right/full joins an unmatched
+    small-side row would surface once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} — "
+            f"right/full would duplicate unmatched replicated rows"
+        )
     big_salted = big.withColumn(_SALT, _salt_col(spread_col, n_salts))
     small_rep = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -27,14 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.catalog import load_table, table_path
+from ..sources.catalog import table_path
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table. Schema comes from the
-    batch reader (streams cannot infer), including the nanos→µs ts
-    conversion from the catalog."""
-    batch = load_table(spark, sf_dir, "events")
+    """File-source stream over the events table. Schema comes from a
+    batch read (streams cannot infer); the nanos→µs ts conversion
+    mirrors the catalog's."""
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -43,7 +42,6 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    _ = batch  # schema parity only
     return stream
 
 
