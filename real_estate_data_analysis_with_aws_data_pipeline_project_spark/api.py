@@ -25,5 +25,6 @@ from . import queries_extra  # noqa: E402,F401
 from . import queries_text2  # noqa: E402,F401
 from . import queries_window2  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
+from . import queries_sketch  # noqa: E402,F401
 
 __all__ = ["HEADLINE_QUERIES", "QUERIES", "QuerySpec", "register"]

@@ -171,3 +171,52 @@ def events_sessionization_lag(spark, sf_dir):
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "events_hypertable_rollup",
+    """
+    SELECT '1h' AS granularity,
+           strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT '1d' AS granularity,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 2, 3
+    """,
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup (timescale continuous-
+    aggregate shape): the same measure maintained at hourly and daily
+    granularities in one result. Computed here as two window
+    aggregations over one scan; in continuous operation the 1d tier
+    rolls up from the 1h tier (sums of sums), never from raw events —
+    that re-aggregation property is what makes the hierarchy cheap at
+    100 TB."""
+    ev = _events(spark, sf_dir)
+
+    def tier(width: str, label: str):
+        return (
+            ev.groupBy(F.window("ts", width).alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.lit(label).alias("granularity"),
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "bucket_start"
+                ),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    return tier("1 hour", "1h").unionByName(tier("1 day", "1d"))

@@ -1,0 +1,120 @@
+"""Count-min sketch as a composition of DataFrame ops ([ext] — the
+'novel sketch' slot next to the built-in HLL/quantile sketches).
+
+The sketch is fully deterministic (md5-hex chunk hashes), so unlike
+HLL it is oracle-checkable exactly: the DuckDB oracle builds the same
+d×w counter table and produces identical estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+_CMS_DEPTH = 3  # hash rows (salts)
+_CMS_WIDTH = 64  # buckets per row
+_CMS_SALTS = ("p", "q", "r")
+_PROBE_TOKENS = ("data", "table", "stream", "quantum")  # last one absent
+
+# bucket_j(token) = md5(salt_j:token) first 8 hex chars mod width —
+# mod is done on the integer value of the chunk; DuckDB parses the hex
+# via a 16-power polyfill to avoid from_hex/blob asymmetries.
+_HEX_TO_INT_SQL = (
+    "(" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+)
+
+
+def _bucket_sql(salt: str) -> str:
+    h = f"substr(md5('{salt}:' || token), 1, 8)"
+    return f"({_HEX_TO_INT_SQL.format(h=h)} % {_CMS_WIDTH})"
+
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({X.tokens_sql()}) AS token FROM documents
+    ),
+    truth AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS true_count
+        FROM toks GROUP BY token
+    ),
+    {", ".join(
+        f'''cms{i} AS (
+        SELECT {_bucket_sql(salt)} AS bucket, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1
+    )''' for i, salt in enumerate(_CMS_SALTS)
+    )},
+    probes AS (
+        SELECT unnest(['{"','".join(_PROBE_TOKENS)}']) AS token
+    )
+    SELECT p.token,
+           coalesce(t.true_count, 0) AS true_count,
+           least({", ".join(
+               f"coalesce((SELECT c FROM cms{i} WHERE bucket = "
+               + _bucket_sql(salt).replace("token", "p.token")
+               + "), 0)"
+               for i, salt in enumerate(_CMS_SALTS)
+           )}) AS cms_estimate
+    FROM probes p LEFT JOIN truth t ON t.token = p.token
+"""
+
+
+def _bucket_col(salt: str):
+    chunk = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("token")).cast("binary")), 1, 8
+    )
+    return F.conv(chunk, 16, 10).cast("bigint") % _CMS_WIDTH
+
+
+@register("sketch_count_min_tokens", _CMS_ORACLE)
+def sketch_count_min_tokens(spark, sf_dir):
+    """Count-min sketch over the corpus token stream: d=3 salted-hash
+    rows × w=64 buckets, built with three tiny groupBys (the whole
+    sketch is d×w counters — constant memory however large the
+    stream). Frequency estimate for a probe token = min over rows of
+    its bucket's count; guaranteed ≥ the true count. Output: probe
+    tokens with true counts and sketch estimates — identical in the
+    oracle because the hashes are md5-derived."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens()).alias("token"))
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _PROBE_TOKENS], "token string"
+    )
+    truth = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    est = None
+    for i, salt in enumerate(_CMS_SALTS):
+        cms = (
+            toks.select(_bucket_col(salt).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias(f"c{i}"))
+        )
+        probe_bucketed = probes.select(
+            "token", _bucket_col(salt).alias("bucket")
+        )
+        joined = probe_bucketed.join(F.broadcast(cms), "bucket", "left").select(
+            "token", F.coalesce(f"c{i}", F.lit(0)).alias(f"c{i}")
+        )
+        est = joined if est is None else est.join(joined, "token")
+    result = est.select(
+        "token",
+        F.least(*[F.col(f"c{i}") for i in range(_CMS_DEPTH)]).alias(
+            "cms_estimate"
+        ),
+    )
+    return (
+        probes.join(F.broadcast(truth), "token", "left")
+        .join(result, "token")
+        .select(
+            "token",
+            F.coalesce("true_count", F.lit(0)).alias("true_count"),
+            "cms_estimate",
+        )
+    )
