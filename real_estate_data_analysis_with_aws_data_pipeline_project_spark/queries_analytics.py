@@ -547,3 +547,89 @@ def heavy_shuffle_part_spend(spark, sf_dir):
             F.round(F.max("part_total"), 2).alias("top_part_spend"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           round(s.s_acctbal, 2) AS supp_acctbal
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_size = 10
+      AND s.s_acctbal = (
+          SELECT min(s2.s_acctbal)
+          FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    GROUP BY p.p_partkey, p.p_brand, s.s_name, s.s_acctbal
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a correlated
+    scalar subquery — planned explicitly as its decorrelated form (a
+    window min over the part's suppliers), one shuffle on partkey."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 10)
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        pairs.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.round("s_acctbal", 2).alias("supp_acctbal"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: lost-revenue-from-returns report — selective
+    fact filters, customer/nation broadcast, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "nation")
+    )
