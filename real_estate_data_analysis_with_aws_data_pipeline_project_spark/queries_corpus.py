@@ -184,3 +184,59 @@ def corpus_decontamination(spark, sf_dir):
             rate.alias("contamination_rate"),
         )
     )
+
+
+# --- context-window chunking ------------------------------------------------
+
+_CHUNK_SIZE = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {X.tokens_sql()} AS toks FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(
+               toks[(i * {_CHUNK_STRIDE} + 1):(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE})],
+               ' ') AS chunk_text,
+           CAST(least(len(toks) - i * {_CHUNK_STRIDE}, {_CHUNK_SIZE}) AS BIGINT)
+               AS chunk_tokens
+    FROM d, unnest(generate_series(0,
+        CAST(ceil(greatest(len(toks) - {_CHUNK_SIZE}, 0) / {_CHUNK_STRIDE}.0)
+             AS BIGINT))) AS u(i)
+"""
+
+
+@register("corpus_chunk_documents", _CHUNK_ORACLE)
+def corpus_chunk_documents(spark, sf_dir):
+    """Sliding context-window chunking: each document becomes
+    overlapping 32-token chunks with a 24-token stride (8-token
+    overlap) — the step that turns corpus documents into
+    model-context-sized training samples. Pure explode over a
+    generated index array: one row in, O(n_tokens/stride) rows out, no
+    shuffle, no Python."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", X.tokens().alias("toks"))
+    )
+    n = F.size("toks")
+    n_chunks_last_idx = F.ceil(
+        F.greatest(n - _CHUNK_SIZE, F.lit(0)) / F.lit(float(_CHUNK_STRIDE))
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks_last_idx)
+    exploded = toks.select(
+        "doc_id", "toks", F.explode(idx).alias("chunk_idx")
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("toks", start + 1, _CHUNK_SIZE)).alias(
+            "chunk_text"
+        ),
+        F.least(F.size("toks") - start, F.lit(_CHUNK_SIZE))
+        .cast("bigint")
+        .alias("chunk_tokens"),
+    )
