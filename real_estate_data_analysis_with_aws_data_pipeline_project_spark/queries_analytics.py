@@ -633,3 +633,137 @@ def tpch_q10_returned_items(spark, sf_dir):
         .limit(20)
         .select("c_custkey", "c_name", "revenue", "nation")
     )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+    """,
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation split by
+    priority class."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("int")).cast("bigint").alias("high_line_count"),
+            F.sum((~high).cast("int")).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — conditional
+    ratio-of-sums over a month of shipments, part dim broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct"))
+    )
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           round(o.o_totalprice, 2) AS total_price,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def tpch_q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered IN-subquery (orders whose
+    total quantity exceeds a threshold) → semi-join → detail
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    o = _t(spark, sf_dir, "orders").join(big_orders, "o_orderkey", "left_semi")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_size BETWEEN 11 AND 20 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_size BETWEEN 21 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join
+    sides — Catalyst extracts the common single-side conjuncts
+    (p_size ≤ 50, quantity ≤ 40) and pushes them below the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
+        | (F.col("p_size").between(11, 20) & F.col("l_quantity").between(10, 30))
+        | (F.col("p_size").between(21, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )

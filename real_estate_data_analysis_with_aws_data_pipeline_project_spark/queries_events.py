@@ -220,3 +220,52 @@ def events_hypertable_rollup(spark, sf_dir):
         )
 
     return tier("1 hour", "1h").unionByName(tier("1 day", "1d"))
+
+
+@register(
+    "events_funnel_analysis",
+    """
+    WITH stage AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicked_after_view,
+           CAST(sum(CASE WHEN first_view IS NOT NULL
+                          AND first_click > first_view
+                          AND first_buy > first_click THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_funnel
+    FROM stage
+    """,
+)
+def events_funnel_analysis(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): per-user first-touch
+    timestamps via conditional min, then ordering predicates — the
+    sequence-detection pattern without a per-event state machine (one
+    groupBy on user_id, no self-joins)."""
+    ev = _events(spark, sf_dir)
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stage = ev.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_buy"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    bought = clicked & (F.col("first_buy") > F.col("first_click"))
+    return stage.agg(
+        F.count("*").alias("n_users"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("viewed"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
+        F.sum(bought.cast("int")).cast("bigint").alias("full_funnel"),
+    )
