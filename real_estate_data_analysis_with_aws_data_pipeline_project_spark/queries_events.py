@@ -269,3 +269,53 @@ def events_funnel_analysis(spark, sf_dir):
         F.sum(clicked.cast("int")).cast("bigint").alias("clicked_after_view"),
         F.sum(bought.cast("int")).cast("bigint").alias("full_funnel"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users cohorted by first-event day, active-user
+    counts per (cohort, day offset) for the first week — the classic
+    growth-analytics shape (self-derived dimension + double grouping;
+    the firsts table is user-cardinality and broadcastable)."""
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("bigint").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
