@@ -91,19 +91,45 @@ def corpus_pack_token_shards(spark, sf_dir):
     (hash) order are packed greedily into shards of ~5000 tokens via a
     running token sum (shard = (cumsum-1) div budget) — the sequence-
     packing step that turns a corpus into fixed-budget training
-    shards. The single-partition window is the *spec*; at 100 TB the
-    same assignment is computed per hash-range partition with
-    per-range offsets (two passes), keeping the exact same output."""
+    shards.
+
+    Scale design (two passes, no global window): the md5 order key is
+    range-partitioned by its first hex byte (256 ranges whose order is
+    prefix-consistent with the global sort), so the running sum is a
+    per-range window cumsum — 256-way parallel — plus a per-range
+    offset. The offsets come from a 256-row range-totals aggregate
+    (bounded by the range count, NOT the corpus size) whose prefix sum
+    is computed driver-side and broadcast-joined back. Output is
+    bit-identical to the single-window spec (same oracle)."""
+    key = deterministic_order_key("doc_id")
     sized = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.token_count().alias("n_tokens")
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        key.alias("ok"),
+        F.substring(key, 1, 2).alias("rng"),
     )
+
+    # Pass 1: per-range totals — a tiny (≤256 rows) aggregate; its
+    # prefix offsets are computed on the driver (metadata-scale, like
+    # AQE stats) and shipped back as a broadcast join.
+    totals = sized.groupBy("rng").agg(F.sum("n_tokens").alias("rng_tokens"))
+    offsets, running = [], 0
+    for row in sorted(totals.collect(), key=lambda r: r["rng"]):
+        offsets.append((row["rng"], running))
+        running += row["rng_tokens"]
+    off_df = spark.createDataFrame(offsets, "rng string, rng_offset bigint")
+
+    # Pass 2: per-range parallel cumsum + broadcast offset = global cumsum.
     w = (
-        Window.orderBy(deterministic_order_key("doc_id"), F.col("doc_id"))
+        Window.partitionBy("rng")
+        .orderBy(F.col("ok"), F.col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = sized.withColumn(
+    packed = sized.join(F.broadcast(off_df), "rng").withColumn(
         "shard",
-        F.floor((F.sum("n_tokens").over(w) - 1) / _SHARD_BUDGET).cast("bigint"),
+        F.floor(
+            (F.col("rng_offset") + F.sum("n_tokens").over(w) - 1) / _SHARD_BUDGET
+        ).cast("bigint"),
     )
     return packed.groupBy("shard").agg(
         F.count("*").alias("n_docs"),
