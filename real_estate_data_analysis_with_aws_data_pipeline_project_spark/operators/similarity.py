@@ -52,6 +52,46 @@ def cosine_sql(a: str, b: str, norm_a: str, norm_b: str) -> str:
     )
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 123) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes for sign-LSH, rounded to 4 dp
+    so the SAME literal matrix is embedded in the Spark expression and
+    the DuckDB oracle (identical text → identical IEEE arithmetic →
+    identical sign bits). Axis-aligned sign bits were measured at 0.04
+    recall@5 on the near-isotropic synthetic embeddings (sf0.1);
+    seeded Gaussian projections reach 0.62 at 12 tables × 6 bits."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[round(float(w), 4) for w in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def project_signs(a: Column, planes: list[list[float]]) -> Column:
+    """Bit string of sign(plane · vector) for every hyperplane — the
+    multi-table LSH signature (tables slice disjoint ranges of it)."""
+    bits = []
+    for row in planes:
+        w = F.array(*[F.lit(x) for x in row])
+        d = F.aggregate(
+            F.zip_with(a, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def project_signs_sql(a: str, planes: list[list[float]]) -> str:
+    # list_dot_product is a native sequential loop — same left-to-right
+    # double accumulation as the Spark fold (verified bit-identical),
+    # ~120x faster than the list_transform formulation
+    parts = []
+    for row in planes:
+        w = "[" + ", ".join(repr(x) for x in row) + "]"
+        d = f"list_dot_product(CAST({a} AS DOUBLE[]), {w})"
+        parts.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return "(" + " || ".join(parts) + ")"
+
+
 def sign_bucket(a: Column, n_dims: int) -> Column:
     """Axis-aligned sign-LSH bucket: the sign bits of the first
     n_dims coordinates as a bit string. For roughly isotropic

@@ -69,6 +69,27 @@ def test_ann_lsh_results_subset_of_bruteforce_candidates(spark, sf_dir):
         assert cos <= b1[q] + 1e-9
 
 
+@pytest.mark.parametrize(
+    "ann_name,floor",
+    [("similarity_ann_lsh", 0.5), ("similarity_ivf_topk", 0.8)],
+)
+def test_ann_recall_floor_at_sf01(spark, ann_name, floor):
+    """VERDICT r1 #3/#4: the ANN paths must hold a recall floor vs the
+    exact brute-force top-k at sf0.1 (deterministic: measured 0.80 for
+    the 12-table Gaussian sign-LSH, 0.96 for the Lloyd-trained IVF)."""
+    sf = "/root/testdata/sf0.1"
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf).collect()
+    }
+    ann = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES[ann_name].fn(spark, sf).collect()
+    }
+    recall = len(ann & brute) / len(brute)
+    assert recall >= floor, f"{ann_name} recall {recall:.2f} < floor {floor}"
+
+
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     df = QUERIES["multimodal_features"].fn(spark, sf_dir)
     rows = df.collect()
