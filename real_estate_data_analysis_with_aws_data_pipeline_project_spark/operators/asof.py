@@ -43,12 +43,18 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         F.col(right_ts).alias("_r_ts"),
+        # deterministic tiebreak among right rows sharing (key, ts):
+        # without it, which row's values are carried depends on the
+        # partitioning (ADVICE r1)
+        F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in carry_cols])
+        ).alias("_tiebreak"),
         *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ats", "_side")
+        .orderBy("_ats", "_side", "_tiebreak")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -59,7 +65,7 @@ def asof_join(
             for c in carry_cols
         ],
     )
-    drop = ["_side", "_ats", "_r_ts"] + [f"_r_{c}" for c in carry_cols]
+    drop = ["_side", "_ats", "_r_ts", "_tiebreak"] + [f"_r_{c}" for c in carry_cols]
     return carried.filter(F.col("_side") == 1).drop(*drop)
 
 

@@ -65,6 +65,73 @@ def _decode_utf8_text(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Real pure-stdlib image decoder: uncompressed BMP. Parses the
+    BITMAPFILEHEADER ('BM', pixel-array offset at byte 10) and
+    BITMAPINFOHEADER (width/height/bpp), strips per-row padding (rows
+    are 4-byte aligned), and returns the pixel bytes bottom-up as
+    stored. Supports the uncompressed 8/24/32-bpp encodings."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    height = abs(height)
+    bytes_per_row = width * (bpp // 8)
+    stride = (bytes_per_row + 3) // 4 * 4  # rows are 4-byte aligned
+    rows = []
+    for r in range(height):
+        start = pixel_offset + r * stride
+        row = payload[start : start + bytes_per_row]
+        if len(row) < bytes_per_row:
+            raise ValueError("truncated BMP pixel array")
+        rows.append(np.frombuffer(row, dtype=np.uint8))
+    return np.concatenate(rows) if rows else np.array([], dtype=np.uint8)
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """Real pure-stdlib audio decoder: PCM WAV. Walks the RIFF chunk
+    list, reads the fmt chunk (PCM only), and returns the data chunk's
+    samples mapped to uint8 (8-bit passes through; 16-bit is scaled to
+    the 0-255 range) so downstream histogram features share one
+    domain across codecs."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (missing RIFF/WAVE magic)")
+    pos, fmt_code, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        chunk_id = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt_code, _channels = struct.unpack_from("<HH", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif chunk_id == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if fmt_code != 1:
+        raise ValueError(f"non-PCM WAV (format {fmt_code}) unsupported")
+    if bits == 8:
+        return np.frombuffer(data, dtype=np.uint8)
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+        return ((samples.astype(np.int32) + 32768) // 256).astype(np.uint8)
+    raise ValueError(f"unsupported WAV bit depth {bits}")
+
+
 def _decode_stub(media_format: str) -> Callable[[bytes], np.ndarray]:
     def _raise(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
@@ -78,9 +145,12 @@ def _decode_stub(media_format: str) -> Callable[[bytes], np.ndarray]:
 
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "utf8-text": _decode_utf8_text,
+    "image/bmp": _decode_bmp,
+    "audio/wav": _decode_wav,
+    # genuinely need external codec libraries — stubbed, registry stays
+    # pluggable
     "image/png": _decode_stub("image/png"),
     "image/jpeg": _decode_stub("image/jpeg"),
-    "audio/wav": _decode_stub("audio/wav"),
     "video/mp4": _decode_stub("video/mp4"),
 }
 

@@ -22,7 +22,8 @@ from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import TABLES, table_path
-from .reference_pipeline import enriched_sample_pipeline
+from ..sources.writers import validate_contract
+from .reference_pipeline import OUTPUT_CONTRACT, enriched_sample_pipeline
 
 MATCH_RATE_THRESHOLD = 95.0  # real_estate_etl_job.py:147
 
@@ -63,6 +64,10 @@ def run_pipeline(
         try:
             obs = Observation("pipeline_metrics")
             result = enriched_sample_pipeline(spark, sf_dir)
+            # declared-schema gate (Schema.json analog) BEFORE any
+            # write/action — a drifted pipeline fails here, not in the
+            # output table
+            validate_contract(result, OUTPUT_CONTRACT)
             observed = result.observe(
                 obs,
                 F.count(F.lit(1)).alias("n_out"),

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.joins import broadcast_enrich, semi_join
 from ..operators.sampling import stratified_sample_deterministic
@@ -90,6 +91,25 @@ def enriched_sample_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("cust_acctbal"),
         F.col("price_to_balance"),
     )
+
+
+# Declared output contract — the analog of the reference's pinned
+# 18-column Schema.json:1-92, enforced before write by
+# sources.writers.validate_contract / write_with_contract.
+OUTPUT_CONTRACT = T.StructType(
+    [
+        T.StructField("order_key", T.LongType()),
+        T.StructField("order_status", T.StringType()),
+        T.StructField("order_priority", T.StringType()),
+        T.StructField("order_date", T.StringType()),
+        T.StructField("total_price", T.DoubleType()),
+        T.StructField("cust_key", T.LongType()),
+        T.StructField("cust_name", T.StringType()),
+        T.StructField("cust_segment", T.StringType()),
+        T.StructField("cust_acctbal", T.DoubleType()),
+        T.StructField("price_to_balance", T.DoubleType()),
+    ]
+)
 
 
 ENRICHED_SAMPLE_ORACLE = """

@@ -185,6 +185,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # the J≥0.9 near-dup level. The 9 hashes are 32-bit hex chunks carved
 # out of 3 salted md5s (3 digest computations per shingle, not 9).
 
+# per-(session, sf_dir) persisted shingle relation (see dedup_minhash_lsh)
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 _MINHASH_SALTS = ("a", "b", "c")
 _CHUNKS_PER_MD5 = 3  # use chunks at offsets 1, 9, 17 (8 hex chars each)
 _MINHASH_BANDS = 3
@@ -255,7 +258,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     # both sides of the verify join) — persist it once instead of
     # recomputing tokenize+shingle per branch. At warehouse scale the
     # same role is played by writing the shingle table to parquet.
-    sh = _doc_shingles(docs).persist()
+    # Persist exactly once per (session, sf_dir): repeat invocations
+    # (driver verify + bench warm/timed + tests) reuse the cached
+    # DataFrame object instead of re-persisting the same logical plan
+    # and spamming 'already cached' warnings (ADVICE r1).
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    sh = _SHINGLE_CACHE.get(cache_key)
+    if sh is None:
+        for old in _SHINGLE_CACHE.values():  # one live entry at a time
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # stopped session — nothing to release
+        _SHINGLE_CACHE.clear()
+        sh = _doc_shingles(docs).persist()
+        _SHINGLE_CACHE[cache_key] = sh
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
     digests = ex.select(
         "doc_id",

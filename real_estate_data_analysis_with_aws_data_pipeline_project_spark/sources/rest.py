@@ -37,7 +37,86 @@ RECORD_SCHEMA = T.StructType(
     ]
 )
 
-FetchFn = Callable[[str], dict]
+FetchFn = Callable[[str], dict | None]
+
+# ACS5 variable order (CensusDataFetch.py:23-28): NAME, median income,
+# population, bachelor/master/professional/doctorate, edu total,
+# unemployed, labor force, median age
+CENSUS_BASE_URL = "https://api.census.gov/data/2021/acs/acs5"
+CENSUS_VARIABLES = (
+    "NAME", "B19013_001E", "B01003_001E", "B15003_022E",
+    "B15003_023E", "B15003_024E", "B15003_025E", "B15003_001E",
+    "B23025_005E", "B23025_002E", "B01002_001E",
+)
+
+
+def make_http_census_fetch(
+    api_key: str,
+    base_url: str = CENSUS_BASE_URL,
+    timeout_s: float = 10.0,
+    retries: int = 2,
+    rate_limit_s: float = 0.1,
+    opener=None,
+) -> FetchFn:
+    """Production ``fetch_fn``: urllib GET with URL-encoded params, 10 s
+    timeout, retry×2 with linear backoff, and a polite per-request
+    sleep — the reference Lambda's semantics (CensusDataFetch.py:17-44
+    request/parse, :148 rate limit) plus the orchestrator's retry
+    policy (RealEstatePipeline.asl.json C2). Returns None for a key
+    whose fetch or parse fails, exactly like the reference; the
+    mapInPandas loop skips those.
+
+    ``opener`` is injectable for tests (default urllib.request.urlopen);
+    neither tests nor the driver ever perform a real network call."""
+    import json as _json
+    import time as _time
+    import urllib.parse as _uparse
+    import urllib.request as _urequest
+
+    get = ",".join(CENSUS_VARIABLES)
+    _open = opener or _urequest.urlopen
+
+    def _safe_int(val):
+        try:
+            return int(val)
+        except (TypeError, ValueError):
+            return None
+
+    def fetch(key: str) -> dict | None:
+        params = {
+            "get": get,
+            "for": f"zip code tabulation area:{key}",
+            "key": api_key,
+        }
+        url = f"{base_url}?{_uparse.urlencode(params)}"
+        data = None
+        for attempt in range(retries + 1):
+            try:
+                with _open(url, timeout=timeout_s) as response:
+                    data = _json.loads(response.read().decode())
+                break
+            except Exception:
+                if attempt == retries:
+                    return None
+                _time.sleep(rate_limit_s * (attempt + 1))
+        if not data or len(data) < 2:  # header row only → no record
+            return None
+        values = data[1]
+        college = sum(_safe_int(values[i]) or 0 for i in (3, 4, 5, 6))
+        record = {
+            "key": key,
+            "median_income": _safe_int(values[1]),
+            "population": _safe_int(values[2]),
+            "college_educated": college,
+            "edu_total": _safe_int(values[7]),
+            "unemployed": _safe_int(values[8]),
+            "labor_force": _safe_int(values[9]),
+        }
+        if rate_limit_s:
+            _time.sleep(rate_limit_s)
+        return record
+
+    return fetch
 
 
 def fake_census_fetch(key: str) -> dict:
@@ -70,6 +149,7 @@ def fetch_rest_source(
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             records = [fetch_fn(str(k)) for k in pdf[key_col]]
+            records = [r for r in records if r is not None]  # failed keys skip
             yield pd.DataFrame.from_records(records, columns=RECORD_SCHEMA.names)
 
     return keys.mapInPandas(fetch_partition, schema=RECORD_SCHEMA)

@@ -15,6 +15,71 @@ Reference parity, fixed for scale:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+class SchemaContractError(ValueError):
+    """The DataFrame does not satisfy the declared output contract."""
+
+
+def validate_contract(
+    df: DataFrame, contract: T.StructType, strict_nullability: bool = False
+) -> None:
+    """Validate ``df`` against a declared output StructType: exact
+    column names in order, exact types, and (optionally) nullability —
+    the reference's pinned 18-column output contract (Schema.json:1-92)
+    enforced at the final select (real_estate_etl_job.py:172-191),
+    turned into a hard gate instead of a convention.
+
+    Nullability is advisory by default: Spark's inferred nullability is
+    unreliable through joins/aggregates, so only contract-nullable=False
+    vs actual-nullable=True is rejected, and only when
+    ``strict_nullability`` is set."""
+    actual = df.schema
+    a_names = [f.name for f in actual.fields]
+    c_names = [f.name for f in contract.fields]
+    if a_names != c_names:
+        missing = [n for n in c_names if n not in a_names]
+        extra = [n for n in a_names if n not in c_names]
+        raise SchemaContractError(
+            f"column mismatch: missing={missing} extra={extra} "
+            f"(order matters: actual={a_names})"
+        )
+    for a_f, c_f in zip(actual.fields, contract.fields):
+        if a_f.dataType != c_f.dataType:
+            raise SchemaContractError(
+                f"type mismatch on {c_f.name!r}: "
+                f"actual={a_f.dataType.simpleString()} "
+                f"contract={c_f.dataType.simpleString()}"
+            )
+        if strict_nullability and a_f.nullable and not c_f.nullable:
+            raise SchemaContractError(
+                f"nullability violation on {c_f.name!r}: contract forbids "
+                "nulls but the column is nullable"
+            )
+
+
+def write_with_contract(
+    df: DataFrame,
+    contract: T.StructType,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    strict_nullability: bool = False,
+) -> None:
+    """Contract-enforced sink: validates names/types/nullability BEFORE
+    any write work starts, then delegates to the format writer. A
+    violation costs an exception, not a corrupted output table."""
+    validate_contract(df, contract, strict_nullability=strict_nullability)
+    if fmt == "parquet":
+        write_parquet(df, path, mode=mode, partition_by=partition_by)
+    elif fmt == "csv":
+        write_csv(df, path, mode=mode)
+    elif fmt == "json":
+        write_json(df, path, mode=mode)
+    else:
+        raise ValueError(f"unknown format {fmt!r}")
 
 
 def write_parquet(

@@ -29,7 +29,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        return f"{v:.6g}" if v == int(v) else f"{round(v, 6)}"
+        # one fixed rule (ADVICE r1): no %g scientific collapse (which
+        # merged distinct integral doubles >= 1e6) and no -0.0/0.0 split
+        v = round(float(v), 6)
+        if v == 0.0:
+            v = 0.0
+        return repr(v)
     return str(v)
 
 

@@ -90,6 +90,78 @@ def test_ann_recall_floor_at_sf01(spark, ann_name, floor):
     assert recall >= floor, f"{ann_name} recall {recall:.2f} < floor {floor}"
 
 
+def _tiny_bmp() -> bytes:
+    """2x2 24-bpp BMP, rows padded to 4 bytes, known pixel values."""
+    import struct
+
+    width, height, bpp = 2, 2, 24
+    stride = (width * 3 + 3) // 4 * 4
+    pixels = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"  # bottom row + pad
+    pixels += bytes([70, 80, 90, 100, 110, 120]) + b"\x00\x00"  # top row + pad
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(pixels), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, bpp, 0,
+                       len(pixels), 0, 0, 0, 0)
+    return header + info + pixels
+
+
+def _tiny_wav(bits: int = 16) -> bytes:
+    """PCM WAV with 4 known samples."""
+    import struct
+
+    if bits == 16:
+        data = struct.pack("<4h", -32768, 0, 256, 32767)
+    else:
+        data = bytes([0, 128, 200, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_real_media_decoders_bmp_and_wav():
+    """VERDICT r1 #9: two real stdlib codecs behind the registry."""
+    import numpy as np
+
+    bmp = DECODERS["image/bmp"](_tiny_bmp())
+    assert bmp.tolist() == [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120]
+    wav = DECODERS["audio/wav"](_tiny_wav(16))
+    assert wav.tolist() == [0, 128, 129, 255]  # int16 → uint8 scaling
+    wav8 = DECODERS["audio/wav"](_tiny_wav(8))
+    assert wav8.tolist() == [0, 128, 200, 255]
+    with pytest.raises(ValueError):
+        DECODERS["image/bmp"](b"NOTABMP")
+    with pytest.raises(ValueError):
+        DECODERS["audio/wav"](b"RIFFxxxxNOPE")
+    with pytest.raises(NotImplementedError):
+        DECODERS["image/png"](b"\x89PNG")
+    assert isinstance(bmp, np.ndarray) and bmp.dtype == np.uint8
+
+
+def test_extract_features_across_three_codecs(spark):
+    """The mapInPandas feature extractor handles heterogeneous media
+    formats in one batch — utf8 text, BMP image, PCM WAV audio."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rows = [
+        (1, "utf8-text", bytearray(b"hello world")),
+        (2, "image/bmp", bytearray(_tiny_bmp())),
+        (3, "audio/wav", bytearray(_tiny_wav(16))),
+    ]
+    payloads = spark.createDataFrame(
+        rows, "doc_id long, media_format string, payload binary"
+    )
+    out = {r.doc_id: r for r in extract_features(payloads).collect()}
+    assert out[1].n_bytes == 11
+    assert out[2].n_bytes == 12  # 2x2x3 pixels, padding stripped
+    assert out[3].n_bytes == 4
+    for r in out.values():
+        assert len(r.features) == N_HISTOGRAM_BINS + 2
+        assert abs(sum(r.features[:N_HISTOGRAM_BINS]) - 1.0) < 1e-9
+
+
 def test_multimodal_features_shape_and_determinism(spark, sf_dir):
     df = QUERIES["multimodal_features"].fn(spark, sf_dir)
     rows = df.collect()
