@@ -28,6 +28,34 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session impo
 )
 
 
+# Self-set baseline (BASELINE.md "Engine baseline", measured round 1 at
+# sf0.1 local[32], warm JVM). vs_baseline ratios are only emitted when
+# benching the same scale factor; the acceptance bar is 2x
+# (BASELINE.json), enforced as a non-zero exit so regressions are
+# mechanical, not judgement calls (VERDICT r1 next-round #8).
+BASELINE_SF = 0.1
+BASELINE_SEC = {
+    "flagship_enriched_sample": 1.23,
+    "p6_match_rate": 0.40,
+    "j1_broadcast_left_join": 0.44,
+    "tpch_q1_pricing_summary": 0.52,
+    "w2_stratified_sample_rows": 0.51,
+    "sql_surface_revenue_by_nation": 0.88,
+    "tpch_q6_forecast_revenue": 0.23,
+    "tpch_q3_shipping_priority": 0.66,
+    "text_quality_score": 0.82,
+    "dedup_minhash_lsh": 1.33,
+    "similarity_topk_bruteforce": 0.57,
+    "events_session_window": 0.43,
+    "tpch_q5_local_supplier_volume": 1.21,
+    "heavy_shuffle_part_spend": 0.73,
+}
+REGRESSION_FACTOR = 2.0
+# wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,
+# not a regression signal
+REGRESSION_MIN_SEC = 0.5
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -43,17 +71,38 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    regressed: list[str] = []
+    if sf == BASELINE_SF:
+        ratios = {
+            name: round(sec / BASELINE_SEC[name], 2)
+            for name, sec in timings.items()
+            if name in BASELINE_SEC
+        }
+        base_total = sum(BASELINE_SEC[n] for n in ratios)
+        bench_total = sum(timings[n] for n in ratios)
+        result["vs_baseline"] = ratios
+        result["vs_baseline_total"] = (
+            round(bench_total / base_total, 2) if base_total else None
         )
-    )
+        regressed = [
+            n
+            for n, r in ratios.items()
+            if r > REGRESSION_FACTOR and timings[n] >= REGRESSION_MIN_SEC
+        ]
+        if result["vs_baseline_total"] and result["vs_baseline_total"] > REGRESSION_FACTOR:
+            regressed.append("TOTAL")
+        result["regressions"] = regressed
+
+    print(json.dumps(result))
+    if regressed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
