@@ -211,9 +211,7 @@ _BAND_UNION_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+MINHASH_PAIRS_ORACLE = f"""
     WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
     e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
     mh AS (
@@ -240,9 +238,10 @@ _BAND_UNION_SQL = " UNION ALL ".join(
           / CAST(len(sa.sh) + len(sb.sh)
                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
                  AS DOUBLE) >= {_MINHASH_THRESHOLD}
-    """,
-    headline=True,
-)
+    """
+
+
+@register("dedup_minhash_lsh", MINHASH_PAIRS_ORACLE, headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → k=9 chunk-derived minhashes →
     3 bands of 3 → band-bucket join for candidates → exact Jaccard

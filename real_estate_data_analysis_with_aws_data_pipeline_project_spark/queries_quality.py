@@ -1,0 +1,405 @@
+"""Corpus-quality and PII queries ([ext] — SURVEY.md §2.11 extension,
+round 2): the document-level filters a pretraining data pipeline runs
+between ingestion and dedup — heuristic quality gates, repetition and
+entropy signals, boilerplate detection, PII detect/redact, and global
+near-dup clustering (connected components over the MinHash pair graph).
+
+Every per-row signal is a pure Catalyst expression mirrored in DuckDB
+SQL (operators/text.py pattern); the corpus-level ones are explode →
+groupBy shapes whose shuffle is O(tokens or shingles), never O(pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import text as X
+from .queries_dedup import MINHASH_PAIRS_ORACLE, SHINGLES_SQL, _doc_shingles
+from .registry import register
+from .sources.catalog import load_table
+
+# --- heuristic quality filter (C4/Gopher-style gates) -----------------------
+
+_QF_MIN_TOKENS = 10
+_QF_MAX_TOKENS = 100_000
+_QF_MEAN_LEN_LO = 2.0
+_QF_MEAN_LEN_HI = 12.0
+_QF_MAX_PUNCT = 0.3
+_QF_MIN_STOPWORD_FRAC = 0.0  # this corpus has few 'the/and' tokens; gate >= 0
+
+_QF_ORACLE = f"""
+    WITH sig AS (
+        SELECT doc_id,
+               {X.token_count_sql()} AS n_tokens,
+               round({X.mean_token_len_sql()}, 4) AS mean_tok_len,
+               round({X.punct_ratio_sql()}, 4) AS punct_ratio,
+               {X.stopword_hits_sql(X.tokens_sql(), X.EN_STOPWORDS)} AS stop_hits
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, mean_tok_len, punct_ratio,
+           CASE WHEN n_tokens > 0
+                THEN round(CAST(stop_hits AS DOUBLE) / n_tokens, 4)
+                ELSE 0.0 END AS stopword_frac,
+           (n_tokens >= {_QF_MIN_TOKENS} AND n_tokens <= {_QF_MAX_TOKENS}
+            AND mean_tok_len >= {_QF_MEAN_LEN_LO}
+            AND mean_tok_len <= {_QF_MEAN_LEN_HI}
+            AND punct_ratio <= {_QF_MAX_PUNCT}) AS keep
+    FROM sig
+"""
+
+
+@register("quality_heuristic_filter", _QF_ORACLE)
+def quality_heuristic_filter(spark, sf_dir):
+    """Gopher/C4-style heuristic quality gate: per-document token
+    count, mean token length, punctuation ratio and stopword fraction,
+    plus the boolean keep verdict (length bounds + mean-word-length
+    band + symbol-ratio cap). Pure per-row expressions — no shuffle;
+    at 100 TB this is a map-only pass fused into the ingest scan."""
+    sig = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        F.round(X.mean_token_len(), 4).alias("mean_tok_len"),
+        F.round(X.punct_ratio(), 4).alias("punct_ratio"),
+        X.stopword_hits(X.tokens(), X.EN_STOPWORDS).alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_tokens") >= _QF_MIN_TOKENS)
+        & (F.col("n_tokens") <= _QF_MAX_TOKENS)
+        & (F.col("mean_tok_len") >= _QF_MEAN_LEN_LO)
+        & (F.col("mean_tok_len") <= _QF_MEAN_LEN_HI)
+        & (F.col("punct_ratio") <= _QF_MAX_PUNCT)
+    )
+    stop_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.col("stop_hits").cast("double") / F.col("n_tokens"), 4),
+    ).otherwise(F.lit(0.0))
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "punct_ratio",
+        stop_frac.alias("stopword_frac"),
+        keep.alias("keep"),
+    )
+
+
+# --- repetition score (Gopher repetition signal) ----------------------------
+
+_REP_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    b AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(generate_series(1, len(toks) - 1),
+                                  i -> array_to_string(toks[i:i+1], ' '))
+               ELSE [] END AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(bigrams) > 0
+                THEN round(1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                                 / len(bigrams), 6)
+                ELSE 0.0 END AS rep_frac
+    FROM b
+"""
+
+
+@register("quality_repetition_score", _REP_ORACLE)
+def quality_repetition_score(spark, sf_dir):
+    """Repetition signal (Gopher-style): fraction of duplicate word
+    bigrams per document — high values mean boilerplate/looped text.
+    Per-row array expressions over a materialized tokens column (the
+    O(tokens²) lambda-inlining trap is avoided by projecting toks
+    first)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = t.select("doc_id", bigrams.alias("bigrams"))
+    rep = F.when(
+        F.size("bigrams") > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct("bigrams")).cast("double")
+            / F.size("bigrams"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return b.select(
+        "doc_id",
+        F.size("bigrams").cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct("bigrams")).cast("bigint").alias("n_distinct"),
+        rep.alias("rep_frac"),
+    )
+
+
+# --- character-entropy score ------------------------------------------------
+
+_ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+
+def _entropy_terms_sql() -> str:
+    """-Σ p·log2(p) over the 37-char alphabet of the normalized text,
+    as one left-associated + chain (identical IEEE fold order in both
+    engines → unrounded doubles still hash-match)."""
+    n = "CAST(length(nt) AS DOUBLE)"
+    terms = []
+    for ch in _ENTROPY_ALPHABET:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        cnt = f"(length(nt) - length(replace(nt, {lit}, '')))"
+        p = f"(CAST({cnt} AS DOUBLE) / {n})"
+        terms.append(f"(CASE WHEN {cnt} > 0 THEN -{p} * log2({p}) ELSE 0.0 END)")
+    return " + ".join(terms)
+
+
+_ENTROPY_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {X.norm_text_sql()} AS nt FROM documents)
+    SELECT doc_id,
+           CAST(length(nt) AS BIGINT) AS n_chars,
+           CASE WHEN length(nt) > 0 THEN round({_entropy_terms_sql()}, 6)
+                ELSE 0.0 END AS char_entropy
+    FROM d
+"""
+
+
+@register("quality_char_entropy", _ENTROPY_ORACLE)
+def quality_char_entropy(spark, sf_dir):
+    """Shannon entropy (bits/char) over the normalized character
+    distribution — near-zero entropy flags degenerate/filler documents,
+    the cheap perplexity stand-in that needs no model. Per-row
+    expression; the 37 per-char counts come from length-after-replace,
+    summed in one fixed fold order; the result is rounded to 6 dp
+    because the two engines' libm log2 differs in the final ulp."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.norm_text().alias("nt")
+    )
+    n = F.length("nt").cast("double")
+    total = None
+    for ch in _ENTROPY_ALPHABET:
+        cnt = F.length("nt") - F.length(F.expr(f"replace(nt, '{ch}', '')"))
+        p = cnt.cast("double") / n
+        term = F.when(cnt > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+        total = term if total is None else total + term
+    # round 6 dp: Spark's and DuckDB's libm log2 differ in the last ulp
+    entropy = F.when(F.length("nt") > 0, F.round(total, 6)).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        F.length("nt").cast("bigint").alias("n_chars"),
+        entropy.alias("char_entropy"),
+    )
+
+
+# --- PII detection / redaction ---------------------------------------------
+#
+# The synthetic corpus contains no PII, so the query injects a
+# deterministic fixture (every 7th doc gains one email + one phone
+# built from its doc_id) and then runs the actual detect/redact
+# operators over the result — both engines inject and detect
+# identically, so detection counts and the redacted-text fingerprint
+# are fully oracle-checked.
+
+_PII_EMAIL_PAT = r"[a-z0-9.]+@[a-z0-9]+\.[a-z]+"
+_PII_PHONE_PAT = r"555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS pii_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_EMAIL_PAT}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(pii_text, '{_PII_PHONE_PAT}'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                   regexp_replace(pii_text, '{_PII_EMAIL_PAT}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE_PAT}', '[PHONE]', 'g')) AS redacted_fp
+    FROM d
+"""
+
+
+@register("pii_detect_redact", _PII_ORACLE)
+def pii_detect_redact(spark, sf_dir):
+    """PII scrubbing: regex detection counts (email, phone) and the
+    redacted text (fingerprinted for compact comparison). Pure per-row
+    regexp expressions — map-only at any scale. Detection patterns are
+    deliberately simple/public (RFC-ish email shape, 555 phone stub);
+    production swaps in a vetted pattern pack, same plumbing."""
+    phone = F.concat(
+        F.lit("555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    pii_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            phone,
+        ),
+    ).otherwise(F.col("text"))
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", pii_text.alias("pii_text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace("pii_text", _PII_EMAIL_PAT, "[EMAIL]"),
+        _PII_PHONE_PAT,
+        "[PHONE]",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PII_EMAIL_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("pii_text", F.lit(_PII_PHONE_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
+
+
+# --- boilerplate detection --------------------------------------------------
+
+_BOILER_MIN_DOCS = 20  # a shingle in >= 20 distinct docs is boilerplate
+
+_BOILER_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    df AS (
+        SELECT shingle, count(DISTINCT doc_id) AS n_docs
+        FROM e GROUP BY shingle
+    ),
+    boiler AS (SELECT shingle FROM df WHERE n_docs >= {_BOILER_MIN_DOCS}),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(b.shingle) AS BIGINT) AS n_boiler
+        FROM e LEFT JOIN boiler b ON b.shingle = e.shingle
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           round(CAST(n_boiler AS DOUBLE) / n_shingles, 6) AS boiler_frac
+    FROM per_doc WHERE n_shingles > 0
+"""
+
+
+@register("dedup_boilerplate_shingles", _BOILER_ORACLE)
+def dedup_boilerplate_shingles(spark, sf_dir):
+    """Boilerplate detection: shingles occurring in ≥ 20 distinct
+    documents are corpus boilerplate (headers/footers/templates); each
+    doc reports its boilerplate-shingle fraction. Inverted-index shape
+    — explode, document-frequency groupBy, semi-ish join back — shuffle
+    O(shingles), never pairwise."""
+    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    boiler = (
+        e.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+        .select("shingle", F.lit(1).alias("_is_boiler"))
+    )
+    per_doc = (
+        e.join(boiler, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("_is_boiler").alias("n_boiler"),
+        )
+    )
+    return per_doc.filter(F.col("n_shingles") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_boiler",
+        F.round(
+            F.col("n_boiler").cast("double") / F.col("n_shingles"), 6
+        ).alias("boiler_frac"),
+    )
+
+
+# --- near-dup clustering (connected components) -----------------------------
+
+_CC_MAX_ITERS = 16
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({MINHASH_PAIRS_ORACLE}) q
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    walk(u, lbl) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+    )
+    SELECT u AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY u
+"""
+
+
+@register("dedup_cluster_components", _CC_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Global near-dup clustering: connected components over the
+    MinHash-LSH pair graph (cluster id = min doc_id reachable), so a
+    keep-one-per-cluster policy can be applied corpus-wide instead of
+    pairwise. Spark side runs min-label propagation to a fixpoint
+    (iterative join+groupBy on the persisted edge set, converges in
+    diameter steps ≤ {_CC_MAX_ITERS}; near-dup clusters are shallow).
+    At 100 TB the same loop runs on the pair table with the
+    large-star/small-star optimization; the oracle is DuckDB's
+    recursive CTE."""
+    from .queries_dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .persist()
+    )
+    labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
+    try:
+        for _ in range(_CC_MAX_ITERS):
+            prop = (
+                edges.join(
+                    labels.select(
+                        F.col("u").alias("v"), F.col("lbl").alias("nbr_lbl")
+                    ),
+                    "v",
+                )
+                .select("u", F.col("nbr_lbl").alias("lbl"))
+                .union(labels)
+            )
+            new_labels = prop.groupBy("u").agg(F.min("lbl").alias("lbl")).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "u")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            prev, labels = labels, new_labels
+            prev.unpersist()  # no-op on the unpersisted seed
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
