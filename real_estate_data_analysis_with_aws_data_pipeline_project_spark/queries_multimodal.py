@@ -14,6 +14,7 @@ from .operators.multimodal import extract_features, pack_payloads
 from .registry import register
 from .sources.catalog import load_table
 from .streaming import (
+    streaming_dedup_events,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
@@ -71,6 +72,22 @@ def q_streaming_stateful_user_stats(spark, sf_dir):
     """Structured Streaming: applyInPandasWithState custom stateful
     per-user running stats."""
     return streaming_stateful_user_stats(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_events",
+    """
+    SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT)
+               AS n_unique_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    """Structured Streaming: watermarked dropDuplicates over an
+    at-least-once (self-unioned) stream — the one streaming job whose
+    output is deterministic enough to carry a full DuckDB oracle (the
+    dedup of a doubled stream equals the batch distinct counts)."""
+    return streaming_dedup_events(spark, sf_dir)
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

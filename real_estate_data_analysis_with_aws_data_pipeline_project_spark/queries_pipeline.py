@@ -11,9 +11,9 @@ from pyspark.sql import functions as F
 
 from .registry import register
 from .sources.catalog import load_table
-from .sources.readers import read_csv, read_json
+from .sources.readers import read_binary_files, read_csv, read_json, read_orc
 from .sources.rest import fetch_rest_source, normalize_census_records
-from .sources.writers import write_csv, write_json
+from .sources.writers import write_csv, write_json, write_orc
 
 
 @register(
@@ -108,6 +108,65 @@ def source_json_roundtrip(spark, sf_dir):
     write_json(nation, out)
     back = read_json(spark, out, schema=nation.schema)
     return back.groupBy("n_regionkey").agg(F.count("*").alias("n_nations"))
+
+
+@register(
+    "source_orc_roundtrip",
+    """
+    SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """ORC source+sink roundtrip on the supplier dim: write ORC, read
+    it back, aggregate — must equal the same aggregate over the parquet
+    original (lossless columnar alternative; same pushdown/pruning
+    behavior class as parquet)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(
+        tempfile.gettempdir(), f"engine_orc_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    write_orc(supplier, out)
+    back = read_orc(spark, out)
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "source_binaryfile_ingest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(length(n_name)) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT n_name) AS BIGINT) AS n_distinct_contents
+    FROM nation
+    """,
+)
+def source_binaryfile_ingest(spark, sf_dir):
+    """Opaque-blob ingestion: the nation names written as one small
+    file each (the object-store layout multimodal payloads arrive in),
+    read back through the binaryFile source, and summarized. The file
+    fan-out is dimension-scale (25 files) — at 100 TB the same source
+    lists millions of objects and parallelizes per file."""
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"engine_binfiles_{os.path.basename(sf_dir)}",
+    )
+    os.makedirs(out, exist_ok=True)
+    for row in nation.select("n_nationkey", "n_name").collect():  # 25 dim rows
+        with open(os.path.join(out, f"n_{row['n_nationkey']:03d}.txt"), "wb") as f:
+            f.write(str(row["n_name"]).encode())
+    blobs = read_binary_files(spark, out, glob="*.txt")
+    return blobs.agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.col("content").cast("string")).alias(
+            "n_distinct_contents"
+        ),
+    )
 
 
 @register("rest_census_ingest", None)  # external-source surface → rows-only

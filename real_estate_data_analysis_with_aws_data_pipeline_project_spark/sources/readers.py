@@ -54,6 +54,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the second columnar at-rest format (JVM-native,
+    predicate pushdown + column pruning like parquet)."""
+    return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Opaque-blob ingestion via the binaryFile source: one row per
+    file with (path, modificationTime, length, content) — the ingest
+    path for multimodal payloads (images/audio) that arrive as object
+    storage files rather than table columns. Spark parallelizes over
+    files; pair with operators/multimodal.DECODERS downstream."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def validate_csv(
     spark: SparkSession, path: str, n_sample_rows: int = 3
 ) -> dict:

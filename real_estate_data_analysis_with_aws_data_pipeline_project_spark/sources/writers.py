@@ -112,6 +112,10 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def write_bucketed(
     df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32
 ) -> None:

@@ -1,10 +1,12 @@
 from .jobs import (
+    streaming_dedup_events,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
 )
 
 __all__ = [
+    "streaming_dedup_events",
     "streaming_session_window",
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",

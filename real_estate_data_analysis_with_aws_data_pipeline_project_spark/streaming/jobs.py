@@ -134,6 +134,29 @@ def _user_stats_fn(key, pdfs: Iterator[pd.DataFrame], state):
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events stream unioned with
+    itself (every record arrives twice — the at-least-once delivery
+    regime) is deduplicated on event_id with a watermark bounding the
+    dedup state, then counted per event type. The result equals the
+    batch per-type counts of the original stream, so this streaming
+    job is fully ORACLE-checked, not just rows-only. State is
+    O(events within watermark), the scale-safe configuration for
+    at-least-once sources."""
+    doubled = _events_stream(spark, sf_dir).union(_events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type")
+    )
+    _run_to_memory(deduped, "stream_dedup_events", "append")
+    return (
+        spark.table("stream_dedup_events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )
+
+
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState: arbitrary per-key state (running
     count/sum/max per user) — the custom-stateful-operator surface.
