@@ -49,6 +49,10 @@ BASELINE_SEC = {
     "events_session_window": 0.43,
     "tpch_q5_local_supplier_volume": 1.21,
     "heavy_shuffle_part_spend": 0.73,
+    # round-2 additions, measured 2026-08-13 idle local[32] (BASELINE.md)
+    "dedup_simhash_pairs": 4.54,
+    "similarity_ivf_topk": 2.64,
+    "corpus_pack_token_shards": 0.87,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -85,7 +85,7 @@ _PACK_ORACLE = f"""
 """
 
 
-@register("corpus_pack_token_shards", _PACK_ORACLE)
+@register("corpus_pack_token_shards", _PACK_ORACLE, headline=True)
 def corpus_pack_token_shards(spark, sf_dir):
     """Token-budget shard packing: documents in deterministic
     (hash) order are packed greedily into shards of ~5000 tokens via a

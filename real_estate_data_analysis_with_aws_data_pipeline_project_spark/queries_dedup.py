@@ -464,6 +464,7 @@ def dedup_simhash(spark, sf_dir):
               j -> substr(sh_a, j, 1) <> substr(sh_b, j, 1)))
           <= {_SIMHASH_HAMMING_MAX}
     """,
+    headline=True,
 )
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs, UNCAPPED: 5 bands of 12 bits over the

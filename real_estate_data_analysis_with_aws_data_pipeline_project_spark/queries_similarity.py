@@ -426,7 +426,7 @@ def _ivf_train(v: DataFrame) -> DataFrame:
     return cent
 
 
-@register("similarity_ivf_topk", _IVF_ORACLE)
+@register("similarity_ivf_topk", _IVF_ORACLE, headline=True)
 def similarity_ivf_topk(spark, sf_dir):
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     trained with _IVF_TRAIN_ITERS deterministic Lloyd iterations
