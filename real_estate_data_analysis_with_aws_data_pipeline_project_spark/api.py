@@ -27,6 +27,7 @@ from . import queries_window2  # noqa: E402,F401
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_sketch  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
+from . import queries_functions2  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering.

@@ -1,0 +1,232 @@
+"""Join-surface and collection-function completions (round 2):
+full-outer join, null-safe equality join, map/struct construction and
+access, and higher-order array pipelines. The oracle re-expresses each
+output in plain ANSI SQL (CASE/list functions) — the check is on
+results, the Spark side exercises the API surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources.catalog import load_table
+
+# --- full outer join --------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+    WITH o AS (
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT
+        CAST(sum(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_customers_without_orders,
+        CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_orphan_order_keys,
+        CAST(coalesce(sum(n_orders), 0) AS BIGINT) AS total_orders
+    FROM customer c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("j4_full_outer_join", _FULL_OUTER_ORACLE)
+def j4_full_outer_join(spark, sf_dir):
+    """Full-outer join reconciliation: customers vs per-customer order
+    counts, reporting matched rows and the unmatched tail on each side
+    — the referential-integrity audit shape. Shuffles both sides on
+    the key once; at scale the aggregated side is pre-shrunk by its
+    groupBy so the join input is keys, not facts."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = customer.join(o, customer.c_custkey == o.o_custkey, "full_outer")
+    return j.agg(
+        F.sum(
+            (F.col("c_custkey").isNotNull() & F.col("o_custkey").isNotNull())
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.col("o_custkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_customers_without_orders"),
+        F.sum(F.col("c_custkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_orphan_order_keys"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("bigint").alias("total_orders"),
+    )
+
+
+# --- null-safe equality join ------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+    WITH l AS (
+        SELECT o_orderkey, nullif(o_orderkey % 5, 4) AS grp FROM orders
+        WHERE o_orderkey < 2000
+    ),
+    r AS (SELECT DISTINCT nullif(n % 5, 4) AS grp
+          FROM (SELECT o_orderkey AS n FROM orders WHERE o_orderkey < 100))
+    SELECT l.grp, CAST(count(*) AS BIGINT) AS n_rows
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    GROUP BY l.grp
+"""
+
+
+@register("j5_null_safe_join", _NULLSAFE_ORACLE)
+def j5_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (Spark `eqNullSafe` / SQL `<=>` vs
+    DuckDB `IS NOT DISTINCT FROM`): NULL keys match NULL keys instead
+    of dropping — the semantics dimension tables with sentinel nulls
+    need. Same hash-partition join shape as a plain equi-join (null
+    hashes to one partition: salt it if the null share is skewed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    grp = F.nullif(F.col("o_orderkey") % 5, F.lit(4))
+    left = orders.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey", grp.alias("grp")
+    )
+    right = (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select(grp.alias("r_grp"))
+        .distinct()
+    )
+    return (
+        left.join(right, left.grp.eqNullSafe(right.r_grp))
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# --- map / struct construction and access ----------------------------------
+
+_MAP_STRUCT_ORACLE = """
+    WITH per AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_open, n_finished,
+           n_open AS open_via_map,
+           n_total AS total_via_struct
+    FROM per
+"""
+
+
+@register("f_map_struct_functions", _MAP_STRUCT_ORACLE)
+def f_map_struct_functions(spark, sf_dir):
+    """Map/struct surface: per-priority counts packed into a
+    map<status,count> (map_from_arrays) and a summary struct, then read
+    back out via element_at and struct field access. The oracle checks
+    the round-tripped values with plain SQL — complex-type packing must
+    be lossless."""
+    per = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "O").cast("int"))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.count("*").alias("n_total"),
+        )
+    )
+    packed = per.select(
+        "o_orderpriority",
+        "n_open",
+        "n_finished",
+        F.map_from_arrays(
+            F.array(F.lit("O"), F.lit("F")),
+            F.array(F.col("n_open"), F.col("n_finished")),
+        ).alias("status_map"),
+        F.struct(
+            F.col("n_total").alias("total"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("summary"),
+    )
+    return packed.select(
+        "o_orderpriority",
+        "n_open",
+        "n_finished",
+        F.element_at("status_map", "O").alias("open_via_map"),
+        F.col("summary.total").alias("total_via_struct"),
+    )
+
+
+# --- higher-order array pipeline -------------------------------------------
+
+_HOF_ORACLE = """
+    WITH g AS (
+        SELECT o_orderpriority,
+               list(round(o_totalprice, 2)
+                    ORDER BY o_totalprice DESC, o_orderkey) AS prices
+        FROM orders GROUP BY o_orderpriority
+    ),
+    t AS (
+        SELECT o_orderpriority, prices[1:5] AS top5 FROM g
+    )
+    SELECT o_orderpriority,
+           CAST(len(top5) AS BIGINT) AS n_top,
+           round(top5[1], 2) AS max_price,
+           round(list_sum(list_transform(top5, x -> round(x * 0.9, 2))), 2)
+               AS discounted_sum,
+           CAST(len(list_filter(top5, x -> x > 100000)) AS BIGINT)
+               AS n_over_100k
+    FROM t
+"""
+
+
+@register("f_higher_order_arrays", _HOF_ORACLE)
+def f_higher_order_arrays(spark, sf_dir):
+    """Higher-order array functions end-to-end: per-group price vector
+    (sort_array of collect_list — deterministic because the sort is on
+    the values), slice top-5, transform (10 % discount), aggregate
+    (sum), filter (count over threshold). All JVM-side Catalyst array
+    expressions — the idiomatic replacement for a per-group Python
+    loop."""
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            F.struct(
+                F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+            ).alias("pk"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.collect_list("pk").alias("pks"))
+    )
+    # deterministic order: sort by (-price, orderkey) via struct sort on
+    # negated price, then project the rounded price
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                "pks",
+                lambda s: F.struct(
+                    (-s["p"]).alias("np"), s["k"].alias("k"), s["p"].alias("p")
+                ),
+            )
+        ),
+        lambda s: F.round(s["p"], 2),
+    )
+    t = g.select("o_orderpriority", F.slice(ordered, 1, 5).alias("top5"))
+    discounted = F.transform("top5", lambda x: F.round(x * 0.9, 2))
+    return t.select(
+        "o_orderpriority",
+        F.size("top5").cast("bigint").alias("n_top"),
+        F.round(F.element_at("top5", 1), 2).alias("max_price"),
+        F.round(
+            F.aggregate(discounted, F.lit(0.0), lambda a, x: a + x), 2
+        ).alias("discounted_sum"),
+        F.size(F.filter("top5", lambda x: x > 100000))
+        .cast("bigint")
+        .alias("n_over_100k"),
+    )
