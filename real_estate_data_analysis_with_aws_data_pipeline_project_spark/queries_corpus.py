@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .functions.scalar import deterministic_order_key
 from .operators import text as X
-from .queries_dedup import SHINGLES_SQL, _doc_shingles
+from .queries_dedup import SHINGLES_SQL, cached_shingles
 from .registry import register
 from .sources.catalog import load_table
 
@@ -179,7 +179,7 @@ def corpus_decontamination(spark, sf_dir):
     — an inverted-index semi-overlap, shuffle O(shingles), never
     pairwise). High contamination_rate docs are leaked/near-dup eval
     items."""
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sh = cached_shingles(spark, sf_dir)
     eval_sh = sh.filter(F.col("doc_id") < _EVAL_CUTOFF).select(
         "doc_id", F.explode("sh").alias("shingle")
     )

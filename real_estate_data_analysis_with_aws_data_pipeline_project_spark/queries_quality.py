@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import text as X
-from .queries_dedup import MINHASH_PAIRS_ORACLE, SHINGLES_SQL, _doc_shingles
+from .queries_dedup import MINHASH_PAIRS_ORACLE, SHINGLES_SQL, cached_shingles
 from .registry import register
 from .sources.catalog import load_table
 
@@ -305,7 +305,7 @@ def dedup_boilerplate_shingles(spark, sf_dir):
     doc reports its boilerplate-shingle fraction. Inverted-index shape
     — explode, document-frequency groupBy, semi-ish join back — shuffle
     O(shingles), never pairwise."""
-    sh = _doc_shingles(load_table(spark, sf_dir, "documents"))
+    sh = cached_shingles(spark, sf_dir)
     e = sh.select("doc_id", F.explode("sh").alias("shingle"))
     boiler = (
         e.groupBy("shingle")
