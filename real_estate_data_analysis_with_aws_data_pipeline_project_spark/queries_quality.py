@@ -331,6 +331,109 @@ def dedup_boilerplate_shingles(spark, sf_dir):
     )
 
 
+# --- PMI co-occurrence ------------------------------------------------------
+
+_PMI_MIN_COUNT = 50
+_PMI_TOP_K = 20
+_PMI_WINDOW = 2  # co-occurrence at token distance 1 and 2
+
+_PMI_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    p AS (
+        SELECT least(toks[i], toks[i + 1]) AS a,
+               greatest(toks[i], toks[i + 1]) AS b
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        WHERE len(toks) >= 2
+        UNION ALL
+        SELECT least(toks[i], toks[i + 2]) AS a,
+               greatest(toks[i], toks[i + 2]) AS b
+        FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)
+        WHERE len(toks) >= 3
+    ),
+    pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM p GROUP BY a, b),
+    w AS (SELECT unnest(toks) AS tok FROM t),
+    wc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY tok),
+    tot AS (
+        SELECT CAST((SELECT count(*) FROM p) AS DOUBLE) AS t_pairs,
+               CAST((SELECT count(*) FROM w) AS DOUBLE) AS t_toks
+    )
+    SELECT a AS tok_a, b AS tok_b, c_ab,
+           round(log2((CAST(c_ab AS DOUBLE) / t_pairs)
+                      / ((CAST(ca.c AS DOUBLE) / t_toks)
+                         * (CAST(cb.c AS DOUBLE) / t_toks))), 6) AS pmi
+    FROM pc
+    CROSS JOIN tot
+    JOIN wc ca ON ca.tok = a
+    JOIN wc cb ON cb.tok = b
+    WHERE c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT {_PMI_TOP_K}
+"""
+
+
+@register("text_pmi_top_pairs", _PMI_ORACLE)
+def text_pmi_top_pairs(spark, sf_dir):
+    """Pointwise-mutual-information co-occurrence: token pairs within
+    a ±2 window, PMI = log2(p(a,b) / (p(a)p(b))) — the statistic
+    behind count-based word embeddings and collocation mining. Pair
+    generation is a per-row array expression (no self-join on
+    position); counts are two explode→groupBy shuffles; marginal
+    totals ride a broadcast cross join. Ties in the top-k break on
+    the pair text."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+
+    def pair_struct(offset: int):
+        def mk(i):
+            x = F.element_at("toks", i)
+            y = F.element_at("toks", i + offset)
+            return F.struct(F.least(x, y).alias("a"), F.greatest(x, y).alias("b"))
+
+        return F.when(
+            F.size("toks") > offset,
+            F.transform(F.sequence(F.lit(1), F.size("toks") - offset), mk),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = t.select(
+        F.explode(
+            F.concat(*[pair_struct(o) for o in range(1, _PMI_WINDOW + 1)])
+        ).alias("p")
+    ).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    w = t.select(F.explode("toks").alias("tok"))
+    wc = w.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = pairs.agg(F.count("*").cast("double").alias("t_pairs")).crossJoin(
+        w.agg(F.count("*").cast("double").alias("t_toks"))
+    )
+    ca = wc.select(F.col("tok").alias("a"), F.col("c").alias("c_a"))
+    cb = wc.select(F.col("tok").alias("b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log2(
+            (F.col("c_ab").cast("double") / F.col("t_pairs"))
+            / (
+                (F.col("c_a").cast("double") / F.col("t_toks"))
+                * (F.col("c_b").cast("double") / F.col("t_toks"))
+            )
+        ),
+        6,
+    )
+    return (
+        pc.crossJoin(F.broadcast(tot))
+        .join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "c_ab",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(_PMI_TOP_K)
+    )
+
+
 # --- near-dup clustering (connected components) -----------------------------
 
 _CC_MAX_ITERS = 16
