@@ -319,3 +319,125 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+# --- gap filling + forward fill (round 2) -----------------------------------
+
+_GAPFILL_USER_CAP = 10  # bound the demo grid; the shape is per-user parallel
+
+_GAPFILL_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_idx,
+               value
+        FROM events WHERE user_id < {_GAPFILL_USER_CAP}
+    ),
+    hourly AS (
+        SELECT user_id, hour_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM e GROUP BY user_id, hour_idx
+    ),
+    spans AS (
+        SELECT user_id, min(hour_idx) AS h0, max(hour_idx) AS h1
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, g.h AS hour_idx
+        FROM spans, unnest(generate_series(h0, h1)) AS g(h)
+    )
+    SELECT g.user_id, g.hour_idx,
+           coalesce(h.n_events, 0) AS n_events,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.hour_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_avg_value
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour_idx = g.hour_idx
+"""
+
+
+@register("events_gap_fill_ffill", _GAPFILL_ORACLE)
+def events_gap_fill_ffill(spark, sf_dir):
+    """Time-series gap filling + forward fill (the hypertable
+    ``time_bucket_gapfill``/``locf`` shape): per user, a dense hourly
+    grid between the first and last active hour (sequence+explode),
+    left-joined with the actual hourly aggregates, missing hours
+    filled with count 0 and the last observed average carried forward
+    via last(ignorenulls) over a per-user window — everything
+    partitions by user, no global state."""
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < _GAPFILL_USER_CAP)
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 3_600_000_000.0)
+            .cast("bigint")
+            .alias("hour_idx"),
+            "value",
+        )
+    )
+    hourly = e.groupBy("user_id", "hour_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["user_id", "hour_idx"], "left")
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("ffill_avg_value"),
+    )
+
+
+# --- mergeable partial aggregates (round 2) ---------------------------------
+
+_MERGE_ORACLE = """
+    SELECT l_returnflag,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("rollup_merge_partials", _MERGE_ORACLE)
+def rollup_merge_partials(spark, sf_dir):
+    """Algebraic-aggregate decomposition: per-(flag, hash-bucket)
+    PARTIAL aggregates re-merged into the final per-flag result
+    (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes) — the
+    invariant every incremental rollup / materialized-view merge /
+    map-side combine relies on. The oracle is the direct one-shot
+    aggregate: decomposed == direct, exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        (F.col("l_orderkey") % 8).alias("bucket"),
+    )
+    partials = li.groupBy("l_returnflag", "bucket").agg(
+        F.sum("l_quantity").alias("p_sum_qty"),
+        F.count("*").alias("p_n"),
+        F.min("l_extendedprice").alias("p_min"),
+        F.max("l_extendedprice").alias("p_max"),
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.sum("p_sum_qty").cast("bigint").alias("sum_qty"),
+        F.sum("p_n").cast("bigint").alias("n_rows"),
+        F.round(F.min("p_min"), 2).alias("min_price"),
+        F.round(F.max("p_max"), 2).alias("max_price"),
+    )

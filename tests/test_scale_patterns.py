@@ -76,6 +76,40 @@ def test_salted_join_spreads_key(spark, sf_dir):
     assert "_salt" in _plan(joined)
 
 
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Catalyst's runtime bloom-filter join pruning: a selective dim
+    filter should inject a bloom_filter_agg on the creation side and a
+    might-contain probe on the fact scan — the runtime row-pruning
+    that cuts shuffle volume on 100 TB fact joins. Size thresholds are
+    lowered because the test tables are tiny; at warehouse scale the
+    defaults fire on their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_pack_token_shards_has_no_global_window(spark, sf_dir):
     """corpus_pack_token_shards must compute its running sum with a
     hash-range-partitioned window (256-way parallel), never a global
