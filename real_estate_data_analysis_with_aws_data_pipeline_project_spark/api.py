@@ -67,22 +67,22 @@ _DRIVER_WINDOW: list[str] = [
     "text_lang_id",               # §2.11 text lang-id
     "text_quality_score",         # §2.11 text quality
     "text_token_count",           # §2.11 token counting
-    "text_tfidf_top_terms",       # §2.11 TF-IDF
+    "quality_heuristic_filter",   # §2.11 corpus quality gate (r2)
     "dedup_exact",                # §2.11 exact dedup
-    "dedup_ngram_jaccard",        # §2.11 near-dup baseline
+    "dedup_cluster_components",   # §2.11 near-dup clustering (r2)
     "dedup_minhash_lsh",          # §2.11 MinHash+LSH
     "dedup_simhash",              # §2.11 SimHash
     "dedup_embedding_cosine",     # §2.11 embedding near-dup
     "similarity_topk_bruteforce", # §2.11 ANN baseline
     "similarity_ann_lsh",         # §2.11 sign-LSH ANN
     "similarity_ivf_topk",        # §2.11 IVF ANN
-    "events_tumbling_window",     # §2.8 tumbling
+    "pii_detect_redact",          # §2.11 PII scrubbing (r2)
     "events_session_window",      # §2.8 session
     "events_hypertable_rollup",   # §2.8 rollup
     "multimodal_payload_meta",    # §2.11 multimodal
     "join_asof_last_purchase",    # as-of join
     "udf_pandas_parse_id",        # U1 pandas-UDF rung
-    "pipeline_single_pass_metrics",  # observe()-style metrics
+    "streaming_dedup_events",     # §2.8 streaming (oracle-checked, r2)
     "source_csv_roundtrip",       # S2/S6
     "source_json_roundtrip",      # S1/S7
     "skew_salted_agg",            # salted skew pattern

@@ -21,16 +21,18 @@ FAMILY_REPRESENTATIVES = {
     "order_limit": ["o1_topk"],
     "set_ops": ["set_union_distinct"],
     "scalar_fns": ["f1_cast_string_numeric", "f5_string_functions", "f_date_functions"],
-    "pipeline_gates": ["c3_quality_gate", "pipeline_single_pass_metrics"],
-    "text": ["text_lang_id", "text_quality_score", "text_token_count", "text_tfidf_top_terms"],
-    "dedup": ["dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash"],
+    "pipeline_gates": ["c3_quality_gate"],
+    "text": ["text_lang_id", "text_quality_score", "text_token_count"],
+    "corpus_quality": ["quality_heuristic_filter", "pii_detect_redact"],
+    "dedup": ["dedup_exact", "dedup_cluster_components", "dedup_minhash_lsh", "dedup_simhash"],
     "similarity": [
         "similarity_topk_bruteforce",
         "similarity_ann_lsh",
         "similarity_ivf_topk",
         "dedup_embedding_cosine",
     ],
-    "events": ["events_tumbling_window", "events_session_window", "events_hypertable_rollup"],
+    "events": ["events_session_window", "events_hypertable_rollup"],
+    "streaming": ["streaming_dedup_events"],
     "multimodal": ["multimodal_payload_meta"],
     "joins_ext": ["join_asof_last_purchase"],
     "udf": ["udf_pandas_parse_id"],
