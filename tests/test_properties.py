@@ -123,3 +123,99 @@ def test_salted_agg_equals_plain_agg_any_salt_count(spark):
             ).collect()
         }
         assert salted == plain
+
+
+# --- round-2 component properties ------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=1, max_value=4),
+    st.data(),
+)
+def test_bmp_decoder_roundtrip_property(width, height, data):
+    """Any uncompressed 24-bpp pixel array survives BMP encode→decode
+    byte-for-byte (padding stripped, bottom-up row order preserved)."""
+    import struct
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        DECODERS,
+    )
+
+    n = width * height * 3
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    stride = (width * 3 + 3) // 4 * 4
+    pad = stride - width * 3
+    body = b"".join(
+        pixels[r * width * 3 : (r + 1) * width * 3] + b"\x00" * pad
+        for r in range(height)
+    )
+    off = 14 + 40
+    blob = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+                      0, 0, 0, 0)
+        + body
+    )
+    assert bytes(DECODERS["image/bmp"](blob)) == pixels
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=32))
+def test_wav_decoder_scaling_property(samples):
+    """16-bit PCM samples map to uint8 via (s+32768)//256 — order
+    preserved, range respected, monotone in the sample value."""
+    import struct
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        DECODERS,
+    )
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = DECODERS["audio/wav"](blob).tolist()
+    assert out == [(s + 32768) // 256 for s in samples]
+    assert all(0 <= v <= 255 for v in out)
+
+
+def test_lsh_bits_formula_properties():
+    """Bucket width is monotone in corpus size and clamped to
+    [MIN, MAX] — the invariant the oracle's params CTE mirrors."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _LSH_BITS_MAX,
+        _LSH_BITS_MIN,
+        _lsh_bits,
+    )
+
+    prev = _LSH_BITS_MIN
+    for n in [0, 1, 10, 100, 500, 5000, 50_000, 500_000, 5_000_000, 10**9]:
+        b = _lsh_bits(n)
+        assert _LSH_BITS_MIN <= b <= _LSH_BITS_MAX
+        assert b >= prev, "bits must not shrink as the corpus grows"
+        prev = b
+
+
+def test_asof_join_deterministic_under_right_side_ties(spark):
+    """Multiple right rows sharing (key, ts): the carried row must be
+    identical across different partitionings (ADVICE r1 tiebreak)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "k int, ts int")
+    rows = [(1, 100, f"v{i}") for i in range(8)]
+    results = []
+    for parts in (1, 7):
+        right = spark.createDataFrame(rows, "k int, ts int, v string").repartition(
+            parts
+        )
+        out = asof_join(left, right, key="k")
+        results.append(sorted((r.k, r.ts, r.asof_v) for r in out.collect()))
+    assert results[0] == results[1]
