@@ -169,13 +169,51 @@ def source_binaryfile_ingest(spark, sf_dir):
     )
 
 
-@register("rest_census_ingest", None)  # external-source surface → rows-only
+# The offline fake endpoint derives every field from the md5 of the key
+# (sources/rest.fake_census_fetch), so the whole REST path — mapInPandas
+# fan-out included — is ORACLE-CHECKABLE: this SQL recomputes the same
+# 48-bit hash integer from the md5 hex and applies the same field
+# derivations and normalization.
+_REST_HEXSUM = " + ".join(
+    f"(instr('0123456789abcdef', substr(hx, {i}, 1)) - 1) * {16 ** (12 - i)}"
+    for i in range(1, 13)
+)
+
+_REST_ORACLE = f"""
+    WITH k AS (SELECT n_name AS key, md5(n_name) AS hx FROM nation),
+    h AS (SELECT key, CAST({_REST_HEXSUM} AS BIGINT) AS h FROM k),
+    rec AS (
+        SELECT key,
+               CASE WHEN h % 11 = 0 THEN -666666666
+                    ELSE 30000 + h % 90000 END AS median_income,
+               1000 + (h // 256) % 50000 AS population,
+               (h // 65536) % 5000 AS college_educated,
+               5000 + (h // 16777216) % 20000 AS edu_total,
+               (h // 4294967296) % 2000 AS unemployed,
+               2000 + (h // 1099511627776) % 30000 AS labor_force
+        FROM h
+    )
+    SELECT key,
+           CAST(CASE WHEN median_income <= -999999 THEN NULL
+                     ELSE median_income END AS BIGINT) AS median_income,
+           CAST(population AS BIGINT) AS population,
+           round(100.0 * college_educated / edu_total, 1)
+               AS college_educated_pct,
+           round(100.0 * unemployed / labor_force, 1) AS unemployment_rate,
+           'fake_census_v1' AS data_source
+    FROM rec
+"""
+
+
+@register("rest_census_ingest", _REST_ORACLE)
 def rest_census_ingest(spark, sf_dir):
     """S3 REST-API source: keys fan out over executor partitions
     (mapInPandas fetch loops), responses normalized sentinel→null with
     derived percentage metrics (CensusDataFetch.py semantics). Uses
-    the deterministic offline fake endpoint; the fetch_fn is
-    injectable for a real API."""
+    the deterministic offline fake endpoint — whose md5-derived fields
+    the oracle recomputes in SQL, making the whole distributed-fetch
+    path value-checked, not just rows-only; the fetch_fn is injectable
+    for a real API (make_http_census_fetch)."""
     keys = (
         load_table(spark, sf_dir, "nation")
         .select(F.col("n_name").alias("key"))
