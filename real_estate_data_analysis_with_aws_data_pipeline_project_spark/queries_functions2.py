@@ -230,3 +230,53 @@ def f_higher_order_arrays(spark, sf_dir):
         .cast("bigint")
         .alias("n_over_100k"),
     )
+
+
+# --- unpivot / stack --------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pending
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, status, n FROM wide
+    UNPIVOT (n FOR status IN (n_open AS 'O', n_finished AS 'F',
+                              n_pending AS 'P'))
+"""
+
+
+@register("agg_unpivot_stack", _UNPIVOT_ORACLE)
+def agg_unpivot_stack(spark, sf_dir):
+    """Unpivot (wide→long): per-priority status counts stacked back
+    into (priority, status, n) rows via the stack() generator — the
+    inverse of pivot, needed whenever a wide metrics table feeds a
+    long-format consumer. Pure per-row generator, no extra shuffle
+    beyond the feeding aggregate."""
+    wide = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum((F.col("o_orderstatus") == "O").cast("int"))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.sum((F.col("o_orderstatus") == "P").cast("int"))
+            .cast("bigint")
+            .alias("n_pending"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'O', n_open, 'F', n_finished, 'P', n_pending) "
+            "AS (status, n)"
+        ),
+    )
