@@ -266,3 +266,63 @@ def corpus_chunk_documents(spark, sf_dir):
         .cast("bigint")
         .alias("chunk_tokens"),
     )
+
+
+# --- source mixing plan (round 2) -------------------------------------------
+
+_MIX_TOKEN_BUDGET = 50_000
+
+_MIX_ORACLE = f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum({X.token_count_sql()}) AS BIGINT) AS avail_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT *, CAST(instr('0123456789abcdef', substr(md5(source), 1, 1))
+                       AS DOUBLE) AS w_raw
+        FROM avail
+    ),
+    tot AS (SELECT sum(w_raw) AS w_sum FROM weighted)
+    SELECT source, n_docs, avail_tokens,
+           CAST(round({_MIX_TOKEN_BUDGET} * w_raw / w_sum) AS BIGINT)
+               AS target_tokens,
+           round(least(1.0, ({_MIX_TOKEN_BUDGET} * w_raw / w_sum)
+                            / avail_tokens), 6) AS sample_fraction
+    FROM weighted CROSS JOIN tot
+"""
+
+
+@register("corpus_mixing_plan", _MIX_ORACLE)
+def corpus_mixing_plan(spark, sf_dir):
+    """Data-mixing plan: per-source token inventory → target token
+    share under a deterministic weight profile (md5-derived here; a
+    real run plugs in curated domain weights) → per-source sampling
+    fraction toward a fixed training-token budget. This is the
+    domain-reweighting step of corpus assembly; one groupBy plus a
+    broadcast of the 20-row totals — the plan stays dimension-scale
+    regardless of corpus size."""
+    avail = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(X.token_count()).cast("bigint").alias("avail_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    w_raw = F.expr("instr('0123456789abcdef', substr(md5(source), 1, 1))").cast(
+        "double"
+    )
+    weighted = avail.select("*", w_raw.alias("w_raw"))
+    tot = weighted.agg(F.sum("w_raw").alias("w_sum"))
+    target = F.lit(float(_MIX_TOKEN_BUDGET)) * F.col("w_raw") / F.col("w_sum")
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "avail_tokens",
+        F.round(target).cast("bigint").alias("target_tokens"),
+        F.round(
+            F.least(F.lit(1.0), target / F.col("avail_tokens")), 6
+        ).alias("sample_fraction"),
+    )

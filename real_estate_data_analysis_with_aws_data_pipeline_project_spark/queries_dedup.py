@@ -557,3 +557,83 @@ def dedup_drop_duplicates(spark, sf_dir):
         .select("o_orderstatus", "o_orderpriority")
         .dropDuplicates(["o_orderstatus", "o_orderpriority"])
     )
+
+
+# --- cross-document repeated substrings (round 2) ---------------------------
+#
+# The substring-level memorization signal (k-token windows occurring in
+# more than one document) — finer than document near-dup: a doc can be
+# globally unique yet consist mostly of spans copied from elsewhere.
+
+_SUBSTR_K = 8  # window length in tokens
+
+_SUBSTR_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    wins AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_SUBSTR_K} THEN
+                   list_transform(generate_series(1, len(toks) - {_SUBSTR_K - 1}),
+                       i -> md5(array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' ')))
+               ELSE [] END AS hs
+        FROM t
+    ),
+    e AS (SELECT doc_id, unnest(hs) AS h FROM wins),
+    dup AS (
+        SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(d.h) AS BIGINT) AS n_shared
+        FROM e LEFT JOIN dup d ON d.h = e.h
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_windows, n_shared,
+           round(CAST(n_shared AS DOUBLE) / n_windows, 6) AS shared_frac
+    FROM per_doc WHERE n_windows > 0
+"""
+
+
+@register("dedup_repeated_substrings", _SUBSTR_ORACLE)
+def dedup_repeated_substrings(spark, sf_dir):
+    """Cross-document repeated-substring detection: every 8-token
+    window is hashed; windows whose hash occurs in ≥ 2 distinct
+    documents are 'shared spans', and each document reports the
+    fraction of its windows that are shared — the span-level dedup
+    signal behind substring-dedup of training corpora. Explode →
+    groupBy(hash) → join back: shuffle O(tokens), never pairwise."""
+    t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
+    hs = F.when(
+        F.size("toks") >= _SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (_SUBSTR_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("toks", i, _SUBSTR_K)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    e = t.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    dup = (
+        e.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    per_doc = (
+        e.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("_dup").alias("n_shared"),
+        )
+    )
+    return per_doc.filter(F.col("n_windows") > 0).select(
+        "doc_id",
+        "n_windows",
+        "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_windows"), 6
+        ).alias("shared_frac"),
+    )
