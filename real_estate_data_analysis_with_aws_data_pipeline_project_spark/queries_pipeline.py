@@ -221,3 +221,40 @@ def rest_census_ingest(spark, sf_dir):
     )
     raw = fetch_rest_source(keys)
     return normalize_census_records(raw)
+
+
+@register(
+    "source_schema_evolution",
+    """
+    SELECT CAST(2 * count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_with_abbrev,
+           CAST(count(DISTINCT substr(r_name, 1, 3)) AS BIGINT)
+               AS n_distinct_abbrev
+    FROM region
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """Schema evolution on read: an old parquet batch (2 columns) and
+    a new batch with an added column land in one dataset;
+    mergeSchema=true reconciles them, old rows surfacing NULL for the
+    added column — the append-only schema-drift regime a long-lived
+    100 TB table lives in. The aggregate proves both batches are read
+    and the evolved column is populated exactly for the new batch."""
+    region = load_table(spark, sf_dir, "region")
+    base = os.path.join(
+        tempfile.gettempdir(), f"engine_schema_evo_{os.path.basename(sf_dir)}"
+    )
+    region.select("r_regionkey", "r_name").write.mode("overwrite").parquet(
+        os.path.join(base, "batch=1")
+    )
+    region.select(
+        "r_regionkey",
+        "r_name",
+        F.substring("r_name", 1, 3).alias("r_abbrev"),
+    ).write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(base)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count("r_abbrev").alias("n_with_abbrev"),
+        F.countDistinct("r_abbrev").alias("n_distinct_abbrev"),
+    )
