@@ -76,6 +76,41 @@ def test_salted_join_spreads_key(spark, sf_dir):
     assert "_salt" in _plan(joined)
 
 
+def test_aqe_skew_join_splits_skewed_partition(spark):
+    """AQE's runtime skew-join handling: a 90 %-one-key join must come
+    back with SortMergeJoin(skew=true) and a skewed AQEShuffleRead —
+    the runtime complement to the explicit salting operators
+    (operators/skew.py) for skew discovered only at execution time.
+    Thresholds are lowered to fire at test scale."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000  # execute j's own query execution
+        plan = _plan(j)  # AQE final plan (isFinalPlan=true)
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
     """Catalyst's runtime bloom-filter join pruning: a selective dim
     filter should inject a bloom_filter_agg on the creation side and a
