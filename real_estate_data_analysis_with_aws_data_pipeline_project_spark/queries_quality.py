@@ -506,3 +506,108 @@ def dedup_cluster_components(spark, sf_dir):
         )
     finally:
         edges.unpersist()
+
+
+# --- bigram-LM perplexity scoring (round 2) ---------------------------------
+#
+# The CCNet-style LM quality filter: a bigram language model with
+# add-one smoothing is trained on the corpus's train split (the same
+# deterministic md5 hash split as corpus_split_train_val_test) and
+# every document is scored by its average per-bigram log2 probability
+# — a model-free perplexity proxy used to rank documents for corpus
+# filtering. Pure counts + joins; no external model.
+
+_LM_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {X.tokens_sql()} AS toks,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train
+        FROM documents
+    ),
+    doc_bi AS (
+        SELECT doc_id, is_train,
+               toks[i] AS a, toks[i + 1] AS b
+        FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+        WHERE len(toks) >= 2
+    ),
+    cab AS (
+        SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM doc_bi WHERE is_train GROUP BY a, b
+    ),
+    ca AS (
+        SELECT a, CAST(count(*) AS BIGINT) AS c_a
+        FROM doc_bi WHERE is_train GROUP BY a
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT toks_u) AS DOUBLE) AS v
+        FROM (SELECT unnest(toks) AS toks_u FROM t WHERE is_train)
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               log2((CAST(coalesce(cab.c_ab, 0) AS DOUBLE) + 1.0)
+                    / (CAST(coalesce(ca.c_a, 0) AS DOUBLE) + vocab.v)) AS lp
+        FROM doc_bi d
+        LEFT JOIN cab ON cab.a = d.a AND cab.b = d.b
+        LEFT JOIN ca ON ca.a = d.a
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 4) AS avg_log2_prob
+    FROM scored GROUP BY doc_id
+"""
+
+
+@register("quality_bigram_lm_ppl", _LM_ORACLE)
+def quality_bigram_lm_ppl(spark, sf_dir):
+    """Bigram-LM perplexity proxy: add-one-smoothed bigram
+    probabilities trained on the deterministic train split, every doc
+    scored by mean per-bigram log2 probability (low = out-of-domain /
+    degenerate — the LM corpus-filtering signal). Count tables are two
+    groupBy shuffles; scoring is a left join of doc bigrams against
+    them (the count tables are vocabulary-scale, broadcastable at any
+    corpus size)."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.tokens().alias("toks"),
+        (
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            )
+            < "cc"
+        ).alias("is_train"),
+    )
+    bi = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("a"),
+                F.element_at("toks", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    doc_bi = t.select(
+        "doc_id", "is_train", F.explode(bi).alias("p")
+    ).select("doc_id", "is_train", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    train = doc_bi.filter("is_train")
+    cab = train.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ca = train.groupBy("a").agg(F.count("*").alias("c_a"))
+    vocab = (
+        t.filter("is_train")
+        .select(F.explode("toks").alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("v"))
+    )
+    lp = F.log2(
+        (F.coalesce(F.col("c_ab"), F.lit(0)).cast("double") + 1.0)
+        / (F.coalesce(F.col("c_a"), F.lit(0)).cast("double") + F.col("v"))
+    )
+    scored = (
+        doc_bi.join(F.broadcast(cab), ["a", "b"], "left")
+        .join(F.broadcast(ca), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count("*"), 4).alias("avg_log2_prob"),
+    )
