@@ -326,3 +326,94 @@ def corpus_mixing_plan(spark, sf_dir):
             F.least(F.lit(1.0), target / F.col("avail_tokens")), 6
         ).alias("sample_fraction"),
     )
+
+
+# --- mixing-plan execution (deterministic weighted sampling) ----------------
+
+_MIX_HEX6 = 16 ** 6  # md5-prefix uniform in [0, 1): first 6 hex chars
+
+
+def _mix_uniform_sql(key: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"(CAST({terms} AS DOUBLE) / {_MIX_HEX6})"
+
+
+_MIX_SAMPLE_ORACLE = f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum({X.token_count_sql()}) AS BIGINT) AS avail_tokens
+        FROM documents GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, avail_tokens,
+               CAST(instr('0123456789abcdef', substr(md5(source), 1, 1))
+                    AS DOUBLE) AS w_raw
+        FROM avail
+    ),
+    tot AS (SELECT sum(w_raw) AS w_sum FROM weighted),
+    plan AS (
+        SELECT source,
+               least(1.0, ({_MIX_TOKEN_BUDGET} * w_raw / w_sum) / avail_tokens)
+                   AS fraction
+        FROM weighted CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.source, d.doc_id, {X.token_count_sql()} AS n_tokens
+        FROM documents d JOIN plan p ON p.source = d.source
+        WHERE {_mix_uniform_sql('d.doc_id')} < p.fraction
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source
+"""
+
+
+@register("corpus_mixing_sample", _MIX_SAMPLE_ORACLE)
+def corpus_mixing_sample(spark, sf_dir):
+    """Executes the mixing plan: each document is kept iff its
+    md5-prefix uniform (first 6 hex chars / 16^6 — deterministic,
+    partition-independent, engine-portable) falls below its source's
+    target sampling fraction — Bernoulli sampling that lands each
+    source near its token budget share without any global coordination.
+    The plan side is a 20-row broadcast; the keep decision is per-row."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", X.token_count().alias("n_tokens")
+    )
+    avail = docs.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("avail_tokens")
+    )
+    w_raw = F.expr("instr('0123456789abcdef', substr(md5(source), 1, 1))").cast(
+        "double"
+    )
+    weighted = avail.select("source", "avail_tokens", w_raw.alias("w_raw"))
+    tot = weighted.agg(F.sum("w_raw").alias("w_sum"))
+    plan = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(_MIX_TOKEN_BUDGET)) * F.col("w_raw") / F.col("w_sum"))
+            / F.col("avail_tokens"),
+        ).alias("fraction"),
+    )
+    uniform_terms = None
+    for i in range(1, 7):
+        term = (
+            F.expr(
+                f"instr('0123456789abcdef', "
+                f"substr(md5(cast(cast(doc_id as string) as binary)), {i}, 1)) - 1"
+            )
+            * (16 ** (6 - i))
+        )
+        uniform_terms = term if uniform_terms is None else uniform_terms + term
+    uniform = uniform_terms.cast("double") / _MIX_HEX6
+    kept = docs.join(F.broadcast(plan), "source").filter(
+        uniform < F.col("fraction")
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
