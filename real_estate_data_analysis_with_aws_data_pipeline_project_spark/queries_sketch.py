@@ -118,3 +118,78 @@ def sketch_count_min_tokens(spark, sf_dir):
             "cms_estimate",
         )
     )
+
+
+# --- Misra-Gries heavy hitters (round 2) ------------------------------------
+#
+# Distributed frequent-items sketch: each partition keeps at most
+# _MG_K counters (Misra-Gries); the per-partition summaries union into
+# a candidate set. Pigeonhole guarantee: any token with global count
+# > total/_MG_K exceeds n_p/_MG_K in at least one partition, so it
+# SURVIVES its partition's sketch and appears among the candidates —
+# regardless of how rows are partitioned. The query therefore emits,
+# for every EXACT heavy hitter (computable in plain SQL), whether the
+# sketch captured it; the oracle asserts TRUE for each. A missed
+# hitter becomes a value mismatch — the containment theorem is the
+# contract under test, while the sketch itself stays a compact
+# O(k)-memory-per-partition streaming structure.
+
+_MG_K = 40
+
+_MG_ORACLE = f"""
+    WITH w AS (
+        SELECT unnest({X.tokens_sql()}) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM w)
+    SELECT tok, cnt, TRUE AS captured
+    FROM counts CROSS JOIN tot
+    WHERE cnt > n / {_MG_K}
+"""
+
+
+@register("sketch_misra_gries_heavy_hitters", _MG_ORACLE)
+def sketch_misra_gries_heavy_hitters(spark, sf_dir):
+    """See module comment: per-partition Misra-Gries (k=40 counters,
+    Arrow-batched with state carried across batches of a partition),
+    candidates = union of surviving tokens, output = every exact heavy
+    hitter with its capture flag."""
+    import pandas as pd
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(X.tokens()).alias("tok"))
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:  # decrement-all step
+                    for key in list(counters):
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            del counters[key]
+        yield pd.DataFrame(
+            {"tok": list(counters), "est": list(counters.values())}
+        )
+
+    summaries = toks.mapInPandas(mg_partition, schema="tok string, est long")
+    candidates = summaries.select("tok").distinct()
+
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("n"))
+    exact_hh = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("cnt") > F.col("n") / _MG_K
+    )
+    return (
+        exact_hh.join(
+            candidates.select("tok", F.lit(True).alias("captured")), "tok", "left"
+        )
+        .select("tok", "cnt", F.coalesce("captured", F.lit(False)).alias("captured"))
+    )
