@@ -280,3 +280,46 @@ def agg_unpivot_stack(spark, sf_dir):
             "AS (status, n)"
         ),
     )
+
+
+# --- latest-record-per-key compaction ---------------------------------------
+
+_LATEST_ORACLE = """
+    SELECT o_custkey,
+           CAST(count(*) OVER () AS BIGINT) AS n_keys,
+           o_orderkey AS latest_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_orderdate
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+"""
+
+
+@register("dedup_latest_per_key", _LATEST_ORACLE)
+def dedup_latest_per_key(spark, sf_dir):
+    """CDC log compaction: keep only the newest record per key
+    (row_number over (key, ts DESC), deterministic orderkey tiebreak)
+    — the upsert-materialization every changelog-consuming table needs.
+    Spark plans the per-key top-1 as WindowGroupLimit: partial top-1
+    per input partition BEFORE the shuffle, so shuffle volume is
+    O(keys), not O(records)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.select(
+        "o_custkey",
+        F.count("*").over(Window.partitionBy()).alias("n_keys"),
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
+    )

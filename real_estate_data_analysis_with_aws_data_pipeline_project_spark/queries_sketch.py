@@ -193,3 +193,73 @@ def sketch_misra_gries_heavy_hitters(spark, sf_dir):
         )
         .select("tok", "cnt", F.coalesce("captured", F.lit(False)).alias("captured"))
     )
+
+
+# --- HLL sketch union (round 2) ---------------------------------------------
+
+_HLL_REL_ERR = 0.05  # envelope: DataSketches HLL at default lgK is ~1.6%
+
+_HLL_ORACLE = f"""
+    WITH per_status AS (
+        SELECT o_orderstatus,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders GROUP BY o_orderstatus
+    ),
+    overall AS (
+        SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_total
+        FROM orders
+    )
+    SELECT p.o_orderstatus, p.exact_distinct, o.exact_total,
+           TRUE AS group_within_envelope,
+           TRUE AS union_within_envelope
+    FROM per_status p CROSS JOIN overall o
+"""
+
+
+@register("sketch_hll_union", _HLL_ORACLE)
+def sketch_hll_union(spark, sf_dir):
+    """Mergeable distinct-count sketches (DataSketches HLL via
+    hll_sketch_agg): one sketch per order status, then hll_union_agg
+    merges them into the overall estimate WITHOUT rescanning — the
+    pre-aggregated-rollup pattern for distinct counts, which plain
+    count(DISTINCT) cannot do. Both the per-group and the post-union
+    estimates must land within a ±5 % envelope of the exact counts
+    (booleans checked by the oracle, per the sketch-comparison
+    convention in registry.py)."""
+    from .sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+    )
+    unioned = sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est")
+    )
+    exact_total = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_total")
+    )
+    env = lambda est, exact: (  # noqa: E731
+        F.abs(est.cast("double") - exact.cast("double"))
+        <= _HLL_REL_ERR * exact.cast("double")
+    )
+    return (
+        sketches.select(
+            "o_orderstatus",
+            "exact_distinct",
+            F.hll_sketch_estimate("sk").alias("g_est"),
+        )
+        .crossJoin(F.broadcast(unioned))
+        .crossJoin(F.broadcast(exact_total))
+        .select(
+            "o_orderstatus",
+            "exact_distinct",
+            "exact_total",
+            env(F.col("g_est"), F.col("exact_distinct")).alias(
+                "group_within_envelope"
+            ),
+            env(F.col("union_est"), F.col("exact_total")).alias(
+                "union_within_envelope"
+            ),
+        )
+    )
