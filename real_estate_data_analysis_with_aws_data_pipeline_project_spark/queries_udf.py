@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .operators import text as X
 from .registry import register
 from .sources.catalog import load_table
 
@@ -138,4 +139,133 @@ def udaf_group_rank(spark, sf_dir):
         .select("c_custkey", "c_mktsegment", "c_acctbal")
         .groupBy("c_mktsegment")
         .applyInPandas(_group_rank, schema=_RANK_SCHEMA)
+    )
+
+
+# --- Python UDTF (round 2) --------------------------------------------------
+
+_UDTF_CAP = 50
+_UDTF_WIN = 5
+
+
+_UDTF_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {X.tokens_sql()} AS toks FROM documents
+        WHERE doc_id < {_UDTF_CAP}
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
+           array_to_string(toks[w * {_UDTF_WIN} + 1 : w * {_UDTF_WIN} + {_UDTF_WIN}],
+                           ' ') AS win_text
+    FROM t, unnest(generate_series(0,
+        CAST(ceil(len(toks) / {_UDTF_WIN}.0) AS BIGINT) - 1)) AS g(w)
+    WHERE len(toks) > 0
+"""
+
+
+@register("udtf_token_windows", _UDTF_ORACLE)
+def udtf_token_windows(spark, sf_dir):
+    """Python UDTF (Spark 4 table function): one input row → many
+    output rows from arbitrary Python — here non-overlapping 5-token
+    windows per document. Deliberately the BOTTOM rung of the UDF
+    ladder (corpus_chunk_documents does the same job as pure Catalyst
+    expressions ~100× cheaper); registered to prove the UDTF surface
+    with a full oracle, capped to 50 docs so the Python path stays off
+    any hot loop."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, win_idx bigint, win_text string")
+    class TokenWindows:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = [
+                t
+                for t in re.sub(r"[^a-z0-9]+", " ", (text or "").lower())
+                .strip()
+                .split(" ")
+                if t
+            ]
+            for w in range(0, (len(toks) + _UDTF_WIN - 1) // _UDTF_WIN):
+                yield (
+                    doc_id,
+                    w,
+                    " ".join(toks[w * _UDTF_WIN : (w + 1) * _UDTF_WIN]),
+                )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _UDTF_CAP
+    )
+    docs.createOrReplaceTempView("udtf_docs_in")
+    spark.udtf.register("token_windows", TokenWindows)
+    return spark.sql(
+        "SELECT tw.* FROM udtf_docs_in d, "
+        "LATERAL token_windows(d.doc_id, d.text) tw"
+    )
+
+
+# --- cogrouped applyInPandas (round 2) --------------------------------------
+
+_COGROUP_SCHEMA = "c_custkey long, n_orders long, total_spend double, acctbal double, spend_to_balance double"
+
+
+def _cogroup_spend(key, orders_pdf, customer_pdf):
+    import pandas as pd
+
+    n = len(orders_pdf)
+    total = round(float(orders_pdf["o_totalprice"].sum()), 2) if n else 0.0
+    bal = (
+        round(float(customer_pdf["c_acctbal"].iloc[0]), 2)
+        if len(customer_pdf)
+        else None
+    )
+    ratio = round(total / bal, 4) if bal else None
+    return pd.DataFrame(
+        [(key[0], n, total, bal, ratio)],
+        columns=[
+            "c_custkey",
+            "n_orders",
+            "total_spend",
+            "acctbal",
+            "spend_to_balance",
+        ],
+    )
+
+
+@register(
+    "udf_cogroup_spend_ratio",
+    """
+    SELECT c.c_custkey,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend,
+           round(c.c_acctbal, 2) AS acctbal,
+           CASE WHEN round(c.c_acctbal, 2) <> 0 THEN
+               round(round(coalesce(sum(o.o_totalprice), 0), 2)
+                     / round(c.c_acctbal, 2), 4)
+           END AS spend_to_balance
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+)
+def udf_cogroup_spend_ratio(spark, sf_dir):
+    """Cogrouped applyInPandas: orders and customer grouped on the
+    same key arrive as PAIRED pandas frames per key — the two-table
+    custom-merge surface (fuzzy reconciliation, interleaved event
+    alignment) that single-group applyInPandas can't express. The
+    oracle is the equivalent relational join+agg; at scale each
+    cogroup must fit one executor, so this rung is for genuinely
+    non-relational merge logic only."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    return (
+        orders.groupBy("c_custkey")
+        .cogroup(customer.groupBy("c_custkey"))
+        .applyInPandas(_cogroup_spend, schema=_COGROUP_SCHEMA)
+        # customers with zero orders still cogroup (empty left frame);
+        # keys present only in orders would emit acctbal=None rows the
+        # oracle's customer-anchored join never sees — none exist in
+        # this schema (FK), asserted by the row-count match
     )
