@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .functions.scalar import deterministic_order_key
 from .operators import text as X
-from .queries_dedup import SHINGLES_SQL, cached_shingles
+from .queries_dedup import MINHASH_PAIRS_ORACLE, SHINGLES_SQL, cached_shingles
 from .registry import register
 from .sources.catalog import load_table
 
@@ -416,4 +416,93 @@ def corpus_mixing_sample(spark, sf_dir):
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs_kept"),
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
+
+
+# --- end-to-end curation funnel (round 2) -----------------------------------
+
+_CURATE_MIN_TOKENS = 10
+_CURATE_MAX_PUNCT = 0.3
+_CURATE_JACCARD = 0.5
+
+_CURATION_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               {X.token_count_sql()} AS n_tokens,
+               {X.punct_ratio_sql()} AS punct_ratio,
+               md5({X.norm_text_sql()}) AS fp
+        FROM documents
+    ),
+    q AS (
+        SELECT * FROM base
+        WHERE n_tokens >= {_CURATE_MIN_TOKENS}
+          AND punct_ratio <= {_CURATE_MAX_PUNCT}
+    ),
+    exact_kept AS (
+        SELECT * FROM q
+        WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY fp)
+    ),
+    near_drops AS (
+        SELECT DISTINCT doc_b AS doc_id
+        FROM ({{minhash}}) p
+    ),
+    final AS (
+        SELECT e.* FROM exact_kept e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM near_drops)
+    )
+    SELECT
+        CAST((SELECT count(*) FROM base) AS BIGINT) AS n_total,
+        CAST((SELECT count(*) FROM q) AS BIGINT) AS n_after_quality,
+        CAST((SELECT count(*) FROM exact_kept) AS BIGINT) AS n_after_exact,
+        CAST((SELECT count(*) FROM final) AS BIGINT) AS n_after_neardup,
+        CAST((SELECT sum(n_tokens) FROM final) AS BIGINT) AS tokens_kept
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    _CURATION_ORACLE.replace("{minhash}", MINHASH_PAIRS_ORACLE),
+)
+def corpus_curation_funnel(spark, sf_dir):
+    """The complete curation pipeline as one dataflow, reported as a
+    funnel: raw corpus → heuristic quality gate → exact dedup (keep
+    lowest doc_id per fingerprint) → near-dup removal (drop the higher
+    doc of every MinHash-verified Jaccard≥0.5 pair) → surviving docs +
+    token inventory. Each stage is the already-verified operator
+    (quality gates, fingerprint groupBy, MinHash+LSH pairs) composed
+    lazily — Catalyst fuses the per-row stages into the scan and the
+    funnel counts ride one aggregate; at 100 TB this query IS the
+    nightly curation job."""
+    from .queries_dedup import dedup_minhash_lsh
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        X.punct_ratio().alias("punct_ratio"),
+        X.fingerprint().alias("fp"),
+    )
+    q = base.filter(
+        (F.col("n_tokens") >= _CURATE_MIN_TOKENS)
+        & (F.col("punct_ratio") <= _CURATE_MAX_PUNCT)
+    )
+    keepers = q.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = q.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    near_drops = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    final = exact_kept.join(near_drops, "doc_id", "left_anti")
+
+    def cnt(df, name):
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    return (
+        cnt(base, "n_total")
+        .crossJoin(cnt(q, "n_after_quality"))
+        .crossJoin(cnt(exact_kept, "n_after_exact"))
+        .crossJoin(cnt(final, "n_after_neardup"))
+        .crossJoin(
+            final.agg(F.sum("n_tokens").cast("bigint").alias("tokens_kept"))
+        )
     )

@@ -441,3 +441,79 @@ def rollup_merge_partials(spark, sf_dir):
         F.round(F.min("p_min"), 2).alias("min_price"),
         F.round(F.max("p_max"), 2).alias("max_price"),
     )
+
+
+# --- rolling z-score anomaly detection (round 2) ----------------------------
+
+_ZSCORE_LOOKBACK = 24  # previous 24 hourly buckets
+_ZSCORE_THRESHOLD = 3.0
+
+_ZSCORE_ORACLE = f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_idx,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type, hour_idx
+    ),
+    stats AS (
+        SELECT event_type, hour_idx, cnt,
+               avg(cnt) OVER w AS mu,
+               stddev_samp(cnt) OVER w AS sigma,
+               count(*) OVER w AS n_lookback
+        FROM hourly
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY hour_idx
+            ROWS BETWEEN {_ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT event_type, hour_idx, cnt,
+           round((cnt - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_lookback >= {_ZSCORE_LOOKBACK}
+      AND sigma > 0
+      AND abs(round((cnt - mu) / sigma, 4)) >= {_ZSCORE_THRESHOLD}
+"""
+
+
+@register("events_anomaly_zscore", _ZSCORE_ORACLE)
+def events_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection over the event stream: hourly
+    per-type counts scored against the trailing-24h mean/stddev (a
+    strictly PRECEDING window frame — no leakage from the scored
+    hour); |z| ≥ 3 rows are the anomalies. Frame-based rolling stats
+    partition by event type, so the state is per-series and the
+    operator parallelizes across series — the monitoring query that
+    runs over every metric at once."""
+    from pyspark.sql import Window
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros("ts") / 3_600_000_000.0)
+            .cast("bigint")
+            .alias("hour_idx"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-_ZSCORE_LOOKBACK, -1)
+    )
+    stats = hourly.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        F.avg("cnt").over(w).alias("mu"),
+        F.stddev_samp("cnt").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_lookback"),
+    )
+    z = F.round((F.col("cnt") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        stats.filter(
+            (F.col("n_lookback") >= _ZSCORE_LOOKBACK) & (F.col("sigma") > 0)
+        )
+        .select("event_type", "hour_idx", "cnt", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) >= _ZSCORE_THRESHOLD)
+    )
