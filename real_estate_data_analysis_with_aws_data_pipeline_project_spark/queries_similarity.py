@@ -756,3 +756,88 @@ def similarity_pq_topk(spark, sf_dir):
         .filter(F.col("rn") <= _TOP_K)
         .drop("rn")
     )
+
+
+# --- mutual k-NN graph (round 2) --------------------------------------------
+
+_KNN_K = 3
+_KNN_CAP = 1000  # exact all-pairs baseline bound; LSH/IVF candidates at scale
+
+_KNN_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings WHERE vec_id < {_KNN_CAP}
+    ),
+    scored AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               round({S.cosine_sql('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')},
+                     6) AS cos_sim
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT src, dst, cos_sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY src ORDER BY cos_sim DESC, dst
+            ) AS rn
+            FROM scored
+        ) WHERE rn <= {_KNN_K}
+    )
+    SELECT a.src AS vec_a, a.dst AS vec_b, a.cos_sim
+    FROM knn a JOIN knn b ON b.src = a.dst AND b.dst = a.src
+    WHERE a.src < a.dst
+"""
+
+
+@register("similarity_knn_graph", _KNN_ORACLE)
+def similarity_knn_graph(spark, sf_dir):
+    """Mutual k-NN graph construction: each vector's top-3 cosine
+    neighbors, kept only where the relation is RECIPROCAL (a ∈ kNN(b)
+    and b ∈ kNN(a)) — the graph that density-based clustering and
+    manifold methods consume, with mutuality as the standard noise
+    filter. Exact all-pairs scoring under a cap as the correctness
+    baseline; at scale the scored pairs come from the LSH/IVF/PQ
+    candidate generators instead, same downstream mutuality join."""
+    v = (
+        _vecs(spark, sf_dir)
+        .filter(F.col("vec_id") < _KNN_CAP)
+        .select("vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm"))
+    )
+    a = v.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    scored = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(
+                S.cosine(
+                    F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src", "dst", "cos_sim")
+    )
+    rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        knn.join(rev, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            "cos_sim",
+        )
+    )
