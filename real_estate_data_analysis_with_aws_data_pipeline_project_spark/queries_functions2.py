@@ -323,3 +323,51 @@ def dedup_latest_per_key(spark, sf_dir):
         F.col("o_orderkey").alias("latest_orderkey"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_orderdate"),
     )
+
+
+# --- recursive CTE date spine (round 2) -------------------------------------
+#
+# Spark 4 finally supports WITH RECURSIVE; the calendar-spine pattern
+# (a dense date axis LEFT JOINed with facts so empty days surface as
+# zero rows) is its bread-and-butter warehouse use. Engines format
+# dates differently (date_format vs strftime) so the two SQL texts are
+# siblings, not one string.
+
+_SPINE_START = "1995-01-01"
+_SPINE_END = "1995-03-31"
+
+_SPINE_ORACLE = f"""
+    WITH RECURSIVE days(d) AS (
+        SELECT DATE '{_SPINE_START}'
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        WHERE d < DATE '{_SPINE_END}'
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = d
+    GROUP BY d
+"""
+
+_SPINE_SPARK_SQL = f"""
+    WITH RECURSIVE days(d) AS (
+        SELECT DATE '{_SPINE_START}'
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        WHERE d < DATE '{_SPINE_END}'
+    )
+    SELECT date_format(d, 'yyyy-MM-dd') AS day,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN spine_orders o ON CAST(o.o_orderdate AS DATE) = d
+    GROUP BY d
+"""
+
+
+@register("sql_recursive_cte_date_spine", _SPINE_ORACLE)
+def sql_recursive_cte_date_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4 WITH RECURSIVE): a 90-day calendar spine
+    generated by recursion, left-joined with order counts so zero-order
+    days appear explicitly — the gap-surfacing dual of
+    events_gap_fill_ffill, expressed in pure SQL on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("spine_orders")
+    return spark.sql(_SPINE_SPARK_SQL)
