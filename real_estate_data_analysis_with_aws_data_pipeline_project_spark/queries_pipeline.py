@@ -258,3 +258,144 @@ def source_schema_evolution(spark, sf_dir):
         F.count("r_abbrev").alias("n_with_abbrev"),
         F.countDistinct("r_abbrev").alias("n_distinct_abbrev"),
     )
+
+
+@register(
+    "dq_expectation_suite",
+    """
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_key,
+               CAST(sum(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_price_ok,
+               CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_status_ok,
+               CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cust_ok
+        FROM orders
+    )
+    SELECT exp_name, observed, expected, passed FROM (
+        SELECT 'orderkey_unique' AS exp_name,
+               n_key AS observed, n_rows AS expected,
+               n_key = n_rows AS passed FROM m
+        UNION ALL
+        SELECT 'totalprice_non_negative', n_price_ok, n_rows,
+               n_price_ok = n_rows FROM m
+        UNION ALL
+        SELECT 'status_in_domain', n_status_ok, n_rows,
+               n_status_ok = n_rows FROM m
+        UNION ALL
+        SELECT 'custkey_not_null', n_cust_ok, n_rows,
+               n_cust_ok = n_rows FROM m
+    ) e
+    """,
+)
+def dq_expectation_suite(spark, sf_dir):
+    """Declarative data-quality expectation suite (the
+    Great-Expectations shape): key uniqueness, value domain, range and
+    null-rate expectations all evaluated in ONE scan (conditional sums
+    + one distinct count), reported as (expectation, observed,
+    expected, passed) rows — the contract gate that runs before any
+    downstream job consumes a table."""
+    m = load_table(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_key"),
+        F.sum((F.col("o_totalprice") >= 0).cast("int"))
+        .cast("bigint")
+        .alias("n_price_ok"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("int"))
+        .cast("bigint")
+        .alias("n_status_ok"),
+        F.sum(F.col("o_custkey").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_cust_ok"),
+    )
+    rows = [
+        ("orderkey_unique", "n_key"),
+        ("totalprice_non_negative", "n_price_ok"),
+        ("status_in_domain", "n_status_ok"),
+        ("custkey_not_null", "n_cust_ok"),
+    ]
+    checks = None
+    for name, col in rows:
+        row = m.select(
+            F.lit(name).alias("exp_name"),
+            F.col(col).alias("observed"),
+            F.col("n_rows").alias("expected"),
+            (F.col(col) == F.col("n_rows")).alias("passed"),
+        )
+        checks = row if checks is None else checks.unionByName(row)
+    return checks
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH now AS (SELECT o_orderkey, o_totalprice FROM orders),
+    prev AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT
+        CAST(sum(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_added,
+        CAST(sum(CASE WHEN n.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_deleted,
+        CAST(sum(CASE WHEN p.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                       AND p.o_totalprice <> n.o_totalprice
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        CAST(sum(CASE WHEN p.o_totalprice = n.o_totalprice THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged
+    FROM now n FULL OUTER JOIN prev p ON p.o_orderkey = n.o_orderkey
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation (table diff): the current snapshot full-
+    outer-joined with a previous one (simulated deterministically:
+    every 97th key's price drifted, every 101st key absent) and
+    classified into added / deleted / changed / unchanged — the
+    validation step behind CDC replication and incremental-build
+    correctness. One shuffle on the key; at 100 TB both sides prune to
+    (key, row-hash) columns before the join."""
+    now = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    prev = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 10.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p_totalprice"),
+        )
+    )
+    j = now.join(
+        prev.withColumnRenamed("o_orderkey", "p_orderkey"),
+        now.o_orderkey == F.col("p_orderkey"),
+        "full_outer",
+    )
+    return j.agg(
+        F.sum(F.col("p_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_added"),
+        F.sum(F.col("o_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_deleted"),
+        F.sum(
+            (
+                F.col("p_orderkey").isNotNull()
+                & F.col("o_orderkey").isNotNull()
+                & (F.col("p_totalprice") != F.col("o_totalprice"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_changed"),
+        F.sum((F.col("p_totalprice") == F.col("o_totalprice")).cast("int"))
+        .cast("bigint")
+        .alias("n_unchanged"),
+    )
