@@ -371,3 +371,84 @@ def sql_recursive_cte_date_spine(spark, sf_dir):
     events_gap_fill_ffill, expressed in pure SQL on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("spine_orders")
     return spark.sql(_SPINE_SPARK_SQL)
+
+
+# --- z-order curve (round 2) ------------------------------------------------
+
+_Z_BITS = 8  # 8 bits per dimension → 16-bit z-values
+
+
+def _zvalue_terms(x: str, y: str, div_op: str) -> str:
+    """Bit-interleaved Morton code: z = Σ_b ((x>>b)&1)·4^b + 2·((y>>b)&1)·4^b.
+    Integer-only — identical in both engines (`div` vs `//`)."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({x} {div_op} {2 ** b}) % 2) * {4 ** b})")
+        terms.append(f"((({y} {div_op} {2 ** b}) % 2) * {2 * 4 ** b})")
+    return " + ".join(terms)
+
+
+@register(
+    "f_zorder_interleave",
+    f"""
+    SELECT o_orderkey,
+           CAST(o_custkey % 256 AS BIGINT) AS x,
+           CAST(o_orderkey % 256 AS BIGINT) AS y,
+           CAST({_zvalue_terms('(o_custkey % 256)', '(o_orderkey % 256)', '//')}
+                AS BIGINT) AS zvalue
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def f_zorder_interleave(spark, sf_dir):
+    """Z-order (Morton) curve: two key dimensions bit-interleaved into
+    one sort key, so sorting by zvalue co-locates rows that are close
+    in BOTH dimensions — the multi-column data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER) expressed as a pure integer
+    column; write with sortWithinPartitions("zvalue") and parquet
+    row-group min/max stats prune on either dimension."""
+    z = F.expr(
+        _zvalue_terms("(o_custkey % 256)", "(o_orderkey % 256)", "div")
+    ).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).cast("bigint").alias("x"),
+            (F.col("o_orderkey") % 256).cast("bigint").alias("y"),
+            z.alias("zvalue"),
+        )
+    )
+
+
+# --- k-anonymity audit (round 2) --------------------------------------------
+
+_KANON_K = 5
+
+@register(
+    "pii_k_anonymity_audit",
+    f"""
+    WITH g AS (
+        SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey, n,
+           n < {_KANON_K} AS at_risk
+    FROM g
+    """,
+)
+def pii_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers: every (segment,
+    nation) equivalence class with fewer than k={_KANON_K} members is
+    re-identification risk — the privacy gate next to PII redaction
+    when person-adjacent records feed a training corpus. One groupBy;
+    the mitigation (suppress or generalize flagged classes) filters on
+    the at_risk flag."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(F.count("*").alias("n"))
+    )
+    return g.select(
+        "c_mktsegment", "c_nationkey", "n", (F.col("n") < _KANON_K).alias("at_risk")
+    )

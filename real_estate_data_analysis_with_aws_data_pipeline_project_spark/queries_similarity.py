@@ -841,3 +841,70 @@ def similarity_knn_graph(spark, sf_dir):
             "cos_sim",
         )
     )
+
+
+# --- per-label centroids + dispersion (round 2) -----------------------------
+
+_CENTROID_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, label, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, g.pos AS pos,
+               round(avg(CAST(embedding[g.pos] AS DOUBLE)), 6) AS m
+        FROM v, unnest(generate_series(1, len(embedding))) AS g(pos)
+        GROUP BY label, g.pos
+    ),
+    cents AS (
+        SELECT label, list(m ORDER BY pos) AS c FROM means GROUP BY label
+    ),
+    centsn AS (SELECT label, c, {S.norm_sql('c')} AS c_nrm FROM cents),
+    scored AS (
+        SELECT v.label,
+               {S.cosine_sql('v.embedding', 'cn.c', 'v.nrm', 'cn.c_nrm')} AS cos
+        FROM v JOIN centsn cn ON cn.label = v.label
+    )
+    SELECT s.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(s.cos), 4) AS mean_cos_to_centroid
+    FROM scored s GROUP BY s.label
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_ORACLE)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label prototype vectors: element-wise mean embedding per
+    label (posexplode → groupBy(label, pos) → re-assemble) plus the
+    class dispersion (mean cosine of members to their centroid) — the
+    prototype-classifier / outlier-scoring primitive of embedding
+    pipelines. Two shuffles: one keyed (label, pos), one (label);
+    centroids are label-cardinality-scale and broadcast back."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    means = (
+        v.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+    )
+    cents = (
+        means.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        .select("label", "c", S.norm(F.col("c")).alias("c_nrm"))
+    )
+    scored = v.join(F.broadcast(cents), "label").select(
+        "label",
+        S.cosine(
+            F.col("embedding"), F.col("c"), F.col("nrm"), F.col("c_nrm")
+        ).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid"),
+    )
