@@ -205,29 +205,21 @@ def udtf_token_windows(spark, sf_dir):
 
 # --- cogrouped applyInPandas (round 2) --------------------------------------
 
-_COGROUP_SCHEMA = "c_custkey long, n_orders long, total_spend double, acctbal double, spend_to_balance double"
+_COGROUP_SCHEMA = "c_custkey long, n_orders long, raw_spend double, raw_bal double"
 
 
 def _cogroup_spend(key, orders_pdf, customer_pdf):
     import pandas as pd
 
+    # rounding happens OUTSIDE the UDF (F.round below): Python round()
+    # is banker's on the binary value and diverged from both engines on
+    # an exact decimal half (…/1936 = 1506.03875 → .0387 vs .0388)
     n = len(orders_pdf)
-    total = round(float(orders_pdf["o_totalprice"].sum()), 2) if n else 0.0
-    bal = (
-        round(float(customer_pdf["c_acctbal"].iloc[0]), 2)
-        if len(customer_pdf)
-        else None
-    )
-    ratio = round(total / bal, 4) if bal else None
+    total = float(orders_pdf["o_totalprice"].sum()) if n else 0.0
+    bal = float(customer_pdf["c_acctbal"].iloc[0]) if len(customer_pdf) else None
     return pd.DataFrame(
-        [(key[0], n, total, bal, ratio)],
-        columns=[
-            "c_custkey",
-            "n_orders",
-            "total_spend",
-            "acctbal",
-            "spend_to_balance",
-        ],
+        [(key[0], n, total, bal)],
+        columns=["c_custkey", "n_orders", "raw_spend", "raw_bal"],
     )
 
 
@@ -260,7 +252,7 @@ def udf_cogroup_spend_ratio(spark, sf_dir):
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
-    return (
+    raw = (
         orders.groupBy("c_custkey")
         .cogroup(customer.groupBy("c_custkey"))
         .applyInPandas(_cogroup_spend, schema=_COGROUP_SCHEMA)
@@ -268,4 +260,13 @@ def udf_cogroup_spend_ratio(spark, sf_dir):
         # keys present only in orders would emit acctbal=None rows the
         # oracle's customer-anchored join never sees — none exist in
         # this schema (FK), asserted by the row-count match
+    )
+    spend = F.round("raw_spend", 2)
+    bal = F.round("raw_bal", 2)
+    return raw.select(
+        "c_custkey",
+        "n_orders",
+        spend.alias("total_spend"),
+        bal.alias("acctbal"),
+        F.when(bal != 0, F.round(spend / bal, 4)).alias("spend_to_balance"),
     )
