@@ -611,3 +611,74 @@ def quality_bigram_lm_ppl(spark, sf_dir):
         F.count("*").alias("n_bigrams"),
         F.round(F.sum("lp") / F.count("*"), 4).alias("avg_log2_prob"),
     )
+
+
+# --- language-ID evaluation (round 2) ---------------------------------------
+
+_LANGEVAL_ORACLE = f"""
+    WITH pred AS (
+        SELECT doc_id, lang AS declared_lang,
+               {X.lang_id_sql(X.lang_scores_sql())} AS predicted_lang
+        FROM documents
+    )
+    SELECT declared_lang, predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           declared_lang = predicted_lang AS correct
+    FROM pred GROUP BY declared_lang, predicted_lang
+"""
+
+
+@register("quality_langid_confusion", _LANGEVAL_ORACLE)
+def quality_langid_confusion(spark, sf_dir):
+    """Classifier evaluation as a query: the lang-ID heuristic scored
+    against the corpus's gold labels as a confusion matrix (declared ×
+    predicted counts + correctness flag) — the accuracy audit every
+    heuristic filter needs before its verdicts gate real data. One
+    groupBy over per-row predictions."""
+    scores = X.lang_scores()
+    pred = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        X.lang_id(scores).alias("predicted_lang"),
+    )
+    return pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.col("declared_lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+# --- corpus length histogram (round 2) --------------------------------------
+
+_HIST_BUCKET = 10  # tokens per bucket
+
+_HIST_ORACLE = f"""
+    WITH t AS (
+        SELECT CAST(floor({X.token_count_sql()} / {_HIST_BUCKET}.0) AS BIGINT)
+                   AS bucket
+        FROM documents
+    )
+    SELECT bucket,
+           CAST(bucket * {_HIST_BUCKET} AS BIGINT) AS bucket_lo,
+           CAST((bucket + 1) * {_HIST_BUCKET} AS BIGINT) AS bucket_hi,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM t GROUP BY bucket
+"""
+
+
+@register("corpus_length_histogram", _HIST_ORACLE)
+def corpus_length_histogram(spark, sf_dir):
+    """Token-length distribution profile: fixed-width histogram of
+    per-document token counts — the corpus-shape diagnostic read
+    before choosing chunk sizes and packing budgets. Map-only bucket
+    assignment + one groupBy on a small key domain."""
+    t = load_table(spark, sf_dir, "documents").select(
+        F.floor(X.token_count() / float(_HIST_BUCKET))
+        .cast("bigint")
+        .alias("bucket")
+    )
+    return t.groupBy("bucket").agg(F.count("*").alias("n_docs")).select(
+        "bucket",
+        (F.col("bucket") * _HIST_BUCKET).cast("bigint").alias("bucket_lo"),
+        ((F.col("bucket") + 1) * _HIST_BUCKET).cast("bigint").alias("bucket_hi"),
+        "n_docs",
+    )
