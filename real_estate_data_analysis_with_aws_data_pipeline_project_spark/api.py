@@ -42,47 +42,33 @@ from . import queries_functions2  # noqa: E402,F401
 # covered by the local oracle replica (tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
+    # --- retained family representatives (driver-green in r02) ---
     "flagship_enriched_sample",   # U3 flagship pipeline
-    "p1_filter_isin",             # P1
-    "p2_filter_notnull",          # P2
-    "p3_semi_join",               # P3 / J2-semi
+    "p1_filter_isin",             # P1 (filters family rep)
     "p4_project_alias",           # P4
     "p6_match_rate",              # P6
-    "p7_distinct",                # P7
-    "j1_broadcast_left_join",     # J1
-    "j2_anti_join",               # J2-anti
-    "a1_global_count",            # A1
-    "a2_group_count_ordered",     # A2/A3
-    "a4_null_skipping_avg",       # A4
-    "a5_ratio_of_sums",           # A5
+    "j1_broadcast_left_join",     # J1 (joins family rep)
+    "a2_group_count_ordered",     # A2/A3 (aggregates family rep)
     "w2_stratified_sample_rows",  # W1/W2
     "o1_topk",                    # O1/O2
     "set_union_distinct",         # §2.6 set ops
-    "f1_cast_string_numeric",     # F1
-    "f2_f3_arithmetic_round",     # F2/F3
-    "f6_f7_sentinel_null_safe",   # F6/F7
-    "f5_string_functions",        # F5
+    "f5_string_functions",        # F5 (scalar fns family rep)
     "f_date_functions",           # date fns
     "c3_quality_gate",            # C3 choice gate
-    "text_lang_id",               # §2.11 text lang-id
-    "text_quality_score",         # §2.11 text quality
-    "text_token_count",           # §2.11 token counting
-    "quality_heuristic_filter",   # §2.11 corpus quality gate (r2)
+    "text_lang_id",               # §2.11 text family rep
+    "quality_heuristic_filter",   # §2.11 corpus quality gate
     "dedup_exact",                # §2.11 exact dedup
-    "dedup_cluster_components",   # §2.11 near-dup clustering (r2)
-    "dedup_minhash_lsh",          # §2.11 MinHash+LSH
-    "dedup_simhash",              # §2.11 SimHash
+    "dedup_minhash_lsh",          # §2.11 MinHash+LSH (dedup family rep)
     "dedup_embedding_cosine",     # §2.11 embedding near-dup
-    "similarity_topk_bruteforce", # §2.11 ANN baseline
-    "similarity_ann_lsh",         # §2.11 sign-LSH ANN
-    "similarity_ivf_topk",        # §2.11 IVF ANN
-    "pii_detect_redact",          # §2.11 PII scrubbing (r2)
-    "events_session_window",      # §2.8 session
+    "similarity_ann_lsh",         # §2.11 sign-LSH ANN (similarity rep)
+    "similarity_ivf_topk",        # §2.11 IVF ANN (r3: adaptive k)
+    "pii_detect_redact",          # §2.11 PII scrubbing
+    "events_session_window",      # §2.8 session (events family rep)
     "events_hypertable_rollup",   # §2.8 rollup
     "multimodal_payload_meta",    # §2.11 multimodal
-    "join_asof_last_purchase",    # as-of join
+    "join_asof_last_purchase",    # as-of join (r3: NULL-safe tiebreak)
     "udf_pandas_parse_id",        # U1 pandas-UDF rung
-    "streaming_dedup_events",     # §2.8 streaming (oracle-checked, r2)
+    "streaming_dedup_events",     # §2.8 streaming (oracle-checked)
     "source_csv_roundtrip",       # S2/S6
     "source_json_roundtrip",      # S1/S7
     "skew_salted_agg",            # salted skew pattern
@@ -92,6 +78,22 @@ _DRIVER_WINDOW: list[str] = [
     "corpus_decontamination",     # decontamination
     "corpus_chunk_documents",     # context-window chunking
     "sketch_count_min_tokens",    # count-min sketch
+    # --- r3 rotation: first-time driver exposure (VERDICT r2 #1) ---
+    "similarity_pq_topk",         # PQ ANN (ADC + re-rank; r3 adaptive k)
+    "rest_census_ingest",         # S3 REST source (oracle recomputes)
+    "udf_rowwise_safe_int",       # U1 bottom-rung row UDF
+    "udtf_token_windows",         # Spark-4 UDTF + LATERAL
+    "udf_cogroup_spend_ratio",    # cogroup applyInPandas
+    "sql_recursive_cte_date_spine",  # WITH RECURSIVE (Spark 4.1)
+    "json_extract_props",         # JSON functions
+    "f_higher_order_arrays",      # transform/filter/aggregate lambdas
+    "agg_grouping_sets",          # GROUPING SETS / rollup-cube
+    "events_funnel_analysis",     # funnel over event sequences
+    "dq_expectation_suite",       # data-quality expectations
+    "cdc_snapshot_diff",          # CDC snapshot diff
+    "tpch_q1_pricing_summary",    # TPC-H family first driver row
+    "corpus_mixing_sample",       # source-mixing Bernoulli execution
+    "sketch_misra_gries_heavy_hitters",  # MG containment theorem
 ]
 
 

@@ -45,9 +45,17 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
         # deterministic tiebreak among right rows sharing (key, ts):
         # without it, which row's values are carried depends on the
-        # partitioning (ADVICE r1)
+        # partitioning (ADVICE r1).  NULLs are coalesced to a sentinel
+        # so (NULL,'x') and ('x',NULL) hash differently — concat_ws
+        # silently skips NULL elements (ADVICE r2)
         F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in carry_cols])
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    for c in carry_cols
+                ],
+            )
         ).alias("_tiebreak"),
         *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
     )

@@ -479,6 +479,7 @@ def dedup_cluster_components(spark, sf_dir):
     )
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     try:
+        changed = 0
         for _ in range(_CC_MAX_ITERS):
             prop = (
                 edges.join(
@@ -501,6 +502,15 @@ def dedup_cluster_components(spark, sf_dir):
             prev.unpersist()  # no-op on the unpersisted seed
             if changed == 0:
                 break
+        if changed != 0:
+            # A silent non-converged return would diverge from the
+            # oracle's recursive-CTE fixpoint only at larger scale —
+            # fail loudly instead (ADVICE r2).
+            raise RuntimeError(
+                f"connected-components did not converge in {_CC_MAX_ITERS} "
+                f"iterations ({changed} labels still changing); raise "
+                "_CC_MAX_ITERS or switch to large-star/small-star"
+            )
         return labels.select(
             F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
         )

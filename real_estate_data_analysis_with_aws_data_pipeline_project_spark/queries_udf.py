@@ -152,6 +152,7 @@ _UDTF_ORACLE = f"""
     WITH t AS (
         SELECT doc_id, {X.tokens_sql()} AS toks FROM documents
         WHERE doc_id < {_UDTF_CAP}
+          AND {X.norm_text_sql()} <> ''
     )
     SELECT doc_id, CAST(w AS BIGINT) AS win_idx,
            array_to_string(toks[w * {_UDTF_WIN} + 1 : w * {_UDTF_WIN} + {_UDTF_WIN}],

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
+from tests.oracle import _norm_rows  # noqa: E402  (one comparison rule everywhere)
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session import (  # noqa: E402
     get_spark,
 )
@@ -51,9 +52,12 @@ def main() -> None:
             n_rows_only += 1
             continue
         odf = con.execute(oracles[name]).fetchdf()
-        s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
-        s_vals = sorted(map(str, sdf[s_cols].itertuples(index=False, name=None)))
-        o_vals = sorted(map(str, odf[o_cols].itertuples(index=False, name=None)))
+        # same normalization as tests/oracle.py (ADVICE r2): raw str()
+        # flagged spurious -0.0/0.0, numpy-repr, and NaN-promotion diffs
+        s_cols = sorted(c.lower() for c in sdf.columns)
+        o_cols = sorted(c.lower() for c in odf.columns)
+        s_vals = _norm_rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
+        o_vals = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
         if s_cols == o_cols and s_vals == o_vals:
             n_ok += 1
         else:
