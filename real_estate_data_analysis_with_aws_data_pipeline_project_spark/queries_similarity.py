@@ -52,6 +52,87 @@ def _lsh_bits(n_vectors: int) -> int:
     )
 
 
+# --- quantizer sizing (VERDICT r2 #2) --------------------------------------
+# The IVF/PQ analog of ``_lsh_bits``: codebook size k is DERIVED from
+# corpus size instead of a constant, as the smallest power of two with
+# k*k >= n (≈ the classic k ≈ √n IVF rule), clamped to a family-specific
+# range.  Implemented as a pure-INTEGER threshold ladder on both engines
+# — libm log2/pow differ between the JVM/DuckDB in the last ulp, so a
+# float formula could disagree exactly at power-of-four corpus sizes.
+# Both the Python twin and the SQL CASE are generated from ONE ladder.
+
+_QUANT_LADDER = [2**i for i in range(4, 13)]  # 16 .. 4096
+
+
+def _quant_k(n: int, kmin: int, kmax: int) -> int:
+    """Smallest ladder k with k*k >= n, clamped to [kmin, kmax]."""
+    for k in _QUANT_LADDER:
+        if k < kmin:
+            continue
+        if k >= kmax:
+            return kmax
+        if k * k >= n:
+            return k
+    return kmax
+
+
+def _quant_k_sql(n_expr: str, kmin: int, kmax: int) -> str:
+    """SQL twin of ``_quant_k`` — integer comparisons only."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {k * k} THEN {k}"
+        for k in _QUANT_LADDER
+        if kmin <= k < kmax
+    )
+    return f"(CASE {arms} ELSE {kmax} END)"
+
+
+# Quantizer training runs on a deterministic md5-keyed sample of about
+# _TRAIN_TARGET vectors (the whole corpus below that): Lloyd means are
+# O(sample), not O(corpus), and the sample is identical on any cluster
+# layout.  The md5-hex prefix comparison is stable across both engines.
+_TRAIN_TARGET = 1024
+
+
+def _train_thresh_hex(n: int) -> str | None:
+    """First-4-hex-chars md5 threshold keeping ~_TRAIN_TARGET of n rows
+    (None = keep everything). Python twin of the oracle's params CTE."""
+    if n <= _TRAIN_TARGET:
+        return None
+    return format(int(math.floor(65536.0 * _TRAIN_TARGET / n)), "04x")
+
+
+def _train_sample(v: DataFrame, n: int) -> DataFrame:
+    th = _train_thresh_hex(n)
+    if th is None:
+        return v
+    return v.filter(
+        F.expr("substring(md5(cast(cast(vec_id as string) as binary)), 1, 4)")
+        < F.lit(th)
+    )
+
+
+def _train_params_sql(kmin: int, kmax: int, base: str = "v") -> str:
+    """CTE chain computing (n, k, nprobe, th) from count(*) — the SQL
+    twin of ``_quant_k`` / ``_train_thresh_hex`` (CAST of an already-
+    floor()ed double is exact; DuckDB CAST alone would ROUND).  ``samp``
+    is the md5-sampled slice of ``base`` (any relation with vec_id)."""
+    return f"""p0 AS (SELECT count(*) AS n FROM embeddings),
+    p1 AS (SELECT n, {_quant_k_sql('n', kmin, kmax)} AS k FROM p0),
+    params AS (
+        SELECT n, k, greatest(2, k // 8) AS nprobe,
+               CASE WHEN n <= {_TRAIN_TARGET} THEN NULL
+                    ELSE printf('%04x',
+                         CAST(floor(65536.0 * {_TRAIN_TARGET} / n) AS INT))
+               END AS th
+        FROM p1
+    ),
+    samp AS (
+        SELECT b.* FROM {base} b CROSS JOIN params p
+        WHERE p.th IS NULL
+           OR substr(md5(CAST(b.vec_id AS VARCHAR)), 1, 4) < p.th
+    )"""
+
+
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
@@ -178,9 +259,12 @@ def similarity_ann_lsh(spark, sf_dir):
         S.norm(F.col("embedding")).alias("nrm"),
         S.project_signs(F.col("embedding"), _LSH_PLANES).alias("bitstr"),
     )
-    # corpus size → bucket width (one metadata-cheap count; the same
-    # formula runs in the oracle's params CTE)
-    bits = _lsh_bits(v.count())
+    # corpus size → bucket width from parquet footer stats — no count
+    # job, no extra scan (VERDICT r2 #7); the same formula runs in the
+    # oracle's params CTE on count(*)
+    from .sources.catalog import table_rows
+
+    bits = _lsh_bits(table_rows(sf_dir, "embeddings"))
     tables = F.array(
         *[
             F.struct(
@@ -289,22 +373,22 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 # --- IVF (inverted-file) ANN ----------------------------------------------
 
-_IVF_N_CENTROIDS = 16  # coarse quantizer size
-_IVF_NPROBE = 2
+_IVF_K_MIN = 16    # quantizer size floor (== round-2's fixed k)
+_IVF_K_MAX = 4096  # and ceiling; k = _quant_k(n) in between (≈√n)
 _IVF_TRAIN_ITERS = 2  # deterministic Lloyd iterations (VERDICT r1 #4)
 
 
 def _ivf_train_sql() -> str:
     """CTE chain training the coarse quantizer: seed centroids are the
-    first k vectors; each Lloyd iteration assigns every vector to its
-    nearest centroid (rank-1 by cosine, cid tiebreak) and recomputes
-    centroids as the element-wise mean (rounded 6 dp so the Spark twin
-    hash-matches). Produces ``cent{_IVF_TRAIN_ITERS}n(cid, c_emb,
-    c_nrm)``."""
+    first k vectors (k from the params CTE — derived from corpus size,
+    VERDICT r2 #2); each Lloyd iteration assigns every SAMPLED vector
+    (samp CTE) to its nearest centroid (rank-1 by cosine, cid tiebreak)
+    and recomputes centroids as the element-wise mean (rounded 6 dp so
+    the Spark twin hash-matches). Produces ``cent{_IVF_TRAIN_ITERS}n``."""
     parts = [
-        f"""cent0n AS (
+        """cent0n AS (
         SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
-        FROM v WHERE vec_id < {_IVF_N_CENTROIDS}
+        FROM v CROSS JOIN params p WHERE vec_id < p.k
     )"""
     ]
     for i in range(1, _IVF_TRAIN_ITERS + 1):
@@ -316,13 +400,13 @@ def _ivf_train_sql() -> str:
                row_number() OVER (
                    PARTITION BY v.vec_id ORDER BY {cos} DESC, c.cid
                ) AS rnk
-        FROM v CROSS JOIN {prev} c
+        FROM samp v CROSS JOIN {prev} c
     ),
     assign_t{i} AS (SELECT vec_id, cid FROM ranked_t{i} WHERE rnk = 1),
     means_t{i} AS (
         SELECT a.cid, g.pos AS pos,
                round(avg(CAST(v.embedding[g.pos] AS DOUBLE)), 6) AS m
-        FROM assign_t{i} a JOIN v ON v.vec_id = a.vec_id,
+        FROM assign_t{i} a JOIN samp v ON v.vec_id = a.vec_id,
              unnest(generate_series(1, len(v.embedding))) AS g(pos)
         GROUP BY a.cid, g.pos
     ),
@@ -341,6 +425,7 @@ _IVF_ORACLE = f"""
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
+    {_train_params_sql(_IVF_K_MIN, _IVF_K_MAX)},
     {_ivf_train_sql()},
     cent AS (SELECT * FROM cent{_IVF_TRAIN_ITERS}n),
     ranked AS (
@@ -354,8 +439,8 @@ _IVF_ORACLE = f"""
     ),
     assign AS (SELECT vec_id, cid FROM ranked WHERE rnk = 1),
     probes AS (
-        SELECT vec_id AS query_id, cid FROM ranked
-        WHERE vec_id < {_N_QUERIES} AND rnk <= {_IVF_NPROBE}
+        SELECT vec_id AS query_id, cid FROM ranked CROSS JOIN params p
+        WHERE vec_id < {_N_QUERIES} AND rnk <= p.nprobe
     ),
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -376,19 +461,20 @@ _IVF_ORACLE = f"""
 """
 
 
-def _ivf_train(v: DataFrame) -> DataFrame:
-    """Spark twin of ``_ivf_train_sql``: seed = first k vectors, then
-    _IVF_TRAIN_ITERS deterministic Lloyd iterations, all join+groupBy
-    (assignment = broadcast O(n×k) pass, means = one shuffle on
-    (cid, pos)) — no driver-side math, oracle-checkable."""
-    cent = v.filter(F.col("vec_id") < _IVF_N_CENTROIDS).select(
+def _ivf_train(v: DataFrame, samp: DataFrame, k: int) -> DataFrame:
+    """Spark twin of ``_ivf_train_sql``: seed = first k vectors (k
+    derived from corpus size), then _IVF_TRAIN_ITERS deterministic
+    Lloyd iterations over the md5-keyed training SAMPLE, all
+    join+groupBy (assignment = broadcast O(sample×k) pass, means = one
+    shuffle on (cid, pos)) — no driver-side math, oracle-checkable."""
+    cent = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
         F.col("nrm").alias("c_nrm"),
     )
     for _ in range(_IVF_TRAIN_ITERS):
         assign = (
-            v.crossJoin(F.broadcast(cent))
+            samp.crossJoin(F.broadcast(cent))
             .select(
                 "vec_id",
                 "cid",
@@ -408,7 +494,7 @@ def _ivf_train(v: DataFrame) -> DataFrame:
             .select("vec_id", "cid")
         )
         means = (
-            assign.join(v, "vec_id")
+            assign.join(samp, "vec_id")
             .select("cid", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
@@ -428,17 +514,28 @@ def _ivf_train(v: DataFrame) -> DataFrame:
 
 @register("similarity_ivf_topk", _IVF_ORACLE, headline=True)
 def similarity_ivf_topk(spark, sf_dir):
-    """IVF (inverted-file) approximate top-k: a coarse quantizer
-    trained with _IVF_TRAIN_ITERS deterministic Lloyd iterations
-    (seeded from the first k vectors) assigns every vector to its
-    nearest centroid's inverted list; a query probes its nprobe=2
-    closest lists only. Assignment is an O(n×k) broadcast pass; search
-    touches ~nprobe/k of the corpus — the IVF scale path next to the
-    sign-LSH variant."""
+    """IVF (inverted-file) approximate top-k: a coarse quantizer of
+    k = _quant_k(n) ≈ √n centroids (derived from catalog row-count
+    stats, not a count job — VERDICT r2 #2/#7) is trained with
+    _IVF_TRAIN_ITERS deterministic Lloyd iterations over an
+    md5-sampled ~{_TRAIN_TARGET}-vector subset, seeded from the first
+    k vectors; every vector lands in its nearest centroid's inverted
+    list; a query probes its nprobe = max(2, k/8) closest lists only.
+    Assignment is an O(n×k) broadcast pass; search touches ~nprobe/k
+    of the corpus — constant fraction as n and k grow together."""
+    from .sources.catalog import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    k = _quant_k(n, _IVF_K_MIN, _IVF_K_MAX)
+    nprobe = max(2, k // 8)
     v = _vecs(spark, sf_dir).select(
         "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
     )
-    cent = _ivf_train(v)
+    # the trained quantizer is a k-row model consumed by BOTH the
+    # assignment and probe branches — persist it so the Lloyd chain
+    # isn't re-executed per consumer (at scale the index build would
+    # write it out once)
+    cent = _ivf_train(v, _train_sample(v, n), k).persist()
     ranked = (
         v.crossJoin(F.broadcast(cent))
         .select(
@@ -458,7 +555,7 @@ def similarity_ivf_topk(spark, sf_dir):
     assign = ranked.filter(F.col("rnk") == 1).select("vec_id", "cid")
     probes = (
         ranked.filter(
-            (F.col("vec_id") < _N_QUERIES) & (F.col("rnk") <= _IVF_NPROBE)
+            (F.col("vec_id") < _N_QUERIES) & (F.col("rnk") <= nprobe)
         )
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
@@ -502,7 +599,8 @@ def similarity_ivf_topk(spark, sf_dir):
 #
 # The third ANN family next to sign-LSH and IVF: each vector is split
 # into _PQ_M subvectors; each subspace gets its own small codebook
-# (seeded from the first _PQ_K vectors + one Lloyd iteration); a vector
+# (seeded from the first k = _quant_k(n) vectors + one Lloyd iteration
+# over the md5 training sample); a vector
 # is stored as _PQ_M one-byte codes. Query-time ADC (asymmetric
 # distance computation) looks the query-to-centroid distances up per
 # subspace and sums them — memory per vector drops from
@@ -513,7 +611,8 @@ def similarity_ivf_topk(spark, sf_dir):
 
 _PQ_M = 8          # subspaces
 _PQ_DSUB = 8       # dims per subspace (M * DSUB = embedding dim 64)
-_PQ_K = 16         # centroids per subspace
+_PQ_K_MIN = 16     # centroids per subspace: _quant_k(n) ≈ √n clamped —
+_PQ_K_MAX = 256    # 256 cap keeps codes one byte (VERDICT r2 #2)
 _PQ_SHORTLIST = 100  # ADC shortlist depth for the exact re-rank
 
 
@@ -553,8 +652,10 @@ _PQ_ORACLE = f"""
                              ELSE 0.0 END) AS sv
         FROM vn, unnest(generate_series(0, {_PQ_M - 1})) AS g(s)
     ),
+    {_train_params_sql(_PQ_K_MIN, _PQ_K_MAX, base='sub')},
     cents0 AS (
-        SELECT s, vec_id AS cid, sv AS c FROM sub WHERE vec_id < {_PQ_K}
+        SELECT s, vec_id AS cid, sv AS c
+        FROM sub CROSS JOIN params p WHERE vec_id < p.k
     ),
     assign0 AS (
         SELECT vec_id, s, cid FROM (
@@ -563,14 +664,14 @@ _PQ_ORACLE = f"""
                        PARTITION BY sub.vec_id, sub.s
                        ORDER BY {_pq_l2_sql('sub.sv', 'c0.c')}, c0.cid
                    ) AS rnk
-            FROM sub JOIN cents0 c0 ON c0.s = sub.s
+            FROM samp sub JOIN cents0 c0 ON c0.s = sub.s
         ) WHERE rnk = 1
     ),
     means AS (
         SELECT a.s, a.cid, g.pos AS pos,
                round(avg(CAST(sub.sv[g.pos] AS DOUBLE)), 6) AS m
         FROM assign0 a
-        JOIN sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
+        JOIN samp sub ON sub.vec_id = a.vec_id AND sub.s = a.s,
              unnest(generate_series(1, {_PQ_DSUB})) AS g(pos)
         GROUP BY a.s, a.cid, g.pos
     ),
@@ -661,7 +762,15 @@ def similarity_pq_topk(spark, sf_dir):
         "vec_id", F.explode(F.array(*subs)).alias("x")
     ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
 
-    cents0 = sub.filter(F.col("vec_id") < _PQ_K).select(
+    # codebook size from catalog stats (≈√n, 1-byte-code cap) and an
+    # md5-keyed training sample — the PQ analog of the IVF sizing
+    from .sources.catalog import table_rows
+
+    n = table_rows(sf_dir, "embeddings")
+    k = _quant_k(n, _PQ_K_MIN, _PQ_K_MAX)
+    ssub = _train_sample(sub, n)
+
+    cents0 = sub.filter(F.col("vec_id") < k).select(
         "s", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
     )
 
@@ -676,9 +785,9 @@ def similarity_pq_topk(spark, sf_dir):
             .select("vec_id", "s", "cid")
         )
 
-    assign0 = nearest(sub, cents0)
+    assign0 = nearest(ssub, cents0)
     means = (
-        assign0.join(sub, ["vec_id", "s"])
+        assign0.join(ssub, ["vec_id", "s"])
         .select("s", "cid", F.posexplode("sv").alias("pos0", "val"))
         .groupBy("s", "cid", "pos0")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
@@ -691,6 +800,7 @@ def similarity_pq_topk(spark, sf_dir):
                 lambda st: st["m"],
             ).alias("c")
         )
+        .persist()  # M×k-row codebook, consumed by encode AND the ADC LUT
     )
     encode = nearest(sub, cents1).withColumnRenamed("cid", "code")
 

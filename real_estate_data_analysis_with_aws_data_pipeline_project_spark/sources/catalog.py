@@ -36,6 +36,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet footer metadata — the catalog-stats
+    path for sizing decisions (LSH bits, quantizer k).  No Spark job,
+    no data scan; on a cluster this is the table-statistics lookup
+    (VERDICT r2 #7: a ``df.count()`` action for sizing is one extra
+    full scan per run at 100 TB)."""
+    import pyarrow.parquet as pq
+
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return pq.ParquetFile(table_path(sf_dir, name)).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan; Catalyst pushes filters/projections into it."""
     if name not in TABLES:

@@ -369,3 +369,36 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert merged.get("00:00") == 3.0, (out1, out2)  # late 100 excluded
     for v in list(out1.values()) + list(out2.values()):
         assert v not in (100.0, 103.0), (out1, out2)
+
+
+def test_quant_sizing_twins_agree_cross_engine():
+    """VERDICT r2 #2: the Python quantizer-sizing twins must agree with
+    the oracle's SQL forms for every n, INCLUDING power-of-four corpus
+    sizes where a float log2 formula could diverge in the last ulp."""
+    import duckdb
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _TRAIN_TARGET,
+        _quant_k,
+        _quant_k_sql,
+        _train_thresh_hex,
+    )
+
+    con = duckdb.connect()
+    ns = [1, 2, 100, 255, 256, 257, 500, 1023, 1024, 1025, 2000, 4096,
+          16384, 65536, 1 << 20, 1 << 24, 10**9]
+    for n in ns:
+        for kmin, kmax in [(16, 4096), (16, 256)]:
+            sql_k = con.execute(
+                f"SELECT {_quant_k_sql(str(n), kmin, kmax)}"
+            ).fetchone()[0]
+            py_k = _quant_k(n, kmin, kmax)
+            assert sql_k == py_k, (n, kmin, kmax, sql_k, py_k)
+            assert py_k * py_k >= min(n, kmax * kmax)  # ≈√n invariant
+        sql_th = con.execute(
+            f"""SELECT CASE WHEN {n} <= {_TRAIN_TARGET} THEN NULL
+                ELSE printf('%04x',
+                     CAST(floor(65536.0 * {_TRAIN_TARGET} / {n}) AS INT))
+                END"""
+        ).fetchone()[0]
+        assert sql_th == _train_thresh_hex(n), (n, sql_th)
