@@ -66,10 +66,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark(app_name="bench")
+    # Warm pass over ALL queries first, then a separate timing pass:
+    # with warm-and-time interleaved per query, the first benched query
+    # absorbed the session-wide JIT/codegen/shuffle-infra warm-up
+    # (flagship read 1.5-1.9 s in r2 vs its 0.95 s steady state, and
+    # the gap grew with the registered surface).  Two passes measure
+    # steady-state engine throughput — the stated goal — uniformly.
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:
+        QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
+    for name in HEADLINE_QUERIES:
         fn = QUERIES[name].fn
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()  # warm
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
