@@ -124,11 +124,14 @@ def _user_stats_fn(key, pdfs: Iterator[pd.DataFrame], state):
         if len(pdf):
             mx = max(mx, float(pdf["value"].max()))
     state.update((n, total, mx))
+    # raw double out — rounding happens engine-side (F.round) after the
+    # stateful op: Python round() is banker's on the binary value and
+    # diverges from Spark/DuckDB at exact decimal halves
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [total],
             "max_value": [mx],
         }
     )
@@ -174,4 +177,9 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     _run_to_memory(result, "stream_user_stats", "update")
-    return spark.table("stream_user_stats")
+    return spark.table("stream_user_stats").select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        "max_value",
+    )
