@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from .operators import text as X
 from .registry import register
-from .sources.catalog import load_table
+from .sources.catalog import load_table, table_rows
 
 # --- shared shingle kernel (word 3-grams, distinct) ------------------------
 
@@ -260,6 +260,40 @@ MINHASH_PAIRS_ORACLE = f"""
     """
 
 
+def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
+    """(doc_id, band_idx, band_val) LSH keys from a shingle relation:
+    k=9 chunk-derived minhashes arranged as 3 bands of 3.  Shared by
+    ``dedup_minhash_lsh`` and the scale-growth harness (which audits
+    band-bucket sizes and candidate counts as the corpus grows)."""
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    digests = ex.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(F.lit(f"{salt}:"), F.col("shingle")).cast("binary")
+            ).alias(f"d_{salt}")
+            for salt in _MINHASH_SALTS
+        ],
+    )
+    mh = digests.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"d_{salt}", 1 + 8 * ci, 8)).alias(f"h_{salt}{ci}")
+            for salt, ci in _HASH_IDS
+        ]
+    )
+    return mh.select(
+        "doc_id",
+        F.array(
+            *[
+                F.concat_ws(
+                    "|", *[f"h_{s}{ci}" for s, ci in _HASH_IDS[3 * b : 3 * b + 3]]
+                )
+                for b in range(_MINHASH_BANDS)
+            ]
+        ).alias("bands"),
+    ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
+
+
 @register("dedup_minhash_lsh", MINHASH_PAIRS_ORACLE, headline=True)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup: shingle → k=9 chunk-derived minhashes →
@@ -278,33 +312,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     # the same logical plan and spamming 'already cached' warnings
     # (ADVICE r1).
     sh = cached_shingles(spark, sf_dir)
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    digests = ex.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat(F.lit(f"{salt}:"), F.col("shingle")).cast("binary")
-            ).alias(f"d_{salt}")
-            for salt in _MINHASH_SALTS
-        ],
-    )
-    mh = digests.groupBy("doc_id").agg(
-        *[
-            F.min(F.substring(f"d_{salt}", 1 + 8 * ci, 8)).alias(f"h_{salt}{ci}")
-            for salt, ci in _HASH_IDS
-        ]
-    )
-    bands = mh.select(
-        "doc_id",
-        F.array(
-            *[
-                F.concat_ws(
-                    "|", *[f"h_{s}{ci}" for s, ci in _HASH_IDS[3 * b : 3 * b + 3]]
-                )
-                for b in range(_MINHASH_BANDS)
-            ]
-        ).alias("bands"),
-    ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
+    bands = minhash_band_keys(sh)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -346,9 +354,49 @@ def dedup_minhash_lsh(spark, sf_dir):
 # columns — shuffle O(shingles), integer-exact in both engines.
 
 _SIMHASH_BITS = 64
-_SIMHASH_BANDS = 5
-_SIMHASH_BAND_BITS = 12  # bands slice the first 60 of 64 bits
+_SIMHASH_TABLES = 5  # number of LSH hash tables (fixed recall knob)
+_SIMHASH_BAND_BITS_MIN = 12  # 5 disjoint 12-bit bands at test scales
+_SIMHASH_BAND_BITS_MAX = 48
 _SIMHASH_HAMMING_MAX = 10
+
+
+def _simhash_band_bits(n_docs: int) -> int:
+    """Adaptive band width w (round-3 scale-growth finding): the
+    smallest w in [12, 48] with 2^(w+1) >= n_docs, so the per-table
+    bucket space grows WITH the corpus and expected same-bucket
+    candidate pairs stay ~bounded per doc (5 tables × n²/2^(w+1)
+    ≤ 5n by the rule).  A fixed 12-bit width measured quadratic
+    candidate growth (alpha 1.96) in tools/scale_growth.py — the
+    same class of bug as the r2 fixed-k quantizers.  Integer
+    thresholds only (no libm log2), Python twin of
+    ``_simhash_band_bits_sql``; n comes from parquet metadata
+    (``table_rows``), not a count job."""
+    w = _SIMHASH_BAND_BITS_MIN
+    while w < _SIMHASH_BAND_BITS_MAX and (1 << (w + 1)) < n_docs:
+        w += 1
+    return w
+
+
+def _simhash_band_bits_sql(n_expr: str) -> str:
+    """SQL twin of ``_simhash_band_bits`` — integer comparisons only."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {1 << (w + 1)} THEN {w}"
+        for w in range(_SIMHASH_BAND_BITS_MIN, _SIMHASH_BAND_BITS_MAX)
+    )
+    return f"(CASE {arms} ELSE {_SIMHASH_BAND_BITS_MAX} END)"
+
+
+def _simhash_band_starts(w: int) -> list[int]:
+    """1-based substr starts of the _SIMHASH_TABLES cyclic w-bit
+    windows over the doubled signature: table i starts at
+    (i*w) mod 64, plus an (i*w) div 64 phase shift so tables stay
+    distinct when w divides 64 (w=16 would otherwise make table 4 a
+    copy of table 0).  At w=12 this is exactly the historical five
+    disjoint 12-bit bands."""
+    return [
+        (i * w) % _SIMHASH_BITS + (i * w) // _SIMHASH_BITS + 1
+        for i in range(_SIMHASH_TABLES)
+    ]
 
 _HEX = "0123456789abcdef"
 _N_HEX_CHARS = _SIMHASH_BITS // 4
@@ -464,16 +512,41 @@ def dedup_simhash(spark, sf_dir):
     return _doc_simhash(_docs(spark, sf_dir), cached_shingles(spark, sf_dir))
 
 
+def simhash_band_keys(sig: "DataFrame", n_docs: int) -> "DataFrame":
+    """(doc_id, simhash, band_idx, band_val) LSH keys: _SIMHASH_TABLES
+    cyclic windows of ``_simhash_band_bits(n_docs)`` bits over the
+    doubled signature.  Shared by ``dedup_simhash_pairs`` and the
+    scale-growth harness (which audits bucket sizes and candidate
+    counts as the corpus grows)."""
+    w = _simhash_band_bits(n_docs)
+    return sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"substr(simhash || simhash, {s}, {w})")
+                    for s in _simhash_band_starts(w)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+
+
 @register(
     "dedup_simhash_pairs",
     f"""
     WITH {_simhash_sig_sql()},
+    p AS (SELECT {_simhash_band_bits_sql("(SELECT count(*) FROM documents)")}
+              AS w),
     bx AS (
         SELECT doc_id, simhash, band_idx,
-               substr(simhash, band_idx * {_SIMHASH_BAND_BITS} + 1,
-                      {_SIMHASH_BAND_BITS}) AS band_val
-        FROM sigs,
-             (SELECT unnest(generate_series(0, {_SIMHASH_BANDS - 1}))
+               substr(simhash || simhash,
+                      (band_idx * w) % {_SIMHASH_BITS}
+                      + (band_idx * w) // {_SIMHASH_BITS} + 1,
+                      w) AS band_val
+        FROM sigs, p,
+             (SELECT unnest(generate_series(0, {_SIMHASH_TABLES - 1}))
                   AS band_idx)
     ),
     cand AS (
@@ -495,33 +568,24 @@ def dedup_simhash(spark, sf_dir):
     headline=True,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs, UNCAPPED: 5 bands of 12 bits over the
-    64-bit shingle-level signature → bucket equi-join → hamming ≤ 10
-    verify. Same LSH shape as minhash but on the compact bit
-    signature. Measured at sf0.1: max band bucket 8 docs, 16.8k
-    candidate pairs (0.13 % of all pairs), 0.93 recall of the exact
-    Jaccard≥0.5 truth set — the 64-bit shingle signature removes the
-    round-1 degeneracy (16-bit token votes concentrated on this
-    shared-vocabulary corpus and forced a 1000-doc cap)."""
+    """SimHash near-dup pairs, UNCAPPED: 5 scale-adaptive bands
+    (cyclic w-bit windows, w from ``_simhash_band_bits`` — 12 at test
+    scales, growing as log2(n) so candidates stay ~linear in n) over
+    the 64-bit shingle-level signature → bucket equi-join → hamming
+    ≤ 10 verify. Same LSH shape as minhash but on the compact bit
+    signature. Measured at sf0.1 (w=12, the historical five disjoint
+    bands): max band bucket 8 docs, 16.8k candidate pairs (0.13 % of
+    all pairs), 0.93 recall of the exact Jaccard≥0.5 truth set — the
+    64-bit shingle signature removes the round-1 degeneracy (16-bit
+    token votes concentrated on this shared-vocabulary corpus and
+    forced a 1000-doc cap)."""
     # the signature relation feeds BOTH sides of the band self-join —
     # persist it (one row per doc; the artifact an index build would
     # write out) so the explode+64-sum vote chain runs once, not twice
     sh = _doc_simhash(
         _docs(spark, sf_dir), cached_shingles(spark, sf_dir)
     ).persist()
-    bx = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(*[F.lit(i) for i in range(_SIMHASH_BANDS)])
-        ).alias("band_idx"),
-    ).withColumn(
-        "band_val",
-        F.expr(
-            f"substr(simhash, band_idx * {_SIMHASH_BAND_BITS} + 1, "
-            f"{_SIMHASH_BAND_BITS})"
-        ),
-    )
+    bx = simhash_band_keys(sh, table_rows(sf_dir, "documents"))
     a, b = bx.alias("a"), bx.alias("b")
     cand = (
         a.join(

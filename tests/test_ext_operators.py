@@ -524,3 +524,59 @@ def test_quant_sizing_twins_agree_cross_engine():
                 END"""
         ).fetchone()[0]
         assert sql_th == _train_thresh_hex(n), (n, sql_th)
+
+
+def test_simhash_band_sizing_twins_agree_cross_engine(spark):
+    """Round-3 scale fix: adaptive simhash band width. The Python
+    ladder, the oracle's SQL CASE ladder, and both engines' cyclic
+    window extraction must agree for every n — including the w>12
+    widths no current test corpus reaches (the driver only exercises
+    w=12, so this is the only check on the wide-corpus arms)."""
+    import duckdb
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        _SIMHASH_TABLES,
+        _simhash_band_bits,
+        _simhash_band_bits_sql,
+        _simhash_band_starts,
+        simhash_band_keys,
+    )
+
+    con = duckdb.connect()
+    ns = [1, 2, 500, 5000, 8191, 8192, 8193, 10**4, 4 * 10**4, 10**6,
+          10**9, 1 << 40, 1 << 49, 1 << 60]
+    for n in ns:
+        sql_w = con.execute(
+            f"SELECT {_simhash_band_bits_sql(str(n))}"
+        ).fetchone()[0]
+        py_w = _simhash_band_bits(n)
+        assert sql_w == py_w, (n, sql_w, py_w)
+        assert 12 <= py_w <= 48
+        if py_w < 48:
+            # bounded-candidates invariant: 5 tables × n²/2^(w+1) ≤ 5n
+            assert (1 << (py_w + 1)) >= min(n, 1 << 49)
+
+    sig = format(0x9E3779B97F4A7C15, "064b")  # fixed 64-bit pattern
+    for w in (12, 13, 16, 31, 48):
+        starts = _simhash_band_starts(w)
+        assert len(set(starts)) == _SIMHASH_TABLES, (w, starts)
+        expected = [(sig * 2)[s - 1 : s - 1 + w] for s in starts]
+        sql_vals = [
+            con.execute(
+                f"SELECT substr('{sig}' || '{sig}', "
+                f"({i} * {w}) % 64 + ({i} * {w}) // 64 + 1, {w})"
+            ).fetchone()[0]
+            for i in range(_SIMHASH_TABLES)
+        ]
+        assert sql_vals == expected, (w, sql_vals, expected)
+        n_for_w = 1 << (w + 1)  # smallest-w rule maps this n to w
+        assert _simhash_band_bits(n_for_w) == w
+        spark_rows = (
+            simhash_band_keys(
+                spark.createDataFrame([(1, sig)], "doc_id int, simhash string"),
+                n_for_w,
+            )
+            .orderBy("band_idx")
+            .collect()
+        )
+        assert [r.band_val for r in spark_rows] == expected, (w, spark_rows)
