@@ -1,0 +1,498 @@
+"""Retrieval / ranking operators ([ext] depth, round 3).
+
+The query-side completion of the LLM-data story (SURVEY.md §2.11):
+once a corpus is deduped, filtered and embedded, a training/RAG
+pipeline *retrieves* from it — sparse full-text scoring (BM25), an
+inverted-index build, dense+sparse hybrid fusion (reciprocal-rank
+fusion), and link-analysis prioritization (PageRank over the
+customer–supplier order graph, the classic crawl-frontier ranking).
+
+Scale shapes:
+- BM25: corpus statistics (N, df per query term, avgdl) are ONE
+  map-side-combinable aggregate row broadcast back to a per-row
+  scoring expression — no per-term explode, no shuffle of the corpus.
+- Inverted index: one groupBy(term) with capped posting heads (the
+  stopword-skew guard), df exact.
+- RRF: two window ranks + an equi-join on doc_id.
+- PageRank: 3 unrolled Pregel-style iterations, each one
+  edges⋈rank join + one groupBy(dst) shuffle — FIXED-POINT integer
+  arithmetic (contributions are ``pr div outdeg``) so the result is
+  bit-identical regardless of partitioning or sum order, with no
+  float-rounding channel between the engines.
+
+Reference parity: the reference engine has no retrieval surface
+(SURVEY.md §2 marks these [ext]); semantics follow the public BM25
+(Robertson/Spärck Jones, k1=1.2 b=0.75, Lucene's ln(1+…) idf) and
+RRF (Cormack et al., k=60) formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import similarity as S
+from .operators import text as X
+from .registry import register
+from .sources.catalog import load_table
+
+# BM25 constants (classic Robertson values; decimal literals parse to
+# identical doubles in both engines).
+_BM25_K1 = "1.2"
+_BM25_K1_PLUS_1 = "2.2"
+_BM25_B = "0.75"
+_BM25_ONE_MINUS_B = "0.25"
+_BM25_TERMS = ("spark", "vector", "stream", "window")
+_BM25_TOP_K = 20
+_RRF_K = 60
+_RRF_TOP_K = 10
+_RRF_CAND = 100  # per-retriever list depth fed into the fusion
+_IDX_POSTING_CAP = 20
+
+_PR_SCALE = 10_000_000  # fixed-point PageRank unit (1.0 == 1e7)
+_PR_TELEPORT = 1_500_000  # 0.15 * SCALE, exact
+_PR_ITERS = 3
+_PR_TOP_K = 25
+
+
+# --- BM25 ------------------------------------------------------------------
+#
+# Both engines compute, from one definition:
+#   tf_i  = |{tokens == term_i}|            (per doc, array filter)
+#   dl    = |tokens|
+#   stats = (N, avgdl = sum(dl)/N as explicit double division,
+#            df_i = |{docs: tf_i > 0}|)     (one aggregate row)
+#   idf_i = round(ln(1 + (N - df_i + 0.5)/(df_i + 0.5)), 6)
+#   score = round(Σ_i idf_i · tf_i·(k1+1) / (tf_i + k1·(1-b+b·dl/avgdl)), 4)
+# The Σ is a FIXED-ORDER 4-term addition (not an aggregate), so there
+# is no sum-order nondeterminism; ln is the only transcendental and is
+# rounded at 6 dp per the cross-engine libm rule.
+
+
+def _bm25_term_sql(i: int) -> str:
+    return (
+        f"round(ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+        f" * (tf{i} * {_BM25_K1_PLUS_1})"
+        f" / (tf{i} + {_BM25_K1} * ({_BM25_ONE_MINUS_B}"
+        f" + {_BM25_B} * dl / avgdl))"
+    )
+
+
+_BM25_SCORED_SQL = f"""
+    t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(toks, x -> x = '{term}')) AS BIGINT)"
+                   f" AS tf{i}"
+                   for i, term in enumerate(_BM25_TERMS))}
+        FROM t
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               {", ".join(
+                   f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS df{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    scored AS (
+        SELECT doc_id,
+               round({" + ".join(_bm25_term_sql(i)
+                                 for i in range(len(_BM25_TERMS)))}, 4)
+                   AS bm25
+        FROM f CROSS JOIN stats
+    )
+"""
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document — Spark twin of
+    ``_BM25_SCORED_SQL``."""
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+
+    def _eq(term: str):
+        # closure factory: F.filter fills EVERY lambda param (even
+        # default-arg ones) with Columns, so `lambda x, t=term:` would
+        # bind t to the element INDEX — see pyspark-expression-pitfalls
+        return lambda x: x == F.lit(term)
+
+    f = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = f.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = f.crossJoin(F.broadcast(stats))
+    term_cols = [F.expr(_bm25_term_sql(i)) for i in range(len(_BM25_TERMS))]
+    total = term_cols[0]
+    for c in term_cols[1:]:
+        total = total + c
+    return scored.select("doc_id", F.round(total, 4).alias("bm25"))
+
+
+@register(
+    "retrieval_bm25_topk",
+    f"""
+    WITH {_BM25_SCORED_SQL}
+    SELECT doc_id, bm25 FROM scored
+    WHERE bm25 > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOP_K}
+    """,
+)
+def retrieval_bm25_topk(spark, sf_dir):
+    """BM25 top-k full-text retrieval for a fixed query term set.
+
+    Corpus statistics (N, avgdl, per-term df) are computed as ONE
+    aggregate row (map-side partials, broadcast back), term
+    frequencies as per-row array filters — the whole corpus is scanned
+    once with no explode and no shuffle beyond the 1-row aggregate;
+    top-k plans as TakeOrderedAndProject. That shape is unchanged at
+    100 TB: stats are O(1) state, scoring is embarrassingly parallel.
+    """
+    scored = _bm25_scored(load_table(spark, sf_dir, "documents"))
+    return (
+        scored.filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOP_K)
+    )
+
+
+# --- inverted index --------------------------------------------------------
+
+
+@register(
+    "retrieval_build_inverted_index",
+    f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    x AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           array_to_string(
+               list_sort(list(doc_id))[1:{_IDX_POSTING_CAP}], '|')
+               AS postings_head
+    FROM x
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY term
+    """,
+)
+def retrieval_build_inverted_index(spark, sf_dir):
+    """Inverted-index build: term → exact document frequency + the
+    first ``_IDX_POSTING_CAP`` posting doc_ids (sorted, joined as a
+    string so the comparison is value-exact). One groupBy(term)
+    shuffle of DISTINCT (doc, term) pairs; the posting-head cap is the
+    stopword-skew guard — df stays exact while no reducer materializes
+    an unbounded list. At 100 TB the posting lists themselves would be
+    written as a bucketed sink partitioned by term hash; the head here
+    stands in for that artifact's summary row."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    return (
+        x.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.array_join(
+                F.slice(
+                    F.sort_array(F.collect_list("doc_id")),
+                    1,
+                    _IDX_POSTING_CAP,
+                ),
+                "|",
+            ).alias("postings_head"),
+        )
+        .orderBy("term")
+    )
+
+
+# --- hybrid dense+sparse retrieval (reciprocal-rank fusion) ----------------
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    f"""
+    WITH {_BM25_SCORED_SQL},
+    sparse0 AS (
+        SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id LIMIT {_RRF_CAND}
+    ),
+    sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS sparse_rank
+        FROM sparse0
+    ),
+    v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id = 0),
+    dense0 AS (
+        SELECT c.vec_id AS doc_id,
+               round({S.cosine_sql('q.embedding', 'c.embedding',
+                                   'q.nrm', 'c.nrm')}, 6) AS cos_sim
+        FROM v c CROSS JOIN q
+        WHERE c.vec_id <> 0
+        ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_CAND}
+    ),
+    dense AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rank
+        FROM dense0
+    )
+    SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+           CAST(coalesce(s.sparse_rank, 0) AS BIGINT) AS sparse_rank,
+           CAST(coalesce(d.dense_rank, 0) AS BIGINT) AS dense_rank,
+           (CASE WHEN s.sparse_rank IS NULL THEN 0.0
+                 ELSE 1.0 / ({_RRF_K} + s.sparse_rank) END
+            + CASE WHEN d.dense_rank IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K} + d.dense_rank) END) AS rrf_score
+    FROM sparse s FULL OUTER JOIN dense d ON d.doc_id = s.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {_RRF_TOP_K}
+    """,
+)
+def retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 ranking with a dense
+    cosine-similarity ranking (query = embedding of vec_id 0) via
+    reciprocal-rank fusion, rrf = Σ 1/(60+rank).
+
+    Each retriever contributes its top-``_RRF_CAND`` list (the
+    canonical RRF setup — fusion over retrieved lists, not full
+    corpora), ranked over its OWN coverage (text docs vs embedded
+    docs — only 2000 of 5000 sf0.1 docs carry embeddings, the
+    realistic partial-embedding case) and fused over the UNION of the
+    two lists — a doc absent from one list contributes 0 for it, and
+    its absent rank surfaces as the 0 sentinel (no nullable-int
+    dtype-promotion hazard in the comparison).
+    Ranks are computed on ROUNDED scores (bm25 4 dp,
+    cosine 6 dp) with doc_id tie-breaks so the orderings are
+    engine-exact, and the fusion itself is pure rational arithmetic
+    on integer ranks — bit-identical, no rounding channel. Each
+    truncation plans as TakeOrderedAndProject (distributed partial
+    top-k, no global sort); the row_number windows then run over
+    ≤ _RRF_CAND rows by construction — bounded, not a scale hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = (
+        _bm25_scored(docs)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_CAND)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .alias("sparse_rank"),
+        )
+    )
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dense0 = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                S.cosine(
+                    F.col("q_emb"),
+                    F.col("embedding"),
+                    F.col("q_nrm"),
+                    F.col("nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    dense = (
+        dense0.orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(_RRF_CAND)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos_sim"), "doc_id"))
+            .alias("dense_rank"),
+        )
+    )
+    rrf = F.when(
+        F.col("sparse_rank").isNull(), F.lit(0.0)
+    ).otherwise(1.0 / (_RRF_K + F.col("sparse_rank"))) + F.when(
+        F.col("dense_rank").isNull(), F.lit(0.0)
+    ).otherwise(1.0 / (_RRF_K + F.col("dense_rank")))
+    return (
+        sparse.join(dense, "doc_id", "full")  # union of the two lists
+        .select(
+            "doc_id",
+            F.coalesce("sparse_rank", F.lit(0)).cast("bigint")
+            .alias("sparse_rank"),
+            F.coalesce("dense_rank", F.lit(0)).cast("bigint")
+            .alias("dense_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_TOP_K)
+    )
+
+
+# --- PageRank over the order graph -----------------------------------------
+#
+# Fixed-point integer PageRank: pr is an integer in units of 1e-7
+# (SCALE=1e7), contributions are pr div outdeg (truncating integer
+# division — all values positive so Spark's div and DuckDB's // agree),
+# damping is (85·Σ) div 100, teleport 0.15·SCALE exactly. Integer sums
+# are associative-commutative EXACTLY, so partitioning/sum order cannot
+# produce a last-ulp divergence — the float-PageRank hash hazard is
+# designed out rather than rounded away.
+
+_PR_EDGES_SQL = """
+    eb AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (
+        SELECT 'C' AS src_t, c AS src, 'S' AS dst_t, s AS dst FROM eb
+        UNION ALL
+        SELECT 'S', s, 'C', c FROM eb
+    ),
+    deg AS (
+        SELECT src_t, src, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src_t, src
+    )
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.src_t AS t, n.src AS id,
+               CAST({_PR_TELEPORT}
+                    + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS pr
+        FROM deg n LEFT JOIN (
+            SELECT e.dst_t, e.dst,
+                   CAST(sum(p.pr // d.outdeg) AS BIGINT) AS s
+            FROM edges e
+            JOIN {prev} p ON p.t = e.src_t AND p.id = e.src
+            JOIN deg d ON d.src_t = e.src_t AND d.src = e.src
+            GROUP BY e.dst_t, e.dst
+        ) m ON m.dst_t = n.src_t AND m.dst = n.src
+    )"""
+
+
+@register(
+    "graph_pagerank_orders",
+    f"""
+    WITH {_PR_EDGES_SQL},
+    pr0 AS (
+        SELECT src_t AS t, src AS id, CAST({_PR_SCALE} AS BIGINT) AS pr
+        FROM deg
+    ),
+    {",".join(_pr_iter_sql(f"pr{i}", f"pr{i + 1}")
+              for i in range(_PR_ITERS))}
+    SELECT t AS node_type, id AS node_id, pr
+    FROM pr{_PR_ITERS}
+    ORDER BY pr DESC, node_type, node_id
+    LIMIT {_PR_TOP_K}
+    """,
+)
+def graph_pagerank_orders(spark, sf_dir):
+    """PageRank (3 unrolled iterations, damping 0.85, fixed-point
+    integer arithmetic) over the undirected customer↔supplier graph
+    induced by orders⋈lineitem — the link-analysis prioritization a
+    crawl/curation pipeline runs over its source graph.
+
+    Pregel shape: each iteration is one edges⋈rank equi-join plus one
+    groupBy(dst) shuffle; the edge relation is built once and
+    persisted (an iterative consumer would checkpoint it). Integer
+    fixed-point contributions make the result bit-identical under any
+    partitioning — no floating sum-order channel."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    eb = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = (
+        eb.select(
+            F.lit("C").alias("src_t"),
+            F.col("c").alias("src"),
+            F.lit("S").alias("dst_t"),
+            F.col("s").alias("dst"),
+        )
+        .unionAll(
+            eb.select(
+                F.lit("S").alias("src_t"),
+                F.col("s").alias("src"),
+                F.lit("C").alias("dst_t"),
+                F.col("c").alias("dst"),
+            )
+        )
+        .persist()
+    )
+    deg = edges.groupBy("src_t", "src").agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    )
+    pr = deg.select(
+        F.col("src_t").alias("t"),
+        F.col("src").alias("id"),
+        F.lit(_PR_SCALE).cast("bigint").alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                pr, (pr.t == edges.src_t) & (pr.id == edges.src)
+            )
+            .join(deg, ["src_t", "src"])
+            .select(
+                F.col("dst_t"),
+                F.col("dst"),
+                F.expr("pr div outdeg").alias("contrib"),
+            )
+            .groupBy("dst_t", "dst")
+            .agg(F.sum("contrib").cast("bigint").alias("s"))
+        )
+        pr = deg.join(
+            contrib,
+            (deg.src_t == contrib.dst_t) & (deg.src == contrib.dst),
+            "left",
+        ).select(
+            F.col("src_t").alias("t"),
+            F.col("src").alias("id"),
+            (
+                F.lit(_PR_TELEPORT)
+                + F.expr("(85 * coalesce(s, 0)) div 100")
+            )
+            .cast("bigint")
+            .alias("pr"),
+        )
+    return (
+        pr.select(
+            F.col("t").alias("node_type"), F.col("id").alias("node_id"), "pr"
+        )
+        .orderBy(F.desc("pr"), "node_type", "node_id")
+        .limit(_PR_TOP_K)
+    )
