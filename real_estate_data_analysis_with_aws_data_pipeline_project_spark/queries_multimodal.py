@@ -14,6 +14,7 @@ from .operators.multimodal import extract_features, pack_payloads
 from .registry import register
 from .sources.catalog import load_table
 from .streaming import (
+    streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_window,
     streaming_stateful_user_stats,
@@ -88,6 +89,30 @@ def q_streaming_dedup_events(spark, sf_dir):
     output is deterministic enough to carry a full DuckDB oracle (the
     dedup of a doubled stream equals the batch distinct counts)."""
     return streaming_dedup_events(spark, sf_dir)
+
+
+@register(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS BIGINT)
+               AS gap_seconds
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def q_streaming_click_purchase_join(spark, sf_dir):
+    """Structured Streaming: watermarked stream-stream interval join
+    (purchases to same-user clicks within 30 min). Inner-join matches
+    emit eagerly, so the availableNow output equals the batch interval
+    join — a second streaming job with a full DuckDB oracle."""
+    return streaming_click_purchase_join(spark, sf_dir)
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

@@ -263,3 +263,111 @@ def sketch_hll_union(spark, sf_dir):
             ),
         )
     )
+
+
+# --- quantile sketch (approx_percentile) -----------------------------------
+#
+# The quantile member of the mergeable-sketch family (count-min = point
+# frequency, Misra-Gries = heavy hitters, HLL = distinct, this =
+# distribution). Spark's approx_percentile is a Greenwald-Khanna-style
+# mergeable summary with a RANK-error guarantee: the returned element's
+# rank r satisfies |r/n - q| <= eps with eps ~ 1/accuracy. The check
+# converts that guarantee into booleans the oracle can assert: the
+# fraction of rows <= / < the approx value must straddle [q-eps, q+eps].
+# Exact reference quantiles are emitted with linear interpolation at
+# position q*(n-1) — the same published definition in Spark
+# `percentile` and DuckDB `quantile_cont` — rounded 2 dp (the input's
+# decimal grid).
+
+_QS_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+_QS_ACCURACY = 1000
+_QS_EPS = 2.0 / _QS_ACCURACY  # guarantee headroom (GK merge slack)
+
+_QS_ORACLE = f"""
+    WITH e AS (
+        SELECT quantile_cont(l_extendedprice,
+                   [{", ".join(str(q) for q in _QS_QUANTILES)}]) AS v
+        FROM lineitem
+    )
+    SELECT CAST([{", ".join(str(q) for q in _QS_QUANTILES)}][i] AS DOUBLE)
+               AS q,
+           round(v[i], 2) AS exact_value,
+           TRUE AS within_rank_envelope
+    FROM e, (SELECT unnest(generate_series(1, {len(_QS_QUANTILES)})) AS i)
+    ORDER BY q
+"""
+
+
+@register("sketch_quantile_envelope", _QS_ORACLE)
+def sketch_quantile_envelope(spark, sf_dir):
+    """approx_percentile (mergeable quantile summary) over
+    l_extendedprice at 4 probe quantiles, validated against its own
+    rank guarantee: for each q the approx element's rank fraction must
+    lie in [q-eps, q+eps]. The oracle recomputes the exact
+    interpolated quantiles and asserts the envelope booleans — the
+    sketch-comparison convention (never compare approx values raw).
+    One pass builds all 4 estimates; the rank check is 4 conditional
+    counts in a second single-row aggregate — O(rows) scan both times,
+    O(accuracy) driver state."""
+    from .sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    apx = li.agg(
+        F.percentile_approx(
+            "l_extendedprice",
+            F.array(*[F.lit(q) for q in _QS_QUANTILES]),
+            F.lit(_QS_ACCURACY),
+        ).alias("apx"),
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(q) for q in _QS_QUANTILES)
+            + "))"
+        ).alias("exact"),
+    )
+    counts = li.crossJoin(F.broadcast(apx)).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") <= F.col("apx")[i], 1
+                ).otherwise(0)
+            ).alias(f"le{i}")
+            for i in range(len(_QS_QUANTILES))
+        ],
+        *[
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") < F.col("apx")[i], 1
+                ).otherwise(0)
+            ).alias(f"lt{i}")
+            for i in range(len(_QS_QUANTILES))
+        ],
+        F.first("exact").alias("exact"),
+    )
+    checks = counts.select(
+        "exact",
+        *[
+            (F.col(f"le{i}") / F.col("n")).alias(f"le_frac{i}")
+            for i in range(len(_QS_QUANTILES))
+        ],
+        *[
+            (F.col(f"lt{i}") / F.col("n")).alias(f"lt_frac{i}")
+            for i in range(len(_QS_QUANTILES))
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(q).alias("q"),
+            F.round(F.col("exact")[i], 2).alias("exact_value"),
+            (
+                (F.col(f"le_frac{i}") >= F.lit(q - _QS_EPS))
+                & (F.col(f"lt_frac{i}") <= F.lit(q + _QS_EPS))
+            ).alias("within_rank_envelope"),
+        )
+        for i, q in enumerate(_QS_QUANTILES)
+    ]
+    return (
+        checks.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.q", "r.exact_value", "r.within_rank_envelope")
+        .orderBy("q")
+    )

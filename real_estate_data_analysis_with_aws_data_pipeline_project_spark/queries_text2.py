@@ -198,3 +198,67 @@ def training_data_prep_pipeline(spark, sf_dir):
             F.round("quality", 6).alias("quality"),
         )
     )
+
+
+# --- BPE merge candidates --------------------------------------------------
+
+_BPE_TOP_K = 20
+
+_BPE_ORACLE = f"""
+    WITH t AS (SELECT {X.tokens_sql()} AS toks FROM documents),
+    w AS (SELECT unnest(toks) AS w FROM t),
+    wc AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c
+        FROM w WHERE w <> '' GROUP BY w
+    ),
+    ex AS (
+        SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        FROM wc WHERE length(w) >= 2
+    )
+    SELECT substr(w, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+    FROM ex
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {_BPE_TOP_K}
+"""
+
+
+@register("text_bpe_top_merges", _BPE_ORACLE)
+def text_bpe_top_merges(spark, sf_dir):
+    """First BPE tokenizer-training iteration: the top adjacent
+    symbol-pair counts over the corpus (character bigrams within
+    words, weighted by word frequency) — exactly the statistic a BPE
+    trainer merges on.
+
+    The corpus collapses to its VOCABULARY first (groupBy word), so
+    the per-position explode runs over distinct words, not the corpus:
+    shuffle O(corpus tokens) once for the vocab count, then
+    O(vocab × word length) for the pair counts — the same two-level
+    aggregation a distributed tokenizer trainer uses, and why this
+    scales to 100 TB (vocab is tiny relative to corpus). Each merge
+    iteration after this one is the same plan over a re-segmented
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.tokens()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    ex = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "c",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
+        )
+        .select(F.expr("substr(w, i, 2)").alias("pair"), "c")
+    )
+    return (
+        ex.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOP_K)
+    )

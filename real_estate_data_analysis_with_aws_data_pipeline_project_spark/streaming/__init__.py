@@ -1,4 +1,5 @@
 from .jobs import (
+    streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_window,
     streaming_stateful_user_stats,
@@ -6,6 +7,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_session_window",
     "streaming_stateful_user_stats",

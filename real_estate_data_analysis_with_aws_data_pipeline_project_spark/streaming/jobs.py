@@ -160,6 +160,58 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_click_purchase_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream INNER interval join: purchases joined to the
+    same user's clicks within [click_ts, click_ts + 30 min]. Both
+    sides are watermarked and the join condition is time-bounded, so
+    each side's buffered state is evicted once the watermark passes —
+    the only configuration whose state stays O(interval), not
+    O(stream). Inner-join matches emit eagerly per micro-batch, so
+    the availableNow run's output equals the batch interval join
+    exactly (full DuckDB oracle, not rows-only)."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            user_id = p_user AND
+            p_ts >= c_ts AND
+            p_ts <= c_ts + INTERVAL 30 MINUTES
+            """
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+        .cast("bigint")
+        .alias("gap_seconds"),
+    )
+    _run_to_memory(joined, "stream_click_purchase", "append")
+    return spark.table("stream_click_purchase")
+
+
 def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState: arbitrary per-key state (running
     count/sum/max per user) — the custom-stateful-operator surface.
