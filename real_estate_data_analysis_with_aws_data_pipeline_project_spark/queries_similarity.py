@@ -1018,3 +1018,169 @@ def embedding_label_centroids(spark, sf_dir):
         F.count("*").alias("n_vecs"),
         F.round(F.avg("cos"), 4).alias("mean_cos_to_centroid"),
     )
+
+
+# --- semantic dedup (SemDeDup-style cluster-then-drop) ---------------------
+#
+# The embedding-space analog of the shingle dedup family: cluster the
+# corpus around k md5-sampled seed vectors (k ~ sqrt(n) via the shared
+# _quant_k ladder), pick one deterministic representative per cluster
+# (min vec_id), and count members whose cosine to the representative
+# clears the near-dup bar — the members a SemDeDup pass would drop.
+# Assignment is the same broadcast O(n x k) argmax as IVF; the
+# member-vs-representative comparison is ONE cosine per row (reps are
+# k rows, broadcast) — never within-cluster pairwise.
+
+_SEM_THRESHOLD = 0.3  # same near-dup bar as dedup_embedding_cosine
+_SEM_KMIN, _SEM_KMAX = 16, 256
+
+_SEM_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    p0 AS (SELECT count(*) AS n FROM v),
+    params AS (
+        SELECT n, {_quant_k_sql('n', _SEM_KMIN, _SEM_KMAX)} AS k FROM p0
+    ),
+    rs AS (
+        SELECT vec_id AS seed_id, embedding AS s_emb, nrm AS s_nrm,
+               row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS rk
+        FROM v
+    ),
+    seeds AS (SELECT seed_id, s_emb, s_nrm FROM rs, params WHERE rk <= k),
+    assign AS (
+        SELECT vec_id, seed_id AS cluster_id FROM (
+            SELECT v.vec_id, s.seed_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY round({S.cosine_sql('v.embedding', 's.s_emb',
+                                                    'v.nrm', 's.s_nrm')}, 6)
+                                DESC, s.seed_id
+                   ) AS rn
+            FROM v CROSS JOIN seeds s
+        ) WHERE rn = 1
+    ),
+    reps AS (
+        SELECT cluster_id, min(vec_id) AS rep_vec_id
+        FROM assign GROUP BY cluster_id
+    ),
+    scored AS (
+        SELECT a.cluster_id, a.vec_id, r.rep_vec_id,
+               round({S.cosine_sql('m.embedding', 'q.embedding',
+                                   'm.nrm', 'q.nrm')}, 6) AS cos_rep
+        FROM assign a
+        JOIN reps r ON r.cluster_id = a.cluster_id
+        JOIN v m ON m.vec_id = a.vec_id
+        JOIN v q ON q.vec_id = r.rep_vec_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           min(rep_vec_id) AS rep_vec_id,
+           CAST(sum(CASE WHEN vec_id <> rep_vec_id
+                          AND cos_rep >= {_SEM_THRESHOLD}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_semantic_dups
+    FROM scored
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+"""
+
+
+@register("dedup_semantic_clusters", _SEM_ORACLE)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup: md5-seeded clustering (k from
+    the shared ~sqrt(n) ladder), deterministic representative per
+    cluster, and the count of members a near-dup drop pass would
+    remove (cosine to representative >= the shared near-dup bar).
+
+    Scale: seeds and representatives are k ~ sqrt(n) rows (broadcast);
+    assignment is the IVF-shaped O(n x k) broadcast argmax; the drop
+    test is one cosine per member against its cluster representative —
+    no within-cluster pairwise blowup, so the plan survives 100x."""
+    from .sources.catalog import table_rows
+
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    n = table_rows(sf_dir, "embeddings")
+    k = _quant_k(n, _SEM_KMIN, _SEM_KMAX)
+    seeds = (
+        v.select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+            F.col("nrm").alias("s_nrm"),
+            F.expr("md5(CAST(vec_id AS STRING))").alias("h"),
+        )
+        .orderBy("h", "seed_id")
+        .limit(k)
+        .drop("h")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.col("seed_id")
+    )
+    assign = (
+        v.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "seed_id",
+            F.round(
+                S.cosine(
+                    F.col("embedding"),
+                    F.col("s_emb"),
+                    F.col("nrm"),
+                    F.col("s_nrm"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"))
+    )
+    reps = assign.groupBy("cluster_id").agg(
+        F.min("vec_id").alias("rep_vec_id")
+    )
+    m = v.select("vec_id", "embedding", "nrm")
+    q = v.select(
+        F.col("vec_id").alias("rep_vec_id"),
+        F.col("embedding").alias("r_emb"),
+        F.col("nrm").alias("r_nrm"),
+    )
+    scored = (
+        assign.join(reps, "cluster_id")
+        .join(m, "vec_id")
+        .join(F.broadcast(q), "rep_vec_id")
+        .select(
+            "cluster_id",
+            "vec_id",
+            "rep_vec_id",
+            F.round(
+                S.cosine(
+                    F.col("embedding"),
+                    F.col("r_emb"),
+                    F.col("nrm"),
+                    F.col("r_nrm"),
+                ),
+                6,
+            ).alias("cos_rep"),
+        )
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("rep_vec_id").alias("rep_vec_id"),
+            F.sum(
+                F.when(
+                    (F.col("vec_id") != F.col("rep_vec_id"))
+                    & (F.col("cos_rep") >= _SEM_THRESHOLD),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_semantic_dups"),
+        )
+        .orderBy("cluster_id")
+    )
