@@ -29,6 +29,7 @@ from . import queries_sketch  # noqa: E402,F401
 from . import queries_quality  # noqa: E402,F401
 from . import queries_functions2  # noqa: E402,F401
 from . import queries_retrieval  # noqa: E402,F401  (r3: after the window)
+from . import queries_tpch2  # noqa: E402,F401  (r3: TPC-H completion)
 
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering.
