@@ -44,58 +44,63 @@ from . import queries_tpch2  # noqa: E402,F401  (r3: TPC-H completion)
 # covered by the local oracle replica (tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW: list[str] = [
-    # --- retained family representatives (driver-green in r02) ---
+    # --- retained family anchors (all driver-green in r03; regression
+    #     canaries — one per major family, everything else rotated) ---
     "flagship_enriched_sample",   # U3 flagship pipeline
     "p1_filter_isin",             # P1 (filters family rep)
-    "p4_project_alias",           # P4
-    "p6_match_rate",              # P6
     "j1_broadcast_left_join",     # J1 (joins family rep)
     "a2_group_count_ordered",     # A2/A3 (aggregates family rep)
-    "w2_stratified_sample_rows",  # W1/W2
+    "w2_stratified_sample_rows",  # W1/W2 (windows family rep)
     "o1_topk",                    # O1/O2
     "set_union_distinct",         # §2.6 set ops
     "f5_string_functions",        # F5 (scalar fns family rep)
-    "f_date_functions",           # date fns
     "c3_quality_gate",            # C3 choice gate
     "text_lang_id",               # §2.11 text family rep
     "quality_heuristic_filter",   # §2.11 corpus quality gate
     "dedup_exact",                # §2.11 exact dedup
     "dedup_minhash_lsh",          # §2.11 MinHash+LSH (dedup family rep)
-    "dedup_embedding_cosine",     # §2.11 embedding near-dup
-    "similarity_ann_lsh",         # §2.11 sign-LSH ANN (similarity rep)
-    "similarity_ivf_topk",        # §2.11 IVF ANN (r3: adaptive k)
-    "pii_detect_redact",          # §2.11 PII scrubbing
+    "similarity_ivf_topk",        # §2.11 IVF ANN (r4: two-level assignment)
     "events_session_window",      # §2.8 session (events family rep)
-    "events_hypertable_rollup",   # §2.8 rollup
     "multimodal_payload_meta",    # §2.11 multimodal
-    "join_asof_last_purchase",    # as-of join (r3: NULL-safe tiebreak)
+    "join_asof_last_purchase",    # as-of join (r4: NULL-marker tiebreak)
     "udf_pandas_parse_id",        # U1 pandas-UDF rung
     "streaming_dedup_events",     # §2.8 streaming (oracle-checked)
     "source_csv_roundtrip",       # S2/S6
-    "source_json_roundtrip",      # S1/S7
-    "skew_salted_agg",            # salted skew pattern
-    "scd2_merge_emulation",       # SCD2/CDC merge
-    "corpus_split_train_val_test",  # corpus 80/10/10 split
-    "corpus_pack_token_shards",   # token-budget packing
-    "corpus_decontamination",     # decontamination
-    "corpus_chunk_documents",     # context-window chunking
-    "sketch_count_min_tokens",    # count-min sketch
-    # --- r3 rotation: first-time driver exposure (VERDICT r2 #1) ---
-    "similarity_pq_topk",         # PQ ANN (ADC + re-rank; r3 adaptive k)
-    "rest_census_ingest",         # S3 REST source (oracle recomputes)
-    "udf_rowwise_safe_int",       # U1 bottom-rung row UDF
-    "udtf_token_windows",         # Spark-4 UDTF + LATERAL
-    "udf_cogroup_spend_ratio",    # cogroup applyInPandas
-    "sql_recursive_cte_date_spine",  # WITH RECURSIVE (Spark 4.1)
-    "json_extract_props",         # JSON functions
-    "f_higher_order_arrays",      # transform/filter/aggregate lambdas
-    "agg_grouping_sets",          # GROUPING SETS / rollup-cube
-    "events_funnel_analysis",     # funnel over event sequences
-    "dq_expectation_suite",       # data-quality expectations
-    "cdc_snapshot_diff",          # CDC snapshot diff
-    "tpch_q1_pricing_summary",    # TPC-H family first driver row
-    "corpus_mixing_sample",       # source-mixing Bernoulli execution
-    "sketch_misra_gries_heavy_hitters",  # MG containment theorem
+    # --- r4 rotation: first-time driver exposure (VERDICT r3 #1).
+    #     Every name below is oracle-backed and green in the local
+    #     replica (tests/test_queries_oracle.py) but has never had a
+    #     driver CORRECTNESS row. 30 first-timers → cumulative
+    #     driver-green 89 → up to 119. ---
+    "retrieval_bm25_topk",        # BM25 ranked retrieval
+    "retrieval_build_inverted_index",  # postings with capped heads
+    "retrieval_hybrid_rrf",       # reciprocal-rank fusion
+    "graph_pagerank_orders",      # integer PageRank, 3 iterations
+    "dedup_semantic_clusters",    # SemDeDup-style semantic dedup
+    "sketch_quantile_envelope",   # mergeable quantile sketch envelope
+    "text_bpe_top_merges",        # BPE merge counting
+    "streaming_click_purchase_join",  # stream-stream interval join
+    "training_data_prep_pipeline",    # e2e training-data prep
+    "text_tfidf_top_terms",       # TF-IDF (r4: N folded into dataflow)
+    "tpch_q7_volume_shipping",    # multi-join volume shipping
+    "tpch_q9_product_profit",     # 6-way join product profit
+    "tpch_q17_small_quantity",    # correlated avg subquery
+    "tpch_q20_part_promotion",    # nested IN subqueries
+    "tpch_q21_waiting_supplier",  # exists/not-exists multi-correlation
+    "dedup_simhash_pairs",        # 64-bit simhash banding (fixed in r3)
+    "similarity_knn_graph",       # mutual kNN graph
+    "events_retention_cohorts",   # cohort retention matrix
+    "events_anomaly_zscore",      # trailing-frame z-score
+    "source_orc_roundtrip",       # ORC source/sink
+    "source_schema_evolution",    # mergeSchema evolution
+    "join_range_bucketed",        # range join via bucketing
+    "subquery_scalar_correlated", # correlated scalar subquery
+    "w8_distribution_functions",  # ntile/percent_rank/cume_dist
+    "sketch_hll_union",           # HLL sketch union
+    "quality_char_entropy",       # char-entropy quality gate
+    "pii_k_anonymity_audit",      # k-anonymity audit
+    "corpus_curation_funnel",     # quality→dedup e2e funnel
+    "text_pmi_top_pairs",         # PMI collocations
+    "dedup_boilerplate_shingles", # boilerplate shingle fraction
 ]
 
 

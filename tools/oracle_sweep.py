@@ -7,6 +7,10 @@ Python-banker's-rounding bug in a pandas UDF ONLY at sf0.1 with this
 sweep. Run it at sf0.1 after adding queries:
 
     python tools/oracle_sweep.py [sf_dir]
+
+Optional second arg restricts the sweep: ``window`` sweeps only the
+driver's 50-query CORRECTNESS window (rotation pre-flight at sf0.01),
+or a comma-separated list of query names.
 """
 
 from __future__ import annotations
@@ -34,6 +38,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="oracle-sweep", master="local[16]", shuffle_partitions=16)
     queries, oracles = entry.queries(), entry.oracle_sql()
+    if len(sys.argv) > 2:
+        if sys.argv[2] == "window":
+            keep = list(queries)[:50]
+        else:
+            keep = sys.argv[2].split(",")
+        queries = {n: queries[n] for n in keep}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
