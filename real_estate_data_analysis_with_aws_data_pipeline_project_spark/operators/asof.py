@@ -45,14 +45,19 @@ def asof_join(
         F.col(right_ts).alias("_r_ts"),
         # deterministic tiebreak among right rows sharing (key, ts):
         # without it, which row's values are carried depends on the
-        # partitioning (ADVICE r1).  NULLs are coalesced to a sentinel
-        # so (NULL,'x') and ('x',NULL) hash differently — concat_ws
-        # silently skips NULL elements (ADVICE r2)
+        # partitioning (ADVICE r1).  Each column contributes an isnull
+        # marker bit followed by its value — NULL hashes as "1" and any
+        # real string as "0"+value, so NULL is distinguishable from
+        # EVERY value, including ones equal to a would-be sentinel
+        # (ADVICE r2/r3; concat_ws alone silently skips NULL elements)
         F.md5(
             F.concat_ws(
                 "|",
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+                    F.concat(
+                        F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")),
+                        F.coalesce(F.col(c).cast("string"), F.lit("")),
+                    )
                     for c in carry_cols
                 ],
             )

@@ -148,10 +148,21 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload (missing signature)")
     pos, width = 8, None
     idat = bytearray()
+    first_chunk = True
     while pos + 8 <= len(payload):
         size, ctype = struct.unpack_from(">I4s", payload, pos)
+        if pos + 8 + size > len(payload):
+            raise ValueError(
+                f"PNG chunk {ctype!r} length {size} overruns payload "
+                f"({len(payload)} bytes)"
+            )
         body = payload[pos + 8 : pos + 8 + size]
+        if first_chunk and ctype != b"IHDR":
+            raise ValueError(f"PNG first chunk must be IHDR, got {ctype!r}")
+        first_chunk = False
         if ctype == b"IHDR":
+            if size < 13:
+                raise ValueError(f"truncated PNG IHDR ({size} bytes)")
             width, height, depth, color, _comp, _filt, interlace = (
                 struct.unpack_from(">IIBBBBB", body, 0)
             )

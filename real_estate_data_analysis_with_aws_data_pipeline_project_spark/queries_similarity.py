@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import similarity as S
+from .operators.session_cache import session_cached
 from .registry import register
 from .sources.catalog import load_table
 
@@ -534,8 +535,12 @@ def similarity_ivf_topk(spark, sf_dir):
     # the trained quantizer is a k-row model consumed by BOTH the
     # assignment and probe branches — persist it so the Lloyd chain
     # isn't re-executed per consumer (at scale the index build would
-    # write it out once)
-    cent = _ivf_train(v, _train_sample(v, n), k).persist()
+    # write it out once). Session-cached (ADVICE r3): repeated
+    # invocations reuse one entry instead of leaking persisted plans.
+    cent = session_cached(
+        spark, "ivf_centroids", sf_dir,
+        lambda: _ivf_train(v, _train_sample(v, n), k),
+    )
     ranked = (
         v.crossJoin(F.broadcast(cent))
         .select(
@@ -792,15 +797,16 @@ def similarity_pq_topk(spark, sf_dir):
         .groupBy("s", "cid", "pos0")
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
     )
-    cents1 = (
-        means.groupBy("s", "cid")
-        .agg(
+    # M×k-row codebook, consumed by encode AND the ADC LUT; session-
+    # cached (ADVICE r3) so repeated invocations reuse one persisted copy
+    cents1 = session_cached(
+        spark, "pq_codebook", sf_dir,
+        lambda: means.groupBy("s", "cid").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos0", "m"))),
                 lambda st: st["m"],
             ).alias("c")
-        )
-        .persist()  # M×k-row codebook, consumed by encode AND the ADC LUT
+        ),
     )
     encode = nearest(sub, cents1).withColumnRenamed("cid", "code")
 

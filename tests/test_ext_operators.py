@@ -234,6 +234,38 @@ def test_png_decoder_rejects_malformed():
         DECODERS["image/png"](b"\x89PNG\r\n\x1a\n" + body)
 
 
+def test_png_decoder_rejects_chunk_order_and_bounds():
+    """ADVICE r3: IDAT-before-IHDR, truncated IHDR, and oversized chunk
+    lengths must raise the registry's ValueError contract, never
+    NameError/struct.error or a silent truncated slice."""
+    import struct
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", _z.crc32(ctype + body))
+        )
+
+    # IDAT before IHDR: channels/height would be unbound without the guard
+    with pytest.raises(ValueError, match="first chunk must be IHDR"):
+        DECODERS["image/png"](sig + chunk(b"IDAT", _z.compress(b"\x00\x00")))
+
+    # truncated IHDR body (5 of 13 bytes)
+    with pytest.raises(ValueError, match="truncated PNG IHDR"):
+        DECODERS["image/png"](sig + chunk(b"IHDR", b"\x00" * 5))
+
+    # declared chunk length overruns the payload
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    oversized = struct.pack(">I", 10_000) + b"IDAT" + b"\x01\x02"
+    with pytest.raises(ValueError, match="overruns payload"):
+        DECODERS["image/png"](sig + chunk(b"IHDR", ihdr) + oversized)
+
+
 def test_extract_features_across_four_codecs(spark):
     """The mapInPandas feature extractor handles heterogeneous media
     formats in one batch — utf8 text, BMP image, PCM WAV audio, and
@@ -580,3 +612,61 @@ def test_simhash_band_sizing_twins_agree_cross_engine(spark):
             .collect()
         )
         assert [r.band_val for r in spark_rows] == expected, (w, spark_rows)
+
+
+def test_session_cache_reuses_persisted_relations(spark, sf_dir):
+    """ADVICE r3: re-invoking a query that persists an intermediate
+    relation (simhash signatures, IVF centroids, PQ codebook, PageRank
+    edges, shingles) must reuse the session cache entry, not stack a
+    fresh .persist() per call — bench's warm+timed pass and the driver
+    both invoke each query at least twice."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        session_cache,
+    )
+
+    session_cache._CACHE.clear()
+    calls = {"n": 0}
+
+    def builder():
+        calls["n"] += 1
+        # distinct plan per build: Spark's cache lookup is plan-based, so
+        # identical plans would make the eviction assertion see the new
+        # entry's storage when probing the old DataFrame
+        return spark.range(3 + calls["n"]).toDF("doc_id")
+
+    a = session_cache.session_cached(spark, "probe", sf_dir, builder)
+    b = session_cache.session_cached(spark, "probe", sf_dir, builder)
+    assert a is b and calls["n"] == 1
+    assert a.storageLevel.useMemory  # actually persisted
+
+    # a different sf_dir for the same name evicts the old entry
+    c = session_cache.session_cached(spark, "probe", sf_dir + "-other", builder)
+    assert calls["n"] == 2 and c is not a
+    assert not a.storageLevel.useMemory  # unpersisted on eviction
+    live = [k for k in session_cache._CACHE if k[1] == "probe"]
+    assert len(live) == 1
+    session_cache._CACHE.clear()
+    c.unpersist()
+
+
+def test_query_persist_sites_hit_session_cache(spark, sf_dir):
+    """The four ADVICE-flagged persist sites route through the session
+    cache: invoking each query twice leaves exactly one cache entry per
+    relation name and no duplicate persisted copies."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        session_cache,
+    )
+
+    session_cache._CACHE.clear()
+    expected = {
+        "dedup_simhash_pairs": "simhash_signatures",
+        "similarity_ivf_topk": "ivf_centroids",
+        "similarity_pq_topk": "pq_codebook",
+        "graph_pagerank_orders": "pagerank_edges",
+    }
+    for qname, relation in expected.items():
+        QUERIES[qname].fn(spark, sf_dir)
+        QUERIES[qname].fn(spark, sf_dir)
+        entries = [k for k in session_cache._CACHE if k[1] == relation]
+        assert len(entries) == 1, (qname, relation, entries)

@@ -219,3 +219,56 @@ def test_asof_join_deterministic_under_right_side_ties(spark):
         out = asof_join(left, right, key="k")
         results.append(sorted((r.k, r.ts, r.asof_v) for r in out.collect()))
     assert results[0] == results[1]
+
+
+def test_asof_join_tiebreak_with_null_carry_values(spark):
+    """ADVICE r3: tied (key, ts) right rows whose carry columns contain
+    NULLs must still break ties deterministically across partitionings,
+    and a NULL carry value must hash differently from every real string
+    — including one equal to the old '\\x00NULL' sentinel."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts int")
+    # two-column carries exercising NULL-vs-value in both positions,
+    # plus a literal "\x00NULL" string that used to collide with NULL
+    rows = [
+        (1, 100, None, "b"),
+        (1, 100, "a", None),
+        (1, 100, "\x00NULL", "b"),
+        (1, 100, None, None),
+    ]
+    results = []
+    for parts in (1, 5):
+        right = spark.createDataFrame(
+            rows, "k int, ts int, v string, w string"
+        ).repartition(parts)
+        out = asof_join(left, right, key="k")
+        results.append(sorted((r.k, r.ts, r.asof_v, r.asof_w) for r in out.collect()))
+    assert results[0] == results[1]
+
+    # the tiebreak hash itself must separate NULL from the sentinel text:
+    # all four rows must produce four distinct _tiebreak values
+    from pyspark.sql import functions as F
+
+    r_tag = spark.createDataFrame(rows, "k int, ts int, v string, w string")
+    hashes = (
+        r_tag.select(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.concat(
+                            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")),
+                            F.coalesce(F.col(c).cast("string"), F.lit("")),
+                        )
+                        for c in ("v", "w")
+                    ],
+                )
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert hashes == 4

@@ -254,3 +254,47 @@ def test_range_join_interval_spanning_bucket_boundary(spark):
     matched = sorted(str(r.point) for r in out.collect())
     # end is exclusive: 01-12 must NOT match
     assert matched == ["1970-01-05", "1970-01-08", "1970-01-11"]
+
+
+def test_plan_audit_window_waiver_is_subtree_scoped():
+    """ADVICE r3: the single-partition-window waiver must only fire when
+    the limit sits in the window's OWN input subtree — a top-k in a
+    sibling branch must not waive an unbounded global window."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "plan_audit.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    # window fed by a limit → waived
+    bounded = "\n".join([
+        "Project [x]",
+        "+- Window [row_number() windowspecdefinition(y ASC NULLS FIRST, ...)]",
+        "   +- Sort [y ASC NULLS FIRST]",
+        "      +- GlobalLimit 10",
+        "         +- Scan parquet",
+    ])
+    assert mod.audit_unpartitioned_windows(bounded) == (1, 0)
+
+    # limit only in a SIBLING branch → the window stays flagged
+    sibling = "\n".join([
+        "Union",
+        ":- Window [row_number() windowspecdefinition(y ASC NULLS FIRST, ...)]",
+        ":  +- Sort [y ASC NULLS FIRST]",
+        ":     +- Scan parquet",
+        "+- TakeOrderedAndProject(limit=5)",
+        "   +- Scan parquet",
+    ])
+    assert mod.audit_unpartitioned_windows(sibling) == (0, 1)
+
+    # partitioned window (first spec arg is the partition key) → ignored
+    partitioned = "\n".join([
+        "Window [row_number() windowspecdefinition(k, y ASC NULLS FIRST, ...)]",
+        "+- Sort [k ASC NULLS FIRST, y ASC NULLS FIRST]",
+        "   +- Scan parquet",
+    ])
+    assert mod.audit_unpartitioned_windows(partitioned) == (0, 0)
