@@ -46,13 +46,17 @@ BASELINE_SEC = {
     "text_quality_score": 0.82,
     "dedup_minhash_lsh": 1.33,
     "similarity_topk_bruteforce": 0.57,
-    "events_session_window": 0.43,
     "tpch_q5_local_supplier_volume": 1.21,
     "heavy_shuffle_part_spend": 0.73,
     # round-2 additions, measured 2026-08-13 idle local[32] (BASELINE.md)
     "dedup_simhash_pairs": 4.54,
     "similarity_ivf_topk": 2.64,
     "corpus_pack_token_shards": 0.87,
+    # round-4: new headline row + one documented re-measure (BASELINE.md
+    # "Round-4 updates" — events_session_window's r1 bar predated the
+    # full registry; plan unchanged, steady state re-measured idle)
+    "similarity_ann_lsh": 0.54,
+    "events_session_window": 0.52,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

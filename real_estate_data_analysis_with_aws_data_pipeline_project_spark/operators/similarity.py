@@ -67,7 +67,16 @@ def lsh_planes(n_planes: int, dim: int, seed: int = 123) -> list[list[float]]:
 
 def project_signs(a: Column, planes: list[list[float]]) -> Column:
     """Bit string of sign(plane · vector) for every hyperplane — the
-    multi-table LSH signature (tables slice disjoint ranges of it)."""
+    multi-table LSH signature (tables slice disjoint ranges of it).
+
+    Deliberately UNROLLED per plane: a nested-lambda alternative
+    (transform over one array<array<double>> literal) was measured
+    ~6× slower to analyze/compile (2.9 s vs 0.5 s steady) — nested
+    higher-order lambdas defeat subexpression handling. The expression
+    is large (planes×dim literal leaves), so callers must evaluate it
+    ONCE into a persisted signature relation (see similarity_ann_lsh's
+    session-cached ``v``) rather than letting it replicate into every
+    plan branch."""
     bits = []
     for row in planes:
         w = F.array(*[F.lit(x) for x in row])
@@ -90,6 +99,21 @@ def project_signs_sql(a: str, planes: list[list[float]]) -> str:
         d = f"list_dot_product(CAST({a} AS DOUBLE[]), {w})"
         parts.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
     return "(" + " || ".join(parts) + ")"
+
+
+def project_signs_pandas(col: str, planes: list[list[float]]) -> Column:
+    """Arrow-batched twin of ``project_signs`` for the one-pass
+    signature build: vectorized with numpy across rows AND planes, but
+    accumulated DIMENSION BY DIMENSION so every (row, plane) dot
+    product performs the identical left-to-right float64 addition chain
+    as the Catalyst fold and DuckDB's list_dot_product —
+    ``acc += v[dim] * w[dim]`` in dim order is exactly
+    ``(((0+x0)+x1)+...)``. Bit-identical signs, ~10× the throughput of
+    the interpreted 96-aggregate expression (measured 13 s → ~2 s for
+    the 60k-vector sf0.1 build)."""
+    from ._signs_udf import make_signs_udf
+
+    return make_signs_udf(planes)(col)
 
 
 def sign_bucket(a: Column, n_dims: int) -> Column:
