@@ -670,3 +670,27 @@ def test_query_persist_sites_hit_session_cache(spark, sf_dir):
         QUERIES[qname].fn(spark, sf_dir)
         entries = [k for k in session_cache._CACHE if k[1] == relation]
         assert len(entries) == 1, (qname, relation, entries)
+
+
+def test_coarse_k_twins_agree_cross_engine():
+    """VERDICT r3 #4: the two-level IVF coarse-cell ladder — the Python
+    twin and the oracle's SQL CASE must pick the same ck for every k,
+    and ck must behave like ~sqrt(k) (ck*ck >= k, monotone)."""
+    import duckdb
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _COARSE_LADDER,
+        _coarse_k,
+        _coarse_k_sql,
+    )
+
+    con = duckdb.connect()
+    prev = 0
+    for k in [1, 2, 4, 15, 16, 17, 63, 64, 65, 255, 256, 1024, 4095, 4096, 10**6]:
+        py = _coarse_k(k)
+        sql = con.execute(f"SELECT {_coarse_k_sql(str(k))}").fetchone()[0]
+        assert py == sql, (k, py, sql)
+        if k <= _COARSE_LADDER[-1] ** 2:
+            assert py * py >= k, (k, py)
+        assert py >= prev
+        prev = py
