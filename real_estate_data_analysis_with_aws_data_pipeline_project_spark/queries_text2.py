@@ -49,7 +49,10 @@ def text_tfidf_top_terms(spark, sf_dir):
     """TF-IDF via explode → tf groupBy → df groupBy → join → window
     top-3 terms per doc (smoothed idf = ln((N+1)/(df+1))+1). The
     df table is tiny (vocabulary-sized) and broadcasts; input capped
-    at doc_id < 100 to keep the oracle comparison small."""
+    at doc_id < 100 to keep the oracle comparison small. IDF's N is a
+    broadcast one-row aggregate (BM25's stats-row pattern), not a
+    separate ``count()`` action, so the whole query is one job
+    (VERDICT r3 #5)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = docs.select(
         "doc_id", F.explode(X.tokens()).alias("token")
@@ -58,13 +61,19 @@ def text_tfidf_top_terms(spark, sf_dir):
     df = toks.groupBy("token").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = toks.select("doc_id").distinct().count()
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
-        ).alias("tfidf"),
+    stats = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (

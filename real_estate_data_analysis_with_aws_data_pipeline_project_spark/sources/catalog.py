@@ -55,16 +55,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) — read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong), convert to the µs
-        # TimestampType. The data carries whole-µs values, so the
-        # integer floor-div loses nothing (and matches DuckDB's
-        # ns→µs truncation).
+        # Normalize ts to TimestampType (LTZ) whatever the parquet
+        # writer produced across testdata generations:
+        #  - TIMESTAMP(NANOS): read as long nanos
+        #    (spark.sql.legacy.parquet.nanosAsLong), floor-div to µs —
+        #    the data carries whole-µs values so nothing is lost (and
+        #    it matches DuckDB's ns→µs truncation);
+        #  - TIMESTAMP(MICROS, isAdjustedToUTC=false): inferred as
+        #    TIMESTAMP_NTZ — cast to LTZ, value-preserving because the
+        #    engine pins the session timezone to UTC (registry confs).
+        # Watermarks and window functions require the LTZ type.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -42,6 +42,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # µs-NTZ testdata generation: watermarks need LTZ; the session
+        # timezone is pinned UTC so the cast is value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return stream
 
 
