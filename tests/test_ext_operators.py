@@ -372,6 +372,52 @@ def test_streaming_matches_batch_session_window(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """VERDICT r3 #8: the stream-stream interval join (availableNow,
+    append mode, watermarked both sides) must emit exactly the rows of
+    the equivalent BATCH interval join — pinning the streaming path
+    itself, not just the DuckDB oracle of the registered query."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = {
+        (r.user_id, r.click_id, r.purchase_id): r.gap_seconds
+        for r in clicks.join(
+            purchases,
+            F.expr(
+                "user_id = p_user AND p_ts >= c_ts "
+                "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr("(unix_micros(p_ts) - unix_micros(c_ts)) div 1000000")
+            .cast("bigint")
+            .alias("gap_seconds"),
+        )
+        .collect()
+    }
+    stream = {
+        (r.user_id, r.click_id, r.purchase_id): r.gap_seconds
+        for r in QUERIES["streaming_click_purchase_join"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     df = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir)
     rows = df.collect()
