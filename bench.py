@@ -81,11 +81,19 @@ def main() -> None:
         QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
+    # Two timed runs per query, keep the MINIMUM: the host is a shared
+    # VM whose background load injects multi-second spikes into single
+    # runs (observed: the same warm query 3.5 s and 12.8 s minutes
+    # apart). The min over repeats estimates intrinsic engine cost —
+    # the quantity the baseline tracks — rather than host jitter.
     for name in HEADLINE_QUERIES:
         fn = QUERIES[name].fn
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     spark.stop()
 
     result = {

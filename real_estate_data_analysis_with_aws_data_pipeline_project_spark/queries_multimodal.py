@@ -19,6 +19,7 @@ from .streaming import (
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
+    streaming_user_activity_tws,
 )
 
 
@@ -113,6 +114,24 @@ def q_streaming_click_purchase_join(spark, sf_dir):
     emit eagerly, so the availableNow output equals the batch interval
     join — a second streaming job with a full DuckDB oracle."""
     return streaming_click_purchase_join(spark, sf_dir)
+
+
+@register(
+    "streaming_user_activity_tws",
+    """
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_streaming_user_activity_tws(spark, sf_dir):
+    """Structured Streaming: transformWithStateInPandas (Spark 4.1
+    arbitrary-state API) per-user activity profile — ValueState +
+    MapState over a RocksDB state store. Counts and integer max only,
+    so the availableNow output carries a full DuckDB oracle."""
+    return streaming_user_activity_tws(spark, sf_dir)
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

@@ -455,20 +455,34 @@ def graph_pagerank_orders(spark, sf_dir):
             )
         ),
     )
-    deg = edges.groupBy("src_t", "src").agg(
-        F.count("*").cast("bigint").alias("outdeg")
+    # The unrolled iterations embed their inputs in ONE plan tree, so an
+    # un-persisted deg would be re-shuffled ~2 times per iteration as the
+    # lineage deepens. Persist the two relations every iteration reads —
+    # the node list with outdeg, and the outdeg-weighted edge list — so
+    # each iteration is exactly one equi-join plus one groupBy(dst)
+    # shuffle over the persisted edges (the Pregel minimum).
+    nodes = session_cached(
+        spark, "pagerank_nodes", sf_dir,
+        lambda: edges.groupBy("src_t", "src").agg(
+            F.count("*").cast("bigint").alias("outdeg")
+        ),
     )
-    pr = deg.select(
+    edges_w = session_cached(
+        spark, "pagerank_edges_w", sf_dir,
+        lambda: edges.join(nodes, ["src_t", "src"]).select(
+            "src_t", "src", "dst_t", "dst", "outdeg"
+        ),
+    )
+    pr = nodes.select(
         F.col("src_t").alias("t"),
         F.col("src").alias("id"),
         F.lit(_PR_SCALE).cast("bigint").alias("pr"),
     )
     for _ in range(_PR_ITERS):
         contrib = (
-            edges.join(
-                pr, (pr.t == edges.src_t) & (pr.id == edges.src)
+            edges_w.join(
+                pr, (pr.t == edges_w.src_t) & (pr.id == edges_w.src)
             )
-            .join(deg, ["src_t", "src"])
             .select(
                 F.col("dst_t"),
                 F.col("dst"),
@@ -477,9 +491,9 @@ def graph_pagerank_orders(spark, sf_dir):
             .groupBy("dst_t", "dst")
             .agg(F.sum("contrib").cast("bigint").alias("s"))
         )
-        pr = deg.join(
+        pr = nodes.join(
             contrib,
-            (deg.src_t == contrib.dst_t) & (deg.src == contrib.dst),
+            (nodes.src_t == contrib.dst_t) & (nodes.src == contrib.dst),
             "left",
         ).select(
             F.col("src_t").alias("t"),

@@ -4,6 +4,7 @@ from .jobs import (
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
+    streaming_user_activity_tws,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "streaming_session_window",
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",
+    "streaming_user_activity_tws",
 ]

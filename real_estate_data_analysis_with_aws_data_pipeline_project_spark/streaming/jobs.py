@@ -239,3 +239,134 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("total_value", 2).alias("total_value"),
         "max_value",
     )
+
+
+class _UserActivityProcessor:
+    """StatefulProcessor for transformWithStateInPandas (Spark 4.1
+    arbitrary-state API, successor to applyInPandasWithState): per-user
+    running profile held in two typed state variables — a ValueState
+    (event count + max event time) and a MapState (per-event-type
+    counts). State is O(users × event types); the RocksDB state store
+    the operator requires spills it off-heap, which is what makes the
+    100 TB keyspace story work on real clusters."""
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", "n BIGINT, mx BIGINT")
+        self._types = handle.getMapState("types", "t STRING", "c BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, mx = (self._agg.get() or (0, None)) if self._agg.exists() else (0, None)
+        batch_types: dict[str, int] = {}
+        for pdf in rows:
+            n += len(pdf)
+            m = int(pdf["ts_us"].max())
+            mx = m if mx is None else max(mx, m)
+            for t, c in pdf["event_type"].value_counts().items():
+                batch_types[t] = batch_types.get(t, 0) + int(c)
+        for t, c in batch_types.items():
+            prev = (
+                self._types.getValue((t,))[0]
+                if self._types.containsKey((t,))
+                else 0
+            )
+            self._types.updateValue((t,), (prev + c,))
+        self._agg.update((n, mx))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_event_types": [n_types],
+                "n_events": [n],
+                "max_ts_us": [mx],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_TWS_OUT_SCHEMA = (
+    "user_id BIGINT, n_event_types BIGINT, n_events BIGINT, max_ts_us BIGINT"
+)
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _tws_protocol_available() -> bool:
+    """transformWithState's Python state server speaks protobuf
+    (pyspark.sql.streaming.proto.StateMessage_pb2); without the
+    ``protobuf`` package the driver worker crashes at init. Gate on
+    the import so environments without it take the
+    applyInPandasWithState fallback with identical semantics."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        return False
+
+
+def _user_activity_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """applyInPandasWithState twin of _UserActivityProcessor: same
+    per-user profile, state as one (n, mx, distinct-types array) row."""
+    n, mx, types = (
+        state.get if state.exists else (0, None, [])
+    )
+    seen = set(types)
+    for pdf in pdfs:
+        n += len(pdf)
+        m = int(pdf["ts_us"].max())
+        mx = m if mx is None else max(mx, m)
+        seen.update(pdf["event_type"].unique().tolist())
+    state.update((n, mx, sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_event_types": [len(seen)],
+            "n_events": [n],
+            "max_ts_us": [mx],
+        }
+    )
+
+
+def streaming_user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas job: per-user distinct-event-type
+    count, total events, and last event time. Counts and max over
+    integers — exact across engines, so unlike the float-summing
+    applyInPandasWithState twin this one carries a full DuckDB oracle.
+
+    Where the TWS protobuf protocol isn't available (this container
+    ships no ``protobuf``), the job runs the same semantics through
+    applyInPandasWithState — output and oracle identical; only the
+    state layout differs (typed ValueState+MapState vs one struct)."""
+    src = _events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    if _tws_protocol_available():
+        result = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_UserActivityProcessor(),
+            outputStructType=_TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            _run_to_memory(result, "stream_user_activity_tws", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+        result = src.groupBy("user_id").applyInPandasWithState(
+            _user_activity_fallback_fn,
+            outputStructType=_TWS_OUT_SCHEMA,
+            stateStructType="n BIGINT, mx BIGINT, types ARRAY<STRING>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        _run_to_memory(result, "stream_user_activity_tws", "update")
+    return spark.table("stream_user_activity_tws")

@@ -418,6 +418,32 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_tws_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4.1): the per-user activity
+    profile (distinct event types, event count, max event time) must
+    equal the batch aggregation — integer-exact, no float channel."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    stream = {
+        r.user_id: (r.n_event_types, r.n_events, r.max_ts_us)
+        for r in QUERIES["streaming_user_activity_tws"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.user_id: (r.nt, r.n, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("event_type").alias("nt"),
+            F.count("*").alias("n"),
+            F.max(F.unix_micros("ts")).alias("mx"),
+        )
+        .collect()
+    }
+    assert stream == batch
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     df = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir)
     rows = df.collect()

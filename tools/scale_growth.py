@@ -7,10 +7,13 @@ critical operators at each size, and fits the log-log growth exponent
 of wall time plus the blocking-structure invariants that must stay
 bounded for the 100 TB story to hold:
 
-- dedup_minhash_lsh      — band-bucket max size, candidate-pair count
-- dedup_simhash_pairs    — band-bucket max size, candidate-pair count
-- similarity_ann_lsh     — LSH bits derived from n (bucket selectivity)
-- similarity_ivf_topk    — quantizer k derived from n (list size n/k)
+- dedup_minhash_lsh        — band-bucket max size, candidate-pair count
+- dedup_simhash_pairs      — band-bucket max size, candidate-pair count
+- similarity_ann_lsh       — LSH bits derived from n (bucket selectivity)
+- similarity_ivf_topk      — quantizer k derived from n (list size n/k)
+- dedup_semantic_clusters  — max cluster size (k ~ sqrt(n) seeds)
+- retrieval_bm25_topk      — hot-term posting length (skew ×k, not dense)
+- graph_pagerank_orders    — edge count (disjoint graph copies, linear)
 
 Replica construction keeps the corpus REALISTIC without inflating the
 near-dup structure quadratically: replica r>0 of a document carries the
@@ -49,6 +52,10 @@ QUERIES_UNDER_TEST = [
     "dedup_simhash_pairs",
     "similarity_ann_lsh",
     "similarity_ivf_topk",
+    # round-3 families (VERDICT r3 #6)
+    "dedup_semantic_clusters",
+    "retrieval_bm25_topk",
+    "graph_pagerank_orders",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 
@@ -105,8 +112,34 @@ def build_scaled_dir(k: int) -> str:
     # keep the float32 list element type of the source table
     etab = etab.cast(pq.read_schema(os.path.join(BASE_SF, "embeddings.parquet")))
     pq.write_table(etab, os.path.join(out, "embeddings.parquet"))
-    # remaining tables: symlink the sf0.1 originals (unused by the four
-    # operators but required by load_table's catalog)
+    # orders/lineitem: k disjoint copies of the customer↔supplier
+    # bipartite graph (keys shifted per replica) so PageRank's edge set
+    # grows linearly with scale — structure ×k, never densified.
+    orders = pq.read_table(os.path.join(BASE_SF, "orders.parquet")).to_pandas()
+    li = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet")).to_pandas()
+    ok_off = int(orders["o_orderkey"].max()) + 1
+    ck_off = int(orders["o_custkey"].max()) + 1
+    sk_off = int(li["l_suppkey"].max()) + 1
+    oframes, lframes = [orders], [li]
+    for r in range(1, k):
+        orep = orders.copy()
+        orep["o_orderkey"] = orep["o_orderkey"] + r * ok_off
+        orep["o_custkey"] = orep["o_custkey"] + r * ck_off
+        oframes.append(orep)
+        lrep = li.copy()
+        lrep["l_orderkey"] = lrep["l_orderkey"] + r * ok_off
+        lrep["l_suppkey"] = lrep["l_suppkey"] + r * sk_off
+        lframes.append(lrep)
+    for name, frames, src in (
+        ("orders", oframes, "orders.parquet"),
+        ("lineitem", lframes, "lineitem.parquet"),
+    ):
+        tab = pa.Table.from_pandas(
+            pd.concat(frames, ignore_index=True), preserve_index=False
+        ).cast(pq.read_schema(os.path.join(BASE_SF, src)))
+        pq.write_table(tab, os.path.join(out, f"{name}.parquet"))
+    # remaining tables: symlink the sf0.1 originals (unused by the
+    # operators under test but required by load_table's catalog)
     for t in os.listdir(BASE_SF):
         dst = os.path.join(out, t)
         if not os.path.exists(dst):
@@ -146,6 +179,46 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.sum("p"))
         .first()[0]
     )
+
+    # round-3 families (VERDICT r3 #6):
+    # semantic dedup: k ~ sqrt(n) seeds → max cluster should grow ~sqrt(n),
+    # never absorb the corpus (a degenerate all-in-one cluster would make
+    # the representative-join quadratic-ish in practice).
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+        QUERIES,
+    )
+
+    spark_df = QUERIES["dedup_semantic_clusters"].fn(spark, sf_dir)
+    out["semantic_max_cluster"] = spark_df.agg(F.max("n_members")).first()[0]
+    # BM25 / inverted index: the hot-term posting (max docs per term) must
+    # grow ~linearly with the corpus (skew ×k, never densified).
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(X.tokens()).alias("token")
+    )
+    out["bm25_max_posting"] = (
+        toks.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.max("df"))
+        .first()[0]
+    )
+    # PageRank: edge count must be linear in scale (disjoint graph copies).
+    eb = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    out["pagerank_edges"] = eb.count() * 2  # both directions
     return out
 
 
@@ -197,7 +270,7 @@ def main() -> None:
 
     alphas = {q: round(fit_alpha(scales, wall[q]), 2) for q in QUERIES_UNDER_TEST}
     lines = [
-        "# SCALE_GROWTH — dedup/ANN growth rehearsal (round 3)",
+        "# SCALE_GROWTH — dedup/ANN/retrieval growth rehearsal (round 4)",
         "",
         f"Base corpus: sf0.1 ({BASE_SF}), replicated at scales "
         f"{scales} with md5-shuffled replica documents (same token "
