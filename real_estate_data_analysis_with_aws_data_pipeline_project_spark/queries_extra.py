@@ -53,6 +53,42 @@ def json_schema_on_read(spark, sf_dir):
 
 
 @register(
+    "variant_shred_props",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def variant_shred_props(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured payloads: parse_json
+    into the binary VARIANT encoding once, then typed try_variant_get
+    extraction feeding a JVM-side aggregate. Unlike get_json_object
+    (string re-parse per access) or from_json (rigid schema), VARIANT
+    keeps open schema AND columnar-friendly binary shredding — at
+    100 TB the parse cost is paid once per ingest, not once per query
+    access path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
+
+
+@register(
     "explode_top_tokens",
     f"""
     SELECT token, CAST(count(*) AS BIGINT) AS n

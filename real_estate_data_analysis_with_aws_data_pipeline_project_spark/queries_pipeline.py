@@ -223,6 +223,26 @@ def rest_census_ingest(spark, sf_dir):
     return normalize_census_records(raw)
 
 
+@register("source_python_datasource", _REST_ORACLE)
+def source_python_datasource(spark, sf_dir):
+    """Spark 4 Python Data Source API: the census ingestion packaged
+    as a first-class ``spark.read.format("census_synth")`` source with
+    explicit input partitions (DataSourceReader.partitions) — the
+    parallelism is owned by the source, not a prior repartition. Same
+    md5-derived records as the REST path, so the same SQL oracle
+    value-checks the entire custom-source read."""
+    from .sources.pydatasource import register_census_synth
+
+    register_census_synth(spark)
+    raw = (
+        spark.read.format("census_synth")
+        .option("sf_dir", sf_dir)
+        .option("npartitions", 4)
+        .load()
+    )
+    return normalize_census_records(raw)
+
+
 @register(
     "source_schema_evolution",
     """
