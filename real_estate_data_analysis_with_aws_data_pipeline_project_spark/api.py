@@ -43,6 +43,23 @@ from . import queries_tpch2  # noqa: E402,F401  (r3: TPC-H completion)
 # listed keeps its relative registration order after them and is still
 # covered by the local oracle replica (tests/test_queries_oracle.py).
 # ---------------------------------------------------------------------------
+# r5 rotation pool (52 oracle-backed queries with no driver row after
+# the r4 window lands; keep family anchors, swap the rest from here):
+# text_fingerprint, text_token_count_regex, text_rolling_fingerprint,
+# dedup_{exact_summary,ngram_jaccard,drop_duplicates,repeated_substrings,
+# levenshtein_pairs,latest_per_key}, embedding_label_centroids,
+# events_{tumbling,sliding}_window, events_sessionization_lag,
+# events_gap_fill_ffill, rollup_merge_partials, streaming_user_activity_tws,
+# udaf_group_rank, pipeline_single_pass_metrics, source_binaryfile_ingest,
+# source_python_datasource, skew_salted_join, json_schema_on_read,
+# variant_shred_props, explode_top_tokens, agg_{percentiles,unpivot_stack},
+# subquery_exists_agg, set_union_by_name, set_intersect_except_all,
+# f_date_functions_2, sample_fraction_envelope, f_array_functions,
+# f_regexp_extract, w7_range_frame_rolling_sum, w9_first_last_value,
+# na_fill_drop, corpus_mixing_plan, corpus_length_histogram,
+# quality_{repetition_score,bigram_lm_ppl,langid_confusion},
+# j4_full_outer_join, j5_null_safe_join, f_map_struct_functions,
+# f_zorder_interleave, tpch_q{4,8,11,13,15,16,22}.
 _DRIVER_WINDOW: list[str] = [
     # --- retained family anchors (all driver-green in r03; regression
     #     canaries — one per major family, everything else rotated) ---
