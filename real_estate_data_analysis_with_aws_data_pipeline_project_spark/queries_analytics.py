@@ -379,6 +379,40 @@ def sql_surface_revenue_by_nation(spark, sf_dir):
     return spark.sql(_REVENUE_BY_NATION_SQL)
 
 
+_PIPE_SQL = """
+    FROM orders
+    |> WHERE o_orderstatus = 'F'
+    |> AGGREGATE round(sum(o_totalprice), 2) AS total_spend,
+                 CAST(count(*) AS BIGINT) AS n_orders
+       GROUP BY o_orderpriority
+    |> WHERE n_orders > 0
+    |> SELECT o_orderpriority, total_spend, n_orders
+    |> ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_pipe_syntax_rollup",
+    """
+    SELECT o_orderpriority, round(sum(o_totalprice), 2) AS total_spend,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING count(*) > 0
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax_rollup(spark, sf_dir):
+    """Spark 4 SQL pipe syntax (|> operators): the filter → aggregate →
+    having → project chain written as a linear pipeline. Parses to the
+    identical logical plan as the nested-SELECT form the oracle runs —
+    surface syntax only, Catalyst sees one Aggregate over one filtered
+    scan."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_PIPE_SQL)
+
+
 @register(
     "tpch_q6_forecast_revenue",
     """
