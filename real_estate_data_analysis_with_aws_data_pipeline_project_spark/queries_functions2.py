@@ -452,3 +452,34 @@ def pii_k_anonymity_audit(spark, sf_dir):
     return g.select(
         "c_mktsegment", "c_nationkey", "n", (F.col("n") < _KANON_K).alias("at_risk")
     )
+
+
+@register(
+    "f_try_functions",
+    """
+    SELECT p_partkey,
+           TRY_CAST(p_size AS TINYINT) AS size_tiny,
+           CASE WHEN p_retailprice - 900 = 0 THEN NULL
+                ELSE round(p_retailprice / (p_retailprice - 900), 4)
+           END AS margin_ratio,
+           TRY_CAST(substr(p_name, 1, 3) AS BIGINT) AS name_as_number
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def f_try_functions(spark, sf_dir):
+    """ANSI-safety scalar surface: try_cast (overflow → NULL — p_size
+    over 127 cannot fit TINYINT), try_divide (divide-by-zero → NULL
+    instead of error under ANSI mode), and a try_cast of a
+    non-numeric string (→ NULL, no exception). The production posture
+    for dirty columns at 100 TB: NULL-and-filter beats
+    fail-the-40-minute-job."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.expr("TRY_CAST(p_size AS TINYINT)").alias("size_tiny"),
+        F.round(
+            F.try_divide(F.col("p_retailprice"), F.col("p_retailprice") - 900), 4
+        ).alias("margin_ratio"),
+        F.expr("TRY_CAST(substr(p_name, 1, 3) AS BIGINT)").alias("name_as_number"),
+    )
