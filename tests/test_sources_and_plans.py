@@ -331,3 +331,49 @@ def test_tfidf_plan_has_no_separate_count_action(spark, sf_dir):
     # the one-row stats aggregate must reach the join as a broadcast
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_events_ts_normalized_across_parquet_generations(spark, tmp_path):
+    """The driver regenerates testdata between rounds and has shipped
+    events.ts as BOTH parquet TIMESTAMP(NANOS) (read as long under
+    nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as
+    TIMESTAMP_NTZ). load_table must normalize either to the same
+    session-UTC TimestampType values — watermarks and window functions
+    require LTZ."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    us = [1700000000000000, 1700000123456789]
+    base = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "view"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    variants = {
+        "nanos": pa.array([u * 1000 for u in us], pa.timestamp("ns")),
+        "us_ntz": pa.array(us, pa.timestamp("us")),
+    }
+    got = {}
+    for tag, ts_arr in variants.items():
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(
+            pa.table({**base, "ts": ts_arr}),
+            str(d / "events.parquet"),
+            use_deprecated_int96_timestamps=False,
+            coerce_timestamps=None,
+        )
+        df = load_table(spark, str(d), "events")
+        assert str(df.schema["ts"].dataType) == "TimestampType()", (
+            tag, df.schema["ts"].dataType,
+        )
+        got[tag] = sorted(
+            (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
+        )
+    assert got["nanos"] == got["us_ntz"]
