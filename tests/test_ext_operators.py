@@ -75,6 +75,8 @@ def test_ann_lsh_results_subset_of_bruteforce_candidates(spark, sf_dir):
         ("similarity_ann_lsh", 0.5),
         ("similarity_ivf_topk", 0.8),
         ("similarity_pq_topk", 0.6),
+        # int8 SQ is near-lossless on this corpus (measured 1.0)
+        ("similarity_sq_int8_topk", 0.9),
     ],
 )
 def test_ann_recall_floor_at_sf01(spark, ann_name, floor):
