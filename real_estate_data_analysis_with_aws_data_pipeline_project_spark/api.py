@@ -59,7 +59,8 @@ from . import queries_tpch2  # noqa: E402,F401  (r3: TPC-H completion)
 # na_fill_drop, corpus_mixing_plan, corpus_length_histogram,
 # quality_{repetition_score,bigram_lm_ppl,langid_confusion},
 # j4_full_outer_join, j5_null_safe_join, f_map_struct_functions,
-# f_zorder_interleave, tpch_q{4,8,11,13,15,16,22}.
+# f_zorder_interleave, tpch_q{4,8,11,13,15,16,22}, plus the r4-new
+# sql_pipe_syntax_rollup, f_try_functions, similarity_sq_int8_topk.
 _DRIVER_WINDOW: list[str] = [
     # --- retained family anchors (all driver-green in r03; regression
     #     canaries — one per major family, everything else rotated) ---
