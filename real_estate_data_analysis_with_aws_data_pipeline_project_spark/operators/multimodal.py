@@ -17,6 +17,8 @@ per executor, not per row.
 
 from __future__ import annotations
 
+import math
+import struct
 from typing import Callable, Iterator
 
 import numpy as np
@@ -222,15 +224,261 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return out
 
 
-def _decode_stub(media_format: str) -> Callable[[bytes], np.ndarray]:
-    def _raise(payload: bytes) -> np.ndarray:
-        raise NotImplementedError(
-            f"decode for media format {media_format!r} requires the "
-            f"corresponding media library (not in this container); "
-            f"plug a decoder into DECODERS to enable it"
-        )
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
 
-    return _raise
+
+def _idct_matrix() -> np.ndarray:
+    """8-point type-III DCT basis (orthonormal), built once."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+_IDCT_M = None
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data with 0xFF00
+    byte-stuffing removal."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0
+        self._bit = 0
+
+    def read_bit(self) -> int:
+        d = self._d
+        while True:
+            if self._pos >= len(d):
+                raise ValueError("JPEG entropy data exhausted")
+            byte = d[self._pos]
+            if byte == 0xFF:
+                nxt = d[self._pos + 1] if self._pos + 1 < len(d) else None
+                if nxt != 0x00:  # a real marker — data ends here
+                    raise ValueError("unexpected marker in JPEG entropy data")
+            bit = (byte >> (7 - self._bit)) & 1
+            self._bit += 1
+            if self._bit == 8:
+                self._bit = 0
+                self._pos += 2 if byte == 0xFF else 1
+            return bit
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, n: int) -> int:
+    """JPEG EXTEND: map an n-bit magnitude to its signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _build_huffman(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol map from the DHT BITS/HUFFVAL lists."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    """Real pure-stdlib image decoder: baseline sequential JFIF/JPEG
+    (SOF0), 8-bit, grayscale or 3-component 4:4:4 (no chroma
+    subsampling), no restart intervals — the shapes the synthetic
+    fixtures and simple encoders produce. Entropy-decodes the scan
+    (huffman + run-length), dequantizes, inverse-zigzags, applies the
+    orthonormal 8×8 IDCT, level-shifts, and for color converts
+    BT.601 full-range YCbCr→RGB; returns interleaved uint8 rows —
+    the shared domain of the BMP/PNG decoders. Progressive,
+    subsampled, arithmetic-coded, or 12-bit streams raise ValueError
+    (the registry's malformed-payload contract)."""
+    global _IDCT_M
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    if _IDCT_M is None:
+        _IDCT_M = _idct_matrix()
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qt_id)
+    scan: bytes | None = None
+    scan_comps: list[tuple[int, int, int]] = []  # (id, dc_tbl, ac_tbl)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        size = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + size]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tbl = np.zeros(64)
+                for i in range(64):
+                    tbl[_ZIGZAG[i]] = body[b + 1 + i]
+                qt[tq] = tbl.reshape(8, 8)
+                b += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if _prec != 8:
+                raise ValueError("non-8-bit JPEG unsupported")
+            for c in range(ncomp):
+                cid, samp, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * c  # after prec/h/w/ncomp header
+                )
+                if samp != 0x11:
+                    raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG (progressive/etc.) unsupported")
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(bits, vals)
+                b += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("JPEG restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for c in range(ns):
+                cid, tbls = struct.unpack_from(">BB", body, 1 + 2 * c)
+                scan_comps.append((cid, tbls >> 4, tbls & 0x0F))
+            scan = payload[pos + 2 + size :]
+            break
+        pos += 2 + size
+    if width is None or scan is None or not comps:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"unsupported JPEG component count {len(comps)}")
+    reader = _BitReader(scan)
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    order = {cid: i for i, (cid, _, _) in enumerate(comps)}
+    for by in range(bh):
+        for bx in range(bw):
+            for cid, dc_t, ac_t in scan_comps:
+                ci = order[cid]
+                coeffs = np.zeros(64)
+                t = _huff_decode(reader, huff_dc[dc_t])
+                pred[ci] += _extend(reader.receive(t), t)
+                coeffs[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = _huff_decode(reader, huff_ac[ac_t])
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run overflows block")
+                    coeffs[k] = _extend(reader.receive(s), s)
+                    k += 1
+                block = np.zeros((8, 8))
+                for i in range(64):
+                    block.flat[_ZIGZAG[i]] = coeffs[i]
+                block *= qt[comps[ci][2]]
+                pixels = _IDCT_M.T @ block @ _IDCT_M  # 2-D type-III DCT
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+    planes = [p[:height, :width] + 128.0 for p in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8).ravel()
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack(
+        [np.clip(np.round(ch), 0, 255) for ch in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return rgb.ravel()
+
+
+def _demux_mp4(payload: bytes) -> np.ndarray:
+    """Real pure-stdlib ISO-BMFF (MP4) container demuxer: walks the
+    box tree (size/type headers, 64-bit largesize supported), requires
+    a leading ftyp and a moov for structural validity, and returns the
+    concatenated mdat payload bytes — the elementary stream the
+    frame-sample operator windows over. Codec decode of those samples
+    (H.264 etc.) genuinely needs external libraries; the container
+    layer, like PNG's chunk layer, is plain structure and is fully
+    implemented. Malformed trees raise ValueError."""
+    if len(payload) < 8:
+        raise ValueError("not an MP4 payload (too short for a box header)")
+    pos, first = 0, True
+    has_moov = False
+    mdat = bytearray()
+    while pos + 8 <= len(payload):
+        size, btype = struct.unpack_from(">I4s", payload, pos)
+        header = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > len(payload):
+                raise ValueError("truncated MP4 largesize box header")
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            header = 16
+        elif size == 0:  # box extends to end of file
+            size = len(payload) - pos
+        if size < header or pos + size > len(payload):
+            raise ValueError(
+                f"MP4 box {btype!r} size {size} overruns payload "
+                f"({len(payload)} bytes)"
+            )
+        if first:
+            if btype != b"ftyp":
+                raise ValueError(f"MP4 first box must be ftyp, got {btype!r}")
+            first = False
+        if btype == b"moov":
+            has_moov = True
+        elif btype == b"mdat":
+            mdat.extend(payload[pos + header : pos + size])
+        pos += size
+    if pos != len(payload):
+        raise ValueError("trailing bytes after final MP4 box")
+    if not has_moov:
+        raise ValueError("MP4 missing moov box")
+    return np.frombuffer(bytes(mdat), dtype=np.uint8)
 
 
 DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
@@ -238,10 +486,10 @@ DECODERS: dict[str, Callable[[bytes], np.ndarray]] = {
     "image/bmp": _decode_bmp,
     "audio/wav": _decode_wav,
     "image/png": _decode_png,
-    # genuinely need external codec libraries — stubbed, registry stays
-    # pluggable
-    "image/jpeg": _decode_stub("image/jpeg"),
-    "video/mp4": _decode_stub("video/mp4"),
+    "image/jpeg": _decode_jpeg,
+    # container demux is real; codec decode of the contained samples
+    # still needs external libraries — registry stays pluggable
+    "video/mp4": _demux_mp4,
 }
 
 

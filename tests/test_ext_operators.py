@@ -140,8 +140,8 @@ def test_real_media_decoders_bmp_and_wav():
         DECODERS["image/bmp"](b"NOTABMP")
     with pytest.raises(ValueError):
         DECODERS["audio/wav"](b"RIFFxxxxNOPE")
-    with pytest.raises(NotImplementedError):
-        DECODERS["image/jpeg"](b"\xff\xd8\xff")
+    with pytest.raises(ValueError):
+        DECODERS["image/jpeg"](b"\xff\xd8\xff")  # SOI but no SOF/SOS
     assert isinstance(bmp, np.ndarray) and bmp.dtype == np.uint8
 
 
@@ -311,12 +311,213 @@ def test_multimodal_features_shape_and_determinism(spark, sf_dir):
         assert again[r.doc_id] == r.features
 
 
-def test_multimodal_media_decoder_stubbed():
-    # png gained a real decoder in r3; jpeg/mp4 remain pluggable stubs
-    with pytest.raises(NotImplementedError):
-        DECODERS["image/jpeg"](b"\xff\xd8\xff")
-    with pytest.raises(NotImplementedError):
-        DECODERS["video/mp4"](b"\x00\x00\x00\x18ftyp")
+def test_multimodal_media_decoder_malformed_contract():
+    """All five registered codecs raise ValueError on malformed
+    payloads (png r3; jpeg + mp4 container demux gained real
+    implementations in r4)."""
+    with pytest.raises(ValueError):
+        DECODERS["image/jpeg"](b"\xff\xd8\xff")  # no SOF/SOS
+    with pytest.raises(ValueError):
+        DECODERS["video/mp4"](b"\x00\x00\x00\x18ftyp")  # box overruns
+    with pytest.raises(ValueError):
+        DECODERS["video/mp4"](b"\x00\x00\x00\x08free")  # first box not ftyp
+
+
+def _encode_jpeg(pixels, width, height, ncomp):
+    """Minimal baseline JPEG encoder (test-side twin of _decode_jpeg):
+    flat quant table, 4:4:4, one shared DC + AC huffman table built
+    canonically over the symbols actually emitted."""
+    import struct
+
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        _ZIGZAG,
+        _idct_matrix,
+    )
+
+    M = _idct_matrix()
+    Q = 16.0
+    px = np.asarray(pixels, dtype=np.float64).reshape(height, width, ncomp)
+    if ncomp == 3:
+        r, g, b = px[..., 0], px[..., 1], px[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        planes = [y, (b - y) / 1.772 + 128.0, (r - y) / 1.402 + 128.0]
+    else:
+        planes = [px[..., 0]]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.zeros((bh * 8, bw * 8))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[-1:, :]  # edge-replicate padding
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp)
+
+    def block_symbols():
+        """Yield per-MCU per-component (dc_size, dc_val, ac_list)."""
+        pred = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    blk = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    d = M @ (blk - 128.0) @ M.T
+                    qc = np.round(d / Q).astype(int)
+                    zz = [int(qc.flat[_ZIGZAG[i]]) for i in range(64)]
+                    diff = zz[0] - pred[ci]
+                    pred[ci] = zz[0]
+                    ac = []
+                    run = 0
+                    last_nz = 0
+                    for k in range(1, 64):
+                        if zz[k] != 0:
+                            last_nz = k
+                    for k in range(1, last_nz + 1):
+                        if zz[k] == 0:
+                            run += 1
+                            if run == 16:
+                                ac.append((0xF0, 0, 0))  # ZRL
+                                run = 0
+                        else:
+                            s = abs(zz[k]).bit_length()
+                            ac.append(((run << 4) | s, zz[k], s))
+                            run = 0
+                    if last_nz < 63:
+                        ac.append((0x00, 0, 0))  # EOB
+                    yield ci, diff, ac
+
+    dc_syms, ac_syms = set(), set()
+    for _, diff, ac in block_symbols():
+        dc_syms.add(abs(diff).bit_length())
+        for sym, _, _ in ac:
+            ac_syms.add(sym)
+
+    def canonical(symbols):
+        """All symbols at one code length L with 2^L > n: prefix-free,
+        canonical, and the all-ones maximum code stays unused."""
+        syms = sorted(symbols)
+        L = max(2, len(syms).bit_length() + 1)
+        bits = [0] * 16
+        bits[L - 1] = len(syms)
+        enc = {s: (L, i) for i, s in enumerate(syms)}
+        return bits, syms, enc
+
+    dc_bits, dc_vals, dc_enc = canonical(dc_syms)
+    ac_bits, ac_vals, ac_enc = canonical(ac_syms)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (flat table, id 0) — values emitted in zigzag index order
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes([int(Q)] * 64)
+    # SOF0
+    body = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        body += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(body)) + body
+    # DHT: DC table 0 then AC table 0
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    body = bytes([ncomp])
+    for c in range(ncomp):
+        body += bytes([c + 1, 0x00])
+    body += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    buf, nbits = 0, 0
+    data = bytearray()
+
+    def put(code, length):
+        nonlocal buf, nbits
+        buf = (buf << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (buf >> (nbits - 8)) & 0xFF
+            data.append(byte)
+            if byte == 0xFF:
+                data.append(0x00)
+            nbits -= 8
+            buf &= (1 << nbits) - 1
+
+    def put_val(v, s):
+        if s == 0:
+            return
+        put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    for _, diff, ac in block_symbols():
+        s = abs(diff).bit_length()
+        L, code = dc_enc[s]
+        put(code, L)
+        put_val(diff, s)
+        for sym, val, size in ac:
+            L, code = ac_enc[sym]
+            put(code, L)
+            put_val(val, size)
+    if nbits:
+        put(((1 << (8 - nbits)) - 1), 8 - nbits)  # pad with 1s
+    out += data + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decoder_roundtrip():
+    """r4: real baseline JPEG decoder — encode a known pattern with the
+    minimal test encoder, decode with the registry decoder, and bound
+    the reconstruction error by the flat quantization step."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    w, h = 24, 16
+    # smooth gradient + mild noise (JPEG-friendly content)
+    yy, xx = np.mgrid[0:h, 0:w]
+    gray = (xx * 6 + yy * 4 + rng.randint(0, 8, (h, w))).clip(0, 255)
+    payload = _encode_jpeg(gray.reshape(h, w, 1).astype(np.uint8), w, h, 1)
+    got = DECODERS["image/jpeg"](payload).reshape(h, w).astype(int)
+    err = np.abs(got - gray)
+    assert err.max() <= 24, f"gray max err {err.max()}"
+    assert err.mean() <= 6, f"gray mean err {err.mean()}"
+
+    rgb = np.stack(
+        [
+            (xx * 9).clip(0, 255),
+            (yy * 11).clip(0, 255),
+            ((xx + yy) * 5).clip(0, 255),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    payload = _encode_jpeg(rgb, w, h, 3)
+    got = DECODERS["image/jpeg"](payload).reshape(h, w, 3).astype(int)
+    err = np.abs(got - rgb.astype(int))
+    assert err.max() <= 32, f"rgb max err {err.max()}"
+    assert err.mean() <= 8, f"rgb mean err {err.mean()}"
+    # determinism
+    assert np.array_equal(
+        DECODERS["image/jpeg"](payload), DECODERS["image/jpeg"](payload)
+    )
+
+
+def test_mp4_demux_roundtrip():
+    """r4: the ISO-BMFF demuxer returns exactly the mdat sample bytes
+    of a synthesized box tree, 64-bit largesize included."""
+    import struct
+
+    import numpy as np
+
+    samples = bytes(range(64)) * 3
+
+    def box(btype, body):
+        return struct.pack(">I4s", 8 + len(body), btype) + body
+
+    tree = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", box(b"mvhd", b"\x00" * 100))
+        + box(b"mdat", samples[:100])
+        # second mdat via 64-bit largesize
+        + struct.pack(">I4sQ", 1, b"mdat", 16 + len(samples) - 100)
+        + samples[100:]
+    )
+    got = DECODERS["video/mp4"](tree)
+    assert isinstance(got, np.ndarray) and got.dtype == np.uint8
+    assert bytes(got.tobytes()) == samples
 
 
 def test_streaming_matches_batch_tumbling(spark, sf_dir):
