@@ -377,3 +377,26 @@ def test_events_ts_normalized_across_parquet_generations(spark, tmp_path):
             (r.event_id, r.ts.isoformat()) for r in df.select("event_id", "ts").collect()
         )
     assert got["nanos"] == got["us_ntz"]
+
+
+def test_python_datasource_partitions_and_values(spark, sf_dir):
+    """r4: the census_synth Python Data Source owns its parallelism —
+    the scan must surface exactly npartitions input partitions, and the
+    records must equal the REST path's (same fake endpoint)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.pydatasource import (
+        register_census_synth,
+    )
+
+    register_census_synth(spark)
+    raw = (
+        spark.read.format("census_synth")
+        .option("sf_dir", sf_dir)
+        .option("npartitions", 3)
+        .load()
+    )
+    assert raw.rdd.getNumPartitions() == 3
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+
+    via_ds = {tuple(r) for r in QUERIES["source_python_datasource"].fn(spark, sf_dir).collect()}
+    via_rest = {tuple(r) for r in QUERIES["rest_census_ingest"].fn(spark, sf_dir).collect()}
+    assert via_ds == via_rest
