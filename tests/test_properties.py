@@ -272,3 +272,34 @@ def test_asof_join_tiebreak_with_null_carry_values(spark):
         .count()
     )
     assert hashes == 4
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from([1, 3]),
+)
+def test_jpeg_decoder_roundtrip_property(width, height, seed, ncomp):
+    """r4: any random image (gray or RGB, arbitrary non-multiple-of-8
+    dimensions) survives the baseline JPEG encode→decode within the
+    flat-quantizer error bound. Random noise is the adversarial case
+    for DCT coding — the bound is loose but must always hold."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        DECODERS,
+    )
+
+    from .test_ext_operators import _encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (height, width, ncomp)).astype(np.uint8)
+    payload = _encode_jpeg(img, width, height, ncomp)
+    got = DECODERS["image/jpeg"](payload).reshape(height, width, ncomp)
+    err = np.abs(got.astype(int) - img.astype(int))
+    # flat Q=16 on random noise: DCT truncation error stays well under
+    # half the dynamic range; determinism is exact
+    assert err.max() <= 96, err.max()
+    assert np.array_equal(got.ravel(), DECODERS["image/jpeg"](payload))
