@@ -268,10 +268,13 @@ def test_png_decoder_rejects_chunk_order_and_bounds():
         DECODERS["image/png"](sig + chunk(b"IHDR", ihdr) + oversized)
 
 
-def test_extract_features_across_four_codecs(spark):
+def test_extract_features_across_six_codecs(spark):
     """The mapInPandas feature extractor handles heterogeneous media
-    formats in one batch — utf8 text, BMP image, PCM WAV audio, and
-    (r3) zlib-inflated PNG."""
+    formats in one batch — utf8 text, BMP image, PCM WAV audio,
+    zlib-inflated PNG (r3), and baseline JPEG + MP4-demuxed sample
+    bytes (r4)."""
+    import struct as _struct
+
     import numpy as np
 
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
@@ -279,11 +282,19 @@ def test_extract_features_across_four_codecs(spark):
     )
 
     png_px = np.arange(2 * 2 * 3, dtype=np.uint8) * 9
+    jpg_px = np.tile(np.arange(8, dtype=np.uint8) * 30, (8, 1)).reshape(8, 8, 1)
+    mp4 = (
+        _struct.pack(">I4s", 8 + 16, b"ftyp") + b"isom\x00\x00\x02\x00isomiso2"
+        + _struct.pack(">I4s", 8 + 4, b"moov") + b"mvhd"
+        + _struct.pack(">I4s", 8 + 6, b"mdat") + b"\x01\x02\x03\x04\x05\x06"
+    )
     rows = [
         (1, "utf8-text", bytearray(b"hello world")),
         (2, "image/bmp", bytearray(_tiny_bmp())),
         (3, "audio/wav", bytearray(_tiny_wav(16))),
         (4, "image/png", bytearray(_encode_png(png_px, 2, 2, 2, [4]))),
+        (5, "image/jpeg", bytearray(_encode_jpeg(jpg_px, 8, 8, 1))),
+        (6, "video/mp4", bytearray(mp4)),
     ]
     payloads = spark.createDataFrame(
         rows, "doc_id long, media_format string, payload binary"
@@ -293,6 +304,8 @@ def test_extract_features_across_four_codecs(spark):
     assert out[2].n_bytes == 12  # 2x2x3 pixels, padding stripped
     assert out[3].n_bytes == 4
     assert out[4].n_bytes == 12  # 2x2x3 decoded pixels, like the BMP
+    assert out[5].n_bytes == 64  # 8x8 grayscale JPEG pixels
+    assert out[6].n_bytes == 6  # mdat sample bytes
     for r in out.values():
         assert len(r.features) == N_HISTOGRAM_BINS + 2
         assert abs(sum(r.features[:N_HISTOGRAM_BINS]) - 1.0) < 1e-9
