@@ -982,3 +982,77 @@ def test_coarse_k_twins_agree_cross_engine():
             assert py * py >= k, (k, py)
         assert py >= prev
         prev = py
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """r4: REAL late-data semantics, not just single-batch equality —
+    two micro-batches through one checkpointed query. Batch 1 fills an
+    hour window and advances the watermark past it; batch 2 delivers a
+    row for that window older than the watermark. The late row must be
+    DROPPED: the window's count never changes."""
+    import pandas as pd
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / name)
+
+    t = pd.Timestamp
+    # window [10:00, 11:00): 3 rows; a 12:00 row pushes the watermark
+    # (10-min delay) to 11:50 — past the window end
+    write_batch("b1.parquet", [
+        (1, t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        (2, t("2024-01-01 10:20:00"), 1, "click", 1.0),
+        (3, t("2024-01-01 10:40:00"), 2, "click", 1.0),
+        (4, t("2024-01-01 12:00:00"), 2, "click", 1.0),
+    ])
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE"
+    )
+    from pyspark.sql import functions as SF
+
+    agg = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(SF.window("ts", "1 hour").alias("w"))
+        .agg(SF.count("*").alias("n"))
+        .select(
+            SF.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_late")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.ws: r.n for r in spark.table("wm_late").collect()}
+        assert first.get("2024-01-01 10:00:00") == 3
+        # batch 2 into the SAME live query: one LATE row for the closed
+        # window (10:55 < watermark 11:50) and one fresh row
+        write_batch("b2.parquet", [
+            (5, t("2024-01-01 10:55:00"), 3, "click", 1.0),
+            (6, t("2024-01-01 12:30:00"), 3, "click", 1.0),
+        ])
+        q.processAllAvailable()
+        rows = spark.table("wm_late").collect()
+    finally:
+        q.stop()
+    # update mode re-emits any changed window; the late row must have
+    # been dropped, so NO emission shows the 10:00 window at count 4
+    counts_10 = [r.n for r in rows if r.ws == "2024-01-01 10:00:00"]
+    assert 4 not in counts_10, "late row beyond the watermark was aggregated"
+    assert 3 in counts_10  # the on-time emission is present
+    # and the fresh 12:00/12:30 rows did land
+    assert any(r.ws == "2024-01-01 12:00:00" for r in rows)
