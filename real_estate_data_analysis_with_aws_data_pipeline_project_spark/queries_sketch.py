@@ -371,3 +371,59 @@ def sketch_quantile_envelope(spark, sf_dir):
         .select("r.q", "r.exact_value", "r.within_rank_envelope")
         .orderBy("q")
     )
+
+
+# --- HLL time-tier rollup (round 4) ----------------------------------------
+
+_HLL_TIER_ORACLE = f"""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_daily,
+               CAST(count(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                   AS n_hours
+        FROM events GROUP BY day
+    )
+    SELECT day, exact_daily, n_hours, TRUE AS day_within_envelope
+    FROM d
+"""
+
+
+@register("events_hll_hourly_rollup", _HLL_TIER_ORACLE)
+def events_hll_hourly_rollup(spark, sf_dir):
+    """Sketch re-aggregation across time tiers: one HLL sketch of
+    distinct users PER HOUR, then each day's estimate produced by
+    hll_union_agg over its 24 hourly sketches — the hypertable rollup
+    pattern for distinct counts, where coarser tiers merge finer
+    sketches WITHOUT rescanning raw rows (count(DISTINCT) cannot
+    re-aggregate). Daily estimates must land within the ±5 % envelope
+    of the exact daily distincts; at 100 TB only the hourly sketch
+    build ever touches the events, and every coarser tier
+    (day/week/month) is a sketch merge."""
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    daily = hourly.groupBy(
+        F.date_format(F.date_trunc("day", F.col("hour")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("day_est"),
+        F.count("*").cast("bigint").alias("n_hours"),
+    )
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(F.countDistinct("user_id").alias("exact_daily"))
+    return daily.join(exact, "day").select(
+        "day",
+        "exact_daily",
+        "n_hours",
+        (
+            F.abs(F.col("day_est").cast("double") - F.col("exact_daily"))
+            <= _HLL_REL_ERR * F.col("exact_daily")
+        ).alias("day_within_envelope"),
+    )
