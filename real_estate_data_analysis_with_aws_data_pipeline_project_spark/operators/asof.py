@@ -30,10 +30,17 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     carry_cols: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row: the right row with the greatest right_ts <=
-    left_ts for the same key (ties at equal ts take the right row).
-    Carried right columns come back prefixed ``asof_``."""
+    """For every left row: the nearest right row for the same key —
+    ``backward`` (default) takes the greatest right_ts <= left_ts,
+    ``forward`` the smallest right_ts >= left_ts; ties at equal ts
+    match in both directions. Carried right columns come back prefixed
+    ``asof_``. Both directions are the same union-and-carry plan (one
+    shuffle on the key); forward just flips the running window to
+    first(ignorenulls) over the FOLLOWING frame."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof direction {direction!r}: backward|forward")
     carry_cols = carry_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
@@ -65,18 +72,28 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(key)
-        .orderBy("_ats", "_side", "_tiebreak")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right (_side 0) sorts before left at equal ts → the PRECEDING
+        # frame's last() sees the same-ts right row
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_ats", "_side", "_tiebreak")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda col: F.last(col, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left (_side 1) sorts before right at equal ts → the FOLLOWING
+        # frame's first() sees the same-ts right row
+        w = (
+            Window.partitionBy(key)
+            .orderBy("_ats", F.desc("_side"), "_tiebreak")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
     carried = unioned.select(
         "*",
-        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in carry_cols
-        ],
+        pick("_r_ts").alias("asof_ts"),
+        *[pick(f"_r_{c}").alias(f"asof_{c}") for c in carry_cols],
     )
     drop = ["_side", "_ats", "_r_ts", "_tiebreak"] + [f"_r_{c}" for c in carry_cols]
     return carried.filter(F.col("_side") == 1).drop(*drop)

@@ -49,6 +49,47 @@ def join_asof_last_purchase(spark, sf_dir):
     )
 
 
+_ASOF_FWD_ORACLE = """
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS next_purchase_us,
+           p.value AS next_purchase_value
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@register("join_asof_next_event", _ASOF_FWD_ORACLE)
+def join_asof_next_event(spark, sf_dir):
+    """FORWARD as-of join (r4): for every click, the user's first
+    purchase at or after the click — the conversion-attribution shape.
+    Same union-and-carry plan as the backward as-of with the running
+    window flipped to first() over the FOLLOWING frame; oracle is
+    DuckDB's native ASOF with the inequality reversed."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, key="user_id", carry_cols=["value"],
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("asof_ts").alias("next_purchase_us"),
+        F.col("asof_value").alias("next_purchase_value"),
+    )
+
+
 _RANGE_ORACLE = """
     SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_shipped_in_week
     FROM orders o

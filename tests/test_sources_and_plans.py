@@ -229,6 +229,30 @@ def test_asof_join_tie_takes_equal_timestamp(spark):
     assert out[(2, 50)] == (None, None)  # nothing at-or-before → nulls
 
 
+def test_asof_join_forward_direction(spark):
+    """r4: forward as-of — first right row at-or-after each left ts;
+    equal ts matches, nothing-after yields nulls."""
+    left = spark.createDataFrame(
+        [(1, 100), (1, 120), (1, 200), (2, 70)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 150, "b"), (2, 60, "c")], "k int, ts int, v string"
+    )
+    out = {
+        (r.k, r.ts): (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, key="k", direction="forward").collect()
+    }
+    assert out[(1, 100)] == (100, "a")  # equal ts matches (<= semantics)
+    assert out[(1, 120)] == (150, "b")  # next later row
+    assert out[(1, 200)] == (None, None)  # nothing at-or-after → nulls
+    assert out[(2, 70)] == (None, None)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, key="k", direction="sideways")
+
+
 def test_range_join_interval_spanning_bucket_boundary(spark):
     """An interval that crosses a bucket boundary must still match
     points in its second bucket (the explode-over-buckets step)."""
