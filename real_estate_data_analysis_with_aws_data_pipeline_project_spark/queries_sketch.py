@@ -427,3 +427,179 @@ def events_hll_hourly_rollup(spark, sf_dir):
             <= _HLL_REL_ERR * F.col("exact_daily")
         ).alias("day_within_envelope"),
     )
+
+
+# --- theta sketch set algebra (round 4) ------------------------------------
+
+_THETA_ORACLE = """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    m AS (
+        SELECT
+            (SELECT count(*) FROM c) AS n_click,
+            (SELECT count(*) FROM p) AS n_purchase,
+            (SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p))
+                AS n_both,
+            (SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p))
+                AS n_click_only
+    )
+    SELECT CAST(n_click AS BIGINT) AS n_click,
+           CAST(n_purchase AS BIGINT) AS n_purchase,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST(n_click_only AS BIGINT) AS n_click_only,
+           TRUE AS intersect_within_envelope,
+           TRUE AS difference_within_envelope
+    FROM m
+"""
+
+_THETA_REL_ERR = 0.05
+
+
+@register("sketch_theta_set_ops", _THETA_ORACLE)
+def sketch_theta_set_ops(spark, sf_dir):
+    """Theta sketches (Spark 4.1): SET ALGEBRA on distinct-count
+    sketches — |clickers ∩ purchasers| and |clickers \\ purchasers|
+    estimated from two per-segment sketches, no join over raw rows.
+    The audience-overlap op a warehouse cannot express with HLL
+    (union-only) — theta supports intersection/difference natively.
+    At 100 TB the per-segment sketches are built in one scan and every
+    pairwise overlap after that is sketch math. Estimates must land
+    within ±5 % of the exact set operations (oracle booleans)."""
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.theta_sketch_agg("user_id").alias("sk"))
+    row = sk.agg(
+        F.coalesce(
+            F.theta_sketch_estimate(F.theta_intersection_agg("sk")),
+            F.lit(0.0),
+        ).alias("both_est"),
+        F.first(F.when(F.col("event_type") == "click", F.col("sk"))).alias(
+            "click_sk"
+        ),
+        F.first(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias(
+            "purchase_sk"
+        ),
+    ).select(
+        "both_est",
+        F.theta_sketch_estimate("click_sk").alias("click_est"),
+        F.theta_sketch_estimate("purchase_sk").alias("purchase_est"),
+        F.coalesce(
+            F.theta_sketch_estimate(
+                F.theta_difference("click_sk", "purchase_sk")
+            ),
+            F.lit(0.0),
+        ).alias("click_only_est"),
+    )
+    exact = ev.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+    )
+    both_exact = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .intersect(
+            ev.filter(F.col("event_type") == "purchase").select("user_id")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    env = lambda est, exact_c: (  # noqa: E731
+        F.abs(est.cast("double") - exact_c.cast("double"))
+        <= _THETA_REL_ERR * F.greatest(exact_c.cast("double"), F.lit(1.0))
+    )
+    return (
+        row.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(both_exact))
+        .select(
+            "n_click",
+            "n_purchase",
+            "n_both",
+            (F.col("n_click") - F.col("n_both")).cast("bigint").alias(
+                "n_click_only"
+            ),
+            env(F.col("both_est"), F.col("n_both")).alias(
+                "intersect_within_envelope"
+            ),
+            env(
+                F.col("click_only_est"), F.col("n_click") - F.col("n_both")
+            ).alias("difference_within_envelope"),
+        )
+    )
+
+
+# --- KLL quantile sketch tier rollup (round 4) -----------------------------
+
+_KLL_EPS = 0.05  # KLL default k: ~1.65 % rank error at 99 % conf; 3× slack
+
+_KLL_ORACLE = f"""
+    WITH n AS (SELECT count(*) AS n FROM events),
+    q AS (
+        SELECT unnest(['p25','p50','p75','p90']) AS qlabel,
+               unnest([0.25, 0.50, 0.75, 0.90]) AS qf
+    )
+    SELECT q.qlabel,
+           CAST(n.n AS BIGINT) AS n_rows,
+           TRUE AS rank_within_envelope
+    FROM q CROSS JOIN n
+    ORDER BY q.qlabel
+"""
+
+
+@register("sketch_kll_quantile_rollup", _KLL_ORACLE)
+def sketch_kll_quantile_rollup(spark, sf_dir):
+    """KLL quantile sketches (Spark 4.1): one sketch of ``value`` PER
+    HOUR of events, merged by kll_merge_agg into the overall
+    distribution — quantiles over any time range from pre-built tier
+    sketches, no raw rescan (the quantile twin of the HLL tier
+    rollup). The check converts KLL's rank-error guarantee into
+    booleans: the exact fraction of rows <= the estimated quantile
+    must sit within ±{_KLL_EPS} of the requested rank (wide envelope —
+    KLL compaction is randomized, so values are not asserted, ranks
+    are)."""
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.kll_sketch_agg_double("value").alias("sk"))
+    merged = hourly.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    qs = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p90", 0.90)]
+    est = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(qf)).alias(ql)
+            for ql, qf in qs
+        ]
+    )
+    total = ev.agg(F.count("*").cast("bigint").alias("n_rows"))
+    wide = est.crossJoin(F.broadcast(total))
+    rows = None
+    for ql, qf in qs:
+        frac = (
+            F.sum(
+                F.when(F.col("value") <= F.col(ql), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        )
+        one = (
+            ev.crossJoin(F.broadcast(wide.select(ql, "n_rows")))
+            .agg(
+                F.first("n_rows").alias("n_rows"),
+                frac.alias("frac"),
+            )
+            .select(
+                F.lit(ql).alias("qlabel"),
+                "n_rows",
+                (
+                    (F.col("frac") >= qf - _KLL_EPS)
+                    & (F.col("frac") <= qf + _KLL_EPS)
+                ).alias("rank_within_envelope"),
+            )
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows.orderBy("qlabel")
