@@ -53,6 +53,10 @@ EXTRA = [
     "source_python_datasource",
     "similarity_sq_int8_topk",
     "sql_pipe_syntax_rollup",
+    "join_asof_next_event",
+    "events_hll_hourly_rollup",
+    "sketch_theta_set_ops",
+    "sketch_kll_quantile_rollup",
 ]
 
 
