@@ -471,27 +471,47 @@ def sketch_theta_set_ops(spark, sf_dir):
     sk = ev.filter(F.col("event_type").isin("click", "purchase")).groupBy(
         "event_type"
     ).agg(F.theta_sketch_agg("user_id").alias("sk"))
+    # ignorenulls=True: each F.first must skip the rows where the WHEN
+    # yields NULL (the OTHER segment's row) — with the default
+    # ignorenulls=False whichever row the engine aggregated first left
+    # the other sketch NULL, partition-order dependent (ADVICE r4 high).
+    # No coalesce around the sketch math: a NULL estimate from two
+    # present sketches is a real bug and must fail the envelope loudly;
+    # the only legitimate NULL sources — a segment absent from the data
+    # entirely — are handled by the explicit isNull branches below.
     row = sk.agg(
-        F.coalesce(
-            F.theta_sketch_estimate(F.theta_intersection_agg("sk")),
-            F.lit(0.0),
-        ).alias("both_est"),
-        F.first(F.when(F.col("event_type") == "click", F.col("sk"))).alias(
-            "click_sk"
-        ),
-        F.first(F.when(F.col("event_type") == "purchase", F.col("sk"))).alias(
-            "purchase_sk"
-        ),
+        F.theta_intersection_agg("sk").alias("inter_sk"),
+        F.count("*").alias("n_segments"),
+        F.first(
+            F.when(F.col("event_type") == "click", F.col("sk")),
+            ignorenulls=True,
+        ).alias("click_sk"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("sk")),
+            ignorenulls=True,
+        ).alias("purchase_sk"),
     ).select(
-        "both_est",
+        # intersecting a single sketch returns that sketch, not the
+        # empty set — guard on both segments being present (ADVICE r4)
+        F.when(
+            F.col("n_segments") >= 2,
+            F.theta_sketch_estimate("inter_sk"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("both_est"),
         F.theta_sketch_estimate("click_sk").alias("click_est"),
         F.theta_sketch_estimate("purchase_sk").alias("purchase_est"),
-        F.coalesce(
+        F.when(F.col("click_sk").isNull(), F.lit(0.0))
+        .when(
+            F.col("purchase_sk").isNull(),
+            F.theta_sketch_estimate("click_sk"),
+        )
+        .otherwise(
             F.theta_sketch_estimate(
                 F.theta_difference("click_sk", "purchase_sk")
-            ),
-            F.lit(0.0),
-        ).alias("click_only_est"),
+            )
+        )
+        .alias("click_only_est"),
     )
     exact = ev.agg(
         F.countDistinct(

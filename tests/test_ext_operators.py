@@ -984,7 +984,7 @@ def test_coarse_k_twins_agree_cross_engine():
         prev = py
 
 
-def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+def test_streaming_watermark_drops_late_rows_live_query(spark, tmp_path):
     """r4: REAL late-data semantics, not just single-batch equality —
     two micro-batches through one checkpointed query. Batch 1 fills an
     hour window and advances the watermark past it; batch 2 delivers a
@@ -1056,3 +1056,57 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert 3 in counts_10  # the on-time emission is present
     # and the fresh 12:00/12:30 rows did land
     assert any(r.ws == "2024-01-01 12:00:00" for r in rows)
+
+
+def _write_synthetic_events(tmp_path, rows):
+    """Minimal events.parquet matching the driver testdata schema, so a
+    registered query can run against a synthetic sf_dir."""
+    import pandas as pd
+
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"ts": "datetime64[us]"})
+    df.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_theta_set_ops_nonzero_difference(spark, tmp_path):
+    """ADVICE r4 (high): the shipped testdata is degenerate (every
+    clicker also purchases, n_click_only=0), so a NULL-sketch bug that
+    scored click_only_est 0.0 passed the envelope trivially. Regression
+    data: 100 clickers of which only 20 purchase — the difference
+    estimate must track the true 80, and the intersection the true 20."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(i, t, i, "click", 1.0, "{}") for i in range(1, 101)]
+    rows += [(100 + i, t, i, "purchase", 1.0, "{}") for i in range(1, 21)]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+
+    out = QUERIES["sketch_theta_set_ops"].fn(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_click == 100 and r.n_purchase == 20
+    assert r.n_both == 20 and r.n_click_only == 80
+    # the envelope booleans ARE the assertion: estimates within ±5 %
+    assert r.intersect_within_envelope, r
+    assert r.difference_within_envelope, r
+
+
+def test_theta_set_ops_single_segment(spark, tmp_path):
+    """ADVICE r4 (low): with only one of the two event types present,
+    intersecting a single sketch would return that sketch — the guard
+    must emit 0.0 for the intersection, and the difference must equal
+    the whole click segment."""
+    import pandas as pd
+
+    t = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [(i, t, i, "click", 1.0, "{}") for i in range(1, 51)]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+
+    r = QUERIES["sketch_theta_set_ops"].fn(spark, sf_dir).collect()[0]
+    assert r.n_click == 50 and r.n_purchase == 0
+    assert r.n_both == 0 and r.n_click_only == 50
+    assert r.intersect_within_envelope, r
+    assert r.difference_within_envelope, r
