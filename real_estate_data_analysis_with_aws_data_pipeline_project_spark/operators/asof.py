@@ -69,7 +69,18 @@ def asof_join(
                 ],
             )
         ).alias("_tiebreak"),
-        *[F.col(c).alias(f"_r_{c}") for c in carry_cols],
+        # ONE struct per right row, not one column per carry col: the
+        # running first/last(ignorenulls) must pick the whole matched
+        # row atomically.  With per-column carries, a NULL in one carry
+        # column of the nearest row was filled from a farther row, so
+        # asof_ts and asof_<col> could come from DIFFERENT right rows —
+        # diverging from a native ASOF join, which returns the matched
+        # row's NULL (ADVICE r4).  Fields are positional (t, c0, c1, …)
+        # so a carry column named "ts" can't collide.
+        F.struct(
+            F.col(right_ts).alias("t"),
+            *[F.col(c).alias(f"c{i}") for i, c in enumerate(carry_cols)],
+        ).alias("_r_row"),
     )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     if direction == "backward":
@@ -90,13 +101,17 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = lambda col: F.first(col, ignorenulls=True).over(w)  # noqa: E731
-    carried = unioned.select(
+    carried = unioned.select("*", pick("_r_row").alias("_m"))
+    out = carried.filter(F.col("_side") == 1).select(
         "*",
-        pick("_r_ts").alias("asof_ts"),
-        *[pick(f"_r_{c}").alias(f"asof_{c}") for c in carry_cols],
+        F.col("_m.t").alias("asof_ts"),
+        *[
+            F.col(f"_m.c{i}").alias(f"asof_{c}")
+            for i, c in enumerate(carry_cols)
+        ],
     )
-    drop = ["_side", "_ats", "_r_ts", "_tiebreak"] + [f"_r_{c}" for c in carry_cols]
-    return carried.filter(F.col("_side") == 1).drop(*drop)
+    drop = ["_side", "_ats", "_r_ts", "_tiebreak", "_r_row", "_m"]
+    return out.drop(*drop)
 
 
 def range_join_bucketed(

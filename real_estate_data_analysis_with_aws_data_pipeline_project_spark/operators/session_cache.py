@@ -26,7 +26,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _sf_fingerprint(sf_dir: str) -> tuple[int, int]:
+    """Cheap content fingerprint of a testdata dir: (max mtime_ns, total
+    size) over its parquet files. The driver regenerates testdata under
+    an UNCHANGED path between rounds (ADVICE r4 on the semantic-seed
+    cache) — a path-only key would keep serving relations persisted over
+    the previous generation's files."""
+    import glob
+    import os
+
+    mtime, size = 0, 0
+    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
+        st = os.stat(p)
+        mtime = max(mtime, st.st_mtime_ns)
+        size += st.st_size
+    return mtime, size
 
 
 def session_cached(
@@ -38,7 +55,7 @@ def session_cached(
     """Return a persisted DataFrame for (name, sf_dir), building it with
     ``builder`` on first use in this session and reusing it afterwards."""
     app = spark.sparkContext.applicationId
-    key = (app, name, sf_dir)
+    key = (app, name, sf_dir, _sf_fingerprint(sf_dir))
     df = _CACHE.get(key)
     if df is None:
         stale = [

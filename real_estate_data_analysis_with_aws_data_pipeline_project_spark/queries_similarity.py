@@ -1413,7 +1413,7 @@ _SEM_ORACLE = f"""
 """
 
 
-_SEM_SEED_CACHE: dict[tuple[str, str], list[tuple]] = {}
+_SEM_SEED_CACHE: dict[tuple, list[tuple]] = {}
 
 
 def _semantic_seed_rows(spark, sf_dir, v, k):
@@ -1421,8 +1421,24 @@ def _semantic_seed_rows(spark, sf_dir, v, k):
     (seed_id, embedding, nrm), sorted ascending by seed_id so the
     argmax kernel's first-max tiebreak matches ``ORDER BY cos DESC,
     seed_id``. k ≤ 256 rows — collected once per (session, sf_dir),
-    the quantizer-codebook pattern."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    the quantizer-codebook pattern.
+
+    The cache key folds in the embeddings file's (mtime_ns, size): the
+    driver REGENERATES the testdata under an unchanged path between
+    rounds, and a key of (applicationId, sf_dir) alone would silently
+    assign against stale seed vectors while the oracle reads the new
+    files (ADVICE r4)."""
+    import os
+
+    from .sources.catalog import table_path
+
+    st = os.stat(table_path(sf_dir, "embeddings"))
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        st.st_mtime_ns,
+        st.st_size,
+    )
     rows = _SEM_SEED_CACHE.get(key)
     if rows is None:
         seeds = (

@@ -274,6 +274,35 @@ def test_asof_join_tiebreak_with_null_carry_values(spark):
     assert hashes == 4
 
 
+def test_asof_join_matched_row_nulls_are_carried_as_nulls(spark):
+    """ADVICE r4: all carried values must come from the SAME matched
+    right row. When the nearest row holds NULL in one carry column,
+    that NULL must come through — not a value back-filled from a
+    farther row (DuckDB's native ASOF returns the matched row's NULL).
+    Exercised in both directions."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.asof import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 100)], "k int, ts int")
+    # backward: nearest at ts=90 has v NULL; a farther row at ts=50 has
+    # v set — the old per-column carry leaked "far" into asof_v
+    right_b = spark.createDataFrame(
+        [(1, 50, "far", "old"), (1, 90, None, "near")],
+        "k int, ts int, v string, w string",
+    )
+    r = asof_join(left, right_b, key="k").collect()[0]
+    assert r.asof_ts == 90 and r.asof_v is None and r.asof_w == "near"
+
+    # forward: nearest at ts=110 has v NULL; farther ts=150 has v set
+    right_f = spark.createDataFrame(
+        [(1, 110, None, "near"), (1, 150, "far", "late")],
+        "k int, ts int, v string, w string",
+    )
+    r = asof_join(left, right_f, key="k", direction="forward").collect()[0]
+    assert r.asof_ts == 110 and r.asof_v is None and r.asof_w == "near"
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.integers(min_value=1, max_value=20),
