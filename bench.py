@@ -50,7 +50,9 @@ BASELINE_SEC = {
     "heavy_shuffle_part_spend": 0.73,
     # round-2 additions, measured 2026-08-13 idle local[32] (BASELINE.md)
     "dedup_simhash_pairs": 4.54,
-    "similarity_ivf_topk": 2.64,
+    # round-5: re-baselined after the two-level assignment moved into a
+    # single Arrow kernel (BASELINE.md "Round-5 updates")
+    "similarity_ivf_topk": 1.05,
     "corpus_pack_token_shards": 0.87,
     # round-4: new headline row + one documented re-measure (BASELINE.md
     # "Round-4 updates" — events_session_window's r1 bar predated the

@@ -51,3 +51,81 @@ def make_nearest_seed_udf(seed_ids, seed_vecs, seed_nrms) -> "Column":
         return pd.Series(ids[np.argmax(cos, axis=1)])
 
     return _nearest
+
+
+def _cos_block(v, nrms, w, wn):
+    """Raw (unrounded) cosine block (rows × seeds) with the identical
+    dim-order float64 accumulation chain as the Catalyst fold / DuckDB
+    list_sum, and the shared zero-norm → 0.0 guard. No rounding: the
+    IVF oracle's row_number ranks RAW cosines (only the emitted final
+    cos_sim is rounded), unlike the semantic-dedup kernel above which
+    mirrors an oracle that rounds before ranking."""
+    acc = np.zeros((v.shape[0], w.shape[0]), dtype=np.float64)
+    for d in range(w.shape[1]):  # dim-order accumulation = fold order
+        acc += v[:, d : d + 1] * w[None, :, d]
+    n = nrms[:, None]
+    denom = n * wn[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where((n > 0) & (wn[None, :] > 0), acc / denom, 0.0)
+
+
+def _widen(vecs) -> np.ndarray:
+    return np.asarray(
+        [np.asarray(x, dtype=np.float32) for x in vecs], dtype=np.float32
+    ).astype(np.float64)
+
+
+def make_two_level_nearest_udf(
+    coarse_ids, coarse_vecs, coarse_nrms,
+    fine_ids, fine_vecs, fine_nrms,
+    fine_cells, cprobe,
+) -> "Column":
+    """Two-level IVF assignment as ONE Arrow pass: nearest ``cprobe``
+    coarse cells (raw cos desc, ccid asc — stable argsort with columns
+    pre-sorted by ccid reproduces the tiebreak), then argmax over only
+    the fine centroids of those cells (cos desc, cid asc via per-cell
+    first-max merged with an explicit smaller-cid tie rule). Work per
+    vector stays O(ck + cprobe·k/ck) — the same asymptotic as the
+    crossJoin→window plan it replaces, minus the interpreted
+    higher-order folds and two n-row rank shuffles.
+
+    Returns -1 for a vector whose probed cells hold no fine centroid
+    (the DataFrame/SQL twins drop such vectors via inner join — callers
+    must filter cid >= 0)."""
+    g_ids = np.asarray(coarse_ids, dtype=np.int64)   # sorted ascending
+    g_w = _widen(coarse_vecs)
+    g_n = np.asarray(coarse_nrms, dtype=np.float64)
+    f_ids = np.asarray(fine_ids, dtype=np.int64)     # sorted ascending
+    f_w = _widen(fine_vecs)
+    f_n = np.asarray(fine_nrms, dtype=np.float64)
+    f_cell = np.asarray(fine_cells, dtype=np.int64)  # aligned to f_ids
+
+    @pandas_udf("long")
+    def _assign(vecs: pd.Series, nrms: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        v = _widen(vecs)
+        n = np.asarray(nrms, dtype=np.float64)
+        cos_g = _cos_block(v, n, g_w, g_n)
+        order = np.argsort(-cos_g, axis=1, kind="stable")[:, :cprobe]
+        top = g_ids[order]  # (rows, cprobe) probed cell ids
+        best_cos = np.full(len(v), -np.inf)
+        best_cid = np.full(len(v), -1, dtype=np.int64)
+        for ccid in g_ids:
+            rows = (top == ccid).any(axis=1)
+            cols = np.nonzero(f_cell == ccid)[0]
+            if not rows.any() or cols.size == 0:
+                continue
+            sub = _cos_block(v[rows], n[rows], f_w[cols], f_n[cols])
+            j = np.argmax(sub, axis=1)  # first max = lowest cid in cell
+            cand_cos = sub[np.arange(len(j)), j]
+            cand_cid = f_ids[cols][j]
+            cur_cos, cur_cid = best_cos[rows], best_cid[rows]
+            better = (cand_cos > cur_cos) | (
+                (cand_cos == cur_cos) & (cand_cid < cur_cid)
+            )
+            best_cos[rows] = np.where(better, cand_cos, cur_cos)
+            best_cid[rows] = np.where(better, cand_cid, cur_cid)
+        return pd.Series(best_cid)
+
+    return _assign
