@@ -419,6 +419,84 @@ def corpus_mixing_sample(spark, sf_dir):
     )
 
 
+# --- per-document weighted Bernoulli sample (round 5) -----------------------
+
+_WSAMPLE_TARGET = 100  # expected number of kept documents
+
+
+def _u6_int_sql(key: str) -> str:
+    """The md5-prefix uniform as a BIGINT in [0, 16^6) — the integer
+    numerator of ``_mix_uniform_sql`` so weighted keep decisions can be
+    exact integer comparisons (no FP, no cross-engine rounding risk)."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
+        f" * {16 ** (6 - i)}"
+        for i in range(1, 7)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _u6_int_col(key: str = "doc_id") -> "F.Column":
+    acc = None
+    for i in range(1, 7):
+        term = (
+            F.expr(
+                f"instr('0123456789abcdef', "
+                f"substr(md5(cast(cast({key} as string) as binary)), {i}, 1)) - 1"
+            )
+            * (16 ** (6 - i))
+        )
+        acc = term if acc is None else acc + term
+    return acc.cast("bigint")
+
+
+_WSAMPLE_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ),
+    tot AS (SELECT CAST(sum(wt) AS BIGINT) AS total_w FROM w),
+    kept AS (
+        SELECT source, wt FROM w CROSS JOIN tot
+        WHERE {_u6_int_sql('doc_id')} * total_w
+              < {_WSAMPLE_TARGET} * wt * {16 ** 6}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(wt) AS BIGINT) AS weight_kept
+    FROM kept GROUP BY source
+"""
+
+
+@register("corpus_weighted_doc_sample", _WSAMPLE_ORACLE)
+def corpus_weighted_doc_sample(spark, sf_dir):
+    """Per-DOCUMENT weighted Bernoulli sampling (inclusion probability
+    proportional to the document's weight — here n_chars — with
+    E[kept] = _WSAMPLE_TARGET): the keep decision is the exact integer
+    comparison u6·ΣW < K·w·16^6, where u6 is the md5-prefix uniform
+    numerator. No floating point anywhere, so both engines keep the
+    identical document set — unlike ln/pow-based weighted-sampling
+    keys (Efraimidis-Spirakis), whose libm last-ulp differences could
+    flip boundary rows. Complements corpus_mixing_sample (per-SOURCE
+    fractions): this one upweights long documents individually.
+
+    Scale: ΣW is a one-row broadcast aggregate; the decision is per-row
+    with no shuffle; the per-source report is one groupBy. At corpus
+    weights past ~6e11 the int64 product u6·ΣW would overflow — switch
+    the comparison to DECIMAL(38) (both engines) at that scale."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("wt")
+    )
+    tot = docs.agg(F.sum("wt").cast("bigint").alias("total_w"))
+    kept = docs.crossJoin(F.broadcast(tot)).filter(
+        _u6_int_col("doc_id") * F.col("total_w")
+        < F.lit(_WSAMPLE_TARGET) * F.col("wt") * F.lit(16 ** 6)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("wt").cast("bigint").alias("weight_kept"),
+    )
+
+
 # --- end-to-end curation funnel (round 2) -----------------------------------
 
 _CURATE_MIN_TOKENS = 10

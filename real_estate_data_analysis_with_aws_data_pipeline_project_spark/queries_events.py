@@ -403,6 +403,247 @@ def events_gap_fill_ffill(spark, sf_dir):
     )
 
 
+# --- ordered conversion funnel (round 5) ------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH fv AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+        SELECT e.user_id, min(fv.t_view) AS t_view, min(e.ts) AS t_click
+        FROM events e JOIN fv ON fv.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= fv.t_view
+        GROUP BY e.user_id
+    ),
+    fp AS (
+        SELECT e.user_id, min(fc.t_click) AS t_click, min(e.ts) AS t_purchase
+        FROM events e JOIN fc ON fc.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+        GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST((SELECT count(*) FROM fv) AS BIGINT)
+               AS n_users, 0.0 AS avg_lag_hours
+    UNION ALL
+    SELECT 'click_after_view',
+           CAST((SELECT count(*) FROM fc) AS BIGINT),
+           coalesce(round(
+               CAST((SELECT sum(epoch_us(t_click) - epoch_us(t_view)) FROM fc)
+                    AS DOUBLE)
+               / (SELECT count(*) FROM fc) / 3600000000.0, 4), 0.0)
+    UNION ALL
+    SELECT 'purchase_after_click',
+           CAST((SELECT count(*) FROM fp) AS BIGINT),
+           coalesce(round(
+               CAST((SELECT sum(epoch_us(t_purchase) - epoch_us(t_click))
+                     FROM fp) AS DOUBLE)
+               / (SELECT count(*) FROM fp) / 3600000000.0, 4), 0.0)
+"""
+
+
+@register("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): a user
+    counts at a stage only if the stage event happened AT OR AFTER
+    their previous stage's first event — the order-sensitive funnel
+    that a naive per-type distinct count gets wrong. Per-stage average
+    conversion lag is computed as an exact BIGINT sum of microsecond
+    deltas divided once at the end (one FP operation, engine-portable
+    — a float avg over per-user doubles would be sum-order dependent).
+
+    Scale: three aggregations and two joins all keyed on user_id — one
+    hash partitioning reused across every stage (no window over a
+    global ordering, no per-user collect); stage totals are one-row
+    aggregates unioned at the end."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t_view").alias("t_view"), F.min("ts").alias("t_click"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t_click").alias("t_click"), F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, name, t0, t1):
+        lag_us = F.sum(F.unix_micros(F.col(t1)) - F.unix_micros(F.col(t0)))
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+            F.coalesce(
+                F.round(
+                    lag_us.cast("double") / F.count("*") / 3_600_000_000.0, 4
+                ),
+                F.lit(0.0),
+            ).alias("avg_lag_hours"),
+        )
+
+    s_view = fv.agg(
+        F.lit("view").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.lit(0.0).alias("avg_lag_hours"),
+    )
+    return s_view.unionByName(
+        stage(fc, "click_after_view", "t_view", "t_click")
+    ).unionByName(stage(fp, "purchase_after_click", "t_click", "t_purchase"))
+
+
+# --- linear interpolation over time-series gaps (round 5) -------------------
+
+_INTERP_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_idx,
+               value
+        FROM events WHERE user_id < {_GAPFILL_USER_CAP}
+    ),
+    hourly AS (
+        SELECT user_id, hour_idx,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(avg(value), 4) AS avg_value
+        FROM e GROUP BY user_id, hour_idx
+    ),
+    spans AS (
+        SELECT user_id, min(hour_idx) AS h0, max(hour_idx) AS h1
+        FROM hourly GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, g.h AS hour_idx
+        FROM spans, unnest(generate_series(h0, h1)) AS g(h)
+    ),
+    scaled AS (
+        SELECT *, CAST(round(avg_value * 10000, 0) AS BIGINT) AS p
+        FROM hourly
+    ),
+    carried AS (
+        SELECT g.user_id, g.hour_idx, h.avg_value,
+               coalesce(h.n_events, 0) AS n_events,
+               last_value(h.p IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS p_prev,
+               max(CASE WHEN h.p IS NOT NULL THEN g.hour_idx END)
+                   OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS i_prev,
+               first_value(h.p IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS p_next,
+               min(CASE WHEN h.p IS NOT NULL THEN g.hour_idx END)
+                   OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour_idx
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS i_next
+        FROM grid g LEFT JOIN scaled h
+          ON h.user_id = g.user_id AND h.hour_idx = g.hour_idx
+    )
+    SELECT user_id, hour_idx, n_events,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                ELSE CAST(p_prev * (i_next - hour_idx)
+                          + p_next * (hour_idx - i_prev) AS DOUBLE)
+                     / ((i_next - i_prev) * 10000)
+           END AS interp_avg_value
+    FROM carried
+"""
+
+
+@register("events_linear_interpolate", _INTERP_ORACLE)
+def events_linear_interpolate(spark, sf_dir):
+    """Linear interpolation across time-series gaps — the step up from
+    forward fill (events_gap_fill_ffill): a missing hour gets
+    v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev) from the
+    nearest observed hours on each side, found with last/first
+    (ignorenulls) over per-user preceding/following frames. The grid
+    spans each user's first..last observed hour, so every missing row
+    has both neighbors (no NULL edges).
+
+    Determinism: the interpolation runs in SCALED-INTEGER space
+    (neighbors as round(avg·10⁴) BIGINTs, one exact integer-weighted
+    sum, one final double division) — interpolating the 4dp doubles
+    directly and re-rounding diverged cross-engine, because midpoints
+    of 4dp values land exactly on the 5th-decimal half boundary where
+    Spark's BigDecimal HALF_UP and DuckDB's binary-double round()
+    disagree (measured: 7 of 6999 rows off by 1e-4 at sf0.01).
+
+    Scale: everything partitions by user_id — two window passes over a
+    per-user dense grid, no global ordering."""
+    e = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < _GAPFILL_USER_CAP)
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 3_600_000_000.0)
+            .cast("bigint")
+            .alias("hour_idx"),
+            "value",
+        )
+    )
+    hourly = e.groupBy("user_id", "hour_idx").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    from pyspark.sql import Window
+
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scaled = hourly.withColumn(
+        "p", F.round(F.col("avg_value") * 10000, 0).cast("bigint")
+    )
+    observed_idx = F.when(F.col("p").isNotNull(), F.col("hour_idx"))
+    carried = (
+        grid.join(scaled, ["user_id", "hour_idx"], "left")
+        .select(
+            "user_id",
+            "hour_idx",
+            "avg_value",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("p", ignorenulls=True).over(back).alias("p_prev"),
+            F.max(observed_idx).over(back).alias("i_prev"),
+            F.first("p", ignorenulls=True).over(fwd).alias("p_next"),
+            F.min(observed_idx).over(fwd).alias("i_next"),
+        )
+    )
+    interp = (
+        F.col("p_prev") * (F.col("i_next") - F.col("hour_idx"))
+        + F.col("p_next") * (F.col("hour_idx") - F.col("i_prev"))
+    ).cast("double") / ((F.col("i_next") - F.col("i_prev")) * 10000)
+    return carried.select(
+        "user_id",
+        "hour_idx",
+        "n_events",
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .otherwise(interp)
+        .alias("interp_avg_value"),
+    )
+
+
 # --- mergeable partial aggregates (round 2) ---------------------------------
 
 _MERGE_ORACLE = """
