@@ -1559,3 +1559,60 @@ def dedup_semantic_clusters(spark, sf_dir):
         )
         .orderBy("cluster_id")
     )
+
+
+# --- embedding-space eval-set decontamination (round 5) ---------------------
+
+_DECON_EMB_THRESHOLD = _SEM_THRESHOLD  # the shared semantic near-dup bar
+
+_DECON_EMB_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES})
+    SELECT q.vec_id AS eval_id, c.vec_id AS train_id,
+           round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
+                 6) AS cos_sim
+    FROM q JOIN v c ON c.vec_id >= {_N_QUERIES}
+    WHERE {S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')}
+          >= {_DECON_EMB_THRESHOLD}
+"""
+
+
+@register("corpus_embedding_decontaminate", _DECON_EMB_ORACLE)
+def corpus_embedding_decontaminate(spark, sf_dir):
+    """Embedding-space eval-set decontamination: every (eval, train)
+    pair whose cosine reaches the shared semantic near-dup bar — the
+    SEMANTIC twin of corpus_decontamination's n-gram overlap (catches
+    paraphrased leakage that exact n-grams miss; the held-out docs here
+    are vec_id < {_N_QUERIES} by the engine's query-set convention).
+
+    Scale: the eval side is the small one by construction (thousands of
+    eval docs vs billions of train docs), so the right 100 TB plan is a
+    BROADCAST of the eval vectors and ONE pass over the train corpus —
+    no LSH index needed when one side fits in memory; work is
+    O(n·|eval|) with per-vector norms precomputed, and the threshold
+    filter happens before any shuffle (output is only the flagged
+    pairs)."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = S.cosine(
+        F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+    )
+    return (
+        v.filter(F.col("vec_id") >= _N_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .filter(cos >= _DECON_EMB_THRESHOLD)
+        .select(
+            "eval_id",
+            F.col("vec_id").alias("train_id"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

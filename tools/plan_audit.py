@@ -57,6 +57,11 @@ EXTRA = [
     "events_hll_hourly_rollup",
     "sketch_theta_set_ops",
     "sketch_kll_quantile_rollup",
+    # r5 additions
+    "events_funnel_conversion",
+    "events_linear_interpolate",
+    "corpus_weighted_doc_sample",
+    "corpus_embedding_decontaminate",
 ]
 
 
