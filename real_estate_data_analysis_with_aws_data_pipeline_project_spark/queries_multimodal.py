@@ -1,9 +1,11 @@
 """Multimodal + streaming driver-contract queries ([ext]).
 
 The multimodal metadata query is oracle-checkable (scalar projections
-of the payload); the feature-extraction and streaming jobs are
-rows-only checks (Pandas-UDF / Structured-Streaming surfaces the SQL
-oracle cannot express).
+of the payload); feature extraction and frame sampling stay rows-only
+(Pandas-UDF output shapes the SQL oracle cannot express). The
+streaming jobs all carry full oracles since r5: each availableNow run
+over the bounded file source is deterministic and equals its batch
+twin, which has been oracle-green since r1.
 """
 
 from __future__ import annotations
@@ -56,23 +58,88 @@ def multimodal_features(spark, sf_dir):
     return extract_features(packed)
 
 
-@register("streaming_tumbling_counts", None)
+# r5: these three streaming jobs were rows-only since r1, but their
+# availableNow runs are DETERMINISTIC (complete/update-mode memory
+# sinks over a single-file source; float sums rounded exactly like
+# their oracle-green batch twins) — so they carry the batch oracles
+# now, upgrading the driver check from rows-only to full hash-match.
+
+_STREAM_SESSION_GAP_US = 30 * 60 * 1_000_000  # == jobs.py "30 minutes"
+
+
+@register(
+    "streaming_tumbling_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def q_streaming_tumbling_counts(spark, sf_dir):
     """Structured Streaming: watermark + tumbling window counts via a
-    memory sink driven to completion (availableNow)."""
+    memory sink driven to completion (availableNow). Complete-mode
+    output over a bounded source equals the batch aggregation, so the
+    oracle is events_tumbling_window's."""
     return streaming_tumbling_counts(spark, sf_dir)
 
 
-@register("streaming_session_window", None)
+@register(
+    "streaming_session_window",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          >= {_STREAM_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, new_s
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + {_STREAM_SESSION_GAP_US} AS BIGINT)
+               AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
 def q_streaming_session_window(spark, sf_dir):
-    """Structured Streaming: watermarked session windows per user."""
+    """Structured Streaming: watermarked session windows per user.
+    Session boundaries are integer microseconds (gaps-and-islands
+    oracle, same shape as the oracle-green events_session_window)."""
     return streaming_session_window(spark, sf_dir)
 
 
-@register("streaming_stateful_user_stats", None)
+@register(
+    "streaming_stateful_user_stats",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
 def q_streaming_stateful_user_stats(spark, sf_dir):
     """Structured Streaming: applyInPandasWithState custom stateful
-    per-user running stats."""
+    per-user running stats. One update-mode emission per user over the
+    bounded source; count/max are exact and the float total is rounded
+    identically on both sides."""
     return streaming_stateful_user_stats(spark, sf_dir)
 
 
