@@ -1,7 +1,8 @@
 """Event-time window queries over the events table ([ext] —
 SURVEY.md §2.8). Batch-first (oracle-checkable via DuckDB
 time_bucket / gaps-and-islands); the streaming layer runs the same
-shapes through Structured Streaming (streaming/, rows-only checks).
+shapes through Structured Streaming (streaming/ — fully oracle-backed
+since r5).
 """
 
 from __future__ import annotations
@@ -757,4 +758,75 @@ def events_anomaly_zscore(spark, sf_dir):
         )
         .select("event_type", "hour_idx", "cnt", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) >= _ZSCORE_THRESHOLD)
+    )
+
+
+# --- time-weighted average (round 5) ----------------------------------------
+
+_TWA_ORACLE = """
+    WITH o AS (
+        SELECT user_id, value, epoch_us(ts) AS us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_us
+        FROM events
+    ),
+    agg AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(us) - min(us) AS BIGINT) AS span_us,
+               sum(CASE WHEN next_us IS NOT NULL
+                        THEN value * (next_us - us) / 3600000000.0 END) AS num,
+               sum(CASE WHEN next_us IS NOT NULL
+                        THEN (next_us - us) / 3600000000.0 END) AS den
+        FROM o GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_us, round(num / den, 4) AS twa_value
+    FROM agg WHERE span_us > 0
+"""
+
+
+@register("events_time_weighted_avg", _TWA_ORACLE)
+def events_time_weighted_avg(spark, sf_dir):
+    """Duration-weighted average per user (the hypertable
+    ``time_weight('LOCF', ...)`` shape): each observation's value is
+    weighted by how long it remained current (until the next event),
+    so a sensor parked at one value for hours dominates a burst of
+    momentary readings — the semantics a plain avg() gets wrong on
+    irregular time series. Same-ts ties are ordered by event_id in
+    BOTH engines: which value carries the following gap would
+    otherwise be partition-order dependent.
+
+    Scale: one lead() window and one aggregation, both keyed on
+    user_id — single shuffle, no dense grid needed (unlike gapfill);
+    span_us is exact integer arithmetic and the weighted ratio is a
+    ratio-of-sums rounded once (the A5 discipline)."""
+    from pyspark.sql import Window
+
+    o = (
+        _events(spark, sf_dir)
+        .select("user_id", "event_id", "value", F.unix_micros("ts").alias("us"))
+        .select(
+            "user_id",
+            "value",
+            "us",
+            F.lead("us").over(
+                Window.partitionBy("user_id").orderBy("us", "event_id")
+            ).alias("next_us"),
+        )
+    )
+    dh = (F.col("next_us") - F.col("us")) / 3_600_000_000.0
+    agg = o.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+        F.sum(F.when(F.col("next_us").isNotNull(), F.col("value") * dh)).alias(
+            "num"
+        ),
+        F.sum(F.when(F.col("next_us").isNotNull(), dh)).alias("den"),
+    )
+    return agg.filter(F.col("span_us") > 0).select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.round(F.col("num") / F.col("den"), 4).alias("twa_value"),
     )

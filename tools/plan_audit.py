@@ -60,6 +60,7 @@ EXTRA = [
     # r5 additions
     "events_funnel_conversion",
     "events_linear_interpolate",
+    "events_time_weighted_avg",
     "corpus_weighted_doc_sample",
     "corpus_embedding_decontaminate",
 ]
