@@ -332,3 +332,102 @@ def test_jpeg_decoder_roundtrip_property(width, height, seed, ncomp):
     # half the dynamic range; determinism is exact
     assert err.max() <= 96, err.max()
     assert np.array_equal(got.ravel(), DECODERS["image/jpeg"](payload))
+
+
+def test_two_level_kernel_tiebreak_and_empty_cell(spark):
+    """r5 IVF kernel invariants the end-to-end oracle only covers
+    incidentally: (a) a vector equidistant from fine centroids in two
+    probed cells must pick the LOWEST cid (the ORDER BY cos DESC, cid
+    tiebreak); (b) a vector whose probed cells hold no fine centroid
+    must come back -1 (the SQL chain's inner-join drop), never a
+    fabricated assignment."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators._argmax_udf import (
+        make_two_level_nearest_udf,
+    )
+    from pyspark.sql import functions as F
+
+    # two coarse cells along +x and +y; fine centroids: cid 1/3 in cell
+    # 0 (+x-ish), cid 2 in cell 1 (+y-ish); cell 2 exists but is EMPTY
+    coarse = {
+        "ids": [0, 1, 2],
+        "vecs": [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]],
+    }
+    fine = {
+        "ids": [1, 2, 3],
+        "vecs": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],  # 3 duplicates 1
+        "cells": [0, 1, 0],
+    }
+    import math
+
+    def nrm(v):
+        return math.sqrt(sum(x * x for x in v))
+
+    udf = make_two_level_nearest_udf(
+        coarse["ids"], coarse["vecs"], [nrm(v) for v in coarse["vecs"]],
+        fine["ids"], fine["vecs"], [nrm(v) for v in fine["vecs"]],
+        fine["cells"], 2,
+    )
+    rows = [
+        # ties cid 1 vs its duplicate cid 3 (same cell) AND the [1,1]
+        # direction ties the +x pair against cid 2 across cells
+        (10, [1.0, 1.0]),
+        (11, [1.0, 0.0]),   # exact hit on cid 1 (and its dup 3)
+        (12, [0.0, 1.0]),   # exact hit on cid 2
+        (13, [-1.0, -1.0]), # nearest cells by cosine: 2 (empty) probed
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = {
+        r.vec_id: r.cid
+        for r in df.select(
+            "vec_id",
+            udf(
+                F.col("embedding"),
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            "embedding",
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+            ).alias("cid"),
+        ).collect()
+    }
+    assert out[10] == 1, out  # cos ties at 0.7071... -> lowest cid wins
+    assert out[11] == 1, out  # duplicate centroid tie -> 1, not 3
+    assert out[12] == 2, out
+    # vec 13: top-2 cells by cosine are cell 2 (cos 1.0) and the tie
+    # between cells 0/1 (cos -0.7071; stable argsort keeps cell 0) ->
+    # probes {2, 0}; cell 0 has centroids, so it assigns (negative cos
+    # but still the best candidate) — verify it did NOT fabricate from
+    # the empty cell and picked the lowest-cid +x centroid
+    assert out[13] == 1, out
+
+    # pure empty-probe case: cprobe=1 so ONLY the empty cell 2 is probed
+    udf1 = make_two_level_nearest_udf(
+        coarse["ids"], coarse["vecs"], [nrm(v) for v in coarse["vecs"]],
+        fine["ids"], fine["vecs"], [nrm(v) for v in fine["vecs"]],
+        fine["cells"], 1,
+    )
+    out1 = {
+        r.vec_id: r.cid
+        for r in df.select(
+            "vec_id",
+            udf1(
+                F.col("embedding"),
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            "embedding",
+                            lambda x: x.cast("double") * x.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ),
+            ).alias("cid"),
+        ).collect()
+    }
+    assert out1[13] == -1, out1  # empty probed cell -> sentinel drop
