@@ -35,11 +35,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch read (streams cannot infer); the nanos→µs ts conversion
     mirrors the catalog's."""
     raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The file stream source requires a DIRECTORY path. Single-file
+    # layout (current testdata): stream sf_dir with a glob selecting
+    # just the events file. Directory layout (if a future generation
+    # writes events.parquet/ of parts): stream that directory itself —
+    # the glob would silently match ZERO files in that layout.
+    import os
+
+    p = table_path(sf_dir, "events")
+    if os.path.isdir(p):
+        stream = spark.readStream.schema(raw_schema).parquet(p)
+    else:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if isinstance(raw_schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
