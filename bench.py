@@ -59,6 +59,11 @@ BASELINE_SEC = {
     # full registry; plan unchanged, steady state re-measured idle)
     "similarity_ann_lsh": 0.54,
     "events_session_window": 0.52,
+    # round-5: new headline rows measured at landing (BASELINE.md
+    # "Round-5 updates"; min-of-2 warm, idle-ish host, calibration ~1.1)
+    "events_time_weighted_avg": 0.54,
+    "corpus_embedding_decontaminate": 0.50,
+    "sketch_bitmap_exact_distinct": 0.50,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -786,7 +786,7 @@ _TWA_ORACLE = """
 """
 
 
-@register("events_time_weighted_avg", _TWA_ORACLE)
+@register("events_time_weighted_avg", _TWA_ORACLE, headline=True)
 def events_time_weighted_avg(spark, sf_dir):
     """Duration-weighted average per user (the hypertable
     ``time_weight('LOCF', ...)`` shape): each observation's value is

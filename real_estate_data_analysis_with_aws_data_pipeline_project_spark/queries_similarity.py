@@ -1580,7 +1580,7 @@ _DECON_EMB_ORACLE = f"""
 """
 
 
-@register("corpus_embedding_decontaminate", _DECON_EMB_ORACLE)
+@register("corpus_embedding_decontaminate", _DECON_EMB_ORACLE, headline=True)
 def corpus_embedding_decontaminate(spark, sf_dir):
     """Embedding-space eval-set decontamination: every (eval, train)
     pair whose cosine reaches the shared semantic near-dup bar — the

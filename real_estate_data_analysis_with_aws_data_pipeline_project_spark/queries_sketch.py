@@ -635,7 +635,7 @@ _BITMAP_ORACLE = """
 """
 
 
-@register("sketch_bitmap_exact_distinct", _BITMAP_ORACLE)
+@register("sketch_bitmap_exact_distinct", _BITMAP_ORACLE, headline=True)
 def sketch_bitmap_exact_distinct(spark, sf_dir):
     """EXACT distinct counting via Spark's bitmap aggregates (3.5+):
     per (event_type, day, bucket) bitmaps built in one scan
