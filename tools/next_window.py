@@ -42,6 +42,15 @@ WINDOW_SIZE = 50
 # Names the next rotation must include first (ahead of registration
 # order) — VERDICT r4 #2: the r4-new surface and the driver-unseen
 # TPC-H shapes.
+#
+# r6 planning note: once CORRECTNESS_r05.json lands, refresh this tuple
+# with the r5-new surface (events_funnel_conversion,
+# events_linear_interpolate, events_time_weighted_avg,
+# corpus_weighted_doc_sample, corpus_embedding_decontaminate,
+# sketch_bitmap_exact_distinct, and the three streaming oracle
+# upgrades streaming_tumbling_counts / streaming_session_window /
+# streaming_stateful_user_stats) — do NOT edit it before then: the
+# sync test pins the live r5 rotation to this tuple's output.
 PRIORITY: tuple[str, ...] = (
     "sql_pipe_syntax_rollup",
     "f_try_functions",
