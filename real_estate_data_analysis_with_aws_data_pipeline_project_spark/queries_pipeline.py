@@ -419,3 +419,61 @@ def cdc_snapshot_diff(spark, sf_dir):
         .cast("bigint")
         .alias("n_unchanged"),
     )
+
+
+# --- referential-integrity audit (round 5) ----------------------------------
+
+_FK_EDGES = (
+    # (label, child, child_key, parent, parent_key)
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+_FK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{label}' AS fk,
+           CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM {child} c
+                 LEFT JOIN {parent} p ON p.{pkey} = c.{ckey}
+                 WHERE p.{pkey} IS NULL) AS BIGINT) AS n_orphans
+    """
+    for label, child, ckey, parent, pkey in _FK_EDGES
+)
+
+
+@register("dq_referential_orphans", _FK_ORACLE)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit across the star schema's FK edges:
+    for each child→parent relationship, the child row count and the
+    number of ORPHANS (child keys with no parent row) — the data-
+    quality gate that catches broken ingestion ordering or partial
+    loads before a join silently drops rows downstream.
+
+    Scale: each edge is one left-anti join (broadcast for dim parents,
+    shuffle-on-key for the fact-fact edge) feeding a one-row count —
+    no row-level output, so the audit's cost is the joins themselves
+    and the report is four rows regardless of data size."""
+    from .sources.catalog import load_table
+
+    out = None
+    for label, child, ckey, parent, pkey in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pkey).alias("_pk")
+        )
+        orphans = c.join(
+            p, c[ckey] == F.col("_pk"), "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        stage = (
+            c.agg(F.count("*").alias("n_rows"))
+            .crossJoin(F.broadcast(orphans))
+            .select(
+                F.lit(label).alias("fk"),
+                F.col("n_rows"),
+                F.col("n_orphans"),
+            )
+        )
+        out = stage if out is None else out.unionByName(stage)
+    return out
