@@ -830,3 +830,60 @@ def events_time_weighted_avg(spark, sf_dir):
         "span_us",
         F.round(F.col("num") / F.col("den"), 4).alias("twa_value"),
     )
+
+
+# --- period-over-period growth (round 5) ------------------------------------
+
+_DOD_ORACLE = """
+    WITH d AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+           round(
+               (n - lag(n) OVER (PARTITION BY event_type ORDER BY day))
+               / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                      AS DOUBLE), 4
+           ) AS dod_growth
+    FROM d
+"""
+
+
+@register("events_dod_growth", _DOD_ORACLE)
+def events_dod_growth(spark, sf_dir):
+    """Day-over-day growth per event type: daily counts with the
+    previous day's count and the relative change — the
+    period-over-period report every dashboard runs. First day per type
+    has NULL prev/growth (no fabricated zero). Growth is one division
+    of exact integers rounded once, so both engines emit identical
+    values.
+
+    Scale: one aggregation plus one lag() window, both keyed on
+    event_type — the tiny daily aggregate is what the window sorts,
+    never raw events."""
+    from pyspark.sql import Window
+
+    d = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        prev.alias("prev_n"),
+        F.round((F.col("n") - prev) / prev.cast("double"), 4).alias(
+            "dod_growth"
+        ),
+    )
