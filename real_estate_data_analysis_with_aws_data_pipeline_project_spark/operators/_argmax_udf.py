@@ -93,10 +93,17 @@ def make_two_level_nearest_udf(
     (the DataFrame/SQL twins drop such vectors via inner join — callers
     must filter cid >= 0)."""
     g_ids = np.asarray(coarse_ids, dtype=np.int64)   # sorted ascending
-    g_w = _widen(coarse_vecs)
+    # model vectors are 6dp-rounded DOUBLES (Lloyd means) — load them
+    # as float64 directly. _widen's float32 round-trip is only correct
+    # for the float32-SOURCED input embeddings; pushing the centroids
+    # through float32 would perturb every dot product ~1e-8 relative
+    # vs the Catalyst/DuckDB chain that ranks raw cosines on the exact
+    # doubles, and a sub-1e-8 cosine gap between two near-duplicate
+    # post-Lloyd centroids could then rank oppositely cross-engine.
+    g_w = np.asarray(coarse_vecs, dtype=np.float64)
     g_n = np.asarray(coarse_nrms, dtype=np.float64)
     f_ids = np.asarray(fine_ids, dtype=np.int64)     # sorted ascending
-    f_w = _widen(fine_vecs)
+    f_w = np.asarray(fine_vecs, dtype=np.float64)
     f_n = np.asarray(fine_nrms, dtype=np.float64)
     f_cell = np.asarray(fine_cells, dtype=np.int64)  # aligned to f_ids
 

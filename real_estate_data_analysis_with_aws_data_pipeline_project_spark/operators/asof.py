@@ -49,7 +49,6 @@ def asof_join(
         F.col(key),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        F.col(right_ts).alias("_r_ts"),
         # deterministic tiebreak among right rows sharing (key, ts):
         # without it, which row's values are carried depends on the
         # partitioning (ADVICE r1).  Each column contributes an isnull
@@ -110,7 +109,7 @@ def asof_join(
             for i, c in enumerate(carry_cols)
         ],
     )
-    drop = ["_side", "_ats", "_r_ts", "_tiebreak", "_r_row", "_m"]
+    drop = ["_side", "_ats", "_tiebreak", "_r_row", "_m"]
     return out.drop(*drop)
 
 

@@ -333,13 +333,37 @@ def corpus_mixing_plan(spark, sf_dir):
 _MIX_HEX6 = 16 ** 6  # md5-prefix uniform in [0, 1): first 6 hex chars
 
 
-def _mix_uniform_sql(key: str) -> str:
+def _u6_int_sql(key: str) -> str:
+    """The md5-prefix uniform as a BIGINT in [0, 16^6) — the single
+    source of the hex-digit expansion (SQL side); ``_mix_uniform_sql``
+    and the weighted sampler both build on it so the hashing
+    convention lives in exactly one place per engine."""
     terms = " + ".join(
         f"(instr('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
         f" * {16 ** (6 - i)}"
         for i in range(1, 7)
     )
-    return f"(CAST({terms} AS DOUBLE) / {_MIX_HEX6})"
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _u6_int_col(key: str = "doc_id") -> "F.Column":
+    """Spark twin of ``_u6_int_sql`` (md5 of the key's binary-cast
+    string form — hex-identical to DuckDB's md5(VARCHAR))."""
+    acc = None
+    for i in range(1, 7):
+        term = (
+            F.expr(
+                f"instr('0123456789abcdef', "
+                f"substr(md5(cast(cast({key} as string) as binary)), {i}, 1)) - 1"
+            )
+            * (16 ** (6 - i))
+        )
+        acc = term if acc is None else acc + term
+    return acc.cast("bigint")
+
+
+def _mix_uniform_sql(key: str) -> str:
+    return f"(CAST({_u6_int_sql(key)} AS DOUBLE) / {_MIX_HEX6})"
 
 
 _MIX_SAMPLE_ORACLE = f"""
@@ -399,17 +423,7 @@ def corpus_mixing_sample(spark, sf_dir):
             / F.col("avail_tokens"),
         ).alias("fraction"),
     )
-    uniform_terms = None
-    for i in range(1, 7):
-        term = (
-            F.expr(
-                f"instr('0123456789abcdef', "
-                f"substr(md5(cast(cast(doc_id as string) as binary)), {i}, 1)) - 1"
-            )
-            * (16 ** (6 - i))
-        )
-        uniform_terms = term if uniform_terms is None else uniform_terms + term
-    uniform = uniform_terms.cast("double") / _MIX_HEX6
+    uniform = _u6_int_col("doc_id").cast("double") / _MIX_HEX6
     kept = docs.join(F.broadcast(plan), "source").filter(
         uniform < F.col("fraction")
     )
@@ -422,33 +436,6 @@ def corpus_mixing_sample(spark, sf_dir):
 # --- per-document weighted Bernoulli sample (round 5) -----------------------
 
 _WSAMPLE_TARGET = 100  # expected number of kept documents
-
-
-def _u6_int_sql(key: str) -> str:
-    """The md5-prefix uniform as a BIGINT in [0, 16^6) — the integer
-    numerator of ``_mix_uniform_sql`` so weighted keep decisions can be
-    exact integer comparisons (no FP, no cross-engine rounding risk)."""
-    terms = " + ".join(
-        f"(instr('0123456789abcdef', substr(md5(CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
-        f" * {16 ** (6 - i)}"
-        for i in range(1, 7)
-    )
-    return f"CAST({terms} AS BIGINT)"
-
-
-def _u6_int_col(key: str = "doc_id") -> "F.Column":
-    acc = None
-    for i in range(1, 7):
-        term = (
-            F.expr(
-                f"instr('0123456789abcdef', "
-                f"substr(md5(cast(cast({key} as string) as binary)), {i}, 1)) - 1"
-            )
-            * (16 ** (6 - i))
-        )
-        acc = term if acc is None else acc + term
-    return acc.cast("bigint")
-
 
 _WSAMPLE_ORACLE = f"""
     WITH w AS (

@@ -88,7 +88,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 _SESSION_ORACLE = f"""
     WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events
     ),
@@ -99,8 +99,14 @@ _SESSION_ORACLE = f"""
         FROM o
     ),
     s AS (
+        -- running sum ordered by the SAME (ts, event_id) tiebreak the
+        -- lag used: ordering by (ts, new_s) would sort a same-ts
+        -- sibling BEFORE the session-opening row and park it in the
+        -- previous session, while session_window merges all same-ts
+        -- events into the new one (r5 review finding; latent until the
+        -- data has a same-ts tie exactly at a session boundary)
         SELECT *, sum(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, new_s
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING
         ) AS sid
         FROM m

@@ -90,7 +90,7 @@ def q_streaming_tumbling_counts(spark, sf_dir):
     "streaming_session_window",
     f"""
     WITH o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
         FROM events
@@ -103,8 +103,10 @@ def q_streaming_tumbling_counts(spark, sf_dir):
         FROM o
     ),
     s AS (
+        -- (ts, event_id) tiebreak, same as the lag — see the batch
+        -- _SESSION_ORACLE note on same-ts session-boundary siblings
         SELECT *, sum(new_s) OVER (
-            PARTITION BY user_id ORDER BY ts, new_s
+            PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING
         ) AS sid
         FROM m

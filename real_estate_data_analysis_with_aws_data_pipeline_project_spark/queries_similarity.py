@@ -785,6 +785,10 @@ def _ivf_model(spark, sf_dir, cent: DataFrame, ck: int) -> tuple:
     key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
     model = _IVF_MODEL_CACHE.get(key)
     if model is None:
+        # evict superseded fingerprints for this sf_dir (regenerated
+        # testdata) so the model cache stays one entry per corpus
+        for k in [k for k in _IVF_MODEL_CACHE if k[:2] == key[:2] and k != key]:
+            _IVF_MODEL_CACHE.pop(k, None)
         coarse = _coarse_refine(cent, ck)
         cellmap = (
             cent.crossJoin(F.broadcast(coarse))
@@ -1454,6 +1458,10 @@ def _semantic_seed_rows(spark, sf_dir, v, k):
     )
     rows = _SEM_SEED_CACHE.get(key)
     if rows is None:
+        # evict superseded fingerprints for this sf_dir — without this
+        # the seed lists of every prior testdata generation accumulate
+        for k in [k for k in _SEM_SEED_CACHE if k[:2] == key[:2] and k != key]:
+            _SEM_SEED_CACHE.pop(k, None)
         seeds = (
             v.select(
                 F.col("vec_id").alias("seed_id"),

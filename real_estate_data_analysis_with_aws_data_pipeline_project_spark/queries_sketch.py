@@ -663,9 +663,15 @@ def sketch_bitmap_exact_distinct(spark, sf_dir):
     )
     merged = daily.groupBy("event_type", "bucket").agg(
         F.bitmap_or_agg("bm").alias("bm"),
-        F.countDistinct("day").alias("n_days_b"),
     )
-    return merged.groupBy("event_type").agg(
+    users = merged.groupBy("event_type").agg(
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_users"),
-        F.max("n_days_b").cast("bigint").alias("n_days"),
     )
+    # n_days aggregates at the event_type level over the daily tier —
+    # a per-bucket distinct-day max would undercount as soon as
+    # user_ids span more than one 32768-wide bitmap bucket (active
+    # days need not repeat per bucket)
+    days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("bigint").alias("n_days")
+    )
+    return users.join(days, "event_type")

@@ -15,9 +15,8 @@ pinned here with its landing round; landing round = max round on disk
 when the rotation was planned, plus one.
 """
 
-import json
 import pathlib
-import re
+import sys
 
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
     QUERIES,
@@ -27,26 +26,12 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
 )
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "tools"))
 
-
-def green_by_round() -> dict[int, set[str]]:
-    out: dict[int, set[str]] = {}
-    for path in REPO.glob("CORRECTNESS_r*.json"):
-        rnd = int(re.search(r"_r(\d+)", path.stem).group(1))
-        out[rnd] = {
-            name
-            for name, row in json.loads(path.read_text()).items()
-            if row.get("rows_match")
-            and row.get("schema_match")
-            and row.get("hash_match")
-        }
-    return out
-
-
-def green_before(round_no: int) -> set[str]:
-    return set().union(
-        *(g for rnd, g in green_by_round().items() if rnd < round_no), set()
-    )
+# The green predicate and round parsing live in the generator tool —
+# one definition, so the tests and the rotation proposal can never
+# disagree about what counts as driver-green (r5 review finding).
+from next_window import green_before, green_rounds as green_by_round  # noqa: E402
 
 
 # Every rotation ever shipped, keyed by its LANDING round (the round
@@ -150,9 +135,6 @@ def test_live_rotation_matches_generator_tool():
     # already proposes the NEXT round's rotation).
     if LIVE_ROUND in green_by_round():
         return
-    import sys
-
-    sys.path.insert(0, str(REPO / "tools"))
     import next_window
 
     assert list(_ROTATION) == next_window.next_rotation()

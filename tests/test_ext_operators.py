@@ -1158,3 +1158,21 @@ def test_theta_set_ops_single_segment(spark, tmp_path):
     assert r.n_both == 0 and r.n_click_only == 50
     assert r.intersect_within_envelope, r
     assert r.difference_within_envelope, r
+
+
+def test_bitmap_distinct_across_buckets(spark, tmp_path):
+    """r5 review finding: n_days must aggregate at the event_type
+    level. With user_ids spanning two 32768-wide bitmap buckets, each
+    active on a DIFFERENT day, a per-bucket max would report 1 day —
+    the true answer is 2 (and distinct users 2)."""
+    import pandas as pd
+
+    rows = [
+        (1, pd.Timestamp("2024-01-01 00:00:00"), 1, "click", 1.0, "{}"),
+        (2, pd.Timestamp("2024-01-02 00:00:00"), 40000, "click", 1.0, "{}"),
+    ]
+    sf_dir = _write_synthetic_events(tmp_path, rows)
+    r = QUERIES["sketch_bitmap_exact_distinct"].fn(spark, sf_dir).collect()[0]
+    assert r.event_type == "click"
+    assert r.n_distinct_users == 2
+    assert r.n_days == 2

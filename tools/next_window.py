@@ -80,20 +80,31 @@ def correctness_rounds() -> dict[int, dict]:
     return out
 
 
+def row_green(row: dict) -> bool:
+    """THE driver-green predicate — single definition, reused by the
+    window meta-tests (tests/test_driver_window.py) so the generator
+    and the tests can never disagree about what counts as green."""
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+    )
+
+
+def green_rounds() -> dict[int, set[str]]:
+    return {
+        rnd: {name for name, row in rows.items() if row_green(row)}
+        for rnd, rows in correctness_rounds().items()
+    }
+
+
 def green_before(round_no: int | None = None) -> set[str]:
     """Cumulative driver-green names across rounds strictly before
     ``round_no`` (all rounds when None)."""
     green: set[str] = set()
-    for rnd, rows in correctness_rounds().items():
-        if round_no is not None and rnd >= round_no:
-            continue
-        for name, row in rows.items():
-            if (
-                row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
+    for rnd, names in green_rounds().items():
+        if round_no is None or rnd < round_no:
+            green |= names
     return green
 
 
