@@ -29,20 +29,41 @@ from pyspark.sql import DataFrame, SparkSession
 _CACHE: dict[tuple, DataFrame] = {}
 
 
+def path_fingerprint(path: str) -> tuple[int, int]:
+    """(max mtime_ns, total size) of one parquet entry — a single file
+    or a DIRECTORY of part files. os.stat on a directory yields dir
+    metadata that need not change when part files are rewritten in
+    place (ADVICE r5), so directories are walked file-by-file."""
+    import os
+
+    if os.path.isdir(path):
+        mtime, size = 0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                mtime = max(mtime, st.st_mtime_ns)
+                size += st.st_size
+        return mtime, size
+    st = os.stat(path)
+    return st.st_mtime_ns, st.st_size
+
+
 def _sf_fingerprint(sf_dir: str) -> tuple[int, int]:
     """Cheap content fingerprint of a testdata dir: (max mtime_ns, total
     size) over its parquet files. The driver regenerates testdata under
     an UNCHANGED path between rounds (ADVICE r4 on the semantic-seed
     cache) — a path-only key would keep serving relations persisted over
-    the previous generation's files."""
+    the previous generation's files. Directory-of-parts table layouts
+    (`events.parquet/part-*.parquet`) are fingerprinted by their
+    contained files, not the directory inode (ADVICE r5)."""
     import glob
     import os
 
     mtime, size = 0, 0
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        st = os.stat(p)
-        mtime = max(mtime, st.st_mtime_ns)
-        size += st.st_size
+        m, s = path_fingerprint(p)
+        mtime = max(mtime, m)
+        size += s
     return mtime, size
 
 

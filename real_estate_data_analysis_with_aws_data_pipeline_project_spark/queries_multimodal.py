@@ -16,6 +16,7 @@ from .operators.multimodal import extract_features, pack_payloads
 from .registry import register
 from .sources.catalog import load_table
 from .streaming import (
+    SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_window,
@@ -64,7 +65,9 @@ def multimodal_features(spark, sf_dir):
 # their oracle-green batch twins) — so they carry the batch oracles
 # now, upgrading the driver check from rows-only to full hash-match.
 
-_STREAM_SESSION_GAP_US = 30 * 60 * 1_000_000  # == jobs.py "30 minutes"
+# The µs gap and the job's "30 minutes" duration string are both built
+# from streaming.jobs.SESSION_GAP_MINUTES — one definition (ADVICE r5).
+_STREAM_SESSION_GAP_US = SESSION_GAP_US
 
 
 @register(

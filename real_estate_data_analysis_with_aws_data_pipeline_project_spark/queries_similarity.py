@@ -777,18 +777,21 @@ def _ivf_model(spark, sf_dir, cent: DataFrame, ck: int) -> tuple:
     arithmetic is the exact Catalyst chain the oracle mirrors. Cached
     per (session, sf_dir, file-fingerprint): bench's warm+timed double
     pass and repeated driver calls collect once."""
-    import os
-
+    from .operators.session_cache import path_fingerprint
     from .sources.catalog import table_path
 
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    key = (spark.sparkContext.applicationId, sf_dir, st.st_mtime_ns, st.st_size)
+    fp = path_fingerprint(table_path(sf_dir, "embeddings"))
+    key = (spark.sparkContext.applicationId, sf_dir, *fp)
     model = _IVF_MODEL_CACHE.get(key)
     if model is None:
         # evict superseded fingerprints for this sf_dir (regenerated
-        # testdata) so the model cache stays one entry per corpus
-        for k in [k for k in _IVF_MODEL_CACHE if k[:2] == key[:2] and k != key]:
-            _IVF_MODEL_CACHE.pop(k, None)
+        # testdata) so the model cache stays one entry per corpus.
+        # Distinct loop variable so later edits referencing k/ck can't
+        # silently pick up a cache-key tuple (ADVICE r5 low).
+        for stale in [
+            kk for kk in _IVF_MODEL_CACHE if kk[:2] == key[:2] and kk != key
+        ]:
+            _IVF_MODEL_CACHE.pop(stale, None)
         coarse = _coarse_refine(cent, ck)
         cellmap = (
             cent.crossJoin(F.broadcast(coarse))
@@ -1445,23 +1448,21 @@ def _semantic_seed_rows(spark, sf_dir, v, k):
     rounds, and a key of (applicationId, sf_dir) alone would silently
     assign against stale seed vectors while the oracle reads the new
     files (ADVICE r4)."""
-    import os
-
+    from .operators.session_cache import path_fingerprint
     from .sources.catalog import table_path
 
-    st = os.stat(table_path(sf_dir, "embeddings"))
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        st.st_mtime_ns,
-        st.st_size,
-    )
+    fp = path_fingerprint(table_path(sf_dir, "embeddings"))
+    key = (spark.sparkContext.applicationId, sf_dir, *fp)
     rows = _SEM_SEED_CACHE.get(key)
     if rows is None:
         # evict superseded fingerprints for this sf_dir — without this
-        # the seed lists of every prior testdata generation accumulate
-        for k in [k for k in _SEM_SEED_CACHE if k[:2] == key[:2] and k != key]:
-            _SEM_SEED_CACHE.pop(k, None)
+        # the seed lists of every prior testdata generation accumulate.
+        # Distinct loop variable: `k` is the seed COUNT parameter and is
+        # read below by .limit(k) (ADVICE r5 high).
+        for stale in [
+            kk for kk in _SEM_SEED_CACHE if kk[:2] == key[:2] and kk != key
+        ]:
+            _SEM_SEED_CACHE.pop(stale, None)
         seeds = (
             v.select(
                 F.col("vec_id").alias("seed_id"),

@@ -1,4 +1,5 @@
 from .jobs import (
+    SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_session_window,
@@ -8,6 +9,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "SESSION_GAP_US",
     "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_session_window",

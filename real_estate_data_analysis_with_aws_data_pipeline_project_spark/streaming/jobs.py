@@ -29,6 +29,14 @@ from pyspark.sql import types as T
 
 from ..sources.catalog import table_path
 
+# Session gap, defined ONCE (ADVICE r5): the streaming job builds the
+# duration string from it and the oracle SQL in queries_multimodal
+# builds its microsecond bound from it, so the two cannot silently
+# diverge.
+SESSION_GAP_MINUTES = 30
+SESSION_GAP = f"{SESSION_GAP_MINUTES} minutes"
+SESSION_GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table. Schema comes from a
@@ -99,7 +107,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",

@@ -1176,3 +1176,104 @@ def test_bitmap_distinct_across_buckets(spark, tmp_path):
     assert r.event_type == "click"
     assert r.n_distinct_users == 2
     assert r.n_days == 2
+
+
+def test_semantic_seed_cache_eviction_survives_stale_entry(spark, sf_dir):
+    """ADVICE r5 (high): the eviction loop must NOT rebind the seed
+    count ``k`` — with a pre-seeded stale fingerprint for the same
+    (session, sf_dir), the buggy version crashed on ``.limit(k)`` with
+    ``k`` holding a cache-key tuple the first time testdata was
+    regenerated within a session."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_similarity as qs,
+    )
+
+    v = (
+        qs._vecs(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", F.lit(1.0))
+    )
+    app = spark.sparkContext.applicationId
+    stale_key = (app, sf_dir, 0, 0)  # superseded fingerprint
+    qs._SEM_SEED_CACHE.clear()
+    qs._SEM_SEED_CACHE[stale_key] = [("stale", [0.0], 1.0)]
+    try:
+        rows = qs._semantic_seed_rows(spark, sf_dir, v, 4)
+        assert len(rows) == 4
+        assert stale_key not in qs._SEM_SEED_CACHE  # evicted
+        assert len(qs._SEM_SEED_CACHE) == 1  # exactly the fresh entry
+        again = qs._semantic_seed_rows(spark, sf_dir, v, 4)
+        assert again is rows  # served from cache on the second call
+    finally:
+        qs._SEM_SEED_CACHE.clear()
+
+
+def test_ivf_model_cache_evicts_stale_fingerprint(spark, sf_dir):
+    """Twin of the semantic-seed eviction test for _IVF_MODEL_CACHE
+    (ADVICE r5 low): a superseded fingerprint entry for the same
+    (session, sf_dir) is evicted, leaving exactly one live model."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_similarity as qs,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+        QUERIES,
+    )
+
+    app = spark.sparkContext.applicationId
+    stale_key = (app, sf_dir, 0, 0)
+    qs._IVF_MODEL_CACHE[stale_key] = ("stale",)
+    QUERIES["similarity_ivf_topk"].fn(spark, sf_dir).collect()
+    assert stale_key not in qs._IVF_MODEL_CACHE
+    live = [k for k in qs._IVF_MODEL_CACHE if k[:2] == (app, sf_dir)]
+    assert len(live) == 1
+
+
+def test_path_fingerprint_recurses_into_part_directories(tmp_path):
+    """ADVICE r5: a directory-of-parts table (``events.parquet/``)
+    must be fingerprinted by its contained files — rewriting a part in
+    place (same size) need not touch the directory inode's metadata,
+    so an os.stat-on-the-dir fingerprint could go stale."""
+    import os
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.session_cache import (
+        _sf_fingerprint,
+        path_fingerprint,
+    )
+
+    table = tmp_path / "events.parquet"
+    table.mkdir()
+    part = table / "part-00000.parquet"
+    part.write_bytes(b"generation-1")
+    fp1 = path_fingerprint(str(table))
+    dir_stat1 = os.stat(table)
+
+    # rewrite the part IN PLACE: same name, same size, newer mtime
+    part.write_bytes(b"generation-2")
+    os.utime(table, ns=(dir_stat1.st_atime_ns, dir_stat1.st_mtime_ns))
+
+    fp2 = path_fingerprint(str(table))
+    assert fp2 != fp1  # file-level mtime advanced even though dir didn't
+    assert fp2[1] == fp1[1]  # same total size — mtime is what caught it
+
+    # and the sf_dir-level fingerprint sees through the directory too
+    sf1 = _sf_fingerprint(str(tmp_path))
+    part.write_bytes(b"generation-3!")  # size change this time
+    sf2 = _sf_fingerprint(str(tmp_path))
+    assert sf2 != sf1 and sf2[1] == sf1[1] + 1
+
+
+def test_streaming_session_gap_single_definition():
+    """ADVICE r5: the session-window oracle's µs gap and the streaming
+    job's duration string must come from one constant."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_multimodal as qm,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming import (
+        jobs,
+    )
+
+    assert qm._STREAM_SESSION_GAP_US == jobs.SESSION_GAP_US
+    assert jobs.SESSION_GAP == f"{jobs.SESSION_GAP_MINUTES} minutes"
+    assert jobs.SESSION_GAP_US == jobs.SESSION_GAP_MINUTES * 60 * 1_000_000
