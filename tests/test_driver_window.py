@@ -70,8 +70,48 @@ ROTATIONS: dict[int, list[str]] = {
         "text_pmi_top_pairs",
         "dedup_boilerplate_shingles",
     ],
-    5: list(_ROTATION),
+    5: [
+        "sql_pipe_syntax_rollup",
+        "f_try_functions",
+        "variant_shred_props",
+        "similarity_sq_int8_topk",
+        "join_asof_next_event",
+        "sketch_theta_set_ops",
+        "sketch_kll_quantile_rollup",
+        "events_hll_hourly_rollup",
+        "source_python_datasource",
+        "streaming_user_activity_tws",
+        "tpch_q4_order_priority",
+        "tpch_q8_market_share",
+        "tpch_q11_important_spend",
+        "tpch_q13_order_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q16_supplier_count",
+        "tpch_q22_sales_opportunity",
+        "text_fingerprint",
+        "text_token_count_regex",
+        "text_rolling_fingerprint",
+        "dedup_exact_summary",
+        "dedup_ngram_jaccard",
+        "dedup_drop_duplicates",
+        "dedup_repeated_substrings",
+        "embedding_label_centroids",
+        "events_tumbling_window",
+        "events_sliding_window",
+        "events_sessionization_lag",
+        "events_gap_fill_ffill",
+        "rollup_merge_partials",
+    ],
+    6: list(_ROTATION),
 }
+
+# r7 endgame (VERDICT r5 #2): when the never-green pool underflows the
+# 30 rotation slots, tools/next_window.py fills the remainder with
+# sanctioned RE-VERIFICATION picks (cumulative-green, newest-landed
+# first). Those entries are already green before their landing round —
+# list them here per round so the first-timer assertion stays strict
+# for everything else. Empty for rounds 4–6 (full first-timer pools).
+REFRESH_OK: dict[int, set[str]] = {}
 
 LIVE_ROUND = max(ROTATIONS)
 
@@ -120,10 +160,15 @@ def test_rotations_were_first_timers_at_their_landing_round():
     # driver landing round N's own artifacts cannot invalidate this.
     for rnd, names in ROTATIONS.items():
         prior = green_before(rnd)
-        already = [n for n in names if n in prior]
+        already = [
+            n
+            for n in names
+            if n in prior and n not in REFRESH_OK.get(rnd, set())
+        ]
         assert not already, (
             f"round-{rnd} rotation entries were already driver-green "
-            f"before round {rnd}: {already}"
+            f"before round {rnd} (and not sanctioned re-verification "
+            f"picks): {already}"
         )
 
 
