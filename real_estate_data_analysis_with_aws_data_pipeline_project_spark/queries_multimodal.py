@@ -54,9 +54,52 @@ def multimodal_payload_meta(spark, sf_dir):
 def multimodal_features(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads (16-bin
     byte histogram + mean/std). Deterministic; shape/partitioning
-    asserted in tests, rows-only for the driver."""
+    asserted in tests, rows-only for the driver — the oracle-checked
+    companion is multimodal_features_audit."""
     packed = pack_payloads(load_table(spark, sf_dir, "documents"))
     return extract_features(packed)
+
+
+@register(
+    "multimodal_features_audit",
+    """
+    WITH codes AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_bytes,
+               list_transform(string_split(text, ''),
+                              x -> CAST(ascii(x) AS DOUBLE)) AS c
+        FROM documents
+    )
+    SELECT doc_id,
+           n_bytes,
+           CAST(18 AS INT) AS n_features,
+           round(list_aggregate(c, 'avg'), 4) AS mean_byte,
+           round(list_aggregate(c, 'stddev_pop'), 4) AS std_byte,
+           round(CAST(len(list_filter(c, x -> floor(x / 16) = 6))
+                      AS DOUBLE) / n_bytes, 4) AS hist_bin6
+    FROM codes
+    """,
+)
+def multimodal_features_audit(spark, sf_dir):
+    """Oracle-checked companion to multimodal_features (VERDICT r5
+    #5): deterministic SCALAR projections of the Pandas-UDF feature
+    vector — byte count, vector width, mean/std byte value, and the
+    bin-6 histogram density — recomputed by DuckDB from the document
+    characters (ASCII corpus, so char codes == payload bytes). The
+    features themselves come from the SAME mapInPandas extraction the
+    rows-only query runs, so a decode or histogram regression breaks
+    the hash here."""
+    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(packed)
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.size(f).alias("n_features"),
+        F.round(F.element_at(f, 17), 4).alias("mean_byte"),
+        F.round(F.element_at(f, 18), 4).alias("std_byte"),
+        F.round(F.element_at(f, 7), 4).alias("hist_bin6"),
+    )
 
 
 # r5: these three streaming jobs were rows-only since r1, but their
@@ -210,8 +253,55 @@ def q_streaming_user_activity_tws(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     """Frame-sample + resize over binary payloads (every 4th 32-byte
     frame, zero-padded to 16 bytes): the video-pipeline plumbing shape
-    with a deterministic fake chunker standing in for the codec."""
+    with a deterministic fake chunker standing in for the codec. The
+    oracle-checked companion is multimodal_frame_audit."""
     from .operators.multimodal import sample_frames
 
     packed = pack_payloads(load_table(spark, sf_dir, "documents"))
     return sample_frames(packed)
+
+
+@register(
+    "multimodal_frame_audit",
+    """
+    SELECT doc_id,
+           CAST(floor((ceiling(length(text) / 32.0) - 1) / 4) + 1
+                AS BIGINT) AS n_frames,
+           CAST(4 * floor((ceiling(length(text) / 32.0) - 1) / 4)
+                AS BIGINT) AS max_frame_idx,
+           CASE WHEN length(text) >= 16
+                THEN md5(substring(text, 1, 16)) END
+               AS first_frame_checksum
+    FROM documents
+    """,
+)
+def multimodal_frame_audit(spark, sf_dir):
+    """Oracle-checked companion to multimodal_frame_sample (VERDICT r5
+    #5): per-document frame count, last sampled frame index, and the
+    md5 of the first 16-byte resized frame, aggregated from the SAME
+    mapInPandas chunker the rows-only query runs. DuckDB recomputes
+    all three from the document text (frames are every 4th 32-byte
+    chunk; the first frame needs no zero padding when the document has
+    >= 16 bytes, which the guard makes explicit — md5 here is
+    VARCHAR-only, so a NUL-padded short frame is NULL on both sides
+    rather than silently wrong)."""
+    from .operators.multimodal import sample_frames
+
+    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(packed)
+    agg = frames.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_frames"),
+        F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+        F.max(
+            F.when(F.col("frame_idx") == 0, F.col("frame_checksum"))
+        ).alias("_first_ck"),
+    )
+    sizes = packed.select("doc_id", F.col("meta.n_bytes").alias("_nb"))
+    return agg.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_frames",
+        "max_frame_idx",
+        F.when(F.col("_nb") >= 16, F.col("_first_ck")).alias(
+            "first_frame_checksum"
+        ),
+    )
