@@ -571,3 +571,53 @@ def corpus_curation_funnel(spark, sf_dir):
             final.agg(F.sum("n_tokens").cast("bigint").alias("tokens_kept"))
         )
     )
+
+
+# --- deterministic global training-order shuffle (round 6) ------------------
+
+_SHUFFLE_SHARDS = 16  # one hex nibble of the order key
+
+_GLOBAL_SHUFFLE_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+                AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM keyed
+"""
+
+
+@register("corpus_global_shuffle", _GLOBAL_SHUFFLE_ORACLE)
+def corpus_global_shuffle(spark, sf_dir):
+    """Deterministic global training-order shuffle: every doc gets an
+    md5 order key; the key's first nibble assigns one of 16 shards
+    (_SHUFFLE_SHARDS) and the position WITHIN the shard is a rank over
+    the key — reading shards 0..15 each in pos order IS the md5 total
+    order, i.e. a reproducible epoch-0 data order for training, with
+    no RNG state to manage.
+
+    Scale: this is exactly Spark's repartition + sortWithinPartitions
+    write shape — ONE hash shuffle on the shard nibble, a per-shard
+    sort, and a PARTITIONED rank (never a single-partition global
+    row_number, which would serialize the corpus through one task at
+    100 TB). More shards = more nibbles; the pattern is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", h.alias("h"))
+    nib = F.substring("h", 1, 1)
+    w = Window.partitionBy(nib).orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (
+            F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1
+        )
+        .cast("int")
+        .alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )

@@ -327,6 +327,89 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# --- incremental near-dup (round 6) ----------------------------------------
+
+# Deterministic "incoming batch" slice: doc_id % 5 == 2 (~20 % of the
+# corpus) stands in for a new ingestion batch; the rest is the already-
+# indexed corpus.
+_INCR_BATCH_MOD, _INCR_BATCH_REM = 5, 2
+
+_INCR_MINHASH_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    mh AS (
+        SELECT doc_id, {_MINHASH_AGGS_SQL}
+        FROM e GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM mh),
+    bx AS ({_BAND_UNION_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS dup_of
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        WHERE a.doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_REM}
+          AND b.doc_id % {_INCR_BATCH_MOD} <> {_INCR_BATCH_REM}
+    )
+    SELECT new_doc, dup_of,
+           CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                  AS DOUBLE) AS jaccard
+    FROM cand
+    JOIN s sa ON sa.doc_id = new_doc
+    JOIN s sb ON sb.doc_id = dup_of
+    WHERE CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh)
+                 - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                 AS DOUBLE) >= {_MINHASH_THRESHOLD}
+    """
+
+
+@register("dedup_incremental_minhash", _INCR_MINHASH_ORACLE)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup: a new ingestion batch (deterministic
+    doc_id slice) probes the EXISTING corpus's MinHash band index —
+    the day-2 shape of dedup_minhash_lsh. The band keys of the batch
+    join the stored band keys of the corpus; only (new, existing)
+    candidates are Jaccard-verified, and batch-internal pairs are NOT
+    re-examined.
+
+    Scale: at 100 TB the (band_idx, band_val) → doc index is a stored
+    table maintained across batches; each increment shuffles only the
+    NEW docs' band keys against it (join keyed on band values), so
+    per-batch cost is O(batch × bands + candidates) — the full-corpus
+    pairing never reruns. Same banding/threshold constants as the
+    batch path (one definition)."""
+    sh = cached_shingles(spark, sf_dir)
+    bands = minhash_band_keys(sh)
+    is_batch = (F.col("doc_id") % _INCR_BATCH_MOD) == _INCR_BATCH_REM
+    newb = bands.filter(is_batch).alias("a")
+    oldb = bands.filter(~is_batch).alias("b")
+    cand = (
+        newb.join(
+            oldb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("b.doc_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    jac = common.cast("double") / (
+        F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common
+    ).cast("double")
+    return (
+        cand.join(sa, F.col("new_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("dup_of") == F.col("sb.doc_id"))
+        .select("new_doc", "dup_of", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MINHASH_THRESHOLD)
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 #
 # 64-bit SHINGLE-level simhash (VERDICT r1 next-round #7). Round 1's

@@ -84,7 +84,11 @@ def events_sliding_window(spark, sf_dir):
     )
 
 
-_SESSION_GAP_US = 30 * 60 * 1_000_000
+# One definition of the 30-minute session gap for the whole engine
+# (ADVICE r5 applied beyond the flagged site): the batch sessionizers
+# here, the streaming job, and the streaming oracle all derive from
+# streaming.jobs.SESSION_GAP_MINUTES.
+from .streaming.jobs import SESSION_GAP_US as _SESSION_GAP_US  # noqa: E402
 
 _SESSION_ORACLE = f"""
     WITH o AS (
@@ -892,4 +896,74 @@ def events_dod_growth(spark, sf_dir):
         F.round((F.col("n") - prev) / prev.cast("double"), 4).alias(
             "dod_growth"
         ),
+    )
+
+
+# --- late-arrival audit (round 6) -------------------------------------------
+
+_LATE_DELAY_US = 10 * 60 * 1_000_000  # allowed lateness: 10 minutes
+
+_LATE_ORACLE = f"""
+    WITH x AS (
+        SELECT event_type, ts,
+               max(ts) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS run_max
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN run_max IS NOT NULL
+                          AND epoch_us(ts) < epoch_us(run_max)
+                              - {_LATE_DELAY_US}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(avg(CASE WHEN run_max IS NOT NULL
+                           AND epoch_us(ts) < epoch_us(run_max)
+                               - {_LATE_DELAY_US}
+                     THEN 1.0 ELSE 0.0 END), 4) AS late_rate
+    FROM x GROUP BY event_type
+"""
+
+
+@register("events_late_arrival_audit", _LATE_ORACLE)
+def events_late_arrival_audit(spark, sf_dir):
+    """Watermark-sizing audit: per event type, how many events arrive
+    LATE relative to each user's stream — i.e. with a timestamp more
+    than 10 minutes behind the running max event time seen earlier in
+    that user's arrival order (event_id). This is the batch query an
+    engineer runs to pick a Structured Streaming watermark delay: the
+    late_rate at a candidate delay is exactly the fraction of events a
+    `withWatermark(delay)` would drop.
+
+    Scale: one PARTITIONED window (user_id) in arrival order — the
+    per-user running max is a single pass after one shuffle on
+    user_id, and the report aggregates to one row per event type.
+    Comparisons are integer microseconds on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run_max = F.max("ts").over(w)
+    late = (
+        run_max.isNotNull()
+        & (
+            F.unix_micros(F.col("ts"))
+            < F.unix_micros(run_max) - F.lit(_LATE_DELAY_US)
+        )
+    ).cast("int")
+    return (
+        ev.select("event_type", late.alias("late"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("late").cast("bigint").alias("n_late"),
+            F.round(F.avg(F.col("late").cast("double")), 4).alias(
+                "late_rate"
+            ),
+        )
     )

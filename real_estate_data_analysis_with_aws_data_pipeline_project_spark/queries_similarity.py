@@ -1625,3 +1625,54 @@ def corpus_embedding_decontaminate(spark, sf_dir):
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# --- embedding-space health audit (round 6) ---------------------------------
+
+_DIM_VAR_TOPK = 10
+
+_DIM_VAR_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT dim,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(x), 6) AS mean_val,
+               round(var_pop(x), 6) AS var_val
+        FROM e GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n_vectors, mean_val, var_val
+    FROM agg
+    ORDER BY var_val DESC, dim ASC
+    LIMIT {_DIM_VAR_TOPK}
+"""
+
+
+@register("embedding_dim_variance", _DIM_VAR_ORACLE)
+def embedding_dim_variance(spark, sf_dir):
+    """Embedding-space health audit: per-dimension mean and population
+    variance, top-10 dimensions by variance — the check that catches
+    dead dimensions (variance ~0 → the encoder collapsed them) and
+    un-centered batches (|mean| >> 0) before ANN indexes are built
+    over a degenerate space.
+
+    Scale: posexplode is n x d rows but the aggregation is d groups
+    with map-side partial aggregation, so the shuffle carries only
+    d x partitions partial states — no driver collect, no pivot. The
+    ordering ties on the ROUNDED variance with the dimension index as
+    tiebreak, so both engines rank identically."""
+    from .sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "x")
+    )
+    agg = e.groupBy((F.col("pos") + 1).cast("int").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_val"),
+        F.round(F.var_pop(F.col("x").cast("double")), 6).alias("var_val"),
+    )
+    return agg.orderBy(F.desc("var_val"), F.asc("dim")).limit(_DIM_VAR_TOPK)

@@ -63,6 +63,10 @@ EXTRA = [
     "events_time_weighted_avg",
     "corpus_weighted_doc_sample",
     "corpus_embedding_decontaminate",
+    # r6 additions
+    "dq_referential_orphans",
+    "multimodal_features_audit",
+    "multimodal_frame_audit",
 ]
 
 
