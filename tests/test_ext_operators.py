@@ -1277,3 +1277,57 @@ def test_streaming_session_gap_single_definition():
     assert qm._STREAM_SESSION_GAP_US == jobs.SESSION_GAP_US
     assert jobs.SESSION_GAP == f"{jobs.SESSION_GAP_MINUTES} minutes"
     assert jobs.SESSION_GAP_US == jobs.SESSION_GAP_MINUTES * 60 * 1_000_000
+
+
+def test_incremental_minhash_respects_batch_boundary(spark, sf_dir):
+    """dedup_incremental_minhash (r6): every emitted pair must be
+    (batch doc, indexed doc) — never batch-internal, never
+    index-internal — and must agree with the full batch LSH on pairs
+    that cross the boundary."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        _INCR_BATCH_MOD,
+        _INCR_BATCH_REM,
+    )
+
+    rows = QUERIES["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    assert rows  # non-degenerate at the smoke scale
+    for r in rows:
+        assert r.new_doc % _INCR_BATCH_MOD == _INCR_BATCH_REM, r
+        assert r.dup_of % _INCR_BATCH_MOD != _INCR_BATCH_REM, r
+    # cross-boundary subset of the full batch pairing, both directions
+    full = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b))
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    incr = {(min(r.new_doc, r.dup_of), max(r.new_doc, r.dup_of)) for r in rows}
+    expected = {
+        (a, b)
+        for a, b in full
+        if (a % _INCR_BATCH_MOD == _INCR_BATCH_REM)
+        != (b % _INCR_BATCH_MOD == _INCR_BATCH_REM)
+    }
+    assert incr == expected
+
+
+def test_global_shuffle_positions_are_contiguous(spark, sf_dir):
+    """corpus_global_shuffle (r6): within each shard the positions are
+    exactly 1..n (a rank, not a global row_number), every doc appears
+    once, and the shard is the first nibble of the order key."""
+    rows = QUERIES["corpus_global_shuffle"].fn(spark, sf_dir).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < 16
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_late_arrival_audit_rates_bounded(spark, sf_dir):
+    """events_late_arrival_audit (r6): late counts are bounded by event
+    counts and the rate is their rounded ratio."""
+    rows = QUERIES["events_late_arrival_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_late <= r.n_events
+        assert abs(r.late_rate - round(r.n_late / r.n_events, 4)) < 1e-9

@@ -67,6 +67,10 @@ EXTRA = [
     "dq_referential_orphans",
     "multimodal_features_audit",
     "multimodal_frame_audit",
+    "dedup_incremental_minhash",
+    "corpus_global_shuffle",
+    "events_late_arrival_audit",
+    "embedding_dim_variance",
 ]
 
 

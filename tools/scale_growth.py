@@ -147,7 +147,11 @@ def build_scaled_dir(k: int) -> str:
     # the cardinality, not replay the same users (VERDICT r5 #4).
     ev = pq.read_table(os.path.join(BASE_SF, "events.parquet")).to_pandas()
     eid_off = int(ev["event_id"].max()) + 1
-    uid_off = int(ev["user_id"].max()) + 1
+    # advance replica user populations by WHOLE 32768-wide bitmap
+    # buckets: a small +max_user offset would park every replica in
+    # bucket 0 and the bucket-count invariant could not observe the
+    # cardinality growth
+    uid_off = ((int(ev["user_id"].max()) // 32768) + 1) * 32768
     evframes = [ev]
     for r in range(1, k):
         erep = ev.copy()
@@ -255,6 +259,14 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
         )
         .count()
         .count()
+    )
+    # the true bitmap state size: total set bits across the merged
+    # per-type tier == total distinct users summed over types
+    out["bitmap_set_bits"] = (
+        QUERIES["sketch_bitmap_exact_distinct"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_distinct_users"))
+        .first()[0]
     )
     # embedding decontamination: the broadcast eval side must stay FLAT
     # as the train corpus scales (it is the vec_id < N_QUERIES prefix,
@@ -365,12 +377,16 @@ def main() -> None:
         + " (1.0 = linear in corpus size; the all-pairs anti-pattern "
         "would be 2.0).",
         "",
-        "Round-5 families (VERDICT r5 #4): `bitmap_daily_buckets` is "
-        "the bitmap exact-distinct MATERIALIZED state — it grows "
-        "linearly with true cardinality by design (that is the exact-"
-        "distinct trade vs HLL's O(1) sketches) while the per-type "
-        "merge output stays metadata-scale; the wall alpha above shows "
-        "the tier build + OR-merge stays near-linear. "
+        "Round-5 families (VERDICT r5 #4): the bitmap exact-distinct "
+        "MATERIALIZED state grows linearly with true cardinality by "
+        "design — that is the exact-distinct trade vs HLL's O(1) "
+        "sketches. `bitmap_set_bits` (total set bits across the merged "
+        "tier == total distinct users) is the state size; "
+        "`bitmap_daily_buckets` counts the (type, day, 32768-wide "
+        "bucket) tier rows, which step up as new user populations "
+        "cross bucket boundaries. The per-type merge OUTPUT stays "
+        "metadata-scale, and the wall alpha above shows the tier "
+        "build + OR-merge stays near-linear. "
         "`decon_eval_rows` is the broadcast eval side of "
         "`corpus_embedding_decontaminate` — it must stay FLAT as the "
         "train corpus scales (one broadcast, one train pass).",
