@@ -365,7 +365,7 @@ _INCR_MINHASH_ORACLE = f"""
     """
 
 
-@register("dedup_incremental_minhash", _INCR_MINHASH_ORACLE)
+@register("dedup_incremental_minhash", _INCR_MINHASH_ORACLE, headline=True)
 def dedup_incremental_minhash(spark, sf_dir):
     """Incremental near-dup: a new ingestion batch (deterministic
     doc_id slice) probes the EXISTING corpus's MinHash band index —
