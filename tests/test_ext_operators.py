@@ -1222,6 +1222,10 @@ def test_ivf_model_cache_evicts_stale_fingerprint(spark, sf_dir):
     )
 
     app = spark.sparkContext.applicationId
+    # eviction runs only on a cache MISS: drop any model an earlier
+    # test already built for this (session, sf_dir) so the query
+    # rebuilds and exercises the eviction path
+    qs._IVF_MODEL_CACHE.clear()
     stale_key = (app, sf_dir, 0, 0)
     qs._IVF_MODEL_CACHE[stale_key] = ("stale",)
     QUERIES["similarity_ivf_topk"].fn(spark, sf_dir).collect()
