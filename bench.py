@@ -64,6 +64,9 @@ BASELINE_SEC = {
     "events_time_weighted_avg": 0.54,
     "corpus_embedding_decontaminate": 0.50,
     "sketch_bitmap_exact_distinct": 0.50,
+    # round-6: new headline row measured at landing (BASELINE.md
+    # "Round-6 updates"; min-of-2 warm, calibration 1.11)
+    "dedup_incremental_minhash": 1.11,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,
