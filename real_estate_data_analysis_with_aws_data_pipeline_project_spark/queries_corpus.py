@@ -621,3 +621,60 @@ def corpus_global_shuffle(spark, sf_dir):
         .alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
+
+
+# --- log2-bucketed length histogram (round 6; the round-2
+# corpus_length_histogram keeps its fixed-width buckets) ---------------------
+
+_LEN_HIST_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {X.token_count_sql()} AS n_tokens FROM documents
+    )
+    SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+           CAST(1 << (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_floor,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM t
+    WHERE n_tokens > 0
+    GROUP BY 1, 2
+"""
+
+
+@register("corpus_length_log2_histogram", _LEN_HIST_ORACLE)
+def corpus_length_log2_histogram(spark, sf_dir):
+    """Log2-bucketed document-length histogram — the shape check run
+    before sequence-length budgeting (how much of the corpus is short
+    junk vs truncation-risk long docs). The bucket is floor(log2(n))
+    computed INTEGER-EXACTLY on both engines as the bit length of the
+    token count minus one (length(bin(n)) - 1), immune to the FP
+    boundary wobble of log2() at exact powers of two.
+
+    Scale: a full scan with a 1-shuffle aggregation into ~20 buckets
+    (map-side partial agg); the token count reuses the engine's shared
+    tokenizer definition."""
+    t = load_table(spark, sf_dir, "documents").select(
+        X.token_count().alias("n_tokens")
+    )
+    bucket = (F.length(F.expr("bin(n_tokens)")) - 1).cast("int")
+    return (
+        t.filter(F.col("n_tokens") > 0)
+        .groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .select(
+            "log2_bucket",
+            F.expr("CAST(shiftleft(1L, log2_bucket) AS BIGINT)").alias(
+                "bucket_floor"
+            ),
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "max_tokens",
+        )
+    )

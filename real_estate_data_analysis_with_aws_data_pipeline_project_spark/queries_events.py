@@ -88,6 +88,7 @@ def events_sliding_window(spark, sf_dir):
 # (ADVICE r5 applied beyond the flagged site): the batch sessionizers
 # here, the streaming job, and the streaming oracle all derive from
 # streaming.jobs.SESSION_GAP_MINUTES.
+from .streaming.jobs import SESSION_GAP  # noqa: E402
 from .streaming.jobs import SESSION_GAP_US as _SESSION_GAP_US  # noqa: E402
 
 _SESSION_ORACLE = f"""
@@ -134,7 +135,7 @@ def events_session_window(spark, sf_dir):
     second formatting divergence)."""
     return (
         _events(spark, sf_dir)
-        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
             "user_id",
@@ -965,5 +966,84 @@ def events_late_arrival_audit(spark, sf_dir):
             F.round(F.avg(F.col("late").cast("double")), 4).alias(
                 "late_rate"
             ),
+        )
+    )
+
+
+# --- OHLC bars (round 6) ----------------------------------------------------
+
+_OHLC_ORACLE = """
+    WITH x AS (
+        SELECT event_type,
+               strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS bar_start,
+               value, ts, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn_open,
+               row_number() OVER (
+                   PARTITION BY event_type,
+                                time_bucket(INTERVAL '1 hour', ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_close
+        FROM events
+    )
+    SELECT event_type, bar_start,
+           round(max(CASE WHEN rn_open = 1 THEN value END), 2) AS open,
+           round(max(value), 2) AS high,
+           round(min(value), 2) AS low,
+           round(max(CASE WHEN rn_close = 1 THEN value END), 2) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM x GROUP BY event_type, bar_start
+"""
+
+
+@register("events_ohlc_bars", _OHLC_ORACLE)
+def events_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per event type: open/close are the first/last
+    value in (event-time, event_id) order within the bar, high/low the
+    extremes — the time-series downsampling shape every metrics store
+    materializes (candlesticks, sensor rollups).
+
+    Scale: one shuffle on (event_type, hour); open/close resolve as
+    two window ranks inside the same partitioning (no self-join, no
+    collect), then a single hash aggregate — at 100 TB the bars layer
+    is written once and every chart reads bars, never raw events."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    bar = F.window("ts", "1 hour")["start"].alias("bar")
+    x = ev.select("event_type", bar, "value", "ts", "event_id")
+    pw = Window.partitionBy("event_type", "bar")
+    x = x.withColumn(
+        "rn_open",
+        F.row_number().over(pw.orderBy(F.asc("ts"), F.asc("event_id"))),
+    ).withColumn(
+        "rn_close",
+        F.row_number().over(pw.orderBy(F.desc("ts"), F.desc("event_id"))),
+    )
+    return (
+        x.groupBy("event_type", "bar")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_open") == 1, F.col("value"))), 2
+            ).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(
+                F.max(F.when(F.col("rn_close") == 1, F.col("value"))), 2
+            ).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("bar", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
         )
     )

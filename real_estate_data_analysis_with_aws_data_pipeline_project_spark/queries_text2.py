@@ -271,3 +271,77 @@ def text_bpe_top_merges(spark, sf_dir):
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOP_K)
     )
+
+
+# --- Zipf rank-frequency fit (round 6) --------------------------------------
+
+_ZIPF_TOP_N = 1000
+
+_ZIPF_ORACLE = f"""
+    WITH tc AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({X.tokens_sql()}) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk
+        FROM tc
+        ORDER BY cnt DESC, token ASC
+        LIMIT {_ZIPF_TOP_N}
+    ),
+    terms AS (
+        SELECT CAST(round(ln(rnk), 6) AS DECIMAL(18, 6)) AS x,
+               CAST(round(ln(cnt), 6) AS DECIMAL(18, 6)) AS y,
+               CAST(round(ln(rnk) * ln(cnt), 6) AS DECIMAL(28, 6)) AS xy,
+               CAST(round(ln(rnk) * ln(rnk), 6) AS DECIMAL(28, 6)) AS xx
+        FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(
+               CAST(count(*) * sum(xy) - sum(x) * sum(y) AS DOUBLE)
+               / CAST(count(*) * sum(xx) - sum(x) * sum(x) AS DOUBLE),
+               4
+           ) AS zipf_slope
+    FROM terms
+"""
+
+
+@register("quality_zipf_slope", _ZIPF_ORACLE)
+def quality_zipf_slope(spark, sf_dir):
+    """Corpus-health Zipf fit: least-squares slope of log(frequency)
+    on log(rank) over the top-1000 terms. Natural text sits near -1;
+    a flat slope flags synthetic/templated corpora and a cliff flags
+    boilerplate domination — a one-row corpus fingerprint cheap enough
+    to run per ingestion batch.
+
+    Scale + determinism: term counts are one exploded aggregation;
+    the top-1000 is a distributed TakeOrdered, so the only
+    single-partition step is a 1000-row rank. The regression sums are
+    DECIMAL over 6dp-rounded log terms — decimal addition is exact and
+    associative, so the result is bit-identical under any partitioning
+    (a raw double sum would drift with accumulation order)."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(X.tokens()).alias("token")
+    )
+    tc = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = tc.orderBy(F.desc("cnt"), F.asc("token")).limit(_ZIPF_TOP_N)
+    rnk = F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+    lr, lc = F.log(F.col("rnk").cast("double")), F.log(
+        F.col("cnt").cast("double")
+    )
+    terms = top.withColumn("rnk", rnk).select(
+        F.round(lr, 6).cast("decimal(18,6)").alias("x"),
+        F.round(lc, 6).cast("decimal(18,6)").alias("y"),
+        F.round(lr * lc, 6).cast("decimal(28,6)").alias("xy"),
+        F.round(lr * lr, 6).cast("decimal(28,6)").alias("xx"),
+    )
+    n = F.count("*")
+    return terms.agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round(
+            (n * F.sum("xy") - F.sum("x") * F.sum("y")).cast("double")
+            / (n * F.sum("xx") - F.sum("x") * F.sum("x")).cast("double"),
+            4,
+        ).alias("zipf_slope"),
+    )

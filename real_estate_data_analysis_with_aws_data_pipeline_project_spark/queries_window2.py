@@ -141,3 +141,52 @@ def na_fill_drop(spark, sf_dir):
         F.round("bal", 2).alias("bal_filled"),
         F.col("seg").alias("seg_filled"),
     )
+
+
+# --- leakage-free point-in-time features (round 6) --------------------------
+
+_PIT_ORACLE = """
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(count(*) OVER prior AS BIGINT) AS prior_orders,
+           round(coalesce(sum(o_totalprice) OVER prior, 0.0), 2)
+               AS prior_spend,
+           round(coalesce(max(o_totalprice) OVER prior, 0.0), 2)
+               AS prior_max_order
+    FROM orders
+    WINDOW prior AS (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    )
+"""
+
+
+@register("features_point_in_time", _PIT_ORACLE)
+def features_point_in_time(spark, sf_dir):
+    """Leakage-free point-in-time feature engineering: for every order,
+    the customer's history STRICTLY BEFORE it (prior order count,
+    cumulative and max spend) in (order date, order key) order — the
+    as-of feature snapshot a training pipeline must join instead of
+    present-day aggregates, or the model trains on information from
+    the future.
+
+    Scale: one shuffle on the entity key and a running frame per
+    partition — the same pass that writes a feature-store snapshot.
+    Sums round(2) on both engines; empty history coalesces to 0."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.count("*").over(w).cast("bigint").alias("prior_orders"),
+        F.round(
+            F.coalesce(F.sum("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("prior_spend"),
+        F.round(
+            F.coalesce(F.max("o_totalprice").over(w), F.lit(0.0)), 2
+        ).alias("prior_max_order"),
+    )

@@ -63,6 +63,11 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
+        if name in QUERIES:
+            # a silent overwrite re-binds a historically driver-green
+            # name to different semantics — caught live in r6 when a
+            # new query collided with the round-2 length histogram
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = QuerySpec(wrapped, oracle)
         if headline:
             HEADLINE_QUERIES.append(name)
