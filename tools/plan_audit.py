@@ -71,6 +71,10 @@ EXTRA = [
     "corpus_global_shuffle",
     "events_late_arrival_audit",
     "embedding_dim_variance",
+    "events_ohlc_bars",
+    "features_point_in_time",
+    "corpus_length_log2_histogram",
+    "quality_zipf_slope",
 ]
 
 
