@@ -575,7 +575,7 @@ def corpus_curation_funnel(spark, sf_dir):
 
 # --- deterministic global training-order shuffle (round 6) ------------------
 
-_SHUFFLE_SHARDS = 16  # one hex nibble of the order key
+_SHUFFLE_SHARDS = 256  # first two hex nibbles of the order key
 
 _GLOBAL_SHUFFLE_ORACLE = f"""
     WITH keyed AS (
@@ -584,10 +584,11 @@ _GLOBAL_SHUFFLE_ORACLE = f"""
         FROM documents
     )
     SELECT doc_id,
-           CAST(strpos('0123456789abcdef', substr(h, 1, 1)) - 1
+           CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
                 AS INT) AS shard,
            CAST(row_number() OVER (
-               PARTITION BY substr(h, 1, 1) ORDER BY h, doc_id
+               PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
            ) AS BIGINT) AS pos_in_shard
     FROM keyed
 """
@@ -596,26 +597,27 @@ _GLOBAL_SHUFFLE_ORACLE = f"""
 @register("corpus_global_shuffle", _GLOBAL_SHUFFLE_ORACLE)
 def corpus_global_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc gets an
-    md5 order key; the key's first nibble assigns one of 16 shards
+    md5 order key; the key's first byte assigns one of 256 shards
     (_SHUFFLE_SHARDS) and the position WITHIN the shard is a rank over
-    the key — reading shards 0..15 each in pos order IS the md5 total
+    the key — reading shards 0..255 each in pos order IS the md5 total
     order, i.e. a reproducible epoch-0 data order for training, with
     no RNG state to manage.
 
     Scale: this is exactly Spark's repartition + sortWithinPartitions
-    write shape — ONE hash shuffle on the shard nibble, a per-shard
-    sort, and a PARTITIONED rank (never a single-partition global
-    row_number, which would serialize the corpus through one task at
-    100 TB). More shards = more nibbles; the pattern is unchanged."""
+    write shape — ONE hash shuffle on the shard byte, a 256-way
+    parallel per-shard sort, and a PARTITIONED rank (never a
+    single-partition global row_number, which would serialize the
+    corpus through one task at 100 TB). More shards = more key bytes;
+    the pattern is unchanged."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", h.alias("h"))
-    nib = F.substring("h", 1, 1)
-    w = Window.partitionBy(nib).orderBy("h", "doc_id")
+    w = Window.partitionBy(F.substring("h", 1, 2)).orderBy("h", "doc_id")
     return keyed.select(
         "doc_id",
-        (
-            F.expr("instr('0123456789abcdef', substring(h, 1, 1))") - 1
+        F.expr(
+            "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
+            " + instr('0123456789abcdef', substring(h, 2, 1)) - 1"
         )
         .cast("int")
         .alias("shard"),

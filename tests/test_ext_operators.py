@@ -1316,12 +1316,16 @@ def test_incremental_minhash_respects_batch_boundary(spark, sf_dir):
 def test_global_shuffle_positions_are_contiguous(spark, sf_dir):
     """corpus_global_shuffle (r6): within each shard the positions are
     exactly 1..n (a rank, not a global row_number), every doc appears
-    once, and the shard is the first nibble of the order key."""
+    once, and the shard is the first byte of the order key."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _SHUFFLE_SHARDS,
+    )
+
     rows = QUERIES["corpus_global_shuffle"].fn(spark, sf_dir).collect()
     assert len({r.doc_id for r in rows}) == len(rows)
     by_shard: dict[int, list[int]] = {}
     for r in rows:
-        assert 0 <= r.shard < 16
+        assert 0 <= r.shard < _SHUFFLE_SHARDS
         by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1)), shard
