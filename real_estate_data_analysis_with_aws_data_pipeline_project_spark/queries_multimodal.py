@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 from .operators.multimodal import extract_features, pack_payloads
 from .registry import register
 from .sources.catalog import load_table
+from .queries_events import _OHLC_ORACLE
 from .streaming import (
     SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
+    streaming_ohlc_bars,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
@@ -247,6 +249,16 @@ def q_streaming_user_activity_tws(spark, sf_dir):
     MapState over a RocksDB state store. Counts and integer max only,
     so the availableNow output carries a full DuckDB oracle."""
     return streaming_user_activity_tws(spark, sf_dir)
+
+
+@register("streaming_ohlc_bars", _OHLC_ORACLE)
+def q_streaming_ohlc_bars(spark, sf_dir):
+    """Structured Streaming: watermarked hourly OHLC bars per event
+    type. Open/close are min_by/max_by over the (ts, event_id) struct
+    — streaming-capable aggregates, so the bar is ONE watermarked
+    aggregation; complete mode over the bounded source equals the
+    batch events_ohlc_bars, whose oracle this reuses."""
+    return streaming_ohlc_bars(spark, sf_dir)
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

@@ -2,6 +2,7 @@ from .jobs import (
     SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
+    streaming_ohlc_bars,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
@@ -12,6 +13,7 @@ __all__ = [
     "SESSION_GAP_US",
     "streaming_click_purchase_join",
     "streaming_dedup_events",
+    "streaming_ohlc_bars",
     "streaming_session_window",
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",

@@ -101,6 +101,41 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_tumbling")
 
 
+def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked hourly OHLC bars per event type — the streaming twin
+    of events_ohlc_bars. Open/close are min_by/max_by over the
+    (event-time, event_id) struct, which ARE streaming-capable
+    aggregates (unlike the window-rank formulation the batch query
+    uses), so the whole bar is one watermarked aggregation; complete
+    mode over the bounded source equals the batch result."""
+    key = F.struct("ts", "event_id")
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max_by("value", key), 2).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "bar_start"
+            ),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "stream_ohlc", "complete")
+    return spark.table("stream_ohlc")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows (30 min gap) per user — streaming
     twin of events_session_window."""
