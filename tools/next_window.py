@@ -44,18 +44,18 @@ WINDOW_SIZE = 50
 # additions and the three streaming oracle upgrades).
 #
 # r7 endgame plan (VERDICT r5 #2): after CORRECTNESS_r06 lands, the
-# never-driver-green oracle-backed pool is 20 names — the 10 pre-r6
-# backlog entries plus the 10 queries r6 itself added (2 multimodal
+# never-driver-green oracle-backed pool is 21 names — the 10 pre-r6
+# backlog entries plus the 11 queries r6 itself added (2 multimodal
 # audits, incremental minhash, global shuffle, late-arrival audit,
-# dim variance, OHLC bars, point-in-time features, log2 histogram,
-# Zipf slope). That still fits the 30 rotation slots in one round:
-# the r7 rotation = ALL 20 first-timers first, then 10
+# dim variance, batch + streaming OHLC bars, point-in-time features,
+# log2 histogram, Zipf slope). That still fits the 30 rotation slots
+# in one round: the r7 rotation = ALL 21 first-timers first, then 9
 # RE-VERIFICATION picks (cumulative-green queries, newest-landed
 # first, so recently-changed surface gets a second driver pass).
 # next_rotation() does exactly this when the pool underflows the slot
 # count; add the refresh picks it emits to REFRESH_OK[7] in
 # tests/test_driver_window.py when pinning the r7 rotation. Done =
-# cumulative driver-green 199/199 oracle-backed at end of r7.
+# cumulative driver-green 200/200 oracle-backed at end of r7.
 PRIORITY: tuple[str, ...] = (
     "events_time_weighted_avg",
     "events_dod_growth",
