@@ -575,7 +575,25 @@ def corpus_curation_funnel(spark, sf_dir):
 
 # --- deterministic global training-order shuffle (round 6) ------------------
 
-_SHUFFLE_SHARDS = 256  # first two hex nibbles of the order key
+# ADVICE r6: the shard count, the shard-id formula, and the partition
+# key are all derived from ONE constant — the number of leading hex
+# nibbles of the order key — so widening the shuffle can never
+# desynchronize the oracle, the Spark query, and the test bound.
+_SHARD_NIBBLES = 2
+_SHUFFLE_SHARDS = 16**_SHARD_NIBBLES
+
+
+def _shard_expr_sql(strpos_fn: str) -> str:
+    """Base-16 positional decode of the first ``_SHARD_NIBBLES`` hex
+    chars of column ``h`` — one formula serving both engines
+    (DuckDB spells position() ``strpos``, Spark spells it ``instr``)."""
+    terms = [
+        f"({strpos_fn}('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        + (f" * {16 ** (_SHARD_NIBBLES - 1 - i)}" if i < _SHARD_NIBBLES - 1 else "")
+        for i in range(_SHARD_NIBBLES)
+    ]
+    return " + ".join(terms)
+
 
 _GLOBAL_SHUFFLE_ORACLE = f"""
     WITH keyed AS (
@@ -584,11 +602,9 @@ _GLOBAL_SHUFFLE_ORACLE = f"""
         FROM documents
     )
     SELECT doc_id,
-           CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-                + strpos('0123456789abcdef', substr(h, 2, 1)) - 1
-                AS INT) AS shard,
+           CAST({_shard_expr_sql("strpos")} AS INT) AS shard,
            CAST(row_number() OVER (
-               PARTITION BY substr(h, 1, 2) ORDER BY h, doc_id
+               PARTITION BY substr(h, 1, {_SHARD_NIBBLES}) ORDER BY h, doc_id
            ) AS BIGINT) AS pos_in_shard
     FROM keyed
 """
@@ -612,15 +628,12 @@ def corpus_global_shuffle(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", h.alias("h"))
-    w = Window.partitionBy(F.substring("h", 1, 2)).orderBy("h", "doc_id")
+    w = Window.partitionBy(F.substring("h", 1, _SHARD_NIBBLES)).orderBy(
+        "h", "doc_id"
+    )
     return keyed.select(
         "doc_id",
-        F.expr(
-            "(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16"
-            " + instr('0123456789abcdef', substring(h, 2, 1)) - 1"
-        )
-        .cast("int")
-        .alias("shard"),
+        F.expr(_shard_expr_sql("instr")).cast("int").alias("shard"),
         F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
     )
 

@@ -71,6 +71,11 @@ def multimodal_features(spark, sf_dir):
                list_transform(string_split(text, ''),
                               x -> CAST(ascii(x) AS DOUBLE)) AS c
         FROM documents
+        -- ADVICE r6: a zero-length doc would make every ratio below
+        -- NULL while the Spark extractor emits 0.0 features — exclude
+        -- empties on BOTH sides so the engines agree if the corpus
+        -- ever grows one.
+        WHERE length(text) > 0
     )
     SELECT doc_id,
            n_bytes,
@@ -90,9 +95,12 @@ def multimodal_features_audit(spark, sf_dir):
     characters (ASCII corpus, so char codes == payload bytes). The
     features themselves come from the SAME mapInPandas extraction the
     rows-only query runs, so a decode or histogram regression breaks
-    the hash here."""
+    the hash here. Both sides exclude zero-length payloads (ADVICE
+    r6); the byte-vs-codepoint equivalence the oracle leans on is
+    pinned by the ASCII-corpus invariant test in
+    tests/test_multimodal.py."""
     packed = pack_payloads(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(packed)
+    feats = extract_features(packed.where(F.col("meta.n_bytes") > 0))
     f = F.col("features")
     return feats.select(
         "doc_id",
@@ -285,6 +293,11 @@ def multimodal_frame_sample(spark, sf_dir):
                 THEN md5(substring(text, 1, 16)) END
                AS first_frame_checksum
     FROM documents
+    -- ADVICE r6: the frame formula would emit (n_frames=0,
+    -- max_frame_idx=-4) for an empty doc, but sample_frames yields no
+    -- frames so the Spark groupBy drops the doc — exclude empties on
+    -- both sides.
+    WHERE length(text) > 0
     """,
 )
 def multimodal_frame_audit(spark, sf_dir):
@@ -296,10 +309,14 @@ def multimodal_frame_audit(spark, sf_dir):
     chunk; the first frame needs no zero padding when the document has
     >= 16 bytes, which the guard makes explicit — md5 here is
     VARCHAR-only, so a NUL-padded short frame is NULL on both sides
-    rather than silently wrong)."""
+    rather than silently wrong). Zero-length payloads are excluded on
+    both sides (ADVICE r6): the chunker yields no frames for them, so
+    keeping them in the oracle would fabricate an (0, -4) row."""
     from .operators.multimodal import sample_frames
 
-    packed = pack_payloads(load_table(spark, sf_dir, "documents"))
+    packed = pack_payloads(load_table(spark, sf_dir, "documents")).where(
+        F.col("meta.n_bytes") > 0
+    )
     frames = sample_frames(packed)
     agg = frames.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_frames"),

@@ -708,6 +708,48 @@ def test_streaming_tws_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_streaming_ohlc_matches_batch(spark, sf_dir):
+    """VERDICT r6 #6: the watermarked min_by/max_by streaming OHLC job
+    must equal the batch events_ohlc_bars twin row-for-row — pinning
+    the streaming path itself (not just the shared DuckDB oracle)
+    under local testdata regeneration, like the other five
+    equals-batch streaming tests."""
+    key = lambda r: (r.event_type, r.bar_start)  # noqa: E731
+    val = lambda r: (r.open, r.high, r.low, r.close, r.n_events)  # noqa: E731
+    batch = {
+        key(r): val(r)
+        for r in QUERIES["events_ohlc_bars"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        key(r): val(r)
+        for r in QUERIES["streaming_ohlc_bars"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_documents_corpus_ascii_nonempty_invariant(spark, sf_dir):
+    """ADVICE r6: the multimodal audit oracles equate DuckDB's
+    codepoint-based length()/ascii() with the Spark side's byte-based
+    feature extraction over the utf8 payload. That equivalence only
+    holds for a non-empty ASCII corpus — pin it so a testdata
+    regeneration that breaks it fails HERE with a readable message,
+    not as an opaque oracle hash mismatch."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.where(
+        (F.length("text") == 0)
+        | (F.length("text") != F.octet_length("text"))
+    ).count()
+    assert bad == 0, (
+        f"{bad} documents are empty or non-ASCII; the multimodal audit "
+        "oracles (queries_multimodal.py) assume byte==codepoint and "
+        "exclude empties — revisit them before trusting the driver row"
+    )
+
+
 def test_frame_sampling_shape(spark, sf_dir):
     df = QUERIES["multimodal_frame_sample"].fn(spark, sf_dir)
     rows = df.collect()
