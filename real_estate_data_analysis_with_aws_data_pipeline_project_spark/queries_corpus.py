@@ -693,3 +693,155 @@ def corpus_length_log2_histogram(spark, sf_dir):
             "max_tokens",
         )
     )
+
+
+# --- sqrt-temperature domain resampling (round 7) ---------------------------
+
+_TEMP_RESAMPLE_ORACLE = """
+    WITH k AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY source),
+    q0 AS (
+        SELECT source, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+        FROM c
+    ),
+    quota AS (
+        -- integer-corrected isqrt: double sqrt is within ±1 of the
+        -- true root at these magnitudes; the comparison pins it
+        SELECT source, n,
+               least(4 * (CASE WHEN (r0 + 1) * (r0 + 1) <= n
+                               THEN r0 + 1 ELSE r0 END), n) AS quota
+        FROM q0
+    ),
+    r AS (
+        SELECT k.*, row_number() OVER (
+            PARTITION BY source ORDER BY h, doc_id
+        ) AS rnk
+        FROM k
+    )
+    SELECT r.doc_id, r.source, q.n AS n_source_docs,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(r.rnk AS BIGINT) AS rank_in_source
+    FROM r JOIN quota q USING (source)
+    WHERE r.rnk <= q.quota
+"""
+
+
+@register("corpus_temperature_resample", _TEMP_RESAMPLE_ORACLE)
+def corpus_temperature_resample(spark, sf_dir):
+    """Sqrt-temperature domain resampling: keep ~4·√n_s documents per
+    source (capped at n_s), chosen by deterministic md5 rank — the
+    temperature-0.5 domain-balancing step multilingual / multi-domain
+    training mixes run so head domains stop drowning tail domains
+    (quota ∝ √size flattens the distribution without starving either
+    end).
+
+    Scale: per-source rank = ONE hash shuffle on source + in-partition
+    sort; quotas come from a groupBy count joined back (broadcast —
+    the source dimension is tiny). The isqrt is integer-corrected on
+    both engines so a perfect-square boundary can never wobble the
+    quota."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", deterministic_order_key("doc_id").alias("h")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    r0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("bigint")
+    quota = counts.select(
+        "source",
+        "n",
+        F.least(
+            4
+            * F.when((r0 + 1) * (r0 + 1) <= F.col("n"), r0 + 1).otherwise(r0),
+            F.col("n"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rnk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n").alias("n_source_docs"),
+            F.col("quota").cast("bigint").alias("quota"),
+            F.col("rnk").cast("bigint").alias("rank_in_source"),
+        )
+    )
+
+
+# --- deterministic weighted source interleave (round 7) ---------------------
+
+_INTERLEAVE_LCM = 6  # lcm of the weight domain {1, 2, 3}
+
+_INTERLEAVE_ORACLE = f"""
+    WITH k AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h,
+               1 + (strpos('0123456789abcdef',
+                           substr(md5(source), 1, 1)) - 1) % 3 AS weight
+        FROM documents
+    ),
+    r AS (
+        SELECT k.*, CAST(row_number() OVER (
+            PARTITION BY source ORDER BY h, doc_id
+        ) AS BIGINT) AS rank_in_source
+        FROM k
+    )
+    SELECT doc_id, source, CAST(weight AS INT) AS weight, rank_in_source,
+           CAST(rank_in_source * ({_INTERLEAVE_LCM} / weight) AS BIGINT)
+               AS vtime
+    FROM r
+"""
+
+
+@register("corpus_interleave_sources", _INTERLEAVE_ORACLE)
+def corpus_interleave_sources(spark, sf_dir):
+    """Deterministic weighted source interleave (stride scheduling):
+    each source gets an integer weight in {1,2,3} (derived from its
+    name hash — stand-in for a configured mixing weight) and a stride
+    = lcm/weight; the r-th doc of a source is scheduled at virtual
+    time r·stride, so reading rows ordered by (vtime, source,
+    rank_in_source) yields the weighted round-robin mixing order
+    HF-style interleave_datasets produces — reproducibly, with no RNG
+    state.
+
+    Scale: per-source rank = one hash shuffle; vtime is per-row
+    arithmetic. The GLOBAL interleaved order is never materialized as
+    a single-partition row_number — the (vtime, source, rank) triple
+    IS the sort key, and a sharded writer orders by it exactly like
+    corpus_global_shuffle's shard/pos pair."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        deterministic_order_key("doc_id").alias("h"),
+        (
+            1
+            + (
+                F.expr(
+                    "instr('0123456789abcdef', substring(md5(cast(source as binary)), 1, 1))"
+                )
+                - 1
+            )
+            % 3
+        )
+        .cast("int")
+        .alias("weight"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    r = docs.withColumn(
+        "rank_in_source", F.row_number().over(w).cast("bigint")
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "weight",
+        "rank_in_source",
+        (
+            F.col("rank_in_source") * (F.lit(_INTERLEAVE_LCM) / F.col("weight"))
+        )
+        .cast("bigint")
+        .alias("vtime"),
+    )

@@ -250,11 +250,11 @@ MINHASH_PAIRS_ORACLE = f"""
     """
 
 
-def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
-    """(doc_id, band_idx, band_val) LSH keys from a shingle relation:
-    k=9 chunk-derived minhashes arranged as 3 bands of 3.  Shared by
-    ``dedup_minhash_lsh`` and the scale-growth harness (which audits
-    band-bucket sizes and candidate counts as the corpus grows)."""
+def minhash_signatures(sh: "DataFrame") -> "DataFrame":
+    """(doc_id, h_a0..h_c2) — the k=9 chunk-derived minhash signature
+    columns (lexicographic MIN of md5 hex chunks per salt).  Factored
+    out of ``minhash_band_keys`` in r7 so the sketch-accuracy audit
+    can read slot-level agreement, not just whole-band equality."""
     ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
     digests = ex.select(
         "doc_id",
@@ -265,12 +265,20 @@ def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
             for salt in _MINHASH_SALTS
         ],
     )
-    mh = digests.groupBy("doc_id").agg(
+    return digests.groupBy("doc_id").agg(
         *[
             F.min(F.substring(f"d_{salt}", 1 + 8 * ci, 8)).alias(f"h_{salt}{ci}")
             for salt, ci in _HASH_IDS
         ]
     )
+
+
+def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
+    """(doc_id, band_idx, band_val) LSH keys from a shingle relation:
+    k=9 chunk-derived minhashes arranged as 3 bands of 3.  Shared by
+    ``dedup_minhash_lsh`` and the scale-growth harness (which audits
+    band-bucket sizes and candidate counts as the corpus grows)."""
+    mh = minhash_signatures(sh)
     return mh.select(
         "doc_id",
         F.array(
@@ -792,4 +800,103 @@ def dedup_repeated_substrings(spark, sf_dir):
         F.round(
             F.col("n_shared").cast("double") / F.col("n_windows"), 6
         ).alias("shared_frac"),
+    )
+
+
+# --- minhash sketch-accuracy audit (round 7) --------------------------------
+
+_ACC_SLOT_AGREE_SQL = " + ".join(
+    f"(CASE WHEN ma.h_{s}{ci} = mb.h_{s}{ci} THEN 1 ELSE 0 END)"
+    for s, ci in _HASH_IDS
+)
+
+_MINHASH_ACCURACY_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    mh AS (
+        SELECT doc_id, {_MINHASH_AGGS_SQL}
+        FROM e GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM mh),
+    bx AS ({_BAND_UNION_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(({_ACC_SLOT_AGREE_SQL}) / {len(_HASH_IDS)}.0, 4)
+               AS est_jaccard,
+           round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                      AS DOUBLE)
+                 / CAST(len(sa.sh) + len(sb.sh)
+                        - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                        AS DOUBLE), 4) AS exact_jaccard,
+           round(abs(({_ACC_SLOT_AGREE_SQL}) / {len(_HASH_IDS)}.0
+                     - CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                            AS DOUBLE)
+                       / CAST(len(sa.sh) + len(sb.sh)
+                              - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                              AS DOUBLE)), 4) AS abs_err
+    FROM cand
+    JOIN mh ma ON ma.doc_id = doc_a
+    JOIN mh mb ON mb.doc_id = doc_b
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+"""
+
+
+@register("dedup_minhash_accuracy", _MINHASH_ACCURACY_ORACLE)
+def dedup_minhash_accuracy(spark, sf_dir):
+    """MinHash sketch-accuracy audit: for every LSH candidate pair,
+    the signature's Jaccard ESTIMATE (fraction of the 9 minhash slots
+    that agree) next to the exact shingle Jaccard and their absolute
+    error — the calibration report a pipeline reads before trusting
+    sketch-only dedup at a scale where exact verification is
+    unaffordable (if |err| concentrates under ~1/k, the sketch can
+    replace the verify join for the low-stakes tier).
+
+    Scale: candidates come from the same banded bucket join as
+    dedup_minhash_lsh (never all-pairs); the estimate needs only the
+    two 9-slot signatures (O(k) per pair), and the exact Jaccard is
+    computed on LSH candidates only — the audit costs what the dedup
+    itself costs."""
+    sh = cached_shingles(spark, sf_dir)
+    sig = minhash_signatures(sh)
+    bands = minhash_band_keys(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ma, mb = sig.alias("ma"), sig.alias("mb")
+    agree = sum(
+        F.when(F.col(f"ma.h_{s}{ci}") == F.col(f"mb.h_{s}{ci}"), 1).otherwise(0)
+        for s, ci in _HASH_IDS
+    )
+    est = agree / float(len(_HASH_IDS))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    common = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    exact = common.cast("double") / (
+        F.size(F.col("sa.sh")) + F.size(F.col("sb.sh")) - common
+    ).cast("double")
+    return (
+        cand.join(ma, F.col("doc_a") == F.col("ma.doc_id"))
+        .join(mb, F.col("doc_b") == F.col("mb.doc_id"))
+        .join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(exact, 4).alias("exact_jaccard"),
+            F.round(F.abs(est - exact), 4).alias("abs_err"),
+        )
     )

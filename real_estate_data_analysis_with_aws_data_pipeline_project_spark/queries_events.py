@@ -1047,3 +1047,53 @@ def events_ohlc_bars(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# --- sliding rate-limit audit (round 7) -------------------------------------
+
+_RATE_WINDOW_US = 3_600_000_000  # trailing 1 hour, integer microseconds
+_RATE_LIMIT = 2  # flag users bursting above this in the window
+
+_RATE_LIMIT_ORACLE = f"""
+    WITH w AS (
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               CAST(count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN {_RATE_WINDOW_US} PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_last_hour
+        FROM events
+    )
+    SELECT user_id, event_id, event_type, ts_str, n_last_hour
+    FROM w WHERE n_last_hour >= {_RATE_LIMIT}
+"""
+
+
+@register("events_rate_limit_audit", _RATE_LIMIT_ORACLE)
+def events_rate_limit_audit(spark, sf_dir):
+    """Sliding-window rate-limit audit: for every event, the count of
+    same-user events in the trailing hour (a RANGE frame over event
+    time, not a tumbling bucket — bursts straddling bucket edges are
+    counted correctly), emitting the events at or above the burst
+    threshold. The abuse-detection / crawler-hygiene gate a pipeline
+    runs before trusting event volumes.
+
+    Scale: ONE hash shuffle on user_id; the RANGE frame is keyed on
+    integer microseconds so both engines bound the identical window,
+    and per-entity state is the trailing hour only — the same shape
+    Structured Streaming keeps for a watermarked sliding count."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-_RATE_WINDOW_US, Window.currentRow)
+    )
+    e = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count("*").over(w).cast("bigint").alias("n_last_hour"),
+    )
+    return e.where(F.col("n_last_hour") >= _RATE_LIMIT)

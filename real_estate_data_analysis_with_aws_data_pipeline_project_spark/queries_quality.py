@@ -692,3 +692,74 @@ def corpus_length_histogram(spark, sf_dir):
         ((F.col("bucket") + 1) * _HIST_BUCKET).cast("bigint").alias("bucket_hi"),
         "n_docs",
     )
+
+
+# --- lexical diversity (round 7) -------------------------------------------
+
+_TTR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {X.tokens_sql()} AS toks,
+               CAST(len({X.tokens_sql()}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, n_tokens, toks,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+           CAST(len(list_filter(list_distinct(toks),
+                    x -> len(list_filter(toks, y -> y = x)) = 1))
+                AS BIGINT) AS n_hapax,
+           round(CAST(len(list_filter(list_distinct(toks),
+                          x -> len(list_filter(toks, y -> y = x)) = 1))
+                      AS DOUBLE) / len(list_distinct(toks)), 4)
+               AS hapax_frac
+    FROM d
+"""
+
+
+@register("quality_ttr_lexical_diversity", _TTR_ORACLE)
+def quality_ttr_lexical_diversity(spark, sf_dir):
+    """Lexical-diversity quality signal: per-document type-token ratio
+    (distinct tokens / tokens) and hapax-legomenon fraction (share of
+    types occurring exactly once) — low TTR flags template/boilerplate
+    text, abnormally high hapax fractions flag gibberish; both are
+    standard corpus-quality gates next to the heuristic filter.
+
+    Scale: pure per-row array expressions (array_distinct + filter
+    inside codegen) — no shuffle, no UDF; the hapax count folds over
+    the per-doc token array only, never a global vocabulary."""
+    toks = X.tokens()
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "types", F.array_distinct("toks")
+        )
+        .withColumn("n_types", F.size("types").cast("bigint"))
+    )
+    # hapax: types whose in-doc frequency is exactly 1
+    hapax = F.size(
+        F.filter(
+            F.col("types"),
+            lambda x: F.size(F.filter(F.col("toks"), lambda y: y == x)) == 1,
+        )
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias(
+            "ttr"
+        ),
+        hapax.alias("n_hapax"),
+        F.round(hapax.cast("double") / F.col("n_types"), 4).alias("hapax_frac"),
+    )

@@ -1676,3 +1676,128 @@ def embedding_dim_variance(spark, sf_dir):
         F.round(F.var_pop(F.col("x").cast("double")), 6).alias("var_val"),
     )
     return agg.orderBy(F.desc("var_val"), F.asc("dim")).limit(_DIM_VAR_TOPK)
+
+
+# --- matryoshka truncation recall audit (round 7) ---------------------------
+
+_MATRYOSHKA_DIM = 16  # leading prefix of the 64-dim embeddings
+
+_MATRYOSHKA_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               {S.norm_sql('embedding')} AS nrm,
+               embedding[1:{_MATRYOSHKA_DIM}] AS emb_t,
+               {S.norm_sql(f'embedding[1:{_MATRYOSHKA_DIM}]')} AS nrm_t
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT * FROM v WHERE vec_id >= {_N_QUERIES}),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
+                     6) AS cos_full,
+               round({S.cosine_sql('q.emb_t', 'c.emb_t', 'q.nrm_t', 'c.nrm_t')},
+                     6) AS cos_trunc
+        FROM q JOIN c ON true
+    ),
+    rf AS (
+        SELECT query_id, neighbor_id, cos_full, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id
+        ) AS rn FROM scored
+    ),
+    rt AS (
+        SELECT query_id, neighbor_id, cos_trunc, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id
+        ) AS rn FROM scored
+    )
+    SELECT f.query_id,
+           f.neighbor_id AS top1_full, f.cos_full,
+           t.neighbor_id AS top1_trunc, t.cos_trunc,
+           f.neighbor_id = t.neighbor_id AS agree
+    FROM rf f JOIN rt t ON t.query_id = f.query_id AND t.rn = 1
+    WHERE f.rn = 1
+"""
+
+
+@register("embedding_matryoshka_recall", _MATRYOSHKA_ORACLE)
+def embedding_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation audit: for each query vector, the exact
+    top-1 cosine neighbor using the FULL 64-dim embedding next to the
+    top-1 using only the leading 16-dim prefix (re-normalized) — the
+    agreement rate is the retrieval-quality price of storing/searching
+    truncated MRL embeddings, measured before committing a corpus to
+    the cheaper index (4x memory/compute saving when agree≈1).
+
+    Scale: the query side is tiny and broadcast; one corpus pass
+    scores BOTH representations (the truncated dot is a prefix of the
+    full fold, so the scan cost is shared), then two per-query top-1
+    window ranks over the scored relation. Ties break on neighbor_id
+    after 6-dp rounding in both engines."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id",
+        "embedding",
+        S.norm(F.col("embedding")).alias("nrm"),
+        F.slice("embedding", 1, _MATRYOSHKA_DIM).alias("emb_t"),
+        S.norm(F.slice("embedding", 1, _MATRYOSHKA_DIM)).alias("nrm_t"),
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("emb_t").alias("q_emb_t"),
+        F.col("nrm_t").alias("q_nrm_t"),
+    )
+    c = v.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+        F.col("emb_t").alias("c_emb_t"),
+        F.col("nrm_t").alias("c_nrm_t"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            S.cosine(
+                F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm")
+            ),
+            6,
+        ).alias("cos_full"),
+        F.round(
+            S.cosine(
+                F.col("q_emb_t"),
+                F.col("c_emb_t"),
+                F.col("q_nrm_t"),
+                F.col("c_nrm_t"),
+            ),
+            6,
+        ).alias("cos_trunc"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    rf = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("neighbor_id").alias("top1_full"), "cos_full")
+    )
+    rt = (
+        scored.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("query_id").alias("qid2"),
+            F.col("neighbor_id").alias("top1_trunc"),
+            "cos_trunc",
+        )
+    )
+    return rf.join(rt, F.col("query_id") == F.col("qid2")).select(
+        "query_id",
+        "top1_full",
+        "cos_full",
+        "top1_trunc",
+        "cos_trunc",
+        (F.col("top1_full") == F.col("top1_trunc")).alias("agree"),
+    )

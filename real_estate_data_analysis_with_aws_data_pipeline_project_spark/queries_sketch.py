@@ -675,3 +675,135 @@ def sketch_bitmap_exact_distinct(spark, sf_dir):
         F.countDistinct("day").cast("bigint").alias("n_days")
     )
     return users.join(days, "event_type")
+
+
+# --- Bloom-filter join prefilter (round 7) ----------------------------------
+
+_BLOOM_NIBBLES = 3  # 16^3 = 4096 positions per hash table
+_BLOOM_HASHES = 2  # k=2 salted hash tables
+_BLOOM_MEMBER_MIN_PRICE = 470_000  # members: customers with a big order
+
+
+def _bloom_pos_sql(i: int, key_expr: str) -> str:
+    return (
+        f"substr(md5('bloom{i}:' || CAST({key_expr} AS VARCHAR)), "
+        f"1, {_BLOOM_NIBBLES})"
+    )
+
+
+_BLOOM_ORACLE = f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_totalprice > {_BLOOM_MEMBER_MIN_PRICE}
+    ),
+    mpos AS (
+        {" UNION ".join(f"SELECT DISTINCT {i} AS i, {_bloom_pos_sql(i, 'k')} AS pos FROM members" for i in range(_BLOOM_HASHES))}
+    ),
+    probe AS (
+        {" UNION ALL ".join(f"SELECT c_custkey AS k, {i} AS i, {_bloom_pos_sql(i, 'c_custkey')} AS pos FROM customer" for i in range(_BLOOM_HASHES))}
+    ),
+    hits AS (
+        SELECT p.k, CAST(count(*) AS BIGINT) AS n_hit
+        FROM probe p JOIN mpos m ON m.i = p.i AND m.pos = p.pos
+        GROUP BY p.k
+    ),
+    flags AS (
+        SELECT c.c_custkey,
+               coalesce(h.n_hit, 0) = {_BLOOM_HASHES} AS bloom_positive,
+               c.c_custkey IN (SELECT k FROM members) AS is_member
+        FROM customer c LEFT JOIN hits h ON h.k = c.c_custkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probed,
+           CAST(count(*) FILTER (WHERE is_member) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (WHERE bloom_positive) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(count(*) FILTER (WHERE bloom_positive AND NOT is_member)
+                AS BIGINT) AS n_false_positive,
+           CAST(count(*) FILTER (WHERE is_member AND NOT bloom_positive)
+                AS BIGINT) AS n_false_negative
+    FROM flags
+"""
+
+
+@register("sketch_bloom_prefilter", _BLOOM_ORACLE)
+def sketch_bloom_prefilter(spark, sf_dir):
+    """Deterministic Bloom-filter join prefilter: the distinct
+    high-value-order customer keys populate a k=2, m=4096 Bloom filter
+    (positions = leading md5 nibbles per salt); every customer row is
+    then probed against it. Emits the one-row audit a pipeline uses to
+    size the filter: probe count, true members, Bloom positives, false
+    positives — and a false-negative column that MUST be zero (Bloom
+    filters never miss members; a nonzero value means the build and
+    probe hash formulas drifted).
+
+    Scale: this is the runtime-filter pattern for big joins — the
+    filter side reduces to at most k·m distinct (table, position) rows
+    (metadata-scale regardless of member count), which broadcast to
+    the probe side; probe rows that miss skip the shuffle join
+    entirely. Spark's own AQE runtime bloom filters do this opaquely;
+    here the same structure is explicit and engine-portable."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.where(F.col("o_totalprice") > _BLOOM_MEMBER_MIN_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(i: int, key: F.Column) -> F.Column:
+        return F.substring(
+            F.md5(
+                F.concat(F.lit(f"bloom{i}:"), key.cast("string")).cast("binary")
+            ),
+            1,
+            _BLOOM_NIBBLES,
+        )
+
+    mpos = None
+    for i in range(_BLOOM_HASHES):
+        part = members.select(
+            F.lit(i).alias("i"), pos(i, F.col("k")).alias("pos")
+        ).distinct()
+        mpos = part if mpos is None else mpos.unionAll(part)
+    probe = None
+    for i in range(_BLOOM_HASHES):
+        part = customer.select(
+            F.col("c_custkey").alias("k"),
+            F.lit(i).alias("i"),
+            pos(i, F.col("c_custkey")).alias("pos"),
+        )
+        probe = part if probe is None else probe.unionAll(part)
+    hits = (
+        probe.join(F.broadcast(mpos), ["i", "pos"])
+        .groupBy("k")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    flags = (
+        customer.select(F.col("c_custkey"))
+        .join(hits, F.col("c_custkey") == F.col("k"), "left")
+        .join(
+            members.withColumnRenamed("k", "mk"),
+            F.col("c_custkey") == F.col("mk"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == _BLOOM_HASHES).alias(
+                "bloom_positive"
+            ),
+            F.col("mk").isNotNull().alias("is_member"),
+        )
+    )
+    return flags.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.count(F.when(F.col("is_member"), 1)).cast("bigint").alias("n_members"),
+        F.count(F.when(F.col("bloom_positive"), 1))
+        .cast("bigint")
+        .alias("n_bloom_positive"),
+        F.count(F.when(F.col("bloom_positive") & ~F.col("is_member"), 1))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.count(F.when(F.col("is_member") & ~F.col("bloom_positive"), 1))
+        .cast("bigint")
+        .alias("n_false_negative"),
+    )

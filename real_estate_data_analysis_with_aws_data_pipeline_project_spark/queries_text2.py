@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators import text as X
+from .queries_dedup import SHINGLES_SQL, cached_shingles
 from .registry import register
 from .sources.catalog import load_table
 
@@ -344,4 +345,62 @@ def quality_zipf_slope(spark, sf_dir):
             / (n * F.sum("xx") - F.sum("x") * F.sum("x")).cast("double"),
             4,
         ).alias("zipf_slope"),
+    )
+
+
+# --- shingle novelty vs corpus history (round 7) ---------------------------
+
+_NOVELTY_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    first_seen AS (
+        SELECT shingle, min(doc_id) AS first_doc FROM e GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (WHERE f.first_doc = e.doc_id)
+                    AS BIGINT) AS n_novel
+        FROM e JOIN first_seen f ON f.shingle = e.shingle
+        GROUP BY e.doc_id
+    )
+    SELECT doc_id, n_shingles, n_novel,
+           round(CAST(n_novel AS DOUBLE) / n_shingles, 4) AS novelty_rate
+    FROM per_doc
+"""
+
+
+@register("text_ngram_novelty", _NOVELTY_ORACLE)
+def text_ngram_novelty(spark, sf_dir):
+    """Shingle-novelty curve: per document, the fraction of its
+    word-3-gram shingles whose FIRST occurrence (min doc_id across the
+    corpus) is this document — the "how much new text does each doc
+    contribute" signal curation teams plot to decide ingest order and
+    spot near-dup-heavy sources (novelty ~0 ⇒ everything already seen).
+
+    Scale: explode → groupBy(shingle) min(doc_id) → re-join on shingle
+    → groupBy(doc) — two shuffles, both O(total shingles), never
+    pairwise; identical to the inverted-index build cost. The
+    distinct-shingle relation is the same session-cached one the dedup
+    family shares."""
+    sh = cached_shingles(spark, sf_dir)
+    e = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    first_seen = e.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        e.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+        ).alias("novelty_rate"),
     )

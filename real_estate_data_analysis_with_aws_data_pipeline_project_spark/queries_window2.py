@@ -190,3 +190,74 @@ def features_point_in_time(spark, sf_dir):
             F.coalesce(F.max("o_totalprice").over(w), F.lit(0.0)), 2
         ).alias("prior_max_order"),
     )
+
+
+# --- per-entity rolling z-score normalization (round 7) ---------------------
+
+_ZSCORE_FRAME = 7  # trailing window: current row + 6 preceding
+_ZSCORE_MIN_N = 3  # need >= 3 points for a meaningful std
+
+_ROLLING_ZSCORE_ORACLE = f"""
+    WITH w AS (
+        SELECT user_id, event_id, value,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               count(*) OVER trail AS n_window,
+               avg(value) OVER trail AS mean_w,
+               stddev_samp(value) OVER trail AS std_w
+        FROM events
+        WINDOW trail AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {_ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW
+        )
+    )
+    SELECT user_id, event_id, ts_str,
+           CAST(n_window AS BIGINT) AS n_window,
+           round(mean_w, 4) AS rolling_mean,
+           round(std_w, 4) AS rolling_std,
+           CASE WHEN std_w > 0
+                THEN round((value - mean_w) / std_w, 4) END AS zscore
+    FROM w
+    WHERE n_window >= {_ZSCORE_MIN_N}
+"""
+
+
+@register("features_rolling_zscore", _ROLLING_ZSCORE_ORACLE)
+def features_rolling_zscore(spark, sf_dir):
+    """Per-entity rolling normalization: each event's value z-scored
+    against its user's trailing 7-event window (mean/stddev over a
+    ROWS frame) — the standard online feature-normalization shape
+    (fraud scores, sensor baselines, per-user engagement deltas),
+    emitted only once the window has >= 3 points.
+
+    Scale: ONE hash shuffle on user_id; the frame is a bounded ROWS
+    window (7 rows of state per entity, streaming-friendly), so the
+    whole-stage-codegen'd window operator never holds more than the
+    frame. Both engines compute mean/std over the identical 7-row
+    slice in the identical (ts, event_id) order; 4-dp rounding absorbs
+    last-ulp fold differences."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_ZSCORE_FRAME - 1), Window.currentRow)
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.count("*").over(w).cast("bigint").alias("n_window"),
+        F.avg("value").over(w).alias("mean_w"),
+        F.stddev_samp("value").over(w).alias("std_w"),
+    )
+    return e.where(F.col("n_window") >= _ZSCORE_MIN_N).select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "n_window",
+        F.round("mean_w", 4).alias("rolling_mean"),
+        F.round("std_w", 4).alias("rolling_std"),
+        F.when(
+            F.col("std_w") > 0,
+            F.round((F.col("value") - F.col("mean_w")) / F.col("std_w"), 4),
+        ).alias("zscore"),
+    )

@@ -1381,3 +1381,203 @@ def test_late_arrival_audit_rates_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_late <= r.n_events
         assert abs(r.late_rate - round(r.n_late / r.n_events, 4)) < 1e-9
+
+
+# --- round-7 operators ------------------------------------------------------
+
+
+def test_ttr_bounds_and_consistency(spark, sf_dir):
+    """quality_ttr_lexical_diversity (r7): TTR and hapax fraction are
+    ratios in (0, 1]; types never exceed tokens; hapax never exceeds
+    types."""
+    rows = QUERIES["quality_ttr_lexical_diversity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_types <= r.n_tokens
+        assert 0 <= r.n_hapax <= r.n_types
+        # 4-dp half-up rounding on the query side vs Python's banker's
+        # rounding: compare against the unrounded ratio with 5e-5 slack
+        assert abs(r.ttr - r.n_types / r.n_tokens) <= 5.001e-5
+        assert abs(r.hapax_frac - r.n_hapax / r.n_types) <= 5.001e-5
+
+
+def test_ngram_novelty_partition_of_shingles(spark, sf_dir):
+    """text_ngram_novelty (r7): every shingle has exactly ONE first
+    doc, so summing n_novel over docs equals the distinct shingle
+    count of the corpus, and doc_id=min sees novelty 1.0."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        cached_shingles,
+    )
+
+    rows = QUERIES["text_ngram_novelty"].fn(spark, sf_dir).collect()
+    assert rows
+    total_novel = sum(r.n_novel for r in rows)
+    distinct_shingles = (
+        cached_shingles(spark, sf_dir)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty_rate == 1.0
+
+
+def test_temperature_resample_quota_math(spark, sf_dir):
+    """corpus_temperature_resample (r7): per source, kept docs ==
+    min(4*isqrt(n), n) and ranks are contiguous from 1."""
+    import math
+
+    rows = QUERIES["corpus_temperature_resample"].fn(spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        n = rs[0].n_source_docs
+        quota = min(4 * math.isqrt(n), n)
+        assert rs[0].quota == quota
+        assert len(rs) == quota
+        assert sorted(x.rank_in_source for x in rs) == list(range(1, quota + 1))
+
+
+def test_interleave_stride_schedule(spark, sf_dir):
+    """corpus_interleave_sources (r7): vtime = rank * lcm/weight, all
+    docs present, and within a source the vtime order equals the rank
+    order (stride scheduling is monotone per source)."""
+    rows = QUERIES["corpus_interleave_sources"].fn(spark, sf_dir).collect()
+    n_docs = QUERIES["multimodal_payload_meta"].fn(spark, sf_dir).count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.weight in (1, 2, 3)
+        assert r.vtime == r.rank_in_source * (6 // r.weight)
+
+
+def test_rolling_zscore_recompute(spark, sf_dir):
+    """features_rolling_zscore (r7): recompute a few windows in
+    Python from the raw events and match mean/std/z."""
+    import statistics
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, rs in by_user.items():
+        for i, r in enumerate(rs):
+            win = [x.value for x in rs[max(0, i - 6) : i + 1]]
+            if len(win) < 3:
+                continue
+            m = statistics.fmean(win)
+            s = statistics.stdev(win)
+            z = round((r.value - m) / s, 4) if s > 0 else None
+            expected[r.event_id] = (len(win), round(m, 4), round(s, 4), z)
+    got = {
+        r.event_id: (r.n_window, r.rolling_mean, r.rolling_std, r.zscore)
+        for r in QUERIES["features_rolling_zscore"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(expected)
+    mismatch = [
+        k for k in expected
+        if any(
+            a is not None and b is not None and abs(a - b) > 2e-4 or (a is None) != (b is None)
+            for a, b in zip(expected[k], got[k])
+        )
+    ]
+    assert not mismatch, mismatch[:5]
+
+
+def test_rate_limit_audit_threshold(spark, sf_dir):
+    """events_rate_limit_audit (r7): every emitted row is at/above the
+    burst threshold, and the count matches a brute-force trailing-hour
+    recount on a sample of users."""
+    rows = QUERIES["events_rate_limit_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_last_hour >= 2 for r in rows)
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    sample_users = {r.user_id for r in rows[:5]}
+    ev = [
+        r
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+        if r.user_id in sample_users
+    ]
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    flagged = {(r.user_id, r.event_id): r.n_last_hour for r in rows}
+    for uid, rs in by_user.items():
+        rs.sort(key=lambda r: r.ts)
+        for i, r in enumerate(rs):
+            n = sum(
+                1
+                for x in rs
+                if 0 <= (r.ts - x.ts).total_seconds() <= 3600
+            )
+            if n >= 2:
+                assert flagged.get((uid, r.event_id)) == n
+
+
+def test_minhash_accuracy_estimator_contract(spark, sf_dir):
+    """dedup_minhash_accuracy (r7): estimates are multiples of 1/9 in
+    [0,1], the pair set equals the LSH candidate universe (a superset
+    of the verified dedup pairs), and err = |est - exact|."""
+    rows = QUERIES["dedup_minhash_accuracy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        # est is emitted 4-dp-rounded, so n/9 multiples carry up to
+        # 9 * 5e-5 of rounding slack
+        assert abs(r.est_jaccard * 9 - round(r.est_jaccard * 9)) < 1e-3
+        assert abs(r.abs_err - round(abs(r.est_jaccard - r.exact_jaccard), 4)) <= 1e-4
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    audited = {(r.doc_a, r.doc_b) for r in rows}
+    assert verified <= audited
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """sketch_bloom_prefilter (r7): Bloom filters may over-approximate
+    but NEVER miss a member; positives = members + false positives."""
+    row = QUERIES["sketch_bloom_prefilter"].fn(spark, sf_dir).collect()[0]
+    assert row.n_false_negative == 0
+    assert row.n_bloom_positive == row.n_members + row.n_false_positive
+    assert row.n_members <= row.n_probed
+
+
+def test_matryoshka_top1_matches_bruteforce(spark, sf_dir):
+    """embedding_matryoshka_recall (r7): the full-dim top-1 agrees
+    with similarity_topk_bruteforce's rank-1 rows wherever that
+    query's neighbor is outside the query prefix (the audit excludes
+    query-vs-query matches by design)."""
+    rows = {r.query_id: r for r in QUERIES["embedding_matryoshka_recall"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 10
+    brute = QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    top1 = {}
+    for r in brute:
+        if r.query_id not in top1 or (r.cos_sim, -r.neighbor_id) > (
+            top1[r.query_id][1],
+            -top1[r.query_id][0],
+        ):
+            top1[r.query_id] = (r.neighbor_id, r.cos_sim)
+    for qid, (nid, sim) in top1.items():
+        if nid >= 10:  # audit corpus excludes the query prefix
+            assert rows[qid].top1_full == nid
+            assert abs(rows[qid].cos_full - sim) < 1e-9
+        for r2 in rows.values():
+            assert r2.top1_full >= 10 and r2.top1_trunc >= 10

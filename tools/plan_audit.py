@@ -75,6 +75,16 @@ EXTRA = [
     "features_point_in_time",
     "corpus_length_log2_histogram",
     "quality_zipf_slope",
+    # r7 additions
+    "quality_ttr_lexical_diversity",
+    "text_ngram_novelty",
+    "corpus_temperature_resample",
+    "corpus_interleave_sources",
+    "features_rolling_zscore",
+    "events_rate_limit_audit",
+    "dedup_minhash_accuracy",
+    "sketch_bloom_prefilter",
+    "embedding_matryoshka_recall",
 ]
 
 
