@@ -102,15 +102,49 @@ ROTATIONS: dict[int, list[str]] = {
         "events_gap_fill_ffill",
         "rollup_merge_partials",
     ],
-    6: list(_ROTATION),
+    6: [
+        "events_time_weighted_avg",
+        "events_dod_growth",
+        "events_funnel_conversion",
+        "events_linear_interpolate",
+        "corpus_weighted_doc_sample",
+        "corpus_embedding_decontaminate",
+        "sketch_bitmap_exact_distinct",
+        "dq_referential_orphans",
+        "streaming_tumbling_counts",
+        "streaming_session_window",
+        "streaming_stateful_user_stats",
+        "udaf_group_rank",
+        "pipeline_single_pass_metrics",
+        "source_binaryfile_ingest",
+        "skew_salted_join",
+        "json_schema_on_read",
+        "explode_top_tokens",
+        "agg_percentiles",
+        "subquery_exists_agg",
+        "set_union_by_name",
+        "set_intersect_except_all",
+        "f_date_functions_2",
+        "sample_fraction_envelope",
+        "f_array_functions",
+        "f_regexp_extract",
+        "dedup_levenshtein_pairs",
+        "w7_range_frame_rolling_sum",
+        "w9_first_last_value",
+        "na_fill_drop",
+        "corpus_mixing_plan",
+    ],
+    7: list(_ROTATION),
 }
 
-# r7 endgame (VERDICT r5 #2): when the never-green pool underflows the
-# 30 rotation slots, tools/next_window.py fills the remainder with
-# sanctioned RE-VERIFICATION picks (cumulative-green, newest-landed
-# first). Those entries are already green before their landing round —
-# list them here per round so the first-timer assertion stays strict
-# for everything else. Empty for rounds 4–6 (full first-timer pools).
+# Endgame refresh picks (VERDICT r5 #2): when the never-green pool
+# underflows the 30 rotation slots, tools/next_window.py fills the
+# remainder with sanctioned RE-VERIFICATION picks (cumulative-green,
+# newest-landed first). Those entries are already green before their
+# landing round — list them here per round so the first-timer
+# assertion stays strict for everything else. Empty for rounds 4–7:
+# the nine r7-new operators topped the pool back up to exactly the
+# slot count, so even the endgame round is all first-timers.
 REFRESH_OK: dict[int, set[str]] = {}
 
 LIVE_ROUND = max(ROTATIONS)

@@ -40,35 +40,25 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
 WINDOW_SIZE = 50
 
 # Names the next rotation must include first (ahead of registration
-# order) — VERDICT r5 #1: the r5-new surface (events/corpus/sketch/dq
-# additions and the three streaming oracle upgrades).
+# order). Empty since r7: the endgame window drained the backlog, so
+# there is no judge-named at-risk surface to front-load — repopulate
+# only if a future verdict names specific queries.
 #
-# r7 endgame plan (VERDICT r5 #2): after CORRECTNESS_r06 lands, the
-# never-driver-green oracle-backed pool is 21 names — the 10 pre-r6
-# backlog entries plus the 11 queries r6 itself added (2 multimodal
-# audits, incremental minhash, global shuffle, late-arrival audit,
-# dim variance, batch + streaming OHLC bars, point-in-time features,
-# log2 histogram, Zipf slope). That still fits the 30 rotation slots
-# in one round: the r7 rotation = ALL 21 first-timers first, then 9
-# RE-VERIFICATION picks (cumulative-green queries, newest-landed
-# first, so recently-changed surface gets a second driver pass).
-# next_rotation() does exactly this when the pool underflows the slot
-# count; add the refresh picks it emits to REFRESH_OK[7] in
-# tests/test_driver_window.py when pinning the r7 rotation. Done =
-# cumulative driver-green 200/200 oracle-backed at end of r7.
-PRIORITY: tuple[str, ...] = (
-    "events_time_weighted_avg",
-    "events_dod_growth",
-    "events_funnel_conversion",
-    "events_linear_interpolate",
-    "corpus_weighted_doc_sample",
-    "corpus_embedding_decontaminate",
-    "sketch_bitmap_exact_distinct",
-    "dq_referential_orphans",
-    "streaming_tumbling_counts",
-    "streaming_session_window",
-    "streaming_stateful_user_stats",
-)
+# r7 endgame (VERDICT r5 #2 / r6 #1): the r7 rotation carries ALL 30
+# never-driver-green oracle-backed queries — the 10-query pre-r6
+# backlog, the 11 r6 additions, and the 9 r7 additions, which topped
+# the pool back up to exactly the slot count (no refresh picks
+# needed). After CORRECTNESS_r07 lands, cumulative driver-green =
+# 209/209 oracle-backed and the pool is DRAINED.
+#
+# Refresh mode (VERDICT r6 #5, standing posture from r8 on): with an
+# empty pool, next_rotation() emits a pure RE-VERIFICATION window —
+# cumulative-green queries, newest-landed first (ties by registration
+# order) — so the most recently changed surface gets re-driven every
+# round with no manual PRIORITY edits. Queries added in a future
+# round are never-green, so they automatically take the front of that
+# round's rotation ahead of the refresh tail.
+PRIORITY: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
