@@ -67,6 +67,11 @@ BASELINE_SEC = {
     # round-6: new headline row measured at landing (BASELINE.md
     # "Round-6 updates"; min-of-2 warm, calibration 1.11)
     "dedup_incremental_minhash": 1.11,
+    # round-7: new headline rows measured at landing (BASELINE.md
+    # "Round-7 updates"; min over two full bench runs, calibration
+    # 1.17/1.27)
+    "features_point_in_time": 0.50,
+    "corpus_global_shuffle": 0.22,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

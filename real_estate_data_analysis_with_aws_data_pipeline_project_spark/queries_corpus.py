@@ -610,7 +610,7 @@ _GLOBAL_SHUFFLE_ORACLE = f"""
 """
 
 
-@register("corpus_global_shuffle", _GLOBAL_SHUFFLE_ORACLE)
+@register("corpus_global_shuffle", _GLOBAL_SHUFFLE_ORACLE, headline=True)
 def corpus_global_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc gets an
     md5 order key; the key's first byte assigns one of 256 shards

@@ -162,7 +162,7 @@ _PIT_ORACLE = """
 """
 
 
-@register("features_point_in_time", _PIT_ORACLE)
+@register("features_point_in_time", _PIT_ORACLE, headline=True)
 def features_point_in_time(spark, sf_dir):
     """Leakage-free point-in-time feature engineering: for every order,
     the customer's history STRICTLY BEFORE it (prior order count,
