@@ -16,6 +16,9 @@ bounded for the 100 TB story to hold:
 - graph_pagerank_orders    — edge count (disjoint graph copies, linear)
 - dedup_incremental_minhash — FIXED-batch candidate count flat in corpus
 - corpus_global_shuffle    — max shard size within n/256 concentration
+- text_ngram_novelty       — wall linear in shingles (inverted-index shape)
+- corpus_temperature_resample — kept rows sub-linear (sqrt-quota damping)
+- sketch_bloom_prefilter   — broadcast filter state capped at k*m rows
 
 Replica construction keeps the corpus REALISTIC without inflating the
 near-dup structure quadratically: replica r>0 of a document carries the
@@ -64,6 +67,9 @@ QUERIES_UNDER_TEST = [
     # round-6 headline families (VERDICT r6 #3)
     "dedup_incremental_minhash",
     "corpus_global_shuffle",
+    # round-7 families (inverted-index novelty; sqrt-quota resample)
+    "text_ngram_novelty",
+    "corpus_temperature_resample",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
@@ -318,6 +324,47 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     shard_sizes = gs.groupBy("shard").count()
     out["shuffle_max_shard"] = shard_sizes.agg(F.max("count")).first()[0]
     out["shuffle_n_docs"] = gs.count()
+
+    # round-7 families:
+    # Bloom prefilter: the broadcast filter state is the distinct
+    # (table, position) set — structurally capped at k*m rows no
+    # matter how many members the corpus accumulates. main() asserts
+    # the cap; the x1→x8 trend shows saturation, not growth.
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_sketch import (
+        _BLOOM_HASHES,
+        _BLOOM_MEMBER_MIN_PRICE,
+        _BLOOM_NIBBLES,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    bloom_rows = 0
+    for i in range(_BLOOM_HASHES):
+        bloom_rows += (
+            orders.where(F.col("o_totalprice") > _BLOOM_MEMBER_MIN_PRICE)
+            .select(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"bloom{i}:"),
+                            F.col("o_custkey").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    _BLOOM_NIBBLES,
+                ).alias("pos")
+            )
+            .distinct()
+            .count()
+        )
+    out["bloom_filter_rows"] = bloom_rows
+    out["bloom_filter_cap"] = _BLOOM_HASHES * 16**_BLOOM_NIBBLES
+    # sqrt-temperature resample: kept rows grow ~sqrt(corpus) per
+    # source (alpha ~0.5) — the whole point of temperature smoothing
+    # is that head-domain growth is damped, so the kept set must grow
+    # SUB-linearly.
+    out["temperature_kept_rows"] = (
+        QUERIES["corpus_temperature_resample"].fn(spark, sf_dir).count()
+    )
     return out
 
 
@@ -425,6 +472,15 @@ def main() -> None:
             (k, int(b["shuffle_max_shard"]), round(bound, 1), b["shuffle_max_shard"] <= bound)
         )
     shard_ok = all(ok for *_, ok in shard_bounds)
+    # round-7 invariants
+    bloom_ok = all(
+        b["bloom_filter_rows"] <= b["bloom_filter_cap"] for b in blocking
+    )
+    temp_alpha = round(
+        fit_alpha(scales, [max(b["temperature_kept_rows"], 1.0) for b in blocking]),
+        2,
+    )
+    TEMP_SUBLINEAR_TOL = 0.7  # kept rows must grow ~sqrt(n), well below 1
     lines += [
         "",
         "Candidate-pair growth exponents: "
@@ -463,14 +519,32 @@ def main() -> None:
         + " — the 256-way partitioned rank stays balanced, so no task "
         "ever sees more than ~n/256 rows.",
         "",
+        "Round-7 families: `bloom_filter_rows` is the broadcast Bloom "
+        "state (distinct (table, position) rows) — structurally capped "
+        f"at k·m = {blocking[0]['bloom_filter_cap']:.0f} rows no matter "
+        "how many members accumulate "
+        f"({'OK' if bloom_ok else 'FAIL'}: "
+        + ", ".join(
+            f"x{k}={b['bloom_filter_rows']:.0f}"
+            for k, b in zip(scales, blocking)
+        )
+        + " — saturating, not growing; at saturation the filter prunes "
+        "nothing but never errors or blows memory). "
+        f"`temperature_kept_rows` growth exponent **{temp_alpha}** (bar "
+        f"{TEMP_SUBLINEAR_TOL}): sqrt-quota resampling must keep a "
+        "SUB-linear slice of a growing corpus — that damping is the "
+        "operator's purpose.",
+        "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
         "headroom for fixed per-run overhead amortizing INTO the "
         "exponent at these small absolute sizes).",
         "",
-        f"Verdict: {'PASS' if all(a <= ALPHA_TOL for a in alphas.values()) and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok else 'FAIL'} "
+        f"Verdict: {'PASS' if all(a <= ALPHA_TOL for a in alphas.values()) and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL else 'FAIL'} "
         f"— wall alphas {alphas}, candidate alphas {cand_alpha}, "
         f"incr-fixed-batch alpha {incr_alpha}, shard balance "
-        f"{'OK' if shard_ok else 'FAIL'}.",
+        f"{'OK' if shard_ok else 'FAIL'}, bloom cap "
+        f"{'OK' if bloom_ok else 'FAIL'}, temperature-kept alpha "
+        f"{temp_alpha}.",
     ]
     report = "\n".join(lines) + "\n"
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -484,6 +558,10 @@ def main() -> None:
         bad.append("incr_fixed_batch_cands")
     if not shard_ok:
         bad.append("shuffle_max_shard")
+    if not bloom_ok:
+        bad.append("bloom_filter_rows")
+    if temp_alpha > TEMP_SUBLINEAR_TOL:
+        bad.append("temperature_kept_rows")
     sys.exit(1 if bad else 0)
 
 
