@@ -431,3 +431,50 @@ def test_two_level_kernel_tiebreak_and_empty_cell(spark):
         ).collect()
     }
     assert out1[13] == -1, out1  # empty probed cell -> sentinel drop
+
+
+# --- round-7 kernel properties ---------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=10**12))
+def test_corrected_isqrt_quota_property(n):
+    """corpus_temperature_resample's integer-corrected isqrt (double
+    sqrt + one comparison) must equal math.isqrt for any source size —
+    including perfect squares, where naive floor(sqrt(n)) wobbles."""
+    # EXACTLY the query's formula: double-sqrt seed + one upward
+    # correction. For n <= 1e12 the float64 argument is exact and
+    # sqrt(n) sits at least 1/(2*(isqrt+1)) below the next integer —
+    # far more than an ulp — so the seed can only err LOW, which the
+    # single +1 correction repairs.
+    r0 = math.floor(math.sqrt(float(n)))
+    corrected = r0 + 1 if (r0 + 1) * (r0 + 1) <= n else r0
+    assert corrected == math.isqrt(n)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="0123456789abcdef", min_size=2, max_size=2))
+def test_shard_expr_decodes_hex_prefix(spark, hexpair):
+    """corpus_global_shuffle's derived shard formula must equal the
+    base-16 integer value of the leading nibbles for every possible
+    prefix (the formula is generated from _SHARD_NIBBLES — a
+    generation bug would silently misroute shards)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _shard_expr_sql,
+    )
+
+    df = spark.createDataFrame([(hexpair + "00",)], "h string")
+    got = df.select(
+        F.expr(_shard_expr_sql("instr")).cast("int").alias("s")
+    ).first()["s"]
+    assert got == int(hexpair, 16)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=1, max_value=10**7), st.integers(1, 3))
+def test_interleave_vtime_integer_exact(rank, weight):
+    """corpus_interleave_sources: lcm/weight strides are exact
+    integers for the whole weight domain, so vtime never sees FP
+    division error at any rank."""
+    assert 6 % weight == 0
+    assert rank * (6 / weight) == rank * (6 // weight)
