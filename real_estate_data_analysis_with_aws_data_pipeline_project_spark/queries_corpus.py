@@ -613,18 +613,21 @@ _GLOBAL_SHUFFLE_ORACLE = f"""
 @register("corpus_global_shuffle", _GLOBAL_SHUFFLE_ORACLE, headline=True)
 def corpus_global_shuffle(spark, sf_dir):
     """Deterministic global training-order shuffle: every doc gets an
-    md5 order key; the key's first byte assigns one of 256 shards
-    (_SHUFFLE_SHARDS) and the position WITHIN the shard is a rank over
-    the key — reading shards 0..255 each in pos order IS the md5 total
-    order, i.e. a reproducible epoch-0 data order for training, with
-    no RNG state to manage.
+    md5 order key; the key's leading _SHARD_NIBBLES hex nibbles assign
+    one of _SHUFFLE_SHARDS (= 16^_SHARD_NIBBLES) shards and the
+    position WITHIN the shard is a rank over the key — reading shards
+    in shard order, each in pos order, IS the md5 total order, i.e. a
+    reproducible epoch-0 data order for training, with no RNG state to
+    manage.
 
     Scale: this is exactly Spark's repartition + sortWithinPartitions
-    write shape — ONE hash shuffle on the shard byte, a 256-way
-    parallel per-shard sort, and a PARTITIONED rank (never a
+    write shape — ONE hash shuffle on the shard prefix, a
+    shard-parallel per-shard sort, and a PARTITIONED rank (never a
     single-partition global row_number, which would serialize the
-    corpus through one task at 100 TB). More shards = more key bytes;
-    the pattern is unchanged."""
+    corpus through one task at 100 TB). Widening the shuffle is one
+    constant: more nibbles = more shards, same pattern (the formula,
+    the oracle, and the partition key all derive from _SHARD_NIBBLES
+    — ADVICE r6)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", h.alias("h"))

@@ -691,6 +691,20 @@ def _bloom_pos_sql(i: int, key_expr: str) -> str:
     )
 
 
+def bloom_pos(i: int, key: F.Column) -> F.Column:
+    """Spark twin of ``_bloom_pos_sql`` — ONE definition of the Bloom
+    position derivation, shared by the query and the scale-growth
+    harness probe so the audited filter state can never drift from the
+    filter the query actually builds."""
+    return F.substring(
+        F.md5(
+            F.concat(F.lit(f"bloom{i}:"), key.cast("string")).cast("binary")
+        ),
+        1,
+        _BLOOM_NIBBLES,
+    )
+
+
 _BLOOM_ORACLE = f"""
     WITH members AS (
         SELECT DISTINCT o_custkey AS k FROM orders
@@ -749,20 +763,10 @@ def sketch_bloom_prefilter(spark, sf_dir):
         .select(F.col("o_custkey").alias("k"))
         .distinct()
     )
-
-    def pos(i: int, key: F.Column) -> F.Column:
-        return F.substring(
-            F.md5(
-                F.concat(F.lit(f"bloom{i}:"), key.cast("string")).cast("binary")
-            ),
-            1,
-            _BLOOM_NIBBLES,
-        )
-
     mpos = None
     for i in range(_BLOOM_HASHES):
         part = members.select(
-            F.lit(i).alias("i"), pos(i, F.col("k")).alias("pos")
+            F.lit(i).alias("i"), bloom_pos(i, F.col("k")).alias("pos")
         ).distinct()
         mpos = part if mpos is None else mpos.unionAll(part)
     probe = None
@@ -770,7 +774,7 @@ def sketch_bloom_prefilter(spark, sf_dir):
         part = customer.select(
             F.col("c_custkey").alias("k"),
             F.lit(i).alias("i"),
-            pos(i, F.col("c_custkey")).alias("pos"),
+            bloom_pos(i, F.col("c_custkey")).alias("pos"),
         )
         probe = part if probe is None else probe.unionAll(part)
     hits = (

@@ -1575,9 +1575,10 @@ def test_matryoshka_top1_matches_bruteforce(spark, sf_dir):
             -top1[r.query_id][0],
         ):
             top1[r.query_id] = (r.neighbor_id, r.cos_sim)
+    assert top1
     for qid, (nid, sim) in top1.items():
         if nid >= 10:  # audit corpus excludes the query prefix
             assert rows[qid].top1_full == nid
             assert abs(rows[qid].cos_full - sim) < 1e-9
-        for r2 in rows.values():
-            assert r2.top1_full >= 10 and r2.top1_trunc >= 10
+    for r2 in rows.values():
+        assert r2.top1_full >= 10 and r2.top1_trunc >= 10

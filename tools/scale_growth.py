@@ -15,7 +15,7 @@ bounded for the 100 TB story to hold:
 - retrieval_bm25_topk      — hot-term posting length (skew ×k, not dense)
 - graph_pagerank_orders    — edge count (disjoint graph copies, linear)
 - dedup_incremental_minhash — FIXED-batch candidate count flat in corpus
-- corpus_global_shuffle    — max shard size within n/256 concentration
+- corpus_global_shuffle    — max shard size within n/shards concentration
 - text_ngram_novelty       — wall linear in shingles (inverted-index shape)
 - corpus_temperature_resample — kept rows sub-linear (sqrt-quota damping)
 - sketch_bloom_prefilter   — broadcast filter state capped at k*m rows
@@ -321,42 +321,48 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     # record the max shard size and the doc count; main() asserts the
     # concentration bound max <= mean + 5*sqrt(mean) + 5 per scale.
     gs = QUERIES["corpus_global_shuffle"].fn(spark, sf_dir)
-    shard_sizes = gs.groupBy("shard").count()
-    out["shuffle_max_shard"] = shard_sizes.agg(F.max("count")).first()[0]
-    out["shuffle_n_docs"] = gs.count()
+    mx, total = (
+        gs.groupBy("shard")
+        .count()
+        .agg(F.max("count"), F.sum("count"))
+        .first()
+    )
+    out["shuffle_max_shard"] = mx
+    out["shuffle_n_docs"] = total
 
     # round-7 families:
     # Bloom prefilter: the broadcast filter state is the distinct
     # (table, position) set — structurally capped at k*m rows no
     # matter how many members the corpus accumulates. main() asserts
     # the cap; the x1→x8 trend shows saturation, not growth.
+    from functools import reduce
+
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_sketch import (
         _BLOOM_HASHES,
         _BLOOM_MEMBER_MIN_PRICE,
         _BLOOM_NIBBLES,
+        bloom_pos,  # the ONE position definition the query itself uses
     )
 
-    orders = load_table(spark, sf_dir, "orders")
-    bloom_rows = 0
-    for i in range(_BLOOM_HASHES):
-        bloom_rows += (
-            orders.where(F.col("o_totalprice") > _BLOOM_MEMBER_MIN_PRICE)
-            .select(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"bloom{i}:"),
-                            F.col("o_custkey").cast("string"),
-                        ).cast("binary")
-                    ),
-                    1,
-                    _BLOOM_NIBBLES,
-                ).alias("pos")
-            )
-            .distinct()
-            .count()
+    member_keys = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > _BLOOM_MEMBER_MIN_PRICE)
+        .select("o_custkey")
+    )
+    out["bloom_filter_rows"] = (
+        reduce(
+            lambda a, b: a.unionAll(b),
+            [
+                member_keys.select(
+                    F.lit(i).alias("i"),
+                    bloom_pos(i, F.col("o_custkey")).alias("pos"),
+                )
+                for i in range(_BLOOM_HASHES)
+            ],
         )
-    out["bloom_filter_rows"] = bloom_rows
+        .distinct()
+        .count()
+    )
     out["bloom_filter_cap"] = _BLOOM_HASHES * 16**_BLOOM_NIBBLES
     # sqrt-temperature resample: kept rows grow ~sqrt(corpus) per
     # source (alpha ~0.5) — the whole point of temperature smoothing
@@ -516,8 +522,9 @@ def main() -> None:
             f"x{k} max={mx} bound={bd} {'OK' if ok else 'FAIL'}"
             for k, mx, bd, ok in shard_bounds
         )
-        + " — the 256-way partitioned rank stays balanced, so no task "
-        "ever sees more than ~n/256 rows.",
+        + f" — the {_SHUFFLE_SHARDS}-way partitioned rank stays "
+        f"balanced, so no task ever sees more than ~n/{_SHUFFLE_SHARDS} "
+        "rows.",
         "",
         "Round-7 families: `bloom_filter_rows` is the broadcast Bloom "
         "state (distinct (table, position) rows) — structurally capped "
