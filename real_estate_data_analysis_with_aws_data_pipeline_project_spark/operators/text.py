@@ -135,6 +135,44 @@ def punct_ratio_sql(col: str = "text") -> str:
     )
 
 
+def stopword_ratio(col: str = "text") -> Column:
+    """EN-stopword token share; 0 for token-less text."""
+    n = token_count(col)
+    hits = stopword_hits(tokens(col), EN_STOPWORDS)
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_sql(col: str = "text") -> str:
+    nt = token_count_sql(col)
+    hits = stopword_hits_sql(tokens_sql(col), EN_STOPWORDS)
+    return (
+        f"CASE WHEN {nt} > 0 THEN CAST({hits} AS DOUBLE)"
+        f" / CAST({nt} AS DOUBLE) ELSE 0.0 END"
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """The corpus quality score (length / punctuation / stopword
+    blend) — ONE definition shared by text_quality_score and the
+    curriculum-ordering query so the two can never drift. Weights:
+    0.4·min(n_tokens/100, 1) + 0.3·(1 − punct) + 0.3·min(5·stop, 1)."""
+    n_tokens = token_count(col)
+    return (
+        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - punct_ratio(col)) * 0.3
+        + F.least(stopword_ratio(col) * 5.0, F.lit(1.0)) * 0.3
+    )
+
+
+def quality_score_sql(col: str = "text") -> str:
+    nt = token_count_sql(col)
+    return (
+        f"(least(CAST({nt} AS DOUBLE) / 100.0, 1.0) * 0.4"
+        f" + (1.0 - {punct_ratio_sql(col)}) * 0.3"
+        f" + least(({stopword_ratio_sql(col)}) * 5.0, 1.0) * 0.3)"
+    )
+
+
 def mean_token_len(col: str = "text") -> Column:
     t = tokens(col)
     total = F.aggregate(

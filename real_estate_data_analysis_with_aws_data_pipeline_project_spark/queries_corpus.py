@@ -700,6 +700,21 @@ def corpus_length_log2_histogram(spark, sf_dir):
 
 # --- sqrt-temperature domain resampling (round 7) ---------------------------
 
+
+def sqrt_temperature_quota(n_col: str = "n") -> "F.Column":
+    """Temperature-0.5 keep-quota from a per-group count column:
+    min(4·isqrt(n), n), with the double sqrt integer-corrected so a
+    perfect-square boundary can never wobble the quota. ONE
+    definition shared by the per-source and per-(source, lang)
+    resampling queries; the oracle SQL mirrors it with the same
+    correction CASE."""
+    n = F.col(n_col)
+    r0 = F.floor(F.sqrt(n.cast("double"))).cast("bigint")
+    return F.least(
+        4 * F.when((r0 + 1) * (r0 + 1) <= n, r0 + 1).otherwise(r0), n
+    )
+
+
 _TEMP_RESAMPLE_ORACLE = """
     WITH k AS (
         SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
@@ -751,16 +766,7 @@ def corpus_temperature_resample(spark, sf_dir):
         "doc_id", "source", deterministic_order_key("doc_id").alias("h")
     )
     counts = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
-    r0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("bigint")
-    quota = counts.select(
-        "source",
-        "n",
-        F.least(
-            4
-            * F.when((r0 + 1) * (r0 + 1) <= F.col("n"), r0 + 1).otherwise(r0),
-            F.col("n"),
-        ).alias("quota"),
-    )
+    quota = counts.select("source", "n", sqrt_temperature_quota().alias("quota"))
     w = Window.partitionBy("source").orderBy("h", "doc_id")
     ranked = docs.withColumn("rnk", F.row_number().over(w))
     return (
@@ -847,4 +853,179 @@ def corpus_interleave_sources(spark, sf_dir):
         )
         .cast("bigint")
         .alias("vtime"),
+    )
+
+
+# --- two-key stratified quota sampling (round 7, second batch) --------------
+
+_CELL_QUOTA_ORACLE = """
+    WITH k AS (
+        SELECT doc_id, source, lang,
+               md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM k GROUP BY source, lang
+    ),
+    q0 AS (
+        SELECT source, lang, n,
+               CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS r0
+        FROM c
+    ),
+    quota AS (
+        SELECT source, lang, n,
+               least(4 * (CASE WHEN (r0 + 1) * (r0 + 1) <= n
+                               THEN r0 + 1 ELSE r0 END), n) AS quota
+        FROM q0
+    ),
+    r AS (
+        SELECT k.*, row_number() OVER (
+            PARTITION BY source, lang ORDER BY h, doc_id
+        ) AS rnk
+        FROM k
+    )
+    SELECT r.doc_id, r.source, r.lang, q.n AS n_cell,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(r.rnk AS BIGINT) AS rank_in_cell
+    FROM r JOIN quota q USING (source, lang)
+    WHERE r.rnk <= q.quota
+"""
+
+
+@register("corpus_stratified_cell_quota", _CELL_QUOTA_ORACLE)
+def corpus_stratified_cell_quota(spark, sf_dir):
+    """Two-key group-limit sampling: the (source × lang) grid gets a
+    per-CELL sqrt-temperature quota (min(4·isqrt(n_cell), n_cell)),
+    each cell filled by deterministic md5 rank — the stratified
+    version of corpus_temperature_resample. Balancing per source
+    alone lets one language dominate inside a big source; the cell
+    grid flattens both axes at once, which is how multilingual mixes
+    actually cap (domain, language) pairs.
+
+    Scale: per-cell rank = ONE hash shuffle on the compound key
+    (source, lang) — Catalyst plans the two-key partitionBy exactly
+    like the one-key case; quotas come from a groupBy count whose
+    group domain is |sources|×|langs| (tiny, broadcast back). Same
+    WindowGroupLimit-friendly shape as W2."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", deterministic_order_key("doc_id").alias("h")
+    )
+    counts = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    quota = counts.select(
+        "source", "lang", "n", sqrt_temperature_quota().alias("quota")
+    )
+    w = Window.partitionBy("source", "lang").orderBy("h", "doc_id")
+    ranked = docs.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), ["source", "lang"])
+        .where(F.col("rnk") <= F.col("quota"))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.col("n").alias("n_cell"),
+            F.col("quota").cast("bigint").alias("quota"),
+            F.col("rnk").cast("bigint").alias("rank_in_cell"),
+        )
+    )
+
+
+# --- quality-quantile curriculum ordering (round 7, second batch) -----------
+
+_CURRICULUM_BUCKETS = 4
+
+_CURRICULUM_ORACLE = f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(floor(({X.quality_score_sql()}) * 10000.0) AS BIGINT)
+                   AS q_mil,
+               md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    hist AS (
+        SELECT q_mil, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY q_mil
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist),
+    b AS (
+        SELECT q_mil,
+               least({_CURRICULUM_BUCKETS - 1},
+                     ({_CURRICULUM_BUCKETS} * coalesce(sum(n) OVER (
+                          ORDER BY q_mil
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0)) // (SELECT n_total FROM tot)) AS bucket
+        FROM hist
+    )
+    SELECT q.doc_id, q.q_mil, CAST(b.bucket AS INT) AS bucket,
+           CAST({_shard_expr_sql("strpos")} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY b.bucket, substr(h, 1, {_SHARD_NIBBLES})
+               ORDER BY h, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM q JOIN b USING (q_mil)
+"""
+
+
+@register("corpus_curriculum_order", _CURRICULUM_ORACLE)
+def corpus_curriculum_order(spark, sf_dir):
+    """Quantile-bucketed curriculum ordering: documents are assigned
+    to one of {_CURRICULUM_BUCKETS} quality-score quantile buckets
+    (easy→hard training schedule), and WITHIN each bucket get the
+    deterministic shard/pos reading order of corpus_global_shuffle —
+    epoch order = bucket asc, then (shard, pos). The quantile is
+    computed exactly over a VALUE HISTOGRAM: the score is floored to
+    integer 10⁻⁴ units (identical IEEE arithmetic both engines, no
+    rounding channel), so the histogram domain is ≤ 10001 rows no
+    matter the corpus size, and bucket(value) = ⌊B·cum_before/n⌋
+    (capped) in pure integer arithmetic — ties share a bucket by
+    construction.
+
+    Scale: ONE groupBy(q_mil) shuffle (≤ 10001 groups) + a window
+    over the bounded histogram (single partition of ≤ 10001 rows —
+    bounded by the value domain, like the Zipf top-1000 rank, never
+    by corpus size); assignments broadcast-join back; the per-bucket
+    order is the partitioned shard-rank, never a global row_number."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        F.floor(X.quality_score() * 10000.0).cast("bigint").alias("q_mil"),
+        F.md5(
+            F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    hist = q.groupBy("q_mil").agg(F.count("*").cast("bigint").alias("n"))
+    wcum = (
+        Window.orderBy("q_mil")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "q_mil",
+        F.coalesce(F.sum("n").over(wcum), F.lit(0).cast("bigint")).alias(
+            "cum_before"
+        ),
+    )
+    total = hist.agg(F.sum("n").cast("bigint").alias("n_total"))
+    b = cum.crossJoin(F.broadcast(total)).select(
+        "q_mil",
+        F.least(
+            F.lit(_CURRICULUM_BUCKETS - 1),
+            F.expr(f"({_CURRICULUM_BUCKETS} * cum_before) div n_total"),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    wpos = Window.partitionBy(
+        "bucket", F.substring("h", 1, _SHARD_NIBBLES)
+    ).orderBy("h", "doc_id")
+    return (
+        q.join(F.broadcast(b), "q_mil")
+        .select(
+            "doc_id",
+            "q_mil",
+            "bucket",
+            F.expr(_shard_expr_sql("instr")).cast("int").alias("shard"),
+            F.row_number().over(wpos).cast("bigint").alias("pos_in_shard"),
+        )
     )

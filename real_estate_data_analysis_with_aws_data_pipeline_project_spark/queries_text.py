@@ -48,49 +48,29 @@ def text_lang_id(spark, sf_dir):
 # --- quality scoring -------------------------------------------------------
 
 _QUALITY_ORACLE = f"""
-    WITH feat AS (
-        SELECT doc_id,
-               {X.token_count_sql()} AS n_tokens,
-               {X.punct_ratio_sql()} AS punct_ratio,
-               {X.mean_token_len_sql()} AS mean_token_len,
-               {X.stopword_hits_sql(X.tokens_sql(), X.EN_STOPWORDS)} AS en_hits
-        FROM documents
-    )
-    SELECT doc_id, n_tokens, punct_ratio, mean_token_len,
-           CASE WHEN n_tokens > 0
-                THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                ELSE 0.0 END AS stopword_ratio,
-           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-             + (1.0 - punct_ratio) * 0.3
-             + least(CASE WHEN n_tokens > 0
-                          THEN CAST(en_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                          ELSE 0.0 END * 5.0, 1.0) * 0.3 AS quality_score
-    FROM feat
+    SELECT doc_id,
+           {X.token_count_sql()} AS n_tokens,
+           {X.punct_ratio_sql()} AS punct_ratio,
+           {X.mean_token_len_sql()} AS mean_token_len,
+           {X.stopword_ratio_sql()} AS stopword_ratio,
+           {X.quality_score_sql()} AS quality_score
+    FROM documents
 """
 
 
 @register("text_quality_score", _QUALITY_ORACLE, headline=True)
 def text_quality_score(spark, sf_dir):
     """Document quality score from length / punctuation / stopword
-    signals — the standard pre-training corpus filter features."""
-    n_tokens = X.token_count()
-    punct = X.punct_ratio()
-    en_hits = X.stopword_hits(X.tokens(), X.EN_STOPWORDS)
-    stop_ratio = F.when(
-        n_tokens > 0, en_hits.cast("double") / n_tokens.cast("double")
-    ).otherwise(F.lit(0.0))
-    quality = (
-        F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - punct) * 0.3
-        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
-    )
+    signals — the standard pre-training corpus filter features.
+    The score formula lives ONCE in operators/text.quality_score
+    (shared with corpus_curriculum_order)."""
     return _docs(spark, sf_dir).select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        punct.alias("punct_ratio"),
+        X.token_count().alias("n_tokens"),
+        X.punct_ratio().alias("punct_ratio"),
         X.mean_token_len().alias("mean_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        quality.alias("quality_score"),
+        X.stopword_ratio().alias("stopword_ratio"),
+        X.quality_score().alias("quality_score"),
     )
 
 
