@@ -292,17 +292,10 @@ def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
     ).select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
 
 
-@register("dedup_minhash_lsh", MINHASH_PAIRS_ORACLE, headline=True)
-def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup: shingle → k=9 chunk-derived minhashes →
-    3 bands of 3 → band-bucket join for candidates → exact Jaccard
-    verify on candidates only.
-
-    The minhash value is the lexicographic MIN of md5 hex digests —
-    a valid uniform min-hash that both engines order identically.
-    Shuffle volume: O(docs×shingles) for signatures + O(docs×bands)
-    for the bucket join; the quadratic verify touches only same-bucket
-    candidates. This is the 100 TB dedup path."""
+def minhash_verified_pairs(spark, sf_dir) -> "DataFrame":
+    """The verified near-dup pair relation (doc_a < doc_b, jaccard ≥
+    threshold) — the body of dedup_minhash_lsh, factored in r7 so the
+    token-savings report consumes the same pairs definition."""
     # The shingle relation feeds three plan branches (signature build +
     # both sides of the verify join) — the session cache persists it
     # once; repeat invocations (driver verify + bench warm/timed +
@@ -333,6 +326,20 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _MINHASH_THRESHOLD)
     )
+
+
+@register("dedup_minhash_lsh", MINHASH_PAIRS_ORACLE, headline=True)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle → k=9 chunk-derived minhashes →
+    3 bands of 3 → band-bucket join for candidates → exact Jaccard
+    verify on candidates only.
+
+    The minhash value is the lexicographic MIN of md5 hex digests —
+    a valid uniform min-hash that both engines order identically.
+    Shuffle volume: O(docs×shingles) for signatures + O(docs×bands)
+    for the bucket join; the quadratic verify touches only same-bucket
+    candidates. This is the 100 TB dedup path."""
+    return minhash_verified_pairs(spark, sf_dir)
 
 
 # --- incremental near-dup (round 6) ----------------------------------------
@@ -758,6 +765,23 @@ _SUBSTR_ORACLE = f"""
 """
 
 
+def substr_window_hashes(toks: "F.Column | str" = "toks") -> "F.Column":
+    """md5 per _SUBSTR_K-token window (1-based window i covers tokens
+    [i, i+K-1]); empty array for docs shorter than one window. Shared
+    by the repeated-substring detector and the span remediator so the
+    two agree on window identity."""
+    t = F.col(toks) if isinstance(toks, str) else toks
+    return F.when(
+        F.size(t) >= _SUBSTR_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (_SUBSTR_K - 1)),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(t, i, _SUBSTR_K)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 @register("dedup_repeated_substrings", _SUBSTR_ORACLE)
 def dedup_repeated_substrings(spark, sf_dir):
     """Cross-document repeated-substring detection: every 8-token
@@ -767,16 +791,7 @@ def dedup_repeated_substrings(spark, sf_dir):
     signal behind substring-dedup of training corpora. Explode →
     groupBy(hash) → join back: shuffle O(tokens), never pairwise."""
     t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
-    hs = F.when(
-        F.size("toks") >= _SUBSTR_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - (_SUBSTR_K - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice("toks", i, _SUBSTR_K)).cast("binary")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    e = t.select("doc_id", hs.alias("hs")).select(
+    e = t.select("doc_id", substr_window_hashes().alias("hs")).select(
         "doc_id", F.explode("hs").alias("h")
     )
     dup = (
@@ -899,4 +914,190 @@ def dedup_minhash_accuracy(spark, sf_dir):
             F.round(exact, 4).alias("exact_jaccard"),
             F.round(F.abs(est - exact), 4).alias("abs_err"),
         )
+    )
+
+
+# --- span-level remediation (round 7, second batch) -------------------------
+#
+# dedup_repeated_substrings DETECTS shared spans; this query REWRITES
+# the documents — production substring dedup emits remediated text, not
+# just a report (ROADMAP r8 #1).
+
+_SPAN_REMEDIATE_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    wins AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= {_SUBSTR_K} THEN
+                   list_transform(generate_series(1, len(toks) - {_SUBSTR_K - 1}),
+                       i -> md5(array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' ')))
+               ELSE [] END AS hs
+        FROM t
+    ),
+    e AS (
+        SELECT doc_id, unnest(hs) AS h,
+               unnest(generate_series(1, len(hs))) AS start
+        FROM wins
+    ),
+    dup AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    starts AS (
+        SELECT e.doc_id, list_sort(list(e.start)) AS ss
+        FROM e JOIN dup USING (h) GROUP BY e.doc_id
+    ),
+    joined AS (
+        SELECT t.doc_id, t.toks, coalesce(s.ss, []) AS ss
+        FROM t LEFT JOIN starts s USING (doc_id)
+    ),
+    kept AS (
+        SELECT doc_id, toks, ss,
+               list_filter(generate_series(1, len(toks)),
+                   j -> len(list_filter(ss,
+                       s -> j >= s AND j <= s + {_SUBSTR_K - 1})) = 0)
+                   AS keep_idx
+        FROM joined
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(keep_idx) AS BIGINT) AS n_removed,
+           md5(coalesce(
+               array_to_string(list_transform(keep_idx, j -> toks[j]), ' '),
+               '')) AS remediated_md5
+    FROM kept
+"""
+
+
+@register("dedup_span_remediate", _SPAN_REMEDIATE_ORACLE)
+def dedup_span_remediate(spark, sf_dir):
+    """Span-level dedup REMEDIATION: cut every token covered by a
+    cross-document shared 8-token window and emit the rewritten
+    document (as its md5, plus removed-token accounting) — the
+    document-rewriting step production substring dedup performs after
+    detection, instead of dropping whole near-dup docs.
+
+    Shares window identity with dedup_repeated_substrings via
+    substr_window_hashes. Plan: explode windows WITH positions →
+    groupBy(hash) dup filter → per-doc sorted shared-start list
+    (collect_list bounded by tokens-per-doc, not corpus) → per-row
+    array mask rebuild. Shuffle O(tokens); the mask is per-row
+    O(n_tokens × n_shared_spans) arithmetic with no further shuffle —
+    the only quadratic factor is within one document, the same bound
+    the detector already carries."""
+    t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
+    e = t.select(
+        "doc_id", F.posexplode(substr_window_hashes()).alias("pos", "h")
+    ).select("doc_id", "h", (F.col("pos") + 1).alias("start"))
+    dup = (
+        e.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = (
+        e.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("ss"))
+    )
+    joined = t.join(starts, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda j: F.size(
+            F.filter(
+                F.col("ss"),
+                lambda s: (j >= s) & (j <= s + (_SUBSTR_K - 1)),
+            )
+        )
+        == 0,
+    )
+    kept = joined.select("doc_id", "toks", keep_idx.alias("keep_idx"))
+    remediated = F.concat_ws(
+        " ", F.transform("keep_idx", lambda j: F.element_at("toks", j))
+    )
+    return kept.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size("keep_idx")).cast("bigint").alias("n_removed"),
+        F.md5(remediated.cast("binary")).alias("remediated_md5"),
+    )
+
+
+# --- token-level dedup savings report (round 7, second batch) ---------------
+
+_TOKEN_SAVINGS_ORACLE = f"""
+    WITH removable AS (
+        SELECT DISTINCT doc_b AS doc_id FROM ({MINHASH_PAIRS_ORACLE})
+    ),
+    t AS (
+        SELECT d.doc_id, d.source, {X.token_count_sql()} AS n_tokens,
+               CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM documents d LEFT JOIN removable r ON r.doc_id = d.doc_id
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN is_dup = 1 THEN n_tokens ELSE 0 END)
+                    AS BIGINT) AS dup_tokens
+        FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_dup_docs, total_tokens, dup_tokens,
+           round(CAST(dup_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 6)
+               AS savings_frac
+    FROM agg
+"""
+
+
+@register("dedup_token_savings", _TOKEN_SAVINGS_ORACLE)
+def dedup_token_savings(spark, sf_dir):
+    """Token-level dedup savings: per source, how many TOKENS sit in
+    near-duplicate documents (MinHash-verified pairs, greedy
+    keep-smallest-id policy: any doc with a smaller verified near-dup
+    is removable) — the "how much would dedup save" report that turns
+    a pair list into a storage/compute decision. Document near-dup
+    RATES understate savings when dups skew long; token accounting is
+    what the training-budget math actually uses.
+
+    Plan: the verified-pair relation (banded LSH, never all-pairs) →
+    distinct doc_b (one hash aggregate) → broadcast-joined against
+    per-doc token counts → per-source sum. No new shuffle shape
+    beyond the pair builder itself; the removable set is ≤ n_docs
+    keys."""
+    removable = (
+        minhash_verified_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+    t = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", X.token_count().alias("n_tokens"))
+        .join(removable, "doc_id", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
+        )
+    )
+    agg = t.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("is_dup") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_dup_docs",
+        "total_tokens",
+        "dup_tokens",
+        F.round(
+            F.col("dup_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("savings_frac"),
     )
