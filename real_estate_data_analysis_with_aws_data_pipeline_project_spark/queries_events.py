@@ -1052,7 +1052,9 @@ def events_ohlc_bars(spark, sf_dir):
 # --- sliding rate-limit audit (round 7) -------------------------------------
 
 _RATE_WINDOW_US = 3_600_000_000  # trailing 1 hour, integer microseconds
-_RATE_LIMIT = 2  # flag users bursting above this in the window
+# Burst threshold shared with the streaming sliding-window twin —
+# single definition in streaming/jobs.py (the SESSION_GAP rule).
+from .streaming.jobs import RATE_LIMIT_THRESHOLD as _RATE_LIMIT  # noqa: E402
 
 _RATE_LIMIT_ORACLE = f"""
     WITH w AS (

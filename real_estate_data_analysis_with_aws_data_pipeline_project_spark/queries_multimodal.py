@@ -17,10 +17,12 @@ from .registry import register
 from .sources.catalog import load_table
 from .queries_events import _OHLC_ORACLE
 from .streaming import (
+    RATE_LIMIT_THRESHOLD,
     SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_ohlc_bars,
+    streaming_rate_limit_windows,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
@@ -267,6 +269,33 @@ def q_streaming_ohlc_bars(spark, sf_dir):
     aggregation; complete mode over the bounded source equals the
     batch events_ohlc_bars, whose oracle this reuses."""
     return streaming_ohlc_bars(spark, sf_dir)
+
+
+@register(
+    "streaming_rate_limit_windows",
+    f"""
+    WITH w AS (
+        SELECT user_id,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS ws
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id,
+           CAST(count(*) AS BIGINT) AS n_in_window
+    FROM w
+    GROUP BY ws, user_id
+    HAVING count(*) >= {RATE_LIMIT_THRESHOLD}
+    """,
+)
+def q_streaming_rate_limit_windows(spark, sf_dir):
+    """Structured Streaming: watermarked sliding-window (1 h every
+    30 min) per-user burst audit — the streaming twin of
+    events_rate_limit_audit. Each event belongs to exactly two
+    epoch-aligned windows, so the oracle unnests both bucket starts
+    and regroups; complete mode over the bounded source equals it."""
+    return streaming_rate_limit_windows(spark, sf_dir)
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

@@ -512,3 +512,92 @@ def graph_pagerank_orders(spark, sf_dir):
         .orderBy(F.desc("pr"), "node_type", "node_id")
         .limit(_PR_TOP_K)
     )
+
+
+# --- two-stage retrieve → rerank (round 7, second batch) --------------------
+
+_RERANK_K = 20  # final reranked list depth
+
+
+@register(
+    "retrieval_rerank_token_f1",
+    f"""
+    WITH {_BM25_SCORED_SQL},
+    cand AS (
+        SELECT doc_id, bm25 FROM scored WHERE doc_id <> 0
+        ORDER BY bm25 DESC, doc_id LIMIT {_RRF_CAND}
+    ),
+    qt AS (SELECT list_distinct(toks) AS qt FROM t WHERE doc_id = 0),
+    dt AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+    p AS (
+        SELECT c.doc_id, c.bm25,
+               CAST(len(list_filter(d.dt, x -> list_contains(q.qt, x)))
+                    AS BIGINT) AS n_overlap,
+               CAST(len(d.dt) AS BIGINT) AS n_doc_terms,
+               round(2.0 * len(list_filter(d.dt, x -> list_contains(q.qt, x)))
+                     / (len(d.dt) + len(q.qt)), 6) AS f1
+        FROM cand c JOIN dt d USING (doc_id) CROSS JOIN qt q
+    )
+    SELECT doc_id, bm25, n_overlap, n_doc_terms, f1,
+           CAST(row_number() OVER (ORDER BY f1 DESC, bm25 DESC, doc_id)
+                AS BIGINT) AS rerank_rank
+    FROM p
+    ORDER BY rerank_rank
+    LIMIT {_RERANK_K}
+    """,
+)
+def retrieval_rerank_token_f1(spark, sf_dir):
+    """Two-stage retrieve→rerank: stage 1 recalls the top-100 BM25
+    candidates (cheap, index-shaped); stage 2 re-scores each
+    (candidate, query) PAIR with a richer deterministic feature —
+    token-set F1 against the query document (doc_id 0), the
+    cross-encoder emulation: pairwise scoring too expensive for the
+    corpus is affordable on a bounded candidate list. Final order is
+    (f1 desc, bm25 desc, doc_id).
+
+    Scale: stage 1 plans as TakeOrderedAndProject (distributed
+    partial top-k); stage 2 touches exactly _RRF_CAND rows joined
+    hash-side with their token sets plus a one-row broadcast query;
+    the rerank row_number runs over ≤ 100 rows by construction. The
+    pairwise cost is k·|query tokens|, independent of corpus size —
+    the property that makes rerankers deployable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+    cand = (
+        _bm25_scored(docs)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_CAND)
+    )
+    qt = (
+        toks.where(F.col("doc_id") == 0)
+        .select(F.array_distinct("toks").alias("qt"))
+    )
+    dt = toks.select("doc_id", F.array_distinct("toks").alias("dt"))
+    n_overlap = F.size(F.array_intersect("dt", "qt"))
+    p = (
+        cand.join(dt, "doc_id")
+        .crossJoin(F.broadcast(qt))
+        .select(
+            "doc_id",
+            "bm25",
+            n_overlap.cast("bigint").alias("n_overlap"),
+            F.size("dt").cast("bigint").alias("n_doc_terms"),
+            F.round(
+                2.0 * n_overlap / (F.size("dt") + F.size("qt")), 6
+            ).alias("f1"),
+        )
+    )
+    w = Window.orderBy(F.desc("f1"), F.desc("bm25"), "doc_id")
+    return (
+        p.select(
+            "doc_id",
+            "bm25",
+            "n_overlap",
+            "n_doc_terms",
+            "f1",
+            F.row_number().over(w).cast("bigint").alias("rerank_rank"),
+        )
+        .orderBy("rerank_rank")
+        .limit(_RERANK_K)
+    )

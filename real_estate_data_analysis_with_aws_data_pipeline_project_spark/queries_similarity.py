@@ -1801,3 +1801,159 @@ def embedding_matryoshka_recall(spark, sf_dir):
         "cos_trunc",
         (F.col("top1_full") == F.col("top1_trunc")).alias("agree"),
     )
+
+
+# --- covariance / whitening statistics (round 7, second batch) --------------
+
+_EMB_DIM = 64  # matches the testdata embedding width (see _MATRYOSHKA note)
+
+_WHITEN_ORACLE = f"""
+    WITH pa AS (
+        SELECT CAST(t1.i AS INT) AS dim_i, CAST(t2.j AS INT) AS dim_j,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               sum(CAST(round(CAST(e.embedding[CAST(t1.i AS INT)] AS DOUBLE)
+                              * CAST(e.embedding[CAST(t2.j AS INT)] AS DOUBLE),
+                              6) AS DECIMAL(28,6))) AS sxy
+        FROM embeddings e,
+             range(1, {_EMB_DIM + 1}) t1(i),
+             range(1, {_EMB_DIM + 1}) t2(j)
+        WHERE t2.j >= t1.i
+        GROUP BY 1, 2
+    ),
+    dims AS (
+        SELECT CAST(t.i AS INT) AS dim,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE),
+                              6) AS DECIMAL(18,6))) AS sx,
+               sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                              * CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE),
+                              6) AS DECIMAL(28,6))) AS sxx
+        FROM embeddings e, range(1, {_EMB_DIM + 1}) t(i)
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT pa.dim_i, pa.dim_j, pa.n_vectors,
+               CAST(pa.sxy AS DOUBLE) / pa.n_vectors
+                 - (CAST(di.sx AS DOUBLE) / pa.n_vectors)
+                   * (CAST(dj.sx AS DOUBLE) / pa.n_vectors) AS cov,
+               CAST(di.sxx AS DOUBLE) / pa.n_vectors
+                 - (CAST(di.sx AS DOUBLE) / pa.n_vectors)
+                   * (CAST(di.sx AS DOUBLE) / pa.n_vectors) AS var_i,
+               CAST(dj.sxx AS DOUBLE) / pa.n_vectors
+                 - (CAST(dj.sx AS DOUBLE) / pa.n_vectors)
+                   * (CAST(dj.sx AS DOUBLE) / pa.n_vectors) AS var_j
+        FROM pa
+        JOIN dims di ON di.dim = pa.dim_i
+        JOIN dims dj ON dj.dim = pa.dim_j
+    )
+    SELECT dim_i, dim_j, n_vectors,
+           round(cov, 6) AS cov,
+           round(CASE WHEN var_i * var_j > 0
+                      THEN cov / sqrt(var_i * var_j) ELSE 0.0 END, 4) AS corr
+    FROM c
+"""
+
+
+@register("embedding_covariance_whitening", _WHITEN_ORACLE)
+def embedding_covariance_whitening(spark, sf_dir):
+    """Whitening/PCA-lite statistics: the upper triangle of the
+    population covariance matrix of the embedding space (plus the
+    correlation), the input to ZCA/PCA whitening and to the
+    off-diagonal-energy health check (strong correlations ⇒ the
+    encoder wastes capacity; whitening decorrelates before
+    quantization or linear probes). The d×d eigendecomposition itself
+    is a driver-side numpy step on this 64×64 output (metadata-scale;
+    exercised in tests/test_ext_operators.py) — the distributed part,
+    and the only part that touches the corpus, is this aggregation.
+
+    Determinism + scale: per-element products are rounded to 6 dp and
+    summed as DECIMAL — exact, associative, partition-order-proof
+    (the Zipf-slope rule); the d(d+1)/2 pair terms are generated
+    per-row by an array transform (no self-join, no shuffle of the
+    corpus) and the aggregation carries d²×partitions partial states
+    map-side, exactly like embedding_dim_variance. The final
+    cov/corr arithmetic runs on bit-identical decimal sums, so the
+    4-6 dp rounding has no boundary channel."""
+    v = _vecs(spark, sf_dir).select("embedding")
+    arr = F.col("embedding")
+    d = F.size(arr)
+
+    def _xy(i, j):
+        return F.round(
+            F.element_at(arr, i).cast("double")
+            * F.element_at(arr, j).cast("double"),
+            6,
+        ).cast("decimal(28,6)")
+
+    pairs_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), d),
+            lambda i: F.transform(
+                F.sequence(i, d),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    _xy(i, j).alias("xy"),
+                ),
+            ),
+        )
+    )
+    pa = (
+        v.select(F.explode(pairs_col).alias("s"))
+        .groupBy(
+            F.col("s.i").alias("dim_i"), F.col("s.j").alias("dim_j")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.sum("s.xy").alias("sxy"),
+        )
+    )
+    dims = (
+        v.select(F.posexplode(arr).alias("pos", "x"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.col("x").cast("double").alias("x"),
+        )
+        .groupBy("dim")
+        .agg(
+            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).alias("sx"),
+            F.sum(
+                F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)")
+            ).alias("sxx"),
+        )
+    )
+    di = dims.select(
+        F.col("dim").alias("di_dim"),
+        F.col("sx").alias("sx_i"),
+        F.col("sxx").alias("sxx_i"),
+    )
+    dj = dims.select(
+        F.col("dim").alias("dj_dim"),
+        F.col("sx").alias("sx_j"),
+        F.col("sxx").alias("sxx_j"),
+    )
+    n = F.col("n_vectors").cast("double")
+    cov = F.col("sxy").cast("double") / n - (
+        F.col("sx_i").cast("double") / n
+    ) * (F.col("sx_j").cast("double") / n)
+    var_i = F.col("sxx_i").cast("double") / n - (
+        F.col("sx_i").cast("double") / n
+    ) * (F.col("sx_i").cast("double") / n)
+    var_j = F.col("sxx_j").cast("double") / n - (
+        F.col("sx_j").cast("double") / n
+    ) * (F.col("sx_j").cast("double") / n)
+    return (
+        pa.join(F.broadcast(di), F.col("dim_i") == F.col("di_dim"))
+        .join(F.broadcast(dj), F.col("dim_j") == F.col("dj_dim"))
+        .select(
+            "dim_i",
+            "dim_j",
+            "n_vectors",
+            F.round(cov, 6).alias("cov"),
+            F.round(
+                F.when(var_i * var_j > 0, cov / F.sqrt(var_i * var_j))
+                .otherwise(F.lit(0.0)),
+                4,
+            ).alias("corr"),
+        )
+    )

@@ -1,8 +1,10 @@
 from .jobs import (
+    RATE_LIMIT_THRESHOLD,
     SESSION_GAP_US,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_ohlc_bars,
+    streaming_rate_limit_windows,
     streaming_session_window,
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
@@ -10,10 +12,12 @@ from .jobs import (
 )
 
 __all__ = [
+    "RATE_LIMIT_THRESHOLD",
     "SESSION_GAP_US",
     "streaming_click_purchase_join",
     "streaming_dedup_events",
     "streaming_ohlc_bars",
+    "streaming_rate_limit_windows",
     "streaming_session_window",
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",

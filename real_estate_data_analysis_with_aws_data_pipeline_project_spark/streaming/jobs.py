@@ -136,6 +136,43 @@ def streaming_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_ohlc")
 
 
+# Burst threshold, defined ONCE (the SESSION_GAP rule): the batch
+# trailing-frame audit (queries_events.events_rate_limit_audit) and
+# the streaming sliding-window job below flag the same per-user rate.
+RATE_LIMIT_THRESHOLD = 2
+RATE_WINDOW = "1 hour"
+RATE_SLIDE = "30 minutes"
+
+
+def streaming_rate_limit_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window rate audit: per-user event counts
+    over 1-hour windows sliding every 30 minutes, emitting windows at
+    or above the burst threshold — the streaming twin of
+    events_rate_limit_audit (ROADMAP r8 #2). The batch audit's exact
+    trailing RANGE frame is not streaming-expressible; the sliding
+    bucket approximation is (every burst within one hour lands fully
+    inside at least one sliding window), and with BUCKETED semantics
+    chosen the job carries a full oracle: each event belongs to
+    exactly two epoch-aligned 30-min-slide windows, so complete mode
+    over the bounded source equals the batch unnest-regroup."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", RATE_WINDOW, RATE_SLIDE).alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_in_window"))
+        .where(F.col("n_in_window") >= RATE_LIMIT_THRESHOLD)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "user_id",
+            "n_in_window",
+        )
+    )
+    _run_to_memory(agg, "stream_rate_limit", "complete")
+    return spark.table("stream_rate_limit")
+
+
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked session windows (30 min gap) per user — streaming
     twin of events_session_window."""
