@@ -1,0 +1,221 @@
+"""Invariant tests for the round-7 second-batch operators (the ROADMAP
+backlog): stratified cell quotas, curriculum ordering, span remediation,
+token-savings accounting, retrieve→rerank, covariance/whitening, and the
+streaming sliding rate-limit twin."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+    load_table,
+)
+
+
+def test_cell_quota_respects_grid(spark, sf_dir):
+    """Every (source, lang) cell keeps exactly min(4·isqrt(n), n) docs,
+    recomputed here with Python's exact integer isqrt — pinning the
+    integer-corrected double-sqrt in both engines to the true root."""
+    rows = QUERIES["corpus_stratified_cell_quota"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    cell_n = {
+        (r.source, r.lang): r.n
+        for r in docs.groupBy("source", "lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept: dict[tuple[str, str], int] = {}
+    for r in rows:
+        kept[(r.source, r.lang)] = kept.get((r.source, r.lang), 0) + 1
+        assert r.n_cell == cell_n[(r.source, r.lang)]
+        assert r.quota == min(4 * math.isqrt(r.n_cell), r.n_cell)
+        assert 1 <= r.rank_in_cell <= r.quota
+    for cell, n in cell_n.items():
+        assert kept.get(cell, 0) == min(4 * math.isqrt(n), n)
+
+
+def test_curriculum_buckets_partition_and_order(spark, sf_dir):
+    """The curriculum assignment is a PARTITION of the corpus into
+    score-contiguous buckets: every doc appears once, bucket value
+    ranges do not overlap, and sizes are near-quartile (value ties can
+    skew them slightly, never by construction more than one value
+    run)."""
+    rows = QUERIES["corpus_curriculum_order"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+        assert 0 <= r.shard < 256
+        assert r.pos_in_shard >= 1
+    assert set(by_bucket) <= set(range(4))
+    bounds = {
+        b: (min(x.q_mil for x in xs), max(x.q_mil for x in xs))
+        for b, xs in by_bucket.items()
+    }
+    for b in sorted(bounds)[:-1]:
+        nxt = sorted(bounds)[sorted(bounds).index(b) + 1]
+        assert bounds[b][1] <= bounds[nxt][0], "bucket ranges overlap"
+    for b, xs in by_bucket.items():
+        assert 0.4 * n_docs / 4 <= len(xs) <= 1.7 * n_docs / 4, (
+            f"bucket {b} size {len(xs)} far from quartile"
+        )
+
+
+def test_span_remediate_consistency(spark, sf_dir):
+    """Remediation agrees with detection: a doc with zero shared
+    windows is untouched (its remediated md5 IS the normalized-text
+    fingerprint), a doc with shared windows loses at least K tokens,
+    and nothing loses more than it has."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+
+    rem = {
+        r.doc_id: r
+        for r in QUERIES["dedup_span_remediate"].fn(spark, sf_dir).collect()
+    }
+    det = {
+        r.doc_id: r
+        for r in QUERIES["dedup_repeated_substrings"].fn(spark, sf_dir).collect()
+    }
+    fp = {
+        r.doc_id: r.f
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", X.fingerprint().alias("f"))
+        .collect()
+    }
+    assert set(det) <= set(rem)  # detector drops window-less docs
+    touched = 0
+    for doc_id, r in rem.items():
+        assert 0 <= r.n_removed <= r.n_tokens
+        d = det.get(doc_id)
+        if d is None or d.n_shared == 0:
+            assert r.n_removed == 0
+            assert r.remediated_md5 == fp[doc_id]
+        else:
+            touched += 1
+            assert r.n_removed >= 8  # at least one whole K-token window
+            assert r.remediated_md5 != fp[doc_id]
+    assert touched > 0, "corpus has shared spans; remediation touched none"
+
+
+def test_token_savings_consistent_with_pairs(spark, sf_dir):
+    """The savings report's dup-doc count equals the distinct doc_b set
+    of the verified pair list, and token totals reconcile with the
+    corpus."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+
+    rows = QUERIES["dedup_token_savings"].fn(spark, sf_dir).collect()
+    pairs = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    removable = {p.doc_b for p in pairs}
+    assert sum(r.n_dup_docs for r in rows) == len(removable)
+    corpus_tokens = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.sum(X.token_count()).alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert sum(r.total_tokens for r in rows) == corpus_tokens
+    for r in rows:
+        assert 0 <= r.dup_tokens <= r.total_tokens
+        assert 0.0 <= r.savings_frac <= 1.0
+
+
+def test_rerank_is_bounded_and_monotone(spark, sf_dir):
+    """Stage-2 containment and ordering: the reranked list is ≤ 20
+    rows with dense unique ranks, f1 non-increasing in rank, and every
+    entry comes from the stage-1 BM25 candidate list."""
+    rows = sorted(
+        QUERIES["retrieval_rerank_token_f1"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rerank_rank,
+    )
+    assert 0 < len(rows) <= 20
+    assert [r.rerank_rank for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.f1 >= b.f1
+    # stage-1 containment: rebuild the top-100 BM25 candidate ids
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _RRF_CAND,
+        _bm25_scored,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = {
+        r.doc_id
+        for r in _bm25_scored(docs)
+        .where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_CAND)
+        .collect()
+    }
+    assert {r.doc_id for r in rows} <= cand
+
+
+def test_whitening_matrix_psd_and_consistent(spark, sf_dir):
+    """The driver-side eigen step the query's docstring promises: the
+    64×64 covariance assembled from the upper triangle must be
+    symmetric PSD (up to the 6-dp rounding), with unit self-correlation
+    and variances matching embedding_dim_variance's var_pop within
+    rounding tolerance."""
+    import numpy as np
+
+    rows = QUERIES["embedding_covariance_whitening"].fn(spark, sf_dir).collect()
+    d = 64
+    assert len(rows) == d * (d + 1) // 2
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r.dim_i - 1, r.dim_j - 1] = r.cov
+        cov[r.dim_j - 1, r.dim_i - 1] = r.cov
+        if r.dim_i == r.dim_j:
+            assert r.corr == 1.0
+        else:
+            assert -1.01 <= r.corr <= 1.01
+    evals = np.linalg.eigvalsh(cov)
+    assert evals.min() >= -1e-4, f"covariance not PSD: min eig {evals.min()}"
+    # cross-check the diagonal against the dim-variance audit's top-10
+    dv = QUERIES["embedding_dim_variance"].fn(spark, sf_dir).collect()
+    for r in dv:
+        assert abs(cov[r.dim - 1, r.dim - 1] - r.var_val) < 1e-3
+
+
+def test_streaming_rate_limit_matches_batch_buckets(spark, sf_dir):
+    """Equals-batch pin for the sliding-window streaming job (the
+    VERDICT r6 #6 pattern): the watermarked 1 h / 30 min window counts
+    must equal a batch recomputation that explodes each event into its
+    two bucket starts."""
+    stream = {
+        (r.window_start, r.user_id): r.n_in_window
+        for r in QUERIES["streaming_rate_limit_windows"].fn(spark, sf_dir).collect()
+    }
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        RATE_LIMIT_THRESHOLD,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    halfhour = F.expr("unix_micros(ts) div 1800000000") * 1_800_000_000
+    batch_rows = (
+        ev.select(
+            "user_id",
+            F.explode(
+                F.array(halfhour, halfhour - 1_800_000_000)
+            ).alias("ws_us"),
+        )
+        .groupBy("ws_us", "user_id")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .where(F.col("n") >= RATE_LIMIT_THRESHOLD)
+        .select(
+            F.date_format(
+                F.timestamp_micros("ws_us"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "user_id",
+            "n",
+        )
+        .collect()
+    )
+    batch = {(r.window_start, r.user_id): r.n for r in batch_rows}
+    assert stream == batch
