@@ -45,11 +45,14 @@ WINDOW_SIZE = 50
 # only if a future verdict names specific queries.
 #
 # r7 endgame (VERDICT r5 #2 / r6 #1): the r7 rotation carries ALL 30
-# never-driver-green oracle-backed queries — the 10-query pre-r6
-# backlog, the 11 r6 additions, and the 9 r7 additions, which topped
-# the pool back up to exactly the slot count (no refresh picks
-# needed). After CORRECTNESS_r07 lands, cumulative driver-green =
-# 209/209 oracle-backed and the pool is DRAINED.
+# never-driver-green oracle-backed queries that existed when it was
+# frozen — the 10-query pre-r6 backlog, the 11 r6 additions, and the
+# 9 r7 first-batch additions, which topped the pool back up to
+# exactly the slot count (no refresh picks needed). After
+# CORRECTNESS_r07 lands, cumulative driver-green = 209 of the 216
+# oracle-backed; the SEVEN r7 second-batch queries (ROADMAP backlog)
+# registered after the window froze and therefore lead the r8
+# rotation as its never-green front, followed by refresh picks.
 #
 # Refresh mode (VERDICT r6 #5, standing posture from r8 on): with an
 # empty pool, next_rotation() emits a pure RE-VERIFICATION window —

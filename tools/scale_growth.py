@@ -70,6 +70,13 @@ QUERIES_UNDER_TEST = [
     # round-7 families (inverted-index novelty; sqrt-quota resample)
     "text_ngram_novelty",
     "corpus_temperature_resample",
+    # round-7 second batch (ROADMAP backlog): span rewrite is the
+    # explode→mask shape (linear in tokens); curriculum's only
+    # non-partitioned step is the value-bounded histogram; covariance
+    # is d²-per-row constant work with a d²-group aggregate.
+    "dedup_span_remediate",
+    "corpus_curriculum_order",
+    "embedding_covariance_whitening",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
@@ -371,6 +378,31 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     out["temperature_kept_rows"] = (
         QUERIES["corpus_temperature_resample"].fn(spark, sf_dir).count()
     )
+    # round-7 second batch:
+    # curriculum ordering: the single-partition histogram window that
+    # PLANS.md waives is bounded by the VALUE domain — count the
+    # distinct floor(score·10⁴) values and assert the ≤ 10001 cap at
+    # every scale (saturating, like the bloom state, never growing
+    # with the corpus).
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+
+    out["curriculum_hist_values"] = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.floor(X.quality_score() * 10000.0).cast("bigint").alias("q")
+        )
+        .distinct()
+        .count()
+    )
+    out["curriculum_hist_cap"] = 10001
+    # covariance/whitening: the aggregate output is d(d+1)/2 rows —
+    # metadata-scale, FLAT in the corpus (the driver-side eigen step
+    # depends only on d).
+    out["whitening_pair_rows"] = (
+        QUERIES["embedding_covariance_whitening"].fn(spark, sf_dir).count()
+    )
     return out
 
 
@@ -482,6 +514,12 @@ def main() -> None:
     bloom_ok = all(
         b["bloom_filter_rows"] <= b["bloom_filter_cap"] for b in blocking
     )
+    # round-7 second batch invariants
+    hist_ok = all(
+        b["curriculum_hist_values"] <= b["curriculum_hist_cap"]
+        for b in blocking
+    )
+    whiten_flat = len({int(b["whitening_pair_rows"]) for b in blocking}) == 1
     temp_alpha = round(
         fit_alpha(scales, [max(b["temperature_kept_rows"], 1.0) for b in blocking]),
         2,
@@ -542,16 +580,33 @@ def main() -> None:
         "SUB-linear slice of a growing corpus — that damping is the "
         "operator's purpose.",
         "",
+        "Round-7 second batch: `curriculum_hist_values` is the input "
+        "to the one single-partition window PLANS.md waives for "
+        "corpus_curriculum_order — distinct floor(score·10⁴) values, "
+        f"capped at 10001 by the value domain "
+        f"({'OK' if hist_ok else 'FAIL'}: "
+        + ", ".join(
+            f"x{k}={b['curriculum_hist_values']:.0f}"
+            for k, b in zip(scales, blocking)
+        )
+        + " — saturating toward the cap, never tracking the corpus). "
+        "`whitening_pair_rows` is embedding_covariance_whitening's "
+        "entire output — d(d+1)/2 rows, "
+        f"{'FLAT' if whiten_flat else 'NOT FLAT (FAIL)'} across scales, "
+        "so the driver-side eigen step stays metadata-scale.",
+        "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
         "headroom for fixed per-run overhead amortizing INTO the "
         "exponent at these small absolute sizes).",
         "",
-        f"Verdict: {'PASS' if all(a <= ALPHA_TOL for a in alphas.values()) and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL else 'FAIL'} "
+        f"Verdict: {'PASS' if all(a <= ALPHA_TOL for a in alphas.values()) and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat else 'FAIL'} "
         f"— wall alphas {alphas}, candidate alphas {cand_alpha}, "
         f"incr-fixed-batch alpha {incr_alpha}, shard balance "
         f"{'OK' if shard_ok else 'FAIL'}, bloom cap "
         f"{'OK' if bloom_ok else 'FAIL'}, temperature-kept alpha "
-        f"{temp_alpha}.",
+        f"{temp_alpha}, curriculum histogram cap "
+        f"{'OK' if hist_ok else 'FAIL'}, whitening output "
+        f"{'flat' if whiten_flat else 'NOT flat'}.",
     ]
     report = "\n".join(lines) + "\n"
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -569,6 +624,10 @@ def main() -> None:
         bad.append("bloom_filter_rows")
     if temp_alpha > TEMP_SUBLINEAR_TOL:
         bad.append("temperature_kept_rows")
+    if not hist_ok:
+        bad.append("curriculum_hist_values")
+    if not whiten_flat:
+        bad.append("whitening_pair_rows")
     sys.exit(1 if bad else 0)
 
 
