@@ -763,3 +763,148 @@ def quality_ttr_lexical_diversity(spark, sf_dir):
         hapax.alias("n_hapax"),
         F.round(hapax.cast("double") / F.col("n_types"), 4).alias("hapax_frac"),
     )
+
+
+# --- population-stability drift detection (round 7, second batch) -----------
+#
+# The monitoring twin of the quality gates: once a pipeline ingests
+# continuously, per-period PSI of a metric's bucket histogram against
+# the pooled reference is THE standard drift alarm (PSI >= 0.2 ==
+# "significant shift, investigate the feed").
+
+_PSI_BUCKETS = 10
+_PSI_BUCKET_WIDTH = 50.0  # events.value spans [0, ~500)
+_PSI_ALERT = 0.2
+
+_PSI_ORACLE = f"""
+    WITH e AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               least(CAST(floor(value / {_PSI_BUCKET_WIDTH}) AS BIGINT),
+                     {_PSI_BUCKETS - 1}) AS bucket
+        FROM events
+    ),
+    day_tot AS (
+        SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        FROM e GROUP BY 1, 2
+    ),
+    day_cnt AS (
+        SELECT event_type, day, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2, 3
+    ),
+    ref_tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM e GROUP BY 1
+    ),
+    ref_cnt AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS r
+        FROM e GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT dt.event_type, dt.day, dt.n, t.b AS bucket
+        FROM day_tot dt CROSS JOIN range(0, {_PSI_BUCKETS}) t(b)
+    ),
+    terms AS (
+        SELECT g.event_type, g.day, g.n,
+               (CAST(coalesce(dc.c, 0) + 1 AS DOUBLE)
+                    / (g.n + {_PSI_BUCKETS})
+                - CAST(coalesce(rc.r, 0) + 1 AS DOUBLE)
+                    / (rt.m + {_PSI_BUCKETS}))
+               * round(ln(
+                     (CAST(coalesce(dc.c, 0) + 1 AS DOUBLE)
+                          / (g.n + {_PSI_BUCKETS}))
+                     / (CAST(coalesce(rc.r, 0) + 1 AS DOUBLE)
+                          / (rt.m + {_PSI_BUCKETS}))), 6) AS term
+        FROM grid g
+        LEFT JOIN day_cnt dc
+               ON dc.event_type = g.event_type AND dc.day = g.day
+              AND dc.bucket = g.bucket
+        LEFT JOIN ref_cnt rc
+               ON rc.event_type = g.event_type AND rc.bucket = g.bucket
+        JOIN ref_tot rt ON rt.event_type = g.event_type
+    )
+    SELECT event_type, day, n AS n_events,
+           round(CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6)))
+                      AS DOUBLE), 6) AS psi,
+           CAST(sum(CAST(round(term, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               >= {_PSI_ALERT} AS drift_flag
+    FROM terms
+    GROUP BY event_type, day, n
+"""
+
+
+@register("quality_psi_drift", _PSI_ORACLE)
+def quality_psi_drift(spark, sf_dir):
+    """Windowed drift detection: per (event_type, day), the population
+    stability index of the day's value-bucket histogram against the
+    pooled all-days reference — PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    with add-one smoothing over the ten fixed-width buckets (so empty
+    buckets contribute finitely), flagging days at the classic 0.2
+    alert level. This is the feed-health monitor a
+    continuously-ingesting pipeline runs before trusting a day's data.
+
+    Determinism + scale: bucket counts are exact integers; p, q and
+    their ratio are single IEEE divisions (identical both engines);
+    the only transcendental is ln, rounded at 6 dp per the
+    cross-engine libm rule (BM25 precedent); and the Σ over the
+    10-term bucket grid is a DECIMAL sum — exact, associative,
+    partition-order-proof. Shuffle: two passes over events (day grain
+    and reference grain), then joins on the tiny
+    (type × day × bucket) grid — at 100 TB the reference histogram is
+    a broadcast row-set and days are processed independently."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.least(
+            F.floor(F.col("value") / _PSI_BUCKET_WIDTH).cast("bigint"),
+            F.lit(_PSI_BUCKETS - 1).cast("bigint"),
+        ).alias("bucket"),
+    )
+    day_tot = e.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    day_cnt = e.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ref_tot = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("m")
+    )
+    ref_cnt = e.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("r")
+    )
+    grid = day_tot.withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1)))
+    ).select(
+        "event_type", "day", "n", F.col("bucket").cast("bigint").alias("bucket")
+    )
+    p = (F.coalesce("c", F.lit(0)) + 1).cast("double") / (
+        F.col("n") + _PSI_BUCKETS
+    )
+    q = (F.coalesce("r", F.lit(0)) + 1).cast("double") / (
+        F.col("m") + _PSI_BUCKETS
+    )
+    term = (p - q) * F.round(F.log(p / q), 6)
+    terms = (
+        grid.join(day_cnt, ["event_type", "day", "bucket"], "left")
+        .join(F.broadcast(ref_cnt), ["event_type", "bucket"], "left")
+        .join(F.broadcast(ref_tot), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(term, 6).cast("decimal(18,6)").alias("term"),
+        )
+    )
+    psi_sum = F.sum("term").cast("double")
+    return terms.groupBy("event_type", "day", "n").agg(
+        F.round(psi_sum, 6).alias("psi"),
+        (psi_sum >= _PSI_ALERT).alias("drift_flag"),
+    ).select(
+        "event_type",
+        "day",
+        F.col("n").alias("n_events"),
+        "psi",
+        "drift_flag",
+    )

@@ -811,3 +811,269 @@ def sketch_bloom_prefilter(spark, sf_dir):
         .cast("bigint")
         .alias("n_false_negative"),
     )
+
+
+# --- HLL-based join-cardinality estimator (round 7, second batch) -----------
+#
+# Planner hygiene for 100 TB joins: before shuffling two big tables,
+# estimate |A ⋈ B| from per-side row counts and HLL key-NDV sketches
+# with the classic containment formula |A|·|B| / max(ndv_A, ndv_B).
+# The sketches are one streaming pass per side (mergeable, map-side);
+# the exact join count here is the audit that the estimate must cover.
+
+_JOINCARD_REL_ERR = 0.10  # HLL NDV err ~1.6 % ⇒ 10 % envelope is generous
+
+
+def _hll_ndv(col):
+    return F.hll_sketch_estimate(F.hll_sketch_agg(col))
+
+
+_JOINCARD_ORACLE = """
+    WITH ol AS (
+        SELECT 'orders-lineitem@orderkey' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS rows_b,
+               (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                FROM orders) AS ndv_a,
+               (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                FROM lineitem) AS ndv_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM orders o JOIN lineitem l
+                  ON l.l_orderkey = o.o_orderkey) AS exact_join_rows
+    ),
+    co AS (
+        SELECT 'customer-orders@custkey' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS rows_b,
+               (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT)
+                FROM customer) AS ndv_a,
+               (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                FROM orders) AS ndv_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM customer c JOIN orders o
+                  ON o.o_custkey = c.c_custkey) AS exact_join_rows
+    )
+    SELECT edge, rows_a, rows_b, ndv_a, ndv_b, exact_join_rows,
+           TRUE AS est_within_envelope
+    FROM ol
+    UNION ALL
+    SELECT edge, rows_a, rows_b, ndv_a, ndv_b, exact_join_rows,
+           TRUE AS est_within_envelope
+    FROM co
+"""
+
+
+@register("sketch_join_cardinality", _JOINCARD_ORACLE)
+def sketch_join_cardinality(spark, sf_dir):
+    """Approximate join-cardinality audit over two FK edges of the
+    star schema: per edge, the side row counts, exact key NDVs, the
+    exact join cardinality, and a boolean asserting the HLL-based
+    containment estimate |A|·|B|/max(ndv̂_A, ndv̂_B) lands within 10 %
+    of the exact join size (the sketch-envelope oracle convention —
+    HLL internals are not SQL-replicable, so the oracle checks the
+    claim, not the sketch bytes).
+
+    Scale: each NDV sketch is ONE pass over its side's key column
+    with map-side-mergeable state (this is what a planner caches per
+    partition/day and merges at plan time); the estimate itself is
+    driver-scale arithmetic. The exact join count — the expensive
+    audit — is the thing you run once to validate the estimator, then
+    stop running; on FK edges the containment formula is tight, which
+    is exactly why planners trust it there."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def edge(name, a, ka, b, kb, exact_join):
+        sa = a.agg(
+            F.count("*").cast("bigint").alias("rows_a"),
+            F.countDistinct(ka).cast("bigint").alias("ndv_a"),
+            _hll_ndv(ka).alias("ndv_a_est"),
+        )
+        sb = b.agg(
+            F.count("*").cast("bigint").alias("rows_b"),
+            F.countDistinct(kb).cast("bigint").alias("ndv_b"),
+            _hll_ndv(kb).alias("ndv_b_est"),
+        )
+        est = (
+            F.col("rows_a").cast("double")
+            * F.col("rows_b").cast("double")
+            / F.greatest(
+                F.col("ndv_a_est").cast("double"),
+                F.col("ndv_b_est").cast("double"),
+            )
+        )
+        return (
+            sa.crossJoin(F.broadcast(sb))
+            .crossJoin(F.broadcast(exact_join))
+            .select(
+                F.lit(name).alias("edge"),
+                "rows_a",
+                "rows_b",
+                "ndv_a",
+                "ndv_b",
+                "exact_join_rows",
+                (
+                    F.abs(est - F.col("exact_join_rows").cast("double"))
+                    <= _JOINCARD_REL_ERR
+                    * F.col("exact_join_rows").cast("double")
+                ).alias("est_within_envelope"),
+            )
+        )
+
+    ol_exact = (
+        orders.join(
+            lineitem, lineitem["l_orderkey"] == orders["o_orderkey"]
+        )
+        .agg(F.count("*").cast("bigint").alias("exact_join_rows"))
+    )
+    co_exact = (
+        customer.join(orders, orders["o_custkey"] == customer["c_custkey"])
+        .agg(F.count("*").cast("bigint").alias("exact_join_rows"))
+    )
+    return edge(
+        "orders-lineitem@orderkey",
+        orders,
+        "o_orderkey",
+        lineitem,
+        "l_orderkey",
+        ol_exact,
+    ).unionByName(
+        edge(
+            "customer-orders@custkey",
+            customer,
+            "c_custkey",
+            orders,
+            "o_custkey",
+            co_exact,
+        )
+    )
+
+
+# --- KMV bottom-k distinct sketch (round 7, second batch) -------------------
+#
+# The k-minimum-values sketch: keep the k smallest hash values of a
+# key set; the k-th smallest, read as a fraction u of hash space,
+# estimates the distinct count as (k-1)/u. Mergeable (bottom-k of a
+# union = bottom-k of the per-part bottom-k's) and — because the hash
+# is md5 — fully deterministic, so unlike HLL BOTH the sketch content
+# and the estimate are oracle-checkable exactly, not just enveloped.
+
+_KMV_K = 8  # small enough that every SF (15+ users/type at sf0.001) fills the sketch
+_KMV_HEX_SPACE = float(16**8)  # first 8 hex chars as a fraction of space
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h, row_number() OVER (
+            PARTITION BY event_type ORDER BY h
+        ) AS rn
+        FROM h
+    ),
+    kth AS (
+        SELECT event_type, h AS kth_hash FROM r WHERE rn = {_KMV_K}
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+        FROM h GROUP BY event_type
+    )
+    SELECT e.event_type, CAST({_KMV_K} AS INT) AS k, e.exact_distinct,
+           k2.kth_hash,
+           round(({_KMV_K} - 1)
+                 / ({_HEX_TO_INT_SQL.format(h="substr(k2.kth_hash, 1, 8)")}
+                    / {_KMV_HEX_SPACE}), 4) AS est_distinct,
+           TRUE AS merged_equals_direct
+    FROM exact e JOIN kth k2 USING (event_type)
+"""
+
+
+@register("sketch_kmv_distinct", _KMV_ORACLE)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch per event type, built the
+    way a warehouse actually runs it: a per-(type, day) bottom-k tier
+    (the WindowGroupLimit top-k shape — partial, no unbounded state)
+    MERGED into the per-type sketch, with a boolean asserting the
+    merged sketch equals the sketch computed directly over the full
+    key set — the KMV merge law, the property that makes the sketch a
+    valid pre-aggregated rollup. The estimate (k−1)/u from the k-th
+    smallest hash fraction is pure integer-derived arithmetic on an
+    md5 value, so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale: the day tier keeps ≤ k rows per (type, day) — state is
+    k × tiers, never the key cardinality; the merge ranks
+    ≤ k × n_days rows per type. The same tier structure serves any
+    time-range query by merging a subset of day sketches."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast("binary")
+    )
+    keyed = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        h.alias("h"),
+    )
+    # tier 1: per-(type, day) bottom-k of the day's distinct hashes
+    day_distinct = keyed.select("event_type", "day", "h").distinct()
+    wd = Window.partitionBy("event_type", "day").orderBy("h")
+    day_tier = (
+        day_distinct.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    # merge: bottom-k of the union of day sketches (distinct first —
+    # the same user hash can lead multiple days' sketches)
+    wt = Window.partitionBy("event_type").orderBy("h")
+    merged = (
+        day_tier.distinct()
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    # direct: bottom-k over the full distinct key set
+    full_distinct = keyed.select("event_type", "h").distinct()
+    direct = (
+        full_distinct.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _KMV_K)
+    )
+    # merge law: the two sketches agree row-for-row
+    agree = (
+        merged.select("event_type", "rn", F.col("h").alias("mh"))
+        .join(direct.select("event_type", "rn", F.col("h").alias("dh")),
+              ["event_type", "rn"], "full")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.col("mh").isNotNull()
+                & F.col("dh").isNotNull()
+                & (F.col("mh") == F.col("dh"))
+            ).alias("merged_equals_direct")
+        )
+    )
+    kth = merged.where(F.col("rn") == _KMV_K).select(
+        "event_type", F.col("h").alias("kth_hash")
+    )
+    exact = full_distinct.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("exact_distinct")
+    )
+    u = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(
+        _KMV_HEX_SPACE
+    )
+    return (
+        exact.join(kth, "event_type")
+        .join(agree, "event_type")
+        .select(
+            "event_type",
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "exact_distinct",
+            "kth_hash",
+            F.round((_KMV_K - 1) / u, 4).alias("est_distinct"),
+            "merged_equals_direct",
+        )
+    )

@@ -219,3 +219,48 @@ def test_streaming_rate_limit_matches_batch_buckets(spark, sf_dir):
     )
     batch = {(r.window_start, r.user_id): r.n for r in batch_rows}
     assert stream == batch
+
+
+def test_psi_drift_nonnegative_and_covers_grid(spark, sf_dir):
+    """PSI is a sum of (p−q)·ln(p/q) terms, each ≥ 0 — allow only the
+    6-dp ln-rounding slack below zero; every (type, day) present in
+    events gets a row; flags agree with the 0.2 threshold."""
+    rows = QUERIES["quality_psi_drift"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_cells = (
+        ev.select(
+            "event_type", F.date_trunc("day", "ts").alias("d")
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_cells
+    for r in rows:
+        assert r.psi >= -1e-4, f"negative PSI {r.psi}"
+        assert r.drift_flag == (r.psi >= 0.2)
+
+
+def test_join_cardinality_fk_edges_exact_and_enveloped(spark, sf_dir):
+    """On FK edges the exact join size equals the child row count
+    (every child key resolves), and the HLL containment estimate must
+    sit inside its envelope — the booleans the oracle asserts TRUE."""
+    rows = {r.edge: r for r in QUERIES["sketch_join_cardinality"].fn(spark, sf_dir).collect()}
+    ol = rows["orders-lineitem@orderkey"]
+    assert ol.exact_join_rows == load_table(spark, sf_dir, "lineitem").count()
+    co = rows["customer-orders@custkey"]
+    assert co.exact_join_rows == load_table(spark, sf_dir, "orders").count()
+    for r in rows.values():
+        assert r.est_within_envelope
+
+
+def test_kmv_merge_law_and_estimate_sanity(spark, sf_dir):
+    """The tier-merged KMV sketch equals the directly-built one (the
+    merge law the query asserts), and the (k−1)/u estimate lands
+    within a coarse 4× band (k=8 ⇒ ~40 % stderr; the value itself is
+    md5-deterministic, so the band only guards gross formula errors)."""
+    rows = QUERIES["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.merged_equals_direct
+        assert r.exact_distinct >= r.k
+        assert r.exact_distinct / 4 <= r.est_distinct <= r.exact_distinct * 4
