@@ -72,6 +72,12 @@ BASELINE_SEC = {
     # 1.17/1.27)
     "features_point_in_time": 0.50,
     "corpus_global_shuffle": 0.22,
+    # round-7 second batch: new headline rows measured at landing
+    # (BASELINE.md "Round-7 second-batch"; min over bench runs,
+    # calibrations 1.12/1.17/1.26; whitening baselined AFTER the
+    # decimal→int64 sum optimization)
+    "dedup_span_remediate": 2.41,
+    "embedding_covariance_whitening": 4.48,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -965,7 +965,7 @@ _SPAN_REMEDIATE_ORACLE = f"""
 """
 
 
-@register("dedup_span_remediate", _SPAN_REMEDIATE_ORACLE)
+@register("dedup_span_remediate", _SPAN_REMEDIATE_ORACLE, headline=True)
 def dedup_span_remediate(spark, sf_dir):
     """Span-level dedup REMEDIATION: cut every token covered by a
     cross-document shared 8-token window and emit the rewritten

@@ -1811,9 +1811,9 @@ _WHITEN_ORACLE = f"""
     WITH pa AS (
         SELECT CAST(t1.i AS INT) AS dim_i, CAST(t2.j AS INT) AS dim_j,
                CAST(count(*) AS BIGINT) AS n_vectors,
-               sum(CAST(round(CAST(e.embedding[CAST(t1.i AS INT)] AS DOUBLE)
-                              * CAST(e.embedding[CAST(t2.j AS INT)] AS DOUBLE),
-                              6) AS DECIMAL(28,6))) AS sxy
+               CAST(sum(CAST(round(CAST(e.embedding[CAST(t1.i AS INT)] AS DOUBLE)
+                                   * CAST(e.embedding[CAST(t2.j AS INT)] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sxy
         FROM embeddings e,
              range(1, {_EMB_DIM + 1}) t1(i),
              range(1, {_EMB_DIM + 1}) t2(j)
@@ -1822,26 +1822,25 @@ _WHITEN_ORACLE = f"""
     ),
     dims AS (
         SELECT CAST(t.i AS INT) AS dim,
-               CAST(count(*) AS BIGINT) AS n,
-               sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE),
-                              6) AS DECIMAL(18,6))) AS sx,
-               sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
-                              * CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE),
-                              6) AS DECIMAL(28,6))) AS sxx
+               CAST(sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                                   * CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sxx
         FROM embeddings e, range(1, {_EMB_DIM + 1}) t(i)
         GROUP BY 1
     ),
     c AS (
         SELECT pa.dim_i, pa.dim_j, pa.n_vectors,
-               CAST(pa.sxy AS DOUBLE) / pa.n_vectors
-                 - (CAST(di.sx AS DOUBLE) / pa.n_vectors)
-                   * (CAST(dj.sx AS DOUBLE) / pa.n_vectors) AS cov,
-               CAST(di.sxx AS DOUBLE) / pa.n_vectors
-                 - (CAST(di.sx AS DOUBLE) / pa.n_vectors)
-                   * (CAST(di.sx AS DOUBLE) / pa.n_vectors) AS var_i,
-               CAST(dj.sxx AS DOUBLE) / pa.n_vectors
-                 - (CAST(dj.sx AS DOUBLE) / pa.n_vectors)
-                   * (CAST(dj.sx AS DOUBLE) / pa.n_vectors) AS var_j
+               (pa.sxy / 1e6) / pa.n_vectors
+                 - ((di.sx / 1e6) / pa.n_vectors)
+                   * ((dj.sx / 1e6) / pa.n_vectors) AS cov,
+               (di.sxx / 1e6) / pa.n_vectors
+                 - ((di.sx / 1e6) / pa.n_vectors)
+                   * ((di.sx / 1e6) / pa.n_vectors) AS var_i,
+               (dj.sxx / 1e6) / pa.n_vectors
+                 - ((dj.sx / 1e6) / pa.n_vectors)
+                   * ((dj.sx / 1e6) / pa.n_vectors) AS var_j
         FROM pa
         JOIN dims di ON di.dim = pa.dim_i
         JOIN dims dj ON dj.dim = pa.dim_j
@@ -1854,7 +1853,7 @@ _WHITEN_ORACLE = f"""
 """
 
 
-@register("embedding_covariance_whitening", _WHITEN_ORACLE)
+@register("embedding_covariance_whitening", _WHITEN_ORACLE, headline=True)
 def embedding_covariance_whitening(spark, sf_dir):
     """Whitening/PCA-lite statistics: the upper triangle of the
     population covariance matrix of the embedding space (plus the
@@ -1863,17 +1862,20 @@ def embedding_covariance_whitening(spark, sf_dir):
     encoder wastes capacity; whitening decorrelates before
     quantization or linear probes). The d×d eigendecomposition itself
     is a driver-side numpy step on this 64×64 output (metadata-scale;
-    exercised in tests/test_ext_operators.py) — the distributed part,
-    and the only part that touches the corpus, is this aggregation.
+    exercised in tests/test_r7_batch2.py) — the distributed part, and
+    the only part that touches the corpus, is this aggregation.
 
-    Determinism + scale: per-element products are rounded to 6 dp and
-    summed as DECIMAL — exact, associative, partition-order-proof
-    (the Zipf-slope rule); the d(d+1)/2 pair terms are generated
-    per-row by an array transform (no self-join, no shuffle of the
-    corpus) and the aggregation carries d²×partitions partial states
-    map-side, exactly like embedding_dim_variance. The final
-    cov/corr arithmetic runs on bit-identical decimal sums, so the
-    4-6 dp rounding has no boundary channel."""
+    Determinism + scale: per-element products are scaled to integer
+    micro-units (round(x·y·10⁶) as BIGINT — both engines round
+    half-away on the identical IEEE product) and summed as int64 —
+    exact, associative, partition-order-proof, and JVM-vectorizable,
+    ~3× faster than the DECIMAL formulation it replaces; the
+    d(d+1)/2 pair terms are generated per-row by an array transform
+    (no self-join, no shuffle of the corpus) and the aggregation
+    carries d²×partitions partial states map-side, exactly like
+    embedding_dim_variance. The final cov/corr arithmetic runs on
+    bit-identical integer sums, so the 4-6 dp rounding has no
+    boundary channel."""
     v = _vecs(spark, sf_dir).select("embedding")
     arr = F.col("embedding")
     d = F.size(arr)
@@ -1881,9 +1883,10 @@ def embedding_covariance_whitening(spark, sf_dir):
     def _xy(i, j):
         return F.round(
             F.element_at(arr, i).cast("double")
-            * F.element_at(arr, j).cast("double"),
-            6,
-        ).cast("decimal(28,6)")
+            * F.element_at(arr, j).cast("double")
+            * 1000000.0,
+            0,
+        ).cast("bigint")
 
     pairs_col = F.flatten(
         F.transform(
@@ -1905,9 +1908,10 @@ def embedding_covariance_whitening(spark, sf_dir):
         )
         .agg(
             F.count("*").cast("bigint").alias("n_vectors"),
-            F.sum("s.xy").alias("sxy"),
+            F.sum("s.xy").cast("bigint").alias("sxy"),
         )
     )
+    x = F.col("x")
     dims = (
         v.select(F.posexplode(arr).alias("pos", "x"))
         .select(
@@ -1916,10 +1920,12 @@ def embedding_covariance_whitening(spark, sf_dir):
         )
         .groupBy("dim")
         .agg(
-            F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).alias("sx"),
-            F.sum(
-                F.round(F.col("x") * F.col("x"), 6).cast("decimal(28,6)")
-            ).alias("sxx"),
+            F.sum(F.round(x * 1000000.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sx"),
+            F.sum(F.round(x * x * 1000000.0, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("sxx"),
         )
     )
     di = dims.select(
@@ -1933,15 +1939,19 @@ def embedding_covariance_whitening(spark, sf_dir):
         F.col("sxx").alias("sxx_j"),
     )
     n = F.col("n_vectors").cast("double")
-    cov = F.col("sxy").cast("double") / n - (
-        F.col("sx_i").cast("double") / n
-    ) * (F.col("sx_j").cast("double") / n)
-    var_i = F.col("sxx_i").cast("double") / n - (
-        F.col("sx_i").cast("double") / n
-    ) * (F.col("sx_i").cast("double") / n)
-    var_j = F.col("sxx_j").cast("double") / n - (
-        F.col("sx_j").cast("double") / n
-    ) * (F.col("sx_j").cast("double") / n)
+
+    def _mean(c):
+        return (F.col(c).cast("double") / 1e6) / n
+
+    cov = (F.col("sxy").cast("double") / 1e6) / n - _mean("sx_i") * _mean(
+        "sx_j"
+    )
+    var_i = (F.col("sxx_i").cast("double") / 1e6) / n - _mean(
+        "sx_i"
+    ) * _mean("sx_i")
+    var_j = (F.col("sxx_j").cast("double") / 1e6) / n - _mean(
+        "sx_j"
+    ) * _mean("sx_j")
     return (
         pa.join(F.broadcast(di), F.col("dim_i") == F.col("di_dim"))
         .join(F.broadcast(dj), F.col("dim_j") == F.col("dj_dim"))
