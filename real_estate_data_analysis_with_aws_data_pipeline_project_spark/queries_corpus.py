@@ -1029,3 +1029,142 @@ def corpus_curriculum_order(spark, sf_dir):
             F.row_number().over(wpos).cast("bigint").alias("pos_in_shard"),
         )
     )
+
+
+# --- session-aware shard packing (round 7, second batch) --------------------
+#
+# corpus_pack_token_shards packs DOCUMENTS; training on event streams
+# packs SESSIONS — a shard must never split a (user, session), or the
+# training example loses its context window. Same two-pass hash-range
+# cumsum, but the packed unit is the sessionized group.
+
+_SESSION_PACK_BUDGET = 200  # events per shard
+
+# the session gap is the shared single definition (queries_events
+# imports it the same way)
+from .streaming.jobs import SESSION_GAP_US as _PACK_GAP_US  # noqa: E402
+
+_SESSION_PACK_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          >= {_PACK_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS start_us
+        FROM s GROUP BY user_id, sid
+    ),
+    keyed AS (
+        SELECT *, md5(CAST(user_id AS VARCHAR) || ':'
+                      || CAST(start_us AS VARCHAR)) AS ok
+        FROM sess
+    ),
+    ordered AS (
+        SELECT *, sum(n_events) OVER (
+            ORDER BY ok, user_id, start_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum
+        FROM keyed
+    )
+    SELECT CAST(floor((cum - 1) / {_SESSION_PACK_BUDGET}) AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS shard_events
+    FROM ordered
+    GROUP BY 1
+"""
+
+
+@register("corpus_session_pack_shards", _SESSION_PACK_ORACLE)
+def corpus_session_pack_shards(spark, sf_dir):
+    """Session-aware shard packing: events are sessionized per user
+    (30-min gap, the SESSION_GAP shared constant), then whole SESSIONS
+    are packed greedily into ~200-event shards in deterministic md5
+    order — no shard ever splits a session, the invariant sequence
+    packing needs when the training example is a session context
+    window (corpus_pack_token_shards' per-document twin).
+
+    Scale: sessionization is ONE user_id shuffle (lag + running sum,
+    the proven session-window shape); packing reuses the two-pass
+    hash-range cumsum — a 256-range parallel window plus driver-side
+    prefix offsets over a 256-row aggregate — so no single-partition
+    window ever sees the session relation."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lag("ts").over(uw).alias("prev_ts"),
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                >= _PACK_GAP_US
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.unix_micros(F.min("ts")).cast("bigint").alias("start_us"),
+    )
+    ok = F.md5(
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("start_us").cast("string"),
+        ).cast("binary")
+    )
+    keyed = sess.select(
+        "user_id",
+        "start_us",
+        "n_events",
+        ok.alias("ok"),
+        F.substring(ok, 1, 2).alias("rng"),
+    )
+    totals = keyed.groupBy("rng").agg(F.sum("n_events").alias("rng_events"))
+    offsets, running = [], 0
+    for row in sorted(totals.collect(), key=lambda r: r["rng"]):
+        offsets.append((row["rng"], running))
+        running += row["rng_events"]
+    off_df = spark.createDataFrame(offsets, "rng string, rng_offset bigint")
+    w = (
+        Window.partitionBy("rng")
+        .orderBy("ok", "user_id", "start_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = keyed.join(F.broadcast(off_df), "rng").withColumn(
+        "shard",
+        F.floor(
+            (F.col("rng_offset") + F.sum("n_events").over(w) - 1)
+            / _SESSION_PACK_BUDGET
+        ).cast("bigint"),
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("shard_events"),
+    )

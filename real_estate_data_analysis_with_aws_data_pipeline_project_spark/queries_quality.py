@@ -458,29 +458,26 @@ _CC_ORACLE = f"""
 """
 
 
-@register("dedup_cluster_components", _CC_ORACLE)
-def dedup_cluster_components(spark, sf_dir):
-    """Global near-dup clustering: connected components over the
-    MinHash-LSH pair graph (cluster id = min doc_id reachable), so a
-    keep-one-per-cluster policy can be applied corpus-wide instead of
-    pairwise. Spark side runs min-label propagation to a fixpoint
-    (iterative join+groupBy on the persisted edge set, converges in
-    diameter steps ≤ {_CC_MAX_ITERS}; near-dup clusters are shallow).
-    At 100 TB the same loop runs on the pair table with the
-    large-star/small-star optimization; the oracle is DuckDB's
-    recursive CTE."""
-    from .queries_dedup import dedup_minhash_lsh
-
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+def min_label_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> DataFrame:
+    """Connected components by min-label propagation over an
+    undirected pair relation (columns u, v with u < v): returns
+    (u, lbl) where lbl = min node id reachable. Iterative
+    join+groupBy on the persisted doubled edge set, converging in
+    diameter steps; fails loudly if max_iters is hit (ADVICE r2 — a
+    silent non-converged return diverges from the recursive-CTE
+    oracle only at larger scale). Factored in r7 so near-dup
+    clustering and entity resolution share one propagation loop; at
+    100 TB the same loop runs with the large-star/small-star
+    optimization."""
     edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        pairs.select("u", "v")
+        .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .persist()
     )
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
     try:
         changed = 0
-        for _ in range(_CC_MAX_ITERS):
+        for _ in range(max_iters):
             prop = (
                 edges.join(
                     labels.select(
@@ -503,19 +500,32 @@ def dedup_cluster_components(spark, sf_dir):
             if changed == 0:
                 break
         if changed != 0:
-            # A silent non-converged return would diverge from the
-            # oracle's recursive-CTE fixpoint only at larger scale —
-            # fail loudly instead (ADVICE r2).
             raise RuntimeError(
-                f"connected-components did not converge in {_CC_MAX_ITERS} "
+                f"connected-components did not converge in {max_iters} "
                 f"iterations ({changed} labels still changing); raise "
-                "_CC_MAX_ITERS or switch to large-star/small-star"
+                "max_iters or switch to large-star/small-star"
             )
-        return labels.select(
-            F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
-        )
+        return labels
     finally:
         edges.unpersist()
+
+
+@register("dedup_cluster_components", _CC_ORACLE)
+def dedup_cluster_components(spark, sf_dir):
+    """Global near-dup clustering: connected components over the
+    MinHash-LSH pair graph (cluster id = min doc_id reachable), so a
+    keep-one-per-cluster policy can be applied corpus-wide instead of
+    pairwise. Spark side runs min-label propagation to a fixpoint
+    (min_label_components — shared with the entity-resolution query);
+    the oracle is DuckDB's recursive CTE."""
+    from .queries_dedup import dedup_minhash_lsh
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    return min_label_components(pairs).select(
+        F.col("u").alias("doc_id"), F.col("lbl").cast("bigint").alias("cluster_id")
+    )
 
 
 # --- bigram-LM perplexity scoring (round 2) ---------------------------------

