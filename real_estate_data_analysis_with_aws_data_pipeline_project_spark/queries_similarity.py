@@ -1379,8 +1379,10 @@ def embedding_label_centroids(spark, sf_dir):
 _SEM_THRESHOLD = 0.3  # same near-dup bar as dedup_embedding_cosine
 _SEM_KMIN, _SEM_KMAX = 16, 256
 
-_SEM_ORACLE = f"""
-    WITH v AS (
+# CTE prefix shared by the per-cluster aggregate oracle and the
+# per-vector keep/drop manifest oracle — ONE definition of the seeded
+# assignment so the two can never drift.
+_SEM_SCORED_CTES = f"""v AS (
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
@@ -1421,6 +1423,12 @@ _SEM_ORACLE = f"""
         JOIN v m ON m.vec_id = a.vec_id
         JOIN v q ON q.vec_id = r.rep_vec_id
     )
+    SELECT 1
+"""
+_SEM_SCORED_CTES = _SEM_SCORED_CTES[: _SEM_SCORED_CTES.rindex(")") + 1]
+
+_SEM_ORACLE = f"""
+    WITH {_SEM_SCORED_CTES}
     SELECT cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
            min(rep_vec_id) AS rep_vec_id,
@@ -1481,20 +1489,11 @@ def _semantic_seed_rows(spark, sf_dir, v, k):
     return rows
 
 
-@register("dedup_semantic_clusters", _SEM_ORACLE)
-def dedup_semantic_clusters(spark, sf_dir):
-    """SemDeDup-style semantic dedup: md5-seeded clustering (k from
-    the shared ~sqrt(n) ladder), deterministic representative per
-    cluster, and the count of members a near-dup drop pass would
-    remove (cosine to representative >= the shared near-dup bar).
-
-    Scale: seeds and representatives are k ~ sqrt(n) rows (broadcast);
-    assignment is an exact O(n x k) argmax against the broadcast seed
-    matrix, executed as one Arrow-batched kernel (fold-order
-    arithmetic — see operators/_argmax_udf.py) instead of an n x k-row
-    crossJoin; the drop
-    test is one cosine per member against its cluster representative —
-    no within-cluster pairwise blowup, so the plan survives 100x."""
+def _semantic_scored(spark, sf_dir):
+    """(cluster_id, vec_id, rep_vec_id, cos_rep) — the seeded
+    assignment + representative scoring shared by the per-cluster
+    aggregate and the per-vector manifest (one definition, like
+    _SEM_SCORED_CTES on the oracle side)."""
     from .sources.catalog import table_rows
 
     v = _vecs(spark, sf_dir).select(
@@ -1551,6 +1550,24 @@ def dedup_semantic_clusters(spark, sf_dir):
             ).alias("cos_rep"),
         )
     )
+    return scored
+
+
+@register("dedup_semantic_clusters", _SEM_ORACLE)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style semantic dedup: md5-seeded clustering (k from
+    the shared ~sqrt(n) ladder), deterministic representative per
+    cluster, and the count of members a near-dup drop pass would
+    remove (cosine to representative >= the shared near-dup bar).
+
+    Scale: seeds and representatives are k ~ sqrt(n) rows (broadcast);
+    assignment is an exact O(n x k) argmax against the broadcast seed
+    matrix, executed as one Arrow-batched kernel (fold-order
+    arithmetic — see operators/_argmax_udf.py) instead of an n x k-row
+    crossJoin; the drop
+    test is one cosine per member against its cluster representative —
+    no within-cluster pairwise blowup, so the plan survives 100x."""
+    scored = _semantic_scored(spark, sf_dir)
     return (
         scored.groupBy("cluster_id")
         .agg(
@@ -1567,6 +1584,43 @@ def dedup_semantic_clusters(spark, sf_dir):
             .alias("n_semantic_dups"),
         )
         .orderBy("cluster_id")
+    )
+
+
+_SEM_MANIFEST_ORACLE = f"""
+    WITH {_SEM_SCORED_CTES}
+    SELECT vec_id, cluster_id, rep_vec_id, cos_rep,
+           (vec_id <> rep_vec_id AND cos_rep >= {_SEM_THRESHOLD})
+               AS drop_flag
+    FROM scored
+"""
+
+
+@register("dedup_semantic_keep_manifest", _SEM_MANIFEST_ORACLE)
+def dedup_semantic_keep_manifest(spark, sf_dir):
+    """Cluster-level dedup MANIFEST: the per-vector keep/drop decision
+    SemDeDup feeds back into the corpus — each vector's cluster, its
+    cluster representative (the kept item), the cosine to it, and the
+    drop flag (non-representative members above the similarity bar).
+    dedup_semantic_clusters reports the per-cluster totals; this is
+    the row-level artifact a pipeline joins against the corpus to
+    materialize the kept dataset.
+
+    Scale: identical plan prefix to the aggregate query (shared
+    _semantic_scored — Arrow argmax assignment against k ~ sqrt(n)
+    broadcast seeds, one cosine per member), minus the final groupBy:
+    the manifest IS the scored relation, emitted at corpus
+    cardinality with no extra shuffle."""
+    scored = _semantic_scored(spark, sf_dir)
+    return scored.select(
+        "vec_id",
+        "cluster_id",
+        "rep_vec_id",
+        "cos_rep",
+        (
+            (F.col("vec_id") != F.col("rep_vec_id"))
+            & (F.col("cos_rep") >= _SEM_THRESHOLD)
+        ).alias("drop_flag"),
     )
 
 

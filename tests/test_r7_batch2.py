@@ -323,3 +323,24 @@ def test_session_pack_no_split_and_budget(spark, sf_dir):
     import math
 
     assert len(rows) <= math.ceil(total / _SESSION_PACK_BUDGET) + len(rows) // 2
+
+
+def test_semantic_manifest_reconciles_with_clusters(spark, sf_dir):
+    """The per-vector manifest and the per-cluster aggregate must tell
+    one story: drop counts per cluster equal n_semantic_dups, every
+    representative keeps itself, and kept+dropped covers the corpus."""
+    man = QUERIES["dedup_semantic_keep_manifest"].fn(spark, sf_dir).collect()
+    agg = {
+        r.cluster_id: r
+        for r in QUERIES["dedup_semantic_clusters"].fn(spark, sf_dir).collect()
+    }
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(man) == n_vecs
+    drops: dict[int, int] = {}
+    for r in man:
+        if r.vec_id == r.rep_vec_id:
+            assert not r.drop_flag
+        if r.drop_flag:
+            drops[r.cluster_id] = drops.get(r.cluster_id, 0) + 1
+    for cid, a in agg.items():
+        assert drops.get(cid, 0) == a.n_semantic_dups
