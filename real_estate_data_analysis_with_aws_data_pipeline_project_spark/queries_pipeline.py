@@ -618,3 +618,144 @@ def er_blocked_parts(spark, sf_dir):
     return assigned.join(sizes, "entity_id").select(
         F.col("pk").alias("p_partkey"), "entity_id", "n_members"
     )
+
+
+# --- incremental entity resolution (round 7, second batch) ------------------
+
+# Deterministic "incoming batch" slice, the incremental-minhash
+# convention: p_partkey % 5 == 2 plays the new records; the rest is
+# the already-resolved store.
+_ER_BATCH_MOD, _ER_BATCH_REM = 5, 2
+
+_ER_INCR_ORACLE = f"""
+    WITH RECURSIVE r AS (
+        SELECT p_partkey AS pk,
+               split_part(p_name, ' ', 1) AS first_tok,
+               string_split(p_name, ' ')[-1] AS block_tok,
+               p_brand AS brand,
+               p_type AS ptype
+        FROM part
+    ),
+    ex AS (SELECT * FROM r WHERE pk % {_ER_BATCH_MOD} <> {_ER_BATCH_REM}),
+    batch AS (SELECT * FROM r WHERE pk % {_ER_BATCH_MOD} = {_ER_BATCH_REM}),
+    m AS (
+        SELECT a.pk AS u0, b.pk AS v0
+        FROM ex a JOIN ex b
+          ON a.block_tok = b.block_tok AND a.brand = b.brand
+         AND a.ptype = b.ptype
+         AND a.pk < b.pk
+         AND levenshtein(a.first_tok, b.first_tok) <= {_ER_LEV_MAX}
+    ),
+    edges AS (
+        SELECT u0 AS u, v0 AS v FROM m
+        UNION ALL
+        SELECT v0 AS u, u0 AS v FROM m
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    walk(u, lbl) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    comp AS (SELECT u, min(lbl) AS lbl FROM walk GROUP BY u),
+    store AS (
+        SELECT ex.pk, CAST(coalesce(c.lbl, ex.pk) AS BIGINT) AS entity_id,
+               ex.block_tok, ex.brand, ex.ptype, ex.first_tok
+        FROM ex LEFT JOIN comp c ON c.u = ex.pk
+    ),
+    probe AS (
+        SELECT b.pk,
+               CAST(count(s.pk) AS BIGINT) AS n_candidates,
+               min(s.entity_id) AS matched_entity
+        FROM batch b
+        LEFT JOIN store s
+          ON s.block_tok = b.block_tok AND s.brand = b.brand
+         AND s.ptype = b.ptype
+         AND levenshtein(s.first_tok, b.first_tok) <= {_ER_LEV_MAX}
+        GROUP BY b.pk
+    )
+    SELECT pk AS p_partkey,
+           n_candidates,
+           matched_entity IS NOT NULL AS matched,
+           CAST(coalesce(matched_entity, pk) AS BIGINT) AS assigned_entity
+    FROM probe
+"""
+
+
+@register("er_incremental_parts", _ER_INCR_ORACLE)
+def er_incremental_parts(spark, sf_dir):
+    """Incremental entity resolution — the day-2 shape of
+    er_blocked_parts (the incremental-minhash pattern at the ER
+    surface): a fixed batch slice of records probes the STORED entity
+    assignments only. Each new record joins existing records in its
+    (noun, brand, type) block under the Levenshtein-2 match rule and
+    adopts the smallest matched entity id, or founds a new entity
+    under its own key. Batch-internal matches are deliberately
+    deferred to the next full resolution pass — that is what keeps
+    per-batch cost O(batch × block), independent of store size, the
+    whole point of running ER incrementally.
+
+    Scale: the store's components are computed once (amortized across
+    batches; here inline so the query is self-contained); the probe is
+    ONE blocked join of the batch against the store — no pairwise work
+    outside blocks, no recompute of existing clusters."""
+    from .queries_quality import min_label_components
+
+    r = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.substring_index("p_name", " ", 1).alias("first_tok"),
+        F.substring_index("p_name", " ", -1).alias("block_tok"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+    )
+    is_batch = (F.col("pk") % _ER_BATCH_MOD) == _ER_BATCH_REM
+    ex, batch = r.where(~is_batch), r.where(is_batch)
+    a, b = ex.alias("a"), ex.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.block_tok") == F.col("b.block_tok"))
+        & (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.ptype") == F.col("b.ptype"))
+        & (F.col("a.pk") < F.col("b.pk"))
+        & (
+            F.levenshtein(F.col("a.first_tok"), F.col("b.first_tok"))
+            <= _ER_LEV_MAX
+        ),
+    ).select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+    comp = min_label_components(m)
+    store = ex.join(
+        comp.select(F.col("u").alias("pk"), "lbl"), "pk", "left"
+    ).select(
+        F.col("pk").alias("s_pk"),
+        F.coalesce("lbl", F.col("pk")).cast("bigint").alias("entity_id"),
+        F.col("block_tok").alias("s_block"),
+        F.col("brand").alias("s_brand"),
+        F.col("ptype").alias("s_ptype"),
+        F.col("first_tok").alias("s_first"),
+    )
+    probe = (
+        batch.join(
+            store,
+            (F.col("s_block") == F.col("block_tok"))
+            & (F.col("s_brand") == F.col("brand"))
+            & (F.col("s_ptype") == F.col("ptype"))
+            & (
+                F.levenshtein(F.col("s_first"), F.col("first_tok"))
+                <= _ER_LEV_MAX
+            ),
+            "left",
+        )
+        .groupBy("pk")
+        .agg(
+            F.count("s_pk").cast("bigint").alias("n_candidates"),
+            F.min("entity_id").alias("matched_entity"),
+        )
+    )
+    return probe.select(
+        F.col("pk").alias("p_partkey"),
+        "n_candidates",
+        F.col("matched_entity").isNotNull().alias("matched"),
+        F.coalesce("matched_entity", F.col("pk"))
+        .cast("bigint")
+        .alias("assigned_entity"),
+    )

@@ -918,3 +918,111 @@ def quality_psi_drift(spark, sf_dir):
         "psi",
         "drift_flag",
     )
+
+
+# --- train/serve quantile-alignment audit (round 7, second batch) -----------
+#
+# Distribution skew between the data a model trained on (early window)
+# and the data it serves on (late window) is the classic silent
+# degrader; comparing a few order statistics per segment is the cheap,
+# robust check (the exact twin of comparing KLL sketch ranks).
+
+_SKEW_SPLIT_DAYS = 15  # first 15 days = 'early', rest = 'late'
+_SKEW_QS = (25, 50, 75, 90)  # percent ranks compared
+
+_SKEW_ORACLE = f"""
+    WITH bounds AS (
+        SELECT min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0
+        FROM events
+    ),
+    e AS (
+        SELECT event_type, value, event_id,
+               CASE WHEN CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+                         < b.d0 + {_SKEW_SPLIT_DAYS}
+                    THEN 'early' ELSE 'late' END AS split
+        FROM events CROSS JOIN bounds b
+    ),
+    r AS (
+        SELECT e.*, row_number() OVER (
+                   PARTITION BY event_type, split
+                   ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type, split) AS n
+        FROM e
+    ),
+    q AS (
+        SELECT event_type, split, qs.q, value
+        FROM r CROSS JOIN (
+            SELECT unnest([{", ".join(str(q) for q in _SKEW_QS)}]) AS q
+        ) qs
+        WHERE rn = (qs.q * n + 99) // 100
+    )
+    SELECT event_type, CAST(q AS INT) AS pct,
+           max(CASE WHEN split = 'early' THEN value END) AS early_value,
+           max(CASE WHEN split = 'late' THEN value END) AS late_value,
+           round(abs(max(CASE WHEN split = 'late' THEN value END)
+                     - max(CASE WHEN split = 'early' THEN value END)), 2)
+               AS abs_shift
+    FROM q
+    GROUP BY event_type, q
+"""
+
+
+@register("quality_train_serve_skew", _SKEW_ORACLE)
+def quality_train_serve_skew(spark, sf_dir):
+    """Train/serve quantile alignment: the value distribution's
+    25/50/75/90th percentiles for the early (training) window vs the
+    late (serving) window, per event type, with the absolute shift —
+    the order-statistic comparison a feature platform runs to catch
+    serving drift before the model quality does. Exact rank picks
+    (rn == ⌈q·n/100⌉ with a deterministic (value, event_id) order),
+    so both engines select identical data values — no interpolation,
+    no FP channel.
+
+    Scale: one shuffle on (event_type, split) for the rank window,
+    one count over the same partitioning (no extra exchange), and the
+    percent-rank picks prune everything but 4 rows per segment before
+    the final tiny pivot. The split boundary derives from a one-row
+    global min (broadcast). The KLL-sketch rollup is the streaming/
+    mergeable version of this audit; this is its exact batch twin."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("unix_micros(ts) div 86400000000")
+    bounds = ev.agg(F.min(day).cast("bigint").alias("d0"))
+    e = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "value",
+        "event_id",
+        F.when(
+            day < F.col("d0") + _SKEW_SPLIT_DAYS, F.lit("early")
+        )
+        .otherwise(F.lit("late"))
+        .alias("split"),
+    )
+    pw = W.partitionBy("event_type", "split")
+    r = e.select(
+        "event_type",
+        "split",
+        "value",
+        F.row_number()
+        .over(pw.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count("*").over(pw).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in _SKEW_QS])
+    ).alias("q")
+    picked = (
+        r.select("event_type", "split", "value", "rn", "n", qs)
+        .where(F.col("rn") == F.expr("(q * n + 99) div 100"))
+    )
+    early = F.max(F.when(F.col("split") == "early", F.col("value")))
+    late = F.max(F.when(F.col("split") == "late", F.col("value")))
+    return picked.groupBy(
+        "event_type", F.col("q").cast("int").alias("pct")
+    ).agg(
+        early.alias("early_value"),
+        late.alias("late_value"),
+        F.round(F.abs(late - early), 2).alias("abs_shift"),
+    )

@@ -344,3 +344,54 @@ def test_semantic_manifest_reconciles_with_clusters(spark, sf_dir):
             drops[r.cluster_id] = drops.get(r.cluster_id, 0) + 1
     for cid, a in agg.items():
         assert drops.get(cid, 0) == a.n_semantic_dups
+
+
+def test_er_incremental_covers_batch_and_is_consistent(spark, sf_dir):
+    """Every batch record gets exactly one row; unmatched records found
+    a new entity under their own key; matched records carry at least
+    one candidate and an entity that exists in the store-side full
+    resolution."""
+    rows = QUERIES["er_incremental_parts"].fn(spark, sf_dir).collect()
+    part = load_table(spark, sf_dir, "part")
+    n_batch = part.where((F.col("p_partkey") % 5) == 2).count()
+    assert len(rows) == n_batch
+    full = {
+        r.p_partkey: r.entity_id
+        for r in QUERIES["er_blocked_parts"].fn(spark, sf_dir).collect()
+    }
+    store_entities = {
+        eid for pk, eid in full.items() if pk % 5 != 2
+    }
+    for r in rows:
+        if r.matched:
+            assert r.n_candidates >= 1
+            # entity ids assigned from the store come from store-only
+            # components — min store key of some component
+            assert r.assigned_entity in store_entities or (
+                r.assigned_entity % 5 != 2
+            )
+        else:
+            assert r.n_candidates == 0
+            assert r.assigned_entity == r.p_partkey
+
+
+def test_train_serve_skew_monotone_quantiles(spark, sf_dir):
+    """One row per (type, pct); both windows populated; within a type
+    the picked order statistics are non-decreasing in the percent
+    rank for each window."""
+    rows = QUERIES["quality_train_serve_skew"].fn(spark, sf_dir).collect()
+    types = {
+        r.event_type
+        for r in load_table(spark, sf_dir, "events").select("event_type").distinct().collect()
+    }
+    assert len(rows) == len(types) * 4
+    by_type: dict[str, list] = {}
+    for r in rows:
+        assert r.early_value is not None and r.late_value is not None
+        assert r.abs_shift >= 0
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs = sorted(rs, key=lambda r: r.pct)
+        for a, b in zip(rs, rs[1:]):
+            assert a.early_value <= b.early_value
+            assert a.late_value <= b.late_value
