@@ -759,3 +759,106 @@ def er_incremental_parts(spark, sf_dir):
         .cast("bigint")
         .alias("assigned_entity"),
     )
+
+
+# --- schema-drift audit (round 7, second batch) -----------------------------
+
+
+def _contract_values_sql() -> str:
+    from .sources.catalog import SCHEMA_CONTRACT
+
+    rows = [
+        f"('{t}', '{c}', '{ty}')"
+        for t, cols in SCHEMA_CONTRACT.items()
+        for c, ty in cols
+    ]
+    return ",\n               ".join(rows)
+
+
+_DRIFT_ORACLE = f"""
+    WITH contract(table_name, column_name, expected_type) AS (
+        VALUES {_contract_values_sql()}
+    ),
+    actual AS (
+        SELECT table_name, column_name,
+               CASE WHEN data_type = 'BIGINT' THEN 'bigint'
+                    WHEN data_type = 'INTEGER' THEN 'int'
+                    WHEN data_type = 'DOUBLE' THEN 'double'
+                    WHEN data_type = 'FLOAT' THEN 'float'
+                    WHEN data_type = 'VARCHAR' THEN 'string'
+                    WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+                    WHEN data_type = 'DATE' THEN 'timestamp'
+                    WHEN data_type = 'FLOAT[]' THEN 'array<float>'
+                    ELSE lower(data_type) END AS actual_type
+        FROM information_schema.columns
+        WHERE table_name IN (SELECT DISTINCT table_name FROM contract)
+    )
+    SELECT coalesce(c.table_name, a.table_name) AS table_name,
+           coalesce(c.column_name, a.column_name) AS column_name,
+           c.expected_type, a.actual_type,
+           CASE WHEN a.column_name IS NULL THEN 'missing'
+                WHEN c.column_name IS NULL THEN 'extra'
+                WHEN c.expected_type = a.actual_type THEN 'ok'
+                ELSE 'type_drift' END AS status
+    FROM contract c
+    FULL OUTER JOIN actual a
+      ON a.table_name = c.table_name AND a.column_name = c.column_name
+"""
+
+
+@register("dq_schema_drift", _DRIFT_ORACLE)
+def dq_schema_drift(spark, sf_dir):
+    """Schema-drift audit: every live (table, column, type) in the
+    catalog compared against the REGISTERED contract
+    (sources/catalog.SCHEMA_CONTRACT, the v2 draft) in a canonical
+    type vocabulary — per column: ok, type_drift (registered float vs
+    live double on events.value), missing (the planned
+    events.schema_version not yet in data), or extra (events.props
+    never registered). The per-ingestion-batch gate that catches a
+    producer silently changing a feed's schema before queries break
+    downstream; the v2-draft contract exercises all four statuses on
+    live data.
+
+    Scale: pure metadata — parquet footers on the engine side, the
+    information schema on the oracle side; no data is scanned. The
+    same audit runs per arriving batch/partition at any corpus
+    size."""
+    from .sources.catalog import SCHEMA_CONTRACT, canonical_spark_type
+
+    actual_rows = []
+    for t in SCHEMA_CONTRACT:
+        for f in load_table(spark, sf_dir, t).schema.fields:
+            actual_rows.append((t, f.name, canonical_spark_type(f.dataType)))
+    actual = spark.createDataFrame(
+        actual_rows, "table_name string, column_name string, actual_type string"
+    )
+    contract_rows = [
+        (t, c, ty) for t, cols in SCHEMA_CONTRACT.items() for c, ty in cols
+    ]
+    contract = spark.createDataFrame(
+        contract_rows,
+        "table_name string, column_name string, expected_type string",
+    )
+    j = contract.alias("c").join(
+        actual.alias("a"),
+        (F.col("a.table_name") == F.col("c.table_name"))
+        & (F.col("a.column_name") == F.col("c.column_name")),
+        "full",
+    )
+    status = (
+        F.when(F.col("a.column_name").isNull(), "missing")
+        .when(F.col("c.column_name").isNull(), "extra")
+        .when(F.col("c.expected_type") == F.col("a.actual_type"), "ok")
+        .otherwise("type_drift")
+    )
+    return j.select(
+        F.coalesce(F.col("c.table_name"), F.col("a.table_name")).alias(
+            "table_name"
+        ),
+        F.coalesce(F.col("c.column_name"), F.col("a.column_name")).alias(
+            "column_name"
+        ),
+        F.col("c.expected_type").alias("expected_type"),
+        F.col("a.actual_type").alias("actual_type"),
+        status.alias("status"),
+    )

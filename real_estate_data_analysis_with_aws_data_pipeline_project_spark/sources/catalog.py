@@ -80,3 +80,111 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     catalog surface (SURVEY.md §1.4)."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- registered schema contract (round 7, second batch) ---------------------
+#
+# The engine-side stand-in for a Glue/Unity catalog's registered table
+# schemas, in a CANONICAL type vocabulary (bigint, int, double, float,
+# string, timestamp, array<float>) that both Spark and DuckDB map
+# their native type names onto. dq_schema_drift audits live data
+# against it. The contract is the V2 DRAFT: it also registers the
+# planned events.schema_version column (not yet in the data → the
+# audit reports 'missing'), deliberately leaves events.props
+# unregistered ('extra'), and plans events.value as float
+# ('type_drift') — so every drift status is exercised live, not just
+# in unit tests.
+SCHEMA_CONTRACT: dict[str, tuple[tuple[str, str], ...]] = {
+    "region": (("r_regionkey", "int"), ("r_name", "string")),
+    "nation": (
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ),
+    "customer": (
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ),
+    "supplier": (
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ),
+    "part": (
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ),
+    "orders": (
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ),
+    "events": (
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "float"),  # v2 narrows to float → live double = drift
+        ("schema_version", "string"),  # v2 addition → live = missing
+        # props deliberately unregistered → live column = extra
+    ),
+    "documents": (
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ),
+    "embeddings": (
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ),
+}
+
+
+def canonical_spark_type(dt) -> str:
+    """Spark DataType → the contract's canonical vocabulary (NTZ and
+    LTZ timestamps both canonicalize to 'timestamp', matching the
+    load_table normalization)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.LongType):
+        return "bigint"
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return f"array<{canonical_spark_type(dt.elementType)}>"
+    return dt.simpleString()

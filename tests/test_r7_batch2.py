@@ -395,3 +395,25 @@ def test_train_serve_skew_monotone_quantiles(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.early_value <= b.early_value
             assert a.late_value <= b.late_value
+
+
+def test_schema_drift_statuses_exercised(spark, sf_dir):
+    """The v2-draft contract must light up every drift status on live
+    data: schema_version missing, props extra, events.value
+    type_drift, everything else ok."""
+    rows = QUERIES["dq_schema_drift"].fn(spark, sf_dir).collect()
+    by = {(r.table_name, r.column_name): r.status for r in rows}
+    assert by[("events", "schema_version")] == "missing"
+    assert by[("events", "props")] == "extra"
+    assert by[("events", "value")] == "type_drift"
+    others = [
+        s
+        for (t, c), s in by.items()
+        if (t, c)
+        not in {
+            ("events", "schema_version"),
+            ("events", "props"),
+            ("events", "value"),
+        }
+    ]
+    assert others and all(s == "ok" for s in others)
