@@ -1168,3 +1168,175 @@ def corpus_session_pack_shards(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_sessions"),
         F.sum("n_events").cast("bigint").alias("shard_events"),
     )
+
+
+# --- token-budget waterfill mixing solver (round 7, second batch) -----------
+#
+# corpus_mixing_plan computes naive targets (cap at avail, leftover
+# silently lost). The SOLVER redistributes: sources whose weighted
+# share exceeds their inventory clamp at it, and the freed budget
+# re-flows to the others by weight — the exact waterfilling allocation
+# every mixture designer actually wants. Closed form: sort by
+# avail/weight ascending; the clamp set is a prefix, detected with
+# integer cross-multiplication (no division, no FP).
+
+_WF_BUDGET_NUM, _WF_BUDGET_DEN = 1, 2  # budget = floor(total_avail / 2)
+
+_WATERFILL_ORACLE = f"""
+    WITH src AS (
+        SELECT source,
+               CAST(sum({X.token_count_sql()}) AS BIGINT) AS avail,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(source), 1, 1)) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(avail) AS BIGINT) AS ta,
+               CAST(sum(w) AS BIGINT) AS tw,
+               CAST(sum(avail) * {_WF_BUDGET_NUM} // {_WF_BUDGET_DEN}
+                    AS BIGINT) AS budget
+        FROM src
+    ),
+    ord AS (
+        SELECT src.*, t.tw, t.budget,
+               row_number() OVER (
+                   ORDER BY CAST(avail AS DOUBLE) / w, source
+               ) AS rk,
+               coalesce(sum(avail) OVER (
+                   ORDER BY CAST(avail AS DOUBLE) / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS a_prev,
+               coalesce(sum(w) OVER (
+                   ORDER BY CAST(avail AS DOUBLE) / w, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS w_prev
+        FROM src CROSS JOIN tot t
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN (budget - a_prev) * w >= avail * (tw - w_prev)
+                       THEN 1 ELSE 0 END AS would_clamp
+        FROM ord
+    ),
+    pfx AS (
+        SELECT *, min(would_clamp) OVER (
+                   ORDER BY rk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS clamped
+        FROM flagged
+    ),
+    k AS (
+        SELECT CAST(coalesce(sum(CASE WHEN clamped = 1 THEN avail END), 0)
+                    AS BIGINT) AS a_clamped,
+               CAST(coalesce(sum(CASE WHEN clamped = 1 THEN w END), 0)
+                    AS BIGINT) AS w_clamped
+        FROM pfx
+    )
+    SELECT p.source, p.avail AS avail_tokens, CAST(p.w AS INT) AS weight,
+           p.clamped = 1 AS clamped,
+           CAST(CASE WHEN p.clamped = 1 THEN p.avail
+                     ELSE (p.budget - k.a_clamped) * p.w
+                          // (p.tw - k.w_clamped) END AS BIGINT)
+               AS alloc_tokens,
+           round(CAST(CASE WHEN p.clamped = 1 THEN p.avail
+                           ELSE (p.budget - k.a_clamped) * p.w
+                                // (p.tw - k.w_clamped) END AS DOUBLE)
+                 / p.avail, 6) AS keep_fraction
+    FROM pfx p CROSS JOIN k
+"""
+
+
+@register("corpus_mixing_waterfill", _WATERFILL_ORACLE)
+def corpus_mixing_waterfill(spark, sf_dir):
+    """Token-budget waterfill: allocate a training budget (half the
+    corpus inventory) across sources by weight, EXACTLY — sources
+    whose weighted share exceeds their inventory clamp at it and the
+    freed budget re-flows to the rest by weight. Closed form: sort
+    sources ascending by avail/weight; the clamp set is the longest
+    prefix where (remaining budget)·w ≥ avail·(remaining weight),
+    tested with integer cross-multiplication (no division, no FP
+    channel); unclamped sources get ⌊remaining·w/active_weight⌋.
+
+    Scale: everything after the one groupBy(source) token inventory
+    runs on the |sources|-row dimension — the ordering window is
+    single-partition over ~20 rows (bounded by the source dimension,
+    never the corpus), the same bounded-domain contract as the
+    curriculum histogram. Output = the per-source keep fractions the
+    sampling pass consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(X.token_count()).cast("bigint").alias("avail")
+    ).select(
+        "source",
+        "avail",
+        F.expr("instr('0123456789abcdef', substr(md5(cast(source as binary)), 1, 1))")
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = src.agg(
+        F.sum("avail").cast("bigint").alias("ta"),
+        F.sum("w").cast("bigint").alias("tw"),
+        (F.sum("avail") * _WF_BUDGET_NUM)
+        .cast("bigint")
+        .alias("_bn"),
+    ).select(
+        "ta",
+        "tw",
+        F.expr(f"_bn div {_WF_BUDGET_DEN}").cast("bigint").alias("budget"),
+    )
+    okey = F.col("avail").cast("double") / F.col("w")
+    wo = Window.orderBy(okey, "source")
+    prev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    ordd = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(wo))
+        .withColumn(
+            "a_prev", F.coalesce(F.sum("avail").over(prev), F.lit(0))
+        )
+        .withColumn(
+            "w_prev", F.coalesce(F.sum("w").over(prev), F.lit(0))
+        )
+    )
+    flagged = ordd.withColumn(
+        "would_clamp",
+        F.when(
+            (F.col("budget") - F.col("a_prev")) * F.col("w")
+            >= F.col("avail") * (F.col("tw") - F.col("w_prev")),
+            1,
+        ).otherwise(0),
+    )
+    pfx = flagged.withColumn(
+        "clamped",
+        F.min("would_clamp").over(
+            Window.orderBy("rk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    k = pfx.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("clamped") == 1, F.col("avail"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("a_clamped"),
+        F.coalesce(
+            F.sum(F.when(F.col("clamped") == 1, F.col("w"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("w_clamped"),
+    )
+    alloc = F.when(F.col("clamped") == 1, F.col("avail")).otherwise(
+        F.expr("((budget - a_clamped) * w) div (tw - w_clamped)")
+    )
+    return (
+        pfx.crossJoin(F.broadcast(k))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            F.col("w").cast("int").alias("weight"),
+            (F.col("clamped") == 1).alias("clamped"),
+            alloc.cast("bigint").alias("alloc_tokens"),
+            F.round(
+                alloc.cast("double") / F.col("avail"), 6
+            ).alias("keep_fraction"),
+        )
+    )

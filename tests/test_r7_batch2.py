@@ -417,3 +417,38 @@ def test_schema_drift_statuses_exercised(spark, sf_dir):
         }
     ]
     assert others and all(s == "ok" for s in others)
+
+
+def test_waterfill_exhausts_budget_exactly(spark, sf_dir):
+    """Waterfill invariants: no source exceeds its inventory; clamped
+    sources take exactly their inventory; total allocation lands
+    within |unclamped| tokens of the budget (floor truncation only);
+    and a Python reference waterfill reproduces every allocation."""
+    rows = QUERIES["corpus_mixing_waterfill"].fn(spark, sf_dir).collect()
+    total_avail = sum(r.avail_tokens for r in rows)
+    budget = total_avail // 2
+    alloc = sum(r.alloc_tokens for r in rows)
+    n_unclamped = sum(1 for r in rows if not r.clamped)
+    assert budget - n_unclamped <= alloc <= budget or n_unclamped == 0
+    for r in rows:
+        assert r.alloc_tokens <= r.avail_tokens
+        if r.clamped:
+            assert r.alloc_tokens == r.avail_tokens
+    # reference implementation: greedy clamp in avail/w ascending order
+    items = sorted(rows, key=lambda r: (r.avail_tokens / r.weight, r.source))
+    left, wleft = budget, sum(r.weight for r in rows)
+    expect = {}
+    clamping = True
+    for r in items:
+        if clamping and left * r.weight >= r.avail_tokens * wleft:
+            expect[r.source] = r.avail_tokens
+            left -= r.avail_tokens
+            wleft -= r.weight
+        else:
+            clamping = False
+            expect[r.source] = None  # fill later with the final L/V
+    for r in items:
+        if expect[r.source] is None:
+            expect[r.source] = (left * r.weight) // wleft
+    for r in rows:
+        assert r.alloc_tokens == expect[r.source], r.source

@@ -92,6 +92,16 @@ EXTRA = [
     "dedup_token_savings",
     "retrieval_rerank_token_f1",
     "embedding_covariance_whitening",
+    "quality_psi_drift",
+    "sketch_join_cardinality",
+    "sketch_kmv_distinct",
+    "er_blocked_parts",
+    "er_incremental_parts",
+    "corpus_session_pack_shards",
+    "dedup_semantic_keep_manifest",
+    "quality_train_serve_skew",
+    "dq_schema_drift",
+    "corpus_mixing_waterfill",
 ]
 
 
@@ -157,6 +167,9 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, str] = {
     # histogram cumsum over integer 1e-4 score units: ≤ 10001 rows no
     # matter the corpus size (floor(score·10⁴), score ∈ [0, 1]).
     "corpus_curriculum_order": "≤ 10001-row score-value histogram",
+    # waterfill prefix scan over the source DIMENSION (~20 rows) —
+    # bounded by |sources|, never the corpus.
+    "corpus_mixing_waterfill": "|sources|-row dimension scan",
 }
 
 
