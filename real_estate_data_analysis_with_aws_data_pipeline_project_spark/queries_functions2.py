@@ -483,3 +483,105 @@ def f_try_functions(spark, sf_dir):
         ).alias("margin_ratio"),
         F.expr("TRY_CAST(substr(p_name, 1, 3) AS BIGINT)").alias("name_as_number"),
     )
+
+
+# --- SCD2 interval build from a change log (round 7, second batch) ----------
+
+_SCD2_ORACLE = """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                       THEN 1 ELSE 0 END AS chg
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(chg) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS grp
+        FROM m
+    ),
+    iv AS (
+        SELECT user_id, grp,
+               min(event_type) AS event_type,
+               min(ts) AS vf,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, grp
+    ),
+    fin AS (
+        SELECT *, lead(vf) OVER (
+            PARTITION BY user_id ORDER BY grp
+        ) AS vt
+        FROM iv
+    )
+    SELECT user_id, event_type,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           n_events,
+           vt IS NULL AS is_current
+    FROM fin
+"""
+
+
+@register("cdc_scd2_intervals", _SCD2_ORACLE)
+def cdc_scd2_intervals(spark, sf_dir):
+    """SCD type-2 dimension build from a change log: per user, each
+    run of consecutive identical event_type values becomes one
+    validity interval [valid_from, valid_to) — valid_to is the next
+    interval's start, NULL (is_current) for the open one. The
+    gaps-and-islands → interval construction every warehouse runs to
+    turn an event stream into a slowly-changing dimension it can
+    as-of join against (join_asof_last_purchase consumes exactly this
+    shape).
+
+    Scale: ONE hash shuffle on user_id serves the change-detect lag,
+    the island running sum, the interval aggregate, and the lead —
+    all four window passes share the partitioning, so Catalyst plans
+    a single Exchange. Deterministic (ts, event_id) tiebreaks make
+    same-timestamp change pairs order identically in both engines."""
+    from pyspark.sql import Window as W
+
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(uw).alias("prev_type"),
+    )
+    m = o.withColumn(
+        "chg",
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "grp",
+        F.sum("chg").over(
+            uw.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    iv = s.groupBy("user_id", "grp").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("vf"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    fin = iv.withColumn(
+        "vt", F.lead("vf").over(W.partitionBy("user_id").orderBy("grp"))
+    )
+    return fin.select(
+        "user_id",
+        "event_type",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "n_events",
+        F.col("vt").isNull().alias("is_current"),
+    )

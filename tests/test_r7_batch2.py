@@ -452,3 +452,30 @@ def test_waterfill_exhausts_budget_exactly(spark, sf_dir):
             expect[r.source] = (left * r.weight) // wleft
     for r in rows:
         assert r.alloc_tokens == expect[r.source], r.source
+
+
+def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
+    """SCD2 invariants: per user exactly one open (is_current)
+    interval; intervals chain (valid_to == next valid_from) with no
+    gaps or overlaps; interval event counts sum to the user's event
+    count; adjacent intervals change type."""
+    rows = QUERIES["cdc_scd2_intervals"].fn(spark, sf_dir).collect()
+    ev_counts = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert set(by_user) == set(ev_counts)
+    for uid, ivs in by_user.items():
+        ivs = sorted(ivs, key=lambda r: r.valid_from)
+        assert sum(i.n_events for i in ivs) == ev_counts[uid]
+        assert sum(1 for i in ivs if i.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.event_type != b.event_type

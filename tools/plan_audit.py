@@ -102,6 +102,7 @@ EXTRA = [
     "quality_train_serve_skew",
     "dq_schema_drift",
     "corpus_mixing_waterfill",
+    "cdc_scd2_intervals",
 ]
 
 
