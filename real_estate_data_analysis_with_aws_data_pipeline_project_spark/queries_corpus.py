@@ -971,7 +971,7 @@ _CURRICULUM_ORACLE = f"""
 @register("corpus_curriculum_order", _CURRICULUM_ORACLE)
 def corpus_curriculum_order(spark, sf_dir):
     """Quantile-bucketed curriculum ordering: documents are assigned
-    to one of {_CURRICULUM_BUCKETS} quality-score quantile buckets
+    to one of four quality-score quantile buckets
     (easy→hard training schedule), and WITHIN each bucket get the
     deterministic shard/pos reading order of corpus_global_shuffle —
     epoch order = bucket asc, then (shard, pos). The quantile is

@@ -439,7 +439,7 @@ _KANON_K = 5
 )
 def pii_k_anonymity_audit(spark, sf_dir):
     """k-anonymity audit over quasi-identifiers: every (segment,
-    nation) equivalence class with fewer than k={_KANON_K} members is
+    nation) equivalence class with fewer than k=5 members is
     re-identification risk — the privacy gate next to PII redaction
     when person-adjacent records feed a training corpus. One groupBy;
     the mitigation (suppress or generalize flagged classes) filters on

@@ -170,7 +170,7 @@ _BRUTE_ORACLE = f"""
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
@@ -248,7 +248,7 @@ _SQ_ORACLE = f"""
                    AS qn
         FROM v
     ),
-    q AS (SELECT * FROM n WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT * FROM n WHERE vec_id < 10),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(CASE WHEN q.qn > 0 AND c.qn > 0
@@ -347,7 +347,7 @@ _LSH_ORACLE = f"""
                {S.project_signs_sql('embedding', _LSH_PLANES)} AS bitstr
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
     cand AS ({" UNION ".join(_lsh_cand_branch_sql(t) for t in range(_LSH_TABLES))}
     ),
     scored AS (
@@ -532,7 +532,7 @@ def _ivf_train_sql() -> str:
     VERDICT r2 #2); each Lloyd iteration assigns every SAMPLED vector
     (samp CTE) to its nearest centroid (rank-1 by cosine, cid tiebreak)
     and recomputes centroids as the element-wise mean (rounded 6 dp so
-    the Spark twin hash-matches). Produces ``cent{_IVF_TRAIN_ITERS}n``."""
+    the Spark twin hash-matches). Produces ``cent2n``."""
     parts = [
         """cent0n AS (
         SELECT vec_id AS cid, embedding AS c_emb, nrm AS c_nrm
@@ -575,7 +575,7 @@ _IVF_ORACLE = f"""
     ),
     {_train_params_sql(_IVF_K_MIN, _IVF_K_MAX)},
     {_ivf_train_sql()},
-    cent AS (SELECT * FROM cent{_IVF_TRAIN_ITERS}n),
+    cent AS (SELECT * FROM cent2n),
     coarse_seed AS (
         SELECT cid AS ccid, c_emb AS g_emb, c_nrm AS g_nrm
         FROM cent CROSS JOIN params p WHERE cid < p.ck
@@ -639,7 +639,7 @@ _IVF_ORACLE = f"""
                    ORDER BY {S.cosine_sql('v.embedding', 'cent.c_emb',
                                           'v.nrm', 'cent.c_nrm')} DESC, cent.cid
                ) AS rnk
-        FROM v CROSS JOIN cent WHERE v.vec_id < {_N_QUERIES}
+        FROM v CROSS JOIN cent WHERE v.vec_id < 10
     ),
     probes AS (
         SELECT vec_id AS query_id, cid FROM q_rank CROSS JOIN params p
@@ -769,7 +769,7 @@ def _ivf_model(spark, sf_dir, cent: DataFrame, ck: int) -> tuple:
     """Driver-side quantizer model for the Arrow assignment kernel:
     (coarse ids/vecs/nrms sorted by ccid, fine ids/vecs/nrms sorted by
     cid, fine→cell map aligned to the fine order). ck + 2k rows with
-    k ≤ {_IVF_K_MAX} — the quantizer-codebook pattern (metadata-scale
+    k ≤ 4096 — the quantizer-codebook pattern (metadata-scale
     collect, same convention as the PQ codebook and semantic seeds; at
     100 TB this is the index-model artifact every IVF system ships to
     workers). The coarse refinement and the fine→cell rank stay
@@ -837,7 +837,7 @@ def similarity_ivf_topk(spark, sf_dir):
     k = _quant_k(n) ≈ √n centroids (derived from catalog row-count
     stats, not a count job — VERDICT r2 #2/#7) is trained with
     _IVF_TRAIN_ITERS deterministic Lloyd iterations over an
-    md5-sampled ~{_TRAIN_TARGET}-vector subset, seeded from the first
+    md5-sampled ~1024-vector subset, seeded from the first
     k vectors; every vector lands in its nearest centroid's inverted
     list; a query probes its nprobe = max(2, k/8) closest lists only.
 
@@ -1036,7 +1036,7 @@ _PQ_ORACLE = f"""
         SELECT q.vec_id AS query_id, q.s, c1.cid,
                {_pq_l2_sql('q.sv', 'c1.c')} AS d
         FROM sub q JOIN cents1 c1 ON c1.s = q.s
-        WHERE q.vec_id < {_N_QUERIES}
+        WHERE q.vec_id < 10
     ),
     adc AS (
         SELECT l.query_id, e.vec_id AS neighbor_id,
@@ -1633,11 +1633,11 @@ _DECON_EMB_ORACLE = f"""
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES})
+    q AS (SELECT * FROM v WHERE vec_id < 10)
     SELECT q.vec_id AS eval_id, c.vec_id AS train_id,
            round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
                  6) AS cos_sim
-    FROM q JOIN v c ON c.vec_id >= {_N_QUERIES}
+    FROM q JOIN v c ON c.vec_id >= 10
     WHERE {S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')}
           >= {_DECON_EMB_THRESHOLD}
 """
@@ -1649,7 +1649,7 @@ def corpus_embedding_decontaminate(spark, sf_dir):
     pair whose cosine reaches the shared semantic near-dup bar — the
     SEMANTIC twin of corpus_decontamination's n-gram overlap (catches
     paraphrased leakage that exact n-grams miss; the held-out docs here
-    are vec_id < {_N_QUERIES} by the engine's query-set convention).
+    are vec_id < 10 by the engine's query-set convention).
 
     Scale: the eval side is the small one by construction (thousands of
     eval docs vs billions of train docs), so the right 100 TB plan is a
@@ -1744,8 +1744,8 @@ _MATRYOSHKA_ORACLE = f"""
                {S.norm_sql(f'embedding[1:{_MATRYOSHKA_DIM}]')} AS nrm_t
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
-    c AS (SELECT * FROM v WHERE vec_id >= {_N_QUERIES}),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    c AS (SELECT * FROM v WHERE vec_id >= 10),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},

@@ -579,7 +579,7 @@ def sketch_kll_quantile_rollup(spark, sf_dir):
     sketches, no raw rescan (the quantile twin of the HLL tier
     rollup). The check converts KLL's rank-error guarantee into
     booleans: the exact fraction of rows <= the estimated quantile
-    must sit within ±{_KLL_EPS} of the requested rank (wide envelope —
+    must sit within ±0.05 of the requested rank (wide envelope —
     KLL compaction is randomized, so values are not asserted, ranks
     are)."""
     from .sources.catalog import load_table
