@@ -540,11 +540,12 @@ def cdc_scd2_intervals(spark, sf_dir):
     as-of join against (join_asof_last_purchase consumes exactly this
     shape).
 
-    Scale: ONE hash shuffle on user_id serves the change-detect lag,
-    the island running sum, the interval aggregate, and the lead —
-    all four window passes share the partitioning, so Catalyst plans
-    a single Exchange. Deterministic (ts, event_id) tiebreaks make
-    same-timestamp change pairs order identically in both engines."""
+    Scale: the change-detect lag and the island running sum share ONE
+    hash shuffle on user_id; the interval aggregate + lead add one
+    more on (user_id, grp) — two Exchanges total for four window/agg
+    passes, both keyed on the entity. Deterministic (ts, event_id)
+    tiebreaks make same-timestamp change pairs order identically in
+    both engines."""
     from pyspark.sql import Window as W
 
     uw = W.partitionBy("user_id").orderBy("ts", "event_id")
