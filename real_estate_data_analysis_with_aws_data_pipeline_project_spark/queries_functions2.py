@@ -586,3 +586,189 @@ def cdc_scd2_intervals(spark, sf_dir):
         "n_events",
         F.col("vt").isNull().alias("is_current"),
     )
+
+
+# --- MERGE-style upsert (round 7, second batch) -----------------------------
+
+# Deterministic "update batch": orders with o_orderkey % 10 == 3
+# arrive again with a repriced total (+10 %, rounded to cents) and a
+# bumped priority; orderkey % 100 == 99 of the batch are brand-new
+# keys (shifted beyond the existing key range) — the classic MERGE
+# INTO source with both UPDATE and INSERT rows.
+_MERGE_BATCH_MOD, _MERGE_BATCH_REM = 10, 3
+
+_MERGE_ORACLE = f"""
+    WITH batch AS (
+        SELECT o_orderkey + CASE WHEN o_orderkey % 100 = 33
+                                 THEN 1000000000 ELSE 0 END AS o_orderkey,
+               o_custkey, o_orderstatus,
+               CAST(round(o_totalprice * 110.0, 0) AS BIGINT) AS price_cents,
+               o_orderdate, 'MERGED' AS o_orderpriority
+        FROM orders
+        WHERE o_orderkey % {_MERGE_BATCH_MOD} = {_MERGE_BATCH_REM}
+    ),
+    merged AS (
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+               CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS price_cents,
+               o.o_orderpriority
+        FROM orders o LEFT JOIN batch b ON b.o_orderkey = o.o_orderkey
+        WHERE b.o_orderkey IS NULL
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, price_cents,
+               o_orderpriority
+        FROM batch
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN o_orderpriority = 'MERGED' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_upserted,
+           round(CAST(sum(price_cents) AS DOUBLE) / 100.0, 2) AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+"""
+
+
+@register("cdc_merge_upsert", _MERGE_ORACLE)
+def cdc_merge_upsert(spark, sf_dir):
+    """MERGE INTO as DataFrame algebra: an update batch (repriced
+    rows under existing keys + brand-new shifted keys) merges into
+    the orders snapshot — matched keys take the batch row (UPDATE),
+    unmatched batch keys append (INSERT), untouched rows pass through
+    — expressed as target-anti-join ∪ batch, the exact row-level
+    semantics Delta/Iceberg MERGE compiles to. Emits the per-status
+    reconciliation (row counts, upserted counts, repriced totals, key
+    range — the new-key inserts move max_key). Prices are carried as
+    integer CENTS (round(price·100) per row) so the reconciliation sum
+    is exact and partition-order-proof — a raw double sum flipped a
+    2-dp rounding boundary at sf0.1.
+
+    Scale: ONE hash join on the merge key (the anti side) plus a
+    union — no window, no global ordering; at warehouse scale this is
+    the copy-on-write MERGE job, and the per-status summary is the
+    post-merge audit every CDC pipeline emits."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_batch = (F.col("o_orderkey") % _MERGE_BATCH_MOD) == _MERGE_BATCH_REM
+    batch = orders.where(is_batch).select(
+        (
+            F.col("o_orderkey")
+            + F.when((F.col("o_orderkey") % 100) == 33, 1000000000).otherwise(0)
+        ).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 110.0, 0)
+        .cast("bigint")
+        .alias("price_cents"),
+        "o_orderdate",
+        F.lit("MERGED").alias("o_orderpriority"),
+    )
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "price_cents",
+        "o_orderpriority",
+    ]
+    merged = (
+        orders.join(
+            batch.select(F.col("o_orderkey").alias("bk")),
+            F.col("o_orderkey") == F.col("bk"),
+            "left_anti",
+        )
+        .withColumn(
+            "price_cents",
+            F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"),
+        )
+        .select(*cols)
+        .unionByName(batch.select(*cols))
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "MERGED", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_upserted"),
+        F.round(F.sum("price_cents").cast("double") / 100.0, 2).alias(
+            "total_price"
+        ),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+
+
+# --- incremental materialized-view refresh (round 7, second batch) ----------
+
+_IVM_BATCH_MOD, _IVM_BATCH_REM = 7, 4
+
+_IVM_ORACLE = f"""
+    WITH full_mv AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(CAST(sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS revenue
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n_orders, revenue, TRUE AS incremental_matches
+    FROM full_mv
+"""
+
+
+@register("mv_incremental_refresh", _IVM_ORACLE)
+def mv_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: the revenue-by-status
+    view is refreshed by combining the PRE-COMPUTED partial state of
+    the old data with the aggregate of only the newly-arrived batch
+    (o_orderkey % 7 == 4 plays the delta), merging mergeable state
+    (count-sum pairs add) instead of rescanning the base table — and a
+    boolean asserts the incrementally-maintained view equals the full
+    recompute row-for-row. Revenue state is integer CENTS, so the
+    partial-merge sum is exact, the equality is exact, and the oracle
+    sum is partition-order-proof.
+
+    Scale: this is THE reason aggregates are kept as mergeable partial
+    state — refresh cost is O(delta), not O(base). The combine is a
+    union of two tiny (status-grain) aggregates + one re-aggregation;
+    the only base-table scan in a real deployment is amortized into
+    the stored state (here both passes run so the equality is
+    checkable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_delta = (F.col("o_orderkey") % _IVM_BATCH_MOD) == _IVM_BATCH_REM
+
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
+        )
+
+    old_state = partial(orders.where(~is_delta))   # stored partial state
+    delta_state = partial(orders.where(is_delta))  # O(delta) refresh work
+    incremental = (
+        old_state.unionByName(delta_state)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev_cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    full = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("f_n"),
+        F.sum(cents).cast("bigint").alias("f_cents"),
+    )
+    return (
+        incremental.join(full, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.round(
+                F.col("rev_cents").cast("double") / 100.0, 2
+            ).alias("revenue"),
+            (
+                (F.col("n_orders") == F.col("f_n"))
+                & (F.col("rev_cents") == F.col("f_cents"))
+            ).alias("incremental_matches"),
+        )
+    )

@@ -479,3 +479,28 @@ def test_scd2_intervals_tile_the_timeline(spark, sf_dir):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.event_type != b.event_type
+
+
+def test_merge_upsert_reconciles(spark, sf_dir):
+    """MERGE invariants: upserted count equals the batch size; total
+    row count equals base + new-key inserts; new keys move max_key
+    beyond the base key range."""
+    rows = QUERIES["cdc_merge_upsert"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_base = orders.count()
+    batch = orders.where((F.col("o_orderkey") % 10) == 3)
+    n_batch = batch.count()
+    n_new = batch.where((F.col("o_orderkey") % 100) == 33).count()
+    assert sum(r.n_upserted for r in rows) == n_batch
+    assert sum(r.n_rows for r in rows) == n_base + n_new
+    if n_new:
+        assert max(r.max_key for r in rows) >= 1000000000
+
+
+def test_mv_incremental_always_matches(spark, sf_dir):
+    """The incremental combine must equal the full recompute for every
+    group — the boolean the oracle asserts TRUE, re-checked here."""
+    rows = QUERIES["mv_incremental_refresh"].fn(spark, sf_dir).collect()
+    assert rows and all(r.incremental_matches for r in rows)
+    n = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n

@@ -103,6 +103,8 @@ EXTRA = [
     "dq_schema_drift",
     "corpus_mixing_waterfill",
     "cdc_scd2_intervals",
+    "cdc_merge_upsert",
+    "mv_incremental_refresh",
 ]
 
 
