@@ -380,21 +380,10 @@ _INCR_MINHASH_ORACLE = f"""
     """
 
 
-@register("dedup_incremental_minhash", _INCR_MINHASH_ORACLE, headline=True)
-def dedup_incremental_minhash(spark, sf_dir):
-    """Incremental near-dup: a new ingestion batch (deterministic
-    doc_id slice) probes the EXISTING corpus's MinHash band index —
-    the day-2 shape of dedup_minhash_lsh. The band keys of the batch
-    join the stored band keys of the corpus; only (new, existing)
-    candidates are Jaccard-verified, and batch-internal pairs are NOT
-    re-examined.
-
-    Scale: at 100 TB the (band_idx, band_val) → doc index is a stored
-    table maintained across batches; each increment shuffles only the
-    NEW docs' band keys against it (join keyed on band values), so
-    per-batch cost is O(batch × bands + candidates) — the full-corpus
-    pairing never reruns. Same banding/threshold constants as the
-    batch path (one definition)."""
+def incremental_minhash_pairs(spark, sf_dir) -> "DataFrame":
+    """(new_doc, dup_of, jaccard) — the verified batch→store pair
+    relation, factored in r7 so the incremental-components query can
+    consume the same probe."""
     sh = cached_shingles(spark, sf_dir)
     bands = minhash_band_keys(sh)
     is_batch = (F.col("doc_id") % _INCR_BATCH_MOD) == _INCR_BATCH_REM
@@ -423,6 +412,24 @@ def dedup_incremental_minhash(spark, sf_dir):
         .select("new_doc", "dup_of", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _MINHASH_THRESHOLD)
     )
+
+
+@register("dedup_incremental_minhash", _INCR_MINHASH_ORACLE, headline=True)
+def dedup_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup: a new ingestion batch (deterministic
+    doc_id slice) probes the EXISTING corpus's MinHash band index —
+    the day-2 shape of dedup_minhash_lsh. The band keys of the batch
+    join the stored band keys of the corpus; only (new, existing)
+    candidates are Jaccard-verified, and batch-internal pairs are NOT
+    re-examined.
+
+    Scale: at 100 TB the (band_idx, band_val) → doc index is a stored
+    table maintained across batches; each increment shuffles only the
+    NEW docs' band keys against it (join keyed on band values), so
+    per-batch cost is O(batch × bands + candidates) — the full-corpus
+    pairing never reruns. Same banding/threshold constants as the
+    batch path (one definition)."""
+    return incremental_minhash_pairs(spark, sf_dir)
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -1026,3 +1026,111 @@ def quality_train_serve_skew(spark, sf_dir):
         late.alias("late_value"),
         F.round(F.abs(late - early), 2).alias("abs_shift"),
     )
+
+
+# --- incremental connected components (round 7, second batch) ---------------
+#
+# The day-2 gap the incremental minhash/ER queries left open: merging
+# a batch's near-dup edges into STORED component labels without
+# re-running the full propagation. Policy: a new doc adopts the
+# smallest store component label among its verified store neighbors
+# (1-hop adoption; batch-internal edges and label re-merges are
+# deferred to the next full pass, exactly like the incremental ER
+# contract).
+
+from .queries_dedup import _INCR_MINHASH_ORACLE  # noqa: E402
+from .queries_dedup import (  # noqa: E402
+    _INCR_BATCH_MOD,
+    _INCR_BATCH_REM,
+    incremental_minhash_pairs,
+    minhash_verified_pairs,
+)
+
+_INCR_CC_ORACLE = f"""
+    WITH RECURSIVE sp AS (
+        SELECT doc_a AS u, doc_b AS v FROM ({MINHASH_PAIRS_ORACLE})
+        WHERE doc_a % {_INCR_BATCH_MOD} <> {_INCR_BATCH_REM}
+          AND doc_b % {_INCR_BATCH_MOD} <> {_INCR_BATCH_REM}
+    ),
+    edges AS (
+        SELECT u, v FROM sp UNION ALL SELECT v AS u, u AS v FROM sp
+    ),
+    nodes AS (SELECT DISTINCT u FROM edges),
+    walk(u, lbl) AS (
+        SELECT u, u FROM nodes
+        UNION
+        SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v
+    ),
+    comp AS (SELECT u, min(lbl) AS lbl FROM walk GROUP BY u),
+    bp AS (SELECT new_doc, dup_of FROM ({_INCR_MINHASH_ORACLE})),
+    adopt AS (
+        SELECT b.new_doc,
+               CAST(count(*) AS BIGINT) AS n_store_neighbors,
+               min(coalesce(c.lbl, b.dup_of)) AS adopted
+        FROM bp b LEFT JOIN comp c ON c.u = b.dup_of
+        GROUP BY b.new_doc
+    ),
+    batch AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {_INCR_BATCH_MOD} = {_INCR_BATCH_REM}
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.adopted, d.doc_id) AS BIGINT) AS component_id,
+           coalesce(a.n_store_neighbors, 0) AS n_store_neighbors,
+           a.new_doc IS NOT NULL AS matched
+    FROM batch d LEFT JOIN adopt a ON a.new_doc = d.doc_id
+"""
+
+
+@register("dedup_incremental_components", _INCR_CC_ORACLE)
+def dedup_incremental_components(spark, sf_dir):
+    """Incremental near-dup clustering: the ingestion batch's verified
+    (new → store) pairs adopt STORED component labels — each new doc
+    takes the smallest store label among its matched neighbors (a
+    neighbor outside any store edge contributes its own id as a
+    singleton label), unmatched docs found their own component. The
+    stored labels are the existing-docs-only component fixpoint;
+    nothing over the store graph is recomputed per batch.
+
+    Scale: store labels are maintained state (computed here inline so
+    the query is self-contained; amortized across batches in
+    production); the per-batch work is the banded index probe
+    (incremental_minhash_pairs, O(batch × bands + candidates)) plus
+    one join against the label table and a per-new-doc min — cost
+    independent of corpus size, the same day-2 contract as the
+    incremental minhash and ER queries. Deferred batch-internal
+    merges reconcile at the next full dedup_cluster_components run."""
+    is_batch_doc = (F.col("doc_id") % _INCR_BATCH_MOD) == _INCR_BATCH_REM
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    store_pairs = pairs.where(
+        ((F.col("doc_a") % _INCR_BATCH_MOD) != _INCR_BATCH_REM)
+        & ((F.col("doc_b") % _INCR_BATCH_MOD) != _INCR_BATCH_REM)
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    store_labels = min_label_components(store_pairs).select(
+        F.col("u").alias("dup_of"), F.col("lbl")
+    )
+    bp = incremental_minhash_pairs(spark, sf_dir).select("new_doc", "dup_of")
+    adopt = (
+        bp.join(store_labels, "dup_of", "left")
+        .groupBy("new_doc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_store_neighbors"),
+            F.min(F.coalesce("lbl", F.col("dup_of"))).alias("adopted"),
+        )
+    )
+    batch = load_table(spark, sf_dir, "documents").where(is_batch_doc).select(
+        "doc_id"
+    )
+    return (
+        batch.join(adopt, F.col("doc_id") == F.col("new_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("adopted", F.col("doc_id"))
+            .cast("bigint")
+            .alias("component_id"),
+            F.coalesce("n_store_neighbors", F.lit(0))
+            .cast("bigint")
+            .alias("n_store_neighbors"),
+            F.col("new_doc").isNotNull().alias("matched"),
+        )
+    )

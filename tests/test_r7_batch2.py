@@ -504,3 +504,43 @@ def test_mv_incremental_always_matches(spark, sf_dir):
     assert rows and all(r.incremental_matches for r in rows)
     n = load_table(spark, sf_dir, "orders").count()
     assert sum(r.n_orders for r in rows) == n
+
+
+def test_incremental_components_adoption_policy(spark, sf_dir):
+    """Every batch doc gets one row; matched docs carry ≥1 store
+    neighbor and adopt the MIN of their neighbors' store labels
+    (neighbor's own id when it is an edge-less singleton); unmatched
+    docs found their own component."""
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["dedup_incremental_components"].fn(spark, sf_dir).collect()
+    }
+    n_batch = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 5) == 2)
+        .count()
+    )
+    assert len(rows) == n_batch
+    pairs = QUERIES["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_quality import (
+        min_label_components,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        minhash_verified_pairs,
+    )
+
+    sp = minhash_verified_pairs(spark, sf_dir).where(
+        ((F.col("doc_a") % 5) != 2) & ((F.col("doc_b") % 5) != 2)
+    ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    labels = {r.u: r.lbl for r in min_label_components(sp).collect()}
+    neighbors: dict[int, list[int]] = {}
+    for p in pairs:
+        neighbors.setdefault(p.new_doc, []).append(p.dup_of)
+    for doc_id, r in rows.items():
+        ns = neighbors.get(doc_id, [])
+        assert r.n_store_neighbors == len(ns)
+        assert r.matched == bool(ns)
+        if ns:
+            assert r.component_id == min(labels.get(n, n) for n in ns)
+        else:
+            assert r.component_id == doc_id

@@ -105,6 +105,7 @@ EXTRA = [
     "cdc_scd2_intervals",
     "cdc_merge_upsert",
     "mv_incremental_refresh",
+    "dedup_incremental_components",
 ]
 
 
