@@ -1099,3 +1099,97 @@ def events_rate_limit_audit(spark, sf_dir):
         F.count("*").over(w).cast("bigint").alias("n_last_hour"),
     )
     return e.where(F.col("n_last_hour") >= _RATE_LIMIT)
+
+
+# --- anomaly contribution decomposition (round 7, second batch) -------------
+
+_CONTRIB_ORACLE = """
+    WITH d AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day)
+                      AS prev_n
+        FROM d
+    ),
+    x AS (SELECT *, n - prev_n AS delta FROM l WHERE prev_n IS NOT NULL),
+    t AS (
+        SELECT day, CAST(sum(delta) AS BIGINT) AS total_delta,
+               CAST(sum(abs(delta)) AS BIGINT) AS total_abs
+        FROM x GROUP BY day
+    )
+    SELECT x.event_type, x.day, x.n, x.prev_n,
+           CAST(x.delta AS BIGINT) AS delta,
+           t.total_delta,
+           CASE WHEN t.total_abs > 0
+                THEN round(CAST(abs(x.delta) AS DOUBLE) / t.total_abs, 4)
+           END AS abs_share,
+           CAST(row_number() OVER (
+               PARTITION BY x.day ORDER BY abs(x.delta) DESC, x.event_type
+           ) AS BIGINT) AS impact_rank
+    FROM x JOIN t USING (day)
+"""
+
+
+@register("events_anomaly_contribution", _CONTRIB_ORACLE)
+def events_anomaly_contribution(spark, sf_dir):
+    """Anomaly contribution decomposition — the drill-down on top of
+    events_dod_growth: for every day transition, each segment's
+    (event_type's) count delta, its share of the day's total absolute
+    movement, and its impact rank — "which segment drove the spike",
+    the first question an on-call asks when a daily total moves.
+    Transitions compare consecutive PRESENT days per segment (the
+    gap-fill family handles calendar densification).
+
+    Scale: one (type, day) aggregate, a lag over the per-type day
+    series (tiny: |types|×|days| rows — dimension-scale after the
+    aggregate), a per-day total join, and a per-day rank over |types|
+    rows. Everything after the first groupBy runs on the segment
+    grid, not the event stream. All-integer deltas; the only division
+    is share-of-absolute-movement, guarded and rounded."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    lw = W.partitionBy("event_type").orderBy("day")
+    x = (
+        d.withColumn("prev_n", F.lag("n").over(lw))
+        .where(F.col("prev_n").isNotNull())
+        .withColumn("delta", F.col("n") - F.col("prev_n"))
+    )
+    t = x.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("total_delta"),
+        F.sum(F.abs("delta")).cast("bigint").alias("total_abs"),
+    )
+    rw = W.partitionBy("day").orderBy(
+        F.abs("delta").desc(), F.asc("event_type")
+    )
+    return (
+        x.join(t, "day")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "prev_n",
+            F.col("delta").cast("bigint").alias("delta"),
+            "total_delta",
+            F.when(
+                F.col("total_abs") > 0,
+                F.round(
+                    F.abs("delta").cast("double") / F.col("total_abs"), 4
+                ),
+            ).alias("abs_share"),
+            F.row_number().over(rw).cast("bigint").alias("impact_rank"),
+        )
+    )

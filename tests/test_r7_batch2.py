@@ -544,3 +544,19 @@ def test_incremental_components_adoption_policy(spark, sf_dir):
             assert r.component_id == min(labels.get(n, n) for n in ns)
         else:
             assert r.component_id == doc_id
+
+
+def test_anomaly_contribution_reconciles_with_dod(spark, sf_dir):
+    """Per day: segment deltas sum to total_delta, abs shares sum to
+    ~1 when movement exists, and impact ranks are dense from 1."""
+    rows = QUERIES["events_anomaly_contribution"].fn(spark, sf_dir).collect()
+    assert rows
+    by_day: dict[str, list] = {}
+    for r in rows:
+        by_day.setdefault(r.day, []).append(r)
+    for day, rs in by_day.items():
+        assert sum(r.delta for r in rs) == rs[0].total_delta
+        ranks = sorted(r.impact_rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        if any(r.delta != 0 for r in rs):
+            assert abs(sum(r.abs_share for r in rs) - 1.0) < 0.01

@@ -106,6 +106,7 @@ EXTRA = [
     "cdc_merge_upsert",
     "mv_incremental_refresh",
     "dedup_incremental_components",
+    "events_anomaly_contribution",
 ]
 
 
