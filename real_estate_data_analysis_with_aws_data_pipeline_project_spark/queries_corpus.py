@@ -937,16 +937,16 @@ def corpus_stratified_cell_quota(spark, sf_dir):
 
 _CURRICULUM_BUCKETS = 4
 
-_CURRICULUM_ORACLE = f"""
-    WITH q AS (
+# Bucket-assignment CTEs shared by the single-epoch curriculum and
+# the multi-epoch schedule (one definition of the quantile logic).
+_CURRICULUM_BUCKET_CTES = f"""q0 AS (
         SELECT doc_id,
                CAST(floor(({X.quality_score_sql()}) * 10000.0) AS BIGINT)
-                   AS q_mil,
-               md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS h
+                   AS q_mil
         FROM documents
     ),
     hist AS (
-        SELECT q_mil, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY q_mil
+        SELECT q_mil, CAST(count(*) AS BIGINT) AS n FROM q0 GROUP BY q_mil
     ),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist),
     b AS (
@@ -957,6 +957,14 @@ _CURRICULUM_ORACLE = f"""
                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                       ), 0)) // (SELECT n_total FROM tot)) AS bucket
         FROM hist
+    )"""
+
+_CURRICULUM_ORACLE = f"""
+    WITH {_CURRICULUM_BUCKET_CTES},
+    q AS (
+        SELECT doc_id, q_mil,
+               md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM q0
     )
     SELECT q.doc_id, q.q_mil, CAST(b.bucket AS INT) AS bucket,
            CAST({_shard_expr_sql("strpos")} AS INT) AS shard,
@@ -966,6 +974,36 @@ _CURRICULUM_ORACLE = f"""
            ) AS BIGINT) AS pos_in_shard
     FROM q JOIN b USING (q_mil)
 """
+
+
+def _curriculum_bucket_map(spark, sf_dir):
+    """(q_mil → bucket) assignment over the bounded value histogram —
+    the Spark twin of _CURRICULUM_BUCKET_CTES, shared by the
+    single-epoch curriculum and the multi-epoch schedule."""
+    docs = load_table(spark, sf_dir, "documents")
+    q0 = docs.select(
+        "doc_id",
+        F.floor(X.quality_score() * 10000.0).cast("bigint").alias("q_mil"),
+    )
+    hist = q0.groupBy("q_mil").agg(F.count("*").cast("bigint").alias("n"))
+    wcum = Window.orderBy("q_mil").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "q_mil",
+        F.coalesce(F.sum("n").over(wcum), F.lit(0).cast("bigint")).alias(
+            "cum_before"
+        ),
+    )
+    total = hist.agg(F.sum("n").cast("bigint").alias("n_total"))
+    b = cum.crossJoin(F.broadcast(total)).select(
+        "q_mil",
+        F.least(
+            F.lit(_CURRICULUM_BUCKETS - 1),
+            F.expr(f"({_CURRICULUM_BUCKETS} * cum_before) div n_total"),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return q0, b
 
 
 @register("corpus_curriculum_order", _CURRICULUM_ORACLE)
@@ -987,34 +1025,12 @@ def corpus_curriculum_order(spark, sf_dir):
     bounded by the value domain, like the Zipf top-1000 rank, never
     by corpus size); assignments broadcast-join back; the per-bucket
     order is the partitioned shard-rank, never a global row_number."""
-    docs = load_table(spark, sf_dir, "documents")
-    q = docs.select(
-        "doc_id",
-        F.floor(X.quality_score() * 10000.0).cast("bigint").alias("q_mil"),
+    q0, b = _curriculum_bucket_map(spark, sf_dir)
+    q = q0.withColumn(
+        "h",
         F.md5(
             F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string"))
-        ).alias("h"),
-    )
-    hist = q.groupBy("q_mil").agg(F.count("*").cast("bigint").alias("n"))
-    wcum = (
-        Window.orderBy("q_mil")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = hist.select(
-        "q_mil",
-        F.coalesce(F.sum("n").over(wcum), F.lit(0).cast("bigint")).alias(
-            "cum_before"
         ),
-    )
-    total = hist.agg(F.sum("n").cast("bigint").alias("n_total"))
-    b = cum.crossJoin(F.broadcast(total)).select(
-        "q_mil",
-        F.least(
-            F.lit(_CURRICULUM_BUCKETS - 1),
-            F.expr(f"({_CURRICULUM_BUCKETS} * cum_before) div n_total"),
-        )
-        .cast("int")
-        .alias("bucket"),
     )
     wpos = Window.partitionBy(
         "bucket", F.substring("h", 1, _SHARD_NIBBLES)
@@ -1338,5 +1354,77 @@ def corpus_mixing_waterfill(spark, sf_dir):
             F.round(
                 alloc.cast("double") / F.col("avail"), 6
             ).alias("keep_fraction"),
+        )
+    )
+
+
+# --- multi-epoch curriculum schedule (round 7, second batch) ----------------
+
+_N_EPOCHS = 3
+
+_EPOCH_SCHEDULE_ORACLE = f"""
+    WITH {_CURRICULUM_BUCKET_CTES},
+    ex AS (
+        SELECT q0.doc_id, q0.q_mil, e.epoch,
+               md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(q0.doc_id AS VARCHAR)) AS h
+        FROM q0 CROSS JOIN (
+            SELECT unnest([{", ".join(str(e) for e in range(_N_EPOCHS))}])
+                       AS epoch
+        ) e
+    )
+    SELECT ex.doc_id, CAST(ex.epoch AS INT) AS epoch,
+           CAST(b.bucket AS INT) AS bucket,
+           CAST({_shard_expr_sql("strpos")} AS INT) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ex.epoch, b.bucket, substr(h, 1, {_SHARD_NIBBLES})
+               ORDER BY h, doc_id
+           ) AS BIGINT) AS pos_in_shard
+    FROM ex JOIN b USING (q_mil)
+"""
+
+
+@register("corpus_epoch_schedule", _EPOCH_SCHEDULE_ORACLE)
+def corpus_epoch_schedule(spark, sf_dir):
+    """Multi-epoch curriculum schedule: the quality-quantile bucket is
+    FIXED per document (the curriculum), but the within-bucket reading
+    order is re-shuffled every epoch via an epoch-salted md5 key — the
+    full training manifest (epoch, bucket, shard, pos) a multi-epoch
+    run consumes, with epoch-to-epoch decorrelation and zero RNG
+    state. Bucket assignment shares one definition with
+    corpus_curriculum_order (_curriculum_bucket_map /
+    _CURRICULUM_BUCKET_CTES).
+
+    Scale: the epoch fan-out is a constant-width per-row explode
+    (n × epochs rows); each (epoch, bucket, shard) rank partition is
+    ~n/(buckets·256) rows — the same partitioned-rank contract as the
+    global shuffle, multiplied by a constant epoch count, never a
+    global window."""
+    q0, b = _curriculum_bucket_map(spark, sf_dir)
+    ex = q0.withColumn(
+        "epoch",
+        F.explode(F.array(*[F.lit(e) for e in range(_N_EPOCHS)])),
+    ).withColumn(
+        "h",
+        F.md5(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        ),
+    )
+    wpos = Window.partitionBy(
+        "epoch", "bucket", F.substring("h", 1, _SHARD_NIBBLES)
+    ).orderBy("h", "doc_id")
+    return (
+        ex.join(F.broadcast(b), "q_mil")
+        .select(
+            "doc_id",
+            F.col("epoch").cast("int").alias("epoch"),
+            "bucket",
+            F.expr(_shard_expr_sql("instr")).cast("int").alias("shard"),
+            F.row_number().over(wpos).cast("bigint").alias("pos_in_shard"),
         )
     )

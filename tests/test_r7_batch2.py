@@ -560,3 +560,28 @@ def test_anomaly_contribution_reconciles_with_dod(spark, sf_dir):
         assert ranks == list(range(1, len(rs) + 1))
         if any(r.delta != 0 for r in rs):
             assert abs(sum(r.abs_share for r in rs) - 1.0) < 0.01
+
+
+def test_epoch_schedule_decorrelated_and_consistent(spark, sf_dir):
+    """Each epoch covers every doc once with the SAME bucket as the
+    single-epoch curriculum; within-bucket orders differ between
+    epochs (salted keys decorrelate)."""
+    rows = QUERIES["corpus_epoch_schedule"].fn(spark, sf_dir).collect()
+    cur = {
+        r.doc_id: r.bucket
+        for r in QUERIES["corpus_curriculum_order"].fn(spark, sf_dir).collect()
+    }
+    n_docs = len(cur)
+    by_epoch: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        assert cur[r.doc_id] == r.bucket  # curriculum is epoch-stable
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = (r.shard, r.pos_in_shard)
+    assert set(by_epoch) == {0, 1, 2}
+    for e, m in by_epoch.items():
+        assert len(m) == n_docs
+    # decorrelation: epoch 0 and 1 must not share the same (shard, pos)
+    # assignment for (almost) all docs
+    same = sum(
+        1 for d in by_epoch[0] if by_epoch[0][d] == by_epoch[1][d]
+    )
+    assert same < n_docs / 10

@@ -107,6 +107,7 @@ EXTRA = [
     "mv_incremental_refresh",
     "dedup_incremental_components",
     "events_anomaly_contribution",
+    "corpus_epoch_schedule",
 ]
 
 
@@ -175,6 +176,8 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, str] = {
     # waterfill prefix scan over the source DIMENSION (~20 rows) —
     # bounded by |sources|, never the corpus.
     "corpus_mixing_waterfill": "|sources|-row dimension scan",
+    # shares the curriculum's histogram cumsum (same bound).
+    "corpus_epoch_schedule": "≤ 10001-row score-value histogram",
 }
 
 
