@@ -19,6 +19,7 @@ from .queries_events import _OHLC_ORACLE
 from .streaming import (
     RATE_LIMIT_THRESHOLD,
     SESSION_GAP_US,
+    streaming_window_quantiles,
     streaming_click_purchase_join,
     streaming_dedup_events,
     streaming_ohlc_bars,
@@ -296,6 +297,98 @@ def q_streaming_rate_limit_windows(spark, sf_dir):
     epoch-aligned windows, so the oracle unnests both bucket starts
     and regroups; complete mode over the bounded source equals it."""
     return streaming_rate_limit_windows(spark, sf_dir)
+
+
+_SWQ_ORACLE = """
+    WITH e AS (
+        SELECT event_type,
+               strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               value, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT e.*, row_number() OVER (
+                   PARTITION BY day, event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY day, event_type) AS n
+        FROM e
+    ),
+    px AS (
+        SELECT day, event_type, CAST(max(n) AS BIGINT) AS n_events,
+               max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END)
+                   AS p50_exact,
+               max(CASE WHEN rn = (90 * n + 99) // 100 THEN value END)
+                   AS p90_exact
+        FROM r GROUP BY day, event_type
+    )
+    SELECT day, event_type, n_events, p50_exact, p90_exact,
+           TRUE AS p50_within, TRUE AS p90_within
+    FROM px
+"""
+
+
+@register("streaming_window_quantiles", _SWQ_ORACLE)
+def q_streaming_window_quantiles(spark, sf_dir):
+    """Structured Streaming: watermarked daily percentile_approx
+    sketches per event type (the mergeable quantile aggregate inside a
+    streaming window), envelope-audited against exact batch rank
+    picks — the sketch value must land within ±2 ranks of the exact
+    order statistic (sketch accuracy 1000 ⇒ rank error < 1 at these
+    group sizes), the sketch-envelope oracle convention. Exact picks
+    use the deterministic (value, event_id) order, so both engines
+    select identical data values."""
+    from pyspark.sql import Window as W
+
+    sk = streaming_window_quantiles(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    pw = W.partitionBy("day", "event_type")
+    r = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        "value",
+        "event_id",
+    ).select(
+        "*",
+        F.row_number()
+        .over(pw.orderBy("value", "event_id"))
+        .alias("rn"),
+        F.count("*").over(pw).alias("n"),
+    )
+
+    def pick(p, off=0):
+        rank = F.expr(f"({p} * n + 99) div 100") + off
+        rank = F.greatest(F.lit(1), F.least(F.col("n"), rank))
+        return F.max(F.when(F.col("rn") == rank, F.col("value")))
+
+    px = r.groupBy("day", "event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        pick(50).alias("p50_exact"),
+        pick(90).alias("p90_exact"),
+        pick(50, -2).alias("p50_lo"),
+        pick(50, 2).alias("p50_hi"),
+        pick(90, -2).alias("p90_lo"),
+        pick(90, 2).alias("p90_hi"),
+    )
+    j = sk.select(
+        "day", "event_type", "p50_approx", "p90_approx"
+    ).join(px, ["day", "event_type"])
+    return j.select(
+        "day",
+        "event_type",
+        "n_events",
+        "p50_exact",
+        "p90_exact",
+        (
+            (F.col("p50_approx") >= F.col("p50_lo"))
+            & (F.col("p50_approx") <= F.col("p50_hi"))
+        ).alias("p50_within"),
+        (
+            (F.col("p90_approx") >= F.col("p90_lo"))
+            & (F.col("p90_approx") <= F.col("p90_hi"))
+        ).alias("p90_within"),
+    )
 
 
 @register("multimodal_frame_sample", None)  # Pandas-UDF path → rows-only

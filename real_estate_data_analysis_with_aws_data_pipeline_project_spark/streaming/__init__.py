@@ -9,6 +9,7 @@ from .jobs import (
     streaming_stateful_user_stats,
     streaming_tumbling_counts,
     streaming_user_activity_tws,
+    streaming_window_quantiles,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "streaming_stateful_user_stats",
     "streaming_tumbling_counts",
     "streaming_user_activity_tws",
+    "streaming_window_quantiles",
 ]

@@ -461,3 +461,35 @@ def streaming_user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _run_to_memory(result, "stream_user_activity_tws", "update")
     return spark.table("stream_user_activity_tws")
+
+
+QUANTILE_ACCURACY = 1000  # approx_percentile sketch accuracy
+
+
+def streaming_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked daily value-quantile sketches per event type:
+    percentile_approx (a mergeable typed-imperative aggregate, the
+    KLL-style sketch Spark ships) inside a streaming tumbling-window
+    aggregation — the streaming side of the quantile-alignment audit.
+    The registered query wraps this sink with a batch envelope check
+    against exact rank picks."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.percentile_approx(
+                "value", [0.5, 0.9], QUANTILE_ACCURACY
+            ).alias("qs"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            F.element_at("qs", 1).alias("p50_approx"),
+            F.element_at("qs", 2).alias("p90_approx"),
+        )
+    )
+    _run_to_memory(agg, "stream_window_quantiles", "complete")
+    return spark.table("stream_window_quantiles")

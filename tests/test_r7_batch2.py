@@ -585,3 +585,14 @@ def test_epoch_schedule_decorrelated_and_consistent(spark, sf_dir):
         1 for d in by_epoch[0] if by_epoch[0][d] == by_epoch[1][d]
     )
     assert same < n_docs / 10
+
+
+def test_streaming_quantiles_envelopes_hold(spark, sf_dir):
+    """The streaming percentile_approx sketch lands inside the ±2-rank
+    envelope for every (day, type) group, and exact picks are real
+    data values within each group's range."""
+    rows = QUERIES["streaming_window_quantiles"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_within and r.p90_within
+        assert r.p50_exact <= r.p90_exact or r.n_events <= 2
