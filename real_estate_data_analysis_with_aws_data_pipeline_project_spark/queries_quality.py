@@ -1134,3 +1134,132 @@ def dedup_incremental_components(spark, sf_dir):
             F.col("new_doc").isNotNull().alias("matched"),
         )
     )
+
+
+# --- format-preserving PII tokenization (round 7, second batch) -------------
+#
+# pii_detect_redact DESTROYS the value ([EMAIL]); tokenization REPLACES
+# it with a deterministic shape-preserving pseudonym — same input value
+# → same token everywhere, so joins and frequency analyses over the
+# tokenized corpus still work (the pseudonymization production privacy
+# pipelines actually deploy; destructive redaction is the fallback).
+
+_PII_TOKENIZE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-'
+                        || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+               ELSE text END AS pii_text
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, pii_text,
+               regexp_extract(pii_text, '{_PII_EMAIL_PAT}') AS email,
+               regexp_extract(pii_text, '{_PII_PHONE_PAT}') AS phone
+        FROM d
+    ),
+    t AS (
+        SELECT *,
+               CASE WHEN email <> '' THEN
+                   'user' || substr(md5(email), 1, 8) || '@redacted.example'
+               END AS email_token,
+               CASE WHEN phone <> '' THEN
+                   '555-' || translate(substr(md5(phone), 1, 4),
+                                       'abcdef', '012345')
+               END AS phone_token
+        FROM m
+    )
+    SELECT doc_id,
+           email <> '' AS had_email,
+           phone <> '' AS had_phone,
+           email_token, phone_token,
+           md5(CASE WHEN phone <> ''
+                    THEN replace(CASE WHEN email <> ''
+                                      THEN replace(pii_text, email, email_token)
+                                      ELSE pii_text END,
+                                 phone, phone_token)
+                    WHEN email <> ''
+                    THEN replace(pii_text, email, email_token)
+                    ELSE pii_text END) AS tokenized_fp
+    FROM t
+"""
+
+
+@register("pii_tokenize_preserving", _PII_TOKENIZE_ORACLE)
+def pii_tokenize_preserving(spark, sf_dir):
+    """Format-preserving PII tokenization: detected emails become
+    user<md5₈>@redacted.example and phones become 555-<md5-derived
+    digits> — deterministic value→token mapping (referential integrity
+    and frequency shape retained, actual identifiers gone), applied by
+    in-place replacement so the surrounding text is untouched. Uses
+    the same synthetic-injection harness and patterns as
+    pii_detect_redact (one definition of what counts as PII).
+
+    Scale: pure per-row regexp + hash expressions — map-only,
+    whole-stage-codegen'd, zero shuffle; the token mapping needs no
+    lookup table because the token IS a hash of the value."""
+    phone_inj = F.concat(
+        F.lit("555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+    )
+    pii_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            phone_inj,
+        ),
+    ).otherwise(F.col("text"))
+    m = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        pii_text.alias("pii_text"),
+        F.regexp_extract(pii_text, _PII_EMAIL_PAT, 0).alias("email"),
+        F.regexp_extract(pii_text, _PII_PHONE_PAT, 0).alias("phone"),
+    )
+    email_token = F.when(
+        F.col("email") != "",
+        F.concat(
+            F.lit("user"),
+            F.substring(F.md5(F.col("email").cast("binary")), 1, 8),
+            F.lit("@redacted.example"),
+        ),
+    )
+    phone_token = F.when(
+        F.col("phone") != "",
+        F.concat(
+            F.lit("555-"),
+            F.translate(
+                F.substring(F.md5(F.col("phone").cast("binary")), 1, 4),
+                "abcdef",
+                "012345",
+            ),
+        ),
+    )
+    t = m.select(
+        "doc_id",
+        "pii_text",
+        "email",
+        "phone",
+        email_token.alias("email_token"),
+        phone_token.alias("phone_token"),
+    )
+    after_email = F.when(
+        F.col("email") != "",
+        F.replace(F.col("pii_text"), F.col("email"), F.col("email_token")),
+    ).otherwise(F.col("pii_text"))
+    tokenized = F.when(
+        F.col("phone") != "",
+        F.replace(after_email, F.col("phone"), F.col("phone_token")),
+    ).otherwise(after_email)
+    return t.select(
+        "doc_id",
+        (F.col("email") != "").alias("had_email"),
+        (F.col("phone") != "").alias("had_phone"),
+        "email_token",
+        "phone_token",
+        F.md5(tokenized.cast("binary")).alias("tokenized_fp"),
+    )

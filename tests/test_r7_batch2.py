@@ -596,3 +596,26 @@ def test_streaming_quantiles_envelopes_hold(spark, sf_dir):
     for r in rows:
         assert r.p50_within and r.p90_within
         assert r.p50_exact <= r.p90_exact or r.n_events <= 2
+
+
+def test_pii_tokenization_deterministic_and_shaped(spark, sf_dir):
+    """Tokens are format-preserving (email shape, 555- phone shape),
+    deterministic (same value → same token on a re-run), and exactly
+    the docs the injection harness marks carry them."""
+    import re
+
+    rows = QUERIES["pii_tokenize_preserving"].fn(spark, sf_dir).collect()
+    rows2 = QUERIES["pii_tokenize_preserving"].fn(spark, sf_dir).collect()
+    assert {(r.doc_id, r.email_token) for r in rows} == {
+        (r.doc_id, r.email_token) for r in rows2
+    }
+    for r in rows:
+        assert r.had_email == (r.doc_id % 7 == 0)
+        assert r.had_phone == (r.doc_id % 7 == 0)
+        if r.had_email:
+            assert re.fullmatch(
+                r"user[0-9a-f]{8}@redacted\.example", r.email_token
+            )
+            assert re.fullmatch(r"555-[0-9]{4}", r.phone_token)
+        else:
+            assert r.email_token is None and r.phone_token is None
