@@ -601,3 +601,101 @@ def retrieval_rerank_token_f1(spark, sf_dir):
         .orderBy("rerank_rank")
         .limit(_RERANK_K)
     )
+
+
+# --- bipartite co-supplier projection (round 7, second batch) ---------------
+
+_COSUPP_DEG_CAP = 40  # skip hub customers (skew guard, like _JACCARD_CAP)
+_COSUPP_TOP_K = 10  # partners kept per supplier
+
+_COSUPP_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS n_supp FROM e GROUP BY cust
+    ),
+    ee AS (
+        SELECT e.cust, e.supp FROM e JOIN deg USING (cust)
+        WHERE deg.n_supp <= {_COSUPP_DEG_CAP}
+    ),
+    p AS (
+        SELECT a.supp AS s1, b.supp AS s2,
+               CAST(count(*) AS BIGINT) AS shared_customers
+        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT s1 AS supplier, s2 AS partner, shared_customers FROM p
+        UNION ALL
+        SELECT s2 AS supplier, s1 AS partner, shared_customers FROM p
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY supplier
+            ORDER BY shared_customers DESC, partner
+        ) AS rank
+        FROM sym
+    )
+    SELECT supplier, partner, shared_customers, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_COSUPP_TOP_K}
+"""
+
+
+@register("graph_cosupplier_projection", _COSUPP_ORACLE)
+def graph_cosupplier_projection(spark, sf_dir):
+    """Bipartite projection: supplier↔supplier co-purchase strength
+    (number of shared customers), top-10 partners per supplier — the
+    "suppliers like this one" similarity graph projected out of the
+    customer–supplier order edges (the same edge set PageRank walks).
+
+    Scale: the quadratic step runs ONLY within one customer's supplier
+    list, and hub customers above the degree cap are excluded — the
+    documented skew guard (a customer connected to everyone projects
+    a near-clique and says nothing about similarity; production
+    replaces the cap with minhash over supplier sets). One groupBy
+    per projection pair, a per-supplier top-k rank, output bounded at
+    k rows per node."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
+    ee = e.join(deg, "cust").where(
+        F.col("n_supp") <= _COSUPP_DEG_CAP
+    ).select("cust", "supp")
+    a, b = ee.alias("a"), ee.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.supp") < F.col("b.supp")),
+        )
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("shared_customers"))
+    )
+    sym = p.select(
+        F.col("s1").alias("supplier"),
+        F.col("s2").alias("partner"),
+        "shared_customers",
+    ).unionByName(
+        p.select(
+            F.col("s2").alias("supplier"),
+            F.col("s1").alias("partner"),
+            "shared_customers",
+        )
+    )
+    w = Window.partitionBy("supplier").orderBy(
+        F.desc("shared_customers"), F.asc("partner")
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _COSUPP_TOP_K)
+        .select("supplier", "partner", "shared_customers", "rank")
+    )

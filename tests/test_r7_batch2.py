@@ -619,3 +619,26 @@ def test_pii_tokenization_deterministic_and_shaped(spark, sf_dir):
             assert re.fullmatch(r"555-[0-9]{4}", r.phone_token)
         else:
             assert r.email_token is None and r.phone_token is None
+
+
+def test_cosupplier_projection_symmetric_and_bounded(spark, sf_dir):
+    """Projection invariants: ≤ 10 partners per supplier with dense
+    ranks; weights non-increasing in rank; the relation is symmetric
+    in weight (if (a,b,w) is kept for a, then w is b's weight for a
+    too, whenever b also keeps a)."""
+    rows = QUERIES["graph_cosupplier_projection"].fn(spark, sf_dir).collect()
+    assert rows
+    by_s: dict[int, list] = {}
+    weights: dict[tuple[int, int], int] = {}
+    for r in rows:
+        by_s.setdefault(r.supplier, []).append(r)
+        weights[(r.supplier, r.partner)] = r.shared_customers
+    for s, rs in by_s.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 10
+        for a, b in zip(rs, rs[1:]):
+            assert a.shared_customers >= b.shared_customers
+    for (s, p), w in weights.items():
+        if (p, s) in weights:
+            assert weights[(p, s)] == w

@@ -108,6 +108,8 @@ EXTRA = [
     "dedup_incremental_components",
     "events_anomaly_contribution",
     "corpus_epoch_schedule",
+    "graph_cosupplier_projection",
+    "pii_tokenize_preserving",
 ]
 
 
