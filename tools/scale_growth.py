@@ -77,6 +77,13 @@ QUERIES_UNDER_TEST = [
     "dedup_span_remediate",
     "corpus_curriculum_order",
     "embedding_covariance_whitening",
+    # round-7 second batch, events families: session packing is the
+    # two-pass cumsum over sessions, SCD2 the gaps-and-islands
+    # interval build, contribution the dimension-grid decomposition —
+    # all should be linear in the event stream.
+    "corpus_session_pack_shards",
+    "cdc_scd2_intervals",
+    "events_anomaly_contribution",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
