@@ -134,7 +134,39 @@ ROTATIONS: dict[int, list[str]] = {
         "na_fill_drop",
         "corpus_mixing_plan",
     ],
-    7: list(_ROTATION),
+    7: [
+        "dedup_incremental_minhash",
+        "dedup_minhash_accuracy",
+        "embedding_dim_variance",
+        "embedding_matryoshka_recall",
+        "events_late_arrival_audit",
+        "events_ohlc_bars",
+        "events_rate_limit_audit",
+        "multimodal_features_audit",
+        "streaming_ohlc_bars",
+        "multimodal_frame_audit",
+        "quality_zipf_slope",
+        "text_ngram_novelty",
+        "features_point_in_time",
+        "features_rolling_zscore",
+        "corpus_global_shuffle",
+        "corpus_length_log2_histogram",
+        "corpus_temperature_resample",
+        "corpus_interleave_sources",
+        "sketch_bloom_prefilter",
+        "quality_repetition_score",
+        "quality_bigram_lm_ppl",
+        "quality_langid_confusion",
+        "corpus_length_histogram",
+        "quality_ttr_lexical_diversity",
+        "j4_full_outer_join",
+        "j5_null_safe_join",
+        "f_map_struct_functions",
+        "agg_unpivot_stack",
+        "dedup_latest_per_key",
+        "f_zorder_interleave",
+    ],
+    8: list(_ROTATION),
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -144,8 +176,19 @@ ROTATIONS: dict[int, list[str]] = {
 # landing round — list them here per round so the first-timer
 # assertion stays strict for everything else. Empty for rounds 4–7:
 # the nine r7-new operators topped the pool back up to exactly the
-# slot count, so even the endgame round is all first-timers.
-REFRESH_OK: dict[int, set[str]] = {}
+# slot count, so even the endgame round is all first-timers. Round 8
+# closes the entire 26-query never-green pool, leaving 4 refresh
+# slots; the generator filled them newest-landed-first, which also
+# satisfies VERDICT r7 #4 (settled-host re-bench of
+# dedup_incremental_minhash — the re-verification rides along).
+REFRESH_OK: dict[int, set[str]] = {
+    8: {
+        "dedup_incremental_minhash",
+        "dedup_minhash_accuracy",
+        "embedding_dim_variance",
+        "embedding_matryoshka_recall",
+    },
+}
 
 LIVE_ROUND = max(ROTATIONS)
 
