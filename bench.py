@@ -77,7 +77,11 @@ BASELINE_SEC = {
     # calibrations 1.12/1.17/1.26; whitening baselined AFTER the
     # decimal→int64 sum optimization)
     "dedup_span_remediate": 2.41,
-    "embedding_covariance_whitening": 4.48,
+    # round-8: re-baselined after the Arrow partial-Gramian kernel
+    # replaced the per-row 2080-struct explode (identical output,
+    # oracle hash-green at sf0.001/0.01/0.1; BASELINE.md "Round-8
+    # updates"; min over two full runs, calibrations 1.12/1.19)
+    "embedding_covariance_whitening": 0.64,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

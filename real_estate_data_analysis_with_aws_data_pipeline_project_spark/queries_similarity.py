@@ -1907,6 +1907,76 @@ _WHITEN_ORACLE = f"""
 """
 
 
+_GRAM_CHUNK = 256  # rows per numpy outer-product block (bounds the
+# float64 (chunk, d, d) intermediate to ~8 MiB at d=64)
+
+_GRAM_SCHEMA = (
+    "dim_i int, dim_j int, cnt long, sxy long, "
+    "sx_i long, sx_j long, sxx_i long, sxx_j long"
+)
+
+
+def _half_away_i64(p):
+    """round-half-away-from-zero of a float64 ndarray, as int64.
+
+    Matches BOTH engines' rounding of the identical IEEE value: Spark's
+    ``F.round(_, 0)`` (BigDecimal HALF_UP of the double's shortest
+    decimal form) and DuckDB's ``round(_, 0)`` (C ``round``, half away
+    from zero). Implemented with an EXACT fractional-part comparison
+    (``a - floor(a)`` is exact for |a| < 2**53) rather than
+    ``floor(a + 0.5)``, whose addition can carry across a ulp boundary
+    and round 0.49999999999999994 up — a divergence the engines'
+    native roundings don't have."""
+    import numpy as np
+
+    a = np.abs(p)
+    f = np.floor(a)
+    return np.copysign(f + (a - f >= 0.5), p).astype(np.int64)
+
+
+def _gram_partials(batches):
+    """Arrow-batched partial Gramian: per batch, ONE (d, d) int64
+    accumulation of the micro-unit products round(x_i*x_j*1e6) plus the
+    per-dim sums round(x*1e6) / round(x*x*1e6), emitted as d(d+1)/2
+    upper-triangle rows carrying every partial the final cov/corr
+    arithmetic needs. Partial sums are exact int64 — associative and
+    partition/batch-order-proof, so the downstream groupBy merge is
+    bit-identical under any input split."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        X = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+        )
+        d = X.shape[1]
+        gram = np.zeros((d, d), dtype=np.int64)
+        sxv = np.zeros(d, dtype=np.int64)
+        for lo in range(0, n, _GRAM_CHUNK):
+            c = X[lo : lo + _GRAM_CHUNK]
+            gram += _half_away_i64(
+                c[:, :, None] * c[:, None, :] * 1e6
+            ).sum(axis=0)
+            sxv += _half_away_i64(c * 1e6).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        diag = np.diagonal(gram).copy()
+        yield pd.DataFrame(
+            {
+                "dim_i": (iu + 1).astype("int32"),
+                "dim_j": (ju + 1).astype("int32"),
+                "cnt": np.full(len(iu), n, dtype=np.int64),
+                "sxy": gram[iu, ju],
+                "sx_i": sxv[iu],
+                "sx_j": sxv[ju],
+                "sxx_i": diag[iu],
+                "sxx_j": diag[ju],
+            }
+        )
+
+
 @register("embedding_covariance_whitening", _WHITEN_ORACLE, headline=True)
 def embedding_covariance_whitening(spark, sf_dir):
     """Whitening/PCA-lite statistics: the upper triangle of the
@@ -1919,78 +1989,32 @@ def embedding_covariance_whitening(spark, sf_dir):
     exercised in tests/test_r7_batch2.py) — the distributed part, and
     the only part that touches the corpus, is this aggregation.
 
-    Determinism + scale: per-element products are scaled to integer
-    micro-units (round(x·y·10⁶) as BIGINT — both engines round
-    half-away on the identical IEEE product) and summed as int64 —
-    exact, associative, partition-order-proof, and JVM-vectorizable,
-    ~3× faster than the DECIMAL formulation it replaces; the
-    d(d+1)/2 pair terms are generated per-row by an array transform
-    (no self-join, no shuffle of the corpus) and the aggregation
-    carries d²×partitions partial states map-side, exactly like
-    embedding_dim_variance. The final cov/corr arithmetic runs on
-    bit-identical integer sums, so the 4-6 dp rounding has no
-    boundary channel."""
+    Determinism + scale (r8 kernel rewrite, VERDICT r7 #2): the former
+    plan exploded d(d+1)/2 = 2080 structs PER ROW (n×2080 rows into
+    the hash aggregate — the suite's worst constant factor). The
+    Arrow-batched ``_gram_partials`` kernel now folds each Arrow batch
+    into one (d, d) numpy int64 Gramian of the SAME integer micro-units
+    (round(x·y·10⁶) — ``_half_away_i64`` reproduces both engines'
+    half-away rounding exactly) and emits only 2080 partial rows per
+    BATCH (~row-traffic ÷ batch_size). Each partial row carries sxy,
+    sx_i/sx_j, sxx_i/sxx_j and the batch count, so one groupBy merge
+    yields everything the cov/corr arithmetic needs: one scan, one
+    narrow Python stage, one metadata-scale shuffle (2080 keys), zero
+    joins. int64 partials are exact and associative, so results are
+    bit-identical under any partitioning, and the final 4-6 dp rounding
+    has no boundary channel."""
     v = _vecs(spark, sf_dir).select("embedding")
-    arr = F.col("embedding")
-    d = F.size(arr)
-
-    def _xy(i, j):
-        return F.round(
-            F.element_at(arr, i).cast("double")
-            * F.element_at(arr, j).cast("double")
-            * 1000000.0,
-            0,
-        ).cast("bigint")
-
-    pairs_col = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), d),
-            lambda i: F.transform(
-                F.sequence(i, d),
-                lambda j: F.struct(
-                    i.cast("int").alias("i"),
-                    j.cast("int").alias("j"),
-                    _xy(i, j).alias("xy"),
-                ),
-            ),
-        )
-    )
-    pa = (
-        v.select(F.explode(pairs_col).alias("s"))
-        .groupBy(
-            F.col("s.i").alias("dim_i"), F.col("s.j").alias("dim_j")
-        )
+    tot = (
+        v.mapInPandas(_gram_partials, schema=_GRAM_SCHEMA)
+        .groupBy("dim_i", "dim_j")
         .agg(
-            F.count("*").cast("bigint").alias("n_vectors"),
-            F.sum("s.xy").cast("bigint").alias("sxy"),
+            F.sum("cnt").cast("bigint").alias("n_vectors"),
+            F.sum("sxy").cast("bigint").alias("sxy"),
+            F.sum("sx_i").cast("bigint").alias("sx_i"),
+            F.sum("sx_j").cast("bigint").alias("sx_j"),
+            F.sum("sxx_i").cast("bigint").alias("sxx_i"),
+            F.sum("sxx_j").cast("bigint").alias("sxx_j"),
         )
-    )
-    x = F.col("x")
-    dims = (
-        v.select(F.posexplode(arr).alias("pos", "x"))
-        .select(
-            (F.col("pos") + 1).cast("int").alias("dim"),
-            F.col("x").cast("double").alias("x"),
-        )
-        .groupBy("dim")
-        .agg(
-            F.sum(F.round(x * 1000000.0, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("sx"),
-            F.sum(F.round(x * x * 1000000.0, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("sxx"),
-        )
-    )
-    di = dims.select(
-        F.col("dim").alias("di_dim"),
-        F.col("sx").alias("sx_i"),
-        F.col("sxx").alias("sxx_i"),
-    )
-    dj = dims.select(
-        F.col("dim").alias("dj_dim"),
-        F.col("sx").alias("sx_j"),
-        F.col("sxx").alias("sxx_j"),
     )
     n = F.col("n_vectors").cast("double")
 
@@ -2006,18 +2030,14 @@ def embedding_covariance_whitening(spark, sf_dir):
     var_j = (F.col("sxx_j").cast("double") / 1e6) / n - _mean(
         "sx_j"
     ) * _mean("sx_j")
-    return (
-        pa.join(F.broadcast(di), F.col("dim_i") == F.col("di_dim"))
-        .join(F.broadcast(dj), F.col("dim_j") == F.col("dj_dim"))
-        .select(
-            "dim_i",
-            "dim_j",
-            "n_vectors",
-            F.round(cov, 6).alias("cov"),
-            F.round(
-                F.when(var_i * var_j > 0, cov / F.sqrt(var_i * var_j))
-                .otherwise(F.lit(0.0)),
-                4,
-            ).alias("corr"),
-        )
+    return tot.select(
+        "dim_i",
+        "dim_j",
+        "n_vectors",
+        F.round(cov, 6).alias("cov"),
+        F.round(
+            F.when(var_i * var_j > 0, cov / F.sqrt(var_i * var_j))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("corr"),
     )
