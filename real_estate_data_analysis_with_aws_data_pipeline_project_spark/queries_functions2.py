@@ -592,7 +592,7 @@ def cdc_scd2_intervals(spark, sf_dir):
 
 # Deterministic "update batch": orders with o_orderkey % 10 == 3
 # arrive again with a repriced total (+10 %, rounded to cents) and a
-# bumped priority; orderkey % 100 == 99 of the batch are brand-new
+# bumped priority; orderkey % 100 == 33 of the batch are brand-new
 # keys (shifted beyond the existing key range) — the classic MERGE
 # INTO source with both UPDATE and INSERT rows.
 _MERGE_BATCH_MOD, _MERGE_BATCH_REM = 10, 3

@@ -17,6 +17,7 @@ from .registry import register
 from .sources.catalog import load_table
 from .queries_events import _OHLC_ORACLE
 from .streaming import (
+    QUANTILE_ACCURACY,
     RATE_LIMIT_THRESHOLD,
     SESSION_GAP_US,
     streaming_window_quantiles,
@@ -101,7 +102,7 @@ def multimodal_features_audit(spark, sf_dir):
     the hash here. Both sides exclude zero-length payloads (ADVICE
     r6); the byte-vs-codepoint equivalence the oracle leans on is
     pinned by the ASCII-corpus invariant test in
-    tests/test_multimodal.py."""
+    tests/test_ext_operators.py."""
     packed = pack_payloads(load_table(spark, sf_dir, "documents"))
     feats = extract_features(packed.where(F.col("meta.n_bytes") > 0))
     f = F.col("features")
@@ -332,11 +333,14 @@ def q_streaming_window_quantiles(spark, sf_dir):
     """Structured Streaming: watermarked daily percentile_approx
     sketches per event type (the mergeable quantile aggregate inside a
     streaming window), envelope-audited against exact batch rank
-    picks — the sketch value must land within ±2 ranks of the exact
-    order statistic (sketch accuracy 1000 ⇒ rank error < 1 at these
-    group sizes), the sketch-envelope oracle convention. Exact picks
-    use the deterministic (value, event_id) order, so both engines
-    select identical data values."""
+    picks — the sketch value must land within the percentile_approx
+    rank-error bound of the exact order statistic, the sketch-envelope
+    oracle convention. The envelope half-width is DERIVED from the
+    group size (max(2, ceil(n/QUANTILE_ACCURACY) + 1), ADVICE r7) so
+    the TRUE-asserting oracle survives denser event tables instead of
+    assuming every (day, event_type) group stays under 2×accuracy
+    rows. Exact picks use the deterministic (value, event_id) order,
+    so both engines select identical data values."""
     from pyspark.sql import Window as W
 
     sk = streaming_window_quantiles(spark, sf_dir)
@@ -357,8 +361,20 @@ def q_streaming_window_quantiles(spark, sf_dir):
         F.count("*").over(pw).alias("n"),
     )
 
-    def pick(p, off=0):
-        rank = F.expr(f"({p} * n + 99) div 100") + off
+    def pick(p, sign=0):
+        rank = F.expr(f"({p} * n + 99) div 100")
+        if sign:
+            # percentile_approx's rank error is bounded by
+            # n / accuracy; the +1 absorbs the pick's own ceil and the
+            # 2 floors small groups (was a fixed ±2 that silently
+            # assumed n < 2 * QUANTILE_ACCURACY).
+            off = F.greatest(
+                F.lit(2),
+                F.expr(
+                    f"CAST(ceil(n / {QUANTILE_ACCURACY}) AS INT) + 1"
+                ),
+            )
+            rank = rank + sign * off
         rank = F.greatest(F.lit(1), F.least(F.col("n"), rank))
         return F.max(F.when(F.col("rn") == rank, F.col("value")))
 
@@ -366,10 +382,10 @@ def q_streaming_window_quantiles(spark, sf_dir):
         F.max("n").cast("bigint").alias("n_events"),
         pick(50).alias("p50_exact"),
         pick(90).alias("p90_exact"),
-        pick(50, -2).alias("p50_lo"),
-        pick(50, 2).alias("p50_hi"),
-        pick(90, -2).alias("p90_lo"),
-        pick(90, 2).alias("p90_hi"),
+        pick(50, -1).alias("p50_lo"),
+        pick(50, 1).alias("p50_hi"),
+        pick(90, -1).alias("p90_lo"),
+        pick(90, 1).alias("p90_hi"),
     )
     j = sk.select(
         "day", "event_type", "p50_approx", "p90_approx"

@@ -170,7 +170,7 @@ _BRUTE_ORACLE = f"""
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < 10),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
@@ -248,7 +248,7 @@ _SQ_ORACLE = f"""
                    AS qn
         FROM v
     ),
-    q AS (SELECT * FROM n WHERE vec_id < 10),
+    q AS (SELECT * FROM n WHERE vec_id < {_N_QUERIES}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round(CASE WHEN q.qn > 0 AND c.qn > 0
@@ -347,7 +347,7 @@ _LSH_ORACLE = f"""
                {S.project_signs_sql('embedding', _LSH_PLANES)} AS bitstr
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < 10),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
     cand AS ({" UNION ".join(_lsh_cand_branch_sql(t) for t in range(_LSH_TABLES))}
     ),
     scored AS (
@@ -639,7 +639,7 @@ _IVF_ORACLE = f"""
                    ORDER BY {S.cosine_sql('v.embedding', 'cent.c_emb',
                                           'v.nrm', 'cent.c_nrm')} DESC, cent.cid
                ) AS rnk
-        FROM v CROSS JOIN cent WHERE v.vec_id < 10
+        FROM v CROSS JOIN cent WHERE v.vec_id < {_N_QUERIES}
     ),
     probes AS (
         SELECT vec_id AS query_id, cid FROM q_rank CROSS JOIN params p
@@ -1036,7 +1036,7 @@ _PQ_ORACLE = f"""
         SELECT q.vec_id AS query_id, q.s, c1.cid,
                {_pq_l2_sql('q.sv', 'c1.c')} AS d
         FROM sub q JOIN cents1 c1 ON c1.s = q.s
-        WHERE q.vec_id < 10
+        WHERE q.vec_id < {_N_QUERIES}
     ),
     adc AS (
         SELECT l.query_id, e.vec_id AS neighbor_id,
@@ -1633,7 +1633,7 @@ _DECON_EMB_ORACLE = f"""
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < 10)
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES})
     SELECT q.vec_id AS eval_id, c.vec_id AS train_id,
            round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
                  6) AS cos_sim
@@ -1744,7 +1744,7 @@ _MATRYOSHKA_ORACLE = f"""
                {S.norm_sql(f'embedding[1:{_MATRYOSHKA_DIM}]')} AS nrm_t
         FROM embeddings
     ),
-    q AS (SELECT * FROM v WHERE vec_id < 10),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
     c AS (SELECT * FROM v WHERE vec_id >= 10),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,4 +1,5 @@
 from .jobs import (
+    QUANTILE_ACCURACY,
     RATE_LIMIT_THRESHOLD,
     SESSION_GAP_US,
     streaming_click_purchase_join,
@@ -13,6 +14,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "QUANTILE_ACCURACY",
     "RATE_LIMIT_THRESHOLD",
     "SESSION_GAP_US",
     "streaming_click_purchase_join",

@@ -463,7 +463,12 @@ def streaming_user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_user_activity_tws")
 
 
-QUANTILE_ACCURACY = 1000  # approx_percentile sketch accuracy
+# approx_percentile sketch accuracy: rank error is bounded by
+# n/QUANTILE_ACCURACY per group. The envelope audit
+# (streaming_window_quantiles in queries_multimodal.py) derives its
+# half-width from this bound and the observed group size, so raising
+# corpus density widens the envelope instead of breaking the oracle.
+QUANTILE_ACCURACY = 1000
 
 
 def streaming_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,15 +171,23 @@ def audit_unpartitioned_windows(exe: str) -> tuple[int, int]:
 # rather than a plan-visible limit — the structural waiver above
 # cannot see these, so they are waived by name WITH the documented
 # bound (each is asserted in tests or holds by construction).
-_BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, str] = {
+# name → (expected unpartitioned-window count, bound). The COUNT is
+# asserted, not just the presence (ADVICE r7): waiving the query
+# wholesale would let a future edit add a genuinely corpus-scale
+# global window and still print a green checkmark.
+_BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # histogram cumsum over integer 1e-4 score units: ≤ 10001 rows no
     # matter the corpus size (floor(score·10⁴), score ∈ [0, 1]).
-    "corpus_curriculum_order": "≤ 10001-row score-value histogram",
-    # waterfill prefix scan over the source DIMENSION (~20 rows) —
-    # bounded by |sources|, never the corpus.
-    "corpus_mixing_waterfill": "|sources|-row dimension scan",
+    "corpus_curriculum_order": (1, "≤ 10001-row score-value histogram"),
+    # waterfill prefix scans over the source DIMENSION (~20 rows) —
+    # bounded by |sources|, never the corpus. The physical plan holds
+    # 8 unpartitioned specs: rank + two prefix sums + prefix-min, each
+    # appearing twice because the pfx subtree feeds both the clamp-set
+    # aggregate and the final projection. ALL of them sit above the
+    # groupBy(source) inventory, so every one is dimension-bounded.
+    "corpus_mixing_waterfill": (8, "|sources|-row dimension scans ×8"),
     # shares the curriculum's histogram cumsum (same bound).
-    "corpus_epoch_schedule": "≤ 10001-row score-value histogram",
+    "corpus_epoch_schedule": (1, "≤ 10001-row score-value histogram"),
 }
 
 
@@ -201,10 +209,17 @@ def checklist(plan: str, exe: str, name: str = "") -> list[str]:
     )
     waived, unwaived = audit_unpartitioned_windows(exe)
     if unwaived and name in _BOUNDED_DOMAIN_WINDOW_WAIVERS:
-        notes.append(
-            "✓ single-partition window over bounded value domain "
-            f"({_BOUNDED_DOMAIN_WINDOW_WAIVERS[name]})"
-        )
+        expected, bound = _BOUNDED_DOMAIN_WINDOW_WAIVERS[name]
+        if unwaived == expected:
+            notes.append(
+                "✓ single-partition window over bounded value domain "
+                f"({bound})"
+            )
+        else:
+            notes.append(
+                f"✗ SINGLE-PARTITION WINDOW (waiver covers {expected}, "
+                f"plan has {unwaived})"
+            )
     elif unwaived:
         notes.append("✗ SINGLE-PARTITION WINDOW")
     elif waived:
