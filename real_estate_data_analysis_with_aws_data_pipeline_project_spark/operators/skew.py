@@ -14,6 +14,9 @@ only covers joins):
   hash of its own row identity, the small side is exploded once per
   salt, and the join key becomes (key, salt), so one hot key's rows
   spread over n_salts tasks. Identical results to the plain join.
+- ``shuffle_skew_profile``: the PLANNER-HYGIENE step the two above
+  consume — per-key shuffle histogram with a recommended salt factor
+  per hot key (VERDICT r7 #5 / ROADMAP second-draft #3).
 """
 
 from __future__ import annotations
@@ -78,3 +81,57 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return big_salted.join(small_rep, [key, _SALT], how).drop(_SALT)
+
+
+def shuffle_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    target_rows: int,
+    top_n: int = 20,
+) -> DataFrame:
+    """Per-key shuffle-size histogram for a planned groupBy/join key,
+    with the salt factor that would bound each hot key's reducer input
+    at ``target_rows`` — the number ``salted_aggregate``/``salted_join``
+    take as ``n_salts``.
+
+    Columns: the key, ``n_rows``, ``share`` (of total rows, 6 dp),
+    ``skew_ratio`` (n_rows ÷ mean rows/key, 4 dp; > 1 ⇒ hotter than
+    uniform), ``recommended_salt`` (⌈n_rows / target_rows⌉, floor 1).
+    Top ``top_n`` keys by count, ties broken by key.
+
+    Scale: the profiler is itself SKEW-IMMUNE — count partial-
+    aggregates map-side, so even the hottest key contributes one
+    partial row per map partition to the shuffle; the totals row is a
+    broadcast crossJoin; top-N is orderBy+limit (TakeOrderedAndProject
+    — per-partition heaps + driver merge of top_n rows), never a
+    single-partition window."""
+    counts = df.groupBy(*key_cols).agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    tot = counts.agg(
+        F.sum("n_rows").cast("bigint").alias("_total"),
+        F.count("*").cast("bigint").alias("_n_keys"),
+    )
+    prof = counts.crossJoin(F.broadcast(tot)).select(
+        *key_cols,
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("_total"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("n_rows").cast("double")
+            * F.col("_n_keys")
+            / F.col("_total"),
+            4,
+        ).alias("skew_ratio"),
+        F.when(
+            F.col("n_rows") > target_rows,
+            F.expr(
+                f"CAST((n_rows + {int(target_rows)} - 1) "
+                f"div {int(target_rows)} AS INT)"
+            ),
+        )
+        .otherwise(F.lit(1))
+        .alias("recommended_salt"),
+    )
+    return prof.orderBy(F.desc("n_rows"), *key_cols).limit(top_n)

@@ -8,9 +8,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.skew import salted_aggregate, salted_join
+from .operators.skew import salted_aggregate, salted_join, shuffle_skew_profile
 from .registry import register
 from .sources.catalog import load_table
+
+# Reducer-input bound the profiler recommends salts against: with the
+# guide's ~target-task sizing, a key above this row count would
+# overwhelm one reducer and gets split across ⌈n/target⌉ salts.
+_SKEW_TARGET_ROWS = 4096
+_SKEW_TOP_N = 20
 
 
 @register(
@@ -64,4 +70,48 @@ def skew_salted_join(spark, sf_dir):
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "skew_shuffle_profile",
+    f"""
+    WITH c AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM c
+    )
+    SELECT c.event_type, c.n_rows,
+           round(CAST(c.n_rows AS DOUBLE) / t.total, 6) AS share,
+           round(CAST(c.n_rows AS DOUBLE) * t.n_keys / t.total, 4)
+               AS skew_ratio,
+           CAST(CASE WHEN c.n_rows > {_SKEW_TARGET_ROWS}
+                     THEN (c.n_rows + {_SKEW_TARGET_ROWS} - 1)
+                          // {_SKEW_TARGET_ROWS}
+                     ELSE 1 END AS INT) AS recommended_salt
+    FROM c, t
+    ORDER BY c.n_rows DESC, c.event_type
+    LIMIT {_SKEW_TOP_N}
+    """,
+)
+def skew_shuffle_profile(spark, sf_dir):
+    """Shuffle-skew profiler (VERDICT r7 #5): per-key histogram of the
+    events aggregation key (event_type — 5 values carrying ~20 k rows
+    each at sf0.1, the classic hot-group shuffle) with the salt factor
+    that bounds each key's reducer input at _SKEW_TARGET_ROWS rows —
+    exactly the ``n_salts`` the salted_aggregate/salted_join
+    mitigations consume, closing the profile→mitigate loop as planner
+    hygiene on top of AQE's runtime skew split.
+
+    Scale: the profiler never amplifies the skew it measures — count
+    partial-aggregates map-side (one partial row per key per map
+    partition), totals ride a one-row broadcast crossJoin, and top-N
+    is TakeOrderedAndProject, not a global window."""
+    ev = load_table(spark, sf_dir, "events")
+    return shuffle_skew_profile(
+        ev, ["event_type"], target_rows=_SKEW_TARGET_ROWS, top_n=_SKEW_TOP_N
     )

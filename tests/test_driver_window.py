@@ -186,7 +186,6 @@ REFRESH_OK: dict[int, set[str]] = {
         "dedup_incremental_minhash",
         "dedup_minhash_accuracy",
         "embedding_dim_variance",
-        "embedding_matryoshka_recall",
     },
 }
 

@@ -1,0 +1,91 @@
+"""Invariant tests for the round-8 additions: the shuffle-skew
+profiler (VERDICT r7 #5) and its closed loop into the salted
+mitigations."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.skew import (
+    salted_aggregate,
+    shuffle_skew_profile,
+)
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_skew import (
+    _SKEW_TARGET_ROWS,
+    _SKEW_TOP_N,
+)
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+    load_table,
+)
+
+
+def test_skew_profile_exact_recompute(spark, sf_dir):
+    """Every profile column recomputed exactly from plain per-key
+    counts: ordering (count desc, key), share, skew ratio, and the
+    recommended salt = max(1, ceil(n / target))."""
+    rows = QUERIES["skew_shuffle_profile"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    counts = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    total, nk = sum(counts.values()), len(counts)
+    expect_order = sorted(counts, key=lambda k: (-counts[k], k))[:_SKEW_TOP_N]
+    assert [r.event_type for r in rows] == expect_order
+    for r in rows:
+        n = counts[r.event_type]
+        assert r.n_rows == n
+        assert abs(r.share - n / total) < 1e-6
+        assert abs(r.skew_ratio - n * nk / total) < 1e-4
+        assert r.recommended_salt == max(1, math.ceil(n / _SKEW_TARGET_ROWS))
+
+
+def test_skew_profile_flags_hot_keys_at_sf01(spark):
+    """At sf0.1 every event_type carries ~20k rows — well above the
+    target reducer input — so the profiler must recommend an actual
+    split (salt ≥ 2) for every key, sized exactly ⌈n/target⌉."""
+    prof = QUERIES["skew_shuffle_profile"].fn(spark, "/root/testdata/sf0.1").collect()
+    assert prof, "profile is empty at sf0.1"
+    for r in prof:
+        assert r.n_rows > _SKEW_TARGET_ROWS
+        assert r.recommended_salt == math.ceil(r.n_rows / _SKEW_TARGET_ROWS)
+        assert r.recommended_salt >= 2
+
+
+def test_skew_profile_closes_loop_into_salted_aggregate(spark, sf_dir):
+    """The profile's recommended salt drives salted_aggregate to
+    bit-identical results vs the direct groupBy — profile → mitigate
+    is a semantics-preserving loop."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = {
+        r.event_type: r.recommended_salt
+        for r in shuffle_skew_profile(
+            ev, ["event_type"], target_rows=_SKEW_TARGET_ROWS
+        ).collect()
+    }
+    n_salts = max(prof.values())
+    salted = {
+        r.event_type: (r.n_rows, round(r.sum_value, 4))
+        for r in salted_aggregate(
+            ev.select("event_type", F.col("value")),
+            keys=["event_type"],
+            sum_cols=["value"],
+            spread_col="value",
+            n_salts=max(2, n_salts),
+        )
+        .withColumnRenamed("sum_value", "sum_value")
+        .collect()
+    }
+    plain = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert salted[k][0] == plain[k][0]
+        assert abs(salted[k][1] - plain[k][1]) < 1e-2

@@ -110,6 +110,8 @@ EXTRA = [
     "corpus_epoch_schedule",
     "graph_cosupplier_projection",
     "pii_tokenize_preserving",
+    # r8 additions
+    "skew_shuffle_profile",
 ]
 
 

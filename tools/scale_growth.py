@@ -84,6 +84,10 @@ QUERIES_UNDER_TEST = [
     "corpus_session_pack_shards",
     "cdc_scd2_intervals",
     "events_anomaly_contribution",
+    # round-8: the profiler is one partial-agg shuffle over the key —
+    # must stay linear in events no matter how hot the keys are (the
+    # map-side combine is the whole point).
+    "skew_shuffle_profile",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
