@@ -1077,3 +1077,53 @@ def sketch_kmv_distinct(spark, sf_dir):
             "merged_equals_direct",
         )
     )
+
+
+# --- streaming KMV tier (round 8, ROADMAP second-draft #2) ------------------
+
+_SKMV_ORACLE = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               md5('kmv:' || CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, h, row_number() OVER (
+            PARTITION BY event_type ORDER BY h
+        ) AS rn
+        FROM h
+    )
+    SELECT event_type, CAST({_KMV_K} AS INT) AS k, h AS kth_hash,
+           round(({_KMV_K} - 1)
+                 / ({_HEX_TO_INT_SQL.format(h="substr(h, 1, 8)")}
+                    / {_KMV_HEX_SPACE}), 4) AS est_distinct
+    FROM r WHERE rn = {_KMV_K}
+"""
+
+
+@register("streaming_kmv_distinct", _SKMV_ORACLE)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Structured Streaming: the KMV bottom-k distinct sketch as a
+    stateful streaming aggregate (ValueState of the ≤ k smallest md5
+    hashes per event type; transformWithStateInPandas with an
+    applyInPandasWithState fallback). Because the sketch is a
+    deterministic function of the key SET, the streamed fold equals
+    the batch sketch exactly — full oracle, not an envelope. kth_hash
+    only ever decreases across updates, so min() per key reads the
+    final sketch from the update-mode sink regardless of batching;
+    the (k−1)/u estimate reuses the batch twin's exact integer
+    arithmetic. State is k strings per key — bounded however many
+    users the stream ever sees."""
+    from .streaming.jobs import streaming_kmv_distinct
+
+    sk = streaming_kmv_distinct(spark, sf_dir, _KMV_K)
+    fin = sk.groupBy("event_type").agg(F.min("kth_hash").alias("kth_hash"))
+    u = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(
+        _KMV_HEX_SPACE
+    )
+    return fin.select(
+        "event_type",
+        F.lit(_KMV_K).cast("int").alias("k"),
+        "kth_hash",
+        F.round((_KMV_K - 1) / u, 4).alias("est_distinct"),
+    )

@@ -498,3 +498,116 @@ def streaming_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _run_to_memory(agg, "stream_window_quantiles", "complete")
     return spark.table("stream_window_quantiles")
+
+
+# --- streaming KMV bottom-k distinct tier (round 8) -------------------------
+#
+# The KMV sketch is a deterministic function of the key SET (bottom-k
+# of md5 hashes), so unlike order-sensitive packing the streaming fold
+# is EXACTLY the batch sketch no matter how the stream is batched —
+# the property that lets this job carry the batch twin's full oracle.
+# State per key is the ≤ k smallest distinct hashes: bounded at k
+# strings regardless of key cardinality (the 100 TB story — the state
+# store never sees the user set, only its bottom-k).
+
+
+class _KMVProcessor:
+    """StatefulProcessor: ValueState holding the sorted bottom-k hash
+    array; each batch merges its hashes and re-truncates to k."""
+
+    def __init__(self, k: int) -> None:
+        self._k = k
+
+    def init(self, handle) -> None:
+        self._sk = handle.getValueState("sk", "hs ARRAY<STRING>")
+
+    def handleInputRows(self, key, rows, timerValues):
+        cur = list(self._sk.get()[0]) if self._sk.exists() else []
+        s = set(cur)
+        for pdf in rows:
+            s.update(pdf["h"].tolist())
+        merged = sorted(s)[: self._k]
+        self._sk.update((merged,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "kth_hash": [
+                    merged[self._k - 1] if len(merged) >= self._k else None
+                ],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_KMV_OUT_SCHEMA = "event_type STRING, kth_hash STRING"
+
+
+def streaming_kmv_distinct(
+    spark: SparkSession, sf_dir: str, k: int
+) -> DataFrame:
+    """Streaming KMV distinct tier (ROADMAP second-draft #2): per
+    event type, fold the stream's md5 key hashes into a bottom-k
+    ValueState and emit the running k-th smallest hash — the sketch's
+    whole state in one bounded array. The registered query
+    (sketch family) turns the final kth hash into the (k−1)/u
+    estimate with the exact arithmetic of the batch twin.
+
+    kth_hash is NON-INCREASING across updates (bottom-k only ever
+    shrinks), so the final sketch is min(kth_hash) per key even if
+    availableNow splits the source into several batches. Falls back to
+    applyInPandasWithState where the TWS protobuf protocol is absent,
+    same semantics (one struct holding the array)."""
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.md5(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("h"),
+    )
+    if _tws_protocol_available():
+        result = src.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_KMVProcessor(k),
+            outputStructType=_KMV_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            _run_to_memory(result, "stream_kmv_distinct", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+
+        def _kmv_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+            cur = list(state.get[0]) if state.exists else []
+            s = set(cur)
+            for pdf in pdfs:
+                s.update(pdf["h"].tolist())
+            merged = sorted(s)[:k]
+            state.update((merged,))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "kth_hash": [
+                        merged[k - 1] if len(merged) >= k else None
+                    ],
+                }
+            )
+
+        result = src.groupBy("event_type").applyInPandasWithState(
+            _kmv_fallback_fn,
+            outputStructType=_KMV_OUT_SCHEMA,
+            stateStructType="hs ARRAY<STRING>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        _run_to_memory(result, "stream_kmv_distinct", "update")
+    return spark.table("stream_kmv_distinct")

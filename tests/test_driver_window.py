@@ -185,7 +185,6 @@ REFRESH_OK: dict[int, set[str]] = {
     8: {
         "dedup_incremental_minhash",
         "dedup_minhash_accuracy",
-        "embedding_dim_variance",
     },
 }
 

@@ -89,3 +89,18 @@ def test_skew_profile_closes_loop_into_salted_aggregate(spark, sf_dir):
     for k in plain:
         assert salted[k][0] == plain[k][0]
         assert abs(salted[k][1] - plain[k][1]) < 1e-2
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, sf_dir):
+    """The streamed bottom-k fold must equal the batch KMV sketch
+    row-for-row (same kth hash, same estimate) — the KMV merge law
+    applied across stream batches instead of day tiers."""
+    stream = {
+        r.event_type: (r.k, r.kth_hash, r.est_distinct)
+        for r in QUERIES["streaming_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: (r.k, r.kth_hash, r.est_distinct)
+        for r in QUERIES["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
