@@ -125,3 +125,134 @@ def join_range_bucketed(spark, sf_dir):
     return joined.groupBy("o_orderkey").agg(
         F.count("*").alias("n_shipped_in_week")
     )
+
+
+# --- interval OVERLAP join (round 8) ----------------------------------------
+
+# the session gap is the shared single definition (queries_corpus and
+# queries_events import it the same way)
+from .streaming.jobs import SESSION_GAP_US as _OVL_GAP_US  # noqa: E402
+
+_OVL_BUCKET_US = 3_600_000_000  # 1 h buckets on the µs axis
+
+_OVERLAP_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          >= {_OVL_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT a.user_id, a.start_us, a.end_us, a.n_events,
+           CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+    FROM sess a LEFT JOIN sess b
+      ON b.user_id <> a.user_id
+     AND b.start_us <= a.end_us AND a.start_us <= b.end_us
+    GROUP BY a.user_id, a.sid, a.start_us, a.end_us, a.n_events
+"""
+
+
+@register("join_interval_overlap", _OVERLAP_ORACLE)
+def join_interval_overlap(spark, sf_dir):
+    """Interval OVERLAP join (interval × interval — completes the
+    as-of / point-in-range / interval-overlap join family): sessionize
+    events per user (shared 30-min gap), then count for every session
+    how many OTHER users' sessions overlap it in time — the concurrent-
+    load shape behind capacity planning and co-occurrence features.
+
+    Spark side: ``interval_overlap_join`` explodes each session into
+    the 1 h buckets it touches and equi-joins on bucket with an exact
+    overlap filter; a pair sharing several buckets is kept exactly once
+    (only the bucket containing max(starts) emits), so the per-session
+    count needs no distinct. Zero-overlap sessions are preserved by a
+    left join back onto the session relation. Oracle is DuckDB's
+    direct non-equi self-join (IEJoin) — quadratic candidates there,
+    bucket-bounded here, identical rows.
+
+    Scale: sessionization is one user_id shuffle; join fan-in per
+    bucket is (active sessions that hour)², the intrinsic overlap-join
+    cost, with AQE splitting any hot hour."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    from .operators.asof import interval_overlap_join
+
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(uw).alias("prev_ts")
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                >= _OVL_GAP_US
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.unix_micros(F.min("ts")).cast("bigint").alias("start_us"),
+        F.unix_micros(F.max("ts")).cast("bigint").alias("end_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    a = sess.select(
+        F.col("user_id").alias("a_user"),
+        F.col("sid").alias("a_sid"),
+        F.col("start_us").alias("a_start"),
+        F.col("end_us").alias("a_end"),
+    )
+    b = sess.select(
+        F.col("user_id").alias("b_user"),
+        F.col("start_us").alias("b_start"),
+        F.col("end_us").alias("b_end"),
+    )
+    pairs = interval_overlap_join(
+        a, b, ("a_start", "a_end"), ("b_start", "b_end"), _OVL_BUCKET_US
+    ).filter(F.col("b_user") != F.col("a_user"))
+    counts = pairs.groupBy("a_user", "a_sid").agg(
+        F.count("*").cast("bigint").alias("n_concurrent")
+    )
+    return (
+        sess.join(
+            counts,
+            (F.col("user_id") == F.col("a_user"))
+            & (F.col("sid") == F.col("a_sid")),
+            "left",
+        )
+        .select(
+            "user_id",
+            "start_us",
+            "end_us",
+            "n_events",
+            F.coalesce(F.col("n_concurrent"), F.lit(0))
+            .cast("bigint")
+            .alias("n_concurrent"),
+        )
+    )

@@ -404,3 +404,87 @@ def text_ngram_novelty(spark, sf_dir):
             F.col("n_novel").cast("double") / F.col("n_shingles"), 4
         ).alias("novelty_rate"),
     )
+
+
+# --- vocabulary coverage audit (round 8) ------------------------------------
+
+_VOCAB_V = 500  # top-V tokens by global frequency
+
+_VOCAB_ORACLE = f"""
+    WITH t AS (
+        SELECT source, unnest({X.tokens_sql()}) AS tok FROM documents
+    ),
+    tk AS (SELECT source, tok FROM t WHERE tok <> ''),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS c FROM tk GROUP BY tok
+            ORDER BY c DESC, tok LIMIT {_VOCAB_V}
+        )
+    ),
+    tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM tk GROUP BY source
+    ),
+    cov AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_covered
+        FROM tk WHERE tok IN (SELECT tok FROM vocab)
+        GROUP BY source
+    )
+    SELECT tot.source, tot.n_tokens,
+           coalesce(cov.n_covered, 0) AS n_covered,
+           round(CAST(coalesce(cov.n_covered, 0) AS DOUBLE)
+                 / tot.n_tokens, 6) AS coverage
+    FROM tot LEFT JOIN cov USING (source)
+"""
+
+
+@register("text_vocab_coverage", _VOCAB_ORACLE)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage audit: build the top-V global token
+    vocabulary (count desc, token asc — a deterministic cut) and
+    report, per source, the share of token OCCURRENCES the vocabulary
+    covers — the out-of-vocabulary rate a tokenizer/vocab choice
+    implies for each corpus slice, the go/no-go number before
+    committing a vocab to a training run.
+
+    Scale: token explode → two map-side-combined shuffles (global
+    term counts; per-source totals); the vocabulary cut is
+    TakeOrderedAndProject (per-partition heaps, V rows to the driver
+    side of the plan — never a global sort) and re-enters as a
+    broadcast LEFT SEMI join, so the corpus-sized relation is never
+    shuffled by vocabulary membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select("source", F.explode(X.tokens()).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = (
+        tk.groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(_VOCAB_V)
+        .select("tok")
+    )
+    tot = tk.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    cov = (
+        tk.join(F.broadcast(vocab), "tok", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_covered"))
+    )
+    return (
+        tot.join(cov, "source", "left")
+        .select(
+            "source",
+            "n_tokens",
+            F.coalesce("n_covered", F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+    )

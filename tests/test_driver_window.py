@@ -177,16 +177,11 @@ ROTATIONS: dict[int, list[str]] = {
 # assertion stays strict for everything else. Empty for rounds 4–7:
 # the nine r7-new operators topped the pool back up to exactly the
 # slot count, so even the endgame round is all first-timers. Round 8
-# closes the entire 26-query never-green pool, leaving 4 refresh
-# slots; the generator filled them newest-landed-first, which also
-# satisfies VERDICT r7 #4 (settled-host re-bench of
-# dedup_incremental_minhash — the re-verification rides along).
-REFRESH_OK: dict[int, set[str]] = {
-    8: {
-        "dedup_incremental_minhash",
-        "dedup_minhash_accuracy",
-    },
-}
+# closes the entire 26-query never-green pool and fills the 4 free
+# slots with the four r8 additions (skew profiler, streaming KMV,
+# interval overlap, vocab coverage) — 30/30 first-timers again, no
+# refresh picks needed.
+REFRESH_OK: dict[int, set[str]] = {}
 
 LIVE_ROUND = max(ROTATIONS)
 

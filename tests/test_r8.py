@@ -104,3 +104,72 @@ def test_streaming_kmv_equals_batch_sketch(spark, sf_dir):
         for r in QUERIES["sketch_kmv_distinct"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_interval_overlap_matches_bruteforce(spark, sf_dir):
+    """The bucketed overlap join must equal the O(n²) definition: for
+    every session, the count of other-user sessions with
+    [s,e] ∩ [s',e'] ≠ ∅ — recomputed here in pure Python. Also pins
+    the exactly-once bucket trick (a pair sharing several 1 h buckets
+    must not double-count)."""
+    rows = QUERIES["join_interval_overlap"].fn(spark, sf_dir).collect()
+    sess = [(r.user_id, r.start_us, r.end_us) for r in rows]
+    expect = {}
+    for u, s, e in sess:
+        expect[(u, s)] = sum(
+            1
+            for u2, s2, e2 in sess
+            if u2 != u and s2 <= e and s <= e2
+        )
+    assert len(rows) == len(sess)
+    for r in rows:
+        assert r.n_concurrent == expect[(r.user_id, r.start_us)], (
+            r.user_id,
+            r.start_us,
+        )
+    # sessions straddling a bucket boundary exist in the corpus (the
+    # multi-bucket emission path — and its exactly-once guard — is
+    # actually exercised)
+    bucket = 3_600_000_000
+    assert any(s // bucket != e // bucket for _, s, e in sess)
+
+
+def test_vocab_coverage_recompute(spark, sf_dir):
+    """Coverage recomputed from raw tokens with the vocabulary cut
+    re-derived in Python (count desc, token asc, top V)."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_text2 import (
+        _VOCAB_V,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").collect()
+    import re as _re
+
+    def toks(t):
+        return [w for w in _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split(" ") if w]
+
+    counts = Counter()
+    per_source = {}
+    for r in docs:
+        tt = toks(r.text)
+        counts.update(tt)
+        per_source.setdefault(r.source, []).extend(tt)
+    vocab = {
+        t
+        for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_VOCAB_V
+        ]
+    }
+    rows = QUERIES["text_vocab_coverage"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(per_source)
+    for r in rows:
+        tt = per_source[r.source]
+        n_cov = sum(1 for t in tt if t in vocab)
+        assert r.n_tokens == len(tt)
+        assert r.n_covered == n_cov
+        assert abs(r.coverage - n_cov / len(tt)) < 1e-6
+        assert 0.0 <= r.coverage <= 1.0

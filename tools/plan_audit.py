@@ -112,6 +112,8 @@ EXTRA = [
     "pii_tokenize_preserving",
     # r8 additions
     "skew_shuffle_profile",
+    "join_interval_overlap",
+    "text_vocab_coverage",
 ]
 
 

@@ -88,9 +88,19 @@ QUERIES_UNDER_TEST = [
     # must stay linear in events no matter how hot the keys are (the
     # map-side combine is the whole point).
     "skew_shuffle_profile",
+    # round-8: overlap join — candidate pairs are per-bucket products,
+    # the one intrinsically super-linear family; the rehearsal bounds
+    # how fast that grows on the replicated corpus.
+    "join_interval_overlap",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
+# Per-query wall bars where the WORK is intentionally super-linear in
+# this rehearsal's densified corpus: the overlap join's output is the
+# overlap-pair set, which grows ~k² when k user populations share one
+# time window. Its real invariant is proportionality (see
+# overlap_bucket_cands in _blocking_metrics), not linear wall.
+ALPHA_TOL_OVERRIDES = {"join_interval_overlap": 2.35}
 
 
 def _shuffled_text(text: str, doc_id: int, replica: int) -> str:
@@ -414,6 +424,70 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     out["whitening_pair_rows"] = (
         QUERIES["embedding_covariance_whitening"].fn(spark, sf_dir).count()
     )
+    # round-8: interval-overlap join. The rehearsal DENSIFIES the time
+    # axis (k replica user populations, timestamps unchanged), so the
+    # TRUE overlap-pair count grows ~k² — quadratic wall is the work
+    # being asked for, not a plan defect. The invariant is
+    # PROPORTIONALITY: the bucket join's candidate rows must track the
+    # true pair count's growth (bucketing adds a bounded constant
+    # factor, no extra asymptotics). main() asserts
+    # cand_alpha <= true_alpha + 0.35 and overrides the wall bar.
+    out["overlap_true_pairs"] = (
+        QUERIES["join_interval_overlap"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n_concurrent"))
+        .first()[0]
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_joins_ext import (
+        _OVL_BUCKET_US,
+        _OVL_GAP_US,
+    )
+    from pyspark.sql import Window as _W
+
+    uw = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess_b = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.lag("ts").over(uw).alias("prev_ts"),
+        )
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    >= _OVL_GAP_US
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                uw.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("s"),
+            F.unix_micros(F.max("ts")).alias("e"),
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {_OVL_BUCKET_US}"),
+                    F.expr(f"e div {_OVL_BUCKET_US}"),
+                )
+            ).alias("b")
+        )
+    )
+    out["overlap_bucket_cands"] = (
+        sess_b.groupBy("b")
+        .count()
+        .select((F.col("count") * (F.col("count") - 1) / 2).alias("p"))
+        .agg(F.sum("p"))
+        .first()[0]
+    )
     return out
 
 
@@ -464,6 +538,23 @@ def main() -> None:
     spark.stop()
 
     alphas = {q: round(fit_alpha(scales, wall[q]), 2) for q in QUERIES_UNDER_TEST}
+    wall_ok = all(
+        a <= ALPHA_TOL_OVERRIDES.get(q, ALPHA_TOL) for q, a in alphas.items()
+    )
+    # round-8: overlap-join proportionality (work-tracking, not linear)
+    ov_true_alpha = round(
+        fit_alpha(
+            scales, [max(b["overlap_true_pairs"], 1.0) for b in blocking]
+        ),
+        2,
+    )
+    ov_cand_alpha = round(
+        fit_alpha(
+            scales, [max(b["overlap_bucket_cands"], 1.0) for b in blocking]
+        ),
+        2,
+    )
+    overlap_ok = ov_cand_alpha <= ov_true_alpha + 0.35
     lines = [
         "# SCALE_GROWTH — dedup/ANN/retrieval/sketch growth rehearsal",
         "",
@@ -606,18 +697,34 @@ def main() -> None:
         f"{'FLAT' if whiten_flat else 'NOT FLAT (FAIL)'} across scales, "
         "so the driver-side eigen step stays metadata-scale.",
         "",
+        "Round-8: `join_interval_overlap`'s wall bar is "
+        f"{ALPHA_TOL_OVERRIDES['join_interval_overlap']} (not "
+        f"{ALPHA_TOL}) BY DESIGN — the rehearsal puts k user "
+        "populations in the SAME time window, so the true overlap-pair "
+        f"output grows ~k² (true-pair alpha **{ov_true_alpha}**); the "
+        "operator's invariant is PROPORTIONALITY: the bucket join's "
+        f"candidate rows (alpha **{ov_cand_alpha}**) must track the "
+        "true pairs within +0.35 — bucketing adds a bounded constant "
+        "factor, never its own asymptotics "
+        f"({'OK' if overlap_ok else 'FAIL'}). On real corpora the time "
+        "axis grows WITH the data, keeping per-bucket occupancy — and "
+        "therefore wall — near-linear.",
+        "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
         "headroom for fixed per-run overhead amortizing INTO the "
-        "exponent at these small absolute sizes).",
+        "exponent at these small absolute sizes); per-query overrides: "
+        f"{ALPHA_TOL_OVERRIDES}.",
         "",
-        f"Verdict: {'PASS' if all(a <= ALPHA_TOL for a in alphas.values()) and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat else 'FAIL'} "
+        f"Verdict: {'PASS' if wall_ok and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat and overlap_ok else 'FAIL'} "
         f"— wall alphas {alphas}, candidate alphas {cand_alpha}, "
         f"incr-fixed-batch alpha {incr_alpha}, shard balance "
         f"{'OK' if shard_ok else 'FAIL'}, bloom cap "
         f"{'OK' if bloom_ok else 'FAIL'}, temperature-kept alpha "
         f"{temp_alpha}, curriculum histogram cap "
         f"{'OK' if hist_ok else 'FAIL'}, whitening output "
-        f"{'flat' if whiten_flat else 'NOT flat'}.",
+        f"{'flat' if whiten_flat else 'NOT flat'}, overlap "
+        f"proportionality {'OK' if overlap_ok else 'FAIL'} "
+        f"(true {ov_true_alpha} / cand {ov_cand_alpha}).",
     ]
     report = "\n".join(lines) + "\n"
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -625,8 +732,14 @@ def main() -> None:
     with open(out_path, "w") as f:
         f.write(report)
     print(report)
-    bad = [q for q, a in alphas.items() if a > ALPHA_TOL]
+    bad = [
+        q
+        for q, a in alphas.items()
+        if a > ALPHA_TOL_OVERRIDES.get(q, ALPHA_TOL)
+    ]
     bad += [m for m, a in cand_alpha.items() if a > ALPHA_TOL]
+    if not overlap_ok:
+        bad.append("overlap_bucket_cands")
     if incr_alpha > INCR_FLAT_TOL:
         bad.append("incr_fixed_batch_cands")
     if not shard_ok:
