@@ -1108,3 +1108,102 @@ def dedup_token_savings(spark, sf_dir):
             6,
         ).alias("savings_frac"),
     )
+
+
+# --- cross-source duplication matrix (round 8) ------------------------------
+
+_XSRC_ORACLE = f"""
+    WITH p AS ({MINHASH_PAIRS_ORACLE}),
+    d AS (SELECT doc_id, source FROM documents),
+    sc AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY source
+    ),
+    j AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(round(p.jaccard * 1000000.0, 0) AS BIGINT) AS jmic
+        FROM p
+        JOIN d da ON da.doc_id = p.doc_a
+        JOIN d db ON db.doc_id = p.doc_b
+    )
+    SELECT j.source_a, j.source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(j.jmic) AS DOUBLE) / count(*) / 1000000.0, 6)
+               AS mean_jaccard,
+           round(CAST(count(*) AS DOUBLE) * 1000.0
+                 / (CASE WHEN j.source_a = j.source_b
+                         THEN CAST(sa.n * (sa.n - 1) AS DOUBLE) / 2.0
+                         ELSE CAST(sa.n * sb.n AS DOUBLE) END), 6)
+               AS pairs_per_1k
+    FROM j
+    JOIN sc sa ON sa.source = j.source_a
+    JOIN sc sb ON sb.source = j.source_b
+    GROUP BY j.source_a, j.source_b, sa.n, sb.n
+"""
+
+
+@register("dedup_cross_source_matrix", _XSRC_ORACLE)
+def dedup_cross_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: the MinHash-verified near-dup
+    pairs rolled up to (source, source) cells — pair count, mean
+    verified Jaccard, and the pair rate normalized by the cell's
+    possible-pair count (within-source n·(n−1)/2, cross-source
+    n_a·n_b, scaled per-mille). This is the dataset-curation
+    dashboard: which source pairs leak into each other, and how hard —
+    the number that decides whether a source gets deduped against
+    another before mixing.
+
+    Scale: consumes the SAME banded pair relation as dedup_minhash_lsh
+    (no new candidate generation — the matrix is a broadcast-dims
+    rollup of the verified pairs); per-pair Jaccard is rounded to
+    integer micro-units before summing, so the cell means are
+    partition-order-proof. Source counts are a broadcast dimension."""
+    pairs = minhash_verified_pairs(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    da = d.select(
+        F.col("doc_id").alias("_ida"), F.col("source").alias("_sa")
+    )
+    db = d.select(
+        F.col("doc_id").alias("_idb"), F.col("source").alias("_sb")
+    )
+    sc = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n"))
+    j = (
+        pairs.join(F.broadcast(da), F.col("doc_a") == F.col("_ida"))
+        .join(F.broadcast(db), F.col("doc_b") == F.col("_idb"))
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            F.round(F.col("jaccard") * 1000000.0, 0)
+            .cast("bigint")
+            .alias("jmic"),
+        )
+    )
+    cells = j.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("jmic").cast("bigint").alias("jsum"),
+    )
+    sa = sc.select(F.col("source").alias("_csa"), F.col("n").alias("na"))
+    sb = sc.select(F.col("source").alias("_csb"), F.col("n").alias("nb"))
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("na").cast("double") * (F.col("na") - 1).cast("double") / 2.0,
+    ).otherwise(F.col("na").cast("double") * F.col("nb").cast("double"))
+    return (
+        cells.join(F.broadcast(sa), F.col("source_a") == F.col("_csa"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("_csb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("jsum").cast("double")
+                / F.col("n_pairs")
+                / 1000000.0,
+                6,
+            ).alias("mean_jaccard"),
+            F.round(
+                F.col("n_pairs").cast("double") * 1000.0 / possible, 6
+            ).alias("pairs_per_1k"),
+        )
+    )

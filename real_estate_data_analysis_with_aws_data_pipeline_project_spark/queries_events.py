@@ -1193,3 +1193,314 @@ def events_anomaly_contribution(spark, sf_dir):
             F.row_number().over(rw).cast("bigint").alias("impact_rank"),
         )
     )
+
+
+# --- robust outliers via MAD (round 8) --------------------------------------
+
+_MAD_SIGMAS = 3  # |x - median| > 3 * MAD flags an outlier
+
+_MAD_ORACLE = f"""
+    WITH r AS (
+        SELECT event_type, value, row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, max(n) AS n,
+               avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                        THEN value END) AS med
+        FROM r GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, abs(e.value - m.med) AS d, m.med,
+               row_number() OVER (
+                   PARTITION BY e.event_type
+                   ORDER BY abs(e.value - m.med), e.event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY e.event_type) AS n
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, max(med) AS med,
+               avg(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2)
+                        THEN d END) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(max(m.med), 6) AS median_value,
+           round(max(m.mad), 6) AS mad,
+           CAST(sum(CASE WHEN abs(e.value - m.med)
+                              > {_MAD_SIGMAS} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(sum(CASE WHEN abs(e.value - m.med)
+                                    > {_MAD_SIGMAS} * m.mad
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS outlier_rate
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+"""
+
+
+@register("events_mad_outliers", _MAD_ORACLE)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier audit per event type: EXACT median and MAD
+    (median absolute deviation) via deterministic rank picks
+    ((value, event_id) order — the train/serve-skew convention), then
+    the count and rate of values beyond 3·MAD of the median. MAD-based
+    flagging survives the heavy tails that wreck mean/stddev z-scores
+    — the robust twin of events_anomaly_zscore.
+
+    Both engines pick the SAME data values for the order statistics
+    and compare identical IEEE doubles in the outlier predicate, so
+    only the report columns round. Scale: two per-type rank windows +
+    two broadcast joins of a 5-row stats dim; per-type window sorting
+    is the exact-order-statistics trade documented for the skew-audit
+    family (approximate tiers exist via percentile_approx when groups
+    outgrow a task)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cw = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    med = r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.avg(
+            F.when(
+                (F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+                | (F.col("rn") == ((F.col("n") + 2) / 2).cast("bigint")),
+                F.col("value"),
+            )
+        ).alias("med"),
+    )
+    dev = ev.join(F.broadcast(med.select("event_type", "med")), "event_type")
+    dw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("value") - F.col("med")), "event_id"
+    )
+    d = dev.select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+        F.row_number().over(dw).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    mad = d.groupBy("event_type").agg(
+        F.max("med").alias("med"),
+        F.avg(
+            F.when(
+                (F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+                | (F.col("rn") == ((F.col("n") + 2) / 2).cast("bigint")),
+                F.col("d"),
+            )
+        ).alias("mad"),
+    )
+    out = ev.join(F.broadcast(mad), "event_type")
+    is_out = F.abs(F.col("value") - F.col("med")) > _MAD_SIGMAS * F.col(
+        "mad"
+    )
+    return out.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.max("med"), 6).alias("median_value"),
+        F.round(F.max("mad"), 6).alias("mad"),
+        F.sum(F.when(is_out, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.round(
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("outlier_rate"),
+    )
+
+
+# --- CUSUM change-point detection (round 8) ---------------------------------
+
+_CUSUM_ORACLE = """
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS nd
+        FROM dc GROUP BY 1
+    ),
+    cs AS (
+        SELECT dc.event_type, dc.day, t.nd, t.total,
+               row_number() OVER (
+                   PARTITION BY dc.event_type ORDER BY dc.day
+               ) AS rk,
+               sum(dc.c) OVER (
+                   PARTITION BY dc.event_type ORDER BY dc.day
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum
+        FROM dc JOIN t USING (event_type)
+    ),
+    s AS (
+        SELECT event_type, day, nd,
+               (nd * cum - rk * total) AS snum,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(nd * cum - rk * total) DESC, day
+               ) AS arg
+        FROM cs
+    )
+    SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+           strftime(day, '%Y-%m-%d') AS change_day,
+           round(CAST(snum AS DOUBLE) / nd, 6) AS peak_cusum,
+           CAST(CASE WHEN snum >= 0 THEN 1 ELSE -1 END AS INT)
+               AS direction
+    FROM s WHERE arg = 1
+"""
+
+
+@register("events_cusum_changepoint", _CUSUM_ORACLE)
+def events_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection on daily event volume: per event
+    type, the cumulative sum of (daily count − overall mean) peaks at
+    the most likely level-shift day — the classic offline CUSUM
+    statistic. All arithmetic is INTEGER-exact: the statistic is kept
+    as n_days·cum − rank·total (bigint), so the argmax (|S| desc, day)
+    picks identical rows in both engines and only the reported value
+    divides back to the mean-scaled CUSUM.
+
+    Scale: one map-side-combined daily aggregation over events; every
+    window (day rank, running sum, argmax) runs on the (type, day)
+    relation — metadata-scale, bounded by the calendar, never the
+    event stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    t = dc.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    cs = (
+        dc.join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "nd",
+            "total",
+            F.row_number().over(w).alias("rk"),
+            F.sum("c")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("cum"),
+        )
+        .withColumn(
+            "snum", F.col("nd") * F.col("cum") - F.col("rk") * F.col("total")
+        )
+    )
+    aw = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("snum")).desc(), "day"
+    )
+    return (
+        cs.withColumn("arg", F.row_number().over(aw))
+        .where(F.col("arg") == 1)
+        .select(
+            "event_type",
+            F.col("nd").cast("bigint").alias("n_days"),
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round(F.col("snum").cast("double") / F.col("nd"), 6).alias(
+                "peak_cusum"
+            ),
+            F.when(F.col("snum") >= 0, 1)
+            .otherwise(-1)
+            .cast("int")
+            .alias("direction"),
+        )
+    )
+
+
+# --- daily-volume trend regression (round 8) --------------------------------
+
+_TREND_ORACLE = """
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT event_type, y,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY day
+               ) AS x
+        FROM dc
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+           round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx
+                      AS DOUBLE)
+                 / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6)
+               AS intercept
+    FROM s
+"""
+
+
+@register("events_trend_slope", _TREND_ORACLE)
+def events_trend_slope(spark, sf_dir):
+    """Per-type daily-volume trend: ordinary least squares of daily
+    event count on the day index, with slope and intercept formed from
+    INTEGER sums only (n·Σxy − Σx·Σy over n·Σx² − (Σx)² — the
+    Zipf-slope decimal-exact convention) so the single double division
+    at the end is bit-identical across engines and partitionings.
+
+    Scale: one map-side-combined daily aggregation; the regression
+    runs on the (type, day) relation — calendar-bounded."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = (
+        ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    xy = dc.select(
+        "event_type", "y", F.row_number().over(w).cast("bigint").alias("x")
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(
+            (F.col("sy") * den - num * F.col("sx")).cast("double")
+            / (F.col("n") * den).cast("double"),
+            6,
+        ).alias("intercept"),
+    )

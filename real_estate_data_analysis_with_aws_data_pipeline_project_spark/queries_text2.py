@@ -488,3 +488,106 @@ def text_vocab_coverage(spark, sf_dir):
             ).alias("coverage"),
         )
     )
+
+
+# --- token co-occurrence PMI (round 8) --------------------------------------
+
+_PMI_VOCAB = 100  # top tokens admitted to the pair space
+_PMI_MIN_PAIR_DOCS = 5  # support floor
+_PMI_TOP = 50  # reported pairs
+
+_PMI_ORACLE = f"""
+    WITH t AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest({X.tokens_sql()}) AS tok FROM documents
+        ) WHERE tok <> ''
+    ),
+    nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM t),
+    vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM t
+        GROUP BY tok ORDER BY df DESC, tok LIMIT {_PMI_VOCAB}
+    ),
+    tv AS (SELECT t.doc_id, t.tok FROM t JOIN vocab USING (tok)),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b,
+               CAST(count(*) AS BIGINT) AS n_pair
+        FROM tv a JOIN tv b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2
+        HAVING count(*) >= {_PMI_MIN_PAIR_DOCS}
+    )
+    SELECT p.tok_a, p.tok_b, p.n_pair,
+           round(ln(CAST(p.n_pair AS DOUBLE) * nd.n
+                    / (CAST(va.df AS DOUBLE) * vb.df)), 6) AS pmi
+    FROM pairs p
+    CROSS JOIN nd
+    JOIN vocab va ON va.tok = p.tok_a
+    JOIN vocab vb ON vb.tok = p.tok_b
+    ORDER BY pmi DESC, p.tok_a, p.tok_b
+    LIMIT {_PMI_TOP}
+"""
+
+
+@register("text_token_pmi", _PMI_ORACLE)
+def text_token_pmi(spark, sf_dir):
+    """Pointwise mutual information over token co-occurrence: within
+    the deterministic top-100 vocabulary (doc-frequency desc, token
+    asc — _PMI_VOCAB), the 50 strongest-association token pairs by
+    PMI = ln(n_pair·N / (df_a·df_b)) with a 5-doc support floor —
+    collocation mining, the classic corpus-statistics step before
+    phrase-aware tokenization.
+
+    Scale: the pair space is generated by a per-doc self-join AFTER a
+    broadcast semi-join onto the vocabulary, so each doc contributes
+    at most C(100, 2) pairs regardless of its length, and the corpus
+    relation is never joined to itself unfiltered. df and N are
+    broadcast dims; ln rounds at 6 dp (the cross-engine libm rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    nd = t.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs_total")
+    )
+    vocab = (
+        t.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(_PMI_VOCAB)
+    )
+    tv = t.join(F.broadcast(vocab.select("tok")), "tok", "left_semi")
+    a = tv.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_a"))
+    b = tv.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("d") == F.col("d2")) & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("n_pair"))
+        .filter(F.col("n_pair") >= _PMI_MIN_PAIR_DOCS)
+    )
+    va = vocab.select(F.col("tok").alias("_ta"), F.col("df").alias("df_a"))
+    vb = vocab.select(F.col("tok").alias("_tb"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), F.col("tok_a") == F.col("_ta"))
+        .join(F.broadcast(vb), F.col("tok_b") == F.col("_tb"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("n_docs_total").cast("double")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(_PMI_TOP)
+    )

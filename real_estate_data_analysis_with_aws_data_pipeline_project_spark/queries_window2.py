@@ -261,3 +261,148 @@ def features_rolling_zscore(spark, sf_dir):
             F.round((F.col("value") - F.col("mean_w")) / F.col("std_w"), 4),
         ).alias("zscore"),
     )
+
+
+# --- leave-one-out target encoding (round 8) --------------------------------
+
+_LOO_ORACLE = """
+    WITH o AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (
+        SELECT segment, CAST(sum(cents) AS BIGINT) AS seg_cents,
+               CAST(count(*) AS BIGINT) AS n
+        FROM o GROUP BY segment
+    )
+    SELECT o.o_orderkey, o.segment,
+           round(CAST(s.seg_cents - o.cents AS DOUBLE)
+                 / (s.n - 1) / 100.0, 4) AS loo_target_mean
+    FROM o JOIN s USING (segment)
+    WHERE s.n > 1
+"""
+
+
+@register("features_target_encoding_loo", _LOO_ORACLE)
+def features_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding: each order's categorical feature
+    (market segment) replaced by the mean order total of the SAME
+    segment EXCLUDING the row itself — the standard leakage-safe
+    categorical encoder for tree/linear models (plain target means
+    leak the row's own label). LOO means come from integer-cent sums
+    ((Σ − xᵢ)/(n−1) on bigints), so every value is exact before the
+    one 4-dp display rounding.
+
+    Scale: one segment aggregate (map-side combined, |segments| rows)
+    broadcast back over the fact table — no window, no per-group
+    sort; the encoder is a map-side join at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    s = o.groupBy("segment").agg(
+        F.sum("cents").cast("bigint").alias("seg_cents"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        o.join(F.broadcast(s), "segment")
+        .where(F.col("n") > 1)
+        .select(
+            "o_orderkey",
+            "segment",
+            F.round(
+                (F.col("seg_cents") - F.col("cents")).cast("double")
+                / (F.col("n") - 1)
+                / 100.0,
+                4,
+            ).alias("loo_target_mean"),
+        )
+    )
+
+
+# --- equi-depth binning (round 8) -------------------------------------------
+
+_EQD_BINS = 10
+
+_EQD_ORACLE = f"""
+    WITH o AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment, o.o_totalprice AS v
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r AS (
+        SELECT segment, v,
+               row_number() OVER (
+                   PARTITION BY segment ORDER BY v, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY segment) AS n
+        FROM o
+    ),
+    b AS (
+        SELECT segment,
+               CAST((rn - 1) * {_EQD_BINS} // n + 1 AS INT) AS bin, v
+        FROM r
+    )
+    SELECT segment, bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(v), 2) AS lo,
+           round(max(v), 2) AS hi
+    FROM b GROUP BY segment, bin
+"""
+
+
+@register("features_equidepth_bins", _EQD_ORACLE)
+def features_equidepth_bins(spark, sf_dir):
+    """Equi-depth (quantile) binning per segment: order totals split
+    into 10 equal-count bins with exact edges — the discretizer
+    behind histogram features and monotonic binning for scorecards.
+    Bin assignment is pure integer rank arithmetic
+    ((rn−1)·B div n + 1 under the deterministic (value, key) order),
+    so bin populations differ by at most one row and both engines
+    produce identical bins before any rounding.
+
+    Scale: per-segment rank window — the exact-order-statistics trade
+    documented for the MAD/skew-audit family; the output is
+    |segments|×B rows."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").alias("v")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = orders.join(
+        F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+    ).select("o_orderkey", F.col("c_mktsegment").alias("segment"), "v")
+    w = Window.partitionBy("segment").orderBy("v", "o_orderkey")
+    cw = Window.partitionBy("segment")
+    r = o.select(
+        "segment",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(cw).alias("n"),
+    )
+    b = r.select(
+        "segment",
+        (
+            F.expr(f"(rn - 1) * {_EQD_BINS} div n") + 1
+        ).cast("int").alias("bin"),
+        "v",
+    )
+    return b.groupBy("segment", "bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min("v"), 2).alias("lo"),
+        F.round(F.max("v"), 2).alias("hi"),
+    )

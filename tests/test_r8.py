@@ -173,3 +173,220 @@ def test_vocab_coverage_recompute(spark, sf_dir):
         assert r.n_covered == n_cov
         assert abs(r.coverage - n_cov / len(tt)) < 1e-6
         assert 0.0 <= r.coverage <= 1.0
+
+
+def test_cross_source_matrix_accounts_for_all_pairs(spark, sf_dir):
+    """Cell pair counts must sum to the verified near-dup pair total,
+    and every cell's mean Jaccard must sit in [threshold, 1]."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        _MINHASH_THRESHOLD,
+    )
+
+    cells = QUERIES["dedup_cross_source_matrix"].fn(spark, sf_dir).collect()
+    total_pairs = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in cells) == total_pairs
+    for r in cells:
+        assert r.source_a <= r.source_b
+        assert _MINHASH_THRESHOLD - 1e-6 <= r.mean_jaccard <= 1.0
+        assert r.pairs_per_1k >= 0.0
+
+
+def test_mad_outliers_exact_recompute(spark, sf_dir):
+    """Median, MAD, and the outlier count recomputed exactly in Python
+    under the same (value, event_id) tie-break."""
+    rows = QUERIES["events_mad_outliers"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    for r in rows:
+        vals = sorted(by_type[r.event_type])
+        n = len(vals)
+        med = (vals[(n - 1) // 2][0] + vals[n // 2][0]) / 2
+        devs = sorted(
+            (abs(v - med), eid) for v, eid in vals
+        )
+        mad = (devs[(n - 1) // 2][0] + devs[n // 2][0]) / 2
+        n_out = sum(1 for v, _ in vals if abs(v - med) > 3 * mad)
+        assert r.n_events == n
+        assert abs(r.median_value - med) < 1e-6
+        assert abs(r.mad - mad) < 1e-6
+        assert r.n_outliers == n_out
+
+
+def test_cusum_changepoint_exact_recompute(spark, sf_dir):
+    """The peak-|CUSUM| day recomputed from daily counts with exact
+    integer arithmetic (n_days·cum − rank·total)."""
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_cusum_changepoint"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).collect()
+    daily = {}
+    for r in ev:
+        daily.setdefault(r.event_type, {}).setdefault(r.day, 0)
+        daily[r.event_type][r.day] += 1
+    for et, days in daily.items():
+        items = sorted(days.items())
+        nd, total = len(items), sum(c for _, c in items)
+        cum, best = 0, None
+        for rk, (day, c) in enumerate(items, start=1):
+            cum += c
+            s = nd * cum - rk * total
+            key = (-abs(s), day)
+            if best is None or key < best[0]:
+                best = (key, day, s)
+        r = rows[et]
+        assert r.n_days == nd
+        assert r.change_day == best[1]
+        assert abs(r.peak_cusum - best[2] / nd) < 1e-6
+        assert r.direction == (1 if best[2] >= 0 else -1)
+
+
+def test_trend_slope_exact_recompute(spark, sf_dir):
+    """OLS slope/intercept recomputed from integer sums."""
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_trend_slope"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).collect()
+    daily = {}
+    for r in ev:
+        daily.setdefault(r.event_type, {}).setdefault(r.day, 0)
+        daily[r.event_type][r.day] += 1
+    for et, days in daily.items():
+        ys = [c for _, c in sorted(days.items())]
+        n = len(ys)
+        xs = range(1, n + 1)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        r = rows[et]
+        assert r.n_days == n
+        assert abs(r.slope_per_day - num / den) < 1e-6
+        assert abs(r.intercept - (sy * den - num * sx) / (n * den)) < 1e-6
+
+
+def test_token_pmi_values_and_order(spark, sf_dir):
+    """Reported PMI values recomputed from raw doc-frequencies; rows
+    must arrive in (pmi desc, tok_a, tok_b) order with the support
+    floor respected."""
+    import math as m
+    import re as _re
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_text2 import (
+        _PMI_MIN_PAIR_DOCS,
+        _PMI_VOCAB,
+    )
+
+    rows = QUERIES["text_token_pmi"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    doc_toks = {
+        r.doc_id: set(
+            w
+            for w in _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip().split(" ")
+            if w
+        )
+        for r in docs
+    }
+    from collections import Counter
+
+    df = Counter()
+    for toks in doc_toks.values():
+        df.update(toks)
+    vocab = dict(
+        sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_VOCAB]
+    )
+    n_docs = sum(1 for t in doc_toks.values() if t) or len(doc_toks)
+    n_docs = len([1 for t in doc_toks.values() if t])
+    keys = [(r.pmi, r.tok_a, r.tok_b) for r in rows]
+    assert keys == sorted(keys, key=lambda k: (-k[0], k[1], k[2]))
+    for r in rows:
+        assert r.tok_a in vocab and r.tok_b in vocab
+        assert r.n_pair >= _PMI_MIN_PAIR_DOCS
+        n_pair = sum(
+            1
+            for toks in doc_toks.values()
+            if r.tok_a in toks and r.tok_b in toks
+        )
+        assert r.n_pair == n_pair
+        expect = m.log(n_pair * n_docs / (vocab[r.tok_a] * vocab[r.tok_b]))
+        assert abs(r.pmi - expect) < 1e-5
+
+
+def test_triangle_count_bruteforce(spark, sf_dir):
+    """Per-node triangle counts recomputed by brute force over the
+    sparsified edge set (mutual-top-10 projection, undirected)."""
+    from itertools import combinations
+
+    proj = QUERIES["graph_cosupplier_projection"].fn(spark, sf_dir).collect()
+    edges = {
+        (min(r.supplier, r.partner), max(r.supplier, r.partner))
+        for r in proj
+    }
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                for v in (a, b, c):
+                    counts[v] = counts.get(v, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    rows = QUERIES["graph_triangle_count"].fn(spark, sf_dir).collect()
+    assert [(r.supplier, r.n_triangles) for r in rows] == top
+
+
+def test_target_encoding_loo_is_leakage_free(spark, sf_dir):
+    """LOO mean recomputed from integer cents; excluding the row's own
+    value must hold exactly: mean_loo = (sum - x) / (n - 1)."""
+    rows = QUERIES["features_target_encoding_loo"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey).collect()
+    cents = {r.o_orderkey: round(r.o_totalprice * 100) for r in joined}
+    seg_of = {r.o_orderkey: r.c_mktsegment for r in joined}
+    seg_sum, seg_n = {}, {}
+    for k, c in cents.items():
+        s = seg_of[k]
+        seg_sum[s] = seg_sum.get(s, 0) + c
+        seg_n[s] = seg_n.get(s, 0) + 1
+    assert len(rows) == sum(n for n in seg_n.values() if n > 1)
+    for r in rows[:500]:
+        s = r.segment
+        expect = (seg_sum[s] - cents[r.o_orderkey]) / (seg_n[s] - 1) / 100.0
+        assert abs(r.loo_target_mean - expect) < 1e-3
+
+
+def test_equidepth_bins_balanced_and_ordered(spark, sf_dir):
+    """Per segment: exactly 10 bins, populations differ by at most
+    one, edges are ordered and non-overlapping, totals match."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_window2 import (
+        _EQD_BINS,
+    )
+
+    rows = QUERIES["features_equidepth_bins"].fn(spark, sf_dir).collect()
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.segment, []).append(r)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n_orders = orders.count()
+    assert sum(r.n_rows for r in rows) == n_orders
+    for seg, bins in by_seg.items():
+        bins.sort(key=lambda r: r.bin)
+        assert [b.bin for b in bins] == list(range(1, _EQD_BINS + 1))
+        sizes = [b.n_rows for b in bins]
+        assert max(sizes) - min(sizes) <= 1
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev.hi <= nxt.lo + 1e-9

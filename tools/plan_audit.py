@@ -114,6 +114,14 @@ EXTRA = [
     "skew_shuffle_profile",
     "join_interval_overlap",
     "text_vocab_coverage",
+    "dedup_cross_source_matrix",
+    "events_mad_outliers",
+    "events_cusum_changepoint",
+    "events_trend_slope",
+    "text_token_pmi",
+    "graph_triangle_count",
+    "features_target_encoding_loo",
+    "features_equidepth_bins",
 ]
 
 
