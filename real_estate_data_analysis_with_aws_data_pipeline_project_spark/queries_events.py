@@ -1504,3 +1504,88 @@ def events_trend_slope(spark, sf_dir):
             6,
         ).alias("intercept"),
     )
+
+
+# --- longest active-day streak (round 8) ------------------------------------
+
+_STREAK_ORACLE = """
+    WITH d AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day
+               ) AS INT) AS island
+        FROM d
+    ),
+    s AS (
+        SELECT user_id, island, CAST(count(*) AS BIGINT) AS len,
+               min(day) AS streak_start
+        FROM r GROUP BY user_id, island
+    ),
+    best AS (
+        SELECT user_id, len, streak_start, row_number() OVER (
+                   PARTITION BY user_id ORDER BY len DESC, streak_start
+               ) AS rn,
+               CAST(sum(len) OVER (PARTITION BY user_id) AS BIGINT)
+                   AS n_active_days
+        FROM s
+    )
+    SELECT user_id, n_active_days, len AS longest_streak,
+           strftime(streak_start, '%Y-%m-%d') AS streak_start
+    FROM best WHERE rn = 1
+"""
+
+
+@register("events_longest_streak", _STREAK_ORACLE)
+def events_longest_streak(spark, sf_dir):
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands engagement metric (day − rank is constant inside
+    a run of consecutive days). Reports each user's active-day total,
+    best streak length, and its start day; earliest streak wins
+    ties, so both engines pick identical rows.
+
+    Scale: distinct (user, day) → one user-partitioned rank window on
+    the day-grain relation (≤ calendar × users, far smaller than the
+    event stream) → island aggregate; all integer/date arithmetic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.select(
+        "user_id",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("island"),
+    )
+    s = r.groupBy("user_id", "island").agg(
+        F.count("*").cast("bigint").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    bw = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), "streak_start"
+    )
+    uw = Window.partitionBy("user_id")
+    return (
+        s.select(
+            "user_id",
+            "len",
+            "streak_start",
+            F.row_number().over(bw).alias("rn"),
+            F.sum("len").over(uw).cast("bigint").alias("n_active_days"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            F.col("len").alias("longest_streak"),
+            F.date_format("streak_start", "yyyy-MM-dd").alias(
+                "streak_start"
+            ),
+        )
+    )

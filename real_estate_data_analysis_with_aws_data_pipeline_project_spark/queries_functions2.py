@@ -772,3 +772,58 @@ def mv_incremental_refresh(spark, sf_dir):
             ).alias("incremental_matches"),
         )
     )
+
+
+# --- l-diversity audit (round 8) --------------------------------------------
+
+_LDIV_L = 3  # distinct-sensitive-value floor per equivalence class
+
+_LDIV_ORACLE = f"""
+    WITH g AS (
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+                    AS BIGINT) AS l_distinct
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, n, l_distinct,
+           l_distinct < {_LDIV_L} AS at_risk
+    FROM g
+"""
+
+
+@register("pii_l_diversity_audit", _LDIV_ORACLE)
+def pii_l_diversity_audit(spark, sf_dir):
+    """l-diversity audit — the refinement k-anonymity misses: an
+    equivalence class can be large (k-anonymous) yet expose its
+    members anyway if they all share one SENSITIVE value. Per
+    (segment, nation) class: member count, the number of distinct
+    sensitive values (account balance in 1000-unit bands), and the
+    at-risk flag for classes below l=3 — the homogeneity-attack gate
+    that runs next to pii_k_anonymity_audit before person-adjacent
+    records feed a corpus.
+
+    Scale: one groupBy with a distinct-count — map-side partial
+    distinct aggregation; output is the QI-class relation."""
+    g = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(
+            "c_mktsegment",
+            F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("l_distinct"),
+        )
+    )
+    return g.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        "l_distinct",
+        (F.col("l_distinct") < _LDIV_L).alias("at_risk"),
+    )

@@ -862,3 +862,127 @@ def dq_schema_drift(spark, sf_dir):
         F.col("a.actual_type").alias("actual_type"),
         status.alias("status"),
     )
+
+
+# --- referential-integrity + key-uniqueness audits (round 8) ----------------
+
+_RI_RELATIONS = [
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{name}' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child_rows,
+           CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphans,
+           round(CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS orphan_rate
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{ck} = p.{pk}
+    """
+    for name, child, ck, parent, pk in _RI_RELATIONS
+)
+
+
+@register("dq_referential_integrity", _RI_ORACLE)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit over the whole star schema: for
+    every foreign-key relation, the child row count, the orphan count
+    (child keys with no parent), and the orphan rate — the first
+    data-quality gate after any ingest, and the one that catches
+    partial loads before they silently skew every downstream join.
+
+    Scale: each relation is one LEFT join against the DISTINCT parent
+    keys (dimension-sized for nation/region/customer/part/supplier —
+    Catalyst broadcasts them; the orders side uses the normal shuffle
+    join) folded into counts — no row-level output, only the
+    7-relation report."""
+    out = None
+    for name, child, ck, parent, pk in _RI_RELATIONS:
+        c = load_table(spark, sf_dir, child).select(F.col(ck).alias("_ck"))
+        p = (
+            load_table(spark, sf_dir, parent)
+            .select(F.col(pk).alias("_pk"))
+            .distinct()
+        )
+        rel = (
+            c.join(p, F.col("_ck") == F.col("_pk"), "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_child_rows"),
+                F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child_rows",
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans").cast("double")
+                    / F.col("n_child_rows"),
+                    6,
+                ).alias("orphan_rate"),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out
+
+
+_PK_TABLES = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+_PK_ORACLE = "\nUNION ALL\n".join(
+    f"""
+    SELECT '{t}' AS table_name, '{k}' AS key_column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT {k}) AS BIGINT) AS n_distinct,
+           count(*) = count(DISTINCT {k}) AS is_unique
+    FROM {t}
+    """
+    for t, k in _PK_TABLES
+)
+
+
+@register("dq_key_uniqueness", _PK_ORACLE)
+def dq_key_uniqueness(spark, sf_dir):
+    """Primary-key uniqueness audit across every keyed table: row
+    count vs distinct key count and the is_unique verdict — the
+    companion gate to the referential audit (an FK check against a
+    parent with duplicated keys proves nothing).
+
+    Scale: per-table map-side-combined distinct aggregation; the
+    report is one row per table."""
+    out = None
+    for t, k in _PK_TABLES:
+        rel = (
+            load_table(spark, sf_dir, t)
+            .agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(F.col(k)).cast("bigint").alias("n_distinct"),
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                F.lit(k).alias("key_column"),
+                "n_rows",
+                "n_distinct",
+                (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+            )
+        )
+        out = rel if out is None else out.unionByName(rel)
+    return out

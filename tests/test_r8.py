@@ -390,3 +390,99 @@ def test_equidepth_bins_balanced_and_ordered(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1
         for prev, nxt in zip(bins, bins[1:]):
             assert prev.hi <= nxt.lo + 1e-9
+
+
+def test_referential_integrity_clean_on_testdata(spark, sf_dir):
+    """The generated star schema must be orphan-free, and the audit
+    must cover every FK relation with the right child cardinalities."""
+    rows = {r.relation: r for r in QUERIES["dq_referential_integrity"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    li_n = load_table(spark, sf_dir, "lineitem").count()
+    assert rows["lineitem.orderkey->orders"].n_child_rows == li_n
+    for r in rows.values():
+        assert r.n_orphans == 0
+        assert r.orphan_rate == 0.0
+
+
+def test_referential_integrity_detects_orphans(spark, sf_dir):
+    """Synthetic orphan check: shifting half the child keys out of the
+    parent domain must be reported (the audit is not a tautology)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_pipeline import (
+        _RI_RELATIONS,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    max_ck = cust.agg(F.max("c_custkey")).first()[0]
+    broken = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_custkey") % 2 == 0, F.col("o_custkey") + max_ck + 1)
+        .otherwise(F.col("o_custkey")),
+    )
+    j = broken.join(
+        cust.select(F.col("c_custkey").alias("_pk")).distinct(),
+        broken.o_custkey == F.col("_pk"),
+        "left",
+    )
+    n_orph = j.filter(F.col("_pk").isNull()).count()
+    n_even = orders.filter(F.col("o_custkey") % 2 == 0).count()
+    assert n_orph == n_even and n_orph > 0
+
+
+def test_key_uniqueness_all_tables(spark, sf_dir):
+    rows = {r.table_name: r for r in QUERIES["dq_key_uniqueness"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 8
+    for t, r in rows.items():
+        assert r.is_unique, t
+        assert r.n_rows == r.n_distinct
+
+
+def test_l_diversity_recompute(spark, sf_dir):
+    rows = QUERIES["pii_l_diversity_audit"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).collect()
+    import math as m
+
+    grp = {}
+    for c in cust:
+        key = (c.c_mktsegment, c.c_nationkey)
+        grp.setdefault(key, set()).add(m.floor(c.c_acctbal / 1000.0))
+    n_by = {}
+    for c in cust:
+        key = (c.c_mktsegment, c.c_nationkey)
+        n_by[key] = n_by.get(key, 0) + 1
+    assert len(rows) == len(grp)
+    for r in rows:
+        key = (r.c_mktsegment, r.c_nationkey)
+        assert r.n == n_by[key]
+        assert r.l_distinct == len(grp[key])
+        assert r.at_risk == (len(grp[key]) < 3)
+
+
+def test_longest_streak_recompute(spark, sf_dir):
+    """Streaks recomputed from raw (user, day) sets."""
+    import datetime as dt
+
+    rows = {r.user_id: r for r in QUERIES["events_longest_streak"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).collect()
+    days = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(r.day)
+    for uid, ds in days.items():
+        seq = sorted(dt.date.fromisoformat(d) for d in ds)
+        best_len, best_start = 1, seq[0]
+        run_len, run_start = 1, seq[0]
+        for prev, cur in zip(seq, seq[1:]):
+            if (cur - prev).days == 1:
+                run_len += 1
+            else:
+                run_len, run_start = 1, cur
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+        r = rows[uid]
+        assert r.n_active_days == len(ds)
+        assert r.longest_streak == best_len
+        assert r.streak_start == best_start.isoformat()

@@ -122,6 +122,10 @@ EXTRA = [
     "graph_triangle_count",
     "features_target_encoding_loo",
     "features_equidepth_bins",
+    "pii_l_diversity_audit",
+    "dq_referential_integrity",
+    "dq_key_uniqueness",
+    "events_longest_streak",
 ]
 
 
