@@ -1589,3 +1589,106 @@ def events_longest_streak(spark, sf_dir):
             ),
         )
     )
+
+
+# --- session transition matrix (round 8) ------------------------------------
+
+_TRANSITION_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    ),
+    tr AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id
+               ) AS to_type
+        FROM s
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM tr WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM c GROUP BY from_type
+    )
+    SELECT c.from_type, c.to_type, c.n,
+           round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p_transition
+    FROM c JOIN t USING (from_type)
+"""
+
+
+@register("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over WITHIN-SESSION event
+    sequences: for every (from, to) event-type pair, the transition
+    count and conditional probability — the user-journey fingerprint
+    behind funnel design and next-action models. Transitions never
+    cross a session boundary (same 30-min shared gap as every
+    sessionizer in the engine), and the deterministic (ts, event_id)
+    order makes the lead() pairs identical in both engines.
+
+    Scale: one user_id-partitioned sessionize + lead pass over the
+    stream, then a |types|² aggregate with a broadcast row-sum
+    normalizer."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("ts").over(uw).alias("prev_ts"),
+    ).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros("prev_ts")
+                >= _SESSION_GAP_US
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = m.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sw = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    tr = s.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(sw).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    c = tr.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+            "p_transition"
+        ),
+    )

@@ -1263,3 +1263,184 @@ def pii_tokenize_preserving(spark, sf_dir):
         "phone_token",
         F.md5(tokenized.cast("binary")).alias("tokenized_fp"),
     )
+
+
+# --- Benford first-digit audit (round 8) ------------------------------------
+
+_BENFORD_ORACLE = """
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100.0, 0)
+                                    AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INT) AS digit
+        FROM orders
+    ),
+    c AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / t.total, 6) AS observed_share,
+           round(log10(1.0 + 1.0 / c.digit), 6) AS benford_share,
+           round(pow(CAST(c.n AS DOUBLE) / t.total
+                     - log10(1.0 + 1.0 / c.digit), 2)
+                 / log10(1.0 + 1.0 / c.digit), 6) AS chi2_term
+    FROM c CROSS JOIN t
+"""
+
+
+@register("dq_benford_firstdigit", _BENFORD_ORACLE)
+def dq_benford_firstdigit(spark, sf_dir):
+    """Benford's-law first-digit audit over order totals: observed vs
+    expected log10(1+1/d) share per leading digit with the chi-square
+    contribution — the classic fabricated-data / unit-mixup screen for
+    financial columns. The leading digit comes from the INTEGER cents
+    representation (multiplying by 100 never changes the leading
+    significant digit, and bigint→string never switches to scientific
+    notation the way double→string does), so digit extraction is
+    engine-exact and only the report shares round.
+
+    Scale: map-side digit projection + a 9-group aggregate; totals
+    ride a one-row broadcast."""
+    d = load_table(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100.0, 0)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    t = c.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_share"),
+        F.round(exp, 6).alias("benford_share"),
+        F.round(F.pow(obs - exp, 2) / exp, 6).alias("chi2_term"),
+    )
+
+
+# --- Kolmogorov-Smirnov drift (round 8) -------------------------------------
+
+_KS_ORACLE = """
+    WITH b AS (
+        SELECT event_type,
+               (CAST(epoch_us(min(ts)) AS BIGINT)
+                + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid_us
+        FROM events GROUP BY event_type
+    ),
+    v AS (
+        SELECT e.event_type, e.value,
+               CASE WHEN CAST(epoch_us(e.ts) AS BIGINT) < b.mid_us
+                    THEN 1 ELSE 0 END AS is_early
+        FROM events e JOIN b USING (event_type)
+    ),
+    g AS (
+        SELECT event_type, value,
+               CAST(sum(is_early) AS BIGINT) AS c1,
+               CAST(sum(1 - is_early) AS BIGINT) AS c2
+        FROM v GROUP BY event_type, value
+    ),
+    n AS (
+        SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2
+        FROM g GROUP BY event_type
+    ),
+    cum AS (
+        SELECT g.event_type, g.value, n.n1, n.n2,
+               sum(g.c1) OVER (
+                   PARTITION BY g.event_type ORDER BY g.value
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum1,
+               sum(g.c2) OVER (
+                   PARTITION BY g.event_type ORDER BY g.value
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum2
+        FROM g JOIN n USING (event_type)
+    ),
+    k AS (
+        SELECT event_type, n1, n2,
+               max(abs(cum1 * n2 - cum2 * n1)) AS ks_num
+        FROM cum GROUP BY event_type, n1, n2
+    )
+    SELECT event_type, n1 AS n_early, n2 AS n_late,
+           round(CAST(ks_num AS DOUBLE) / (n1 * n2), 6) AS ks_statistic
+    FROM k
+"""
+
+
+@register("quality_ks_drift", _KS_ORACLE)
+def quality_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift per event type: the event
+    stream is split at its integer-µs time midpoint and the KS
+    statistic sup|F_early − F_late| is computed over the merged value
+    grid. The supremum is taken over INTEGER cross-products
+    (|cum1·n2 − cum2·n1|, exact bigints), so the argmax — and
+    therefore the statistic — is partition- and engine-exact before
+    the single 6-dp display division. The nonparametric companion to
+    the binned PSI monitor (quality_psi_drift): KS needs no bin
+    choice and catches shape drift PSI's bins can wash out.
+
+    Scale: one value-grain aggregate, then a per-type cumulative
+    window on the (type, value) relation — the exact-order-statistics
+    trade documented for this family."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        (
+            (
+                F.unix_micros(F.min("ts")).cast("bigint")
+                + F.unix_micros(F.max("ts")).cast("bigint")
+            )
+            / 2
+        )
+        .cast("bigint")
+        .alias("mid_us")
+    )
+    v = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "value",
+        F.when(
+            F.unix_micros("ts").cast("bigint") < F.col("mid_us"), 1
+        )
+        .otherwise(0)
+        .alias("is_early"),
+    )
+    g = v.groupBy("event_type", "value").agg(
+        F.sum("is_early").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("is_early")).cast("bigint").alias("c2"),
+    )
+    n = g.groupBy("event_type").agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    k = cum.groupBy("event_type", "n1", "n2").agg(
+        F.max(F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))).alias(
+            "ks_num"
+        )
+    )
+    return k.select(
+        "event_type",
+        F.col("n1").alias("n_early"),
+        F.col("n2").alias("n_late"),
+        F.round(
+            F.col("ks_num").cast("double") / (F.col("n1") * F.col("n2")),
+            6,
+        ).alias("ks_statistic"),
+    )

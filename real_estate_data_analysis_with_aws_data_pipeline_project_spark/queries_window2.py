@@ -406,3 +406,214 @@ def features_equidepth_bins(spark, sf_dir):
         F.round(F.min("v"), 2).alias("lo"),
         F.round(F.max("v"), 2).alias("hi"),
     )
+
+
+# --- per-nation RFM segmentation (round 8) ----------------------------------
+
+_RFM_ORACLE = """
+    WITH anchor AS (
+        SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+    ),
+    base AS (
+        SELECT c.c_nationkey AS nation, o.o_custkey AS custkey,
+               CAST(a.maxd - max(CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                   AS r_days,
+               CAST(count(*) AS BIGINT) AS f_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS m_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        CROSS JOIN anchor a
+        GROUP BY 1, 2, a.maxd
+    ),
+    q AS (
+        SELECT *,
+               CAST((row_number() OVER (
+                   PARTITION BY nation ORDER BY r_days, custkey
+               ) - 1) * 4 // count(*) OVER (PARTITION BY nation) + 1
+                   AS INT) AS r_q,
+               CAST((row_number() OVER (
+                   PARTITION BY nation ORDER BY f_orders DESC, custkey
+               ) - 1) * 4 // count(*) OVER (PARTITION BY nation) + 1
+                   AS INT) AS f_q,
+               CAST((row_number() OVER (
+                   PARTITION BY nation ORDER BY m_cents DESC, custkey
+               ) - 1) * 4 // count(*) OVER (PARTITION BY nation) + 1
+                   AS INT) AS m_q
+        FROM base
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, custkey,
+           r_days, f_orders, m_cents, r_q, f_q, m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+    FROM q
+"""
+
+
+@register("features_rfm_segments", _RFM_ORACLE)
+def features_rfm_segments(spark, sf_dir):
+    """RFM segmentation within each nation: recency (days since last
+    order vs the corpus anchor date), frequency (order count), and
+    monetary value (integer cents) ranked into positional quartiles —
+    ((rn−1)·4 div n + 1 under deterministic tie-breaks, the equi-depth
+    convention, so both engines build identical quartiles without any
+    value-threshold tie ambiguity — and the best quartile is 1 on
+    every axis (recent ASC, frequent/monetary DESC). The 3-digit RFM
+    code is the classic CRM segment key.
+
+    Scale: one customer-grain aggregate, then three rank windows
+    PARTITIONED BY NATION (segmentation within a market is also the
+    analytically honest form — cross-market quantiles mix currencies
+    and behaviors); no global window."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    anchor = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("maxd")
+    )
+    base = (
+        orders.join(
+            F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .crossJoin(F.broadcast(anchor))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.col("o_custkey").alias("custkey"),
+            "maxd",
+        )
+        .agg(
+            F.datediff(
+                F.max("maxd"), F.max(F.to_date("o_orderdate"))
+            )
+            .cast("bigint")
+            .alias("r_days"),
+            F.count("*").cast("bigint").alias("f_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("m_cents"),
+        )
+        .drop("maxd")
+    )
+    nw = Window.partitionBy("nation")
+
+    def quart(order_cols):
+        rn = F.row_number().over(nw.orderBy(*order_cols))
+        n = F.count("*").over(nw)
+        return (
+            F.expr("1") + ((rn - 1) * 4 / n).cast("int")
+        ).cast("int")
+
+    q = base.select(
+        "*",
+        quart([F.col("r_days"), F.col("custkey")]).alias("r_q"),
+        quart([F.col("f_orders").desc(), F.col("custkey")]).alias("f_q"),
+        quart([F.col("m_cents").desc(), F.col("custkey")]).alias("m_q"),
+    )
+    return q.select(
+        "nation",
+        "custkey",
+        "r_days",
+        "f_orders",
+        "m_cents",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+# --- time-decayed mean (round 8) --------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 7
+_DECAY_MAX_HALVINGS = 10  # weights: 2^(10 - min(age div 7, 10)) — integer
+
+_DECAY_ORACLE = f"""
+    WITH anchor AS (
+        SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS maxd FROM events
+    ),
+    w AS (
+        SELECT e.user_id,
+               CAST(round(e.value * 100.0, 0) AS BIGINT) AS cents,
+               CAST(pow(2, {_DECAY_MAX_HALVINGS} - least(
+                   CAST(a.maxd - CAST(date_trunc('day', e.ts) AS DATE)
+                        AS BIGINT) // {_DECAY_HALF_LIFE_DAYS},
+                   {_DECAY_MAX_HALVINGS})) AS BIGINT) AS iw
+        FROM events e CROSS JOIN anchor a
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           -- half-up integer rounding of the exact rational
+           -- S/(100*n) at 4 dp: round(S*100/n) = (200*S + n) // (2*n)
+           -- — no double ever carries an unrounded mean, so there is
+           -- no FP boundary channel
+           CAST((200 * sum(cents * iw) + sum(iw)) // (2 * sum(iw))
+                AS DOUBLE) / 10000.0 AS decayed_mean,
+           CAST((200 * sum(cents) + count(*)) // (2 * count(*))
+                AS DOUBLE) / 10000.0 AS plain_mean
+    FROM w GROUP BY user_id
+"""
+
+
+@register("features_time_decay_mean", _DECAY_ORACLE)
+def features_time_decay_mean(spark, sf_dir):
+    """Recency-weighted (exponentially decayed) mean event value per
+    user, half-life 7 days against the corpus anchor day — the
+    freshness-weighted engagement feature. Weights are INTEGER powers
+    of two (2^(10−halvings), halvings capped at 10), and values are
+    integer cents, so both weighted and plain sums are exact bigints
+    under any partitioning; only the report divides. This is the
+    discrete-exact formulation of exp(−age/τ) weighting — no libm
+    exp(), no FP sum-order channel.
+
+    Scale: one broadcast anchor row + one map-side-combined user
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("maxd")
+    )
+    halv = F.least(
+        F.floor(
+            F.datediff(
+                F.col("maxd"), F.to_date(F.date_trunc("day", F.col("ts")))
+            )
+            / _DECAY_HALF_LIFE_DAYS
+        ),
+        F.lit(_DECAY_MAX_HALVINGS),
+    )
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("cents"),
+        F.pow(F.lit(2.0), _DECAY_MAX_HALVINGS - halv)
+        .cast("bigint")
+        .alias("iw"),
+    )
+    agg = w.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.col("cents") * F.col("iw")).cast("bigint").alias("swc"),
+        F.sum("iw").cast("bigint").alias("sw"),
+        F.sum("cents").cast("bigint").alias("sc"),
+    )
+    # half-up integer rounding of the exact rational S/(100·n) at 4 dp
+    # ((200·S + n) div (2·n)) — the rounded value exists as an integer
+    # before any double does, closing the 4-dp boundary channel a
+    # float division would open (caught live at sf0.1: 49.19125).
+    return agg.select(
+        "user_id",
+        "n_events",
+        (
+            F.expr("(200 * swc + sw) div (2 * sw)").cast("double")
+            / 10000.0
+        ).alias("decayed_mean"),
+        (
+            F.expr("(200 * sc + n_events) div (2 * n_events)").cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("plain_mean"),
+    )

@@ -486,3 +486,116 @@ def test_longest_streak_recompute(spark, sf_dir):
         assert r.n_active_days == len(ds)
         assert r.longest_streak == best_len
         assert r.streak_start == best_start.isoformat()
+
+
+def test_benford_shares_and_chi2(spark, sf_dir):
+    """Digit extraction recomputed from integer cents; shares sum to 1;
+    expected shares are the Benford masses."""
+    import math as m
+
+    rows = QUERIES["dq_benford_firstdigit"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    from collections import Counter
+
+    digits = Counter(int(str(round(r.o_totalprice * 100))[0]) for r in orders)
+    total = sum(digits.values())
+    assert {r.digit for r in rows} == set(digits)
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.n == digits[r.digit]
+        assert abs(r.benford_share - m.log10(1 + 1 / r.digit)) < 1e-6
+        exp = m.log10(1 + 1 / r.digit)
+        assert abs(r.chi2_term - (r.n / total - exp) ** 2 / exp) < 1e-5
+
+
+def test_ks_drift_exact_recompute(spark, sf_dir):
+    """KS statistic recomputed with exact integer cross-products."""
+    rows = {r.event_type: r for r in QUERIES["quality_ks_drift"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("us")
+    ).collect()
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r.event_type, []).append((r.us, r.value))
+    for et, xs in by_type.items():
+        mid = (min(u for u, _ in xs) + max(u for u, _ in xs)) // 2
+        early = sorted(v for u, v in xs if u < mid)
+        late = sorted(v for u, v in xs if u >= mid)
+        n1, n2 = len(early), len(late)
+        grid = sorted(set(early) | set(late))
+        import bisect
+
+        ks_num = max(
+            abs(bisect.bisect_right(early, v) * n2 - bisect.bisect_right(late, v) * n1)
+            for v in grid
+        )
+        r = rows[et]
+        assert (r.n_early, r.n_late) == (n1, n2)
+        assert abs(r.ks_statistic - ks_num / (n1 * n2)) < 1e-6
+
+
+def test_transition_matrix_probabilities(spark, sf_dir):
+    """Per from_type probabilities sum to 1 and counts match a direct
+    lead recomputation on a sample of users."""
+    rows = QUERIES["events_transition_matrix"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    n_by_from = defaultdict(int)
+    for r in rows:
+        by_from[r.from_type] += r.p_transition
+        n_by_from[r.from_type] += r.n
+    for ft, p in by_from.items():
+        assert abs(p - 1.0) < 1e-3, ft
+    # total transitions = total events - total sessions
+    ev_n = load_table(spark, sf_dir, "events").count()
+    n_sessions = QUERIES["events_session_window"].fn(spark, sf_dir).count()
+    assert sum(n_by_from.values()) == ev_n - n_sessions
+
+
+def test_rfm_quartiles_balanced(spark, sf_dir):
+    """Within every nation each quartile holds between floor(n/4) and
+    ceil(n/4) customers on every axis, and the code composes."""
+    rows = QUERIES["features_rfm_segments"].fn(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    by_nation = defaultdict(list)
+    for r in rows:
+        by_nation[r.nation].append(r)
+        assert r.rfm_code == r.r_q * 100 + r.f_q * 10 + r.m_q
+    for nation, rs in by_nation.items():
+        n = len(rs)
+        for axis in ("r_q", "f_q", "m_q"):
+            cnt = defaultdict(int)
+            for r in rs:
+                cnt[getattr(r, axis)] += 1
+            assert set(cnt) <= {1, 2, 3, 4}
+            for q in cnt:
+                assert n // 4 <= cnt[q] <= n // 4 + 1, (nation, axis, cnt)
+
+
+def test_time_decay_mean_exact(spark, sf_dir):
+    """Decayed and plain means recomputed with integer weights and
+    half-up rational rounding."""
+    rows = {r.user_id: r for r in QUERIES["features_time_decay_mean"].fn(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).collect()
+    maxd = max(r.day for r in ev)
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0, 0, 0])  # swc, sw, sc, n
+    for r in ev:
+        cents = round(r.value * 100)
+        halv = min((maxd - r.day).days // 7, 10)
+        iw = 2 ** (10 - halv)
+        a = acc[r.user_id]
+        a[0] += cents * iw
+        a[1] += iw
+        a[2] += cents
+        a[3] += 1
+    for uid, (swc, sw, sc, n) in acc.items():
+        r = rows[uid]
+        assert r.n_events == n
+        assert r.decayed_mean == ((200 * swc + sw) // (2 * sw)) / 10000.0
+        assert r.plain_mean == ((200 * sc + n) // (2 * n)) / 10000.0

@@ -126,6 +126,11 @@ EXTRA = [
     "dq_referential_integrity",
     "dq_key_uniqueness",
     "events_longest_streak",
+    "dq_benford_firstdigit",
+    "quality_ks_drift",
+    "events_transition_matrix",
+    "features_rfm_segments",
+    "features_time_decay_mean",
 ]
 
 
