@@ -92,6 +92,10 @@ QUERIES_UNDER_TEST = [
     # the one intrinsically super-linear family; the rehearsal bounds
     # how fast that grows on the replicated corpus.
     "join_interval_overlap",
+    # round-8: the KS supremum runs a per-type window over the VALUE
+    # grain — distinct values grow with the corpus, so the window input
+    # must stay linear (the exact-order-statistics trade).
+    "quality_ks_drift",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
