@@ -617,3 +617,94 @@ def features_time_decay_mean(spark, sf_dir):
             / 10000.0
         ).alias("plain_mean"),
     )
+
+
+# --- GLOBAL equi-depth bins, two-pass (round 8) ------------------------------
+
+_GEQD_BINS = 16
+_GEQD_RANGES = 4096  # value-range buckets for the two-pass global rank
+
+_GEQD_ORACLE = f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    r AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM o
+    ),
+    b AS (
+        SELECT cents,
+               CAST((rn - 1) * {_GEQD_BINS} // n + 1 AS INT) AS bin
+        FROM r
+    )
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+           round(CAST(min(cents) AS DOUBLE) / 100.0, 2) AS lo,
+           round(CAST(max(cents) AS DOUBLE) / 100.0, 2) AS hi
+    FROM b GROUP BY bin
+"""
+
+
+@register("features_global_equidepth_bins", _GEQD_ORACLE)
+def features_global_equidepth_bins(spark, sf_dir):
+    """GLOBAL equi-depth binning without a global window — the
+    two-pass bucket-rank pattern (corpus_global_shuffle's machinery
+    applied to a VALUE axis): pass 1 aggregates row counts per
+    value-range bucket (cents div width, width sized off the broadcast
+    max so there are ≤ 4096 buckets); the prefix offsets over that
+    metadata-scale relation are computed driver-side; pass 2 ranks
+    WITHIN each bucket (partitioned window) and adds the offset,
+    giving every row its exact global rank — bin = (rank−1)·B div n.
+    The DuckDB oracle uses the naive global window, so the hash match
+    PROVES the two-pass plan reproduces exact global order statistics.
+
+    Scale: no unpartitioned window anywhere — the widest structures
+    are a ≤ 4096-row bucket-count aggregate (driver prefix over it is
+    metadata-scale, the documented global-shuffle convention) and
+    per-bucket rank windows whose fan-in is the value-density of one
+    range. Integer ranks and cents end-to-end."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    mx = o.agg(F.max("cents").alias("maxc")).first()["maxc"]
+    width = max(1, (int(mx) // _GEQD_RANGES) + 1)
+    o = o.withColumn("rng", F.expr(f"cents div {width}").cast("bigint"))
+    counts = (
+        o.groupBy("rng").agg(F.count("*").alias("c")).collect()
+    )  # ≤ _GEQD_RANGES rows — metadata-scale driver prefix, like
+    # corpus_global_shuffle's 256 offsets
+    offsets, running = [], 0
+    for row in sorted(counts, key=lambda r: r["rng"]):
+        offsets.append((int(row["rng"]), running))
+        running += row["c"]
+    n_total = running
+    off_df = spark.createDataFrame(
+        offsets, schema="rng bigint, off bigint"
+    )
+    w = Window.partitionBy("rng").orderBy("cents", "o_orderkey")
+    ranked = (
+        o.join(F.broadcast(off_df), "rng")
+        .select(
+            "cents",
+            (F.row_number().over(w) + F.col("off")).alias("grank"),
+        )
+    )
+    b = ranked.select(
+        "cents",
+        (
+            F.expr(f"(grank - 1) * {_GEQD_BINS} div {n_total}") + 1
+        ).cast("int").alias("bin"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo"),
+        F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi"),
+    )

@@ -599,3 +599,44 @@ def test_time_decay_mean_exact(spark, sf_dir):
         assert r.n_events == n
         assert r.decayed_mean == ((200 * swc + sw) // (2 * sw)) / 10000.0
         assert r.plain_mean == ((200 * sc + n) // (2 * n)) / 10000.0
+
+
+def test_global_equidepth_bins_exact_and_no_global_window(spark, sf_dir):
+    """The two-pass global binning must equal the naive global-window
+    definition (recomputed in Python) AND its executed plan must
+    contain no unpartitioned window — the whole point of the pattern."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_window2 import (
+        _GEQD_BINS,
+        features_global_equidepth_bins,
+    )
+
+    rows = {r.bin: r for r in QUERIES["features_global_equidepth_bins"].fn(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    ranked = sorted(
+        (round(r.o_totalprice * 100), r.o_orderkey) for r in orders
+    )
+    n = len(ranked)
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for i, (cents, _) in enumerate(ranked):
+        bins[(i * _GEQD_BINS) // n + 1].append(cents)
+    assert set(rows) == set(bins)
+    for b, cents in bins.items():
+        r = rows[b]
+        assert r.n_rows == len(cents)
+        assert r.lo == round(min(cents) / 100.0, 2)
+        assert r.hi == round(max(cents) / 100.0, 2)
+    sizes = [rows[b].n_rows for b in sorted(rows)]
+    assert max(sizes) - min(sizes) <= 1
+    # plan hygiene: partitioned windows only
+    df = features_global_equidepth_bins(spark, sf_dir)
+    exe = df._jdf.queryExecution().executedPlan().toString()
+    for line in exe.splitlines():
+        if "windowspecdefinition(" in line:
+            first_arg = line.split("windowspecdefinition(", 1)[1].split(",", 1)[0]
+            assert "ASC" not in first_arg and "DESC" not in first_arg, (
+                "unpartitioned window found:\n" + line
+            )

@@ -131,6 +131,7 @@ EXTRA = [
     "events_transition_matrix",
     "features_rfm_segments",
     "features_time_decay_mean",
+    "features_global_equidepth_bins",
 ]
 
 
