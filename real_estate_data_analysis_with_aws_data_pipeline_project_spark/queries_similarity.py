@@ -2041,3 +2041,115 @@ def embedding_covariance_whitening(spark, sf_dir):
             4,
         ).alias("corr"),
     )
+
+
+# --- per-label centroid drift (round 8) --------------------------------------
+
+_CDRIFT_ORACLE = f"""
+    WITH x AS (
+        SELECT label, t.pos,
+               CAST(sum(CAST(round(CAST(embedding[t.pos] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+                   AS sx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM embeddings, range(1, {_EMB_DIM + 1}) t(pos)
+        GROUP BY label, t.pos
+    ),
+    g AS (
+        SELECT pos, CAST(sum(sx) AS BIGINT) AS gx,
+               CAST(sum(n) AS BIGINT) AS gn
+        FROM x GROUP BY pos
+    ),
+    d AS (
+        SELECT x.label, max(x.n) AS n_vectors, max(g.gn) AS gn,
+               sum(CAST(x.sx AS HUGEINT) * g.gx) AS dot_i,
+               sum(CAST(x.sx AS HUGEINT) * x.sx) AS nl_i,
+               sum(CAST(g.gx AS HUGEINT) * g.gx) AS ng_i
+        FROM x JOIN g USING (pos)
+        GROUP BY x.label
+    )
+    SELECT CAST(label AS INT) AS label, n_vectors,
+           round(CAST(dot_i AS DOUBLE)
+                 / (sqrt(CAST(nl_i AS DOUBLE))
+                    * sqrt(CAST(ng_i AS DOUBLE))), 6) AS cos_to_global,
+           round((sqrt(CAST(nl_i AS DOUBLE)) * gn)
+                 / (sqrt(CAST(ng_i AS DOUBLE)) * n_vectors), 6)
+               AS norm_ratio
+    FROM d
+"""
+
+
+@register("embedding_source_centroid_drift", _CDRIFT_ORACLE)
+def embedding_source_centroid_drift(spark, sf_dir):
+    """Per-label centroid drift: cosine of every label's embedding
+    centroid against the GLOBAL centroid (plus the norm ratio) — the
+    embedding-space health check that flags a slice whose
+    representation is pulling away from the corpus (domain shift,
+    encoder regression, poisoned slice) before any downstream model
+    sees it.
+
+    Determinism: per-dim sums are integer micro-units (the whitening
+    convention) and — because cosine is scale-invariant — the
+    per-count divisions cancel, so dot and both norms are summed as
+    EXACT 128-bit integers (decimal(38,0) / HUGEINT) of sx·gx, sx²,
+    gx². No double exists until the final sqrt/divide of identical
+    integers, so there is no sum-order channel at all; norm_ratio
+    restores the count scaling exactly ((√nl·gn)/(√ng·n)).
+
+    Scale: one posexplode shuffle to (label, dim) partials —
+    map-side combined, |labels|·d output rows; the global centroid is
+    a second tiny aggregate OF the first; the cosine runs on the
+    |labels|·d relation. The corpus is scanned once."""
+    v = _vecs(spark, sf_dir).select("label", "embedding")
+    x = (
+        v.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("val").cast("double") * 1000000.0, 0)
+            .cast("bigint")
+            .alias("xm"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("xm").cast("bigint").alias("sx"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+    )
+    g = x.groupBy("pos").agg(
+        F.sum("sx").cast("bigint").alias("gx"),
+        F.sum("n").cast("bigint").alias("gn"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    gxd = F.col("gx").cast("decimal(38,0)")
+    d = (
+        x.join(F.broadcast(g), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.max("gn").alias("gn"),
+            F.sum(sxd * F.col("gx")).alias("dot_i"),
+            F.sum(sxd * F.col("sx")).alias("nl_i"),
+            F.sum(gxd * F.col("gx")).alias("ng_i"),
+        )
+    )
+    return d.select(
+        F.col("label").cast("int").alias("label"),
+        "n_vectors",
+        F.round(
+            F.col("dot_i").cast("double")
+            / (
+                F.sqrt(F.col("nl_i").cast("double"))
+                * F.sqrt(F.col("ng_i").cast("double"))
+            ),
+            6,
+        ).alias("cos_to_global"),
+        F.round(
+            (F.sqrt(F.col("nl_i").cast("double")) * F.col("gn"))
+            / (
+                F.sqrt(F.col("ng_i").cast("double"))
+                * F.col("n_vectors")
+            ),
+            6,
+        ).alias("norm_ratio"),
+    )

@@ -640,3 +640,32 @@ def test_global_equidepth_bins_exact_and_no_global_window(spark, sf_dir):
             assert "ASC" not in first_arg and "DESC" not in first_arg, (
                 "unpartitioned window found:\n" + line
             )
+
+
+def test_centroid_drift_recompute(spark, sf_dir):
+    """Cosine-to-global and norm ratio recomputed in numpy from the
+    same integer micro-unit sums; global centroid's own drift row (if
+    a label equals the mixture) is not assumed — every label checked."""
+    import numpy as np
+
+    rows = {r.label: r for r in QUERIES["embedding_source_centroid_drift"].fn(spark, sf_dir).collect()}
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in emb:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        m = np.copysign(np.floor(np.abs(v * 1e6) + 0.5), v).astype(object)
+        acc = by_label.setdefault(r.label, [np.zeros(len(v), dtype=object), 0])
+        acc[0] += m
+        acc[1] += 1
+    gx = sum(a[0] for a in by_label.values())
+    gn = sum(a[1] for a in by_label.values())
+    import math as mm
+
+    for label, (sx, n) in by_label.items():
+        dot = int(np.dot(sx, gx))
+        nl = int(np.dot(sx, sx))
+        ng = int(np.dot(gx, gx))
+        r = rows[label]
+        assert r.n_vectors == n
+        assert abs(r.cos_to_global - dot / (mm.sqrt(nl) * mm.sqrt(ng))) < 1e-5
+        assert abs(r.norm_ratio - mm.sqrt(nl) * gn / (mm.sqrt(ng) * n)) < 1e-5

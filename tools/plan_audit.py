@@ -132,6 +132,7 @@ EXTRA = [
     "features_rfm_segments",
     "features_time_decay_mean",
     "features_global_equidepth_bins",
+    "embedding_source_centroid_drift",
 ]
 
 
