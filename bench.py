@@ -77,6 +77,11 @@ BASELINE_SEC = {
     # calibrations 1.12/1.17/1.26; whitening baselined AFTER the
     # decimal→int64 sum optimization)
     "dedup_span_remediate": 2.41,
+    # round-8: new headline rows measured at landing (BASELINE.md
+    # "Round-8 new headline rows"; min over three full runs,
+    # calibrations 1.15/1.18/1.24)
+    "join_interval_overlap": 1.76,
+    "features_global_equidepth_bins": 1.05,
     # round-8: re-baselined after the Arrow partial-Gramian kernel
     # replaced the per-row 2080-struct explode (identical output,
     # oracle hash-green at sf0.001/0.01/0.1; BASELINE.md "Round-8

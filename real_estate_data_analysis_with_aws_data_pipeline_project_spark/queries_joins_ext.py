@@ -172,7 +172,7 @@ _OVERLAP_ORACLE = f"""
 """
 
 
-@register("join_interval_overlap", _OVERLAP_ORACLE)
+@register("join_interval_overlap", _OVERLAP_ORACLE, headline=True)
 def join_interval_overlap(spark, sf_dir):
     """Interval OVERLAP join (interval × interval — completes the
     as-of / point-in-range / interval-overlap join family): sessionize

@@ -648,7 +648,7 @@ _GEQD_ORACLE = f"""
 """
 
 
-@register("features_global_equidepth_bins", _GEQD_ORACLE)
+@register("features_global_equidepth_bins", _GEQD_ORACLE, headline=True)
 def features_global_equidepth_bins(spark, sf_dir):
     """GLOBAL equi-depth binning without a global window — the
     two-pass bucket-rank pattern (corpus_global_shuffle's machinery
