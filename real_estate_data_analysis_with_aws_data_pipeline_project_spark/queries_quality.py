@@ -1392,16 +1392,15 @@ def quality_ks_drift(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # Integer midpoint via SQL `div` (ADVICE r8): double division is
+    # exact only while the epoch-us sum stays under 2^53, and quietly
+    # breaks the integer-exact convention.
     b = ev.groupBy("event_type").agg(
-        (
-            (
-                F.unix_micros(F.min("ts")).cast("bigint")
-                + F.unix_micros(F.max("ts")).cast("bigint")
-            )
-            / 2
-        )
-        .cast("bigint")
-        .alias("mid_us")
+        F.unix_micros(F.min("ts")).cast("bigint").alias("min_us"),
+        F.unix_micros(F.max("ts")).cast("bigint").alias("max_us"),
+    ).select(
+        "event_type",
+        F.expr("(min_us + max_us) div 2").cast("bigint").alias("mid_us"),
     )
     v = ev.join(F.broadcast(b), "event_type").select(
         "event_type",

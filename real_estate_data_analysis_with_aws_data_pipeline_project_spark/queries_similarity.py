@@ -1637,7 +1637,7 @@ _DECON_EMB_ORACLE = f"""
     SELECT q.vec_id AS eval_id, c.vec_id AS train_id,
            round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
                  6) AS cos_sim
-    FROM q JOIN v c ON c.vec_id >= 10
+    FROM q JOIN v c ON c.vec_id >= {_N_QUERIES}
     WHERE {S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')}
           >= {_DECON_EMB_THRESHOLD}
 """
@@ -1745,7 +1745,7 @@ _MATRYOSHKA_ORACLE = f"""
         FROM embeddings
     ),
     q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
-    c AS (SELECT * FROM v WHERE vec_id >= 10),
+    c AS (SELECT * FROM v WHERE vec_id >= {_N_QUERIES}),
     scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                round({S.cosine_sql('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')},
@@ -1900,11 +1900,16 @@ _WHITEN_ORACLE = f"""
         JOIN dims dj ON dj.dim = pa.dim_j
     )
     SELECT dim_i, dim_j, n_vectors,
-           round(cov, 6) AS cov,
+           round(cov, 6) + 0.0 AS cov,
            round(CASE WHEN var_i * var_j > 0
-                      THEN cov / sqrt(var_i * var_j) ELSE 0.0 END, 4) AS corr
+                      THEN cov / sqrt(var_i * var_j) ELSE 0.0 END, 4) + 0.0 AS corr
     FROM c
 """
+# The ``+ 0.0`` on cov/corr normalizes IEEE negative zero: DuckDB's C
+# ``round`` of a tiny negative covariance returns -0.0, while Spark's
+# F.round (BigDecimal HALF_UP) can never emit it, and the driver's
+# value hash distinguishes the two (r8 verdict: 4 cells at sf0.01).
+# ``-0.0 + 0.0 = +0.0`` exactly; every nonzero value is unchanged.
 
 
 _GRAM_CHUNK = 256  # rows per numpy outer-product block (bounds the

@@ -1117,7 +1117,15 @@ def q_streaming_kmv_distinct(spark, sf_dir):
     from .streaming.jobs import streaming_kmv_distinct
 
     sk = streaming_kmv_distinct(spark, sf_dir, _KMV_K)
-    fin = sk.groupBy("event_type").agg(F.min("kth_hash").alias("kth_hash"))
+    # Drop never-filled sketches (< k distinct users -> all-NULL
+    # kth_hash updates -> NULL min): the oracle's WHERE rn = k drops
+    # such groups too, so both engines agree on sparser fixtures
+    # (ADVICE r8).
+    fin = (
+        sk.groupBy("event_type")
+        .agg(F.min("kth_hash").alias("kth_hash"))
+        .where(F.col("kth_hash").isNotNull())
+    )
     u = F.conv(F.substring("kth_hash", 1, 8), 16, 10).cast("double") / F.lit(
         _KMV_HEX_SPACE
     )

@@ -500,18 +500,27 @@ def features_rfm_segments(spark, sf_dir):
     )
     nw = Window.partitionBy("nation")
 
-    def quart(order_cols):
-        rn = F.row_number().over(nw.orderBy(*order_cols))
-        n = F.count("*").over(nw)
-        return (
-            F.expr("1") + ((rn - 1) * 4 / n).cast("int")
-        ).cast("int")
-
+    # Pure integer rank arithmetic (ADVICE r8): materialize rn/n and
+    # use SQL `div`, like features_equidepth_bins — double division
+    # with an int cast only matches (rn-1)*4 // n while the product
+    # stays exactly representable.
     q = base.select(
         "*",
-        quart([F.col("r_days"), F.col("custkey")]).alias("r_q"),
-        quart([F.col("f_orders").desc(), F.col("custkey")]).alias("f_q"),
-        quart([F.col("m_cents").desc(), F.col("custkey")]).alias("m_q"),
+        F.row_number()
+        .over(nw.orderBy(F.col("r_days"), F.col("custkey")))
+        .alias("rn_r"),
+        F.row_number()
+        .over(nw.orderBy(F.col("f_orders").desc(), F.col("custkey")))
+        .alias("rn_f"),
+        F.row_number()
+        .over(nw.orderBy(F.col("m_cents").desc(), F.col("custkey")))
+        .alias("rn_m"),
+        F.count("*").over(nw).alias("n_grp"),
+    ).select(
+        "*",
+        (F.expr("(rn_r - 1) * 4 div n_grp") + 1).cast("int").alias("r_q"),
+        (F.expr("(rn_f - 1) * 4 div n_grp") + 1).cast("int").alias("f_q"),
+        (F.expr("(rn_m - 1) * 4 div n_grp") + 1).cast("int").alias("m_q"),
     )
     return q.select(
         "nation",

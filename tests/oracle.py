@@ -29,12 +29,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "<null>"
-        # one fixed rule (ADVICE r1): no %g scientific collapse (which
-        # merged distinct integral doubles >= 1e6) and no -0.0/0.0 split
-        v = round(float(v), 6)
-        if v == 0.0:
-            v = 0.0
-        return repr(v)
+        # STRICT exact-value rule (VERDICT r8): the replica must be at
+        # least as strict as the driver's value hash. No rounding here
+        # (queries round at source per convention) and NO -0.0 -> 0.0
+        # fold — the old fold hid a driver-red negative-zero channel in
+        # embedding_covariance_whitening for two rounds.
+        return repr(float(v))
     return str(v)
 
 
