@@ -1427,6 +1427,41 @@ def events_cusum_changepoint(spark, sf_dir):
     )
 
 
+@register("streaming_cusum_changepoint", _CUSUM_ORACLE)
+def q_streaming_cusum_changepoint(spark, sf_dir):
+    """Structured Streaming: the CUSUM change-point as a stateful
+    streaming tier (ValueState of the calendar-bounded day-count map;
+    transformWithStateInPandas with an applyInPandasWithState
+    fallback). The offline statistic needs the series total, so the
+    stream folds its SUFFICIENT statistic — per-day counts — and
+    recomputes the integer-exact argmax on each update; after the last
+    batch the map equals the batch day counts, so the max-seq row per
+    key equals the batch twin exactly and carries its full oracle
+    (_CUSUM_ORACLE). Display arithmetic (mean-scaled peak, direction)
+    is applied here with the batch twin's exact expressions."""
+    from pyspark.sql import Window
+
+    from .streaming.jobs import streaming_cusum_changepoint
+
+    sk = streaming_cusum_changepoint(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("seq").desc())
+    fin = (
+        sk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return fin.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        "change_day",
+        F.round(
+            F.col("snum").cast("double") / F.col("n_days"), 6
+        ).alias("peak_cusum"),
+        F.when(F.col("snum") >= 0, 1).otherwise(-1).cast("int").alias(
+            "direction"
+        ),
+    )
+
+
 # --- daily-volume trend regression (round 8) --------------------------------
 
 _TREND_ORACLE = """

@@ -611,3 +611,147 @@ def streaming_kmv_distinct(
         )
         _run_to_memory(result, "stream_kmv_distinct", "update")
     return spark.table("stream_kmv_distinct")
+
+
+# --- streaming CUSUM change-point tier (round 9) -----------------------------
+#
+# The offline CUSUM statistic needs the series TOTAL, so it cannot be
+# folded one-pass like KMV. What CAN stream is its sufficient
+# statistic: the per-day count map. State per key is {day -> count} —
+# bounded by the CALENDAR (the same metadata-scale argument the batch
+# twin makes for its windows), never by the event stream. Each update
+# merges the batch's day counts and recomputes the integer-exact
+# argmax from the bounded map; because the final map equals the batch
+# day counts regardless of batching, the LAST update per key equals
+# the batch query exactly — full oracle, not an envelope. An update
+# sequence number in state makes "last" well-defined in the update-
+# mode sink without relying on single-batch execution.
+
+
+def _cusum_peak(days: list, cnts: list):
+    """Integer-exact offline CUSUM argmax over an ordered day series:
+    S_rk = nd·cum_rk − rk·total (Python ints, arbitrary precision),
+    pick by (|S| desc, day asc) — the batch twin's exact order
+    (queries_events.py events_cusum_changepoint)."""
+    nd = len(days)
+    total = sum(cnts)
+    cum = 0
+    best_day, best_s = None, 0
+    for rk, (d, c) in enumerate(zip(days, cnts), 1):
+        cum += c
+        s = nd * cum - rk * total
+        if best_day is None or abs(s) > abs(best_s):
+            best_day, best_s = d, s
+    return nd, best_day, best_s
+
+
+_CUSUM_OUT_SCHEMA = (
+    "event_type STRING, seq BIGINT, n_days BIGINT, "
+    "change_day STRING, snum BIGINT"
+)
+_CUSUM_STATE_SCHEMA = "days ARRAY<STRING>, cnts ARRAY<LONG>, seq BIGINT"
+
+
+class _CUSUMProcessor:
+    """StatefulProcessor: ValueState holding the sorted (day, count)
+    arrays + update sequence; each batch merges day counts and emits
+    the recomputed change-point."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("st", _CUSUM_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._st.exists():
+            days, cnts, seq = self._st.get()
+            m = dict(zip(days, (int(c) for c in cnts)))
+        else:
+            m, seq = {}, 0
+        for pdf in rows:
+            for d, c in pdf["day"].value_counts().items():
+                m[d] = m.get(d, 0) + int(c)
+        seq = int(seq) + 1
+        days = sorted(m)
+        cnts = [m[d] for d in days]
+        self._st.update((days, cnts, seq))
+        nd, day, snum = _cusum_peak(days, cnts)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "seq": [seq],
+                "n_days": [nd],
+                "change_day": [day],
+                "snum": [snum],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point tier (ROADMAP r9 candidate #1):
+    per event type, fold the stream into a calendar-bounded day-count
+    map in ValueState and emit the recomputed integer-exact CUSUM
+    argmax on every update. transformWithStateInPandas with an
+    applyInPandasWithState fallback, like the KMV tier. The registered
+    query (queries_events.py) keeps each key's max-seq row and applies
+    the batch twin's exact display arithmetic, so it carries the batch
+    twin's full oracle."""
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    if _tws_protocol_available():
+        result = src.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_CUSUMProcessor(),
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            _run_to_memory(result, "stream_cusum_changepoint", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+
+        def _cusum_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+            if state.exists:
+                days, cnts, seq = state.get
+                m = dict(zip(days, (int(c) for c in cnts)))
+            else:
+                m, seq = {}, 0
+            for pdf in pdfs:
+                for d, c in pdf["day"].value_counts().items():
+                    m[d] = m.get(d, 0) + int(c)
+            seq = int(seq) + 1
+            days = sorted(m)
+            cnts = [m[d] for d in days]
+            state.update((days, cnts, seq))
+            nd, day, snum = _cusum_peak(days, cnts)
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "seq": [seq],
+                    "n_days": [nd],
+                    "change_day": [day],
+                    "snum": [snum],
+                }
+            )
+
+        result = src.groupBy("event_type").applyInPandasWithState(
+            _cusum_fallback_fn,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        _run_to_memory(result, "stream_cusum_changepoint", "update")
+    return spark.table("stream_cusum_changepoint")
