@@ -166,7 +166,39 @@ ROTATIONS: dict[int, list[str]] = {
         "dedup_latest_per_key",
         "f_zorder_interleave",
     ],
-    8: list(_ROTATION),
+    8: [
+        "dedup_span_remediate",
+        "dedup_token_savings",
+        "dedup_semantic_keep_manifest",
+        "embedding_covariance_whitening",
+        "events_anomaly_contribution",
+        "streaming_rate_limit_windows",
+        "streaming_window_quantiles",
+        "er_blocked_parts",
+        "er_incremental_parts",
+        "dq_schema_drift",
+        "corpus_stratified_cell_quota",
+        "corpus_curriculum_order",
+        "corpus_session_pack_shards",
+        "corpus_mixing_waterfill",
+        "corpus_epoch_schedule",
+        "sketch_join_cardinality",
+        "sketch_kmv_distinct",
+        "quality_psi_drift",
+        "quality_train_serve_skew",
+        "dedup_incremental_components",
+        "pii_tokenize_preserving",
+        "cdc_scd2_intervals",
+        "cdc_merge_upsert",
+        "mv_incremental_refresh",
+        "retrieval_rerank_token_f1",
+        "graph_cosupplier_projection",
+        "skew_shuffle_profile",
+        "streaming_kmv_distinct",
+        "join_interval_overlap",
+        "text_vocab_coverage",
+    ],
+    9: list(_ROTATION),
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -181,7 +213,25 @@ ROTATIONS: dict[int, list[str]] = {
 # slots with the four r8 additions (skew profiler, streaming KMV,
 # interval overlap, vocab coverage) — 30/30 first-timers again, no
 # refresh picks needed.
-REFRESH_OK: dict[int, set[str]] = {}
+# Round 9 seats the whole 21-query never-green front (19 post-window
+# r8 additions + the re-oracled whitening + the r9 streaming CUSUM
+# tier) and fills the 9 free slots with refresh picks — the first
+# round the refresh posture actually engages. whitening is red-not-
+# green in r8 so it stays a legitimate first-timer, NOT a refresh
+# pick.
+REFRESH_OK: dict[int, set[str]] = {
+    9: {
+        "dedup_span_remediate",
+        "dedup_token_savings",
+        "dedup_semantic_keep_manifest",
+        "events_anomaly_contribution",
+        "streaming_rate_limit_windows",
+        "streaming_window_quantiles",
+        "er_blocked_parts",
+        "er_incremental_parts",
+        "dq_schema_drift",
+    },
+}
 
 LIVE_ROUND = max(ROTATIONS)
 
