@@ -213,6 +213,27 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     "corpus_epoch_schedule": (1, "≤ 10001-row score-value histogram"),
 }
 
+# Unpartitioned windows whose input subtree IS truncated by a plan-
+# visible limit (TakeOrderedAndProject/GlobalLimit/LocalLimit). Same
+# counted treatment as the value-domain waivers (VERDICT r8 #7): the
+# waiver names the query AND the expected count, so an edit that moves
+# a window above its limit (count drops here, unwaived count rises →
+# ✗) or quietly adds another globally-sorted window behind an
+# incidental limit (count rises → ✗) trips the audit instead of
+# auto-greening. name → (expected limit-bounded window count, bound).
+_LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
+    # sparse rank + dense rank, each over its own limit-truncated
+    # top-k candidate list (≤ k rows apiece).
+    "retrieval_hybrid_rrf": (2, "sparse + dense rank over top-k lists"),
+    # log-log OLS over the top-200 token ranks (TakeOrderedAndProject).
+    "quality_zipf_slope": (1, "rank over top-200 token rows"),
+    # F1 rerank over the BM25 top-k candidate set.
+    "retrieval_rerank_token_f1": (1, "rank over BM25 top-k candidates"),
+    # display rank over the limit(20) heaviest-triangle edges
+    # (pkg/queries_retrieval.py post-limit rank).
+    "graph_triangle_count": (1, "rank over limit(20) edge rows"),
+}
+
 
 def checklist(plan: str, exe: str, name: str = "") -> list[str]:
     notes = []
@@ -247,8 +268,23 @@ def checklist(plan: str, exe: str, name: str = "") -> list[str]:
         notes.append("✗ SINGLE-PARTITION WINDOW")
     elif waived:
         # unpartitioned window whose own input subtree is truncated by a
-        # limit — bounded rows by construction, not a scale hazard
-        notes.append("✓ single-partition window over limit-bounded input")
+        # limit — bounded rows by construction, not a scale hazard, but
+        # only when the query carries a COUNTED waiver (VERDICT r8 #7)
+        if name in _LIMIT_BOUNDED_WINDOW_WAIVERS:
+            expected, bound = _LIMIT_BOUNDED_WINDOW_WAIVERS[name]
+            if waived == expected:
+                notes.append(
+                    f"✓ single-partition window over limit-bounded input ({bound})"
+                )
+            else:
+                notes.append(
+                    f"✗ SINGLE-PARTITION WINDOW (limit-bounded waiver covers "
+                    f"{expected}, plan has {waived})"
+                )
+        else:
+            notes.append(
+                "✗ SINGLE-PARTITION WINDOW (limit-bounded but no counted waiver)"
+            )
     else:
         notes.append("✓ no single-partition window")
     notes.append(
