@@ -135,3 +135,54 @@ def shuffle_skew_profile(
         .alias("recommended_salt"),
     )
     return prof.orderBy(F.desc("n_rows"), *key_cols).limit(top_n)
+
+
+def join_skew_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    target_rows: int,
+    top_n: int = 20,
+) -> DataFrame:
+    """Two-sided join-key skew profile (ROADMAP r9 #4): for a planned
+    ``left ⋈ right ON key``, the per-key row counts of BOTH inputs and
+    their product — the key's JOIN OUTPUT size, the quantity that
+    actually blows up a reducer when both sides are non-unique. Emits
+    the ``n_salts`` a ``salted_join`` (left = big side) would need to
+    bound the left side's per-(key, salt) input at ``target_rows``.
+
+    Columns: the key, ``n_left``, ``n_right``, ``out_rows`` (=
+    n_left·n_right), ``out_share`` (of total join output, 6 dp),
+    ``recommended_salt`` (⌈n_left / target_rows⌉, floor 1). Top
+    ``top_n`` keys by output size, ties by key. Inner-join semantics:
+    keys absent from either side produce no output and no profile row.
+
+    Scale: both per-key counts partial-aggregate map-side; the profile
+    join runs on the KEY-grain relations (one row per key per side),
+    never the input rows; the total is a one-row broadcast; top-N is
+    TakeOrderedAndProject."""
+    lc = left.groupBy(key).agg(F.count("*").cast("bigint").alias("n_left"))
+    rc = right.groupBy(key).agg(F.count("*").cast("bigint").alias("n_right"))
+    per_key = lc.join(rc, key).withColumn(
+        "out_rows", (F.col("n_left") * F.col("n_right")).cast("bigint")
+    )
+    tot = per_key.agg(F.sum("out_rows").cast("bigint").alias("_total"))
+    prof = per_key.crossJoin(F.broadcast(tot)).select(
+        key,
+        "n_left",
+        "n_right",
+        "out_rows",
+        F.round(
+            F.col("out_rows").cast("double") / F.col("_total"), 6
+        ).alias("out_share"),
+        F.when(
+            F.col("n_left") > target_rows,
+            F.expr(
+                f"CAST((n_left + {int(target_rows)} - 1) "
+                f"div {int(target_rows)} AS INT)"
+            ),
+        )
+        .otherwise(F.lit(1))
+        .alias("recommended_salt"),
+    )
+    return prof.orderBy(F.desc("out_rows"), key).limit(top_n)

@@ -1207,3 +1207,121 @@ def dedup_cross_source_matrix(spark, sf_dir):
             ).alias("pairs_per_1k"),
         )
     )
+
+
+# --- asymmetric containment dedup (round 9) ---------------------------------
+#
+# Symmetric Jaccard under-scores SUBSET duplicates: a short doc fully
+# contained in a longer one has J = |A|/|B| but containment
+# C(A→B) = |A∩B|/|A| = 1. The pipeline-relevant kill decision for
+# boilerplate-wrapped or excerpt duplicates keys off max-containment,
+# not Jaccard. Candidates stay the banded MinHash buckets (the linear
+# scale path); containment is the exact verify metric on candidates
+# only, so this emits a SUPERSET of the Jaccard pairs at the same
+# candidate cost (C >= J always).
+
+_CONTAIN_THRESHOLD = 0.6
+
+_CONTAIN_ORACLE = f"""
+    WITH s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    mh AS (
+        SELECT doc_id, {_MINHASH_AGGS_SQL}
+        FROM e GROUP BY doc_id
+    ),
+    bands AS (SELECT doc_id, {_BANDS_SQL} FROM mh),
+    bx AS ({_BAND_UNION_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bx a JOIN bx b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    v AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+                    AS BIGINT) AS n_common,
+               CAST(len(sa.sh) AS BIGINT) AS n_a,
+               CAST(len(sb.sh) AS BIGINT) AS n_b
+        FROM cand
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(CAST(n_common AS DOUBLE) / n_a, 6) AS contain_a,
+           round(CAST(n_common AS DOUBLE) / n_b, 6) AS contain_b,
+           CAST(CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS BIGINT)
+               AS contained_doc
+    FROM v
+    WHERE CAST(n_common AS DOUBLE)
+          / CAST(CASE WHEN n_a < n_b THEN n_a ELSE n_b END AS DOUBLE)
+          >= {_CONTAIN_THRESHOLD}
+"""
+
+
+@register("dedup_shingle_containment", _CONTAIN_ORACLE)
+def dedup_shingle_containment(spark, sf_dir):
+    """Asymmetric shingle-containment near-dup pairs: banded MinHash
+    candidates (same buckets as dedup_minhash_lsh — linear candidate
+    growth, never all-pairs), exact-verified on max-direction
+    containment |A∩B|/min(|A|,|B|) >= 0.6 instead of Jaccard, so
+    excerpt/boilerplate-wrapped subset duplicates that Jaccard
+    under-scores survive the gate. contained_doc flags the smaller
+    (more-covered) side — the kill candidate in a keep/drop pass;
+    ties (n_a = n_b) deterministically flag doc_a.
+
+    Scale: identical to the MinHash path — O(docs x bands) bucket
+    join for candidates, exact array_intersect verify on candidates
+    only; the shingle relation is the session-cached one every dedup
+    query shares."""
+    sh = cached_shingles(spark, sf_dir)
+    bands = minhash_band_keys(sh)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    v = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+            .cast("bigint")
+            .alias("n_common"),
+            F.size(F.col("sa.sh")).cast("bigint").alias("n_a"),
+            F.size(F.col("sb.sh")).cast("bigint").alias("n_b"),
+        )
+    )
+    return (
+        v.where(
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+            >= _CONTAIN_THRESHOLD
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_a"), 6
+            ).alias("contain_a"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_b"), 6
+            ).alias("contain_b"),
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .cast("bigint")
+            .alias("contained_doc"),
+        )
+    )

@@ -1727,3 +1727,120 @@ def events_transition_matrix(spark, sf_dir):
             "p_transition"
         ),
     )
+
+
+# --- daily-count autocorrelation (round 9) -----------------------------------
+
+# r_k over the daily event-count series, with every moment kept as a
+# BIGINT so the only float op is the final division: multiplying the
+# centered sums by n² clears the rational mean —
+#   num_k = n²·Σ x·x_lag − n·S·(A_k+B_k) + m_k·S²
+#   den   = n²·Σ x²      − n·S²
+# (S = Σx, m_k = #lagged pairs = n−k). Both engines aggregate the same
+# integers, so round(num/den, 6) is bit-identical.
+_ACF_LAGS = (1, 7)
+
+_ACF_ORACLE = f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lagd AS (
+        SELECT event_type, c,
+               lag(c, 1) OVER w AS l1,
+               lag(c, 7) OVER w AS l7
+        FROM dc
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q,
+               CAST(count(l1) AS BIGINT) AS m1,
+               CAST(coalesce(sum(c * l1), 0) AS BIGINT) AS p1,
+               CAST(coalesce(sum(CASE WHEN l1 IS NOT NULL THEN c END), 0)
+                    AS BIGINT) AS a1,
+               CAST(coalesce(sum(l1), 0) AS BIGINT) AS b1,
+               CAST(count(l7) AS BIGINT) AS m7,
+               CAST(coalesce(sum(c * l7), 0) AS BIGINT) AS p7,
+               CAST(coalesce(sum(CASE WHEN l7 IS NOT NULL THEN c END), 0)
+                    AS BIGINT) AS a7,
+               CAST(coalesce(sum(l7), 0) AS BIGINT) AS b7
+        FROM lagd GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN m1 > 0 AND n*n*q - n*s*s > 0
+                THEN round(CAST(n*n*p1 - n*s*(a1+b1) + m1*s*s AS DOUBLE)
+                           / (n*n*q - n*s*s), 6) END AS acf_lag1,
+           CASE WHEN m7 > 0 AND n*n*q - n*s*s > 0
+                THEN round(CAST(n*n*p7 - n*s*(a7+b7) + m7*s*s AS DOUBLE)
+                           / (n*n*q - n*s*s), 6) END AS acf_lag7
+    FROM m
+"""
+
+
+@register("events_autocorrelation", _ACF_ORACLE)
+def events_autocorrelation(spark, sf_dir):
+    """Lag-1 / lag-7 autocorrelation of the daily event-count series
+    per event type — the seasonality probe (lag-7 ≈ weekly rhythm)
+    that sits next to the trend slope and CUSUM change-point in a
+    metric-monitoring suite. See _ACF_ORACLE for the integer-exact
+    moment algebra; a flat series (zero variance) or a too-short one
+    (no lagged pairs) yields NULL, identically in both engines.
+
+    Scale: one map-side-combined daily aggregation over events; the
+    lag window and the moment aggregation run on the (type, day)
+    relation — calendar-bounded, never the event stream."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    dc = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = dc.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"l{k}") for k in _ACF_LAGS],
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    ]
+    for k in _ACF_LAGS:
+        lc = F.col(f"l{k}")
+        aggs += [
+            F.count(lc).cast("bigint").alias(f"m{k}"),
+            F.coalesce(F.sum(F.col("c") * lc), F.lit(0))
+            .cast("bigint")
+            .alias(f"p{k}"),
+            F.coalesce(F.sum(F.when(lc.isNotNull(), F.col("c"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"a{k}"),
+            F.coalesce(F.sum(lc), F.lit(0)).cast("bigint").alias(f"b{k}"),
+        ]
+    m = lagd.groupBy("event_type").agg(*aggs)
+    den = (
+        F.col("n") * F.col("n") * F.col("q")
+        - F.col("n") * F.col("s") * F.col("s")
+    )
+
+    def acf(k: int):
+        num = (
+            F.col("n") * F.col("n") * F.col(f"p{k}")
+            - F.col("n") * F.col("s") * (F.col(f"a{k}") + F.col(f"b{k}"))
+            + F.col(f"m{k}") * F.col("s") * F.col("s")
+        )
+        return F.when(
+            (F.col(f"m{k}") > 0) & (den > 0),
+            F.round(num.cast("double") / den, 6),
+        ).alias(f"acf_lag{k}")
+
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        *[acf(k) for k in _ACF_LAGS],
+    )

@@ -986,3 +986,86 @@ def dq_key_uniqueness(spark, sf_dir):
         )
         out = rel if out is None else out.unionByName(rel)
     return out
+
+
+# --- per-column completeness matrix (round 9) --------------------------------
+
+# (column, is_string) pairs profiled on documents — the dataframe-
+# profiling staple a DQ dashboard renders before any pipeline run.
+_COMPLETENESS_COLS = [
+    ("doc_id", False),
+    ("text", True),
+    ("lang", True),
+    ("source", True),
+    ("n_chars", False),
+]
+
+_COMPLETENESS_ORACLE = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST({f"sum(CASE WHEN {c} = '' THEN 1 ELSE 0 END)" if is_str
+                 else "0"} AS BIGINT) AS n_blank,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           round(CAST(count(*) - count({c}) AS DOUBLE) / count(*), 6)
+               AS null_rate
+    FROM documents"""
+    for c, is_str in _COMPLETENESS_COLS
+)
+
+
+@register("dq_completeness_matrix", _COMPLETENESS_ORACLE)
+def dq_completeness_matrix(spark, sf_dir):
+    """Column-completeness profile of the documents table: one row per
+    column with row/null/blank/exact-distinct counts and the null
+    rate — the profile matrix a data-quality dashboard materializes
+    before gating a pipeline run (the generalization of
+    dq_key_uniqueness from key columns to EVERY column).
+
+    Scale: ONE aggregation pass computes every per-column metric
+    (count/null/blank partial-aggregate map-side; the multi-column
+    exact count(DISTINCT) goes through Spark's expand — one shuffle
+    whose volume is rows x profiled-columns; swap in
+    approx_count_distinct at the 100 TB tier when exactness isn't
+    required, as agg_approx_count_distinct demonstrates). The long
+    shape comes from exploding the aggregated ONE-ROW struct array,
+    never from per-column scans."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c, is_str in _COMPLETENESS_COLS:
+        aggs += [
+            F.count("*").cast("bigint").alias(f"{c}__rows"),
+            (F.count("*") - F.count(F.col(c))).cast("bigint").alias(f"{c}__null"),
+            (
+                F.sum(F.when(F.col(c) == "", 1).otherwise(0))
+                if is_str
+                else F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"{c}__blank"),
+            F.countDistinct(F.col(c)).cast("bigint").alias(f"{c}__distinct"),
+        ]
+    one = d.agg(*aggs)
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__rows").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__blank").alias("n_blank"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                    )
+                    for c, _ in _COMPLETENESS_COLS
+                ]
+            )
+        ).alias("m")
+    ).select("m.*")
+    return rows.withColumn(
+        "null_rate",
+        F.round(
+            F.col("n_null").cast("double") / F.col("n_rows"), 6
+        ),
+    )

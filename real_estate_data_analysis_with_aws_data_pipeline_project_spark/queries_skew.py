@@ -8,7 +8,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.skew import salted_aggregate, salted_join, shuffle_skew_profile
+from .operators.skew import (
+    join_skew_profile,
+    salted_aggregate,
+    salted_join,
+    shuffle_skew_profile,
+)
 from .registry import register
 from .sources.catalog import load_table
 
@@ -114,4 +119,62 @@ def skew_shuffle_profile(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return shuffle_skew_profile(
         ev, ["event_type"], target_rows=_SKEW_TARGET_ROWS, top_n=_SKEW_TOP_N
+    )
+
+
+# The join profile's reducer-input bound: small enough that the sf0.01
+# fixture (≈ 13×13 rows per hot user for click ⋈ purchase) actually
+# exercises the > 1 salt branch.
+_JOIN_SKEW_TARGET_ROWS = 8
+
+
+@register(
+    "skew_join_key_profile",
+    f"""
+    WITH lc AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    rc AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_right
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    pk AS (
+        SELECT lc.user_id, lc.n_left, rc.n_right,
+               CAST(lc.n_left * rc.n_right AS BIGINT) AS out_rows
+        FROM lc JOIN rc USING (user_id)
+    ),
+    t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total FROM pk)
+    SELECT pk.user_id, pk.n_left, pk.n_right, pk.out_rows,
+           round(CAST(pk.out_rows AS DOUBLE) / t.total, 6) AS out_share,
+           CAST(CASE WHEN pk.n_left > {_JOIN_SKEW_TARGET_ROWS}
+                     THEN (pk.n_left + {_JOIN_SKEW_TARGET_ROWS} - 1)
+                          // {_JOIN_SKEW_TARGET_ROWS}
+                     ELSE 1 END AS INT) AS recommended_salt
+    FROM pk, t
+    ORDER BY pk.out_rows DESC, pk.user_id
+    LIMIT {_SKEW_TOP_N}
+    """,
+)
+def skew_join_key_profile(spark, sf_dir):
+    """Join-key skew profile (ROADMAP r9 #4): the click ⋈ purchase
+    stream-join key (user_id — the streaming_click_purchase_join
+    shape) profiled on BOTH sides, because with two non-unique sides
+    the reducer hazard is the PRODUCT n_left·n_right, which neither
+    single-side histogram shows. recommended_salt is the n_salts a
+    salted_join (clicks = big side) needs to bound per-(key, salt)
+    input at {_JOIN_SKEW_TARGET_ROWS} rows.
+
+    Scale: see operators.skew.join_skew_profile — key-grain
+    everywhere, map-side partials, broadcast total, top-N via
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return join_skew_profile(
+        clicks,
+        purchases,
+        key="user_id",
+        target_rows=_JOIN_SKEW_TARGET_ROWS,
+        top_n=_SKEW_TOP_N,
     )

@@ -717,3 +717,96 @@ def features_global_equidepth_bins(spark, sf_dir):
         F.round(F.min("cents").cast("double") / 100.0, 2).alias("lo"),
         F.round(F.max("cents").cast("double") / 100.0, 2).alias("hi"),
     )
+
+
+# --- weight-of-evidence / information value (round 9) ------------------------
+
+_WOE_ORACLE = """
+    WITH c AS (
+        SELECT o_orderpriority AS category,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bad
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(sum(n_good) AS BIGINT) AS g_tot,
+               CAST(sum(n_bad) AS BIGINT) AS b_tot
+        FROM c
+    ),
+    w AS (
+        SELECT c.category, c.n_good, c.n_bad, t.g_tot, t.b_tot,
+               round(ln(CAST(c.n_good AS DOUBLE) * t.b_tot
+                        / (CAST(c.n_bad AS DOUBLE) * t.g_tot)), 6) AS woe
+        FROM c, t
+        WHERE c.n_good > 0 AND c.n_bad > 0
+    )
+    SELECT category, n_good, n_bad, woe,
+           round((CAST(n_good AS DOUBLE) * b_tot
+                  - CAST(n_bad AS DOUBLE) * g_tot)
+                 / (CAST(g_tot AS DOUBLE) * b_tot) * woe, 6) AS iv_term
+    FROM w
+"""
+
+
+@register("features_woe_iv", _WOE_ORACLE)
+def features_woe_iv(spark, sf_dir):
+    """Weight-of-evidence encoding + per-category information-value
+    terms for a categorical feature against a binary label
+    (o_orderpriority vs completed-order status): woe = ln((g/G)/(b/B)),
+    iv_term = (g/G - b/B) * woe — the classic credit-scoring encoder a
+    feature store materializes next to target encoding. Categories
+    with a zero cell are dropped (unsmoothed woe is undefined there);
+    ratios are formed from integer-count products in ONE double
+    division each, the woe ln is rounded 6 dp before the iv product
+    (cross-engine libm rule), and iv_term rounds the product of the
+    exact rational and the ROUNDED woe, so both engines multiply
+    bit-identical inputs.
+
+    Scale: one map-side-combined aggregation over orders to the
+    category grain; totals ride a one-row broadcast crossJoin; every
+    downstream expression lives on the ~|categories|-row relation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    t = c.agg(
+        F.sum("n_good").cast("bigint").alias("g_tot"),
+        F.sum("n_bad").cast("bigint").alias("b_tot"),
+    )
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .where((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .withColumn(
+            "woe",
+            F.round(
+                F.log(
+                    F.col("n_good").cast("double")
+                    * F.col("b_tot")
+                    / (F.col("n_bad").cast("double") * F.col("g_tot"))
+                ),
+                6,
+            ),
+        )
+    )
+    return w.select(
+        "category",
+        "n_good",
+        "n_bad",
+        "woe",
+        F.round(
+            (
+                F.col("n_good").cast("double") * F.col("b_tot")
+                - F.col("n_bad").cast("double") * F.col("g_tot")
+            )
+            / (F.col("g_tot").cast("double") * F.col("b_tot"))
+            * F.col("woe"),
+            6,
+        ).alias("iv_term"),
+    )
