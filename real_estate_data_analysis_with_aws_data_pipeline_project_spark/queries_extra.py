@@ -444,3 +444,60 @@ def f_regexp_extract(spark, sf_dir):
         F.regexp_extract("c_name", "#(0*)([1-9][0-9]*)", 2).alias("id_digits"),
         F.col("c_name").rlike("^Customer#[0-9]+$").alias("well_formed"),
     )
+
+
+# --- exact grouped median (round 9) ------------------------------------------
+
+_EXACT_MEDIAN_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(median(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                 / 100.0, 4) AS median_price
+    FROM orders GROUP BY 1
+"""
+
+
+@register("agg_exact_group_median", _EXACT_MEDIAN_ORACLE)
+def agg_exact_group_median(spark, sf_dir):
+    """EXACT per-group median (not percentile_approx): rank each
+    group's values once (row_number over (value, key) — the
+    deterministic total order), keep only the one or two middle ranks
+    ((n+1) div 2 and (n+2) div 2), and average them in integer cents —
+    the classic two-pass exact order statistic, verified against
+    DuckDB's native median(). The ROWS the rank selects are identical
+    in both engines because the order is total; the middle-pair mean
+    of integer cents is one exact small-rational division.
+
+    Scale: the per-group sort is the documented exact-order-statistics
+    trade (same as features_equidepth_bins); everything after the rank
+    filter lives on <= 2 rows per group. percentile_approx /
+    sketch_kll_quantile_rollup are the sketch tier when exactness can
+    be traded for one pass."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.round(
+            F.avg(F.col("cents").cast("double")) / 100.0, 4
+        ).alias("median_price"),
+    )

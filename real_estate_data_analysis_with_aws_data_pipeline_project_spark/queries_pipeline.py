@@ -1069,3 +1069,66 @@ def dq_completeness_matrix(spark, sf_dir):
             F.col("n_null").cast("double") / F.col("n_rows"), 6
         ),
     )
+
+
+# --- partitioned parquet roundtrip with partition pruning (round 9) ----------
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    """Temp location of the hive-partitioned events copy (shared with
+    the pruning test)."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"engine_part_roundtrip_{os.path.basename(sf_dir)}",
+    )
+
+
+def partitioned_events(spark, sf_dir):
+    """Write events hive-partitioned by event_type (once per temp dir
+    lifetime) and read the partitioned layout back."""
+    out = partitioned_events_path(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        (
+            ev.write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "source_partitioned_roundtrip",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def source_partitioned_roundtrip(spark, sf_dir):
+    """Hive-partitioned parquet sink + partition-PRUNED source: events
+    written partitionBy(event_type), read back with a partition-key
+    filter that must prune to 2 of the 5 directories at PLANNING time
+    (PartitionFilters in the scan — asserted by the pruning test, not
+    just this oracle). The aggregate equals the same query over the
+    unpartitioned original, proving the layout roundtrip is lossless
+    including the partition column's value restore from the directory
+    name.
+
+    Scale: THE layout decision for 100 TB event data — a predicate on
+    the partition key reads only matching directories, so the scan
+    cost tracks the selected slice, not the table. The write's
+    per-partition fan-out reuses the session's shuffle parallelism."""
+    back = partitioned_events(spark, sf_dir)
+    return (
+        back.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

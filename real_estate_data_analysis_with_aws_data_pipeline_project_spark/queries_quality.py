@@ -1374,7 +1374,7 @@ _KS_ORACLE = """
 """
 
 
-@register("quality_ks_drift", _KS_ORACLE)
+@register("quality_ks_drift", _KS_ORACLE, headline=True)
 def quality_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov drift per event type: the event
     stream is split at its integer-µs time midpoint and the KS

@@ -212,13 +212,17 @@ _ROLLING_ZSCORE_ORACLE = f"""
     )
     SELECT user_id, event_id, ts_str,
            CAST(n_window AS BIGINT) AS n_window,
-           round(mean_w, 4) AS rolling_mean,
-           round(std_w, 4) AS rolling_std,
+           round(mean_w, 4) + 0.0 AS rolling_mean,
+           round(std_w, 4) + 0.0 AS rolling_std,
            CASE WHEN std_w > 0
-                THEN round((value - mean_w) / std_w, 4) END AS zscore
+                THEN round((value - mean_w) / std_w, 4) + 0.0 END AS zscore
     FROM w
     WHERE n_window >= {_ZSCORE_MIN_N}
 """
+# ``+ 0.0`` folds DuckDB's C-round negative zero (tiny negative
+# z-scores rounding to -0.0) to +0.0; Spark's F.round can never emit
+# -0.0, and the driver hash distinguishes them (the whitening channel,
+# VERDICT r8 — this instance was flushed by the strict sf0.1 sweep).
 
 
 @register("features_rolling_zscore", _ROLLING_ZSCORE_ORACLE)
@@ -284,7 +288,7 @@ _LOO_ORACLE = """
 """
 
 
-@register("features_target_encoding_loo", _LOO_ORACLE)
+@register("features_target_encoding_loo", _LOO_ORACLE, headline=True)
 def features_target_encoding_loo(spark, sf_dir):
     """Leave-one-out target encoding: each order's categorical feature
     (market segment) replaced by the mean order total of the SAME
@@ -809,4 +813,97 @@ def features_woe_iv(spark, sf_dir):
             * F.col("woe"),
             6,
         ).alias("iv_term"),
+    )
+
+
+# --- signed feature hashing (round 9) ----------------------------------------
+
+# The hashing-trick encoder (Weinberger et al., public): each
+# (feature=value) categorical pair maps to bucket
+# int(md5[0:8]) % _FH_BUCKETS with sign ±1 from the md5's 9th hex
+# digit parity, so collisions cancel in expectation instead of
+# stacking. Cross-engine: md5 is identical everywhere; DuckDB parses
+# the hex chunk with a 16-power polyfill (the sketch_count_min
+# pattern) to avoid from_hex/blob asymmetries.
+_FH_BUCKETS = 32
+_FH_FEATURES = ("seg", "nation")
+
+_FH_HEX_TO_INT_SQL = (
+    "(" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+)
+
+_FH_ORACLE = f"""
+    WITH fv AS (
+        SELECT c_custkey, unnest([
+            'seg=' || c_mktsegment,
+            'nation=' || CAST(c_nationkey AS VARCHAR)
+        ]) AS feat
+        FROM customer
+    ),
+    h AS (
+        SELECT c_custkey, feat,
+               {_FH_HEX_TO_INT_SQL.format(h="substr(md5(feat), 1, 8)")}
+                   % {_FH_BUCKETS} AS bucket,
+               CASE WHEN (strpos('0123456789abcdef', substr(md5(feat), 9, 1))
+                          - 1) % 2 = 1
+                    THEN 1 ELSE -1 END AS sgn
+        FROM fv
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(sgn) AS BIGINT) AS signed_sum,
+           CAST(count(DISTINCT feat) AS BIGINT) AS n_distinct_features
+    FROM h GROUP BY bucket
+"""
+
+
+@register("features_feature_hashing", _FH_ORACLE)
+def features_feature_hashing(spark, sf_dir):
+    """Signed feature hashing (the hashing-trick encoder) over the
+    customer categorical features (segment, nation): every
+    feature=value pair lands in one of {_FH_BUCKETS} buckets with a
+    ±1 sign, and the per-bucket profile (row count, signed sum,
+    DISTINCT colliding feature-values) is exactly the collision audit
+    run before fixing a hashed-feature width. sgn uses the md5 9th
+    hex digit's parity — strpos-1 is the digit value, odd -> +1 —
+    identical in both engines.
+
+    Scale: explode is 2 rows per input row (|features| fixed); the
+    bucket aggregation partial-aggregates map-side onto <=
+    {_FH_BUCKETS} buckets; the exact DISTINCT rides the same shuffle
+    grouped by bucket. No joins, no windows."""
+    c = load_table(spark, sf_dir, "customer")
+    fv = c.select(
+        "c_custkey",
+        F.explode(
+            F.array(
+                F.concat(F.lit("seg="), F.col("c_mktsegment")),
+                F.concat(
+                    F.lit("nation="), F.col("c_nationkey").cast("string")
+                ),
+            )
+        ).alias("feat"),
+    )
+    md5 = F.md5(F.col("feat").cast("binary"))
+    h = fv.select(
+        "feat",
+        (
+            F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+            % _FH_BUCKETS
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(md5, 9, 1), 16, 10).cast("bigint") % 2 == 1,
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return h.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("sgn").cast("bigint").alias("signed_sum"),
+        F.countDistinct("feat").cast("bigint").alias("n_distinct_features"),
     )

@@ -3,6 +3,8 @@ change-point tier (VERDICT r8 #5)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
     _cusum_peak,
@@ -45,3 +47,212 @@ def test_streaming_cusum_equals_batch(spark, sf_dir):
         for r in QUERIES["events_cusum_changepoint"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_join_skew_profile_exact_recompute(spark, sf_dir):
+    """Every join-profile column recomputed from plain per-side counts:
+    out_rows is the product, shares sum over the full key set, and the
+    salt is ceil(n_left / target)."""
+    import math
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_skew import (
+        _JOIN_SKEW_TARGET_ROWS,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = QUERIES["skew_join_key_profile"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").collect()
+    from collections import Counter
+
+    lc = Counter(r.user_id for r in ev if r.event_type == "click")
+    rc = Counter(r.user_id for r in ev if r.event_type == "purchase")
+    total = sum(lc[u] * rc[u] for u in lc if u in rc)
+    for r in rows:
+        assert r.n_left == lc[r.user_id]
+        assert r.n_right == rc[r.user_id]
+        assert r.out_rows == r.n_left * r.n_right
+        assert abs(r.out_share - round(r.out_rows / total, 6)) < 1e-9
+        assert r.recommended_salt == max(
+            1, math.ceil(r.n_left / _JOIN_SKEW_TARGET_ROWS)
+        )
+    # the fixture actually exercises the >1-salt branch
+    assert any(r.recommended_salt > 1 for r in rows)
+
+
+def test_containment_superset_of_jaccard_pairs(spark, sf_dir):
+    """Containment >= Jaccard on identical candidates: every verified
+    MinHash-Jaccard pair must appear in the containment output (same
+    banded candidate set, weaker-or-equal gate at these thresholds),
+    and containment values must dominate the pair's Jaccard."""
+    cont = {
+        (r.doc_a, r.doc_b): max(r.contain_a, r.contain_b)
+        for r in QUERIES["dedup_shingle_containment"].fn(spark, sf_dir).collect()
+    }
+    jacc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    missing = [p for p in jacc if p not in cont]
+    assert not missing, missing[:5]
+    for p, j in jacc.items():
+        assert cont[p] >= j - 1e-9, (p, cont[p], j)
+
+
+def test_woe_iv_recompute(spark, sf_dir):
+    """WOE/IV recomputed in Python floats from the raw counts."""
+    import math
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = QUERIES["features_woe_iv"].fn(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders").collect()
+    G = sum(1 for o in orders if o.o_orderstatus == "F")
+    B = len(orders) - G
+    for r in rows:
+        woe = round(math.log((r.n_good * B) / (r.n_bad * G)), 6)
+        assert abs(r.woe - woe) < 1e-9
+        iv = round((r.n_good * B - r.n_bad * G) / (G * B) * woe, 6)
+        assert abs(r.iv_term - iv) < 1e-9
+
+
+def test_completeness_matrix_vs_direct_counts(spark, sf_dir):
+    """The profile row for each column equals direct per-column
+    queries."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r.column_name: r
+        for r in QUERIES["dq_completeness_matrix"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    for c in ("lang", "source", "n_chars"):
+        r = rows[c]
+        assert r.n_rows == n
+        assert r.n_null == d.where(F.col(c).isNull()).count()
+        assert r.n_distinct == d.select(c).na.drop().distinct().count()
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    """ACF recomputed with numpy from the daily count series."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r.event_type: r
+        for r in QUERIES["events_autocorrelation"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    counts = (
+        ev.groupBy("event_type", "day").count().orderBy("event_type", "day")
+    ).collect()
+    series: dict[str, list[int]] = {}
+    for r in counts:
+        series.setdefault(r.event_type, []).append(r["count"])
+    for et, xs in series.items():
+        x = np.array(xs, dtype=float)
+        mu = x.mean()
+        den = ((x - mu) ** 2).sum()
+        for k, col in ((1, "acf_lag1"), (7, "acf_lag7")):
+            got = rows[et][col]
+            if len(x) <= k or den == 0:
+                assert got is None
+                continue
+            num = ((x[k:] - mu) * (x[:-k] - mu)).sum()
+            assert abs(got - round(num / den, 6)) < 1e-6, (et, k)
+
+
+def test_feature_hashing_bucket_conservation(spark, sf_dir):
+    """Bucket ids in range, total rows = 2 x customers, and every
+    bucket's signed_sum is reachable from n_rows (same parity, |s| <=
+    n)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_window2 import (
+        _FH_BUCKETS,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = QUERIES["features_feature_hashing"].fn(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert all(0 <= r.bucket < _FH_BUCKETS for r in rows)
+    assert sum(r.n_rows for r in rows) == 2 * n_cust
+    for r in rows:
+        assert abs(r.signed_sum) <= r.n_rows
+        assert (r.signed_sum - r.n_rows) % 2 == 0
+        assert r.n_distinct_features >= 1
+
+
+def test_exact_group_median_matches_numpy(spark, sf_dir):
+    """The rank-picked median equals numpy's median of the cents."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r.o_orderpriority: r
+        for r in QUERIES["agg_exact_group_median"].fn(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").collect()
+    groups: dict[str, list[int]] = {}
+    for o in orders:
+        groups.setdefault(o.o_orderpriority, []).append(
+            int(round(o.o_totalprice * 100))
+        )
+    for g, cents in groups.items():
+        assert rows[g].n_orders == len(cents)
+        assert abs(
+            rows[g].median_price - round(float(np.median(cents)) / 100.0, 4)
+        ) < 1e-9
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark, sf_dir):
+    """The partition-key filter must reach the scan as a
+    PartitionFilter and select 2 of the 5 event_type directories."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_pipeline import (
+        partitioned_events,
+    )
+
+    back = partitioned_events(spark, sf_dir)
+    filtered = back.where(F.col("event_type").isin("click", "purchase"))
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning is real, not just printed: the filtered scan must read
+    # exactly the rows that live in the two selected directories
+    # (inputFiles() can't show this — it reports the relation's files
+    # before pruning)
+    out = partitioned_events.__globals__["partitioned_events_path"](sf_dir)
+    direct = spark.read.parquet(
+        f"{out}/event_type=click", f"{out}/event_type=purchase"
+    )
+    assert filtered.count() == direct.count() > 0
+
+
+def test_post_pin_additions_are_registered_and_unpinned():
+    """tools/next_window.py POST_PIN_ADDITIONS must name real
+    registered queries (typo safety) that are NOT in the live pinned
+    rotation (a pinned query listed as post-pin would quietly drop out
+    of the proposal and break --verify the other way)."""
+    import tools.next_window as nw
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+        _ROTATION,
+    )
+
+    for n in nw.POST_PIN_ADDITIONS:
+        assert n in QUERIES, n
+        assert n not in _ROTATION, n

@@ -63,6 +63,28 @@ WINDOW_SIZE = 50
 # round's rotation ahead of the refresh tail.
 PRIORITY: tuple[str, ...] = ()
 
+# Queries registered AFTER the live round's rotation was pinned. They
+# must not displace the pinned rotation mid-round (the driver window is
+# frozen when the round starts), so next_rotation() ignores them — they
+# lead the NEXT round's never-green front automatically. RESET this to
+# () whenever a new round's rotation is pinned, then append every
+# post-pin registration. Before r9 the pin survived additions only by
+# accident (the r8 pool exactly filled all 30 slots, so [:slots]
+# truncation hid late registrations); with refresh slots in play the
+# exclusion is load-bearing. An index cutoff can't express this:
+# QUERIES order is module-import order, so a query appended to an
+# early-imported module lands mid-registry.
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "skew_join_key_profile",
+    "dedup_shingle_containment",
+    "features_woe_iv",
+    "dq_completeness_matrix",
+    "events_autocorrelation",
+    "features_feature_hashing",
+    "agg_exact_group_median",
+    "source_partitioned_roundtrip",
+)
+
 
 def correctness_rounds() -> dict[int, dict]:
     out: dict[int, dict] = {}
@@ -103,12 +125,16 @@ def green_before(round_no: int | None = None) -> set[str]:
 def next_rotation() -> list[str]:
     green = green_before(None)
     anchors = set(_WINDOW_ANCHORS)
+    reg_order = {n: i for i, n in enumerate(QUERIES)}
+    post_pin = set(POST_PIN_ADDITIONS)
     pool = [
         n
         for n, s in QUERIES.items()
-        if s.oracle is not None and n not in green and n not in anchors
+        if s.oracle is not None
+        and n not in green
+        and n not in anchors
+        and n not in post_pin
     ]
-    reg_order = {n: i for i, n in enumerate(QUERIES)}
     known_priority = [n for n in PRIORITY if n in pool]
     rest = sorted(
         (n for n in pool if n not in set(known_priority)),

@@ -133,6 +133,15 @@ EXTRA = [
     "features_time_decay_mean",
     "features_global_equidepth_bins",
     "embedding_source_centroid_drift",
+    # r9 additions
+    "skew_join_key_profile",
+    "dedup_shingle_containment",
+    "features_woe_iv",
+    "dq_completeness_matrix",
+    "events_autocorrelation",
+    "features_feature_hashing",
+    "agg_exact_group_median",
+    "source_partitioned_roundtrip",
 ]
 
 

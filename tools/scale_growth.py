@@ -96,6 +96,13 @@ QUERIES_UNDER_TEST = [
     # grain — distinct values grow with the corpus, so the window input
     # must stay linear (the exact-order-statistics trade).
     "quality_ks_drift",
+    # round-9: containment reuses the banded MinHash candidates — its
+    # wall must track dedup_minhash_lsh's (same candidate growth, the
+    # blocking invariants already bound the bucket join); the join-key
+    # profile is two partial-agg shuffles + a key-grain join and must
+    # stay linear however hot the users get.
+    "dedup_shingle_containment",
+    "skew_join_key_profile",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
