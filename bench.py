@@ -87,6 +87,11 @@ BASELINE_SEC = {
     # oracle hash-green at sf0.001/0.01/0.1; BASELINE.md "Round-8
     # updates"; min over two full runs, calibrations 1.12/1.19)
     "embedding_covariance_whitening": 0.64,
+    # round-9: new headline rows measured at landing (BASELINE.md
+    # "Round-9 new headline rows"; min over two full runs,
+    # calibrations 1.13/1.12)
+    "features_target_encoding_loo": 0.55,
+    "quality_ks_drift": 0.78,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,
