@@ -256,3 +256,41 @@ def test_post_pin_additions_are_registered_and_unpinned():
     for n in nw.POST_PIN_ADDITIONS:
         assert n in QUERIES, n
         assert n not in _ROTATION, n
+
+
+def test_join_profile_salt_drives_salted_join(spark, sf_dir):
+    """Close the profile → mitigate loop for JOINS like the agg
+    profiler does: feed the profile's max recommended_salt into
+    salted_join on the same click ⋈ purchase shape and require
+    bit-identical results to the plain join (count + per-user pair
+    counts)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.skew import (
+        salted_join,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    prof = QUERIES["skew_join_key_profile"].fn(spark, sf_dir).collect()
+    n_salts = max(r.recommended_salt for r in prof)
+    assert n_salts > 1  # the fixture's hot users actually need salting
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id")
+    )
+    salted = (
+        salted_join(
+            clicks, purchases, key="user_id", spread_col="click_id",
+            n_salts=n_salts,
+        )
+        .groupBy("user_id")
+        .count()
+    )
+    plain = clicks.join(purchases, "user_id").groupBy("user_id").count()
+    got = {r.user_id: r["count"] for r in salted.collect()}
+    want = {r.user_id: r["count"] for r in plain.collect()}
+    assert got == want
