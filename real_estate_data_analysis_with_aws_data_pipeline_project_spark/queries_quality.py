@@ -842,47 +842,22 @@ _PSI_ORACLE = f"""
 """
 
 
-@register("quality_psi_drift", _PSI_ORACLE)
-def quality_psi_drift(spark, sf_dir):
-    """Windowed drift detection: per (event_type, day), the population
-    stability index of the day's value-bucket histogram against the
-    pooled all-days reference — PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
-    with add-one smoothing over the ten fixed-width buckets (so empty
-    buckets contribute finitely), flagging days at the classic 0.2
-    alert level. This is the feed-health monitor a
-    continuously-ingesting pipeline runs before trusting a day's data.
-
-    Determinism + scale: bucket counts are exact integers; p, q and
-    their ratio are single IEEE divisions (identical both engines);
-    the only transcendental is ln, rounded at 6 dp per the
-    cross-engine libm rule (BM25 precedent); and the Σ over the
-    10-term bucket grid is a DECIMAL sum — exact, associative,
-    partition-order-proof. Shuffle: two passes over events (day grain
-    and reference grain), then joins on the tiny
-    (type × day × bucket) grid — at 100 TB the reference histogram is
-    a broadcast row-set and days are processed independently."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type",
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "day"
-        ),
-        F.least(
-            F.floor(F.col("value") / _PSI_BUCKET_WIDTH).cast("bigint"),
-            F.lit(_PSI_BUCKETS - 1).cast("bigint"),
-        ).alias("bucket"),
+def psi_from_cube(day_cnt: DataFrame) -> DataFrame:
+    """PSI report from the (event_type, day, bucket, c) count CUBE —
+    the statistic's complete sufficient statistic: day totals, the
+    pooled reference histogram, and its total are all sums over the
+    cube, so any producer of the exact cube (the batch pass below, or
+    the streaming fold's final state) yields the identical report.
+    Arithmetic per the batch twin's determinism contract: integer
+    counts, single IEEE divisions, ln rounded 6 dp, DECIMAL term sum."""
+    day_tot = day_cnt.groupBy("event_type", "day").agg(
+        F.sum("c").cast("bigint").alias("n")
     )
-    day_tot = e.groupBy("event_type", "day").agg(
-        F.count("*").cast("bigint").alias("n")
+    ref_tot = day_cnt.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("m")
     )
-    day_cnt = e.groupBy("event_type", "day", "bucket").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    ref_tot = e.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("m")
-    )
-    ref_cnt = e.groupBy("event_type", "bucket").agg(
-        F.count("*").cast("bigint").alias("r")
+    ref_cnt = day_cnt.groupBy("event_type", "bucket").agg(
+        F.sum("c").cast("bigint").alias("r")
     )
     grid = day_tot.withColumn(
         "bucket", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1)))
@@ -918,6 +893,86 @@ def quality_psi_drift(spark, sf_dir):
         "psi",
         "drift_flag",
     )
+
+
+def psi_bucket_col():
+    """The fixed-width value bucket shared by the batch pass and the
+    streaming tier's source projection."""
+    return F.least(
+        F.floor(F.col("value") / _PSI_BUCKET_WIDTH).cast("bigint"),
+        F.lit(_PSI_BUCKETS - 1).cast("bigint"),
+    )
+
+
+@register("quality_psi_drift", _PSI_ORACLE)
+def quality_psi_drift(spark, sf_dir):
+    """Windowed drift detection: per (event_type, day), the population
+    stability index of the day's value-bucket histogram against the
+    pooled all-days reference — PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    with add-one smoothing over the ten fixed-width buckets (so empty
+    buckets contribute finitely), flagging days at the classic 0.2
+    alert level. This is the feed-health monitor a
+    continuously-ingesting pipeline runs before trusting a day's data.
+
+    Determinism + scale: bucket counts are exact integers; p, q and
+    their ratio are single IEEE divisions (identical both engines);
+    the only transcendental is ln, rounded at 6 dp per the
+    cross-engine libm rule (BM25 precedent); and the Σ over the
+    10-term bucket grid is a DECIMAL sum — exact, associative,
+    partition-order-proof. Shuffle: two passes over events (day grain
+    and reference grain), then joins on the tiny
+    (type × day × bucket) grid — at 100 TB the reference histogram is
+    a broadcast row-set and days are processed independently."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        psi_bucket_col().alias("bucket"),
+    )
+    # ONE pass to the sufficient-statistic cube (r9 refactor: day
+    # totals and the pooled reference are sums over it — see
+    # psi_from_cube, shared with the streaming tier); values identical
+    # to the former four-aggregation form because every derived count
+    # is the same exact integer.
+    day_cnt = e.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    return psi_from_cube(day_cnt)
+
+
+@register("streaming_psi_drift", _PSI_ORACLE)
+def q_streaming_psi_drift(spark, sf_dir):
+    """Structured Streaming: PSI drift as a stateful streaming tier.
+    The stream folds the (day, bucket) count cube per event type
+    (streaming/jobs.streaming_psi_cube — ValueState bounded by
+    calendar x buckets); this query keeps each key's max-seq cube
+    emission and runs psi_from_cube over it — the SAME Spark
+    expressions as the batch twin on the SAME exact integer cube, so
+    it carries the batch twin's full oracle with zero Python float
+    arithmetic in the streaming loop."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    # max-seq per key via max() over a key window (the CUSUM tier's
+    # row_number shape; a self-join on the memory-sink view trips a
+    # conflicting-attribute resolution quirk). The sink relation is
+    # metadata-scale: |types| x updates x days x buckets.
+    mw = Window.partitionBy("event_type")
+    final = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "day", "bucket", "c")
+        # break the memory-sink lineage: psi_from_cube self-joins this
+        # relation three ways, and plans rooted at the SAME MemoryPlan
+        # view hit a conflicting-attribute INTERNAL_ERROR instead of
+        # attribute dedup. The checkpoint materializes the cube — safe
+        # by construction, it is the calendar x bucket x type
+        # sufficient statistic, never the event stream.
+        .localCheckpoint(eager=True)
+    )
+    return psi_from_cube(final)
 
 
 # --- train/serve quantile-alignment audit (round 7, second batch) -----------

@@ -755,3 +755,135 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _run_to_memory(result, "stream_cusum_changepoint", "update")
     return spark.table("stream_cusum_changepoint")
+
+
+# --- streaming PSI drift tier (round 9) --------------------------------------
+#
+# PSI vs the pooled reference is, like CUSUM, a two-pass statistic —
+# but its SUFFICIENT statistic streams: the (day, bucket) count cube
+# per event type (calendar x fixed-bucket bounded). The processor only
+# FOLDS the cube; the PSI arithmetic stays in the registered query's
+# Spark expressions (queries_quality.psi_from_cube), so the streamed
+# report is bit-identical to the batch twin with no Python float
+# rounding in the loop at all.
+
+
+_PSI_TIER_OUT_SCHEMA = (
+    "event_type STRING, seq BIGINT, day STRING, bucket BIGINT, c BIGINT"
+)
+_PSI_TIER_STATE_SCHEMA = (
+    "days ARRAY<STRING>, buckets ARRAY<LONG>, cnts ARRAY<LONG>, seq BIGINT"
+)
+
+
+def _psi_fold(state_get, exists: bool, pdfs) -> tuple:
+    """Shared fold body for both stateful APIs: merge the batch's
+    (day, bucket) counts into the state cube, bump seq, and return the
+    new state tuple."""
+    if exists:
+        days, buckets, cnts, seq = state_get
+        m = {
+            (d, int(b)): int(c) for d, b, c in zip(days, buckets, cnts)
+        }
+    else:
+        m, seq = {}, 0
+    for pdf in pdfs:
+        grp = pdf.groupby(["day", "bucket"]).size()
+        for (d, b), c in grp.items():
+            m[(d, int(b))] = m.get((d, int(b)), 0) + int(c)
+    seq = int(seq) + 1
+    keys = sorted(m)
+    return (
+        [d for d, _ in keys],
+        [b for _, b in keys],
+        [m[k] for k in keys],
+        seq,
+    )
+
+
+class _PSIProcessor:
+    """StatefulProcessor: ValueState holding the (day, bucket, count)
+    cube arrays + update sequence; each batch merges and re-emits the
+    whole (bounded) cube."""
+
+    def init(self, handle) -> None:
+        self._st = handle.getValueState("st", _PSI_TIER_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        st = self._st.get() if self._st.exists() else None
+        days, buckets, cnts, seq = _psi_fold(st, st is not None, rows)
+        self._st.update((days, buckets, cnts, seq))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(days),
+                "seq": [seq] * len(days),
+                "day": days,
+                "bucket": buckets,
+                "c": cnts,
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI tier (ROADMAP r10 candidate #2, landed r9): per
+    event type, fold the stream into the calendar-bounded
+    (day, bucket) count cube in ValueState and re-emit the cube on
+    every update with a sequence number. transformWithStateInPandas
+    with an applyInPandasWithState fallback, like the KMV and CUSUM
+    tiers. The registered query keeps each key's max-seq cube and runs
+    psi_from_cube over it — the batch twin's exact expressions on the
+    exact batch cube."""
+    from ..queries_quality import psi_bucket_col
+
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        psi_bucket_col().alias("bucket"),
+    )
+    if _tws_protocol_available():
+        result = src.groupBy("event_type").transformWithStateInPandas(
+            statefulProcessor=_PSIProcessor(),
+            outputStructType=_PSI_TIER_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+        try:
+            _run_to_memory(result, "stream_psi_cube", "update")
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+    else:
+
+        def _psi_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+            st = state.get if state.exists else None
+            days, buckets, cnts, seq = _psi_fold(st, st is not None, pdfs)
+            state.update((days, buckets, cnts, seq))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(days),
+                    "seq": [seq] * len(days),
+                    "day": days,
+                    "bucket": buckets,
+                    "c": cnts,
+                }
+            )
+
+        result = src.groupBy("event_type").applyInPandasWithState(
+            _psi_fallback_fn,
+            outputStructType=_PSI_TIER_OUT_SCHEMA,
+            stateStructType=_PSI_TIER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+        _run_to_memory(result, "stream_psi_cube", "update")
+    return spark.table("stream_psi_cube")

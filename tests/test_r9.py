@@ -294,3 +294,18 @@ def test_join_profile_salt_drives_salted_join(spark, sf_dir):
     got = {r.user_id: r["count"] for r in salted.collect()}
     want = {r.user_id: r["count"] for r in plain.collect()}
     assert got == want
+
+
+def test_streaming_psi_equals_batch(spark, sf_dir):
+    """The streamed cube fold must make the PSI report equal the batch
+    twin row-for-row — the cube after the final batch IS the batch
+    cube, and both reports run the same psi_from_cube expressions."""
+    stream = {
+        (r.event_type, r.day): (r.n_events, r.psi, r.drift_flag)
+        for r in QUERIES["streaming_psi_drift"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.event_type, r.day): (r.n_events, r.psi, r.drift_flag)
+        for r in QUERIES["quality_psi_drift"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -83,6 +83,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "features_feature_hashing",
     "agg_exact_group_median",
     "source_partitioned_roundtrip",
+    "streaming_psi_drift",
 )
 
 
