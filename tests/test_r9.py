@@ -309,3 +309,42 @@ def test_streaming_psi_equals_batch(spark, sf_dir):
         for r in QUERIES["quality_psi_drift"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_streaming_fold_merge_law_across_batches():
+    """The stateful tiers' fold bodies must be batching-invariant:
+    folding a stream in two chunks then reading the final state must
+    equal folding it in one. The availableNow file source usually
+    delivers ONE batch in tests, so the cross-batch merge path is
+    exercised here directly, without Spark."""
+    import pandas as pd
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _cusum_peak,
+        _psi_fold,
+    )
+
+    # PSI cube fold: two chunks vs one
+    chunk1 = pd.DataFrame(
+        {"day": ["d1", "d1", "d2"], "bucket": [0, 1, 0]}
+    )
+    chunk2 = pd.DataFrame(
+        {"day": ["d2", "d3", "d1"], "bucket": [0, 2, 1]}
+    )
+    st1 = _psi_fold(None, False, [chunk1])
+    st2 = _psi_fold(st1[:4], True, [chunk2])
+    once = _psi_fold(None, False, [chunk1, chunk2])
+    assert st2[:3] == once[:3]  # same cube regardless of batching
+    assert st2[3] == 2 and once[3] == 1  # seq counts updates
+
+    # CUSUM day-count fold: merging day counts across chunks then
+    # taking the peak equals the single-pass peak over the union.
+    m = {}
+    for chunk in (["d1", "d1", "d2"], ["d2", "d2", "d3", "d3", "d3"]):
+        for d in chunk:
+            m[d] = m.get(d, 0) + 1
+    days = sorted(m)
+    merged = _cusum_peak(days, [m[d] for d in days])
+    union = {"d1": 2, "d2": 3, "d3": 3}
+    expect = _cusum_peak(sorted(union), [union[d] for d in sorted(union)])
+    assert merged == expect
