@@ -11,6 +11,7 @@ Regenerate after plan-affecting changes:
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -133,7 +134,8 @@ EXTRA = [
     "features_time_decay_mean",
     "features_global_equidepth_bins",
     "embedding_source_centroid_drift",
-    # r9 additions
+    # r9 additions (quality_psi_drift already above; re-audited after
+    # its single-pass-cube refactor)
     "skew_join_key_profile",
     "dedup_shingle_containment",
     "features_woe_iv",
@@ -152,6 +154,18 @@ def formatted(df) -> str:
 
 
 def executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def executed_final(df) -> str:
+    """Post-execution plan string: under AQE the pre-execution
+    executedPlan prints `isFinalPlan=false` with NO codegen spans, so
+    the codegen checklist line could never fire (it read '– no codegen
+    span' on every query through r8). The action must run on the
+    DATAFRAME'S OWN QueryExecution (df.write would spawn a fresh one),
+    so collect-and-discard; the final adaptive tree then carries the
+    codegen stages as `*(n)` operator prefixes."""
+    df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -244,7 +258,7 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
 }
 
 
-def checklist(plan: str, exe: str, name: str = "") -> list[str]:
+def checklist(plan: str, exe: str, name: str = "", final: str = "") -> list[str]:
     notes = []
     notes.append(
         ("✓" if "PushedFilters: [" in plan else "–")
@@ -296,9 +310,15 @@ def checklist(plan: str, exe: str, name: str = "") -> list[str]:
             )
     else:
         notes.append("✓ no single-partition window")
+    codegen_src = final or exe
+    # the final adaptive plan string marks codegen stages with the
+    # `*(id)` operator prefix, not the literal node name
+    has_codegen = "WholeStageCodegen" in codegen_src or bool(
+        re.search(r"\*\(\d+\)", codegen_src)
+    )
     notes.append(
         "✓ whole-stage codegen"
-        if "WholeStageCodegen" in exe
+        if has_codegen
         else "– no codegen span (expression-heavy or non-codegen operators)"
     )
     return notes
@@ -319,9 +339,10 @@ def main() -> None:
     for name in names:
         df = QUERIES[name].fn(spark, sf_dir)
         plan, exe = formatted(df), executed(df)
+        final = executed_final(df)
         out.append(f"## {name}")
         out.append("")
-        for n in checklist(plan, exe, name):
+        for n in checklist(plan, exe, name, final):
             out.append(f"- {n}")
         out.append("")
         # keep the formatted plan's operator tree (head) — enough to read
