@@ -1357,7 +1357,7 @@ _CUSUM_ORACLE = """
     )
     SELECT event_type, CAST(nd AS BIGINT) AS n_days,
            strftime(day, '%Y-%m-%d') AS change_day,
-           round(CAST(snum AS DOUBLE) / nd, 6) AS peak_cusum,
+           round(CAST(snum AS DOUBLE) / nd, 6) + 0.0 AS peak_cusum,
            CAST(CASE WHEN snum >= 0 THEN 1 ELSE -1 END AS INT)
                AS direction
     FROM s WHERE arg = 1
@@ -1488,7 +1488,8 @@ _TREND_ORACLE = """
     )
     SELECT event_type, n AS n_days,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_per_day,
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+               AS slope_per_day,
            round(CAST(sy * (n * sxx - sx * sx) - (n * sxy - sx * sy) * sx
                       AS DOUBLE)
                  / CAST(n * (n * sxx - sx * sx) AS DOUBLE), 6)
@@ -1773,10 +1774,10 @@ _ACF_ORACLE = f"""
     SELECT event_type, n AS n_days,
            CASE WHEN m1 > 0 AND n*n*q - n*s*s > 0
                 THEN round(CAST(n*n*p1 - n*s*(a1+b1) + m1*s*s AS DOUBLE)
-                           / (n*n*q - n*s*s), 6) END AS acf_lag1,
+                           / (n*n*q - n*s*s), 6) + 0.0 END AS acf_lag1,
            CASE WHEN m7 > 0 AND n*n*q - n*s*s > 0
                 THEN round(CAST(n*n*p7 - n*s*(a7+b7) + m7*s*s AS DOUBLE)
-                           / (n*n*q - n*s*s), 6) END AS acf_lag7
+                           / (n*n*q - n*s*s), 6) + 0.0 END AS acf_lag7
     FROM m
 """
 

@@ -2076,7 +2076,7 @@ _CDRIFT_ORACLE = f"""
     SELECT CAST(label AS INT) AS label, n_vectors,
            round(CAST(dot_i AS DOUBLE)
                  / (sqrt(CAST(nl_i AS DOUBLE))
-                    * sqrt(CAST(ng_i AS DOUBLE))), 6) AS cos_to_global,
+                    * sqrt(CAST(ng_i AS DOUBLE))), 6) + 0.0 AS cos_to_global,
            round((sqrt(CAST(nl_i AS DOUBLE)) * gn)
                  / (sqrt(CAST(ng_i AS DOUBLE)) * n_vectors), 6)
                AS norm_ratio

@@ -742,14 +742,16 @@ _WOE_ORACLE = """
     w AS (
         SELECT c.category, c.n_good, c.n_bad, t.g_tot, t.b_tot,
                round(ln(CAST(c.n_good AS DOUBLE) * t.b_tot
-                        / (CAST(c.n_bad AS DOUBLE) * t.g_tot)), 6) AS woe
+                        / (CAST(c.n_bad AS DOUBLE) * t.g_tot)), 6) + 0.0
+                   AS woe
         FROM c, t
         WHERE c.n_good > 0 AND c.n_bad > 0
     )
     SELECT category, n_good, n_bad, woe,
            round((CAST(n_good AS DOUBLE) * b_tot
                   - CAST(n_bad AS DOUBLE) * g_tot)
-                 / (CAST(g_tot AS DOUBLE) * b_tot) * woe, 6) AS iv_term
+                 / (CAST(g_tot AS DOUBLE) * b_tot) * woe, 6) + 0.0
+               AS iv_term
     FROM w
 """
 

@@ -384,6 +384,24 @@ _ROCKSDB_PROVIDER = (
 )
 
 
+def _run_with_rocksdb(spark: SparkSession, result: DataFrame, name: str) -> None:
+    """Drive an update-mode transformWithState sink under the RocksDB
+    state-store provider, restoring the prior provider setting
+    afterwards. Shared by every TWS tier (user-activity, KMV, CUSUM,
+    PSI) — the set/try/finally/restore dance was previously
+    copy-pasted per tier (r9 review)."""
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        _run_to_memory(result, name, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+
+
 def _tws_protocol_available() -> bool:
     """transformWithState's Python state server speaks protobuf
     (pyspark.sql.streaming.proto.StateMessage_pb2); without the
@@ -441,16 +459,7 @@ def streaming_user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
-        try:
-            _run_to_memory(result, "stream_user_activity_tws", "update")
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        _run_with_rocksdb(spark, result, "stream_user_activity_tws")
     else:
         result = src.groupBy("user_id").applyInPandasWithState(
             _user_activity_fallback_fn,
@@ -574,16 +583,7 @@ def streaming_kmv_distinct(
             outputMode="Update",
             timeMode="None",
         )
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
-        try:
-            _run_to_memory(result, "stream_kmv_distinct", "update")
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        _run_with_rocksdb(spark, result, "stream_kmv_distinct")
     else:
 
         def _kmv_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
@@ -628,6 +628,13 @@ def streaming_kmv_distinct(
 # mode sink without relying on single-batch execution.
 
 
+def _day_sort_key(d):
+    """Total order over day labels including None (NULL ts day): None
+    first, matching Spark's nulls-first ASC window ordering in the
+    batch twin."""
+    return (d is not None, d or "")
+
+
 def _cusum_peak(days: list, cnts: list):
     """Integer-exact offline CUSUM argmax over an ordered day series:
     S_rk = nd·cum_rk − rk·total (Python ints, arbitrary precision),
@@ -636,13 +643,33 @@ def _cusum_peak(days: list, cnts: list):
     nd = len(days)
     total = sum(cnts)
     cum = 0
-    best_day, best_s = None, 0
+    best_day, best_s, found = None, 0, False
     for rk, (d, c) in enumerate(zip(days, cnts), 1):
         cum += c
         s = nd * cum - rk * total
-        if best_day is None or abs(s) > abs(best_s):
-            best_day, best_s = d, s
+        if not found or abs(s) > abs(best_s):
+            best_day, best_s, found = d, s, True
     return nd, best_day, best_s
+
+
+def _cusum_fold(state_get, exists: bool, pdfs) -> tuple:
+    """Shared fold body for both stateful APIs (the _psi_fold pattern,
+    r9 review): merge the batch's day counts into the state map, bump
+    seq, and return the new (days, cnts, seq) state tuple. NULL days
+    (NULL ts) are counted as their own group — value_counts' default
+    dropna would silently drop rows the batch twin counts."""
+    if exists:
+        days, cnts, seq = state_get
+        m = dict(zip(days, (int(c) for c in cnts)))
+    else:
+        m, seq = {}, 0
+    for pdf in pdfs:
+        for d, c in pdf["day"].value_counts(dropna=False).items():
+            d = None if pd.isna(d) else d
+            m[d] = m.get(d, 0) + int(c)
+    seq = int(seq) + 1
+    days = sorted(m, key=_day_sort_key)
+    return days, [m[d] for d in days], seq
 
 
 _CUSUM_OUT_SCHEMA = (
@@ -661,17 +688,8 @@ class _CUSUMProcessor:
         self._st = handle.getValueState("st", _CUSUM_STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues):
-        if self._st.exists():
-            days, cnts, seq = self._st.get()
-            m = dict(zip(days, (int(c) for c in cnts)))
-        else:
-            m, seq = {}, 0
-        for pdf in rows:
-            for d, c in pdf["day"].value_counts().items():
-                m[d] = m.get(d, 0) + int(c)
-        seq = int(seq) + 1
-        days = sorted(m)
-        cnts = [m[d] for d in days]
+        st = self._st.get() if self._st.exists() else None
+        days, cnts, seq = _cusum_fold(st, st is not None, rows)
         self._st.update((days, cnts, seq))
         nd, day, snum = _cusum_peak(days, cnts)
         yield pd.DataFrame(
@@ -710,30 +728,12 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
-        try:
-            _run_to_memory(result, "stream_cusum_changepoint", "update")
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        _run_with_rocksdb(spark, result, "stream_cusum_changepoint")
     else:
 
         def _cusum_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
-            if state.exists:
-                days, cnts, seq = state.get
-                m = dict(zip(days, (int(c) for c in cnts)))
-            else:
-                m, seq = {}, 0
-            for pdf in pdfs:
-                for d, c in pdf["day"].value_counts().items():
-                    m[d] = m.get(d, 0) + int(c)
-            seq = int(seq) + 1
-            days = sorted(m)
-            cnts = [m[d] for d in days]
+            st = state.get if state.exists else None
+            days, cnts, seq = _cusum_fold(st, st is not None, pdfs)
             state.update((days, cnts, seq))
             nd, day, snum = _cusum_peak(days, cnts)
             yield pd.DataFrame(
@@ -779,20 +779,27 @@ _PSI_TIER_STATE_SCHEMA = (
 def _psi_fold(state_get, exists: bool, pdfs) -> tuple:
     """Shared fold body for both stateful APIs: merge the batch's
     (day, bucket) counts into the state cube, bump seq, and return the
-    new state tuple."""
+    new state tuple. NULL days/buckets (NULL ts/value) are kept as
+    their own groups — pandas groupby's default dropna would silently
+    drop rows the batch twin's groupBy counts (r9 review)."""
     if exists:
         days, buckets, cnts, seq = state_get
         m = {
-            (d, int(b)): int(c) for d, b, c in zip(days, buckets, cnts)
+            (d, None if b is None else int(b)): int(c)
+            for d, b, c in zip(days, buckets, cnts)
         }
     else:
         m, seq = {}, 0
     for pdf in pdfs:
-        grp = pdf.groupby(["day", "bucket"]).size()
+        grp = pdf.groupby(["day", "bucket"], dropna=False).size()
         for (d, b), c in grp.items():
-            m[(d, int(b))] = m.get((d, int(b)), 0) + int(c)
+            k = (None if pd.isna(d) else d, None if pd.isna(b) else int(b))
+            m[k] = m.get(k, 0) + int(c)
     seq = int(seq) + 1
-    keys = sorted(m)
+    keys = sorted(
+        m,
+        key=lambda k: (_day_sort_key(k[0]), k[1] is not None, k[1] or 0),
+    )
     return (
         [d for d, _ in keys],
         [b for _, b in keys],
@@ -852,16 +859,7 @@ def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
-        try:
-            _run_to_memory(result, "stream_psi_cube", "update")
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
+        _run_with_rocksdb(spark, result, "stream_psi_cube")
     else:
 
         def _psi_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):

@@ -275,21 +275,25 @@ def checklist(plan: str, exe: str, name: str = "", final: str = "") -> list[str]
         "✗ CARTESIAN PRODUCT" if "CartesianProduct" in exe else "✓ no cartesian product"
     )
     waived, unwaived = audit_unpartitioned_windows(exe)
-    if unwaived and name in _BOUNDED_DOMAIN_WINDOW_WAIVERS:
-        expected, bound = _BOUNDED_DOMAIN_WINDOW_WAIVERS[name]
-        if unwaived == expected:
-            notes.append(
-                "✓ single-partition window over bounded value domain "
-                f"({bound})"
-            )
+    # the two counted waiver classes are checked INDEPENDENTLY (r9
+    # review): an elif chain let a query with domain-waived windows
+    # acquire an uncounted limit-bounded window without tripping.
+    if unwaived:
+        if name in _BOUNDED_DOMAIN_WINDOW_WAIVERS:
+            expected, bound = _BOUNDED_DOMAIN_WINDOW_WAIVERS[name]
+            if unwaived == expected:
+                notes.append(
+                    "✓ single-partition window over bounded value domain "
+                    f"({bound})"
+                )
+            else:
+                notes.append(
+                    f"✗ SINGLE-PARTITION WINDOW (waiver covers {expected}, "
+                    f"plan has {unwaived})"
+                )
         else:
-            notes.append(
-                f"✗ SINGLE-PARTITION WINDOW (waiver covers {expected}, "
-                f"plan has {unwaived})"
-            )
-    elif unwaived:
-        notes.append("✗ SINGLE-PARTITION WINDOW")
-    elif waived:
+            notes.append("✗ SINGLE-PARTITION WINDOW")
+    if waived:
         # unpartitioned window whose own input subtree is truncated by a
         # limit — bounded rows by construction, not a scale hazard, but
         # only when the query carries a COUNTED waiver (VERDICT r8 #7)
@@ -308,7 +312,7 @@ def checklist(plan: str, exe: str, name: str = "", final: str = "") -> list[str]
             notes.append(
                 "✗ SINGLE-PARTITION WINDOW (limit-bounded but no counted waiver)"
             )
-    else:
+    if not waived and not unwaived:
         notes.append("✓ no single-partition window")
     codegen_src = final or exe
     # the final adaptive plan string marks codegen stages with the
