@@ -348,3 +348,35 @@ def test_streaming_fold_merge_law_across_batches():
     union = {"d1": 2, "d2": 3, "d3": 3}
     expect = _cusum_peak(sorted(union), [union[d] for d in sorted(union)])
     assert merged == expect
+
+
+def test_streaming_folds_keep_null_groups():
+    """pandas groupby/value_counts default dropna=True would silently
+    drop NULL-day / NULL-bucket rows that the batch twins count as
+    their own groups (r9 review); the shared folds must keep them."""
+    import pandas as pd
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _cusum_fold,
+        _psi_fold,
+    )
+
+    days, cnts, seq = _cusum_fold(
+        None, False, [pd.DataFrame({"day": ["d1", None, None]})]
+    )
+    assert days == [None, "d1"]  # None first = Spark nulls-first ASC
+    assert cnts == [2, 1] and seq == 1
+
+    d, b, c, seq = _psi_fold(
+        None,
+        False,
+        [pd.DataFrame({"day": ["d1", "d1", None], "bucket": [0, None, 3]})],
+    )
+    assert list(zip(d, b, c)) == [(None, 3, 1), ("d1", None, 1), ("d1", 0, 1)]
+    # round-trip through state keeps the None groups intact
+    d2, b2, c2, seq2 = _psi_fold(
+        (d, b, c, seq),
+        True,
+        [pd.DataFrame({"day": ["d1"], "bucket": [None]})],
+    )
+    assert (d2, b2, c2, seq2) == ([None, "d1", "d1"], [3, None, 0], [1, 2, 1], 2)
