@@ -939,7 +939,13 @@ def quality_psi_drift(spark, sf_dir):
     day_cnt = e.groupBy("event_type", "day", "bucket").agg(
         F.count("*").cast("bigint").alias("c")
     )
-    return psi_from_cube(day_cnt)
+    # Materialize the cube: psi_from_cube consumes it in three plan
+    # branches (day totals, reference histogram, verify join) and
+    # Catalyst would otherwise rescan events once per branch. The cube
+    # is type x calendar x bucket — metadata-scale by construction, so
+    # the checkpoint is cheap at any corpus size; the streaming tier
+    # gets the same property from its memory-sink state.
+    return psi_from_cube(day_cnt.localCheckpoint(eager=True))
 
 
 @register("streaming_psi_drift", _PSI_ORACLE)
