@@ -858,7 +858,7 @@ _DOD_ORACLE = """
                (n - lag(n) OVER (PARTITION BY event_type ORDER BY day))
                / CAST(lag(n) OVER (PARTITION BY event_type ORDER BY day)
                       AS DOUBLE), 4
-           ) AS dod_growth
+           ) + 0.0 AS dod_growth
     FROM d
 """
 

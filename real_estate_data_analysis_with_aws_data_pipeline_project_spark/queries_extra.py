@@ -264,7 +264,7 @@ def set_intersect_except_all(spark, sf_dir):
     """
     SELECT o_orderkey,
            round(CAST(date_diff('day', DATE '1995-06-15',
-                 CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4)
+                 CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.4375, 4) + 0.0
                AS approx_months,
            strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
                AS plus_3_months,

@@ -84,8 +84,8 @@ def f2_f3_arithmetic_round(spark, sf_dir):
            coalesce(CASE WHEN raw_metric <= -999999 THEN NULL ELSE raw_metric END, 0)
                AS defaulted_metric,
            CASE WHEN c_acctbal IS NOT NULL AND c_acctbal <> 0
-                THEN round(CAST(c_custkey AS DOUBLE) / c_acctbal, 4) END
-               AS safe_ratio
+                THEN round(CAST(c_custkey AS DOUBLE) / c_acctbal, 4) + 0.0
+                END AS safe_ratio
     FROM (
         SELECT *,
                CASE WHEN c_custkey % 7 = 0 THEN -666666666

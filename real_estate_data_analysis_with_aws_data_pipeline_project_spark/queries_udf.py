@@ -233,7 +233,7 @@ def _cogroup_spend(key, orders_pdf, customer_pdf):
            round(c.c_acctbal, 2) AS acctbal,
            CASE WHEN round(c.c_acctbal, 2) <> 0 THEN
                round(round(coalesce(sum(o.o_totalprice), 0), 2)
-                     / round(c.c_acctbal, 2), 4)
+                     / round(c.c_acctbal, 2), 4) + 0.0
            END AS spend_to_balance
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey, c.c_acctbal

@@ -114,7 +114,7 @@ def w9_first_last_value(spark, sf_dir):
         FROM customer
     )
     SELECT c_custkey,
-           round(coalesce(bal, 0.0), 2) AS bal_filled,
+           round(coalesce(bal, 0.0), 2) + 0.0 AS bal_filled,
            coalesce(seg, 'UNKNOWN') AS seg_filled
     FROM holed
     WHERE bal IS NOT NULL OR seg IS NOT NULL
