@@ -478,3 +478,102 @@ def test_interleave_vtime_integer_exact(rank, weight):
     division error at any rank."""
     assert 6 % weight == 0
     assert rank * (6 / weight) == rank * (6 // weight)
+
+
+# --- round-9 streaming-fold kernels (pure Python, no Spark) -----------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40
+    )
+)
+def test_cusum_peak_property(counts):
+    """_cusum_peak equals the brute-force (|S| desc, day asc) argmax
+    for arbitrary non-negative integer series."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _cusum_peak,
+    )
+
+    days = [f"d{i:03d}" for i in range(len(counts))]
+    nd, day, s = _cusum_peak(days, counts)
+    total, cum, scored = sum(counts), 0, []
+    for rk, (d, c) in enumerate(zip(days, counts), 1):
+        cum += c
+        sv = len(days) * cum - rk * total
+        scored.append((-abs(sv), d, sv))
+    scored.sort()
+    assert (nd, day, s) == (len(days), scored[0][1], scored[0][2])
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["d1", "d2", "d3", None]),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=4)),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+def test_psi_fold_batching_invariance(rows, split):
+    """Folding any (day, bucket) row stream in two arbitrary chunks
+    equals folding it in one — the property that makes the streamed
+    cube equal the batch cube regardless of trigger batching.
+    Includes None days/buckets (the r9 NULL-group fix)."""
+    import pandas as pd
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _psi_fold,
+    )
+
+    split = min(split, len(rows))
+
+    def pdf(chunk):
+        return pd.DataFrame(
+            {
+                "day": [d for d, _ in chunk],
+                "bucket": pd.array(
+                    [b for _, b in chunk], dtype="Int64"
+                ),
+            }
+        )
+
+    once = _psi_fold(None, False, [pdf(rows)]) if rows else None
+    a, b = rows[:split], rows[split:]
+    st1 = _psi_fold(None, False, [pdf(a)] if a else [])
+    st2 = _psi_fold(st1, True, [pdf(b)] if b else [])
+    if rows:
+        assert st2[:3] == once[:3]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["d1", "d2", "d3", None]), min_size=0, max_size=30
+    ),
+    st.integers(min_value=0, max_value=30),
+)
+def test_cusum_fold_batching_invariance(days, split):
+    """Same batching-invariance law for the CUSUM day-count fold."""
+    import pandas as pd
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _cusum_fold,
+    )
+
+    split = min(split, len(days))
+
+    def pdf(chunk):
+        return pd.DataFrame({"day": pd.array(chunk, dtype="object")})
+
+    if days:
+        once = _cusum_fold(None, False, [pdf(days)])
+    a, b = days[:split], days[split:]
+    st1 = _cusum_fold(None, False, [pdf(a)] if a else [])
+    st2 = _cusum_fold(st1, True, [pdf(b)] if b else [])
+    if days:
+        assert st2[:2] == once[:2]
