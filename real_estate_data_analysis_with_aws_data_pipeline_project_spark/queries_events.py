@@ -1845,3 +1845,120 @@ def events_autocorrelation(spark, sf_dir):
         F.col("n").alias("n_days"),
         *[acf(k) for k in _ACF_LAGS],
     )
+
+
+# --- session path mining (round 9) -------------------------------------------
+
+_PATHS_TOP = 20
+
+_PATHS_ORACLE = f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    m AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {{gap_us}}
+                  THEN 1 ELSE 0 END AS new_s
+        FROM o
+    ),
+    s AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING
+        ) AS sid
+        FROM m
+    ),
+    p AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+               CAST(count(*) AS BIGINT) AS len
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT path,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(len) AS BIGINT) AS n_events,
+           round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_len
+    FROM p
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATHS_TOP}
+"""
+
+
+@register(
+    "events_session_paths",
+    _PATHS_ORACLE.replace("{gap_us}", str(_SESSION_GAP_US)),
+)
+def events_session_paths(spark, sf_dir):
+    """Session path mining: the top-20 (_PATHS_TOP) ordered event-type
+    sequences users actually walk within a 30-minute-gap session
+    ('view>click>purchase'), with session counts and mean path length
+    — the sequence-frequency report a product-analytics pipeline
+    derives from the same sessionizer as events_session_window (one
+    gap definition for the whole engine).
+
+    Determinism: path order is the (ts, event_id) total order in both
+    engines (collect_list is order-nondeterministic, so the Spark side
+    sorts an array of (ts, event_id, type) structs before joining);
+    avg_len is one exact-integer division. Scale: one user shuffle to
+    sessionize, one (user, sid)-grain aggregation (sessions are
+    activity-bounded), one path-grain count; top-N is
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                >= _SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = m.withColumn(
+        "sid",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    p = s.groupBy("user_id", "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.col("event_type").alias("et"),
+                        )
+                    )
+                ),
+                lambda x: x["et"],
+            ),
+        ).alias("path"),
+        F.count("*").cast("bigint").alias("len"),
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("len").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum("len").cast("double") / F.count("*"), 4
+            ).alias("avg_len"),
+        )
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATHS_TOP)
+    )

@@ -501,3 +501,56 @@ def agg_exact_group_median(spark, sf_dir):
             F.avg(F.col("cents").cast("double")) / 100.0, 4
         ).alias("median_price"),
     )
+
+
+# --- exact grouped mode (round 9) --------------------------------------------
+
+_EXACT_MODE_ORACLE = """
+    WITH c AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(count(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY n DESC, c_nationkey
+               ) AS rk
+        FROM c
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n AS n_rows
+    FROM r WHERE rk = 1
+"""
+
+
+@register("agg_exact_group_mode", _EXACT_MODE_ORACLE)
+def agg_exact_group_mode(spark, sf_dir):
+    """EXACT per-group mode with a deterministic tie-break (max count,
+    then smallest value): the most common nation per market segment.
+    Spark ships a `mode` aggregate but leaves ties implementation-
+    defined, so this uses the portable two-level form — count to the
+    (group, value) grain, then a rank-1 pick under the explicit
+    (count desc, value asc) order, which both engines execute
+    identically.
+
+    Scale: the count partial-aggregates map-side to the
+    (group, value) grain; the rank window runs on that grain — value-
+    cardinality-bounded, never the row count. WindowGroupLimit
+    compacts the rk = 1 filter into a per-partition top-1."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer").groupBy(
+        "c_mktsegment", "c_nationkey"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), "c_nationkey"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("n_rows"),
+        )
+    )

@@ -2158,3 +2158,257 @@ def embedding_source_centroid_drift(spark, sf_dir):
             6,
         ).alias("norm_ratio"),
     )
+
+
+
+# --- MMR diversified re-ranking (round 9) ------------------------------------
+#
+# Maximal marginal relevance (Carbonell & Goldstein 1998, public):
+# greedily pick k results maximizing
+#   lambda * rel(c) - (1 - lambda) * max_{s in selected} sim(c, s)
+# — the diversified top-k every retrieval stack runs after its ANN
+# pass. The greedy loop is SEQUENTIAL but k is a small constant, so
+# both engines execute the SAME k UNROLLED steps (no recursion, no
+# UDF): each step is an argmax window over the per-query remaining
+# candidates. Determinism is INTEGER-exact: cosines quantize to 1e-6
+# units (rel6/sim6 BIGINTs) once, the score lives as the integer
+# numerator 7*rel6 - 3*maxsim6 (units 1e-7, lambda = 0.7), and every
+# argmax orders by that integer — no float comparison or rounding
+# anywhere in the walk. (The first cut scored in doubles and died on
+# a textbook boundary: 0.7*0.371485 has shortest-repr "0.2600395",
+# which Spark's BigDecimal HALF_UP rounds UP while DuckDB rounds the
+# binary value DOWN.) Displayed rel/mmr_score divide the integers
+# back by 1e6/1e7 — exact decimals, bit-identical doubles.
+
+_MMR_CANDS = 20
+_MMR_K = 5
+# lambda = 0.7 == 7/10: score numerator = 7*rel6 - 3*sim6 (1e-7 units)
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT * FROM v WHERE vec_id >= {_N_QUERIES}),
+    rel AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(round(({S.cosine_sql('q.embedding', 'c.embedding',
+                                         'q.nrm', 'c.nrm')}) * 1000000.0,
+                          0) AS BIGINT) AS rel6
+        FROM q JOIN c ON true
+    ),
+    cand AS (
+        SELECT query_id, cand_id, rel6 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+            ) AS rn FROM rel
+        ) WHERE rn <= {_MMR_CANDS}
+    ),
+    sims AS (
+        SELECT a.query_id, a.cand_id, b.cand_id AS other_id,
+               CAST(round(({S.cosine_sql('va.embedding', 'vb.embedding',
+                                         'va.nrm', 'vb.nrm')}) * 1000000.0,
+                          0) AS BIGINT) AS sim6
+        FROM cand a
+        JOIN cand b ON b.query_id = a.query_id AND b.cand_id <> a.cand_id
+        JOIN v va ON va.vec_id = a.cand_id
+        JOIN v vb ON vb.vec_id = b.cand_id
+    ),
+    pick1 AS (
+        SELECT query_id, cand_id, rel6, 7 * rel6 AS n7, 1 AS step
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY rel6 DESC, cand_id
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT query_id, cand_id FROM pick1),
+    rem1 AS (
+        SELECT c.* FROM cand c ANTI JOIN pick1 p
+            ON p.query_id = c.query_id AND p.cand_id = c.cand_id
+    )"""
+    parts = [head]
+    for i in range(2, _MMR_K + 1):
+        parts.append(f""",
+    ms{i} AS (
+        SELECT s.query_id, s.cand_id, max(s.sim6) AS maxsim6
+        FROM sims s
+        JOIN sel{i - 1} p
+          ON p.query_id = s.query_id AND p.cand_id = s.other_id
+        GROUP BY 1, 2
+    ),
+    sc{i} AS (
+        SELECT r.query_id, r.cand_id, r.rel6,
+               7 * r.rel6 - 3 * coalesce(m.maxsim6, 0) AS n7
+        FROM rem{i - 1} r
+        LEFT JOIN ms{i} m
+          ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+    ),
+    pick{i} AS (
+        SELECT query_id, cand_id, rel6, n7, {i} AS step FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY n7 DESC, cand_id
+            ) AS rn FROM sc{i}
+        ) WHERE rn = 1
+    ),
+    sel{i} AS (
+        SELECT query_id, cand_id FROM sel{i - 1}
+        UNION ALL SELECT query_id, cand_id FROM pick{i}
+    ),
+    rem{i} AS (
+        SELECT r.query_id, r.cand_id, r.rel6 FROM rem{i - 1} r
+        ANTI JOIN pick{i} p
+            ON p.query_id = r.query_id AND p.cand_id = r.cand_id
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, step, cand_id, rel6, n7 FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    parts.append(f"""
+    SELECT query_id, CAST(step AS INT) AS rank, cand_id,
+           rel6 / 1000000.0 AS rel, n7 / 10000000.0 AS mmr_score
+    FROM ({union})""")
+    return "".join(parts)
+
+
+@register("retrieval_mmr_rerank", _mmr_oracle())
+def retrieval_mmr_rerank(spark, sf_dir):
+    """MMR diversified re-ranking over the embedding corpus: per query
+    vector, take the exact-cosine top-20 candidate pool, then run 5
+    greedy MMR steps (lambda = 0.7) as UNROLLED Catalyst stages — each
+    step joins the remaining pool against the selected set's pairwise
+    sims, scores the integer numerator 7*rel6 − 3*maxsim6, and picks
+    the per-query argmax with an id tie-break. No UDF, no recursion,
+    no driver loop: the whole greedy walk is one declarative plan over
+    metadata-scale relations, with every comparison on BIGINTs (see
+    the module comment for the float-boundary failure this design
+    retired).
+
+    Scale: rel is the brute-force pass at test scale — swap the
+    candidate pool for an ANN tier (similarity_ivf_topk /
+    similarity_ann_lsh) at 100 TB; everything after the pool is
+    O(queries x cands^2) on the pool only. The pool and its pairwise
+    sims are localCheckpointed: 5 unrolled steps would otherwise
+    re-derive the cosine lineage per step."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    q = v.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = v.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    rel6 = F.round(
+        S.cosine(
+            F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm")
+        )
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", rel6.alias("rel6")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel6"), "cand_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _MMR_CANDS)
+        .select("query_id", "cand_id", "rel6")
+        .localCheckpoint(eager=True)
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    va = v.alias("va")
+    vb = v.alias("vb")
+    sim6 = F.round(
+        S.cosine(
+            F.col("va.embedding"),
+            F.col("vb.embedding"),
+            F.col("va.nrm"),
+            F.col("vb.nrm"),
+        )
+        * 1000000.0,
+        0,
+    ).cast("bigint")
+    sims = (
+        a.join(
+            b,
+            (F.col("b.query_id") == F.col("a.query_id"))
+            & (F.col("b.cand_id") != F.col("a.cand_id")),
+        )
+        .join(va, F.col("va.vec_id") == F.col("a.cand_id"))
+        .join(vb, F.col("vb.vec_id") == F.col("b.cand_id"))
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cand_id").alias("cand_id"),
+            F.col("b.cand_id").alias("other_id"),
+            sim6.alias("sim6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    picks = []
+    sel = None
+    remaining = cand
+    for step in range(1, _MMR_K + 1):
+        if sel is None:
+            sc = remaining.select(
+                "query_id",
+                "cand_id",
+                "rel6",
+                (F.lit(7) * F.col("rel6")).cast("bigint").alias("n7"),
+            )
+        else:
+            ms = (
+                sims.join(
+                    sel.withColumnRenamed("cand_id", "other_id"),
+                    ["query_id", "other_id"],
+                )
+                .groupBy("query_id", "cand_id")
+                .agg(F.max("sim6").alias("maxsim6"))
+            )
+            sc = remaining.join(ms, ["query_id", "cand_id"], "left").select(
+                "query_id",
+                "cand_id",
+                "rel6",
+                (
+                    F.lit(7) * F.col("rel6")
+                    - F.lit(3) * F.coalesce("maxsim6", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("n7"),
+            )
+        ws = Window.partitionBy("query_id").orderBy(F.desc("n7"), "cand_id")
+        pick = (
+            sc.withColumn("rn", F.row_number().over(ws))
+            .where(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("int").alias("rank"),
+                "cand_id",
+                "rel6",
+                "n7",
+            )
+        )
+        picks.append(pick)
+        pick_ids = pick.select("query_id", "cand_id")
+        sel = pick_ids if sel is None else sel.unionByName(pick_ids)
+        remaining = remaining.join(
+            pick_ids, ["query_id", "cand_id"], "left_anti"
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id",
+        "rank",
+        "cand_id",
+        (F.col("rel6") / 1000000.0).alias("rel"),
+        (F.col("n7") / 10000000.0).alias("mmr_score"),
+    )

@@ -380,3 +380,135 @@ def test_streaming_folds_keep_null_groups():
         [pd.DataFrame({"day": ["d1"], "bucket": [None]})],
     )
     assert (d2, b2, c2, seq2) == ([None, "d1", "d1"], [3, None, 0], [1, 2, 1], 2)
+
+
+def test_session_paths_recompute(spark, sf_dir):
+    """Top paths recomputed in pure Python with the same 30-min gap
+    sessionizer and (ts, event_id) order."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_events import (
+        _PATHS_TOP,
+        _SESSION_GAP_US,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    got = [
+        (r.path, r.n_sessions, r.n_events)
+        for r in QUERIES["events_session_paths"].fn(spark, sf_dir).collect()
+    ]
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.unix_micros("ts").alias("us"), "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.us, r.event_id),
+    )
+    from collections import Counter, defaultdict
+
+    paths = Counter()
+    lens = defaultdict(int)
+    cur_user, cur_last, cur_path = None, None, []
+
+    def flush():
+        if cur_path:
+            p = ">".join(cur_path)
+            paths[p] += 1
+            lens[p] += len(cur_path)
+
+    for r in ev:
+        if r.user_id != cur_user or r.us - cur_last >= _SESSION_GAP_US:
+            flush()
+            cur_path = []
+            cur_user = r.user_id
+        cur_path.append(r.event_type)
+        cur_last = r.us
+    flush()
+    expect = sorted(
+        ((p, n, lens[p]) for p, n in paths.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:_PATHS_TOP]
+    assert got == expect
+
+
+def test_exact_group_mode_recompute(spark, sf_dir):
+    """Mode per segment recomputed with a Counter and the same
+    (count desc, value asc) tie-break."""
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r.c_mktsegment: (r.mode_nation, r.n_rows)
+        for r in QUERIES["agg_exact_group_mode"].fn(spark, sf_dir).collect()
+    }
+    per_seg = defaultdict(Counter)
+    for c in load_table(spark, sf_dir, "customer").collect():
+        per_seg[c.c_mktsegment][c.c_nationkey] += 1
+    for seg, cnt in per_seg.items():
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert rows[seg] == best, seg
+
+
+def test_mmr_greedy_recompute(spark, sf_dir):
+    """The unrolled Catalyst MMR walk must equal a straightforward
+    Python greedy over the same integer-quantized rel/sim inputs."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _MMR_CANDS,
+        _MMR_K,
+        _N_QUERIES,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    got = {}
+    for r in QUERIES["retrieval_mmr_rerank"].fn(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.rank, r.cand_id, r.rel, r.mmr_score)
+        )
+    import numpy as np
+
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    nrm = {k: float(np.sqrt(v @ v)) for k, v in vecs.items()}
+
+    def cos6(x, y):
+        if nrm[x] > 0 and nrm[y] > 0:
+            c = float(vecs[x] @ vecs[y]) / (nrm[x] * nrm[y])
+        else:
+            c = 0.0
+        # numpy fold order can differ from the engines' in the last
+        # ulp; quantize like the query does and tolerate the boundary
+        return int(round(c * 1e6))
+
+    for qid in range(_N_QUERIES):
+        cands = sorted(
+            ((cos6(qid, c), c) for c in vecs if c >= _N_QUERIES),
+            key=lambda t: (-t[0], t[1]),
+        )[:_MMR_CANDS]
+        rel = {c: r for r, c in cands}
+        selected, expect = [], []
+        pool = [c for _, c in cands]
+        for step in range(1, _MMR_K + 1):
+            best = None
+            for c in pool:
+                ms = max((cos6(c, s) for s in selected), default=0)
+                n7 = 7 * rel[c] - 3 * ms
+                key = (-n7, c)
+                if best is None or key < best[0]:
+                    best = (key, c, n7)
+            _, c, n7 = best
+            selected.append(c)
+            pool.remove(c)
+            expect.append((step, c, rel[c] / 1e6, n7 / 1e7))
+        g = got[qid]
+        # compare ids and ranks exactly; scores to 1e-9 (exact decimals)
+        assert [(r, c) for r, c, _, _ in g] == [
+            (r, c) for r, c, _, _ in expect
+        ], qid
+        for (_, _, ra, sa), (_, _, rb, sb) in zip(g, expect):
+            assert abs(ra - rb) < 1e-9 and abs(sa - sb) < 1e-9

@@ -84,6 +84,9 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_exact_group_median",
     "source_partitioned_roundtrip",
     "streaming_psi_drift",
+    "events_session_paths",
+    "agg_exact_group_mode",
+    "retrieval_mmr_rerank",
 )
 
 
