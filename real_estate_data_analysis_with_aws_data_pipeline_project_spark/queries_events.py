@@ -7,7 +7,7 @@ since r5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -1961,4 +1961,108 @@ def events_session_paths(spark, sf_dir):
         )
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATHS_TOP)
+    )
+
+
+# --- inter-arrival time distribution (round 9, late batch) ------------------
+
+_IAT_ORACLE = """
+    WITH e AS (
+        SELECT event_type, user_id, event_id, epoch_us(ts) AS t,
+               lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS pt
+        FROM events
+    ),
+    g AS (
+        SELECT event_type, user_id, event_id, t - pt AS gap
+        FROM e WHERE pt IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(min(gap) AS BIGINT) AS min_gap_us,
+               CAST(max(gap) AS BIGINT) AS max_gap_us
+        FROM g GROUP BY 1
+    ),
+    r AS (
+        SELECT g.*, row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY gap, user_id, event_id
+               ) AS rn
+        FROM g
+    )
+    SELECT s.event_type, s.n_gaps, s.min_gap_us, s.max_gap_us,
+           round(avg(CASE WHEN rn = (n_gaps + 1) // 2
+                            OR rn = (n_gaps + 2) // 2
+                          THEN CAST(gap AS DOUBLE) END), 1)
+               AS median_gap_us,
+           CAST(max(CASE WHEN rn = (9 * n_gaps + 9) // 10 THEN gap END)
+                AS BIGINT) AS p90_gap_us
+    FROM r JOIN s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("events_interarrival_stats", _IAT_ORACLE)
+def events_interarrival_stats(spark, sf_dir):
+    """EXACT inter-arrival time distribution per event type: the gap
+    between a user's consecutive events of the same type (lag over the
+    (user, type) stream, (ts, event_id) total order), summarized as
+    n/min/max plus the exact median and p90 via the rank-pick pattern
+    (agg_exact_group_median precedent): median = mean of ranks
+    (n+1) div 2 and (n+2) div 2, p90 = the value at rank
+    ceil(0.9·n) = (9n+9) div 10. Gaps are integer microseconds, the
+    middle-pair mean lands on .0/.5 exactly — no float channel.
+
+    This is the feed-cadence health check a streaming ingest runs to
+    pick watermark and session-gap thresholds from data.
+
+    Scale: the lag is one (user, type)-partitioned window (the same
+    shuffle sessionization already pays); the rank window runs on the
+    gap relation partitioned BY TYPE — per-type sort of its own gaps,
+    the exact-order-statistics trade documented for the median/
+    equidepth family. The picked rows per type are <= 3."""
+    ev = load_table(spark, sf_dir, "events")
+    lw = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    e = ev.select(
+        "event_type",
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.lag(F.unix_micros("ts")).over(lw).alias("pt"),
+    )
+    g = e.where(F.col("pt").isNotNull()).select(
+        "event_type",
+        "user_id",
+        "event_id",
+        (F.col("t") - F.col("pt")).alias("gap"),
+    )
+    s = g.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap").cast("bigint").alias("min_gap_us"),
+        F.max("gap").cast("bigint").alias("max_gap_us"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        "gap", "user_id", "event_id"
+    )
+    r = g.withColumn("rn", F.row_number().over(rw)).join(
+        F.broadcast(s), "event_type"
+    )
+    mid = (F.col("rn") == F.expr("(n_gaps + 1) div 2")) | (
+        F.col("rn") == F.expr("(n_gaps + 2) div 2")
+    )
+    p90 = F.col("rn") == F.expr("(9 * n_gaps + 9) div 10")
+    return r.groupBy(
+        "event_type", "n_gaps", "min_gap_us", "max_gap_us"
+    ).agg(
+        F.round(
+            F.avg(F.when(mid, F.col("gap").cast("double"))), 1
+        ).alias("median_gap_us"),
+        F.max(F.when(p90, F.col("gap")))
+        .cast("bigint")
+        .alias("p90_gap_us"),
     )

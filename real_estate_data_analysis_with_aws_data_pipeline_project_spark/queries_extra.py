@@ -554,3 +554,91 @@ def agg_exact_group_mode(spark, sf_dir):
             F.col("n").alias("n_rows"),
         )
     )
+
+
+# --- exact grouped p25/p75/IQR (round 9, late batch) ------------------------
+
+_EXACT_PCTL_ORACLE = """
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM o
+    ),
+    p AS (
+        SELECT o_orderpriority,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               max(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS c25,
+               max(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS c75
+        FROM r
+        WHERE rn = (n + 3) // 4 OR rn = (3 * n + 3) // 4
+        GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders,
+           round(CAST(c25 AS DOUBLE) / 100.0, 2) AS p25_price,
+           round(CAST(c75 AS DOUBLE) / 100.0, 2) AS p75_price,
+           round(CAST(c75 - c25 AS DOUBLE) / 100.0, 2) AS iqr_price
+    FROM p
+"""
+
+
+@register("agg_exact_group_percentiles", _EXACT_PCTL_ORACLE)
+def agg_exact_group_percentiles(spark, sf_dir):
+    """EXACT per-group quartiles + interquartile range (the spread
+    companion to agg_exact_group_median): rank each group's order
+    totals once under the (cents, key) total order, pick the
+    percentile_disc-style ranks ceil(n/4) = (n+3) div 4 and
+    ceil(3n/4) = (3n+3) div 4, and difference them in integer cents.
+    The picked ROWS are identical in both engines because the order is
+    total; every derived number is integer cents until one exact /100.
+
+    Scale: same per-group-sort trade as the exact median; everything
+    after the two-rank filter lives on <= 2 rows per group.
+    sketch_kll_quantile_rollup is the one-pass sketch tier for when
+    exactness can be traded."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    is25 = F.col("rn") == F.expr("(n + 3) div 4")
+    is75 = F.col("rn") == F.expr("(3 * n + 3) div 4")
+    p = (
+        ranked.where(is25 | is75)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.max(F.when(is25, F.col("cents"))).alias("c25"),
+            F.max(F.when(is75, F.col("cents"))).alias("c75"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("c25").cast("double") / 100.0, 2).alias("p25_price"),
+        F.round(F.col("c75").cast("double") / 100.0, 2).alias("p75_price"),
+        F.round((F.col("c75") - F.col("c25")).cast("double") / 100.0, 2)
+            .alias("iqr_price"),
+    )

@@ -1504,3 +1504,146 @@ def quality_ks_drift(spark, sf_dir):
             6,
         ).alias("ks_statistic"),
     )
+
+
+# --- Jensen–Shannon divergence drift (round 9, late batch) ------------------
+#
+# The symmetric, bounded (<= ln 2 nats) companion to quality_psi_drift
+# / quality_ks_drift: per event type, the JSD between the value-bucket
+# histograms of even- and odd-numbered calendar days (the interleaved
+# split — a deterministic A/B halving that needs no global min/max
+# pass). Determinism contract: integer bucket counts; p, q are single
+# IEEE double/bigint divisions; the per-bucket term
+# 0.5·(p·ln(p/m) + q·ln(q/m)) is integerized to BIGINT micro-nats via
+# floor(x·1e6 + 0.5) (the retrieval_query_likelihood pattern — only
+# exactly-rounded IEEE ops, so no decimal-literal or round()-HALF_UP
+# channel), and the 10-term sum is exact integer addition. Per-bucket
+# terms are >= 0 by the log-sum inequality, so the sum has no signed
+# -0.0 channel either.
+
+_JSD_SCALE = "1000000e0"  # micro-nats
+_JSD_HALF_SCALE = "500000e0"  # 0.5 * scale, folded into one literal
+
+_JSD_TERM_SQL = (
+    f"CAST(floor((p * ln(p / m) + q * ln(q / m)) * {_JSD_HALF_SCALE}"
+    " + 0.5e0) AS BIGINT)"
+)
+
+_JSD_ORACLE = f"""
+    WITH e AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) % 2 AS half,
+               least(CAST(floor(value / {_PSI_BUCKET_WIDTH}) AS BIGINT),
+                     {_PSI_BUCKETS - 1}) AS bucket
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, half, bucket, CAST(count(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(coalesce(sum(CASE WHEN half = 0 THEN c END), 0)
+                    AS BIGINT) AS n_even,
+               CAST(coalesce(sum(CASE WHEN half = 1 THEN c END), 0)
+                    AS BIGINT) AS n_odd
+        FROM c GROUP BY 1
+    ),
+    grid AS (
+        SELECT t.event_type, t.n_even, t.n_odd, g.b AS bucket
+        FROM tot t CROSS JOIN range(0, {_PSI_BUCKETS}) g(b)
+    ),
+    pq AS (
+        SELECT g.event_type, g.n_even, g.n_odd,
+               CAST(coalesce(ce.c, 0) + 1 AS DOUBLE)
+                   / (g.n_even + {_PSI_BUCKETS}) AS p,
+               CAST(coalesce(co.c, 0) + 1 AS DOUBLE)
+                   / (g.n_odd + {_PSI_BUCKETS}) AS q
+        FROM grid g
+        LEFT JOIN c ce ON ce.event_type = g.event_type
+                      AND ce.bucket = g.bucket AND ce.half = 0
+        LEFT JOIN c co ON co.event_type = g.event_type
+                      AND co.bucket = g.bucket AND co.half = 1
+    ),
+    terms AS (
+        SELECT event_type, n_even, n_odd, {_JSD_TERM_SQL} AS micro
+        FROM (SELECT *, (p + q) / 2e0 AS m FROM pq)
+    )
+    SELECT event_type, n_even, n_odd,
+           round(CAST(sum(micro) AS DOUBLE) / {_JSD_SCALE}, 6) AS jsd_nats
+    FROM terms
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("quality_js_divergence", _JSD_ORACLE)
+def quality_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between the even-day and odd-day
+    value-bucket distributions per event type (add-one smoothed over
+    the fixed 10-bucket grid): a symmetric, [0, ln 2]-bounded drift
+    score that complements PSI (unbounded, asymmetric reference) and
+    KS (CDF max-gap). A healthy interleaved split should sit near 0 —
+    a high JSD means the feed's value distribution depends on the day
+    parity, i.e. systematic batch-to-batch drift.
+
+    Scale: one groupBy to the (type, half, bucket) count cube — the
+    complete sufficient statistic, metadata-scale by construction —
+    then all arithmetic on the tiny grid; the term sum is exact BIGINT
+    micro-nats (see module comment), so the result is independent of
+    partitioning and sum order."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        (
+            F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            % 2
+        ).alias("half"),
+        psi_bucket_col().alias("bucket"),
+    )
+    c = e.groupBy("event_type", "half", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = c.groupBy("event_type").agg(
+        F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_even"),
+        F.coalesce(F.sum(F.when(F.col("half") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_odd"),
+    )
+    grid = tot.withColumn(
+        "bucket", F.explode(F.sequence(F.lit(0), F.lit(_PSI_BUCKETS - 1)))
+    ).withColumn("bucket", F.col("bucket").cast("bigint"))
+    ce = c.where(F.col("half") == 0).select(
+        "event_type", "bucket", F.col("c").alias("c_even")
+    )
+    co = c.where(F.col("half") == 1).select(
+        "event_type", "bucket", F.col("c").alias("c_odd")
+    )
+    pq = (
+        grid.join(F.broadcast(ce), ["event_type", "bucket"], "left")
+        .join(F.broadcast(co), ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "n_even",
+            "n_odd",
+            (
+                (F.coalesce("c_even", F.lit(0)) + 1).cast("double")
+                / (F.col("n_even") + _PSI_BUCKETS)
+            ).alias("p"),
+            (
+                (F.coalesce("c_odd", F.lit(0)) + 1).cast("double")
+                / (F.col("n_odd") + _PSI_BUCKETS)
+            ).alias("q"),
+        )
+        .withColumn("m", F.expr("(p + q) / 2e0"))
+    )
+    terms = pq.select(
+        "event_type", "n_even", "n_odd", F.expr(_JSD_TERM_SQL).alias("micro")
+    )
+    return terms.groupBy("event_type", "n_even", "n_odd").agg(
+        F.round(
+            F.sum("micro").cast("double") / F.expr(_JSD_SCALE), 6
+        ).alias("jsd_nats")
+    )

@@ -790,3 +790,288 @@ def graph_triangle_count(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("supplier", "n_triangles", "rank")
     )
+
+
+# --- Dirichlet query-likelihood retrieval (round 9, late batch) -------------
+#
+# The language-modeling dual of BM25 (Zhai & Lafferty 2001): rank docs
+# by log p(query | doc) under a Dirichlet-smoothed unigram model,
+#   score = Σ_i ln( (tf_i + μ·p_c(t_i)) / (dl + μ) )
+# with p_c the collection unigram probability (add-one smoothed over
+# the query vocabulary so an absent term stays finite). Determinism:
+# integer tf/dl/cf counts and single IEEE divisions as in BM25, but
+# each per-term ln is integerized as floor(x·1e6 + 0.5) BIGINT
+# micro-nats instead of round(x, 6) — multiply, add and floor are all
+# exactly-rounded IEEE ops, so the integer is bit-identical in both
+# engines with no decimal-string HALF_UP channel (Spark's round()
+# rounds the shortest decimal repr, DuckDB's the binary value; they
+# disagree when a term lands on a 6-dp half boundary — observed live
+# on this very query at sf0.01). The BIGINT sum is then associative
+# and order-proof, and the final /1e6 is a representable multiple of
+# 1e-6 both engines print identically.
+
+# Literals in EXPONENT notation on purpose: `2000.0` parses as
+# DECIMAL in both engines, and Spark's and DuckDB's decimal-DIVISION
+# scale rules differ, so the ln argument itself diverges at ~1e-9
+# (observed live: args differing in the 9th digit, ln in the 8th).
+# `2000e0` parses as DOUBLE in both, keeping every op exactly-rounded
+# IEEE and therefore bit-identical.
+_QL_MU = "2000e0"  # classic Dirichlet prior mass
+_QL_V = "4e0"  # add-one smoothing denominator bump = |query vocab|
+_QL_TOP_K = 20
+
+
+def _ql_term_sql(i: int) -> str:
+    # BIGINT micro-nats: floor/mul/add are exactly-rounded IEEE ops,
+    # identical in both engines (unlike round() at a half boundary).
+    return (
+        f"CAST(floor(ln((tf{i} + {_QL_MU} * ((cf{i} + 1e0)"
+        f" / (coll_len + {_QL_V}))) / (dl + {_QL_MU}))"
+        f" * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+
+
+_QL_ORACLE = f"""
+    WITH t AS (SELECT doc_id, {X.tokens_sql()} AS toks FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS dl,
+               {", ".join(
+                   f"CAST(len(list_filter(toks, x -> x = '{term}'))"
+                   f" AS BIGINT) AS tf{i}"
+                   for i, term in enumerate(_BM25_TERMS))}
+        FROM t
+    ),
+    stats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    scored AS (
+        SELECT doc_id, dl,
+               round(({" + ".join(_ql_term_sql(i)
+                                  for i in range(len(_BM25_TERMS)))})
+                     / 1000000.0, 6) AS ql_score
+        FROM f CROSS JOIN stats
+    )
+    SELECT doc_id, dl, ql_score FROM scored
+    ORDER BY ql_score DESC, doc_id
+    LIMIT {_QL_TOP_K}
+"""
+
+
+@register("retrieval_query_likelihood", _QL_ORACLE)
+def retrieval_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (the LM dual of
+    ``retrieval_bm25_topk``) for the same fixed query term set: every
+    doc scored by log p(query|doc) with μ=2000 smoothing against the
+    collection unigram model, top-k returned.
+
+    Scale shape is BM25's: the collection statistics (total token
+    count, per-term collection frequencies) are ONE map-side-
+    combinable aggregate row broadcast back into a per-row scoring
+    expression — the corpus is scanned once, no explode, no shuffle
+    beyond the 1-row aggregate, and top-k plans as
+    TakeOrderedAndProject. Determinism: tf/dl/cf are exact integers
+    and each per-term ln is integerized to BIGINT micro-nats via
+    floor(x·1e6 + 0.5) (exactly-rounded IEEE ops only — see the
+    module comment for why round() is not cross-engine safe here), so
+    the score sum is exact integer arithmetic."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+
+    def _eq(term: str):
+        # closure factory — see _bm25_scored for why no default arg
+        return lambda x: x == F.lit(term)
+
+    f = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = f.agg(
+        F.sum("dl").cast("bigint").alias("coll_len"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = f.crossJoin(F.broadcast(stats))
+    term_cols = [F.expr(_ql_term_sql(i)) for i in range(len(_BM25_TERMS))]
+    total = term_cols[0]
+    for c in term_cols[1:]:
+        total = total + c
+    return (
+        scored.select(
+            "doc_id",
+            "dl",
+            F.round(total / F.lit(1000000.0), 6).alias("ql_score"),
+        )
+        .orderBy(F.desc("ql_score"), "doc_id")
+        .limit(_QL_TOP_K)
+    )
+
+
+# --- degree-ordered triangle orientation (round 9, late batch) --------------
+#
+# ROADMAP r10 candidate #1: graph_triangle_count orients edges by KEY
+# (a < b), whose wedge work per node is C(outdeg_key, 2) — a high-key
+# hub can still own almost all its edges as out-edges. DEGREE
+# orientation (src = endpoint with smaller (degree, id)) provably
+# bounds every out-degree by O(sqrt(|E|)) on any graph (arboricity
+# argument, Chiba–Nishizeki), which is the difference between a
+# near-clique blowing up the wedge join and staying flat. This
+# operator computes BOTH orientations' wedge totals side by side plus
+# the exact triangle count under the degree orientation — the
+# plan-shape comparison row that justifies the orientation choice with
+# numbers instead of prose. All-integer arithmetic; ties in the
+# degree order are impossible because the order key is deg·1e9 + id
+# with unique ids.
+
+_ORIENT_NODE_SCALE = 1_000_000_000  # ordkey = deg * SCALE + id (ids < SCALE)
+
+_ORIENT_ORACLE = f"""
+    WITH base AS ({_COSUPP_ORACLE}),
+    edges AS (
+        SELECT DISTINCT least(supplier, partner) AS s1,
+               greatest(supplier, partner) AS s2
+        FROM base
+    ),
+    nodes AS (
+        SELECT s1 AS v FROM edges UNION ALL SELECT s2 FROM edges
+    ),
+    deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nodes GROUP BY v),
+    ork AS (SELECT v, d * {_ORIENT_NODE_SCALE} + v AS ok FROM deg),
+    oe AS (
+        SELECT CASE WHEN a.ok < b.ok THEN e.s1 ELSE e.s2 END AS src,
+               CASE WHEN a.ok < b.ok THEN e.s2 ELSE e.s1 END AS dst,
+               CASE WHEN a.ok < b.ok THEN b.ok ELSE a.ok END AS dst_ok
+        FROM edges e
+        JOIN ork a ON a.v = e.s1
+        JOIN ork b ON b.v = e.s2
+    ),
+    outd AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM oe GROUP BY src),
+    outk AS (
+        SELECT s1 AS src, CAST(count(*) AS BIGINT) AS od
+        FROM edges GROUP BY s1
+    ),
+    tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t
+        FROM oe w1
+        JOIN oe w2 ON w2.src = w1.src AND w1.dst_ok < w2.dst_ok
+        JOIN oe c ON c.src = w1.dst AND c.dst = w2.dst
+    )
+    SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+        (SELECT t FROM tri) AS n_triangles,
+        (SELECT CAST(coalesce(sum(od * (od - 1) // 2), 0) AS BIGINT)
+         FROM outk) AS wedges_key,
+        (SELECT CAST(coalesce(sum(od * (od - 1) // 2), 0) AS BIGINT)
+         FROM outd) AS wedges_degree,
+        (SELECT CAST(coalesce(max(od), 0) AS BIGINT) FROM outk)
+            AS max_outdeg_key,
+        (SELECT CAST(coalesce(max(od), 0) AS BIGINT) FROM outd)
+            AS max_outdeg_degree
+"""
+
+
+@register("graph_triangle_orientation_stats", _ORIENT_ORACLE)
+def graph_triangle_orientation_stats(spark, sf_dir):
+    """Key- vs degree-orientation comparison row for triangle
+    enumeration on the sparsified co-supplier graph: total wedge work
+    (Σ C(outdeg, 2)) and max out-degree under BOTH orientations, plus
+    the exact global triangle count enumerated via the degree
+    orientation (each triangle's two lowest-(deg,id) edges form the
+    one counted wedge, closed against the oriented third edge).
+
+    Scale: the wedge join under degree orientation is bounded by
+    Σ C(outdeg_deg, 2) ≤ O(|E|^1.5) on ANY graph (and far less on
+    skewed ones) — this row makes that bound observable so the
+    orientation choice in a production triangle pass is data-driven.
+    The degree table is one groupBy over exploded endpoints; the
+    orientation itself is two |V|-scale joins; every output aggregate
+    is a 1-row broadcast. Integer-only arithmetic — no float channel.
+    """
+    base = graph_cosupplier_projection(spark, sf_dir)
+    edges = base.select(
+        F.least("supplier", "partner").alias("s1"),
+        F.greatest("supplier", "partner").alias("s2"),
+    ).distinct()
+    nodes = edges.select(F.col("s1").alias("v")).unionAll(
+        edges.select(F.col("s2").alias("v"))
+    )
+    deg = nodes.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    ork = deg.select(
+        "v", (F.col("d") * _ORIENT_NODE_SCALE + F.col("v")).alias("ok")
+    )
+    a, b = ork.alias("a"), ork.alias("b")
+    lower = F.col("a.ok") < F.col("b.ok")
+    oe = (
+        edges.join(a, F.col("a.v") == F.col("s1"))
+        .join(b, F.col("b.v") == F.col("s2"))
+        .select(
+            F.when(lower, F.col("s1")).otherwise(F.col("s2")).alias("src"),
+            F.when(lower, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+            F.when(lower, F.col("b.ok"))
+            .otherwise(F.col("a.ok"))
+            .alias("dst_ok"),
+        )
+    )
+    outd = oe.groupBy("src").agg(F.count("*").cast("bigint").alias("od"))
+    outk = edges.groupBy(F.col("s1").alias("src")).agg(
+        F.count("*").cast("bigint").alias("od")
+    )
+    w1, w2, c = oe.alias("w1"), oe.alias("w2"), oe.alias("c")
+    tri = (
+        w1.join(
+            w2,
+            (F.col("w2.src") == F.col("w1.src"))
+            & (F.col("w1.dst_ok") < F.col("w2.dst_ok")),
+        )
+        .join(
+            c,
+            (F.col("c.src") == F.col("w1.dst"))
+            & (F.col("c.dst") == F.col("w2.dst")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+    def _wedges(od_df, name):
+        return od_df.agg(
+            F.coalesce(
+                F.sum(F.expr("od * (od - 1) div 2")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"wedges_{name}"),
+            F.coalesce(F.max("od"), F.lit(0))
+            .cast("bigint")
+            .alias(f"max_outdeg_{name}"),
+        )
+    counts = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    ).crossJoin(edges.agg(F.count("*").cast("bigint").alias("n_edges")))
+    wk = _wedges(outk, "key")
+    wd = _wedges(outd, "degree")
+    return (
+        counts.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wk))
+        .crossJoin(F.broadcast(wd))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "wedges_key",
+            "wedges_degree",
+            "max_outdeg_key",
+            "max_outdeg_degree",
+        )
+    )

@@ -512,3 +512,174 @@ def test_mmr_greedy_recompute(spark, sf_dir):
         ], qid
         for (_, _, ra, sa), (_, _, rb, sb) in zip(g, expect):
             assert abs(ra - rb) < 1e-9 and abs(sa - sb) < 1e-9
+
+
+# --- round-9 late batch 2: QL retrieval, triangle orientation, ---------------
+# --- inter-arrival stats, exact group percentiles ----------------------------
+
+
+def test_query_likelihood_recompute(spark, sf_dir):
+    """The fixed-order micro-nat score must equal a straight Python
+    recomputation of Dirichlet query likelihood over the same token
+    arrays (independent check of the formula wiring on both sides)."""
+    import math
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _BM25_TERMS,
+        _QL_TOP_K,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    toks = {
+        r.doc_id: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens().alias("toks"))
+        .collect()
+    }
+    coll_len = sum(len(t) for t in toks.values())
+    cf = [
+        sum(t.count(term) for t in toks.values()) for term in _BM25_TERMS
+    ]
+    scored = []
+    for doc_id, t in toks.items():
+        dl = len(t)
+        micro = 0
+        for i, term in enumerate(_BM25_TERMS):
+            x = math.log(
+                (t.count(term) + 2000.0 * ((cf[i] + 1.0) / (coll_len + 4.0)))
+                / (dl + 2000.0)
+            )
+            micro += math.floor(x * 1000000.0 + 0.5)
+        scored.append((doc_id, dl, round(micro / 1000000.0, 6)))
+    expect = sorted(scored, key=lambda r: (-r[2], r[0]))[:_QL_TOP_K]
+    got = [
+        (r.doc_id, r.dl, r.ql_score)
+        for r in QUERIES["retrieval_query_likelihood"].fn(spark, sf_dir).collect()
+    ]
+    assert got == expect
+
+
+def test_triangle_orientation_stats(spark, sf_dir):
+    """Degree orientation can never do more wedge work than key
+    orientation on this fixture, the triangle count must equal a
+    brute-force recount over the same sparsified edge set, and
+    graph_triangle_count's per-node participation must be consistent
+    with the global total."""
+    row = (
+        QUERIES["graph_triangle_orientation_stats"].fn(spark, sf_dir).collect()
+    )[0]
+    assert row.wedges_degree <= row.wedges_key
+    assert row.max_outdeg_degree <= row.max_outdeg_key
+    assert row.n_triangles <= row.wedges_degree
+    edges = {
+        (min(r.supplier, r.partner), max(r.supplier, r.partner))
+        for r in QUERIES["graph_cosupplier_projection"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    nodes = sorted({v for e in edges for v in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    total = sum(
+        1
+        for i, a in enumerate(nodes)
+        for b in (x for x in adj[a] if x > a)
+        for c in (x for x in adj[a] & adj[b] if x > b)
+    )
+    assert row.n_triangles == total
+    assert row.n_edges == len(edges)
+    part = QUERIES["graph_triangle_count"].fn(spark, sf_dir).collect()
+    assert sum(r.n_triangles for r in part) <= 3 * total
+    assert max((r.n_triangles for r in part), default=0) <= total
+
+
+def test_interarrival_recompute(spark, sf_dir):
+    """Exact median/p90 inter-arrival gaps recomputed in pure Python
+    with the same (ts, event_id) order and rank-pick formulas."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+        .collect(),
+        key=lambda r: (r.user_id, r.event_type, r.us, r.event_id),
+    )
+    gaps = defaultdict(list)
+    prev = {}
+    for r in ev:
+        k = (r.user_id, r.event_type)
+        if k in prev:
+            gaps[r.event_type].append(r.us - prev[k])
+        prev[k] = r.us
+    expect = {}
+    for et, g in gaps.items():
+        g.sort()
+        n = len(g)
+        mid = [g[(n + 1) // 2 - 1], g[(n + 2) // 2 - 1]]
+        expect[et] = (
+            n,
+            min(g),
+            max(g),
+            round(sum(mid) / 2.0, 1),
+            g[(9 * n + 9) // 10 - 1],
+        )
+    got = {
+        r.event_type: (
+            r.n_gaps,
+            r.min_gap_us,
+            r.max_gap_us,
+            r.median_gap_us,
+            r.p90_gap_us,
+        )
+        for r in QUERIES["events_interarrival_stats"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_exact_percentiles_recompute(spark, sf_dir):
+    """p25/p75/IQR recomputed in pure Python under the same
+    (cents, key) total order and ceil-rank picks."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    per = defaultdict(list)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        per[r.o_orderpriority].append(
+            (int(round(r.o_totalprice * 100)), r.o_orderkey)
+        )
+    expect = {}
+    for pri, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        c25 = vals[(n + 3) // 4 - 1][0]
+        c75 = vals[(3 * n + 3) // 4 - 1][0]
+        expect[pri] = (
+            n,
+            round(c25 / 100.0, 2),
+            round(c75 / 100.0, 2),
+            round((c75 - c25) / 100.0, 2),
+        )
+    got = {
+        r.o_orderpriority: (r.n_orders, r.p25_price, r.p75_price, r.iqr_price)
+        for r in QUERIES["agg_exact_group_percentiles"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

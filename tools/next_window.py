@@ -87,6 +87,10 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_session_paths",
     "agg_exact_group_mode",
     "retrieval_mmr_rerank",
+    "retrieval_query_likelihood",
+    "graph_triangle_orientation_stats",
+    "events_interarrival_stats",
+    "agg_exact_group_percentiles",
 )
 
 

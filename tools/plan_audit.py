@@ -147,6 +147,10 @@ EXTRA = [
     "events_session_paths",
     "agg_exact_group_mode",
     "retrieval_mmr_rerank",
+    "retrieval_query_likelihood",
+    "graph_triangle_orientation_stats",
+    "events_interarrival_stats",
+    "agg_exact_group_percentiles",
 ]
 
 
