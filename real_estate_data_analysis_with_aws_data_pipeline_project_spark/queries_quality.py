@@ -1647,3 +1647,99 @@ def quality_js_divergence(spark, sf_dir):
             F.sum("micro").cast("double") / F.expr(_JSD_SCALE), 6
         ).alias("jsd_nats")
     )
+
+
+# --- cross-table financial reconciliation audit (round 9, late batch) -------
+
+_RECON_ORACLE = """
+    WITH l AS (
+        SELECT l_orderkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   * (100 + CAST(round(l_tax * 100) AS BIGINT)) AS amt_e4
+        FROM lineitem
+    ),
+    per_order AS (
+        SELECT l_orderkey, CAST(sum(amt_e4) AS BIGINT) AS sum_e4
+        FROM l GROUP BY 1
+    ),
+    d AS (
+        SELECT o.o_orderstatus,
+               coalesce(p.sum_e4, 0)
+                   - CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000
+                   AS diff_e4
+        FROM orders o LEFT JOIN per_order p ON p.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN diff_e4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(sum(CASE WHEN abs(diff_e4) <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_cent,
+           CAST(max(abs(diff_e4)) AS BIGINT) AS max_abs_diff_e4,
+           round(CAST(max(abs(diff_e4)) AS DOUBLE) / 1000000.0, 4)
+               AS max_abs_diff_dollars
+    FROM d GROUP BY 1
+"""
+
+
+@register("dq_order_reconciliation", _RECON_ORACLE)
+def dq_order_reconciliation(spark, sf_dir):
+    """Cross-table financial reconciliation: recompute every order's
+    total from its line items as Σ extendedprice·(1−discount)·(1+tax)
+    and audit it against the stored o_totalprice, per order status —
+    the classic ledger-vs-detail consistency gate a warehouse runs
+    before publishing revenue.
+
+    Determinism: the three money columns are exact 2-dp quantities, so
+    each is recovered to an INTEGER (cents for price, percent points
+    for discount/tax) with one unambiguous round(x·100) — after that
+    every line amount is the exact integer
+    cents·(100−d)·(100+t) in 1e-4-cent units, sums/diffs/counts are
+    pure int64 (bounded: ≤ 2e11 per line), and no float product is
+    ever rounded (a rounded double product would hit the
+    shortest-repr HALF_UP channel). Orders with no line items
+    reconcile against 0 via the left join instead of vanishing.
+
+    Scale: one lineitem groupBy(orderkey) — the same shuffle every
+    order-grain rollup pays (bucketing both tables by orderkey makes
+    it co-located at 100 TB) — then a status-grain aggregate over one
+    bigint per order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
+            * (100 + F.round(F.col("l_tax") * 100, 0).cast("bigint"))
+        ).alias("amt_e4"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum("amt_e4").cast("bigint").alias("sum_e4")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") * 10000)
+            .alias("total_e4"),
+    )
+    d = o.join(
+        per_order, o["o_orderkey"] == per_order["l_orderkey"], "left"
+    ).select(
+        "o_orderstatus",
+        (F.coalesce("sum_e4", F.lit(0)) - F.col("total_e4")).alias(
+            "diff_e4"
+        ),
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("diff_e4") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.abs("diff_e4") <= 10000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_cent"),
+        F.max(F.abs("diff_e4")).cast("bigint").alias("max_abs_diff_e4"),
+        F.round(
+            F.max(F.abs("diff_e4")).cast("double") / 1000000.0, 4
+        ).alias("max_abs_diff_dollars"),
+    )

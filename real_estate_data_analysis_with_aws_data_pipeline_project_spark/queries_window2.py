@@ -909,3 +909,160 @@ def features_feature_hashing(spark, sf_dir):
         F.sum("sgn").cast("bigint").alias("signed_sum"),
         F.countDistinct("feat").cast("bigint").alias("n_distinct_features"),
     )
+
+
+# --- chi-square feature screening (round 9, late batch) ---------------------
+#
+# Univariate feature selection: the chi-square independence statistic
+# of each categorical candidate feature against a binary label,
+# computed from the full contingency cube INCLUDING empty cells.
+# Determinism contract: with o the cell count, rt/ct the marginals
+# and n the row total, each cell's (o − e)²/e is algebraically
+# (o·n − rt·ct)² / (n·rt·ct) — numerator root and denominator are
+# EXACT int64 (|o·n − rt·ct| ≤ n² and n·rt·ct ≤ n³ both fit at any
+# realistic n; the cast of n·rt·ct to double is exact below 2^53),
+# the square and the single division are exactly-rounded IEEE ops,
+# and the per-cell term is integerized to BIGINT micro-units via
+# floor(x·1e6 + 0.5) (the retrieval_query_likelihood pattern), so the
+# per-feature sum is exact integer addition — no float-aggregate or
+# decimal-literal channel.
+
+_CHI2_LABEL_SQL = (
+    "CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    " THEN 1 ELSE 0 END"
+)
+
+_CHI2_TERM_SQL = (
+    "CAST(floor((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"
+    " / CAST(den AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_CHI2_ORACLE = f"""
+    WITH base AS (
+        SELECT feature, value, label FROM (
+            SELECT 'status' AS feature, o_orderstatus AS value,
+                   {_CHI2_LABEL_SQL} AS label FROM orders
+            UNION ALL
+            SELECT 'year', CAST(year(o_orderdate) AS VARCHAR),
+                   {_CHI2_LABEL_SQL} FROM orders
+            UNION ALL
+            SELECT 'month', CAST(month(o_orderdate) AS VARCHAR),
+                   {_CHI2_LABEL_SQL} FROM orders
+        )
+    ),
+    cells AS (
+        SELECT feature, value, label, CAST(count(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2, 3
+    ),
+    rt AS (
+        SELECT feature, value, CAST(count(*) AS BIGINT) AS rt
+        FROM base GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT {_CHI2_LABEL_SQL} AS label, CAST(count(*) AS BIGINT) AS ct
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labels
+        FROM orders
+    ),
+    grid AS (
+        SELECT r.feature, r.value, r.rt, l.label, l.ct, t.n, t.n_labels,
+               coalesce(c.o, 0) * t.n - r.rt * l.ct AS d,
+               t.n * r.rt * l.ct AS den
+        FROM rt r
+        CROSS JOIN lab l
+        CROSS JOIN tot t
+        LEFT JOIN cells c ON c.feature = r.feature
+                         AND c.value = r.value AND c.label = l.label
+    )
+    SELECT feature,
+           CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+           CAST((count(DISTINCT value) - 1) * (max(n_labels) - 1)
+                AS BIGINT) AS dof,
+           round(CAST(sum({_CHI2_TERM_SQL}) AS DOUBLE) / 1000000e0, 6)
+               AS chi2
+    FROM grid
+    GROUP BY 1
+"""
+
+
+@register("features_chi2_selection", _CHI2_ORACLE)
+def features_chi2_selection(spark, sf_dir):
+    """Chi-square screening of three categorical order features
+    (status, order year, order month) against the "high priority"
+    binary label — the univariate filter a feature store runs to rank
+    candidate features before training. Reports degrees of freedom so
+    the scores are interpretable across features of different
+    cardinality. Empty contingency cells contribute their full
+    expected-count term (the statistic is wrong without them).
+
+    Scale: the unpivot is a 3x row multiplier into ONE count
+    aggregate at the (feature, value, label) grain — cardinality-
+    bounded, map-side combinable; marginals and totals are tiny
+    derived aggregates of it; the term grid lives at feature-value
+    scale and the final sum is exact BIGINT micro-units (see module
+    comment). No window, no per-row Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.expr(_CHI2_LABEL_SQL).alias("label")
+    base = (
+        orders.select(
+            F.lit("status").alias("feature"),
+            F.col("o_orderstatus").alias("value"),
+            label,
+        )
+        .unionAll(
+            orders.select(
+                F.lit("year").alias("feature"),
+                F.year("o_orderdate").cast("string").alias("value"),
+                label,
+            )
+        )
+        .unionAll(
+            orders.select(
+                F.lit("month").alias("feature"),
+                F.month("o_orderdate").cast("string").alias("value"),
+                label,
+            )
+        )
+    )
+    cells = base.groupBy("feature", "value", "label").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = base.groupBy("feature", "value").agg(
+        F.count("*").cast("bigint").alias("rt")
+    )
+    lab = orders.groupBy(label).agg(
+        F.count("*").cast("bigint").alias("ct")
+    )
+    tot = orders.agg(F.count("*").cast("bigint").alias("n")).crossJoin(
+        lab.agg(F.count("*").cast("bigint").alias("n_labels"))
+    )
+    grid = (
+        rt.crossJoin(F.broadcast(lab))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(cells), ["feature", "value", "label"], "left")
+        .select(
+            "feature",
+            "value",
+            "n_labels",
+            (
+                F.coalesce("o", F.lit(0)) * F.col("n")
+                - F.col("rt") * F.col("ct")
+            ).alias("d"),
+            (F.col("n") * F.col("rt") * F.col("ct")).alias("den"),
+        )
+    )
+    return grid.groupBy("feature").agg(
+        F.countDistinct("value").cast("bigint").alias("n_values"),
+        (
+            (F.countDistinct("value") - 1) * (F.max("n_labels") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.round(
+            F.sum(F.expr(_CHI2_TERM_SQL)).cast("double") / F.expr("1000000e0"),
+            6,
+        ).alias("chi2"),
+    )

@@ -683,3 +683,136 @@ def test_exact_percentiles_recompute(spark, sf_dir):
         for r in QUERIES["agg_exact_group_percentiles"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_js_divergence_recompute_and_bounds(spark, sf_dir):
+    """JSD recomputed in pure Python from the (type, half, bucket)
+    cube with the same micro-nat quantization; every score must sit
+    in [0, ln 2] and the half totals must partition the type count."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_quality import (
+        _PSI_BUCKET_WIDTH,
+        _PSI_BUCKETS,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    cube = Counter()
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.unix_micros(F.date_trunc("day", "ts")).alias("us"), "value")
+        .collect()
+    ):
+        half = (r.us // 86_400_000_000) % 2
+        b = min(int(r.value // _PSI_BUCKET_WIDTH), _PSI_BUCKETS - 1)
+        cube[(r.event_type, half, b)] += 1
+    types = {k[0] for k in cube}
+    expect = {}
+    for et in types:
+        n_even = sum(v for (t, h, _), v in cube.items() if t == et and h == 0)
+        n_odd = sum(v for (t, h, _), v in cube.items() if t == et and h == 1)
+        micro = 0
+        for b in range(_PSI_BUCKETS):
+            p = (cube.get((et, 0, b), 0) + 1.0) / (n_even + _PSI_BUCKETS)
+            q = (cube.get((et, 1, b), 0) + 1.0) / (n_odd + _PSI_BUCKETS)
+            m = (p + q) / 2.0
+            micro += math.floor(
+                (p * math.log(p / m) + q * math.log(q / m)) * 500000.0 + 0.5
+            )
+        expect[et] = (n_even, n_odd, round(micro / 1000000.0, 6))
+    got = {
+        r.event_type: (r.n_even, r.n_odd, r.jsd_nats)
+        for r in QUERIES["quality_js_divergence"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for et, (ne, no, jsd) in got.items():
+        assert 0.0 <= jsd <= math.log(2.0), et
+
+
+def test_order_reconciliation_recompute(spark, sf_dir):
+    """The e4-cent integer reconciliation recomputed in pure Python
+    ints from the raw tables."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    sums = defaultdict(int)
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        ec = int(round(r.l_extendedprice * 100))
+        dc = int(round(r.l_discount * 100))
+        tc = int(round(r.l_tax * 100))
+        sums[r.l_orderkey] += ec * (100 - dc) * (100 + tc)
+    per_status = defaultdict(list)
+    for o in load_table(spark, sf_dir, "orders").collect():
+        diff = sums.get(o.o_orderkey, 0) - int(round(o.o_totalprice * 100)) * 10000
+        per_status[o.o_orderstatus].append(diff)
+    expect = {
+        s: (
+            len(ds),
+            sum(1 for d in ds if d == 0),
+            sum(1 for d in ds if abs(d) <= 10000),
+            max(abs(d) for d in ds),
+            round(max(abs(d) for d in ds) / 1000000.0, 4),
+        )
+        for s, ds in per_status.items()
+    }
+    got = {
+        r.o_orderstatus: (
+            r.n_orders,
+            r.n_exact,
+            r.n_within_cent,
+            r.max_abs_diff_e4,
+            r.max_abs_diff_dollars,
+        )
+        for r in QUERIES["dq_order_reconciliation"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_chi2_recompute(spark, sf_dir):
+    """Chi-square per feature recomputed two ways: exactly (same
+    integer micro-unit quantization) and as the naive float
+    (o-e)^2/e sum, which must agree to the quantization error."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    feats = {
+        "status": lambda o: o.o_orderstatus,
+        "year": lambda o: str(o.o_orderdate.year),
+        "month": lambda o: str(o.o_orderdate.month),
+    }
+    lab = lambda o: 1 if o.o_orderpriority in ("1-URGENT", "2-HIGH") else 0
+    n = len(orders)
+    ct = Counter(lab(o) for o in orders)
+    got = {
+        r.feature: (r.n_values, r.dof, r.chi2)
+        for r in QUERIES["features_chi2_selection"].fn(spark, sf_dir).collect()
+    }
+    for fname, fv in feats.items():
+        cells = Counter((fv(o), lab(o)) for o in orders)
+        rt = Counter(fv(o) for o in orders)
+        micro = 0
+        naive = 0.0
+        for v in rt:
+            for l in ct:
+                o_cnt = cells.get((v, l), 0)
+                d = o_cnt * n - rt[v] * ct[l]
+                den = n * rt[v] * ct[l]
+                micro += math.floor(
+                    (float(d) * float(d)) / float(den) * 1000000.0 + 0.5
+                )
+                e = rt[v] * ct[l] / n
+                naive += (o_cnt - e) ** 2 / e
+        exact = round(micro / 1000000.0, 6)
+        assert got[fname] == (len(rt), (len(rt) - 1) * (len(ct) - 1), exact)
+        assert abs(exact - naive) < 1e-3, fname

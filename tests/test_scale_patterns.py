@@ -203,3 +203,64 @@ def test_fk_audit_scans_each_child_table_once(spark, sf_dir):
     assert "l_quantity" not in plan and "l_extendedprice" not in plan
     # child-side orders scan reads only the FK column
     assert plan.count("ReadSchema: struct<o_custkey:bigint>") == 1
+
+
+def test_topk_per_group_window_group_limit_vs_sort_aggregate(spark, sf_dir):
+    """ROADMAP r10 candidate #4 — the optimizer-story comparison pair
+    for top-k per group. The rank-filter shape (row_number <= k) is
+    rewritten by Catalyst into WindowGroupLimit: a PARTIAL per-group
+    top-k runs map-side BEFORE the shuffle, so each reducer receives at
+    most k rows per group no matter how large the group. The
+    collect_list + sort_array alternative computes the same rows but
+    must materialize EVERY group's full row set in a single aggregation
+    buffer first — at 100 TB that is the difference between bounded
+    reducer state and an OOM on the biggest group. Both shapes must
+    agree on the result; only the rank-filter shape may claim the
+    WindowGroupLimit plan."""
+    from pyspark.sql import Window
+
+    k = 3
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+    plan_ranked = _plan(ranked)
+    assert "WindowGroupLimit" in plan_ranked
+    agg = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("o_totalprice")).alias("neg_price"),
+                            F.col("o_orderkey").alias("o_orderkey"),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(
+            "o_custkey",
+            F.posexplode("top").alias("pos", "row"),
+        )
+        .select(
+            "o_custkey",
+            F.col("row.o_orderkey").alias("o_orderkey"),
+            (F.col("pos") + 1).alias("rn"),
+        )
+    )
+    plan_agg = _plan(agg)
+    assert "WindowGroupLimit" not in plan_agg  # full-group materialization
+    got_ranked = {tuple(r) for r in ranked.collect()}
+    got_agg = {tuple(r) for r in agg.collect()}
+    assert got_ranked == got_agg

@@ -151,6 +151,9 @@ EXTRA = [
     "graph_triangle_orientation_stats",
     "events_interarrival_stats",
     "agg_exact_group_percentiles",
+    "quality_js_divergence",
+    "dq_order_reconciliation",
+    "features_chi2_selection",
 ]
 
 
