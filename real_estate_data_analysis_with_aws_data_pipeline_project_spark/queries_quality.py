@@ -1577,32 +1577,25 @@ _JSD_ORACLE = f"""
 """
 
 
-@register("quality_js_divergence", _JSD_ORACLE)
-def quality_js_divergence(spark, sf_dir):
-    """Jensen–Shannon divergence between the even-day and odd-day
-    value-bucket distributions per event type (add-one smoothed over
-    the fixed 10-bucket grid): a symmetric, [0, ln 2]-bounded drift
-    score that complements PSI (unbounded, asymmetric reference) and
-    KS (CDF max-gap). A healthy interleaved split should sit near 0 —
-    a high JSD means the feed's value distribution depends on the day
-    parity, i.e. systematic batch-to-batch drift.
-
-    Scale: one groupBy to the (type, half, bucket) count cube — the
-    complete sufficient statistic, metadata-scale by construction —
-    then all arithmetic on the tiny grid; the term sum is exact BIGINT
-    micro-nats (see module comment), so the result is independent of
-    partitioning and sum order."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "event_type",
-        (
-            F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
-            % 2
-        ).alias("half"),
-        psi_bucket_col().alias("bucket"),
-    )
-    c = e.groupBy("event_type", "half", "bucket").agg(
-        F.count("*").cast("bigint").alias("c")
+def jsd_from_cube(day_cnt):
+    """JSD report from the (event_type, day, bucket, c) count CUBE —
+    the same complete sufficient statistic the PSI family folds
+    (psi_from_cube precedent): the even/odd split is a pure function
+    of the day string (days-since-epoch parity, UTC-pinned session),
+    so any producer of the exact cube — the batch pass below or the
+    streaming PSI fold's final state — yields the identical report.
+    Arithmetic per the batch twin's determinism contract: integer
+    counts, single IEEE divisions, micro-nat BIGINT term sum."""
+    c = (
+        day_cnt.withColumn(
+            "half",
+            (
+                F.datediff(F.to_date("day"), F.to_date(F.lit("1970-01-01")))
+                % 2
+            ).cast("bigint"),
+        )
+        .groupBy("event_type", "half", "bucket")
+        .agg(F.sum("c").cast("bigint").alias("c"))
     )
     tot = c.groupBy("event_type").agg(
         F.coalesce(F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0))
@@ -1647,6 +1640,64 @@ def quality_js_divergence(spark, sf_dir):
             F.sum("micro").cast("double") / F.expr(_JSD_SCALE), 6
         ).alias("jsd_nats")
     )
+
+
+@register("quality_js_divergence", _JSD_ORACLE)
+def quality_js_divergence(spark, sf_dir):
+    """Jensen–Shannon divergence between the even-day and odd-day
+    value-bucket distributions per event type (add-one smoothed over
+    the fixed 10-bucket grid): a symmetric, [0, ln 2]-bounded drift
+    score that complements PSI (unbounded, asymmetric reference) and
+    KS (CDF max-gap). A healthy interleaved split should sit near 0 —
+    a high JSD means the feed's value distribution depends on the day
+    parity, i.e. systematic batch-to-batch drift.
+
+    Scale: one groupBy to the (type, day, bucket) count cube — the
+    complete sufficient statistic, metadata-scale by construction and
+    shared verbatim with the streaming tier (jsd_from_cube) — then all
+    arithmetic on the tiny grid; the term sum is exact BIGINT
+    micro-nats (see module comment), so the result is independent of
+    partitioning and sum order."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        psi_bucket_col().alias("bucket"),
+    )
+    day_cnt = e.groupBy("event_type", "day", "bucket").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    # jsd_from_cube consumes the cube in three plan branches (totals +
+    # the two half histograms); checkpoint the metadata-scale cube so
+    # events are scanned once (the PSI precedent).
+    return jsd_from_cube(day_cnt.localCheckpoint(eager=True))
+
+
+@register("streaming_jsd_drift", _JSD_ORACLE)
+def streaming_jsd_drift(spark, sf_dir):
+    """Structured Streaming: JSD drift as a stateful streaming tier —
+    and a demonstration that ONE streamed sufficient statistic serves
+    a whole family: the (day, bucket) count cube the PSI tier folds in
+    ValueState (streaming/jobs.streaming_psi_cube) is also JSD's
+    complete statistic, so this query reuses that exact fold and only
+    swaps the report expressions (jsd_from_cube vs psi_from_cube). No
+    new state schema, no new Python in the loop; the report is
+    bit-identical to the batch twin and carries its full oracle."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    final = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "day", "bucket", "c")
+        # break the memory-sink lineage before the three-branch
+        # consumption (conflicting-attribute quirk — see the PSI tier)
+        .localCheckpoint(eager=True)
+    )
+    return jsd_from_cube(final)
 
 
 # --- cross-table financial reconciliation audit (round 9, late batch) -------

@@ -816,3 +816,18 @@ def test_chi2_recompute(spark, sf_dir):
         exact = round(micro / 1000000.0, 6)
         assert got[fname] == (len(rt), (len(rt) - 1) * (len(ct) - 1), exact)
         assert abs(exact - naive) < 1e-3, fname
+
+
+def test_streaming_jsd_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, two reports: the JSD tier
+    reuses the PSI fold's (day, bucket) cube, so its report must equal
+    the batch JSD query row-for-row."""
+    stream = {
+        r.event_type: (r.n_even, r.n_odd, r.jsd_nats)
+        for r in QUERIES["streaming_jsd_drift"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: (r.n_even, r.n_odd, r.jsd_nats)
+        for r in QUERIES["quality_js_divergence"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch

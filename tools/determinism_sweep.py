@@ -7,7 +7,9 @@ orderings, tie-dependent top-k, rand-based sampling) anywhere in the
 query surface — the class of bug that passes single-config tests and
 then flakes on a different cluster size.
 
-Usage: python tools/determinism_sweep.py [sf_dir]
+Usage: python tools/determinism_sweep.py [sf_dir] [name ...]
+(with names given, only those queries are swept — for targeted runs
+on a new batch; no names = the full registry)
 """
 
 from __future__ import annotations
@@ -26,13 +28,17 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session impo
 )
 
 
-def sweep(master: str, parts: int, sf_dir: str) -> dict[str, str]:
+def sweep(
+    master: str, parts: int, sf_dir: str, names: list[str] | None = None
+) -> dict[str, str]:
     spark = get_spark(
         app_name=f"determinism-{parts}", master=master, shuffle_partitions=parts
     )
     out = {}
     for name, spec in QUERIES.items():
         if spec.oracle is None:  # streaming/UDF rows-only excluded
+            continue
+        if names and name not in names:
             continue
         df = spec.fn(spark, sf_dir).toPandas()
         cols = sorted(df.columns)
@@ -44,8 +50,9 @@ def sweep(master: str, parts: int, sf_dir: str) -> dict[str, str]:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    a = sweep("local[2]", 3, sf_dir)
-    b = sweep("local[16]", 24, sf_dir)
+    names = sys.argv[2:] or None
+    a = sweep("local[2]", 3, sf_dir, names)
+    b = sweep("local[16]", 24, sf_dir, names)
     diff = sorted(n for n in a if a[n] != b[n])
     print(f"{len(a)} oracle queries compared at {sf_dir}")
     if diff:

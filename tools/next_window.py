@@ -94,6 +94,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "quality_js_divergence",
     "dq_order_reconciliation",
     "features_chi2_selection",
+    "streaming_jsd_drift",
 )
 
 

@@ -154,6 +154,7 @@ EXTRA = [
     "quality_js_divergence",
     "dq_order_reconciliation",
     "features_chi2_selection",
+    "streaming_jsd_drift",
 ]
 
 

@@ -103,6 +103,12 @@ QUERIES_UNDER_TEST = [
     # stay linear however hot the users get.
     "dedup_shingle_containment",
     "skew_join_key_profile",
+    # round-9 late batch: the orientation comparison row quantifies the
+    # wedge-join work bound; on the disjoint replica graph edges grow
+    # x k, so wall and both wedge totals must stay linear, and degree
+    # orientation must never do more wedge work than key orientation
+    # (blocked below).
+    "graph_triangle_orientation_stats",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
@@ -499,6 +505,14 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.sum("p"))
         .first()[0]
     )
+
+    # round-9 late batch: triangle orientation — record both wedge
+    # totals; main() asserts wedges_degree <= wedges_key at EVERY
+    # scale (degree orientation must never do more wedge work) and the
+    # wall alpha table covers linearity on the disjoint replica graph.
+    tri = QUERIES["graph_triangle_orientation_stats"].fn(spark, sf_dir).first()
+    out["tri_wedges_key"] = tri["wedges_key"]
+    out["tri_wedges_degree"] = tri["wedges_degree"]
     return out
 
 
@@ -633,6 +647,10 @@ def main() -> None:
         for b in blocking
     )
     whiten_flat = len({int(b["whitening_pair_rows"]) for b in blocking}) == 1
+    # round-9 late batch: degree orientation may never cost more wedges
+    tri_ok = all(
+        b["tri_wedges_degree"] <= b["tri_wedges_key"] for b in blocking
+    )
     temp_alpha = round(
         fit_alpha(scales, [max(b["temperature_kept_rows"], 1.0) for b in blocking]),
         2,
@@ -721,12 +739,23 @@ def main() -> None:
         "axis grows WITH the data, keeping per-bucket occupancy — and "
         "therefore wall — near-linear.",
         "",
+        "Round-9 late batch: `tri_wedges_degree` vs `tri_wedges_key` — "
+        "the degree orientation's total wedge work must never exceed "
+        "the key orientation's at any scale "
+        f"({'OK' if tri_ok else 'FAIL'}: "
+        + ", ".join(
+            f"x{k}={b['tri_wedges_degree']:.0f}<= {b['tri_wedges_key']:.0f}"
+            for k, b in zip(scales, blocking)
+        )
+        + "); on the disjoint replica graph both totals and the wall "
+        "must also stay linear (alpha table above).",
+        "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
         "headroom for fixed per-run overhead amortizing INTO the "
         "exponent at these small absolute sizes); per-query overrides: "
         f"{ALPHA_TOL_OVERRIDES}.",
         "",
-        f"Verdict: {'PASS' if wall_ok and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat and overlap_ok else 'FAIL'} "
+        f"Verdict: {'PASS' if wall_ok and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat and overlap_ok and tri_ok else 'FAIL'} "
         f"— wall alphas {alphas}, candidate alphas {cand_alpha}, "
         f"incr-fixed-batch alpha {incr_alpha}, shard balance "
         f"{'OK' if shard_ok else 'FAIL'}, bloom cap "
@@ -763,6 +792,8 @@ def main() -> None:
         bad.append("curriculum_hist_values")
     if not whiten_flat:
         bad.append("whitening_pair_rows")
+    if not tri_ok:
+        bad.append("tri_wedges_degree")
     sys.exit(1 if bad else 0)
 
 
