@@ -92,6 +92,11 @@ BASELINE_SEC = {
     # calibrations 1.13/1.12)
     "features_target_encoding_loo": 0.55,
     "quality_ks_drift": 0.78,
+    # round-9 late batch 2: new headline rows measured at landing
+    # (BASELINE.md "Round-9 late-batch headline rows"; min over two
+    # full runs, calibrations 1.13/1.21)
+    "retrieval_query_likelihood": 0.57,
+    "dq_order_reconciliation": 0.94,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -1734,7 +1734,7 @@ _RECON_ORACLE = """
 """
 
 
-@register("dq_order_reconciliation", _RECON_ORACLE)
+@register("dq_order_reconciliation", _RECON_ORACLE, headline=True)
 def dq_order_reconciliation(spark, sf_dir):
     """Cross-table financial reconciliation: recompute every order's
     total from its line items as Σ extendedprice·(1−discount)·(1+tax)

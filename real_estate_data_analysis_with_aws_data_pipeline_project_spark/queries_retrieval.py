@@ -862,7 +862,7 @@ _QL_ORACLE = f"""
 """
 
 
-@register("retrieval_query_likelihood", _QL_ORACLE)
+@register("retrieval_query_likelihood", _QL_ORACLE, headline=True)
 def retrieval_query_likelihood(spark, sf_dir):
     """Dirichlet-smoothed query-likelihood retrieval (the LM dual of
     ``retrieval_bm25_topk``) for the same fixed query term set: every
