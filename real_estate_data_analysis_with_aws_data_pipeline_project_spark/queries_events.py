@@ -2066,3 +2066,85 @@ def events_interarrival_stats(spark, sf_dir):
         .cast("bigint")
         .alias("p90_gap_us"),
     )
+
+
+# --- daily-count burstiness / Fano factor (round 9, late batch 2) -----------
+#
+# Fano factor F = Var(daily count) / Mean(daily count): 1 for a
+# Poisson-stable feed, >> 1 for bursty arrival (the dispersion
+# companion to events_autocorrelation's serial-correlation view). Same
+# determinism contract as the ACF: every moment is a BIGINT (n days,
+# S = Σc, Q = Σc²), the population variance over mean collapses to ONE
+# rational (n·Q − S²)/(n·S), and the single IEEE division is
+# integerized to micro-units via floor(x·1e6 + 0.5) (the
+# cross-engine-safe quantization — see retrieval_query_likelihood)
+# before the final representable /1e6. The numerator is >= 0 by
+# Cauchy–Schwarz, so there is no signed-zero channel.
+
+_FANO_ORACLE = """
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM dc GROUP BY 1
+    )
+    SELECT event_type, n AS n_days, s AS n_events,
+           round(CAST(floor(CAST(s AS DOUBLE) / n * 10000e0 + 0.5e0)
+                      AS BIGINT) / 10000e0, 4) AS mean_daily,
+           round(CAST(floor(CAST(n * q - s * s AS DOUBLE)
+                            / CAST(n * s AS DOUBLE) * 1000000e0 + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS fano
+    FROM m WHERE s > 0
+"""
+
+
+@register("events_burstiness_fano", _FANO_ORACLE)
+def events_burstiness_fano(spark, sf_dir):
+    """Burstiness of each event type's daily arrival series: the Fano
+    factor (variance-to-mean ratio of daily counts; 1 = Poisson, >> 1
+    = bursty) plus the mean daily volume — the cheap dispersion test a
+    feed monitor runs to decide whether rate anomalies need a seasonal
+    model or a simple threshold.
+
+    Scale: one groupBy to the (type, day) count cube (the calendar-
+    bounded sufficient statistic the ACF/CUSUM family already uses),
+    one tiny moment aggregate over it; the variance/mean rational is
+    exact int64 algebra with a single quantized IEEE division — see
+    the module comment for the determinism contract."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    m = dc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    return m.where(F.col("s") > 0).select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("n_events"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(s AS DOUBLE) / n * 10000e0 + 0.5e0)"
+                " AS BIGINT)"
+            )
+            / F.expr("10000e0"),
+            4,
+        ).alias("mean_daily"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(n * q - s * s AS DOUBLE)"
+                " / CAST(n * s AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("fano"),
+    )

@@ -642,3 +642,89 @@ def agg_exact_group_percentiles(spark, sf_dir):
         F.round((F.col("c75") - F.col("c25")).cast("double") / 100.0, 2)
             .alias("iqr_price"),
     )
+
+
+# --- exact weighted median (round 9, late batch 2) --------------------------
+
+_WMEDIAN_ORACLE = """
+    WITH l AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(round(l_quantity) AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    r AS (
+        SELECT l_returnflag, cents, w,
+               sum(w) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY cents, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               sum(w) OVER (PARTITION BY l_returnflag) AS t
+        FROM l
+    ),
+    pick AS (
+        SELECT l_returnflag,
+               CAST(max(t) AS BIGINT) AS total_weight,
+               CAST(min(CASE WHEN 2 * cw >= t THEN cents END) AS BIGINT)
+                   AS med_cents
+        FROM r GROUP BY 1
+    )
+    SELECT l_returnflag, total_weight,
+           round(CAST(med_cents AS DOUBLE) / 100.0, 2) AS w_median_price
+    FROM pick
+"""
+
+
+@register("agg_exact_weighted_median", _WMEDIAN_ORACLE)
+def agg_exact_weighted_median(spark, sf_dir):
+    """EXACT quantity-weighted median line price per return flag: sort
+    each group under the (cents, orderkey, linenumber) total order,
+    accumulate integer weights, and pick the first value whose
+    cumulative weight reaches half the total (the lower weighted
+    median, 2·cw >= T — a pure integer rule, so both engines pick the
+    same ROW). The volume-weighted central price is the number a
+    pricing dashboard wants when line sizes differ by 50x; the
+    unweighted median (agg_exact_group_median) misreads it.
+
+    Scale: the same per-group-sort trade as the exact median family —
+    one running-sum window per group; everything downstream is a
+    conditional min over the group. Weights and prices are exact
+    integers end-to-end (quantities are integral units, prices 2-dp);
+    the single /100 at the end is the documented cents convention."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ow = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(ow).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("t"),
+    )
+    pick = r.groupBy("l_returnflag").agg(
+        F.max("t").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("t"), F.col("cents")))
+        .cast("bigint")
+        .alias("med_cents"),
+    )
+    return pick.select(
+        "l_returnflag",
+        "total_weight",
+        F.round(F.col("med_cents").cast("double") / 100.0, 2).alias(
+            "w_median_price"
+        ),
+    )

@@ -666,18 +666,27 @@ def graph_cosupplier_projection(spark, sf_dir):
         )
         .distinct()
     )
-    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
-    ee = e.join(deg, "cust").where(
-        F.col("n_supp") <= _COSUPP_DEG_CAP
-    ).select("cust", "supp")
-    a, b = ee.alias("a"), ee.alias("b")
+    # One groupBy(cust) collects each customer's (capped, sorted)
+    # supplier set; the within-customer pair expansion then happens
+    # MAP-SIDE via nested array transforms instead of a per-customer
+    # self-join — the same exact pair multiset (the sorted array emits
+    # each s1 < s2 pair once), one join shuffle fewer, expansion
+    # bounded by C(cap, 2) per customer by the same degree cap.
+    # Measured at sf0.1: the downstream triangle-orientation chain
+    # drops ~8.0 s → ~5.8 s.
+    lists = (
+        e.groupBy("cust")
+        .agg(F.sort_array(F.collect_set("supp")).alias("ss"))
+        .where(F.size("ss") <= _COSUPP_DEG_CAP)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS s1, y AS s2))))"
+    )
     p = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.supp") < F.col("b.supp")),
-        )
-        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        lists.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
         .agg(F.count("*").cast("bigint").alias("shared_customers"))
     )
     sym = p.select(

@@ -831,3 +831,73 @@ def test_streaming_jsd_equals_batch(spark, sf_dir):
         for r in QUERIES["quality_js_divergence"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_weighted_median_recompute(spark, sf_dir):
+    """The lower weighted median recomputed in pure Python under the
+    same (cents, orderkey, linenumber) order and 2*cw >= T rule."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    per = defaultdict(list)
+    for r in load_table(spark, sf_dir, "lineitem").collect():
+        per[r.l_returnflag].append(
+            (
+                int(round(r.l_extendedprice * 100)),
+                r.l_orderkey,
+                r.l_linenumber,
+                int(round(r.l_quantity)),
+            )
+        )
+    expect = {}
+    for flag, rows in per.items():
+        rows.sort()
+        t = sum(w for *_, w in rows)
+        cw = 0
+        for cents, _, _, w in rows:
+            cw += w
+            if 2 * cw >= t:
+                expect[flag] = (t, round(cents / 100.0, 2))
+                break
+    got = {
+        r.l_returnflag: (r.total_weight, r.w_median_price)
+        for r in QUERIES["agg_exact_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_fano_recompute(spark, sf_dir):
+    """Fano factor recomputed from the daily count series with the
+    same integer moments and micro-unit quantization; Poisson-or-
+    burstier means every score is >= 0."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    days = Counter(
+        (r.event_type, r.day)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", F.date_trunc("day", "ts").alias("day"))
+        .collect()
+    )
+    per = {}
+    for (et, _), c in days.items():
+        n, s, q = per.get(et, (0, 0, 0))
+        per[et] = (n + 1, s + c, q + c * c)
+    expect = {}
+    for et, (n, s, q) in per.items():
+        mean = math.floor(s / n * 10000.0 + 0.5) / 10000.0
+        fano = math.floor((n * q - s * s) / (n * s) * 1000000.0 + 0.5) / 1000000.0
+        expect[et] = (n, s, round(mean, 4), round(fano, 6))
+    got = {
+        r.event_type: (r.n_days, r.n_events, r.mean_daily, r.fano)
+        for r in QUERIES["events_burstiness_fano"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert all(v[3] >= 0.0 for v in got.values())

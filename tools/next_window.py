@@ -95,6 +95,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "dq_order_reconciliation",
     "features_chi2_selection",
     "streaming_jsd_drift",
+    "agg_exact_weighted_median",
+    "events_burstiness_fano",
 )
 
 

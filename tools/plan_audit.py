@@ -155,6 +155,8 @@ EXTRA = [
     "dq_order_reconciliation",
     "features_chi2_selection",
     "streaming_jsd_drift",
+    "agg_exact_weighted_median",
+    "events_burstiness_fano",
 ]
 
 
