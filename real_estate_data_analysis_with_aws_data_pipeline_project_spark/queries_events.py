@@ -2072,10 +2072,15 @@ def events_interarrival_stats(spark, sf_dir):
 #
 # Fano factor F = Var(daily count) / Mean(daily count): 1 for a
 # Poisson-stable feed, >> 1 for bursty arrival (the dispersion
-# companion to events_autocorrelation's serial-correlation view). Same
-# determinism contract as the ACF: every moment is a BIGINT (n days,
-# S = Σc, Q = Σc²), the population variance over mean collapses to ONE
-# rational (n·Q − S²)/(n·S), and the single IEEE division is
+# companion to events_autocorrelation's serial-correlation view). The
+# moments run over the type's FULL CALENDAR SPAN (first to last active
+# day inclusive): a silent day is a 0-count observation, not a missing
+# row — dropping zero days would score an extreme burst (2 active
+# days out of 60) as perfectly stable (r9 review). Zero days add
+# nothing to S or Q, so densification is just n = span. Same
+# determinism contract as the ACF: every moment is a BIGINT (n span
+# days, S = Σc, Q = Σc²), the population variance over mean collapses
+# to ONE rational (n·Q − S²)/(n·S), and the single IEEE division is
 # integerized to micro-units via floor(x·1e6 + 0.5) (the
 # cross-engine-safe quantization — see retrieval_query_likelihood)
 # before the final representable /1e6. The numerator is >= 0 by
@@ -2089,12 +2094,15 @@ _FANO_ORACLE = """
     ),
     m AS (
         SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(date_diff('day', min(day), max(day)) + 1 AS BIGINT)
+                   AS n,
                CAST(sum(c) AS BIGINT) AS s,
                CAST(sum(c * c) AS BIGINT) AS q
         FROM dc GROUP BY 1
     )
-    SELECT event_type, n AS n_days, s AS n_events,
+    SELECT event_type, n AS n_days_span, n_active AS n_days_active,
+           s AS n_events,
            round(CAST(floor(CAST(s AS DOUBLE) / n * 10000e0 + 0.5e0)
                       AS BIGINT) / 10000e0, 4) AS mean_daily,
            round(CAST(floor(CAST(n * q - s * s AS DOUBLE)
@@ -2110,7 +2118,10 @@ def events_burstiness_fano(spark, sf_dir):
     factor (variance-to-mean ratio of daily counts; 1 = Poisson, >> 1
     = bursty) plus the mean daily volume — the cheap dispersion test a
     feed monitor runs to decide whether rate anomalies need a seasonal
-    model or a simple threshold.
+    model or a simple threshold. The moments cover the type's full
+    first-to-last-day calendar span, counting silent days as zero
+    observations (see the module comment — dropping them would make
+    the worst bursts look stable).
 
     Scale: one groupBy to the (type, day) count cube (the calendar-
     bounded sufficient statistic the ACF/CUSUM family already uses),
@@ -2123,13 +2134,17 @@ def events_burstiness_fano(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     m = dc.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_active"),
+        (F.datediff(F.max("day"), F.min("day")) + 1)
+        .cast("bigint")
+        .alias("n"),
         F.sum("c").cast("bigint").alias("s"),
         F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
     )
     return m.where(F.col("s") > 0).select(
         "event_type",
-        F.col("n").alias("n_days"),
+        F.col("n").alias("n_days_span"),
+        F.col("n_active").alias("n_days_active"),
         F.col("s").alias("n_events"),
         F.round(
             F.expr(

@@ -666,18 +666,26 @@ def graph_cosupplier_projection(spark, sf_dir):
         )
         .distinct()
     )
-    # One groupBy(cust) collects each customer's (capped, sorted)
-    # supplier set; the within-customer pair expansion then happens
-    # MAP-SIDE via nested array transforms instead of a per-customer
-    # self-join — the same exact pair multiset (the sorted array emits
-    # each s1 < s2 pair once), one join shuffle fewer, expansion
-    # bounded by C(cap, 2) per customer by the same degree cap.
-    # Measured at sf0.1: the downstream triangle-orientation chain
-    # drops ~8.0 s → ~5.8 s.
-    lists = (
-        e.groupBy("cust")
-        .agg(F.sort_array(F.collect_set("supp")).alias("ss"))
-        .where(F.size("ss") <= _COSUPP_DEG_CAP)
+    # Degree pass FIRST (count(*) — constant-space, map-side
+    # combinable) so hub customers are dropped BEFORE any per-group
+    # buffering: a mega-hub must never materialize its full supplier
+    # set just to be discarded (r9 review — the bounded-state rule the
+    # WindowGroupLimit comparison test documents). The surviving
+    # customers' (capped, sorted) supplier sets are then collected
+    # once and the within-customer pair expansion happens MAP-SIDE via
+    # nested array transforms instead of a per-customer self-join —
+    # the same exact pair multiset (the sorted array emits each
+    # s1 < s2 pair once), one join shuffle fewer, expansion bounded by
+    # C(cap, 2) per customer. Measured at sf0.1: the downstream
+    # triangle-orientation chain drops ~8.0 s → ~6.2 s (a further
+    # ~0.7 s was available by collecting sets unguarded and filtering
+    # on size afterward, rejected for the unbounded hub buffer).
+    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
+    ee = e.join(
+        deg.where(F.col("n_supp") <= _COSUPP_DEG_CAP), "cust"
+    ).select("cust", "supp")
+    lists = ee.groupBy("cust").agg(
+        F.sort_array(F.collect_set("supp")).alias("ss")
     )
     pair_expr = F.expr(
         "flatten(transform(ss, (x, i) ->"
@@ -826,7 +834,9 @@ def graph_triangle_count(spark, sf_dir):
 # `2000e0` parses as DOUBLE in both, keeping every op exactly-rounded
 # IEEE and therefore bit-identical.
 _QL_MU = "2000e0"  # classic Dirichlet prior mass
-_QL_V = "4e0"  # add-one smoothing denominator bump = |query vocab|
+# add-one smoothing denominator bump = |query vocab| — derived so a
+# term-list edit cannot silently leave a stale prior (r9 review)
+_QL_V = f"{len(_BM25_TERMS)}e0"
 _QL_TOP_K = 20
 
 
@@ -1011,6 +1021,12 @@ def graph_triangle_orientation_stats(spark, sf_dir):
     is a 1-row broadcast. Integer-only arithmetic — no float channel.
     """
     base = graph_cosupplier_projection(spark, sf_dir)
+    # NOTE: edges feeds many plan branches, but a localCheckpoint here
+    # was MEASURED SLOWER at sf0.1 (7.2–8.6 s vs 5.7–6.3 s without):
+    # AQE's ReuseExchange already dedups the identical projection
+    # subplans, so the checkpoint only added materialization overhead.
+    # Checkpoint only relations whose branches are NOT common subplans
+    # (the PSI/JSD cube precedent).
     edges = base.select(
         F.least("supplier", "partner").alias("s1"),
         F.greatest("supplier", "partner").alias("s2"),

@@ -918,10 +918,13 @@ def features_feature_hashing(spark, sf_dir):
 # computed from the full contingency cube INCLUDING empty cells.
 # Determinism contract: with o the cell count, rt/ct the marginals
 # and n the row total, each cell's (o − e)²/e is algebraically
-# (o·n − rt·ct)² / (n·rt·ct) — numerator root and denominator are
-# EXACT int64 (|o·n − rt·ct| ≤ n² and n·rt·ct ≤ n³ both fit at any
-# realistic n; the cast of n·rt·ct to double is exact below 2^53),
-# the square and the single division are exactly-rounded IEEE ops,
+# (o·n − rt·ct)² / (n·rt·ct) — the numerator root is EXACT int64
+# (|o·n − rt·ct| ≤ n², safe to n ~ 3e9 rows); the denominator n·rt·ct
+# can exceed int64 at cluster-scale n (≈0.3·n³ — overflows past
+# n ≈ 4.5e6; r9 review), so it is computed as a DOUBLE product —
+# each bigint→double conversion and multiply is exactly-rounded IEEE,
+# identical in both engines. The square and the single division are
+# exactly-rounded IEEE ops,
 # and the per-cell term is integerized to BIGINT micro-units via
 # floor(x·1e6 + 0.5) (the retrieval_query_likelihood pattern), so the
 # per-feature sum is exact integer addition — no float-aggregate or
@@ -934,7 +937,7 @@ _CHI2_LABEL_SQL = (
 
 _CHI2_TERM_SQL = (
     "CAST(floor((CAST(d AS DOUBLE) * CAST(d AS DOUBLE))"
-    " / CAST(den AS DOUBLE) * 1000000e0 + 0.5e0) AS BIGINT)"
+    " / den * 1000000e0 + 0.5e0) AS BIGINT)"
 )
 
 _CHI2_ORACLE = f"""
@@ -970,7 +973,7 @@ _CHI2_ORACLE = f"""
     grid AS (
         SELECT r.feature, r.value, r.rt, l.label, l.ct, t.n, t.n_labels,
                coalesce(c.o, 0) * t.n - r.rt * l.ct AS d,
-               t.n * r.rt * l.ct AS den
+               CAST(t.n AS DOUBLE) * r.rt * l.ct AS den
         FROM rt r
         CROSS JOIN lab l
         CROSS JOIN tot t
@@ -1051,7 +1054,9 @@ def features_chi2_selection(spark, sf_dir):
                 F.coalesce("o", F.lit(0)) * F.col("n")
                 - F.col("rt") * F.col("ct")
             ).alias("d"),
-            (F.col("n") * F.col("rt") * F.col("ct")).alias("den"),
+            (
+                F.col("n").cast("double") * F.col("rt") * F.col("ct")
+            ).alias("den"),
         )
     )
     return grid.groupBy("feature").agg(

@@ -551,7 +551,11 @@ def test_query_likelihood_recompute(spark, sf_dir):
         micro = 0
         for i, term in enumerate(_BM25_TERMS):
             x = math.log(
-                (t.count(term) + 2000.0 * ((cf[i] + 1.0) / (coll_len + 4.0)))
+                (
+                    t.count(term)
+                    + 2000.0
+                    * ((cf[i] + 1.0) / (coll_len + float(len(_BM25_TERMS))))
+                )
                 / (dl + 2000.0)
             )
             micro += math.floor(x * 1000000.0 + 0.5)
@@ -565,17 +569,21 @@ def test_query_likelihood_recompute(spark, sf_dir):
 
 
 def test_triangle_orientation_stats(spark, sf_dir):
-    """Degree orientation can never do more wedge work than key
-    orientation on this fixture, the triangle count must equal a
+    """The degree orientation's max out-degree must satisfy the
+    provable sqrt(2|E|) bound, the triangle count must equal a
     brute-force recount over the same sparsified edge set, and
     graph_triangle_count's per-node participation must be consistent
     with the global total."""
     row = (
         QUERIES["graph_triangle_orientation_stats"].fn(spark, sf_dir).collect()
     )[0]
-    assert row.wedges_degree <= row.wedges_key
-    assert row.max_outdeg_degree <= row.max_outdeg_key
+    # THEOREM (any graph): in the (deg, id) orientation every
+    # out-neighbor of v has degree >= outdeg(v), so outdeg² <= 2|E|.
+    # (wedges_degree <= wedges_key is NOT asserted — it is a
+    # fixture-empirical comparison, not a theorem; r9 review.)
+    assert row.max_outdeg_degree ** 2 <= 2 * row.n_edges
     assert row.n_triangles <= row.wedges_degree
+    assert row.n_triangles <= row.wedges_key
     edges = {
         (min(r.supplier, r.partner), max(r.supplier, r.partner))
         for r in QUERIES["graph_cosupplier_projection"]
@@ -887,17 +895,26 @@ def test_fano_recompute(spark, sf_dir):
         .collect()
     )
     per = {}
-    for (et, _), c in days.items():
-        n, s, q = per.get(et, (0, 0, 0))
-        per[et] = (n + 1, s + c, q + c * c)
+    for (et, day), c in days.items():
+        n, s, q, lo, hi = per.get(et, (0, 0, 0, day, day))
+        per[et] = (n + 1, s + c, q + c * c, min(lo, day), max(hi, day))
     expect = {}
-    for et, (n, s, q) in per.items():
+    for et, (n_active, s, q, lo, hi) in per.items():
+        n = (hi - lo).days + 1  # calendar span incl. silent days
         mean = math.floor(s / n * 10000.0 + 0.5) / 10000.0
         fano = math.floor((n * q - s * s) / (n * s) * 1000000.0 + 0.5) / 1000000.0
-        expect[et] = (n, s, round(mean, 4), round(fano, 6))
+        expect[et] = (n, n_active, s, round(mean, 4), round(fano, 6))
     got = {
-        r.event_type: (r.n_days, r.n_events, r.mean_daily, r.fano)
+        r.event_type: (
+            r.n_days_span,
+            r.n_days_active,
+            r.n_events,
+            r.mean_daily,
+            r.fano,
+        )
         for r in QUERIES["events_burstiness_fano"].fn(spark, sf_dir).collect()
     }
     assert got == expect
-    assert all(v[3] >= 0.0 for v in got.values())
+    assert all(v[4] >= 0.0 for v in got.values())
+    # silent days count: span >= active
+    assert all(v[0] >= v[1] for v in got.values())

@@ -51,6 +51,13 @@ def sweep(
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     names = sys.argv[2:] or None
+    if names:
+        # a typo'd name silently matching nothing would report a false
+        # PASS over zero queries (r9 review) — fail fast instead
+        unknown = [n for n in names if n not in QUERIES]
+        if unknown:
+            print("unknown query names:", unknown)
+            return 2
     a = sweep("local[2]", 3, sf_dir, names)
     b = sweep("local[16]", 24, sf_dir, names)
     diff = sorted(n for n in a if a[n] != b[n])

@@ -105,9 +105,9 @@ QUERIES_UNDER_TEST = [
     "skew_join_key_profile",
     # round-9 late batch: the orientation comparison row quantifies the
     # wedge-join work bound; on the disjoint replica graph edges grow
-    # x k, so wall and both wedge totals must stay linear, and degree
-    # orientation must never do more wedge work than key orientation
-    # (blocked below).
+    # x k, so wall and both wedge totals must stay linear, with the
+    # provable outdeg² <= 2|E| orientation gate blocked below (the
+    # wedge-work comparison itself is reported, not gated).
     "graph_triangle_orientation_stats",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
@@ -507,12 +507,17 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     )
 
     # round-9 late batch: triangle orientation — record both wedge
-    # totals; main() asserts wedges_degree <= wedges_key at EVERY
-    # scale (degree orientation must never do more wedge work) and the
-    # wall alpha table covers linearity on the disjoint replica graph.
+    # totals (REPORTED comparison; "degree never exceeds key" is NOT a
+    # theorem — r9 review found a counter-example graph) and the
+    # quantities for the gate that IS a theorem on any graph: in the
+    # (deg, id) orientation every out-neighbor of v has degree >=
+    # outdeg(v), so outdeg(v)^2 <= Σ degrees = 2|E|. main() blocks on
+    # that bound; the wall alpha table covers linearity.
     tri = QUERIES["graph_triangle_orientation_stats"].fn(spark, sf_dir).first()
     out["tri_wedges_key"] = tri["wedges_key"]
     out["tri_wedges_degree"] = tri["wedges_degree"]
+    out["tri_edges"] = tri["n_edges"]
+    out["tri_max_outdeg_degree"] = tri["max_outdeg_degree"]
     return out
 
 
@@ -647,9 +652,12 @@ def main() -> None:
         for b in blocking
     )
     whiten_flat = len({int(b["whitening_pair_rows"]) for b in blocking}) == 1
-    # round-9 late batch: degree orientation may never cost more wedges
+    # round-9 late batch: the PROVABLE degree-orientation bound
+    # outdeg^2 <= 2|E| (any graph); the wedge comparison is reported,
+    # not gated — it is fixture-empirical, not a theorem (r9 review)
     tri_ok = all(
-        b["tri_wedges_degree"] <= b["tri_wedges_key"] for b in blocking
+        b["tri_max_outdeg_degree"] ** 2 <= 2 * b["tri_edges"]
+        for b in blocking
     )
     temp_alpha = round(
         fit_alpha(scales, [max(b["temperature_kept_rows"], 1.0) for b in blocking]),
@@ -739,15 +747,25 @@ def main() -> None:
         "axis grows WITH the data, keeping per-bucket occupancy — and "
         "therefore wall — near-linear.",
         "",
-        "Round-9 late batch: `tri_wedges_degree` vs `tri_wedges_key` — "
-        "the degree orientation's total wedge work must never exceed "
-        "the key orientation's at any scale "
+        "Round-9 late batch: triangle orientation. The BLOCKING gate "
+        "is the theorem bound max_outdeg_degree² <= 2·|E| (every "
+        "out-neighbor under the (deg, id) orientation has degree >= "
+        "the out-degree, so it holds on ANY graph) "
         f"({'OK' if tri_ok else 'FAIL'}: "
         + ", ".join(
-            f"x{k}={b['tri_wedges_degree']:.0f}<= {b['tri_wedges_key']:.0f}"
+            f"x{k}={b['tri_max_outdeg_degree']:.0f}²<=2·"
+            f"{b['tri_edges']:.0f}"
             for k, b in zip(scales, blocking)
         )
-        + "); on the disjoint replica graph both totals and the wall "
+        + "). The wedge-work comparison `tri_wedges_degree` vs "
+        "`tri_wedges_key` is REPORTED (not gated — degree orientation "
+        "does not dominate on every graph, only overwhelmingly on "
+        "skewed ones): "
+        + ", ".join(
+            f"x{k}={b['tri_wedges_degree']:.0f}/{b['tri_wedges_key']:.0f}"
+            for k, b in zip(scales, blocking)
+        )
+        + "; on the disjoint replica graph both totals and the wall "
         "must also stay linear (alpha table above).",
         "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
@@ -793,7 +811,7 @@ def main() -> None:
     if not whiten_flat:
         bad.append("whitening_pair_rows")
     if not tri_ok:
-        bad.append("tri_wedges_degree")
+        bad.append("tri_max_outdeg_degree")
     sys.exit(1 if bad else 0)
 
 
