@@ -1100,3 +1100,212 @@ def graph_triangle_orientation_stats(spark, sf_dir):
             "max_outdeg_degree",
         )
     )
+
+
+# --- ranking-quality evaluation: NDCG@10 (round 9, late batch 2) ------------
+#
+# The evaluation rung of the retrieval story: score BOTH retrievers
+# (BM25 and Dirichlet QL) on the same graded relevance and report
+# NDCG@10 side by side. Relevance is deterministic — the number of
+# distinct query terms a document contains (0..|terms|) — so the
+# whole evaluation is reproducible with no human labels, and the two
+# retrievers genuinely disagree (BM25's idf weighting vs QL's length
+# prior). Gains (2^rel − 1)/log2(rank+1) are integerized to BIGINT
+# micro-units (floor(x·1e6 + 0.5); pow(2, rel) is exact, log2 is the
+# only transcendental), summed as integers, and the final DCG/IDCG
+# ratio is quantized the same way — the cross-engine contract of
+# retrieval_query_likelihood.
+
+_NDCG_K = 10
+
+
+def _gain_micro_sql(rel: str, rnk: str) -> str:
+    return (
+        f"CAST(floor((power(2e0, {rel}) - 1e0) / log2({rnk} + 1e0)"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+
+
+_NDCG_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    rel AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   for i in range(len(_BM25_TERMS)))} AS BIGINT) AS rel
+        FROM f
+    ),
+    bmtop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+              LIMIT {_NDCG_K})
+    ),
+    qltop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY qlm DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM qlscored ORDER BY qlm DESC, doc_id
+              LIMIT {_NDCG_K})
+    ),
+    ideal AS (
+        SELECT rel, CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                         AS BIGINT) AS rnk
+        FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id
+              LIMIT {_NDCG_K})
+    ),
+    gains AS (
+        SELECT 'bm25' AS retriever, b.rnk, r.rel
+        FROM bmtop b JOIN rel r USING (doc_id)
+        UNION ALL
+        SELECT 'ql', q.rnk, r.rel
+        FROM qltop q JOIN rel r USING (doc_id)
+    ),
+    dcg AS (
+        SELECT retriever,
+               CAST(sum({_gain_micro_sql("rel", "rnk")}) AS BIGINT)
+                   AS dcg_micro
+        FROM gains GROUP BY 1
+    ),
+    idcg AS (
+        SELECT CAST(sum({_gain_micro_sql("rel", "rnk")}) AS BIGINT)
+                   AS idcg_micro
+        FROM ideal
+    )
+    SELECT retriever, dcg_micro, idcg_micro,
+           round(CAST(floor(CAST(dcg_micro AS DOUBLE)
+                            / NULLIF(idcg_micro, 0)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS ndcg_at_10
+    FROM dcg CROSS JOIN idcg
+"""
+
+
+@register("retrieval_ndcg_eval", _NDCG_ORACLE)
+def retrieval_ndcg_eval(spark, sf_dir):
+    """NDCG@10 evaluation of both retrievers (BM25 and Dirichlet
+    query likelihood) against the deterministic term-coverage
+    relevance grade — the offline ranking-quality report a retrieval
+    pipeline publishes per index build. IDCG comes from the corpus-
+    wide ideal ordering, so scores are comparable across retrievers
+    and rounds.
+
+    Scale: relevance and both scores are per-row expressions over the
+    one-pass token projection with 1-row broadcast stats (the BM25
+    shape); every top-10 is TakeOrderedAndProject, and the three
+    rank windows run over <= 10 limit-bounded rows each. Gains and
+    the DCG/IDCG ratio are BIGINT micro-units (see the section
+    comment)."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    f = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    nterms = len(_BM25_TERMS)
+    bm_stats = f.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(nterms)
+        ],
+    )
+    ql_stats = f.agg(
+        F.sum("dl").cast("bigint").alias("coll_len"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(nterms)
+        ],
+    )
+    bm_total = F.expr(" + ".join(f"({_bm25_term_sql(i)})" for i in range(nterms)))
+    ql_total = F.expr(" + ".join(f"({_ql_term_sql(i)})" for i in range(nterms)))
+    rel_col = F.expr(
+        " + ".join(
+            f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(nterms)
+        )
+    ).cast("bigint")
+    scored = f.crossJoin(F.broadcast(bm_stats)).crossJoin(
+        F.broadcast(ql_stats)
+    ).select(
+        "doc_id",
+        F.round(bm_total, 4).alias("bm25"),
+        ql_total.alias("qlm"),
+        rel_col.alias("rel"),
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
+    w_ql = Window.orderBy(F.desc("qlm"), "doc_id")
+    w_rel = Window.orderBy(F.desc("rel"), "doc_id")
+    bmtop = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            F.lit("bm25").alias("retriever"),
+            F.row_number().over(w_bm).cast("bigint").alias("rnk"),
+            "rel",
+        )
+    )
+    qltop = (
+        scored.orderBy(F.desc("qlm"), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            F.lit("ql").alias("retriever"),
+            F.row_number().over(w_ql).cast("bigint").alias("rnk"),
+            "rel",
+        )
+    )
+    ideal = (
+        scored.orderBy(F.desc("rel"), "doc_id")
+        .limit(_NDCG_K)
+        .select(
+            F.row_number().over(w_rel).cast("bigint").alias("rnk"), "rel"
+        )
+    )
+    gain = F.expr(_gain_micro_sql("rel", "rnk"))
+    dcg = (
+        bmtop.unionByName(qltop)
+        .select("retriever", gain.alias("micro"))
+        .groupBy("retriever")
+        .agg(F.sum("micro").cast("bigint").alias("dcg_micro"))
+    )
+    idcg = ideal.select(gain.alias("micro")).agg(
+        F.sum("micro").cast("bigint").alias("idcg_micro")
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "retriever",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(dcg_micro AS DOUBLE)"
+                " / NULLIF(idcg_micro, 0) * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("ndcg_at_10"),
+    )

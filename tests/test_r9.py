@@ -918,3 +918,81 @@ def test_fano_recompute(spark, sf_dir):
     assert all(v[4] >= 0.0 for v in got.values())
     # silent days count: span >= active
     assert all(v[0] >= v[1] for v in got.values())
+
+
+def test_ndcg_recompute(spark, sf_dir):
+    """NDCG@10 recomputed in pure Python from the token arrays with
+    the same micro-unit gain quantization; scores must sit in [0, 1]
+    and the ideal ranking must dominate both retrievers."""
+    import math
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _BM25_TERMS,
+        _NDCG_K,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    toks = {
+        r.doc_id: r.toks
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens().alias("toks"))
+        .collect()
+    }
+    n_docs = len(toks)
+    coll_len = sum(len(t) for t in toks.values())
+    cf = [sum(t.count(term) for t in toks.values()) for term in _BM25_TERMS]
+    df = [
+        sum(1 for t in toks.values() if term in t) for term in _BM25_TERMS
+    ]
+    avgdl = coll_len / n_docs
+    bm, ql, rel = {}, {}, {}
+    for doc_id, t in toks.items():
+        dl = len(t)
+        b = 0.0
+        qm = 0
+        r_ = 0
+        for i, term in enumerate(_BM25_TERMS):
+            tf = t.count(term)
+            idf = round(math.log(1 + (n_docs - df[i] + 0.5) / (df[i] + 0.5)), 6)
+            b += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            x = math.log(
+                (tf + 2000.0 * ((cf[i] + 1.0) / (coll_len + float(len(_BM25_TERMS)))))
+                / (dl + 2000.0)
+            )
+            qm += math.floor(x * 1000000.0 + 0.5)
+            r_ += 1 if tf > 0 else 0
+        bm[doc_id], ql[doc_id], rel[doc_id] = round(b, 4), qm, r_
+
+    def dcg(ranking):
+        return sum(
+            math.floor(
+                (2.0 ** rel[d] - 1.0) / math.log2(i + 2.0) * 1000000.0 + 0.5
+            )
+            for i, d in enumerate(ranking)
+        )
+
+    bm_top = [d for d, _ in sorted(bm.items(), key=lambda kv: (-kv[1], kv[0]))][:_NDCG_K]
+    ql_top = [d for d, _ in sorted(ql.items(), key=lambda kv: (-kv[1], kv[0]))][:_NDCG_K]
+    ideal = [d for d, _ in sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))][:_NDCG_K]
+    idcg = dcg(ideal)
+    expect = {}
+    for name, top in (("bm25", bm_top), ("ql", ql_top)):
+        d = dcg(top)
+        expect[name] = (
+            d,
+            idcg,
+            round(math.floor(d / idcg * 1000000.0 + 0.5) / 1000000.0, 6),
+        )
+    got = {
+        r.retriever: (r.dcg_micro, r.idcg_micro, r.ndcg_at_10)
+        for r in QUERIES["retrieval_ndcg_eval"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for name, (d, i, n) in got.items():
+        assert 0.0 <= n <= 1.0, name
+        assert d <= i, name

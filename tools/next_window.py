@@ -97,6 +97,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_jsd_drift",
     "agg_exact_weighted_median",
     "events_burstiness_fano",
+    "retrieval_ndcg_eval",
 )
 
 

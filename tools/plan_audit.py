@@ -157,6 +157,7 @@ EXTRA = [
     "streaming_jsd_drift",
     "agg_exact_weighted_median",
     "events_burstiness_fano",
+    "retrieval_ndcg_eval",
 ]
 
 
@@ -268,6 +269,9 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # display rank over the limit(20) heaviest-triangle edges
     # (pkg/queries_retrieval.py post-limit rank).
     "graph_triangle_count": (1, "rank over limit(20) edge rows"),
+    # three rank windows, each over its own limit(10) top list
+    # (bm25 top-10, ql top-10, ideal-relevance top-10).
+    "retrieval_ndcg_eval": (3, "ranks over three limit(10) top lists"),
 }
 
 
