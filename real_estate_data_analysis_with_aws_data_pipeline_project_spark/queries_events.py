@@ -2163,3 +2163,86 @@ def events_burstiness_fano(spark, sf_dir):
             6,
         ).alias("fano"),
     )
+
+
+# --- day-of-week seasonality profile (round 9, late batch 2) ----------------
+#
+# The weekly seasonality companion to events_burstiness_fano: per
+# (event type, ISO day-of-week) counts and shares, plus the per-type
+# chi-square statistic against the uniform-week null — all seven
+# cells including absent days, via the closed form
+# Σ_d (o_d − T/7)² / (T/7) = (7·Σ o_d² − T²) / T, which needs only
+# the present-cell moments (missing days contribute exactly their
+# expected-count term). Pure int64 moments; the share and chi² each
+# end in ONE quantized IEEE division (floor(x·1e6 + 0.5) micro-units,
+# the cross-engine rule). ISO dow: Monday=1..Sunday=7 in both engines
+# (DuckDB isodow, Spark weekday()+1).
+
+_DOW_ORACLE = """
+    WITH c AS (
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type,
+               CAST(sum(n) AS BIGINT) AS total,
+               CAST(sum(n * n) AS BIGINT) AS q
+        FROM c GROUP BY 1
+    )
+    SELECT c.event_type, c.dow, c.n,
+           round(CAST(floor(CAST(c.n AS DOUBLE) / t.total
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS share,
+           round(CAST(floor(CAST(7 * t.q - t.total * t.total AS DOUBLE)
+                            / t.total * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS chi2_uniform
+    FROM c JOIN t USING (event_type)
+"""
+
+
+@register("events_dow_seasonality", _DOW_ORACLE)
+def events_dow_seasonality(spark, sf_dir):
+    """Day-of-week seasonality per event type: each ISO weekday's
+    event count and share, and the type-level chi-square against a
+    uniform week (repeated per row of the type's profile) — the
+    signal that decides whether a feed monitor needs weekday-aware
+    thresholds. The chi² closed form (7·Σ o² − T²)/T accounts for
+    absent weekdays without densifying the grid.
+
+    Scale: one groupBy to the (type, dow) cube — at most 7 rows per
+    type, the complete sufficient statistic — then per-type moments
+    and two quantized divisions on that metadata-scale relation."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) / total"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(7 * q - total * total AS DOUBLE)"
+                " / total * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("chi2_uniform"),
+    )

@@ -728,3 +728,95 @@ def agg_exact_weighted_median(spark, sf_dir):
             "w_median_price"
         ),
     )
+
+
+# --- exact grouped trimmed mean (round 9, late batch 2) ---------------------
+
+_TRIM_ORACLE = """
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ),
+    r AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY cents, o_orderkey
+               ) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM o
+    ),
+    k AS (
+        SELECT o_orderpriority,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               CAST(max(n) // 10 AS BIGINT) AS n_trimmed_each,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN cents END) AS BIGINT) AS kept_cents,
+               CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS kept_n
+        FROM r GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders, n_trimmed_each, kept_n,
+           round(CAST(floor(CAST(kept_cents AS DOUBLE) / kept_n
+                            * 100e0 + 0.5e0) AS BIGINT) / 10000e0, 4)
+               AS trimmed_mean_price
+    FROM k
+"""
+
+
+@register("agg_exact_group_trimmed_mean", _TRIM_ORACLE)
+def agg_exact_group_trimmed_mean(spark, sf_dir):
+    """EXACT 10%-trimmed mean per group (the outlier-robust mean the
+    median/quartile family lacks): rank each group's order totals
+    under the (cents, key) total order, drop the lowest and highest
+    n div 10 rows, and average the kept integer cents. The kept ROW
+    SET is identical in both engines because the order is total and
+    the trim rule is pure integer arithmetic; the single mean division
+    is quantized to 1e-4 units via floor(x·1e4 + 0.5) (the
+    cross-engine rule), so there is no rounding channel.
+
+    Scale: the same per-group-sort trade as the exact median; the
+    trim filter and sum fold map-side after the rank."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    r = o.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    kept = (F.col("rn") > F.expr("n div 10")) & (
+        F.col("rn") <= F.expr("n - n div 10")
+    )
+    k = r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.expr("max(n) div 10").cast("bigint").alias("n_trimmed_each"),
+        F.sum(F.when(kept, F.col("cents"))).cast("bigint").alias("kept_cents"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("kept_n"),
+    )
+    return k.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_trimmed_each",
+        "kept_n",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(kept_cents AS DOUBLE) / kept_n"
+                " * 100e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("10000e0"),
+            4,
+        ).alias("trimmed_mean_price"),
+    )

@@ -1309,3 +1309,188 @@ def retrieval_ndcg_eval(spark, sf_dir):
             6,
         ).alias("ndcg_at_10"),
     )
+
+
+# --- retriever rank correlation: Kendall tau (round 9, late batch 2) --------
+
+_TAU_K = 20  # per-retriever list depth compared
+
+
+_TAU_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    bmtop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS r_bm
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+              LIMIT {_TAU_K})
+    ),
+    qltop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY qlm DESC, doc_id)
+                            AS BIGINT) AS r_ql
+        FROM (SELECT * FROM qlscored ORDER BY qlm DESC, doc_id
+              LIMIT {_TAU_K})
+    ),
+    common AS (
+        SELECT b.doc_id, b.r_bm, q.r_ql
+        FROM bmtop b JOIN qltop q USING (doc_id)
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.r_bm - b.r_bm) * (a.r_ql - b.r_ql) > 0
+                    THEN 1 ELSE 0 END AS conc
+        FROM common a JOIN common b ON a.doc_id < b.doc_id
+    ),
+    m AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM common) AS n_common,
+               CAST(coalesce(sum(conc), 0) AS BIGINT) AS concordant,
+               CAST(coalesce(sum(1 - conc), 0) AS BIGINT) AS discordant
+        FROM pairs
+    )
+    SELECT n_common, concordant, discordant,
+           round(CAST(floor(CAST(concordant - discordant AS DOUBLE)
+                            / NULLIF(n_common * (n_common - 1) / 2, 0)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS kendall_tau
+    FROM m
+"""
+
+
+@register("retrieval_rank_correlation", _TAU_ORACLE)
+def retrieval_rank_correlation(spark, sf_dir):
+    """Kendall tau-a rank correlation between the two retrievers'
+    top-{k} lists over their common documents — the
+    retriever-agreement diagnostic that tells an ensemble (e.g.
+    retrieval_hybrid_rrf) whether its components actually disagree
+    enough to be worth fusing (tau near 1 = redundant retrievers,
+    near 0 = complementary). Ranks are the deterministic
+    (score desc, doc_id) positions, so concordant/discordant pair
+    counts are pure integers; the single tau division is quantized to
+    micro-units.
+
+    Scale: both top-k lists are TakeOrderedAndProject over the
+    one-pass scored corpus (the BM25/QL shape); the pair join runs on
+    the <= k-row common set — O(k²) on a constant k, independent of
+    corpus size."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+
+    def _eq(term: str):
+        return lambda x: x == F.lit(term)
+
+    nterms = len(_BM25_TERMS)
+    f = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(term)))
+            .cast("bigint")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS)
+        ],
+    )
+    bm_stats = f.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(nterms)
+        ],
+    )
+    ql_stats = f.agg(
+        F.sum("dl").cast("bigint").alias("coll_len"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(nterms)
+        ],
+    )
+    scored = f.crossJoin(F.broadcast(bm_stats)).crossJoin(
+        F.broadcast(ql_stats)
+    ).select(
+        "doc_id",
+        F.round(
+            F.expr(" + ".join(f"({_bm25_term_sql(i)})" for i in range(nterms))),
+            4,
+        ).alias("bm25"),
+        F.expr(
+            " + ".join(f"({_ql_term_sql(i)})" for i in range(nterms))
+        ).alias("qlm"),
+    )
+    bmtop = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TAU_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint")
+            .alias("r_bm"),
+        )
+    )
+    qltop = (
+        scored.orderBy(F.desc("qlm"), "doc_id")
+        .limit(_TAU_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("qlm"), "doc_id"))
+            .cast("bigint")
+            .alias("r_ql"),
+        )
+    )
+    # common is <= k rows and is consumed by a SELF-JOIN plus the
+    # count — checkpoint the metadata-scale relation so the two
+    # retriever top-k subplans (and their rank windows) execute once
+    # instead of once per branch (the PSI/JSD-cube precedent; the
+    # plan audit counts the duplicated windows otherwise).
+    common = (
+        bmtop.join(qltop, "doc_id")
+        .select("doc_id", "r_bm", "r_ql")
+        .localCheckpoint(eager=True)
+    )
+    a, b = common.alias("a"), common.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.when(
+            (F.col("a.r_bm") - F.col("b.r_bm"))
+            * (F.col("a.r_ql") - F.col("b.r_ql"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    counts = pairs.agg(
+        F.coalesce(F.sum("conc"), F.lit(0)).cast("bigint").alias("concordant"),
+        F.coalesce(F.sum(1 - F.col("conc")), F.lit(0))
+        .cast("bigint")
+        .alias("discordant"),
+    )
+    n_common = common.agg(F.count("*").cast("bigint").alias("n_common"))
+    return n_common.crossJoin(F.broadcast(counts)).select(
+        "n_common",
+        "concordant",
+        "discordant",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(concordant - discordant AS DOUBLE)"
+                " / NULLIF(n_common * (n_common - 1) / 2, 0)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("kendall_tau"),
+    )

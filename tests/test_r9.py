@@ -996,3 +996,97 @@ def test_ndcg_recompute(spark, sf_dir):
     for name, (d, i, n) in got.items():
         assert 0.0 <= n <= 1.0, name
         assert d <= i, name
+
+
+def test_trimmed_mean_recompute(spark, sf_dir):
+    """The 10%-trimmed mean recomputed in pure Python under the same
+    (cents, key) order and integer trim rule."""
+    import math
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    per = defaultdict(list)
+    for r in load_table(spark, sf_dir, "orders").collect():
+        per[r.o_orderpriority].append(
+            (int(round(r.o_totalprice * 100)), r.o_orderkey)
+        )
+    expect = {}
+    for pri, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        t = n // 10
+        kept = [c for c, _ in vals[t : n - t]]
+        mean4 = math.floor(sum(kept) / len(kept) * 100.0 + 0.5) / 10000.0
+        expect[pri] = (n, t, len(kept), round(mean4, 4))
+    got = {
+        r.o_orderpriority: (
+            r.n_orders,
+            r.n_trimmed_each,
+            r.kept_n,
+            r.trimmed_mean_price,
+        )
+        for r in QUERIES["agg_exact_group_trimmed_mean"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_rank_correlation_consistency(spark, sf_dir):
+    """Tau's parts must be mutually consistent and tau must equal its
+    quantized definition; both retrievers' top lists must actually
+    overlap on this fixture (else the metric is vacuous)."""
+    import math
+
+    row = (
+        QUERIES["retrieval_rank_correlation"].fn(spark, sf_dir).collect()
+    )[0]
+    m = row.n_common
+    assert m >= 2
+    assert row.concordant + row.discordant == m * (m - 1) // 2
+    tau = math.floor(
+        (row.concordant - row.discordant) / (m * (m - 1) / 2) * 1000000.0
+        + 0.5
+    ) / 1000000.0
+    assert row.kendall_tau == round(tau, 6)
+    assert -1.0 <= row.kendall_tau <= 1.0
+
+
+def test_dow_seasonality_recompute(spark, sf_dir):
+    """Counts, shares, and the uniform-week chi-square recomputed in
+    pure Python (including the absent-day closed form)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    cnt = Counter(
+        (r.event_type, r.ts.isoweekday())
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "ts")
+        .collect()
+    )
+    per = defaultdict(dict)
+    for (et, dow), n in cnt.items():
+        per[et][dow] = n
+    expect = {}
+    for et, dows in per.items():
+        total = sum(dows.values())
+        q = sum(n * n for n in dows.values())
+        chi2 = math.floor((7 * q - total * total) / total * 1000000.0 + 0.5) / 1000000.0
+        full = sum(
+            (dows.get(d, 0) - total / 7.0) ** 2 / (total / 7.0)
+            for d in range(1, 8)
+        )
+        assert abs(chi2 - full) < 1e-4  # closed form includes absent days
+        for dow, n in dows.items():
+            share = math.floor(n / total * 1000000.0 + 0.5) / 1000000.0
+            expect[(et, dow)] = (n, round(share, 6), round(chi2, 6))
+    got = {
+        (r.event_type, r.dow): (r.n, r.share, r.chi2_uniform)
+        for r in QUERIES["events_dow_seasonality"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

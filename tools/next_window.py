@@ -98,6 +98,9 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_exact_weighted_median",
     "events_burstiness_fano",
     "retrieval_ndcg_eval",
+    "agg_exact_group_trimmed_mean",
+    "retrieval_rank_correlation",
+    "events_dow_seasonality",
 )
 
 

@@ -158,6 +158,9 @@ EXTRA = [
     "agg_exact_weighted_median",
     "events_burstiness_fano",
     "retrieval_ndcg_eval",
+    "agg_exact_group_trimmed_mean",
+    "retrieval_rank_correlation",
+    "events_dow_seasonality",
 ]
 
 
@@ -272,6 +275,9 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # three rank windows, each over its own limit(10) top list
     # (bm25 top-10, ql top-10, ideal-relevance top-10).
     "retrieval_ndcg_eval": (3, "ranks over three limit(10) top lists"),
+    # (retrieval_rank_correlation's two limit(20) rank windows run at
+    # localCheckpoint-creation time — the audited plan roots at the
+    # checkpointed <= k-row relation, so no waiver entry is needed.)
 }
 
 
