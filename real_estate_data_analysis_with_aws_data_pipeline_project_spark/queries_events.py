@@ -2246,3 +2246,71 @@ def events_dow_seasonality(spark, sf_dir):
             6,
         ).alias("chi2_uniform"),
     )
+
+
+def dow_from_day_counts(day_tot):
+    """Day-of-week seasonality report from per-(type, day) totals —
+    the same expressions as the direct batch pass (ISO dow is a pure
+    function of the 'yyyy-MM-dd' day string under the UTC-pinned
+    session), so any producer of the exact day totals (the batch scan
+    or a streamed cube's final state) yields the identical report."""
+    c = (
+        day_tot.withColumn(
+            "dow", (F.expr("weekday(to_date(day))") + 1).cast("bigint")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
+    )
+    return c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) / total"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(7 * q - total * total AS DOUBLE)"
+                " / total * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("chi2_uniform"),
+    )
+
+
+@register("streaming_dow_seasonality", _DOW_ORACLE)
+def streaming_dow_seasonality(spark, sf_dir):
+    """Structured Streaming: the THIRD report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState also contains the per-day totals (sum over buckets),
+    and ISO day-of-week is a pure function of the day string, so the
+    weekly seasonality profile + uniform-week chi² come out of the
+    same fold that already serves PSI and JSD. No new state schema,
+    no new Python in the loop, the batch twin's full oracle.
+
+    This is the pattern argument in one line: stream ONE complete
+    sufficient statistic, derive every downstream report in exact
+    Catalyst expressions."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    day_tot = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        # metadata-scale (type x calendar); consumed in two branches
+        .localCheckpoint(eager=True)
+    )
+    return dow_from_day_counts(day_tot)

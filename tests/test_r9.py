@@ -1090,3 +1090,17 @@ def test_dow_seasonality_recompute(spark, sf_dir):
         for r in QUERIES["events_dow_seasonality"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_streaming_dow_equals_batch(spark, sf_dir):
+    """Third report off the one streamed statistic: the dow tier's
+    output must equal the batch dow query row-for-row."""
+    stream = {
+        (r.event_type, r.dow): (r.n, r.share, r.chi2_uniform)
+        for r in QUERIES["streaming_dow_seasonality"].fn(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.event_type, r.dow): (r.n, r.share, r.chi2_uniform)
+        for r in QUERIES["events_dow_seasonality"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -101,6 +101,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_exact_group_trimmed_mean",
     "retrieval_rank_correlation",
     "events_dow_seasonality",
+    "streaming_dow_seasonality",
 )
 
 

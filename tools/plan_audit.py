@@ -161,6 +161,7 @@ EXTRA = [
     "agg_exact_group_trimmed_mean",
     "retrieval_rank_correlation",
     "events_dow_seasonality",
+    "streaming_dow_seasonality",
 ]
 
 
