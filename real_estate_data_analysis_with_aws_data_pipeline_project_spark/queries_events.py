@@ -2194,7 +2194,7 @@ _DOW_ORACLE = """
            round(CAST(floor(CAST(c.n AS DOUBLE) / t.total
                             * 1000000e0 + 0.5e0) AS BIGINT)
                  / 1000000e0, 6) AS share,
-           round(CAST(floor(CAST(7 * t.q - t.total * t.total AS DOUBLE)
+           round(CAST(floor((7e0 * t.q - CAST(t.total AS DOUBLE) * t.total)
                             / t.total * 1000000e0 + 0.5e0) AS BIGINT)
                  / 1000000e0, 6) AS chi2_uniform
     FROM c JOIN t USING (event_type)
@@ -2221,6 +2221,18 @@ def events_dow_seasonality(spark, sf_dir):
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    return _dow_report(c)
+
+
+def _dow_report(c):
+    """Shared report tail over the (event_type, dow, n) cube — ONE
+    definition of the moments, the share, and the chi² closed form
+    for the batch query and the streaming tier (r9 review: the
+    duplicated tail would silently diverge). The chi² numerator
+    7·q − T² is a DOUBLE product/difference (exactly-rounded IEEE,
+    identical both engines): as pure int64 it would overflow once a
+    single type exceeds ~1.1e9 events; q itself (Σ n², int64-exact
+    and order-proof) carries the remaining documented ceiling."""
     t = c.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("total"),
         F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
@@ -2239,7 +2251,7 @@ def events_dow_seasonality(spark, sf_dir):
         ).alias("share"),
         F.round(
             F.expr(
-                "CAST(floor(CAST(7 * q - total * total AS DOUBLE)"
+                "CAST(floor((7e0 * q - CAST(total AS DOUBLE) * total)"
                 " / total * 1000000e0 + 0.5e0) AS BIGINT)"
             )
             / F.expr("1000000e0"),
@@ -2261,31 +2273,7 @@ def dow_from_day_counts(day_tot):
         .groupBy("event_type", "dow")
         .agg(F.sum("n").cast("bigint").alias("n"))
     )
-    t = c.groupBy("event_type").agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("q"),
-    )
-    return c.join(F.broadcast(t), "event_type").select(
-        "event_type",
-        "dow",
-        "n",
-        F.round(
-            F.expr(
-                "CAST(floor(CAST(n AS DOUBLE) / total"
-                " * 1000000e0 + 0.5e0) AS BIGINT)"
-            )
-            / F.expr("1000000e0"),
-            6,
-        ).alias("share"),
-        F.round(
-            F.expr(
-                "CAST(floor(CAST(7 * q - total * total AS DOUBLE)"
-                " / total * 1000000e0 + 0.5e0) AS BIGINT)"
-            )
-            / F.expr("1000000e0"),
-            6,
-        ).alias("chi2_uniform"),
-    )
+    return _dow_report(c)
 
 
 @register("streaming_dow_seasonality", _DOW_ORACLE)

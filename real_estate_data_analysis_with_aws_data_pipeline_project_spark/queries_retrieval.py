@@ -109,9 +109,11 @@ _BM25_SCORED_SQL = f"""
 """
 
 
-def _bm25_scored(docs: DataFrame) -> DataFrame:
-    """(doc_id, bm25) for every document — Spark twin of
-    ``_BM25_SCORED_SQL``."""
+def _tf_projection(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, tf0..tfN) — the ONE-pass token projection every
+    term-scoring operator shares (BM25, query likelihood, NDCG, tau);
+    factored so the _BM25_TERMS handling and the F.filter closure
+    pitfall live in exactly one place (r9 review)."""
     toks = docs.select("doc_id", X.tokens().alias("toks"))
 
     def _eq(term: str):
@@ -120,7 +122,7 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
         # bind t to the element INDEX — see pyspark-expression-pitfalls
         return lambda x: x == F.lit(term)
 
-    f = toks.select(
+    return toks.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("dl"),
         *[
@@ -130,7 +132,11 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
             for i, term in enumerate(_BM25_TERMS)
         ],
     )
-    stats = f.agg(
+
+
+def _bm_stats(f: DataFrame) -> DataFrame:
+    """1-row BM25 corpus statistics (N, avgdl, per-term df)."""
+    return f.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         *[
@@ -140,7 +146,54 @@ def _bm25_scored(docs: DataFrame) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
-    scored = f.crossJoin(F.broadcast(stats))
+
+
+def _ql_stats(f: DataFrame) -> DataFrame:
+    """1-row query-likelihood corpus statistics (collection length,
+    per-term collection frequencies)."""
+    return f.agg(
+        F.sum("dl").cast("bigint").alias("coll_len"),
+        *[
+            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+
+def _dual_scored(f: DataFrame) -> DataFrame:
+    """(doc_id, bm25, qlm, rel): both retrievers' scores plus the
+    term-coverage relevance grade, from one projection + two 1-row
+    broadcast stats — shared by the NDCG and tau evaluators."""
+    n = len(_BM25_TERMS)
+    return (
+        f.crossJoin(F.broadcast(_bm_stats(f)))
+        .crossJoin(F.broadcast(_ql_stats(f)))
+        .select(
+            "doc_id",
+            F.round(
+                F.expr(" + ".join(f"({_bm25_term_sql(i)})" for i in range(n))),
+                4,
+            ).alias("bm25"),
+            F.expr(
+                " + ".join(f"({_ql_term_sql(i)})" for i in range(n))
+            ).alias("qlm"),
+            F.expr(
+                " + ".join(
+                    f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                    for i in range(n)
+                )
+            )
+            .cast("bigint")
+            .alias("rel"),
+        )
+    )
+
+
+def _bm25_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document — Spark twin of
+    ``_BM25_SCORED_SQL``."""
+    f = _tf_projection(docs)
+    scored = f.crossJoin(F.broadcast(_bm_stats(f)))
     term_cols = [F.expr(_bm25_term_sql(i)) for i in range(len(_BM25_TERMS))]
     total = term_cols[0]
     for c in term_cols[1:]:
@@ -898,32 +951,8 @@ def retrieval_query_likelihood(spark, sf_dir):
     floor(x·1e6 + 0.5) (exactly-rounded IEEE ops only — see the
     module comment for why round() is not cross-engine safe here), so
     the score sum is exact integer arithmetic."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens().alias("toks")
-    )
-
-    def _eq(term: str):
-        # closure factory — see _bm25_scored for why no default arg
-        return lambda x: x == F.lit(term)
-
-    f = toks.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter("toks", _eq(term)))
-            .cast("bigint")
-            .alias(f"tf{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ],
-    )
-    stats = f.agg(
-        F.sum("dl").cast("bigint").alias("coll_len"),
-        *[
-            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
-            for i in range(len(_BM25_TERMS))
-        ],
-    )
-    scored = f.crossJoin(F.broadcast(stats))
+    f = _tf_projection(load_table(spark, sf_dir, "documents"))
+    scored = f.crossJoin(F.broadcast(_ql_stats(f)))
     term_cols = [F.expr(_ql_term_sql(i)) for i in range(len(_BM25_TERMS))]
     total = term_cols[0]
     for c in term_cols[1:]:
@@ -1207,56 +1236,17 @@ def retrieval_ndcg_eval(spark, sf_dir):
     shape); every top-10 is TakeOrderedAndProject, and the three
     rank windows run over <= 10 limit-bounded rows each. Gains and
     the DCG/IDCG ratio are BIGINT micro-units (see the section
-    comment)."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens().alias("toks")
-    )
-
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
-    f = toks.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter("toks", _eq(term)))
-            .cast("bigint")
-            .alias(f"tf{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ],
-    )
-    nterms = len(_BM25_TERMS)
-    bm_stats = f.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df{i}")
-            for i in range(nterms)
-        ],
-    )
-    ql_stats = f.agg(
-        F.sum("dl").cast("bigint").alias("coll_len"),
-        *[
-            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
-            for i in range(nterms)
-        ],
-    )
-    bm_total = F.expr(" + ".join(f"({_bm25_term_sql(i)})" for i in range(nterms)))
-    ql_total = F.expr(" + ".join(f"({_ql_term_sql(i)})" for i in range(nterms)))
-    rel_col = F.expr(
-        " + ".join(
-            f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(nterms)
-        )
-    ).cast("bigint")
-    scored = f.crossJoin(F.broadcast(bm_stats)).crossJoin(
-        F.broadcast(ql_stats)
-    ).select(
-        "doc_id",
-        F.round(bm_total, 4).alias("bm25"),
-        ql_total.alias("qlm"),
-        rel_col.alias("rel"),
+    comment). The dual-scored relation is session-persisted so the
+    three top-k branches (and the tau evaluator, which shares it)
+    tokenize the corpus ONCE instead of once per branch (r9 review;
+    the pagerank session_cached precedent)."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
     )
     w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
     w_ql = Window.orderBy(F.desc("qlm"), "doc_id")
@@ -1370,7 +1360,7 @@ _TAU_ORACLE = f"""
 @register("retrieval_rank_correlation", _TAU_ORACLE)
 def retrieval_rank_correlation(spark, sf_dir):
     """Kendall tau-a rank correlation between the two retrievers'
-    top-{k} lists over their common documents — the
+    top-``_TAU_K`` lists over their common documents — the
     retriever-agreement diagnostic that tells an ensemble (e.g.
     retrieval_hybrid_rrf) whether its components actually disagree
     enough to be worth fusing (tau near 1 = redundant retrievers,
@@ -1382,53 +1372,16 @@ def retrieval_rank_correlation(spark, sf_dir):
     Scale: both top-k lists are TakeOrderedAndProject over the
     one-pass scored corpus (the BM25/QL shape); the pair join runs on
     the <= k-row common set — O(k²) on a constant k, independent of
-    corpus size."""
-    toks = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens().alias("toks")
-    )
-
-    def _eq(term: str):
-        return lambda x: x == F.lit(term)
-
-    nterms = len(_BM25_TERMS)
-    f = toks.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter("toks", _eq(term)))
-            .cast("bigint")
-            .alias(f"tf{i}")
-            for i, term in enumerate(_BM25_TERMS)
-        ],
-    )
-    bm_stats = f.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df{i}")
-            for i in range(nterms)
-        ],
-    )
-    ql_stats = f.agg(
-        F.sum("dl").cast("bigint").alias("coll_len"),
-        *[
-            F.sum(f"tf{i}").cast("bigint").alias(f"cf{i}")
-            for i in range(nterms)
-        ],
-    )
-    scored = f.crossJoin(F.broadcast(bm_stats)).crossJoin(
-        F.broadcast(ql_stats)
-    ).select(
-        "doc_id",
-        F.round(
-            F.expr(" + ".join(f"({_bm25_term_sql(i)})" for i in range(nterms))),
-            4,
-        ).alias("bm25"),
-        F.expr(
-            " + ".join(f"({_ql_term_sql(i)})" for i in range(nterms))
-        ).alias("qlm"),
+    corpus size. Shares the session-persisted dual-scored relation
+    with retrieval_ndcg_eval (one corpus tokenization serves both
+    evaluators; r9 review)."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
     )
     bmtop = (
         scored.orderBy(F.desc("bm25"), "doc_id")

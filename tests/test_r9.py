@@ -1076,7 +1076,13 @@ def test_dow_seasonality_recompute(spark, sf_dir):
     for et, dows in per.items():
         total = sum(dows.values())
         q = sum(n * n for n in dows.values())
-        chi2 = math.floor((7 * q - total * total) / total * 1000000.0 + 0.5) / 1000000.0
+        # 7q - T^2 as a DOUBLE product/difference, mirroring the query
+        chi2 = (
+            math.floor(
+                (7.0 * q - float(total) * total) / total * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        )
         full = sum(
             (dows.get(d, 0) - total / 7.0) ** 2 / (total / 7.0)
             for d in range(1, 8)
