@@ -172,8 +172,17 @@ def join_skew_profile(
         "n_left",
         "n_right",
         "out_rows",
+        # Micro-unit quantization (ADVICE r9): round()-at-6dp on a raw
+        # double is the Spark-HALF_UP-vs-DuckDB-binary half-boundary
+        # channel; floor(x·1e6 + 0.5) uses exactly-rounded IEEE ops
+        # only, so both engines integerize identically.
         F.round(
-            F.col("out_rows").cast("double") / F.col("_total"), 6
+            F.floor(
+                F.col("out_rows").cast("double") / F.col("_total") * 1e6
+                + 0.5
+            ).cast("bigint")
+            / 1e6,
+            6,
         ).alias("out_share"),
         F.when(
             F.col("n_left") > target_rows,

@@ -1076,16 +1076,24 @@ def dq_completeness_matrix(spark, sf_dir):
 
 def partitioned_events_path(sf_dir: str) -> str:
     """Temp location of the hive-partitioned events copy (shared with
-    the pruning test)."""
+    the pruning test). The path embeds a content fingerprint of the
+    source events parquet (ADVICE r9): the driver regenerates testdata
+    under an UNCHANGED sf_dir path between rounds, so a marker keyed
+    only on basename(sf_dir) would keep serving a stale partitioned
+    copy while the DuckDB oracle reads the fresh table."""
+    from .operators.session_cache import path_fingerprint
+
+    mtime, size = path_fingerprint(os.path.join(sf_dir, "events.parquet"))
     return os.path.join(
         tempfile.gettempdir(),
-        f"engine_part_roundtrip_{os.path.basename(sf_dir)}",
+        f"engine_part_roundtrip_{os.path.basename(sf_dir)}_{mtime}_{size}",
     )
 
 
 def partitioned_events(spark, sf_dir):
-    """Write events hive-partitioned by event_type (once per temp dir
-    lifetime) and read the partitioned layout back."""
+    """Write events hive-partitioned by event_type (once per source
+    fingerprint — the fingerprint is part of the temp path) and read
+    the partitioned layout back."""
     out = partitioned_events_path(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

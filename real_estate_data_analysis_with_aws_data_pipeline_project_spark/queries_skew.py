@@ -146,7 +146,8 @@ _JOIN_SKEW_TARGET_ROWS = 8
     ),
     t AS (SELECT CAST(sum(out_rows) AS BIGINT) AS total FROM pk)
     SELECT pk.user_id, pk.n_left, pk.n_right, pk.out_rows,
-           round(CAST(pk.out_rows AS DOUBLE) / t.total, 6) AS out_share,
+           round(CAST(floor(CAST(pk.out_rows AS DOUBLE) / t.total * 1e6
+                            + 0.5e0) AS BIGINT) / 1e6, 6) AS out_share,
            CAST(CASE WHEN pk.n_left > {_JOIN_SKEW_TARGET_ROWS}
                      THEN (pk.n_left + {_JOIN_SKEW_TARGET_ROWS} - 1)
                           // {_JOIN_SKEW_TARGET_ROWS}

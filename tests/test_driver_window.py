@@ -198,7 +198,39 @@ ROTATIONS: dict[int, list[str]] = {
         "join_interval_overlap",
         "text_vocab_coverage",
     ],
-    9: list(_ROTATION),
+    9: [
+        "embedding_covariance_whitening",
+        "dedup_cross_source_matrix",
+        "embedding_source_centroid_drift",
+        "events_mad_outliers",
+        "events_cusum_changepoint",
+        "streaming_cusum_changepoint",
+        "events_trend_slope",
+        "events_longest_streak",
+        "events_transition_matrix",
+        "dq_referential_integrity",
+        "dq_key_uniqueness",
+        "text_token_pmi",
+        "features_target_encoding_loo",
+        "features_equidepth_bins",
+        "features_rfm_segments",
+        "features_time_decay_mean",
+        "features_global_equidepth_bins",
+        "dq_benford_firstdigit",
+        "quality_ks_drift",
+        "pii_l_diversity_audit",
+        "graph_triangle_count",
+        "dedup_span_remediate",
+        "dedup_token_savings",
+        "dedup_semantic_keep_manifest",
+        "events_anomaly_contribution",
+        "streaming_rate_limit_windows",
+        "streaming_window_quantiles",
+        "er_blocked_parts",
+        "er_incremental_parts",
+        "dq_schema_drift",
+    ],
+    10: list(_ROTATION),
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -219,6 +251,11 @@ ROTATIONS: dict[int, list[str]] = {
 # round the refresh posture actually engages. whitening is red-not-
 # green in r8 so it stays a legitimate first-timer, NOT a refresh
 # pick.
+# Round 10 seats the entire 27-query never-green front (the r9
+# post-pin additions) and fills the 3 free slots with refresh picks —
+# newest-landed-first puts the three r9-landed embeddings-family
+# queries there; whitening leading doubles as the driver-side re-read
+# for the r9 bench flag.
 REFRESH_OK: dict[int, set[str]] = {
     9: {
         "dedup_span_remediate",
@@ -230,6 +267,11 @@ REFRESH_OK: dict[int, set[str]] = {
         "er_blocked_parts",
         "er_incremental_parts",
         "dq_schema_drift",
+    },
+    10: {
+        "embedding_covariance_whitening",
+        "dedup_cross_source_matrix",
+        "embedding_source_centroid_drift",
     },
 }
 

@@ -74,35 +74,7 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "skew_join_key_profile",
-    "dedup_shingle_containment",
-    "features_woe_iv",
-    "dq_completeness_matrix",
-    "events_autocorrelation",
-    "features_feature_hashing",
-    "agg_exact_group_median",
-    "source_partitioned_roundtrip",
-    "streaming_psi_drift",
-    "events_session_paths",
-    "agg_exact_group_mode",
-    "retrieval_mmr_rerank",
-    "retrieval_query_likelihood",
-    "graph_triangle_orientation_stats",
-    "events_interarrival_stats",
-    "agg_exact_group_percentiles",
-    "quality_js_divergence",
-    "dq_order_reconciliation",
-    "features_chi2_selection",
-    "streaming_jsd_drift",
-    "agg_exact_weighted_median",
-    "events_burstiness_fano",
-    "retrieval_ndcg_eval",
-    "agg_exact_group_trimmed_mean",
-    "retrieval_rank_correlation",
-    "events_dow_seasonality",
-    "streaming_dow_seasonality",
-)
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:

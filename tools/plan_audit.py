@@ -144,6 +144,7 @@ EXTRA = [
     "features_feature_hashing",
     "agg_exact_group_median",
     "source_partitioned_roundtrip",
+    "streaming_psi_drift",
     "events_session_paths",
     "agg_exact_group_mode",
     "retrieval_mmr_rerank",
