@@ -2112,27 +2112,12 @@ _FANO_ORACLE = """
 """
 
 
-@register("events_burstiness_fano", _FANO_ORACLE)
-def events_burstiness_fano(spark, sf_dir):
-    """Burstiness of each event type's daily arrival series: the Fano
-    factor (variance-to-mean ratio of daily counts; 1 = Poisson, >> 1
-    = bursty) plus the mean daily volume — the cheap dispersion test a
-    feed monitor runs to decide whether rate anomalies need a seasonal
-    model or a simple threshold. The moments cover the type's full
-    first-to-last-day calendar span, counting silent days as zero
-    observations (see the module comment — dropping them would make
-    the worst bursts look stable).
-
-    Scale: one groupBy to the (type, day) count cube (the calendar-
-    bounded sufficient statistic the ACF/CUSUM family already uses),
-    one tiny moment aggregate over it; the variance/mean rational is
-    exact int64 algebra with a single quantized IEEE division — see
-    the module comment for the determinism contract."""
-    dc = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
+def fano_from_day_counts(dc):
+    """Fano report from a per-(event_type, day) count relation — the
+    shared tail of the batch query and the streaming tier, so the
+    streamed report is the batch twin's exact Catalyst expressions
+    over the streamed sufficient statistic (the PSI cube's day
+    totals). ``day`` may be date or timestamp grain."""
     m = dc.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n_active"),
         (F.datediff(F.max("day"), F.min("day")) + 1)
@@ -2163,6 +2148,59 @@ def events_burstiness_fano(spark, sf_dir):
             6,
         ).alias("fano"),
     )
+
+
+@register("events_burstiness_fano", _FANO_ORACLE)
+def events_burstiness_fano(spark, sf_dir):
+    """Burstiness of each event type's daily arrival series: the Fano
+    factor (variance-to-mean ratio of daily counts; 1 = Poisson, >> 1
+    = bursty) plus the mean daily volume — the cheap dispersion test a
+    feed monitor runs to decide whether rate anomalies need a seasonal
+    model or a simple threshold. The moments cover the type's full
+    first-to-last-day calendar span, counting silent days as zero
+    observations (see the module comment — dropping them would make
+    the worst bursts look stable).
+
+    Scale: one groupBy to the (type, day) count cube (the calendar-
+    bounded sufficient statistic the ACF/CUSUM family already uses),
+    one tiny moment aggregate over it; the variance/mean rational is
+    exact int64 algebra with a single quantized IEEE division — see
+    the module comment for the determinism contract."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return fano_from_day_counts(dc)
+
+
+@register("streaming_fano_burstiness", _FANO_ORACLE)
+def streaming_fano_burstiness(spark, sf_dir):
+    """Structured Streaming: the FOURTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals, which are
+    exactly the calendar-bounded day-count series the Fano factor
+    needs, so the burstiness monitor comes out of the same fold that
+    already serves PSI, JSD, and day-of-week seasonality (VERDICT r9
+    #7a). No new state schema, no new Python in the loop; the moment
+    algebra is the batch twin's shared ``fano_from_day_counts``
+    expressions, so the report is bit-identical to the batch query
+    and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type —
+    bounded regardless of event volume; the report side is a
+    metadata-scale aggregate over the emitted cube."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    dc = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", F.to_date("day").alias("day"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return fano_from_day_counts(dc)
 
 
 # --- day-of-week seasonality profile (round 9, late batch 2) ----------------

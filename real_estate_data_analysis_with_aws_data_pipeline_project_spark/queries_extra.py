@@ -644,6 +644,134 @@ def agg_exact_group_percentiles(spark, sf_dir):
     )
 
 
+# --- histogram-bucket approximate quartiles (round 10) ----------------------
+#
+# The deterministic one-pass twin of agg_exact_group_percentiles
+# (VERDICT r9 #7b): quantize cents into fixed $100 buckets, aggregate
+# the per-(group, bucket) histogram map-side, and read the quartiles
+# off the bucket CDF. Error is bounded by construction — the rank-r
+# element lies inside the first bucket whose cumulative count reaches
+# r, so bucket_floor <= exact < bucket_floor + width — and, unlike a
+# KLL/GK sketch, the answer is a pure function of the data (no sketch
+# randomness, no merge-order sensitivity), which is what makes a full
+# cross-engine value oracle possible. sketch_kll_quantile_rollup is
+# the sketch-library tier when the value domain is unbounded.
+
+_HIST_BUCKET_CENTS = 10_000  # $100 buckets
+
+_HIST_PCTL_ORACLE = f"""
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderpriority,
+               cents // {_HIST_BUCKET_CENTS} AS b,
+               CAST(count(*) AS BIGINT) AS c
+        FROM o GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT o_orderpriority, b, c,
+               sum(c) OVER (
+                   PARTITION BY o_orderpriority ORDER BY b
+               ) AS cw,
+               sum(c) OVER (PARTITION BY o_orderpriority) AS n,
+               count(*) OVER (PARTITION BY o_orderpriority) AS nb
+        FROM b
+    ),
+    p AS (
+        SELECT o_orderpriority,
+               CAST(max(n) AS BIGINT) AS n_orders,
+               CAST(max(nb) AS BIGINT) AS n_buckets,
+               CAST(min(CASE WHEN cw >= (n + 3) // 4 THEN b END)
+                    AS BIGINT) AS b25,
+               CAST(min(CASE WHEN cw >= (3 * n + 3) // 4 THEN b END)
+                    AS BIGINT) AS b75
+        FROM r GROUP BY 1
+    )
+    SELECT o_orderpriority, n_orders, n_buckets,
+           round(CAST(b25 * {_HIST_BUCKET_CENTS} AS DOUBLE) / 100.0, 2)
+               AS p25_floor_price,
+           round(CAST(b75 * {_HIST_BUCKET_CENTS} AS DOUBLE) / 100.0, 2)
+               AS p75_floor_price
+    FROM p
+"""
+
+
+@register("agg_histogram_group_percentiles", _HIST_PCTL_ORACLE)
+def agg_histogram_group_percentiles(spark, sf_dir):
+    """Approximate per-group quartiles from a fixed-width histogram:
+    the one-pass, bounded-state alternative to the full per-group sort
+    in agg_exact_group_percentiles. Prices quantize to $100 buckets;
+    the per-(group, bucket) counts partial-aggregate map-side; the
+    quartile is the floor of the first bucket whose cumulative count
+    reaches the percentile_disc rank, so it underestimates the exact
+    quartile by less than one bucket width (the invariant test checks
+    0 <= exact - approx < $100 per group). Deterministic by
+    construction — the histogram is a pure function of the data, with
+    none of a KLL/GK sketch's randomness or merge-order sensitivity —
+    so the whole row carries a cross-engine value oracle.
+
+    Scale: THE trade this pair documents for 100 TB — the exact twin
+    shuffles every row into a per-group sort, this one shuffles at
+    most |groups| x |buckets| partial rows after map-side combine; the
+    CDF walk runs on the bucket grain (metadata-scale). Width tunes
+    the error bound against state size; sketch_kll_quantile_rollup
+    covers unbounded domains where fixed buckets can't."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    b = o.groupBy(
+        "o_orderpriority",
+        F.expr(f"cents div {_HIST_BUCKET_CENTS}").alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    w = Window.partitionBy("o_orderpriority").orderBy("b")
+    r = b.select(
+        "o_orderpriority",
+        "b",
+        F.sum("c").over(w).alias("cw"),
+        F.sum("c")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+        F.count("*")
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("nb"),
+    )
+    p = r.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.max("nb").cast("bigint").alias("n_buckets"),
+        F.min(
+            F.when(F.col("cw") >= F.expr("(n + 3) div 4"), F.col("b"))
+        )
+        .cast("bigint")
+        .alias("b25"),
+        F.min(
+            F.when(
+                F.col("cw") >= F.expr("(3 * n + 3) div 4"), F.col("b")
+            )
+        )
+        .cast("bigint")
+        .alias("b75"),
+    )
+    return p.select(
+        "o_orderpriority",
+        "n_orders",
+        "n_buckets",
+        F.round(
+            (F.col("b25") * _HIST_BUCKET_CENTS).cast("double") / 100.0, 2
+        ).alias("p25_floor_price"),
+        F.round(
+            (F.col("b75") * _HIST_BUCKET_CENTS).cast("double") / 100.0, 2
+        ).alias("p75_floor_price"),
+    )
+
+
 # --- exact weighted median (round 9, late batch 2) --------------------------
 
 _WMEDIAN_ORACLE = """

@@ -74,7 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "streaming_fano_burstiness",
+    "agg_histogram_group_percentiles",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:

@@ -163,6 +163,9 @@ EXTRA = [
     "retrieval_rank_correlation",
     "events_dow_seasonality",
     "streaming_dow_seasonality",
+    # r10 additions
+    "streaming_fano_burstiness",
+    "agg_histogram_group_percentiles",
 ]
 
 
