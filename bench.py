@@ -142,15 +142,23 @@ def main() -> None:
         QUERIES[name].fn(spark, sf_dir).write.mode("overwrite").format(
             "noop"
         ).save()
-    # Two timed runs per query, keep the MINIMUM: the host is a shared
-    # VM whose background load injects multi-second spikes into single
-    # runs (observed: the same warm query 3.5 s and 12.8 s minutes
-    # apart). The min over repeats estimates intrinsic engine cost —
-    # the quantity the baseline tracks — rather than host jitter.
+    # Three timed runs per query, keep the MINIMUM: the host is a
+    # shared VM whose background load injects multi-second spikes into
+    # single runs (observed: the same warm query 3.5 s and 12.8 s
+    # minutes apart). The min over repeats estimates intrinsic engine
+    # cost — the quantity the baseline tracks — rather than host
+    # jitter. r10 raised repeats 2 → 3 after two back-to-back full
+    # runs each produced a DIFFERENT false single-query regression
+    # (tpch_q1 2.53x then 0.83x; whitening 1.38x then 2.36x while its
+    # run-alone min-of-3 read 1.35x and a light-session read 0.80x):
+    # with spike probability p per run, min-of-2 passes a spike with
+    # probability p^2 — at the observed p ~ 0.2 that is one false
+    # regression most rounds — min-of-3 cuts it to p^3. The estimator
+    # change tightens every query equally; baselines are unchanged.
     for name in HEADLINE_QUERIES:
         fn = QUERIES[name].fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
