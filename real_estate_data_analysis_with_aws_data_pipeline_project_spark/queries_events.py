@@ -1794,12 +1794,22 @@ def events_autocorrelation(spark, sf_dir):
     Scale: one map-side-combined daily aggregation over events; the
     lag window and the moment aggregation run on the (type, day)
     relation — calendar-bounded, never the event stream."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     dc = ev.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").cast("bigint").alias("c"))
+    return acf_from_day_counts(dc)
+
+
+def acf_from_day_counts(dc):
+    """Lag-1/lag-7 ACF report from the (event_type, day, c) day-count
+    cube — ONE definition of the lag projection and the integer moment
+    algebra, shared by the batch query and the streaming tier (the
+    fano_from_day_counts precedent: any producer of the exact day
+    totals yields the identical report). ``day`` may be date or
+    timestamp grain; only its ordering is used."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("event_type").orderBy("day")
     lagd = dc.select(
         "event_type",
@@ -1845,6 +1855,34 @@ def events_autocorrelation(spark, sf_dir):
         F.col("n").alias("n_days"),
         *[acf(k) for k in _ACF_LAGS],
     )
+
+
+@register("streaming_autocorrelation", _ACF_ORACLE)
+def streaming_autocorrelation(spark, sf_dir):
+    """Structured Streaming: the FIFTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals, which are
+    exactly the daily count series the lag-1/lag-7 autocorrelation
+    needs, so the seasonality probe joins PSI, JSD, day-of-week, and
+    Fano on the same fold. No new state schema, no new Python in the
+    loop; the lag projection and moment algebra are the batch twin's
+    shared ``acf_from_day_counts`` expressions, so the report is
+    bit-identical to the batch query and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side is a lag window + moment aggregate over the emitted
+    metadata-scale cube."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    dc = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", F.to_date("day").alias("day"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return acf_from_day_counts(dc)
 
 
 # --- session path mining (round 9) -------------------------------------------
@@ -2340,3 +2378,184 @@ def streaming_dow_seasonality(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     return dow_from_day_counts(day_tot)
+
+
+# --- per-user concentration: Gini coefficient (round 10) --------------------
+#
+# How concentrated is each event type's volume across users? A Gini
+# near 0 = evenly spread, near 1 = a handful of users dominate — the
+# inequality lens an abuse/bot monitor puts next to the Fano
+# burstiness (bursty in time) and the skew profile (skewed by key).
+# Exact discrete-population Gini via the sorted-rank identity
+# G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with ranks assigned by the
+# deterministic (count, user_id) order; rank products stay int64
+# (ceiling: Σ i·x 2^63 ≈ n·s, documented like the dow chi²), the
+# final rational is evaluated in exactly-rounded DOUBLE and
+# micro-unit quantized.
+
+_GINI_ORACLE = """
+    WITH uc AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY x, user_id) AS BIGINT) AS i
+        FROM uc
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s,
+               CAST(sum(i * x) AS BIGINT) AS t
+        FROM r GROUP BY 1
+    )
+    SELECT event_type, n AS n_users, s AS n_events,
+           round(CAST(floor((2e0 * t - (CAST(n AS DOUBLE) + 1e0) * s)
+                            / (CAST(n AS DOUBLE) * s)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS gini
+    FROM m WHERE s > 0
+"""
+
+
+@register("events_gini_concentration", _GINI_ORACLE)
+def events_gini_concentration(spark, sf_dir):
+    """Gini coefficient of each event type's per-user volume
+    distribution — the concentration diagnostic that flags types
+    whose traffic is dominated by a few accounts (bot rings, scraper
+    farms) even when totals look normal. See the section comment for
+    the exact rank identity and the determinism contract.
+
+    Scale: one (type, user) groupBy (map-side combined), a window
+    PARTITIONED by event type for the ranks (never a global sort),
+    and a per-type moment aggregate; output is |event types| rows."""
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    r = uc.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("t"),
+    )
+    return m.where(F.col("s") > 0).select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("s").alias("n_events"),
+        F.round(
+            F.expr(
+                "CAST(floor((2e0 * t - (CAST(n AS DOUBLE) + 1e0) * s)"
+                " / (CAST(n AS DOUBLE) * s)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# --- daily volume anomaly audit (round 10) -----------------------------------
+#
+# The feed-freshness twin of the CUSUM change-point: per (type, day),
+# compare the day's count against the trailing 7-day mean and flag
+# days that at least double or at most halve it — the first-line
+# volume alarm a data-quality dashboard runs on every ingest feed.
+# The anomaly test is EXACT integer arithmetic (c·n_prev vs
+# 2·prev_sum and 2·c·n_prev vs prev_sum — cross-multiplied, no
+# division), so the flag can never sit on an FP boundary; the
+# reported ratio is one micro-unit-quantized division.
+
+_VOLUME_ANOMALY_ORACLE = """
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT event_type, day, c,
+               CAST(count(c) OVER tw AS BIGINT) AS n_prev,
+               CAST(coalesce(sum(c) OVER tw, 0) AS BIGINT) AS prev_sum
+        FROM dc
+        WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, n_prev,
+           CASE WHEN n_prev >= 3 THEN
+               round(CAST(floor(CAST(c * n_prev AS DOUBLE) / prev_sum
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS vol_ratio,
+           CAST(CASE WHEN n_prev >= 3
+                      AND (c * n_prev >= 2 * prev_sum
+                           OR 2 * c * n_prev <= prev_sum)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM w
+"""
+
+
+@register("dq_volume_anomaly", _VOLUME_ANOMALY_ORACLE)
+def dq_volume_anomaly(spark, sf_dir):
+    """Daily volume anomaly audit per event type: each day's count
+    vs the trailing 7-day mean (needs >= 3 trailing days to judge),
+    flagging days that double or halve the baseline. The flag is an
+    exact cross-multiplied integer comparison; only the REPORTED
+    ratio divides (micro-unit quantized) — see the section comment.
+
+    Scale: one map-side-combined daily aggregation over events, then
+    a trailing ROWS window PARTITIONED by event type over the
+    calendar-bounded day series. Output is (type × day) rows."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    w = dc.select(
+        "event_type",
+        "day",
+        "c",
+        F.count("c").over(tw).cast("bigint").alias("n_prev"),
+        F.coalesce(F.sum("c").over(tw), F.lit(0))
+        .cast("bigint")
+        .alias("prev_sum"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        "n_prev",
+        F.when(
+            F.col("n_prev") >= 3,
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(c * n_prev AS DOUBLE) / prev_sum"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+        ).alias("vol_ratio"),
+        F.when(
+            (F.col("n_prev") >= 3)
+            & (
+                (F.col("c") * F.col("n_prev") >= 2 * F.col("prev_sum"))
+                | (2 * F.col("c") * F.col("n_prev") <= F.col("prev_sum"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_anomaly"),
+    )

@@ -948,3 +948,102 @@ def agg_exact_group_trimmed_mean(spark, sf_dir):
             4,
         ).alias("trimmed_mean_price"),
     )
+
+
+# --- exact higher moments: skewness / kurtosis (round 10) --------------------
+#
+# Per-group skewness and excess kurtosis of lineitem quantities from
+# the raw integer power sums S1..S4 = Σx..Σx⁴ (x = l_quantity, an
+# integer 1..50, so the sums are int64-exact and ORDER-PROOF — no
+# sum-order FP drift by construction; S4's int64 ceiling is
+# ~1.4e12 rows at x<=50, documented like the dow chi²). The central-
+# moment algebra runs in DOUBLE on those exact sums with an identical
+# expression tree in both engines (+,-,*,/ and sqrt are all
+# exactly-rounded IEEE ops), then each statistic is micro-unit
+# quantized — the only transcendental-free path to exact cross-engine
+# higher moments.
+
+def _micro6(x: str) -> str:
+    """floor(x·1e6 + 0.5) BIGINT micro-units, printed at 6 dp — the
+    cross-engine quantization rule (ROADMAP r9 #11b) as a shared SQL
+    fragment valid in both Spark and DuckDB."""
+    return (
+        f"round(CAST(floor(({x}) * 1000000e0 + 0.5e0) AS BIGINT)"
+        " / 1000000e0, 6)"
+    )
+
+
+_DN = "CAST(n AS DOUBLE)"
+_DS1 = "CAST(s1 AS DOUBLE)"
+_DS2 = "CAST(s2 AS DOUBLE)"
+_DS3 = "CAST(s3 AS DOUBLE)"
+_DS4 = "CAST(s4 AS DOUBLE)"
+_VAR_POP = f"(({_DN}*{_DS2} - {_DS1}*{_DS1}) / ({_DN}*{_DN}))"
+_M3 = (
+    f"(({_DN}*{_DN}*{_DS3} - 3e0*{_DN}*{_DS1}*{_DS2}"
+    f" + 2e0*{_DS1}*{_DS1}*{_DS1}) / ({_DN}*{_DN}*{_DN}))"
+)
+_M4 = (
+    f"(({_DN}*{_DN}*{_DN}*{_DS4} - 4e0*{_DN}*{_DN}*{_DS1}*{_DS3}"
+    f" + 6e0*{_DN}*{_DS1}*{_DS1}*{_DS2} - 3e0*{_DS1}*{_DS1}*{_DS1}*{_DS1})"
+    f" / ({_DN}*{_DN}*{_DN}*{_DN}))"
+)
+_SKEW = _micro6(
+    f"{_M3} / NULLIF(sqrt({_VAR_POP})*sqrt({_VAR_POP})*sqrt({_VAR_POP}), 0e0)"
+)
+_KURT = _micro6(f"{_M4} / NULLIF({_VAR_POP}*{_VAR_POP}, 0e0) - 3e0")
+_MEAN6 = _micro6(f"{_DS1} / {_DN}")
+
+_MOMENTS_ORACLE = f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n, {_MEAN6} AS mean_qty,
+           {_SKEW} AS skewness, {_KURT} AS excess_kurtosis
+    FROM m
+"""
+
+
+@register("agg_exact_group_moments", _MOMENTS_ORACLE)
+def agg_exact_group_moments(spark, sf_dir):
+    """Exact per-group skewness and excess kurtosis of lineitem
+    quantities — the distribution-shape companions to the exact
+    median/percentile family, computed from integer power sums so the
+    answer is sum-order-proof (the property approx stddev-based
+    formulas lose under shuffle). See the section comment for the
+    int64 ceiling and the shared DOUBLE expression tree.
+
+    Scale: ONE map-side-combined aggregate over lineitem producing
+    four int64 power sums per group; the moment algebra runs on the
+    |groups|-row relation. No window, no second scan."""
+    q = F.col("l_quantity").cast("bigint")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+            F.sum(q * q * q).cast("bigint").alias("s3"),
+            F.sum(q * q * q * q).cast("bigint").alias("s4"),
+        )
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.expr(_MEAN6).alias("mean_qty"),
+        F.expr(_SKEW).alias("skewness"),
+        F.expr(_KURT).alias("excess_kurtosis"),
+    )

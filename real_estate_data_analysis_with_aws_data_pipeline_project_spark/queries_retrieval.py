@@ -1447,3 +1447,178 @@ def retrieval_rank_correlation(spark, sf_dir):
             6,
         ).alias("kendall_tau"),
     )
+
+
+# --- MRR / recall@k evaluation (round 10) ------------------------------------
+#
+# The reciprocal-rank companion to retrieval_ndcg_eval: NDCG grades the
+# whole top-10 ordering, MRR grades only how fast the FIRST clearly
+# relevant document surfaces, and recall@10 how much of the corpus-wide
+# relevant set the window captures — the three numbers a retrieval
+# dashboard shows side by side. "Clearly relevant" is the deterministic
+# term-coverage grade at rel >= _MRR_REL_MIN (at least two query terms
+# present), so the evaluation needs no human labels, exactly like the
+# NDCG grade. 1/rank and the recall ratio are the only divisions; both
+# are BIGINT micro-unit quantized (the cross-engine rule).
+
+_MRR_K = 10
+_MRR_REL_MIN = 2
+
+_MRR_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    rel AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   for i in range(len(_BM25_TERMS)))} AS BIGINT) AS rel
+        FROM f
+    ),
+    bmtop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+              LIMIT {_MRR_K})
+    ),
+    qltop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY qlm DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM qlscored ORDER BY qlm DESC, doc_id
+              LIMIT {_MRR_K})
+    ),
+    nrel AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_relevant
+        FROM rel WHERE rel >= {_MRR_REL_MIN}
+    ),
+    hits AS (
+        SELECT 'bm25' AS retriever,
+               min(CASE WHEN r.rel >= {_MRR_REL_MIN} THEN t.rnk END)
+                   AS first_rel_rank,
+               CAST(coalesce(sum(CASE WHEN r.rel >= {_MRR_REL_MIN}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS hits_at_k
+        FROM bmtop t JOIN rel r USING (doc_id)
+        UNION ALL
+        SELECT 'ql',
+               min(CASE WHEN r.rel >= {_MRR_REL_MIN} THEN t.rnk END),
+               CAST(coalesce(sum(CASE WHEN r.rel >= {_MRR_REL_MIN}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM qltop t JOIN rel r USING (doc_id)
+    )
+    SELECT retriever, first_rel_rank, hits_at_k, n_relevant,
+           coalesce(round(CAST(floor(1000000e0 / first_rel_rank + 0.5e0)
+                               AS BIGINT) / 1000000e0, 6), 0e0)
+               AS mrr_at_10,
+           coalesce(round(CAST(floor(CAST(hits_at_k AS DOUBLE)
+                                     / NULLIF(least({_MRR_K}, n_relevant), 0)
+                                     * 1000000e0 + 0.5e0) AS BIGINT)
+                          / 1000000e0, 6), 0e0)
+               AS recall_at_10
+    FROM hits CROSS JOIN nrel
+"""
+
+
+@register("retrieval_mrr_eval", _MRR_ORACLE)
+def retrieval_mrr_eval(spark, sf_dir):
+    """MRR@10 and recall@10 for both retrievers (BM25 and Dirichlet
+    query likelihood) against the deterministic term-coverage
+    relevance grade at rel >= _MRR_REL_MIN — the first-hit-speed and
+    coverage companions to retrieval_ndcg_eval's full-ordering grade.
+    A retriever that never surfaces a relevant doc in its top-10
+    scores MRR 0, the convention that keeps the metric summable
+    across query sets.
+
+    Scale: both top-10s are TakeOrderedAndProject over the one-pass
+    scored corpus; the rank windows run over <= 10 limit-bounded rows
+    each (counted waiver); the relevant-set count is a 1-row
+    broadcast aggregate. Shares the session-persisted dual-scored
+    relation with the NDCG and tau evaluators (one corpus
+    tokenization serves all three)."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
+    w_ql = Window.orderBy(F.desc("qlm"), "doc_id")
+    bmtop = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_MRR_K)
+        .select(
+            F.lit("bm25").alias("retriever"),
+            F.row_number().over(w_bm).cast("bigint").alias("rnk"),
+            "rel",
+        )
+    )
+    qltop = (
+        scored.orderBy(F.desc("qlm"), "doc_id")
+        .limit(_MRR_K)
+        .select(
+            F.lit("ql").alias("retriever"),
+            F.row_number().over(w_ql).cast("bigint").alias("rnk"),
+            "rel",
+        )
+    )
+    rel_min = F.lit(_MRR_REL_MIN)
+    hits = (
+        bmtop.unionByName(qltop)
+        .groupBy("retriever")
+        .agg(
+            F.min(F.when(F.col("rel") >= rel_min, F.col("rnk"))).alias(
+                "first_rel_rank"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("rel") >= rel_min, 1).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("hits_at_k"),
+        )
+    )
+    nrel = scored.where(F.col("rel") >= rel_min).agg(
+        F.count("*").cast("bigint").alias("n_relevant")
+    )
+    return hits.crossJoin(F.broadcast(nrel)).select(
+        "retriever",
+        "first_rel_rank",
+        "hits_at_k",
+        "n_relevant",
+        F.coalesce(
+            F.round(
+                F.expr(
+                    "CAST(floor(1000000e0 / first_rel_rank + 0.5e0)"
+                    " AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+            F.lit(0e0),
+        ).alias("mrr_at_10"),
+        F.coalesce(
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(hits_at_k AS DOUBLE)"
+                    f" / NULLIF(least({_MRR_K}, n_relevant), 0)"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+            F.lit(0e0),
+        ).alias("recall_at_10"),
+    )

@@ -1071,3 +1071,94 @@ def features_chi2_selection(spark, sf_dir):
             6,
         ).alias("chi2"),
     )
+
+
+# --- feature scaling parameter table (round 10) -------------------------------
+#
+# The fit-side of a train/serve feature scaler: per market segment,
+# the min/max and mean/std of customer account balance — the exact
+# parameter table a training pipeline persists so online serving can
+# apply the identical transform (the train/serve-skew audit's
+# prevention twin). Balances become DETERMINISTIC integer cents via
+# floor(x·100 + 0.5) (c_acctbal carries FP dust, so "exact cents"
+# must be defined by a rule, not assumed); Σcents and Σcents² are
+# int64-exact order-proof sums, the variance rational runs in DOUBLE
+# (exactly-rounded IEEE), and mean/std are micro-unit quantized.
+
+_SCALE_CENTS = "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
+
+_SCALING_ORACLE = f"""
+    WITH c AS (SELECT c_mktsegment, {_SCALE_CENTS} AS cents FROM customer),
+    m AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS BIGINT) AS min_cents,
+               CAST(max(cents) AS BIGINT) AS max_cents,
+               CAST(sum(cents) AS BIGINT) AS s,
+               CAST(sum(cents * cents) AS BIGINT) AS q
+        FROM c GROUP BY 1
+    )
+    SELECT c_mktsegment, n, min_cents, max_cents,
+           round(CAST(floor(CAST(s AS DOUBLE) / n / 100e0
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_bal,
+           round(CAST(floor(sqrt((CAST(n AS DOUBLE) * q
+                                  - CAST(s AS DOUBLE) * s)
+                                 / (CAST(n AS DOUBLE) * n)) / 100e0
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS std_bal
+    FROM m
+"""
+
+
+@register("features_scaling_params", _SCALING_ORACLE)
+def features_scaling_params(spark, sf_dir):
+    """Per-segment min-max and z-score scaling parameters for
+    customer account balance — the persisted fit artifact that keeps
+    a feature's train-time and serve-time transforms identical. See
+    the section comment for the integer-cents determinism contract
+    (Σcents² int64 ceiling ~9e13 customers at |cents| <= 1e6,
+    documented like the dow chi²).
+
+    Scale: ONE map-side-combined aggregate over customer producing
+    five int64 statistics per segment; the mean/std algebra runs on
+    the |segments|-row relation."""
+    cents = F.expr(_SCALE_CENTS)
+    m = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+            F.sum("cents").cast("bigint").alias("s"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    return m.select(
+        "c_mktsegment",
+        "n",
+        "min_cents",
+        "max_cents",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(s AS DOUBLE) / n / 100e0"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("mean_bal"),
+        F.round(
+            F.expr(
+                "CAST(floor(sqrt((CAST(n AS DOUBLE) * q"
+                " - CAST(s AS DOUBLE) * s)"
+                " / (CAST(n AS DOUBLE) * n)) / 100e0"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("std_bal"),
+    )

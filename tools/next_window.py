@@ -77,6 +77,12 @@ PRIORITY: tuple[str, ...] = ()
 POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_fano_burstiness",
     "agg_histogram_group_percentiles",
+    "retrieval_mrr_eval",
+    "streaming_autocorrelation",
+    "events_gini_concentration",
+    "dq_volume_anomaly",
+    "agg_exact_group_moments",
+    "features_scaling_params",
 )
 
 

@@ -166,6 +166,12 @@ EXTRA = [
     # r10 additions
     "streaming_fano_burstiness",
     "agg_histogram_group_percentiles",
+    "retrieval_mrr_eval",
+    "streaming_autocorrelation",
+    "events_gini_concentration",
+    "dq_volume_anomaly",
+    "agg_exact_group_moments",
+    "features_scaling_params",
 ]
 
 
@@ -280,6 +286,8 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # three rank windows, each over its own limit(10) top list
     # (bm25 top-10, ql top-10, ideal-relevance top-10).
     "retrieval_ndcg_eval": (3, "ranks over three limit(10) top lists"),
+    # two rank windows, one per retriever's limit(10) top list.
+    "retrieval_mrr_eval": (2, "ranks over two limit(10) top lists"),
     # (retrieval_rank_correlation's two limit(20) rank windows run at
     # localCheckpoint-creation time — the audited plan roots at the
     # checkpointed <= k-row relation, so no waiver entry is needed.)
