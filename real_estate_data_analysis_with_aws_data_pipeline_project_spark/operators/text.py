@@ -226,3 +226,25 @@ def fingerprint(col: str = "text") -> Column:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5({norm_text_sql(col)})"
+
+
+# --- regex run counting (readability building block) -----------------------
+
+
+def run_count(col: Column, pat: str) -> Column:
+    """Number of maximal runs matching `pat` (a character-class+
+    pattern): replacing each run with one '#' adds exactly one char
+    per run, so runs = len(replace(pat, '#')) − len(replace(pat, '')).
+    Greedy character-class runs are engine-independent, so the twin
+    SQL below counts identically in DuckDB."""
+    return (
+        F.length(F.regexp_replace(col, pat, "#"))
+        - F.length(F.regexp_replace(col, pat, ""))
+    ).cast("bigint")
+
+
+def run_count_sql(col_sql: str, pat: str) -> str:
+    return (
+        f"CAST(length(regexp_replace({col_sql}, '{pat}', '#', 'g'))"
+        f" - length(regexp_replace({col_sql}, '{pat}', '', 'g')) AS BIGINT)"
+    )

@@ -2517,6 +2517,16 @@ def dq_volume_anomaly(spark, sf_dir):
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+    return volume_anomaly_from_day_counts(dc)
+
+
+def volume_anomaly_from_day_counts(dc):
+    """Volume-anomaly report from the (event_type, day, c) day-count
+    cube — ONE definition of the trailing window, the exact integer
+    flag, and the quantized ratio, shared by the batch query and the
+    streaming tier (the fano/acf_from_day_counts precedent). ``day``
+    may be date or timestamp grain; ordering and the 'yyyy-MM-dd'
+    print are identical for both."""
     tw = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -2559,3 +2569,32 @@ def dq_volume_anomaly(spark, sf_dir):
         .cast("bigint")
         .alias("is_anomaly"),
     )
+
+
+@register("streaming_volume_anomaly", _VOLUME_ANOMALY_ORACLE)
+def streaming_volume_anomaly(spark, sf_dir):
+    """Structured Streaming: the SIXTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals the trailing-
+    7-day volume alarm runs on, so the feed's first-line anomaly
+    monitor shares the fold that already serves PSI, JSD, day-of-week,
+    Fano, and the ACF. No new state schema, no new Python in the
+    loop; the trailing window and the exact integer flag are the
+    batch twin's shared ``volume_anomaly_from_day_counts``
+    expressions, so the report is bit-identical to the batch query
+    and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side is a type-partitioned trailing window over the
+    emitted metadata-scale cube."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    dc = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", F.to_date("day").alias("day"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return volume_anomaly_from_day_counts(dc)

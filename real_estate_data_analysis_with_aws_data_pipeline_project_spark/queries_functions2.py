@@ -827,3 +827,126 @@ def pii_l_diversity_audit(spark, sf_dir):
         "l_distinct",
         (F.col("l_distinct") < _LDIV_L).alias("at_risk"),
     )
+
+
+# --- t-closeness audit (round 10) --------------------------------------------
+#
+# The distributional refinement l-diversity misses: a class can hold
+# many DISTINCT sensitive values and still leak (e.g. all of them in
+# the top band when the population is spread out). t-closeness bounds
+# the total-variation distance between each equivalence class's
+# sensitive-value distribution and the global one. Exact integer
+# form: TV = Σ_v |cv·N − gv·n| / (2·n·N), where absent-in-class
+# values contribute gv·n, folded in closed form as n·(N − Σ_present gv)
+# so the scan never densifies the (class × value) grid. The at-risk
+# flag t > 0.2 is the cross-multiplied integer test 5·numer > 2·n·N
+# (no FP boundary); only the REPORTED distance divides (micro-unit
+# quantized). int64 ceiling: N·max_cv < 2^63, documented like the
+# dow chi².
+
+_TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 5  # t = 0.2
+
+_TCLOSE_ORACLE = """
+    WITH b AS (
+        SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        FROM customer
+    ),
+    c AS (
+        SELECT c_mktsegment, c_nationkey, band,
+               CAST(count(*) AS BIGINT) AS cv
+        FROM b GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT band, CAST(count(*) AS BIGINT) AS gv FROM b GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+    nper AS (
+        SELECT c_mktsegment, c_nationkey, CAST(sum(cv) AS BIGINT) AS n
+        FROM c GROUP BY 1, 2
+    ),
+    cls AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(abs(cv * n_total - gv * n)) AS BIGINT) AS part,
+               CAST(sum(gv) AS BIGINT) AS presentg,
+               CAST(max(n_total) AS BIGINT) AS n_total
+        FROM c JOIN nper USING (c_mktsegment, c_nationkey)
+               JOIN g USING (band) CROSS JOIN tot
+        GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, n,
+           round(CAST(floor(CAST(part + n * (n_total - presentg) AS DOUBLE)
+                            / (2e0 * n * n_total)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS tv_distance,
+           5 * (part + n * (n_total - presentg)) > 2 * n * n_total
+               AS at_risk
+    FROM cls
+"""
+
+
+@register("pii_t_closeness", _TCLOSE_ORACLE)
+def pii_t_closeness(spark, sf_dir):
+    """t-closeness audit per (segment, nation) equivalence class:
+    exact total-variation distance between the class's sensitive
+    account-balance band distribution and the global one, with the
+    t > 0.2 at-risk flag as a cross-multiplied integer test — the
+    third rung of the anonymity ladder after pii_k_anonymity_audit
+    and pii_l_diversity_audit. See the section comment for the exact
+    integer identity and the absent-band closed form.
+
+    Scale: one (class, band) groupBy over customer, a broadcast join
+    against the |bands|-row global histogram and the 1-row total, and
+    a per-class aggregate — never a (class × band) densified grid."""
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("band"),
+    )
+    c = b.groupBy("c_mktsegment", "c_nationkey", "band").agg(
+        F.count("*").cast("bigint").alias("cv")
+    )
+    g = b.groupBy("band").agg(F.count("*").cast("bigint").alias("gv"))
+    tot = b.agg(F.count("*").cast("bigint").alias("n_total"))
+    # class sizes first (the |cv·N − gv·n| term needs n per class);
+    # a groupBy + key join reuses the (seg, nation) shuffle partitioning
+    # instead of adding a window
+    nper = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.sum("cv").cast("bigint").alias("n")
+    )
+    joined = (
+        c.join(nper, ["c_mktsegment", "c_nationkey"])
+        .join(F.broadcast(g), "band")
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = joined.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("cv") * F.col("n_total") - F.col("gv") * F.col("n")
+            )
+        )
+        .cast("bigint")
+        .alias("part"),
+        F.sum("gv").cast("bigint").alias("presentg"),
+        F.max("n_total").cast("bigint").alias("n_total"),
+    )
+    numer = F.col("part") + F.col("n") * (
+        F.col("n_total") - F.col("presentg")
+    )
+    return cls.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "n",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(part + n * (n_total - presentg) AS DOUBLE)"
+                " / (2e0 * n * n_total)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("tv_distance"),
+        (F.lit(5) * numer > F.lit(2) * F.col("n") * F.col("n_total")).alias(
+            "at_risk"
+        ),
+    )

@@ -696,6 +696,55 @@ _COSUPP_ORACLE = f"""
 """
 
 
+def _cosupp_capped_edges(spark, sf_dir):
+    """Distinct (customer, supplier) purchase edges with hub customers
+    above ``_COSUPP_DEG_CAP`` removed. Degree pass FIRST (count(*) —
+    constant-space, map-side combinable) so hubs are dropped BEFORE
+    any per-group buffering: a mega-hub must never materialize its
+    full supplier set just to be discarded (r9 review — the
+    bounded-state rule the WindowGroupLimit comparison test
+    documents)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
+    return e.join(
+        deg.where(F.col("n_supp") <= _COSUPP_DEG_CAP), "cust"
+    ).select("cust", "supp")
+
+
+def _cosupp_pairs(ee):
+    """Within-customer supplier pair counts (s1 < s2, shared-customer
+    strength). Each surviving customer's (capped, sorted) supplier set
+    is collected once and the pair expansion happens MAP-SIDE via
+    nested array transforms instead of a per-customer self-join — the
+    same exact pair multiset (the sorted array emits each s1 < s2
+    pair once), one join shuffle fewer, expansion bounded by
+    C(cap, 2) per customer. Measured at sf0.1: the downstream
+    triangle-orientation chain drops ~8.0 s → ~6.2 s (a further
+    ~0.7 s was available by collecting sets unguarded and filtering
+    on size afterward, rejected for the unbounded hub buffer)."""
+    lists = ee.groupBy("cust").agg(
+        F.sort_array(F.collect_set("supp")).alias("ss")
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS s1, y AS s2))))"
+    )
+    return (
+        lists.select(F.explode(pair_expr).alias("pr"))
+        .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+        .agg(F.count("*").cast("bigint").alias("shared_customers"))
+    )
+
+
 @register("graph_cosupplier_projection", _COSUPP_ORACLE)
 def graph_cosupplier_projection(spark, sf_dir):
     """Bipartite projection: supplier↔supplier co-purchase strength
@@ -710,46 +759,7 @@ def graph_cosupplier_projection(spark, sf_dir):
     replaces the cap with minhash over supplier sets). One groupBy
     per projection pair, a per-supplier top-k rank, output bounded at
     k rows per node."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        .distinct()
-    )
-    # Degree pass FIRST (count(*) — constant-space, map-side
-    # combinable) so hub customers are dropped BEFORE any per-group
-    # buffering: a mega-hub must never materialize its full supplier
-    # set just to be discarded (r9 review — the bounded-state rule the
-    # WindowGroupLimit comparison test documents). The surviving
-    # customers' (capped, sorted) supplier sets are then collected
-    # once and the within-customer pair expansion happens MAP-SIDE via
-    # nested array transforms instead of a per-customer self-join —
-    # the same exact pair multiset (the sorted array emits each
-    # s1 < s2 pair once), one join shuffle fewer, expansion bounded by
-    # C(cap, 2) per customer. Measured at sf0.1: the downstream
-    # triangle-orientation chain drops ~8.0 s → ~6.2 s (a further
-    # ~0.7 s was available by collecting sets unguarded and filtering
-    # on size afterward, rejected for the unbounded hub buffer).
-    deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
-    ee = e.join(
-        deg.where(F.col("n_supp") <= _COSUPP_DEG_CAP), "cust"
-    ).select("cust", "supp")
-    lists = ee.groupBy("cust").agg(
-        F.sort_array(F.collect_set("supp")).alias("ss")
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ss, (x, i) ->"
-        " transform(slice(ss, i + 2, size(ss)),"
-        " y -> struct(x AS s1, y AS s2))))"
-    )
-    p = (
-        lists.select(F.explode(pair_expr).alias("pr"))
-        .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
-        .agg(F.count("*").cast("bigint").alias("shared_customers"))
-    )
+    p = _cosupp_pairs(_cosupp_capped_edges(spark, sf_dir))
     sym = p.select(
         F.col("s1").alias("supplier"),
         F.col("s2").alias("partner"),
@@ -1621,4 +1631,102 @@ def retrieval_mrr_eval(spark, sf_dir):
             ),
             F.lit(0e0),
         ).alias("recall_at_10"),
+    )
+
+
+# --- neighbor-set Jaccard similarity (round 10) -------------------------------
+#
+# Node similarity on the same capped customer-supplier edge set the
+# co-supplier projection walks: for each co-supplier pair, Jaccard of
+# their customer-neighbor sets = shared / (deg1 + deg2 − shared) —
+# the normalized "how substitutable are these two suppliers" score
+# that raw shared-customer counts overstate for high-degree nodes.
+# Both the intersection and the degrees are computed on the SAME
+# hub-capped edge set, so the ratio is internally consistent. The
+# top-20 ordering key is the BIGINT micro-unit Jaccard (identical in
+# both engines — never order by a raw double), tie-broken by the pair
+# ids.
+
+_JACSIM_TOP = 20
+
+_JACSIM_ORACLE = f"""
+    WITH e AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS n_supp FROM e GROUP BY cust
+    ),
+    ee AS (
+        SELECT e.cust, e.supp FROM e JOIN deg USING (cust)
+        WHERE deg.n_supp <= {_COSUPP_DEG_CAP}
+    ),
+    p AS (
+        SELECT a.supp AS s1, b.supp AS s2,
+               CAST(count(*) AS BIGINT) AS shared_customers
+        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2
+    ),
+    sd AS (SELECT supp, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1),
+    j AS (
+        SELECT p.s1, p.s2, p.shared_customers,
+               d1.d AS deg1, d2.d AS deg2,
+               CAST(floor(CAST(p.shared_customers AS DOUBLE)
+                          / (d1.d + d2.d - p.shared_customers)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS jac_micro
+        FROM p JOIN sd d1 ON d1.supp = p.s1 JOIN sd d2 ON d2.supp = p.s2
+    )
+    SELECT s1, s2, shared_customers, deg1, deg2,
+           round(jac_micro / 1000000e0, 6) AS jaccard
+    FROM j ORDER BY jac_micro DESC, s1, s2 LIMIT {_JACSIM_TOP}
+"""
+
+
+@register("graph_jaccard_similarity", _JACSIM_ORACLE)
+def graph_jaccard_similarity(spark, sf_dir):
+    """Top-20 supplier pairs by customer-neighbor-set Jaccard
+    similarity on the hub-capped purchase graph — the degree-
+    normalized companion to graph_cosupplier_projection's raw
+    shared-customer ranking. See the section comment for the
+    consistency and determinism contracts.
+
+    Scale: reuses the shared capped-edge + map-side pair-expansion
+    helpers (never an uncapped per-customer self-join); the degree
+    relation is supplier-dimension-scale and joins onto the pair
+    relation; the final top-20 is TakeOrderedAndProject on the
+    integer-exact micro-unit key."""
+    ee = _cosupp_capped_edges(spark, sf_dir)
+    p = _cosupp_pairs(ee)
+    sd = ee.groupBy("supp").agg(F.count("*").cast("bigint").alias("d"))
+    j = (
+        p.join(
+            sd.select(F.col("supp").alias("s1"), F.col("d").alias("deg1")),
+            "s1",
+        )
+        .join(
+            sd.select(F.col("supp").alias("s2"), F.col("d").alias("deg2")),
+            "s2",
+        )
+        .withColumn(
+            "jac_micro",
+            F.expr(
+                "CAST(floor(CAST(shared_customers AS DOUBLE)"
+                " / (deg1 + deg2 - shared_customers)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        j.orderBy(F.desc("jac_micro"), "s1", "s2")
+        .limit(_JACSIM_TOP)
+        .select(
+            "s1",
+            "s2",
+            "shared_customers",
+            "deg1",
+            "deg2",
+            F.round(F.col("jac_micro") / F.expr("1000000e0"), 6).alias(
+                "jaccard"
+            ),
+        )
     )

@@ -591,3 +591,92 @@ def text_token_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(_PMI_TOP)
     )
+
+
+# --- readability score (round 10) --------------------------------------------
+#
+# A deterministic Flesch-style reading-ease score per document source —
+# the classic "is this prose or noise?" corpus-quality signal that sits
+# next to the heuristic filter and the char-entropy gate. All three
+# inputs are exact int64 run counts (words = alnum token count,
+# sentences = maximal [.!?]+ runs floored at 1, syllables ≈ maximal
+# vowel runs — the standard portable proxy); the score is computed on
+# the per-source AGGREGATE ratios (macro-averaged) with the published
+# constants, two exactly-rounded IEEE divisions, and one micro-unit
+# quantization. The Spark expression and the DuckDB SQL are generated
+# from the same run-count builders, so they cannot drift.
+
+_SENT_PAT = "[.!?]+"
+_VOWEL_PAT = "[aeiou]+"
+
+_READABILITY_ORACLE = f"""
+    WITH d AS (
+        SELECT source,
+               {X.token_count_sql()} AS w,
+               greatest(1, {X.run_count_sql("text", _SENT_PAT)}) AS s,
+               {X.run_count_sql("lower(text)", _VOWEL_PAT)} AS v
+        FROM documents
+    ),
+    m AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS words,
+               CAST(sum(s) AS BIGINT) AS sentences,
+               CAST(sum(v) AS BIGINT) AS vowel_runs
+        FROM d GROUP BY 1
+    )
+    SELECT source, n_docs, words, sentences, vowel_runs,
+           round(CAST(floor((206.835e0
+                             - 1.015e0 * (CAST(words AS DOUBLE) / sentences)
+                             - 84.6e0 * (CAST(vowel_runs AS DOUBLE) / words))
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS flesch_ease
+    FROM m
+"""
+
+
+@register("text_readability_score", _READABILITY_ORACLE)
+def text_readability_score(spark, sf_dir):
+    """Flesch-style reading-ease score per document source from exact
+    integer word / sentence / vowel-run counts — low scores flag
+    sources whose "text" is dense boilerplate or symbol soup even
+    when length and stopword gates pass. See the section comment for
+    the determinism contract (shared run-count builders, macro
+    aggregate, micro-unit quantization).
+
+    Scale: per-row regex counts are pure Catalyst expressions
+    (whole-stage codegen, no Python), then one map-side-combined
+    groupBy(source) over three int64 sums; the score algebra runs on
+    the |sources|-row relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        X.token_count().alias("w"),
+        F.greatest(
+            F.lit(1).cast("bigint"), X.run_count(F.col("text"), _SENT_PAT)
+        ).alias("s"),
+        X.run_count(F.lower(F.col("text")), _VOWEL_PAT).alias("v"),
+    )
+    m = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("words"),
+        F.sum("s").cast("bigint").alias("sentences"),
+        F.sum("v").cast("bigint").alias("vowel_runs"),
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "vowel_runs",
+        F.round(
+            F.expr(
+                "CAST(floor((206.835e0"
+                " - 1.015e0 * (CAST(words AS DOUBLE) / sentences)"
+                " - 84.6e0 * (CAST(vowel_runs AS DOUBLE) / words))"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("flesch_ease"),
+    )

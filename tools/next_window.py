@@ -83,6 +83,10 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "dq_volume_anomaly",
     "agg_exact_group_moments",
     "features_scaling_params",
+    "streaming_volume_anomaly",
+    "pii_t_closeness",
+    "text_readability_score",
+    "graph_jaccard_similarity",
 )
 
 

@@ -172,6 +172,10 @@ EXTRA = [
     "dq_volume_anomaly",
     "agg_exact_group_moments",
     "features_scaling_params",
+    "streaming_volume_anomaly",
+    "pii_t_closeness",
+    "text_readability_score",
+    "graph_jaccard_similarity",
 ]
 
 
