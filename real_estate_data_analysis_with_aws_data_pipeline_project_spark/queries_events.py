@@ -2598,3 +2598,121 @@ def streaming_volume_anomaly(spark, sf_dir):
         .agg(F.sum("c").cast("bigint").alias("c"))
     )
     return volume_anomaly_from_day_counts(dc)
+
+
+# --- signup -> purchase time-to-convert (round 10) ----------------------------
+#
+# Product-analytics companion to the funnel queries: per signup-day
+# cohort, how many signups ever convert (first purchase AT/after the
+# signup) and how fast — exact conversion share (micro-unit quantized)
+# plus the exact median and p90 of the conversion delay via the
+# rank-pick pattern (events_interarrival_stats precedent; deltas are
+# integer microseconds, the middle-pair mean lands on .0/.5 exactly).
+# Cohorts with zero converters report NULL delays in both engines.
+
+_TTC_ORACLE = """
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS s_us
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id, min(epoch_us(p.ts)) - max(s.s_us) AS delta
+        FROM s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND epoch_us(p.ts) >= s.s_us
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT strftime(make_timestamp(s.s_us), '%Y-%m-%d') AS cohort,
+               s.user_id, c.delta
+        FROM s LEFT JOIN conv c USING (user_id)
+    ),
+    m AS (
+        SELECT cohort,
+               CAST(count(*) AS BIGINT) AS n_signups,
+               CAST(count(delta) AS BIGINT) AS n_converted
+        FROM d GROUP BY 1
+    ),
+    r AS (
+        SELECT cohort, user_id, delta,
+               row_number() OVER (PARTITION BY cohort
+                                  ORDER BY delta, user_id) AS rn
+        FROM d WHERE delta IS NOT NULL
+    )
+    SELECT m.cohort, m.n_signups, m.n_converted,
+           round(CAST(floor(CAST(m.n_converted AS DOUBLE) / m.n_signups
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS conversion_rate,
+           round(avg(CASE WHEN rn = (n_converted + 1) // 2
+                            OR rn = (n_converted + 2) // 2
+                          THEN CAST(delta AS DOUBLE) END), 1)
+               AS median_delay_us,
+           CAST(max(CASE WHEN rn = (9 * n_converted + 9) // 10
+                         THEN delta END) AS BIGINT) AS p90_delay_us
+    FROM m LEFT JOIN r USING (cohort)
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("events_time_to_convert", _TTC_ORACLE)
+def events_time_to_convert(spark, sf_dir):
+    """Per signup-day cohort: conversion share and the exact median /
+    p90 delay from a user's FIRST signup to their FIRST purchase at or
+    after it. See the section comment for the determinism contract.
+
+    Scale: two user-keyed aggregates (map-side combined) + one
+    user-keyed join — the same shuffle key throughout, so AQE reuses
+    the exchange; the rank window runs per COHORT over the converted
+    users (calendar-partitioned, never global). Picked rows per
+    cohort are <= 3."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id")
+        .agg((F.min("p_us") - F.max("s_us")).alias("delta"))
+    )
+    d = s.join(conv, "user_id", "left").select(
+        F.date_format(
+            F.timestamp_micros(F.col("s_us")), "yyyy-MM-dd"
+        ).alias("cohort"),
+        "user_id",
+        "delta",
+    )
+    m = d.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_signups"),
+        F.count("delta").cast("bigint").alias("n_converted"),
+    )
+    rw = Window.partitionBy("cohort").orderBy("delta", "user_id")
+    r = d.where(F.col("delta").isNotNull()).withColumn(
+        "rn", F.row_number().over(rw)
+    )
+    j = m.join(r.select("cohort", "delta", "rn"), "cohort", "left")
+    mid = (F.col("rn") == F.expr("(n_converted + 1) div 2")) | (
+        F.col("rn") == F.expr("(n_converted + 2) div 2")
+    )
+    p90 = F.col("rn") == F.expr("(9 * n_converted + 9) div 10")
+    return j.groupBy("cohort", "n_signups", "n_converted").agg(
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(n_converted AS DOUBLE) / n_signups"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).cast("double")
+            / F.expr("1000000e0"),
+            6,
+        ).alias("conversion_rate"),
+        F.round(
+            F.avg(F.when(mid, F.col("delta").cast("double"))), 1
+        ).alias("median_delay_us"),
+        F.max(F.when(p90, F.col("delta")))
+        .cast("bigint")
+        .alias("p90_delay_us"),
+    )

@@ -256,3 +256,65 @@ def join_interval_overlap(spark, sf_dir):
             .alias("n_concurrent"),
         )
     )
+
+
+# --- as-of join with staleness tolerance (round 10) ---------------------------
+#
+# The feature-store variant of the backward as-of: a matched value is
+# only usable if it is FRESH ENOUGH (here: the purchase happened within
+# 3 days before the click) — serving a stale feature is usually worse
+# than serving none. The match itself is the plain as-of; the
+# tolerance is applied as an exact integer-microsecond comparison that
+# NULLs out stale carries, so the semantics compose with the oracle's
+# native ASOF JOIN plus one CASE.
+
+_ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000  # 3 days
+
+_ASOF_TOL_ORACLE = f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {_ASOF_TOL_US}
+                THEN CAST(epoch_us(p.ts) AS BIGINT) END AS last_purchase_us,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {_ASOF_TOL_US}
+                THEN p.value END AS last_purchase_value,
+           CASE WHEN epoch_us(c.ts) - epoch_us(p.ts) <= {_ASOF_TOL_US}
+                THEN CAST(epoch_us(c.ts) - epoch_us(p.ts) AS BIGINT)
+           END AS staleness_us
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@register("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a 3-day staleness tolerance: for every
+    click, the user's most recent prior purchase — but only if it is
+    recent enough to serve as a feature; stale matches surface as NULL
+    exactly like no-match, plus the integer staleness for the
+    freshness histogram a feature store monitors.
+
+    Scale: identical plan to join_asof_last_purchase (union-and-carry,
+    ONE shuffle on user_id); the tolerance is a per-row integer
+    comparison after the carry — no extra join, no extra shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, key="user_id", carry_cols=["value"])
+    d = F.unix_micros("ts") - F.unix_micros("asof_ts")
+    fresh = F.col("asof_ts").isNotNull() & (d <= _ASOF_TOL_US)
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.unix_micros("asof_ts")).alias("last_purchase_us"),
+        F.when(fresh, F.col("asof_value")).alias("last_purchase_value"),
+        F.when(fresh, d).cast("bigint").alias("staleness_us"),
+    )

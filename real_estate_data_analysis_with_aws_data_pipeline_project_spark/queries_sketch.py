@@ -1135,3 +1135,90 @@ def q_streaming_kmv_distinct(spark, sf_dir):
         "kth_hash",
         F.round((_KMV_K - 1) / u, 4).alias("est_distinct"),
     )
+
+
+# --- HLL intersection via inclusion-exclusion (round 10) ----------------------
+#
+# HLL sketches union natively but have no intersection operator; the
+# standard estimator is inclusion-exclusion over the merged sketch:
+# |A∩B| ≈ est(A) + est(B) − est(A∪B). The subtraction compounds the
+# relative error of its three inputs, so the envelope is stated
+# against the UNION size (the quantity the absolute errors scale
+# with), not the intersection — the honest contract for the pattern
+# (a tiny true overlap of two huge sets is NOT reliably estimable,
+# and the comment documents that a sketch designed for intersections,
+# e.g. theta — see sketch_theta_set_ops — is the right tool there).
+
+_HLL_IX_REL_ERR = 0.10  # of the exact UNION, not the intersection
+
+_HLL_IX_ORACLE = """
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION
+                                       SELECT * FROM b)) AS BIGINT)
+               AS exact_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT
+                                       SELECT * FROM b)) AS BIGINT)
+               AS exact_intersection,
+           TRUE AS within_envelope
+"""
+
+
+@register("sketch_hll_intersection", _HLL_IX_ORACLE)
+def sketch_hll_intersection(spark, sf_dir):
+    """Distinct-customer overlap of the 'F' and 'O' order-status
+    segments, estimated from three mergeable HLL sketches by
+    inclusion-exclusion — the cardinality algebra a rollup layer uses
+    when only sketches (never raw keys) flow upward. The envelope is
+    ±10 % of the exact UNION (see the section comment for why the
+    union, and when to reach for theta sketches instead).
+
+    Scale: two filtered sketch aggregates + one sketch union — three
+    constant-size aggregates over one scan shape, no distinct
+    shuffle of raw keys at report time."""
+    from .sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    seg = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        "o_orderstatus", "o_custkey"
+    )
+    sk = seg.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact"),
+    )
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("union_est"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("sum_est"),
+        F.max(F.when(F.col("o_orderstatus") == "F", F.col("exact"))).alias(
+            "exact_a"
+        ),
+        F.max(F.when(F.col("o_orderstatus") == "O", F.col("exact"))).alias(
+            "exact_b"
+        ),
+    )
+    exact = (
+        seg.groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderstatus").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("exact_union"),
+            F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+    )
+    return merged.crossJoin(F.broadcast(exact)).select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(
+                (F.col("sum_est") - F.col("union_est")).cast("double")
+                - F.col("exact_intersection").cast("double")
+            )
+            <= _HLL_IX_REL_ERR * F.col("exact_union").cast("double")
+        ).alias("within_envelope"),
+    )

@@ -319,3 +319,101 @@ def test_jaccard_similarity_invariants(spark, sf_dir):
         if prev is not None:
             assert r.jaccard <= prev
         prev = r.jaccard
+
+
+# --- fourth r10 batch (post-pin -> r11 window) --------------------------------
+
+
+def test_asof_tolerance_subsets_plain_asof(spark, sf_dir):
+    """Every fresh tolerance match must equal the plain as-of match;
+    every NULLed row must be either unmatched or stale in the plain
+    as-of; staleness is in [0, tolerance]."""
+    tol = 3 * 24 * 3600 * 1_000_000
+    plain = {
+        r.event_id: r.last_purchase_us
+        for r in QUERIES["join_asof_last_purchase"].fn(spark, sf_dir).collect()
+    }
+    clicks = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("event_type = 'click'")
+        .select("event_id", "ts")
+        .collect()
+    )
+    click_us = {r.event_id: r.ts for r in clicks}
+    import datetime
+
+    def us(ts):
+        return int(
+            ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6
+        )
+
+    rows = QUERIES["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) == len(plain)
+    n_fresh = 0
+    for r in rows:
+        if r.last_purchase_us is not None:
+            n_fresh += 1
+            assert r.last_purchase_us == plain[r.event_id]
+            assert 0 <= r.staleness_us <= tol
+            assert (
+                us(click_us[r.event_id]) - r.last_purchase_us
+                == r.staleness_us
+            )
+        else:
+            p = plain[r.event_id]
+            assert p is None or us(click_us[r.event_id]) - p > tol
+    assert 0 < n_fresh  # fixture has fresh matches
+
+
+def test_time_to_convert_matches_pandas(spark, sf_dir):
+    """Cohort counts, conversion rate, and exact median/p90 delays
+    cross-checked against an independent pandas computation."""
+    import math
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = ev.ts.astype("int64") // 1000  # ns -> us
+    s = (
+        ev[ev.event_type == "signup"]
+        .groupby("user_id")["us"]
+        .min()
+        .rename("s_us")
+    )
+    p = ev[ev.event_type == "purchase"][["user_id", "us"]]
+    j = p.join(s, on="user_id", how="inner")
+    j = j[j.us >= j.s_us]
+    conv = (j.us - j.s_us).groupby(j.user_id).min()
+    rows = QUERIES["events_time_to_convert"].fn(spark, sf_dir).collect()
+    assert rows
+    import pandas as pd
+
+    cohort_of = s.apply(
+        lambda u: pd.Timestamp(u, unit="us").strftime("%Y-%m-%d")
+    )
+    for r in rows:
+        users = cohort_of[cohort_of == r.cohort].index
+        deltas = sorted(
+            (int(conv[u]), u) for u in users if u in conv.index
+        )
+        assert r.n_signups == len(users)
+        assert r.n_converted == len(deltas)
+        rate = len(deltas) / len(users)
+        assert r.conversion_rate == round(
+            math.floor(rate * 1e6 + 0.5) / 1e6, 6
+        )
+        if deltas:
+            n = len(deltas)
+            lo, hi = deltas[(n + 1) // 2 - 1][0], deltas[(n + 2) // 2 - 1][0]
+            assert r.median_delay_us == round((lo + hi) / 2.0, 1)
+            assert r.p90_delay_us == deltas[(9 * n + 9) // 10 - 1][0]
+        else:
+            assert r.median_delay_us is None and r.p90_delay_us is None
+
+
+def test_hll_intersection_identity_and_envelope(spark, sf_dir):
+    """Inclusion-exclusion identity on the exact counts plus the
+    sketch envelope flag the oracle checks."""
+    rows = QUERIES["sketch_hll_intersection"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.exact_a + r.exact_b - r.exact_union == r.exact_intersection
+    assert r.exact_intersection >= 0 and r.within_envelope

@@ -87,6 +87,9 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "pii_t_closeness",
     "text_readability_score",
     "graph_jaccard_similarity",
+    "join_asof_tolerance",
+    "events_time_to_convert",
+    "sketch_hll_intersection",
 )
 
 

@@ -176,6 +176,9 @@ EXTRA = [
     "pii_t_closeness",
     "text_readability_score",
     "graph_jaccard_similarity",
+    "join_asof_tolerance",
+    "events_time_to_convert",
+    "sketch_hll_intersection",
 ]
 
 
