@@ -244,6 +244,10 @@ def run_count(col: Column, pat: str) -> Column:
 
 
 def run_count_sql(col_sql: str, pat: str) -> str:
+    # loud guard (r10 review): a quote breaks the interpolated SQL
+    # literal, and a pattern able to match '#' breaks the
+    # replace-with-'#' counting identity in BOTH engines
+    assert "'" not in pat and "#" not in pat, pat
     return (
         f"CAST(length(regexp_replace({col_sql}, '{pat}', '#', 'g'))"
         f" - length(regexp_replace({col_sql}, '{pat}', '', 'g')) AS BIGINT)"

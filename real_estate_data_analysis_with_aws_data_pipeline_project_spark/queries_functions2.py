@@ -844,9 +844,9 @@ def pii_l_diversity_audit(spark, sf_dir):
 # quantized). int64 ceiling: N·max_cv < 2^63, documented like the
 # dow chi².
 
-_TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 5  # t = 0.2
+_TCLOSE_T_NUM, _TCLOSE_T_DEN = 1, 5  # t = NUM/DEN = 0.2
 
-_TCLOSE_ORACLE = """
+_TCLOSE_ORACLE = f"""
     WITH b AS (
         SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
                CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
@@ -878,7 +878,8 @@ _TCLOSE_ORACLE = """
                             / (2e0 * n * n_total)
                             * 1000000e0 + 0.5e0) AS BIGINT)
                  / 1000000e0, 6) AS tv_distance,
-           5 * (part + n * (n_total - presentg)) > 2 * n * n_total
+           {_TCLOSE_T_DEN} * (part + n * (n_total - presentg))
+               > 2 * {_TCLOSE_T_NUM} * n * n_total
                AS at_risk
     FROM cls
 """
@@ -946,7 +947,8 @@ def pii_t_closeness(spark, sf_dir):
             / F.expr("1000000e0"),
             6,
         ).alias("tv_distance"),
-        (F.lit(5) * numer > F.lit(2) * F.col("n") * F.col("n_total")).alias(
-            "at_risk"
-        ),
+        (
+            F.lit(_TCLOSE_T_DEN) * numer
+            > F.lit(2 * _TCLOSE_T_NUM) * F.col("n") * F.col("n_total")
+        ).alias("at_risk"),
     )

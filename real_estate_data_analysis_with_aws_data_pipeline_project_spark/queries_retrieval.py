@@ -661,8 +661,11 @@ def retrieval_rerank_token_f1(spark, sf_dir):
 _COSUPP_DEG_CAP = 40  # skip hub customers (skew guard, like _JACCARD_CAP)
 _COSUPP_TOP_K = 10  # partners kept per supplier
 
-_COSUPP_ORACLE = f"""
-    WITH e AS (
+# ONE definition of the capped edge relation for every graph oracle
+# built on it (projection, Jaccard) — the _BM25_SCORED_SQL precedent:
+# a cap or edge-definition change edits exactly one fragment (r10
+# review).
+_COSUPP_EDGES_SQL = f"""e AS (
         SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
@@ -672,7 +675,10 @@ _COSUPP_ORACLE = f"""
     ee AS (
         SELECT e.cust, e.supp FROM e JOIN deg USING (cust)
         WHERE deg.n_supp <= {_COSUPP_DEG_CAP}
-    ),
+    )"""
+
+_COSUPP_ORACLE = f"""
+    WITH {_COSUPP_EDGES_SQL},
     p AS (
         SELECT a.supp AS s1, b.supp AS s2,
                CAST(count(*) AS BIGINT) AS shared_customers
@@ -1570,7 +1576,6 @@ def retrieval_mrr_eval(spark, sf_dir):
         scored.orderBy(F.desc("bm25"), "doc_id")
         .limit(_MRR_K)
         .select(
-            F.lit("bm25").alias("retriever"),
             F.row_number().over(w_bm).cast("bigint").alias("rnk"),
             "rel",
         )
@@ -1579,16 +1584,18 @@ def retrieval_mrr_eval(spark, sf_dir):
         scored.orderBy(F.desc("qlm"), "doc_id")
         .limit(_MRR_K)
         .select(
-            F.lit("ql").alias("retriever"),
             F.row_number().over(w_ql).cast("bigint").alias("rnk"),
             "rel",
         )
     )
     rel_min = F.lit(_MRR_REL_MIN)
-    hits = (
-        bmtop.unionByName(qltop)
-        .groupBy("retriever")
-        .agg(
+
+    def _hits(top, tag):
+        # aggregate WITHOUT groupBy, exactly like the oracle's
+        # per-branch aggregates: one row per retriever even on an
+        # empty corpus (a groupBy would emit zero rows there and
+        # diverge structurally from the oracle — r10 review)
+        return top.agg(
             F.min(F.when(F.col("rel") >= rel_min, F.col("rnk"))).alias(
                 "first_rel_rank"
             ),
@@ -1598,8 +1605,9 @@ def retrieval_mrr_eval(spark, sf_dir):
             )
             .cast("bigint")
             .alias("hits_at_k"),
-        )
-    )
+        ).select(F.lit(tag).alias("retriever"), "*")
+
+    hits = _hits(bmtop, "bm25").unionByName(_hits(qltop, "ql"))
     nrel = scored.where(F.col("rel") >= rel_min).agg(
         F.count("*").cast("bigint").alias("n_relevant")
     )
@@ -1650,17 +1658,7 @@ def retrieval_mrr_eval(spark, sf_dir):
 _JACSIM_TOP = 20
 
 _JACSIM_ORACLE = f"""
-    WITH e AS (
-        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
-        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    ),
-    deg AS (
-        SELECT cust, CAST(count(*) AS BIGINT) AS n_supp FROM e GROUP BY cust
-    ),
-    ee AS (
-        SELECT e.cust, e.supp FROM e JOIN deg USING (cust)
-        WHERE deg.n_supp <= {_COSUPP_DEG_CAP}
-    ),
+    WITH {_COSUPP_EDGES_SQL},
     p AS (
         SELECT a.supp AS s1, b.supp AS s2,
                CAST(count(*) AS BIGINT) AS shared_customers
@@ -1694,7 +1692,12 @@ def graph_jaccard_similarity(spark, sf_dir):
     helpers (never an uncapped per-customer self-join); the degree
     relation is supplier-dimension-scale and joins onto the pair
     relation; the final top-20 is TakeOrderedAndProject on the
-    integer-exact micro-unit key."""
+    integer-exact micro-unit key. The ee relation feeds BOTH the pair
+    branch and the degree branch — AQE ReuseExchange dedups the
+    subtree (4 ReusedExchange nodes in the executed plan) and a
+    localCheckpoint(ee) variant measured SLOWER at sf0.1
+    (min-of-3 4.68 s vs 2.92 s), so no materialization — the
+    triangle-orientation precedent (r10 review)."""
     ee = _cosupp_capped_edges(spark, sf_dir)
     p = _cosupp_pairs(ee)
     sd = ee.groupBy("supp").agg(F.count("*").cast("bigint").alias("d"))

@@ -185,8 +185,6 @@ def test_group_moments_match_numpy(spark, sf_dir):
     """Skewness/kurtosis cross-check against an independent numpy
     population-moment computation (within one micro-unit of the
     quantized value)."""
-    import numpy as np
-
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
     rows = QUERIES["agg_exact_group_moments"].fn(spark, sf_dir).collect()
     assert rows
