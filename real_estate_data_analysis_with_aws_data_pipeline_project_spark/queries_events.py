@@ -1629,8 +1629,10 @@ def events_longest_streak(spark, sf_dir):
 
 # --- session transition matrix (round 8) ------------------------------------
 
-_TRANSITION_ORACLE = f"""
-    WITH o AS (
+# ONE definition of the within-session transition-count CTE chain for
+# every oracle built on it (transition matrix, stationary
+# distribution) — the _COSUPP_EDGES_SQL precedent.
+_TRANSITION_COUNTS_SQL = f"""o AS (
         SELECT user_id, ts, event_id, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    AS prev_ts
@@ -1661,7 +1663,10 @@ _TRANSITION_ORACLE = f"""
         SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
         FROM tr WHERE to_type IS NOT NULL
         GROUP BY 1, 2
-    ),
+    )"""
+
+_TRANSITION_ORACLE = f"""
+    WITH {_TRANSITION_COUNTS_SQL},
     t AS (
         SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
         FROM c GROUP BY from_type
@@ -1685,6 +1690,24 @@ def events_transition_matrix(spark, sf_dir):
     Scale: one user_id-partitioned sessionize + lead pass over the
     stream, then a |types|² aggregate with a broadcast row-sum
     normalizer."""
+    c = session_transition_counts(spark, sf_dir)
+    t = c.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+def session_transition_counts(spark, sf_dir):
+    """(from_type, to_type, n) within-session transition counts — ONE
+    definition of the sessionize + lead pass, shared by the transition
+    matrix and the stationary-distribution query (r10)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -1714,19 +1737,8 @@ def events_transition_matrix(spark, sf_dir):
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(sw).alias("to_type"),
     ).where(F.col("to_type").isNotNull())
-    c = tr.groupBy("from_type", "to_type").agg(
+    return tr.groupBy("from_type", "to_type").agg(
         F.count("*").cast("bigint").alias("n")
-    )
-    t = c.groupBy("from_type").agg(
-        F.sum("n").cast("bigint").alias("n_from")
-    )
-    return c.join(F.broadcast(t), "from_type").select(
-        "from_type",
-        "to_type",
-        "n",
-        F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias(
-            "p_transition"
-        ),
     )
 
 
@@ -2715,4 +2727,239 @@ def events_time_to_convert(spark, sf_dir):
         F.max(F.when(p90, F.col("delta")))
         .cast("bigint")
         .alias("p90_delay_us"),
+    )
+
+
+# --- daily event-type mix entropy (round 10) ----------------------------------
+#
+# Shannon entropy (bits) of each day's event-TYPE mix — the scalar
+# "did the traffic composition shift?" signal a feed monitor reads
+# before drilling into per-type drift: entropy collapsing toward 0
+# means one type is swallowing the feed, rising toward log2(|types|)
+# means the mix is flattening. Determinism per the micro-unit
+# contract (ROADMAP r9 #11b — round(x, 6) on a double is a HALF_UP
+# decimal-string op in Spark vs a binary op in DuckDB, and the first
+# sf0.001 sweep caught exactly that 1-micro divergence on two days):
+# integer counts, ONE IEEE division per term, log2 rounded 6 dp (the
+# cross-engine libm rule), each term integerized to BIGINT micro
+# units via floor(x·1e6 + 0.5), summed as integers (order-proof). A
+# single-type day's term is -(1)·0.0 = -0.0, which floor(+0.5) sends
+# to 0 in both engines.
+
+_TYPE_ENTROPY_ORACLE = """
+    WITH c AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT day, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_types
+        FROM c GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.day, t.tot, t.n_types,
+               CAST(floor(-(CAST(c.n AS DOUBLE) / t.tot)
+                          * round(log2(CAST(c.n AS DOUBLE) / t.tot), 6)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS tm
+        FROM c JOIN t USING (day)
+    )
+    SELECT day, tot AS n_events, n_types,
+           round(CAST(sum(tm) AS BIGINT) / 1000000e0, 6) AS entropy_bits
+    FROM terms GROUP BY 1, 2, 3
+"""
+
+
+def type_entropy_from_day_counts(c):
+    """Entropy report from the (event_type, day, n) per-type day
+    totals — shared by the batch query and the streaming tier (the
+    fano/acf/volume_anomaly_from_day_counts precedent). ``day`` must
+    be the 'yyyy-MM-dd' string grain (the streamed cube's native
+    format)."""
+    t = c.groupBy("day").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    tm = F.expr(
+        "CAST(floor(-(CAST(n AS DOUBLE) / tot)"
+        " * round(log2(CAST(n AS DOUBLE) / tot), 6)"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    terms = c.join(F.broadcast(t), "day").select(
+        "day", "tot", "n_types", tm.alias("tm")
+    )
+    return (
+        terms.groupBy("day", "tot", "n_types")
+        .agg(
+            F.round(
+                F.sum("tm").cast("bigint") / F.expr("1000000e0"), 6
+            ).alias("entropy_bits")
+        )
+        .select(
+            "day",
+            F.col("tot").alias("n_events"),
+            "n_types",
+            "entropy_bits",
+        )
+    )
+
+
+@register("events_type_entropy_daily", _TYPE_ENTROPY_ORACLE)
+def events_type_entropy_daily(spark, sf_dir):
+    """Daily Shannon entropy of the event-type mix — see the section
+    comment for the signal and the determinism contract.
+
+    Scale: one map-side-combined (day, type) aggregation over events;
+    the entropy algebra runs on the calendar-bounded (day × type)
+    relation with a broadcast day-total join."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+            "event_type",
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return type_entropy_from_day_counts(c)
+
+
+@register("streaming_type_entropy", _TYPE_ENTROPY_ORACLE)
+def streaming_type_entropy(spark, sf_dir):
+    """Structured Streaming: the SEVENTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to per-type day totals; grouping
+    those ACROSS types per day gives the daily mix entropy, so the
+    composition monitor shares the fold that already serves PSI, JSD,
+    day-of-week, Fano, ACF, and the volume alarm. No new state
+    schema, no new Python in the loop; the entropy algebra is the
+    batch twin's shared ``type_entropy_from_day_counts`` expressions,
+    so the report is bit-identical to the batch query and carries its
+    full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    cross-type day grouping runs on the emitted metadata-scale
+    cube."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    c = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+        # metadata-scale (type x calendar); consumed in two branches
+        # (day totals + the term join) — the dow-tier precedent, and
+        # required here: the un-checkpointed self-join fails analysis
+        # with conflicting cube references
+        .localCheckpoint(eager=True)
+    )
+    return type_entropy_from_day_counts(c)
+
+
+# --- Markov stationary distribution (round 10) --------------------------------
+#
+# Where does the session Markov chain SPEND its time? The stationary
+# distribution of the within-session transition matrix — the
+# steady-state companion to events_transition_matrix (the same
+# counts), computed by K unrolled power-iteration steps in EXACT
+# integer micro-units: probabilities quantize once to BIGINT micro
+# (floor(p·1e6 + 0.5)), each step is v'_j = (Σ_i v_i·p_ij) div 1e6 —
+# pure int64 arithmetic (products ≤ 1e12 per term), so every
+# iteration is bit-identical across engines and partitionings, unlike
+# float power iteration whose sum order drifts. K = 12 suffices for
+# micro-unit convergence on a 5-state chain (tested); the tiny floor
+# leak per step (< |states| micro) is deterministic and identical in
+# both engines.
+
+_MARKOV_ITERS = 12
+
+
+def _markov_oracle() -> str:
+    iters = ",\n    ".join(
+        f"""v{k} AS (
+        SELECT p.to_type AS state,
+               CAST(sum(v.m * p.pm) // 1000000 AS BIGINT) AS m
+        FROM v{k - 1} v JOIN pm p ON p.from_type = v.state
+        GROUP BY 1
+    )"""
+        for k in range(1, _MARKOV_ITERS + 1)
+    )
+    return f"""
+    WITH {_TRANSITION_COUNTS_SQL},
+    rs AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        FROM c GROUP BY 1
+    ),
+    pm AS (
+        SELECT c.from_type, c.to_type,
+               CAST(floor(CAST(c.n AS DOUBLE) / rs.n_from
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS pm
+        FROM c JOIN rs USING (from_type)
+    ),
+    st AS (SELECT from_type AS state FROM rs),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM st),
+    v0 AS (
+        SELECT state, CAST(1000000 // s AS BIGINT) AS m
+        FROM st CROSS JOIN ns
+    ),
+    {iters}
+    SELECT state, m AS stationary_micro,
+           round(m / 1000000e0, 6) AS stationary
+    FROM v{_MARKOV_ITERS}
+    """
+
+
+@register("events_markov_stationary", _markov_oracle())
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the within-session event-type Markov
+    chain via integer-exact power iteration — see the section comment
+    for the micro-unit determinism contract. States are the types
+    that ever transition OUT (a never-from type would absorb mass and
+    is excluded identically in both engines).
+
+    Scale: the heavy work is the ONE sessionize + lead pass shared
+    with events_transition_matrix; the |types|²-row probability
+    matrix is localCheckpointed (metadata-scale, consumed by all K
+    iteration joins) and each iteration is a tiny broadcast-size
+    join-aggregate."""
+    c = session_transition_counts(spark, sf_dir)
+    rs = c.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    pm = (
+        c.join(rs, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) / n_from"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("pm"),
+        )
+        # |types|² rows; consumed by every iteration join — checkpoint
+        # so the sessionize pass runs once, not K times
+        .localCheckpoint(eager=True)
+    )
+    st = pm.select(F.col("from_type").alias("state")).distinct()
+    ns = st.agg(F.count("*").cast("bigint").alias("s"))
+    v = st.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr("CAST(1000000 div s AS BIGINT)").alias("m")
+    )
+    for _ in range(_MARKOV_ITERS):
+        v = (
+            v.join(pm, F.col("state") == F.col("from_type"))
+            .groupBy("to_type")
+            .agg(
+                F.expr("CAST(sum(m * pm) div 1000000 AS BIGINT)").alias(
+                    "m"
+                )
+            )
+            .withColumnRenamed("to_type", "state")
+        )
+    return v.select(
+        "state",
+        F.col("m").alias("stationary_micro"),
+        F.round(F.col("m") / F.expr("1000000e0"), 6).alias("stationary"),
     )

@@ -1047,3 +1047,79 @@ def agg_exact_group_moments(spark, sf_dir):
         F.expr(_SKEW).alias("skewness"),
         F.expr(_KURT).alias("excess_kurtosis"),
     )
+
+
+# --- exact group correlation (round 10) ---------------------------------------
+#
+# Pearson correlation of quantity vs (whole-dollar) extended price per
+# return flag, from five int64 cross sums — the moments-family
+# treatment of corr(): Σx, Σy, Σxy, Σx², Σy² are exact order-proof
+# integers (y is floor(price) whole dollars so Σy² stays inside int64
+# to ~9e17 rows; price CENTS would overflow at sf0.1 already), the
+# normalized algebra runs in DOUBLE on an identical expression tree
+# in both engines (+,-,*,/ and sqrt are exactly-rounded IEEE), and the
+# coefficient is micro-unit quantized. A zero-variance side yields
+# NULL identically via NULLIF.
+
+_DX = "CAST(sx AS DOUBLE)"
+_DY = "CAST(sy AS DOUBLE)"
+_DXY = "CAST(sxy AS DOUBLE)"
+_DX2 = "CAST(sx2 AS DOUBLE)"
+_DY2 = "CAST(sy2 AS DOUBLE)"
+_CORR = _micro6(
+    f"({_DN}*{_DXY} - {_DX}*{_DY})"
+    f" / NULLIF(sqrt({_DN}*{_DX2} - {_DX}*{_DX})"
+    f" * sqrt({_DN}*{_DY2} - {_DY}*{_DY}), 0e0)"
+)
+
+_GROUP_CORR_ORACLE = f"""
+    WITH b AS (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sx2,
+               CAST(sum(y * y) AS BIGINT) AS sy2
+        FROM b GROUP BY 1
+    )
+    SELECT l_returnflag, n, {_CORR} AS corr_qty_price
+    FROM m
+"""
+
+
+@register("agg_group_correlation", _GROUP_CORR_ORACLE)
+def agg_group_correlation(spark, sf_dir):
+    """Exact per-group Pearson correlation between order-line quantity
+    and whole-dollar extended price — the bivariate companion to
+    agg_exact_group_moments, sum-order-proof by construction. See the
+    section comment for the int64 ceilings and the shared DOUBLE
+    expression tree.
+
+    Scale: ONE map-side-combined aggregate over lineitem producing
+    five int64 cross sums per group; the correlation algebra runs on
+    the |groups|-row relation. No window, no second scan."""
+    x = F.col("l_quantity").cast("bigint")
+    y = F.floor(F.col("l_extendedprice")).cast("bigint")
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", x.alias("x"), y.alias("y"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        )
+    )
+    return m.select(
+        "l_returnflag", "n", F.expr(_CORR).alias("corr_qty_price")
+    )

@@ -415,3 +415,96 @@ def test_hll_intersection_identity_and_envelope(spark, sf_dir):
     r = rows[0]
     assert r.exact_a + r.exact_b - r.exact_union == r.exact_intersection
     assert r.exact_intersection >= 0 and r.within_envelope
+
+
+# --- fifth r10 batch (post-pin -> r11 window) ---------------------------------
+
+
+def test_streaming_type_entropy_equals_batch(spark, sf_dir):
+    """Seventh report off the one streamed cube: the daily mix-entropy
+    tier must equal the batch twin row-for-row."""
+    def snap(name):
+        return {
+            r.day: (r.n_events, r.n_types, r.entropy_bits)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_type_entropy"), snap(
+        "events_type_entropy_daily"
+    )
+    assert stream == batch and stream
+
+
+def test_type_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(n_types) + quantization slack."""
+    import math
+
+    for r in QUERIES["events_type_entropy_daily"].fn(spark, sf_dir).collect():
+        assert -1e-6 <= r.entropy_bits <= math.log2(r.n_types) + 1e-5, r
+
+
+def test_group_correlation_matches_numpy(spark, sf_dir):
+    """Pearson correlation cross-check against numpy on the same
+    integer projections."""
+    import math
+
+    import numpy as np
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    for r in QUERIES["agg_group_correlation"].fn(spark, sf_dir).collect():
+        g = li[li.l_returnflag == r.l_returnflag]
+        x = g.l_quantity.to_numpy().astype("int64")
+        y = np.floor(g.l_extendedprice.to_numpy()).astype("int64")
+        c = np.corrcoef(x, y)[0, 1]
+        assert r.n == len(x)
+        assert abs(r.corr_qty_price - c) < 2e-6, (r, c)
+        assert -1.0 <= r.corr_qty_price <= 1.0
+
+
+def test_markov_stationary_is_fixed_point_and_conserves_mass(
+    spark, sf_dir
+):
+    """The emitted vector must (a) carry total mass 1e6 micro minus
+    the bounded floor leak (< iters * |states| micro), (b) be a fixed
+    point of one more integer iteration (within one micro per state —
+    i.e. K=12 converged), and (c) match an independent Python replica
+    of the same integer arithmetic exactly."""
+    rows = {
+        r.state: r.stationary_micro
+        for r in QUERIES["events_markov_stationary"].fn(spark, sf_dir).collect()
+    }
+    assert rows
+    tm = QUERIES["events_transition_matrix"].fn(spark, sf_dir).collect()
+    import math
+
+    # rebuild the micro transition matrix exactly as the query does
+    from collections import defaultdict
+
+    n = defaultdict(int)
+    rowsum = defaultdict(int)
+    for t in tm:
+        n[(t.from_type, t.to_type)] = t.n
+        rowsum[t.from_type] += t.n
+    pm = {
+        k: int(math.floor(v / rowsum[k[0]] * 1e6 + 0.5))
+        for k, v in n.items()
+    }
+    states = sorted(rowsum)
+    v = {s: 1_000_000 // len(states) for s in states}
+    for _ in range(12):
+        nxt = defaultdict(int)
+        for (f, t), p in pm.items():
+            if f in v:
+                nxt[t] += v[f] * p
+        v = {s: m // 1_000_000 for s, m in nxt.items()}
+    assert rows == v  # exact integer replica
+    leak_bound = 12 * len(states)
+    assert 1_000_000 - leak_bound <= sum(rows.values()) <= 1_000_000
+    # one more iteration moves no state by more than one micro
+    nxt = defaultdict(int)
+    for (f, t), p in pm.items():
+        if f in rows:
+            nxt[t] += rows[f] * p
+    v13 = {s: m // 1_000_000 for s, m in nxt.items()}
+    for s in rows:
+        assert abs(v13.get(s, 0) - rows[s]) <= 1, (s, rows[s], v13.get(s))

@@ -90,6 +90,10 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "join_asof_tolerance",
     "events_time_to_convert",
     "sketch_hll_intersection",
+    "events_type_entropy_daily",
+    "streaming_type_entropy",
+    "agg_group_correlation",
+    "events_markov_stationary",
 )
 
 
