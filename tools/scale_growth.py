@@ -109,6 +109,13 @@ QUERIES_UNDER_TEST = [
     # provable outdeg² <= 2|E| orientation gate blocked below (the
     # wedge-work comparison itself is reported, not gated).
     "graph_triangle_orientation_stats",
+    # round-10: Jaccard similarity shares the capped pair expansion the
+    # orientation gate already bounds — its wall must track the same
+    # linear edge growth; the Gini rank window is partitioned by type
+    # over the per-user counts, so wall must stay linear however many
+    # users a type accumulates.
+    "graph_jaccard_similarity",
+    "events_gini_concentration",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
