@@ -2963,3 +2963,174 @@ def events_markov_stationary(spark, sf_dir):
         F.col("m").alias("stationary_micro"),
         F.round(F.col("m") / F.expr("1000000e0"), 6).alias("stationary"),
     )
+
+
+# --- day-of-week seasonality STRENGTH (round 10) ------------------------------
+#
+# The effect-size companion to events_dow_seasonality's chi² test: a
+# chi² can be "significant" on a huge feed while the weekday effect
+# explains almost nothing. eta² = SSB/SST — the share of daily-count
+# variance explained by weekday — is the number that decides whether
+# weekday-aware thresholds are worth running. Computed over ACTIVE
+# days (days with >= 1 event; the silent-day densification question
+# belongs to the Fano factor, documented there). Determinism: per-dow
+# sums/counts are int64; each rational (S_g²/n_g, S²/n, Q − S²/n) is
+# ONE exactly-rounded IEEE division integerized to BIGINT micro units
+# via floor(x·1e6 + 0.5); the micro terms sum as integers
+# (order-proof) and the final eta² ratio is one more quantized
+# division. Ceiling: S_g² < 2^53 (≈ 9.5e7 events/day·dow cell),
+# documented like the dow chi².
+
+_DOW_STRENGTH_ORACLE = """
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(c) AS BIGINT) AS s_g
+        FROM dc GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s,
+               CAST(sum(c * c) AS BIGINT) AS q
+        FROM dc GROUP BY 1
+    ),
+    agg AS (
+        SELECT g.event_type,
+               CAST(sum(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS a
+        FROM g GROUP BY 1
+    )
+    SELECT t.event_type, t.n AS n_days,
+           CAST(a - floor(CAST(t.s AS DOUBLE) * t.s / t.n
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS ssb_micro,
+           CAST(floor((CAST(t.q AS DOUBLE)
+                       - CAST(t.s AS DOUBLE) * t.s / t.n)
+                      * 1000000e0 + 0.5e0) AS BIGINT) AS sst_micro,
+           CASE WHEN floor((CAST(t.q AS DOUBLE)
+                            - CAST(t.s AS DOUBLE) * t.s / t.n)
+                           * 1000000e0 + 0.5e0) > 0 THEN
+               round(CAST(floor(CAST(a - floor(CAST(t.s AS DOUBLE) * t.s
+                                               / t.n * 1000000e0 + 0.5e0)
+                                      AS DOUBLE)
+                                / floor((CAST(t.q AS DOUBLE)
+                                         - CAST(t.s AS DOUBLE) * t.s / t.n)
+                                        * 1000000e0 + 0.5e0)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS eta2_dow
+    FROM tot t JOIN agg USING (event_type)
+"""
+
+
+def dow_strength_from_day_counts(dc):
+    """Weekday-effect eta² report from the (event_type, day, c) day
+    counts — shared by the batch query and the streaming tier. ``day``
+    may be date, timestamp, or 'yyyy-MM-dd' string grain (isodow via
+    weekday(to_date(...)) handles all three under the UTC session)."""
+    g = dc.groupBy(
+        "event_type",
+        (F.expr("weekday(to_date(day))") + 1).cast("bigint").alias("dow"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s_g"),
+    )
+    tot = dc.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    agg = g.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("a")
+    )
+    b = F.expr(
+        "CAST(floor(CAST(s AS DOUBLE) * s / n * 1000000e0 + 0.5e0)"
+        " AS BIGINT)"
+    )
+    sst = F.expr(
+        "CAST(floor((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    j = tot.join(F.broadcast(agg), "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        (F.col("a") - b).cast("bigint").alias("ssb_micro"),
+        sst.alias("sst_micro"),
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        "ssb_micro",
+        "sst_micro",
+        F.when(
+            F.col("sst_micro") > 0,
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(ssb_micro AS DOUBLE) / sst_micro"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+        ).alias("eta2_dow"),
+    )
+
+
+@register("events_dow_strength", _DOW_STRENGTH_ORACLE)
+def events_dow_strength(spark, sf_dir):
+    """Weekday-effect strength eta² per event type — the variance
+    share the weekday explains, the effect size that decides whether
+    the dow chi²'s significance is worth acting on. See the section
+    comment for the micro-unit determinism contract.
+
+    Scale: one map-side-combined daily aggregation over events; the
+    ANOVA algebra runs on the (type × 7) and |types|-row relations."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return dow_strength_from_day_counts(dc)
+
+
+@register("streaming_dow_strength", _DOW_STRENGTH_ORACLE)
+def streaming_dow_strength(spark, sf_dir):
+    """Structured Streaming: the EIGHTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) cube in
+    ValueState sums to per-type day totals, which carry everything
+    the weekday-effect eta² needs, via the batch twin's shared
+    ``dow_strength_from_day_counts`` expressions. Bit-identical to
+    the batch query with its full oracle; no new state schema, no new
+    Python in the loop.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side aggregates the emitted metadata-scale cube."""
+    from .streaming.jobs import streaming_psi_cube
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    dc = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+        # metadata-scale (type x calendar); consumed by three branches
+        # (dow groups, totals, micro-term agg) — the entropy/dow-tier
+        # precedent, and required: the un-checkpointed multi-branch
+        # self-join fails analysis with conflicting cube references
+        .localCheckpoint(eager=True)
+    )
+    return dow_strength_from_day_counts(dc)

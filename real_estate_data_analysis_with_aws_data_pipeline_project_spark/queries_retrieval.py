@@ -1733,3 +1733,80 @@ def graph_jaccard_similarity(spark, sf_dir):
             ),
         )
     )
+
+
+# --- pseudo-relevance-feedback query expansion (round 10) ----------------------
+#
+# The classic RM1-style first step of query expansion: take the BM25
+# top-10, pool their tokens, drop the original query terms, and rank
+# candidate expansion terms by pooled term frequency (tie-broken by
+# token) — the deterministic integer core of PRF, with document
+# frequency alongside so a reranker can prefer focused terms. Pure
+# integer counts end-to-end: no score arithmetic at all, so the only
+# cross-engine surface is the tokenizer (already shared) and the
+# BM25 top-k ordering (the established (score desc, doc_id) key).
+
+_PRF_K_DOCS = 10
+_PRF_K_TERMS = 10
+
+_PRF_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    top AS (
+        SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id
+        LIMIT {_PRF_K_DOCS}
+    ),
+    w AS (
+        SELECT t.doc_id, unnest(t.toks) AS tok
+        FROM t JOIN top USING (doc_id)
+    ),
+    cand AS (
+        SELECT tok,
+               CAST(count(*) AS BIGINT) AS tf_topk,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df_topk
+        FROM w
+        WHERE tok <> ''
+          AND tok NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY 1
+    )
+    SELECT tok, tf_topk, df_topk
+    FROM cand ORDER BY tf_topk DESC, tok LIMIT {_PRF_K_TERMS}
+"""
+
+
+@register("retrieval_prf_expansion", _PRF_ORACLE)
+def retrieval_prf_expansion(spark, sf_dir):
+    """Top-10 pseudo-relevance-feedback expansion terms from the BM25
+    top-10 document pool — see the section comment. Everything after
+    the BM25 ranking is exact integer counting.
+
+    Scale: the top-10 doc ids come off the session-persisted
+    dual-scored relation (TakeOrderedAndProject) and broadcast into a
+    semi-join against the corpus, so only 10 documents re-tokenize;
+    the candidate aggregate runs on their token multiset and the
+    final top-10 is TakeOrderedAndProject on integer keys."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(_PRF_K_DOCS).select(
+        "doc_id"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    pooled = docs.join(F.broadcast(top), "doc_id").select(
+        "doc_id", F.explode(X.tokens()).alias("tok")
+    )
+    cand = (
+        pooled.where(
+            (F.col("tok") != "") & (~F.col("tok").isin(list(_BM25_TERMS)))
+        )
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("tf_topk"),
+            F.countDistinct("doc_id").cast("bigint").alias("df_topk"),
+        )
+    )
+    return cand.orderBy(F.desc("tf_topk"), "tok").limit(_PRF_K_TERMS)

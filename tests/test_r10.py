@@ -508,3 +508,51 @@ def test_markov_stationary_is_fixed_point_and_conserves_mass(
     v13 = {s: m // 1_000_000 for s, m in nxt.items()}
     for s in rows:
         assert abs(v13.get(s, 0) - rows[s]) <= 1, (s, rows[s], v13.get(s))
+
+
+# --- sixth r10 batch (post-pin -> r11 window) ---------------------------------
+
+
+def test_streaming_dow_strength_equals_batch(spark, sf_dir):
+    """Eighth report off the one streamed cube: the weekday-strength
+    tier must equal the batch twin row-for-row."""
+    def snap(name):
+        return {
+            r.event_type: (r.n_days, r.ssb_micro, r.sst_micro, r.eta2_dow)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_dow_strength"), snap(
+        "events_dow_strength"
+    )
+    assert stream == batch and stream
+
+
+def test_dow_strength_bounds(spark, sf_dir):
+    """0 <= SSB <= SST (within the one-micro floor slack), so
+    eta2 in [0, 1] up to quantization."""
+    for r in QUERIES["events_dow_strength"].fn(spark, sf_dir).collect():
+        assert r.sst_micro >= 0
+        assert -7 <= r.ssb_micro <= r.sst_micro + 7, r
+        if r.eta2_dow is not None:
+            assert -1e-5 <= r.eta2_dow <= 1.0 + 1e-5
+
+
+def test_prf_expansion_excludes_query_terms(spark, sf_dir):
+    """No expansion term may be an original query term or empty; tf
+    ordering must be descending with token tie-break; df <= 10."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _BM25_TERMS,
+    )
+
+    rows = QUERIES["retrieval_prf_expansion"].fn(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.tok and r.tok not in _BM25_TERMS
+        assert 1 <= r.df_topk <= 10 and r.tf_topk >= r.df_topk
+        if prev is not None:
+            assert (r.tf_topk, r.tok) <= (prev[0], "￿") and (
+                r.tf_topk < prev[0] or r.tok > prev[1]
+            )
+        prev = (r.tf_topk, r.tok)

@@ -183,6 +183,9 @@ EXTRA = [
     "streaming_type_entropy",
     "agg_group_correlation",
     "events_markov_stationary",
+    "events_dow_strength",
+    "streaming_dow_strength",
+    "retrieval_prf_expansion",
 ]
 
 
