@@ -3134,3 +3134,91 @@ def streaming_dow_strength(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     return dow_strength_from_day_counts(dc)
+
+
+# --- top-decile volume share (round 10) ----------------------------------------
+#
+# The Pareto companion to events_gini_concentration: what share of an
+# event type's volume comes from its top 10 % of users? The Gini is
+# the scale-free summary; this is the number an abuse reviewer quotes
+# ("3 % of accounts generate 80 % of clicks"). Exact integers
+# end-to-end: the decile cut k = ceil(n/10) is integer arithmetic,
+# ranks are the deterministic (count desc, user_id) positions, and
+# the share is one micro-unit-quantized division.
+
+_PARETO_ORACLE = """
+    WITH uc AS (
+        SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY x DESC, user_id)
+                    AS BIGINT) AS rn
+        FROM uc
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(x) AS BIGINT) AS total,
+               CAST((count(*) + 9) // 10 AS BIGINT) AS k
+        FROM r GROUP BY 1
+    )
+    SELECT m.event_type, m.n_users, m.k AS top_decile_users, m.total,
+           CAST(sum(CASE WHEN r.rn <= m.k THEN r.x ELSE 0 END) AS BIGINT)
+               AS top_decile_events,
+           round(CAST(floor(CAST(sum(CASE WHEN r.rn <= m.k
+                                          THEN r.x ELSE 0 END) AS DOUBLE)
+                            / m.total * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS top_decile_share
+    FROM m JOIN r USING (event_type)
+    GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("events_pareto_share", _PARETO_ORACLE)
+def events_pareto_share(spark, sf_dir):
+    """Share of each event type's volume generated by its top decile
+    of users — the quotable concentration number next to the Gini
+    coefficient. See the section comment for the exact-integer
+    contract.
+
+    Scale: the same (type, user) groupBy and type-partitioned rank
+    window the Gini already pays (never a global sort), then one
+    per-type aggregate."""
+    uc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("x"), "user_id")
+    r = uc.select(
+        "event_type", "x", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    m = r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("total"),
+        F.expr("CAST((count(*) + 9) div 10 AS BIGINT)").alias("k"),
+    )
+    j = r.join(F.broadcast(m), "event_type")
+    return j.groupBy("event_type", "n_users", "k", "total").agg(
+        F.sum(F.when(F.col("rn") <= F.col("k"), F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("top_decile_events"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(sum(CASE WHEN rn <= k THEN x ELSE 0 END)"
+                " AS DOUBLE) / total * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("top_decile_share"),
+    ).select(
+        "event_type",
+        "n_users",
+        F.col("k").alias("top_decile_users"),
+        "total",
+        "top_decile_events",
+        "top_decile_share",
+    )

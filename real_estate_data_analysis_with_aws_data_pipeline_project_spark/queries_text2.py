@@ -680,3 +680,97 @@ def text_readability_score(spark, sf_dir):
             6,
         ).alias("flesch_ease"),
     )
+
+
+# --- unigram distribution entropy per source (round 10) -------------------------
+#
+# Shannon entropy of each source's unigram (token) distribution — the
+# information-density cousin of TTR and the Zipf slope: low entropy
+# flags template/boilerplate-heavy sources whose token mass piles on
+# a few types even when raw vocabulary looks healthy. Same micro-unit
+# contract as the daily type-mix entropy (queries_events): ONE IEEE
+# division per term, log2 rounded 6 dp, BIGINT micro terms summed as
+# integers, plus the exact vocabulary/token counts and the micro-
+# quantized type-token ratio alongside.
+
+_UNIGRAM_ENTROPY_ORACLE = f"""
+    WITH w AS (
+        SELECT source, unnest({X.tokens_sql()}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE tok <> '' GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM c GROUP BY 1
+    ),
+    terms AS (
+        SELECT c.source, t.tot, t.vocab,
+               CAST(floor(-(CAST(c.n AS DOUBLE) / t.tot)
+                          * round(log2(CAST(c.n AS DOUBLE) / t.tot), 6)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS tm
+        FROM c JOIN t USING (source)
+    )
+    SELECT source, tot AS n_tokens, vocab,
+           round(CAST(sum(tm) AS BIGINT) / 1000000e0, 6) AS entropy_bits,
+           round(CAST(floor(CAST(vocab AS DOUBLE) / tot
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS type_token_ratio
+    FROM terms GROUP BY 1, 2, 3
+"""
+
+
+@register("text_unigram_entropy", _UNIGRAM_ENTROPY_ORACLE)
+def text_unigram_entropy(spark, sf_dir):
+    """Per-source unigram entropy + type-token ratio — see the section
+    comment for the signal and the micro-unit determinism contract.
+
+    Scale: one tokenize + (source, token) groupBy (map-side combined,
+    vocabulary-grain), per-source totals broadcast back onto the
+    vocabulary relation, integer term sum. Never a per-document state;
+    the vocabulary relation is the natural shuffle grain."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens()).alias("tok")
+    )
+    c = (
+        w.where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    tm = F.expr(
+        "CAST(floor(-(CAST(n AS DOUBLE) / tot)"
+        " * round(log2(CAST(n AS DOUBLE) / tot), 6)"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    terms = c.join(F.broadcast(t), "source").select(
+        "source", "tot", "vocab", tm.alias("tm")
+    )
+    return (
+        terms.groupBy("source", "tot", "vocab")
+        .agg(
+            F.round(
+                F.sum("tm").cast("bigint") / F.expr("1000000e0"), 6
+            ).alias("entropy_bits"),
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(vocab AS DOUBLE) / tot"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                ).cast("double")
+                / F.expr("1000000e0"),
+                6,
+            ).alias("type_token_ratio"),
+        )
+        .select(
+            "source",
+            F.col("tot").alias("n_tokens"),
+            "vocab",
+            "entropy_bits",
+            "type_token_ratio",
+        )
+    )

@@ -556,3 +556,33 @@ def test_prf_expansion_excludes_query_terms(spark, sf_dir):
                 r.tf_topk < prev[0] or r.tok > prev[1]
             )
         prev = (r.tf_topk, r.tok)
+
+
+def test_pareto_share_consistent_with_gini(spark, sf_dir):
+    """Pareto/Gini consistency: top-decile share must be at least the
+    uniform share k/n and at most 1; per-type user/event totals agree
+    with the Gini query."""
+    gini = {
+        r.event_type: (r.n_users, r.n_events)
+        for r in QUERIES["events_gini_concentration"].fn(spark, sf_dir).collect()
+    }
+    rows = QUERIES["events_pareto_share"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.n_users, r.total) == gini[r.event_type]
+        assert r.top_decile_users == (r.n_users + 9) // 10
+        assert r.top_decile_events <= r.total
+        uniform = r.top_decile_users / r.n_users
+        assert uniform - 1e-6 <= r.top_decile_share <= 1.0 + 1e-6
+
+
+def test_unigram_entropy_bounds(spark, sf_dir):
+    """0 <= H <= log2(vocab) + slack; TTR in (0, 1]; vocab <= tokens."""
+    import math
+
+    rows = QUERIES["text_unigram_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.vocab <= r.n_tokens
+        assert -1e-6 <= r.entropy_bits <= math.log2(r.vocab) + 1e-4
+        assert 0.0 < r.type_token_ratio <= 1.0

@@ -97,6 +97,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_dow_strength",
     "streaming_dow_strength",
     "retrieval_prf_expansion",
+    "events_pareto_share",
+    "text_unigram_entropy",
 )
 
 

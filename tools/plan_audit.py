@@ -186,6 +186,8 @@ EXTRA = [
     "events_dow_strength",
     "streaming_dow_strength",
     "retrieval_prf_expansion",
+    "events_pareto_share",
+    "text_unigram_entropy",
 ]
 
 
