@@ -1884,17 +1884,11 @@ def streaming_autocorrelation(spark, sf_dir):
     Scale: state stays (calendar × fixed buckets) per event type; the
     report side is a lag window + moment aggregate over the emitted
     metadata-scale cube."""
-    from .streaming.jobs import streaming_psi_cube
+    from .streaming.jobs import psi_cube_day_totals
 
-    cube = streaming_psi_cube(spark, sf_dir)
-    mw = Window.partitionBy("event_type")
-    dc = (
-        cube.withColumn("max_seq", F.max("seq").over(mw))
-        .where(F.col("seq") == F.col("max_seq"))
-        .groupBy("event_type", F.to_date("day").alias("day"))
-        .agg(F.sum("c").cast("bigint").alias("c"))
+    return acf_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
     )
-    return acf_from_day_counts(dc)
 
 
 # --- session path mining (round 9) -------------------------------------------
@@ -2240,17 +2234,11 @@ def streaming_fano_burstiness(spark, sf_dir):
     Scale: state stays (calendar × fixed buckets) per event type —
     bounded regardless of event volume; the report side is a
     metadata-scale aggregate over the emitted cube."""
-    from .streaming.jobs import streaming_psi_cube
+    from .streaming.jobs import psi_cube_day_totals
 
-    cube = streaming_psi_cube(spark, sf_dir)
-    mw = Window.partitionBy("event_type")
-    dc = (
-        cube.withColumn("max_seq", F.max("seq").over(mw))
-        .where(F.col("seq") == F.col("max_seq"))
-        .groupBy("event_type", F.to_date("day").alias("day"))
-        .agg(F.sum("c").cast("bigint").alias("c"))
+    return fano_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
     )
-    return fano_from_day_counts(dc)
 
 
 # --- day-of-week seasonality profile (round 9, late batch 2) ----------------
@@ -2599,17 +2587,11 @@ def streaming_volume_anomaly(spark, sf_dir):
     Scale: state stays (calendar × fixed buckets) per event type; the
     report side is a type-partitioned trailing window over the
     emitted metadata-scale cube."""
-    from .streaming.jobs import streaming_psi_cube
+    from .streaming.jobs import psi_cube_day_totals
 
-    cube = streaming_psi_cube(spark, sf_dir)
-    mw = Window.partitionBy("event_type")
-    dc = (
-        cube.withColumn("max_seq", F.max("seq").over(mw))
-        .where(F.col("seq") == F.col("max_seq"))
-        .groupBy("event_type", F.to_date("day").alias("day"))
-        .agg(F.sum("c").cast("bigint").alias("c"))
+    return volume_anomaly_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
     )
-    return volume_anomaly_from_day_counts(dc)
 
 
 # --- signup -> purchase time-to-convert (round 10) ----------------------------
@@ -2746,7 +2728,26 @@ def events_time_to_convert(spark, sf_dir):
 # single-type day's term is -(1)·0.0 = -0.0, which floor(+0.5) sends
 # to 0 in both engines.
 
-_TYPE_ENTROPY_ORACLE = """
+def entropy_term_micro_sql(n: str, tot: str) -> str:
+    """-p·log2(p) integerized to BIGINT micro units (p = n/tot) — ONE
+    definition of the Shannon term for every entropy query in either
+    engine (r10 review: four hand copies had accumulated). The libm
+    log2 is quantized with floor(x·1e6 + 0.5) rather than round(x, 6):
+    round-on-double is itself a cross-engine channel (Spark HALF_UP
+    on the shortest decimal repr vs DuckDB rounding the binary value —
+    the exact 1-micro class the first sf0.001 entropy sweep caught),
+    while floor of an exactly-rounded IEEE product is deterministic
+    everywhere except the same measure-zero boundary, with no second
+    rounding rule in play."""
+    p = f"(CAST({n} AS DOUBLE) / {tot})"
+    lg = (
+        f"(CAST(floor(log2({p}) * 1000000e0 + 0.5e0) AS BIGINT)"
+        " / 1000000e0)"
+    )
+    return f"CAST(floor(-{p} * {lg} * 1000000e0 + 0.5e0) AS BIGINT)"
+
+
+_TYPE_ENTROPY_ORACLE = f"""
     WITH c AS (
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                event_type, CAST(count(*) AS BIGINT) AS n
@@ -2759,9 +2760,7 @@ _TYPE_ENTROPY_ORACLE = """
     ),
     terms AS (
         SELECT c.day, t.tot, t.n_types,
-               CAST(floor(-(CAST(c.n AS DOUBLE) / t.tot)
-                          * round(log2(CAST(c.n AS DOUBLE) / t.tot), 6)
-                          * 1000000e0 + 0.5e0) AS BIGINT) AS tm
+               {entropy_term_micro_sql("c.n", "t.tot")} AS tm
         FROM c JOIN t USING (day)
     )
     SELECT day, tot AS n_events, n_types,
@@ -2780,11 +2779,7 @@ def type_entropy_from_day_counts(c):
         F.sum("n").cast("bigint").alias("tot"),
         F.count("*").cast("bigint").alias("n_types"),
     )
-    tm = F.expr(
-        "CAST(floor(-(CAST(n AS DOUBLE) / tot)"
-        " * round(log2(CAST(n AS DOUBLE) / tot), 6)"
-        " * 1000000e0 + 0.5e0) AS BIGINT)"
-    )
+    tm = F.expr(entropy_term_micro_sql("n", "tot"))
     terms = c.join(F.broadcast(t), "day").select(
         "day", "tot", "n_types", tm.alias("tm")
     )
@@ -2840,22 +2835,11 @@ def streaming_type_entropy(spark, sf_dir):
     Scale: state stays (calendar × fixed buckets) per event type; the
     cross-type day grouping runs on the emitted metadata-scale
     cube."""
-    from .streaming.jobs import streaming_psi_cube
+    from .streaming.jobs import psi_cube_day_totals
 
-    cube = streaming_psi_cube(spark, sf_dir)
-    mw = Window.partitionBy("event_type")
-    c = (
-        cube.withColumn("max_seq", F.max("seq").over(mw))
-        .where(F.col("seq") == F.col("max_seq"))
-        .groupBy("event_type", "day")
-        .agg(F.sum("c").cast("bigint").alias("n"))
-        # metadata-scale (type x calendar); consumed in two branches
-        # (day totals + the term join) — the dow-tier precedent, and
-        # required here: the un-checkpointed self-join fails analysis
-        # with conflicting cube references
-        .localCheckpoint(eager=True)
+    return type_entropy_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, alias="n", checkpoint=True)
     )
-    return type_entropy_from_day_counts(c)
 
 
 # --- Markov stationary distribution (round 10) --------------------------------
@@ -2888,21 +2872,25 @@ def _markov_oracle() -> str:
     )
     return f"""
     WITH {_TRANSITION_COUNTS_SQL},
+    st AS (SELECT DISTINCT from_type AS state FROM c),
+    c2 AS (
+        SELECT c.* FROM c JOIN st ON c.to_type = st.state
+    ),
     rs AS (
         SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
-        FROM c GROUP BY 1
+        FROM c2 GROUP BY 1
     ),
     pm AS (
-        SELECT c.from_type, c.to_type,
-               CAST(floor(CAST(c.n AS DOUBLE) / rs.n_from
+        SELECT c2.from_type, c2.to_type,
+               CAST(floor(CAST(c2.n AS DOUBLE) / rs.n_from
                           * 1000000e0 + 0.5e0) AS BIGINT) AS pm
-        FROM c JOIN rs USING (from_type)
+        FROM c2 JOIN rs USING (from_type)
     ),
-    st AS (SELECT from_type AS state FROM rs),
-    ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM st),
+    st2 AS (SELECT from_type AS state FROM rs),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS s FROM st2),
     v0 AS (
         SELECT state, CAST(1000000 // s AS BIGINT) AS m
-        FROM st CROSS JOIN ns
+        FROM st2 CROSS JOIN ns
     ),
     {iters}
     SELECT state, m AS stationary_micro,
@@ -2915,9 +2903,16 @@ def _markov_oracle() -> str:
 def events_markov_stationary(spark, sf_dir):
     """Stationary distribution of the within-session event-type Markov
     chain via integer-exact power iteration — see the section comment
-    for the micro-unit determinism contract. States are the types
-    that ever transition OUT (a never-from type would absorb mass and
-    is excluded identically in both engines).
+    for the micro-unit determinism contract. The chain is RESTRICTED
+    to the from-state set S before normalization: transitions into a
+    never-from (absorbing) type are dropped and each row renormalizes
+    over the kept support, so iterated mass stays inside the v-join
+    and conserves up to the floor leak (r10 review: without the
+    restriction an absorbing type's inflow silently vanished at the
+    next join and the output was not a distribution). A state whose
+    ENTIRE out-mass pointed outside S would still drop out (full
+    condensation is out of scope); the fixed-point test asserts the
+    fixture has none.
 
     Scale: the heavy work is the ONE sessionize + lead pass shared
     with events_transition_matrix; the |types|²-row probability
@@ -2925,11 +2920,15 @@ def events_markov_stationary(spark, sf_dir):
     iteration joins) and each iteration is a tiny broadcast-size
     join-aggregate."""
     c = session_transition_counts(spark, sf_dir)
-    rs = c.groupBy("from_type").agg(
+    states = c.select(F.col("from_type").alias("state")).distinct()
+    c2 = c.join(
+        F.broadcast(states), c["to_type"] == states["state"]
+    ).select("from_type", "to_type", "n")
+    rs = c2.groupBy("from_type").agg(
         F.sum("n").cast("bigint").alias("n_from")
     )
     pm = (
-        c.join(rs, "from_type")
+        c2.join(rs, "from_type")
         .select(
             "from_type",
             "to_type",
@@ -3118,22 +3117,11 @@ def streaming_dow_strength(spark, sf_dir):
 
     Scale: state stays (calendar × fixed buckets) per event type; the
     report side aggregates the emitted metadata-scale cube."""
-    from .streaming.jobs import streaming_psi_cube
+    from .streaming.jobs import psi_cube_day_totals
 
-    cube = streaming_psi_cube(spark, sf_dir)
-    mw = Window.partitionBy("event_type")
-    dc = (
-        cube.withColumn("max_seq", F.max("seq").over(mw))
-        .where(F.col("seq") == F.col("max_seq"))
-        .groupBy("event_type", "day")
-        .agg(F.sum("c").cast("bigint").alias("c"))
-        # metadata-scale (type x calendar); consumed by three branches
-        # (dow groups, totals, micro-term agg) — the entropy/dow-tier
-        # precedent, and required: the un-checkpointed multi-branch
-        # self-join fails analysis with conflicting cube references
-        .localCheckpoint(eager=True)
+    return dow_strength_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, checkpoint=True)
     )
-    return dow_strength_from_day_counts(dc)
 
 
 # --- top-decile volume share (round 10) ----------------------------------------

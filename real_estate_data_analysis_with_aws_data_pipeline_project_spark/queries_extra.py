@@ -953,8 +953,11 @@ def agg_exact_group_trimmed_mean(spark, sf_dir):
 # --- exact higher moments: skewness / kurtosis (round 10) --------------------
 #
 # Per-group skewness and excess kurtosis of lineitem quantities from
-# the raw integer power sums S1..S4 = Σx..Σx⁴ (x = l_quantity, an
-# integer 1..50, so the sums are int64-exact and ORDER-PROOF — no
+# the raw integer power sums S1..S4 = Σx..Σx⁴ (x = floor(l_quantity);
+# quantities are integral 1..50 so floor is the identity, but the
+# explicit floor keeps BOTH engines on the same double→int rule —
+# DuckDB's CAST rounds to nearest while Spark's truncates (r10
+# review) — making the sums int64-exact and ORDER-PROOF — no
 # sum-order FP drift by construction; S4's int64 ceiling is
 # ~1.4e12 rows at x<=50, documented like the dow chi²). The central-
 # moment algebra runs in DOUBLE on those exact sums with an identical
@@ -998,16 +1001,16 @@ _MOMENTS_ORACLE = f"""
     WITH m AS (
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
-               CAST(sum(CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
-               CAST(sum(CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
-               CAST(sum(CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)
-                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s2,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s3,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)
+                        * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS s4
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n, {_MEAN6} AS mean_qty,
@@ -1028,7 +1031,7 @@ def agg_exact_group_moments(spark, sf_dir):
     Scale: ONE map-side-combined aggregate over lineitem producing
     four int64 power sums per group; the moment algebra runs on the
     |groups|-row relation. No window, no second scan."""
-    q = F.col("l_quantity").cast("bigint")
+    q = F.floor(F.col("l_quantity")).cast("bigint")
     m = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1054,8 +1057,11 @@ def agg_exact_group_moments(spark, sf_dir):
 # Pearson correlation of quantity vs (whole-dollar) extended price per
 # return flag, from five int64 cross sums — the moments-family
 # treatment of corr(): Σx, Σy, Σxy, Σx², Σy² are exact order-proof
-# integers (y is floor(price) whole dollars so Σy² stays inside int64
-# to ~9e17 rows; price CENTS would overflow at sf0.1 already), the
+# integers (y = floor(price) whole dollars, y² <= ~1.1e10, so Σy²
+# stays inside int64 to ~8e8 rows PER GROUP, ~sf140 — price CENTS
+# would overflow at sf0.1 already; past that scale switch the sums to
+# DECIMAL(38,0), exact and order-proof in both engines), x uses the
+# same explicit floor rule as agg_exact_group_moments, and the
 # normalized algebra runs in DOUBLE on an identical expression tree
 # in both engines (+,-,*,/ and sqrt are exactly-rounded IEEE), and the
 # coefficient is micro-unit quantized. A zero-variance side yields
@@ -1075,7 +1081,7 @@ _CORR = _micro6(
 _GROUP_CORR_ORACLE = f"""
     WITH b AS (
         SELECT l_returnflag,
-               CAST(l_quantity AS BIGINT) AS x,
+               CAST(floor(l_quantity) AS BIGINT) AS x,
                CAST(floor(l_extendedprice) AS BIGINT) AS y
         FROM lineitem
     ),
@@ -1105,7 +1111,7 @@ def agg_group_correlation(spark, sf_dir):
     Scale: ONE map-side-combined aggregate over lineitem producing
     five int64 cross sums per group; the correlation algebra runs on
     the |groups|-row relation. No window, no second scan."""
-    x = F.col("l_quantity").cast("bigint")
+    x = F.floor(F.col("l_quantity")).cast("bigint")
     y = F.floor(F.col("l_extendedprice")).cast("bigint")
     m = (
         load_table(spark, sf_dir, "lineitem")

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from .operators import text as X
 from .queries_dedup import SHINGLES_SQL, cached_shingles
+from .queries_events import entropy_term_micro_sql
 from .registry import register
 from .sources.catalog import load_table
 
@@ -708,9 +709,7 @@ _UNIGRAM_ENTROPY_ORACLE = f"""
     ),
     terms AS (
         SELECT c.source, t.tot, t.vocab,
-               CAST(floor(-(CAST(c.n AS DOUBLE) / t.tot)
-                          * round(log2(CAST(c.n AS DOUBLE) / t.tot), 6)
-                          * 1000000e0 + 0.5e0) AS BIGINT) AS tm
+               {entropy_term_micro_sql("c.n", "t.tot")} AS tm
         FROM c JOIN t USING (source)
     )
     SELECT source, tot AS n_tokens, vocab,
@@ -743,11 +742,7 @@ def text_unigram_entropy(spark, sf_dir):
         F.sum("n").cast("bigint").alias("tot"),
         F.count("*").cast("bigint").alias("vocab"),
     )
-    tm = F.expr(
-        "CAST(floor(-(CAST(n AS DOUBLE) / tot)"
-        " * round(log2(CAST(n AS DOUBLE) / tot), 6)"
-        " * 1000000e0 + 0.5e0) AS BIGINT)"
-    )
+    tm = F.expr(entropy_term_micro_sql("n", "tot"))
     terms = c.join(F.broadcast(t), "source").select(
         "source", "tot", "vocab", tm.alias("tm")
     )

@@ -885,3 +885,34 @@ def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _run_to_memory(result, "stream_psi_cube", "update")
     return spark.table("stream_psi_cube")
+
+
+def psi_cube_day_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    alias: str = "c",
+    day_as_date: bool = False,
+    checkpoint: bool = False,
+) -> DataFrame:
+    """Per-type day totals off the streamed PSI cube's FINAL state —
+    the shared front half of every derived streaming tier (Fano, ACF,
+    volume anomaly, mix entropy, weekday strength): keep each key's
+    max-seq cube emission and sum its buckets per (event_type, day).
+    One definition of the latest-cube selection (r10 review: eight
+    hand copies had accumulated). ``checkpoint=True`` localCheckpoints
+    the metadata-scale result for reports that consume it in multiple
+    branches (the dow-tier precedent; also required where the
+    un-checkpointed multi-branch self-join fails analysis with
+    conflicting cube references)."""
+    from pyspark.sql import Window
+
+    cube = streaming_psi_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    day_col = F.to_date("day").alias("day") if day_as_date else F.col("day")
+    out = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .groupBy("event_type", day_col)
+        .agg(F.sum("c").cast("bigint").alias(alias))
+    )
+    return out.localCheckpoint(eager=True) if checkpoint else out

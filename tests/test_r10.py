@@ -477,14 +477,19 @@ def test_markov_stationary_is_fixed_point_and_conserves_mass(
     tm = QUERIES["events_transition_matrix"].fn(spark, sf_dir).collect()
     import math
 
-    # rebuild the micro transition matrix exactly as the query does
+    # rebuild the micro transition matrix exactly as the query does:
+    # restrict to the from-state set S (transitions into never-from
+    # absorbing types are dropped), THEN renormalize over the kept
+    # support (r10 review — the unrestricted chain leaked mass)
     from collections import defaultdict
 
+    from_states = {t.from_type for t in tm}
     n = defaultdict(int)
     rowsum = defaultdict(int)
     for t in tm:
-        n[(t.from_type, t.to_type)] = t.n
-        rowsum[t.from_type] += t.n
+        if t.to_type in from_states:
+            n[(t.from_type, t.to_type)] = t.n
+            rowsum[t.from_type] += t.n
     pm = {
         k: int(math.floor(v / rowsum[k[0]] * 1e6 + 0.5))
         for k, v in n.items()
