@@ -1794,3 +1794,80 @@ def dq_order_reconciliation(spark, sf_dir):
             F.max(F.abs("diff_e4")).cast("double") / 1000000.0, 4
         ).alias("max_abs_diff_dollars"),
     )
+
+
+# --- dedup yield report (round 10) --------------------------------------------
+#
+# The curator-facing summary of the whole near-dup family: for each
+# cluster SIZE in the MinHash component graph, how many clusters there
+# are and how many documents/tokens a keep-one-per-cluster policy
+# (keep = min doc_id, which IS the component label) would remove.
+# This is the number that justifies the dedup pipeline's cost —
+# "clusters of size 3 free up X tokens". Singleton docs never enter
+# the pair graph and save nothing, so the report starts at size 2.
+# Pure integer counts; no float arithmetic at all.
+
+_DEDUP_YIELD_ORACLE = f"""
+    WITH cc AS ({_CC_ORACLE}),
+    toks AS (
+        SELECT doc_id, {X.token_count_sql()} AS n_toks FROM documents
+    ),
+    cl AS (
+        SELECT cc.cluster_id,
+               CAST(count(*) AS BIGINT) AS cluster_size,
+               CAST(sum(t.n_toks) AS BIGINT) AS total_toks,
+               CAST(sum(CASE WHEN cc.doc_id = cc.cluster_id
+                             THEN t.n_toks ELSE 0 END) AS BIGINT)
+                   AS kept_toks
+        FROM cc JOIN toks t USING (doc_id)
+        GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS removable_docs,
+           CAST(sum(total_toks - kept_toks) AS BIGINT) AS removable_tokens
+    FROM cl GROUP BY 1
+"""
+
+
+@register("corpus_dedup_yield_report", _DEDUP_YIELD_ORACLE)
+def corpus_dedup_yield_report(spark, sf_dir):
+    """Cluster-size histogram of the near-dup component graph with the
+    document and token savings of a keep-one-per-cluster policy — see
+    the section comment. Everything is exact integer counting on top
+    of the already-oracle-checked component labels.
+
+    Scale: reuses the banded-LSH pair graph and the min-label
+    propagation (both bounded by the rehearsal's blocking
+    invariants); the report itself is one cluster-grain aggregate +
+    one size-grain aggregate over metadata-scale relations."""
+    cc = dedup_cluster_components(spark, sf_dir)
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count().alias("n_toks")
+    )
+    cl = (
+        cc.join(toks, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("cluster_size"),
+            F.sum("n_toks").cast("bigint").alias("total_toks"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("cluster_id"), F.col("n_toks")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("kept_toks"),
+        )
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).cast("bigint").alias(
+            "removable_docs"
+        ),
+        F.sum(F.col("total_toks") - F.col("kept_toks"))
+        .cast("bigint")
+        .alias("removable_tokens"),
+    )

@@ -591,3 +591,22 @@ def test_unigram_entropy_bounds(spark, sf_dir):
         assert 1 <= r.vocab <= r.n_tokens
         assert -1e-6 <= r.entropy_bits <= math.log2(r.vocab) + 1e-4
         assert 0.0 < r.type_token_ratio <= 1.0
+
+
+def test_dedup_yield_report_conserves_components(spark, sf_dir):
+    """The yield histogram must partition the component node set: sum
+    of n_docs equals the component row count, removable = docs minus
+    clusters, kept tokens stay positive, and every cluster has size
+    >= 2 (singletons never enter the pair graph)."""
+    rows = QUERIES["corpus_dedup_yield_report"].fn(spark, sf_dir).collect()
+    assert rows
+    cc = QUERIES["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    n_nodes = len(cc)
+    n_clusters = len({r.cluster_id for r in cc})
+    assert sum(r.n_docs for r in rows) == n_nodes
+    assert sum(r.n_clusters for r in rows) == n_clusters
+    assert sum(r.removable_docs for r in rows) == n_nodes - n_clusters
+    for r in rows:
+        assert r.cluster_size >= 2
+        assert r.removable_docs == (r.cluster_size - 1) * r.n_clusters
+        assert r.removable_tokens >= 0

@@ -99,6 +99,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "retrieval_prf_expansion",
     "events_pareto_share",
     "text_unigram_entropy",
+    "corpus_dedup_yield_report",
 )
 
 

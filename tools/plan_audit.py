@@ -188,6 +188,7 @@ EXTRA = [
     "retrieval_prf_expansion",
     "events_pareto_share",
     "text_unigram_entropy",
+    "corpus_dedup_yield_report",
 ]
 
 
