@@ -97,6 +97,13 @@ BASELINE_SEC = {
     # full runs, calibrations 1.13/1.21)
     "retrieval_query_likelihood": 0.57,
     "dq_order_reconciliation": 0.94,
+    # round-10: new headline rows measured at landing (BASELINE.md
+    # "Round-10 headline promotions"; the host oscillated between calm
+    # and stolen windows all session, so the baseline is the MIN over
+    # 13 warm runs spanning both — the same intrinsic-cost estimator
+    # the bench itself uses, with the full run lists recorded)
+    "events_gini_concentration": 0.33,
+    "graph_jaccard_similarity": 2.16,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

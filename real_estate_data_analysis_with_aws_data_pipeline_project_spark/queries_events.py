@@ -2420,7 +2420,7 @@ _GINI_ORACLE = """
 """
 
 
-@register("events_gini_concentration", _GINI_ORACLE)
+@register("events_gini_concentration", _GINI_ORACLE, headline=True)
 def events_gini_concentration(spark, sf_dir):
     """Gini coefficient of each event type's per-user volume
     distribution — the concentration diagnostic that flags types

@@ -1680,7 +1680,7 @@ _JACSIM_ORACLE = f"""
 """
 
 
-@register("graph_jaccard_similarity", _JACSIM_ORACLE)
+@register("graph_jaccard_similarity", _JACSIM_ORACLE, headline=True)
 def graph_jaccard_similarity(spark, sf_dir):
     """Top-20 supplier pairs by customer-neighbor-set Jaccard
     similarity on the hub-capped purchase graph — the degree-
