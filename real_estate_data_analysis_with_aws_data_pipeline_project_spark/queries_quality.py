@@ -1871,3 +1871,106 @@ def corpus_dedup_yield_report(spark, sf_dir):
         .cast("bigint")
         .alias("removable_tokens"),
     )
+
+
+# --- LM perplexity drift across the split (round 10) --------------------------
+#
+# Does the held-out split read like the training split to the corpus
+# LM? A large gap in mean per-bigram log2 probability means the
+# deterministic hash split is NOT exchangeable (or the corpus has a
+# hidden stratum) — the distribution-shift signal the bucket-histogram
+# PSI misses because it looks at VALUES, not language. Per-doc scores
+# are the oracle-checked quality_bigram_lm_ppl relation (already
+# rounded at 4 dp); each becomes an exact e4 integer via
+# floor(x·1e4 + 0.5), split sums are int64 (order-proof), the two
+# means are micro-unit quantized, and the drift is the exact BIGINT
+# difference of those quantized means.
+
+_PPL_DRIFT_ORACLE = f"""
+    WITH lm AS ({_LM_ORACLE}),
+    s AS (
+        SELECT lm.doc_id,
+               substr(md5(CAST(lm.doc_id AS VARCHAR)), 1, 2) < 'cc'
+                   AS is_train,
+               CAST(floor(lm.avg_log2_prob * 10000e0 + 0.5e0) AS BIGINT)
+                   AS e4
+        FROM lm
+    ),
+    m AS (
+        SELECT is_train,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(e4) AS BIGINT) AS s_e4
+        FROM s GROUP BY 1
+    ),
+    q AS (
+        SELECT is_train, n_docs,
+               CAST(floor(CAST(s_e4 AS DOUBLE) / n_docs / 10000e0
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS mean_micro
+        FROM m
+    )
+    SELECT t.n_docs AS n_train_docs, e.n_docs AS n_eval_docs,
+           round(t.mean_micro / 1000000e0, 6) AS mean_train_log2,
+           round(e.mean_micro / 1000000e0, 6) AS mean_eval_log2,
+           round((t.mean_micro - e.mean_micro) / 1000000e0, 6)
+               AS drift_log2
+    FROM (SELECT * FROM q WHERE is_train) t
+    CROSS JOIN (SELECT * FROM q WHERE NOT is_train) e
+"""
+
+
+@register("quality_perplexity_drift", _PPL_DRIFT_ORACLE)
+def quality_perplexity_drift(spark, sf_dir):
+    """Mean bigram-LM log2 probability of the train split vs the
+    held-out split, with the exact drift between them — the
+    language-level distribution-shift audit for the deterministic
+    hash split. See the section comment for the e4/micro integer
+    contract.
+
+    Scale: reuses the LM scorer's one scoring pass (vocabulary-scale
+    broadcast count tables); the drift report is two 1-row aggregates
+    and one broadcast cross join."""
+    lm = quality_bigram_lm_ppl(spark, sf_dir)
+    s = lm.select(
+        (
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            )
+            < "cc"
+        ).alias("is_train"),
+        F.expr(
+            "CAST(floor(avg_log2_prob * 10000e0 + 0.5e0) AS BIGINT)"
+        ).alias("e4"),
+    )
+    m = s.groupBy("is_train").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("e4").cast("bigint").alias("s_e4"),
+    )
+    q = m.select(
+        "is_train",
+        "n_docs",
+        F.expr(
+            "CAST(floor(CAST(s_e4 AS DOUBLE) / n_docs / 10000e0"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    t = q.where(F.col("is_train")).select(
+        F.col("n_docs").alias("n_train_docs"),
+        F.col("mean_micro").alias("t_micro"),
+    )
+    e = q.where(~F.col("is_train")).select(
+        F.col("n_docs").alias("n_eval_docs"),
+        F.col("mean_micro").alias("e_micro"),
+    )
+    return t.crossJoin(F.broadcast(e)).select(
+        "n_train_docs",
+        "n_eval_docs",
+        F.round(F.col("t_micro") / F.expr("1000000e0"), 6).alias(
+            "mean_train_log2"
+        ),
+        F.round(F.col("e_micro") / F.expr("1000000e0"), 6).alias(
+            "mean_eval_log2"
+        ),
+        F.round(
+            (F.col("t_micro") - F.col("e_micro")) / F.expr("1000000e0"), 6
+        ).alias("drift_log2"),
+    )

@@ -610,3 +610,33 @@ def test_dedup_yield_report_conserves_components(spark, sf_dir):
         assert r.cluster_size >= 2
         assert r.removable_docs == (r.cluster_size - 1) * r.n_clusters
         assert r.removable_tokens >= 0
+
+
+def test_perplexity_drift_matches_scorer(spark, sf_dir):
+    """The drift report must recompute exactly from the per-doc LM
+    scores and the md5 split rule."""
+    import hashlib
+    import math
+
+    lm = {
+        r.doc_id: r.avg_log2_prob
+        for r in QUERIES["quality_bigram_lm_ppl"].fn(spark, sf_dir).collect()
+    }
+    rows = QUERIES["quality_perplexity_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+
+    def is_train(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < "cc"
+
+    def mean_micro(vals):
+        s = sum(int(math.floor(v * 1e4 + 0.5)) for v in vals)
+        return int(math.floor(s / len(vals) / 1e4 * 1e6 + 0.5))
+
+    tr = [v for d, v in lm.items() if is_train(d)]
+    ev = [v for d, v in lm.items() if not is_train(d)]
+    assert (r.n_train_docs, r.n_eval_docs) == (len(tr), len(ev))
+    t_micro, e_micro = mean_micro(tr), mean_micro(ev)
+    assert r.mean_train_log2 == round(t_micro / 1e6, 6)
+    assert r.mean_eval_log2 == round(e_micro / 1e6, 6)
+    assert r.drift_log2 == round((t_micro - e_micro) / 1e6, 6)

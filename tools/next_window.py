@@ -100,6 +100,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_pareto_share",
     "text_unigram_entropy",
     "corpus_dedup_yield_report",
+    "quality_perplexity_drift",
 )
 
 

@@ -189,6 +189,7 @@ EXTRA = [
     "events_pareto_share",
     "text_unigram_entropy",
     "corpus_dedup_yield_report",
+    "quality_perplexity_drift",
 ]
 
 
