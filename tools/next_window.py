@@ -74,34 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "streaming_fano_burstiness",
-    "agg_histogram_group_percentiles",
-    "retrieval_mrr_eval",
-    "streaming_autocorrelation",
-    "events_gini_concentration",
-    "dq_volume_anomaly",
-    "agg_exact_group_moments",
-    "features_scaling_params",
-    "streaming_volume_anomaly",
-    "pii_t_closeness",
-    "text_readability_score",
-    "graph_jaccard_similarity",
-    "join_asof_tolerance",
-    "events_time_to_convert",
-    "sketch_hll_intersection",
-    "events_type_entropy_daily",
-    "streaming_type_entropy",
-    "agg_group_correlation",
-    "events_markov_stationary",
-    "events_dow_strength",
-    "streaming_dow_strength",
-    "retrieval_prf_expansion",
-    "events_pareto_share",
-    "text_unigram_entropy",
-    "corpus_dedup_yield_report",
-    "quality_perplexity_drift",
-)
+# Reset at the r11 pin (the 26 r10 post-pin additions now lead the r11
+# rotation's never-green front); append every r11 post-pin registration
+# below as it lands.
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
