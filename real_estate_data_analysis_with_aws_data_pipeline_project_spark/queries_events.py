@@ -2466,7 +2466,10 @@ def events_gini_concentration(spark, sf_dir):
 # --- daily volume anomaly audit (round 10) -----------------------------------
 #
 # The feed-freshness twin of the CUSUM change-point: per (type, day),
-# compare the day's count against the trailing 7-day mean and flag
+# compare the day's count against the mean of the trailing 7 ACTIVE
+# days (a ROWS window over observed day rows — after silent days the
+# baseline reaches further back in calendar time; a RANGE window on
+# the day key would bound it to 7 calendar days instead) and flag
 # days that at least double or at most halve it — the first-line
 # volume alarm a data-quality dashboard runs on every ingest feed.
 # The anomaly test is EXACT integer arithmetic (c·n_prev vs
@@ -2504,8 +2507,10 @@ _VOLUME_ANOMALY_ORACLE = """
 @register("dq_volume_anomaly", _VOLUME_ANOMALY_ORACLE)
 def dq_volume_anomaly(spark, sf_dir):
     """Daily volume anomaly audit per event type: each day's count
-    vs the trailing 7-day mean (needs >= 3 trailing days to judge),
-    flagging days that double or halve the baseline. The flag is an
+    vs the mean of the trailing 7 ACTIVE days (ROWS window over
+    observed days, not calendar days — see the section comment;
+    needs >= 3 trailing days to judge), flagging days that double or
+    halve the baseline. The flag is an
     exact cross-multiplied integer comparison; only the REPORTED
     ratio divides (micro-unit quantized) — see the section comment.
 
@@ -2576,7 +2581,7 @@ def streaming_volume_anomaly(spark, sf_dir):
     """Structured Streaming: the SIXTH report off the ONE streamed
     sufficient statistic — the PSI tier's (day, bucket) count cube in
     ValueState sums over buckets to the per-day totals the trailing-
-    7-day volume alarm runs on, so the feed's first-line anomaly
+    7-active-day volume alarm runs on, so the feed's first-line anomaly
     monitor shares the fold that already serves PSI, JSD, day-of-week,
     Fano, and the ACF. No new state schema, no new Python in the
     loop; the trailing window and the exact integer flag are the

@@ -1538,7 +1538,7 @@ _MRR_ORACLE = f"""
                                AS BIGINT) / 1000000e0, 6), 0e0)
                AS mrr_at_10,
            coalesce(round(CAST(floor(CAST(hits_at_k AS DOUBLE)
-                                     / NULLIF(least({_MRR_K}, n_relevant), 0)
+                                     / NULLIF(n_relevant, 0)
                                      * 1000000e0 + 0.5e0) AS BIGINT)
                           / 1000000e0, 6), 0e0)
                AS recall_at_10
@@ -1548,13 +1548,16 @@ _MRR_ORACLE = f"""
 
 @register("retrieval_mrr_eval", _MRR_ORACLE)
 def retrieval_mrr_eval(spark, sf_dir):
-    """MRR@10 and recall@10 for both retrievers (BM25 and Dirichlet
-    query likelihood) against the deterministic term-coverage
-    relevance grade at rel >= _MRR_REL_MIN — the first-hit-speed and
-    coverage companions to retrieval_ndcg_eval's full-ordering grade.
-    A retriever that never surfaces a relevant doc in its top-10
-    scores MRR 0, the convention that keeps the metric summable
-    across query sets.
+    """MRR@10 and standard recall@10 for both retrievers (BM25 and
+    Dirichlet query likelihood) against the deterministic
+    term-coverage relevance grade at rel >= _MRR_REL_MIN — the
+    first-hit-speed and coverage companions to retrieval_ndcg_eval's
+    full-ordering grade. recall_at_10 = hits_at_k / n_relevant, the
+    corpus-wide relevant-set denominator (NOT the min(k, n_relevant)
+    R-precision cap — with 100 relevant docs and 10 hits it reads
+    0.1, not 1.0; r10 ADVICE). A retriever that never surfaces a
+    relevant doc in its top-10 scores MRR 0, the convention that
+    keeps the metric summable across query sets.
 
     Scale: both top-10s are TakeOrderedAndProject over the one-pass
     scored corpus; the rank windows run over <= 10 limit-bounded rows
@@ -1631,7 +1634,7 @@ def retrieval_mrr_eval(spark, sf_dir):
             F.round(
                 F.expr(
                     "CAST(floor(CAST(hits_at_k AS DOUBLE)"
-                    f" / NULLIF(least({_MRR_K}, n_relevant), 0)"
+                    " / NULLIF(n_relevant, 0)"
                     " * 1000000e0 + 0.5e0) AS BIGINT)"
                 )
                 / F.expr("1000000e0"),

@@ -110,8 +110,9 @@ def test_streaming_autocorrelation_equals_batch(spark, sf_dir):
 
 def test_mrr_consistent_with_relevance_grade(spark, sf_dir):
     """MRR/recall invariants: mrr = 1/first_rel_rank (micro-quantized),
-    hits <= 10, recall = hits/min(10, n_relevant), and both retriever
-    rows agree on the corpus-wide relevant count."""
+    hits <= 10, standard recall = hits/n_relevant (r10 ADVICE: the
+    corpus-wide denominator, not the min(10, ·) R-precision cap), and
+    both retriever rows agree on the corpus-wide relevant count."""
     rows = {
         r.retriever: r
         for r in QUERIES["retrieval_mrr_eval"].fn(spark, sf_dir).collect()
@@ -127,7 +128,7 @@ def test_mrr_consistent_with_relevance_grade(spark, sf_dir):
             assert 1 <= r.first_rel_rank <= 10
             expect = round(int(1_000_000 / r.first_rel_rank + 0.5) / 1e6, 6)
             assert r.mrr_at_10 == expect
-        den = min(10, r.n_relevant)
+        den = r.n_relevant
         if den:
             assert abs(r.recall_at_10 - r.hits_at_k / den) < 1e-6
 
