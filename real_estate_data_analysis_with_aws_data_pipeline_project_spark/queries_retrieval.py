@@ -28,6 +28,8 @@ RRF (Cormack et al., k=60) formulations.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1787,6 +1789,14 @@ def retrieval_prf_expansion(spark, sf_dir):
     semi-join against the corpus, so only 10 documents re-tokenize;
     the candidate aggregate runs on their token multiset and the
     final top-10 is TakeOrderedAndProject on integer keys."""
+    cand = _prf_candidates(spark, sf_dir)
+    return cand.orderBy(F.desc("tf_topk"), "tok").limit(_PRF_K_TERMS)
+
+
+def _prf_candidates(spark, sf_dir) -> DataFrame:
+    """(tok, tf_topk, df_topk) over the BM25 top-10 document pool,
+    original query terms excluded — the RM1 candidate relation shared
+    by retrieval_prf_expansion and retrieval_rm3_interpolated."""
     scored = session_cached(
         spark,
         "retrieval_dual_scored",
@@ -1802,7 +1812,7 @@ def retrieval_prf_expansion(spark, sf_dir):
     pooled = docs.join(F.broadcast(top), "doc_id").select(
         "doc_id", F.explode(X.tokens()).alias("tok")
     )
-    cand = (
+    return (
         pooled.where(
             (F.col("tok") != "") & (~F.col("tok").isin(list(_BM25_TERMS)))
         )
@@ -1812,4 +1822,198 @@ def retrieval_prf_expansion(spark, sf_dir):
             F.countDistinct("doc_id").cast("bigint").alias("df_topk"),
         )
     )
-    return cand.orderBy(F.desc("tf_topk"), "tok").limit(_PRF_K_TERMS)
+
+
+# --- RM3 interpolated query expansion (round 11) -------------------------------
+#
+# The full RM3 step on top of retrieval_prf_expansion's RM1 pool
+# (ROADMAP candidate r11 #5): the expanded query interpolates the
+# original uniform query model at lambda = 0.6 with the RM1 feedback
+# model (expansion-term weight proportional to pooled tf over the
+# selected top-10 terms), then the corpus is RE-SCORED against the
+# 14-term weighted query with the same BM25 term machinery and
+# constants. Every term weight is a fixed integer micro-unit
+# (original terms exactly 600000/4 = 150000 each; expansion term e
+# gets floor(400000 * tf_e / sum_tf + 0.5)), and each term's weighted
+# contribution is floored to BIGINT micro BEFORE the per-document
+# sum, so the total is an integer addition — order-independent across
+# partitionings and engines, never a float aggregate. The Spark side
+# collects the 10 expansion (term, tf) rows to build a fixed-column
+# tf projection (bounded model collect — the IVF k-centroids
+# precedent) and keeps the re-score itself a single whole-stage
+# codegen pass: per-term array-filter counts + a fixed-order 14-term
+# integer sum, no token explode, no extra shuffle. The oracle derives
+# the identical term set and weights purely in SQL and re-scores via
+# a token-level join — different plan, same integers.
+
+_RM3_LAMBDA_ORIG_MICRO = 600_000  # lambda = 0.6 toward the original query
+_RM3_LAMBDA_EXP_MICRO = 400_000
+_RM3_TOP_K = 10
+
+_RM3_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    top AS (
+        SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id
+        LIMIT {_PRF_K_DOCS}
+    ),
+    pooled AS (
+        SELECT t.doc_id, unnest(t.toks) AS tok
+        FROM t JOIN top USING (doc_id)
+    ),
+    exp_terms AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS tf_topk
+        FROM pooled
+        WHERE tok <> ''
+          AND tok NOT IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+        GROUP BY 1
+        ORDER BY tf_topk DESC, tok LIMIT {_PRF_K_TERMS}
+    ),
+    exp_sum AS (
+        SELECT CAST(sum(tf_topk) AS BIGINT) AS s FROM exp_terms
+    ),
+    qterms AS (
+        SELECT tok,
+               CAST({_RM3_LAMBDA_ORIG_MICRO // len(_BM25_TERMS)} AS BIGINT)
+                   AS w_micro
+        FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)}) v(tok)
+        UNION ALL
+        SELECT tok,
+               CAST(floor(CAST({_RM3_LAMBDA_EXP_MICRO} * tf_topk AS DOUBLE)
+                          / s + 0.5) AS BIGINT)
+        FROM exp_terms CROSS JOIN exp_sum
+    ),
+    toktf AS (
+        SELECT u.doc_id, u.tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+        JOIN qterms q ON q.tok = u.tok
+        GROUP BY 1, 2
+    ),
+    tdf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toktf GROUP BY 1
+    ),
+    contrib AS (
+        SELECT tt.doc_id,
+               CAST(floor(q.w_micro
+                     * (round(ln(1 + (s.n_docs - d.df + 0.5)
+                                 / (d.df + 0.5)), 6)
+                        * (tt.tf * {_BM25_K1_PLUS_1})
+                        / (tt.tf + {_BM25_K1} * ({_BM25_ONE_MINUS_B}
+                           + {_BM25_B} * f.dl / s.avgdl)))
+                     + 0.5) AS BIGINT) AS c
+        FROM toktf tt
+        JOIN qterms q ON q.tok = tt.tok
+        JOIN tdf d ON d.tok = tt.tok
+        JOIN f ON f.doc_id = tt.doc_id
+        CROSS JOIN stats s
+    ),
+    rm3 AS (
+        SELECT f.doc_id,
+               CAST(coalesce(sum(c.c), 0) AS BIGINT) AS rm3_micro
+        FROM f LEFT JOIN contrib c ON c.doc_id = f.doc_id
+        GROUP BY 1
+    )
+    SELECT r.doc_id,
+           round(r.rm3_micro / 1000000e0, 6) AS rm3_score,
+           sc.bm25 AS bm25_orig
+    FROM rm3 r JOIN scored sc ON sc.doc_id = r.doc_id
+    ORDER BY r.rm3_micro DESC, r.doc_id
+    LIMIT {_RM3_TOP_K}
+"""
+
+
+@register("retrieval_rm3_interpolated", _RM3_ORACLE)
+def retrieval_rm3_interpolated(spark, sf_dir):
+    """RM3 interpolated re-query: the corpus re-ranked against the
+    14-term expanded query (original terms at lambda = 0.6, RM1
+    expansion terms at 0.4 weighted by pooled tf), every weight and
+    per-term contribution a fixed integer micro-unit — see the
+    section comment. bm25_orig rides along so the output shows the
+    re-ranking shift against the unexpanded retriever.
+
+    Scale: the expansion-term model is a 10-row bounded collect off
+    the PRF candidate aggregate (the IVF k-centroids precedent); the
+    re-score is ONE corpus pass with fixed-column array-filter tf
+    counts, two 1-row broadcast stats, a fixed-order 14-term integer
+    sum, and a TakeOrderedAndProject on (rm3_micro, doc_id) — no
+    token explode, no per-term shuffle, nothing driver-side beyond
+    the 10-row model."""
+    cand = _prf_candidates(spark, sf_dir)
+    exp_rows = (
+        cand.orderBy(F.desc("tf_topk"), "tok")
+        .limit(_PRF_K_TERMS)
+        .select("tok", "tf_topk")
+        .collect()
+    )
+    s = sum(r.tf_topk for r in exp_rows)
+    orig_w = _RM3_LAMBDA_ORIG_MICRO // len(_BM25_TERMS)
+    terms: list[tuple[str, int]] = [(t, orig_w) for t in _BM25_TERMS]
+    if s:
+        terms += [
+            (
+                r.tok,
+                math.floor(_RM3_LAMBDA_EXP_MICRO * r.tf_topk / s + 0.5),
+            )
+            for r in exp_rows
+        ]
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", X.tokens().alias("toks"))
+
+    def _eq(term: str):
+        # closure factory — the F.filter default-arg pitfall, see
+        # _tf_projection
+        return lambda x: x == F.lit(term)
+
+    f = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter("toks", _eq(t))).cast("bigint").alias(f"tf{i}")
+            for i, (t, _) in enumerate(terms)
+        ],
+    )
+    stats = f.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    def _contrib_sql(i: int, w_micro: int) -> str:
+        return (
+            f"CAST(floor({w_micro}"
+            f" * (round(ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+            f"    * (tf{i} * {_BM25_K1_PLUS_1})"
+            f"    / (tf{i} + {_BM25_K1} * ({_BM25_ONE_MINUS_B}"
+            f"       + {_BM25_B} * dl / avgdl)))"
+            f" + 0.5) AS BIGINT)"
+        )
+
+    total = F.expr(_contrib_sql(0, terms[0][1]))
+    for i, (_, w) in enumerate(terms[1:], start=1):
+        total = total + F.expr(_contrib_sql(i, w))
+    bm25_orig = F.expr(
+        " + ".join(
+            f"({_bm25_term_sql(i)})" for i in range(len(_BM25_TERMS))
+        )
+    )
+    scored = f.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        total.cast("bigint").alias("rm3_micro"),
+        F.round(bm25_orig, 4).alias("bm25_orig"),
+    )
+    return (
+        scored.orderBy(F.desc("rm3_micro"), "doc_id")
+        .limit(_RM3_TOP_K)
+        .select(
+            "doc_id",
+            F.round(F.col("rm3_micro") / F.expr("1000000e0"), 6).alias(
+                "rm3_score"
+            ),
+            "bm25_orig",
+        )
+    )

@@ -1,0 +1,104 @@
+"""Round-11 operator invariants.
+
+Every query here registered AFTER the r11 window froze (POST_PIN →
+r12), so the pin is never at risk; each carries its three-SF strict
+oracle sweep plus an independent recompute or exact-invariant test
+below."""
+
+from __future__ import annotations
+
+import math
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+    QUERIES,
+)
+
+
+def test_rm3_matches_driver_side_recompute(spark, sf_dir):
+    """Independent full recompute of RM3: collect the corpus token
+    lists at test scale, rebuild the expansion-term model and the
+    14-term weighted BM25 re-score in plain Python (same constants,
+    same micro-unit floors), and require the engine's top-10 to match
+    exactly — ids, scores, and the riding bm25_orig column."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    docs = {
+        r.doc_id: [t for t in r.toks]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens().alias("toks"))
+        .collect()
+    }
+    k1, b = 1.2, 0.75
+    n_docs = len(docs)
+    dl = {d: len(t) for d, t in docs.items()}
+    avgdl = sum(dl.values()) / n_docs
+
+    def tf(d, term):
+        return sum(1 for t in docs[d] if t == term)
+
+    def df(term):
+        return sum(1 for d in docs if tf(d, term) > 0)
+
+    def term_score(d, term, dfv):
+        idf = round(math.log(1 + (n_docs - dfv + 0.5) / (dfv + 0.5)), 6)
+        tfv = tf(d, term)
+        return idf * (tfv * (k1 + 1)) / (
+            tfv + k1 * (1 - b + b * dl[d] / avgdl)
+        )
+
+    # BM25 top-10 pool on the original 4 terms
+    dfs = {t: df(t) for t in R._BM25_TERMS}
+    bm25 = {
+        d: round(sum(term_score(d, t, dfs[t]) for t in R._BM25_TERMS), 4)
+        for d in docs
+    }
+    pool = sorted(docs, key=lambda d: (-bm25[d], d))[: R._PRF_K_DOCS]
+    # RM1 candidates: pooled tf, original terms excluded
+    cand: dict[str, int] = {}
+    for d in pool:
+        for t in docs[d]:
+            if t and t not in R._BM25_TERMS:
+                cand[t] = cand.get(t, 0) + 1
+    exp = sorted(cand, key=lambda t: (-cand[t], t))[: R._PRF_K_TERMS]
+    s = sum(cand[t] for t in exp)
+    weights = [(t, R._RM3_LAMBDA_ORIG_MICRO // len(R._BM25_TERMS))
+               for t in R._BM25_TERMS]
+    weights += [
+        (t, math.floor(R._RM3_LAMBDA_EXP_MICRO * cand[t] / s + 0.5))
+        for t in exp
+    ]
+    all_df = {t: df(t) for t, _ in weights}
+    rm3_micro = {
+        d: sum(
+            math.floor(w * term_score(d, t, all_df[t]) + 0.5)
+            for t, w in weights
+        )
+        for d in docs
+    }
+    expect = [
+        (d, round(rm3_micro[d] / 1e6, 6), bm25[d])
+        for d in sorted(docs, key=lambda d: (-rm3_micro[d], d))[
+            : R._RM3_TOP_K
+        ]
+    ]
+    got = [
+        (r.doc_id, r.rm3_score, r.bm25_orig)
+        for r in QUERIES["retrieval_rm3_interpolated"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expect
+    # weight conservation: the interpolated model allocates exactly
+    # lambda to the original query and (1-lambda) to the feedback
+    # model, up to the per-term half-unit floors
+    total_w = sum(w for _, w in weights)
+    assert abs(total_w - 1_000_000) <= len(weights)

@@ -77,7 +77,9 @@ PRIORITY: tuple[str, ...] = ()
 # Reset at the r11 pin (the 26 r10 post-pin additions now lead the r11
 # rotation's never-green front); append every r11 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "retrieval_rm3_interpolated",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:
