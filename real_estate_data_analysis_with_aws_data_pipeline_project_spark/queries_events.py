@@ -2599,6 +2599,194 @@ def streaming_volume_anomaly(spark, sf_dir):
     )
 
 
+# --- EWMA volume forecast (round 11) -----------------------------------------
+#
+# The recency-weighted sibling of dq_volume_anomaly: the trailing
+# baseline halves in weight per active day back (weights 128, 64, …,
+# 1 over the trailing 8 ACTIVE days — a binary EWMA), so a feed whose
+# level legitimately moved last week re-anchors in days where the
+# uniform trailing mean is still dragged by the old level. The
+# forecast is the weighted mean floor(num/den · 1e6 + 0.5) micro; the
+# alert is the same double-or-halve rule as dq_volume_anomaly but in
+# exact cross-multiplied integers against the WEIGHTED baseline
+# (c·den >= 2·num or 2·c·den <= num — no division near the flag).
+# Both num and den are fixed-order 8-term integer additions over lag
+# columns, so there is no aggregate-order or FP surface anywhere
+# before the single quantized division.
+
+_EWMA_LAGS = 8
+_EWMA_MIN_PREV = 4
+
+
+def _ewma_weight(i: int) -> int:
+    """Weight of lag i (1 = most recent active day): 2^(lags - i)."""
+    return 1 << (_EWMA_LAGS - i)
+
+
+_EWMA_ORACLE = f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lg AS (
+        SELECT event_type, day, c,
+               {", ".join(
+                   f"lag(c, {i}) OVER (PARTITION BY event_type"
+                   f" ORDER BY day) AS l{i}"
+                   for i in range(1, _EWMA_LAGS + 1))}
+        FROM dc
+    ),
+    w AS (
+        SELECT event_type, day, c,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)"
+                   for i in range(1, _EWMA_LAGS + 1))} AS BIGINT)
+                   AS n_prev,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0"
+                   f" ELSE {_ewma_weight(i)} * l{i} END)"
+                   for i in range(1, _EWMA_LAGS + 1))} AS BIGINT) AS num,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0"
+                   f" ELSE {_ewma_weight(i)} END)"
+                   for i in range(1, _EWMA_LAGS + 1))} AS BIGINT) AS den
+        FROM lg
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, n_prev,
+           CASE WHEN n_prev >= {_EWMA_MIN_PREV} THEN
+               round(CAST(floor(CAST(num AS DOUBLE) / den
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS ewma_forecast,
+           CAST(CASE WHEN n_prev >= {_EWMA_MIN_PREV}
+                      AND (c * den >= 2 * num OR 2 * c * den <= num)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+    FROM w
+"""
+
+
+def ewma_forecast_from_day_counts(dc):
+    """EWMA forecast report from the (event_type, day, c) day-count
+    cube — ONE definition of the lag weighting, the quantized
+    forecast, and the exact integer alert, shared by the batch query
+    and the streaming tier (the volume_anomaly_from_day_counts
+    precedent). ``day`` may be date or timestamp grain."""
+    lw = Window.partitionBy("event_type").orderBy("day")
+    lg = dc.select(
+        "event_type",
+        "day",
+        "c",
+        *[
+            F.lag("c", i).over(lw).alias(f"l{i}")
+            for i in range(1, _EWMA_LAGS + 1)
+        ],
+    )
+    rng = range(1, _EWMA_LAGS + 1)
+    w = lg.select(
+        "event_type",
+        "day",
+        "c",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)" for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("n_prev"),
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0"
+                f" ELSE {_ewma_weight(i)} * l{i} END)"
+                for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("num"),
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0"
+                f" ELSE {_ewma_weight(i)} END)"
+                for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("den"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        "n_prev",
+        F.when(
+            F.col("n_prev") >= _EWMA_MIN_PREV,
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(num AS DOUBLE) / den"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+        ).alias("ewma_forecast"),
+        F.when(
+            (F.col("n_prev") >= _EWMA_MIN_PREV)
+            & (
+                (F.col("c") * F.col("den") >= 2 * F.col("num"))
+                | (2 * F.col("c") * F.col("den") <= F.col("num"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_alert"),
+    )
+
+
+@register("events_ewma_volume_forecast", _EWMA_ORACLE)
+def events_ewma_volume_forecast(spark, sf_dir):
+    """Recency-weighted daily volume forecast per event type: binary
+    EWMA over the trailing 8 ACTIVE days (weights 128 … 1; needs
+    >= 4 trailing days to judge), with the double-or-halve alert as
+    an exact cross-multiplied integer rule against the weighted
+    baseline — see the section comment for why a drifted feed
+    re-anchors here faster than under dq_volume_anomaly's uniform
+    mean.
+
+    Scale: one map-side-combined daily aggregation over events, then
+    a type-partitioned lag window over the metadata-scale day series;
+    num/den are fixed-order integer additions, never float
+    aggregates. Output is (type × day) rows."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return ewma_forecast_from_day_counts(dc)
+
+
+@register("streaming_ewma_volume_forecast", _EWMA_ORACLE)
+def streaming_ewma_volume_forecast(spark, sf_dir):
+    """Structured Streaming: the NINTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals the EWMA
+    forecast runs on, so the recency-weighted volume monitor shares
+    the fold that already serves PSI, JSD, day-of-week, Fano, the
+    ACF, mix entropy, weekday strength, and the uniform volume
+    alarm. No new state schema, no new Python in the loop; the lag
+    weighting and the exact integer alert are the batch twin's shared
+    ``ewma_forecast_from_day_counts`` expressions, so the report is
+    bit-identical to the batch query and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side is a type-partitioned lag window over the emitted
+    metadata-scale cube."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    return ewma_forecast_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
+    )
+
+
 # --- signup -> purchase time-to-convert (round 10) ----------------------------
 #
 # Product-analytics companion to the funnel queries: per signup-day

@@ -102,3 +102,60 @@ def test_rm3_matches_driver_side_recompute(spark, sf_dir):
     # model, up to the per-term half-unit floors
     total_w = sum(w for _, w in weights)
     assert abs(total_w - 1_000_000) <= len(weights)
+
+
+def test_streaming_ewma_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, nine reports: the EWMA tier
+    reuses the PSI fold's (day, bucket) cube, so its forecast report
+    must equal the batch EWMA query row-for-row."""
+
+    def snap(name):
+        return {
+            (r.event_type, r.day): (
+                r.c,
+                r.n_prev,
+                r.ewma_forecast,
+                r.is_alert,
+            )
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_ewma_volume_forecast"), snap(
+        "events_ewma_volume_forecast"
+    )
+    assert stream == batch and stream
+
+
+def test_ewma_matches_pandas_recompute(spark, sf_dir):
+    """Independent recompute: rebuild the binary-EWMA forecast and the
+    cross-multiplied alert from the raw (type, day) counts in plain
+    Python and require exact agreement, including the >= 4 trailing
+    days gate and the recency-weight halving."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_events as E,
+    )
+
+    rows = QUERIES["events_ewma_volume_forecast"].fn(spark, sf_dir).collect()
+    series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r)
+    assert rows
+    for et, rs in series.items():
+        counts = [r.c for r in rs]
+        for t, r in enumerate(rs):
+            lags = counts[max(0, t - E._EWMA_LAGS): t][::-1]  # l1 first
+            n_prev = len(lags)
+            assert r.n_prev == n_prev
+            if n_prev < E._EWMA_MIN_PREV:
+                assert r.ewma_forecast is None and r.is_alert == 0
+                continue
+            num = sum(
+                E._ewma_weight(i) * v for i, v in enumerate(lags, start=1)
+            )
+            den = sum(E._ewma_weight(i) for i in range(1, n_prev + 1))
+            expect = round(int(num / den * 1e6 + 0.5) / 1e6, 6)
+            assert r.ewma_forecast == expect
+            alert = int(
+                r.c * den >= 2 * num or 2 * r.c * den <= num
+            )
+            assert r.is_alert == alert

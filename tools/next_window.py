@@ -79,6 +79,8 @@ PRIORITY: tuple[str, ...] = ()
 # below as it lands.
 POST_PIN_ADDITIONS: tuple[str, ...] = (
     "retrieval_rm3_interpolated",
+    "events_ewma_volume_forecast",
+    "streaming_ewma_volume_forecast",
 )
 
 

@@ -116,6 +116,14 @@ QUERIES_UNDER_TEST = [
     # users a type accumulates.
     "graph_jaccard_similarity",
     "events_gini_concentration",
+    # round-11 (VERDICT r10 #7b): the yield report runs one
+    # cluster-grain + one size-grain aggregate ON TOP of the banded
+    # MinHash component labels, so its wall must track
+    # dedup_minhash_lsh's; its growth surface is the report state —
+    # the cluster-size histogram support — which must stay
+    # metadata-scale (replicas are NOT near-dups of each other, so
+    # scaling multiplies cluster COUNTS, not sizes).
+    "corpus_dedup_yield_report",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
@@ -525,6 +533,16 @@ def _blocking_metrics(spark, sf_dir: str) -> dict[str, float]:
     out["tri_wedges_degree"] = tri["wedges_degree"]
     out["tri_edges"] = tri["n_edges"]
     out["tri_max_outdeg_degree"] = tri["max_outdeg_degree"]
+
+    # round-11: dedup yield report — the histogram support (distinct
+    # cluster sizes = the report's row count) is the state a curator
+    # dashboard holds; it must saturate, never track the corpus
+    # (cluster COUNTS scale, cluster SIZES don't, because replicas are
+    # not near-dups of each other by construction). main() gates its
+    # growth exponent.
+    out["yield_hist_rows"] = (
+        QUERIES["corpus_dedup_yield_report"].fn(spark, sf_dir).count()
+    )
     return out
 
 
@@ -671,6 +689,12 @@ def main() -> None:
         2,
     )
     TEMP_SUBLINEAR_TOL = 0.7  # kept rows must grow ~sqrt(n), well below 1
+    # round-11: yield-report histogram support must saturate
+    yield_alpha = round(
+        fit_alpha(scales, [max(b["yield_hist_rows"], 1.0) for b in blocking]),
+        2,
+    )
+    YIELD_SAT_TOL = 0.35  # distinct cluster sizes ~constant across scales
     lines += [
         "",
         "Candidate-pair growth exponents: "
@@ -775,12 +799,24 @@ def main() -> None:
         + "; on the disjoint replica graph both totals and the wall "
         "must also stay linear (alpha table above).",
         "",
+        "Round-11: `yield_hist_rows` is corpus_dedup_yield_report's "
+        "entire output — the cluster-size histogram support. Replicas "
+        "are not near-dups of each other, so scaling multiplies "
+        "cluster COUNTS while the size domain saturates; growth "
+        f"exponent **{yield_alpha}** (bar {YIELD_SAT_TOL}): "
+        + ", ".join(
+            f"x{k}={b['yield_hist_rows']:.0f}"
+            for k, b in zip(scales, blocking)
+        )
+        + " — the curator-dashboard state stays metadata-scale while "
+        "the wall alpha above tracks the MinHash family it reuses.",
+        "",
         f"Wall-clock tolerance: alpha <= {ALPHA_TOL} (sub-quadratic with "
         "headroom for fixed per-run overhead amortizing INTO the "
         "exponent at these small absolute sizes); per-query overrides: "
         f"{ALPHA_TOL_OVERRIDES}.",
         "",
-        f"Verdict: {'PASS' if wall_ok and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat and overlap_ok and tri_ok else 'FAIL'} "
+        f"Verdict: {'PASS' if wall_ok and all(a <= ALPHA_TOL for a in cand_alpha.values()) and incr_alpha <= INCR_FLAT_TOL and shard_ok and bloom_ok and temp_alpha <= TEMP_SUBLINEAR_TOL and hist_ok and whiten_flat and overlap_ok and tri_ok and yield_alpha <= YIELD_SAT_TOL else 'FAIL'} "
         f"— wall alphas {alphas}, candidate alphas {cand_alpha}, "
         f"incr-fixed-batch alpha {incr_alpha}, shard balance "
         f"{'OK' if shard_ok else 'FAIL'}, bloom cap "
@@ -789,7 +825,8 @@ def main() -> None:
         f"{'OK' if hist_ok else 'FAIL'}, whitening output "
         f"{'flat' if whiten_flat else 'NOT flat'}, overlap "
         f"proportionality {'OK' if overlap_ok else 'FAIL'} "
-        f"(true {ov_true_alpha} / cand {ov_cand_alpha}).",
+        f"(true {ov_true_alpha} / cand {ov_cand_alpha}), "
+        f"yield-histogram alpha {yield_alpha}.",
     ]
     report = "\n".join(lines) + "\n"
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -819,6 +856,8 @@ def main() -> None:
         bad.append("whitening_pair_rows")
     if not tri_ok:
         bad.append("tri_max_outdeg_degree")
+    if yield_alpha > YIELD_SAT_TOL:
+        bad.append("yield_hist_rows")
     sys.exit(1 if bad else 0)
 
 
