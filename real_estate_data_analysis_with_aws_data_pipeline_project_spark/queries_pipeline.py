@@ -1140,3 +1140,114 @@ def source_partitioned_roundtrip(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --- dynamic partition pruning through a dim join (round 11) -----------------
+#
+# The star-schema companion to source_partitioned_roundtrip: there the
+# pruning predicate is a LITERAL on the partition key (static, planned
+# before execution); here it is an ATTRIBUTE filter on a separate dim
+# table — "event types in the 'hot' volume tier" — whose matching key
+# set is unknowable at plan time, so only Spark's dynamic partition
+# pruning (a runtime SubqueryAdaptiveBroadcast reusing the join's
+# broadcast to prune the partitioned scan's directories) avoids a full
+# fact scan. The r11 plan test asserts `dynamicpruning` appears in the
+# partitioned scan's PartitionFilters — the CASE-derived variant of
+# this dim was measured and REJECTED because Catalyst constant-folds
+# the attribute predicate back into a static IN-list, which would
+# demo nothing. The tier catalog is derived deterministically from
+# the events table itself (a type is 'hot' iff its row count clears a
+# 20 % share, exact cross-multiplied integers) and written once per
+# source fingerprint, mirroring partitioned_events.
+
+
+def type_catalog_path(sf_dir: str) -> str:
+    """Temp location of the event-type tier catalog parquet, keyed on
+    the same source fingerprint as partitioned_events_path (stale
+    catalogs would desynchronize from a regenerated events table)."""
+    from .operators.session_cache import path_fingerprint
+
+    mtime, size = path_fingerprint(os.path.join(sf_dir, "events.parquet"))
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"engine_type_catalog_{os.path.basename(sf_dir)}_{mtime}_{size}",
+    )
+
+
+def type_catalog(spark, sf_dir):
+    """Write the (event_type, n_type, tier) catalog once per source
+    fingerprint and read it back as an independent parquet dim — the
+    read-back is what makes the tier filter opaque to static plan-time
+    folding (see the section comment)."""
+    out = type_catalog_path(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events")
+        per = ev.groupBy("event_type").agg(
+            F.count("*").cast("bigint").alias("n_type")
+        )
+        tot = ev.agg(F.count("*").cast("bigint").alias("n_total"))
+        (
+            per.crossJoin(F.broadcast(tot))
+            .select(
+                "event_type",
+                "n_type",
+                F.when(
+                    F.col("n_type") * 5 >= F.col("n_total"), "hot"
+                )
+                .otherwise("cold")
+                .alias("tier"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+    return spark.read.parquet(out)
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    """
+    WITH per AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events),
+    hot AS (
+        SELECT event_type, n_type FROM per CROSS JOIN tot
+        WHERE n_type * 5 >= n_total
+    )
+    SELECT e.event_type, h.n_type AS catalog_n,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN hot h ON h.event_type = e.event_type
+    GROUP BY 1, 2
+    """,
+)
+def join_dynamic_partition_pruning(spark, sf_dir):
+    """Per-type volume rollup over the hive-partitioned events fact,
+    restricted to the catalog's 'hot' tier through a broadcast dim
+    join — the partition directories to read are decided at RUNTIME
+    by dynamic partition pruning (see the section comment; the plan
+    test asserts the dynamicpruning subquery). catalog_n rides along
+    to prove the dim attributes survive the pruned join.
+
+    Scale: at 100 TB this is the difference between scanning the
+    whole fact and scanning only the tiers the dim selects — static
+    pruning cannot do it because the key set depends on data. The
+    dim side stays a broadcast (type-cardinality rows) and the fact
+    side is one pruned scan + one partial-agg shuffle."""
+    ev = partitioned_events(spark, sf_dir)
+    hot = type_catalog(spark, sf_dir).where(F.col("tier") == "hot")
+    return (
+        ev.join(
+            F.broadcast(hot.select("event_type", "n_type")), "event_type"
+        )
+        .groupBy("event_type", F.col("n_type").alias("catalog_n"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -159,3 +159,48 @@ def test_ewma_matches_pandas_recompute(spark, sf_dir):
                 r.c * den >= 2 * num or 2 * r.c * den <= num
             )
             assert r.is_alert == alert
+
+
+def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """The whole point of join_dynamic_partition_pruning: the
+    partitioned fact scan must carry a runtime dynamicpruning
+    subquery in its PartitionFilters (static folding of the tier
+    filter would read every directory — the rejected CASE-dim variant
+    did exactly that), and the result must equal the same rollup over
+    the unpartitioned original restricted to the hot tier."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_pipeline import (
+        type_catalog,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    df = QUERIES["join_dynamic_partition_pruning"].fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
+    got = {
+        r.event_type: (r.catalog_n, r.n, r.n_users, r.total_value)
+        for r in df.collect()
+    }
+    hot = {
+        r.event_type
+        for r in type_catalog(spark, sf_dir)
+        .where(F.col("tier") == "hot")
+        .collect()
+    }
+    expect = {
+        r.event_type: (r.n, r.n, r.n_users, r.total_value)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+        if r.event_type in hot
+    }
+    assert got == expect and got

@@ -81,6 +81,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "retrieval_rm3_interpolated",
     "events_ewma_volume_forecast",
     "streaming_ewma_volume_forecast",
+    "join_dynamic_partition_pruning",
 )
 
 
