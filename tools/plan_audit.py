@@ -190,6 +190,11 @@ EXTRA = [
     "text_unigram_entropy",
     "corpus_dedup_yield_report",
     "quality_perplexity_drift",
+    # r11 additions
+    "retrieval_rm3_interpolated",
+    "events_ewma_volume_forecast",
+    "streaming_ewma_volume_forecast",
+    "join_dynamic_partition_pruning",
 ]
 
 
