@@ -1074,20 +1074,27 @@ def dq_completeness_matrix(spark, sf_dir):
 # --- partitioned parquet roundtrip with partition pruning (round 9) ----------
 
 
-def partitioned_events_path(sf_dir: str) -> str:
-    """Temp location of the hive-partitioned events copy (shared with
-    the pruning test). The path embeds a content fingerprint of the
-    source events parquet (ADVICE r9): the driver regenerates testdata
-    under an UNCHANGED sf_dir path between rounds, so a marker keyed
-    only on basename(sf_dir) would keep serving a stale partitioned
-    copy while the DuckDB oracle reads the fresh table."""
+def _events_fingerprinted_tmp_path(sf_dir: str, prefix: str) -> str:
+    """ONE definition of the fingerprint-keyed temp path for derived
+    copies of the events table (the partitioned layout, the tier
+    catalog). The path embeds a content fingerprint of the source
+    events parquet (ADVICE r9): the driver regenerates testdata under
+    an UNCHANGED sf_dir path between rounds, so a marker keyed only
+    on basename(sf_dir) would keep serving a stale derived copy while
+    the DuckDB oracle reads the fresh table."""
     from .operators.session_cache import path_fingerprint
 
     mtime, size = path_fingerprint(os.path.join(sf_dir, "events.parquet"))
     return os.path.join(
         tempfile.gettempdir(),
-        f"engine_part_roundtrip_{os.path.basename(sf_dir)}_{mtime}_{size}",
+        f"{prefix}_{os.path.basename(sf_dir)}_{mtime}_{size}",
     )
+
+
+def partitioned_events_path(sf_dir: str) -> str:
+    """Temp location of the hive-partitioned events copy (shared with
+    the pruning test)."""
+    return _events_fingerprinted_tmp_path(sf_dir, "engine_part_roundtrip")
 
 
 def partitioned_events(spark, sf_dir):
@@ -1165,13 +1172,7 @@ def type_catalog_path(sf_dir: str) -> str:
     """Temp location of the event-type tier catalog parquet, keyed on
     the same source fingerprint as partitioned_events_path (stale
     catalogs would desynchronize from a regenerated events table)."""
-    from .operators.session_cache import path_fingerprint
-
-    mtime, size = path_fingerprint(os.path.join(sf_dir, "events.parquet"))
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"engine_type_catalog_{os.path.basename(sf_dir)}_{mtime}_{size}",
-    )
+    return _events_fingerprinted_tmp_path(sf_dir, "engine_type_catalog")
 
 
 def type_catalog(spark, sf_dir):

@@ -111,11 +111,15 @@ _BM25_SCORED_SQL = f"""
 """
 
 
-def _tf_projection(docs: DataFrame) -> DataFrame:
+def _tf_projection(
+    docs: DataFrame, terms: tuple[str, ...] = _BM25_TERMS
+) -> DataFrame:
     """(doc_id, dl, tf0..tfN) — the ONE-pass token projection every
-    term-scoring operator shares (BM25, query likelihood, NDCG, tau);
-    factored so the _BM25_TERMS handling and the F.filter closure
-    pitfall live in exactly one place (r9 review)."""
+    term-scoring operator shares (BM25, query likelihood, NDCG, tau,
+    and the RM3 re-scorer via the ``terms`` parameter); factored so
+    the term handling and the F.filter closure pitfall live in
+    exactly one place (r9 review; r11 review re-merged the RM3
+    copy)."""
     toks = docs.select("doc_id", X.tokens().alias("toks"))
 
     def _eq(term: str):
@@ -131,12 +135,14 @@ def _tf_projection(docs: DataFrame) -> DataFrame:
             F.size(F.filter("toks", _eq(term)))
             .cast("bigint")
             .alias(f"tf{i}")
-            for i, term in enumerate(_BM25_TERMS)
+            for i, term in enumerate(terms)
         ],
     )
 
 
-def _bm_stats(f: DataFrame) -> DataFrame:
+def _bm_stats(
+    f: DataFrame, n_terms: int = len(_BM25_TERMS)
+) -> DataFrame:
     """1-row BM25 corpus statistics (N, avgdl, per-term df)."""
     return f.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -145,7 +151,7 @@ def _bm_stats(f: DataFrame) -> DataFrame:
             F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
             .cast("bigint")
             .alias(f"df{i}")
-            for i in range(len(_BM25_TERMS))
+            for i in range(n_terms)
         ],
     )
 
@@ -1957,31 +1963,8 @@ def retrieval_rm3_interpolated(spark, sf_dir):
         ]
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", X.tokens().alias("toks"))
-
-    def _eq(term: str):
-        # closure factory — the F.filter default-arg pitfall, see
-        # _tf_projection
-        return lambda x: x == F.lit(term)
-
-    f = toks.select(
-        "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        *[
-            F.size(F.filter("toks", _eq(t))).cast("bigint").alias(f"tf{i}")
-            for i, (t, _) in enumerate(terms)
-        ],
-    )
-    stats = f.agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"df{i}")
-            for i in range(len(terms))
-        ],
-    )
+    f = _tf_projection(docs, tuple(t for t, _ in terms))
+    stats = _bm_stats(f, len(terms))
 
     def _contrib_sql(i: int, w_micro: int) -> str:
         return (

@@ -178,7 +178,9 @@ def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     )
 
     df = QUERIES["join_dynamic_partition_pruning"].fn(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
+    # the dynamicpruning subquery is visible in the DataFrame's own
+    # planned PartitionFilters without executing a separate write;
+    # the collect() below is the one execution (r11 review)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
     got = {
