@@ -896,7 +896,8 @@ def psi_cube_day_totals(
 ) -> DataFrame:
     """Per-type day totals off the streamed PSI cube's FINAL state —
     the shared front half of every derived streaming tier (Fano, ACF,
-    volume anomaly, mix entropy, weekday strength): keep each key's
+    volume anomaly, mix entropy, weekday strength, EWMA forecast):
+    keep each key's
     max-seq cube emission and sum its buckets per (event_type, day).
     One definition of the latest-cube selection (r10 review: eight
     hand copies had accumulated). ``checkpoint=True`` localCheckpoints
