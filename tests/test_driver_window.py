@@ -379,3 +379,21 @@ def test_retained_anchors_are_cumulative_green():
 
 def test_no_duplicates_in_window():
     assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)
+
+
+def test_post_pin_additions_are_registered_and_excluded():
+    """r11 typo-guard: a misspelled POST_PIN_ADDITIONS entry would
+    silently fail to shield the pinned rotation (the real query would
+    surface mid-round and break the pin), so every name must be a
+    registered oracle-backed query AND absent from the live window."""
+    import tools.next_window as nw
+
+    window = set(_DRIVER_WINDOW)
+    for name in nw.POST_PIN_ADDITIONS:
+        assert name in QUERIES, f"POST_PIN name not registered: {name}"
+        assert QUERIES[name].oracle is not None, (
+            f"POST_PIN name has no oracle (never rotates): {name}"
+        )
+        assert name not in window, (
+            f"POST_PIN name is already pinned in the live window: {name}"
+        )
