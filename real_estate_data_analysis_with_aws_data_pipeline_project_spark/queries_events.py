@@ -2787,6 +2787,227 @@ def streaming_ewma_volume_forecast(spark, sf_dir):
     )
 
 
+# --- same-weekday seasonal volume anomaly (round 11, second batch) -----------
+#
+# The weekly-seasonal member of the volume-alarm family: a Monday is
+# judged against the trailing Mondays, not against the mixed trailing
+# week, so feeds with a real weekday cycle (the events_dow_seasonality
+# chi-square is the detector for that) stop false-alarming every
+# weekend. Baseline = uniform mean of the last _SEAS_LAGS ACTIVE
+# occurrences of the SAME ISO weekday (lag window PARTITIONED BY
+# (type, dow)); the alert is the family's double-or-halve rule in
+# exact cross-multiplied integers. dq_volume_anomaly (uniform trailing
+# days), events_ewma_volume_forecast (recency-weighted), and this
+# (weekday-conditioned) are the three baselines a feed monitor picks
+# between based on the seasonality profile.
+
+_SEAS_LAGS = 4
+_SEAS_MIN_PREV = 2
+
+_SEASONAL_ANOMALY_ORACLE = f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(isodow(date_trunc('day', ts)) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2, 3
+    ),
+    lg AS (
+        SELECT event_type, day, dow, c,
+               {", ".join(
+                   f"lag(c, {i}) OVER (PARTITION BY event_type, dow"
+                   f" ORDER BY day) AS l{i}"
+                   for i in range(1, _SEAS_LAGS + 1))}
+        FROM dc
+    ),
+    w AS (
+        SELECT event_type, day, dow, c,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)"
+                   for i in range(1, _SEAS_LAGS + 1))} AS BIGINT)
+                   AS n_prev,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0 ELSE l{i} END)"
+                   for i in range(1, _SEAS_LAGS + 1))} AS BIGINT)
+                   AS prev_sum
+        FROM lg
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, dow, c, n_prev,
+           CASE WHEN n_prev >= {_SEAS_MIN_PREV} THEN
+               round(CAST(floor(CAST(c * n_prev AS DOUBLE) / prev_sum
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS dow_ratio,
+           CAST(CASE WHEN n_prev >= {_SEAS_MIN_PREV}
+                      AND (c * n_prev >= 2 * prev_sum
+                           OR 2 * c * n_prev <= prev_sum)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+    FROM w
+"""
+
+
+@register("events_seasonal_volume_anomaly", _SEASONAL_ANOMALY_ORACLE)
+def events_seasonal_volume_anomaly(spark, sf_dir):
+    """Same-weekday volume anomaly: each day's count vs the uniform
+    mean of the last 4 ACTIVE occurrences of the same ISO weekday
+    (needs >= 2 to judge), with the double-or-halve alert as an exact
+    cross-multiplied integer rule — see the section comment for how
+    this, the uniform trailing mean, and the EWMA split the baseline
+    choices. The reported dow_ratio is the single micro-quantized
+    division c·n_prev/prev_sum.
+
+    Scale: one map-side-combined daily aggregation over events, then
+    a (type, weekday)-partitioned lag window over the metadata-scale
+    day series — the partition key gains a 7-way fan-out over the
+    uniform rule's, which only helps balance. Output is (type × day)
+    rows."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn(
+            "dow", (F.expr("weekday(day)") + 1).cast("bigint")
+        )
+    )
+    lw = Window.partitionBy("event_type", "dow").orderBy("day")
+    rng = range(1, _SEAS_LAGS + 1)
+    lg = dc.select(
+        "event_type",
+        "day",
+        "dow",
+        "c",
+        *[F.lag("c", i).over(lw).alias(f"l{i}") for i in rng],
+    )
+    w = lg.select(
+        "event_type",
+        "day",
+        "dow",
+        "c",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)" for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("n_prev"),
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0 ELSE l{i} END)"
+                for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("prev_sum"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        "c",
+        "n_prev",
+        F.when(
+            F.col("n_prev") >= _SEAS_MIN_PREV,
+            F.round(
+                F.expr(
+                    "CAST(floor(CAST(c * n_prev AS DOUBLE) / prev_sum"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+        ).alias("dow_ratio"),
+        F.when(
+            (F.col("n_prev") >= _SEAS_MIN_PREV)
+            & (
+                (F.col("c") * F.col("n_prev") >= 2 * F.col("prev_sum"))
+                | (2 * F.col("c") * F.col("n_prev") <= F.col("prev_sum"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_alert"),
+    )
+
+
+# --- feed freshness / staleness report (round 11, second batch) ---------------
+#
+# The zeroth panel of every feed dashboard, missing from the dq family
+# until now: per event type, when did the feed last deliver, how far
+# does it lag the freshest feed, and is it stale. "Now" is the global
+# max event time (data-derived, so the report is deterministic and
+# oracle-checkable — a wall-clock now() would be neither); the lag is
+# an exact int64 microsecond difference and the staleness flag an
+# exact integer threshold comparison, so nothing sits on an FP
+# boundary. lag_hours is the one micro-quantized division, for the
+# humans.
+
+_FRESH_STALE_US = 24 * 3600 * 1_000_000  # stale = lagging > 24 h
+
+_FRESHNESS_ORACLE = f"""
+    WITH t AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT max(last_us) AS global_us FROM t)
+    SELECT event_type, n_events,
+           strftime(make_timestamp(last_us), '%Y-%m-%d %H:%M:%S')
+               AS last_event,
+           CAST(global_us - last_us AS BIGINT) AS lag_us,
+           round(CAST(floor(CAST(global_us - last_us AS DOUBLE)
+                            / 3600000000e0 * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS lag_hours,
+           CAST(CASE WHEN global_us - last_us > {_FRESH_STALE_US}
+                THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+    FROM t CROSS JOIN g
+"""
+
+
+@register("dq_feed_freshness", _FRESHNESS_ORACLE)
+def dq_feed_freshness(spark, sf_dir):
+    """Per-type feed freshness: last delivery time, exact integer
+    microsecond lag behind the freshest feed, quantized lag in hours,
+    and a 24 h staleness flag — see the section comment for the
+    deterministic data-derived 'now'.
+
+    Scale: one map-side-combined (count, max) aggregate per type —
+    the cheapest possible full-table pass — plus a 1-row broadcast
+    global max; output is type-cardinality rows."""
+    t = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+    )
+    g = t.agg(F.max("last_us").alias("global_us"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        F.date_format(
+            F.timestamp_micros(F.col("last_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("last_event"),
+        (F.col("global_us") - F.col("last_us"))
+        .cast("bigint")
+        .alias("lag_us"),
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(global_us - last_us AS DOUBLE)"
+                " / 3600000000e0 * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("lag_hours"),
+        F.when(
+            F.col("global_us") - F.col("last_us") > _FRESH_STALE_US, 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_stale"),
+    )
+
+
 # --- signup -> purchase time-to-convert (round 10) ----------------------------
 #
 # Product-analytics companion to the funnel queries: per signup-day

@@ -206,3 +206,66 @@ def test_dpp_plan_has_dynamic_pruning(spark, sf_dir):
         if r.event_type in hot
     }
     assert got == expect and got
+
+
+def test_seasonal_anomaly_matches_pandas_recompute(spark, sf_dir):
+    """Independent recompute of the same-weekday alarm: rebuild the
+    per-(type, dow) lag series in plain Python from the engine's own
+    (day, count) rows and require exact agreement on n_prev, the
+    quantized ratio, and the cross-multiplied alert."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_events as E,
+    )
+
+    rows = (
+        QUERIES["events_seasonal_volume_anomaly"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    series: dict[tuple, list] = {}
+    for r in sorted(rows, key=lambda r: (r.event_type, r.dow, r.day)):
+        series.setdefault((r.event_type, r.dow), []).append(r)
+    import datetime
+
+    for (et, dow), rs in series.items():
+        for r in rs:
+            # dow really is the ISO weekday of the day column
+            d = datetime.date.fromisoformat(r.day)
+            assert d.isoweekday() == r.dow
+        counts = [r.c for r in rs]
+        for t, r in enumerate(rs):
+            prev = counts[max(0, t - E._SEAS_LAGS): t]
+            n_prev, s = len(prev), sum(prev)
+            assert r.n_prev == n_prev
+            if n_prev < E._SEAS_MIN_PREV:
+                assert r.dow_ratio is None and r.is_alert == 0
+                continue
+            expect = round(int(r.c * n_prev / s * 1e6 + 0.5) / 1e6, 6)
+            assert r.dow_ratio == expect
+            alert = int(r.c * n_prev >= 2 * s or 2 * r.c * n_prev <= s)
+            assert r.is_alert == alert
+
+
+def test_feed_freshness_invariants(spark, sf_dir):
+    """Exactly one type lags zero (the freshest feed defines 'now'),
+    every lag is a non-negative exact microsecond integer consistent
+    with the formatted last_event ordering, and the staleness flag is
+    the exact 24 h threshold."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_events as E,
+    )
+
+    rows = QUERIES["dq_feed_freshness"].fn(spark, sf_dir).collect()
+    assert rows
+    assert sum(1 for r in rows if r.lag_us == 0) >= 1
+    freshest = min(rows, key=lambda r: r.lag_us)
+    assert freshest.lag_us == 0
+    for r in rows:
+        assert r.lag_us >= 0
+        assert r.is_stale == int(r.lag_us > E._FRESH_STALE_US)
+        assert r.lag_hours == round(
+            int(r.lag_us / 3600000000.0 * 1e6 + 0.5) / 1e6, 6
+        )
+        # formatted timestamp orders consistently with the lag
+        assert (r.last_event <= freshest.last_event) == (
+            r.lag_us >= 0
+        )

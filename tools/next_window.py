@@ -82,6 +82,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_ewma_volume_forecast",
     "streaming_ewma_volume_forecast",
     "join_dynamic_partition_pruning",
+    "events_seasonal_volume_anomaly",
+    "dq_feed_freshness",
 )
 
 

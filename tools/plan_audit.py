@@ -195,6 +195,8 @@ EXTRA = [
     "events_ewma_volume_forecast",
     "streaming_ewma_volume_forecast",
     "join_dynamic_partition_pruning",
+    "events_seasonal_volume_anomaly",
+    "dq_feed_freshness",
 ]
 
 
