@@ -3274,7 +3274,11 @@ def streaming_type_entropy(spark, sf_dir):
 _MARKOV_ITERS = 12
 
 
-def _markov_oracle() -> str:
+def _markov_ctes() -> str:
+    """WITH-body through v{K} — the restricted transition counts,
+    the micro-quantized matrix, and the K power-iteration steps,
+    shared by the stationary oracle and the entropy-rate oracle
+    (r11)."""
     iters = ",\n    ".join(
         f"""v{k} AS (
         SELECT p.to_type AS state,
@@ -3284,8 +3288,7 @@ def _markov_oracle() -> str:
     )"""
         for k in range(1, _MARKOV_ITERS + 1)
     )
-    return f"""
-    WITH {_TRANSITION_COUNTS_SQL},
+    return f"""{_TRANSITION_COUNTS_SQL},
     st AS (SELECT DISTINCT from_type AS state FROM c),
     c2 AS (
         SELECT c.* FROM c JOIN st ON c.to_type = st.state
@@ -3306,7 +3309,12 @@ def _markov_oracle() -> str:
         SELECT state, CAST(1000000 // s AS BIGINT) AS m
         FROM st2 CROSS JOIN ns
     ),
-    {iters}
+    {iters}"""
+
+
+def _markov_oracle() -> str:
+    return f"""
+    WITH {_markov_ctes()}
     SELECT state, m AS stationary_micro,
            round(m / 1000000e0, 6) AS stationary
     FROM v{_MARKOV_ITERS}
@@ -3333,11 +3341,28 @@ def events_markov_stationary(spark, sf_dir):
     matrix is localCheckpointed (metadata-scale, consumed by all K
     iteration joins) and each iteration is a tiny broadcast-size
     join-aggregate."""
+    _, _, v = _markov_components(spark, sf_dir)
+    return v.select(
+        "state",
+        F.col("m").alias("stationary_micro"),
+        F.round(F.col("m") / F.expr("1000000e0"), 6).alias("stationary"),
+    )
+
+
+def _markov_components(spark, sf_dir):
+    """(c2, rs, v) — restricted transition counts, per-state row
+    sums, and the K-step integer stationary vector; the Spark twin of
+    ``_markov_ctes()``, shared by the stationary and entropy-rate
+    queries (r11)."""
     c = session_transition_counts(spark, sf_dir)
     states = c.select(F.col("from_type").alias("state")).distinct()
-    c2 = c.join(
-        F.broadcast(states), c["to_type"] == states["state"]
-    ).select("from_type", "to_type", "n")
+    c2 = (
+        c.join(F.broadcast(states), c["to_type"] == states["state"])
+        .select("from_type", "to_type", "n")
+        # consumed by pm AND the entropy terms — checkpoint so the
+        # sessionize pass runs once
+        .localCheckpoint(eager=True)
+    )
     rs = c2.groupBy("from_type").agg(
         F.sum("n").cast("bigint").alias("n_from")
     )
@@ -3352,7 +3377,7 @@ def events_markov_stationary(spark, sf_dir):
             ).alias("pm"),
         )
         # |types|² rows; consumed by every iteration join — checkpoint
-        # so the sessionize pass runs once, not K times
+        # so the upstream runs once, not K times
         .localCheckpoint(eager=True)
     )
     st = pm.select(F.col("from_type").alias("state")).distinct()
@@ -3371,10 +3396,87 @@ def events_markov_stationary(spark, sf_dir):
             )
             .withColumnRenamed("to_type", "state")
         )
-    return v.select(
+    return c2, rs, v
+
+
+# --- Markov entropy rate (round 11, second batch) -----------------------------
+#
+# How PREDICTABLE is the session journey? The entropy rate of the
+# session Markov chain, H = Σ_i π_i · H_i with H_i the Shannon
+# entropy of state i's outgoing-transition row — 0 bits means the
+# next event is fully determined by the current one, log2(|types|)
+# means the journey is pure noise; the scalar that tells a
+# personalization team whether next-action modeling has any signal to
+# extract. Composition of two already-oracle-checked pieces on ONE
+# sessionize pass: the row entropies come from the RAW restricted
+# transition counts via the shared entropy_term_micro_sql (not from
+# the quantized matrix — no double quantization), π from the K-step
+# integer power iteration. Every term is BIGINT micro, every sum an
+# integer sum, the π·H products integer-multiplied then div 1e6 —
+# order-proof end to end.
+
+_ENTROPY_RATE_ORACLE = f"""
+    WITH {_markov_ctes()},
+    h AS (
+        SELECT c2.from_type AS state,
+               CAST(sum({entropy_term_micro_sql("c2.n", "rs.n_from")})
+                    AS BIGINT) AS h_micro
+        FROM c2 JOIN rs USING (from_type)
+        GROUP BY 1
+    ),
+    rows_ AS (
+        SELECT v.state, v.m, h.h_micro,
+               CAST(v.m * h.h_micro // 1000000 AS BIGINT) AS contrib
+        FROM v{_MARKOV_ITERS} v JOIN h USING (state)
+    ),
+    tot AS (SELECT CAST(sum(contrib) AS BIGINT) AS rate FROM rows_)
+    SELECT state,
+           round(m / 1000000e0, 6) AS stationary,
+           round(h_micro / 1000000e0, 6) AS row_entropy_bits,
+           round(contrib / 1000000e0, 6) AS contribution_bits,
+           round(rate / 1000000e0, 6) AS entropy_rate_bits
+    FROM rows_ CROSS JOIN tot
+"""
+
+
+@register("events_markov_entropy_rate", _ENTROPY_RATE_ORACLE)
+def events_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the session Markov chain: per state, its
+    stationary mass, the Shannon entropy of its outgoing row, the
+    π·H contribution, and the chain-level rate repeated per row (the
+    dow-seasonality convention) — see the section comment for the
+    integer micro-unit contract.
+
+    Scale: the ONE sessionize + lead pass shared with the transition
+    matrix and stationary queries; everything after is metadata-scale
+    (|types|² terms, |types| rows)."""
+    c2, rs, v = _markov_components(spark, sf_dir)
+    tm = F.expr(entropy_term_micro_sql("n", "n_from"))
+    h = (
+        c2.join(F.broadcast(rs), "from_type")
+        .select(F.col("from_type").alias("state"), tm.alias("tm"))
+        .groupBy("state")
+        .agg(F.sum("tm").cast("bigint").alias("h_micro"))
+    )
+    rows = v.join(h, "state").select(
         "state",
-        F.col("m").alias("stationary_micro"),
+        "m",
+        "h_micro",
+        F.expr("CAST(m * h_micro div 1000000 AS BIGINT)").alias("contrib"),
+    )
+    tot = rows.agg(F.sum("contrib").cast("bigint").alias("rate"))
+    return rows.crossJoin(F.broadcast(tot)).select(
+        "state",
         F.round(F.col("m") / F.expr("1000000e0"), 6).alias("stationary"),
+        F.round(F.col("h_micro") / F.expr("1000000e0"), 6).alias(
+            "row_entropy_bits"
+        ),
+        F.round(F.col("contrib") / F.expr("1000000e0"), 6).alias(
+            "contribution_bits"
+        ),
+        F.round(F.col("rate") / F.expr("1000000e0"), 6).alias(
+            "entropy_rate_bits"
+        ),
     )
 
 

@@ -461,6 +461,103 @@ def similarity_ann_lsh(spark, sf_dir):
     )
 
 
+# --- ANN recall audit (round 11, second batch) ------------------------------
+#
+# The tuning dashboard for the ANN path: per query, how much of the
+# EXACT cosine top-k does the sign-LSH index recover? The LSH
+# docstring has always cited a recall number measured by hand — this
+# registers the measurement itself, so index changes (tables, bits,
+# planes) regress against an oracle instead of a comment. Pure
+# composition of the two already-oracle-checked pipelines on their
+# shared session-cached signature relation: exact top-k ∩ LSH top-k
+# per query (both sides k = _TOP_K with the identical
+# (cos desc, neighbor_id) tie-break), recall = hits/k as ONE
+# micro-quantized division, and the corpus-level mean recall as one
+# more over Σ hits / (n_queries·k). DuckDB composes the two full
+# oracle texts as nested-WITH derived tables.
+
+_RECALL_AUDIT_ORACLE = f"""
+    WITH bf AS ({_BRUTE_ORACLE}),
+    lsh AS ({_LSH_ORACLE}),
+    qs AS (SELECT DISTINCT query_id FROM bf),
+    hits AS (
+        SELECT qs.query_id,
+               CAST(coalesce(count(lsh.neighbor_id), 0) AS BIGINT)
+                   AS n_hits
+        FROM qs
+        LEFT JOIN bf ON bf.query_id = qs.query_id
+        LEFT JOIN lsh ON lsh.query_id = bf.query_id
+         AND lsh.neighbor_id = bf.neighbor_id
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_hits) AS BIGINT) AS sum_hits,
+               CAST(count(*) AS BIGINT) AS nq
+        FROM hits
+    )
+    SELECT query_id, n_hits,
+           round(CAST(floor(CAST(n_hits AS DOUBLE) / {_TOP_K}
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS recall_at_k,
+           round(CAST(floor(CAST(sum_hits AS DOUBLE) / (nq * {_TOP_K})
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_recall
+    FROM hits CROSS JOIN tot
+"""
+
+
+@register("similarity_ann_recall_audit", _RECALL_AUDIT_ORACLE)
+def similarity_ann_recall_audit(spark, sf_dir):
+    """Recall@k of the sign-LSH index against the exact brute-force
+    top-k, per query plus the corpus mean — see the section comment.
+    Makes the index's quality a regression-checked number instead of
+    a docstring citation.
+
+    Scale: the exact side is the documented O(n·q) exact tier (q = 10
+    broadcast queries, one corpus pass); the LSH side reuses the
+    session-cached signature relation, so the audit adds one bucket
+    join + two top-k windows over limit-bounded candidate sets and a
+    10-row intersection join."""
+    bf = similarity_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    qs = bf.select("query_id").distinct()
+    inter = bf.join(lsh, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("bigint").alias("n_hits"))
+    hits = qs.join(inter, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    )
+    tot = hits.agg(
+        F.sum("n_hits").cast("bigint").alias("sum_hits"),
+        F.count("*").cast("bigint").alias("nq"),
+    )
+    return hits.crossJoin(F.broadcast(tot)).select(
+        "query_id",
+        "n_hits",
+        F.round(
+            F.expr(
+                f"CAST(floor(CAST(n_hits AS DOUBLE) / {_TOP_K}"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("recall_at_k"),
+        F.round(
+            F.expr(
+                f"CAST(floor(CAST(sum_hits AS DOUBLE) / (nq * {_TOP_K})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("mean_recall"),
+    )
+
+
 _NEARDUP_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, label, embedding, {S.norm_sql('embedding')} AS nrm

@@ -269,3 +269,75 @@ def test_feed_freshness_invariants(spark, sf_dir):
         assert (r.last_event <= freshest.last_event) == (
             r.lag_us >= 0
         )
+
+
+def test_markov_entropy_rate_consistency(spark, sf_dir):
+    """The entropy rate must be consistent with its two parents: the
+    per-state stationary mass equals events_markov_stationary's, each
+    row entropy is bounded by log2 of that state's out-degree in the
+    restricted transition matrix, contributions are the integer
+    pi*H products, and the chain rate is their exact sum."""
+    import math as _m
+
+    rate_rows = {
+        r.state: r
+        for r in QUERIES["events_markov_entropy_rate"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    stat = {
+        r.state: r.stationary
+        for r in QUERIES["events_markov_stationary"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rate_rows) == set(stat)
+    tm = QUERIES["events_transition_matrix"].fn(spark, sf_dir).collect()
+    outdeg: dict[str, int] = {}
+    for r in tm:
+        if r.to_type in stat:  # restricted support
+            outdeg[r.from_type] = outdeg.get(r.from_type, 0) + 1
+    total = 0
+    for s, r in rate_rows.items():
+        assert r.stationary == stat[s]
+        assert 0.0 <= r.row_entropy_bits <= _m.log2(max(outdeg[s], 1)) + 1e-6
+        expect_contrib = round(
+            int(r.stationary * 1e6) * int(r.row_entropy_bits * 1e6 + 0.5)
+            // 1_000_000
+            / 1e6,
+            6,
+        )
+        assert abs(r.contribution_bits - expect_contrib) <= 2e-6
+        total += int(round(r.contribution_bits * 1e6))
+    rates = {r.entropy_rate_bits for r in rate_rows.values()}
+    assert len(rates) == 1
+    assert abs(next(iter(rates)) - total / 1e6) <= len(rate_rows) / 1e6
+
+
+def test_ann_recall_audit_consistent_with_parents(spark, sf_dir):
+    """The audit's per-query hit counts must equal the actual
+    intersection of the two registered parent queries' top-k sets,
+    and the mean must be the exact quantized Σhits/(nq·k)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_similarity as S,
+    )
+
+    bf: dict[int, set] = {}
+    for r in QUERIES["similarity_topk_bruteforce"].fn(spark, sf_dir).collect():
+        bf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsh: dict[int, set] = {}
+    for r in QUERIES["similarity_ann_lsh"].fn(spark, sf_dir).collect():
+        lsh.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rows = QUERIES["similarity_ann_recall_audit"].fn(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == set(bf)
+    for r in rows:
+        expect = len(bf[r.query_id] & lsh.get(r.query_id, set()))
+        assert r.n_hits == expect
+        assert r.recall_at_k == round(
+            int(expect / S._TOP_K * 1e6 + 0.5) / 1e6, 6
+        )
+    sum_hits = sum(r.n_hits for r in rows)
+    mean = round(
+        int(sum_hits / (len(rows) * S._TOP_K) * 1e6 + 0.5) / 1e6, 6
+    )
+    assert {r.mean_recall for r in rows} == {mean}

@@ -84,6 +84,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "join_dynamic_partition_pruning",
     "events_seasonal_volume_anomaly",
     "dq_feed_freshness",
+    "events_markov_entropy_rate",
+    "similarity_ann_recall_audit",
 )
 
 
