@@ -2863,9 +2863,19 @@ def events_seasonal_volume_anomaly(spark, sf_dir):
         load_table(spark, sf_dir, "events")
         .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("c"))
-        .withColumn(
-            "dow", (F.expr("weekday(day)") + 1).cast("bigint")
-        )
+    )
+    return seasonal_anomaly_from_day_counts(dc)
+
+
+def seasonal_anomaly_from_day_counts(dc):
+    """Same-weekday anomaly report from the (event_type, day, c)
+    day-count cube — ONE definition of the ISO-dow derivation, the
+    (type, dow)-partitioned lag window, the quantized ratio, and the
+    exact integer alert, shared by the batch query and the streaming
+    tier (the volume/ewma_from_day_counts precedent). ``day`` may be
+    date or timestamp grain (weekday() accepts both)."""
+    dc = dc.withColumn(
+        "dow", (F.expr("weekday(day)") + 1).cast("bigint")
     )
     lw = Window.partitionBy("event_type", "dow").orderBy("day")
     rng = range(1, _SEAS_LAGS + 1)
@@ -2925,6 +2935,31 @@ def events_seasonal_volume_anomaly(spark, sf_dir):
         .otherwise(0)
         .cast("bigint")
         .alias("is_alert"),
+    )
+
+
+@register("streaming_seasonal_volume_anomaly", _SEASONAL_ANOMALY_ORACLE)
+def streaming_seasonal_volume_anomaly(spark, sf_dir):
+    """Structured Streaming: the TENTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals the
+    same-weekday alarm runs on (the ISO weekday is a pure function of
+    the cube's day key), so the seasonal monitor shares the fold that
+    already serves PSI, JSD, day-of-week, Fano, the ACF, mix entropy,
+    weekday strength, the uniform volume alarm, and the EWMA
+    forecast. No new state schema, no new Python in the loop; the
+    (type, dow) lag window and the exact integer alert are the batch
+    twin's shared ``seasonal_anomaly_from_day_counts`` expressions,
+    so the report is bit-identical to the batch query and carries its
+    full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side is a (type, weekday)-partitioned lag window over the
+    emitted metadata-scale cube."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    return seasonal_anomaly_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
     )
 
 

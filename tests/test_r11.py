@@ -341,3 +341,21 @@ def test_ann_recall_audit_consistent_with_parents(spark, sf_dir):
         int(sum_hits / (len(rows) * S._TOP_K) * 1e6 + 0.5) / 1e6, 6
     )
     assert {r.mean_recall for r in rows} == {mean}
+
+
+def test_streaming_seasonal_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, ten reports: the seasonal
+    tier reuses the PSI fold's (day, bucket) cube, so its
+    same-weekday alarm must equal the batch query row-for-row."""
+
+    def snap(name):
+        return {
+            (r.event_type, r.day): (r.dow, r.c, r.n_prev, r.dow_ratio,
+                                    r.is_alert)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_seasonal_volume_anomaly"), snap(
+        "events_seasonal_volume_anomaly"
+    )
+    assert stream == batch and stream

@@ -86,6 +86,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "dq_feed_freshness",
     "events_markov_entropy_rate",
     "similarity_ann_recall_audit",
+    "streaming_seasonal_volume_anomaly",
 )
 
 

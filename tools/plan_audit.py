@@ -199,6 +199,7 @@ EXTRA = [
     "dq_feed_freshness",
     "events_markov_entropy_rate",
     "similarity_ann_recall_audit",
+    "streaming_seasonal_volume_anomaly",
 ]
 
 
