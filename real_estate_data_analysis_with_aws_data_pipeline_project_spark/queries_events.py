@@ -1508,13 +1508,24 @@ def events_trend_slope(spark, sf_dir):
 
     Scale: one map-side-combined daily aggregation; the regression
     runs on the (type, day) relation — calendar-bounded."""
-    from pyspark.sql import Window
-
     ev = load_table(spark, sf_dir, "events")
     dc = (
         ev.groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(F.count("*").cast("bigint").alias("y"))
     )
+    return trend_slope_from_day_counts(dc)
+
+
+def trend_slope_from_day_counts(dc):
+    """OLS daily-volume trend from the (event_type, day, y) day-count
+    cube — ONE definition of the day-index ranking, the five integer
+    regression sums, and the two final quantized divisions, shared by
+    the batch query and the streaming tier (the
+    ewma/seasonal_anomaly_from_day_counts precedent). ``day`` may be
+    date or timestamp grain (only its ORDER feeds the regression —
+    the day index x is a row_number)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("event_type").orderBy("day")
     xy = dc.select(
         "event_type", "y", F.row_number().over(w).cast("bigint").alias("x")
@@ -1539,6 +1550,30 @@ def events_trend_slope(spark, sf_dir):
             / (F.col("n") * den).cast("double"),
             6,
         ).alias("intercept"),
+    )
+
+
+@register("streaming_trend_slope", _TREND_ORACLE)
+def streaming_trend_slope(spark, sf_dir):
+    """Structured Streaming: the ELEVENTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals the OLS trend
+    regresses on (the day index is a rank over the cube's day keys),
+    so the trend monitor shares the fold that already serves PSI,
+    JSD, day-of-week, Fano, the ACF, mix entropy, weekday strength,
+    the uniform volume alarm, the EWMA forecast, and the same-weekday
+    alarm. No new state schema, no new Python in the loop; the
+    integer regression sums and the two final quantized divisions are
+    the batch twin's shared ``trend_slope_from_day_counts``
+    expressions, so the report is bit-identical to the batch query
+    and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    regression runs on the emitted metadata-scale (type, day) cube."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    return trend_slope_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, alias="y")
     )
 
 
@@ -3760,4 +3795,127 @@ def events_pareto_share(spark, sf_dir):
         "total",
         "top_decile_events",
         "top_decile_share",
+    )
+
+
+# --- cohort LTV curve (round 11, fifth batch) --------------------------------
+#
+# The revenue companion of events_retention_cohorts /
+# events_time_to_convert: per signup-day cohort, the CUMULATIVE
+# purchase revenue over the first week after signup, as a dense
+# (cohort × day-offset 0..7) grid — the curve a growth dashboard
+# reads LTV payback from. Determinism contract: purchase values are
+# exact cents in the fixture, integerized once via
+# floor(value·100 + 0.5) BIGINT (the features_scaling_params cents
+# rule) and summed as integers (order-proof); the cumulative sum is
+# an integer window over an 8-row calendar-bounded partition; the
+# per-user LTV is the exact integer division (cum_cents·10000) div
+# n_users to micro units, with the single double division at the
+# very end (the EWMA quantized-forecast shape). Attribution is at
+# day grain against the user's FIRST signup day (the
+# time_to-convert cohort definition), window 0..7 days inclusive.
+
+_COHORT_LTV_ORACLE = """
+    WITH s AS (
+        SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    coh AS (
+        SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users
+        FROM s GROUP BY 1
+    ),
+    grid AS (
+        SELECT cohort_day, n_users, CAST(g.o AS BIGINT) AS day_offset
+        FROM coh, unnest(generate_series(0, 7)) AS g(o)
+    ),
+    pc AS (
+        SELECT s.cohort_day,
+               CAST(date_diff('day', s.cohort_day, CAST(p.ts AS DATE))
+                    AS BIGINT) AS day_offset,
+               CAST(sum(CAST(floor(p.value * 100e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+        WHERE date_diff('day', s.cohort_day, CAST(p.ts AS DATE))
+              BETWEEN 0 AND 7
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT grid.cohort_day, grid.n_users, grid.day_offset,
+               CAST(sum(COALESCE(pc.cents, 0)) OVER (
+                   PARTITION BY grid.cohort_day ORDER BY grid.day_offset
+               ) AS BIGINT) AS cum_cents
+        FROM grid LEFT JOIN pc USING (cohort_day, day_offset)
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+           n_users, cum_cents AS cum_revenue_cents,
+           round(CAST((cum_cents * 10000) // n_users AS BIGINT)
+                 / 1000000e0, 6) AS ltv_per_user
+    FROM c
+"""
+
+
+@register("events_cohort_ltv", _COHORT_LTV_ORACLE)
+def events_cohort_ltv(spark, sf_dir):
+    """Cumulative first-week revenue per signup cohort (dense day
+    offsets 0..7), with the exact integer per-user LTV — the payback
+    curve next to the retention triangle. See the section comment for
+    the cents/micro determinism contract.
+
+    Scale: two user-keyed aggregates + one user-keyed join (the
+    time_to_convert shuffle-key-reuse shape); the dense grid is
+    cohorts × 8 (calendar-bounded) and the cumulative window runs on
+    8-row partitions of that metadata-scale relation — never on the
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").cast("date").alias("cohort_day"))
+    )
+    coh = s.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    grid = coh.select(
+        "cohort_day",
+        "n_users",
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("day_offset"),
+    ).withColumn("day_offset", F.col("day_offset").cast("bigint"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("date").alias("p_day"),
+        F.expr("CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    pc = (
+        s.join(p, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("p_day"), F.col("cohort_day")).cast("bigint"),
+        )
+        .where(F.col("day_offset").between(0, 7))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    cw = Window.partitionBy("cohort_day").orderBy("day_offset")
+    c = (
+        grid.join(pc, ["cohort_day", "day_offset"], "left")
+        .withColumn(
+            "cum_cents",
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .over(cw)
+            .cast("bigint"),
+        )
+    )
+    return c.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset",
+        "n_users",
+        F.col("cum_cents").alias("cum_revenue_cents"),
+        F.round(
+            F.expr("CAST((cum_cents * 10000) div n_users AS BIGINT)")
+            / F.expr("1000000e0"),
+            6,
+        ).alias("ltv_per_user"),
     )

@@ -359,3 +359,49 @@ def test_streaming_seasonal_equals_batch(spark, sf_dir):
         "events_seasonal_volume_anomaly"
     )
     assert stream == batch and stream
+
+
+def test_streaming_trend_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, eleven reports: the trend
+    tier reuses the PSI fold's (day, bucket) cube, so its OLS
+    regression must equal the batch query row-for-row."""
+
+    def snap(name):
+        return {
+            r.event_type: (r.n_days, r.slope_per_day, r.intercept)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_trend_slope"), snap(
+        "events_trend_slope"
+    )
+    assert stream == batch and stream
+
+
+def test_cohort_ltv_consistent_with_parents(spark, sf_dir):
+    """The LTV curve must agree with its parents: cohort sizes equal
+    time_to_convert's per-cohort signup counts, every cohort carries
+    the dense offsets 0..7, the cumulative cents are nondecreasing,
+    and the per-user LTV is exactly (cum_cents·10000) div n_users
+    micro."""
+    rows = QUERIES["events_cohort_ltv"].fn(spark, sf_dir).collect()
+    assert rows
+
+    by_cohort: dict[str, list] = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, []).append(r)
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r.day_offset)
+        assert [r.day_offset for r in rs] == list(range(8))
+        assert len({r.n_users for r in rs}) == 1
+        cents = [r.cum_revenue_cents for r in rs]
+        assert cents == sorted(cents) and cents[0] >= 0
+        for r in rs:
+            micro = (r.cum_revenue_cents * 10000) // r.n_users
+            assert r.ltv_per_user == round(micro / 1e6, 6)
+
+    ttc = {
+        r.cohort: r.n_signups
+        for r in QUERIES["events_time_to_convert"].fn(spark, sf_dir).collect()
+    }
+    assert {c: rs[0].n_users for c, rs in by_cohort.items()} == ttc

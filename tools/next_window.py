@@ -87,6 +87,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_markov_entropy_rate",
     "similarity_ann_recall_audit",
     "streaming_seasonal_volume_anomaly",
+    "streaming_trend_slope",
+    "events_cohort_ltv",
 )
 
 

@@ -200,6 +200,8 @@ EXTRA = [
     "events_markov_entropy_rate",
     "similarity_ann_recall_audit",
     "streaming_seasonal_volume_anomaly",
+    "streaming_trend_slope",
+    "events_cohort_ltv",
 ]
 
 
