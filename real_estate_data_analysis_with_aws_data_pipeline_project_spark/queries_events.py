@@ -3919,3 +3919,321 @@ def events_cohort_ltv(spark, sf_dir):
             6,
         ).alias("ltv_per_user"),
     )
+
+
+# --- Kaplan–Meier conversion survival (round 11, sixth batch) ----------------
+#
+# The censoring-correct companion of events_time_to_convert: the
+# conversion-rate column there silently treats never-converted users
+# as failures forever, but a user who signed up yesterday has only
+# had one day to convert. The Kaplan–Meier estimator handles that
+# right-censoring exactly: observed time T = days from first signup
+# to first at-or-after purchase (day grain), censor time C = days to
+# the data-derived last day (the dq_feed_freshness "now" rule),
+# S(t) = Π over observed conversion days ≤ t of (1 − d/n).
+# Determinism contract: the product is a per-step HALF-UP integer
+# recurrence in BIGINT micro units — s' = (2·s·(n−d) + n) div (2·n),
+# exact integer arithmetic at every step, so the curve is
+# bit-identical across engines and partitionings with no libm call
+# anywhere (a log-space sum would put exp/log2 in play; the
+# recurrence never leaves int64: 2·s·n ≤ 2e6·N). A censoring-only
+# step is the exact identity (s' = s). The Spark side runs the
+# recurrence with F.aggregate over the SORTED calendar-bounded
+# (t, d, c) array (prefix per output row — O(days²) lambda steps on
+# a metadata-scale relation); the DuckDB oracle is an independent
+# recursive-CTE formulation of the same spec. Convention: conversions
+# at t precede censorings at t (censored-at-t users are at risk).
+
+_SURVIVAL_KM_ORACLE = """
+    WITH RECURSIVE maxd AS (
+        SELECT CAST(max(ts) AS DATE) AS mx FROM events
+    ),
+    s AS (
+        SELECT user_id, min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id, min(CAST(p.ts AS DATE)) AS p_day
+        FROM s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.s_ts
+        GROUP BY 1
+    ),
+    u AS (
+        SELECT s.user_id,
+               CAST(CASE WHEN c.p_day IS NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   (SELECT mx FROM maxd))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE), c.p_day)
+                    END AS BIGINT) AS t,
+               CASE WHEN c.p_day IS NULL THEN 0 ELSE 1 END AS ev
+        FROM s LEFT JOIN conv c USING (user_id)
+    ),
+    agg AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) - sum(ev) AS BIGINT) AS c
+        FROM u GROUP BY t
+    ),
+    r AS (
+        SELECT t, d, c,
+               CAST((SELECT count(*) FROM u)
+                    - COALESCE(sum(d + c) OVER (
+                          ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT) AS n,
+               CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i
+        FROM agg
+    ),
+    rec AS (
+        SELECT i, t, d, c, n,
+               CAST((2 * 1000000 * (n - d) + n) // (2 * n) AS BIGINT)
+                   AS s_micro
+        FROM r WHERE i = 1
+        UNION ALL
+        SELECT r.i, r.t, r.d, r.c, r.n,
+               CAST((2 * rec.s_micro * (r.n - r.d) + r.n) // (2 * r.n)
+                    AS BIGINT)
+        FROM rec JOIN r ON r.i = rec.i + 1
+    )
+    SELECT t, n AS n_at_risk, d AS d_converted, c AS c_censored,
+           round(s_micro / 1000000e0, 6) AS survival
+    FROM rec
+"""
+
+
+@register("events_survival_km", _SURVIVAL_KM_ORACLE)
+def events_survival_km(spark, sf_dir):
+    """Kaplan–Meier signup→purchase survival curve with exact
+    right-censoring at the data's last day — S(t) in BIGINT micro
+    units via the half-up integer recurrence (see the section comment
+    for the full contract). One row per distinct observed time.
+
+    Scale: two user-keyed aggregates + one user-keyed join (the
+    time_to_convert shuffle shape); the recurrence runs on the
+    calendar-bounded (t, d, c) relation collected into ONE sorted
+    array — days², not users², and never a driver collect."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_ts").cast("date")).alias("p_day"))
+    )
+    u = (
+        s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(
+                F.col("p_day").isNull(),
+                F.datediff(F.col("mx"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("p_day"), F.col("s_ts").cast("date"))
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    agg = u.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
+    )
+    tot = u.agg(F.count("*").cast("bigint").alias("n_total"))
+    arr = agg.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("arr")
+    )
+    return (
+        agg.crossJoin(F.broadcast(arr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.expr(
+                "n_total - aggregate(filter(arr, x -> x.t < t), 0L,"
+                " (a, x) -> a + x.d + x.c)"
+            )
+            .cast("bigint")
+            .alias("n_at_risk"),
+            F.col("d").alias("d_converted"),
+            F.col("c").alias("c_censored"),
+            F.round(
+                F.expr(
+                    "aggregate(filter(arr, x -> x.t <= t),"
+                    " named_struct('n', n_total,"
+                    "              's', CAST(1000000 AS BIGINT)),"
+                    " (a, x) -> named_struct("
+                    "     'n', a.n - x.d - x.c,"
+                    "     's', (2 * a.s * (a.n - x.d) + a.n)"
+                    "          div (2 * a.n)),"
+                    " a -> a.s)"
+                ).cast("double")
+                / F.expr("1000000e0"),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+# --- A/B conversion z-test (round 11, sixth batch) ---------------------------
+#
+# Experiment readout on the deterministic hash split: users are
+# assigned by first md5 byte (< 0x80 → variant a — the
+# corpus_split_train_val_test bucketing rule, stable across runs,
+# partitionings, and engines, uncorrelated with id assignment order
+# the way user_id % 2 would not be), conversion is "has any purchase
+# event", and the two-proportion pooled z-statistic is computed from
+# the four BIGINT counts in ONE fixed expression tree of
+# exactly-rounded IEEE ops (±, ×, ÷, sqrt — no libm), so the double
+# is bit-identical across engines and the micro-quantized
+# significance flag |z_micro| > 1959964 (z_0.975 = 1.959964) is an
+# exact integer comparison. Degenerate pools (0 or 100 % conversion)
+# NULL the statistic instead of dividing by zero (the trend-slope
+# defensive-guard precedent).
+
+_ABTEST_ORACLE = """
+    WITH u AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events GROUP BY 1
+    ),
+    tagged AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 'a' ELSE 'b' END AS variant,
+               converted
+        FROM u
+    ),
+    v AS (
+        SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 'a' THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_a,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
+                    AS BIGINT) AS c_b
+        FROM tagged
+    ),
+    z AS (
+        SELECT n_a, c_a, n_b, c_b,
+               CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+                   CAST(floor((CAST(c_a AS DOUBLE) / n_a
+                               - CAST(c_b AS DOUBLE) / n_b)
+                              / sqrt((CAST(c_a + c_b AS DOUBLE)
+                                      / (n_a + n_b))
+                                     * (1e0 - CAST(c_a + c_b AS DOUBLE)
+                                            / (n_a + n_b))
+                                     * (1e0 / n_a + 1e0 / n_b))
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM v
+    )
+    SELECT n_a, c_a,
+           round(CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000e0 + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS rate_a,
+           n_b, c_b,
+           round(CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000e0 + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS rate_b,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END
+                AS BIGINT) AS significant_95
+    FROM z
+"""
+
+
+@register("events_ab_conversion_ztest", _ABTEST_ORACLE)
+def events_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion conversion z-test between deterministic
+    md5-hash-split variants — the experiment-analysis readout (see
+    the section comment for the split and determinism contract).
+
+    Scale: one user-keyed aggregate (map-side combined) then a
+    single-row global reduction of four integer counts — no state
+    beyond the four sums."""
+    from .functions.scalar import deterministic_order_key
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("converted")
+        )
+    )
+    tagged = u.select(
+        F.when(
+            F.substring(deterministic_order_key("user_id"), 1, 2) < "80",
+            "a",
+        )
+        .otherwise("b")
+        .alias("variant"),
+        "converted",
+    )
+    v = tagged.agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "a", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "b", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    )
+    z = v.withColumn(
+        "z_micro",
+        F.expr(
+            "CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN"
+            " CAST(floor((CAST(c_a AS DOUBLE) / n_a"
+            "             - CAST(c_b AS DOUBLE) / n_b)"
+            "            / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+            "                   * (1e0 - CAST(c_a + c_b AS DOUBLE)"
+            "                          / (n_a + n_b))"
+            "                   * (1e0 / n_a + 1e0 / n_b))"
+            "            * 1000000e0 + 0.5e0) AS BIGINT)"
+            " END"
+        ),
+    )
+    return z.select(
+        "n_a",
+        "c_a",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000e0 + 0.5e0)"
+                " AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("rate_a"),
+        "n_b",
+        "c_b",
+        F.round(
+            F.expr(
+                "CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000e0 + 0.5e0)"
+                " AS BIGINT)"
+            )
+            / F.expr("1000000e0"),
+            6,
+        ).alias("rate_b"),
+        F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
+        .alias("z_score"),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant_95"),
+    )

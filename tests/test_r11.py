@@ -405,3 +405,64 @@ def test_cohort_ltv_consistent_with_parents(spark, sf_dir):
         for r in QUERIES["events_time_to_convert"].fn(spark, sf_dir).collect()
     }
     assert {c: rs[0].n_users for c, rs in by_cohort.items()} == ttc
+
+
+def test_survival_km_recurrence_and_parents(spark, sf_dir):
+    """Independent recompute of the KM curve: rebuild the half-up
+    integer recurrence in plain Python from the reported (d, c)
+    columns and require the engine's survival column to match micro
+    for micro; check the risk-set bookkeeping (n strictly decreasing
+    by exactly d+c) and that the cohort total equals
+    time_to_convert's signup population."""
+    rows = sorted(
+        QUERIES["events_survival_km"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t,
+    )
+    assert rows
+    n_total = rows[0].n_at_risk
+    s, n = 1_000_000, n_total
+    for r in rows:
+        assert r.n_at_risk == n
+        s = (2 * s * (n - r.d_converted) + n) // (2 * n)
+        assert r.survival == round(s / 1e6, 6)
+        assert 0.0 <= r.survival <= 1.0
+        n -= r.d_converted + r.c_censored
+    assert n == 0
+
+    ttc = QUERIES["events_time_to_convert"].fn(spark, sf_dir).collect()
+    assert sum(r.n_signups for r in ttc) == n_total
+
+
+def test_ab_ztest_recompute(spark, sf_dir):
+    """Recompute the pooled two-proportion z from the reported integer
+    counts with the same IEEE expression tree and require the engine's
+    quantized statistic, rates, and flag to match exactly; the variant
+    populations must partition the distinct-user universe."""
+    from pyspark.sql import functions as F
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    [r] = QUERIES["events_ab_conversion_ztest"].fn(spark, sf_dir).collect()
+    assert r.n_a > 0 and r.n_b > 0
+    ev = load_table(spark, sf_dir, "events")
+    assert r.n_a + r.n_b == ev.select("user_id").distinct().count()
+    assert r.c_a + r.c_b == (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    c, n = r.c_a + r.c_b, r.n_a + r.n_b
+    if 0 < c < n:
+        p = c / n
+        z = (r.c_a / r.n_a - r.c_b / r.n_b) / math.sqrt(
+            p * (1.0 - p) * (1.0 / r.n_a + 1.0 / r.n_b)
+        )
+        z_micro = math.floor(z * 1e6 + 0.5)
+        assert r.z_score == round(z_micro / 1e6, 6)
+        assert r.significant_95 == (1 if abs(z_micro) > 1959964 else 0)
+    else:  # degenerate pool (all or none convert): guarded NULL, flag 0
+        assert r.z_score is None and r.significant_95 == 0
+    assert r.rate_a == round(math.floor(r.c_a / r.n_a * 1e6 + 0.5) / 1e6, 6)
+    assert r.rate_b == round(math.floor(r.c_b / r.n_b * 1e6 + 0.5) / 1e6, 6)

@@ -89,6 +89,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_seasonal_volume_anomaly",
     "streaming_trend_slope",
     "events_cohort_ltv",
+    "events_survival_km",
+    "events_ab_conversion_ztest",
 )
 
 
