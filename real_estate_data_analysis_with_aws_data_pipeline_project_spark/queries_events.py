@@ -875,8 +875,6 @@ def events_dod_growth(spark, sf_dir):
     Scale: one aggregation plus one lag() window, both keyed on
     event_type — the tiny daily aggregate is what the window sorts,
     never raw events."""
-    from pyspark.sql import Window
-
     d = (
         _events(spark, sf_dir)
         .groupBy(
@@ -887,6 +885,17 @@ def events_dod_growth(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"))
     )
+    return dod_growth_from_day_counts(d)
+
+
+def dod_growth_from_day_counts(d):
+    """Day-over-day growth report from the (event_type, day, n)
+    day-count cube — ONE definition of the lag and the single
+    exact-integer division, shared by the batch query and the
+    streaming tier (the trend/ewma_from_day_counts precedent).
+    ``day`` is the 'yyyy-MM-dd' string grain both twins share."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("event_type").orderBy("day")
     prev = F.lag("n").over(w)
     return d.select(
@@ -897,6 +906,31 @@ def events_dod_growth(spark, sf_dir):
         F.round((F.col("n") - prev) / prev.cast("double"), 4).alias(
             "dod_growth"
         ),
+    )
+
+
+@register("streaming_dod_growth", _DOD_ORACLE)
+def streaming_dod_growth(spark, sf_dir):
+    """Structured Streaming: the TWELFTH report off the ONE streamed
+    sufficient statistic — the PSI tier's (day, bucket) count cube in
+    ValueState sums over buckets to the per-day totals the
+    day-over-day report lags (the cube's day key is already the
+    'yyyy-MM-dd' string grain), so the growth monitor shares the fold
+    that already serves PSI, JSD, day-of-week, Fano, the ACF, mix
+    entropy, weekday strength, the uniform volume alarm, the EWMA
+    forecast, the same-weekday alarm, and the OLS trend. No new state
+    schema, no new Python in the loop; the lag and the single
+    exact-integer division are the batch twin's shared
+    ``dod_growth_from_day_counts`` expressions, so the report is
+    bit-identical to the batch query and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report is one type-partitioned lag over the emitted
+    metadata-scale cube."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    return dod_growth_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, alias="n")
     )
 
 

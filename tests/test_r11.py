@@ -466,3 +466,18 @@ def test_ab_ztest_recompute(spark, sf_dir):
         assert r.z_score is None and r.significant_95 == 0
     assert r.rate_a == round(math.floor(r.c_a / r.n_a * 1e6 + 0.5) / 1e6, 6)
     assert r.rate_b == round(math.floor(r.c_b / r.n_b * 1e6 + 0.5) / 1e6, 6)
+
+
+def test_streaming_dod_growth_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, twelve reports: the
+    day-over-day tier reuses the PSI fold's (day, bucket) cube, so
+    its growth report must equal the batch query row-for-row."""
+
+    def snap(name):
+        return {
+            (r.event_type, r.day): (r.n, r.prev_n, r.dod_growth)
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream, batch = snap("streaming_dod_growth"), snap("events_dod_growth")
+    assert stream == batch and stream

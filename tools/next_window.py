@@ -91,6 +91,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_cohort_ltv",
     "events_survival_km",
     "events_ab_conversion_ztest",
+    "streaming_dod_growth",
 )
 
 

@@ -204,6 +204,7 @@ EXTRA = [
     "events_cohort_ltv",
     "events_survival_km",
     "events_ab_conversion_ztest",
+    "streaming_dod_growth",
 ]
 
 
