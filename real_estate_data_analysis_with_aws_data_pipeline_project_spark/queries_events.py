@@ -3553,7 +3553,16 @@ def events_markov_entropy_rate(spark, sf_dir):
 
     Scale: the ONE sessionize + lead pass shared with the transition
     matrix and stationary queries; everything after is metadata-scale
-    (|types|² terms, |types| rows)."""
+    (|types|² terms, |types| rows).
+
+    Support contract (r11 review): the v⋈h join is INNER on purpose —
+    a from-state whose entire restricted out-row is empty (all its
+    transitions target never-from types) has no defined row entropy,
+    and under the same partial-condensation decision recorded on
+    events_markov_stationary such a state is out of scope; it can
+    carry transient iterated mass only until the next step drops it,
+    and the parents-consistency test's set-equality would flag any
+    fixture where the two supports diverge."""
     c2, rs, v = _markov_components(spark, sf_dir)
     tm = F.expr(entropy_term_micro_sql("n", "n_from"))
     h = (
@@ -4078,11 +4087,19 @@ def events_survival_km(spark, sf_dir):
             F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
         )
     )
-    agg = u.groupBy("t").agg(
-        F.sum("ev").cast("bigint").alias("d"),
-        (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
+    agg = (
+        u.groupBy("t")
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            (F.count("*") - F.sum("ev")).cast("bigint").alias("c"),
+        )
+        # days-scale; consumed by the output rows, the array, and the
+        # population total — checkpoint so the signup aggregate +
+        # purchase join subtree runs ONCE (r11 review; the
+        # _markov_components precedent)
+        .localCheckpoint(eager=True)
     )
-    tot = u.agg(F.count("*").cast("bigint").alias("n_total"))
+    tot = agg.agg((F.sum("d") + F.sum("c")).cast("bigint").alias("n_total"))
     arr = agg.agg(
         F.sort_array(F.collect_list(F.struct("t", "d", "c"))).alias("arr")
     )
@@ -4129,9 +4146,11 @@ def events_survival_km(spark, sf_dir):
 # exactly-rounded IEEE ops (±, ×, ÷, sqrt — no libm), so the double
 # is bit-identical across engines and the micro-quantized
 # significance flag |z_micro| > 1959964 (z_0.975 = 1.959964) is an
-# exact integer comparison. Degenerate pools (0 or 100 % conversion)
-# NULL the statistic instead of dividing by zero (the trend-slope
-# defensive-guard precedent).
+# exact integer comparison. Degenerate pools — an EMPTY variant or
+# 0/100 % pooled conversion — NULL the statistic (and an empty
+# variant NULLs its rate) instead of dividing by zero (the
+# trend-slope defensive-guard precedent; Spark's non-ANSI 0/0 → NULL
+# and DuckDB's IEEE NaN/inf would otherwise diverge, r11 review).
 
 _ABTEST_ORACLE = """
     WITH u AS (
@@ -4159,7 +4178,8 @@ _ABTEST_ORACLE = """
     ),
     z AS (
         SELECT n_a, c_a, n_b, c_b,
-               CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
+               CASE WHEN n_a > 0 AND n_b > 0
+                     AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN
                    CAST(floor((CAST(c_a AS DOUBLE) / n_a
                                - CAST(c_b AS DOUBLE) / n_b)
                               / sqrt((CAST(c_a + c_b AS DOUBLE)
@@ -4172,11 +4192,15 @@ _ABTEST_ORACLE = """
         FROM v
     )
     SELECT n_a, c_a,
-           round(CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000e0 + 0.5e0)
-                      AS BIGINT) / 1000000e0, 6) AS rate_a,
+           CASE WHEN n_a > 0 THEN
+               round(CAST(floor(CAST(c_a AS DOUBLE) / n_a
+                                * 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS rate_a,
            n_b, c_b,
-           round(CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000e0 + 0.5e0)
-                      AS BIGINT) / 1000000e0, 6) AS rate_b,
+           CASE WHEN n_b > 0 THEN
+               round(CAST(floor(CAST(c_b AS DOUBLE) / n_b
+                                * 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS rate_b,
            round(z_micro / 1000000e0, 6) AS z_score,
            CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END
                 AS BIGINT) AS significant_95
@@ -4232,7 +4256,8 @@ def events_ab_conversion_ztest(spark, sf_dir):
     z = v.withColumn(
         "z_micro",
         F.expr(
-            "CASE WHEN c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN"
+            "CASE WHEN n_a > 0 AND n_b > 0"
+            " AND c_a + c_b > 0 AND c_a + c_b < n_a + n_b THEN"
             " CAST(floor((CAST(c_a AS DOUBLE) / n_a"
             "             - CAST(c_b AS DOUBLE) / n_b)"
             "            / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
@@ -4246,23 +4271,19 @@ def events_ab_conversion_ztest(spark, sf_dir):
     return z.select(
         "n_a",
         "c_a",
-        F.round(
-            F.expr(
-                "CAST(floor(CAST(c_a AS DOUBLE) / n_a * 1000000e0 + 0.5e0)"
-                " AS BIGINT)"
-            )
-            / F.expr("1000000e0"),
-            6,
+        F.expr(
+            "CASE WHEN n_a > 0 THEN"
+            " round(CAST(floor(CAST(c_a AS DOUBLE) / n_a"
+            "                  * 1000000e0 + 0.5e0)"
+            "            AS BIGINT) / 1000000e0, 6) END"
         ).alias("rate_a"),
         "n_b",
         "c_b",
-        F.round(
-            F.expr(
-                "CAST(floor(CAST(c_b AS DOUBLE) / n_b * 1000000e0 + 0.5e0)"
-                " AS BIGINT)"
-            )
-            / F.expr("1000000e0"),
-            6,
+        F.expr(
+            "CASE WHEN n_b > 0 THEN"
+            " round(CAST(floor(CAST(c_b AS DOUBLE) / n_b"
+            "                  * 1000000e0 + 0.5e0)"
+            "            AS BIGINT) / 1000000e0, 6) END"
         ).alias("rate_b"),
         F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
         .alias("z_score"),

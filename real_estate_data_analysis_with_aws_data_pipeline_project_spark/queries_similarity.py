@@ -518,8 +518,13 @@ def similarity_ann_recall_audit(spark, sf_dir):
     session-cached signature relation, so the audit adds one bucket
     join + two top-k windows over limit-bounded candidate sets and a
     10-row intersection join."""
-    bf = similarity_topk_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    bf = (
+        similarity_topk_bruteforce(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        # q·k rows; consumed by the query list AND the intersection —
+        # checkpoint so the O(n·q) exact pass runs ONCE (r11 review;
+        # the _markov_components precedent)
+        .localCheckpoint(eager=True)
     )
     lsh = similarity_ann_lsh(spark, sf_dir).select(
         "query_id", "neighbor_id"
@@ -528,9 +533,15 @@ def similarity_ann_recall_audit(spark, sf_dir):
     inter = bf.join(lsh, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count("*").cast("bigint").alias("n_hits"))
-    hits = qs.join(inter, "query_id", "left").select(
-        "query_id",
-        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+    hits = (
+        qs.join(inter, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        # q rows; consumed by the mean aggregate AND the output —
+        # checkpoint so the bucket-join side also runs once
+        .localCheckpoint(eager=True)
     )
     tot = hits.agg(
         F.sum("n_hits").cast("bigint").alias("sum_hits"),

@@ -265,10 +265,17 @@ def test_feed_freshness_invariants(spark, sf_dir):
         assert r.lag_hours == round(
             int(r.lag_us / 3600000000.0 * 1e6 + 0.5) / 1e6, 6
         )
-        # formatted timestamp orders consistently with the lag
-        assert (r.last_event <= freshest.last_event) == (
-            r.lag_us >= 0
-        )
+        # formatted timestamp orders consistently with the lag: any
+        # positive lag means a strictly earlier (or second-truncated
+        # equal) formatted timestamp, and zero lag means an equal one
+        # (r11 review: the first draft compared against the always-
+        # true lag_us >= 0 — a tautology)
+        if r.lag_us == 0:
+            assert r.last_event == freshest.last_event
+        else:
+            assert r.last_event <= freshest.last_event
+            if r.lag_us >= 1_000_000:  # beyond second truncation
+                assert r.last_event < freshest.last_event
 
 
 def test_markov_entropy_rate_consistency(spark, sf_dir):
@@ -302,7 +309,8 @@ def test_markov_entropy_rate_consistency(spark, sf_dir):
         assert r.stationary == stat[s]
         assert 0.0 <= r.row_entropy_bits <= _m.log2(max(outdeg[s], 1)) + 1e-6
         expect_contrib = round(
-            int(r.stationary * 1e6) * int(r.row_entropy_bits * 1e6 + 0.5)
+            int(r.stationary * 1e6 + 0.5)
+            * int(r.row_entropy_bits * 1e6 + 0.5)
             // 1_000_000
             / 1e6,
             6,
