@@ -620,6 +620,163 @@ def er_blocked_parts(spark, sf_dir):
     )
 
 
+# --- ER blocking-quality audit (round 11) ------------------------------------
+#
+# The two numbers that justify (or indict) a blocking scheme, from
+# the record-linkage literature: PAIR COMPLETENESS (what fraction of
+# true matches survive into some block — blocking recall) and the
+# REDUCTION RATIO (what fraction of the n·(n−1)/2 all-pairs
+# comparisons the blocks avoid). Ground truth here is the match rule
+# WITHOUT the noun-token blocking key: same (brand, type) and leading
+# name token within Levenshtein 2 — so completeness measures exactly
+# what the block_tok condition throws away. The truth join is itself
+# bounded by the coarser (brand, type) grouping (the audit is a
+# blocked computation too — at corpus scale one runs it on a record
+# sample, which estimates both ratios unbiasedly since they are
+# pair-level means). All pair counts are exact int64 (n·(n−1)/2 is
+# safe to n ≈ 4e9); the two ratios are ONE double division each,
+# micro-quantized via floor(x·1e6 + 0.5), degenerate denominators
+# (no true pairs / fewer than 2 records) guarded NULL.
+
+_ER_BQ_ORACLE = f"""
+    WITH r AS (
+        SELECT p_partkey AS pk,
+               split_part(p_name, ' ', 1) AS first_tok,
+               string_split(p_name, ' ')[-1] AS block_tok,
+               p_brand AS brand,
+               p_type AS ptype
+        FROM part
+    ),
+    blocks AS (
+        SELECT block_tok, brand, ptype, CAST(count(*) AS BIGINT) AS sz
+        FROM r GROUP BY 1, 2, 3
+    ),
+    bstats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(max(sz) AS BIGINT) AS max_block_size,
+               CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS cand_pairs
+        FROM blocks
+    ),
+    tp AS (
+        SELECT CAST(count(*) AS BIGINT) AS true_pairs,
+               CAST(coalesce(sum(CASE WHEN a.block_tok = b.block_tok
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS kept_pairs
+        FROM r a JOIN r b
+          ON a.brand = b.brand AND a.ptype = b.ptype
+         AND a.pk < b.pk
+         AND levenshtein(a.first_tok, b.first_tok) <= {_ER_LEV_MAX}
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM r)
+    SELECT n.n_records, bstats.n_blocks, bstats.max_block_size,
+           bstats.cand_pairs,
+           CAST((n.n_records * (n.n_records - 1)) // 2 AS BIGINT)
+               AS total_pairs,
+           tp.true_pairs, tp.kept_pairs,
+           CASE WHEN tp.true_pairs > 0 THEN
+               CAST(floor(CAST(tp.kept_pairs AS DOUBLE) / tp.true_pairs
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS pair_completeness,
+           CASE WHEN n.n_records > 1 THEN
+               CAST(floor((1e0 - CAST(bstats.cand_pairs AS DOUBLE)
+                           / ((n.n_records * (n.n_records - 1)) // 2))
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS reduction_ratio
+    FROM n CROSS JOIN bstats CROSS JOIN tp
+"""
+
+
+@register("er_blocking_quality", _ER_BQ_ORACLE)
+def er_blocking_quality(spark, sf_dir):
+    """Blocking-quality audit for er_blocked_parts: pair completeness
+    (fraction of true (brand, type, Levenshtein-2) matches whose pair
+    shares a noun-token block — blocking recall) and reduction ratio
+    (fraction of all-pairs comparisons the blocking avoids), plus the
+    block-size profile (block count, max block, scheduled candidate
+    pairs). One row — the go/no-go evidence a linkage pipeline records
+    before trusting its blocking key.
+
+    Scale: candidate-pair and block stats are ONE count aggregate at
+    the blocking-key grain (map-side combinable); the ground-truth
+    pass is a self-join bounded by the coarser (brand, type) blocks —
+    quadratic only within those groups, never all-pairs — and at
+    corpus scale runs on a record sample (both ratios are pair-level
+    means, so sampling estimates them unbiasedly; see section
+    comment). Scalars cross-join as broadcasts. Pair counts exact
+    int64; ratios micro-quantized (section comment)."""
+    r = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"),
+        F.substring_index("p_name", " ", 1).alias("first_tok"),
+        F.substring_index("p_name", " ", -1).alias("block_tok"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("ptype"),
+    )
+    blocks = r.groupBy("block_tok", "brand", "ptype").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    bstats = blocks.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.max("sz").cast("bigint").alias("max_block_size"),
+        F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("bigint").alias(
+            "cand_pairs"
+        ),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    tp = a.join(
+        b,
+        (F.col("a.brand") == F.col("b.brand"))
+        & (F.col("a.ptype") == F.col("b.ptype"))
+        & (F.col("a.pk") < F.col("b.pk"))
+        & (
+            F.levenshtein(F.col("a.first_tok"), F.col("b.first_tok"))
+            <= _ER_LEV_MAX
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("true_pairs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("a.block_tok") == F.col("b.block_tok"), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("kept_pairs"),
+    )
+    n = r.agg(F.count("*").cast("bigint").alias("n_records"))
+    return (
+        n.crossJoin(F.broadcast(bstats))
+        .crossJoin(F.broadcast(tp))
+        .select(
+            "n_records",
+            "n_blocks",
+            "max_block_size",
+            "cand_pairs",
+            F.expr("(n_records * (n_records - 1)) div 2")
+            .cast("bigint")
+            .alias("total_pairs"),
+            "true_pairs",
+            "kept_pairs",
+            F.when(
+                F.col("true_pairs") > 0,
+                F.expr(
+                    "CAST(floor(CAST(kept_pairs AS DOUBLE) / true_pairs"
+                    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0"
+                ),
+            ).alias("pair_completeness"),
+            F.when(
+                F.col("n_records") > 1,
+                F.expr(
+                    "CAST(floor((1e0 - CAST(cand_pairs AS DOUBLE)"
+                    " / ((n_records * (n_records - 1)) div 2))"
+                    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0"
+                ),
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
 # --- incremental entity resolution (round 7, second batch) ------------------
 
 # Deterministic "incoming batch" slice, the incremental-minhash

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .queries_events import entropy_term_micro_sql
 from .registry import register
 from .sources.catalog import load_table
 
@@ -1070,6 +1071,180 @@ def features_chi2_selection(spark, sf_dir):
             F.sum(F.expr(_CHI2_TERM_SQL)).cast("double") / F.expr("1000000e0"),
             6,
         ).alias("chi2"),
+    )
+
+
+# --- mutual-information feature screening (round 11) --------------------------
+#
+# The information-theoretic member of the univariate feature-selection
+# triad (chi2 above ranks by independence-test statistic, WOE/IV by
+# log-odds mass, MI by shared bits): I(X;Y) = Σ_cells p(x,y)·
+# log2(p(x,y)/(p(x)p(y))) of each categorical candidate against the
+# same "high priority" binary label, plus the label entropy H(Y) and
+# the uncertainty coefficient U(Y|X) = I/H(Y) (Theil's U — the
+# "fraction of label bits this feature explains" number dashboards
+# compare across features of different cardinality). Unlike chi2,
+# EMPTY cells contribute nothing (lim p→0 of p·log is 0), so only
+# observed cells enter.
+#
+# Determinism contract (the chi2/entropy kernels' rules combined):
+# the log argument is a ratio of EXACT int64 products — o·n and
+# rt·ct are both ≤ n² (safe to n ~ 3e9 rows, the chi2 bound) — each
+# converted once to DOUBLE (exactly-rounded) and divided once; the
+# libm log2 is quantized to BIGINT micro via floor(x·1e6 + 0.5) (the
+# entropy_term_micro_sql rule: no round-on-double channel), the
+# p·lg product runs one IEEE multiply and floors to signed micro
+# units (half-up toward +inf — floor is exact in both engines), and
+# the per-feature sum is exact integer addition. H(Y) reuses
+# entropy_term_micro_sql verbatim; U is ONE double division of two
+# int64 micro sums, quantized micro, guarded NULL when H(Y) = 0
+# (single-class label).
+
+_MI_TERM_SQL = (
+    "CAST(floor((CAST(o AS DOUBLE) / n)"
+    " * (CAST(floor(log2((CAST(o AS DOUBLE) * n)"
+    "                    / (CAST(rt AS DOUBLE) * ct))"
+    "               * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0)"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_MI_ORACLE = f"""
+    WITH base AS (
+        SELECT feature, value, label FROM (
+            SELECT 'status' AS feature, o_orderstatus AS value,
+                   {_CHI2_LABEL_SQL} AS label FROM orders
+            UNION ALL
+            SELECT 'year', CAST(year(o_orderdate) AS VARCHAR),
+                   {_CHI2_LABEL_SQL} FROM orders
+            UNION ALL
+            SELECT 'month', CAST(month(o_orderdate) AS VARCHAR),
+                   {_CHI2_LABEL_SQL} FROM orders
+        )
+    ),
+    cells AS (
+        SELECT feature, value, label, CAST(count(*) AS BIGINT) AS o
+        FROM base GROUP BY 1, 2, 3
+    ),
+    rt AS (
+        SELECT feature, value, CAST(count(*) AS BIGINT) AS rt
+        FROM base GROUP BY 1, 2
+    ),
+    lab AS (
+        SELECT {_CHI2_LABEL_SQL} AS label, CAST(count(*) AS BIGINT) AS ct
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    terms AS (
+        SELECT c.feature, {_MI_TERM_SQL} AS tm
+        FROM cells c
+        JOIN rt USING (feature, value)
+        JOIN lab USING (label)
+        CROSS JOIN tot
+    ),
+    hy AS (
+        SELECT CAST(sum({entropy_term_micro_sql("lab.ct", "tot.n")})
+                    AS BIGINT) AS h_micro
+        FROM lab CROSS JOIN tot
+    )
+    SELECT t.feature,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum(t.tm) AS BIGINT) / 1000000e0, 6) AS mi_bits,
+           round(CAST(max(hy.h_micro) AS BIGINT) / 1000000e0, 6)
+               AS h_label_bits,
+           CASE WHEN max(hy.h_micro) > 0 THEN
+               CAST(floor(CAST(sum(t.tm) AS DOUBLE)
+                          / CAST(max(hy.h_micro) AS DOUBLE)
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS uncertainty_coef
+    FROM terms t CROSS JOIN hy
+    GROUP BY 1
+"""
+
+
+@register("features_mutual_information", _MI_ORACLE)
+def features_mutual_information(spark, sf_dir):
+    """Mutual information (bits) of three categorical order features
+    (status, order year, order month) with the "high priority" binary
+    label, plus the label entropy and the uncertainty coefficient
+    U(Y|X) = I(X;Y)/H(Y) — the information-theoretic feature-selection
+    screen that sits beside features_chi2_selection (same features,
+    same label, same contingency counts) and reads in comparable
+    units across features of different cardinality. Observed cells
+    only: an empty cell's p·log2 term is 0 by limit.
+
+    Scale: identical shape to the chi2 screen — one 3x unpivot into
+    ONE count aggregate at the (feature, value, label) grain
+    (cardinality-bounded, map-side combinable); marginals, the label
+    entropy, and the row total are tiny derived aggregates broadcast
+    onto the cell relation; the MI sum is exact BIGINT micro addition
+    (see section comment). No window, no per-row Python."""
+    orders = load_table(spark, sf_dir, "orders")
+    label = F.expr(_CHI2_LABEL_SQL).alias("label")
+    base = (
+        orders.select(
+            F.lit("status").alias("feature"),
+            F.col("o_orderstatus").alias("value"),
+            label,
+        )
+        .unionAll(
+            orders.select(
+                F.lit("year").alias("feature"),
+                F.year("o_orderdate").cast("string").alias("value"),
+                label,
+            )
+        )
+        .unionAll(
+            orders.select(
+                F.lit("month").alias("feature"),
+                F.month("o_orderdate").cast("string").alias("value"),
+                label,
+            )
+        )
+    )
+    cells = base.groupBy("feature", "value", "label").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt = base.groupBy("feature", "value").agg(
+        F.count("*").cast("bigint").alias("rt")
+    )
+    lab = orders.groupBy(label).agg(
+        F.count("*").cast("bigint").alias("ct")
+    )
+    tot = orders.agg(F.count("*").cast("bigint").alias("n"))
+    hy = lab.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(entropy_term_micro_sql("ct", "n")))
+        .cast("bigint")
+        .alias("h_micro")
+    )
+    terms = (
+        cells.join(F.broadcast(rt), ["feature", "value"])
+        .join(F.broadcast(lab), "label")
+        .crossJoin(F.broadcast(tot))
+        .select("feature", F.expr(_MI_TERM_SQL).alias("tm"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(hy))
+        .groupBy("feature")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.round(
+                F.sum("tm").cast("bigint") / F.expr("1000000e0"), 6
+            ).alias("mi_bits"),
+            F.round(
+                F.max("h_micro").cast("bigint") / F.expr("1000000e0"), 6
+            ).alias("h_label_bits"),
+            (
+                F.when(
+                    F.max("h_micro") > 0,
+                    F.expr(
+                        "CAST(floor(CAST(sum(tm) AS DOUBLE)"
+                        " / CAST(max(h_micro) AS DOUBLE)"
+                        " * 1000000e0 + 0.5e0) AS BIGINT)"
+                    ),
+                )
+                / F.expr("1000000e0")
+            ).alias("uncertainty_coef"),
+        )
     )
 
 

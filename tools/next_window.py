@@ -92,6 +92,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_survival_km",
     "events_ab_conversion_ztest",
     "streaming_dod_growth",
+    "features_mutual_information",
+    "er_blocking_quality",
 )
 
 

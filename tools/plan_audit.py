@@ -205,6 +205,8 @@ EXTRA = [
     "events_survival_km",
     "events_ab_conversion_ztest",
     "streaming_dod_growth",
+    "features_mutual_information",
+    "er_blocking_quality",
 ]
 
 
