@@ -1248,6 +1248,301 @@ def features_mutual_information(spark, sf_dir):
     )
 
 
+# --- PCA quality axis via integer power iteration (round 11) -----------------
+#
+# Collapse four mechanically-correlated document quality heuristics
+# (char length, token count, distinct-token count, stopword count)
+# into their top principal component — the "document size/quality
+# axis" a curation pipeline scores on instead of four redundant
+# columns. PCA runs on the CORRELATION matrix (scale-free: chars and
+# tokens live on different units), whose top eigenvector comes from
+# K = 24 unrolled power-iteration steps in EXACT integer micro-units
+# (the events_markov_stationary kernel, generalized to signed
+# entries):
+#
+#   - the features are exact int64 COUNTS per document, so Σx, Σx²,
+#     Σxy are order-proof integer sums (one pass, map-side
+#     combinable; products ≤ ~1e8 per row keep int64 safe past
+#     1e10 documents — beyond that the partials step to DECIMAL(38));
+#   - cov/var/corr run the IDENTICAL exactly-rounded IEEE expression
+#     tree in both engines (the whitening contract), then quantize
+#     once to BIGINT micro via floor(x·1e6 + 0.5); zero-variance
+#     features contribute corr = 0 (the whitening convention);
+#   - each step is w_j = Σ_i v_i·c_ij (pure int64 — |v| ≤ 1e6,
+#     |c| ≤ 1e6, d = 4 ⇒ |w| ≤ 4e12), renormalized to max-abs 1e6
+#     via ONE double division + floor (sign-split so no negative
+#     integer-division channel exists between the engines);
+#   - the eigenvalue is the Rayleigh quotient of the final iterate,
+#     numerator de-scaled by a sign-split abs-div (exact, signed),
+#     one double division, micro-quantized; var_share = λ/trace
+#     likewise. Signs canonicalize by making the largest-|loading|
+#     entry (smallest index on ties) positive.
+#
+# The d×d iteration is metadata-scale and runs driver-side on the
+# COLLECTED one-row moment aggregate (the whitening docstring's
+# stated architecture: the distributed part is the moment pass, the
+# eigen-step is a bounded driver computation — IVF bounded-collect
+# precedent), replicating the oracle's CTE arithmetic op-for-op:
+# Python ints are exact like BIGINT, Python floats are the same IEEE
+# doubles, so results are bit-identical. Convergence here is real,
+# not assumed: the four counts correlate ≥ 0.6 pairwise, giving
+# λ₂/λ₁ ≈ 0.14 — (0.14)²⁴ is far below micro resolution (the
+# embedding table was measured near-isotropic, λ₂/λ₁ ≈ 0.99, and
+# rejected as a PCA target for exactly this reason).
+
+_PCA_ITERS = 24
+_PCA_FEATURES = ("n_chars", "n_tokens", "n_distinct", "n_stopwords")
+_PCA_D = len(_PCA_FEATURES)
+
+
+def _pca_feature_sql() -> dict[int, str]:
+    from .operators import text as X
+
+    stop = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    return {
+        1: "CAST(length(text) AS BIGINT)",
+        2: f"CAST(len({X.tokens_sql()}) AS BIGINT)",
+        3: f"CAST(len(list_distinct({X.tokens_sql()})) AS BIGINT)",
+        4: (
+            f"CAST(len(list_filter({X.tokens_sql()},"
+            f" t -> t IN ({stop}))) AS BIGINT)"
+        ),
+    }
+
+
+def _pca_cov_sql(i: int, j: int) -> str:
+    lo, hi = min(i, j), max(i, j)
+    return (
+        f"(CAST(s{lo}{hi} AS DOUBLE) / n"
+        f" - (CAST(s{lo} AS DOUBLE) / n) * (CAST(s{hi} AS DOUBLE) / n))"
+    )
+
+
+def _pca_corr_micro_sql(i: int, j: int) -> str:
+    vi, vj = _pca_cov_sql(i, i), _pca_cov_sql(j, j)
+    return (
+        f"CASE WHEN {vi} * {vj} > 0 THEN"
+        f" CAST(floor({_pca_cov_sql(i, j)} / sqrt({vi} * {vj})"
+        " * 1000000e0 + 0.5e0) AS BIGINT) ELSE 0 END"
+    )
+
+
+def _pca_oracle() -> str:
+    d = _PCA_D
+    fx = _pca_feature_sql()
+    feat_cols = ", ".join(f"{fx[i]} AS x{i}" for i in range(1, d + 1))
+    sums = [f"CAST(count(*) AS BIGINT) AS n"]
+    for i in range(1, d + 1):
+        sums.append(f"CAST(sum(x{i}) AS BIGINT) AS s{i}")
+        for j in range(i, d + 1):
+            sums.append(f"CAST(sum(x{i} * x{j}) AS BIGINT) AS s{i}{j}")
+    cq = "\n        UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, {_pca_corr_micro_sql(i, j)} AS cmv"
+        " FROM mo"
+        for i in range(1, d + 1)
+        for j in range(i, d + 1)
+    )
+    dims = ", ".join(f"({i})" for i in range(1, d + 1))
+    iters = ",\n    ".join(
+        f"""w{k} AS MATERIALIZED (
+        SELECT cm.j AS dim, CAST(sum(v.vm * cm.cmv) AS BIGINT) AS w
+        FROM v{k - 1} v JOIN cm ON cm.i = v.dim GROUP BY 1
+    ),
+    mx{k} AS MATERIALIZED (
+        SELECT greatest(CAST(max(abs(w)) AS BIGINT),
+                        CAST(1 AS BIGINT)) AS mx
+        FROM w{k}
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT dim,
+               CAST((CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+                    * floor(abs(CAST(w AS DOUBLE)) / mx
+                            * 1000000e0 + 0.5e0) AS BIGINT) AS vm
+        FROM w{k} CROSS JOIN mx{k}
+    )"""
+        for k in range(1, _PCA_ITERS + 1)
+    )
+    names = " ".join(
+        f"WHEN {i} THEN '{_PCA_FEATURES[i - 1]}'" for i in range(1, d + 1)
+    )
+    return f"""
+    WITH feats AS MATERIALIZED (SELECT {feat_cols} FROM documents),
+    mo AS MATERIALIZED (SELECT {", ".join(sums)} FROM feats),
+    cq AS MATERIALIZED (
+        {cq}
+    ),
+    cm AS MATERIALIZED (
+        SELECT i, j, cmv FROM cq
+        UNION ALL
+        SELECT j, i, cmv FROM cq WHERE i <> j
+    ),
+    v0 AS MATERIALIZED (
+        SELECT CAST(t.i AS INT) AS dim, CAST(1000000 AS BIGINT) AS vm
+        FROM (VALUES {dims}) t(i)
+    ),
+    {iters},
+    u AS MATERIALIZED (
+        SELECT cm.j AS dim, CAST(sum(v.vm * cm.cmv) AS BIGINT) AS w
+        FROM v{_PCA_ITERS} v JOIN cm ON cm.i = v.dim GROUP BY 1
+    ),
+    up AS (
+        SELECT dim,
+               CAST((CASE WHEN w >= 0 THEN 1 ELSE -1 END)
+                    * (abs(w) // 1000000) AS BIGINT) AS u2
+        FROM u
+    ),
+    ray AS (
+        SELECT CAST(sum(v.vm * up.u2) AS BIGINT) AS num,
+               CAST(sum(v.vm * v.vm) AS BIGINT) AS den
+        FROM v{_PCA_ITERS} v JOIN up ON up.dim = v.dim
+    ),
+    mxf AS (
+        SELECT CAST(max(abs(vm)) AS BIGINT) AS ma FROM v{_PCA_ITERS}
+    ),
+    pick AS (
+        SELECT min(dim) AS d0 FROM v{_PCA_ITERS} CROSS JOIN mxf
+        WHERE abs(vm) = ma
+    ),
+    sgn AS (
+        SELECT CASE WHEN v.vm >= 0 THEN 1 ELSE -1 END AS s
+        FROM v{_PCA_ITERS} v JOIN pick ON v.dim = pick.d0
+    ),
+    vf AS (
+        SELECT dim, CAST(v.vm * sgn.s AS BIGINT) AS vm
+        FROM v{_PCA_ITERS} v CROSS JOIN sgn
+    ),
+    tr AS (SELECT CAST(sum(cmv) AS BIGINT) AS tr FROM cq WHERE i = j),
+    lam AS (
+        SELECT CASE WHEN den > 0 THEN
+                   CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS lam_micro
+        FROM ray
+    )
+    SELECT CASE vf.dim {names} END AS feature,
+           round(vf.vm / 1000000e0, 6) + 0.0 AS loading,
+           CASE WHEN lam.lam_micro IS NOT NULL THEN
+               round(lam.lam_micro / 1000000e0, 6) + 0.0 END AS eigenvalue,
+           CASE WHEN lam.lam_micro IS NOT NULL AND tr.tr > 0 THEN
+               CAST(floor(CAST(lam.lam_micro AS DOUBLE)
+                          / CAST(tr.tr AS DOUBLE)
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS var_share,
+           mo.n AS n_docs
+    FROM vf CROSS JOIN lam CROSS JOIN tr CROSS JOIN ray CROSS JOIN mo
+"""
+
+
+@register("features_pca_quality_axis", _pca_oracle())
+def features_pca_quality_axis(spark, sf_dir):
+    """Top principal component of the correlation matrix of four
+    document quality counts (chars, tokens, distinct tokens,
+    stopwords) via K = 24 integer-exact power-iteration steps —
+    loadings, eigenvalue (Rayleigh quotient), and explained-variance
+    share. See the section comment for the full determinism contract
+    and why the correlation matrix (not raw covariance, not the
+    near-isotropic embedding table) is the right PCA target here.
+
+    Scale: the ONLY corpus-scale work is one projection computing
+    four int64 counts per document and ONE 15-column moment aggregate
+    (map-side combinable, no shuffle beyond the final single-row
+    reduce); the 4×4 eigen-iteration is metadata on the collected
+    moment row (bounded driver collect, IVF precedent), and the
+    result re-enters Spark as a 4-row literal DataFrame."""
+    import math as _m
+
+    from .operators import text as X
+
+    d = _PCA_D
+    docs = load_table(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+    feats = docs.select(X.tokens().alias("toks"), "text").select(
+        F.length("text").cast("bigint").alias("x1"),
+        F.size("toks").cast("bigint").alias("x2"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("x3"),
+        F.expr(f"CAST(size(filter(toks, t -> t IN ({stop}))) AS BIGINT)")
+        .alias("x4"),
+    )
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for i in range(1, d + 1):
+        aggs.append(F.sum(f"x{i}").cast("bigint").alias(f"s{i}"))
+        for j in range(i, d + 1):
+            aggs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}"))
+                .cast("bigint")
+                .alias(f"s{i}{j}")
+            )
+    mo = feats.agg(*aggs).collect()[0]
+    schema = (
+        "feature string, loading double, eigenvalue double,"
+        " var_share double, n_docs long"
+    )
+    n = mo["n"]
+    if n == 0:
+        return spark.createDataFrame([], schema)
+
+    def cov(i, j):
+        lo, hi = min(i, j), max(i, j)
+        return mo[f"s{lo}{hi}"] / n - (mo[f"s{lo}"] / n) * (mo[f"s{hi}"] / n)
+
+    def corr_micro(i, j):
+        vi, vj = cov(i, i), cov(j, j)
+        if vi * vj > 0:
+            return int(
+                _m.floor(cov(i, j) / _m.sqrt(vi * vj) * 1e6 + 0.5)
+            )
+        return 0
+
+    cm = {
+        (i, j): corr_micro(i, j)
+        for i in range(1, d + 1)
+        for j in range(1, d + 1)
+    }
+    v = [10**6] * d
+    for _ in range(_PCA_ITERS):
+        w = [
+            sum(v[i - 1] * cm[(i, j)] for i in range(1, d + 1))
+            for j in range(1, d + 1)
+        ]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [
+            (1 if x >= 0 else -1) * _m.floor(abs(x) / mx * 1e6 + 0.5)
+            for x in w
+        ]
+    u = [
+        sum(v[i - 1] * cm[(i, j)] for i in range(1, d + 1))
+        for j in range(1, d + 1)
+    ]
+    u2 = [(1 if x >= 0 else -1) * (abs(x) // 10**6) for x in u]
+    num = sum(v[j] * u2[j] for j in range(d))
+    den = sum(x * x for x in v)
+    lam_micro = (
+        int(_m.floor(num / den * 1e6 + 0.5)) if den > 0 else None
+    )
+    ma = max(abs(x) for x in v)
+    d0 = min(i for i in range(d) if abs(v[i]) == ma)
+    s = 1 if v[d0] >= 0 else -1
+    vf = [x * s for x in v]
+    tr = sum(cm[(i, i)] for i in range(1, d + 1))
+    eigenvalue = lam_micro / 1e6 if lam_micro is not None else None
+    var_share = (
+        _m.floor(lam_micro / tr * 1e6 + 0.5) / 1e6
+        if lam_micro is not None and tr > 0
+        else None
+    )
+    rows = [
+        (
+            _PCA_FEATURES[j],
+            vf[j] / 1e6,
+            eigenvalue,
+            var_share,
+            n,
+        )
+        for j in range(d)
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 # --- feature scaling parameter table (round 10) -------------------------------
 #
 # The fit-side of a train/serve feature scaler: per market segment,

@@ -661,3 +661,66 @@ def test_er_blocking_quality_exact_recompute(spark, sf_dir):
     # upper bound on kept (transitive closure adds pairs), so only
     # sanity-bound it
     assert kept <= sum(s * (s - 1) // 2 for s in by_entity.values())
+
+
+def test_pca_quality_axis_matches_numpy(spark, sf_dir):
+    """Independent check of the integer power iteration against
+    numpy's full eigendecomposition of the same correlation matrix:
+    the engine's loading vector must be within cosine 0.999 of the
+    true top eigenvector, the Rayleigh eigenvalue within 1e-3, plus
+    the exact normalization/sign invariants of the contract
+    (max-abs loading exactly 1.0, canonically positive, var_share =
+    lambda / trace)."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r.feature: r
+        for r in QUERIES["features_pca_quality_axis"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    names = ("n_chars", "n_tokens", "n_distinct", "n_stopwords")
+    assert set(out) == set(names)
+    v = np.array([out[f].loading for f in names])
+    assert np.abs(v).max() == 1.0
+    jmax = int(np.argmax(np.abs(v) == 1.0))
+    assert v[jmax] > 0
+    # independent correlation matrix from the raw rows
+    stop = set(X.EN_STOPWORDS)
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("text", X.tokens().alias("toks"))
+        .collect()
+    )
+    feats = np.array(
+        [
+            (
+                len(r.text),
+                len(r.toks),
+                len(set(r.toks)),
+                sum(1 for t in r.toks if t in stop),
+            )
+            for r in rows
+        ],
+        dtype=np.float64,
+    )
+    C = np.corrcoef(feats.T)
+    w, V = np.linalg.eigh(C)
+    top = V[:, -1]
+    vn = v / np.linalg.norm(v)
+    assert abs(float(vn @ top)) >= 0.999
+    lam = out[names[0]].eigenvalue
+    assert abs(lam - w[-1]) <= 1e-3
+    assert all(out[f].eigenvalue == lam for f in names)
+    # all four counts have variance at test scale -> trace = d
+    share = out[names[0]].var_share
+    assert abs(share - lam / 4.0) <= 2e-6
+    assert out[names[0]].n_docs == len(rows)

@@ -94,6 +94,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_dod_growth",
     "features_mutual_information",
     "er_blocking_quality",
+    "features_pca_quality_axis",
 )
 
 

@@ -207,6 +207,7 @@ EXTRA = [
     "streaming_dod_growth",
     "features_mutual_information",
     "er_blocking_quality",
+    "features_pca_quality_axis",
 ]
 
 
