@@ -2520,3 +2520,204 @@ def retrieval_mmr_rerank(spark, sf_dir):
         (F.col("rel6") / 1000000.0).alias("rel"),
         (F.col("n7") / 10000000.0).alias("mmr_score"),
     )
+
+
+# --- Lloyd k-means over embeddings (round 11) ---------------------------------
+#
+# Deterministic k-means (k = 4, L = 2 Lloyd iterations) over the
+# embedding table — the clustering primitive behind SemDeDup-style
+# semantic curation (cluster, then dedup/select within clusters) and
+# IVF index training, as a driver-checkable batch query. Floating
+# k-means is notoriously nondeterministic (init, sum order, FP ties);
+# this one is EXACT end-to-end:
+#
+#   - vectors quantize once to BIGINT micro per element via
+#     round(x·1e6, 0) (the whitening sxy convention — Spark's
+#     BigDecimal HALF_UP and DuckDB's C round agree on identical
+#     doubles, both away-from-zero);
+#   - init = the k smallest vec_ids' quantized vectors (cid 1..k in
+#     vec_id order) — seeded, reproducible, no rand();
+#   - assignment = exact int64 argmin of Σ_d (x_d − c_d)² with ties
+#     to the smaller cid (|diff| ≤ ~2.4e6 ⇒ per-dim square ≤ 6e12,
+#     d = 64 ⇒ distances ≤ ~4e14: int64-exact);
+#   - update = per-(cluster, dim) integer sums with the mean
+#     re-quantized by floor(Σx/n + 0.5) — ONE exactly-rounded IEEE
+#     division (Σx < 2⁵³ up to ~7e9 vectors), half-up; an EMPTY
+#     cluster keeps its previous centroid;
+#   - inertia = Σ min-dist² as an exact int64 micro² sum, reported
+#     in real units at 6 dp (int64-safe to ~4e6 vectors at unit-norm
+#     embeddings — past that the partial steps to DECIMAL(38)).
+#
+# Spark runs the two assignment passes as PURE map stages: the k×d
+# centroid model is collected to the driver (k·d = 256 values —
+# bounded metadata, the IVF-centroid precedent) and embedded as
+# array literals in the distance expression, so each pass is one
+# whole-stage-codegen projection plus one map-side-combinable
+# aggregate — no join, no shuffle beyond the k·d-key update agg. The
+# oracle replays the identical arithmetic as MATERIALIZED CTE joins
+# (DuckDB would otherwise inline the iteration chain exponentially —
+# the PCA oracle precedent).
+
+_KMEANS_K = 4
+
+
+def _kmeans_xm_sql() -> str:
+    return (
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE)"
+        " * 1000000e0, 0) AS BIGINT))"
+    )
+
+
+_KMEANS_ORACLE = f"""
+    WITH xm AS MATERIALIZED (
+        SELECT e.vec_id, CAST(t.i AS INT) AS dim,
+               CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                          * 1000000.0, 0) AS BIGINT) AS x
+        FROM embeddings e, range(1, {_EMB_DIM + 1}) t(i)
+    ),
+    ids AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cid
+        FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+              LIMIT {_KMEANS_K})
+    ),
+    c0 AS MATERIALIZED (
+        SELECT ids.cid, xm.dim, xm.x AS c
+        FROM xm JOIN ids USING (vec_id)
+    ),
+    d1 AS MATERIALIZED (
+        SELECT xm.vec_id, c0.cid,
+               CAST(sum((xm.x - c0.c) * (xm.x - c0.c)) AS BIGINT) AS d2
+        FROM xm JOIN c0 USING (dim)
+        GROUP BY 1, 2
+    ),
+    a1 AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    m1 AS MATERIALIZED (
+        SELECT a1.cid, xm.dim, CAST(sum(xm.x) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM a1 JOIN xm USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    c1 AS MATERIALIZED (
+        SELECT c0.cid, c0.dim,
+               CAST(coalesce(
+                   CAST(floor(CAST(m1.s AS DOUBLE) / m1.n + 0.5e0)
+                        AS BIGINT),
+                   c0.c) AS BIGINT) AS c
+        FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim
+    ),
+    dt2 AS MATERIALIZED (
+        SELECT xm.vec_id, c1.cid,
+               CAST(sum((xm.x - c1.c) * (xm.x - c1.c)) AS BIGINT) AS d2
+        FROM xm JOIN c1 USING (dim)
+        GROUP BY 1, 2
+    ),
+    a2 AS MATERIALIZED (
+        SELECT vec_id, cid, d2 FROM (
+            SELECT vec_id, cid, d2,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM dt2
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(floor(CAST(sum(d2) AS DOUBLE) / 1000000e0 + 0.5e0)
+                AS BIGINT) / 1000000e0 AS inertia
+    FROM a2
+    GROUP BY 1
+"""
+
+
+def _kmeans_argmin_expr(cents: list[tuple[int, list[int]]]) -> str:
+    """array_min over (distance, cid) structs — exact int64 distances
+    against LITERAL centroid arrays, ties to the smaller cid via
+    lexicographic struct comparison."""
+
+    def dist(c):
+        arr = "array(" + ", ".join(f"{v}L" for v in c) + ")"
+        return (
+            f"aggregate(zip_with(xm, {arr}, (x, c) -> (x - c) * (x - c)),"
+            " CAST(0 AS BIGINT), (a, y) -> a + y)"
+        )
+
+    structs = ", ".join(
+        f"struct({dist(c)} AS d, {cid} AS c)" for cid, c in cents
+    )
+    return f"array_min(array({structs}))"
+
+
+@register("embedding_kmeans_lloyd", _KMEANS_ORACLE)
+def embedding_kmeans_lloyd(spark, sf_dir):
+    """Two deterministic Lloyd iterations of k = 4 k-means over the
+    embedding table in exact integer micro arithmetic — cluster
+    sizes and within-cluster inertia after the second assignment.
+    See the section comment for the full determinism contract
+    (quantization, seeded init, tie rule, half-up centroid update,
+    empty-cluster carry-forward).
+
+    Scale: each assignment is a map-only whole-stage-codegen
+    projection against k·d = 256 LITERAL centroid values (bounded
+    driver collect, the IVF-centroid precedent — no join, no
+    broadcast); the centroid update is ONE posexplode into a
+    (k·d)-key integer aggregate (map-side combinable); the quantized
+    vectors are localCheckpointed so the parquet scan + quantization
+    run once across the three consuming passes."""
+    import math as _m
+
+    q = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.expr(_kmeans_xm_sql()).alias("xm"))
+        .localCheckpoint(eager=True)
+    )
+    init = q.orderBy("vec_id").limit(_KMEANS_K).collect()
+    if not init:
+        return spark.createDataFrame(
+            [], "cluster_id int, n_members long, inertia double"
+        )
+    cents0 = [(i + 1, [int(x) for x in r.xm]) for i, r in enumerate(init)]
+
+    a1 = q.select(
+        "vec_id",
+        "xm",
+        F.expr(_kmeans_argmin_expr(cents0) + ".c").alias("cid"),
+    )
+    m1 = (
+        a1.select("cid", F.posexplode("xm").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .collect()
+    )
+    upd = {(r.cid, r.dim): (r.s, r.n) for r in m1}
+    cents1 = []
+    for cid, c in cents0:
+        vec = []
+        for dim, cv in enumerate(c):
+            sn = upd.get((cid, dim))
+            vec.append(
+                _m.floor(sn[0] / sn[1] + 0.5) if sn is not None else cv
+            )
+        cents1.append((cid, vec))
+
+    m = F.expr(_kmeans_argmin_expr(cents1))
+    a2 = q.select(m.getField("d").alias("d2"), m.getField("c").alias("cid"))
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        (
+            F.expr(
+                "CAST(floor(CAST(sum(d2) AS DOUBLE) / 1000000e0 + 0.5e0)"
+                " AS BIGINT)"
+            )
+            / F.expr("1000000e0")
+        ).alias("inertia"),
+    )

@@ -724,3 +724,78 @@ def test_pca_quality_axis_matches_numpy(spark, sf_dir):
     share = out[names[0]].var_share
     assert abs(share - lam / 4.0) <= 2e-6
     assert out[names[0]].n_docs == len(rows)
+
+
+def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
+    """Full driver-side replay of the two Lloyd iterations from the
+    raw embeddings (same quantization, init, tie rule, half-up
+    centroid update, empty-cluster carry-forward) — sizes and
+    inertia must match the engine exactly, and the memberships must
+    partition the table."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def half_away(x):
+        a = abs(x)
+        f = math.floor(a)
+        r = f + (1 if a - f >= 0.5 else 0)
+        return r if x >= 0 else -r
+
+    xm = {
+        r.vec_id: [half_away(float(e) * 1e6) for e in r.embedding]
+        for r in rows
+    }
+    k = 4
+    seed_ids = sorted(xm)[:k]
+    cents = {i + 1: list(xm[v]) for i, v in enumerate(seed_ids)}
+
+    def assign(cents):
+        out = {}
+        for v, x in xm.items():
+            best = min(
+                (sum((a - b) ** 2 for a, b in zip(x, c)), cid)
+                for cid, c in cents.items()
+            )
+            out[v] = best  # (d2, cid)
+        return out
+
+    a1 = assign(cents)
+    sums, cnts = {}, {}
+    for v, (_d, cid) in a1.items():
+        cnts[cid] = cnts.get(cid, 0) + 1
+        s = sums.setdefault(cid, [0] * len(xm[v]))
+        for i, x in enumerate(xm[v]):
+            s[i] += x
+    cents1 = {
+        cid: (
+            [math.floor(s / cnts[cid] + 0.5) for s in sums[cid]]
+            if cid in cnts
+            else list(c)
+        )
+        for cid, c in cents.items()
+    }
+    a2 = assign(cents1)
+    sizes, inert = {}, {}
+    for v, (d2, cid) in a2.items():
+        sizes[cid] = sizes.get(cid, 0) + 1
+        inert[cid] = inert.get(cid, 0) + d2
+    expected = {
+        cid: (
+            sizes[cid],
+            round(math.floor(inert[cid] / 1e6 + 0.5) / 1e6, 6),
+        )
+        for cid in sizes
+    }
+    got = {
+        r.cluster_id: (r.n_members, r.inertia)
+        for r in QUERIES["embedding_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(s for s, _ in got.values()) == len(rows)

@@ -95,6 +95,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "features_mutual_information",
     "er_blocking_quality",
     "features_pca_quality_axis",
+    "embedding_kmeans_lloyd",
 )
 
 

@@ -208,6 +208,7 @@ EXTRA = [
     "features_mutual_information",
     "er_blocking_quality",
     "features_pca_quality_axis",
+    "embedding_kmeans_lloyd",
 ]
 
 

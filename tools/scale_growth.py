@@ -124,6 +124,11 @@ QUERIES_UNDER_TEST = [
     # metadata-scale (replicas are NOT near-dups of each other, so
     # scaling multiplies cluster COUNTS, not sizes).
     "corpus_dedup_yield_report",
+    # round-11: k-means assignments are map-only projections against
+    # k*d literal centroids and the update is a (k*d)-key integer
+    # aggregate — state is constant by construction, so wall must
+    # stay linear in vectors however the corpus grows.
+    "embedding_kmeans_lloyd",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
