@@ -2568,8 +2568,9 @@ def _kmeans_xm_sql() -> str:
     )
 
 
-_KMEANS_ORACLE = f"""
-    WITH xm AS MATERIALIZED (
+# WITH-body through the final assignment a2 — shared by the k-means
+# oracle and the Calinski–Harabasz cluster-quality oracle (r11).
+_KMEANS_CTES = f"""xm AS MATERIALIZED (
         SELECT e.vec_id, CAST(t.i AS INT) AS dim,
                CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
                           * 1000000.0, 0) AS BIGINT) AS x
@@ -2626,7 +2627,10 @@ _KMEANS_ORACLE = f"""
                                       ORDER BY d2, cid) AS rn
             FROM dt2
         ) WHERE rn = 1
-    )
+    )"""
+
+_KMEANS_ORACLE = f"""
+    WITH {_KMEANS_CTES}
     SELECT cid AS cluster_id,
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(floor(CAST(sum(d2) AS DOUBLE) / 1000000e0 + 0.5e0)
@@ -2654,22 +2658,13 @@ def _kmeans_argmin_expr(cents: list[tuple[int, list[int]]]) -> str:
     return f"array_min(array({structs}))"
 
 
-@register("embedding_kmeans_lloyd", _KMEANS_ORACLE)
-def embedding_kmeans_lloyd(spark, sf_dir):
-    """Two deterministic Lloyd iterations of k = 4 k-means over the
-    embedding table in exact integer micro arithmetic — cluster
-    sizes and within-cluster inertia after the second assignment.
-    See the section comment for the full determinism contract
-    (quantization, seeded init, tie rule, half-up centroid update,
-    empty-cluster carry-forward).
-
-    Scale: each assignment is a map-only whole-stage-codegen
-    projection against k·d = 256 LITERAL centroid values (bounded
-    driver collect, the IVF-centroid precedent — no join, no
-    broadcast); the centroid update is ONE posexplode into a
-    (k·d)-key integer aggregate (map-side combinable); the quantized
-    vectors are localCheckpointed so the parquet scan + quantization
-    run once across the three consuming passes."""
+def _kmeans_fit(spark, sf_dir):
+    """(q, cents0, cents1, upd) — the quantized vector relation
+    (localCheckpointed), the seeded initial centroids, the
+    once-updated centroids, and the first-assignment (cid, dim) →
+    (Σx, n) sums; the Spark twin of ``_KMEANS_CTES`` through c1,
+    shared by the k-means query and the Calinski–Harabasz quality
+    query (r11). Returns (None, ...) on an empty table."""
     import math as _m
 
     q = (
@@ -2679,9 +2674,7 @@ def embedding_kmeans_lloyd(spark, sf_dir):
     )
     init = q.orderBy("vec_id").limit(_KMEANS_K).collect()
     if not init:
-        return spark.createDataFrame(
-            [], "cluster_id int, n_members long, inertia double"
-        )
+        return None, [], [], {}
     cents0 = [(i + 1, [int(x) for x in r.xm]) for i, r in enumerate(init)]
 
     a1 = q.select(
@@ -2708,7 +2701,30 @@ def embedding_kmeans_lloyd(spark, sf_dir):
                 _m.floor(sn[0] / sn[1] + 0.5) if sn is not None else cv
             )
         cents1.append((cid, vec))
+    return q, cents0, cents1, upd
 
+
+@register("embedding_kmeans_lloyd", _KMEANS_ORACLE)
+def embedding_kmeans_lloyd(spark, sf_dir):
+    """Two deterministic Lloyd iterations of k = 4 k-means over the
+    embedding table in exact integer micro arithmetic — cluster
+    sizes and within-cluster inertia after the second assignment.
+    See the section comment for the full determinism contract
+    (quantization, seeded init, tie rule, half-up centroid update,
+    empty-cluster carry-forward).
+
+    Scale: each assignment is a map-only whole-stage-codegen
+    projection against k·d = 256 LITERAL centroid values (bounded
+    driver collect, the IVF-centroid precedent — no join, no
+    broadcast); the centroid update is ONE posexplode into a
+    (k·d)-key integer aggregate (map-side combinable); the quantized
+    vectors are localCheckpointed so the parquet scan + quantization
+    run once across the three consuming passes."""
+    q, _cents0, cents1, _upd = _kmeans_fit(spark, sf_dir)
+    if q is None:
+        return spark.createDataFrame(
+            [], "cluster_id int, n_members long, inertia double"
+        )
     m = F.expr(_kmeans_argmin_expr(cents1))
     a2 = q.select(m.getField("d").alias("d2"), m.getField("c").alias("cid"))
     return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
@@ -2721,3 +2737,133 @@ def embedding_kmeans_lloyd(spark, sf_dir):
             / F.expr("1000000e0")
         ).alias("inertia"),
     )
+
+
+# --- Calinski–Harabasz cluster quality (round 11) ------------------------------
+#
+# Is the k-means clustering real structure or noise? The
+# Calinski–Harabasz index (variance-ratio criterion) of the
+# embedding_kmeans_lloyd partition: CH = (SSB/(k−1)) / (SSW/(n−k)),
+# the between/within variance ratio an IVF/SemDeDup pipeline records
+# to pick k and to reject degenerate fits. Exactness rides the
+# k-means contract: SSW is the exact int64 sum of the final
+# assignment's min-distances; the global mean re-quantizes the exact
+# per-dim sums by floor(Σx/n + 0.5) (the centroid-update rule, so
+# both means live on the same integer grid); SSB = Σ_g n_g·‖c_g −
+# gm‖² is exact int64 (centroid-grid distances ≤ ~4e14 times counts
+# — int64-safe to ~2e4 vectors per cluster at unit norm, then
+# DECIMAL(38)); k counts the NON-EMPTY final clusters. CH and the
+# two reported sums are single exactly-rounded IEEE divisions
+# micro-quantized via floor(x·1e6 + 0.5) (int64→double conversion is
+# round-to-nearest in Spark, DuckDB, and Python alike); k ≤ 1,
+# n ≤ k, or SSW = 0 guard NULL.
+
+_CH_ORACLE = f"""
+    WITH {_KMEANS_CTES},
+    sizes AS MATERIALIZED (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(d2) AS BIGINT) AS ssw_g
+        FROM a2 GROUP BY 1
+    ),
+    nt AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(ssw_g) AS BIGINT) AS ssw
+        FROM sizes
+    ),
+    gm AS MATERIALIZED (
+        SELECT gs.dim,
+               CAST(floor(CAST(gs.sx AS DOUBLE) / nt.n + 0.5e0)
+                    AS BIGINT) AS g
+        FROM (SELECT dim, CAST(sum(x) AS BIGINT) AS sx
+              FROM xm GROUP BY 1) gs
+        CROSS JOIN nt
+    ),
+    cdist AS MATERIALIZED (
+        SELECT c1.cid,
+               CAST(sum((c1.c - gm.g) * (c1.c - gm.g)) AS BIGINT) AS d2c
+        FROM c1 JOIN gm USING (dim)
+        GROUP BY 1
+    ),
+    ssb_t AS MATERIALIZED (
+        SELECT CAST(sum(s.n_g * cd.d2c) AS BIGINT) AS ssb
+        FROM sizes s JOIN cdist cd USING (cid)
+    )
+    SELECT nt.n AS n_vectors, nt.k AS k_clusters,
+           CAST(floor(CAST(ssb_t.ssb AS DOUBLE) / 1000000e0 + 0.5e0)
+                AS BIGINT) / 1000000e0 AS ssb,
+           CAST(floor(CAST(nt.ssw AS DOUBLE) / 1000000e0 + 0.5e0)
+                AS BIGINT) / 1000000e0 AS ssw,
+           CASE WHEN nt.k > 1 AND nt.n > nt.k AND nt.ssw > 0 THEN
+               CAST(floor((CAST(ssb_t.ssb AS DOUBLE) / (nt.k - 1))
+                          / (CAST(nt.ssw AS DOUBLE) / (nt.n - nt.k))
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS ch_index
+    FROM nt CROSS JOIN ssb_t
+"""
+
+
+@register("embedding_cluster_quality", _CH_ORACLE)
+def embedding_cluster_quality(spark, sf_dir):
+    """Calinski–Harabasz variance-ratio index of the
+    embedding_kmeans_lloyd clustering — between/within sums of
+    squares (real units, 6 dp) and the CH statistic, one row. See
+    the section comment for the exactness contract; k counts
+    non-empty final clusters.
+
+    Scale: reuses the k-means fit (one checkpointed scan + one
+    bounded centroid collect); the additions are ONE map-only final
+    assignment into a k-row aggregate, ONE per-dim integer sum
+    (d-key aggregate, map-side combinable) for the global mean, and
+    metadata-scale driver algebra on k·d integers replicating the
+    oracle op-for-op."""
+    import math as _m
+
+    q, _cents0, cents1, upd = _kmeans_fit(spark, sf_dir)
+    schema = (
+        "n_vectors long, k_clusters long, ssb double, ssw double,"
+        " ch_index double"
+    )
+    if q is None:
+        return spark.createDataFrame([], schema)
+    m = F.expr(_kmeans_argmin_expr(cents1))
+    per = (
+        q.select(m.getField("d").alias("d2"), m.getField("c").alias("cid"))
+        .groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum("d2").cast("bigint").alias("ssw_g"),
+        )
+        .collect()
+    )
+    k = len(per)
+    n = sum(r.n_g for r in per)
+    ssw = sum(r.ssw_g for r in per)
+    d = len(cents1[0][1])
+    sx = [
+        sum(upd[(cid, dim)][0] for cid, _c in cents1 if (cid, dim) in upd)
+        for dim in range(d)
+    ]
+    gm = [_m.floor(s / n + 0.5) for s in sx]
+    cent = dict(cents1)
+    ssb = sum(
+        r.n_g
+        * sum((cv - gv) ** 2 for cv, gv in zip(cent[r.cid], gm))
+        for r in per
+    )
+    ch = (
+        _m.floor(
+            (ssb / (k - 1)) / (ssw / (n - k)) * 1e6 + 0.5
+        )
+        / 1e6
+        if k > 1 and n > k and ssw > 0
+        else None
+    )
+    row = (
+        n,
+        k,
+        _m.floor(ssb / 1e6 + 0.5) / 1e6,
+        _m.floor(ssw / 1e6 + 0.5) / 1e6,
+        ch,
+    )
+    return spark.createDataFrame([row], schema)

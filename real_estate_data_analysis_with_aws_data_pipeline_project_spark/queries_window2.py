@@ -1248,6 +1248,138 @@ def features_mutual_information(spark, sf_dir):
     )
 
 
+# --- one-way ANOVA F feature screen (round 11) --------------------------------
+#
+# The numeric-vs-categorical member of the feature-selection family
+# (chi2/MI screen categorical features, WOE/IV binary ones): the
+# one-way ANOVA F statistic of customer account balance across market
+# segments — does the segment explain balance variance? F =
+# (SSB/(k−1)) / (SSW/(n−k)), with η² = SSB/SST as the unit-free
+# effect size (the events_dow_strength convention at the feature
+# store's grain). Balances are the scaler table's deterministic
+# integer cents (floor(x·100 + 0.5) — FP dust rule), so the per-group
+# power sums n_g, Σx, Σx² are EXACT int64 (cents ≤ ~1.1e6 ⇒ squares
+# ≤ ~1.2e12/row — safe past 7e6 rows per group; beyond, DECIMAL(38)).
+# The cents rule is shared with the scaler-parameter table below.
+_SCALE_CENTS = "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
+
+# Each group's s_g²/n_g term is half-up quantized to INTEGER cents²
+# (one IEEE multiply + divide, then floor — error ≤ 0.5 cents² per
+# group against sums ~1e17) so the across-group reduction is an
+# EXACT int64 sum, never an order-dependent double sum; the
+# remaining algebra runs ONE identical exactly-rounded IEEE
+# expression tree in both engines: SST = Σx² − (Σx)²/n, SSB =
+# Σ_g ⌊s_g²/n_g⌉ − (Σx)²/n, SSW = SST − SSB, then F and η² are
+# single divisions micro-quantized via floor(x·1e6 + 0.5);
+# degenerate shapes (k < 2, n ≤ k, SSW = 0) guard NULL.
+
+_ANOVA_SSB = (
+    "(CAST(ssq AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"
+)
+_ANOVA_SST = (
+    "(CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"
+)
+
+_ANOVA_ORACLE = f"""
+    WITH g AS (
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum({_SCALE_CENTS}) AS BIGINT) AS s_g,
+               CAST(sum({_SCALE_CENTS} * {_SCALE_CENTS}) AS BIGINT) AS s2_g
+        FROM customer GROUP BY 1
+    ),
+    t AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n_g) AS BIGINT) AS n,
+               CAST(sum(s_g) AS BIGINT) AS s1,
+               CAST(sum(s2_g) AS BIGINT) AS s2,
+               CAST(sum(CAST(floor((CAST(s_g AS DOUBLE)
+                                    * CAST(s_g AS DOUBLE)) / n_g
+                                   + 0.5e0) AS BIGINT)) AS BIGINT) AS ssq
+        FROM g
+    ),
+    ss AS (
+        SELECT k, n,
+               {_ANOVA_SSB} AS ssb,
+               {_ANOVA_SST} - {_ANOVA_SSB} AS ssw
+        FROM t
+    )
+    SELECT k AS n_groups, n AS n_rows,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+               CAST(floor((ssb / (k - 1)) / (ssw / (n - k))
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+           END AS f_stat,
+           CASE WHEN ssb + ssw > 0 THEN
+               CAST(floor(ssb / (ssb + ssw) * 1000000e0 + 0.5e0)
+                    AS BIGINT) / 1000000e0
+           END AS eta_squared
+    FROM ss
+"""
+
+
+@register("features_anova_f", _ANOVA_ORACLE)
+def features_anova_f(spark, sf_dir):
+    """One-way ANOVA F of customer account balance (exact integer
+    cents) across market segments, with η² effect size — the
+    numeric-feature selection screen beside features_chi2_selection /
+    features_mutual_information. See the section comment for the
+    exact-sums determinism contract and degenerate-shape guards.
+
+    Scale: ONE map-side-combined aggregate over customer producing
+    three int64 power sums per segment; the sum-of-squares algebra
+    runs on the |segments|-row relation and the final scalars reduce
+    a handful of rows. No window, no second scan."""
+    cents = F.expr(_SCALE_CENTS)
+    g = load_table(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum(cents).cast("bigint").alias("s_g"),
+        F.sum(cents * cents).cast("bigint").alias("s2_g"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s1"),
+        F.sum("s2_g").cast("bigint").alias("s2"),
+        F.sum(
+            F.expr(
+                "CAST(floor((CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))"
+                " / n_g + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("ssq"),
+    )
+    ss = t.select(
+        "k",
+        "n",
+        F.expr(_ANOVA_SSB).alias("ssb"),
+        F.expr(f"{_ANOVA_SST} - {_ANOVA_SSB}").alias("ssw"),
+    )
+    return ss.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+            F.expr(
+                "CAST(floor((ssb / (k - 1)) / (ssw / (n - k))"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0"
+            ),
+        ).alias("f_stat"),
+        F.when(
+            F.col("ssb") + F.col("ssw") > 0,
+            F.expr(
+                "CAST(floor(ssb / (ssb + ssw) * 1000000e0 + 0.5e0)"
+                " AS BIGINT) / 1000000e0"
+            ),
+        ).alias("eta_squared"),
+    )
+
+
 # --- PCA quality axis via integer power iteration (round 11) -----------------
 #
 # Collapse four mechanically-correlated document quality heuristics
@@ -1555,7 +1687,7 @@ def features_pca_quality_axis(spark, sf_dir):
 # int64-exact order-proof sums, the variance rational runs in DOUBLE
 # (exactly-rounded IEEE), and mean/std are micro-unit quantized.
 
-_SCALE_CENTS = "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
+# (defined up with the ANOVA screen, which shares the cents rule)
 
 _SCALING_ORACLE = f"""
     WITH c AS (SELECT c_mktsegment, {_SCALE_CENTS} AS cents FROM customer),

@@ -799,3 +799,141 @@ def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
     }
     assert got == expected
     assert sum(s for s, _ in got.values()) == len(rows)
+
+
+def test_cluster_quality_exact_recompute(spark, sf_dir):
+    """Driver-side replay of the Calinski–Harabasz pipeline (same
+    quantization, fit, final assignment, integer gm/SSB/SSW, micro
+    quantization) — every output value must match the engine
+    exactly; CH must be positive on the clustered fixture and the
+    sizes must sum to the table."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def half_away(x):
+        a = abs(x)
+        f = math.floor(a)
+        r = f + (1 if a - f >= 0.5 else 0)
+        return r if x >= 0 else -r
+
+    xm = {
+        r.vec_id: [half_away(float(e) * 1e6) for e in r.embedding]
+        for r in rows
+    }
+    k = 4
+    cents = {i + 1: list(xm[v]) for i, v in enumerate(sorted(xm)[:k])}
+
+    def assign(cents):
+        return {
+            v: min(
+                (sum((a - b) ** 2 for a, b in zip(x, c)), cid)
+                for cid, c in cents.items()
+            )
+            for v, x in xm.items()
+        }
+
+    a1 = assign(cents)
+    sums, cnts = {}, {}
+    for v, (_d, cid) in a1.items():
+        cnts[cid] = cnts.get(cid, 0) + 1
+        s = sums.setdefault(cid, [0] * len(xm[v]))
+        for i, x in enumerate(xm[v]):
+            s[i] += x
+    cents1 = {
+        cid: (
+            [math.floor(s / cnts[cid] + 0.5) for s in sums[cid]]
+            if cid in cnts
+            else list(c)
+        )
+        for cid, c in cents.items()
+    }
+    a2 = assign(cents1)
+    sizes, ssw_g = {}, {}
+    for v, (d2, cid) in a2.items():
+        sizes[cid] = sizes.get(cid, 0) + 1
+        ssw_g[cid] = ssw_g.get(cid, 0) + d2
+    n, kk = len(xm), len(sizes)
+    ssw = sum(ssw_g.values())
+    d = len(next(iter(xm.values())))
+    sx = [sum(x[i] for x in xm.values()) for i in range(d)]
+    gm = [math.floor(s / n + 0.5) for s in sx]
+    ssb = sum(
+        sizes[cid]
+        * sum((cv - gv) ** 2 for cv, gv in zip(cents1[cid], gm))
+        for cid in sizes
+    )
+    ch = (
+        math.floor((ssb / (kk - 1)) / (ssw / (n - kk)) * 1e6 + 0.5) / 1e6
+        if kk > 1 and n > kk and ssw > 0
+        else None
+    )
+    r = (
+        QUERIES["embedding_cluster_quality"].fn(spark, sf_dir).collect()[0]
+    )
+    assert (r.n_vectors, r.k_clusters, r.ssb, r.ssw, r.ch_index) == (
+        n,
+        kk,
+        math.floor(ssb / 1e6 + 0.5) / 1e6,
+        math.floor(ssw / 1e6 + 0.5) / 1e6,
+        ch,
+    )
+    assert r.ch_index is not None and r.ch_index > 0
+
+
+def test_anova_f_exact_recompute(spark, sf_dir):
+    """Driver-side ANOVA recompute from the raw customer rows with
+    the exact cents/quantization rules — all six output values must
+    match bit-for-bit, and eta_squared must sit in [0, 1]."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    ).collect()
+    g = defaultdict(lambda: [0, 0, 0])  # n, s, s2
+    for r in rows:
+        c = math.floor(float(r.c_acctbal) * 100.0 + 0.5)
+        e = g[r.c_mktsegment]
+        e[0] += 1
+        e[1] += c
+        e[2] += c * c
+    k = len(g)
+    n = sum(e[0] for e in g.values())
+    s1 = sum(e[1] for e in g.values())
+    s2 = sum(e[2] for e in g.values())
+    ssq = sum(
+        math.floor((e[1] * e[1]) / e[0] + 0.5) for e in g.values()
+    )
+    ssb = ssq - (s1 * s1) / n
+    sst = s2 - (s1 * s1) / n
+    ssw = sst - ssb
+    f = (
+        math.floor((ssb / (k - 1)) / (ssw / (n - k)) * 1e6 + 0.5) / 1e6
+        if k > 1 and n > k and ssw > 0
+        else None
+    )
+    eta = (
+        math.floor(ssb / (ssb + ssw) * 1e6 + 0.5) / 1e6
+        if ssb + ssw > 0
+        else None
+    )
+    r = QUERIES["features_anova_f"].fn(spark, sf_dir).collect()[0]
+    assert (
+        r.n_groups,
+        r.n_rows,
+        r.df_between,
+        r.df_within,
+        r.f_stat,
+        r.eta_squared,
+    ) == (k, n, k - 1, n - k, f, eta)
+    assert 0.0 <= r.eta_squared <= 1.0

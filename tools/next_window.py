@@ -96,6 +96,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "er_blocking_quality",
     "features_pca_quality_axis",
     "embedding_kmeans_lloyd",
+    "features_anova_f",
+    "embedding_cluster_quality",
 )
 
 

@@ -209,6 +209,8 @@ EXTRA = [
     "er_blocking_quality",
     "features_pca_quality_axis",
     "embedding_kmeans_lloyd",
+    "features_anova_f",
+    "embedding_cluster_quality",
 ]
 
 
