@@ -2856,6 +2856,217 @@ def streaming_ewma_volume_forecast(spark, sf_dir):
     )
 
 
+# --- Holt linear-trend volume forecast (round 11) -----------------------------
+#
+# The TREND-AWARE member of the volume-forecast family (uniform
+# trailing mean → dq_volume_anomaly; recency-weighted level →
+# events_ewma_volume_forecast; weekday-conditioned →
+# events_seasonal_volume_anomaly): Holt's double exponential
+# smoothing with α = β = 1/2 over the trailing 8 ACTIVE days, which
+# extrapolates a steadily GROWING feed instead of alarming on every
+# new high. The recursion l_t = (y + l + b)/2, b_t = (l_t − l + b)/2
+# is LINEAR in the observations, so with dyadic smoothing it unrolls
+# into ONE exact integer combination: forecast = Σ w_i·l_i / 4⁷ with
+# the fixed int weights ``_holt_coeffs()`` derives symbolically from
+# the recursion at import (recent days positive, old days NEGATIVE —
+# that sign flip IS the trend extrapolation; they sum to 4⁷ = 16384
+# exactly, asserted). Determinism: the weighted sum is a fixed-order
+# int64 expression over lag columns (|num| ≤ 16384·Σc — safe past
+# 1e13 daily events), the forecast is ONE exactly-rounded double
+# division micro-quantized, and the double-or-halve alert is the
+# exact cross-multiplied rule c·4⁷ ≥ 2·num OR 2·c·4⁷ ≤ num — which
+# also fires whenever the extrapolated baseline is ≤ 0 (c ≥ 1 makes
+# the first clause true), so a collapsed trend needs no special
+# case. Needs the FULL 8-day window (n_prev = 8): a linear trend
+# fitted to a short ragged window whips the forecast around, so
+# partial windows stay NULL rather than guess.
+
+_HOLT_LAGS = 8
+
+
+def _holt_coeffs() -> tuple[int, ...]:
+    """Integer lag weights (index 0 = lag 1, most recent) of the
+    unrolled α = β = ½ Holt forecast, scaled by 4^(lags−1): propagate
+    coefficient vectors through L_k = 2·T, B_k = T − 2L + 2B with
+    T = 4^(k−1)·y_k + L + B, starting L₀ = oldest lag, B₀ = 0, and
+    read off forecast = L + B."""
+    lags = _HOLT_LAGS
+    L = {lags: 1}
+    B: dict[int, int] = {}
+    for k in range(1, lags):
+        y = lags - k
+        t = dict(L)
+        for i, v in B.items():
+            t[i] = t.get(i, 0) + v
+        t[y] = t.get(y, 0) + 4 ** (k - 1)
+        new_l = {i: 2 * v for i, v in t.items()}
+        new_b = dict(t)
+        for i, v in L.items():
+            new_b[i] = new_b.get(i, 0) - 2 * v
+        for i, v in B.items():
+            new_b[i] = new_b.get(i, 0) + 2 * v
+        L, B = new_l, new_b
+    f = dict(L)
+    for i, v in B.items():
+        f[i] = f.get(i, 0) + v
+    out = tuple(f[i] for i in range(1, lags + 1))
+    assert sum(out) == 4 ** (lags - 1)
+    return out
+
+
+_HOLT_W = _holt_coeffs()
+_HOLT_SCALE = 4 ** (_HOLT_LAGS - 1)
+
+_HOLT_NUM_SQL = " + ".join(
+    f"({_HOLT_W[i - 1]} * l{i})" for i in range(1, _HOLT_LAGS + 1)
+)
+
+_HOLT_ORACLE = f"""
+    WITH dc AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    lg AS (
+        SELECT event_type, day, c,
+               {", ".join(
+                   f"lag(c, {i}) OVER (PARTITION BY event_type"
+                   f" ORDER BY day) AS l{i}"
+                   for i in range(1, _HOLT_LAGS + 1))}
+        FROM dc
+    ),
+    w AS (
+        SELECT event_type, day, c,
+               CAST({" + ".join(
+                   f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)"
+                   for i in range(1, _HOLT_LAGS + 1))} AS BIGINT)
+                   AS n_prev,
+               CASE WHEN {" AND ".join(
+                   f"l{i} IS NOT NULL"
+                   for i in range(1, _HOLT_LAGS + 1))}
+                    THEN CAST({_HOLT_NUM_SQL} AS BIGINT) END AS num
+        FROM lg
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, n_prev,
+           CASE WHEN num IS NOT NULL THEN
+               round(CAST(floor(CAST(num AS DOUBLE) / {_HOLT_SCALE}
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS holt_forecast,
+           CAST(CASE WHEN num IS NOT NULL
+                      AND (c * {_HOLT_SCALE} >= 2 * num
+                           OR 2 * c * {_HOLT_SCALE} <= num)
+                THEN 1 ELSE 0 END AS BIGINT) AS is_alert
+    FROM w
+"""
+
+
+def holt_forecast_from_day_counts(dc):
+    """Holt trend forecast report from the (event_type, day, c)
+    day-count cube — ONE definition of the unrolled linear weights,
+    the quantized forecast, and the exact integer alert, shared by
+    the batch query and the streaming tier (the
+    ewma_forecast_from_day_counts precedent)."""
+    lw = Window.partitionBy("event_type").orderBy("day")
+    rng = range(1, _HOLT_LAGS + 1)
+    lg = dc.select(
+        "event_type",
+        "day",
+        "c",
+        *[F.lag("c", i).over(lw).alias(f"l{i}") for i in rng],
+    )
+    w = lg.select(
+        "event_type",
+        "day",
+        "c",
+        F.expr(
+            " + ".join(
+                f"(CASE WHEN l{i} IS NULL THEN 0 ELSE 1 END)" for i in rng
+            )
+        )
+        .cast("bigint")
+        .alias("n_prev"),
+        F.expr(
+            "CASE WHEN "
+            + " AND ".join(f"l{i} IS NOT NULL" for i in rng)
+            + f" THEN CAST({_HOLT_NUM_SQL} AS BIGINT) END"
+        ).alias("num"),
+    )
+    return w.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "c",
+        "n_prev",
+        F.when(
+            F.col("num").isNotNull(),
+            F.round(
+                F.expr(
+                    f"CAST(floor(CAST(num AS DOUBLE) / {_HOLT_SCALE}"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+                / F.expr("1000000e0"),
+                6,
+            ),
+        ).alias("holt_forecast"),
+        F.when(
+            F.col("num").isNotNull()
+            & (
+                (F.col("c") * _HOLT_SCALE >= 2 * F.col("num"))
+                | (2 * F.col("c") * _HOLT_SCALE <= F.col("num"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_alert"),
+    )
+
+
+@register("events_holt_volume_forecast", _HOLT_ORACLE)
+def events_holt_volume_forecast(spark, sf_dir):
+    """Holt linear-trend daily volume forecast per event type
+    (α = β = ½ over the trailing 8 active days, unrolled to one exact
+    integer lag combination), with the double-or-halve alert as an
+    exact cross-multiplied integer rule — the trend-aware fourth
+    member of the volume-forecast family; see the section comment
+    for the unrolling, the sign structure, and the full-window gate.
+
+    Scale: one map-side-combined daily aggregation over events, then
+    a type-partitioned lag window over the metadata-scale day series;
+    the forecast numerator is a fixed-order int64 expression, never a
+    float aggregate. Output is (type × day) rows."""
+    dc = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return holt_forecast_from_day_counts(dc)
+
+
+@register("streaming_holt_volume_forecast", _HOLT_ORACLE)
+def streaming_holt_volume_forecast(spark, sf_dir):
+    """Structured Streaming: the THIRTEENTH report off the ONE
+    streamed sufficient statistic — the PSI tier's (day, bucket)
+    count cube in ValueState sums over buckets to the per-day totals
+    the Holt trend forecast runs on, so the trend-aware volume
+    monitor shares the fold that already serves PSI, JSD, day-of-week,
+    Fano, the ACF, mix entropy, weekday strength, the uniform and
+    EWMA and seasonal volume alarms, the OLS trend tier, and the
+    day-over-day growth report. No new state schema, no new Python in
+    the loop; the lag weighting and the exact integer alert are the
+    batch twin's shared ``holt_forecast_from_day_counts``
+    expressions, so the report is bit-identical to the batch query
+    and carries its full oracle.
+
+    Scale: state stays (calendar × fixed buckets) per event type; the
+    report side is a type-partitioned lag window over the emitted
+    metadata-scale cube."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    return holt_forecast_from_day_counts(
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
+    )
+
+
 # --- same-weekday seasonal volume anomaly (round 11, second batch) -----------
 #
 # The weekly-seasonal member of the volume-alarm family: a Monday is

@@ -896,7 +896,9 @@ def psi_cube_day_totals(
 ) -> DataFrame:
     """Per-type day totals off the streamed PSI cube's FINAL state —
     the shared front half of every derived streaming tier (Fano, ACF,
-    volume anomaly, mix entropy, weekday strength, EWMA forecast):
+    volume anomaly, mix entropy, weekday strength, EWMA forecast,
+    seasonal anomaly, OLS trend, day-over-day growth, Holt trend
+    forecast):
     keep each key's
     max-seq cube emission and sum its buckets per (event_type, day).
     One definition of the latest-cube selection (r10 review: eight

@@ -937,3 +937,58 @@ def test_anova_f_exact_recompute(spark, sf_dir):
         r.eta_squared,
     ) == (k, n, k - 1, n - k, f, eta)
     assert 0.0 <= r.eta_squared <= 1.0
+
+
+def test_streaming_holt_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, thirteen reports: the Holt
+    trend tier reuses the PSI fold's (day, bucket) cube, so its
+    forecast report must equal the batch query row-for-row."""
+
+    def snap(name):
+        return {
+            (r.event_type, r.day): (
+                r.c,
+                r.n_prev,
+                r.holt_forecast,
+                r.is_alert,
+            )
+            for r in QUERIES[name].fn(spark, sf_dir).collect()
+        }
+
+    stream = snap("streaming_holt_volume_forecast")
+    batch = snap("events_holt_volume_forecast")
+    assert stream == batch and stream
+
+
+def test_holt_forecast_matches_direct_recursion(spark, sf_dir):
+    """The unrolled integer linear combination must equal the direct
+    Holt recursion l' = (y + l + b)/2, b' = (l' − l + b)/2 run in
+    floats (exact here: every intermediate is a dyadic rational well
+    under 2^53), day by day over each type's full-window rows."""
+    from collections import defaultdict
+
+    rows = QUERIES["events_holt_volume_forecast"].fn(spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.event_type, r.day)):
+        series[r.event_type].append(r)
+    checked = 0
+    for evs in series.values():
+        counts = [r.c for r in evs]
+        for idx, r in enumerate(evs):
+            if r.n_prev < 8:
+                assert r.holt_forecast is None and r.is_alert == 0
+                continue
+            window = counts[idx - 8 : idx]
+            l, b = float(window[0]), 0.0
+            for y in window[1:]:
+                lp = (y + l + b) / 2.0
+                b = (lp - l + b) / 2.0
+                l = lp
+            direct = l + b
+            assert r.holt_forecast == round(
+                math.floor(direct * 1e6 + 0.5) / 1e6, 6
+            )
+            alert = r.c >= 2 * direct or 2 * r.c <= direct
+            assert r.is_alert == (1 if alert else 0)
+            checked += 1
+    assert checked > 0

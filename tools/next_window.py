@@ -98,6 +98,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "embedding_kmeans_lloyd",
     "features_anova_f",
     "embedding_cluster_quality",
+    "events_holt_volume_forecast",
+    "streaming_holt_volume_forecast",
 )
 
 

@@ -211,6 +211,8 @@ EXTRA = [
     "embedding_kmeans_lloyd",
     "features_anova_f",
     "embedding_cluster_quality",
+    "events_holt_volume_forecast",
+    "streaming_holt_volume_forecast",
 ]
 
 
