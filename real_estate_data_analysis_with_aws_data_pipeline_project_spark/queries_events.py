@@ -4503,3 +4503,134 @@ def events_ab_conversion_ztest(spark, sf_dir):
             " AS BIGINT)"
         ).alias("significant_95"),
     )
+
+
+# --- session-timeout sensitivity audit (round 11) -----------------------------
+#
+# Is the engine-wide 30-minute session gap (SESSION_GAP_MINUTES) a
+# knife-edge? Every sessionized metric downstream (session windows,
+# paths, the Markov chain, packing) inherits that constant, so the
+# audit every instrumentation review asks for is: re-sessionize under
+# a tighter and a looser timeout and watch the session count, events
+# per session, and mean in-session duration move. All three
+# thresholds (gap/3, gap, 3·gap) run in the ONE lag pass the
+# production sessionizer already does — per threshold the audit
+# needs only conditional sums over the SAME per-user gap column
+# (session starts = first event or gap ≥ T, the engine's boundary
+# convention; in-session time = Σ gaps < T), so the extra timeouts
+# are free at the scan and the unpivot to one row per timeout
+# happens on the single aggregate row, never as a row multiplier.
+# Counts and gap sums are exact int64 (Σgaps ≤ total observed
+# time·users — int64 micros holds ~292k user-years); the two means
+# are fixed-order double divisions micro-quantized via
+# floor(x·1e6 + 0.5).
+
+from .streaming.jobs import SESSION_GAP_MINUTES as _GAP_MIN  # noqa: E402
+
+_TIMEOUT_SWEEP_MINUTES = (_GAP_MIN // 3, _GAP_MIN, _GAP_MIN * 3)
+
+
+def _timeout_agg_sql(mins: int) -> str:
+    us = mins * 60_000_000
+    return (
+        f"CAST(sum(CASE WHEN gap IS NULL OR gap >= {us}"
+        f" THEN 1 ELSE 0 END) AS BIGINT) AS ns_{mins},"
+        f" CAST(sum(CASE WHEN gap IS NOT NULL AND gap < {us}"
+        f" THEN gap ELSE 0 END) AS BIGINT) AS ins_{mins}"
+    )
+
+
+def _timeout_row_sql(mins: int) -> str:
+    return f"""SELECT CAST({mins} AS BIGINT) AS timeout_minutes,
+               ns_{mins} AS n_sessions, n_events,
+               CAST(floor(CAST(n_events AS DOUBLE) / ns_{mins}
+                          * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+                   AS events_per_session,
+               CAST(floor(CAST(ins_{mins} AS DOUBLE) / ns_{mins}
+                          / 60000000e0 * 1000000e0 + 0.5e0) AS BIGINT)
+                   / 1000000e0 AS mean_session_minutes
+        FROM agg"""
+
+
+_TIMEOUT_ORACLE = f"""
+    WITH g AS (
+        SELECT epoch_us(ts) - epoch_us(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    ),
+    agg AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               {", ".join(_timeout_agg_sql(m)
+                          for m in _TIMEOUT_SWEEP_MINUTES)}
+        FROM g
+    )
+    {" UNION ALL ".join(_timeout_row_sql(m)
+                        for m in _TIMEOUT_SWEEP_MINUTES)}
+"""
+
+
+@register("events_session_timeout_sensitivity", _TIMEOUT_ORACLE)
+def events_session_timeout_sensitivity(spark, sf_dir):
+    """Sessionization under three inactivity timeouts (gap/3, the
+    production gap, 3·gap) from ONE per-user lag pass: session count,
+    events per session, and mean in-session minutes per timeout —
+    the knife-edge audit for the engine-wide SESSION_GAP_MINUTES
+    constant. See the section comment for the boundary convention
+    and exactness contract.
+
+    Scale: the ONE window pass the production sessionizer already
+    runs (per-user lag over the event stream); every threshold is a
+    pair of conditional int64 sums inside the SAME map-side-combined
+    aggregate, and the per-timeout unpivot runs on the single
+    aggregate row — adding timeouts costs two columns, not a scan or
+    a row multiplier."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = load_table(spark, sf_dir, "events").select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap")
+    )
+    aggs = [F.count("*").cast("bigint").alias("n_events")]
+    for m in _TIMEOUT_SWEEP_MINUTES:
+        us = m * 60_000_000
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap").isNull() | (F.col("gap") >= us), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"ns_{m}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col("gap").isNotNull() & (F.col("gap") < us),
+                    F.col("gap"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"ins_{m}")
+        )
+    agg = g.agg(*aggs).localCheckpoint(eager=True)
+    rows = [
+        agg.select(
+            F.lit(m).cast("bigint").alias("timeout_minutes"),
+            F.col(f"ns_{m}").alias("n_sessions"),
+            "n_events",
+            F.expr(
+                f"CAST(floor(CAST(n_events AS DOUBLE) / ns_{m}"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0"
+            ).alias("events_per_session"),
+            F.expr(
+                f"CAST(floor(CAST(ins_{m} AS DOUBLE) / ns_{m}"
+                " / 60000000e0 * 1000000e0 + 0.5e0) AS BIGINT)"
+                " / 1000000e0"
+            ).alias("mean_session_minutes"),
+        )
+        for m in _TIMEOUT_SWEEP_MINUTES
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -952,3 +952,120 @@ def pii_t_closeness(spark, sf_dir):
             > F.lit(2 * _TCLOSE_T_NUM) * F.col("n") * F.col("n_total")
         ).alias("at_risk"),
     )
+
+
+# --- seeded-Laplace DP count release, testing twin (round 11) -----------------
+#
+# The Laplace mechanism for a per-segment count release (ε = 1,
+# sensitivity 1 ⇒ scale b = 1): noisy = n + ⌊Lap(b)⌉. TESTING TWIN,
+# stated plainly: the noise here is PSEUDO-random — inverse-CDF over
+# a uniform derived from md5(segment ‖ salt) — so the release is
+# reproducible and oracle-checkable but NOT differentially private
+# (an adversary who knows the salt knows the noise; production swaps
+# the hash for fresh randomness and keeps every other line — the
+# F4 rand(seed) parity-sample precedent for testing stochastic
+# operators). Determinism: the 48-bit hex chunk parses exactly in
+# both engines (conv vs the 16-power strpos polyfill), u = (h + ½)/2⁴⁸
+# is STRICTLY inside (0, 1) by construction (no ln(0) edge at h = 0
+# and an exact dyadic double), the Laplace inverse CDF
+# −sign(u−½)·b·ln(1−2|u−½|) quantizes its single libm ln to BIGINT
+# micro via floor(x·1e6 + 0.5) (the entropy-kernel rule), and the
+# rounded integer noise is one more exactly-rounded double floor.
+
+_DP_EPSILON = 1  # b = sensitivity / epsilon = 1
+_DP_SALT = "|dp-v1"
+
+_DP_HEX12_SQL = (
+    "(" + " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (11 - i)}"
+        for i in range(12)
+    ) + ")"
+)
+
+_DP_ORACLE = f"""
+    WITH g AS (
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
+        FROM customer GROUP BY 1
+    ),
+    u AS (
+        SELECT c_mktsegment, n_true,
+               (CAST({_DP_HEX12_SQL.format(
+                   h=f"substr(md5(c_mktsegment || '{_DP_SALT}'), 1, 12)")}
+                     AS DOUBLE) + 0.5e0) / 281474976710656e0 AS uu
+        FROM g
+    ),
+    nz AS (
+        SELECT c_mktsegment, n_true,
+               CASE WHEN uu >= 0.5e0 THEN 1 ELSE -1 END AS sgn,
+               CAST(floor(ln(1e0 - 2e0 * abs(uu - 0.5e0))
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS lam_micro
+        FROM u
+    )
+    SELECT c_mktsegment,
+           n_true,
+           round(CAST(-sgn * lam_micro AS BIGINT) / 1000000e0, 6)
+               AS noise,
+           n_true + CAST(floor(CAST(-sgn * lam_micro AS DOUBLE)
+                               / 1000000e0 + 0.5e0) AS BIGINT)
+               AS noisy_count,
+           CAST({_DP_EPSILON} AS BIGINT) AS epsilon
+    FROM nz
+"""
+
+
+@register("pii_dp_noisy_counts", _DP_ORACLE)
+def pii_dp_noisy_counts(spark, sf_dir):
+    """Laplace-mechanism count release per market segment (ε = 1,
+    sensitivity 1) with SEEDED inverse-CDF noise — the deterministic
+    testing twin of a differentially-private release: same transform,
+    reproducible noise, NOT private until production swaps the hash
+    for fresh randomness (see section comment; the true count and
+    noise are exposed for exactly that audit purpose).
+
+    Scale: one map-side-combined count aggregate at segment grain;
+    the mechanism is per-group scalar arithmetic on the
+    metadata-scale group relation — no second scan, no window."""
+    g = load_table(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_true")
+    )
+    h = F.md5(
+        F.concat(F.col("c_mktsegment"), F.lit(_DP_SALT)).cast("binary")
+    )
+    u = g.select(
+        "c_mktsegment",
+        "n_true",
+        (
+            (
+                F.conv(F.substring(h, 1, 12), 16, 10).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(281474976710656.0)
+        ).alias("uu"),
+    )
+    nz = u.select(
+        "c_mktsegment",
+        "n_true",
+        F.when(F.col("uu") >= 0.5, 1).otherwise(-1).alias("sgn"),
+        F.expr(
+            "CAST(floor(ln(1e0 - 2e0 * abs(uu - 0.5e0))"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("lam_micro"),
+    )
+    return nz.select(
+        "c_mktsegment",
+        "n_true",
+        F.round(
+            (-F.col("sgn") * F.col("lam_micro")).cast("bigint")
+            / F.expr("1000000e0"),
+            6,
+        ).alias("noise"),
+        (
+            F.col("n_true")
+            + F.expr(
+                "CAST(floor(CAST(-sgn * lam_micro AS DOUBLE)"
+                " / 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        ).alias("noisy_count"),
+        F.lit(_DP_EPSILON).cast("bigint").alias("epsilon"),
+    )

@@ -992,3 +992,98 @@ def test_holt_forecast_matches_direct_recursion(spark, sf_dir):
             assert r.is_alert == (1 if alert else 0)
             checked += 1
     assert checked > 0
+
+
+def test_session_timeout_sensitivity_consistency(spark, sf_dir):
+    """The sweep's production-gap row must agree with the production
+    sessionizer (events_session_window's session count and event
+    total), session counts must be non-increasing in the timeout,
+    and a driver-side gap recompute must reproduce every value."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = {
+        r.timeout_minutes: r
+        for r in QUERIES["events_session_timeout_sensitivity"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert sorted(rows) == [10, 30, 90]
+    ns = [rows[m].n_sessions for m in (10, 30, 90)]
+    assert ns[0] >= ns[1] >= ns[2] > 0
+    sw = QUERIES["events_session_window"].fn(spark, sf_dir).collect()
+    assert rows[30].n_sessions == len(sw)
+    assert rows[30].n_events == sum(r.n_events for r in sw)
+    # independent recompute from raw events
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .collect()
+    ):
+        ev[r.user_id].append((r.ts, r.event_id))
+    gaps = []
+    n_events = 0
+    for u, es in ev.items():
+        es.sort()
+        n_events += len(es)
+        gaps.append(None)
+        for i in range(1, len(es)):
+            gaps.append(
+                int((es[i][0] - es[i - 1][0]).total_seconds() * 1e6)
+            )
+    for m in (10, 30, 90):
+        us = m * 60_000_000
+        nss = sum(1 for g in gaps if g is None or g >= us)
+        ins = sum(g for g in gaps if g is not None and g < us)
+        r = rows[m]
+        assert r.n_sessions == nss and r.n_events == n_events
+        assert r.events_per_session == math.floor(
+            n_events / nss * 1e6 + 0.5
+        ) / 1e6
+        assert r.mean_session_minutes == math.floor(
+            ins / nss / 60000000.0 * 1e6 + 0.5
+        ) / 1e6
+
+
+def test_dp_noisy_counts_mechanism_recompute(spark, sf_dir):
+    """Driver-side replay of the seeded Laplace mechanism from the
+    raw segment counts (md5 → 48-bit uniform strictly inside (0,1) →
+    quantized inverse CDF → rounded integer noise); every row must
+    match exactly, and noisy − true must equal the rounded noise."""
+    import hashlib
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    counts = Counter(
+        r.c_mktsegment
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_mktsegment")
+        .collect()
+    )
+    expected = {}
+    for seg, n in counts.items():
+        h = hashlib.md5((seg + "|dp-v1").encode()).hexdigest()[:12]
+        uu = (int(h, 16) + 0.5) / 2**48
+        sgn = 1 if uu >= 0.5 else -1
+        lam = math.floor(math.log(1.0 - 2.0 * abs(uu - 0.5)) * 1e6 + 0.5)
+        noise_micro = -sgn * lam
+        expected[seg] = (
+            n,
+            round(noise_micro / 1e6, 6),
+            n + math.floor(noise_micro / 1e6 + 0.5),
+            1,
+        )
+    got = {
+        r.c_mktsegment: (r.n_true, r.noise, r.noisy_count, r.epsilon)
+        for r in QUERIES["pii_dp_noisy_counts"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n, noise, noisy, _e in got.values():
+        assert noisy - n == math.floor(noise + 0.5)

@@ -213,6 +213,8 @@ EXTRA = [
     "embedding_cluster_quality",
     "events_holt_volume_forecast",
     "streaming_holt_volume_forecast",
+    "events_session_timeout_sensitivity",
+    "pii_dp_noisy_counts",
 ]
 
 
