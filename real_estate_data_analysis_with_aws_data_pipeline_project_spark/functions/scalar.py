@@ -69,3 +69,21 @@ def deterministic_order_key(col: Column | str) -> Column:
     DuckDB oracle (``md5(cast(k as varchar))``) sorts identically."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c.cast("string").cast("binary"))
+
+
+def hex_chunk_int_sql(h: str, width: int, fn: str = "strpos") -> str:
+    """Base-16 positional decode of the first ``width`` hex chars of
+    expression ``h`` as ONE SQL string usable in either engine
+    (DuckDB spells position() ``strpos``/``instr``, Spark ``instr``) —
+    the single definition of the md5-hex → integer parse (r11 review:
+    four hand copies had accumulated across the REST oracle, the
+    global-shuffle shard key, feature hashing, and the DP mechanism).
+    Each digit term casts to BIGINT before the power-of-16 multiply so
+    no engine's narrow-int arithmetic can overflow; width ≤ 15 keeps
+    the total under 2⁶³."""
+    assert 1 <= width <= 15
+    return "(" + " + ".join(
+        f"CAST({fn}('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
+        f" AS BIGINT) * {16 ** (width - 1 - i)}"
+        for i in range(width)
+    ) + ")"

@@ -587,12 +587,9 @@ def _shard_expr_sql(strpos_fn: str) -> str:
     """Base-16 positional decode of the first ``_SHARD_NIBBLES`` hex
     chars of column ``h`` — one formula serving both engines
     (DuckDB spells position() ``strpos``, Spark spells it ``instr``)."""
-    terms = [
-        f"({strpos_fn}('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
-        + (f" * {16 ** (_SHARD_NIBBLES - 1 - i)}" if i < _SHARD_NIBBLES - 1 else "")
-        for i in range(_SHARD_NIBBLES)
-    ]
-    return " + ".join(terms)
+    from .functions.scalar import hex_chunk_int_sql
+
+    return hex_chunk_int_sql("h", _SHARD_NIBBLES, fn=strpos_fn)
 
 
 _GLOBAL_SHUFFLE_ORACLE = f"""

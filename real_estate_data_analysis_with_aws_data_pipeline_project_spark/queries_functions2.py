@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .functions.scalar import hex_chunk_int_sql
 from .registry import register
 from .sources.catalog import load_table
 
@@ -975,14 +976,6 @@ def pii_t_closeness(spark, sf_dir):
 _DP_EPSILON = 1  # b = sensitivity / epsilon = 1
 _DP_SALT = "|dp-v1"
 
-_DP_HEX12_SQL = (
-    "(" + " + ".join(
-        f"CAST(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1"
-        f" AS BIGINT) * {16 ** (11 - i)}"
-        for i in range(12)
-    ) + ")"
-)
-
 _DP_ORACLE = f"""
     WITH g AS (
         SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_true
@@ -990,8 +983,8 @@ _DP_ORACLE = f"""
     ),
     u AS (
         SELECT c_mktsegment, n_true,
-               (CAST({_DP_HEX12_SQL.format(
-                   h=f"substr(md5(c_mktsegment || '{_DP_SALT}'), 1, 12)")}
+               (CAST({hex_chunk_int_sql(
+                   f"substr(md5(c_mktsegment || '{_DP_SALT}'), 1, 12)", 12)}
                      AS DOUBLE) + 0.5e0) / 281474976710656e0 AS uu
         FROM g
     ),

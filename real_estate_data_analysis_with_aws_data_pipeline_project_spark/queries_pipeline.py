@@ -9,6 +9,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from .functions.scalar import hex_chunk_int_sql
 from .registry import register
 from .sources.catalog import load_table
 from .sources.readers import read_binary_files, read_csv, read_json, read_orc
@@ -174,10 +175,7 @@ def source_binaryfile_ingest(spark, sf_dir):
 # fan-out included — is ORACLE-CHECKABLE: this SQL recomputes the same
 # 48-bit hash integer from the md5 hex and applies the same field
 # derivations and normalization.
-_REST_HEXSUM = " + ".join(
-    f"(instr('0123456789abcdef', substr(hx, {i}, 1)) - 1) * {16 ** (12 - i)}"
-    for i in range(1, 13)
-)
+_REST_HEXSUM = hex_chunk_int_sql("hx", 12, fn="instr")
 
 _REST_ORACLE = f"""
     WITH k AS (SELECT n_name AS key, md5(n_name) AS hx FROM nation),

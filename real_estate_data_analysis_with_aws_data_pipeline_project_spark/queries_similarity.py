@@ -2825,7 +2825,10 @@ def embedding_cluster_quality(spark, sf_dir):
         " ch_index double"
     )
     if q is None:
-        return spark.createDataFrame([], schema)
+        # mirror the oracle's empty-input shape: the ungrouped nt
+        # aggregate over zero sizes rows still emits one row —
+        # k_clusters 0, everything else NULL
+        return spark.createDataFrame([(None, 0, None, None, None)], schema)
     m = F.expr(_kmeans_argmin_expr(cents1))
     per = (
         q.select(m.getField("d").alias("d2"), m.getField("c").alias("cid"))

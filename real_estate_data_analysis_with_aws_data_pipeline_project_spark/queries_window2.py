@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .functions.scalar import hex_chunk_int_sql
 from .queries_events import entropy_term_micro_sql
 from .registry import register
 from .sources.catalog import load_table
@@ -831,13 +832,6 @@ def features_woe_iv(spark, sf_dir):
 _FH_BUCKETS = 32
 _FH_FEATURES = ("seg", "nation")
 
-_FH_HEX_TO_INT_SQL = (
-    "(" + " + ".join(
-        f"CAST(strpos('0123456789abcdef', substr({{h}}, {i + 1}, 1)) - 1 AS BIGINT)"
-        f" * {16 ** (7 - i)}"
-        for i in range(8)
-    ) + ")"
-)
 
 _FH_ORACLE = f"""
     WITH fv AS (
@@ -849,7 +843,7 @@ _FH_ORACLE = f"""
     ),
     h AS (
         SELECT c_custkey, feat,
-               {_FH_HEX_TO_INT_SQL.format(h="substr(md5(feat), 1, 8)")}
+               {hex_chunk_int_sql("substr(md5(feat), 1, 8)", 8)}
                    % {_FH_BUCKETS} AS bucket,
                CASE WHEN (strpos('0123456789abcdef', substr(md5(feat), 9, 1))
                           - 1) % 2 = 1
@@ -1088,9 +1082,11 @@ def features_chi2_selection(spark, sf_dir):
 # observed cells enter.
 #
 # Determinism contract (the chi2/entropy kernels' rules combined):
-# the log argument is a ratio of EXACT int64 products — o·n and
-# rt·ct are both ≤ n² (safe to n ~ 3e9 rows, the chi2 bound) — each
-# converted once to DOUBLE (exactly-rounded) and divided once; the
+# the log argument is a ratio of two DOUBLE products o·n and rt·ct
+# (each factor converted once, each multiply exactly-rounded — the
+# IDENTICAL expression tree in both engines, so past 2⁵³ they round
+# the same way rather than staying exact) followed by one division;
+# the
 # libm log2 is quantized to BIGINT micro via floor(x·1e6 + 0.5) (the
 # entropy_term_micro_sql rule: no round-on-double channel), the
 # p·lg product runs one IEEE multiply and floors to signed micro
@@ -1394,8 +1390,13 @@ def features_anova_f(spark, sf_dir):
 #
 #   - the features are exact int64 COUNTS per document, so Σx, Σx²,
 #     Σxy are order-proof integer sums (one pass, map-side
-#     combinable; products ≤ ~1e8 per row keep int64 safe past
-#     1e10 documents — beyond that the partials step to DECIMAL(38));
+#     combinable; products ≤ ~1e8 per row keep the int64 SUMS safe
+#     past 1e10 documents — but the driver-mirror equivalence below
+#     additionally needs every sum < 2⁵³ (~9e7 documents at these
+#     magnitudes), because past that Python's exact-rational int/int
+#     division and SQL's convert-then-divide can differ by an ulp;
+#     beyond either bound the partials step to DECIMAL(38) and the
+#     mirror to explicit float() conversion);
 #   - cov/var/corr run the IDENTICAL exactly-rounded IEEE expression
 #     tree in both engines (the whitening contract), then quantize
 #     once to BIGINT micro via floor(x·1e6 + 0.5); zero-variance
@@ -1611,7 +1612,12 @@ def features_pca_quality_axis(spark, sf_dir):
     )
     n = mo["n"]
     if n == 0:
-        return spark.createDataFrame([], schema)
+        # mirror the oracle's empty-input shape: v0's 4 dims survive
+        # to the final SELECT with zeroed correlations (NaN variances
+        # fail the > 0 guard), NULL eigenvalue/share, n_docs 0
+        return spark.createDataFrame(
+            [(f, 0.0, None, None, 0) for f in _PCA_FEATURES], schema
+        )
 
     def cov(i, j):
         lo, hi = min(i, j), max(i, j)

@@ -726,21 +726,14 @@ def test_pca_quality_axis_matches_numpy(spark, sf_dir):
     assert out[names[0]].n_docs == len(rows)
 
 
-def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
-    """Full driver-side replay of the two Lloyd iterations from the
-    raw embeddings (same quantization, init, tie rule, half-up
-    centroid update, empty-cluster carry-forward) — sizes and
-    inertia must match the engine exactly, and the memberships must
-    partition the table."""
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
-        load_table,
-    )
 
-    rows = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .collect()
-    )
+
+def _kmeans_replay(rows, k=4):
+    """Driver-side replay of the two Lloyd iterations (quantization,
+    seeded init, exact argmin with ties to the smaller cid, half-up
+    centroid update with empty-cluster carry-forward) — shared by the
+    k-means and cluster-quality tests so the determinism contract is
+    written once. Returns (xm, cents1, a2)."""
 
     def half_away(x):
         a = abs(x)
@@ -752,19 +745,16 @@ def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
         r.vec_id: [half_away(float(e) * 1e6) for e in r.embedding]
         for r in rows
     }
-    k = 4
-    seed_ids = sorted(xm)[:k]
-    cents = {i + 1: list(xm[v]) for i, v in enumerate(seed_ids)}
+    cents = {i + 1: list(xm[v]) for i, v in enumerate(sorted(xm)[:k])}
 
     def assign(cents):
-        out = {}
-        for v, x in xm.items():
-            best = min(
+        return {
+            v: min(
                 (sum((a - b) ** 2 for a, b in zip(x, c)), cid)
                 for cid, c in cents.items()
             )
-            out[v] = best  # (d2, cid)
-        return out
+            for v, x in xm.items()
+        }
 
     a1 = assign(cents)
     sums, cnts = {}, {}
@@ -781,7 +771,26 @@ def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
         )
         for cid, c in cents.items()
     }
-    a2 = assign(cents1)
+    return xm, cents1, assign(cents1)
+
+
+
+def test_kmeans_lloyd_exact_recompute(spark, sf_dir):
+    """Full driver-side replay of the two Lloyd iterations from the
+    raw embeddings (same quantization, init, tie rule, half-up
+    centroid update, empty-cluster carry-forward) — sizes and
+    inertia must match the engine exactly, and the memberships must
+    partition the table."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    xm, _cents1, a2 = _kmeans_replay(rows)
     sizes, inert = {}, {}
     for v, (d2, cid) in a2.items():
         sizes[cid] = sizes.get(cid, 0) + 1
@@ -816,45 +825,7 @@ def test_cluster_quality_exact_recompute(spark, sf_dir):
         .select("vec_id", "embedding")
         .collect()
     )
-
-    def half_away(x):
-        a = abs(x)
-        f = math.floor(a)
-        r = f + (1 if a - f >= 0.5 else 0)
-        return r if x >= 0 else -r
-
-    xm = {
-        r.vec_id: [half_away(float(e) * 1e6) for e in r.embedding]
-        for r in rows
-    }
-    k = 4
-    cents = {i + 1: list(xm[v]) for i, v in enumerate(sorted(xm)[:k])}
-
-    def assign(cents):
-        return {
-            v: min(
-                (sum((a - b) ** 2 for a, b in zip(x, c)), cid)
-                for cid, c in cents.items()
-            )
-            for v, x in xm.items()
-        }
-
-    a1 = assign(cents)
-    sums, cnts = {}, {}
-    for v, (_d, cid) in a1.items():
-        cnts[cid] = cnts.get(cid, 0) + 1
-        s = sums.setdefault(cid, [0] * len(xm[v]))
-        for i, x in enumerate(xm[v]):
-            s[i] += x
-    cents1 = {
-        cid: (
-            [math.floor(s / cnts[cid] + 0.5) for s in sums[cid]]
-            if cid in cnts
-            else list(c)
-        )
-        for cid, c in cents.items()
-    }
-    a2 = assign(cents1)
+    xm, cents1, a2 = _kmeans_replay(rows)
     sizes, ssw_g = {}, {}
     for v, (d2, cid) in a2.items():
         sizes[cid] = sizes.get(cid, 0) + 1
@@ -911,8 +882,12 @@ def test_anova_f_exact_recompute(spark, sf_dir):
     n = sum(e[0] for e in g.values())
     s1 = sum(e[1] for e in g.values())
     s2 = sum(e[2] for e in g.values())
+    # mirror the engine's CAST(s AS DOUBLE)*CAST(s AS DOUBLE): past
+    # 2^53 the exact big-int product rounds differently (r11 second
+    # review — s_g^2 ~ 1.8e16 already exceeds 2^53 at sf0.01)
     ssq = sum(
-        math.floor((e[1] * e[1]) / e[0] + 0.5) for e in g.values()
+        math.floor(float(e[1]) * float(e[1]) / e[0] + 0.5)
+        for e in g.values()
     )
     ssb = ssq - (s1 * s1) / n
     sst = s2 - (s1 * s1) / n
@@ -1032,8 +1007,12 @@ def test_session_timeout_sensitivity_consistency(spark, sf_dir):
         n_events += len(es)
         gaps.append(None)
         for i in range(1, len(es)):
+            d = es[i][0] - es[i - 1][0]
+            # exact integer micros: total_seconds() divides by 1e6
+            # and the *1e6 round-trip loses 1us on ~1.5% of gaps
+            # (r11 second review)
             gaps.append(
-                int((es[i][0] - es[i - 1][0]).total_seconds() * 1e6)
+                (d.days * 86400 + d.seconds) * 10**6 + d.microseconds
             )
     for m in (10, 30, 90):
         us = m * 60_000_000
