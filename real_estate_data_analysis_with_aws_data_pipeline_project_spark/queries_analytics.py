@@ -801,3 +801,51 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+# --- correlated LATERAL top-k per key (round 11) -------------------------------
+#
+# The SQL-surface spelling of "top 3 orders per high-balance
+# customer": a correlated LATERAL subquery with ORDER BY + LIMIT —
+# the form analysts write when they think per-row, and historically a
+# nested-loop trap. The point of registering it is the PLAN, not the
+# semantics: Catalyst DECORRELATES the lateral into a
+# WindowGroupLimit pipeline (partial top-k before the shuffle, final
+# after — bounded reducer state, the same shape the plan-audit gate
+# requires of the rank-filter idiom) joined BROADCAST to the filtered
+# customer keys; there is no per-customer re-execution anywhere in
+# the physical plan. DuckDB runs the identical SQL text natively, so
+# the oracle is the query string itself. Ties on o_totalprice break
+# on o_orderkey; customers with no orders drop (inner lateral),
+# both stated in the ORDER BY/JOIN.
+
+_LATERAL_TOPK_SQL = """
+    SELECT c.c_custkey, t.o_orderkey,
+           round(t.o_totalprice, 2) AS o_totalprice
+    FROM customer c
+    JOIN LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 3
+    ) t ON true
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@register("join_lateral_topk_per_key", _LATERAL_TOPK_SQL)
+def join_lateral_topk_per_key(spark, sf_dir):
+    """Correlated LATERAL subquery with per-key ORDER BY + LIMIT (top
+    3 orders per customer with balance > 9000) — registered for the
+    plan shape: Catalyst decorrelates it to partial+final
+    WindowGroupLimit (bounded reducer state) plus one broadcast join,
+    never a nested loop; see the section comment. The oracle is the
+    same SQL text run natively by DuckDB.
+
+    Scale: one shuffle of orders on o_custkey with map-side top-k
+    pre-pruning (the Partial WindowGroupLimit caps each mapper's
+    output at k rows per key), one broadcast of the filtered customer
+    keys; output is ≤ 3 rows per qualifying customer."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_TOPK_SQL)

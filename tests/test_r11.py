@@ -1066,3 +1066,47 @@ def test_dp_noisy_counts_mechanism_recompute(spark, sf_dir):
     assert got == expected
     for n, noise, noisy, _e in got.values():
         assert noisy - n == math.floor(noise + 0.5)
+
+
+def test_lateral_topk_decorrelates_and_matches_window(spark, sf_dir):
+    """The correlated LATERAL top-k must (a) produce exactly the
+    rank-filter formulation's rows and (b) plan as a decorrelated
+    WindowGroupLimit pipeline — never a nested-loop or cartesian
+    re-execution per customer."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    df = QUERIES["join_lateral_topk_per_key"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {
+        (r.c_custkey, r.o_orderkey, r.o_totalprice) for r in df.collect()
+    }
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        (r.c_custkey, r.o_orderkey, r.o_totalprice)
+        for r in o.join(c, o["o_custkey"] == c["c_custkey"])
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .collect()
+    }
+    assert got == want and got

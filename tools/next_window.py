@@ -102,6 +102,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_holt_volume_forecast",
     "events_session_timeout_sensitivity",
     "pii_dp_noisy_counts",
+    "join_lateral_topk_per_key",
 )
 
 
