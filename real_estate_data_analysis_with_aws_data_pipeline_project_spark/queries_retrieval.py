@@ -2000,3 +2000,96 @@ def retrieval_rm3_interpolated(spark, sf_dir):
             "bm25_orig",
         )
     )
+
+
+# --- bipartite degree distribution (round 11) ----------------------------------
+#
+# The degree profile that JUSTIFIES the graph family's hub caps
+# (_COSUPP_DEG_CAP, _JACCARD_CAP): the log2-bucketed histogram of
+# customer degree in the raw customer–supplier purchase graph, with
+# each bucket's share of total edge mass and a flag for buckets that
+# start above the co-supplier cap. Read it as the skew evidence —
+# the wedge work of any within-customer pair expansion is Σ C(deg,2),
+# so the edge-mass share of the top buckets is exactly the fraction
+# the cap refuses to square. Buckets are floor(log2(deg)) computed
+# INTEGER-EXACTLY as bit length − 1 (the corpus_length_log2_histogram
+# idiom — no FP wobble at powers of two); counts and edge sums are
+# exact int64; the share is ONE double division micro-quantized via
+# floor(x·1e6 + 0.5).
+
+_DEGDIST_ORACLE = f"""
+    WITH {_COSUPP_EDGES_SQL},
+    tot AS (
+        SELECT CAST(sum(n_supp) AS BIGINT) AS n_edges FROM deg
+    ),
+    b AS (
+        SELECT CAST(length(bin(n_supp)) - 1 AS INT) AS log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(n_supp) AS BIGINT) AS bucket_edges,
+               CAST(max(n_supp) AS BIGINT) AS max_degree
+        FROM deg GROUP BY 1
+    )
+    SELECT b.log2_bucket,
+           CAST(1 << b.log2_bucket AS BIGINT) AS bucket_floor,
+           b.n_customers, b.bucket_edges, b.max_degree,
+           CAST(floor(CAST(b.bucket_edges AS DOUBLE) / tot.n_edges
+                      * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0
+               AS edge_share,
+           CAST(1 << b.log2_bucket AS BIGINT) > {_COSUPP_DEG_CAP}
+               AS above_cosupp_cap
+    FROM b CROSS JOIN tot
+"""
+
+
+@register("graph_degree_distribution", _DEGDIST_ORACLE)
+def graph_degree_distribution(spark, sf_dir):
+    """Log2-bucketed customer-degree histogram of the raw
+    customer–supplier purchase graph with per-bucket edge-mass share
+    and an above-the-hub-cap flag — the skew evidence behind the
+    graph family's degree caps (see section comment).
+
+    Scale: the distinct-edge pass and degree count are the SAME two
+    map-side-combined aggregations the capped edge relation already
+    runs; the histogram adds one aggregation into ~log2(max_degree)
+    buckets and one broadcast of the scalar edge total. No window,
+    no pair expansion — this query measures the skew, it never
+    squares it."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .distinct()
+    )
+    deg = e.groupBy("cust").agg(
+        F.count("*").cast("bigint").alias("n_supp")
+    )
+    tot = deg.agg(F.sum("n_supp").cast("bigint").alias("n_edges"))
+    b = deg.groupBy(
+        (F.length(F.expr("bin(n_supp)")) - 1).cast("int").alias(
+            "log2_bucket"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("n_supp").cast("bigint").alias("bucket_edges"),
+        F.max("n_supp").cast("bigint").alias("max_degree"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "log2_bucket",
+        F.expr("CAST(shiftleft(1L, log2_bucket) AS BIGINT)").alias(
+            "bucket_floor"
+        ),
+        "n_customers",
+        "bucket_edges",
+        "max_degree",
+        F.expr(
+            "CAST(floor(CAST(bucket_edges AS DOUBLE) / n_edges"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0"
+        ).alias("edge_share"),
+        (
+            F.expr("CAST(shiftleft(1L, log2_bucket) AS BIGINT)")
+            > F.lit(_COSUPP_DEG_CAP)
+        ).alias("above_cosupp_cap"),
+    )

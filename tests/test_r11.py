@@ -1110,3 +1110,69 @@ def test_lateral_topk_decorrelates_and_matches_window(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_degree_distribution_exact_recompute(spark, sf_dir):
+    """Driver-side recompute of the degree histogram from the raw
+    order-lineitem edges (distinct pairs, bit-length buckets, exact
+    shares) — every row must match, the bucket edge sums must
+    partition the edge total, and every bucket flagged above the
+    co-supplier cap must lie entirely above it."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .collect()
+    }
+    edges = {
+        (o[r.l_orderkey], r.l_suppkey)
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .collect()
+    }
+    deg = Counter(c for c, _s in edges)
+    n_edges = sum(deg.values())
+    buckets = {}
+    for d in deg.values():
+        b = d.bit_length() - 1
+        nc, be, mx = buckets.get(b, (0, 0, 0))
+        buckets[b] = (nc + 1, be + d, max(mx, d))
+    expected = {
+        b: (
+            2**b,
+            nc,
+            be,
+            mx,
+            math.floor(be / n_edges * 1e6 + 0.5) / 1e6,
+            2**b > R._COSUPP_DEG_CAP,
+        )
+        for b, (nc, be, mx) in buckets.items()
+    }
+    got = {
+        r.log2_bucket: (
+            r.bucket_floor,
+            r.n_customers,
+            r.bucket_edges,
+            r.max_degree,
+            r.edge_share,
+            r.above_cosupp_cap,
+        )
+        for r in QUERIES["graph_degree_distribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+    assert sum(v[2] for v in got.values()) == n_edges
+    for b, (floor_, _nc, _be, mx, _sh, above) in got.items():
+        assert floor_ <= mx < 2 * 2**b
+        if above:
+            assert floor_ > R._COSUPP_DEG_CAP

@@ -103,6 +103,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_session_timeout_sensitivity",
     "pii_dp_noisy_counts",
     "join_lateral_topk_per_key",
+    "graph_degree_distribution",
 )
 
 

@@ -216,6 +216,7 @@ EXTRA = [
     "events_session_timeout_sensitivity",
     "pii_dp_noisy_counts",
     "join_lateral_topk_per_key",
+    "graph_degree_distribution",
 ]
 
 
