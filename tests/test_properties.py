@@ -577,3 +577,58 @@ def test_cusum_fold_batching_invariance(days, split):
     st2 = _cusum_fold(st1, True, [pdf(b)] if b else [])
     if days:
         assert st2[:2] == once[:2]
+
+
+# --- round-11 kernel properties ---------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**9), min_size=8, max_size=8
+    )
+)
+def test_holt_coeffs_equal_direct_recursion_property(window):
+    """The unrolled integer Holt weights must reproduce the direct
+    alpha=beta=1/2 recursion on ANY window (all intermediates are
+    dyadic rationals < 2^53 at these magnitudes, so the float
+    recursion is exact)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_events import (
+        _HOLT_SCALE,
+        _HOLT_W,
+    )
+
+    l, b = float(window[0]), 0.0
+    for y in window[1:]:
+        lp = (y + l + b) / 2.0
+        b = (lp - l + b) / 2.0
+        l = lp
+    direct = l + b
+    # _HOLT_W[i-1] weights lag i (most recent first); window is
+    # oldest-first, so lag i = window[8 - i]
+    num = sum(_HOLT_W[i - 1] * window[8 - i] for i in range(1, 9))
+    assert num / _HOLT_SCALE == direct
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=16**12 - 1),
+    st.integers(min_value=1, max_value=12),
+)
+def test_hex_chunk_int_sql_matches_python_int(value, width):
+    """The shared base-16 positional decode must equal Python's
+    int(hex, 16) on the leading `width` chars, for both engine
+    spellings, evaluated by DuckDB."""
+    import duckdb
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.functions.scalar import (
+        hex_chunk_int_sql,
+    )
+
+    hx = format(value, "012x")
+    con = duckdb.connect()
+    for fn in ("strpos", "instr"):
+        sql = hex_chunk_int_sql(f"'{hx}'", width, fn=fn)
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == int(hx[:width], 16)
+    con.close()
