@@ -834,15 +834,32 @@ class _PSIProcessor:
         pass
 
 
-def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming PSI tier (ROADMAP r10 candidate #2, landed r9): per
-    event type, fold the stream into the calendar-bounded
-    (day, bucket) count cube in ValueState and re-emit the cube on
-    every update with a sequence number. transformWithStateInPandas
-    with an applyInPandasWithState fallback, like the KMV and CUSUM
-    tiers. The registered query keeps each key's max-seq cube and runs
-    psi_from_cube over it — the batch twin's exact expressions on the
-    exact batch cube."""
+def _psi_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """applyInPandasWithState spelling of the PSI fold (no-protobuf
+    environments) — same ``_psi_fold`` body as the TWS processor."""
+    st = state.get if state.exists else None
+    days, buckets, cnts, seq = _psi_fold(st, st is not None, pdfs)
+    state.update((days, buckets, cnts, seq))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]] * len(days),
+            "seq": [seq] * len(days),
+            "day": days,
+            "bucket": buckets,
+            "c": cnts,
+        }
+    )
+
+
+def psi_cube_transform(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the PSI cube fold
+    WITHOUT a sink, so callers can attach their own (the registered
+    query runs it to a memory table; the restart-recovery test runs
+    it twice through one checkpointLocation). Split out in r11 so the
+    recovery path of the state every derived tier shares is testable
+    against the production transform, not a re-implementation."""
     from ..queries_quality import psi_bucket_col
 
     src = _events_stream(spark, sf_dir).select(
@@ -853,36 +870,40 @@ def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         psi_bucket_col().alias("bucket"),
     )
     if _tws_protocol_available():
-        result = src.groupBy("event_type").transformWithStateInPandas(
-            statefulProcessor=_PSIProcessor(),
-            outputStructType=_PSI_TIER_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
+        return (
+            src.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=_PSIProcessor(),
+                outputStructType=_PSI_TIER_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            True,
         )
-        _run_with_rocksdb(spark, result, "stream_psi_cube")
-    else:
-
-        def _psi_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
-            st = state.get if state.exists else None
-            days, buckets, cnts, seq = _psi_fold(st, st is not None, pdfs)
-            state.update((days, buckets, cnts, seq))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]] * len(days),
-                    "seq": [seq] * len(days),
-                    "day": days,
-                    "bucket": buckets,
-                    "c": cnts,
-                }
-            )
-
-        result = src.groupBy("event_type").applyInPandasWithState(
+    return (
+        src.groupBy("event_type").applyInPandasWithState(
             _psi_fallback_fn,
             outputStructType=_PSI_TIER_OUT_SCHEMA,
             stateStructType=_PSI_TIER_STATE_SCHEMA,
             outputMode="update",
             timeoutConf="NoTimeout",
-        )
+        ),
+        False,
+    )
+
+
+def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI tier (ROADMAP r10 candidate #2, landed r9): per
+    event type, fold the stream into the calendar-bounded
+    (day, bucket) count cube in ValueState and re-emit the cube on
+    every update with a sequence number. transformWithStateInPandas
+    with an applyInPandasWithState fallback, like the KMV and CUSUM
+    tiers. The registered query keeps each key's max-seq cube and runs
+    psi_from_cube over it — the batch twin's exact expressions on the
+    exact batch cube."""
+    result, tws = psi_cube_transform(spark, sf_dir)
+    if tws:
+        _run_with_rocksdb(spark, result, "stream_psi_cube")
+    else:
         _run_to_memory(result, "stream_psi_cube", "update")
     return spark.table("stream_psi_cube")
 

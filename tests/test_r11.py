@@ -1176,3 +1176,93 @@ def test_degree_distribution_exact_recompute(spark, sf_dir):
         assert floor_ <= mx < 2 * 2**b
         if above:
             assert floor_ > R._COSUPP_DEG_CAP
+
+
+def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
+    """The ONE streamed sufficient statistic thirteen tiers share must
+    survive a query restart: run the production PSI-cube transform
+    over half the events, stop, deliver the second half, restart from
+    the SAME checkpoint — the recovered state must fold the new batch
+    on top (seq reaches exactly 2, the second run emits only the new
+    fold), and the final max-seq cube must equal the batch (type,
+    day, bucket) counts over the FULL event set."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_quality import (
+        psi_bucket_col,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        psi_cube_transform,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "sfrestart"
+    ev = d / "events.parquet"
+    ev.mkdir(parents=True)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+
+    emitted = []
+
+    def run_once():
+        result, tws = psi_cube_transform(spark, str(d))
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        if tws:
+            spark.conf.set(
+                conf_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            q = (
+                result.writeStream.foreachBatch(
+                    lambda df, _bid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if tws:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+
+    run_once()
+    seqs_run1 = {r.seq for r in emitted}
+    assert seqs_run1 == {1}
+    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
+    n_run1 = len(emitted)
+    run_once()
+    run2 = emitted[n_run1:]
+    # the restarted query folded ON TOP of recovered state: one new
+    # emission per type at seq 2, never a fresh seq-1 rebuild and
+    # never a reprocess of part-0
+    assert run2 and {r.seq for r in run2} == {2}
+    final = {
+        (r.event_type, r.day, r.bucket): r.c for r in run2
+    }
+    expected = {
+        (r.event_type, r.day, r.bucket): r.n
+        for r in load_table(spark, str(d), "events")
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+            ).alias("day"),
+            psi_bucket_col().alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+    }
+    assert final == expected
