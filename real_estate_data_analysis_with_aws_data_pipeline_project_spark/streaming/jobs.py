@@ -706,6 +706,60 @@ class _CUSUMProcessor:
         pass
 
 
+def _cusum_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+    """applyInPandasWithState spelling of the CUSUM fold (no-protobuf
+    environments) — same ``_cusum_fold``/``_cusum_peak`` body as the
+    TWS processor."""
+    st = state.get if state.exists else None
+    days, cnts, seq = _cusum_fold(st, st is not None, pdfs)
+    state.update((days, cnts, seq))
+    nd, day, snum = _cusum_peak(days, cnts)
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "seq": [seq],
+            "n_days": [nd],
+            "change_day": [day],
+            "snum": [snum],
+        }
+    )
+
+
+def cusum_transform(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the CUSUM fold
+    WITHOUT a sink (the psi_cube_transform pattern, r11), so the
+    restart-recovery test can drive the production transform through
+    its own checkpointed sink."""
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    if _tws_protocol_available():
+        return (
+            src.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=_CUSUMProcessor(),
+                outputStructType=_CUSUM_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            True,
+        )
+    return (
+        src.groupBy("event_type").applyInPandasWithState(
+            _cusum_fallback_fn,
+            outputStructType=_CUSUM_OUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        ),
+        False,
+    )
+
+
 def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CUSUM change-point tier (ROADMAP r9 candidate #1):
     per event type, fold the stream into a calendar-bounded day-count
@@ -715,44 +769,10 @@ def streaming_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (queries_events.py) keeps each key's max-seq row and applies
     the batch twin's exact display arithmetic, so it carries the batch
     twin's full oracle."""
-    src = _events_stream(spark, sf_dir).select(
-        "event_type",
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "day"
-        ),
-    )
-    if _tws_protocol_available():
-        result = src.groupBy("event_type").transformWithStateInPandas(
-            statefulProcessor=_CUSUMProcessor(),
-            outputStructType=_CUSUM_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
-        )
+    result, tws = cusum_transform(spark, sf_dir)
+    if tws:
         _run_with_rocksdb(spark, result, "stream_cusum_changepoint")
     else:
-
-        def _cusum_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
-            st = state.get if state.exists else None
-            days, cnts, seq = _cusum_fold(st, st is not None, pdfs)
-            state.update((days, cnts, seq))
-            nd, day, snum = _cusum_peak(days, cnts)
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "seq": [seq],
-                    "n_days": [nd],
-                    "change_day": [day],
-                    "snum": [snum],
-                }
-            )
-
-        result = src.groupBy("event_type").applyInPandasWithState(
-            _cusum_fallback_fn,
-            outputStructType=_CUSUM_OUT_SCHEMA,
-            stateStructType=_CUSUM_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf="NoTimeout",
-        )
         _run_to_memory(result, "stream_cusum_changepoint", "update")
     return spark.table("stream_cusum_changepoint")
 

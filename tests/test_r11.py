@@ -1266,3 +1266,90 @@ def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
         .collect()
     }
     assert final == expected
+
+
+def test_cusum_state_recovers_across_restart(spark, tmp_path):
+    """Second state shape under the restart gate (the PSI cube test's
+    sibling — a per-key day-count MAP plus a recomputed argmax): half
+    the events, stop, second half, restart from the same checkpoint —
+    seq reaches exactly 2 and the final change-point equals the
+    integer-exact offline CUSUM over the FULL day counts."""
+    from collections import Counter, defaultdict
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _cusum_peak,
+        _day_sort_key,
+        cusum_transform,
+    )
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "sfrestart2"
+    ev = d / "events.parquet"
+    ev.mkdir(parents=True)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt2")
+
+    emitted = []
+
+    def run_once():
+        result, tws = cusum_transform(spark, str(d))
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        if tws:
+            spark.conf.set(
+                conf_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            q = (
+                result.writeStream.foreachBatch(
+                    lambda df, _bid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if tws:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+
+    run_once()
+    assert {r.seq for r in emitted} == {1}
+    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
+    n1 = len(emitted)
+    run_once()
+    run2 = emitted[n1:]
+    assert run2 and {r.seq for r in run2} == {2}
+    got = {
+        r.event_type: (r.n_days, r.change_day, r.snum) for r in run2
+    }
+    counts = defaultdict(Counter)
+    for r in (
+        load_table(spark, str(d), "events")
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .collect()
+    ):
+        counts[r.event_type][r.day] += 1
+    expected = {}
+    for et, m in counts.items():
+        days = sorted(m, key=_day_sort_key)
+        expected[et] = _cusum_peak(days, [m[dd] for dd in days])
+    assert got == expected
