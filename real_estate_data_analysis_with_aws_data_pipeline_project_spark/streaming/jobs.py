@@ -568,6 +568,21 @@ def streaming_kmv_distinct(
     availableNow splits the source into several batches. Falls back to
     applyInPandasWithState where the TWS protobuf protocol is absent,
     same semantics (one struct holding the array)."""
+    result, tws = kmv_transform(spark, sf_dir, k)
+    if tws:
+        _run_with_rocksdb(spark, result, "stream_kmv_distinct")
+    else:
+        _run_to_memory(result, "stream_kmv_distinct", "update")
+    return spark.table("stream_kmv_distinct")
+
+
+def kmv_transform(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the bottom-k fold
+    WITHOUT a sink (the psi_cube_transform pattern, r11), so the
+    restart-recovery test can drive the production transform through
+    its own checkpointed sink."""
     src = _events_stream(spark, sf_dir).select(
         "event_type",
         F.md5(
@@ -577,40 +592,42 @@ def streaming_kmv_distinct(
         ).alias("h"),
     )
     if _tws_protocol_available():
-        result = src.groupBy("event_type").transformWithStateInPandas(
-            statefulProcessor=_KMVProcessor(k),
-            outputStructType=_KMV_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
+        return (
+            src.groupBy("event_type").transformWithStateInPandas(
+                statefulProcessor=_KMVProcessor(k),
+                outputStructType=_KMV_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            True,
         )
-        _run_with_rocksdb(spark, result, "stream_kmv_distinct")
-    else:
 
-        def _kmv_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
-            cur = list(state.get[0]) if state.exists else []
-            s = set(cur)
-            for pdf in pdfs:
-                s.update(pdf["h"].tolist())
-            merged = sorted(s)[:k]
-            state.update((merged,))
-            yield pd.DataFrame(
-                {
-                    "event_type": [key[0]],
-                    "kth_hash": [
-                        merged[k - 1] if len(merged) >= k else None
-                    ],
-                }
-            )
+    def _kmv_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
+        cur = list(state.get[0]) if state.exists else []
+        s = set(cur)
+        for pdf in pdfs:
+            s.update(pdf["h"].tolist())
+        merged = sorted(s)[:k]
+        state.update((merged,))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "kth_hash": [
+                    merged[k - 1] if len(merged) >= k else None
+                ],
+            }
+        )
 
-        result = src.groupBy("event_type").applyInPandasWithState(
+    return (
+        src.groupBy("event_type").applyInPandasWithState(
             _kmv_fallback_fn,
             outputStructType=_KMV_OUT_SCHEMA,
             stateStructType="hs ARRAY<STRING>",
             outputMode="update",
             timeoutConf="NoTimeout",
-        )
-        _run_to_memory(result, "stream_kmv_distinct", "update")
-    return spark.table("stream_kmv_distinct")
+        ),
+        False,
+    )
 
 
 # --- streaming CUSUM change-point tier (round 9) -----------------------------

@@ -1353,3 +1353,91 @@ def test_cusum_state_recovers_across_restart(spark, tmp_path):
         days = sorted(m, key=_day_sort_key)
         expected[et] = _cusum_peak(days, [m[dd] for dd in days])
     assert got == expected
+
+
+def test_kmv_state_recovers_across_restart(spark, tmp_path):
+    """Third state shape under the restart gate (bounded bottom-k
+    sketch): half the events, stop, second half, restart from the
+    same checkpoint — the recovered sketch must keep shrinking (the
+    bottom-k only ever tightens) and the final kth hash per type must
+    equal the exact bottom-k over ALL user hashes."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        kmv_transform,
+    )
+
+    k = 16
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "sfrestart3"
+    ev = d / "events.parquet"
+    ev.mkdir(parents=True)
+    half = src.num_rows // 2
+    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    ckpt = str(tmp_path / "ckpt3")
+
+    emitted = []
+
+    def run_once():
+        result, tws = kmv_transform(spark, str(d), k)
+        conf_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(conf_key, None)
+        if tws:
+            spark.conf.set(
+                conf_key,
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        try:
+            q = (
+                result.writeStream.foreachBatch(
+                    lambda df, _bid: emitted.extend(df.collect())
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            if tws:
+                if prev is None:
+                    spark.conf.unset(conf_key)
+                else:
+                    spark.conf.set(conf_key, prev)
+
+    run_once()
+    run1 = {r.event_type: r.kth_hash for r in emitted}
+    n1 = len(emitted)
+    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
+    run_once()
+    run2 = {r.event_type: r.kth_hash for r in emitted[n1:]}
+    assert run2
+    # bottom-k only tightens: the restarted fold must never emit a
+    # kth hash above the pre-restart one
+    for et, h2 in run2.items():
+        h1 = run1.get(et)
+        if h1 is not None and h2 is not None:
+            assert h2 <= h1
+    expected = {}
+    rows = (
+        load_table(spark, str(d), "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    from collections import defaultdict
+
+    hs = defaultdict(set)
+    for r in rows:
+        hs[r.event_type].add(
+            hashlib.md5(f"kmv:{r.user_id}".encode()).hexdigest()
+        )
+    for et, s in hs.items():
+        merged = sorted(s)[:k]
+        expected[et] = merged[k - 1] if len(merged) >= k else None
+    assert run2 == expected
