@@ -710,14 +710,14 @@ _COSUPP_ORACLE = f"""
 """
 
 
-def _cosupp_capped_edges(spark, sf_dir):
-    """Distinct (customer, supplier) purchase edges with hub customers
-    above ``_COSUPP_DEG_CAP`` removed. Degree pass FIRST (count(*) —
-    constant-space, map-side combinable) so hubs are dropped BEFORE
-    any per-group buffering: a mega-hub must never materialize its
-    full supplier set just to be discarded (r9 review — the
-    bounded-state rule the WindowGroupLimit comparison test
-    documents)."""
+def _cosupp_edge_degrees(spark, sf_dir):
+    """(e, deg) — the distinct (customer, supplier) purchase edge
+    relation and its per-customer degree counts: ONE DataFrame-side
+    definition matching ``_COSUPP_EDGES_SQL``'s e/deg fragments,
+    shared by the capped edge relation and the degree-distribution
+    histogram (r11 third review: the histogram had re-implemented
+    the edge definition, so an edge-rule change could desynchronize
+    the skew evidence from the caps it justifies)."""
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     e = (
@@ -728,6 +728,18 @@ def _cosupp_capped_edges(spark, sf_dir):
         .distinct()
     )
     deg = e.groupBy("cust").agg(F.count("*").cast("bigint").alias("n_supp"))
+    return e, deg
+
+
+def _cosupp_capped_edges(spark, sf_dir):
+    """Distinct (customer, supplier) purchase edges with hub customers
+    above ``_COSUPP_DEG_CAP`` removed. Degree pass FIRST (count(*) —
+    constant-space, map-side combinable) so hubs are dropped BEFORE
+    any per-group buffering: a mega-hub must never materialize its
+    full supplier set just to be discarded (r9 review — the
+    bounded-state rule the WindowGroupLimit comparison test
+    documents)."""
+    e, deg = _cosupp_edge_degrees(spark, sf_dir)
     return e.join(
         deg.where(F.col("n_supp") <= _COSUPP_DEG_CAP), "cust"
     ).select("cust", "supp")
@@ -2054,18 +2066,7 @@ def graph_degree_distribution(spark, sf_dir):
     buckets and one broadcast of the scalar edge total. No window,
     no pair expansion — this query measures the skew, it never
     squares it."""
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
-        )
-        .distinct()
-    )
-    deg = e.groupBy("cust").agg(
-        F.count("*").cast("bigint").alias("n_supp")
-    )
+    _e, deg = _cosupp_edge_degrees(spark, sf_dir)
     tot = deg.agg(F.sum("n_supp").cast("bigint").alias("n_edges"))
     b = deg.groupBy(
         (F.length(F.expr("bin(n_supp)")) - 1).cast("int").alias(

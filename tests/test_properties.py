@@ -548,6 +548,8 @@ def test_psi_fold_batching_invariance(rows, split):
     st2 = _psi_fold(st1, True, [pdf(b)] if b else [])
     if rows:
         assert st2[:3] == once[:3]
+        # seq counts the folds: 1 for the single fold, 2 for the split
+        assert once[3] == 1 and st2[3] == 2
 
 
 @settings(max_examples=60, deadline=None)
@@ -577,6 +579,7 @@ def test_cusum_fold_batching_invariance(days, split):
     st2 = _cusum_fold(st1, True, [pdf(b)] if b else [])
     if days:
         assert st2[:2] == once[:2]
+        assert once[2] == 1 and st2[2] == 2
 
 
 # --- round-11 kernel properties ---------------------------------------------
@@ -633,73 +636,3 @@ def test_hex_chunk_int_sql_matches_python_int(value, width):
         assert got == int(hx[:width], 16)
     con.close()
 
-
-@settings(max_examples=100, deadline=None)
-@given(
-    st.lists(
-        st.tuples(
-            st.sampled_from(["2024-01-01", "2024-01-02", None]),
-            st.sampled_from([0, 1, 2, None]),
-        ),
-        min_size=0,
-        max_size=30,
-    ),
-    st.integers(min_value=0, max_value=30),
-)
-def test_psi_fold_batching_invariance(rows, cut):
-    """Folding the same rows as one batch or as any two-batch split
-    must land on the identical state cube (the claim that makes every
-    cube-derived streaming tier equal its batch twin regardless of
-    micro-batching)."""
-    import pandas as pd
-
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
-        _psi_fold,
-    )
-
-    def pdf(rs):
-        return pd.DataFrame(
-            {
-                "day": [d for d, _b in rs],
-                "bucket": pd.array(
-                    [b for _d, b in rs], dtype="Int64"
-                ),
-            }
-        )
-
-    cut = min(cut, len(rows))
-    one = _psi_fold(None, False, [pdf(rows)])
-    st1 = _psi_fold(None, False, [pdf(rows[:cut])])
-    two = _psi_fold(st1, True, [pdf(rows[cut:])])
-    # same cube, seq counts the folds (1 vs 2)
-    assert one[:3] == two[:3]
-    assert one[3] == 1 and two[3] == 2
-
-
-@settings(max_examples=100, deadline=None)
-@given(
-    st.lists(
-        st.sampled_from(["2024-01-01", "2024-01-02", "2024-01-03", None]),
-        min_size=0,
-        max_size=30,
-    ),
-    st.integers(min_value=0, max_value=30),
-)
-def test_cusum_fold_batching_invariance(days, cut):
-    """Same invariance for the CUSUM day-count map: any two-batch
-    split folds to the identical (days, counts) state."""
-    import pandas as pd
-
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
-        _cusum_fold,
-    )
-
-    def pdf(ds):
-        return pd.DataFrame({"day": ds})
-
-    cut = min(cut, len(days))
-    one = _cusum_fold(None, False, [pdf(days)])
-    st1 = _cusum_fold(None, False, [pdf(days[:cut])])
-    two = _cusum_fold(st1, True, [pdf(days[cut:])])
-    assert one[:2] == two[:2]
-    assert one[2] == 1 and two[2] == 2

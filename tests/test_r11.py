@@ -1178,14 +1178,73 @@ def test_degree_distribution_exact_recompute(spark, sf_dir):
             assert floor_ > R._COSUPP_DEG_CAP
 
 
+# --- streaming restart-recovery gate (r11) -----------------------------------
+#
+# One scaffold, three state shapes: split the events into halves laid
+# out as a parquet DIRECTORY, run the PRODUCTION transform over the
+# first half through a checkpointed foreachBatch sink, stop, deliver
+# the second half, restart from the SAME checkpoint. Assertions are
+# robust to how the testdata distributes keys across the halves: the
+# restarted run emits exactly the second half's key set, a key seen
+# in BOTH halves must continue its fold sequence (a fresh rebuild
+# would reset it; a reprocess with recovered state would double-count
+# and fail the value equality), and every run-2 emission must equal
+# the batch recompute over that key's FULL data.
+
+
+def _split_events_dir(tmp_path, name):
+    """(dir, part0_types, part1_types) — events halved into a
+    directory layout the file stream source consumes."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / name
+    ev = d / "events.parquet"
+    ev.mkdir(parents=True)
+    half = src.num_rows // 2
+    p0, p1 = src.slice(0, half), src.slice(half)
+    pq.write_table(p0, str(ev / "part-0.parquet"))
+    t0 = set(p0.column("event_type").to_pylist())
+    t1 = set(p1.column("event_type").to_pylist())
+    return d, ev, p1, t0, t1
+
+
+def _run_checkpointed(spark, transform_pair, ckpt, emitted):
+    """Drive an unstarted stateful transform through a checkpointed
+    foreachBatch sink (the production RocksDB provider on the TWS
+    path, via the SAME constant jobs.py uses)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        _ROCKSDB_PROVIDER,
+    )
+
+    result, tws = transform_pair
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if tws:
+        spark.conf.set(conf_key, _ROCKSDB_PROVIDER)
+    try:
+        q = (
+            result.writeStream.foreachBatch(
+                lambda df, _bid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if tws:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+
 def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
     """The ONE streamed sufficient statistic thirteen tiers share must
-    survive a query restart: run the production PSI-cube transform
-    over half the events, stop, deliver the second half, restart from
-    the SAME checkpoint — the recovered state must fold the new batch
-    on top (seq reaches exactly 2, the second run emits only the new
-    fold), and the final max-seq cube must equal the batch (type,
-    day, bucket) counts over the FULL event set."""
+    survive a query restart (see section comment for the gate's
+    assertions)."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
@@ -1199,57 +1258,29 @@ def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
         psi_cube_transform,
     )
 
-    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
-    d = tmp_path / "sfrestart"
-    ev = d / "events.parquet"
-    ev.mkdir(parents=True)
-    half = src.num_rows // 2
-    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "sfrestart")
     ckpt = str(tmp_path / "ckpt")
-
     emitted = []
-
-    def run_once():
-        result, tws = psi_cube_transform(spark, str(d))
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        if tws:
-            spark.conf.set(
-                conf_key,
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-        try:
-            q = (
-                result.writeStream.foreachBatch(
-                    lambda df, _bid: emitted.extend(df.collect())
-                )
-                .option("checkpointLocation", ckpt)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            if tws:
-                if prev is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev)
-
-    run_once()
-    seqs_run1 = {r.seq for r in emitted}
-    assert seqs_run1 == {1}
-    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
-    n_run1 = len(emitted)
-    run_once()
-    run2 = emitted[n_run1:]
-    # the restarted query folded ON TOP of recovered state: one new
-    # emission per type at seq 2, never a fresh seq-1 rebuild and
-    # never a reprocess of part-0
-    assert run2 and {r.seq for r in run2} == {2}
+    _run_checkpointed(spark, psi_cube_transform(spark, str(d)), ckpt, emitted)
+    run1_max = {}
+    for r in emitted:
+        run1_max[r.event_type] = max(run1_max.get(r.event_type, 0), r.seq)
+    assert set(run1_max) == t0
+    n1 = len(emitted)
+    pq.write_table(p1, str(ev / "part-1.parquet"))
+    _run_checkpointed(spark, psi_cube_transform(spark, str(d)), ckpt, emitted)
+    run2 = emitted[n1:]
+    assert {r.event_type for r in run2} == t1
+    run2_max = {}
+    for r in run2:
+        run2_max[r.event_type] = max(run2_max.get(r.event_type, 0), r.seq)
+    for et in t0 & t1:
+        # continued fold, not a fresh rebuild
+        assert run2_max[et] >= run1_max[et] + 1
     final = {
-        (r.event_type, r.day, r.bucket): r.c for r in run2
+        (r.event_type, r.day, r.bucket): r.c
+        for r in run2
+        if r.seq == run2_max[r.event_type]
     }
     expected = {
         (r.event_type, r.day, r.bucket): r.n
@@ -1264,16 +1295,14 @@ def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
         .groupBy("event_type", "day", "bucket")
         .agg(F.count("*").cast("bigint").alias("n"))
         .collect()
+        if r.event_type in t1
     }
     assert final == expected
 
 
 def test_cusum_state_recovers_across_restart(spark, tmp_path):
-    """Second state shape under the restart gate (the PSI cube test's
-    sibling — a per-key day-count MAP plus a recomputed argmax): half
-    the events, stop, second half, restart from the same checkpoint —
-    seq reaches exactly 2 and the final change-point equals the
-    integer-exact offline CUSUM over the FULL day counts."""
+    """Second state shape under the restart gate: the CUSUM per-key
+    day-count map plus a recomputed integer-exact argmax."""
     from collections import Counter, defaultdict
 
     import pyarrow.parquet as pq
@@ -1288,53 +1317,27 @@ def test_cusum_state_recovers_across_restart(spark, tmp_path):
         cusum_transform,
     )
 
-    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
-    d = tmp_path / "sfrestart2"
-    ev = d / "events.parquet"
-    ev.mkdir(parents=True)
-    half = src.num_rows // 2
-    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "sfrestart2")
     ckpt = str(tmp_path / "ckpt2")
-
     emitted = []
-
-    def run_once():
-        result, tws = cusum_transform(spark, str(d))
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        if tws:
-            spark.conf.set(
-                conf_key,
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-        try:
-            q = (
-                result.writeStream.foreachBatch(
-                    lambda df, _bid: emitted.extend(df.collect())
-                )
-                .option("checkpointLocation", ckpt)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            if tws:
-                if prev is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev)
-
-    run_once()
-    assert {r.seq for r in emitted} == {1}
-    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
+    _run_checkpointed(spark, cusum_transform(spark, str(d)), ckpt, emitted)
+    run1_max = {}
+    for r in emitted:
+        run1_max[r.event_type] = max(run1_max.get(r.event_type, 0), r.seq)
     n1 = len(emitted)
-    run_once()
+    pq.write_table(p1, str(ev / "part-1.parquet"))
+    _run_checkpointed(spark, cusum_transform(spark, str(d)), ckpt, emitted)
     run2 = emitted[n1:]
-    assert run2 and {r.seq for r in run2} == {2}
+    assert {r.event_type for r in run2} == t1
+    run2_max = {}
+    for r in run2:
+        run2_max[r.event_type] = max(run2_max.get(r.event_type, 0), r.seq)
+    for et in t0 & t1:
+        assert run2_max[et] >= run1_max[et] + 1
     got = {
-        r.event_type: (r.n_days, r.change_day, r.snum) for r in run2
+        r.event_type: (r.n_days, r.change_day, r.snum)
+        for r in run2
+        if r.seq == run2_max[r.event_type]
     }
     counts = defaultdict(Counter)
     for r in (
@@ -1350,18 +1353,20 @@ def test_cusum_state_recovers_across_restart(spark, tmp_path):
         counts[r.event_type][r.day] += 1
     expected = {}
     for et, m in counts.items():
+        if et not in t1:
+            continue
         days = sorted(m, key=_day_sort_key)
         expected[et] = _cusum_peak(days, [m[dd] for dd in days])
     assert got == expected
 
 
 def test_kmv_state_recovers_across_restart(spark, tmp_path):
-    """Third state shape under the restart gate (bounded bottom-k
-    sketch): half the events, stop, second half, restart from the
-    same checkpoint — the recovered sketch must keep shrinking (the
-    bottom-k only ever tightens) and the final kth hash per type must
-    equal the exact bottom-k over ALL user hashes."""
+    """Third state shape under the restart gate: the bounded bottom-k
+    sketch — the recovered sketch only tightens across the restart,
+    and the final kth hash per run-2 key equals the exact bottom-k
+    over that key's FULL user hashes."""
     import hashlib
+    from collections import defaultdict
 
     import pyarrow.parquet as pq
 
@@ -1373,71 +1378,34 @@ def test_kmv_state_recovers_across_restart(spark, tmp_path):
     )
 
     k = 16
-    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
-    d = tmp_path / "sfrestart3"
-    ev = d / "events.parquet"
-    ev.mkdir(parents=True)
-    half = src.num_rows // 2
-    pq.write_table(src.slice(0, half), str(ev / "part-0.parquet"))
+    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "sfrestart3")
     ckpt = str(tmp_path / "ckpt3")
-
     emitted = []
-
-    def run_once():
-        result, tws = kmv_transform(spark, str(d), k)
-        conf_key = "spark.sql.streaming.stateStore.providerClass"
-        prev = spark.conf.get(conf_key, None)
-        if tws:
-            spark.conf.set(
-                conf_key,
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider",
-            )
-        try:
-            q = (
-                result.writeStream.foreachBatch(
-                    lambda df, _bid: emitted.extend(df.collect())
-                )
-                .option("checkpointLocation", ckpt)
-                .outputMode("update")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        finally:
-            if tws:
-                if prev is None:
-                    spark.conf.unset(conf_key)
-                else:
-                    spark.conf.set(conf_key, prev)
-
-    run_once()
+    _run_checkpointed(spark, kmv_transform(spark, str(d), k), ckpt, emitted)
     run1 = {r.event_type: r.kth_hash for r in emitted}
     n1 = len(emitted)
-    pq.write_table(src.slice(half), str(ev / "part-1.parquet"))
-    run_once()
-    run2 = {r.event_type: r.kth_hash for r in emitted[n1:]}
-    assert run2
-    # bottom-k only tightens: the restarted fold must never emit a
-    # kth hash above the pre-restart one
+    pq.write_table(p1, str(ev / "part-1.parquet"))
+    _run_checkpointed(spark, kmv_transform(spark, str(d), k), ckpt, emitted)
+    run2_rows = emitted[n1:]
+    run2 = {r.event_type: r.kth_hash for r in run2_rows}
+    assert set(run2) == t1
     for et, h2 in run2.items():
         h1 = run1.get(et)
         if h1 is not None and h2 is not None:
             assert h2 <= h1
-    expected = {}
-    rows = (
+    hs = defaultdict(set)
+    for r in (
         load_table(spark, str(d), "events")
         .select("event_type", "user_id")
         .collect()
-    )
-    from collections import defaultdict
-
-    hs = defaultdict(set)
-    for r in rows:
+    ):
         hs[r.event_type].add(
             hashlib.md5(f"kmv:{r.user_id}".encode()).hexdigest()
         )
+    expected = {}
     for et, s in hs.items():
+        if et not in t1:
+            continue
         merged = sorted(s)[:k]
         expected[et] = merged[k - 1] if len(merged) >= k else None
     assert run2 == expected
