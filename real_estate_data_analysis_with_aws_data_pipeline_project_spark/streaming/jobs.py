@@ -449,27 +449,45 @@ def streaming_user_activity_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships no ``protobuf``), the job runs the same semantics through
     applyInPandasWithState — output and oracle identical; only the
     state layout differs (typed ValueState+MapState vs one struct)."""
+    result, tws = user_activity_transform(spark, sf_dir)
+    if tws:
+        _run_with_rocksdb(spark, result, "stream_user_activity_tws")
+    else:
+        _run_to_memory(result, "stream_user_activity_tws", "update")
+    return spark.table("stream_user_activity_tws")
+
+
+def user_activity_transform(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the per-user
+    activity fold WITHOUT a sink (the psi_cube_transform pattern,
+    r11), so the restart-recovery test can drive the production
+    transform — the ValueState+MapState layout on the TWS path —
+    through its own checkpointed sink."""
     src = _events_stream(spark, sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
     if _tws_protocol_available():
-        result = src.groupBy("user_id").transformWithStateInPandas(
-            statefulProcessor=_UserActivityProcessor(),
-            outputStructType=_TWS_OUT_SCHEMA,
-            outputMode="Update",
-            timeMode="None",
+        return (
+            src.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_UserActivityProcessor(),
+                outputStructType=_TWS_OUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            ),
+            True,
         )
-        _run_with_rocksdb(spark, result, "stream_user_activity_tws")
-    else:
-        result = src.groupBy("user_id").applyInPandasWithState(
+    return (
+        src.groupBy("user_id").applyInPandasWithState(
             _user_activity_fallback_fn,
             outputStructType=_TWS_OUT_SCHEMA,
             stateStructType="n BIGINT, mx BIGINT, types ARRAY<STRING>",
             outputMode="update",
             timeoutConf="NoTimeout",
-        )
-        _run_to_memory(result, "stream_user_activity_tws", "update")
-    return spark.table("stream_user_activity_tws")
+        ),
+        False,
+    )
 
 
 # approx_percentile sketch accuracy: rank error is bounded by

@@ -1409,3 +1409,60 @@ def test_kmv_state_recovers_across_restart(spark, tmp_path):
         merged = sorted(s)[:k]
         expected[et] = merged[k - 1] if len(merged) >= k else None
     assert run2 == expected
+
+
+def test_user_activity_state_recovers_across_restart(spark, tmp_path):
+    """Fourth state surface under the restart gate — the per-user
+    activity profile (ValueState + MapState on the TWS path, one
+    struct on the fallback): run-2 keys are exactly the second
+    half's users, and each run-2 emission equals the batch profile
+    over that user's FULL events."""
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        user_activity_transform,
+    )
+
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "sfrestart4"
+    ev = d / "events.parquet"
+    ev.mkdir(parents=True)
+    half = src.num_rows // 2
+    p0, p1 = src.slice(0, half), src.slice(half)
+    pq.write_table(p0, str(ev / "part-0.parquet"))
+    u1 = set(p1.column("user_id").to_pylist())
+    ckpt = str(tmp_path / "ckpt4")
+    emitted = []
+    _run_checkpointed(
+        spark, user_activity_transform(spark, str(d)), ckpt, emitted
+    )
+    n1 = len(emitted)
+    pq.write_table(p1, str(ev / "part-1.parquet"))
+    _run_checkpointed(
+        spark, user_activity_transform(spark, str(d)), ckpt, emitted
+    )
+    run2 = {
+        r.user_id: (r.n_event_types, r.n_events, r.max_ts_us)
+        for r in emitted[n1:]
+    }
+    assert set(run2) == u1
+    types, counts, mx = defaultdict(set), defaultdict(int), {}
+    for r in (
+        load_table(spark, str(d), "events")
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+        .collect()
+    ):
+        types[r.user_id].add(r.event_type)
+        counts[r.user_id] += 1
+        mx[r.user_id] = max(mx.get(r.user_id, r.ts_us), r.ts_us)
+    expected = {
+        u: (len(types[u]), counts[u], mx[u]) for u in types if u in u1
+    }
+    assert run2 == expected
