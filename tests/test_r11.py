@@ -1428,9 +1428,7 @@ def test_user_activity_state_recovers_across_restart(spark, tmp_path):
         user_activity_transform,
     )
 
-    import pyarrow.parquet as _pq
-
-    src = _pq.read_table("/root/testdata/sf0.001/events.parquet")
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
     d = tmp_path / "sfrestart4"
     ev = d / "events.parquet"
     ev.mkdir(parents=True)
