@@ -1464,3 +1464,30 @@ def test_user_activity_state_recovers_across_restart(spark, tmp_path):
         u: (len(types[u]), counts[u], mx[u]) for u in types if u in u1
     }
     assert run2 == expected
+
+
+def test_oracle_replica_comparison_has_teeth():
+    """Meta-test for the strict replica (the r8 incident class: a
+    lenient comparison silently passed a driver-red divergence for
+    two rounds): the normalization must DISTINGUISH one-micro value
+    drift, -0.0 vs 0.0, NaN-vs-value, and column renames — and must
+    IGNORE row order and column order."""
+    from tests.oracle import _norm_cell, _norm_rows
+
+    # one-micro drift is visible
+    assert _norm_cell(1.000001) != _norm_cell(1.000002)
+    # the negative-zero channel is visible (the whitening driver-red)
+    assert _norm_cell(-0.0) != _norm_cell(0.0)
+    # NaN folds to null (both engines' NaN-vs-NULL hash convention) but
+    # never to a number
+    assert _norm_cell(float("nan")) == "<null>"
+    assert _norm_cell(float("nan")) != _norm_cell(0.0)
+    # ints and their float doubles are distinct (schema drift visible)
+    assert _norm_cell(1) != _norm_cell(1.0)
+    # row order and column order are ignored...
+    a = _norm_rows(["x", "y"], [(1, 2.5), (3, 4.5)])
+    b = _norm_rows(["y", "x"], [(4.5, 3), (2.5, 1)])
+    assert a == b
+    # ...but values are not
+    c = _norm_rows(["x", "y"], [(1, 2.5), (3, 4.500001)])
+    assert a != c
