@@ -1491,3 +1491,23 @@ def test_oracle_replica_comparison_has_teeth():
     # ...but values are not
     c = _norm_rows(["x", "y"], [(1, 2.5), (3, 4.500001)])
     assert a != c
+
+
+def test_cli_argument_handling(capsys):
+    """--help and --list return 0 with useful text, a nonexistent
+    sf_dir returns 2 with the usage instead of a Spark traceback, and
+    an unknown query name returns 2 — none of these paths may start a
+    Spark session (r11: --help previously died in AnalysisException)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.__main__ import (
+        main,
+    )
+
+    assert main(["--help"]) == 0
+    assert "usage:" in capsys.readouterr().out
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "flagship_enriched_sample" in out
+    assert main(["/no/such/dir"]) == 2
+    assert "usage:" in capsys.readouterr().out
+    assert main(["/root/testdata/sf0.001", "no_such_query"]) == 2
+    assert "unknown queries" in capsys.readouterr().out
