@@ -231,6 +231,27 @@ def main() -> None:
             regressed.append("TOTAL")
         result["regressions"] = regressed
 
+    # Compact machine line FIRST (r11 VERDICT #7): the driver's capture
+    # truncates long tails (BENCH_r11.json recorded `parsed: null`), so
+    # the totals must survive even if the full per-query line is cut.
+    # The driver contract line (with the per-query dict) stays last.
+    compact = {
+        k: result[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "sf",
+            "host_calibration_ratio",
+            "vs_baseline_total",
+            "regressions",
+        )
+        if k in result
+    }
+    # leading newline: if any earlier write (e.g. a merged-stderr
+    # progress fragment under 2>&1 capture) left a partial line, the
+    # compact JSON still starts at column 0 and stays line-parsable
+    print("\n" + json.dumps(compact), flush=True)
     print(json.dumps(result))
     if regressed:
         sys.exit(1)

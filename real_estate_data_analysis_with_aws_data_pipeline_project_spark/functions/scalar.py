@@ -80,8 +80,10 @@ def hex_chunk_int_sql(h: str, width: int, fn: str = "strpos") -> str:
     global-shuffle shard key, feature hashing, and the DP mechanism).
     Each digit term casts to BIGINT before the power-of-16 multiply so
     no engine's narrow-int arithmetic can overflow; width ≤ 15 keeps
-    the total under 2⁶³."""
-    assert 1 <= width <= 15
+    the total under 2⁶³. ValueError (not assert — stripped under -O)
+    because an out-of-range width silently overflows BIGINT."""
+    if not 1 <= width <= 15:
+        raise ValueError(f"hex_chunk_int_sql width must be in [1, 15], got {width}")
     return "(" + " + ".join(
         f"CAST({fn}('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1"
         f" AS BIGINT) * {16 ** (width - 1 - i)}"

@@ -1267,11 +1267,17 @@ _SCALE_CENTS = "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
 # expression tree in both engines: SST = Σx² − (Σx)²/n, SSB =
 # Σ_g ⌊s_g²/n_g⌉ − (Σx)²/n, SSW = SST − SSB, then F and η² are
 # single divisions micro-quantized via floor(x·1e6 + 0.5);
-# degenerate shapes (k < 2, n ≤ k, SSW = 0) guard NULL.
+# degenerate shapes (k < 2, n ≤ k, SSW = 0) guard NULL. SSB is
+# clamped at 0 (r11 ADVICE): ssq's per-group half-up quantization
+# can push SSB up to 0.5·k cents² BELOW its true non-negative value
+# when group means are near-equal, and a −0.000002 variance share is
+# misleading; the clamp is the same greatest() in both engines so
+# determinism is preserved, and SSW uses the clamped SSB so
+# SSB + SSW = SST still holds.
 
 _ANOVA_SSB = (
-    "(CAST(ssq AS DOUBLE)"
-    " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"
+    "greatest(CAST(ssq AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n, 0e0)"
 )
 _ANOVA_SST = (
     "(CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"

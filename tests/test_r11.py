@@ -889,7 +889,10 @@ def test_anova_f_exact_recompute(spark, sf_dir):
         math.floor(float(e[1]) * float(e[1]) / e[0] + 0.5)
         for e in g.values()
     )
-    ssb = ssq - (s1 * s1) / n
+    # greatest(ssb, 0) clamp (r11 ADVICE): the per-group half-up
+    # quantization in ssq can push SSB a hair below 0 when group
+    # means are near-equal; SSW uses the clamped SSB.
+    ssb = max(ssq - (s1 * s1) / n, 0.0)
     sst = s2 - (s1 * s1) / n
     ssw = sst - ssb
     f = (

@@ -34,14 +34,10 @@ import bench  # noqa: E402
 
 
 def calibration_ratio() -> float:
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        acc = 0
-        for i in range(2_000_000):
-            acc += i ^ (i >> 3)
-        best = min(best, time.perf_counter() - t0)
-    return round(best / bench.CALIBRATION_IDLE_SEC, 2)
+    # reuse THE bench probe (r11 ADVICE: a hand-copied loop would
+    # silently measure a different quantity if the bench probe or its
+    # idle reference ever changes)
+    return round(bench._host_calibration_sec() / bench.CALIBRATION_IDLE_SEC, 2)
 
 
 def main() -> int:
@@ -65,8 +61,21 @@ def main() -> int:
             capture_output=True,
             text=True,
         )
-        line = out.stdout.strip().splitlines()[-1]
-        result = json.loads(line)
+        # fail with a clear message, not IndexError/JSONDecodeError,
+        # when bench.py dies or emits no JSON (r11 ADVICE)
+        if out.returncode != 0:
+            print(f"ABORT run {r + 1}: bench.py exited {out.returncode}\n"
+                  f"--- stderr tail ---\n{out.stderr[-2000:]}")
+            return 1
+        json_lines = [
+            ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")
+        ]
+        if not json_lines:
+            print(f"ABORT run {r + 1}: bench.py produced no JSON output\n"
+                  f"--- stdout tail ---\n{out.stdout[-2000:]}")
+            return 1
+        result = json.loads(json_lines[-1])
         post = result["host_calibration_ratio"]
         if post > args.max_calibration:
             print(

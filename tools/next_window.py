@@ -74,37 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r11 pin (the 26 r10 post-pin additions now lead the r11
-# rotation's never-green front); append every r11 post-pin registration
+# Reset at the r12 pin (the 26 r11 post-pin additions now lead the r12
+# rotation's never-green front); append every r12 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "retrieval_rm3_interpolated",
-    "events_ewma_volume_forecast",
-    "streaming_ewma_volume_forecast",
-    "join_dynamic_partition_pruning",
-    "events_seasonal_volume_anomaly",
-    "dq_feed_freshness",
-    "events_markov_entropy_rate",
-    "similarity_ann_recall_audit",
-    "streaming_seasonal_volume_anomaly",
-    "streaming_trend_slope",
-    "events_cohort_ltv",
-    "events_survival_km",
-    "events_ab_conversion_ztest",
-    "streaming_dod_growth",
-    "features_mutual_information",
-    "er_blocking_quality",
-    "features_pca_quality_axis",
-    "embedding_kmeans_lloyd",
-    "features_anova_f",
-    "embedding_cluster_quality",
-    "events_holt_volume_forecast",
-    "streaming_holt_volume_forecast",
-    "events_session_timeout_sensitivity",
-    "pii_dp_noisy_counts",
-    "join_lateral_topk_per_key",
-    "graph_degree_distribution",
-)
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
