@@ -849,3 +849,105 @@ def join_lateral_topk_per_key(spark, sf_dir):
     keys; output is ≤ 3 rows per qualifying customer."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+# --- correlated LATERAL aggregate over LIMIT (round 12) ------------------------
+#
+# The second LATERAL shape: an AGGREGATE of a correlated ORDER
+# BY + LIMIT subquery — "each high-balance customer's average over
+# their 3 most recent orders", the recency-feature spelling analysts
+# write per-row. Unlike the bare top-k (join_lateral_topk_per_key,
+# which Catalyst decorrelates into the ideal WindowGroupLimit
+# pipeline), Spark 4.1's decorrelation of THIS shape inserts a GLOBAL
+# range sort of orders on (o_orderdate, o_orderkey) before the
+# per-key row_number — measured on the executed plan: an extra
+# rangepartitioning exchange + full sort that contributes nothing
+# (the ORDER BY only ever matters within one customer) and at 100 TB
+# is a cluster-wide sort of the fact table. So the Spark side runs
+# the rank-filter formulation, which DOES plan as partial+final
+# WindowGroupLimit (map-side top-3 pre-pruning, bounded reducer
+# state, ONE hash shuffle), left-joined from the filtered customers
+# so zero-order customers keep the LATERAL's aggregate-over-empty row
+# (n_recent = 0, NULL average). DuckDB runs the LATERAL text natively
+# as the oracle, and the equivalence test drives Spark's own
+# decorrelated spark.sql() through both — the registered query is
+# the semantics; the formulation is the scale fix.
+#
+# Determinism: cents are exact BIGINTs, the top-3 multiset is fully
+# ordered by (o_orderdate, o_orderkey), and the average is one
+# half-up-quantized division of two integers — identical in both
+# engines. round() here is exact: cents are whole numbers.
+
+_LATERAL_RECENT_SQL = """
+    SELECT c.c_custkey, t.n_recent, t.recent_avg_cents
+    FROM customer c
+    JOIN LATERAL (
+        SELECT CAST(count(*) AS BIGINT) AS n_recent,
+               CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*) + 0.5e0)
+                    AS BIGINT) AS recent_avg_cents
+        FROM (
+            SELECT CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)
+                       AS cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+            LIMIT 3
+        )
+    ) t ON true
+    WHERE c.c_acctbal > 9000
+"""
+
+
+@register("join_lateral_recent_avg", _LATERAL_RECENT_SQL)
+def join_lateral_recent_avg(spark, sf_dir):
+    """Average order value over each high-balance customer's 3 most
+    recent orders — the correlated-LATERAL-aggregate-over-LIMIT SQL
+    surface, run as the rank-filter formulation because Spark's own
+    decorrelation of this shape plans a needless GLOBAL sort of
+    orders (see the section comment; the equivalence test pins both
+    the row equality against spark.sql's decorrelation and the
+    WindowGroupLimit-no-rangepartitioning plan shape).
+
+    Scale: orders semi-pruned to qualifying customers BEFORE the
+    window shuffle, one hash shuffle with map-side top-3 pre-pruning
+    (partial WindowGroupLimit), a per-key 2-sum aggregate, and one
+    join back to the filtered customer keys; ≤ 1 row per qualifying
+    customer."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.expr(
+            "CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)"
+        ).alias("cents"),
+    )
+    # prune the fact side first: orders of non-qualifying customers
+    # can never reach the output, so drop them before the shuffle
+    o = o.join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    agg = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_recent"),
+            F.expr(
+                "CAST(floor(CAST(sum(cents) AS DOUBLE) / count(*)"
+                " + 0.5e0) AS BIGINT)"
+            ).alias("recent_avg_cents"),
+        )
+    )
+    return c.join(agg, c["c_custkey"] == agg["o_custkey"], "left").select(
+        "c_custkey",
+        F.coalesce(F.col("n_recent"), F.lit(0))
+        .cast("bigint")
+        .alias("n_recent"),
+        "recent_avg_cents",
+    )

@@ -4505,6 +4505,224 @@ def events_ab_conversion_ztest(spark, sf_dir):
     )
 
 
+# --- difference-in-differences estimator (round 12) ---------------------------
+#
+# The quasi-experimental member of the causal family beside the
+# randomized A/B z-test: when assignment isn't randomized, the DiD
+# contrast (treat_post − treat_pre) − (ctrl_post − ctrl_pre) nets out
+# both the group baseline and the common time trend. Groups come from
+# the deterministic md5 split (the ztest's rule); the pre/post cut is
+# the data-derived midpoint of the event-time span in EXACT integer
+# microseconds ((min_us + max_us) integer-div 2 — a wall clock would
+# be neither deterministic nor oracle-checkable, the feed-freshness
+# precedent). A user is in a (group, period) cell if they have ANY
+# event in that period; conversion is "any purchase in that period" —
+# so the unit is user-periods and a user active in both periods
+# contributes to both, the standard repeated-cross-section DiD shape.
+# Everything downstream of the EIGHT BIGINT cell counts is one fixed
+# expression tree of exactly-rounded IEEE ops (±, ×, ÷, sqrt — no
+# libm), micro-quantized, so the estimate, its pooled-proportion
+# standard error, and the z flag are bit-identical across engines.
+# Degenerate shapes guard NULL: any empty cell NULLs the estimate,
+# zero standard error (every cell rate 0 or 1) NULLs the z.
+
+_DID_RATE = {
+    c: f"(CAST(c_{c} AS DOUBLE) / n_{c})"
+    for c in ("t_pre", "t_post", "c_pre", "c_post")
+}
+_DID_CELLS_OK = (
+    "n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0"
+)
+_DID_EST = (
+    f"(({_DID_RATE['t_post']} - {_DID_RATE['t_pre']})"
+    f" - ({_DID_RATE['c_post']} - {_DID_RATE['c_pre']}))"
+)
+# Var(p̂) summed over the four independent cells, p(1−p)/n each —
+# fixed cell order so the double sum is one deterministic tree
+_DID_SE = (
+    "sqrt("
+    + " + ".join(
+        f"{_DID_RATE[c]} * (1e0 - {_DID_RATE[c]}) / n_{c}"
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    )
+    + ")"
+)
+
+
+def _did_rate_cols_sql() -> str:
+    return ", ".join(
+        f"CASE WHEN n_{c} > 0 THEN"
+        f" round(CAST(floor({_DID_RATE[c]} * 1000000e0 + 0.5e0)"
+        f" AS BIGINT) / 1000000e0, 6) END AS rate_{c}"
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    )
+
+
+_DID_ORACLE = f"""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    up AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) < mid_us THEN 0 ELSE 1 END AS post,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events CROSS JOIN b GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 1 ELSE 0 END AS treat,
+               post, conv
+        FROM up
+    ),
+    v AS (
+        SELECT
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t_pre,
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_t_pre,
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t_post,
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_t_post,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c_pre,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_c_pre,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c_post,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_c_post
+        FROM tagged
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN {_DID_CELLS_OK} THEN
+                   CAST(floor({_DID_EST} * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS did_micro,
+               CASE WHEN {_DID_CELLS_OK} AND {_DID_SE} > 0e0 THEN
+                   CAST(floor({_DID_EST} / {_DID_SE}
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM v
+    )
+    SELECT n_t_pre, c_t_pre, n_t_post, c_t_post,
+           n_c_pre, c_c_pre, n_c_post, c_c_post,
+           {_did_rate_cols_sql()},
+           round(did_micro / 1000000e0, 6) AS did_estimate,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END
+                AS BIGINT) AS significant_95
+    FROM d
+"""
+
+
+@register("events_did_estimator", _DID_ORACLE)
+def events_did_estimator(spark, sf_dir):
+    """Difference-in-differences conversion estimate between the
+    deterministic md5-split groups across the data-derived pre/post
+    midpoint, with pooled-proportion standard error and significance
+    flag — the quasi-experimental causal readout beside
+    events_ab_conversion_ztest (see the section comment for the
+    determinism contract and degenerate-shape guards).
+
+    Scale: one global (min, max) reduction for the midpoint, then ONE
+    user-period aggregate (map-side combined) and a single-row
+    reduction of eight integer counts — no window, no second
+    event-grain pass."""
+    from .functions.scalar import deterministic_order_key
+
+    ev = load_table(spark, sf_dir, "events")
+    # DIV = exact BIGINT floor-division, matching the oracle's `//`
+    # (epoch micros are positive so floor == truncate in both)
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("min_us"),
+               F.max(F.unix_micros("ts")).alias("max_us")).select(
+        F.expr("(min_us + max_us) DIV 2").alias("mid_us")
+    )
+    up = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+    )
+    tagged = up.select(
+        F.when(
+            F.substring(deterministic_order_key("user_id"), 1, 2) < "80", 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+        "post",
+        "conv",
+    )
+    cells = []
+    for treat, grp in ((1, "t"), (0, "c")):
+        for post, per in ((0, "pre"), (1, "post")):
+            cond = (F.col("treat") == treat) & (F.col("post") == post)
+            cells.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{grp}_{per}")
+            )
+            cells.append(
+                F.sum(F.when(cond, F.col("conv")).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{grp}_{per}")
+            )
+    v = tagged.agg(*cells)
+    d = v.withColumn(
+        "did_micro",
+        F.expr(
+            f"CASE WHEN {_DID_CELLS_OK} THEN"
+            f" CAST(floor({_DID_EST} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    ).withColumn(
+        "z_micro",
+        F.expr(
+            f"CASE WHEN {_DID_CELLS_OK} AND {_DID_SE} > 0e0 THEN"
+            f" CAST(floor({_DID_EST} / {_DID_SE}"
+            f" * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    )
+    rate_cols = [
+        F.expr(
+            f"CASE WHEN n_{c} > 0 THEN"
+            f" round(CAST(floor({_DID_RATE[c]} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT) / 1000000e0, 6) END"
+        ).alias(f"rate_{c}")
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    ]
+    return d.select(
+        "n_t_pre",
+        "c_t_pre",
+        "n_t_post",
+        "c_t_post",
+        "n_c_pre",
+        "c_c_pre",
+        "n_c_post",
+        "c_c_post",
+        *rate_cols,
+        F.round(F.col("did_micro").cast("double") / F.expr("1000000e0"), 6)
+        .alias("did_estimate"),
+        F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
+        .alias("z_score"),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("significant_95"),
+    )
+
+
 # --- session-timeout sensitivity audit (round 11) -----------------------------
 #
 # Is the engine-wide 30-minute session gap (SESSION_GAP_MINUTES) a

@@ -1129,3 +1129,182 @@ def agg_group_correlation(spark, sf_dir):
     return m.select(
         "l_returnflag", "n", F.expr(_CORR).alias("corr_qty_price")
     )
+
+
+# --- Theil T inequality decomposition (round 12) -------------------------------
+#
+# The decomposable member of the concentration family
+# (events_gini_concentration / events_pareto_share measure inequality
+# but neither splits it): Theil's T over per-customer order spend,
+# decomposed EXACTLY into between-nation and within-nation components
+# — T = Σ_g (S_g/S)·ln(μ_g/μ) + Σ_g (S_g/S)·T_g. The decomposability
+# is why a curation pipeline prefers Theil to Gini for "how much of
+# the skew is explained by the grouping": the between term is
+# computable from group aggregates alone.
+#
+# Exactness contract: spend is deterministic integer cents
+# (floor(o_totalprice·100 + 0.5) summed per customer — exact int64),
+# so n, S, n_g, S_g are order-proof integer sums. Each ln-bearing
+# term is micro-quantized (floor(x·1e6 + 0.5), the
+# entropy_term_micro_sql rule — ln on the same double input in both
+# engines, never round-on-double) and summed as BIGINT: per-customer
+# terms for T_total, per-nation terms for T_between. T_within is
+# reported as the clamped difference greatest(T − T_between, 0):
+# mathematically Σ s_g·T_g ≥ 0, but the two sums quantize
+# independently and a near-zero within component could land a few
+# micro below zero (the features_anova_f SSB lesson, applied at birth
+# rather than after an ADVICE flag). Ratios inside ln are computed as
+# (DOUBLE multiply then divide) in ONE fixed order — never an int64
+# product that could overflow at scale.
+
+_THEIL_R_CUST = "((CAST(x AS DOUBLE) * n) / s)"   # x_i / mu
+_THEIL_R_NAT = (
+    "((CAST(s_g AS DOUBLE) * n) / (CAST(n_g AS DOUBLE) * s))"  # mu_g / mu
+)
+
+_THEIL_ORACLE = f"""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    nat AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_g,
+               CAST(sum(cust.x) AS BIGINT) AS s_g
+        FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM nat
+    ),
+    tt AS (
+        SELECT CAST(sum(CAST(floor({_THEIL_R_CUST} * ln({_THEIL_R_CUST})
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS t_sum
+        FROM cust CROSS JOIN tot
+    ),
+    tb AS (
+        SELECT CAST(sum(CAST(floor((CAST(s_g AS DOUBLE) / s)
+                                   * ln({_THEIL_R_NAT})
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS tb_micro
+        FROM nat CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.n, tot.n_groups, tot.s,
+               CAST(floor(CAST(tt.t_sum AS DOUBLE) / tot.n + 0.5e0)
+                    AS BIGINT) AS t_micro,
+               tb.tb_micro
+        FROM tot CROSS JOIN tt CROSS JOIN tb
+    )
+    SELECT n AS n_customers, n_groups, s AS total_spend_cents,
+           round(t_micro / 1000000e0, 6) AS theil_total,
+           round(tb_micro / 1000000e0, 6) AS theil_between,
+           round(greatest(t_micro - tb_micro, 0) / 1000000e0, 6)
+               AS theil_within,
+           CASE WHEN t_micro > 0 THEN
+               round(CAST(floor(CAST(tb_micro AS DOUBLE) / t_micro
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS between_share
+    FROM f
+"""
+
+
+@register("agg_theil_decomposition", _THEIL_ORACLE)
+def agg_theil_decomposition(spark, sf_dir):
+    """Theil T inequality of per-customer order spend with the exact
+    between-/within-nation decomposition and between share — the
+    decomposable companion to events_gini_concentration (see the
+    section comment for the exactness contract and the clamped
+    within term).
+
+    Scale: one map-side-combined aggregate of orders on o_custkey,
+    one co-keyed join to customer, a nation-cardinality aggregate and
+    a 1-row totals reduction broadcast back over the customer-grain
+    relation for the per-customer term sum — no window, no driver
+    collect; the customer relation feeds two branches and AQE
+    ReuseExchange dedups the subtree (the graph_jaccard_similarity
+    measurement precedent)."""
+    cents = F.expr(
+        "CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)"
+    )
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).cast("bigint").alias("x"))
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = (
+        cust.join(customer, cust["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_g"),
+            F.sum("x").cast("bigint").alias("s_g"),
+        )
+    )
+    tot = nat.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    tt = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor({_THEIL_R_CUST} * ln({_THEIL_R_CUST})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    tb = nat.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor((CAST(s_g AS DOUBLE) / s)"
+                f" * ln({_THEIL_R_NAT})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("tb_micro")
+    )
+    f = (
+        tot.crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "n",
+            "n_groups",
+            "s",
+            F.expr(
+                "CAST(floor(CAST(t_sum AS DOUBLE) / n + 0.5e0) AS BIGINT)"
+            ).alias("t_micro"),
+            "tb_micro",
+        )
+    )
+    return f.select(
+        F.col("n").alias("n_customers"),
+        "n_groups",
+        F.col("s").alias("total_spend_cents"),
+        F.round(F.col("t_micro") / F.expr("1000000e0"), 6).alias(
+            "theil_total"
+        ),
+        F.round(F.col("tb_micro") / F.expr("1000000e0"), 6).alias(
+            "theil_between"
+        ),
+        F.round(
+            F.expr("greatest(t_micro - tb_micro, 0)") / F.expr("1000000e0"),
+            6,
+        ).alias("theil_within"),
+        F.expr(
+            "CASE WHEN t_micro > 0 THEN"
+            " round(CAST(floor(CAST(tb_micro AS DOUBLE) / t_micro"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("between_share"),
+    )

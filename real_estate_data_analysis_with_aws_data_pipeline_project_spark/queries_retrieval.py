@@ -1758,6 +1758,102 @@ def graph_jaccard_similarity(spark, sf_dir):
     )
 
 
+# --- Adamic–Adar link prediction (round 12) -----------------------------------
+#
+# The third member of the neighbor-set similarity family on the SAME
+# hub-capped purchase graph (raw shared-customer counts → Jaccard →
+# Adamic–Adar): each shared customer is weighted by 1/ln(its supplier
+# degree), so a customer who buys from only two suppliers is strong
+# evidence those suppliers are substitutes while a near-hub customer
+# contributes almost nothing — the classic link-prediction refinement
+# the uniform count misses. A shared customer has degree ≥ 2 by
+# construction (it links both suppliers), so ln(deg) > 0 and no
+# div-by-zero guard is needed; degrees are the CAPPED set's (≤
+# _COSUPP_DEG_CAP), keeping weight and pair generation internally
+# consistent. Per-customer weights are micro-quantized BIGINTs
+# (floor(1e6/ln(deg) + 0.5) — ln on the same small-integer double in
+# both engines, the entropy_term_micro_sql libm rule) and the
+# per-pair score is their exact integer sum; top-20 orders on the
+# BIGINT key, tie-broken by the pair ids — never a raw double.
+
+_AA_TOP = 20
+
+_AA_ORACLE = f"""
+    WITH {_COSUPP_EDGES_SQL},
+    cdeg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1
+    ),
+    w AS (
+        SELECT cust,
+               CAST(floor(1000000e0 / ln(CAST(d AS DOUBLE)) + 0.5e0)
+                    AS BIGINT) AS w_micro
+        FROM cdeg WHERE d >= 2
+    ),
+    p AS (
+        SELECT a.supp AS s1, b.supp AS s2,
+               CAST(count(*) AS BIGINT) AS shared_customers,
+               CAST(sum(w.w_micro) AS BIGINT) AS aa_micro
+        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
+        JOIN w ON w.cust = a.cust
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2, shared_customers,
+           round(aa_micro / 1000000e0, 6) AS adamic_adar
+    FROM p ORDER BY aa_micro DESC, s1, s2 LIMIT {_AA_TOP}
+"""
+
+
+@register("graph_adamic_adar", _AA_ORACLE)
+def graph_adamic_adar(spark, sf_dir):
+    """Top-20 supplier pairs by Adamic–Adar score on the hub-capped
+    purchase graph — the degree-weighted link-prediction companion to
+    graph_jaccard_similarity (see the section comment for the
+    weighting and determinism contracts).
+
+    Scale: reuses the shared capped-edge relation and the map-side
+    pair expansion (each customer's ≤ C(cap, 2) pairs expand from its
+    sorted supplier array — never an uncapped self-join), with the
+    per-customer weight carried INTO the expansion so one integer
+    aggregate produces both the count and the score; the final top-20
+    is TakeOrderedAndProject on the exact BIGINT key."""
+    ee = _cosupp_capped_edges(spark, sf_dir)
+    lists = ee.groupBy("cust").agg(
+        F.sort_array(F.collect_set("supp")).alias("ss")
+    )
+    # weight from the capped degree = size(ss); explode emits nothing
+    # for singleton customers so no d >= 2 filter is needed
+    pair_expr = F.expr(
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> struct(x AS s1, y AS s2))))"
+    )
+    pairs = lists.select(
+        F.expr(
+            "CAST(floor(1000000e0 / ln(CAST(size(ss) AS DOUBLE)) + 0.5e0)"
+            " AS BIGINT)"
+        ).alias("w_micro"),
+        F.explode(pair_expr).alias("pr"),
+    )
+    p = pairs.groupBy(
+        F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2")
+    ).agg(
+        F.count("*").cast("bigint").alias("shared_customers"),
+        F.sum("w_micro").cast("bigint").alias("aa_micro"),
+    )
+    return (
+        p.orderBy(F.desc("aa_micro"), "s1", "s2")
+        .limit(_AA_TOP)
+        .select(
+            "s1",
+            "s2",
+            "shared_customers",
+            F.round(F.col("aa_micro") / F.expr("1000000e0"), 6).alias(
+                "adamic_adar"
+            ),
+        )
+    )
+
+
 # --- pseudo-relevance-feedback query expansion (round 10) ----------------------
 #
 # The classic RM1-style first step of query expansion: take the BM25

@@ -1,0 +1,226 @@
+"""Round-12 operator invariants.
+
+Every query here registered AFTER the r12 window froze (POST_PIN →
+r13), so the pin is never at risk; each carries its three-SF strict
+oracle sweep plus an independent recompute or exact-invariant test
+below."""
+
+from __future__ import annotations
+
+import math
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+    QUERIES,
+)
+
+
+def test_did_estimator_exact_recompute(spark, sf_dir):
+    """Driver-side recompute of the difference-in-differences readout
+    from the raw events — the md5 split, the integer-midpoint period
+    cut, the eight cell counts, and the micro-quantized estimate /
+    standard-error / z chain must all match bit-for-bit."""
+    import hashlib
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    mid = (min(r.us for r in rows) + max(r.us for r in rows)) // 2
+    cell = {}  # (treat, post) -> {user: conv}
+    for r in rows:
+        treat = (
+            1
+            if hashlib.md5(str(r.user_id).encode()).hexdigest()[:2] < "80"
+            else 0
+        )
+        post = 0 if r.us < mid else 1
+        users = cell.setdefault((treat, post), {})
+        users[r.user_id] = users.get(r.user_id, 0) or int(r.is_purchase)
+    n = {k: len(v) for k, v in cell.items()}
+    c = {k: sum(v.values()) for k, v in cell.items()}
+
+    def rate(k):
+        return c[k] / n[k]
+
+    order = [(1, 0), (1, 1), (0, 0), (0, 1)]  # t_pre t_post c_pre c_post
+    assert all(n.get(k, 0) > 0 for k in order), "fixture lost a cell"
+    did = (rate((1, 1)) - rate((1, 0))) - (rate((0, 1)) - rate((0, 0)))
+    se = math.sqrt(
+        sum(rate(k) * (1.0 - rate(k)) / n[k] for k in order)
+    )
+    did_micro = math.floor(did * 1e6 + 0.5)
+    z_micro = math.floor(did / se * 1e6 + 0.5) if se > 0 else None
+    r = QUERIES["events_did_estimator"].fn(spark, sf_dir).collect()[0]
+    assert (
+        r.n_t_pre,
+        r.c_t_pre,
+        r.n_t_post,
+        r.c_t_post,
+        r.n_c_pre,
+        r.c_c_pre,
+        r.n_c_post,
+        r.c_c_post,
+    ) == tuple(x for k in order for x in (n[k], c[k]))
+    for nm, k in zip(
+        ("rate_t_pre", "rate_t_post", "rate_c_pre", "rate_c_post"), order
+    ):
+        assert getattr(r, nm) == math.floor(rate(k) * 1e6 + 0.5) / 1e6
+    assert r.did_estimate == did_micro / 1e6
+    assert r.z_score == (None if z_micro is None else z_micro / 1e6)
+    assert r.significant_95 == (
+        1 if z_micro is not None and abs(z_micro) > 1959964 else 0
+    )
+
+
+def test_theil_decomposition_exact_recompute(spark, sf_dir):
+    """Driver-side Theil recompute from raw orders/customer rows with
+    the exact cents and micro-quantization rules, plus the inequality
+    invariants: T ≥ 0, T_between ≥ 0, T_within ≥ 0 (clamped), and
+    between_share ∈ [0, 1]."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    spend = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r.o_custkey] += math.floor(float(r.o_totalprice) * 100.0 + 0.5)
+    nation = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    n = len(spend)
+    s = sum(spend.values())
+    g = defaultdict(lambda: [0, 0])  # nation -> [n_g, s_g]
+    for cust, x in spend.items():
+        e = g[nation[cust]]
+        e[0] += 1
+        e[1] += x
+    # mirror the engine's (CAST(x AS DOUBLE) * n) / s evaluation order
+    t_sum = sum(
+        math.floor(
+            (float(x) * n / s) * math.log(float(x) * n / s) * 1e6 + 0.5
+        )
+        for x in spend.values()
+    )
+    t_micro = math.floor(t_sum / n + 0.5)
+    tb_micro = sum(
+        math.floor(
+            (float(sg) / s)
+            * math.log((float(sg) * n) / (float(ng) * s))
+            * 1e6
+            + 0.5
+        )
+        for ng, sg in g.values()
+    )
+    r = QUERIES["agg_theil_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_customers, r.n_groups, r.total_spend_cents) == (n, len(g), s)
+    assert r.theil_total == t_micro / 1e6
+    assert r.theil_between == tb_micro / 1e6
+    assert r.theil_within == max(t_micro - tb_micro, 0) / 1e6
+    assert r.theil_total >= 0 and r.theil_between >= 0
+    assert r.theil_within >= 0
+    if t_micro > 0:
+        assert r.between_share == math.floor(
+            tb_micro / t_micro * 1e6 + 0.5
+        ) / 1e6
+        assert 0.0 <= r.between_share <= 1.0
+
+
+def test_adamic_adar_exact_recompute(spark, sf_dir):
+    """Driver-side Adamic–Adar recompute on the capped edge set: the
+    engine's top-20 must equal the exact pairwise computation (weights
+    from capped degrees, integer micro sums, (aa desc, s1, s2) order),
+    and every reported pair must also appear in the Jaccard family's
+    shared-customer pair relation with the same count."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+
+    ee = R._cosupp_capped_edges(spark, sf_dir).collect()
+    by_cust = defaultdict(set)
+    for r in ee:
+        by_cust[r.cust].add(r.supp)
+    pair = defaultdict(lambda: [0, 0])  # (s1,s2) -> [shared, aa_micro]
+    for supps in by_cust.values():
+        if len(supps) < 2:
+            continue
+        w = math.floor(1e6 / math.log(float(len(supps))) + 0.5)
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                e = pair[(a, b)]
+                e[0] += 1
+                e[1] += w
+    want = sorted(
+        ((v[1], k[0], k[1], v[0]) for k, v in pair.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: R._AA_TOP]
+    got = [
+        (
+            round(r.adamic_adar * 1e6),
+            r.s1,
+            r.s2,
+            r.shared_customers,
+        )
+        for r in QUERIES["graph_adamic_adar"].fn(spark, sf_dir).collect()
+    ]
+    assert got == [(aa, s1, s2, sh) for aa, s1, s2, sh in want]
+    assert got, "fixture produced no co-supplier pairs"
+
+
+def test_lateral_recent_avg_matches_sparks_own_decorrelation(
+    spark, sf_dir
+):
+    """The registered rank-filter formulation must (a) return exactly
+    the rows of Spark's own decorrelation of the LATERAL SQL text,
+    (b) plan with WindowGroupLimit pre-pruning and WITHOUT the global
+    range sort Spark's decorrelation inserts, and (c) never plan a
+    nested loop."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_analytics as A,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        register_views,
+    )
+
+    df = QUERIES["join_lateral_recent_avg"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {
+        (r.c_custkey, r.n_recent, r.recent_avg_cents) for r in df.collect()
+    }
+    register_views(spark, sf_dir, ["customer", "orders"])
+    lateral = spark.sql(A._LATERAL_RECENT_SQL)
+    # Spark's own decorrelation of agg-over-limit: correct, but with
+    # the global range sort the registered formulation avoids
+    lplan = lateral._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in lplan  # documents WHY we reformulate
+    want = {
+        (r.c_custkey, r.n_recent, r.recent_avg_cents)
+        for r in lateral.collect()
+    }
+    assert got == want and got

@@ -77,7 +77,12 @@ PRIORITY: tuple[str, ...] = ()
 # Reset at the r12 pin (the 26 r11 post-pin additions now lead the r12
 # rotation's never-green front); append every r12 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "events_did_estimator",
+    "agg_theil_decomposition",
+    "graph_adamic_adar",
+    "join_lateral_recent_avg",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:

@@ -217,6 +217,11 @@ EXTRA = [
     "pii_dp_noisy_counts",
     "join_lateral_topk_per_key",
     "graph_degree_distribution",
+    # r12 additions
+    "events_did_estimator",
+    "agg_theil_decomposition",
+    "graph_adamic_adar",
+    "join_lateral_recent_avg",
 ]
 
 

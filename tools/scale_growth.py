@@ -129,6 +129,17 @@ QUERIES_UNDER_TEST = [
     # aggregate — state is constant by construction, so wall must
     # stay linear in vectors however the corpus grows.
     "embedding_kmeans_lloyd",
+    # round-12: DiD is one user-period aggregate + an 8-count
+    # reduction (linear in events); Theil is two co-keyed aggregates
+    # + a broadcast totals pass (linear in orders); Adamic–Adar
+    # shares the capped pair expansion the orientation gate already
+    # bounds (weights are per-customer constants riding the same
+    # expansion); the lateral recent-avg is one WindowGroupLimit
+    # shuffle over the semi-pruned orders.
+    "events_did_estimator",
+    "agg_theil_decomposition",
+    "graph_adamic_adar",
+    "join_lateral_recent_avg",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
@@ -197,8 +208,12 @@ def build_scaled_dir(k: int) -> str:
     # grows linearly with scale — structure ×k, never densified.
     orders = pq.read_table(os.path.join(BASE_SF, "orders.parquet")).to_pandas()
     li = pq.read_table(os.path.join(BASE_SF, "lineitem.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(BASE_SF, "customer.parquet")).to_pandas()
     ok_off = int(orders["o_orderkey"].max()) + 1
-    ck_off = int(orders["o_custkey"].max()) + 1
+    # custkey offset spans BOTH tables so replica r's customers can
+    # never collide with replica r+1's orders (customers without
+    # orders can carry keys past max(o_custkey))
+    ck_off = max(int(orders["o_custkey"].max()), int(cust["c_custkey"].max())) + 1
     sk_off = int(li["l_suppkey"].max()) + 1
     oframes, lframes = [orders], [li]
     for r in range(1, k):
@@ -210,9 +225,21 @@ def build_scaled_dir(k: int) -> str:
         lrep["l_orderkey"] = lrep["l_orderkey"] + r * ok_off
         lrep["l_suppkey"] = lrep["l_suppkey"] + r * sk_off
         lframes.append(lrep)
+    # customer: replicated with the SAME custkey offset as orders so
+    # the customer-joined families (Theil decomposition, the lateral
+    # recent-avg) see their join populations actually grow — an
+    # unscaled symlinked customer would silently drop every replica
+    # row at the inner join and the rehearsal would measure a
+    # constant-n query behind a growing scan (r12).
+    cframes = [cust]
+    for r in range(1, k):
+        crep = cust.copy()
+        crep["c_custkey"] = crep["c_custkey"] + r * ck_off
+        cframes.append(crep)
     for name, frames, src in (
         ("orders", oframes, "orders.parquet"),
         ("lineitem", lframes, "lineitem.parquet"),
+        ("customer", cframes, "customer.parquet"),
     ):
         tab = pa.Table.from_pandas(
             pd.concat(frames, ignore_index=True), preserve_index=False
