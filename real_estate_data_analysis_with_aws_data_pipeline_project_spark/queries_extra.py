@@ -1148,14 +1148,16 @@ def agg_group_correlation(spark, sf_dir):
 # term is micro-quantized (floor(x·1e6 + 0.5), the
 # entropy_term_micro_sql rule — ln on the same double input in both
 # engines, never round-on-double) and summed as BIGINT: per-customer
-# terms for T_total, per-nation terms for T_between. T_within is
-# reported as the clamped difference greatest(T − T_between, 0):
-# mathematically Σ s_g·T_g ≥ 0, but the two sums quantize
-# independently and a near-zero within component could land a few
-# micro below zero (the features_anova_f SSB lesson, applied at birth
-# rather than after an ADVICE flag). Ratios inside ln are computed as
-# (DOUBLE multiply then divide) in ONE fixed order — never an int64
-# product that could overflow at scale.
+# terms for T_total, per-nation terms for T_between. All three
+# reported components are clamped CONSISTENTLY (the features_anova_f
+# SSB lesson, applied at birth rather than after an ADVICE flag —
+# and, per the r12 review, applied to BOTH quantized sums, since
+# near-equal group means can push either a few micro below zero):
+# t_c = greatest(T, 0), tb_c = least(greatest(T_between, 0), t_c)
+# (mathematically 0 ≤ T_between ≤ T), within = t_c − tb_c ≥ 0 and
+# between_share = tb_c/t_c ∈ [0, 1] by construction. Ratios inside
+# ln are computed as (DOUBLE multiply then divide) in ONE fixed
+# order — never an int64 product that could overflow at scale.
 
 _THEIL_R_CUST = "((CAST(x AS DOUBLE) * n) / s)"   # x_i / mu
 _THEIL_R_NAT = (
@@ -1196,22 +1198,26 @@ _THEIL_ORACLE = f"""
     ),
     f AS (
         SELECT tot.n, tot.n_groups, tot.s,
-               CAST(floor(CAST(tt.t_sum AS DOUBLE) / tot.n + 0.5e0)
-                    AS BIGINT) AS t_micro,
+               greatest(CAST(floor(CAST(tt.t_sum AS DOUBLE) / tot.n + 0.5e0)
+                             AS BIGINT), 0) AS t_c,
                tb.tb_micro
         FROM tot CROSS JOIN tt CROSS JOIN tb
+    ),
+    f2 AS (
+        SELECT n, n_groups, s, t_c,
+               least(greatest(tb_micro, 0), t_c) AS tb_c
+        FROM f
     )
     SELECT n AS n_customers, n_groups, s AS total_spend_cents,
-           round(t_micro / 1000000e0, 6) AS theil_total,
-           round(tb_micro / 1000000e0, 6) AS theil_between,
-           round(greatest(t_micro - tb_micro, 0) / 1000000e0, 6)
-               AS theil_within,
-           CASE WHEN t_micro > 0 THEN
-               round(CAST(floor(CAST(tb_micro AS DOUBLE) / t_micro
+           round(t_c / 1000000e0, 6) AS theil_total,
+           round(tb_c / 1000000e0, 6) AS theil_between,
+           round((t_c - tb_c) / 1000000e0, 6) AS theil_within,
+           CASE WHEN t_c > 0 THEN
+               round(CAST(floor(CAST(tb_c AS DOUBLE) / t_c
                                 * 1000000e0 + 0.5e0) AS BIGINT)
                      / 1000000e0, 6)
            END AS between_share
-    FROM f
+    FROM f2
 """
 
 
@@ -1283,28 +1289,35 @@ def agg_theil_decomposition(spark, sf_dir):
             "n_groups",
             "s",
             F.expr(
-                "CAST(floor(CAST(t_sum AS DOUBLE) / n + 0.5e0) AS BIGINT)"
-            ).alias("t_micro"),
+                "greatest(CAST(floor(CAST(t_sum AS DOUBLE) / n + 0.5e0)"
+                " AS BIGINT), 0)"
+            ).alias("t_c"),
             "tb_micro",
+        )
+        .select(
+            "n",
+            "n_groups",
+            "s",
+            "t_c",
+            F.expr("least(greatest(tb_micro, 0), t_c)").alias("tb_c"),
         )
     )
     return f.select(
         F.col("n").alias("n_customers"),
         "n_groups",
         F.col("s").alias("total_spend_cents"),
-        F.round(F.col("t_micro") / F.expr("1000000e0"), 6).alias(
+        F.round(F.col("t_c") / F.expr("1000000e0"), 6).alias(
             "theil_total"
         ),
-        F.round(F.col("tb_micro") / F.expr("1000000e0"), 6).alias(
+        F.round(F.col("tb_c") / F.expr("1000000e0"), 6).alias(
             "theil_between"
         ),
         F.round(
-            F.expr("greatest(t_micro - tb_micro, 0)") / F.expr("1000000e0"),
-            6,
+            (F.col("t_c") - F.col("tb_c")) / F.expr("1000000e0"), 6
         ).alias("theil_within"),
         F.expr(
-            "CASE WHEN t_micro > 0 THEN"
-            " round(CAST(floor(CAST(tb_micro AS DOUBLE) / t_micro"
+            "CASE WHEN t_c > 0 THEN"
+            " round(CAST(floor(CAST(tb_c AS DOUBLE) / t_c"
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
         ).alias("between_share"),
     )

@@ -745,6 +745,26 @@ def _cosupp_capped_edges(spark, sf_dir):
     ).select("cust", "supp")
 
 
+# ONE definition of the map-side within-customer pair expansion over
+# the sorted supplier array `ss` (emits each s1 < s2 pair once) —
+# shared by _cosupp_pairs and the Adamic–Adar scorer so the pair
+# generation rule can never desynchronize across the graph family
+# (the _COSUPP_EDGES_SQL one-definition precedent, r12 review).
+_COSUPP_PAIR_EXPR = (
+    "flatten(transform(ss, (x, i) ->"
+    " transform(slice(ss, i + 2, size(ss)),"
+    " y -> struct(x AS s1, y AS s2))))"
+)
+
+
+def _cosupp_lists(ee):
+    """Per-customer (capped, sorted) supplier array — the input shape
+    of the shared map-side pair expansion."""
+    return ee.groupBy("cust").agg(
+        F.sort_array(F.collect_set("supp")).alias("ss")
+    )
+
+
 def _cosupp_pairs(ee):
     """Within-customer supplier pair counts (s1 < s2, shared-customer
     strength). Each surviving customer's (capped, sorted) supplier set
@@ -756,16 +776,9 @@ def _cosupp_pairs(ee):
     triangle-orientation chain drops ~8.0 s → ~6.2 s (a further
     ~0.7 s was available by collecting sets unguarded and filtering
     on size afterward, rejected for the unbounded hub buffer)."""
-    lists = ee.groupBy("cust").agg(
-        F.sort_array(F.collect_set("supp")).alias("ss")
-    )
-    pair_expr = F.expr(
-        "flatten(transform(ss, (x, i) ->"
-        " transform(slice(ss, i + 2, size(ss)),"
-        " y -> struct(x AS s1, y AS s2))))"
-    )
     return (
-        lists.select(F.explode(pair_expr).alias("pr"))
+        _cosupp_lists(ee)
+        .select(F.explode(F.expr(_COSUPP_PAIR_EXPR)).alias("pr"))
         .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
         .agg(F.count("*").cast("bigint").alias("shared_customers"))
     )
@@ -1817,22 +1830,18 @@ def graph_adamic_adar(spark, sf_dir):
     aggregate produces both the count and the score; the final top-20
     is TakeOrderedAndProject on the exact BIGINT key."""
     ee = _cosupp_capped_edges(spark, sf_dir)
-    lists = ee.groupBy("cust").agg(
-        F.sort_array(F.collect_set("supp")).alias("ss")
-    )
-    # weight from the capped degree = size(ss); explode emits nothing
-    # for singleton customers so no d >= 2 filter is needed
-    pair_expr = F.expr(
-        "flatten(transform(ss, (x, i) ->"
-        " transform(slice(ss, i + 2, size(ss)),"
-        " y -> struct(x AS s1, y AS s2))))"
-    )
+    # explicit size >= 2 filter BEFORE the weight expression: ln(1) = 0
+    # and under ANSI mode a division by zero throws — relying on the
+    # explode discarding singleton rows first would be an optimizer
+    # placement accident, not a contract (r12 review; the oracle's
+    # WHERE d >= 2 mirror)
+    lists = _cosupp_lists(ee).where(F.expr("size(ss) >= 2"))
     pairs = lists.select(
         F.expr(
             "CAST(floor(1000000e0 / ln(CAST(size(ss) AS DOUBLE)) + 0.5e0)"
             " AS BIGINT)"
         ).alias("w_micro"),
-        F.explode(pair_expr).alias("pr"),
+        F.explode(F.expr(_COSUPP_PAIR_EXPR)).alias("pr"),
     )
     p = pairs.groupBy(
         F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2")

@@ -230,7 +230,108 @@ ROTATIONS: dict[int, list[str]] = {
         "er_incremental_parts",
         "dq_schema_drift",
     ],
-    10: list(_ROTATION),
+    10: [
+        # frozen retroactively at the r12 pin, in CORRECTNESS_r10.json
+        # window order (this key was `list(_ROTATION)` — the live
+        # alias silently rebound to the next round's rotation whenever
+        # api.py changed, erasing the landed round from the validated
+        # history; r12 review. Every landed rotation is now a literal
+        # and the live one is added as a literal AT THE PIN.)
+        "dedup_shingle_containment",
+        "retrieval_mmr_rerank",
+        "events_autocorrelation",
+        "events_session_paths",
+        "events_interarrival_stats",
+        "events_burstiness_fano",
+        "events_dow_seasonality",
+        "streaming_dow_seasonality",
+        "dq_completeness_matrix",
+        "source_partitioned_roundtrip",
+        "skew_join_key_profile",
+        "agg_exact_group_median",
+        "agg_exact_group_mode",
+        "agg_exact_group_percentiles",
+        "agg_exact_weighted_median",
+        "agg_exact_group_trimmed_mean",
+        "features_woe_iv",
+        "features_feature_hashing",
+        "features_chi2_selection",
+        "streaming_psi_drift",
+        "quality_js_divergence",
+        "streaming_jsd_drift",
+        "dq_order_reconciliation",
+        "retrieval_query_likelihood",
+        "graph_triangle_orientation_stats",
+        "retrieval_ndcg_eval",
+        "retrieval_rank_correlation",
+        "embedding_covariance_whitening",
+        "dedup_cross_source_matrix",
+        "embedding_source_centroid_drift",
+    ],
+    11: [
+        "streaming_autocorrelation",
+        "streaming_fano_burstiness",
+        "events_gini_concentration",
+        "dq_volume_anomaly",
+        "streaming_volume_anomaly",
+        "events_time_to_convert",
+        "events_type_entropy_daily",
+        "streaming_type_entropy",
+        "events_markov_stationary",
+        "events_dow_strength",
+        "streaming_dow_strength",
+        "events_pareto_share",
+        "join_asof_tolerance",
+        "agg_histogram_group_percentiles",
+        "agg_exact_group_moments",
+        "agg_group_correlation",
+        "text_readability_score",
+        "text_unigram_entropy",
+        "features_scaling_params",
+        "sketch_hll_intersection",
+        "corpus_dedup_yield_report",
+        "quality_perplexity_drift",
+        "pii_t_closeness",
+        "retrieval_mrr_eval",
+        "graph_jaccard_similarity",
+        "retrieval_prf_expansion",
+        "dedup_shingle_containment",
+        "retrieval_mmr_rerank",
+        "events_autocorrelation",
+        "events_session_paths",
+    ],
+    12: [
+        "join_lateral_topk_per_key",
+        "similarity_ann_recall_audit",
+        "embedding_kmeans_lloyd",
+        "embedding_cluster_quality",
+        "streaming_dod_growth",
+        "streaming_trend_slope",
+        "events_ewma_volume_forecast",
+        "streaming_ewma_volume_forecast",
+        "events_holt_volume_forecast",
+        "streaming_holt_volume_forecast",
+        "events_seasonal_volume_anomaly",
+        "streaming_seasonal_volume_anomaly",
+        "dq_feed_freshness",
+        "events_markov_entropy_rate",
+        "events_cohort_ltv",
+        "events_survival_km",
+        "events_ab_conversion_ztest",
+        "events_session_timeout_sensitivity",
+        "er_blocking_quality",
+        "join_dynamic_partition_pruning",
+        "features_mutual_information",
+        "features_anova_f",
+        "features_pca_quality_axis",
+        "pii_dp_noisy_counts",
+        "retrieval_rm3_interpolated",
+        "graph_degree_distribution",
+        "streaming_autocorrelation",
+        "streaming_fano_burstiness",
+        "events_gini_concentration",
+        "dq_volume_anomaly",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -272,6 +373,21 @@ REFRESH_OK: dict[int, set[str]] = {
         "embedding_covariance_whitening",
         "dedup_cross_source_matrix",
         "embedding_source_centroid_drift",
+    },
+    # Round 11 seats the 26-query never-green front (the r10 post-pin
+    # additions) + 4 refresh picks; round 12 likewise (the r11
+    # post-pin additions) + 4 refresh picks — newest-landed-first.
+    11: {
+        "dedup_shingle_containment",
+        "retrieval_mmr_rerank",
+        "events_autocorrelation",
+        "events_session_paths",
+    },
+    12: {
+        "streaming_autocorrelation",
+        "streaming_fano_burstiness",
+        "events_gini_concentration",
+        "dq_volume_anomaly",
     },
 }
 

@@ -130,17 +130,18 @@ def test_theil_decomposition_exact_recompute(spark, sf_dir):
         )
         for ng, sg in g.values()
     )
+    # consistent clamps (r12 review): 0 <= tb_c <= t_c by construction
+    t_c = max(t_micro, 0)
+    tb_c = min(max(tb_micro, 0), t_c)
     r = QUERIES["agg_theil_decomposition"].fn(spark, sf_dir).collect()[0]
     assert (r.n_customers, r.n_groups, r.total_spend_cents) == (n, len(g), s)
-    assert r.theil_total == t_micro / 1e6
-    assert r.theil_between == tb_micro / 1e6
-    assert r.theil_within == max(t_micro - tb_micro, 0) / 1e6
+    assert r.theil_total == t_c / 1e6
+    assert r.theil_between == tb_c / 1e6
+    assert r.theil_within == (t_c - tb_c) / 1e6
     assert r.theil_total >= 0 and r.theil_between >= 0
     assert r.theil_within >= 0
-    if t_micro > 0:
-        assert r.between_share == math.floor(
-            tb_micro / t_micro * 1e6 + 0.5
-        ) / 1e6
+    if t_c > 0:
+        assert r.between_share == math.floor(tb_c / t_c * 1e6 + 0.5) / 1e6
         assert 0.0 <= r.between_share <= 1.0
 
 
@@ -204,15 +205,13 @@ def test_lateral_recent_avg_matches_sparks_own_decorrelation(
     )
 
     df = QUERIES["join_lateral_recent_avg"].fn(spark, sf_dir)
-    df.collect()
+    rows = df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    got = {
-        (r.c_custkey, r.n_recent, r.recent_avg_cents) for r in df.collect()
-    }
+    got = {(r.c_custkey, r.n_recent, r.recent_avg_cents) for r in rows}
     register_views(spark, sf_dir, ["customer", "orders"])
     lateral = spark.sql(A._LATERAL_RECENT_SQL)
     # Spark's own decorrelation of agg-over-limit: correct, but with

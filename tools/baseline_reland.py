@@ -62,20 +62,25 @@ def main() -> int:
             text=True,
         )
         # fail with a clear message, not IndexError/JSONDecodeError,
-        # when bench.py dies or emits no JSON (r11 ADVICE)
-        if out.returncode != 0:
-            print(f"ABORT run {r + 1}: bench.py exited {out.returncode}\n"
-                  f"--- stderr tail ---\n{out.stderr[-2000:]}")
-            return 1
+        # when bench.py dies or emits no JSON (r11 ADVICE). A nonzero
+        # exit WITH result JSON is bench's regression flag against the
+        # STALE baselines — the exact situation a re-land exists to
+        # fix — so it is reported and the run proceeds (r12 review).
         json_lines = [
             ln for ln in out.stdout.strip().splitlines()
             if ln.startswith("{")
         ]
         if not json_lines:
-            print(f"ABORT run {r + 1}: bench.py produced no JSON output\n"
-                  f"--- stdout tail ---\n{out.stdout[-2000:]}")
+            print(f"ABORT run {r + 1}: bench.py exited {out.returncode} "
+                  "with no JSON output\n"
+                  f"--- stderr tail ---\n{out.stderr[-2000:]}")
             return 1
         result = json.loads(json_lines[-1])
+        if out.returncode != 0:
+            print(f"note run {r + 1}: bench.py exited {out.returncode} "
+                  "(regressions vs the STALE baselines: "
+                  f"{result.get('regressions')}) — continuing; that is "
+                  "what a re-land resolves")
         post = result["host_calibration_ratio"]
         if post > args.max_calibration:
             print(
