@@ -4524,10 +4524,17 @@ def events_ab_conversion_ztest(spark, sf_dir):
 # libm), micro-quantized, so the estimate, its pooled-proportion
 # standard error, and the z flag are bit-identical across engines.
 # Degenerate shapes guard NULL: any empty cell NULLs the estimate,
-# zero standard error (every cell rate 0 or 1) NULLs the z.
+# zero standard error (every cell rate 0 or 1) NULLs the z. Every
+# division runs over NULLIF(n, 0), NOT bare n behind a CASE guard:
+# the SE expression sits inside a CASE *condition* and Spark's
+# common-subexpression elimination evaluates it before the cells_ok
+# conjunct can short-circuit, throwing DIVIDE_BY_ZERO under ANSI mode
+# on an empty cell — caught by the r12 cross-engine property test
+# (hypothesis found cells=((0,0),…) immediately); NULL propagation
+# through NULLIF is evaluation-order-proof in both engines.
 
 _DID_RATE = {
-    c: f"(CAST(c_{c} AS DOUBLE) / n_{c})"
+    c: f"(CAST(c_{c} AS DOUBLE) / NULLIF(n_{c}, 0))"
     for c in ("t_pre", "t_post", "c_pre", "c_post")
 }
 _DID_CELLS_OK = (
@@ -4542,7 +4549,7 @@ _DID_EST = (
 _DID_SE = (
     "sqrt("
     + " + ".join(
-        f"{_DID_RATE[c]} * (1e0 - {_DID_RATE[c]}) / n_{c}"
+        f"{_DID_RATE[c]} * (1e0 - {_DID_RATE[c]}) / NULLIF(n_{c}, 0)"
         for c in ("t_pre", "t_post", "c_pre", "c_post")
     )
     + ")"

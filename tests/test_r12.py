@@ -223,3 +223,81 @@ def test_lateral_recent_avg_matches_sparks_own_decorrelation(
         for r in lateral.collect()
     }
     assert got == want and got
+
+
+def test_did_expression_tree_cross_engine_property(spark):
+    """The DiD estimate/SE/z kernel is claimed deterministic because
+    it is ONE fixed tree of exactly-rounded IEEE ops over eight BIGINT
+    counts — drive randomized count tuples through the SAME fragments
+    in Spark, DuckDB, and a Python mirror and require bit-identical
+    micro values (including the degenerate-cell NULL paths)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_events as E,
+    )
+
+    cols = [
+        "n_t_pre", "c_t_pre", "n_t_post", "c_t_post",
+        "n_c_pre", "c_c_pre", "n_c_post", "c_c_post",
+    ]
+    sel_did = (
+        f"CASE WHEN {E._DID_CELLS_OK} THEN"
+        f" CAST(floor({E._DID_EST} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        " AS did_micro"
+    )
+    sel_z = (
+        f"CASE WHEN {E._DID_CELLS_OK} AND {E._DID_SE} > 0e0 THEN"
+        f" CAST(floor({E._DID_EST} / {E._DID_SE}"
+        " * 1000000e0 + 0.5e0) AS BIGINT) END AS z_micro"
+    )
+    con = duckdb.connect()
+
+    cell = st.integers(min_value=0, max_value=10**6).flatmap(
+        lambda n: st.tuples(
+            st.just(n), st.integers(min_value=0, max_value=n)
+        )
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.tuples(cell, cell, cell, cell))
+    def run(cells):
+        vals = [x for pair in cells for x in pair]
+        row = dict(zip(cols, vals))
+        sdf = spark.createDataFrame([row]).selectExpr(*cols)
+        s = sdf.selectExpr("*", sel_did, sel_z).collect()[0]
+        d = con.execute(
+            f"SELECT {sel_did}, {sel_z}"
+            f" FROM (VALUES ({', '.join(map(str, vals))}))"
+            f" t({', '.join(cols)})"
+        ).fetchone()
+        # python mirror of the same tree
+        n = {c: v for c, v in zip(cols, vals)}
+        ok = all(
+            n[f"n_{c}"] > 0 for c in ("t_pre", "t_post", "c_pre", "c_post")
+        )
+        did = se = None
+        if ok:
+            r = {
+                c: n[f"c_{c}"] / n[f"n_{c}"]
+                for c in ("t_pre", "t_post", "c_pre", "c_post")
+            }
+            did = (r["t_post"] - r["t_pre"]) - (r["c_post"] - r["c_pre"])
+            se = math.sqrt(
+                sum(
+                    r[c] * (1.0 - r[c]) / n[f"n_{c}"]
+                    for c in ("t_pre", "t_post", "c_pre", "c_post")
+                )
+            )
+        want_did = math.floor(did * 1e6 + 0.5) if ok else None
+        want_z = (
+            math.floor(did / se * 1e6 + 0.5) if ok and se > 0 else None
+        )
+        assert (s.did_micro, s.z_micro) == (d[0], d[1]) == (
+            want_did,
+            want_z,
+        )
+
+    run()
