@@ -301,3 +301,59 @@ def test_did_expression_tree_cross_engine_property(spark):
         )
 
     run()
+
+
+def test_baseline_reland_control_flow(monkeypatch, capsys):
+    """Pin the re-land tool's three subprocess outcomes (r11 ADVICE +
+    r12 review): no JSON → clear abort; nonzero exit WITH result JSON
+    (bench's regression flag against the stale baselines) → note and
+    continue; clean run → BASELINE_SEC literal printed. The
+    calibration probe and bench subprocess are stubbed so the test is
+    engine-free."""
+    import importlib
+    import sys
+    import types
+
+    reland = importlib.import_module("tools.baseline_reland")
+    monkeypatch.setattr(reland, "calibration_ratio", lambda: 1.0)
+
+    def fake_run(payloads):
+        it = iter(payloads)
+
+        def run(*a, **k):
+            rc, out = next(it)
+            return types.SimpleNamespace(
+                returncode=rc, stdout=out, stderr="boom"
+            )
+
+        return run
+
+    result_line = (
+        '{"metric": "m", "value": 1.0, "queries": {"q1": 0.5},'
+        ' "host_calibration_ratio": 1.0, "regressions": ["q1"]}'
+    )
+    monkeypatch.setattr(sys, "argv", ["baseline_reland.py", "--runs", "1"])
+
+    # 1: bench dies with no JSON → abort rc 1
+    monkeypatch.setattr(
+        reland.subprocess, "run", fake_run([(1, "garbage, no json")])
+    )
+    assert reland.main() == 1
+    assert "no JSON output" in capsys.readouterr().out
+
+    # 2: nonzero exit WITH JSON → continue and emit the literal
+    monkeypatch.setattr(
+        reland.subprocess, "run", fake_run([(1, result_line)])
+    )
+    assert reland.main() == 0
+    out = capsys.readouterr().out
+    assert "regressions vs the STALE baselines" in out
+    assert "BASELINE_SEC = {" in out
+
+    # 3: clean run → literal printed, no abort note
+    monkeypatch.setattr(
+        reland.subprocess, "run", fake_run([(0, result_line)])
+    )
+    assert reland.main() == 0
+    out = capsys.readouterr().out
+    assert "BASELINE_SEC = {" in out and "ABORT" not in out
