@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.scalar import hex_chunk_int_sql
 from .registry import register
 from .sources.catalog import load_table
 
@@ -4363,8 +4364,10 @@ def events_survival_km(spark, sf_dir):
 # trend-slope defensive-guard precedent; Spark's non-ANSI 0/0 → NULL
 # and DuckDB's IEEE NaN/inf would otherwise diverge, r11 review).
 
-_ABTEST_ORACLE = """
-    WITH u AS (
+# ONE definition of the hash-split user-conversion cell counts,
+# shared by the z-test readout and the power/MDE design query (r12
+# second batch; the _THEIL_BASE_CTES one-fragment precedent).
+_ABTEST_COUNTS_CTES = """u AS (
         SELECT user_id,
                CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS converted
@@ -4386,7 +4389,10 @@ _ABTEST_ORACLE = """
                CAST(sum(CASE WHEN variant = 'b' THEN converted ELSE 0 END)
                     AS BIGINT) AS c_b
         FROM tagged
-    ),
+    )"""
+
+_ABTEST_ORACLE = f"""
+    WITH {_ABTEST_COUNTS_CTES},
     z AS (
         SELECT n_a, c_a, n_b, c_b,
                CASE WHEN n_a > 0 AND n_b > 0
@@ -4419,15 +4425,10 @@ _ABTEST_ORACLE = """
 """
 
 
-@register("events_ab_conversion_ztest", _ABTEST_ORACLE)
-def events_ab_conversion_ztest(spark, sf_dir):
-    """Two-proportion conversion z-test between deterministic
-    md5-hash-split variants — the experiment-analysis readout (see
-    the section comment for the split and determinism contract).
-
-    Scale: one user-keyed aggregate (map-side combined) then a
-    single-row global reduction of four integer counts — no state
-    beyond the four sums."""
+def _abtest_counts(spark, sf_dir):
+    """One-row (n_a, c_a, n_b, c_b) hash-split conversion cell counts
+    — the Spark twin of _ABTEST_COUNTS_CTES, shared by the z-test
+    readout and the power/MDE design query."""
     from .functions.scalar import deterministic_order_key
 
     u = (
@@ -4450,7 +4451,7 @@ def events_ab_conversion_ztest(spark, sf_dir):
         .alias("variant"),
         "converted",
     )
-    v = tagged.agg(
+    return tagged.agg(
         F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
         .cast("bigint")
         .alias("n_a"),
@@ -4464,7 +4465,18 @@ def events_ab_conversion_ztest(spark, sf_dir):
         .cast("bigint")
         .alias("c_b"),
     )
-    z = v.withColumn(
+
+
+@register("events_ab_conversion_ztest", _ABTEST_ORACLE)
+def events_ab_conversion_ztest(spark, sf_dir):
+    """Two-proportion conversion z-test between deterministic
+    md5-hash-split variants — the experiment-analysis readout (see
+    the section comment for the split and determinism contract).
+
+    Scale: one user-keyed aggregate (map-side combined) then a
+    single-row global reduction of four integer counts — no state
+    beyond the four sums."""
+    z = _abtest_counts(spark, sf_dir).withColumn(
         "z_micro",
         F.expr(
             "CASE WHEN n_a > 0 AND n_b > 0"
@@ -4502,6 +4514,265 @@ def events_ab_conversion_ztest(spark, sf_dir):
             "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
             " AS BIGINT)"
         ).alias("significant_95"),
+    )
+
+
+# --- A/B power / minimum-detectable-effect design readout (round 12, 2nd) -----
+#
+# The design-side companion to the z-test readout: given the split's
+# actual cell sizes and the pooled baseline conversion, what absolute
+# (and relative) lift could this experiment reliably detect? MDE at
+# two-sided α = 0.05 and power 0.80 is (z_{0.975} + z_{0.80})·SE =
+# 2.801585·sqrt(p(1−p)(1/n_a + 1/n_b)) — the constant is the exact
+# 6-dp sum 1.959964 + 0.841621, written as one literal so both
+# engines multiply the identical double. Same fixed-IEEE-tree +
+# micro-quantization contract as the z-test; every division runs
+# over NULLIF (the DiD ANSI lesson applied at birth — the SE sits in
+# the selected expressions, not behind a guard). Degenerate shapes
+# (an empty variant, pooled p of exactly 0 or 1) yield NULL MDE.
+
+_MDE_Z_SUM = "2.801585e0"  # z_0.975 (1.959964) + z_0.80 (0.841621)
+_MDE_P = "(CAST(c_a + c_b AS DOUBLE) / NULLIF(n_a + n_b, 0))"
+_MDE_SE = (
+    f"sqrt({_MDE_P} * (1e0 - {_MDE_P})"
+    " * (1e0 / NULLIF(n_a, 0) + 1e0 / NULLIF(n_b, 0)))"
+)
+
+_POWER_MDE_ORACLE = f"""
+    WITH {_ABTEST_COUNTS_CTES}
+    SELECT n_a, n_b, CAST(n_a + n_b AS BIGINT) AS n_total,
+           round(CAST(floor({_MDE_P} * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS pooled_rate,
+           CASE WHEN {_MDE_SE} > 0e0 THEN
+               round(CAST(floor({_MDE_SE} * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS se_design,
+           CASE WHEN {_MDE_SE} > 0e0 THEN
+               round(CAST(floor({_MDE_Z_SUM} * {_MDE_SE}
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS mde_abs,
+           CASE WHEN {_MDE_SE} > 0e0 THEN
+               round(CAST(floor({_MDE_Z_SUM} * {_MDE_SE} / {_MDE_P}
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS mde_rel
+    FROM v
+"""
+
+
+@register("events_power_mde", _POWER_MDE_ORACLE)
+def events_power_mde(spark, sf_dir):
+    """Minimum detectable effect (absolute + relative) of the
+    hash-split conversion experiment at α = 0.05 / power 0.80, from
+    the shared cell-count kernel — the design readout that says
+    whether the z-test beside it was even adequately powered (see
+    the section comment for the constant and determinism contract).
+
+    Scale: the shared one-pass user aggregate + a single-row
+    reduction; the MDE algebra runs on one row."""
+    v = _abtest_counts(spark, sf_dir)
+    return v.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_total"),
+        F.expr(
+            f"round(CAST(floor({_MDE_P} * 1000000e0 + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6)"
+        ).alias("pooled_rate"),
+        F.expr(
+            f"CASE WHEN {_MDE_SE} > 0e0 THEN"
+            f" round(CAST(floor({_MDE_SE} * 1000000e0 + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6) END"
+        ).alias("se_design"),
+        F.expr(
+            f"CASE WHEN {_MDE_SE} > 0e0 THEN"
+            f" round(CAST(floor({_MDE_Z_SUM} * {_MDE_SE}"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("mde_abs"),
+        F.expr(
+            f"CASE WHEN {_MDE_SE} > 0e0 THEN"
+            f" round(CAST(floor({_MDE_Z_SUM} * {_MDE_SE} / {_MDE_P}"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("mde_rel"),
+    )
+
+
+# --- deterministic Poisson-bootstrap conversion CI (round 12, 2nd batch) ------
+#
+# The scalable uncertainty quantifier for the experiment family: the
+# POISSON bootstrap (each user enters replicate b with weight ~
+# Poisson(1)) is the one bootstrap that works on a cluster — one pass,
+# no resampling shuffle, B counters per aggregate — and is what
+# production A/B systems actually run. This is its DETERMINISTIC
+# TESTING TWIN (the pii_dp_noisy_counts / F4 rand-parity precedent,
+# stated plainly): weights come from the 48-bit integer h =
+# md5(user_id ‖ ':' ‖ b ‖ salt) compared against PRECOMPUTED integer
+# thresholds T_k = round(CDF_Poisson(1)(k)·2⁴⁸) — pure integer
+# comparisons, no FP anywhere in the weight path; production swaps
+# the hash for fresh randomness and keeps every other line.
+# Replicate rates are EXACT integers too: (num·1e6) div den (num ≤
+# den ≤ 9n keeps num·1e6 inside int64 to n ≈ 10¹² users). B = 39 so
+# the classic (B+1)·α = 1 convention holds at α = 0.025: the 95 %
+# percentile interval is exactly [min, max] of the 39 replicate
+# rates — plain MIN/MAX aggregates, no rank window. The entire query
+# is FP-free.
+
+_BOOT_B = 39
+_BOOT_SALT = "|boot-v1"
+# Poisson(1) inverse-CDF thresholds on the 48-bit grid; k > 8 (prob
+# ~1.1e-9 per draw) collapses to weight 9. Python floats at import
+# bake the SAME integer literals into both engines' SQL.
+_BOOT_T = []
+_cdf = 0.0
+for _k in range(9):
+    _cdf += 2.718281828459045 ** -1 / __import__("math").factorial(_k)
+    _BOOT_T.append(min(round(_cdf * (1 << 48)), 1 << 48))
+
+
+def _boot_weight_sql(h: str) -> str:
+    """Integer inverse-CDF Poisson(1) weight of a 48-bit hash int."""
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"CAST(CASE {branches} ELSE 9 END AS BIGINT)"
+
+
+def _boot_hash_sql(concat: str, fn: str = "strpos") -> str:
+    """48-bit integer from the md5 of ``concat`` — ``fn`` is the
+    position() spelling ('strpos' DuckDB, 'instr' Spark)."""
+    return hex_chunk_int_sql(f"substr(md5({concat}), 1, 12)", 12, fn=fn)
+
+
+_BOOT_ORACLE = f"""
+    WITH uu AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 'a' ELSE 'b' END AS variant,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    pt AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+               (CAST(sum(conv) AS BIGINT) * 1000000) // count(*)
+                   AS rate_micro
+        FROM uu GROUP BY 1
+    ),
+    wts AS (
+        SELECT uu.variant, g.b, uu.conv,
+               {_boot_weight_sql(_boot_hash_sql(
+                   "CAST(user_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)"
+                   f" || '{_BOOT_SALT}'"))} AS w
+        FROM uu CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS g(b)
+    ),
+    rep AS (
+        SELECT variant, b,
+               (CAST(sum(w * conv) AS BIGINT) * 1000000)
+                   // NULLIF(CAST(sum(w) AS BIGINT), 0) AS r_micro
+        FROM wts GROUP BY 1, 2
+    ),
+    ci AS (
+        SELECT variant, CAST(count(r_micro) AS BIGINT) AS n_replicates,
+               min(r_micro) AS lo, max(r_micro) AS hi
+        FROM rep GROUP BY 1
+    )
+    SELECT pt.variant, pt.n_users,
+           round(pt.rate_micro / 1000000e0, 6) AS rate,
+           round(ci.lo / 1000000e0, 6) AS ci_lo,
+           round(ci.hi / 1000000e0, 6) AS ci_hi,
+           ci.n_replicates
+    FROM pt JOIN ci ON ci.variant = pt.variant
+    ORDER BY pt.variant
+"""
+
+
+@register("events_bootstrap_rate_ci", _BOOT_ORACLE)
+def events_bootstrap_rate_ci(spark, sf_dir):
+    """95 % Poisson-bootstrap percentile CI of each hash-split
+    variant's conversion rate, B = 39 deterministic replicates — the
+    uncertainty readout beside the z-test, in the one bootstrap form
+    that scales (see the section comment: integer inverse-CDF
+    weights, exact integer replicate rates, [min, max] by the
+    (B+1)·α convention; FP-free end to end).
+
+    Scale: one user aggregate, then ONE map-side-combinable
+    (variant, b)-keyed aggregate over the replicated user rows
+    (×B = 39 at user grain, columnar, no shuffle of raw events) and
+    a variant-grain min/max — no window, no driver collect, state
+    is 2·B counters per variant."""
+    uu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 2)"
+                " < '80' THEN 'a' ELSE 'b' END"
+            ).alias("variant"),
+            "conv",
+        )
+    )
+    pt = uu.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.expr(
+            "(CAST(sum(conv) AS BIGINT) * 1000000) DIV count(*)"
+        ).alias("rate_micro"),
+    )
+    wts = uu.select(
+        "user_id",
+        "variant",
+        "conv",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
+        "variant",
+        "b",
+        "conv",
+        F.expr(
+            _boot_weight_sql(
+                _boot_hash_sql(
+                    "CAST(user_id AS STRING) || ':' || CAST(b AS STRING)"
+                    f" || '{_BOOT_SALT}'",
+                    fn="instr",
+                )
+            )
+        ).alias("w"),
+    )
+    rep = wts.groupBy("variant", "b").agg(
+        F.expr(
+            "(CAST(sum(w * conv) AS BIGINT) * 1000000)"
+            " DIV NULLIF(CAST(sum(w) AS BIGINT), 0)"
+        ).alias("r_micro")
+    )
+    # count(r_micro), not count(*): a replicate whose resample drew
+    # every user at weight 0 (prob e^{-n} per replicate — real at
+    # test scale, vanishing in production) has no rate and must not
+    # count toward n_replicates; min/max skip its NULL anyway
+    ci = rep.groupBy("variant").agg(
+        F.count("r_micro").cast("bigint").alias("n_replicates"),
+        F.min("r_micro").alias("lo"),
+        F.max("r_micro").alias("hi"),
+    )
+    return (
+        pt.join(ci, "variant")
+        .select(
+            "variant",
+            "n_users",
+            F.round(F.col("rate_micro") / F.expr("1000000e0"), 6).alias(
+                "rate"
+            ),
+            F.round(F.col("lo") / F.expr("1000000e0"), 6).alias("ci_lo"),
+            F.round(F.col("hi") / F.expr("1000000e0"), 6).alias("ci_hi"),
+            "n_replicates",
+        )
+        .orderBy("variant")
     )
 
 

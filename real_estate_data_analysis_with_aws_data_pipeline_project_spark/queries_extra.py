@@ -1164,8 +1164,10 @@ _THEIL_R_NAT = (
     "((CAST(s_g AS DOUBLE) * n) / (CAST(n_g AS DOUBLE) * s))"  # mu_g / mu
 )
 
-_THEIL_ORACLE = f"""
-    WITH cust AS (
+# ONE definition of the spend-by-customer / by-nation / totals base
+# relations, shared by the Theil T and Theil L (MLD) oracles — the
+# _COSUPP_EDGES_SQL one-fragment precedent.
+_THEIL_BASE_CTES = """cust AS (
         SELECT o_custkey,
                CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
                     AS BIGINT) AS x
@@ -1182,7 +1184,10 @@ _THEIL_ORACLE = f"""
         SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
                CAST(count(*) AS BIGINT) AS n_groups
         FROM nat
-    ),
+    )"""
+
+_THEIL_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
     tt AS (
         SELECT CAST(sum(CAST(floor({_THEIL_R_CUST} * ln({_THEIL_R_CUST})
                                    * 1000000e0 + 0.5e0) AS BIGINT))
@@ -1221,21 +1226,9 @@ _THEIL_ORACLE = f"""
 """
 
 
-@register("agg_theil_decomposition", _THEIL_ORACLE)
-def agg_theil_decomposition(spark, sf_dir):
-    """Theil T inequality of per-customer order spend with the exact
-    between-/within-nation decomposition and between share — the
-    decomposable companion to events_gini_concentration (see the
-    section comment for the exactness contract and the clamped
-    within term).
-
-    Scale: one map-side-combined aggregate of orders on o_custkey,
-    one co-keyed join to customer, a nation-cardinality aggregate and
-    a 1-row totals reduction broadcast back over the customer-grain
-    relation for the per-customer term sum — no window, no driver
-    collect; the customer relation feeds two branches and AQE
-    ReuseExchange dedups the subtree (the graph_jaccard_similarity
-    measurement precedent)."""
+def _theil_base(spark, sf_dir):
+    """(cust, nat, tot) — the Spark-side twins of _THEIL_BASE_CTES,
+    shared by the Theil T and Theil L decompositions."""
     cents = F.expr(
         "CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)"
     )
@@ -1260,27 +1253,16 @@ def agg_theil_decomposition(spark, sf_dir):
         F.sum("s_g").cast("bigint").alias("s"),
         F.count("*").cast("bigint").alias("n_groups"),
     )
-    tt = cust.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            F.expr(
-                f"CAST(floor({_THEIL_R_CUST} * ln({_THEIL_R_CUST})"
-                " * 1000000e0 + 0.5e0) AS BIGINT)"
-            )
-        )
-        .cast("bigint")
-        .alias("t_sum")
-    )
-    tb = nat.crossJoin(F.broadcast(tot)).agg(
-        F.sum(
-            F.expr(
-                f"CAST(floor((CAST(s_g AS DOUBLE) / s)"
-                f" * ln({_THEIL_R_NAT})"
-                " * 1000000e0 + 0.5e0) AS BIGINT)"
-            )
-        )
-        .cast("bigint")
-        .alias("tb_micro")
-    )
+    return cust, nat, tot
+
+
+def _theil_assemble(tot, tt, tb, names):
+    """Clamped decomposition report shared by Theil T and Theil L:
+    total = greatest(⌊term_sum/n⌉, 0), between = least(greatest(b, 0),
+    total), within = total − between, share = between/total — the
+    consistency contract from the section comment, parameterized only
+    by the output column names (total, between, within)."""
+    total_col, between_col, within_col = names
     f = (
         tot.crossJoin(F.broadcast(tt))
         .crossJoin(F.broadcast(tb))
@@ -1306,18 +1288,152 @@ def agg_theil_decomposition(spark, sf_dir):
         F.col("n").alias("n_customers"),
         "n_groups",
         F.col("s").alias("total_spend_cents"),
-        F.round(F.col("t_c") / F.expr("1000000e0"), 6).alias(
-            "theil_total"
-        ),
-        F.round(F.col("tb_c") / F.expr("1000000e0"), 6).alias(
-            "theil_between"
-        ),
+        F.round(F.col("t_c") / F.expr("1000000e0"), 6).alias(total_col),
+        F.round(F.col("tb_c") / F.expr("1000000e0"), 6).alias(between_col),
         F.round(
             (F.col("t_c") - F.col("tb_c")) / F.expr("1000000e0"), 6
-        ).alias("theil_within"),
+        ).alias(within_col),
         F.expr(
             "CASE WHEN t_c > 0 THEN"
             " round(CAST(floor(CAST(tb_c AS DOUBLE) / t_c"
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
         ).alias("between_share"),
+    )
+
+
+@register("agg_theil_decomposition", _THEIL_ORACLE)
+def agg_theil_decomposition(spark, sf_dir):
+    """Theil T inequality of per-customer order spend with the exact
+    between-/within-nation decomposition and between share — the
+    decomposable companion to events_gini_concentration (see the
+    section comment for the exactness contract and the clamped
+    within term).
+
+    Scale: one map-side-combined aggregate of orders on o_custkey,
+    one co-keyed join to customer, a nation-cardinality aggregate and
+    a 1-row totals reduction broadcast back over the customer-grain
+    relation for the per-customer term sum — no window, no driver
+    collect; the customer relation feeds two branches and AQE
+    ReuseExchange dedups the subtree (the graph_jaccard_similarity
+    measurement precedent)."""
+    cust, nat, tot = _theil_base(spark, sf_dir)
+    tt = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor({_THEIL_R_CUST} * ln({_THEIL_R_CUST})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    tb = nat.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor((CAST(s_g AS DOUBLE) / s)"
+                f" * ln({_THEIL_R_NAT})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("tb_micro")
+    )
+    return _theil_assemble(
+        tot, tt, tb, ("theil_total", "theil_between", "theil_within")
+    )
+
+
+# --- Theil L (mean log deviation) twin (round 12, second batch) ---------------
+#
+# The second decomposable inequality index on the SAME base
+# relations: L = (1/n)·Σ ln(μ/x_i), which (unlike Theil T's
+# spend-share weighting) weights every CUSTOMER equally — the pair
+# (T, L) brackets where the inequality lives (T is more sensitive to
+# the top of the distribution, L to the bottom), which is why
+# inequality reports quote both. Decomposition mirrors T's:
+# L = Σ_g (n_g/n)·ln(μ/μ_g) + Σ_g (n_g/n)·L_g, with the between term
+# computable from group aggregates alone. Same exactness contract
+# and the same consistent clamps as the T query (one shared
+# assemble helper); ratios inside ln are (DOUBLE multiply then
+# divide) in one fixed order.
+
+_MLD_R_CUST = "(CAST(s AS DOUBLE) / (CAST(x AS DOUBLE) * n))"   # mu / x_i
+_MLD_R_NAT = (
+    "((CAST(s AS DOUBLE) * n_g) / (CAST(n AS DOUBLE) * s_g))"  # mu / mu_g
+)
+
+_MLD_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
+    tt AS (
+        SELECT CAST(sum(CAST(floor(ln({_MLD_R_CUST})
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS t_sum
+        FROM cust CROSS JOIN tot
+    ),
+    tb AS (
+        SELECT CAST(sum(CAST(floor((CAST(n_g AS DOUBLE) / n)
+                                   * ln({_MLD_R_NAT})
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS tb_micro
+        FROM nat CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.n, tot.n_groups, tot.s,
+               greatest(CAST(floor(CAST(tt.t_sum AS DOUBLE) / tot.n + 0.5e0)
+                             AS BIGINT), 0) AS t_c,
+               tb.tb_micro
+        FROM tot CROSS JOIN tt CROSS JOIN tb
+    ),
+    f2 AS (
+        SELECT n, n_groups, s, t_c,
+               least(greatest(tb_micro, 0), t_c) AS tb_c
+        FROM f
+    )
+    SELECT n AS n_customers, n_groups, s AS total_spend_cents,
+           round(t_c / 1000000e0, 6) AS mld_total,
+           round(tb_c / 1000000e0, 6) AS mld_between,
+           round((t_c - tb_c) / 1000000e0, 6) AS mld_within,
+           CASE WHEN t_c > 0 THEN
+               round(CAST(floor(CAST(tb_c AS DOUBLE) / t_c
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS between_share
+    FROM f2
+"""
+
+
+@register("agg_theil_l_decomposition", _MLD_ORACLE)
+def agg_theil_l_decomposition(spark, sf_dir):
+    """Theil L (mean log deviation) of per-customer order spend with
+    the exact between-/within-nation decomposition — the
+    equal-customer-weighted twin of agg_theil_decomposition on the
+    same shared base relations and clamp contract (see the section
+    comment).
+
+    Scale: identical shape to the T query — the only differences are
+    the two term expressions."""
+    cust, nat, tot = _theil_base(spark, sf_dir)
+    tt = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor(ln({_MLD_R_CUST})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    tb = nat.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor((CAST(n_g AS DOUBLE) / n)"
+                f" * ln({_MLD_R_NAT})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("tb_micro")
+    )
+    return _theil_assemble(
+        tot, tt, tb, ("mld_total", "mld_between", "mld_within")
     )

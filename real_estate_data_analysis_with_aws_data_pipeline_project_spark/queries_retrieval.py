@@ -1829,37 +1829,104 @@ def graph_adamic_adar(spark, sf_dir):
     per-customer weight carried INTO the expansion so one integer
     aggregate produces both the count and the score; the final top-20
     is TakeOrderedAndProject on the exact BIGINT key."""
+    return _weighted_cosupp_topk(
+        spark,
+        sf_dir,
+        "CAST(floor(1000000e0 / ln(CAST(size(ss) AS DOUBLE)) + 0.5e0)"
+        " AS BIGINT)",
+        "adamic_adar",
+    )
+
+
+def _weighted_cosupp_topk(spark, sf_dir, weight_sql, score_name):
+    """Shared degree-weighted link-prediction scorer: per-customer
+    weight (a function of size(ss), the capped degree) carried INTO
+    the map-side pair expansion, one integer aggregate for count +
+    score, top-20 on the exact BIGINT key. The explicit size >= 2
+    filter runs BEFORE the weight expression: ln(1) = 0 / a zero
+    divisor would throw under ANSI mode, and relying on the explode
+    discarding singleton rows first is an optimizer placement
+    accident, not a contract (r12 review; the oracles' WHERE d >= 2
+    mirror)."""
     ee = _cosupp_capped_edges(spark, sf_dir)
-    # explicit size >= 2 filter BEFORE the weight expression: ln(1) = 0
-    # and under ANSI mode a division by zero throws — relying on the
-    # explode discarding singleton rows first would be an optimizer
-    # placement accident, not a contract (r12 review; the oracle's
-    # WHERE d >= 2 mirror)
     lists = _cosupp_lists(ee).where(F.expr("size(ss) >= 2"))
     pairs = lists.select(
-        F.expr(
-            "CAST(floor(1000000e0 / ln(CAST(size(ss) AS DOUBLE)) + 0.5e0)"
-            " AS BIGINT)"
-        ).alias("w_micro"),
+        F.expr(weight_sql).alias("w_micro"),
         F.explode(F.expr(_COSUPP_PAIR_EXPR)).alias("pr"),
     )
     p = pairs.groupBy(
         F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2")
     ).agg(
         F.count("*").cast("bigint").alias("shared_customers"),
-        F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        F.sum("w_micro").cast("bigint").alias("score_micro"),
     )
     return (
-        p.orderBy(F.desc("aa_micro"), "s1", "s2")
+        p.orderBy(F.desc("score_micro"), "s1", "s2")
         .limit(_AA_TOP)
         .select(
             "s1",
             "s2",
             "shared_customers",
-            F.round(F.col("aa_micro") / F.expr("1000000e0"), 6).alias(
-                "adamic_adar"
+            F.round(F.col("score_micro") / F.expr("1000000e0"), 6).alias(
+                score_name
             ),
         )
+    )
+
+
+# --- resource-allocation link prediction (round 12, second batch) --------------
+#
+# The FP-free member of the link-prediction family on the same
+# capped graph: RA weights each shared customer 1/deg instead of
+# Adamic–Adar's 1/ln(deg) — punishing hub evidence harder, and (the
+# registered point) computable in PURE INTEGER arithmetic end to
+# end: the micro weight round(1e6/d) is the integer identity
+# (2·1e6 + d) div (2d), so there is no floating-point operation
+# anywhere in the query — no libm, no exactly-rounded-IEEE argument
+# needed, bit-identical by construction on any engine with 64-bit
+# integer division. (DuckDB spells integer division `//`, Spark
+# `DIV`; same operation.)
+
+_RA_ORACLE = f"""
+    WITH {_COSUPP_EDGES_SQL},
+    cdeg AS (
+        SELECT cust, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1
+    ),
+    w AS (
+        SELECT cust,
+               CAST((2000000 + d) // (2 * d) AS BIGINT) AS w_micro
+        FROM cdeg WHERE d >= 2
+    ),
+    p AS (
+        SELECT a.supp AS s1, b.supp AS s2,
+               CAST(count(*) AS BIGINT) AS shared_customers,
+               CAST(sum(w.w_micro) AS BIGINT) AS ra_micro
+        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
+        JOIN w ON w.cust = a.cust
+        GROUP BY 1, 2
+    )
+    SELECT s1, s2, shared_customers,
+           round(ra_micro / 1000000e0, 6) AS resource_allocation
+    FROM p ORDER BY ra_micro DESC, s1, s2 LIMIT {_AA_TOP}
+"""
+
+
+@register("graph_resource_allocation", _RA_ORACLE)
+def graph_resource_allocation(spark, sf_dir):
+    """Top-20 supplier pairs by resource-allocation score on the
+    hub-capped purchase graph — the pure-integer 1/deg twin of
+    graph_adamic_adar on the shared weighted-pair scorer (see the
+    section comment: round(1e6/d) as (2·1e6 + d) div 2d makes the
+    whole query FP-free).
+
+    Scale: identical shape to Adamic–Adar — shared capped edges,
+    map-side pair expansion, one integer aggregate,
+    TakeOrderedAndProject on the BIGINT key."""
+    return _weighted_cosupp_topk(
+        spark,
+        sf_dir,
+        "CAST((2000000 + size(ss)) DIV (2 * size(ss)) AS BIGINT)",
+        "resource_allocation",
     )
 
 

@@ -357,3 +357,225 @@ def test_baseline_reland_control_flow(monkeypatch, capsys):
     assert reland.main() == 0
     out = capsys.readouterr().out
     assert "BASELINE_SEC = {" in out and "ABORT" not in out
+
+
+def test_theil_l_exact_recompute_and_t_consistency(spark, sf_dir):
+    """Driver-side Theil L (MLD) recompute with the exact micro rules
+    and consistent clamps, plus the family invariant that both
+    decomposable indices ride the SAME base relations (equal
+    n_customers / n_groups / total_spend_cents as the T query)."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    spend = defaultdict(int)
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r.o_custkey] += math.floor(float(r.o_totalprice) * 100.0 + 0.5)
+    nation = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .collect()
+    }
+    n, s = len(spend), sum(spend.values())
+    g = defaultdict(lambda: [0, 0])
+    for cust, x in spend.items():
+        e = g[nation[cust]]
+        e[0] += 1
+        e[1] += x
+    l_sum = sum(
+        math.floor(
+            math.log(float(s) / (float(x) * n)) * 1e6 + 0.5
+        )
+        for x in spend.values()
+    )
+    lb = sum(
+        math.floor(
+            (float(ng) / n)
+            * math.log((float(s) * ng) / (float(n) * sg))
+            * 1e6
+            + 0.5
+        )
+        for ng, sg in g.values()
+    )
+    l_c = max(math.floor(l_sum / n + 0.5), 0)
+    lb_c = min(max(lb, 0), l_c)
+    r = QUERIES["agg_theil_l_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_customers, r.n_groups, r.total_spend_cents) == (n, len(g), s)
+    assert r.mld_total == l_c / 1e6
+    assert r.mld_between == lb_c / 1e6
+    assert r.mld_within == (l_c - lb_c) / 1e6
+    t = QUERIES["agg_theil_decomposition"].fn(spark, sf_dir).collect()[0]
+    assert (t.n_customers, t.n_groups, t.total_spend_cents) == (
+        r.n_customers,
+        r.n_groups,
+        r.total_spend_cents,
+    )
+
+
+def test_resource_allocation_exact_recompute_fp_free(spark, sf_dir):
+    """Driver-side RA recompute: weights via the PURE INTEGER identity
+    (2e6 + d) // (2d) (== round(1e6/d), checked explicitly), same
+    pair multiset as Adamic–Adar (equal shared_customers on the
+    intersection of their top-20s)."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+
+    for d in range(1, 101):  # the integer identity IS round-half-up
+        assert (2_000_000 + d) // (2 * d) == math.floor(1e6 / d + 0.5)
+
+    ee = R._cosupp_capped_edges(spark, sf_dir).collect()
+    by_cust = defaultdict(set)
+    for r in ee:
+        by_cust[r.cust].add(r.supp)
+    pair = defaultdict(lambda: [0, 0])
+    for supps in by_cust.values():
+        d = len(supps)
+        if d < 2:
+            continue
+        w = (2_000_000 + d) // (2 * d)
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                e = pair[(a, b)]
+                e[0] += 1
+                e[1] += w
+    want = sorted(
+        ((v[1], k[0], k[1], v[0]) for k, v in pair.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: R._AA_TOP]
+    got = [
+        (round(r.resource_allocation * 1e6), r.s1, r.s2, r.shared_customers)
+        for r in QUERIES["graph_resource_allocation"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == [(sc, s1, s2, sh) for sc, s1, s2, sh in want] and got
+    aa = {
+        (r.s1, r.s2): r.shared_customers
+        for r in QUERIES["graph_adamic_adar"].fn(spark, sf_dir).collect()
+    }
+    for sc, s1, s2, sh in want:
+        if (s1, s2) in aa:
+            assert aa[(s1, s2)] == sh
+
+
+def test_power_mde_recompute_and_ztest_consistency(spark, sf_dir):
+    """Driver-side MDE recompute from the z-test's own cell counts —
+    the two queries must agree on (n_a, n_b) since they share the
+    count kernel, and the MDE chain must match the mirrored fixed
+    tree bit-for-bit."""
+    z = QUERIES["events_ab_conversion_ztest"].fn(spark, sf_dir).collect()[0]
+    m = QUERIES["events_power_mde"].fn(spark, sf_dir).collect()[0]
+    assert (m.n_a, m.n_b) == (z.n_a, z.n_b)
+    assert m.n_total == z.n_a + z.n_b
+    n_a, c_a, n_b, c_b = z.n_a, z.c_a, z.n_b, z.c_b
+    p = (c_a + c_b) / (n_a + n_b)
+    se = math.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b))
+    assert m.pooled_rate == math.floor(p * 1e6 + 0.5) / 1e6
+    if se > 0:
+        assert m.se_design == math.floor(se * 1e6 + 0.5) / 1e6
+        assert m.mde_abs == math.floor(2.801585 * se * 1e6 + 0.5) / 1e6
+        assert m.mde_rel == math.floor(2.801585 * se / p * 1e6 + 0.5) / 1e6
+        # the design must be self-consistent: a lift equal to the MDE
+        # would produce |z| >= z_0.80 + z_0.975 > the 1.96 bar
+        assert m.mde_abs > 0
+
+
+def test_bootstrap_ci_exact_mirror(spark, sf_dir):
+    """Full driver-side mirror of the deterministic Poisson bootstrap:
+    md5-derived 48-bit ints vs the precomputed integer thresholds,
+    integer replicate rates, [min, max] CI — every output cell must
+    match exactly, and the weight distribution must be sane (mean
+    weight within 20% of 1.0 across the replicate grid)."""
+    import hashlib
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_events as E,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    conv = {}
+    for r in rows:
+        conv[r.user_id] = conv.get(r.user_id, 0) or int(
+            r.event_type == "purchase"
+        )
+
+    def variant(uid):
+        return (
+            "a"
+            if hashlib.md5(str(uid).encode()).hexdigest()[:2] < "80"
+            else "b"
+        )
+
+    def weight(uid, b):
+        h = int(
+            hashlib.md5(
+                f"{uid}:{b}{E._BOOT_SALT}".encode()
+            ).hexdigest()[:12],
+            16,
+        )
+        for k, t in enumerate(E._BOOT_T):
+            if h < t:
+                return k
+        return 9
+
+    rep = defaultdict(lambda: [0, 0])  # (variant, b) -> [num, den]
+    pt = defaultdict(lambda: [0, 0])  # variant -> [n, c]
+    wsum = wcnt = 0
+    for uid, cv in conv.items():
+        v = variant(uid)
+        pt[v][0] += 1
+        pt[v][1] += cv
+        for b in range(E._BOOT_B):
+            w = weight(uid, b)
+            wsum += w
+            wcnt += 1
+            e = rep[(v, b)]
+            e[0] += w * cv
+            e[1] += w
+    assert 0.8 < wsum / wcnt < 1.2  # Poisson(1) mean sanity
+    want = {}
+    for v in pt:
+        rates = [
+            (rep[(v, b)][0] * 1_000_000) // rep[(v, b)][1]
+            for b in range(E._BOOT_B)
+            if rep[(v, b)][1] > 0
+        ]
+        n, c = pt[v]
+        want[v] = (
+            n,
+            (c * 1_000_000) // n / 1e6,
+            min(rates) / 1e6,
+            max(rates) / 1e6,
+            len(rates),
+        )
+    got = {
+        r.variant: (r.n_users, r.rate, r.ci_lo, r.ci_hi, r.n_replicates)
+        for r in QUERIES["events_bootstrap_rate_ci"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    for n, rate, lo, hi, nr in got.values():
+        # a replicate whose resample drew all-zero weights carries no
+        # rate (prob e^{-n} each — real at test scale), so valid
+        # replicates can undershoot B
+        assert lo <= hi and 0 < nr <= E._BOOT_B

@@ -82,6 +82,10 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_theil_decomposition",
     "graph_adamic_adar",
     "join_lateral_recent_avg",
+    "agg_theil_l_decomposition",
+    "graph_resource_allocation",
+    "events_power_mde",
+    "events_bootstrap_rate_ci",
 )
 
 

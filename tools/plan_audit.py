@@ -222,6 +222,11 @@ EXTRA = [
     "agg_theil_decomposition",
     "graph_adamic_adar",
     "join_lateral_recent_avg",
+    # r12 second batch
+    "agg_theil_l_decomposition",
+    "graph_resource_allocation",
+    "events_power_mde",
+    "events_bootstrap_rate_ci",
 ]
 
 

@@ -140,6 +140,16 @@ QUERIES_UNDER_TEST = [
     "agg_theil_decomposition",
     "graph_adamic_adar",
     "join_lateral_recent_avg",
+    # round-12 second batch: Theil L and resource-allocation share
+    # the T / Adamic–Adar shapes exactly (same base relations, new
+    # term expressions); power/MDE is the z-test's one-pass user
+    # aggregate; the bootstrap is one (variant, b)-keyed integer
+    # aggregate over the ×39-replicated USER grain — linear in users
+    # with a constant replicate factor, state 2·B counters/variant.
+    "agg_theil_l_decomposition",
+    "graph_resource_allocation",
+    "events_power_mde",
+    "events_bootstrap_rate_ci",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
