@@ -4598,6 +4598,250 @@ def events_power_mde(spark, sf_dir):
     )
 
 
+# --- sample-ratio-mismatch guardrail (round 12, third batch) ------------------
+#
+# Guardrail #1 of every real experimentation platform: before reading
+# ANY result, check that the observed split matches the design (a
+# hash bug, a bot filter, or a logging gap shows up here first, and
+# an experiment that fails SRM is invalid regardless of its p-value).
+# For a 50/50 design the 1-dof chi² statistic collapses to
+# (n_a − n_b)²/(n_a + n_b), and the α = 0.05 decision is the exact
+# cross-multiplied integer rule (n_a − n_b)²·10⁶ > 3841459·(n_a+n_b)
+# (χ²₀.₉₅,₁ = 3.841459) — the whole query is FP-free: integer counts,
+# integer products, integer comparison. chi2 itself is reported
+# micro-quantized via integer division for the humans.
+
+_SRM_CHI2_95_MICRO = 3_841_459  # chi^2_{0.95, 1df} in micro units
+
+_SRM_ORACLE = f"""
+    WITH {_ABTEST_COUNTS_CTES}
+    SELECT n_a, n_b, CAST(n_a + n_b AS BIGINT) AS n_total,
+           round(((n_a - n_b) * (n_a - n_b) * 1000000)
+                 // NULLIF(n_a + n_b, 0) / 1000000e0, 6) AS srm_chi2,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000
+                          > {_SRM_CHI2_95_MICRO} * (n_a + n_b)
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_violation
+    FROM v
+"""
+
+
+@register("events_srm_check", _SRM_ORACLE)
+def events_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch chi² of the hash split against the 50/50
+    design, with the exact integer α = 0.05 violation flag — the
+    validity guardrail in front of every other experiment readout
+    (see the section comment; FP-free end to end).
+
+    Scale: the shared one-pass user aggregate + integer arithmetic
+    on one row. int64 ceiling: (n_a−n_b)²·10⁶ stays inside int64 for
+    imbalances to ~3e6 users — far beyond any split a 50/50 hash can
+    produce before SRM fires at astronomical significance; past it,
+    DECIMAL(38)."""
+    v = _abtest_counts(spark, sf_dir)
+    return v.select(
+        "n_a",
+        "n_b",
+        (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_total"),
+        F.expr(
+            "round(((n_a - n_b) * (n_a - n_b) * 1000000)"
+            " DIV NULLIF(n_a + n_b, 0) / 1000000e0, 6)"
+        ).alias("srm_chi2"),
+        F.expr(
+            f"CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000"
+            f" > {_SRM_CHI2_95_MICRO} * (n_a + n_b)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_violation"),
+    )
+
+
+# --- CUPED variance-reduced experiment readout (round 12, third batch) --------
+#
+# CUPED (Controlled-experiment Using Pre-Experiment Data) is the
+# standard variance-reduction step of production A/B analysis: adjust
+# each user's outcome by their pre-period covariate, y_adj = y −
+# θ·(x − x̄) with θ = cov(x, y)/var(x), and the treatment contrast
+# loses exactly ρ² of its variance while staying unbiased (the
+# covariate predates assignment). Here x = "any purchase in the PRE
+# period", y = "any purchase in the POST period" on the DiD query's
+# integer-microsecond midpoint, and θ is fit GLOBALLY (pooled across
+# variants — the standard unbiased choice). All five global sums and
+# the per-variant (n, Σx, Σy) are exact int64 one-pass aggregates;
+# θ, the raw and CUPED-adjusted differences, and the variance-
+# reduction share ρ² are one fixed exactly-rounded IEEE tree over
+# them, micro-quantized, every division NULLIF-guarded (the DiD ANSI
+# lesson). Degenerate shapes (zero covariate or outcome variance, an
+# empty variant) yield NULL for the affected outputs.
+
+_CUPED_THETA = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / NULLIF(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx, 0e0))"
+)
+_CUPED_RHO2 = (
+    "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / NULLIF((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy), 0e0))"
+)
+_CUPED_DIFF_RAW = (
+    "(CAST(sy_a AS DOUBLE) / NULLIF(n_a, 0)"
+    " - CAST(sy_b AS DOUBLE) / NULLIF(n_b, 0))"
+)
+_CUPED_DIFF_ADJ = (
+    f"((CAST(sy_a AS DOUBLE) / NULLIF(n_a, 0)"
+    f" - {_CUPED_THETA} * (CAST(sx_a AS DOUBLE) / NULLIF(n_a, 0)))"
+    f" - (CAST(sy_b AS DOUBLE) / NULLIF(n_b, 0)"
+    f" - {_CUPED_THETA} * (CAST(sx_b AS DOUBLE) / NULLIF(n_b, 0))))"
+)
+
+
+def _cuped_micro6(x: str) -> str:
+    return (
+        f"round(CAST(floor({x} * 1000000e0 + 0.5e0) AS BIGINT)"
+        " / 1000000e0, 6)"
+    )
+
+
+_CUPED_ORACLE = f"""
+    WITH b AS (
+        SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    uxy AS (
+        SELECT user_id,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                              AND epoch_us(ts) < mid_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS x,
+               CAST(max(CASE WHEN event_type = 'purchase'
+                              AND epoch_us(ts) >= mid_us
+                         THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events CROSS JOIN b GROUP BY 1
+    ),
+    tagged AS (
+        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+                    THEN 1 ELSE 0 END AS treat,
+               x, y
+        FROM uxy
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN treat = 1 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_a,
+               CAST(sum(CASE WHEN treat = 1 THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_a,
+               CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN treat = 0 THEN x ELSE 0 END)
+                    AS BIGINT) AS sx_b,
+               CAST(sum(CASE WHEN treat = 0 THEN y ELSE 0 END)
+                    AS BIGINT) AS sy_b
+        FROM tagged
+    )
+    SELECT n AS n_users, n_a, n_b,
+           {_cuped_micro6(_CUPED_THETA)} AS theta,
+           {_cuped_micro6(_CUPED_RHO2)} AS var_reduction,
+           {_cuped_micro6(_CUPED_DIFF_RAW)} AS diff_raw,
+           {_cuped_micro6(_CUPED_DIFF_ADJ)} AS diff_cuped
+    FROM s
+"""
+
+
+@register("events_cuped_adjustment", _CUPED_ORACLE)
+def events_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced treatment contrast on the hash split:
+    pooled θ from the pre-period purchase covariate, the raw and
+    adjusted conversion differences, and the ρ² variance-reduction
+    share — the readout-quality multiplier beside the z-test / power
+    / bootstrap members of the experimentation family (see the
+    section comment for the determinism contract).
+
+    Scale: one global (min, max) reduction for the period cut, ONE
+    user-grain aggregate (map-side combined), and a single-row
+    reduction of twelve integer sums — no window, no second
+    event-grain pass."""
+    from .functions.scalar import deterministic_order_key
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    ).select(F.expr("(min_us + max_us) DIV 2").alias("mid_us"))
+    uxy = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") < F.col("mid_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.unix_micros("ts") >= F.col("mid_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    tagged = uxy.select(
+        F.when(
+            F.substring(deterministic_order_key("user_id"), 1, 2) < "80", 1
+        )
+        .otherwise(0)
+        .alias("treat"),
+        "x",
+        "y",
+    )
+    s = tagged.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("treat") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_a"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_a"),
+        F.sum(F.when(F.col("treat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("treat") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("sx_b"),
+        F.sum(F.when(F.col("treat") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sy_b"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.expr(_cuped_micro6(_CUPED_THETA)).alias("theta"),
+        F.expr(_cuped_micro6(_CUPED_RHO2)).alias("var_reduction"),
+        F.expr(_cuped_micro6(_CUPED_DIFF_RAW)).alias("diff_raw"),
+        F.expr(_cuped_micro6(_CUPED_DIFF_ADJ)).alias("diff_cuped"),
+    )
+
+
 # --- deterministic Poisson-bootstrap conversion CI (round 12, 2nd batch) ------
 #
 # The scalable uncertainty quantifier for the experiment family: the

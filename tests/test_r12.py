@@ -579,3 +579,99 @@ def test_bootstrap_ci_exact_mirror(spark, sf_dir):
         # rate (prob e^{-n} each — real at test scale), so valid
         # replicates can undershoot B
         assert lo <= hi and 0 < nr <= E._BOOT_B
+
+
+def test_srm_check_integer_rule_and_ztest_consistency(spark, sf_dir):
+    """SRM chi² must equal the integer recompute from the z-test's
+    own cell sizes (shared kernel ⇒ identical n_a/n_b), and the
+    violation flag must match the exact cross-multiplied rule."""
+    z = QUERIES["events_ab_conversion_ztest"].fn(spark, sf_dir).collect()[0]
+    m = QUERIES["events_srm_check"].fn(spark, sf_dir).collect()[0]
+    assert (m.n_a, m.n_b, m.n_total) == (z.n_a, z.n_b, z.n_a + z.n_b)
+    d = m.n_a - m.n_b
+    tot = m.n_a + m.n_b
+    assert m.srm_chi2 == (d * d * 1_000_000) // tot / 1e6
+    assert m.srm_violation == (
+        1 if d * d * 1_000_000 > 3_841_459 * tot else 0
+    )
+
+
+def test_cuped_exact_recompute(spark, sf_dir):
+    """Full driver-side CUPED recompute from raw events: the midpoint
+    cut, per-user (x, y) covariate/outcome, the twelve integer sums,
+    and the θ / ρ² / raw / adjusted-difference chain must match
+    bit-for-bit; ρ² must sit in [0, 1] and the adjustment must keep
+    the contrast finite."""
+    import hashlib
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            (F.col("event_type") == "purchase").alias("p"),
+        )
+        .collect()
+    )
+    mid = (min(r.us for r in rows) + max(r.us for r in rows)) // 2
+    xy = {}
+    for r in rows:
+        e = xy.setdefault(r.user_id, [0, 0])
+        if r.p and r.us < mid:
+            e[0] = 1
+        if r.p and r.us >= mid:
+            e[1] = 1
+    n = len(xy)
+    sx = sum(x for x, _ in xy.values())
+    sy = sum(y for _, y in xy.values())
+    sxy = sum(x * y for x, y in xy.values())
+    sxx, syy = sx, sy  # binary
+    cells = {1: [0, 0, 0], 0: [0, 0, 0]}  # treat -> [n, sx, sy]
+    for uid, (x, y) in xy.items():
+        t = (
+            1
+            if hashlib.md5(str(uid).encode()).hexdigest()[:2] < "80"
+            else 0
+        )
+        cells[t][0] += 1
+        cells[t][1] += x
+        cells[t][2] += y
+    n_a, sx_a, sy_a = cells[1]
+    n_b, sx_b, sy_b = cells[0]
+    # mirror the engine's NULLIF guards: zero covariate/outcome
+    # variance NULLs theta/rho2 (real at smoke scale, where every
+    # user can share the same pre-period covariate value)
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    theta = (n * sxy - sx * sy) / var_x if var_x != 0 else None
+    rho2 = (
+        (n * sxy - sx * sy) ** 2 / (var_x * var_y)
+        if var_x * var_y != 0
+        else None
+    )
+    diff_raw = (
+        sy_a / n_a - sy_b / n_b if n_a > 0 and n_b > 0 else None
+    )
+    diff_adj = (
+        (sy_a / n_a - theta * (sx_a / n_a))
+        - (sy_b / n_b - theta * (sx_b / n_b))
+        if theta is not None and n_a > 0 and n_b > 0
+        else None
+    )
+
+    def q(v):
+        return None if v is None else math.floor(v * 1e6 + 0.5) / 1e6
+
+    r = QUERIES["events_cuped_adjustment"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_users, r.n_a, r.n_b) == (n, n_a, n_b)
+    assert r.theta == q(theta)
+    assert r.var_reduction == q(rho2)
+    assert r.diff_raw == q(diff_raw)
+    assert r.diff_cuped == q(diff_adj)
+    if r.var_reduction is not None:
+        assert 0.0 <= r.var_reduction <= 1.0

@@ -86,6 +86,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "graph_resource_allocation",
     "events_power_mde",
     "events_bootstrap_rate_ci",
+    "events_srm_check",
+    "events_cuped_adjustment",
 )
 
 

@@ -227,6 +227,9 @@ EXTRA = [
     "graph_resource_allocation",
     "events_power_mde",
     "events_bootstrap_rate_ci",
+    # r12 third batch (experimentation guardrail + variance reduction)
+    "events_srm_check",
+    "events_cuped_adjustment",
 ]
 
 

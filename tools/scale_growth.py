@@ -150,6 +150,11 @@ QUERIES_UNDER_TEST = [
     "graph_resource_allocation",
     "events_power_mde",
     "events_bootstrap_rate_ci",
+    # round-12 third batch: SRM shares power_mde's one-pass user
+    # aggregate exactly; CUPED is the DiD shape (midpoint reduction +
+    # one user-grain aggregate + a 12-sum single-row reduction).
+    "events_srm_check",
+    "events_cuped_adjustment",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
