@@ -4364,17 +4364,26 @@ def events_survival_km(spark, sf_dir):
 # trend-slope defensive-guard precedent; Spark's non-ANSI 0/0 → NULL
 # and DuckDB's IEEE NaN/inf would otherwise diverge, r11 review).
 
+# ONE definition of the md5 hash-split predicate (oracle spelling —
+# the Spark twin is deterministic_order_key), used by EVERY
+# experiment-family oracle: z-test/power/SRM (via the counts CTE),
+# DiD, CUPED, and the bootstrap. A split-rule change (salt,
+# threshold, hash) edits exactly one fragment, so the family can
+# never silently analyze two different experiments (r12 second
+# review).
+_SPLIT_A_SQL = "substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'"
+
 # ONE definition of the hash-split user-conversion cell counts,
 # shared by the z-test readout and the power/MDE design query (r12
 # second batch; the _THEIL_BASE_CTES one-fragment precedent).
-_ABTEST_COUNTS_CTES = """u AS (
+_ABTEST_COUNTS_CTES = f"""u AS (
         SELECT user_id,
                CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS converted
         FROM events GROUP BY 1
     ),
     tagged AS (
-        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        SELECT CASE WHEN {_SPLIT_A_SQL}
                     THEN 'a' ELSE 'b' END AS variant,
                converted
         FROM u
@@ -4605,22 +4614,48 @@ def events_power_mde(spark, sf_dir):
 # hash bug, a bot filter, or a logging gap shows up here first, and
 # an experiment that fails SRM is invalid regardless of its p-value).
 # For a 50/50 design the 1-dof chi² statistic collapses to
-# (n_a − n_b)²/(n_a + n_b), and the α = 0.05 decision is the exact
-# cross-multiplied integer rule (n_a − n_b)²·10⁶ > 3841459·(n_a+n_b)
-# (χ²₀.₉₅,₁ = 3.841459) — the whole query is FP-free: integer counts,
-# integer products, integer comparison. chi2 itself is reported
-# micro-quantized via integer division for the humans.
+# (n_a − n_b)²/(n_a + n_b), and the α = 0.05 decision is exact
+# integer arithmetic (χ²₀.₉₅,₁ = 3.841459) — the whole query is
+# FP-free: integer counts, integer products, integer comparison.
+# Overflow discipline (r12 second review — the naive cross-multiply
+# d²·10⁶ > 3841459·tot wraps int64 at |d| ≈ 3.03e6, SILENTLY on
+# Spark's non-ANSI wrap while DuckDB errors, exactly in the
+# catastrophic-imbalance regime the guardrail exists to catch):
+# for integers, d²·10⁶ > 3841459·tot ⟺ d² > (3841459·tot) div 10⁶
+# (if the exact rational bound has a fractional part, the next
+# integer up is the same strict bound), which wraps only past
+# |d| ≈ 3.03e9 OR tot ≈ 2.4e15 users; and the reported chi2 is
+# decomposed as (d² div tot)·10⁶ + ((d² mod tot)·10⁶) div tot so no
+# 10⁶-scaled product of corpus-scale terms is ever formed.
 
 _SRM_CHI2_95_MICRO = 3_841_459  # chi^2_{0.95, 1df} in micro units
+# shared integer expressions; {div} is the engine's integer-division
+# spelling ('//' DuckDB, 'DIV' Spark)
+_SRM_D2 = "((n_a - n_b) * (n_a - n_b))"
+
+
+def _srm_exprs(div: str) -> tuple[str, str]:
+    chi2 = (
+        f"round((({_SRM_D2} {div} NULLIF(n_a + n_b, 0)) * 1000000"
+        f" + (({_SRM_D2} % NULLIF(n_a + n_b, 0)) * 1000000)"
+        f" {div} NULLIF(n_a + n_b, 0)) / 1000000e0, 6)"
+    )
+    flag = (
+        f"CAST(CASE WHEN {_SRM_D2}"
+        f" > ({_SRM_CHI2_95_MICRO} * (n_a + n_b)) {div} 1000000"
+        " THEN 1 ELSE 0 END AS BIGINT)"
+    )
+    return chi2, flag
+
+
+_SRM_CHI2_DUCK, _SRM_FLAG_DUCK = _srm_exprs("//")
+_SRM_CHI2_SPARK, _SRM_FLAG_SPARK = _srm_exprs("DIV")
 
 _SRM_ORACLE = f"""
     WITH {_ABTEST_COUNTS_CTES}
     SELECT n_a, n_b, CAST(n_a + n_b AS BIGINT) AS n_total,
-           round(((n_a - n_b) * (n_a - n_b) * 1000000)
-                 // NULLIF(n_a + n_b, 0) / 1000000e0, 6) AS srm_chi2,
-           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000
-                          > {_SRM_CHI2_95_MICRO} * (n_a + n_b)
-                THEN 1 ELSE 0 END AS BIGINT) AS srm_violation
+           {_SRM_CHI2_DUCK} AS srm_chi2,
+           {_SRM_FLAG_DUCK} AS srm_violation
     FROM v
 """
 
@@ -4630,27 +4665,19 @@ def events_srm_check(spark, sf_dir):
     """Sample-ratio-mismatch chi² of the hash split against the 50/50
     design, with the exact integer α = 0.05 violation flag — the
     validity guardrail in front of every other experiment readout
-    (see the section comment; FP-free end to end).
+    (see the section comment for the FP-free contract and the
+    overflow-proof decomposition of both the statistic and the rule).
 
     Scale: the shared one-pass user aggregate + integer arithmetic
-    on one row. int64 ceiling: (n_a−n_b)²·10⁶ stays inside int64 for
-    imbalances to ~3e6 users — far beyond any split a 50/50 hash can
-    produce before SRM fires at astronomical significance; past it,
-    DECIMAL(38)."""
+    on one row; int64-safe to |n_a − n_b| ≈ 3e9 and ~2.4e15 total
+    users."""
     v = _abtest_counts(spark, sf_dir)
     return v.select(
         "n_a",
         "n_b",
         (F.col("n_a") + F.col("n_b")).cast("bigint").alias("n_total"),
-        F.expr(
-            "round(((n_a - n_b) * (n_a - n_b) * 1000000)"
-            " DIV NULLIF(n_a + n_b, 0) / 1000000e0, 6)"
-        ).alias("srm_chi2"),
-        F.expr(
-            f"CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 1000000"
-            f" > {_SRM_CHI2_95_MICRO} * (n_a + n_b)"
-            " THEN 1 ELSE 0 END AS BIGINT)"
-        ).alias("srm_violation"),
+        F.expr(_SRM_CHI2_SPARK).alias("srm_chi2"),
+        F.expr(_SRM_FLAG_SPARK).alias("srm_violation"),
     )
 
 
@@ -4717,8 +4744,7 @@ _CUPED_ORACLE = f"""
         FROM events CROSS JOIN b GROUP BY 1
     ),
     tagged AS (
-        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
-                    THEN 1 ELSE 0 END AS treat,
+        SELECT CASE WHEN {_SPLIT_A_SQL} THEN 1 ELSE 0 END AS treat,
                x, y
         FROM uxy
     ),
@@ -4864,18 +4890,36 @@ def events_cuped_adjustment(spark, sf_dir):
 
 _BOOT_B = 39
 _BOOT_SALT = "|boot-v1"
-# Poisson(1) inverse-CDF thresholds on the 48-bit grid; k > 8 (prob
-# ~1.1e-9 per draw) collapses to weight 9. Python floats at import
-# bake the SAME integer literals into both engines' SQL.
-_BOOT_T = []
-_cdf = 0.0
-for _k in range(9):
-    _cdf += 2.718281828459045 ** -1 / __import__("math").factorial(_k)
-    _BOOT_T.append(min(round(_cdf * (1 << 48)), 1 << 48))
+
+
+def _poisson1_thresholds() -> list[int]:
+    """Poisson(1) inverse-CDF thresholds on the 48-bit integer grid;
+    k > 8 (prob ≈ 1.1e-6 per draw — at 39 replicates × 10⁶ users the
+    ELSE clamp fires ~44 times per run, truncating a tail whose total
+    weight mass is ~1e-5 of the mean: immaterial to a percentile CI
+    and identical in both engines either way) collapses to weight 9.
+    Python floats at import bake the SAME integer literals into both
+    engines' SQL."""
+    import math
+
+    out, cdf = [], 0.0
+    for k in range(9):
+        cdf += math.exp(-1) / math.factorial(k)
+        out.append(min(round(cdf * (1 << 48)), 1 << 48))
+    return out
+
+
+_BOOT_T = _poisson1_thresholds()
 
 
 def _boot_weight_sql(h: str) -> str:
-    """Integer inverse-CDF Poisson(1) weight of a 48-bit hash int."""
+    """Integer inverse-CDF Poisson(1) weight of a 48-bit hash int.
+    Pass a COLUMN REFERENCE, not the md5-decode expression: the
+    9-branch CASE repeats ``h`` once per branch, and inlining the
+    decode would rely on common-subexpression elimination to avoid 9
+    md5 evaluations — an optimizer accident, not a contract (r12
+    second review); both sides project the hash once and CASE over
+    the column."""
     branches = " ".join(
         f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
     )
@@ -4891,7 +4935,7 @@ def _boot_hash_sql(concat: str, fn: str = "strpos") -> str:
 _BOOT_ORACLE = f"""
     WITH uu AS (
         SELECT user_id,
-               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+               CASE WHEN {_SPLIT_A_SQL}
                     THEN 'a' ELSE 'b' END AS variant,
                CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                     AS BIGINT) AS conv
@@ -4903,12 +4947,16 @@ _BOOT_ORACLE = f"""
                    AS rate_micro
         FROM uu GROUP BY 1
     ),
-    wts AS (
+    hh AS (
         SELECT uu.variant, g.b, uu.conv,
-               {_boot_weight_sql(_boot_hash_sql(
+               {_boot_hash_sql(
                    "CAST(user_id AS VARCHAR) || ':' || CAST(g.b AS VARCHAR)"
-                   f" || '{_BOOT_SALT}'"))} AS w
+                   f" || '{_BOOT_SALT}'")} AS h
         FROM uu CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS g(b)
+    ),
+    wts AS (
+        SELECT variant, b, conv, {_boot_weight_sql("h")} AS w
+        FROM hh
     ),
     rep AS (
         SELECT variant, b,
@@ -4945,6 +4993,8 @@ def events_bootstrap_rate_ci(spark, sf_dir):
     (×B = 39 at user grain, columnar, no shuffle of raw events) and
     a variant-grain min/max — no window, no driver collect, state
     is 2·B counters per variant."""
+    from .functions.scalar import deterministic_order_key
+
     uu = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -4957,10 +5007,13 @@ def events_bootstrap_rate_ci(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.expr(
-                "CASE WHEN substr(md5(CAST(user_id AS STRING)), 1, 2)"
-                " < '80' THEN 'a' ELSE 'b' END"
-            ).alias("variant"),
+            F.when(
+                F.substring(deterministic_order_key("user_id"), 1, 2)
+                < "80",
+                "a",
+            )
+            .otherwise("b")
+            .alias("variant"),
             "conv",
         )
     )
@@ -4970,7 +5023,7 @@ def events_bootstrap_rate_ci(spark, sf_dir):
             "(CAST(sum(conv) AS BIGINT) * 1000000) DIV count(*)"
         ).alias("rate_micro"),
     )
-    wts = uu.select(
+    hh = uu.select(
         "user_id",
         "variant",
         "conv",
@@ -4980,14 +5033,15 @@ def events_bootstrap_rate_ci(spark, sf_dir):
         "b",
         "conv",
         F.expr(
-            _boot_weight_sql(
-                _boot_hash_sql(
-                    "CAST(user_id AS STRING) || ':' || CAST(b AS STRING)"
-                    f" || '{_BOOT_SALT}'",
-                    fn="instr",
-                )
+            _boot_hash_sql(
+                "CAST(user_id AS STRING) || ':' || CAST(b AS STRING)"
+                f" || '{_BOOT_SALT}'",
+                fn="instr",
             )
-        ).alias("w"),
+        ).alias("h"),
+    )
+    wts = hh.select(
+        "variant", "b", "conv", F.expr(_boot_weight_sql("h")).alias("w")
     )
     rep = wts.groupBy("variant", "b").agg(
         F.expr(
@@ -5093,8 +5147,7 @@ _DID_ORACLE = f"""
         FROM events CROSS JOIN b GROUP BY 1, 2
     ),
     tagged AS (
-        SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
-                    THEN 1 ELSE 0 END AS treat,
+        SELECT CASE WHEN {_SPLIT_A_SQL} THEN 1 ELSE 0 END AS treat,
                post, conv
         FROM up
     ),

@@ -1791,29 +1791,39 @@ def graph_jaccard_similarity(spark, sf_dir):
 
 _AA_TOP = 20
 
-_AA_ORACLE = f"""
+# ONE oracle skeleton for the degree-weighted link-prediction family
+# (Adamic–Adar, resource-allocation) — parameterized by the weight
+# expression and output name exactly like the Spark twin
+# _weighted_cosupp_topk, so a structural fix (the d >= 2 filter, the
+# tie-break) can never desynchronize the family (r12 second review).
+def _weighted_cosupp_oracle(weight_sql: str, score_name: str) -> str:
+    return f"""
     WITH {_COSUPP_EDGES_SQL},
     cdeg AS (
         SELECT cust, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1
     ),
     w AS (
-        SELECT cust,
-               CAST(floor(1000000e0 / ln(CAST(d AS DOUBLE)) + 0.5e0)
-                    AS BIGINT) AS w_micro
+        SELECT cust, {weight_sql} AS w_micro
         FROM cdeg WHERE d >= 2
     ),
     p AS (
         SELECT a.supp AS s1, b.supp AS s2,
                CAST(count(*) AS BIGINT) AS shared_customers,
-               CAST(sum(w.w_micro) AS BIGINT) AS aa_micro
+               CAST(sum(w.w_micro) AS BIGINT) AS score_micro
         FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
         JOIN w ON w.cust = a.cust
         GROUP BY 1, 2
     )
     SELECT s1, s2, shared_customers,
-           round(aa_micro / 1000000e0, 6) AS adamic_adar
-    FROM p ORDER BY aa_micro DESC, s1, s2 LIMIT {_AA_TOP}
+           round(score_micro / 1000000e0, 6) AS {score_name}
+    FROM p ORDER BY score_micro DESC, s1, s2 LIMIT {_AA_TOP}
 """
+
+
+_AA_ORACLE = _weighted_cosupp_oracle(
+    "CAST(floor(1000000e0 / ln(CAST(d AS DOUBLE)) + 0.5e0) AS BIGINT)",
+    "adamic_adar",
+)
 
 
 @register("graph_adamic_adar", _AA_ORACLE)
@@ -1887,28 +1897,9 @@ def _weighted_cosupp_topk(spark, sf_dir, weight_sql, score_name):
 # integer division. (DuckDB spells integer division `//`, Spark
 # `DIV`; same operation.)
 
-_RA_ORACLE = f"""
-    WITH {_COSUPP_EDGES_SQL},
-    cdeg AS (
-        SELECT cust, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1
-    ),
-    w AS (
-        SELECT cust,
-               CAST((2000000 + d) // (2 * d) AS BIGINT) AS w_micro
-        FROM cdeg WHERE d >= 2
-    ),
-    p AS (
-        SELECT a.supp AS s1, b.supp AS s2,
-               CAST(count(*) AS BIGINT) AS shared_customers,
-               CAST(sum(w.w_micro) AS BIGINT) AS ra_micro
-        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
-        JOIN w ON w.cust = a.cust
-        GROUP BY 1, 2
-    )
-    SELECT s1, s2, shared_customers,
-           round(ra_micro / 1000000e0, 6) AS resource_allocation
-    FROM p ORDER BY ra_micro DESC, s1, s2 LIMIT {_AA_TOP}
-"""
+_RA_ORACLE = _weighted_cosupp_oracle(
+    "CAST((2000000 + d) // (2 * d) AS BIGINT)", "resource_allocation"
+)
 
 
 @register("graph_resource_allocation", _RA_ORACLE)

@@ -588,12 +588,22 @@ def test_srm_check_integer_rule_and_ztest_consistency(spark, sf_dir):
     z = QUERIES["events_ab_conversion_ztest"].fn(spark, sf_dir).collect()[0]
     m = QUERIES["events_srm_check"].fn(spark, sf_dir).collect()[0]
     assert (m.n_a, m.n_b, m.n_total) == (z.n_a, z.n_b, z.n_a + z.n_b)
-    d = m.n_a - m.n_b
+    d2 = (m.n_a - m.n_b) ** 2
     tot = m.n_a + m.n_b
-    assert m.srm_chi2 == (d * d * 1_000_000) // tot / 1e6
+    # the overflow-proof decomposed forms (exact-int mirrors)
+    assert m.srm_chi2 == (
+        (d2 // tot) * 1_000_000 + (d2 % tot) * 1_000_000 // tot
+    ) / 1e6
     assert m.srm_violation == (
-        1 if d * d * 1_000_000 > 3_841_459 * tot else 0
+        1 if d2 > (3_841_459 * tot) // 1_000_000 else 0
     )
+    # and the decomposition is EQUIVALENT to the naive cross-multiply
+    # wherever the naive form doesn't overflow (the reason it exists)
+    for dd in range(0, 4000):
+        for tt in (1, 2, 3, 1000, 999_983, 10**7):
+            naive = dd * dd * 1_000_000 > 3_841_459 * tt
+            robust = dd * dd > (3_841_459 * tt) // 1_000_000
+            assert naive == robust, (dd, tt)
 
 
 def test_cuped_exact_recompute(spark, sf_dir):
@@ -643,16 +653,16 @@ def test_cuped_exact_recompute(spark, sf_dir):
         cells[t][2] += y
     n_a, sx_a, sy_a = cells[1]
     n_b, sx_b, sy_b = cells[0]
-    # mirror the engine's NULLIF guards: zero covariate/outcome
-    # variance NULLs theta/rho2 (real at smoke scale, where every
-    # user can share the same pre-period covariate value)
-    var_x = n * sxx - sx * sx
-    var_y = n * syy - sy * sy
-    theta = (n * sxy - sx * sy) / var_x if var_x != 0 else None
+    # mirror the engine's NULLIF guards AND its double-by-double tree
+    # (r12 second review: exact-int intermediates like num**2 pass
+    # 2^53 around ~1e4 users and would drift an ulp from the engine's
+    # DOUBLE*DOUBLE chain — every product below converts first)
+    num = float(n) * sxy - float(sx) * sy
+    var_x = float(n) * sxx - float(sx) * sx
+    var_y = float(n) * syy - float(sy) * sy
+    theta = num / var_x if var_x != 0.0 else None
     rho2 = (
-        (n * sxy - sx * sy) ** 2 / (var_x * var_y)
-        if var_x * var_y != 0
-        else None
+        num * num / (var_x * var_y) if var_x * var_y != 0.0 else None
     )
     diff_raw = (
         sy_a / n_a - sy_b / n_b if n_a > 0 and n_b > 0 else None
