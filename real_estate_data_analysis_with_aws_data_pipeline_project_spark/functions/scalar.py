@@ -71,6 +71,16 @@ def deterministic_order_key(col: Column | str) -> Column:
     return F.md5(c.cast("string").cast("binary"))
 
 
+def split_is_a(col: Column | str) -> Column:
+    """THE Spark-side md5 hash-split predicate (variant 'a' ⟺ first
+    md5 byte < 0x80) — the twin of the experiment family's oracle
+    fragment ``_SPLIT_A_SQL`` (queries_events). One definition on
+    each side so a split-rule change (threshold, salt, hash) can
+    never fork the family (r12 third review: the oracle side was
+    unified but four Spark copies remained)."""
+    return F.substring(deterministic_order_key(col), 1, 2) < "80"
+
+
 def hex_chunk_int_sql(h: str, width: int, fn: str = "strpos") -> str:
     """Base-16 positional decode of the first ``width`` hex chars of
     expression ``h`` as ONE SQL string usable in either engine

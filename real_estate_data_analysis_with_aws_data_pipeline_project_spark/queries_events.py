@@ -4365,7 +4365,7 @@ def events_survival_km(spark, sf_dir):
 # and DuckDB's IEEE NaN/inf would otherwise diverge, r11 review).
 
 # ONE definition of the md5 hash-split predicate (oracle spelling —
-# the Spark twin is deterministic_order_key), used by EVERY
+# the Spark twin is functions.scalar.split_is_a), used by EVERY
 # experiment-family oracle: z-test/power/SRM (via the counts CTE),
 # DiD, CUPED, and the bootstrap. A split-rule change (salt,
 # threshold, hash) edits exactly one fragment, so the family can
@@ -4438,7 +4438,7 @@ def _abtest_counts(spark, sf_dir):
     """One-row (n_a, c_a, n_b, c_b) hash-split conversion cell counts
     — the Spark twin of _ABTEST_COUNTS_CTES, shared by the z-test
     readout and the power/MDE design query."""
-    from .functions.scalar import deterministic_order_key
+    from .functions.scalar import split_is_a
 
     u = (
         load_table(spark, sf_dir, "events")
@@ -4452,10 +4452,7 @@ def _abtest_counts(spark, sf_dir):
         )
     )
     tagged = u.select(
-        F.when(
-            F.substring(deterministic_order_key("user_id"), 1, 2) < "80",
-            "a",
-        )
+        F.when(split_is_a("user_id"), "a")
         .otherwise("b")
         .alias("variant"),
         "converted",
@@ -4624,7 +4621,8 @@ def events_power_mde(spark, sf_dir):
 # for integers, d²·10⁶ > 3841459·tot ⟺ d² > (3841459·tot) div 10⁶
 # (if the exact rational bound has a fractional part, the next
 # integer up is the same strict bound), which wraps only past
-# |d| ≈ 3.03e9 OR tot ≈ 2.4e15 users; and the reported chi2 is
+# |d| ≈ 3.03e9 OR tot ≈ 2.4e12 users (9.22e18 / 3.841459e6 — the
+# remaining product is 3841459·tot); and the reported chi2 is
 # decomposed as (d² div tot)·10⁶ + ((d² mod tot)·10⁶) div tot so no
 # 10⁶-scaled product of corpus-scale terms is ever formed.
 
@@ -4669,8 +4667,9 @@ def events_srm_check(spark, sf_dir):
     overflow-proof decomposition of both the statistic and the rule).
 
     Scale: the shared one-pass user aggregate + integer arithmetic
-    on one row; int64-safe to |n_a − n_b| ≈ 3e9 and ~2.4e15 total
-    users."""
+    on one row; int64-safe to |n_a − n_b| ≈ 3e9 and ~2.4e12 total
+    users (the 3841459·tot product is the remaining ceiling — past
+    it, DECIMAL(38))."""
     v = _abtest_counts(spark, sf_dir)
     return v.select(
         "n_a",
@@ -4791,7 +4790,7 @@ def events_cuped_adjustment(spark, sf_dir):
     user-grain aggregate (map-side combined), and a single-row
     reduction of twelve integer sums — no window, no second
     event-grain pass."""
-    from .functions.scalar import deterministic_order_key
+    from .functions.scalar import split_is_a
 
     ev = load_table(spark, sf_dir, "events")
     b = ev.agg(
@@ -4823,11 +4822,7 @@ def events_cuped_adjustment(spark, sf_dir):
         )
     )
     tagged = uxy.select(
-        F.when(
-            F.substring(deterministic_order_key("user_id"), 1, 2) < "80", 1
-        )
-        .otherwise(0)
-        .alias("treat"),
+        F.when(split_is_a("user_id"), 1).otherwise(0).alias("treat"),
         "x",
         "y",
     )
@@ -4895,11 +4890,11 @@ _BOOT_SALT = "|boot-v1"
 def _poisson1_thresholds() -> list[int]:
     """Poisson(1) inverse-CDF thresholds on the 48-bit integer grid;
     k > 8 (prob ≈ 1.1e-6 per draw — at 39 replicates × 10⁶ users the
-    ELSE clamp fires ~44 times per run, truncating a tail whose total
-    weight mass is ~1e-5 of the mean: immaterial to a percentile CI
-    and identical in both engines either way) collapses to weight 9.
-    Python floats at import bake the SAME integer literals into both
-    engines' SQL."""
+    ELSE clamp fires ~44 times per run; the truncated tail's lost
+    weight MASS is Σ_{k≥10}(k−9)·p_k ≈ 1.2e-7 of the mean, r12 third
+    review: immaterial to a percentile CI and identical in both
+    engines either way) collapses to weight 9. Python floats at
+    import bake the SAME integer literals into both engines' SQL."""
     import math
 
     out, cdf = [], 0.0
@@ -4916,10 +4911,15 @@ def _boot_weight_sql(h: str) -> str:
     """Integer inverse-CDF Poisson(1) weight of a 48-bit hash int.
     Pass a COLUMN REFERENCE, not the md5-decode expression: the
     9-branch CASE repeats ``h`` once per branch, and inlining the
-    decode would rely on common-subexpression elimination to avoid 9
-    md5 evaluations — an optimizer accident, not a contract (r12
-    second review); both sides project the hash once and CASE over
-    the column."""
+    decode would put 9 textual md5-decode copies in the plan. The
+    prior-projection form keeps the SQL small and matches both
+    engines' structure; note honestly (r12 third review) that it is
+    NOT a hard single-evaluation contract — Catalyst's
+    CollapseProject can merge the projections back (its isCheap
+    guard keeps expensive exprs out on current Spark) and DuckDB
+    inlines CTEs by default, so the remaining dedup is the
+    optimizers' CSE either way; what the split guarantees is the
+    readable/parse-cheap form, not the runtime count."""
     branches = " ".join(
         f"WHEN {h} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
     )
@@ -4993,7 +4993,7 @@ def events_bootstrap_rate_ci(spark, sf_dir):
     (×B = 39 at user grain, columnar, no shuffle of raw events) and
     a variant-grain min/max — no window, no driver collect, state
     is 2·B counters per variant."""
-    from .functions.scalar import deterministic_order_key
+    from .functions.scalar import split_is_a
 
     uu = (
         load_table(spark, sf_dir, "events")
@@ -5007,11 +5007,7 @@ def events_bootstrap_rate_ci(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.when(
-                F.substring(deterministic_order_key("user_id"), 1, 2)
-                < "80",
-                "a",
-            )
+            F.when(split_is_a("user_id"), "a")
             .otherwise("b")
             .alias("variant"),
             "conv",
@@ -5206,7 +5202,7 @@ def events_did_estimator(spark, sf_dir):
     user-period aggregate (map-side combined) and a single-row
     reduction of eight integer counts — no window, no second
     event-grain pass."""
-    from .functions.scalar import deterministic_order_key
+    from .functions.scalar import split_is_a
 
     ev = load_table(spark, sf_dir, "events")
     # DIV = exact BIGINT floor-division, matching the oracle's `//`
@@ -5232,11 +5228,7 @@ def events_did_estimator(spark, sf_dir):
         )
     )
     tagged = up.select(
-        F.when(
-            F.substring(deterministic_order_key("user_id"), 1, 2) < "80", 1
-        )
-        .otherwise(0)
-        .alias("treat"),
+        F.when(split_is_a("user_id"), 1).otherwise(0).alias("treat"),
         "post",
         "conv",
     )
