@@ -898,7 +898,7 @@ _LATERAL_RECENT_SQL = """
 """
 
 
-@register("join_lateral_recent_avg", _LATERAL_RECENT_SQL)
+@register("join_lateral_recent_avg", _LATERAL_RECENT_SQL, headline=True)
 def join_lateral_recent_avg(spark, sf_dir):
     """Average order value over each high-balance customer's 3 most
     recent orders — the correlated-LATERAL-aggregate-over-LIMIT SQL

@@ -3022,7 +3022,7 @@ def holt_forecast_from_day_counts(dc):
     )
 
 
-@register("events_holt_volume_forecast", _HOLT_ORACLE)
+@register("events_holt_volume_forecast", _HOLT_ORACLE, headline=True)
 def events_holt_volume_forecast(spark, sf_dir):
     """Holt linear-trend daily volume forecast per event type
     (α = β = ½ over the trailing 8 active days, unrolled to one exact
@@ -5189,7 +5189,7 @@ _DID_ORACLE = f"""
 """
 
 
-@register("events_did_estimator", _DID_ORACLE)
+@register("events_did_estimator", _DID_ORACLE, headline=True)
 def events_did_estimator(spark, sf_dir):
     """Difference-in-differences conversion estimate between the
     deterministic md5-split groups across the data-derived pre/post

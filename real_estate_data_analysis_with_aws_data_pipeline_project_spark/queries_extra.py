@@ -1301,7 +1301,7 @@ def _theil_assemble(tot, tt, tb, names):
     )
 
 
-@register("agg_theil_decomposition", _THEIL_ORACLE)
+@register("agg_theil_decomposition", _THEIL_ORACLE, headline=True)
 def agg_theil_decomposition(spark, sf_dir):
     """Theil T inequality of per-customer order spend with the exact
     between-/within-nation decomposition and between share — the

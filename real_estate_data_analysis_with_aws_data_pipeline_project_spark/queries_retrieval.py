@@ -1826,7 +1826,7 @@ _AA_ORACLE = _weighted_cosupp_oracle(
 )
 
 
-@register("graph_adamic_adar", _AA_ORACLE)
+@register("graph_adamic_adar", _AA_ORACLE, headline=True)
 def graph_adamic_adar(spark, sf_dir):
     """Top-20 supplier pairs by Adamic–Adar score on the hub-capped
     purchase graph — the degree-weighted link-prediction companion to

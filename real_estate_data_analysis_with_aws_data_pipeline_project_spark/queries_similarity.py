@@ -2704,7 +2704,7 @@ def _kmeans_fit(spark, sf_dir):
     return q, cents0, cents1, upd
 
 
-@register("embedding_kmeans_lloyd", _KMEANS_ORACLE)
+@register("embedding_kmeans_lloyd", _KMEANS_ORACLE, headline=True)
 def embedding_kmeans_lloyd(spark, sf_dir):
     """Two deterministic Lloyd iterations of k = 4 k-means over the
     embedding table in exact integer micro arithmetic — cluster

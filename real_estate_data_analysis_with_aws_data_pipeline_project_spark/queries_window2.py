@@ -1157,7 +1157,7 @@ _MI_ORACLE = f"""
 """
 
 
-@register("features_mutual_information", _MI_ORACLE)
+@register("features_mutual_information", _MI_ORACLE, headline=True)
 def features_mutual_information(spark, sf_dir):
     """Mutual information (bits) of three categorical order features
     (status, order year, order month) with the "high priority" binary
@@ -1268,19 +1268,23 @@ _SCALE_CENTS = "CAST(floor(c_acctbal * 100e0 + 0.5e0) AS BIGINT)"
 # Σ_g ⌊s_g²/n_g⌉ − (Σx)²/n, SSW = SST − SSB, then F and η² are
 # single divisions micro-quantized via floor(x·1e6 + 0.5);
 # degenerate shapes (k < 2, n ≤ k, SSW = 0) guard NULL. SSB is
-# clamped at 0 (r11 ADVICE): ssq's per-group half-up quantization
-# can push SSB up to 0.5·k cents² BELOW its true non-negative value
-# when group means are near-equal, and a −0.000002 variance share is
-# misleading; the clamp is the same greatest() in both engines so
+# two-sided clamped to [0, SST] (r11 + r12 ADVICE, the Theil-family
+# convention): ssq's per-group half-up quantization can push SSB up
+# to 0.5·k cents² BELOW 0 when group means are near-equal, and the
+# same +0.5·k overshoot can push it marginally ABOVE SST when the
+# within-group variance is ~0 — the upper clamp keeps SSW = SST − SSB
+# non-negative and η² = SSB/SST in [0, 1] by construction. Both
+# clamps are the same least(greatest(·)) fragment in both engines so
 # determinism is preserved, and SSW uses the clamped SSB so
 # SSB + SSW = SST still holds.
 
-_ANOVA_SSB = (
-    "greatest(CAST(ssq AS DOUBLE)"
-    " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n, 0e0)"
-)
 _ANOVA_SST = (
     "(CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n)"
+)
+_ANOVA_SSB = (
+    "least(greatest(CAST(ssq AS DOUBLE)"
+    " - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n, 0e0), "
+    f"{_ANOVA_SST})"
 )
 
 _ANOVA_ORACLE = f"""
@@ -1572,7 +1576,7 @@ def _pca_oracle() -> str:
 """
 
 
-@register("features_pca_quality_axis", _pca_oracle())
+@register("features_pca_quality_axis", _pca_oracle(), headline=True)
 def features_pca_quality_axis(spark, sf_dir):
     """Top principal component of the correlation matrix of four
     document quality counts (chars, tokens, distinct tokens,

@@ -332,6 +332,44 @@ ROTATIONS: dict[int, list[str]] = {
         "events_gini_concentration",
         "dq_volume_anomaly",
     ],
+    # Round 13 seats the full 10-query never-green front (the r12
+    # post-pin experimentation/Theil/link-prediction/lateral batch)
+    # and fills the 20 free slots with refresh picks — STALEST-green
+    # first (VERDICT r12 #4): the r01/r02 cohort (windows, set ops,
+    # agg surface, TPC-H members) that last saw a driver window in
+    # rounds 1–2.
+    13: [
+        "join_lateral_recent_avg",
+        "events_power_mde",
+        "events_srm_check",
+        "events_cuped_adjustment",
+        "events_bootstrap_rate_ci",
+        "events_did_estimator",
+        "agg_theil_decomposition",
+        "agg_theil_l_decomposition",
+        "graph_adamic_adar",
+        "graph_resource_allocation",
+        "j3_inner_join_multi",
+        "w2_stratified_sample",
+        "w3_rank_dense_rank",
+        "w4_lag_lead",
+        "w5_running_sum_frame",
+        "w6_topk_per_group",
+        "set_intersect",
+        "set_except",
+        "agg_count_distinct",
+        "agg_approx_count_distinct",
+        "agg_cube",
+        "agg_rollup",
+        "agg_pivot",
+        "sql_surface_revenue_by_nation",
+        "tpch_q6_forecast_revenue",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q3_shipping_priority",
+        "heavy_shuffle_part_spend",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q10_returned_items",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -388,6 +426,31 @@ REFRESH_OK: dict[int, set[str]] = {
         "streaming_fano_burstiness",
         "events_gini_concentration",
         "dq_volume_anomaly",
+    },
+    # Round 13 switches the refresh posture to STALEST-green first
+    # (VERDICT r12 #4) — these 20 re-verification picks all landed
+    # green in rounds 1–2 and have not held a driver slot since.
+    13: {
+        "j3_inner_join_multi",
+        "w2_stratified_sample",
+        "w3_rank_dense_rank",
+        "w4_lag_lead",
+        "w5_running_sum_frame",
+        "w6_topk_per_group",
+        "set_intersect",
+        "set_except",
+        "agg_count_distinct",
+        "agg_approx_count_distinct",
+        "agg_cube",
+        "agg_rollup",
+        "agg_pivot",
+        "sql_surface_revenue_by_nation",
+        "tpch_q6_forecast_revenue",
+        "tpch_q5_local_supplier_volume",
+        "tpch_q3_shipping_priority",
+        "heavy_shuffle_part_spend",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q10_returned_items",
     },
 }
 

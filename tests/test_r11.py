@@ -889,11 +889,14 @@ def test_anova_f_exact_recompute(spark, sf_dir):
         math.floor(float(e[1]) * float(e[1]) / e[0] + 0.5)
         for e in g.values()
     )
-    # greatest(ssb, 0) clamp (r11 ADVICE): the per-group half-up
-    # quantization in ssq can push SSB a hair below 0 when group
-    # means are near-equal; SSW uses the clamped SSB.
-    ssb = max(ssq - (s1 * s1) / n, 0.0)
-    sst = s2 - (s1 * s1) / n
+    # two-sided [0, SST] clamp (r11 + r12 ADVICE): the per-group
+    # half-up quantization in ssq can push SSB a hair below 0 when
+    # group means are near-equal, or a hair above SST when the
+    # within-group variance is ~0; SSW uses the clamped SSB. The
+    # mean-square terms mirror the engine's double arithmetic
+    # (float(s1) * float(s1), not the exact big-int product).
+    sst = s2 - float(s1) * float(s1) / n
+    ssb = min(max(ssq - float(s1) * float(s1) / n, 0.0), sst)
     ssw = sst - ssb
     f = (
         math.floor((ssb / (k - 1)) / (ssw / (n - k)) * 1e6 + 0.5) / 1e6

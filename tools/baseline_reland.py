@@ -66,16 +66,30 @@ def main() -> int:
         # exit WITH result JSON is bench's regression flag against the
         # STALE baselines — the exact situation a re-land exists to
         # fix — so it is reported and the run proceeds (r12 review).
-        json_lines = [
-            ln for ln in out.stdout.strip().splitlines()
-            if ln.startswith("{")
-        ]
-        if not json_lines:
+        # bench.py emits TWO JSON lines since r13 (full driver line,
+        # then the tagged compact totals line LAST — see bench.py's
+        # module docstring); parse candidates from the END, skip any
+        # truncated/partial line instead of crashing (r12 ADVICE), and
+        # prefer the line that carries the per-query dict. The compact
+        # line (host_calibration_ratio + regressions, no "queries") is
+        # a usable fallback for the calibration gate only.
+        result = None
+        for ln in reversed(out.stdout.strip().splitlines()):
+            if not ln.startswith("{"):
+                continue
+            try:
+                cand = json.loads(ln)
+            except json.JSONDecodeError:
+                continue  # truncated/partial line — try earlier ones
+            if result is None or "queries" in cand:
+                result = cand
+            if "queries" in result:
+                break
+        if result is None:
             print(f"ABORT run {r + 1}: bench.py exited {out.returncode} "
-                  "with no JSON output\n"
+                  "with no parsable JSON output\n"
                   f"--- stderr tail ---\n{out.stderr[-2000:]}")
             return 1
-        result = json.loads(json_lines[-1])
         if out.returncode != 0:
             print(f"note run {r + 1}: bench.py exited {out.returncode} "
                   "(regressions vs the STALE baselines: "
@@ -87,6 +101,11 @@ def main() -> int:
                 f"ABORT run {r + 1}: post-run calibration {post} > "
                 f"{args.max_calibration} — the host turned mid-run"
             )
+            return 1
+        if "queries" not in result:
+            print(f"ABORT run {r + 1}: only the compact totals line "
+                  "survived (full per-query line truncated) — cannot "
+                  "re-land baselines without per-query times")
             return 1
         for name, sec in result["queries"].items():
             best[name] = min(best.get(name, float("inf")), sec)

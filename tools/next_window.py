@@ -74,21 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r12 pin (the 26 r11 post-pin additions now lead the r12
-# rotation's never-green front); append every r12 post-pin registration
+# Reset at the r13 pin (the 10 r12 post-pin additions now lead the r13
+# rotation's never-green front); append every r13 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "events_did_estimator",
-    "agg_theil_decomposition",
-    "graph_adamic_adar",
-    "join_lateral_recent_avg",
-    "agg_theil_l_decomposition",
-    "graph_resource_allocation",
-    "events_power_mde",
-    "events_bootstrap_rate_ci",
-    "events_srm_check",
-    "events_cuped_adjustment",
-)
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
@@ -150,15 +139,18 @@ def next_rotation() -> list[str]:
     if len(rotation) < slots:
         # Endgame (VERDICT r5 #2): fewer never-green names than slots.
         # Fill with RE-VERIFICATION picks — cumulative-green queries,
-        # the most recently landed first (ties by registration order),
-        # so recently-changed surface gets a second driver pass. The
-        # first-timer meta-test only constrains the never-green subset
-        # (it checks membership in green_before(landing round)), so
-        # these refreshed entries are exempt by construction.
-        landed = {}
+        # the STALEST green first (VERDICT r12 #4: oldest most-recent
+        # driver-green round, ties by registration order), so the
+        # longest-unverified surface — the r01/r02 cohort — gets
+        # re-driven before recently-landed queries that just proved
+        # themselves. The first-timer meta-test only constrains the
+        # never-green subset (it checks membership in
+        # green_before(landing round)), so these refreshed entries are
+        # exempt by construction.
+        last_green = {}
         for rnd, names in sorted(green_rounds().items()):
             for n in names:
-                landed.setdefault(n, rnd)
+                last_green[n] = rnd  # max round wins — most recent green
         refresh = sorted(
             (
                 n
@@ -168,7 +160,7 @@ def next_rotation() -> list[str]:
                 and n not in anchors
                 and n not in set(rotation)
             ),
-            key=lambda n: (-landed.get(n, 0), reg_order.get(n, 1 << 30)),
+            key=lambda n: (last_green.get(n, 0), reg_order.get(n, 1 << 30)),
         )
         rotation += refresh[: slots - len(rotation)]
     return rotation
