@@ -46,75 +46,56 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session impo
 # mechanical, not judgement calls (VERDICT r1 next-round #8).
 BASELINE_SF = 0.1
 BASELINE_SEC = {
-    "flagship_enriched_sample": 1.23,
-    "p6_match_rate": 0.40,
-    "j1_broadcast_left_join": 0.44,
-    "tpch_q1_pricing_summary": 0.52,
-    "w2_stratified_sample_rows": 0.51,
-    "sql_surface_revenue_by_nation": 0.88,
-    "tpch_q6_forecast_revenue": 0.23,
-    "tpch_q3_shipping_priority": 0.66,
-    "text_quality_score": 0.82,
-    "dedup_minhash_lsh": 1.33,
-    "similarity_topk_bruteforce": 0.57,
-    "tpch_q5_local_supplier_volume": 1.21,
-    "heavy_shuffle_part_spend": 0.73,
-    # round-2 additions, measured 2026-08-13 idle local[32] (BASELINE.md)
-    "dedup_simhash_pairs": 4.54,
-    # round-5: re-baselined after the two-level assignment moved into a
-    # single Arrow kernel (BASELINE.md "Round-5 updates")
-    "similarity_ivf_topk": 1.05,
-    "corpus_pack_token_shards": 0.87,
-    # round-4: new headline row + one documented re-measure (BASELINE.md
-    # "Round-4 updates" — events_session_window's r1 bar predated the
-    # full registry; plan unchanged, steady state re-measured idle)
-    "similarity_ann_lsh": 0.54,
-    "events_session_window": 0.52,
-    # round-5: new headline rows measured at landing (BASELINE.md
-    # "Round-5 updates"; min-of-2 warm, idle-ish host, calibration ~1.1)
-    "events_time_weighted_avg": 0.54,
-    "corpus_embedding_decontaminate": 0.50,
-    "sketch_bitmap_exact_distinct": 0.50,
-    # round-6: new headline row measured at landing (BASELINE.md
-    # "Round-6 updates"; min-of-2 warm, calibration 1.11)
-    "dedup_incremental_minhash": 1.11,
-    # round-7: new headline rows measured at landing (BASELINE.md
-    # "Round-7 updates"; min over two full bench runs, calibration
-    # 1.17/1.27)
-    "features_point_in_time": 0.50,
-    "corpus_global_shuffle": 0.22,
-    # round-7 second batch: new headline rows measured at landing
-    # (BASELINE.md "Round-7 second-batch"; min over bench runs,
-    # calibrations 1.12/1.17/1.26; whitening baselined AFTER the
-    # decimal→int64 sum optimization)
-    "dedup_span_remediate": 2.41,
-    # round-8: new headline rows measured at landing (BASELINE.md
-    # "Round-8 new headline rows"; min over three full runs,
-    # calibrations 1.15/1.18/1.24)
-    "join_interval_overlap": 1.76,
-    "features_global_equidepth_bins": 1.05,
-    # round-8: re-baselined after the Arrow partial-Gramian kernel
-    # replaced the per-row 2080-struct explode (identical output,
-    # oracle hash-green at sf0.001/0.01/0.1; BASELINE.md "Round-8
-    # updates"; min over two full runs, calibrations 1.12/1.19)
-    "embedding_covariance_whitening": 0.64,
-    # round-9: new headline rows measured at landing (BASELINE.md
-    # "Round-9 new headline rows"; min over two full runs,
-    # calibrations 1.13/1.12)
-    "features_target_encoding_loo": 0.55,
-    "quality_ks_drift": 0.78,
-    # round-9 late batch 2: new headline rows measured at landing
-    # (BASELINE.md "Round-9 late-batch headline rows"; min over two
-    # full runs, calibrations 1.13/1.21)
-    "retrieval_query_likelihood": 0.57,
-    "dq_order_reconciliation": 0.94,
-    # round-10: new headline rows measured at landing (BASELINE.md
-    # "Round-10 headline promotions"; the host oscillated between calm
-    # and stolen windows all session, so the baseline is the MIN over
-    # 13 warm runs spanning both — the same intrinsic-cost estimator
-    # the bench itself uses, with the full run lists recorded)
-    "events_gini_concentration": 0.33,
-    "graph_jaccard_similarity": 2.16,
+    # Wholesale re-land 2026-08-16 (r13; BASELINE.md "Round-13
+    # re-land"): min over two full calm-host bench runs (calibrations
+    # 1.03->1.02 and 1.00->1.05 against the re-derived 0.17 s idle
+    # reference) under the r11 re-warm estimator -- closing the
+    # estimator-shift caveat. Includes landing baselines for the 8
+    # r13 headline promotions (kmeans/pca/mi/holt/did/theil/
+    # adamic-adar/lateral). Prior per-round rows are preserved in
+    # BASELINE.md history.
+    "flagship_enriched_sample": 0.578,
+    "p6_match_rate": 0.227,
+    "j1_broadcast_left_join": 0.296,
+    "tpch_q1_pricing_summary": 0.319,
+    "w2_stratified_sample_rows": 0.408,
+    "sql_surface_revenue_by_nation": 0.701,
+    "tpch_q6_forecast_revenue": 0.203,
+    "tpch_q5_local_supplier_volume": 0.666,
+    "tpch_q3_shipping_priority": 0.428,
+    "heavy_shuffle_part_spend": 0.592,
+    "join_lateral_recent_avg": 0.35,
+    "text_quality_score": 0.685,
+    "dedup_minhash_lsh": 1.061,
+    "dedup_incremental_minhash": 0.823,
+    "dedup_simhash_pairs": 0.389,
+    "dedup_span_remediate": 1.965,
+    "similarity_topk_bruteforce": 0.454,
+    "similarity_ann_lsh": 0.491,
+    "similarity_ivf_topk": 0.566,
+    "corpus_embedding_decontaminate": 0.373,
+    "embedding_covariance_whitening": 0.509,
+    "embedding_kmeans_lloyd": 0.498,
+    "events_session_window": 0.333,
+    "events_time_weighted_avg": 0.299,
+    "events_gini_concentration": 0.231,
+    "events_holt_volume_forecast": 0.252,
+    "events_did_estimator": 0.401,
+    "join_interval_overlap": 1.274,
+    "agg_theil_decomposition": 0.473,
+    "features_point_in_time": 0.343,
+    "features_target_encoding_loo": 0.458,
+    "features_global_equidepth_bins": 0.814,
+    "features_mutual_information": 0.434,
+    "features_pca_quality_axis": 0.615,
+    "corpus_pack_token_shards": 0.72,
+    "corpus_global_shuffle": 0.159,
+    "sketch_bitmap_exact_distinct": 0.305,
+    "quality_ks_drift": 0.652,
+    "dq_order_reconciliation": 0.858,
+    "retrieval_query_likelihood": 0.584,
+    "graph_jaccard_similarity": 1.904,
+    "graph_adamic_adar": 1.831,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -1437,3 +1437,103 @@ def agg_theil_l_decomposition(spark, sf_dir):
     return _theil_assemble(
         tot, tt, tb, ("mld_total", "mld_between", "mld_within")
     )
+
+
+# --- Atkinson index, epsilon = 1 (round 13) ------------------------------------
+#
+# The welfare-normative member completing the inequality suite
+# (Gini → Theil T → Theil L → Atkinson): for inequality-aversion
+# ε = 1, A(1) = 1 − geomean(x)/mean(x) = 1 − exp(−L) where L is the
+# mean log deviation the Theil L query already computes — so the
+# index rides the SAME base relations and term sums, and its one new
+# output is a fixed transform of the ALREADY-QUANTIZED L. The
+# companion readout is the equally-distributed-equivalent spend
+# EDE = μ·exp(−L): the per-customer spend that, shared equally,
+# yields the same welfare — the number an executive summary quotes.
+#
+# Determinism: the exp() input is the micro-quantized BIGINT L
+# divided by 1e6 — bit-identical in both engines — so exp sees the
+# SAME double and any ≤ 1-ulp libm divergence (~1e-16 relative) is
+# absorbed by the output micro-quantization except on measure-zero
+# half-boundary inputs: the established ln() rule
+# (entropy_term_micro_sql; Theil, Adamic–Adar) extended to its
+# inverse. A(1) ∈ [0, 1) by construction since L ≥ 0 after the
+# shared clamp; the mean is the exact half-up integer cents rational
+# (2s + n) div 2n — no unrounded double mean ever exists (the
+# features_time_decay_mean rule).
+
+_ATKINSON_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
+    tt AS (
+        SELECT CAST(sum(CAST(floor(ln({_MLD_R_CUST})
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS t_sum
+        FROM cust CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.n, tot.s,
+               greatest(CAST(floor(CAST(tt.t_sum AS DOUBLE) / tot.n + 0.5e0)
+                             AS BIGINT), 0) AS l_micro
+        FROM tot CROSS JOIN tt
+    )
+    SELECT n AS n_customers, s AS total_spend_cents,
+           round(l_micro / 1000000e0, 6) AS mld,
+           round(CAST(floor((1e0 - exp(-(l_micro / 1000000e0)))
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS atkinson_1,
+           CAST((2 * s + n) // (2 * n) AS BIGINT) AS mean_spend_cents,
+           CAST(floor((CAST(s AS DOUBLE) / n)
+                      * exp(-(l_micro / 1000000e0)) + 0.5e0)
+                AS BIGINT) AS ede_spend_cents
+    FROM f
+"""
+
+
+@register("agg_atkinson_index", _ATKINSON_ORACLE)
+def agg_atkinson_index(spark, sf_dir):
+    """Atkinson inequality index at ε = 1 of per-customer order spend,
+    with the equally-distributed-equivalent spend readout — computed
+    as 1 − exp(−L) on the Theil L query's shared base relations and
+    already-quantized mean-log-deviation (see the section comment for
+    the welfare interpretation and the exp-of-quantized-input
+    determinism rule).
+
+    Scale: identical shape to the Theil queries — one user-grain
+    aggregate, one nation-dimension join, broadcast one-row totals;
+    the Atkinson transform is driver-free scalar arithmetic on the
+    single report row."""
+    cust, _nat, tot = _theil_base(spark, sf_dir)
+    tt = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CAST(floor(ln({_MLD_R_CUST})"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    f = tot.crossJoin(F.broadcast(tt)).select(
+        "n",
+        "s",
+        F.expr(
+            "greatest(CAST(floor(CAST(t_sum AS DOUBLE) / n + 0.5e0)"
+            " AS BIGINT), 0)"
+        ).alias("l_micro"),
+    )
+    return f.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_spend_cents"),
+        F.round(F.col("l_micro") / F.expr("1000000e0"), 6).alias("mld"),
+        F.expr(
+            "round(CAST(floor((1e0 - exp(-(l_micro / 1000000e0)))"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("atkinson_1"),
+        F.expr("CAST((2 * s + n) DIV (2 * n) AS BIGINT)").alias(
+            "mean_spend_cents"
+        ),
+        F.expr(
+            "CAST(floor((CAST(s AS DOUBLE) / n)"
+            " * exp(-(l_micro / 1000000e0)) + 0.5e0) AS BIGINT)"
+        ).alias("ede_spend_cents"),
+    )

@@ -339,7 +339,7 @@ def test_baseline_reland_control_flow(monkeypatch, capsys):
         reland.subprocess, "run", fake_run([(1, "garbage, no json")])
     )
     assert reland.main() == 1
-    assert "no JSON output" in capsys.readouterr().out
+    assert "no parsable JSON output" in capsys.readouterr().out
 
     # 2: nonzero exit WITH JSON → continue and emit the literal
     monkeypatch.setattr(
@@ -357,6 +357,38 @@ def test_baseline_reland_control_flow(monkeypatch, capsys):
     assert reland.main() == 0
     out = capsys.readouterr().out
     assert "BASELINE_SEC = {" in out and "ABORT" not in out
+
+    # 4 (r12 ADVICE): bench's r13 two-line contract — the full
+    # per-query line followed by the tagged compact line, with a
+    # TRUNCATED partial trailing fragment after them; the parser must
+    # skip the fragment, see the compact line, and still prefer the
+    # line that carries the per-query dict.
+    compact_line = (
+        '{"compact": true, "metric": "m", "value": 1.0,'
+        ' "host_calibration_ratio": 1.0, "regressions": []}'
+    )
+    headline_line = (
+        '{"metric": "m", "value": 1.0,'
+        ' "queries": {"flagship_enriched_sample": 0.5},'
+        ' "host_calibration_ratio": 1.0, "regressions": []}'
+    )
+    two_lines = (
+        headline_line + "\n" + compact_line + '\n{"metric": "m", "val'
+    )
+    monkeypatch.setattr(
+        reland.subprocess, "run", fake_run([(0, two_lines)])
+    )
+    assert reland.main() == 0
+    out = capsys.readouterr().out
+    assert "BASELINE_SEC = {" in out and '"flagship_enriched_sample"' in out
+
+    # 5: ONLY the compact line survived (full line truncated away) →
+    # clear abort, not a KeyError
+    monkeypatch.setattr(
+        reland.subprocess, "run", fake_run([(0, compact_line)])
+    )
+    assert reland.main() == 1
+    assert "compact totals line" in capsys.readouterr().out
 
 
 def test_theil_l_exact_recompute_and_t_consistency(spark, sf_dir):

@@ -1,0 +1,305 @@
+"""Round-13 operator invariants.
+
+Every query here registered AFTER the r13 window froze (POST_PIN →
+r14), so the pin is never at risk; each carries its three-SF strict
+oracle sweep plus an independent recompute or exact-invariant test
+below."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+    QUERIES,
+)
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+    load_table,
+)
+
+
+def _split_a(user_id) -> bool:
+    return hashlib.md5(str(user_id).encode()).hexdigest()[:2] < "80"
+
+
+def _user_spends(spark, sf_dir):
+    """(user_id -> (variant, spend_cents)): the driver-side mirror of
+    _USER_SPEND_CTE — per-user total purchase spend in exact cents,
+    0 for never-purchasers, md5 hash-split tag."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "value",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    spend: dict = {}
+    for r in rows:
+        m = spend.setdefault(r.user_id, 0)
+        if r.is_purchase:
+            spend[r.user_id] = m + math.floor(float(r.value) * 100.0 + 0.5)
+    return {
+        u: ("a" if _split_a(u) else "b", m) for u, m in spend.items()
+    }
+
+
+def test_preferential_attachment_exact_recompute(spark, sf_dir):
+    """Driver-side preferential-attachment recompute on the capped
+    edge set: top-20 by the exact integer deg·deg product under the
+    (score desc, s1, s2) order, shared-customer counts included —
+    FP-free, so equality is exact with no quantization step."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+
+    ee = R._cosupp_capped_edges(spark, sf_dir).collect()
+    by_cust = defaultdict(set)
+    deg = defaultdict(int)
+    for r in ee:
+        by_cust[r.cust].add(r.supp)
+        deg[r.supp] += 1
+    pair = defaultdict(int)
+    for supps in by_cust.values():
+        ss = sorted(supps)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1 :]:
+                pair[(a, b)] += 1
+    want = sorted(
+        (
+            (deg[a] * deg[b], a, b, shared, deg[a], deg[b])
+            for (a, b), shared in pair.items()
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: R._PA_TOP]
+    got = [
+        (r.pa_score, r.s1, r.s2, r.shared_customers, r.deg1, r.deg2)
+        for r in QUERIES["graph_preferential_attachment"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
+    assert got, "fixture produced no co-supplier pairs"
+
+
+def test_atkinson_consistency_with_theil_l(spark, sf_dir):
+    """The Atkinson query's mld must equal agg_theil_l_decomposition's
+    mld_total bit-for-bit (shared base relations and clamp), and its
+    atkinson_1 / EDE / mean columns must equal the driver-side
+    transform of that SAME quantized L — the exp-of-quantized-input
+    rule checked end to end."""
+    l_row = (
+        QUERIES["agg_theil_l_decomposition"].fn(spark, sf_dir).collect()[0]
+    )
+    a_row = QUERIES["agg_atkinson_index"].fn(spark, sf_dir).collect()[0]
+    assert a_row.mld == l_row.mld_total
+    assert a_row.n_customers == l_row.n_customers
+    assert a_row.total_spend_cents == l_row.total_spend_cents
+    n, s = a_row.n_customers, a_row.total_spend_cents
+    l_micro = round(a_row.mld * 1e6)
+    atk = math.floor((1.0 - math.exp(-(l_micro / 1e6))) * 1e6 + 0.5) / 1e6
+    assert a_row.atkinson_1 == atk
+    assert 0.0 <= a_row.atkinson_1 < 1.0
+    assert a_row.mean_spend_cents == (2 * s + n) // (2 * n)
+    assert a_row.ede_spend_cents == math.floor(
+        (s / n) * math.exp(-(l_micro / 1e6)) + 0.5
+    )
+    # welfare ordering: EDE ≤ mean, with equality only at zero
+    # inequality
+    assert a_row.ede_spend_cents <= a_row.mean_spend_cents
+
+
+def test_msprt_exact_recompute(spark, sf_dir):
+    """Driver-side recompute of the full mSPRT daily monitor: entry
+    and first-purchase days, cumulative what-the-dashboard-knew-at-d
+    cells, the log-space mixture statistic, its running max, and the
+    anytime-valid flag must all match bit-for-bit."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    entry: dict = {}
+    first_purchase: dict = {}
+    for r in rows:
+        if r.user_id not in entry or r.day < entry[r.user_id]:
+            entry[r.user_id] = r.day
+        if r.is_purchase and (
+            r.user_id not in first_purchase
+            or r.day < first_purchase[r.user_id]
+        ):
+            first_purchase[r.user_id] = r.day
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # day -> na ca nb cb
+    for u, day in entry.items():
+        e = cells[day]
+        if _split_a(u):
+            e[0] += 1
+        else:
+            e[2] += 1
+    for u, day in first_purchase.items():
+        e = cells[day]
+        if _split_a(u):
+            e[1] += 1
+        else:
+            e[3] += 1
+    tau2 = 1e-4
+    want = []
+    na = ca = nb = cb = 0
+    lnl_max = None
+    for day in sorted(cells):
+        d = cells[day]
+        na, ca, nb, cb = na + d[0], ca + d[1], nb + d[2], cb + d[3]
+        lnl = None
+        if na > 0 and nb > 0 and 0 < ca + cb < na + nb:
+            p = (ca + cb) / (na + nb)
+            v = p * (1.0 - p) * (1.0 / na + 1.0 / nb)
+            delta = ca / na - cb / nb
+            lnl = math.floor(
+                (
+                    0.5 * math.log(v / (v + tau2))
+                    + delta * delta * tau2 / (2.0 * v * (v + tau2))
+                )
+                * 1e6
+                + 0.5
+            )
+        if lnl is not None:
+            lnl_max = lnl if lnl_max is None else max(lnl_max, lnl)
+        sig = None if lnl_max is None else int(lnl_max > 2995732)
+        want.append(
+            (
+                day,
+                na,
+                ca,
+                nb,
+                cb,
+                None if lnl is None else lnl / 1e6,
+                None if lnl_max is None else lnl_max / 1e6,
+                sig,
+            )
+        )
+    got = [
+        (
+            r.day,
+            r.n_a,
+            r.c_a,
+            r.n_b,
+            r.c_b,
+            r.log_e_value,
+            r.log_e_running_max,
+            r.significant_always_valid,
+        )
+        for r in QUERIES["events_msprt_always_valid"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
+    assert len(got) > 1, "fixture produced fewer than two looks"
+
+
+def test_qte_exact_order_statistics(spark, sf_dir):
+    """Driver-side quantile-treatment-effect recompute: sort each
+    variant's per-user spends under the (m, user_id) order, take the
+    ceil(q·n)-th values, and require the two-pass bucket-rank query
+    to reproduce them exactly — integer equality, no quantization."""
+    spends = _user_spends(spark, sf_dir)
+    by_var = defaultdict(list)
+    for u, (v, m) in spends.items():
+        by_var[v].append((m, u))
+    want = []
+    for pct in (25, 50, 75, 90):
+        out = {"pct": pct}
+        for v in ("a", "b"):
+            vals = sorted(by_var[v])
+            n = len(vals)
+            out[f"n_{v}"] = n
+            out[f"q_{v}"] = vals[(pct * n + 99) // 100 - 1][0]
+        want.append(
+            (
+                pct,
+                out["n_a"],
+                out["q_a"],
+                out["n_b"],
+                out["q_b"],
+                out["q_a"] - out["q_b"],
+            )
+        )
+    got = [
+        (r.quantile_pct, r.n_a, r.q_a_cents, r.n_b, r.q_b_cents, r.qte_cents)
+        for r in QUERIES["events_quantile_treatment_effect"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
+    assert all(n > 0 for _, n, _, _, _, _ in got), "fixture lost a variant"
+
+
+def test_winsorized_lift_exact_recompute(spark, sf_dir):
+    """Driver-side winsorized-lift recompute: pooled 95th-percentile
+    cap as an order statistic, capped int64 cells, and the
+    NULLIF-guarded Welch z tree — all outputs bit-for-bit."""
+    spends = _user_spends(spark, sf_dir)
+    pooled = sorted((m, u) for u, (_v, m) in spends.items())
+    n = len(pooled)
+    cap = pooled[(95 * n + 99) // 100 - 1][0]
+    cells = {v: [0, 0, 0] for v in ("a", "b")}  # n, sw, sww
+    for _u, (v, m) in spends.items():
+        w = min(m, cap)
+        cells[v][0] += 1
+        cells[v][1] += w
+        cells[v][2] += w * w
+    (n_a, sw_a, sww_a), (n_b, sw_b, sww_b) = cells["a"], cells["b"]
+
+    def var(nn, sw, sww):
+        # mirror the engine's CAST-to-DOUBLE products
+        return (float(nn) * float(sww) - float(sw) * float(sw)) / (
+            float(nn) * (nn - 1)
+        )
+
+    diff = sw_a / n_a - sw_b / n_b
+    se = math.sqrt(var(n_a, sw_a, sww_a) / n_a + var(n_b, sw_b, sww_b) / n_b)
+    z_micro = (
+        math.floor(diff / se * 1e6 + 0.5)
+        if n_a > 1 and n_b > 1 and se > 0
+        else None
+    )
+    r = QUERIES["events_winsorized_lift"].fn(spark, sf_dir).collect()[0]
+    assert r.cap_cents == cap
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert r.mean_a_cents == math.floor(sw_a / n_a * 1e6 + 0.5) / 1e6
+    assert r.mean_b_cents == math.floor(sw_b / n_b * 1e6 + 0.5) / 1e6
+    assert r.lift_cents == math.floor(diff * 1e6 + 0.5) / 1e6
+    assert r.z_score == (None if z_micro is None else z_micro / 1e6)
+    assert r.significant_95 == (
+        None if z_micro is None else int(abs(z_micro) > 1959964)
+    )
+
+
+def test_qte_and_winsorized_share_spend_base(spark, sf_dir):
+    """The QTE median (q50) and the winsorized cap both come from the
+    SAME per-user spend relation: the pooled p95 cap must be ≥ both
+    variants' p90 order statistics only when the pooled tail says so
+    — checked structurally by requiring cap ≥ pooled median and every
+    QTE value ≤ the pooled max spend."""
+    spends = _user_spends(spark, sf_dir)
+    pooled = sorted(m for _v, m in spends.values())
+    cap = (
+        QUERIES["events_winsorized_lift"].fn(spark, sf_dir).collect()[0]
+    ).cap_cents
+    assert cap >= pooled[(50 * len(pooled) + 99) // 100 - 1]
+    mx = pooled[-1]
+    for r in (
+        QUERIES["events_quantile_treatment_effect"]
+        .fn(spark, sf_dir)
+        .collect()
+    ):
+        assert r.q_a_cents <= mx and r.q_b_cents <= mx

@@ -77,7 +77,13 @@ PRIORITY: tuple[str, ...] = ()
 # Reset at the r13 pin (the 10 r12 post-pin additions now lead the r13
 # rotation's never-green front); append every r13 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "graph_preferential_attachment",
+    "agg_atkinson_index",
+    "events_msprt_always_valid",
+    "events_quantile_treatment_effect",
+    "events_winsorized_lift",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:

@@ -230,6 +230,13 @@ EXTRA = [
     # r12 third batch (experimentation guardrail + variance reduction)
     "events_srm_check",
     "events_cuped_adjustment",
+    # r13 additions (sequential/distributional/robust experimentation,
+    # inequality welfare index, link-prediction baseline)
+    "events_msprt_always_valid",
+    "events_quantile_treatment_effect",
+    "events_winsorized_lift",
+    "agg_atkinson_index",
+    "graph_preferential_attachment",
 ]
 
 

@@ -155,6 +155,20 @@ QUERIES_UNDER_TEST = [
     # one user-grain aggregate + a 12-sum single-row reduction).
     "events_srm_check",
     "events_cuped_adjustment",
+    # round-13: mSPRT is two day-grain aggregates + days² lambda folds
+    # on a calendar-bounded array (the replicas multiply users, not
+    # days, so the fold state is CONSTANT and wall must stay linear in
+    # events); QTE/winsorized share the per-user spend aggregate +
+    # the bucket-rank two-pass (pass-1 state ≤ 2·4096 buckets by
+    # construction, pass-2 windows rank only target buckets);
+    # Atkinson shares the Theil L shape exactly; preferential
+    # attachment shares the capped pair expansion + the
+    # supplier-dimension degree join the Jaccard gate already bounds.
+    "events_msprt_always_valid",
+    "events_quantile_treatment_effect",
+    "events_winsorized_lift",
+    "agg_atkinson_index",
+    "graph_preferential_attachment",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
