@@ -6054,3 +6054,413 @@ def events_winsorized_lift(spark, sf_dir):
             " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
         ).alias("significant_95"),
     )
+
+
+# --- Mann–Whitney U rank-sum test (round 13, second batch) ---------------------
+#
+# The nonparametric companion to the QTE readout (ROADMAP r14
+# candidate #1, pulled forward): the winsorized z still tests a MEAN;
+# the Mann–Whitney U asks the distribution-free question — is a
+# random a-user's spend stochastically larger than a b-user's? On
+# heavy-tailed revenue this is the test practitioners reach for
+# before trusting any mean-based lift. Exactness: midranks over the
+# COMPACTED pooled spend distribution are carried in DOUBLED integer
+# units (2·midrank(v) = 2·cb + t + 1 — always an exact BIGINT), so
+# the rank sum 2R_a = Σ na_m·(2·cb + t + 1), U in doubled units
+# 2U_a = 2R_a − n_a(n_a+1), and the tie-correction sum
+# S_t = Σ(t³ − t) are ALL exact int64 (t³ ≤ N³ — exact past 2M tied
+# users at one value; beyond, DECIMAL(38), the ANOVA bound
+# convention). The normal approximation
+#   z = (2U_a − n_a·n_b) / (2·sqrt(var)),
+#   var = n_a·n_b/12 · ((N+1) − S_t/(N(N−1)))
+# is one fixed exactly-rounded IEEE tree over those integers
+# (±, ×, ÷, sqrt — no libm), micro-quantized; rank-biserial
+# r = 2U/(n_a n_b) − 1 is the unit-free effect size. Degenerate
+# shapes (an empty arm, every user tied at one value → var = 0)
+# guard NULL via NULLIF. The Spark plan computes the pooled prefix
+# counts WITHOUT a global window (the QTE bucket machinery: ≤ 4096
+# bucket totals → metadata-scale driver offsets → per-bucket prefix
+# windows); the DuckDB oracle uses the naive unpartitioned window —
+# the hash match proves the distributed prefix reproduces it.
+
+_MWU_VAR = (
+    "((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12e0)"
+    " * ((CAST(nn AS DOUBLE) + 1e0)"
+    "    - CAST(s_t AS DOUBLE)"
+    "      / NULLIF(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0),"
+    "               0e0)))"
+)
+_MWU_Z = (
+    f"((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    f" / NULLIF(2e0 * sqrt({_MWU_VAR}), 0e0))"
+)
+
+_MWU_ORACLE = f"""
+    WITH {_USER_SPEND_CTE},
+    cells AS (
+        SELECT m,
+               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na_m,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb_m,
+               CAST(count(*) AS BIGINT) AS t
+        FROM u GROUP BY 1
+    ),
+    cum AS (
+        SELECT m, na_m, nb_m, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY m
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM cells
+    ),
+    s AS (
+        SELECT CAST(sum(na_m) AS BIGINT) AS n_a,
+               CAST(sum(nb_m) AS BIGINT) AS n_b,
+               CAST(sum(t) AS BIGINT) AS nn,
+               CAST(sum(na_m * (2 * cb + t + 1)) AS BIGINT) AS r2_a,
+               CAST(sum(t * t * t - t) AS BIGINT) AS s_t
+        FROM cum
+    ),
+    uu2 AS (
+        SELECT n_a, n_b, nn, s_t,
+               r2_a - n_a * (n_a + 1) AS u2_a
+        FROM s
+    ),
+    z AS (
+        SELECT *,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   CAST(floor({_MWU_Z} * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM uu2
+    )
+    SELECT n_a, n_b,
+           CAST(u2_a AS DOUBLE) / 2e0 AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(CAST(floor((CAST(u2_a AS DOUBLE)
+                                 / (CAST(n_a AS DOUBLE)
+                                    * CAST(n_b AS DOUBLE)) - 1e0)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS rank_biserial,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1
+                     WHEN z_micro IS NOT NULL THEN 0 END
+                AS BIGINT) AS significant_95
+    FROM z
+"""
+
+
+def _spend_rank_cells(spark, u):
+    """Compacted pooled spend distribution with exact prefix counts,
+    no global window: (m, na_m, nb_m, t, cb) where cb = pooled #users
+    with spend < m. Bucket totals (≤ _SPEND_RANGES rows) are collected
+    for a metadata-scale driver prefix (the equidepth convention);
+    within-bucket prefixes run in rng-partitioned windows whose
+    fan-in is one bucket's distinct-value density."""
+    cells = u.groupBy("m").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("na_m"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb_m"),
+        F.count("*").cast("bigint").alias("t"),
+    )
+    mx = cells.agg(F.max("m")).first()[0]
+    width = max(1, (int(mx) if mx is not None else 0) // _SPEND_RANGES + 1)
+    cells = cells.withColumn("rng", F.expr(f"m div {width}").cast("bigint"))
+    bt = cells.groupBy("rng").agg(F.sum("t").alias("bt")).collect()
+    offsets, running = [], 0
+    for row in sorted(bt, key=lambda r: r["rng"]):
+        offsets.append((int(row["rng"]), running))
+        running += int(row["bt"])
+    off_df = spark.createDataFrame(offsets, schema="rng bigint, off bigint")
+    w = Window.partitionBy("rng").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        cells.join(F.broadcast(off_df), "rng")
+        .withColumn(
+            "cb",
+            (
+                F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("off")
+            ).cast("bigint"),
+        )
+        .select("m", "na_m", "nb_m", "t", "cb")
+    )
+
+
+@register("events_mannwhitney_u", _MWU_ORACLE)
+def events_mannwhitney_u(spark, sf_dir):
+    """Mann–Whitney U rank-sum test of per-user purchase spend between
+    the hash-split variants, with midrank tie handling, exact integer
+    tie correction, rank-biserial effect size, and the micro-quantized
+    normal-approximation z — the distribution-free companion to the
+    QTE/winsorized readouts (see the section comment for the
+    doubled-unit exactness contract).
+
+    Scale: one user-grain aggregate, one distinct-value aggregate,
+    then the pooled prefix via bucket totals (metadata-scale driver
+    offsets) + rng-partitioned windows — no global window; the test
+    statistic is a single-row reduction over five exact BIGINTs."""
+    u = _user_spend_split(spark, sf_dir)
+    cum = _spend_rank_cells(spark, u)
+    s = cum.agg(
+        F.sum("na_m").cast("bigint").alias("n_a"),
+        F.sum("nb_m").cast("bigint").alias("n_b"),
+        F.sum("t").cast("bigint").alias("nn"),
+        F.sum(F.expr("na_m * (2 * cb + t + 1)")).cast("bigint").alias(
+            "r2_a"
+        ),
+        F.sum(F.expr("t * t * t - t")).cast("bigint").alias("s_t"),
+    )
+    uu2 = s.withColumn("u2_a", F.expr("r2_a - n_a * (n_a + 1)"))
+    z = uu2.withColumn(
+        "z_micro",
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            f" CAST(floor({_MWU_Z} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    )
+    return z.select(
+        "n_a",
+        "n_b",
+        (F.col("u2_a").cast("double") / F.expr("2e0")).alias("u_a"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            " round(CAST(floor((CAST(u2_a AS DOUBLE)"
+            " / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) - 1e0)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("rank_biserial"),
+        F.round(F.col("z_micro") / F.expr("1000000e0"), 6).alias(
+            "z_score"
+        ),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1"
+            " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
+        ).alias("significant_95"),
+    )
+
+
+# --- post-stratification estimator (round 13, second batch) --------------------
+#
+# The categorical-covariate member of the variance-reduction family
+# (ROADMAP r14 candidate #2, pulled forward): CUPED regresses on a
+# numeric pre-period covariate; post-stratification conditions on a
+# categorical one — here the TYPE OF THE USER'S FIRST EVENT (their
+# entry action: view/click/signup/error/purchase — determined at
+# entry under the deterministic (ts, event_id) tie-break via struct
+# min, so conditioning on it cannot bias the contrast; entry WEEK
+# would be the textbook choice but the fixture's users all enter in
+# one calendar week, which would make the estimator degenerate-equal
+# to the raw diff). The estimator reweights each stratum's arm
+# contrast by its pooled share:
+#   Δ_ps = Σ_s (n_s/N)·(p_as − p_bs),
+#   Var  = Σ_s (n_s/N)²·(p_as(1−p_as)/n_as + p_bs(1−p_bs)/n_bs).
+# Determinism (the Theil per-group rule): each stratum's Δ term is
+# quantized to NANO (1e-9) and each variance term to PICO (1e-12)
+# BIGINTs BEFORE the cross-strata reduction, so the sums are exact
+# int64 in any order/partitioning (terms ≤ 1 ⇒ nano sums fit int64
+# past 9e9 strata; pico past 9e6 — far beyond calendar-bounded week
+# counts); z is then one fixed IEEE tree over the two integers.
+# A stratum with an EMPTY arm has no defined contrast; because SQL
+# SUM skips NULL terms (which would silently drop the stratum rather
+# than poison the estimate), the guard is explicit: bad_strata
+# counts them and any > 0 NULLs the stratified outputs. Every
+# division is NULLIF-guarded (the DiD ANSI lesson).
+
+_PS_TERM_D = (
+    "CAST(floor((CAST(n_s AS DOUBLE) / nn)"
+    " * (CAST(c_as AS DOUBLE) / NULLIF(n_as, 0)"
+    "    - CAST(c_bs AS DOUBLE) / NULLIF(n_bs, 0))"
+    " * 1000000000e0 + 0.5e0) AS BIGINT)"
+)
+_PS_TERM_V = (
+    "CAST(floor((CAST(n_s AS DOUBLE) / nn) * (CAST(n_s AS DOUBLE) / nn)"
+    " * ((CAST(c_as AS DOUBLE) / NULLIF(n_as, 0))"
+    "    * (1e0 - CAST(c_as AS DOUBLE) / NULLIF(n_as, 0)) / NULLIF(n_as, 0)"
+    "  + (CAST(c_bs AS DOUBLE) / NULLIF(n_bs, 0))"
+    "    * (1e0 - CAST(c_bs AS DOUBLE) / NULLIF(n_bs, 0)) / NULLIF(n_bs, 0))"
+    " * 1000000000000e0 + 0.5e0) AS BIGINT)"
+)
+_PS_Z = (
+    "(CAST(d_nano AS DOUBLE) / 1000000000e0)"
+    " / NULLIF(sqrt(CAST(v_pico AS DOUBLE) / 1000000000000e0), 0e0)"
+)
+
+_PS_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
+                   AS stratum,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_as,
+               CAST(sum(CASE WHEN variant = 'a' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_as,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bs,
+               CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_bs
+        FROM u GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_as + n_bs) AS BIGINT) AS nn,
+               CAST(sum(n_as) AS BIGINT) AS n_a,
+               CAST(sum(c_as) AS BIGINT) AS c_a,
+               CAST(sum(n_bs) AS BIGINT) AS n_b,
+               CAST(sum(c_bs) AS BIGINT) AS c_b,
+               CAST(count(*) AS BIGINT) AS n_strata
+        FROM st
+    ),
+    terms AS (
+        SELECT CAST(sum(CASE WHEN n_as > 0 AND n_bs > 0
+                             THEN {_PS_TERM_D.replace("n_s", "(n_as + n_bs)")}
+                             ELSE 0 END) AS BIGINT) AS d_nano,
+               CAST(sum(CASE WHEN n_as > 0 AND n_bs > 0
+                             THEN {_PS_TERM_V.replace("n_s", "(n_as + n_bs)")}
+                             ELSE 0 END) AS BIGINT) AS v_pico,
+               CAST(sum(CASE WHEN n_as = 0 OR n_bs = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS bad_strata
+        FROM st CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.*, terms.d_nano, terms.v_pico, terms.bad_strata
+        FROM tot CROSS JOIN terms
+    )
+    SELECT n_strata, bad_strata, n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+               round(CAST(floor((CAST(c_a AS DOUBLE) / n_a
+                                 - CAST(c_b AS DOUBLE) / n_b)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS diff_raw,
+           CASE WHEN bad_strata = 0 THEN
+               round(CAST(floor(CAST(d_nano AS DOUBLE) / 1000000000e0
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS diff_stratified,
+           CASE WHEN bad_strata = 0 AND v_pico > 0 THEN
+               round(CAST(floor({_PS_Z} * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS z_score,
+           CAST(CASE WHEN bad_strata = 0 AND v_pico > 0 THEN
+               CASE WHEN abs(CAST(floor({_PS_Z} * 1000000e0 + 0.5e0)
+                                  AS BIGINT)) > 1959964
+                    THEN 1 ELSE 0 END END AS BIGINT) AS significant_95
+    FROM f
+"""
+
+
+@register("events_stratified_lift", _PS_ORACLE)
+def events_stratified_lift(spark, sf_dir):
+    """Post-stratified conversion lift between the hash-split variants
+    with entry-week strata: pooled-share-weighted per-stratum
+    contrasts, nano/pico-quantized per-stratum terms summed as exact
+    BIGINTs, explicit empty-arm guard, and the micro-quantized z —
+    the categorical-covariate companion to CUPED (see the section
+    comment).
+
+    Scale: one user-grain aggregate, one stratum-grain cell aggregate
+    (map-side combinable; strata are calendar-bounded weeks), and a
+    single-row reduction — no window, no driver collect."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("stratum"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "stratum",
+            "conv",
+        )
+    )
+    st = u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_as"),
+        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_as"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bs"),
+        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_bs"),
+    )
+    tot = st.agg(
+        (F.sum(F.col("n_as") + F.col("n_bs"))).cast("bigint").alias("nn"),
+        F.sum("n_as").cast("bigint").alias("n_a"),
+        F.sum("c_as").cast("bigint").alias("c_a"),
+        F.sum("n_bs").cast("bigint").alias("n_b"),
+        F.sum("c_bs").cast("bigint").alias("c_b"),
+        F.count("*").cast("bigint").alias("n_strata"),
+    )
+    term_d = _PS_TERM_D.replace("n_s", "(n_as + n_bs)")
+    term_v = _PS_TERM_V.replace("n_s", "(n_as + n_bs)")
+    terms = st.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN n_as > 0 AND n_bs > 0 THEN {term_d}"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("d_nano"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN n_as > 0 AND n_bs > 0 THEN {term_v}"
+                " ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("v_pico"),
+        F.sum(
+            F.expr("CASE WHEN n_as = 0 OR n_bs = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("bad_strata"),
+    )
+    f = tot.crossJoin(F.broadcast(terms))
+    return f.select(
+        "n_strata",
+        "bad_strata",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            " round(CAST(floor((CAST(c_a AS DOUBLE) / n_a"
+            " - CAST(c_b AS DOUBLE) / n_b)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("diff_raw"),
+        F.expr(
+            "CASE WHEN bad_strata = 0 THEN"
+            " round(CAST(floor(CAST(d_nano AS DOUBLE) / 1000000000e0"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("diff_stratified"),
+        F.expr(
+            f"CASE WHEN bad_strata = 0 AND v_pico > 0 THEN"
+            f" round(CAST(floor({_PS_Z} * 1000000e0 + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6) END"
+        ).alias("z_score"),
+        F.expr(
+            f"CAST(CASE WHEN bad_strata = 0 AND v_pico > 0 THEN"
+            f" CASE WHEN abs(CAST(floor({_PS_Z} * 1000000e0 + 0.5e0)"
+            " AS BIGINT)) > 1959964 THEN 1 ELSE 0 END END AS BIGINT)"
+        ).alias("significant_95"),
+    )

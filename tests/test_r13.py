@@ -303,3 +303,119 @@ def test_qte_and_winsorized_share_spend_base(spark, sf_dir):
         .collect()
     ):
         assert r.q_a_cents <= mx and r.q_b_cents <= mx
+
+
+def test_mannwhitney_exact_recompute(spark, sf_dir):
+    """Driver-side Mann–Whitney recompute in the same doubled integer
+    units: midrank rank sum, U, exact tie correction, rank-biserial,
+    and the micro-quantized z must all match bit-for-bit."""
+    spends = _user_spends(spark, sf_dir)
+    cells = defaultdict(lambda: [0, 0])  # m -> [na, nb]
+    for _u, (v, m) in spends.items():
+        cells[m][0 if v == "a" else 1] += 1
+    n_a = sum(c[0] for c in cells.values())
+    n_b = sum(c[1] for c in cells.values())
+    nn = n_a + n_b
+    r2_a = s_t = 0
+    cb = 0
+    for m in sorted(cells):
+        na_m, nb_m = cells[m]
+        t = na_m + nb_m
+        r2_a += na_m * (2 * cb + t + 1)
+        s_t += t * t * t - t
+        cb += t
+    u2_a = r2_a - n_a * (n_a + 1)
+    var = (n_a * n_b / 12.0) * ((nn + 1.0) - s_t / (nn * (nn - 1.0)))
+    z_micro = (
+        math.floor(
+            (u2_a - float(n_a) * float(n_b)) / (2.0 * math.sqrt(var)) * 1e6
+            + 0.5
+        )
+        if n_a > 0 and n_b > 0 and var > 0
+        else None
+    )
+    r = QUERIES["events_mannwhitney_u"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert r.u_a == u2_a / 2.0
+    assert r.rank_biserial == (
+        math.floor((u2_a / (float(n_a) * float(n_b)) - 1.0) * 1e6 + 0.5)
+        / 1e6
+    )
+    assert r.z_score == (None if z_micro is None else z_micro / 1e6)
+    assert r.significant_95 == (
+        None if z_micro is None else int(abs(z_micro) > 1959964)
+    )
+    # U is bounded by n_a*n_b and rank-biserial lives in [-1, 1]
+    assert 0.0 <= r.u_a <= n_a * n_b
+    assert -1.0 <= r.rank_biserial <= 1.0
+
+
+def test_stratified_lift_exact_recompute(spark, sf_dir):
+    """Driver-side post-stratification recompute: first-event-type strata,
+    nano/pico per-stratum quantization, empty-arm guard, and the z
+    chain must all match bit-for-bit."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    first: dict = {}
+    conv: dict = {}
+    for r in rows:
+        k = r.user_id
+        key = (r.ts, r.event_id, r.event_type)
+        if k not in first or key < first[k]:
+            first[k] = key
+        conv[k] = conv.get(k, 0) or int(r.is_purchase)
+    st = defaultdict(lambda: [0, 0, 0, 0])  # type -> n_as c_as n_bs c_bs
+    for k, (_ts, _eid, etype) in first.items():
+        e = st[etype]
+        if _split_a(k):
+            e[0] += 1
+            e[1] += conv[k]
+        else:
+            e[2] += 1
+            e[3] += conv[k]
+    nn = sum(e[0] + e[2] for e in st.values())
+    n_a = sum(e[0] for e in st.values())
+    c_a = sum(e[1] for e in st.values())
+    n_b = sum(e[2] for e in st.values())
+    c_b = sum(e[3] for e in st.values())
+    d_nano = v_pico = bad = 0
+    for e in st.values():
+        n_as, c_as, n_bs, c_bs = e
+        if n_as == 0 or n_bs == 0:
+            bad += 1
+            continue
+        w = (n_as + n_bs) / nn
+        pa, pb = c_as / n_as, c_bs / n_bs
+        d_nano += math.floor(w * (pa - pb) * 1e9 + 0.5)
+        v_pico += math.floor(
+            w * w * (pa * (1.0 - pa) / n_as + pb * (1.0 - pb) / n_bs)
+            * 1e12
+            + 0.5
+        )
+    r = QUERIES["events_stratified_lift"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_strata, r.bad_strata) == (len(st), bad)
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    assert r.diff_raw == math.floor(
+        (c_a / n_a - c_b / n_b) * 1e6 + 0.5
+    ) / 1e6
+    if bad == 0:
+        assert r.diff_stratified == (
+            math.floor(d_nano / 1e9 * 1e6 + 0.5) / 1e6
+        )
+        if v_pico > 0:
+            z = (d_nano / 1e9) / math.sqrt(v_pico / 1e12)
+            z_micro = math.floor(z * 1e6 + 0.5)
+            assert r.z_score == z_micro / 1e6
+            assert r.significant_95 == int(abs(z_micro) > 1959964)
+    else:
+        assert r.diff_stratified is None and r.z_score is None
+    assert len(st) >= 2, "fixture produced fewer than two strata"

@@ -83,6 +83,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_msprt_always_valid",
     "events_quantile_treatment_effect",
     "events_winsorized_lift",
+    "events_mannwhitney_u",
+    "events_stratified_lift",
 )
 
 

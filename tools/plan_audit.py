@@ -237,6 +237,9 @@ EXTRA = [
     "events_winsorized_lift",
     "agg_atkinson_index",
     "graph_preferential_attachment",
+    # r13 second batch (nonparametric + categorical-covariate members)
+    "events_mannwhitney_u",
+    "events_stratified_lift",
 ]
 
 

@@ -169,6 +169,12 @@ QUERIES_UNDER_TEST = [
     "events_winsorized_lift",
     "agg_atkinson_index",
     "graph_preferential_attachment",
+    # round-13 second batch: Mann–Whitney shares the spend base + the
+    # bucket-prefix machinery (pass-1 state ≤ 4096 buckets, pass-2
+    # rng-partitioned windows over one bucket's distinct values);
+    # the stratified lift is one user-grain + one 5-stratum aggregate.
+    "events_mannwhitney_u",
+    "events_stratified_lift",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
