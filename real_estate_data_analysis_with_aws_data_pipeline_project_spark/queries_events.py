@@ -6464,3 +6464,187 @@ def events_stratified_lift(spark, sf_dir):
             " AS BIGINT)) > 1959964 THEN 1 ELSE 0 END END AS BIGINT)"
         ).alias("significant_95"),
     )
+
+
+# --- DiD parallel-trends placebo (round 13, third batch) -----------------------
+#
+# The validity diagnostic every difference-in-differences readout
+# needs (ROADMAP r14 candidate #3, pulled forward): DiD is unbiased
+# only under PARALLEL TRENDS — absent treatment, both groups' rates
+# would have moved together. The standard falsification test reruns
+# the SAME estimator entirely INSIDE the pre-period (split at the
+# pre-period's own integer-microsecond midpoint, the DiD midpoint
+# rule applied recursively): there is no treatment anywhere in that
+# window, so a significant "effect" is evidence the groups were
+# already trending apart and the headline DiD should not be trusted.
+# Same unit convention (user active in a half-period × any purchase
+# in it), same md5 split, and the SAME _DID_EST/_DID_SE/_DID_CELLS_OK
+# fragments over identically-named cells — a formula fix in the
+# estimator is a formula fix in its placebo by construction. Output
+# mirrors the estimator plus the explicit parallel_trends_violation
+# flag (the placebo's significance IS the violation verdict).
+
+_PLACEBO_ORACLE = f"""
+    WITH b AS (
+        SELECT min(epoch_us(ts)) AS mn,
+               (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+        FROM events
+    ),
+    b2 AS (SELECT mid, (mn + mid) // 2 AS pmid FROM b),
+    up AS (
+        SELECT user_id,
+               CASE WHEN epoch_us(ts) < pmid THEN 0 ELSE 1 END AS post,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events CROSS JOIN b2
+        WHERE epoch_us(ts) < mid
+        GROUP BY 1, 2
+    ),
+    tagged AS (
+        SELECT CASE WHEN {_SPLIT_A_SQL} THEN 1 ELSE 0 END AS treat,
+               post, conv
+        FROM up
+    ),
+    v AS (
+        SELECT
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t_pre,
+            CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_t_pre,
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_t_post,
+            CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_t_post,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c_pre,
+            CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_c_pre,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_c_post,
+            CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN conv ELSE 0 END)
+                 AS BIGINT) AS c_c_post
+        FROM tagged
+    ),
+    d AS (
+        SELECT *,
+               CASE WHEN {_DID_CELLS_OK} THEN
+                   CAST(floor({_DID_EST} * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS did_micro,
+               CASE WHEN {_DID_CELLS_OK} AND {_DID_SE} > 0e0 THEN
+                   CAST(floor({_DID_EST} / {_DID_SE}
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM v
+    )
+    SELECT n_t_pre, c_t_pre, n_t_post, c_t_post,
+           n_c_pre, c_c_pre, n_c_post, c_c_post,
+           {_did_rate_cols_sql()},
+           round(did_micro / 1000000e0, 6) AS placebo_estimate,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END
+                AS BIGINT) AS parallel_trends_violation
+    FROM d
+"""
+
+
+@register("events_did_placebo_pretrends", _PLACEBO_ORACLE)
+def events_did_placebo_pretrends(spark, sf_dir):
+    """Parallel-trends placebo for the DiD estimator: the identical
+    contrast rerun entirely inside the pre-period (split at the
+    pre-period's own integer-microsecond midpoint) — a significant
+    placebo flags the pre-trend violation that would invalidate the
+    headline DiD (see the section comment; shares the estimator's
+    _DID_EST/_DID_SE/_DID_CELLS_OK fragments over identically-named
+    cells so estimator and diagnostic can never drift).
+
+    Scale: identical shape to events_did_estimator — one global
+    (min, max) reduction, one user-half-period aggregate over the
+    pre-period scan (the mid filter prunes the post half), and a
+    single-row reduction of eight integer counts."""
+    from .functions.scalar import split_is_a
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.expr(
+            "(min(unix_micros(ts)) + max(unix_micros(ts))) DIV 2"
+        ).alias("mid"),
+    ).select("mid", F.expr("(mn + mid) DIV 2").alias("pmid"))
+    up = (
+        ev.crossJoin(F.broadcast(b))
+        .where(F.unix_micros("ts") < F.col("mid"))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < F.col("pmid"), 0)
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+    )
+    tagged = up.select(
+        F.when(split_is_a("user_id"), 1).otherwise(0).alias("treat"),
+        "post",
+        "conv",
+    )
+    cells = []
+    for treat, grp in ((1, "t"), (0, "c")):
+        for post, per in ((0, "pre"), (1, "post")):
+            cond = (F.col("treat") == treat) & (F.col("post") == post)
+            cells.append(
+                F.sum(F.when(cond, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{grp}_{per}")
+            )
+            cells.append(
+                F.sum(F.when(cond, F.col("conv")).otherwise(0))
+                .cast("bigint")
+                .alias(f"c_{grp}_{per}")
+            )
+    v = tagged.agg(*cells)
+    d = v.withColumn(
+        "did_micro",
+        F.expr(
+            f"CASE WHEN {_DID_CELLS_OK} THEN"
+            f" CAST(floor({_DID_EST} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    ).withColumn(
+        "z_micro",
+        F.expr(
+            f"CASE WHEN {_DID_CELLS_OK} AND {_DID_SE} > 0e0 THEN"
+            f" CAST(floor({_DID_EST} / {_DID_SE}"
+            f" * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    )
+    rate_cols = [
+        F.expr(
+            f"CASE WHEN n_{c} > 0 THEN"
+            f" round(CAST(floor({_DID_RATE[c]} * 1000000e0 + 0.5e0)"
+            f" AS BIGINT) / 1000000e0, 6) END"
+        ).alias(f"rate_{c}")
+        for c in ("t_pre", "t_post", "c_pre", "c_post")
+    ]
+    return d.select(
+        "n_t_pre",
+        "c_t_pre",
+        "n_t_post",
+        "c_t_post",
+        "n_c_pre",
+        "c_c_pre",
+        "n_c_post",
+        "c_c_post",
+        *rate_cols,
+        F.round(F.col("did_micro").cast("double") / F.expr("1000000e0"), 6)
+        .alias("placebo_estimate"),
+        F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
+        .alias("z_score"),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("parallel_trends_violation"),
+    )

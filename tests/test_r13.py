@@ -419,3 +419,68 @@ def test_stratified_lift_exact_recompute(spark, sf_dir):
     else:
         assert r.diff_stratified is None and r.z_score is None
     assert len(st) >= 2, "fixture produced fewer than two strata"
+
+
+def test_did_placebo_consistency_and_recompute(spark, sf_dir):
+    """The placebo must equal a driver-side DiD recompute restricted
+    to the pre-period (split at the pre-midpoint), and its period
+    boundaries must nest inside the estimator's: placebo uses only
+    events strictly before the estimator's midpoint."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    mn = min(r.us for r in rows)
+    mid = (mn + max(r.us for r in rows)) // 2
+    pmid = (mn + mid) // 2
+    cell: dict = {}
+    for r in rows:
+        if r.us >= mid:
+            continue  # placebo lives entirely in the pre-period
+        treat = 1 if _split_a(r.user_id) else 0
+        post = 0 if r.us < pmid else 1
+        users = cell.setdefault((treat, post), {})
+        users[r.user_id] = users.get(r.user_id, 0) or int(r.is_purchase)
+    order = [(1, 0), (1, 1), (0, 0), (0, 1)]
+    n = {k: len(cell.get(k, {})) for k in order}
+    c = {k: sum(cell.get(k, {}).values()) for k in order}
+    r = (
+        QUERIES["events_did_placebo_pretrends"]
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert (
+        r.n_t_pre,
+        r.c_t_pre,
+        r.n_t_post,
+        r.c_t_post,
+        r.n_c_pre,
+        r.c_c_pre,
+        r.n_c_post,
+        r.c_c_post,
+    ) == tuple(x for k in order for x in (n[k], c[k]))
+    if all(n[k] > 0 for k in order):
+
+        def rate(k):
+            return c[k] / n[k]
+
+        did = (rate((1, 1)) - rate((1, 0))) - (rate((0, 1)) - rate((0, 0)))
+        se = math.sqrt(
+            sum(rate(k) * (1.0 - rate(k)) / n[k] for k in order)
+        )
+        assert r.placebo_estimate == math.floor(did * 1e6 + 0.5) / 1e6
+        if se > 0:
+            z_micro = math.floor(did / se * 1e6 + 0.5)
+            assert r.z_score == z_micro / 1e6
+            assert r.parallel_trends_violation == int(
+                abs(z_micro) > 1959964
+            )
+    # the placebo population is a subset of the estimator's pre cells
+    est = QUERIES["events_did_estimator"].fn(spark, sf_dir).collect()[0]
+    assert r.n_t_pre + r.n_t_post >= est.n_t_pre
+    assert r.n_c_pre + r.n_c_post >= est.n_c_pre

@@ -85,6 +85,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_winsorized_lift",
     "events_mannwhitney_u",
     "events_stratified_lift",
+    "events_did_placebo_pretrends",
 )
 
 

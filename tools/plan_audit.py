@@ -240,6 +240,8 @@ EXTRA = [
     # r13 second batch (nonparametric + categorical-covariate members)
     "events_mannwhitney_u",
     "events_stratified_lift",
+    # r13 third batch (DiD validity diagnostic)
+    "events_did_placebo_pretrends",
 ]
 
 

@@ -175,6 +175,10 @@ QUERIES_UNDER_TEST = [
     # the stratified lift is one user-grain + one 5-stratum aggregate.
     "events_mannwhitney_u",
     "events_stratified_lift",
+    # round-13 third batch: the placebo is the DiD shape exactly
+    # (one pre-period-pruned user-half-period aggregate + an 8-count
+    # reduction).
+    "events_did_placebo_pretrends",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
