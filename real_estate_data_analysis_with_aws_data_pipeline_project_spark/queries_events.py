@@ -5189,44 +5189,18 @@ _DID_ORACLE = f"""
 """
 
 
-@register("events_did_estimator", _DID_ORACLE, headline=True)
-def events_did_estimator(spark, sf_dir):
-    """Difference-in-differences conversion estimate between the
-    deterministic md5-split groups across the data-derived pre/post
-    midpoint, with pooled-proportion standard error and significance
-    flag — the quasi-experimental causal readout beside
-    events_ab_conversion_ztest (see the section comment for the
-    determinism contract and degenerate-shape guards).
 
-    Scale: one global (min, max) reduction for the midpoint, then ONE
-    user-period aggregate (map-side combined) and a single-row
-    reduction of eight integer counts — no window, no second
-    event-grain pass."""
+
+def _did_cells_report(up, est_col, sig_col):
+    """Shared DiD assembly (r13 review: the placebo duplicated ~70
+    lines of the estimator's Spark pipeline, so a fix to cell
+    construction or output assembly would not have propagated):
+    md5-split tagging of the (user_id, post, conv) relation, the
+    eight-cell reduction, the _DID_EST/_DID_SE/_DID_CELLS_OK chain,
+    rate columns, and the final select — parameterized only by the
+    estimate/flag output names."""
     from .functions.scalar import split_is_a
 
-    ev = load_table(spark, sf_dir, "events")
-    # DIV = exact BIGINT floor-division, matching the oracle's `//`
-    # (epoch micros are positive so floor == truncate in both)
-    b = ev.agg(F.min(F.unix_micros("ts")).alias("min_us"),
-               F.max(F.unix_micros("ts")).alias("max_us")).select(
-        F.expr("(min_us + max_us) DIV 2").alias("mid_us")
-    )
-    up = (
-        ev.crossJoin(F.broadcast(b))
-        .groupBy(
-            "user_id",
-            F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
-            .otherwise(1)
-            .alias("post"),
-        )
-        .agg(
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("conv")
-        )
-    )
     tagged = up.select(
         F.when(split_is_a("user_id"), 1).otherwise(0).alias("treat"),
         "post",
@@ -5280,14 +5254,56 @@ def events_did_estimator(spark, sf_dir):
         "c_c_post",
         *rate_cols,
         F.round(F.col("did_micro").cast("double") / F.expr("1000000e0"), 6)
-        .alias("did_estimate"),
+        .alias(est_col),
         F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
         .alias("z_score"),
         F.expr(
             "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
             " AS BIGINT)"
-        ).alias("significant_95"),
+        ).alias(sig_col),
     )
+
+
+
+@register("events_did_estimator", _DID_ORACLE, headline=True)
+def events_did_estimator(spark, sf_dir):
+    """Difference-in-differences conversion estimate between the
+    deterministic md5-split groups across the data-derived pre/post
+    midpoint, with pooled-proportion standard error and significance
+    flag — the quasi-experimental causal readout beside
+    events_ab_conversion_ztest (see the section comment for the
+    determinism contract and degenerate-shape guards).
+
+    Scale: one global (min, max) reduction for the midpoint, then ONE
+    user-period aggregate (map-side combined) and a single-row
+    reduction of eight integer counts — no window, no second
+    event-grain pass."""
+    from .functions.scalar import split_is_a
+
+    ev = load_table(spark, sf_dir, "events")
+    # DIV = exact BIGINT floor-division, matching the oracle's `//`
+    # (epoch micros are positive so floor == truncate in both)
+    b = ev.agg(F.min(F.unix_micros("ts")).alias("min_us"),
+               F.max(F.unix_micros("ts")).alias("max_us")).select(
+        F.expr("(min_us + max_us) DIV 2").alias("mid_us")
+    )
+    up = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy(
+            "user_id",
+            F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("post"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv")
+        )
+    )
+    return _did_cells_report(up, "did_estimate", "significant_95")
 
 
 # --- session-timeout sensitivity audit (round 11) -----------------------------
@@ -5641,15 +5657,12 @@ def events_msprt_always_valid(spark, sf_dir):
             F.collect_list(F.struct("day", "na_d", "ca_d", "nb_d", "cb_d"))
         ).alias("arr")
     )
+    # ONE prefix fold per output row carrying the four cumulative
+    # cells AND the running max together (r13 review: a second fold
+    # duplicating the identical cell updates just to finish on mx
+    # doubled the days² lambda work)
     cum = d.crossJoin(F.broadcast(arr)).select(
         "day",
-        F.expr(
-            "aggregate(filter(arr, x -> x.day <= day),"
-            " named_struct('na', 0L, 'ca', 0L, 'nb', 0L, 'cb', 0L),"
-            " (a, x) -> named_struct("
-            "     'na', a.na + x.na_d, 'ca', a.ca + x.ca_d,"
-            "     'nb', a.nb + x.nb_d, 'cb', a.cb + x.cb_d))"
-        ).alias("st"),
         F.expr(
             "aggregate(filter(arr, x -> x.day <= day),"
             " named_struct('na', 0L, 'ca', 0L, 'nb', 0L, 'cb', 0L,"
@@ -5657,9 +5670,8 @@ def events_msprt_always_valid(spark, sf_dir):
             " (a, x) -> named_struct("
             "     'na', a.na + x.na_d, 'ca', a.ca + x.ca_d,"
             "     'nb', a.nb + x.nb_d, 'cb', a.cb + x.cb_d,"
-            f"    'mx', greatest(a.mx, {_MSPRT_FOLD_LNL})),"
-            " a -> a.mx)"
-        ).alias("lnl_max"),
+            f"    'mx', greatest(a.mx, {_MSPRT_FOLD_LNL})))"
+        ).alias("st"),
     )
     lrel = cum.select(
         "day",
@@ -5667,7 +5679,7 @@ def events_msprt_always_valid(spark, sf_dir):
         F.col("st.ca").alias("c_a"),
         F.col("st.nb").alias("n_b"),
         F.col("st.cb").alias("c_b"),
-        "lnl_max",
+        F.col("st.mx").alias("lnl_max"),
     ).withColumn(
         "lnl_micro",
         F.expr(_msprt_lnl_micro_sql("n_a", "c_a", "n_b", "c_b")),
@@ -5766,28 +5778,43 @@ def _user_spend_split(spark, sf_dir):
     )
 
 
-def _bucket_order_stats(spark, g, ranks_by_grp):
+def _rng_bucketed(df, col="m"):
+    """ONE definition of the two-pass value-range bucketing rule
+    (r13 review: the order-statistic and rank-prefix paths must never
+    desynchronize on width/handling): rng = col div width, width
+    sized off max(col) so there are ≤ _SPEND_RANGES buckets; assumes
+    col ≥ 0 (div on negatives floors differently). One Spark action
+    for the max."""
+    mx = df.agg(F.max(col)).first()[0]
+    width = max(1, (int(mx) if mx is not None else 0) // _SPEND_RANGES + 1)
+    return df.withColumn("rng", F.expr(f"{col} div {width}").cast("bigint"))
+
+
+def _bucket_order_stats(spark, g, ranks_for):
     """Exact k-th order statistics without a global window — the
     equidepth two-pass pattern generalized to named rank targets.
 
-    ``g`` is (grp, m, user_id) with m ≥ 0 (div-bucketing assumes
-    non-negative); ``ranks_by_grp`` maps grp -> [(tag, rank_1based)].
-    Pass 1 aggregates counts per (grp, m div width) bucket (≤
-    _SPEND_RANGES buckets — metadata-scale, collected like
-    corpus_global_shuffle's offsets); the driver walks each group's
-    bucket prefix to place every target rank in its bucket with a
-    residual; pass 2 ranks WITHIN target buckets only (window fan-in
-    = one bucket's density) and keeps the residual-th row. Returns
-    (grp, tag, m) — one row per placed target."""
-    mx = g.agg(F.max("m")).first()[0]
-    width = max(1, (int(mx) if mx is not None else 0) // _SPEND_RANGES + 1)
-    g = g.withColumn("rng", F.expr(f"m div {width}").cast("bigint"))
+    ``g`` is (grp, m, user_id) with m ≥ 0; ``ranks_for`` is a
+    callable n_by -> {grp: [(tag, rank_1based)]}, invoked with the
+    per-group totals DERIVED FROM the pass-1 bucket counts (r13
+    review: a separate count aggregate was a redundant scan). Pass 1
+    aggregates counts per (grp, rng) bucket (≤ _SPEND_RANGES buckets
+    — metadata-scale, collected like corpus_global_shuffle's
+    offsets); the driver walks each group's bucket prefix to place
+    every target rank in its bucket with a residual; pass 2 ranks
+    WITHIN target buckets only (window fan-in = one bucket's
+    density) and keeps the residual-th row. Returns the
+    (grp, tag, m) DataFrame — one row per placed target — plus the
+    n_by dict."""
+    g = _rng_bucketed(g)
     counts = g.groupBy("grp", "rng").count().collect()
     by_grp: dict = {}
     for r in counts:
         by_grp.setdefault(r["grp"], []).append(
             (int(r["rng"]), int(r["count"]))
         )
+    n_by = {grp: sum(c for _, c in pairs) for grp, pairs in by_grp.items()}
+    ranks_by_grp = ranks_for(n_by)
     targets = []
     for grp, pairs in by_grp.items():
         pairs.sort()
@@ -5802,12 +5829,13 @@ def _bucket_order_stats(spark, g, ranks_by_grp):
         targets, schema="grp string, rng bigint, tag string, residual bigint"
     )
     wnd = Window.partitionBy("grp", "rng", "tag").orderBy("m", "user_id")
-    return (
+    out = (
         g.join(F.broadcast(tdf), ["grp", "rng"])
         .withColumn("rn", F.row_number().over(wnd))
         .where(F.col("rn") == F.col("residual"))
         .select("grp", "tag", "m")
     )
+    return out, n_by
 
 
 _QTE_ORACLE = f"""
@@ -5850,17 +5878,20 @@ def events_quantile_treatment_effect(spark, sf_dir):
     global-shuffle convention); pass-2 windows rank only the 8
     target buckets, fan-in one bucket's density — no global or
     per-variant row-grain window anywhere."""
-    u = _user_spend_split(spark, sf_dir)
+    # checkpoint: the user-spend aggregate feeds the pass-1 bucket
+    # collect AND the pass-2 job (the events_survival_km convention —
+    # without it each driver action rescans events)
+    u = _user_spend_split(spark, sf_dir).localCheckpoint(eager=True)
     g = u.select(F.col("variant").alias("grp"), "m", "user_id")
-    n_by = {
-        r["grp"]: int(r["n"])
-        for r in g.groupBy("grp").agg(F.count("*").alias("n")).collect()
-    }
-    ranks = {
-        grp: [(str(p), (p * n + 99) // 100) for p in _QTE_PCTS]
-        for grp, n in n_by.items()
-    }
-    os_ = _bucket_order_stats(spark, g, ranks).withColumn(
+    os_, n_by = _bucket_order_stats(
+        spark,
+        g,
+        lambda n_by: {
+            grp: [(str(p), (p * n + 99) // 100) for p in _QTE_PCTS]
+            for grp, n in n_by.items()
+        },
+    )
+    os_ = os_.withColumn(
         "n",
         F.when(F.col("grp") == "a", F.lit(n_by.get("a")))
         .when(F.col("grp") == "b", F.lit(n_by.get("b")))
@@ -5980,14 +6011,20 @@ def events_winsorized_lift(spark, sf_dir):
     the user relation; the test consumes six exact int64 cells from
     one map-side-combined aggregate — no window over row-grain data,
     no driver collect beyond the metadata-scale bucket prefix."""
-    u = _user_spend_split(spark, sf_dir)
-    n_total = u.count()
-    cap_rank = (_WINS_CAP_PCT * n_total + 99) // 100
+    # checkpoint: u feeds the cap's pass-1/pass-2 AND the capped-cell
+    # aggregate (three driver actions; the survival_km convention)
+    u = _user_spend_split(spark, sf_dir).localCheckpoint(eager=True)
     g = u.select(F.lit("p").alias("grp"), "m", "user_id")
-    cap_df = (
-        _bucket_order_stats(spark, g, {"p": [("cap", cap_rank)]})
-        .select(F.col("m").alias("cap"))
+    cap_os, _n_by = _bucket_order_stats(
+        spark,
+        g,
+        lambda n_by: {
+            "p": [("cap", (_WINS_CAP_PCT * n_by["p"] + 99) // 100)]
+        }
+        if n_by.get("p")
+        else {},
     )
+    cap_df = cap_os.select(F.col("m").alias("cap"))
     wv = u.crossJoin(F.broadcast(cap_df)).select(
         "variant", F.least(F.col("m"), F.col("cap")).alias("w"), "cap"
     )
@@ -6090,9 +6127,17 @@ _MWU_VAR = (
     "      / NULLIF(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0),"
     "               0e0)))"
 )
+# z from the STAGED variance column; the guard requires mwu_var > 0
+# (r13 review): past N ~ 2^53^(1/3) all-tied users, CAST(s_t AS
+# DOUBLE) rounding can push the variance a hair NEGATIVE, and
+# sqrt(negative) = NaN passes NULLIF — CAST(NaN AS BIGINT) then
+# errors in DuckDB/ANSI while non-ANSI Spark returns 0, a
+# cross-engine divergence. The > 0 guard (the winsorized SE idiom)
+# covers both the exact-zero and the negative-by-rounding shapes;
+# the NULLIF stays for CSE evaluation-order safety (the DiD lesson).
 _MWU_Z = (
-    f"((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
-    f" / NULLIF(2e0 * sqrt({_MWU_VAR}), 0e0))"
+    "((CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    " / NULLIF(2e0 * sqrt(mwu_var), 0e0))"
 )
 
 _MWU_ORACLE = f"""
@@ -6126,12 +6171,15 @@ _MWU_ORACLE = f"""
                r2_a - n_a * (n_a + 1) AS u2_a
         FROM s
     ),
+    vr AS (
+        SELECT *, {_MWU_VAR} AS mwu_var FROM uu2
+    ),
     z AS (
         SELECT *,
-               CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CASE WHEN n_a > 0 AND n_b > 0 AND mwu_var > 0e0 THEN
                    CAST(floor({_MWU_Z} * 1000000e0 + 0.5e0) AS BIGINT)
                END AS z_micro
-        FROM uu2
+        FROM vr
     )
     SELECT n_a, n_b,
            CAST(u2_a AS DOUBLE) / 2e0 AS u_a,
@@ -6165,9 +6213,11 @@ def _spend_rank_cells(spark, u):
         .alias("nb_m"),
         F.count("*").cast("bigint").alias("t"),
     )
-    mx = cells.agg(F.max("m")).first()[0]
-    width = max(1, (int(mx) if mx is not None else 0) // _SPEND_RANGES + 1)
-    cells = cells.withColumn("rng", F.expr(f"m div {width}").cast("bigint"))
+    # distinct-value grain; feeds the max action, the bucket-total
+    # collect, and the final job — checkpoint so the events scan +
+    # two aggregates run once (r13 review; survival_km convention)
+    cells = cells.localCheckpoint(eager=True)
+    cells = _rng_bucketed(cells)
     bt = cells.groupBy("rng").agg(F.sum("t").alias("bt")).collect()
     offsets, running = [], 0
     for row in sorted(bt, key=lambda r: r["rng"]):
@@ -6214,10 +6264,11 @@ def events_mannwhitney_u(spark, sf_dir):
         F.sum(F.expr("t * t * t - t")).cast("bigint").alias("s_t"),
     )
     uu2 = s.withColumn("u2_a", F.expr("r2_a - n_a * (n_a + 1)"))
-    z = uu2.withColumn(
+    vr = uu2.withColumn("mwu_var", F.expr(_MWU_VAR))
+    z = vr.withColumn(
         "z_micro",
         F.expr(
-            "CASE WHEN n_a > 0 AND n_b > 0 THEN"
+            "CASE WHEN n_a > 0 AND n_b > 0 AND mwu_var > 0e0 THEN"
             f" CAST(floor({_MWU_Z} * 1000000e0 + 0.5e0) AS BIGINT) END"
         ),
     )
@@ -6357,15 +6408,16 @@ _PS_ORACLE = f"""
 @register("events_stratified_lift", _PS_ORACLE)
 def events_stratified_lift(spark, sf_dir):
     """Post-stratified conversion lift between the hash-split variants
-    with entry-week strata: pooled-share-weighted per-stratum
+    with FIRST-EVENT-TYPE strata: pooled-share-weighted per-stratum
     contrasts, nano/pico-quantized per-stratum terms summed as exact
     BIGINTs, explicit empty-arm guard, and the micro-quantized z —
     the categorical-covariate companion to CUPED (see the section
-    comment).
+    comment for why entry-week strata were rejected).
 
     Scale: one user-grain aggregate, one stratum-grain cell aggregate
-    (map-side combinable; strata are calendar-bounded weeks), and a
-    single-row reduction — no window, no driver collect."""
+    (map-side combinable; stratum cardinality is the event-type
+    vocabulary), and a single-row reduction — no window, no driver
+    collect."""
     from .functions.scalar import split_is_a
 
     u = (
@@ -6587,64 +6639,6 @@ def events_did_placebo_pretrends(spark, sf_dir):
             .alias("conv")
         )
     )
-    tagged = up.select(
-        F.when(split_is_a("user_id"), 1).otherwise(0).alias("treat"),
-        "post",
-        "conv",
-    )
-    cells = []
-    for treat, grp in ((1, "t"), (0, "c")):
-        for post, per in ((0, "pre"), (1, "post")):
-            cond = (F.col("treat") == treat) & (F.col("post") == post)
-            cells.append(
-                F.sum(F.when(cond, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"n_{grp}_{per}")
-            )
-            cells.append(
-                F.sum(F.when(cond, F.col("conv")).otherwise(0))
-                .cast("bigint")
-                .alias(f"c_{grp}_{per}")
-            )
-    v = tagged.agg(*cells)
-    d = v.withColumn(
-        "did_micro",
-        F.expr(
-            f"CASE WHEN {_DID_CELLS_OK} THEN"
-            f" CAST(floor({_DID_EST} * 1000000e0 + 0.5e0) AS BIGINT) END"
-        ),
-    ).withColumn(
-        "z_micro",
-        F.expr(
-            f"CASE WHEN {_DID_CELLS_OK} AND {_DID_SE} > 0e0 THEN"
-            f" CAST(floor({_DID_EST} / {_DID_SE}"
-            f" * 1000000e0 + 0.5e0) AS BIGINT) END"
-        ),
-    )
-    rate_cols = [
-        F.expr(
-            f"CASE WHEN n_{c} > 0 THEN"
-            f" round(CAST(floor({_DID_RATE[c]} * 1000000e0 + 0.5e0)"
-            f" AS BIGINT) / 1000000e0, 6) END"
-        ).alias(f"rate_{c}")
-        for c in ("t_pre", "t_post", "c_pre", "c_post")
-    ]
-    return d.select(
-        "n_t_pre",
-        "c_t_pre",
-        "n_t_post",
-        "c_t_post",
-        "n_c_pre",
-        "c_c_pre",
-        "n_c_post",
-        "c_c_post",
-        *rate_cols,
-        F.round(F.col("did_micro").cast("double") / F.expr("1000000e0"), 6)
-        .alias("placebo_estimate"),
-        F.round(F.col("z_micro").cast("double") / F.expr("1000000e0"), 6)
-        .alias("z_score"),
-        F.expr(
-            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1 ELSE 0 END"
-            " AS BIGINT)"
-        ).alias("parallel_trends_violation"),
+    return _did_cells_report(
+        up, "placebo_estimate", "parallel_trends_violation"
     )
