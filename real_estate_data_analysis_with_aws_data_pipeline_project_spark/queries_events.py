@@ -5505,8 +5505,11 @@ def _msprt_lnl_micro_sql(na: str, ca: str, nb: str, cb: str) -> str:
     )
 
 
-_MSPRT_ORACLE = f"""
-    WITH u AS (
+# ONE definition of the sequential family's daily cumulative cells
+# (entry/first-purchase day increments -> day-grain cells -> window
+# cumsum), shared by the mSPRT monitor and the confidence-sequence
+# oracles — the _ABTEST_COUNTS_CTES one-fragment precedent.
+_MSPRT_CELLS_CTES = f"""u AS (
         SELECT user_id,
                CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
                date_trunc('day', min(ts)) AS e_day,
@@ -5544,7 +5547,10 @@ _MSPRT_ORACLE = f"""
         FROM d
         WINDOW w AS (ORDER BY day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ),
+    )"""
+
+_MSPRT_ORACLE = f"""
+    WITH {_MSPRT_CELLS_CTES},
     l AS (
         SELECT day, n_a, c_a, n_b, c_b,
                {_msprt_lnl_micro_sql("n_a", "c_a", "n_b", "c_b")}
@@ -5575,22 +5581,12 @@ _MSPRT_FOLD_LNL = _msprt_lnl_micro_sql(
 )
 
 
-@register("events_msprt_always_valid", _MSPRT_ORACLE)
-def events_msprt_always_valid(spark, sf_dir):
-    """Daily always-valid sequential monitor of the hash-split
-    conversion experiment: the mixture-SPRT e-process in log space,
-    its running maximum, and the anytime-valid 95 % significance flag
-    per calendar look — the peeking-proof companion to the fixed-n
-    z-test (see the section comment for the statistic and the
-    NULLIF/ln-guard determinism contract).
-
-    Scale: one user-grain aggregate (map-side combinable), one
-    day-grain cell aggregate, then the cumulative cells AND the
-    running max computed by F.aggregate prefix folds over ONE sorted
-    calendar-bounded array (the events_survival_km idiom — days²
-    lambda steps on a metadata-scale relation, NO single-partition
-    window anywhere; the DuckDB oracle uses the naive window
-    formulation, so the hash match proves the fold reproduces it)."""
+def _seq_day_increments(spark, sf_dir):
+    """Day-grain (na_d, ca_d, nb_d, cb_d) entry/first-purchase
+    increments — the Spark twin of _MSPRT_CELLS_CTES' u/inc/d chain,
+    shared by the mSPRT monitor and the confidence sequence.
+    Checkpointed: the relation feeds the output rows AND the fold
+    array (the events_survival_km convention)."""
     from .functions.scalar import split_is_a
 
     u = (
@@ -5648,10 +5644,27 @@ def events_msprt_always_valid(spark, sf_dir):
         .cast("bigint")
         .alias("cb_d"),
     )
-    # day-grain; feeds both the output rows and the fold array —
-    # checkpoint so the user aggregate + union subtree runs once
-    # (the events_survival_km convention)
-    d = d.localCheckpoint(eager=True)
+    return d.localCheckpoint(eager=True)
+
+
+@register("events_msprt_always_valid", _MSPRT_ORACLE)
+def events_msprt_always_valid(spark, sf_dir):
+    """Daily always-valid sequential monitor of the hash-split
+    conversion experiment: the mixture-SPRT e-process in log space,
+    its running maximum, and the anytime-valid 95 % significance flag
+    per calendar look — the peeking-proof companion to the fixed-n
+    z-test (see the section comment for the statistic and the
+    NULLIF/ln-guard determinism contract).
+
+    Scale: one user-grain aggregate (map-side combinable), one
+    day-grain cell aggregate, then the cumulative cells AND the
+    running max computed by ONE F.aggregate prefix fold over ONE
+    sorted calendar-bounded array (the events_survival_km idiom —
+    days² lambda steps on a metadata-scale relation, NO
+    single-partition window anywhere; the DuckDB oracle uses the
+    naive window formulation, so the hash match proves the fold
+    reproduces it)."""
+    d = _seq_day_increments(spark, sf_dir)
     arr = d.agg(
         F.sort_array(
             F.collect_list(F.struct("day", "na_d", "ca_d", "nb_d", "cb_d"))
@@ -6641,4 +6654,338 @@ def events_did_placebo_pretrends(spark, sf_dir):
     )
     return _did_cells_report(
         up, "placebo_estimate", "parallel_trends_violation"
+    )
+
+
+# --- anytime-valid confidence sequence (round 13, fourth batch) ----------------
+#
+# The estimation twin of the mSPRT decision rule: inverting the same
+# Gaussian-mixture e-process gives a CONFIDENCE SEQUENCE (Howard et
+# al., "Time-uniform, nonparametric, nonasymptotic confidence
+# sequences", Ann. Stat. 2021) — intervals valid UNIFORMLY over all
+# looks, so the dashboard can read the lift estimate every day
+# without inflating coverage error. Radius at look t:
+#   r_t = sqrt( (2·V·(V+τ²)/τ²) · (ln(1/α) + ½·ln((V+τ²)/V)) ),
+# CI_t = δ̂_t ± r_t, on the SAME daily cumulative cells, V, and τ as
+# the monitor (shared _MSPRT_CELLS_CTES / _seq_day_increments). The
+# running INTERSECTION of the per-day intervals is also valid and
+# monotone — lo_run = max lo_t, hi_run = min hi_t — and an empty
+# intersection (lo_run > hi_run) is itself a valid rejection signal.
+# Determinism: δ̂ and r are one fixed IEEE tree from the exact BIGINT
+# cells (one ln per look — the libm rule; ln(1/α) is the literal
+# 2.995732273553991e0, the same shortest-repr double in both
+# engines), micro-quantized per look; the running extrema and the
+# empty flag are exact integer ops. Degenerate looks yield NULL
+# bounds and are skipped by the running extrema (greatest/least and
+# window max/min both skip NULLs).
+
+_CS_LN_INV_ALPHA = "2.995732273553991e0"  # ln(1/0.05), shortest repr
+
+
+def _cs_col_sql(na: str, ca: str, nb: str, cb: str, what: str) -> str:
+    """Micro-quantized per-look column over the four cumulative cell
+    operands: what = 'delta' | 'lo' | 'hi'. NULL on degenerate looks.
+    One definition for both engines and both formulations."""
+    p = f"(CAST(({ca}) + ({cb}) AS DOUBLE) / NULLIF(({na}) + ({nb}), 0))"
+    v = (
+        f"({p} * (1e0 - {p})"
+        f" * (1e0 / NULLIF({na}, 0) + 1e0 / NULLIF({nb}, 0)))"
+    )
+    delta = (
+        f"(CAST({ca} AS DOUBLE) / NULLIF({na}, 0)"
+        f" - CAST({cb} AS DOUBLE) / NULLIF({nb}, 0))"
+    )
+    r = (
+        f"sqrt((2e0 * {v} * ({v} + {_MSPRT_TAU2}) / {_MSPRT_TAU2})"
+        f" * ({_CS_LN_INV_ALPHA}"
+        f"    + 0.5e0 * ln(({v} + {_MSPRT_TAU2}) / NULLIF({v}, 0e0))))"
+    )
+    expr = {
+        "delta": delta,
+        "lo": f"({delta} - {r})",
+        "hi": f"({delta} + {r})",
+    }[what]
+    return (
+        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 AND ({ca}) + ({cb}) > 0"
+        f" AND ({ca}) + ({cb}) < ({na}) + ({nb})"
+        f" THEN CAST(floor({expr} * 1000000e0 + 0.5e0) AS BIGINT) END"
+    )
+
+
+_CS_ORACLE = f"""
+    WITH {_MSPRT_CELLS_CTES},
+    ci AS (
+        SELECT day, n_a, c_a, n_b, c_b,
+               {_cs_col_sql("n_a", "c_a", "n_b", "c_b", "delta")}
+                   AS delta_micro,
+               {_cs_col_sql("n_a", "c_a", "n_b", "c_b", "lo")} AS lo_micro,
+               {_cs_col_sql("n_a", "c_a", "n_b", "c_b", "hi")} AS hi_micro
+        FROM c
+    ),
+    r2 AS (
+        SELECT *,
+               max(lo_micro) OVER wcum AS lo_run,
+               min(hi_micro) OVER wcum AS hi_run
+        FROM ci
+        WINDOW wcum AS (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_a, c_a, n_b, c_b,
+           round(delta_micro / 1000000e0, 6) AS lift,
+           round(lo_micro / 1000000e0, 6) AS ci_lo,
+           round(hi_micro / 1000000e0, 6) AS ci_hi,
+           round(lo_run / 1000000e0, 6) AS ci_lo_running,
+           round(hi_run / 1000000e0, 6) AS ci_hi_running,
+           CAST(CASE WHEN lo_run IS NULL OR hi_run IS NULL THEN NULL
+                     WHEN lo_run > hi_run THEN 1 ELSE 0
+                END AS BIGINT) AS intersection_empty
+    FROM r2 ORDER BY day
+"""
+
+_CS_FOLD_LO = _cs_col_sql(
+    "a.na + x.na_d", "a.ca + x.ca_d", "a.nb + x.nb_d", "a.cb + x.cb_d",
+    "lo",
+)
+_CS_FOLD_HI = _cs_col_sql(
+    "a.na + x.na_d", "a.ca + x.ca_d", "a.nb + x.nb_d", "a.cb + x.cb_d",
+    "hi",
+)
+
+
+@register("events_confidence_sequence", _CS_ORACLE)
+def events_confidence_sequence(spark, sf_dir):
+    """Daily anytime-valid confidence sequence for the hash-split
+    conversion lift — the mixture e-process inverted into
+    time-uniform intervals, with the running intersection and its
+    empty-intersection rejection flag (see the section comment for
+    the statistic and determinism contract; shares the sequential
+    family's daily cell machinery with the mSPRT monitor).
+
+    Scale: identical shape to events_msprt_always_valid — the shared
+    day-increment aggregate, then ONE prefix fold per output row over
+    the sorted calendar-bounded array carrying the four cells and the
+    running extrema together; per-look bounds are scalar arithmetic
+    on the fold outputs. No single-partition window; the oracle's
+    naive window formulation is proven equal by the hash."""
+    d = _seq_day_increments(spark, sf_dir)
+    arr = d.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "na_d", "ca_d", "nb_d", "cb_d"))
+        ).alias("arr")
+    )
+    cum = d.crossJoin(F.broadcast(arr)).select(
+        "day",
+        F.expr(
+            "aggregate(filter(arr, x -> x.day <= day),"
+            " named_struct('na', 0L, 'ca', 0L, 'nb', 0L, 'cb', 0L,"
+            "              'lo', CAST(NULL AS BIGINT),"
+            "              'hi', CAST(NULL AS BIGINT)),"
+            " (a, x) -> named_struct("
+            "     'na', a.na + x.na_d, 'ca', a.ca + x.ca_d,"
+            "     'nb', a.nb + x.nb_d, 'cb', a.cb + x.cb_d,"
+            f"    'lo', greatest(a.lo, {_CS_FOLD_LO}),"
+            f"    'hi', least(a.hi, {_CS_FOLD_HI})))"
+        ).alias("st"),
+    )
+    lrel = cum.select(
+        "day",
+        F.col("st.na").alias("n_a"),
+        F.col("st.ca").alias("c_a"),
+        F.col("st.nb").alias("n_b"),
+        F.col("st.cb").alias("c_b"),
+        F.col("st.lo").alias("lo_run"),
+        F.col("st.hi").alias("hi_run"),
+    ).select(
+        "*",
+        F.expr(
+            _cs_col_sql("n_a", "c_a", "n_b", "c_b", "delta")
+        ).alias("delta_micro"),
+        F.expr(_cs_col_sql("n_a", "c_a", "n_b", "c_b", "lo")).alias(
+            "lo_micro"
+        ),
+        F.expr(_cs_col_sql("n_a", "c_a", "n_b", "c_b", "hi")).alias(
+            "hi_micro"
+        ),
+    )
+    return lrel.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.col("delta_micro") / F.expr("1000000e0"), 6).alias(
+            "lift"
+        ),
+        F.round(F.col("lo_micro") / F.expr("1000000e0"), 6).alias("ci_lo"),
+        F.round(F.col("hi_micro") / F.expr("1000000e0"), 6).alias("ci_hi"),
+        F.round(F.col("lo_run") / F.expr("1000000e0"), 6).alias(
+            "ci_lo_running"
+        ),
+        F.round(F.col("hi_run") / F.expr("1000000e0"), 6).alias(
+            "ci_hi_running"
+        ),
+        F.expr(
+            "CAST(CASE WHEN lo_run IS NULL OR hi_run IS NULL THEN NULL"
+            " WHEN lo_run > hi_run THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("intersection_empty"),
+    ).orderBy("day")
+
+
+# --- split-behavior chi-square audit (round 13, fourth batch) ------------------
+#
+# Guardrail #2 beside the SRM check: SRM validates the assignment
+# RATIO; this validates behavioral BALANCE — is the event-type MIX
+# independent of the md5 split? A dependence (say, variant a firing
+# disproportionate error events) means the "randomization" is
+# correlated with behavior — instrumentation skew, a biased split
+# key, or a broken exposure path — and every downstream readout is
+# suspect. Pearson chi² on the event-grain (variant × event_type)
+# contingency table: χ² = Σ (o − e)²/e with e = row·col/N. Each
+# cell's term is micro-quantized BIGINT before the cross-cell sum
+# (the Theil per-group rule — exact int64 total in any order); e is
+# one fixed double tree from three BIGINTs. df = (r−1)(c−1) with the
+# α = 0.05 critical values for df 1..8 as table literals (the
+# textbook constants; outside the table the flag is NULL, stated
+# honestly, since a general chi² quantile needs special functions
+# neither engine exposes deterministically). min_expected is
+# reported so the analyst can see when the e ≥ 5 validity rule of
+# thumb is violated.
+
+_CHI2_CRIT_MICRO = {
+    1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729,
+    5: 11070498, 6: 12591587, 7: 14067140, 8: 15507313,
+}
+
+_CHI2_TERM = (
+    "CAST(floor("
+    " (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn)"
+    " * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / nn)"
+    " / NULLIF(CAST(rt AS DOUBLE) * ct / nn, 0e0)"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+_CHI2_CRIT_CASE = "CASE df " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in sorted(_CHI2_CRIT_MICRO.items())
+) + " END"
+
+_CHI2_ORACLE = f"""
+    WITH cells AS (
+        SELECT CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               event_type, CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (
+        SELECT variant, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+    ),
+    cols_ AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS ct
+        FROM cells GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS nn,
+               CAST(count(DISTINCT variant) AS BIGINT) AS r,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS c
+        FROM cells
+    ),
+    terms AS (
+        SELECT CAST(sum({_CHI2_TERM}) AS BIGINT) AS chi2_micro,
+               CAST(min(CAST(floor(CAST(rt AS DOUBLE) * ct / nn
+                                   * 1000000e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS min_expected_micro
+        FROM cells
+        JOIN rows_ USING (variant)
+        JOIN cols_ USING (event_type)
+        CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.nn, tot.r, tot.c, (tot.r - 1) * (tot.c - 1) AS df,
+               terms.chi2_micro, terms.min_expected_micro
+        FROM tot CROSS JOIN terms
+    )
+    SELECT nn AS n_events, r AS n_variants, c AS n_types,
+           CAST(df AS BIGINT) AS df,
+           round(chi2_micro / 1000000e0, 6) AS chi2,
+           round(min_expected_micro / 1000000e0, 6) AS min_expected,
+           CAST(CASE WHEN {_CHI2_CRIT_CASE} IS NULL THEN NULL
+                     WHEN chi2_micro > {_CHI2_CRIT_CASE} THEN 1 ELSE 0
+                END AS BIGINT) AS behavior_imbalance_95
+    FROM f
+"""
+
+
+@register("events_split_behavior_chi2", _CHI2_ORACLE)
+def events_split_behavior_chi2(spark, sf_dir):
+    """Pearson chi-square independence audit of event-type mix vs the
+    md5 split — the behavioral-balance guardrail beside the SRM
+    ratio check (see the section comment for the quantization and
+    critical-value contract).
+
+    Scale: one event-grain cell aggregate (map-side combinable,
+    variants × event-type vocabulary cells), two dimension-grain
+    margins broadcast back onto it, and a single-row integer
+    reduction — no window, no driver collect."""
+    from .functions.scalar import split_is_a
+
+    cells = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
+    )
+    rows_ = cells.groupBy("variant").agg(
+        F.sum("o").cast("bigint").alias("rt")
+    )
+    cols_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("ct")
+    )
+    tot = cells.agg(
+        F.sum("o").cast("bigint").alias("nn"),
+        F.countDistinct("variant").cast("bigint").alias("r"),
+        F.countDistinct("event_type").cast("bigint").alias("c"),
+    )
+    terms = (
+        cells.join(F.broadcast(rows_), "variant")
+        .join(F.broadcast(cols_), "event_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(_CHI2_TERM)).cast("bigint").alias("chi2_micro"),
+            F.min(
+                F.expr(
+                    "CAST(floor(CAST(rt AS DOUBLE) * ct / nn"
+                    " * 1000000e0 + 0.5e0) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("min_expected_micro"),
+        )
+    )
+    f = tot.crossJoin(F.broadcast(terms)).select(
+        "nn",
+        "r",
+        "c",
+        F.expr("(r - 1) * (c - 1)").alias("df"),
+        "chi2_micro",
+        "min_expected_micro",
+    )
+    return f.select(
+        F.col("nn").alias("n_events"),
+        F.col("r").alias("n_variants"),
+        F.col("c").alias("n_types"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias(
+            "chi2"
+        ),
+        F.round(
+            F.col("min_expected_micro") / F.expr("1000000e0"), 6
+        ).alias("min_expected"),
+        F.expr(
+            f"CAST(CASE WHEN {_CHI2_CRIT_CASE} IS NULL THEN NULL"
+            f" WHEN chi2_micro > {_CHI2_CRIT_CASE} THEN 1 ELSE 0"
+            " END AS BIGINT)"
+        ).alias("behavior_imbalance_95"),
     )

@@ -484,3 +484,160 @@ def test_did_placebo_consistency_and_recompute(spark, sf_dir):
     est = QUERIES["events_did_estimator"].fn(spark, sf_dir).collect()[0]
     assert r.n_t_pre + r.n_t_post >= est.n_t_pre
     assert r.n_c_pre + r.n_c_post >= est.n_c_pre
+
+
+def test_confidence_sequence_recompute_and_msprt_consistency(
+    spark, sf_dir
+):
+    """Driver-side recompute of the confidence sequence (same daily
+    cells as the mSPRT test, the inverted-mixture radius, running
+    intersection, empty flag) — plus the duality check: on any day
+    the monitor declares significance, the running intersection must
+    exclude 0."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    entry: dict = {}
+    first_purchase: dict = {}
+    for r in rows:
+        if r.user_id not in entry or r.day < entry[r.user_id]:
+            entry[r.user_id] = r.day
+        if r.is_purchase and (
+            r.user_id not in first_purchase
+            or r.day < first_purchase[r.user_id]
+        ):
+            first_purchase[r.user_id] = r.day
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for u, day in entry.items():
+        cells[day][0 if _split_a(u) else 2] += 1
+    for u, day in first_purchase.items():
+        cells[day][1 if _split_a(u) else 3] += 1
+    tau2, lninv = 1e-4, 2.995732273553991
+    want = []
+    na = ca = nb = cb = 0
+    lo_run = hi_run = None
+    for day in sorted(cells):
+        dd = cells[day]
+        na, ca, nb, cb = na + dd[0], ca + dd[1], nb + dd[2], cb + dd[3]
+        delta = lo = hi = None
+        if na > 0 and nb > 0 and 0 < ca + cb < na + nb:
+            p = (ca + cb) / (na + nb)
+            v = p * (1.0 - p) * (1.0 / na + 1.0 / nb)
+            dl = ca / na - cb / nb
+            rr = math.sqrt(
+                (2.0 * v * (v + tau2) / tau2)
+                * (lninv + 0.5 * math.log((v + tau2) / v))
+            )
+            delta = math.floor(dl * 1e6 + 0.5)
+            lo = math.floor((dl - rr) * 1e6 + 0.5)
+            hi = math.floor((dl + rr) * 1e6 + 0.5)
+        if lo is not None:
+            lo_run = lo if lo_run is None else max(lo_run, lo)
+            hi_run = hi if hi_run is None else min(hi_run, hi)
+        empty = (
+            None
+            if lo_run is None
+            else int(lo_run > hi_run)
+        )
+        want.append(
+            (
+                day,
+                na,
+                ca,
+                nb,
+                cb,
+                None if delta is None else delta / 1e6,
+                None if lo is None else lo / 1e6,
+                None if hi is None else hi / 1e6,
+                None if lo_run is None else lo_run / 1e6,
+                None if hi_run is None else hi_run / 1e6,
+                empty,
+            )
+        )
+    got_rows = (
+        QUERIES["events_confidence_sequence"].fn(spark, sf_dir).collect()
+    )
+    got = [
+        (
+            r.day,
+            r.n_a,
+            r.c_a,
+            r.n_b,
+            r.c_b,
+            r.lift,
+            r.ci_lo,
+            r.ci_hi,
+            r.ci_lo_running,
+            r.ci_hi_running,
+            r.intersection_empty,
+        )
+        for r in got_rows
+    ]
+    assert got == want
+    # duality vs the mSPRT monitor on the shared cells: a significant
+    # monitor day must have the running intersection excluding 0
+    mon = {
+        r.day: r.significant_always_valid
+        for r in QUERIES["events_msprt_always_valid"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    for r in got_rows:
+        if mon.get(r.day) == 1:
+            assert (
+                r.ci_lo_running is not None
+                and (r.ci_lo_running > 0 or r.ci_hi_running < 0)
+            )
+
+
+def test_split_behavior_chi2_exact_recompute(spark, sf_dir):
+    """Driver-side Pearson chi-square recompute over the
+    (variant × event_type) contingency table with per-cell micro
+    quantization, plus df/critical-value flag logic."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    cells = defaultdict(int)
+    for r in rows:
+        cells[("a" if _split_a(r.user_id) else "b", r.event_type)] += 1
+    rt = defaultdict(int)
+    ct = defaultdict(int)
+    for (v, t), o in cells.items():
+        rt[v] += o
+        ct[t] += o
+    nn = sum(cells.values())
+    chi2 = 0
+    min_e = None
+    for (v, t), o in cells.items():
+        e = float(rt[v]) * ct[t] / nn
+        chi2 += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+        e_micro = math.floor(e * 1e6 + 0.5)
+        min_e = e_micro if min_e is None else min(min_e, e_micro)
+    df = (len(rt) - 1) * (len(ct) - 1)
+    crit = {1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729,
+            5: 11070498, 6: 12591587, 7: 14067140, 8: 15507313}.get(df)
+    r = (
+        QUERIES["events_split_behavior_chi2"].fn(spark, sf_dir).collect()[0]
+    )
+    assert (r.n_events, r.n_variants, r.n_types, r.df) == (
+        nn,
+        len(rt),
+        len(ct),
+        df,
+    )
+    assert r.chi2 == chi2 / 1e6
+    assert r.min_expected == min_e / 1e6
+    assert r.behavior_imbalance_95 == (
+        None if crit is None else int(chi2 > crit)
+    )
+    assert df >= 1 and len(ct) >= 2, "fixture lost event-type variety"

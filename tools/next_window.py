@@ -86,6 +86,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_mannwhitney_u",
     "events_stratified_lift",
     "events_did_placebo_pretrends",
+    "events_confidence_sequence",
+    "events_split_behavior_chi2",
 )
 
 

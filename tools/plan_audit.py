@@ -242,6 +242,9 @@ EXTRA = [
     "events_stratified_lift",
     # r13 third batch (DiD validity diagnostic)
     "events_did_placebo_pretrends",
+    # r13 fourth batch (anytime-valid estimation + behavior guardrail)
+    "events_confidence_sequence",
+    "events_split_behavior_chi2",
 ]
 
 

@@ -179,6 +179,12 @@ QUERIES_UNDER_TEST = [
     # (one pre-period-pruned user-half-period aggregate + an 8-count
     # reduction).
     "events_did_placebo_pretrends",
+    # round-13 fourth batch: the confidence sequence shares the mSPRT
+    # shape exactly (same day-increment aggregate + one prefix fold);
+    # the chi2 audit is one event-grain cell aggregate + two
+    # dimension-grain margins + a single-row integer reduction.
+    "events_confidence_sequence",
+    "events_split_behavior_chi2",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
