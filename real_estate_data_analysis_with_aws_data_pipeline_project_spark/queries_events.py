@@ -6989,3 +6989,473 @@ def events_split_behavior_chi2(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("behavior_imbalance_95"),
     )
+
+
+# --- ratio-metric delta-method z-test (round 13, fifth batch) ------------------
+#
+# Production experiments rarely stop at binary conversion: the
+# headline metric is usually a RATIO of two user-level quantities —
+# here purchases per active day (y = purchase events, x = distinct
+# active days per user), estimated arm-wise as R = Σy/Σx. Because
+# both numerator and denominator are random, the naive binomial SE is
+# wrong; the standard fix is the delta method (Deng et al., "Applying
+# the Delta Method in Metric Analytics", KDD 2018):
+#   Var(R) ≈ (1/(n·x̄²))·(s_y² + R²·s_x² − 2·R·s_xy),
+# from the per-arm exact int64 sums (n, Σx, Σy, Σx², Σy², Σxy) — x is
+# bounded by the calendar span and y by per-user events, so the
+# products are tiny and the six sums are exact at any scale that fits
+# int64 (beyond: DECIMAL(38), the ANOVA convention). R, both
+# variances, and z = (R_a − R_b)/sqrt(V_a + V_b) are one fixed
+# exactly-rounded IEEE tree over the twelve integers (±, ×, ÷, sqrt —
+# no libm), micro-quantized; every division NULLIF-guarded (the DiD
+# CSE lesson); degenerate arms (n ≤ 1, Σx = 0, zero variance) NULL
+# the affected outputs.
+
+_RATIO_R = {
+    s: f"(CAST(sy_{s} AS DOUBLE) / NULLIF(CAST(sx_{s} AS DOUBLE), 0e0))"
+    for s in ("a", "b")
+}
+# delta-method variance of R per arm, all from the six exact sums:
+# xbar = sx/n; s_y², s_x², s_xy are the (n−1)-denominator sample
+# moments; Var(R) = (s_y² + R²s_x² − 2Rs_xy) / (n · xbar²)
+_RATIO_VAR = {
+    s: (
+        f"(((CAST(n_{s} AS DOUBLE) * CAST(syy_{s} AS DOUBLE)"
+        f"   - CAST(sy_{s} AS DOUBLE) * CAST(sy_{s} AS DOUBLE))"
+        f"   / NULLIF(CAST(n_{s} AS DOUBLE) * (n_{s} - 1), 0e0)"
+        f"  + {_RATIO_R[s]} * {_RATIO_R[s]}"
+        f"    * (CAST(n_{s} AS DOUBLE) * CAST(sxx_{s} AS DOUBLE)"
+        f"       - CAST(sx_{s} AS DOUBLE) * CAST(sx_{s} AS DOUBLE))"
+        f"    / NULLIF(CAST(n_{s} AS DOUBLE) * (n_{s} - 1), 0e0)"
+        f"  - 2e0 * {_RATIO_R[s]}"
+        f"    * (CAST(n_{s} AS DOUBLE) * CAST(sxy_{s} AS DOUBLE)"
+        f"       - CAST(sx_{s} AS DOUBLE) * CAST(sy_{s} AS DOUBLE))"
+        f"    / NULLIF(CAST(n_{s} AS DOUBLE) * (n_{s} - 1), 0e0))"
+        f" / NULLIF(CAST(n_{s} AS DOUBLE)"
+        f"          * (CAST(sx_{s} AS DOUBLE) / NULLIF(n_{s}, 0))"
+        f"          * (CAST(sx_{s} AS DOUBLE) / NULLIF(n_{s}, 0)), 0e0))"
+    )
+    for s in ("a", "b")
+}
+_RATIO_Z = (
+    f"(({_RATIO_R['a']} - {_RATIO_R['b']})"
+    " / NULLIF(sqrt(var_a + var_b), 0e0))"
+)
+
+_RATIO_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT
+            {", ".join(
+                f"CAST(sum(CASE WHEN variant = '{s}' THEN {e} ELSE 0 END)"
+                f" AS BIGINT) AS {c}_{s}"
+                for s in ("a", "b")
+                for c, e in (("n", "1"), ("sx", "x"), ("sy", "y"),
+                             ("sxx", "x * x"), ("syy", "y * y"),
+                             ("sxy", "x * y"))
+            )}
+        FROM u
+    ),
+    v AS (
+        SELECT s.*,
+               CASE WHEN n_a > 1 AND sx_a > 0
+                    THEN {_RATIO_VAR["a"]} END AS var_a,
+               CASE WHEN n_b > 1 AND sx_b > 0
+                    THEN {_RATIO_VAR["b"]} END AS var_b
+        FROM s
+    ),
+    z AS (
+        SELECT *,
+               CASE WHEN var_a IS NOT NULL AND var_b IS NOT NULL
+                         AND var_a + var_b > 0e0 THEN
+                   CAST(floor({_RATIO_Z} * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM v
+    )
+    SELECT n_a, sx_a AS active_days_a, sy_a AS purchases_a,
+           CASE WHEN sx_a > 0 THEN
+               round(CAST(floor({_RATIO_R["a"]} * 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS rate_a,
+           n_b, sx_b AS active_days_b, sy_b AS purchases_b,
+           CASE WHEN sx_b > 0 THEN
+               round(CAST(floor({_RATIO_R["b"]} * 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS rate_b,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1
+                     WHEN z_micro IS NOT NULL THEN 0 END
+                AS BIGINT) AS significant_95
+    FROM z
+"""
+
+
+@register("events_ratio_metric_ztest", _RATIO_ORACLE)
+def events_ratio_metric_ztest(spark, sf_dir):
+    """Delta-method z-test of the purchases-per-active-day RATIO
+    metric between the hash-split variants — the
+    correlated-numerator/denominator readout the binomial z cannot
+    give (see the section comment for the variance derivation and
+    exactness contract).
+
+    Scale: ONE user-grain aggregate (the distinct-day count is per
+    user, map-side combinable) and a single-row reduction of twelve
+    exact int64 sums — no window, no driver collect."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.date_trunc("day", "ts"))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "x",
+            "y",
+        )
+    )
+    aggs = []
+    for s_ in ("a", "b"):
+        for c, e in (
+            ("n", F.lit(1)),
+            ("sx", F.col("x")),
+            ("sy", F.col("y")),
+            ("sxx", F.col("x") * F.col("x")),
+            ("syy", F.col("y") * F.col("y")),
+            ("sxy", F.col("x") * F.col("y")),
+        ):
+            aggs.append(
+                F.sum(F.when(F.col("variant") == s_, e).otherwise(0))
+                .cast("bigint")
+                .alias(f"{c}_{s_}")
+            )
+    s = u.agg(*aggs)
+    v = s.select(
+        "*",
+        F.expr(
+            f"CASE WHEN n_a > 1 AND sx_a > 0 THEN {_RATIO_VAR['a']} END"
+        ).alias("var_a"),
+        F.expr(
+            f"CASE WHEN n_b > 1 AND sx_b > 0 THEN {_RATIO_VAR['b']} END"
+        ).alias("var_b"),
+    )
+    z = v.withColumn(
+        "z_micro",
+        F.expr(
+            "CASE WHEN var_a IS NOT NULL AND var_b IS NOT NULL"
+            " AND var_a + var_b > 0e0 THEN"
+            f" CAST(floor({_RATIO_Z} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    )
+    return z.select(
+        "n_a",
+        F.col("sx_a").alias("active_days_a"),
+        F.col("sy_a").alias("purchases_a"),
+        F.expr(
+            f"CASE WHEN sx_a > 0 THEN"
+            f" round(CAST(floor({_RATIO_R['a']} * 1000000e0 + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6) END"
+        ).alias("rate_a"),
+        "n_b",
+        F.col("sx_b").alias("active_days_b"),
+        F.col("sy_b").alias("purchases_b"),
+        F.expr(
+            f"CASE WHEN sx_b > 0 THEN"
+            f" round(CAST(floor({_RATIO_R['b']} * 1000000e0 + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6) END"
+        ).alias("rate_b"),
+        F.round(F.col("z_micro") / F.expr("1000000e0"), 6).alias(
+            "z_score"
+        ),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1"
+            " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
+        ).alias("significant_95"),
+    )
+
+
+# --- log-rank test between the split arms (round 13, fifth batch) --------------
+#
+# The time-to-event member of the experiment suite: conversion RATE
+# says whether users convert, the Kaplan–Meier family says WHEN — and
+# the log-rank test (Mantel–Cox) is the standard comparison of the
+# two arms' full signup→purchase survival curves, censoring-correct
+# where a naive mean-days-to-convert is biased by never-converters.
+# Same unit definitions as events_survival_km (T = days from first
+# signup to first at-or-after purchase, censored at the data's last
+# day; conversions at t precede censorings), arms from the family's
+# md5 split. At each observed time t with pooled risk sets
+# n1t/n2t and conversions d1t/d2t (dt = d1t + d2t, nt = n1t + n2t):
+#   O1 = Σ d1t,  E1 = Σ dt·n1t/nt,
+#   V  = Σ dt·(n1t/nt)·(1 − n1t/nt)·(nt − dt)/(nt − 1),
+#   z = (O1 − E1)/√V (hypergeometric mean/variance per time).
+# Determinism: O1 is an exact int; each time's E term is
+# micro-quantized and each V term pico-quantized BIGINT before the
+# cross-time reduction (the Theil per-group rule — exact int64 sums
+# in any order); z is one fixed IEEE tree over (o1, e1_micro,
+# v_pico), NULLIF-guarded, micro-quantized. Risk sets are computed
+# prefix-free on the Spark side (per-row aggregate() over the sorted
+# time array, the events_survival_km idiom — no single-partition
+# window) while the oracle uses the naive window prefix, so the hash
+# match proves the fold reproduces the exact risk sets. nt = 1 times
+# contribute V = 0 by the ELSE branch (their E term still counts —
+# the textbook convention).
+
+_LOGRANK_E1_TERM = (
+    "CAST(floor((CAST(d1 + d2 AS DOUBLE) * n1t)"
+    " / NULLIF(n1t + n2t, 0) * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+_LOGRANK_V_TERM = (
+    "CASE WHEN n1t + n2t > 1 THEN"
+    " CAST(floor(CAST(d1 + d2 AS DOUBLE)"
+    "  * (CAST(n1t AS DOUBLE) / (n1t + n2t))"
+    "  * (1e0 - CAST(n1t AS DOUBLE) / (n1t + n2t))"
+    "  * (CAST(n1t + n2t - d1 - d2 AS DOUBLE) / (n1t + n2t - 1))"
+    "  * 1000000000000e0 + 0.5e0) AS BIGINT)"
+    " ELSE 0 END"
+)
+_LOGRANK_Z = (
+    "((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1000000e0)"
+    " / NULLIF(sqrt(CAST(v_pico AS DOUBLE) / 1000000000000e0), 0e0))"
+)
+
+_LOGRANK_ORACLE = f"""
+    WITH maxd AS (
+        SELECT CAST(max(ts) AS DATE) AS mx FROM events
+    ),
+    s AS (
+        SELECT user_id, min(ts) AS s_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id, min(CAST(p.ts AS DATE)) AS p_day
+        FROM s JOIN events p
+          ON p.user_id = s.user_id AND p.event_type = 'purchase'
+         AND p.ts >= s.s_ts
+        GROUP BY 1
+    ),
+    uu AS (
+        SELECT s.user_id,
+               CASE WHEN {_SPLIT_A_SQL.replace("user_id", "s.user_id")}
+                    THEN 1 ELSE 0 END AS arm_a,
+               CAST(CASE WHEN c.p_day IS NULL
+                    THEN date_diff('day', CAST(s.s_ts AS DATE),
+                                   (SELECT mx FROM maxd))
+                    ELSE date_diff('day', CAST(s.s_ts AS DATE), c.p_day)
+                    END AS BIGINT) AS t,
+               CASE WHEN c.p_day IS NULL THEN 0 ELSE 1 END AS ev
+        FROM s LEFT JOIN conv c USING (user_id)
+    ),
+    agg AS (
+        SELECT t,
+               CAST(sum(CASE WHEN arm_a = 1 AND ev = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+               CAST(sum(CASE WHEN arm_a = 1 AND ev = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1,
+               CAST(sum(CASE WHEN arm_a = 0 AND ev = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2,
+               CAST(sum(CASE WHEN arm_a = 0 AND ev = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c2
+        FROM uu GROUP BY t
+    ),
+    tot AS (
+        SELECT CAST(sum(d1 + c1) AS BIGINT) AS nn1,
+               CAST(sum(d2 + c2) AS BIGINT) AS nn2
+        FROM agg
+    ),
+    r AS (
+        SELECT t, d1, d2,
+               CAST(nn1 - coalesce(sum(d1 + c1) OVER wprev, 0)
+                    AS BIGINT) AS n1t,
+               CAST(nn2 - coalesce(sum(d2 + c2) OVER wprev, 0)
+                    AS BIGINT) AS n2t
+        FROM agg CROSS JOIN tot
+        WINDOW wprev AS (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+    ),
+    red AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(d1 + d2) AS BIGINT) AS d_total,
+               CAST(sum({_LOGRANK_E1_TERM}) AS BIGINT) AS e1_micro,
+               CAST(sum({_LOGRANK_V_TERM}) AS BIGINT) AS v_pico
+        FROM r
+    ),
+    f AS (
+        SELECT tot.nn1 AS n_a, tot.nn2 AS n_b,
+               red.o1, red.d_total, red.e1_micro, red.v_pico,
+               CASE WHEN red.v_pico > 0 THEN
+                   CAST(floor({_LOGRANK_Z} * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS z_micro
+        FROM tot CROSS JOIN red
+    )
+    SELECT n_a, n_b, o1 AS observed_a, d_total,
+           round(e1_micro / 1000000e0, 6) AS expected_a,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1
+                     WHEN z_micro IS NOT NULL THEN 0 END
+                AS BIGINT) AS significant_95
+    FROM f
+"""
+
+
+@register("events_logrank_test", _LOGRANK_ORACLE)
+def events_logrank_test(spark, sf_dir):
+    """Log-rank (Mantel–Cox) test of the signup→purchase survival
+    curves between the hash-split arms — the censoring-correct
+    time-to-event experiment readout beside the KM curve (see the
+    section comment for the statistic, quantization, and risk-set
+    contracts).
+
+    Scale: the KM query's two user-keyed aggregates + join, one
+    time-grain cell aggregate (calendar-bounded), per-time risk sets
+    via aggregate() prefix folds over ONE sorted array (days² lambda
+    steps, no single-partition window), and a single-row integer
+    reduction."""
+    from .functions.scalar import split_is_a
+
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("p_ts").cast("date")).alias("p_day"))
+    )
+    uu = (
+        s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(split_is_a("user_id"), 1).otherwise(0).alias("arm_a"),
+            F.when(
+                F.col("p_day").isNull(),
+                F.datediff(F.col("mx"), F.col("s_ts").cast("date")),
+            )
+            .otherwise(
+                F.datediff(F.col("p_day"), F.col("s_ts").cast("date"))
+            )
+            .cast("bigint")
+            .alias("t"),
+            F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
+        )
+    )
+    agg = (
+        uu.groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("arm_a") == 1) & (F.col("ev") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d1"),
+            F.sum(
+                F.when((F.col("arm_a") == 1) & (F.col("ev") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c1"),
+            F.sum(
+                F.when((F.col("arm_a") == 0) & (F.col("ev") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("d2"),
+            F.sum(
+                F.when((F.col("arm_a") == 0) & (F.col("ev") == 0), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("c2"),
+        )
+        # time-grain; feeds the totals, the fold array, and the terms
+        # reduction — checkpoint so the user aggregates + join run
+        # once (the events_survival_km convention)
+        .localCheckpoint(eager=True)
+    )
+    tot = agg.agg(
+        F.sum(F.col("d1") + F.col("c1")).cast("bigint").alias("nn1"),
+        F.sum(F.col("d2") + F.col("c2")).cast("bigint").alias("nn2"),
+    )
+    arr = agg.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "d1", "c1", "d2", "c2"))
+        ).alias("arr")
+    )
+    r = (
+        agg.crossJoin(F.broadcast(arr))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "d1",
+            "d2",
+            F.expr(
+                "nn1 - aggregate(filter(arr, x -> x.t < t), 0L,"
+                " (a, x) -> a + x.d1 + x.c1)"
+            )
+            .cast("bigint")
+            .alias("n1t"),
+            F.expr(
+                "nn2 - aggregate(filter(arr, x -> x.t < t), 0L,"
+                " (a, x) -> a + x.d2 + x.c2)"
+            )
+            .cast("bigint")
+            .alias("n2t"),
+        )
+    )
+    red = r.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum(F.col("d1") + F.col("d2")).cast("bigint").alias("d_total"),
+        F.sum(F.expr(_LOGRANK_E1_TERM)).cast("bigint").alias("e1_micro"),
+        F.sum(F.expr(_LOGRANK_V_TERM)).cast("bigint").alias("v_pico"),
+    )
+    f = tot.crossJoin(F.broadcast(red)).select(
+        F.col("nn1").alias("n_a"),
+        F.col("nn2").alias("n_b"),
+        "o1",
+        "d_total",
+        "e1_micro",
+        "v_pico",
+        F.expr(
+            f"CASE WHEN v_pico > 0 THEN"
+            f" CAST(floor({_LOGRANK_Z} * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ).alias("z_micro"),
+    )
+    return f.select(
+        "n_a",
+        "n_b",
+        F.col("o1").alias("observed_a"),
+        "d_total",
+        F.round(F.col("e1_micro") / F.expr("1000000e0"), 6).alias(
+            "expected_a"
+        ),
+        F.round(F.col("z_micro") / F.expr("1000000e0"), 6).alias(
+            "z_score"
+        ),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1"
+            " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
+        ).alias("significant_95"),
+    )

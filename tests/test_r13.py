@@ -641,3 +641,153 @@ def test_split_behavior_chi2_exact_recompute(spark, sf_dir):
         None if crit is None else int(chi2 > crit)
     )
     assert df >= 1 and len(ct) >= 2, "fixture lost event-type variety"
+
+
+def test_ratio_metric_exact_recompute(spark, sf_dir):
+    """Driver-side delta-method recompute of the purchases-per-
+    active-day ratio z: twelve exact sums, per-arm variances, and the
+    micro-quantized z chain must all match bit-for-bit."""
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    days = defaultdict(set)
+    buys = defaultdict(int)
+    for r in rows:
+        days[r.user_id].add(r.day)
+        if r.is_purchase:
+            buys[r.user_id] += 1
+    sums = {s: [0] * 6 for s in "ab"}  # n sx sy sxx syy sxy
+    for u, ds in days.items():
+        x, y = len(ds), buys.get(u, 0)
+        e = sums["a" if _split_a(u) else "b"]
+        e[0] += 1
+        e[1] += x
+        e[2] += y
+        e[3] += x * x
+        e[4] += y * y
+        e[5] += x * y
+
+    def arm(e):
+        n, sx, sy, sxx, syy, sxy = e
+        if n <= 1 or sx == 0:
+            return None, None
+        r_ = sy / sx
+        den = float(n) * (n - 1)
+        s_y2 = (float(n) * float(syy) - float(sy) * float(sy)) / den
+        s_x2 = (float(n) * float(sxx) - float(sx) * float(sx)) / den
+        s_xy = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+        xbar = float(sx) / n
+        return r_, (s_y2 + r_ * r_ * s_x2 - 2.0 * r_ * s_xy) / (
+            float(n) * xbar * xbar
+        )
+
+    r_a, v_a = arm(sums["a"])
+    r_b, v_b = arm(sums["b"])
+    z_micro = None
+    if v_a is not None and v_b is not None and v_a + v_b > 0:
+        z_micro = math.floor(
+            (r_a - r_b) / math.sqrt(v_a + v_b) * 1e6 + 0.5
+        )
+    r = QUERIES["events_ratio_metric_ztest"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.active_days_a, r.purchases_a) == tuple(sums["a"][:3])
+    assert (r.n_b, r.active_days_b, r.purchases_b) == tuple(sums["b"][:3])
+    assert r.rate_a == (
+        None if r_a is None else math.floor(r_a * 1e6 + 0.5) / 1e6
+    )
+    assert r.rate_b == (
+        None if r_b is None else math.floor(r_b * 1e6 + 0.5) / 1e6
+    )
+    assert r.z_score == (None if z_micro is None else z_micro / 1e6)
+    assert r.significant_95 == (
+        None if z_micro is None else int(abs(z_micro) > 1959964)
+    )
+
+
+def test_logrank_exact_recompute_and_km_consistency(spark, sf_dir):
+    """Driver-side log-rank recompute (risk sets, hypergeometric
+    E/V terms with the micro/pico quantization, z chain) — plus the
+    KM consistency check: the pooled risk-set totals must match the
+    pooled KM query's n_at_risk at every time."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table as lt,
+    )
+
+    ev = lt(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    mx = max(r.ts for r in ev).date()
+    s_ts = {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in s_ts or r.ts < s_ts[r.user_id]:
+                s_ts[r.user_id] = r.ts
+    p_day = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in s_ts:
+            if r.ts >= s_ts[r.user_id]:
+                d = r.ts.date()
+                if r.user_id not in p_day or d < p_day[r.user_id]:
+                    p_day[r.user_id] = d
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # t -> d1 c1 d2 c2
+    nn = [0, 0]
+    for u, st in s_ts.items():
+        arm = 0 if _split_a(u) else 1
+        nn[arm] += 1
+        if u in p_day:
+            t = (p_day[u] - st.date()).days
+            cells[t][0 if arm == 0 else 2] += 1
+        else:
+            t = (mx - st.date()).days
+            cells[t][1 if arm == 0 else 3] += 1
+    o1 = e1 = v = 0
+    n1t, n2t = nn[0], nn[1]
+    for t in sorted(cells):
+        d1, c1, d2, c2 = cells[t]
+        dt, nt = d1 + d2, n1t + n2t
+        o1 += d1
+        e1 += math.floor(float(dt) * n1t / nt * 1e6 + 0.5)
+        if nt > 1:
+            v += math.floor(
+                float(dt)
+                * (n1t / nt)
+                * (1.0 - n1t / nt)
+                * (float(nt - dt) / (nt - 1))
+                * 1e12
+                + 0.5
+            )
+        n1t -= d1 + c1
+        n2t -= d2 + c2
+    z_micro = (
+        math.floor(
+            (o1 - e1 / 1e6) / math.sqrt(v / 1e12) * 1e6 + 0.5
+        )
+        if v > 0
+        else None
+    )
+    r = QUERIES["events_logrank_test"].fn(spark, sf_dir).collect()[0]
+    assert (r.n_a, r.n_b, r.observed_a) == (nn[0], nn[1], o1)
+    assert r.d_total == sum(c[0] + c[2] for c in cells.values())
+    assert r.expected_a == e1 / 1e6
+    assert r.z_score == (None if z_micro is None else z_micro / 1e6)
+    assert r.significant_95 == (
+        None if z_micro is None else int(abs(z_micro) > 1959964)
+    )
+    # pooled risk sets must equal the KM query's n_at_risk
+    km = {
+        row.t: row.n_at_risk
+        for row in QUERIES["events_survival_km"].fn(spark, sf_dir).collect()
+    }
+    n1t, n2t = nn[0], nn[1]
+    for t in sorted(cells):
+        assert km[t] == n1t + n2t
+        d1, c1, d2, c2 = cells[t]
+        n1t -= d1 + c1
+        n2t -= d2 + c2

@@ -88,6 +88,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_did_placebo_pretrends",
     "events_confidence_sequence",
     "events_split_behavior_chi2",
+    "events_ratio_metric_ztest",
+    "events_logrank_test",
 )
 
 

@@ -245,6 +245,9 @@ EXTRA = [
     # r13 fourth batch (anytime-valid estimation + behavior guardrail)
     "events_confidence_sequence",
     "events_split_behavior_chi2",
+    # r13 fifth batch (ratio metrics + time-to-event comparison)
+    "events_ratio_metric_ztest",
+    "events_logrank_test",
 ]
 
 

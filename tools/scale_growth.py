@@ -185,6 +185,12 @@ QUERIES_UNDER_TEST = [
     # dimension-grain margins + a single-row integer reduction.
     "events_confidence_sequence",
     "events_split_behavior_chi2",
+    # round-13 fifth batch: the ratio z is ONE user-grain aggregate +
+    # a 12-sum reduction (linear in events); the log-rank shares the
+    # survival_km shape (user-keyed aggregates + join, time-grain
+    # cells, days-squared folds on a calendar-bounded array).
+    "events_ratio_metric_ztest",
+    "events_logrank_test",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
