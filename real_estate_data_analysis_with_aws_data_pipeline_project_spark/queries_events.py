@@ -7459,3 +7459,312 @@ def events_logrank_test(spark, sf_dir):
             " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
         ).alias("significant_95"),
     )
+
+
+# --- conversion-horizon lift ladder (round 13, sixth batch) --------------------
+#
+# "Did the treatment speed conversion up or create it?" — the
+# horizon ladder answers what the single any-time conversion z
+# cannot: the lift is re-read at fixed exposure horizons (converted
+# within 1/3/7/14 days of the user's entry day), so a novelty effect
+# (early lift that evaporates) or a slow-burn effect (lift only at
+# long horizons) is visible as a PATTERN across rows. Unit rules are
+# the sequential family's (entry = first event day, conversion =
+# first purchase day); a user converts within horizon k iff
+# p_day ≤ e_day + k days — exact integer date arithmetic. Each
+# horizon's two-proportion pooled z reuses the z-test's fixed IEEE
+# tree shape over four exact BIGINT cells, micro-quantized,
+# NULLIF-guarded; one user-grain aggregate feeds ALL horizons (the
+# timeout-sensitivity convention: extra horizons cost columns, not
+# scans), and the per-horizon unpivot runs on the single aggregate
+# row.
+
+_HORIZON_DAYS = (1, 3, 7, 14)
+
+# pooled two-proportion z over cell columns named by suffix
+def _horizon_z_sql(k: int) -> str:
+    na, ca, nb, cb = (f"na_{k}", f"ca_{k}", f"nb_{k}", f"cb_{k}")
+    p = f"(CAST({ca} + {cb} AS DOUBLE) / NULLIF({na} + {nb}, 0))"
+    return (
+        f"CASE WHEN {na} > 0 AND {nb} > 0 AND {ca} + {cb} > 0"
+        f" AND {ca} + {cb} < {na} + {nb} THEN"
+        f" CAST(floor((CAST({ca} AS DOUBLE) / NULLIF({na}, 0)"
+        f"             - CAST({cb} AS DOUBLE) / NULLIF({nb}, 0))"
+        f" / NULLIF(sqrt({p} * (1e0 - {p})"
+        f"          * (1e0 / NULLIF({na}, 0) + 1e0 / NULLIF({nb}, 0))),"
+        f"          0e0)"
+        f" * 1000000e0 + 0.5e0) AS BIGINT) END"
+    )
+
+
+def _horizon_cells_sql(k: int) -> str:
+    conv = f"CASE WHEN p_day IS NOT NULL AND p_day <= e_day" \
+           f" + INTERVAL {k} DAY THEN 1 ELSE 0 END"
+    return (
+        f"CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS na_{k},"
+        f" CAST(sum(CASE WHEN variant = 'a' THEN {conv} ELSE 0 END)"
+        f" AS BIGINT) AS ca_{k},"
+        f" CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS nb_{k},"
+        f" CAST(sum(CASE WHEN variant = 'b' THEN {conv} ELSE 0 END)"
+        f" AS BIGINT) AS cb_{k}"
+    )
+
+
+def _horizon_row_sql(k: int) -> str:
+    return f"""SELECT CAST({k} AS BIGINT) AS horizon_days,
+               na_{k} AS n_a, ca_{k} AS c_a, nb_{k} AS n_b, cb_{k} AS c_b,
+               CASE WHEN na_{k} > 0 AND nb_{k} > 0 THEN
+                   round(CAST(floor((CAST(ca_{k} AS DOUBLE) / na_{k}
+                                     - CAST(cb_{k} AS DOUBLE) / nb_{k})
+                                    * 1000000e0 + 0.5e0) AS BIGINT)
+                         / 1000000e0, 6) END AS lift,
+               round(z_{k} / 1000000e0, 6) AS z_score,
+               CAST(CASE WHEN abs(z_{k}) > 1959964 THEN 1
+                         WHEN z_{k} IS NOT NULL THEN 0 END
+                    AS BIGINT) AS significant_95
+        FROM agg"""
+
+
+_HORIZON_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               date_trunc('day', min(ts)) AS e_day,
+               date_trunc('day', min(CASE WHEN event_type = 'purchase'
+                                          THEN ts END)) AS p_day
+        FROM events GROUP BY 1
+    ),
+    agg AS MATERIALIZED (
+        SELECT {", ".join(_horizon_cells_sql(k) for k in _HORIZON_DAYS)},
+               {", ".join(f"{_horizon_z_sql(k)} AS z_{k}"
+                          for k in _HORIZON_DAYS)}
+        FROM u
+    )
+    {" UNION ALL ".join(_horizon_row_sql(k) for k in _HORIZON_DAYS)}
+    ORDER BY horizon_days
+"""
+
+
+@register("events_conversion_horizon_lift", _HORIZON_ORACLE)
+def events_conversion_horizon_lift(spark, sf_dir):
+    """Conversion lift re-read at fixed exposure horizons (within
+    1/3/7/14 days of entry) between the hash-split variants — the
+    novelty-vs-slow-burn pattern readout (see the section comment for
+    the unit and exactness contracts).
+
+    Scale: ONE user-grain aggregate computes every horizon's four
+    cells (extra horizons cost columns, not scans — the
+    timeout-sensitivity convention); the per-horizon unpivot runs on
+    the single aggregate row."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("e_day"),
+            F.date_trunc(
+                "day",
+                F.min(
+                    F.when(F.col("event_type") == "purchase", F.col("ts"))
+                ),
+            ).alias("p_day"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "e_day",
+            "p_day",
+        )
+    )
+    cell_exprs = []
+    for k in _HORIZON_DAYS:
+        conv = F.when(
+            F.col("p_day").isNotNull()
+            & (F.col("p_day") <= F.expr(f"e_day + INTERVAL {k} DAY")),
+            1,
+        ).otherwise(0)
+        cell_exprs += [
+            F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"na_{k}"),
+            F.sum(F.when(F.col("variant") == "a", conv).otherwise(0))
+            .cast("bigint")
+            .alias(f"ca_{k}"),
+            F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nb_{k}"),
+            F.sum(F.when(F.col("variant") == "b", conv).otherwise(0))
+            .cast("bigint")
+            .alias(f"cb_{k}"),
+        ]
+    agg = u.agg(*cell_exprs)
+    for k in _HORIZON_DAYS:
+        agg = agg.withColumn(f"z_{k}", F.expr(_horizon_z_sql(k)))
+    agg = agg.localCheckpoint(eager=True)
+    rows = [
+        agg.select(
+            F.lit(k).cast("bigint").alias("horizon_days"),
+            F.col(f"na_{k}").alias("n_a"),
+            F.col(f"ca_{k}").alias("c_a"),
+            F.col(f"nb_{k}").alias("n_b"),
+            F.col(f"cb_{k}").alias("c_b"),
+            F.expr(
+                f"CASE WHEN na_{k} > 0 AND nb_{k} > 0 THEN"
+                f" round(CAST(floor((CAST(ca_{k} AS DOUBLE) / na_{k}"
+                f" - CAST(cb_{k} AS DOUBLE) / nb_{k})"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+            ).alias("lift"),
+            F.round(F.col(f"z_{k}") / F.expr("1000000e0"), 6).alias(
+                "z_score"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN abs(z_{k}) > 1959964 THEN 1"
+                f" WHEN z_{k} IS NOT NULL THEN 0 END AS BIGINT)"
+            ).alias("significant_95"),
+        )
+        for k in _HORIZON_DAYS
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("horizon_days")
+
+
+# --- heterogeneous treatment effects by segment (round 13, sixth batch) --------
+#
+# The per-segment companion of events_stratified_lift: the pooled
+# post-stratified number says WHETHER the lift survives reweighting;
+# this query says WHERE it lives — one row per first-event-type
+# stratum with that segment's own cells, lift, and z, the readout a
+# growth team reads before shipping to a subpopulation. Same strata,
+# split, and conversion rules as the stratified estimator (shared
+# semantics by construction), the z-test's pooled-SE IEEE tree per
+# row, micro-quantized, NULLIF-guarded; degenerate segments (an
+# empty arm, 0/100 % pooled rate) NULL their z but keep their cells
+# visible. Multiple-testing honesty: the per-segment flags use the
+# UNADJUSTED 1.96 bar and say so — the pooled estimator is the
+# confirmatory number; this is the exploratory drill-down.
+
+_HTE_Z = (
+    "CASE WHEN n_as > 0 AND n_bs > 0 AND c_as + c_bs > 0"
+    " AND c_as + c_bs < n_as + n_bs THEN"
+    " CAST(floor((CAST(c_as AS DOUBLE) / NULLIF(n_as, 0)"
+    "             - CAST(c_bs AS DOUBLE) / NULLIF(n_bs, 0))"
+    " / NULLIF(sqrt((CAST(c_as + c_bs AS DOUBLE)"
+    "                / NULLIF(n_as + n_bs, 0))"
+    "          * (1e0 - CAST(c_as + c_bs AS DOUBLE)"
+    "                   / NULLIF(n_as + n_bs, 0))"
+    "          * (1e0 / NULLIF(n_as, 0) + 1e0 / NULLIF(n_bs, 0))),"
+    "          0e0)"
+    " * 1000000e0 + 0.5e0) AS BIGINT) END"
+)
+
+_HTE_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
+                   AS stratum,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_as,
+               CAST(sum(CASE WHEN variant = 'a' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_as,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bs,
+               CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_bs
+        FROM u GROUP BY 1
+    ),
+    z AS (SELECT *, {_HTE_Z} AS z_micro FROM st)
+    SELECT stratum, n_as AS n_a, c_as AS c_a, n_bs AS n_b, c_bs AS c_b,
+           CASE WHEN n_as > 0 AND n_bs > 0 THEN
+               round(CAST(floor((CAST(c_as AS DOUBLE) / n_as
+                                 - CAST(c_bs AS DOUBLE) / n_bs)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS lift,
+           round(z_micro / 1000000e0, 6) AS z_score,
+           CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1
+                     WHEN z_micro IS NOT NULL THEN 0 END
+                AS BIGINT) AS significant_95_unadjusted
+    FROM z ORDER BY stratum
+"""
+
+
+@register("events_segment_lift_hte", _HTE_ORACLE)
+def events_segment_lift_hte(spark, sf_dir):
+    """Per-segment conversion lift and z between the hash-split
+    variants, one row per first-event-type stratum — the exploratory
+    heterogeneous-effects drill-down beside the confirmatory pooled
+    events_stratified_lift (same strata/split/conversion rules; the
+    flag column name says UNADJUSTED because it is).
+
+    Scale: one user-grain aggregate, one stratum-grain cell
+    aggregate, per-row scalar arithmetic — no window, no collect."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("stratum"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "stratum",
+            "conv",
+        )
+    )
+    st = u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_as"),
+        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_as"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bs"),
+        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_bs"),
+    )
+    z = st.withColumn("z_micro", F.expr(_HTE_Z))
+    return z.select(
+        "stratum",
+        F.col("n_as").alias("n_a"),
+        F.col("c_as").alias("c_a"),
+        F.col("n_bs").alias("n_b"),
+        F.col("c_bs").alias("c_b"),
+        F.expr(
+            "CASE WHEN n_as > 0 AND n_bs > 0 THEN"
+            " round(CAST(floor((CAST(c_as AS DOUBLE) / n_as"
+            " - CAST(c_bs AS DOUBLE) / n_bs)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("lift"),
+        F.round(F.col("z_micro") / F.expr("1000000e0"), 6).alias(
+            "z_score"
+        ),
+        F.expr(
+            "CAST(CASE WHEN abs(z_micro) > 1959964 THEN 1"
+            " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
+        ).alias("significant_95_unadjusted"),
+    ).orderBy("stratum")

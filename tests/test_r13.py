@@ -791,3 +791,120 @@ def test_logrank_exact_recompute_and_km_consistency(spark, sf_dir):
         d1, c1, d2, c2 = cells[t]
         n1t -= d1 + c1
         n2t -= d2 + c2
+
+
+def test_horizon_lift_exact_recompute(spark, sf_dir):
+    """Driver-side recompute of the conversion-horizon ladder: entry
+    and first-purchase days, within-k cells per horizon, and the
+    pooled-z chain must all match bit-for-bit; cells must be
+    monotone non-decreasing in the horizon."""
+    import datetime
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            (F.col("event_type") == "purchase").alias("is_purchase"),
+        )
+        .collect()
+    )
+    entry: dict = {}
+    fp: dict = {}
+    for r in rows:
+        if r.user_id not in entry or r.day < entry[r.user_id]:
+            entry[r.user_id] = r.day
+        if r.is_purchase and (
+            r.user_id not in fp or r.day < fp[r.user_id]
+        ):
+            fp[r.user_id] = r.day
+    want = []
+    prev = None
+    for k in (1, 3, 7, 14):
+        cells = [0, 0, 0, 0]
+        for u, e in entry.items():
+            i = 0 if _split_a(u) else 2
+            cells[i] += 1
+            if u in fp:
+                ed = datetime.date.fromisoformat(e)
+                pd_ = datetime.date.fromisoformat(fp[u])
+                if (pd_ - ed).days <= k:
+                    cells[i + 1] += 1
+        na, ca, nb, cb = cells
+        lift = (
+            math.floor((ca / na - cb / nb) * 1e6 + 0.5) / 1e6
+            if na > 0 and nb > 0
+            else None
+        )
+        z = None
+        if na > 0 and nb > 0 and 0 < ca + cb < na + nb:
+            p = (ca + cb) / (na + nb)
+            z = math.floor(
+                (ca / na - cb / nb)
+                / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+                * 1e6
+                + 0.5
+            )
+        want.append(
+            (
+                k,
+                na,
+                ca,
+                nb,
+                cb,
+                lift,
+                None if z is None else z / 1e6,
+                None if z is None else int(abs(z) > 1959964),
+            )
+        )
+        if prev is not None:
+            assert ca >= prev[0] and cb >= prev[1]  # monotone in k
+        prev = (ca, cb)
+    got = [
+        (
+            r.horizon_days,
+            r.n_a,
+            r.c_a,
+            r.n_b,
+            r.c_b,
+            r.lift,
+            r.z_score,
+            r.significant_95,
+        )
+        for r in QUERIES["events_conversion_horizon_lift"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
+
+
+def test_segment_hte_consistency_with_stratified(spark, sf_dir):
+    """The HTE drill-down's per-stratum cells must sum exactly to the
+    pooled stratified estimator's totals (same strata, split, and
+    conversion rules), and each row's z must match a driver-side
+    pooled-z recompute from its own cells."""
+    hte = (
+        QUERIES["events_segment_lift_hte"].fn(spark, sf_dir).collect()
+    )
+    pooled = (
+        QUERIES["events_stratified_lift"].fn(spark, sf_dir).collect()[0]
+    )
+    assert len(hte) == pooled.n_strata
+    assert sum(r.n_a for r in hte) == pooled.n_a
+    assert sum(r.n_b for r in hte) == pooled.n_b
+    for r in hte:
+        na, ca, nb, cb = r.n_a, r.c_a, r.n_b, r.c_b
+        if na > 0 and nb > 0 and 0 < ca + cb < na + nb:
+            p = (ca + cb) / (na + nb)
+            z = math.floor(
+                (ca / na - cb / nb)
+                / math.sqrt(p * (1 - p) * (1 / na + 1 / nb))
+                * 1e6
+                + 0.5
+            )
+            assert r.z_score == z / 1e6
+            assert r.significant_95_unadjusted == int(abs(z) > 1959964)
+        else:
+            assert r.z_score is None

@@ -90,6 +90,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_split_behavior_chi2",
     "events_ratio_metric_ztest",
     "events_logrank_test",
+    "events_conversion_horizon_lift",
+    "events_segment_lift_hte",
 )
 
 

@@ -248,6 +248,9 @@ EXTRA = [
     # r13 fifth batch (ratio metrics + time-to-event comparison)
     "events_ratio_metric_ztest",
     "events_logrank_test",
+    # r13 sixth batch (horizon ladder + per-segment HTE)
+    "events_conversion_horizon_lift",
+    "events_segment_lift_hte",
 ]
 
 

@@ -191,6 +191,12 @@ QUERIES_UNDER_TEST = [
     # cells, days-squared folds on a calendar-bounded array).
     "events_ratio_metric_ztest",
     "events_logrank_test",
+    # round-13 sixth batch: the horizon ladder is ONE user-grain
+    # aggregate (horizons are extra columns, unpivot on the single
+    # row); the HTE drill-down reuses the stratified estimator shape
+    # (two aggregates) with per-row scalar z.
+    "events_conversion_horizon_lift",
+    "events_segment_lift_hte",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
