@@ -4199,8 +4199,13 @@ def events_cohort_ltv(spark, sf_dir):
 # recursive-CTE formulation of the same spec. Convention: conversions
 # at t precede censorings at t (censored-at-t users are at risk).
 
-_SURVIVAL_KM_ORACLE = """
-    WITH RECURSIVE maxd AS (
+# ONE definition of the survival family's unit rules (censor date,
+# first-signup time, first at-or-after purchase day), shared by the
+# KM curve and the log-rank oracles (r13 second review: the log-rank
+# risk-set/KM consistency test only holds while the two queries'
+# T/censoring definitions stay in lockstep — so they share the
+# fragment, not a copy).
+_KM_UNITS_CTES = """maxd AS (
         SELECT CAST(max(ts) AS DATE) AS mx FROM events
     ),
     s AS (
@@ -4213,7 +4218,10 @@ _SURVIVAL_KM_ORACLE = """
           ON p.user_id = s.user_id AND p.event_type = 'purchase'
          AND p.ts >= s.s_ts
         GROUP BY 1
-    ),
+    )"""
+
+_SURVIVAL_KM_ORACLE = f"""
+    WITH RECURSIVE {_KM_UNITS_CTES},
     u AS (
         SELECT s.user_id,
                CAST(CASE WHEN c.p_day IS NULL
@@ -4256,17 +4264,11 @@ _SURVIVAL_KM_ORACLE = """
 """
 
 
-@register("events_survival_km", _SURVIVAL_KM_ORACLE)
-def events_survival_km(spark, sf_dir):
-    """Kaplan–Meier signup→purchase survival curve with exact
-    right-censoring at the data's last day — S(t) in BIGINT micro
-    units via the half-up integer recurrence (see the section comment
-    for the full contract). One row per distinct observed time.
-
-    Scale: two user-keyed aggregates + one user-keyed join (the
-    time_to_convert shuffle shape); the recurrence runs on the
-    calendar-bounded (t, d, c) relation collected into ONE sorted
-    array — days², not users², and never a driver collect."""
+def _km_user_times(spark, sf_dir):
+    """(user_id, t, ev): the survival family's unit rules — Spark twin
+    of _KM_UNITS_CTES + the u/uu projection, shared by
+    events_survival_km (drops user_id) and events_logrank_test (adds
+    the arm tag)."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
     s = (
@@ -4283,10 +4285,11 @@ def events_survival_km(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min(F.col("p_ts").cast("date")).alias("p_day"))
     )
-    u = (
+    return (
         s.join(conv, "user_id", "left")
         .crossJoin(F.broadcast(mx))
         .select(
+            "user_id",
             F.when(
                 F.col("p_day").isNull(),
                 F.datediff(F.col("mx"), F.col("s_ts").cast("date")),
@@ -4299,6 +4302,20 @@ def events_survival_km(spark, sf_dir):
             F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
         )
     )
+
+
+@register("events_survival_km", _SURVIVAL_KM_ORACLE)
+def events_survival_km(spark, sf_dir):
+    """Kaplan–Meier signup→purchase survival curve with exact
+    right-censoring at the data's last day — S(t) in BIGINT micro
+    units via the half-up integer recurrence (see the section comment
+    for the full contract). One row per distinct observed time.
+
+    Scale: two user-keyed aggregates + one user-keyed join (the
+    time_to_convert shuffle shape); the recurrence runs on the
+    calendar-bounded (t, d, c) relation collected into ONE sorted
+    array — days², not users², and never a driver collect."""
+    u = _km_user_times(spark, sf_dir).select("t", "ev")
     agg = (
         u.groupBy("t")
         .agg(
@@ -5480,10 +5497,12 @@ _MSPRT_TAU2 = "0.0001e0"  # tau = 1% absolute-lift mixture scale
 _MSPRT_LN20_MICRO = 2995732
 
 
-def _msprt_lnl_micro_sql(na: str, ca: str, nb: str, cb: str) -> str:
-    """Micro-quantized ln Λ over the four cumulative cell operands —
-    NULL on degenerate looks. One definition for both engines and
-    both formulations (window CTE / array fold)."""
+def _seq_stat_parts(na: str, ca: str, nb: str, cb: str):
+    """(p, v, delta, guard) operand fragments over the four cumulative
+    cell operands — ONE builder shared by the mSPRT ln Λ and the
+    confidence-sequence bounds (r13 second review: the twins must
+    share the SAME pooled variance tree and degenerate-look guard by
+    construction, not by copy-paste)."""
     p = f"(CAST(({ca}) + ({cb}) AS DOUBLE) / NULLIF(({na}) + ({nb}), 0))"
     v = (
         f"({p} * (1e0 - {p})"
@@ -5493,14 +5512,25 @@ def _msprt_lnl_micro_sql(na: str, ca: str, nb: str, cb: str) -> str:
         f"(CAST({ca} AS DOUBLE) / NULLIF({na}, 0)"
         f" - CAST({cb} AS DOUBLE) / NULLIF({nb}, 0))"
     )
+    guard = (
+        f"({na}) > 0 AND ({nb}) > 0 AND ({ca}) + ({cb}) > 0"
+        f" AND ({ca}) + ({cb}) < ({na}) + ({nb})"
+    )
+    return p, v, delta, guard
+
+
+def _msprt_lnl_micro_sql(na: str, ca: str, nb: str, cb: str) -> str:
+    """Micro-quantized ln Λ over the four cumulative cell operands —
+    NULL on degenerate looks. One definition for both engines and
+    both formulations (window CTE / array fold)."""
+    _p, v, delta, guard = _seq_stat_parts(na, ca, nb, cb)
     lnl = (
         f"(0.5e0 * ln(NULLIF({v}, 0e0) / ({v} + {_MSPRT_TAU2}))"
         f" + {delta} * {delta} * {_MSPRT_TAU2}"
         f" / (2e0 * NULLIF({v}, 0e0) * ({v} + {_MSPRT_TAU2})))"
     )
     return (
-        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 AND ({ca}) + ({cb}) > 0"
-        f" AND ({ca}) + ({cb}) < ({na}) + ({nb})"
+        f"CASE WHEN {guard}"
         f" THEN CAST(floor({lnl} * 1000000e0 + 0.5e0) AS BIGINT) END"
     )
 
@@ -6351,8 +6381,12 @@ _PS_Z = (
     " / NULLIF(sqrt(CAST(v_pico AS DOUBLE) / 1000000000000e0), 0e0)"
 )
 
-_PS_ORACLE = f"""
-    WITH u AS (
+# ONE definition of the first-event-type stratum cells (struct-min
+# stratum, any-purchase conversion, per-stratum arm cells), shared by
+# the pooled post-stratified estimator and the per-segment HTE
+# drill-down (r13 second review: "same strata/split/conversion rules
+# by construction" must mean a shared fragment, not copy-paste).
+_STRAT_CELLS_CTES = f"""u AS (
         SELECT user_id,
                CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
                (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
@@ -6372,7 +6406,54 @@ _PS_ORACLE = f"""
                CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END)
                     AS BIGINT) AS c_bs
         FROM u GROUP BY 1
-    ),
+    )"""
+
+
+def _strat_cells(spark, sf_dir):
+    """Stratum-grain (stratum, n_as, c_as, n_bs, c_bs) cells — the
+    Spark twin of _STRAT_CELLS_CTES, shared by events_stratified_lift
+    and events_segment_lift_hte."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("stratum"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "stratum",
+            "conv",
+        )
+    )
+    return u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_as"),
+        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_as"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bs"),
+        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_bs"),
+    )
+
+
+_PS_ORACLE = f"""
+    WITH {_STRAT_CELLS_CTES},
     tot AS (
         SELECT CAST(sum(n_as + n_bs) AS BIGINT) AS nn,
                CAST(sum(n_as) AS BIGINT) AS n_a,
@@ -6431,43 +6512,7 @@ def events_stratified_lift(spark, sf_dir):
     (map-side combinable; stratum cardinality is the event-type
     vocabulary), and a single-row reduction — no window, no driver
     collect."""
-    from .functions.scalar import split_is_a
-
-    u = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.min(F.struct("ts", "event_id", "event_type"))
-            .getField("event_type")
-            .alias("stratum"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("conv"),
-        )
-        .select(
-            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
-                "variant"
-            ),
-            "stratum",
-            "conv",
-        )
-    )
-    st = u.groupBy("stratum").agg(
-        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_as"),
-        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_as"),
-        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_bs"),
-        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_bs"),
-    )
+    st = _strat_cells(spark, sf_dir)
     tot = st.agg(
         (F.sum(F.col("n_as") + F.col("n_bs"))).cast("bigint").alias("nn"),
         F.sum("n_as").cast("bigint").alias("n_a"),
@@ -6685,16 +6730,9 @@ _CS_LN_INV_ALPHA = "2.995732273553991e0"  # ln(1/0.05), shortest repr
 def _cs_col_sql(na: str, ca: str, nb: str, cb: str, what: str) -> str:
     """Micro-quantized per-look column over the four cumulative cell
     operands: what = 'delta' | 'lo' | 'hi'. NULL on degenerate looks.
-    One definition for both engines and both formulations."""
-    p = f"(CAST(({ca}) + ({cb}) AS DOUBLE) / NULLIF(({na}) + ({nb}), 0))"
-    v = (
-        f"({p} * (1e0 - {p})"
-        f" * (1e0 / NULLIF({na}, 0) + 1e0 / NULLIF({nb}, 0)))"
-    )
-    delta = (
-        f"(CAST({ca} AS DOUBLE) / NULLIF({na}, 0)"
-        f" - CAST({cb} AS DOUBLE) / NULLIF({nb}, 0))"
-    )
+    Shares _seq_stat_parts with the mSPRT ln Λ so the twins' V trees
+    and guards can never drift."""
+    _p, v, delta, guard = _seq_stat_parts(na, ca, nb, cb)
     r = (
         f"sqrt((2e0 * {v} * ({v} + {_MSPRT_TAU2}) / {_MSPRT_TAU2})"
         f" * ({_CS_LN_INV_ALPHA}"
@@ -6706,8 +6744,7 @@ def _cs_col_sql(na: str, ca: str, nb: str, cb: str, what: str) -> str:
         "hi": f"({delta} + {r})",
     }[what]
     return (
-        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 AND ({ca}) + ({cb}) > 0"
-        f" AND ({ca}) + ({cb}) < ({na}) + ({nb})"
+        f"CASE WHEN {guard}"
         f" THEN CAST(floor({expr} * 1000000e0 + 0.5e0) AS BIGINT) END"
     )
 
@@ -6869,33 +6906,41 @@ _CHI2_CRIT_CASE = "CASE df " + " ".join(
 ) + " END"
 
 _CHI2_ORACLE = f"""
-    WITH cells AS (
+    WITH obs AS (
         SELECT CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
                event_type, CAST(count(*) AS BIGINT) AS o
         FROM events GROUP BY 1, 2
     ),
     rows_ AS (
-        SELECT variant, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+        SELECT variant, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1
     ),
     cols_ AS (
         SELECT event_type, CAST(sum(o) AS BIGINT) AS ct
-        FROM cells GROUP BY 1
+        FROM obs GROUP BY 1
+    ),
+    -- densify to the FULL variants x types grid (r13 second review):
+    -- a structural-zero cell (an arm that never fires a type) has
+    -- o = 0 but contributes (0 - e)^2/e = e to the statistic — the
+    -- strongest imbalance shape, which the observed-cells-only sum
+    -- would under-measure
+    cells AS (
+        SELECT rows_.variant, cols_.event_type, rows_.rt, cols_.ct,
+               CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+        FROM rows_ CROSS JOIN cols_
+        LEFT JOIN obs USING (variant, event_type)
     ),
     tot AS (
         SELECT CAST(sum(o) AS BIGINT) AS nn,
                CAST(count(DISTINCT variant) AS BIGINT) AS r,
                CAST(count(DISTINCT event_type) AS BIGINT) AS c
-        FROM cells
+        FROM obs
     ),
     terms AS (
         SELECT CAST(sum({_CHI2_TERM}) AS BIGINT) AS chi2_micro,
                CAST(min(CAST(floor(CAST(rt AS DOUBLE) * ct / nn
                                    * 1000000e0 + 0.5e0) AS BIGINT))
                     AS BIGINT) AS min_expected_micro
-        FROM cells
-        JOIN rows_ USING (variant)
-        JOIN cols_ USING (event_type)
-        CROSS JOIN tot
+        FROM cells CROSS JOIN tot
     ),
     f AS (
         SELECT tot.nn, tot.r, tot.c, (tot.r - 1) * (tot.c - 1) AS df,
@@ -6926,7 +6971,7 @@ def events_split_behavior_chi2(spark, sf_dir):
     reduction — no window, no driver collect."""
     from .functions.scalar import split_is_a
 
-    cells = (
+    obs = (
         load_table(spark, sf_dir, "events")
         .groupBy(
             F.when(split_is_a("user_id"), "a").otherwise("b").alias(
@@ -6937,21 +6982,32 @@ def events_split_behavior_chi2(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("o"))
         .localCheckpoint(eager=True)
     )
-    rows_ = cells.groupBy("variant").agg(
+    rows_ = obs.groupBy("variant").agg(
         F.sum("o").cast("bigint").alias("rt")
     )
-    cols_ = cells.groupBy("event_type").agg(
+    cols_ = obs.groupBy("event_type").agg(
         F.sum("o").cast("bigint").alias("ct")
     )
-    tot = cells.agg(
+    tot = obs.agg(
         F.sum("o").cast("bigint").alias("nn"),
         F.countDistinct("variant").cast("bigint").alias("r"),
         F.countDistinct("event_type").cast("bigint").alias("c"),
     )
+    # densify to the full grid so structural-zero cells contribute
+    # their (0 - e)^2/e = e terms (r13 second review; see the oracle)
+    cells = (
+        rows_.crossJoin(cols_)
+        .join(F.broadcast(obs), ["variant", "event_type"], "left")
+        .select(
+            "variant",
+            "event_type",
+            "rt",
+            "ct",
+            F.coalesce(F.col("o"), F.lit(0)).cast("bigint").alias("o"),
+        )
+    )
     terms = (
-        cells.join(F.broadcast(rows_), "variant")
-        .join(F.broadcast(cols_), "event_type")
-        .crossJoin(F.broadcast(tot))
+        cells.crossJoin(F.broadcast(tot))
         .agg(
             F.sum(F.expr(_CHI2_TERM)).cast("bigint").alias("chi2_micro"),
             F.min(
@@ -7235,20 +7291,7 @@ _LOGRANK_Z = (
 )
 
 _LOGRANK_ORACLE = f"""
-    WITH maxd AS (
-        SELECT CAST(max(ts) AS DATE) AS mx FROM events
-    ),
-    s AS (
-        SELECT user_id, min(ts) AS s_ts
-        FROM events WHERE event_type = 'signup' GROUP BY 1
-    ),
-    conv AS (
-        SELECT s.user_id, min(CAST(p.ts AS DATE)) AS p_day
-        FROM s JOIN events p
-          ON p.user_id = s.user_id AND p.event_type = 'purchase'
-         AND p.ts >= s.s_ts
-        GROUP BY 1
-    ),
+    WITH {_KM_UNITS_CTES},
     uu AS (
         SELECT s.user_id,
                CASE WHEN {_SPLIT_A_SQL.replace("user_id", "s.user_id")}
@@ -7329,38 +7372,10 @@ def events_logrank_test(spark, sf_dir):
     reduction."""
     from .functions.scalar import split_is_a
 
-    ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max(F.col("ts").cast("date")).alias("mx"))
-    s = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("s_ts"))
-    )
-    p = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts")
-    )
-    conv = (
-        s.join(p, "user_id")
-        .where(F.col("p_ts") >= F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min(F.col("p_ts").cast("date")).alias("p_day"))
-    )
-    uu = (
-        s.join(conv, "user_id", "left")
-        .crossJoin(F.broadcast(mx))
-        .select(
-            F.when(split_is_a("user_id"), 1).otherwise(0).alias("arm_a"),
-            F.when(
-                F.col("p_day").isNull(),
-                F.datediff(F.col("mx"), F.col("s_ts").cast("date")),
-            )
-            .otherwise(
-                F.datediff(F.col("p_day"), F.col("s_ts").cast("date"))
-            )
-            .cast("bigint")
-            .alias("t"),
-            F.when(F.col("p_day").isNull(), 0).otherwise(1).alias("ev"),
-        )
+    uu = _km_user_times(spark, sf_dir).select(
+        F.when(split_is_a("user_id"), 1).otherwise(0).alias("arm_a"),
+        "t",
+        "ev",
     )
     agg = (
         uu.groupBy("t")
@@ -7481,32 +7496,30 @@ def events_logrank_test(spark, sf_dir):
 
 _HORIZON_DAYS = (1, 3, 7, 14)
 
-# pooled two-proportion z over cell columns named by suffix
+# pooled two-proportion z over the shared n_a/n_b columns and the
+# per-horizon conversion columns (the entry counts are
+# horizon-INVARIANT — one shared pair, r13 second review)
 def _horizon_z_sql(k: int) -> str:
-    na, ca, nb, cb = (f"na_{k}", f"ca_{k}", f"nb_{k}", f"cb_{k}")
-    p = f"(CAST({ca} + {cb} AS DOUBLE) / NULLIF({na} + {nb}, 0))"
+    ca, cb = f"ca_{k}", f"cb_{k}"
+    p = f"(CAST({ca} + {cb} AS DOUBLE) / NULLIF(n_a + n_b, 0))"
     return (
-        f"CASE WHEN {na} > 0 AND {nb} > 0 AND {ca} + {cb} > 0"
-        f" AND {ca} + {cb} < {na} + {nb} THEN"
-        f" CAST(floor((CAST({ca} AS DOUBLE) / NULLIF({na}, 0)"
-        f"             - CAST({cb} AS DOUBLE) / NULLIF({nb}, 0))"
+        f"CASE WHEN n_a > 0 AND n_b > 0 AND {ca} + {cb} > 0"
+        f" AND {ca} + {cb} < n_a + n_b THEN"
+        f" CAST(floor((CAST({ca} AS DOUBLE) / NULLIF(n_a, 0)"
+        f"             - CAST({cb} AS DOUBLE) / NULLIF(n_b, 0))"
         f" / NULLIF(sqrt({p} * (1e0 - {p})"
-        f"          * (1e0 / NULLIF({na}, 0) + 1e0 / NULLIF({nb}, 0))),"
+        f"          * (1e0 / NULLIF(n_a, 0) + 1e0 / NULLIF(n_b, 0))),"
         f"          0e0)"
         f" * 1000000e0 + 0.5e0) AS BIGINT) END"
     )
 
 
-def _horizon_cells_sql(k: int) -> str:
+def _horizon_conv_sql(k: int) -> str:
     conv = f"CASE WHEN p_day IS NOT NULL AND p_day <= e_day" \
            f" + INTERVAL {k} DAY THEN 1 ELSE 0 END"
     return (
-        f"CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)"
-        f" AS BIGINT) AS na_{k},"
-        f" CAST(sum(CASE WHEN variant = 'a' THEN {conv} ELSE 0 END)"
+        f"CAST(sum(CASE WHEN variant = 'a' THEN {conv} ELSE 0 END)"
         f" AS BIGINT) AS ca_{k},"
-        f" CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)"
-        f" AS BIGINT) AS nb_{k},"
         f" CAST(sum(CASE WHEN variant = 'b' THEN {conv} ELSE 0 END)"
         f" AS BIGINT) AS cb_{k}"
     )
@@ -7514,10 +7527,10 @@ def _horizon_cells_sql(k: int) -> str:
 
 def _horizon_row_sql(k: int) -> str:
     return f"""SELECT CAST({k} AS BIGINT) AS horizon_days,
-               na_{k} AS n_a, ca_{k} AS c_a, nb_{k} AS n_b, cb_{k} AS c_b,
-               CASE WHEN na_{k} > 0 AND nb_{k} > 0 THEN
-                   round(CAST(floor((CAST(ca_{k} AS DOUBLE) / na_{k}
-                                     - CAST(cb_{k} AS DOUBLE) / nb_{k})
+               n_a, ca_{k} AS c_a, n_b, cb_{k} AS c_b,
+               CASE WHEN n_a > 0 AND n_b > 0 THEN
+                   round(CAST(floor((CAST(ca_{k} AS DOUBLE) / n_a
+                                     - CAST(cb_{k} AS DOUBLE) / n_b)
                                     * 1000000e0 + 0.5e0) AS BIGINT)
                          / 1000000e0, 6) END AS lift,
                round(z_{k} / 1000000e0, 6) AS z_score,
@@ -7537,7 +7550,11 @@ _HORIZON_ORACLE = f"""
         FROM events GROUP BY 1
     ),
     agg AS MATERIALIZED (
-        SELECT {", ".join(_horizon_cells_sql(k) for k in _HORIZON_DAYS)},
+        SELECT CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               {", ".join(_horizon_conv_sql(k) for k in _HORIZON_DAYS)},
                {", ".join(f"{_horizon_z_sql(k)} AS z_{k}"
                           for k in _HORIZON_DAYS)}
         FROM u
@@ -7580,7 +7597,14 @@ def events_conversion_horizon_lift(spark, sf_dir):
             "p_day",
         )
     )
-    cell_exprs = []
+    cell_exprs = [
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    ]
     for k in _HORIZON_DAYS:
         conv = F.when(
             F.col("p_day").isNotNull()
@@ -7588,15 +7612,9 @@ def events_conversion_horizon_lift(spark, sf_dir):
             1,
         ).otherwise(0)
         cell_exprs += [
-            F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"na_{k}"),
             F.sum(F.when(F.col("variant") == "a", conv).otherwise(0))
             .cast("bigint")
             .alias(f"ca_{k}"),
-            F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
-            .cast("bigint")
-            .alias(f"nb_{k}"),
             F.sum(F.when(F.col("variant") == "b", conv).otherwise(0))
             .cast("bigint")
             .alias(f"cb_{k}"),
@@ -7608,14 +7626,14 @@ def events_conversion_horizon_lift(spark, sf_dir):
     rows = [
         agg.select(
             F.lit(k).cast("bigint").alias("horizon_days"),
-            F.col(f"na_{k}").alias("n_a"),
+            "n_a",
             F.col(f"ca_{k}").alias("c_a"),
-            F.col(f"nb_{k}").alias("n_b"),
+            "n_b",
             F.col(f"cb_{k}").alias("c_b"),
             F.expr(
-                f"CASE WHEN na_{k} > 0 AND nb_{k} > 0 THEN"
-                f" round(CAST(floor((CAST(ca_{k} AS DOUBLE) / na_{k}"
-                f" - CAST(cb_{k} AS DOUBLE) / nb_{k})"
+                f"CASE WHEN n_a > 0 AND n_b > 0 THEN"
+                f" round(CAST(floor((CAST(ca_{k} AS DOUBLE) / n_a"
+                f" - CAST(cb_{k} AS DOUBLE) / n_b)"
                 " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
             ).alias("lift"),
             F.round(F.col(f"z_{k}") / F.expr("1000000e0"), 6).alias(
@@ -7664,27 +7682,7 @@ _HTE_Z = (
 )
 
 _HTE_ORACLE = f"""
-    WITH u AS (
-        SELECT user_id,
-               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
-               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
-                   AS stratum,
-               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS conv
-        FROM events GROUP BY 1
-    ),
-    st AS (
-        SELECT stratum,
-               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_as,
-               CAST(sum(CASE WHEN variant = 'a' THEN conv ELSE 0 END)
-                    AS BIGINT) AS c_as,
-               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_bs,
-               CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END)
-                    AS BIGINT) AS c_bs
-        FROM u GROUP BY 1
-    ),
+    WITH {_STRAT_CELLS_CTES},
     z AS (SELECT *, {_HTE_Z} AS z_micro FROM st)
     SELECT stratum, n_as AS n_a, c_as AS c_a, n_bs AS n_b, c_bs AS c_b,
            CASE WHEN n_as > 0 AND n_bs > 0 THEN
@@ -7710,44 +7708,9 @@ def events_segment_lift_hte(spark, sf_dir):
 
     Scale: one user-grain aggregate, one stratum-grain cell
     aggregate, per-row scalar arithmetic — no window, no collect."""
-    from .functions.scalar import split_is_a
-
-    u = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("user_id")
-        .agg(
-            F.min(F.struct("ts", "event_id", "event_type"))
-            .getField("event_type")
-            .alias("stratum"),
-            F.max(
-                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("conv"),
-        )
-        .select(
-            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
-                "variant"
-            ),
-            "stratum",
-            "conv",
-        )
+    z = _strat_cells(spark, sf_dir).withColumn(
+        "z_micro", F.expr(_HTE_Z)
     )
-    st = u.groupBy("stratum").agg(
-        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_as"),
-        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_as"),
-        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_bs"),
-        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_bs"),
-    )
-    z = st.withColumn("z_micro", F.expr(_HTE_Z))
     return z.select(
         "stratum",
         F.col("n_as").alias("n_a"),

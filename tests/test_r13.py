@@ -592,9 +592,13 @@ def test_confidence_sequence_recompute_and_msprt_consistency(
     }
     for r in got_rows:
         if mon.get(r.day) == 1:
+            # >= / <= : a hairline monitor crossing can quantize the
+            # excluded-zero bound to exactly 0.0 (the duality holds in
+            # unquantized space; floor(x*1e6+0.5) maps tiny positive
+            # margins to 0) — r13 second review
             assert (
                 r.ci_lo_running is not None
-                and (r.ci_lo_running > 0 or r.ci_hi_running < 0)
+                and (r.ci_lo_running >= 0 or r.ci_hi_running <= 0)
             )
 
 
@@ -618,11 +622,15 @@ def test_split_behavior_chi2_exact_recompute(spark, sf_dir):
     nn = sum(cells.values())
     chi2 = 0
     min_e = None
-    for (v, t), o in cells.items():
-        e = float(rt[v]) * ct[t] / nn
-        chi2 += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
-        e_micro = math.floor(e * 1e6 + 0.5)
-        min_e = e_micro if min_e is None else min(min_e, e_micro)
+    # full grid including structural zeros (r13 second review): an
+    # absent (variant, type) cell contributes (0 - e)^2/e = e
+    for v in rt:
+        for t in ct:
+            o = cells.get((v, t), 0)
+            e = float(rt[v]) * ct[t] / nn
+            chi2 += math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+            e_micro = math.floor(e * 1e6 + 0.5)
+            min_e = e_micro if min_e is None else min(min_e, e_micro)
     df = (len(rt) - 1) * (len(ct) - 1)
     crit = {1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729,
             5: 11070498, 6: 12591587, 7: 14067140, 8: 15507313}.get(df)
@@ -676,18 +684,21 @@ def test_ratio_metric_exact_recompute(spark, sf_dir):
         e[5] += x * y
 
     def arm(e):
+        # mirrors _RATIO_VAR's exact association order (multiply the
+        # moment DIFFERENCE by R before the /den division — dividing
+        # first computes a different last-ulp double; r13 second
+        # review): term_i = coef * (n*s** - s*s) / den, summed left
+        # to right, then / (n * xbar * xbar)
         n, sx, sy, sxx, syy, sxy = e
         if n <= 1 or sx == 0:
             return None, None
-        r_ = sy / sx
+        r_ = float(sy) / float(sx)
         den = float(n) * (n - 1)
-        s_y2 = (float(n) * float(syy) - float(sy) * float(sy)) / den
-        s_x2 = (float(n) * float(sxx) - float(sx) * float(sx)) / den
-        s_xy = (float(n) * float(sxy) - float(sx) * float(sy)) / den
+        t1 = (float(n) * float(syy) - float(sy) * float(sy)) / den
+        t2 = r_ * r_ * (float(n) * float(sxx) - float(sx) * float(sx)) / den
+        t3 = 2.0 * r_ * (float(n) * float(sxy) - float(sx) * float(sy)) / den
         xbar = float(sx) / n
-        return r_, (s_y2 + r_ * r_ * s_x2 - 2.0 * r_ * s_xy) / (
-            float(n) * xbar * xbar
-        )
+        return r_, (t1 + t2 - t3) / (float(n) * xbar * xbar)
 
     r_a, v_a = arm(sums["a"])
     r_b, v_b = arm(sums["b"])
