@@ -370,6 +370,44 @@ ROTATIONS: dict[int, list[str]] = {
         "tpch_q2_min_cost_supplier",
         "tpch_q10_returned_items",
     ],
+    # Round 14 seats the full 14-query never-green front (the r13
+    # post-pin sequential-testing/QTE/MWU/stratified/HTE batch plus
+    # Atkinson and preferential attachment) and fills the 16 free
+    # slots with refresh picks — STALEST-green first: the remaining
+    # r01/r02 cohort (the last four TPC-H long-tail members, the
+    # P/A/F core-operator rows, and the text first-wave).
+    14: [
+        "events_msprt_always_valid",
+        "events_quantile_treatment_effect",
+        "events_winsorized_lift",
+        "events_mannwhitney_u",
+        "events_stratified_lift",
+        "events_did_placebo_pretrends",
+        "events_confidence_sequence",
+        "events_split_behavior_chi2",
+        "events_ratio_metric_ztest",
+        "events_logrank_test",
+        "events_conversion_horizon_lift",
+        "events_segment_lift_hte",
+        "agg_atkinson_index",
+        "graph_preferential_attachment",
+        "tpch_q12_shipmode_priority",
+        "tpch_q14_promo_revenue",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates",
+        "p2_filter_notnull",
+        "p3_semi_join",
+        "p7_distinct",
+        "j2_anti_join",
+        "a1_global_count",
+        "a4_null_skipping_avg",
+        "a5_ratio_of_sums",
+        "f1_cast_string_numeric",
+        "f2_f3_arithmetic_round",
+        "f6_f7_sentinel_null_safe",
+        "text_quality_score",
+        "text_token_count",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -451,6 +489,27 @@ REFRESH_OK: dict[int, set[str]] = {
         "heavy_shuffle_part_spend",
         "tpch_q2_min_cost_supplier",
         "tpch_q10_returned_items",
+    },
+    # Round 14 continues the STALEST-green-first refresh posture —
+    # these 16 re-verification picks all landed green in rounds 1–2
+    # and have not held a driver slot since.
+    14: {
+        "tpch_q12_shipmode_priority",
+        "tpch_q14_promo_revenue",
+        "tpch_q18_large_volume_customers",
+        "tpch_q19_disjunctive_predicates",
+        "p2_filter_notnull",
+        "p3_semi_join",
+        "p7_distinct",
+        "j2_anti_join",
+        "a1_global_count",
+        "a4_null_skipping_avg",
+        "a5_ratio_of_sums",
+        "f1_cast_string_numeric",
+        "f2_f3_arithmetic_round",
+        "f6_f7_sentinel_null_safe",
+        "text_quality_score",
+        "text_token_count",
     },
 }
 

@@ -74,24 +74,11 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r13 pin (the 10 r12 post-pin additions now lead the r13
-# rotation's never-green front); append every r13 post-pin registration
+# Reset at the r14 pin (the 14 r13 post-pin additions now lead the r14
+# rotation's never-green front); append every r14 post-pin registration
 # below as it lands.
 POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "graph_preferential_attachment",
-    "agg_atkinson_index",
-    "events_msprt_always_valid",
-    "events_quantile_treatment_effect",
-    "events_winsorized_lift",
-    "events_mannwhitney_u",
-    "events_stratified_lift",
-    "events_did_placebo_pretrends",
-    "events_confidence_sequence",
-    "events_split_behavior_chi2",
-    "events_ratio_metric_ztest",
-    "events_logrank_test",
-    "events_conversion_horizon_lift",
-    "events_segment_lift_hte",
+    "multimodal_wav_audit",
 )
 
 
