@@ -96,6 +96,13 @@ BASELINE_SEC = {
     "retrieval_query_likelihood": 0.584,
     "graph_jaccard_similarity": 1.904,
     "graph_adamic_adar": 1.831,
+    # r14 headline promotions (VERDICT r13 #3): landing baselines from
+    # two calm-host full-suite runs (min of the two min-of-3 reads,
+    # calibrations 1.09/1.08; same protocol as the r13 wholesale
+    # re-land; BASELINE.md "Round-14 notes").
+    "events_mannwhitney_u": 0.729,
+    "events_quantile_treatment_effect": 0.74,
+    "events_msprt_always_valid": 0.582,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

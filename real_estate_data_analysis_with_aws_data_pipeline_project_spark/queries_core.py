@@ -435,6 +435,54 @@ def w2_stratified_sample_rows(spark, sf_dir):
 
 
 @register(
+    "w2_seeded_sample_invariants",
+    """
+    SELECT o_orderpriority AS order_priority,
+           CAST(least(50, count(*)) AS BIGINT) AS n_sampled,
+           CAST(least(50, count(*)) AS BIGINT) AS n_distinct,
+           CAST(least(50, count(*)) AS BIGINT) AS n_in_parent
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY order_priority
+    """,
+)
+def w2_seeded_sample_invariants(spark, sf_dir):
+    """F4 rand(seed) parity alias, driver-checked via its invariants
+    (VERDICT r13 #5): the reference's ``row_number() over (partition
+    by ... order by rand(42))`` sample (real_estate_etl_job.py:107-115)
+    has engine-DEPENDENT membership, so the oracle cannot check rows —
+    but its CONTRACT is SQL-expressible: exactly min(N, |stratum|)
+    rows per stratum, no duplicate keys, and every row drawn from the
+    parent. The Spark side measures all three on the actual
+    ``stratified_sample_seeded`` output (n_in_parent via an explicit
+    key+stratum semi-join against the parent, not lineage); the
+    oracle states the contract from the parent table alone. A hash
+    match proves the parity alias honors the reference semantics on
+    any partitioning."""
+    from .operators.sampling import stratified_sample_seeded
+
+    parent = _t(spark, sf_dir, "orders")
+    samp = stratified_sample_seeded(
+        parent, "o_orderpriority", 50, seed=42
+    ).select("o_orderkey", "o_orderpriority")
+    counts = samp.groupBy(
+        F.col("o_orderpriority").alias("order_priority")
+    ).agg(
+        F.count("*").alias("n_sampled"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+    )
+    in_parent = (
+        samp.join(
+            parent.select("o_orderkey", "o_orderpriority"),
+            ["o_orderkey", "o_orderpriority"],
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(F.count("*").alias("n_in_parent"))
+    )
+    return counts.join(in_parent, "order_priority").orderBy("order_priority")
+
+
+@register(
     "o1_topk",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total_price

@@ -5677,7 +5677,7 @@ def _seq_day_increments(spark, sf_dir):
     return d.localCheckpoint(eager=True)
 
 
-@register("events_msprt_always_valid", _MSPRT_ORACLE)
+@register("events_msprt_always_valid", _MSPRT_ORACLE, headline=True)
 def events_msprt_always_valid(spark, sf_dir):
     """Daily always-valid sequential monitor of the hash-split
     conversion experiment: the mixture-SPRT e-process in log space,
@@ -5907,7 +5907,7 @@ _QTE_ORACLE = f"""
 """
 
 
-@register("events_quantile_treatment_effect", _QTE_ORACLE)
+@register("events_quantile_treatment_effect", _QTE_ORACLE, headline=True)
 def events_quantile_treatment_effect(spark, sf_dir):
     """Quantile treatment effects of per-user purchase spend at the
     25/50/75/90th percentiles between the hash-split variants —
@@ -6282,7 +6282,7 @@ def _spend_rank_cells(spark, u):
     )
 
 
-@register("events_mannwhitney_u", _MWU_ORACLE)
+@register("events_mannwhitney_u", _MWU_ORACLE, headline=True)
 def events_mannwhitney_u(spark, sf_dir):
     """Mann–Whitney U rank-sum test of per-user purchase spend between
     the hash-split variants, with midrank tie handling, exact integer

@@ -74,6 +74,45 @@ def test_wav_container_structure_is_valid_riff():
     assert bytes(DECODERS["audio/wav"](payload)) == text
 
 
+def test_seeded_sample_invariants_recompute(spark, sf_dir):
+    """Driver-side recompute of the w2_seeded_sample_invariants
+    contract: exactly min(50, |stratum|) rows per stratum, no
+    duplicate keys, and raw membership drawn from the parent — checked
+    with Python sets on the collected sample, independent of the
+    query's own semi-join."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.sampling import (
+        stratified_sample_seeded,
+    )
+
+    parent = load_table(spark, sf_dir, "orders")
+    parent_rows = {
+        (r.o_orderkey, r.o_orderpriority)
+        for r in parent.select("o_orderkey", "o_orderpriority").collect()
+    }
+    strata_sizes: dict = {}
+    for k, p in parent_rows:
+        strata_sizes[p] = strata_sizes.get(p, 0) + 1
+    samp = stratified_sample_seeded(parent, "o_orderpriority", 50, seed=42)
+    got = [
+        (r.o_orderkey, r.o_orderpriority)
+        for r in samp.select("o_orderkey", "o_orderpriority").collect()
+    ]
+    assert len(got) == len(set(got))  # no duplicate keys
+    assert set(got) <= parent_rows  # subset of parent
+    per_stratum: dict = {}
+    for _, p in got:
+        per_stratum[p] = per_stratum.get(p, 0) + 1
+    assert per_stratum == {
+        p: min(50, n) for p, n in strata_sizes.items()
+    }
+    # and the registered query's own report agrees
+    rows = QUERIES["w2_seeded_sample_invariants"].fn(spark, sf_dir).collect()
+    assert {
+        r.order_priority: (r.n_sampled, r.n_distinct, r.n_in_parent)
+        for r in rows
+    } == {p: (min(50, n),) * 3 for p, n in strata_sizes.items()}
+
+
 def test_wav_audit_matches_utf8_features(spark, sf_dir):
     """Cross-codec consistency: because the WAV round-trip is identity
     on the byte values, the audit's mean/std/hist features must equal

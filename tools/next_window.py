@@ -79,6 +79,7 @@ PRIORITY: tuple[str, ...] = ()
 # below as it lands.
 POST_PIN_ADDITIONS: tuple[str, ...] = (
     "multimodal_wav_audit",
+    "w2_seeded_sample_invariants",
 )
 
 
