@@ -5747,6 +5747,177 @@ def events_msprt_always_valid(spark, sf_dir):
     ).orderBy("day")
 
 
+# --- O'Brien–Fleming-type group-sequential boundary (round 14) -----------------
+#
+# The scheduled-looks member completing the sequential pair (ROADMAP
+# r14 candidate #0): where the mSPRT monitors CONTINUOUSLY with an
+# e-process, classical group-sequential practice re-tests the plain z
+# at each scheduled look against an O'Brien–Fleming-type boundary
+# b(t) = z_alpha / sqrt(t) over the information fraction t — nearly
+# unspendable early (t small → huge boundary), converging to the
+# fixed-n critical value at the final look. This is the OBF SHAPE
+# normalized so b(1) = z_alpha exactly; the exact Lan–DeMets spending
+# constant for a given look count would sit a few percent higher at
+# early looks, so this boundary is marginally anti-conservative
+# overall vs textbook OBF — the trade every dashboard that doesn't
+# pre-register its look count makes, and the honest companion to the
+# always-valid mSPRT beside it (documented, not hidden).
+#
+# Information fraction is the ENROLLMENT fraction t_d = n_d / N
+# (cumulative entrants at the look over final entrants) — the
+# standard Lan–DeMets practice. The variance-ratio alternative
+# t = V_final/V_d was measured DEGENERATE on this corpus and
+# rejected (the mSPRT first-draft lesson): conversion SATURATES
+# (every entrant eventually purchases), so the final look's pooled
+# rate is 1, its binomial variance 0, and a variance-anchored t is
+# NULL at every look — while enrollment-fraction t is monotone,
+# exact (one BIGINT ratio), and ends at exactly 1 by construction.
+# The z statistic itself still comes from the shared _seq_stat_parts
+# variance tree over the SAME daily cumulative cells as the
+# mSPRT/confidence-sequence twins. z, t, and the boundary are
+# micro-quantized BIGINTs; the crossing flag compares the quantized
+# integers, so it is hash-stable by construction. Saturated or
+# empty-arm looks yield NULL z and NULL flag (the boundary column
+# stays defined — the schedule exists even on days the statistic
+# does not).
+
+_OBF_ZALPHA = "1.959964e0"  # two-sided 5% fixed-n critical value
+
+
+def _obf_cols_sql(
+    na: str, ca: str, nb: str, cb: str, fn: str
+) -> tuple[str, str, str]:
+    """(z_micro, t_micro, boundary_micro) fragments over the current
+    cumulative cell operands and the final total-enrollment operand —
+    ONE builder for both engines so the z tree, the enrollment
+    fraction, and the boundary can never drift between the oracle and
+    the Spark side."""
+    _p, v, delta, guard = _seq_stat_parts(na, ca, nb, cb)
+    z_micro = (
+        f"CASE WHEN {guard}"
+        f" THEN CAST(floor({delta} / sqrt(NULLIF({v}, 0e0))"
+        f" * 1000000e0 + 0.5e0) AS BIGINT) END"
+    )
+    t = f"(CAST(({na}) + ({nb}) AS DOUBLE) / NULLIF({fn}, 0))"
+    t_micro = (
+        f"CASE WHEN ({fn}) > 0"
+        f" THEN CAST(floor({t} * 1000000e0 + 0.5e0) AS BIGINT) END"
+    )
+    b_micro = (
+        f"CASE WHEN ({fn}) > 0 AND ({na}) + ({nb}) > 0"
+        f" THEN CAST(floor({_OBF_ZALPHA} / sqrt({t})"
+        f" * 1000000e0 + 0.5e0) AS BIGINT) END"
+    )
+    return z_micro, t_micro, b_micro
+
+
+_OBF_Z, _OBF_T, _OBF_B = _obf_cols_sql("n_a", "c_a", "n_b", "c_b", "fn")
+
+_OBF_ORACLE = f"""
+    WITH {_MSPRT_CELLS_CTES},
+    fin AS (
+        SELECT CAST(sum(na_d) + sum(nb_d) AS BIGINT) AS fn FROM d
+    ),
+    l AS (
+        SELECT day, n_a, c_a, n_b, c_b,
+               {_OBF_Z} AS z_micro,
+               {_OBF_T} AS t_micro,
+               {_OBF_B} AS b_micro
+        FROM c CROSS JOIN fin
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_a, c_a, n_b, c_b,
+           round(z_micro / 1000000e0, 6) AS z,
+           round(t_micro / 1000000e0, 6) AS info_frac,
+           round(b_micro / 1000000e0, 6) AS obf_boundary,
+           CAST(CASE WHEN z_micro IS NULL OR b_micro IS NULL THEN NULL
+                     WHEN abs(z_micro) >= b_micro THEN 1 ELSE 0
+                END AS BIGINT) AS crossed_obf
+    FROM l ORDER BY day
+"""
+
+
+@register("events_obrien_fleming_boundary", _OBF_ORACLE)
+def events_obrien_fleming_boundary(spark, sf_dir):
+    """Group-sequential monitor of the hash-split conversion
+    experiment: per daily look, the pooled z statistic, the
+    enrollment-fraction information t = n_look/N, and the
+    O'Brien–Fleming-type boundary z_alpha/sqrt(t) with its crossing
+    flag — the scheduled-looks classic beside the always-valid mSPRT,
+    on the same shared daily cells and variance kernel (see the
+    section comment for the b(1)-normalization caveat and why t is
+    enrollment-anchored, not variance-anchored, on a
+    saturating-conversion corpus).
+
+    Scale: identical shape to events_msprt_always_valid — one
+    user-grain aggregate, one day-grain cell aggregate, cumulative
+    cells via the F.aggregate prefix fold over one sorted
+    calendar-bounded array (days² lambda steps on a metadata-scale
+    relation, no single-partition window); the final enrollment total
+    is ONE exact sum over the day increments, broadcast to every look
+    row. The DuckDB oracle uses the naive window formulation, so the
+    hash match proves the fold and the increment-sum total reproduce
+    it."""
+    d = _seq_day_increments(spark, sf_dir)
+    arr = d.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "na_d", "ca_d", "nb_d", "cb_d"))
+        ).alias("arr")
+    )
+    cum = d.crossJoin(F.broadcast(arr)).select(
+        "day",
+        F.expr(
+            "aggregate(filter(arr, x -> x.day <= day),"
+            " named_struct('na', 0L, 'ca', 0L, 'nb', 0L, 'cb', 0L),"
+            " (a, x) -> named_struct("
+            "     'na', a.na + x.na_d, 'ca', a.ca + x.ca_d,"
+            "     'nb', a.nb + x.nb_d, 'cb', a.cb + x.cb_d))"
+        ).alias("st"),
+    )
+    fin = d.agg(
+        (F.sum("na_d") + F.sum("nb_d")).cast("bigint").alias("fn")
+    )
+    l = (
+        cum.select(
+            "day",
+            F.col("st.na").alias("n_a"),
+            F.col("st.ca").alias("c_a"),
+            F.col("st.nb").alias("n_b"),
+            F.col("st.cb").alias("c_b"),
+        )
+        .crossJoin(F.broadcast(fin))
+        .select(
+            "day",
+            "n_a",
+            "c_a",
+            "n_b",
+            "c_b",
+            F.expr(_OBF_Z).alias("z_micro"),
+            F.expr(_OBF_T).alias("t_micro"),
+            F.expr(_OBF_B).alias("b_micro"),
+        )
+    )
+    return l.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(F.col("z_micro") / F.expr("1000000e0"), 6).alias("z"),
+        F.round(F.col("t_micro") / F.expr("1000000e0"), 6).alias(
+            "info_frac"
+        ),
+        F.round(F.col("b_micro") / F.expr("1000000e0"), 6).alias(
+            "obf_boundary"
+        ),
+        F.expr(
+            "CAST(CASE WHEN z_micro IS NULL OR b_micro IS NULL THEN NULL"
+            " WHEN abs(z_micro) >= b_micro THEN 1 ELSE 0"
+            " END AS BIGINT)"
+        ).alias("crossed_obf"),
+    ).orderBy("day")
+
+
 # --- distributional & robust treatment effects (round 13) ----------------------
 #
 # Two readouts the mean-based suite (z-test/CUPED/DiD) cannot give:

@@ -1537,3 +1537,360 @@ def agg_atkinson_index(spark, sf_dir):
             " * exp(-(l_micro / 1000000e0)) + 0.5e0) AS BIGINT)"
         ).alias("ede_spend_cents"),
     )
+
+
+# --- Hoover (Robin Hood) index (round 14) ---------------------------------------
+#
+# The redistribution member completing the inequality suite (Gini →
+# Theil T → Theil L → Atkinson → Hoover): H = ½·Σ|x_i/S − 1/n| is the
+# fraction of total spend that would have to move between customers
+# to equalize the distribution — the most literally interpretable
+# inequality number, and the maximum vertical Lorenz-diagonal gap.
+# The between-nation companion H_b = ½·Σ_g|S_g/S − n_g/n| applies the
+# same formula to the nation-merged distribution; merging can only
+# reduce transfer need, so H_b ≤ H and the Theil clamp contract
+# applies (least/greatest at birth).
+#
+# Determinism: per-term share deviations are computed by ONE fixed
+# IEEE tree over the exact BIGINT cells (two correctly-rounded
+# divisions, one subtraction, abs), pico-quantized (1e12 — terms are
+# O(1/n), so micro would truncate them at scale) and summed as
+# BIGINT; the ÷2 and the pico→micro step run on the exact integer
+# sum. No int64 product that could overflow at scale exists — the
+# Theil ratio rule.
+
+_HOOVER_T_CUST = (
+    "CAST(floor(abs(CAST(x AS DOUBLE) / s - 1e0 / CAST(n AS DOUBLE))"
+    " * 1000000000000e0 + 0.5e0) AS BIGINT)"
+)
+_HOOVER_T_NAT = (
+    "CAST(floor(abs(CAST(s_g AS DOUBLE) / s"
+    " - CAST(n_g AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000000000e0 + 0.5e0) AS BIGINT)"
+)
+# pico-sum → micro H: /2 (the ½) then /1e6 (pico→micro), one floor
+_HOOVER_MICRO = (
+    "CAST(floor(CAST({s} AS DOUBLE) / 2000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_HOOVER_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
+    ht AS (
+        SELECT CAST(sum({_HOOVER_T_CUST}) AS BIGINT) AS h_pico
+        FROM cust CROSS JOIN tot
+    ),
+    hb AS (
+        SELECT CAST(sum({_HOOVER_T_NAT}) AS BIGINT) AS hb_pico
+        FROM nat CROSS JOIN tot
+    ),
+    f AS (
+        SELECT tot.n, tot.n_groups, tot.s,
+               greatest({_HOOVER_MICRO.format(s="ht.h_pico")}, 0) AS h_c,
+               {_HOOVER_MICRO.format(s="hb.hb_pico")} AS hb_raw
+        FROM tot CROSS JOIN ht CROSS JOIN hb
+    ),
+    f2 AS (
+        SELECT n, n_groups, s, h_c,
+               least(greatest(hb_raw, 0), h_c) AS hb_c
+        FROM f
+    )
+    SELECT n AS n_customers, n_groups, s AS total_spend_cents,
+           round(h_c / 1000000e0, 6) AS hoover_total,
+           round(hb_c / 1000000e0, 6) AS hoover_between,
+           CASE WHEN h_c > 0 THEN
+               round(CAST(floor(CAST(hb_c AS DOUBLE) / h_c
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS between_share
+    FROM f2
+"""
+
+
+@register("agg_hoover_index", _HOOVER_ORACLE)
+def agg_hoover_index(spark, sf_dir):
+    """Hoover (Robin Hood) index of per-customer order spend with the
+    between-nation companion — the share of total spend that must be
+    redistributed to reach equality, on the SAME shared base
+    relations as the Theil/Atkinson family (see the section comment
+    for the pico-term quantization and the merge-monotonicity clamp).
+
+    Scale: identical shape to the Theil queries — one customer-grain
+    aggregate, one broadcast totals row, map-side-combinable BIGINT
+    term sums; no window, no driver-side state beyond the one report
+    row."""
+    cust, nat, tot = _theil_base(spark, sf_dir)
+    ht = cust.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_HOOVER_T_CUST)).cast("bigint").alias("h_pico")
+    )
+    hb = nat.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_HOOVER_T_NAT)).cast("bigint").alias("hb_pico")
+    )
+    f = (
+        tot.crossJoin(F.broadcast(ht))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            "n",
+            "n_groups",
+            "s",
+            F.expr(
+                "greatest("
+                + _HOOVER_MICRO.format(s="h_pico")
+                + ", 0)"
+            ).alias("h_c"),
+            F.expr(_HOOVER_MICRO.format(s="hb_pico")).alias("hb_raw"),
+        )
+        .select(
+            "n",
+            "n_groups",
+            "s",
+            "h_c",
+            F.expr("least(greatest(hb_raw, 0), h_c)").alias("hb_c"),
+        )
+    )
+    return f.select(
+        F.col("n").alias("n_customers"),
+        "n_groups",
+        F.col("s").alias("total_spend_cents"),
+        F.round(F.col("h_c") / F.expr("1000000e0"), 6).alias("hoover_total"),
+        F.round(F.col("hb_c") / F.expr("1000000e0"), 6).alias(
+            "hoover_between"
+        ),
+        F.expr(
+            "CASE WHEN h_c > 0 THEN"
+            " round(CAST(floor(CAST(hb_c AS DOUBLE) / h_c"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("between_share"),
+    )
+
+
+# --- Lorenz curve + Palma ratio (round 14) --------------------------------------
+#
+# The distributional READOUT companions to the inequality indices:
+# the Lorenz curve's decile grid (cumulative spend share of the
+# poorest p % of customers) is the picture behind Gini/Hoover, and
+# the Palma ratio (top-10 % share / bottom-40 % share) is the
+# tail-focused summary economists quote when the middle is stable.
+# Both need exact PREFIX-RANGE SUMS at rank cuts — a new shape beside
+# the single order statistics of _bucket_order_stats: the cumulative
+# spend of the k poorest under the deterministic (spend, custkey)
+# total order.
+#
+# Two-pass plan (no global sort/window): pass 1 aggregates per
+# value-range bucket (count, spend sum) — ≤ _SPEND_RANGES rows,
+# collected like the kernel's counts — and the driver walks the
+# bucket prefix to place each rank cut with a residual and the EXACT
+# spend of all full buckets below it; pass 2 ranks WITHIN target
+# buckets only and sums the residual-many smallest rows. cum(k) =
+# full-bucket prefix + in-bucket partial, exact BIGINT cents
+# end-to-end; shares and the Palma quotient are single
+# micro-quantized divisions. The DuckDB oracle uses the naive global
+# window, so the hash match proves the two-pass decomposition.
+
+_LORENZ_DECILES = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def _cust_spend_prefix(spark, cust, fracs):
+    """(tags_df, part_df): exact prefix spend at rank cuts
+    k = (num·n) div den of the (x, o_custkey) order over ``cust``.
+    ``fracs`` maps tag -> (num, den). tags_df carries (tag, rank_k,
+    base_cents, n, s); part_df carries (tag, part_cents) for the
+    in-bucket partial (absent when rank_k lands exactly on a bucket
+    boundary or is 0)."""
+    from pyspark.sql import Window
+
+    from .queries_events import _rng_bucketed
+
+    g = cust.select(
+        F.col("o_custkey").alias("key"), F.col("x").alias("m")
+    )
+    g = _rng_bucketed(g)
+    pairs = sorted(
+        (int(r["rng"]), int(r["c"]), int(r["sx"]))
+        for r in g.groupBy("rng")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("m").cast("bigint").alias("sx"),
+        )
+        .collect()
+    )
+    n = sum(c for _, c, _ in pairs)
+    s = sum(sx for _, _, sx in pairs)
+    tag_rows, targets = [], []
+    for tag, (num, den) in fracs.items():
+        k = (num * n) // den
+        base = 0
+        if k > 0:
+            prefix_c, prefix_s = 0, 0
+            for rng, c, sx in pairs:
+                if k <= prefix_c + c:
+                    base = prefix_s
+                    targets.append((rng, tag, k - prefix_c))
+                    break
+                prefix_c += c
+                prefix_s += sx
+        tag_rows.append((tag, k, base, n, s))
+    tags_df = spark.createDataFrame(
+        tag_rows,
+        "tag string, rank_k bigint, base_cents bigint, n bigint, s bigint",
+    )
+    tdf = spark.createDataFrame(
+        targets, "rng bigint, tag string, residual bigint"
+    )
+    w = Window.partitionBy("rng", "tag").orderBy("m", "key")
+    part = (
+        g.join(F.broadcast(tdf), "rng")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("residual"))
+        .groupBy("tag")
+        .agg(F.sum("m").cast("bigint").alias("part_cents"))
+    )
+    return tags_df, part
+
+
+_SHARE6 = (
+    "round(CAST(floor(CAST({num} AS DOUBLE) / NULLIF({den}, 0)"
+    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+)
+
+_LORENZ_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
+    r AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn
+        FROM cust
+    ),
+    d AS (SELECT CAST(p AS BIGINT) AS p
+          FROM (VALUES {", ".join(f"({p})" for p in _LORENZ_DECILES)}) t(p)),
+    sel AS (
+        SELECT d.p, (d.p * tot.n) // 100 AS k, tot.n, tot.s
+        FROM d CROSS JOIN tot
+    )
+    SELECT sel.p AS decile_pct,
+           sel.k AS rank_k,
+           sel.n AS n_customers,
+           CAST(coalesce(sum(r.x), 0) AS BIGINT) AS cum_spend_cents,
+           {_SHARE6.format(num="coalesce(sum(r.x), 0)", den="sel.s")}
+               AS cum_share
+    FROM sel LEFT JOIN r ON r.rn <= sel.k
+    GROUP BY sel.p, sel.k, sel.n, sel.s
+    ORDER BY decile_pct
+"""
+
+
+@register("agg_lorenz_deciles", _LORENZ_ORACLE)
+def agg_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve of per-customer order spend at the decile grid:
+    cumulative exact-cents spend (and micro-quantized share) of the
+    poorest 10..90 % under the deterministic (spend, custkey) order —
+    computed by the two-pass bucket-prefix range-sum plan (see the
+    section comment), proven against the oracle's global window by
+    the hash.
+
+    Scale: pass 1 is one map-side-combined bucket aggregate (≤ 4096
+    rows collected — metadata, the kernel convention); pass 2 windows
+    only inside the ≤ 9 rank-cut buckets, fan-in one bucket's
+    density. No global sort at any size."""
+    cust, _nat, _tot = _theil_base(spark, sf_dir)
+    tags_df, part = _cust_spend_prefix(
+        spark, cust, {f"p{p}": (p, 100) for p in _LORENZ_DECILES}
+    )
+    return (
+        tags_df.join(part, "tag", "left")
+        .select(
+            F.expr("CAST(substring(tag, 2) AS BIGINT)").alias("decile_pct"),
+            F.col("rank_k"),
+            F.col("n").alias("n_customers"),
+            (
+                F.col("base_cents")
+                + F.coalesce(F.col("part_cents"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cum_spend_cents"),
+            F.expr(
+                _SHARE6.format(
+                    num="base_cents + coalesce(part_cents, 0)", den="s"
+                )
+            ).alias("cum_share"),
+        )
+        .orderBy("decile_pct")
+    )
+
+
+_PALMA_ORACLE = f"""
+    WITH {_THEIL_BASE_CTES},
+    r AS (
+        SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS rn
+        FROM cust
+    ),
+    sel AS (
+        SELECT (40 * tot.n) // 100 AS k40, (90 * tot.n) // 100 AS k90,
+               tot.n, tot.s
+        FROM tot
+    ),
+    c AS (
+        SELECT sel.n, sel.s,
+               CAST(coalesce(sum(CASE WHEN r.rn <= sel.k40 THEN r.x END),
+                             0) AS BIGINT) AS bottom40_cents,
+               CAST(sel.s - coalesce(sum(CASE WHEN r.rn <= sel.k90
+                                              THEN r.x END), 0)
+                    AS BIGINT) AS top10_cents
+        FROM sel LEFT JOIN r ON r.rn <= sel.k90
+        GROUP BY sel.n, sel.s
+    )
+    SELECT n AS n_customers, s AS total_spend_cents,
+           bottom40_cents, top10_cents,
+           {_SHARE6.format(num="bottom40_cents", den="s")} AS bottom40_share,
+           {_SHARE6.format(num="top10_cents", den="s")} AS top10_share,
+           {_SHARE6.format(num="top10_cents", den="bottom40_cents")}
+               AS palma_ratio
+    FROM c
+"""
+
+
+@register("agg_palma_ratio", _PALMA_ORACLE)
+def agg_palma_ratio(spark, sf_dir):
+    """Palma ratio of per-customer order spend: top-10 % share over
+    bottom-40 % share on the same exact bucket-prefix range sums as
+    the Lorenz query (top-10 cents = total − cum(k90), so both
+    operands come from ONE two-pass prefix computation). NULL when
+    the bottom-40 % spend is zero.
+
+    Scale: identical to agg_lorenz_deciles with two rank cuts instead
+    of nine."""
+    cust, _nat, _tot = _theil_base(spark, sf_dir)
+    tags_df, part = _cust_spend_prefix(
+        spark, cust, {"k40": (40, 100), "k90": (90, 100)}
+    )
+    cum = tags_df.join(part, "tag", "left").select(
+        "tag",
+        "n",
+        "s",
+        (F.col("base_cents") + F.coalesce(F.col("part_cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("cum_cents"),
+    )
+    c = cum.groupBy("n", "s").agg(
+        F.max(F.when(F.col("tag") == "k40", F.col("cum_cents")))
+        .cast("bigint")
+        .alias("bottom40_cents"),
+        (
+            F.first("s")
+            - F.max(F.when(F.col("tag") == "k90", F.col("cum_cents")))
+        )
+        .cast("bigint")
+        .alias("top10_cents"),
+    )
+    return c.select(
+        F.col("n").alias("n_customers"),
+        F.col("s").alias("total_spend_cents"),
+        "bottom40_cents",
+        "top10_cents",
+        F.expr(_SHARE6.format(num="bottom40_cents", den="s")).alias(
+            "bottom40_share"
+        ),
+        F.expr(_SHARE6.format(num="top10_cents", den="s")).alias(
+            "top10_share"
+        ),
+        F.expr(
+            _SHARE6.format(num="top10_cents", den="bottom40_cents")
+        ).alias("palma_ratio"),
+    )

@@ -2870,3 +2870,106 @@ def embedding_cluster_quality(spark, sf_dir):
         ch,
     )
     return spark.createDataFrame([row], schema)
+
+
+# --- cosine range search (round 14) ----------------------------------------
+#
+# The THRESHOLD twin of top-k retrieval: return EVERY corpus vector
+# within cosine >= tau of each probe — the primitive behind
+# "find all near-duplicates of these flagged documents" and
+# radius-bounded retrieval, where k is unknown a priori. Exact by
+# construction (single corpus scan against broadcast probes — the
+# brute-force baseline's plan), with the probe set derived from
+# corpus size the way _lsh_bits derives bucket width: probe_mod is
+# the smallest power of two with mod * _RANGE_PROBE_TARGET >= n, so
+# the probe relation stays ~_RANGE_PROBE_TARGET rows — broadcastable
+# at ANY corpus size — while remaining a deterministic,
+# engine-portable subset (vec_id % mod = 0). A pure-integer ladder
+# on both engines (the _quant_k libm rule). The threshold compares
+# the ROUNDED score on both sides so the emitted set is
+# hash-identical.
+
+_RANGE_TAU = 0.25  # ~2 sigma for 64-dim isotropic embeddings
+_RANGE_PROBE_TARGET = 64
+_RANGE_MOD_LADDER = [2**i for i in range(0, 21)]  # 1 .. 1M
+
+
+def _range_probe_mod(n: int) -> int:
+    """Smallest ladder mod with mod * target >= n (clamped at 2^20)."""
+    for m in _RANGE_MOD_LADDER:
+        if m * _RANGE_PROBE_TARGET >= n:
+            return m
+    return _RANGE_MOD_LADDER[-1]
+
+
+def _range_probe_mod_sql(n_expr: str) -> str:
+    """SQL twin of ``_range_probe_mod`` — integer comparisons only."""
+    arms = " ".join(
+        f"WHEN {n_expr} <= {m * _RANGE_PROBE_TARGET} THEN {m}"
+        for m in _RANGE_MOD_LADDER[:-1]
+    )
+    return f"(CASE {arms} ELSE {_RANGE_MOD_LADDER[-1]} END)"
+
+
+_RANGE_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
+        FROM embeddings
+    ),
+    p AS (
+        SELECT CAST({_range_probe_mod_sql('count(*)')} AS BIGINT) AS md
+        FROM embeddings
+    ),
+    q AS (
+        SELECT v.vec_id, v.embedding, v.nrm
+        FROM v CROSS JOIN p WHERE v.vec_id % p.md = 0
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round({S.cosine_sql('q.embedding', 'c.embedding',
+                                   'q.nrm', 'c.nrm')}, 6) AS cos_sim
+        FROM q JOIN v c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim
+    FROM scored WHERE cos_sim >= {_RANGE_TAU}
+"""
+
+
+@register("similarity_range_search", _RANGE_ORACLE)
+def similarity_range_search(spark, sf_dir):
+    """Exact cosine range search: all (probe, neighbor) pairs with
+    rounded cosine >= tau over a size-derived deterministic probe set
+    (see the section comment for the probe-mod ladder and the
+    rounded-threshold hash contract).
+
+    Scale: ONE corpus scan joined to a broadcast ~64-row probe
+    relation — no shuffle, no window, no candidate explosion; output
+    is tau-selectivity-bounded. The LSH/IVF families remain the
+    sublinear paths; this is the exact primitive they are audited
+    against."""
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    )
+    mod = _range_probe_mod(v.count())
+    q = v.filter(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    return (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                S.cosine(
+                    F.col("q_emb"),
+                    F.col("embedding"),
+                    F.col("q_nrm"),
+                    F.col("nrm"),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= _RANGE_TAU)
+    )

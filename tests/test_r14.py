@@ -113,6 +113,141 @@ def test_seeded_sample_invariants_recompute(spark, sf_dir):
     } == {p: (min(50, n),) * 3 for p, n in strata_sizes.items()}
 
 
+def _cust_spend(spark, sf_dir):
+    """Driver-side per-customer order spend in exact cents — the
+    Python mirror of _theil_base's cust relation."""
+    import math
+
+    spend: dict = {}
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        spend[r.o_custkey] = spend.get(r.o_custkey, 0) + math.floor(
+            float(r.o_totalprice) * 100.0 + 0.5
+        )
+    return spend
+
+
+def test_hoover_index_recompute(spark, sf_dir):
+    """Driver-side Hoover recompute with the same pico-term
+    quantization: H = ½Σ|x_i/S − 1/n|, and the between-nation value
+    obeys the merge-monotonicity clamp (H_b ≤ H)."""
+    import math
+
+    spend = _cust_spend(spark, sf_dir)
+    n, s = len(spend), sum(spend.values())
+    pico = sum(
+        math.floor(abs(x / s - 1.0 / n) * 1e12 + 0.5)
+        for x in spend.values()
+    )
+    h = max(math.floor(pico / 2e6 + 0.5), 0) / 1e6
+    row = QUERIES["agg_hoover_index"].fn(spark, sf_dir).collect()[0]
+    assert row.n_customers == n and row.total_spend_cents == s
+    assert abs(row.hoover_total - round(h, 6)) < 1e-9
+    assert 0 <= row.hoover_between <= row.hoover_total
+
+
+def test_lorenz_palma_recompute(spark, sf_dir):
+    """Exact global-sort recompute of the Lorenz decile prefix sums
+    and the Palma operands — the two-pass bucket-prefix plan must
+    reproduce the naive sorted prefix exactly (integer cents), and
+    the curve must be monotone and ≤ the diagonal."""
+    spend = _cust_spend(spark, sf_dir)
+    xs = [x for _, x in sorted(spend.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, s = len(xs), sum(xs)
+    prefix = [0]
+    for x in xs:
+        prefix.append(prefix[-1] + x)
+    rows = QUERIES["agg_lorenz_deciles"].fn(spark, sf_dir).collect()
+    assert [r.decile_pct for r in rows] == list(range(10, 100, 10))
+    last = -1
+    for r in rows:
+        k = (r.decile_pct * n) // 100
+        assert r.rank_k == k and r.n_customers == n
+        assert r.cum_spend_cents == prefix[k]
+        assert r.cum_spend_cents >= last
+        # Lorenz curve sits on or below the diagonal
+        assert r.cum_spend_cents * 100 <= s * r.decile_pct + s
+        last = r.cum_spend_cents
+    p = QUERIES["agg_palma_ratio"].fn(spark, sf_dir).collect()[0]
+    assert p.bottom40_cents == prefix[(40 * n) // 100]
+    assert p.top10_cents == s - prefix[(90 * n) // 100]
+
+
+def test_range_search_matches_numpy_bruteforce(spark, sf_dir):
+    """Exact recompute of the emitted pair set with numpy cosines
+    over the same probe-mod subset (threshold applied to the 6dp
+    rounded score, the query's hash contract)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _RANGE_TAU,
+        _range_probe_mod,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(map(float, r.embedding)) for r in rows])
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    mod = _range_probe_mod(len(rows))
+    expected = set()
+    for qi in range(len(rows)):
+        if ids[qi] % mod:
+            continue
+        cos = mat @ mat[qi] / (nrm * nrm[qi])
+        for ci in np.nonzero(np.round(cos, 6) >= _RANGE_TAU)[0]:
+            if ids[ci] != ids[qi]:
+                expected.add((int(ids[qi]), int(ids[ci])))
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in QUERIES["similarity_range_search"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected and expected  # non-degenerate fixture
+
+
+def test_obf_boundary_invariants(spark, sf_dir):
+    """OBF contract pinned on the query's own cells: z recomputed
+    from the reported cumulative cells matches the reported z;
+    information fraction is nondecreasing in the look day and ends at
+    exactly 1; the boundary is nonincreasing and ends at exactly the
+    fixed-n critical value; the crossing flag equals |z| >= boundary
+    on the quantized values."""
+    import math
+
+    rows = QUERIES["events_obrien_fleming_boundary"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows == sorted(rows, key=lambda r: r.day)
+    assert sum(r.z is not None for r in rows) >= 2  # richness guard
+    prev_t, prev_b = -1.0, float("inf")
+    n_final = rows[-1].n_a + rows[-1].n_b
+    for r in rows:
+        # schedule exists on every look
+        assert r.info_frac is not None and r.obf_boundary is not None
+        assert (
+            abs(
+                math.floor((r.n_a + r.n_b) / n_final * 1e6 + 0.5) / 1e6
+                - r.info_frac
+            )
+            < 1e-9
+        )
+        assert r.info_frac >= prev_t - 1e-9
+        assert r.obf_boundary <= prev_b + 1e-9
+        if r.z is None:
+            assert r.crossed_obf is None  # saturated/empty-arm look
+        else:
+            p = (r.c_a + r.c_b) / (r.n_a + r.n_b)
+            v = p * (1 - p) * (1 / r.n_a + 1 / r.n_b)
+            z = (r.c_a / r.n_a - r.c_b / r.n_b) / math.sqrt(v)
+            assert abs(math.floor(z * 1e6 + 0.5) / 1e6 - r.z) < 1e-9
+            assert r.crossed_obf == (1 if abs(r.z) >= r.obf_boundary else 0)
+        prev_t, prev_b = r.info_frac, r.obf_boundary
+    assert rows[-1].info_frac == 1.0
+    assert rows[-1].obf_boundary == 1.959964
+
+
 def test_wav_audit_matches_utf8_features(spark, sf_dir):
     """Cross-codec consistency: because the WAV round-trip is identity
     on the byte values, the audit's mean/std/hist features must equal

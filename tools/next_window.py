@@ -80,6 +80,11 @@ PRIORITY: tuple[str, ...] = ()
 POST_PIN_ADDITIONS: tuple[str, ...] = (
     "multimodal_wav_audit",
     "w2_seeded_sample_invariants",
+    "agg_hoover_index",
+    "agg_lorenz_deciles",
+    "agg_palma_ratio",
+    "similarity_range_search",
+    "events_obrien_fleming_boundary",
 )
 
 

@@ -251,6 +251,16 @@ EXTRA = [
     # r13 sixth batch (horizon ladder + per-segment HTE)
     "events_conversion_horizon_lift",
     "events_segment_lift_hte",
+    # r14 additions (real-codec multimodal audit, seeded-sample
+    # invariants, inequality readouts, exact range search,
+    # group-sequential boundary)
+    "multimodal_wav_audit",
+    "w2_seeded_sample_invariants",
+    "agg_hoover_index",
+    "agg_lorenz_deciles",
+    "agg_palma_ratio",
+    "similarity_range_search",
+    "events_obrien_fleming_boundary",
 ]
 
 
