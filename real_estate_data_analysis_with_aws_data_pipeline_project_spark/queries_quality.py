@@ -1974,3 +1974,171 @@ def quality_perplexity_drift(spark, sf_dir):
             (F.col("t_micro") - F.col("e_micro")) / F.expr("1000000e0"), 6
         ).alias("drift_log2"),
     )
+
+
+# --- Benford first-digit audit (round 14) ---------------------------------------
+#
+# The forensic DQ classic: naturally-occurring multiplicative amounts
+# follow Benford's law P(d) = log10(1 + 1/d); fabricated or
+# systematically-generated amounts don't — auditors run exactly this
+# chi-square on financial totals. Domain: order totals in exact
+# integer cents; the first digit comes from the INTEGER'S decimal
+# string (substring of CAST, digit 1-9 since cents >= 1) — no
+# log10/pow anywhere, so no libm surface at all. The expected
+# probabilities are Python-precomputed double literals embedded in
+# BOTH engines' SQL (repr round-trips exactly), the per-digit
+# chi-square terms (obs − n·p)²/(n·p) are micro-quantized from exact
+# BIGINT counts, and the digit grid is DENSIFIED from a VALUES table
+# on both sides — a digit with zero observations still contributes
+# its n·p term (the r13 split_behavior_chi2 structural-zero lesson,
+# applied at birth).
+
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+# chi2 critical value, df = 8, alpha = 0.05 (micro-quantized literal)
+_BENFORD_CRIT_MICRO = 15_507_313
+
+_BENFORD_DIGITS_SQL = (
+    "(VALUES " + ", ".join(f"({d})" for d in range(1, 10)) + ") t(digit)"
+)
+
+
+def _benford_term_micro(obs: str, n: str, p: str) -> str:
+    """Micro-quantized chi-square term for one digit — ONE builder for
+    both engines (exp = n·p in double, term = (obs − exp)²/exp)."""
+    exp = f"(CAST({n} AS DOUBLE) * ({p}))"
+    return (
+        f"CAST(floor((CAST({obs} AS DOUBLE) - {exp})"
+        f" * (CAST({obs} AS DOUBLE) - {exp}) / {exp}"
+        f" * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+
+
+_BENFORD_CASE_P = (
+    "CASE "
+    + " ".join(f"WHEN digit = {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+_BENFORD_ORACLE = f"""
+    WITH amounts AS (
+        SELECT CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    obs AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+               CAST(count(*) AS BIGINT) AS obs_count
+        FROM amounts WHERE cents >= 1 GROUP BY 1
+    ),
+    grid AS (
+        SELECT CAST(digit AS BIGINT) AS digit,
+               CAST({_BENFORD_CASE_P.replace('digit', 'CAST(digit AS BIGINT)')}
+                    AS DOUBLE) AS p
+        FROM {_BENFORD_DIGITS_SQL}
+    ),
+    dense AS (
+        SELECT grid.digit, grid.p,
+               CAST(coalesce(obs.obs_count, 0) AS BIGINT) AS obs_count
+        FROM grid LEFT JOIN obs ON obs.digit = grid.digit
+    ),
+    tot AS (SELECT CAST(sum(obs_count) AS BIGINT) AS n FROM dense),
+    terms AS (
+        SELECT dense.digit, dense.obs_count, dense.p, tot.n,
+               {_benford_term_micro('dense.obs_count', 'tot.n',
+                                    'dense.p')} AS term_micro
+        FROM dense CROSS JOIN tot
+    ),
+    chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM terms)
+    SELECT terms.digit,
+           terms.n AS n_orders,
+           terms.obs_count,
+           round(CAST(floor(CAST(terms.obs_count AS DOUBLE) / terms.n
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS obs_share,
+           round(CAST(floor(terms.p * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS benford_share,
+           round(terms.term_micro / 1000000e0, 6) AS chi2_term,
+           round(chi.chi2_micro / 1000000e0, 6) AS chi2_total,
+           CAST(CASE WHEN chi.chi2_micro > {_BENFORD_CRIT_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS deviates_95
+    FROM terms CROSS JOIN chi
+    ORDER BY terms.digit
+"""
+
+
+@register("dq_benford_first_digit", _BENFORD_ORACLE)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford first-digit audit of order totals: per-digit observed
+    vs log10(1+1/d) expected shares, micro-quantized chi-square terms
+    over the DENSIFIED 1-9 grid, the exact chi-square total, and the
+    df=8 95 % deviation flag (see the section comment — first digit
+    from the integer cents' decimal string, no libm anywhere).
+
+    Scale: one map-side-combined digit aggregate over the scan (9
+    groups), a broadcast 9-row grid, scalar report arithmetic — no
+    window, no second scan."""
+    amounts = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)").alias(
+            "cents"
+        )
+    )
+    obs = (
+        amounts.where(F.col("cents") >= 1)
+        .select(
+            F.expr(
+                "CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("obs_count"))
+    )
+    grid = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit bigint, p double"
+    )
+    dense = grid.join(obs, "digit", "left").select(
+        "digit",
+        "p",
+        F.coalesce(F.col("obs_count"), F.lit(0)).cast("bigint").alias(
+            "obs_count"
+        ),
+    )
+    tot = dense.agg(F.sum("obs_count").cast("bigint").alias("n"))
+    terms = dense.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "obs_count",
+        "p",
+        "n",
+        F.expr(_benford_term_micro("obs_count", "n", "p")).alias(
+            "term_micro"
+        ),
+    )
+    chi = terms.agg(F.sum("term_micro").cast("bigint").alias("chi2_micro"))
+    return (
+        terms.crossJoin(F.broadcast(chi))
+        .select(
+            "digit",
+            F.col("n").alias("n_orders"),
+            "obs_count",
+            F.expr(
+                "round(CAST(floor(CAST(obs_count AS DOUBLE) / n"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("obs_share"),
+            F.expr(
+                "round(CAST(floor(p * 1000000e0 + 0.5e0) AS BIGINT)"
+                " / 1000000e0, 6)"
+            ).alias("benford_share"),
+            F.round(F.col("term_micro") / F.expr("1000000e0"), 6).alias(
+                "chi2_term"
+            ),
+            F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias(
+                "chi2_total"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN chi2_micro > {_BENFORD_CRIT_MICRO}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("deviates_95"),
+        )
+        .orderBy("digit")
+    )

@@ -2003,6 +2003,109 @@ def graph_preferential_attachment(spark, sf_dir):
     )
 
 
+# --- degree assortativity (round 14) -------------------------------------------
+#
+# Newman's degree-correlation coefficient on the co-purchase graph:
+# Pearson r of the endpoint degrees over the (symmetrized) edge list
+# — positive means high-volume suppliers co-occur with high-volume
+# suppliers (a hub club), negative a hub-and-spoke economy. Degrees
+# are the family's customer counts on the capped bipartite relation
+# (the PA query's sd), edges the shared s1 < s2 pair relation. With
+# each undirected pair counted in both orientations the x- and
+# y-marginals coincide, so r needs only FOUR exact BIGINT sums over
+# the pair relation (E, Σ(d1+d2), Σ(d1²+d2²), Σd1·d2):
+#   r = (2E·2Σd1d2 − S1²) / (2E·S2 − S1²),  S1 = Σ(d1+d2), S2 = Σ(d1²+d2²)
+# — one fixed NULLIF-guarded double tree over the integer cells,
+# micro-quantized (den = 0 ⇔ all endpoint degrees equal ⇒ r NULL).
+# Integer cells stay exact past 10⁶-degree hubs on 10⁹ edges
+# (d² ≤ 1e12 × 1e9 rows < 2⁶³); beyond, DECIMAL(38) — the ANOVA
+# bound convention.
+
+_ASSORT_R_SQL = (
+    "CASE WHEN (2e0 * e_cnt * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) <> 0e0 THEN"
+    " round(CAST(floor((2e0 * e_cnt * (2e0 * CAST(sxy AS DOUBLE))"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " / (2e0 * e_cnt * CAST(s2 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+)
+
+_ASSORT_ORACLE = f"""
+    WITH {_COSUPP_EDGES_SQL},
+    p AS (
+        SELECT a.supp AS s1, b.supp AS s2
+        FROM ee a JOIN ee b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY 1, 2
+    ),
+    sd AS (SELECT supp, CAST(count(*) AS BIGINT) AS d FROM ee GROUP BY 1),
+    j AS (
+        SELECT d1.d AS deg1, d2.d AS deg2
+        FROM p JOIN sd d1 ON d1.supp = p.s1 JOIN sd d2 ON d2.supp = p.s2
+    ),
+    cells AS (
+        SELECT CAST(count(*) AS BIGINT) AS e_cnt,
+               CAST(sum(deg1 + deg2) AS BIGINT) AS s1,
+               CAST(sum(deg1 * deg1 + deg2 * deg2) AS BIGINT) AS s2,
+               CAST(sum(deg1 * deg2) AS BIGINT) AS sxy
+        FROM j
+    ),
+    nn AS (
+        SELECT CAST(count(DISTINCT supp) AS BIGINT) AS n_nodes
+        FROM (SELECT s1 AS supp FROM p UNION SELECT s2 FROM p)
+    )
+    SELECT nn.n_nodes, cells.e_cnt AS n_edges,
+           cells.s1 AS sum_endpoint_degrees,
+           {_ASSORT_R_SQL} AS assortativity
+    FROM cells CROSS JOIN nn
+"""
+
+
+@register("graph_degree_assortativity", _ASSORT_ORACLE)
+def graph_degree_assortativity(spark, sf_dir):
+    """Newman degree assortativity of the hub-capped co-purchase
+    graph: Pearson r of endpoint degrees over the symmetrized shared
+    pair relation, from four exact BIGINT edge sums (see the section
+    comment for the marginal-coincidence identity and the exactness
+    bound).
+
+    Scale: reuses the shared capped-edge relation, the map-side pair
+    expansion, and the dimension-scale degree relation (joined twice,
+    AQE-broadcast like the PA/jaccard siblings); the four cells are
+    ONE map-side-combined aggregate and the report is one scalar
+    row — no window, no driver state."""
+    ee = _cosupp_capped_edges(spark, sf_dir)
+    p = _cosupp_pairs(ee).select("s1", "s2")
+    sd = ee.groupBy("supp").agg(F.count("*").cast("bigint").alias("d"))
+    j = p.join(
+        sd.select(F.col("supp").alias("s1"), F.col("d").alias("deg1")), "s1"
+    ).join(
+        sd.select(F.col("supp").alias("s2"), F.col("d").alias("deg2")), "s2"
+    )
+    cells = j.agg(
+        F.count("*").cast("bigint").alias("e_cnt"),
+        F.sum(F.col("deg1") + F.col("deg2")).cast("bigint").alias("s1"),
+        F.sum(
+            F.col("deg1") * F.col("deg1") + F.col("deg2") * F.col("deg2")
+        )
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.col("deg1") * F.col("deg2")).cast("bigint").alias("sxy"),
+    )
+    nn = (
+        p.select(F.col("s1").alias("supp"))
+        .union(p.select(F.col("s2").alias("supp")))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    return cells.crossJoin(F.broadcast(nn)).select(
+        "n_nodes",
+        F.col("e_cnt").alias("n_edges"),
+        F.col("s1").alias("sum_endpoint_degrees"),
+        F.expr(_ASSORT_R_SQL).alias("assortativity"),
+    )
+
+
 # --- pseudo-relevance-feedback query expansion (round 10) ----------------------
 #
 # The classic RM1-style first step of query expansion: take the BM25

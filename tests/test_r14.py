@@ -263,3 +263,81 @@ def test_wav_audit_matches_utf8_features(spark, sf_dir):
     }
     assert wav and set(wav) == set(txt)
     assert wav == txt
+
+
+def test_benford_recompute(spark, sf_dir):
+    """Driver-side Benford recompute: digit counts from the same
+    half-up cents, chi2 total from the same micro-quantized terms,
+    full 1-9 grid even when a digit never occurs."""
+    import math
+    from collections import Counter
+
+    cents = [
+        math.floor(float(r.o_totalprice) * 100.0 + 0.5)
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_totalprice")
+        .collect()
+    ]
+    obs = Counter(int(str(c)[0]) for c in cents if c >= 1)
+    n = sum(obs.values())
+    chi_micro = 0
+    for d in range(1, 10):
+        p = math.log10(1.0 + 1.0 / d)
+        e = n * p
+        chi_micro += math.floor((obs.get(d, 0) - e) ** 2 / e * 1e6 + 0.5)
+    rows = QUERIES["dq_benford_first_digit"].fn(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    for r in rows:
+        assert r.obs_count == obs.get(r.digit, 0)
+        assert r.n_orders == n
+        assert abs(r.chi2_total - round(chi_micro / 1e6, 6)) < 1e-9
+        assert r.deviates_95 == (1 if chi_micro > 15_507_313 else 0)
+
+
+def test_assortativity_recompute(spark, sf_dir):
+    """Exact recompute of Newman's r from the collected capped pair
+    relation and degrees — same integer cells, same micro
+    quantization; value must sit in [-1, 1]."""
+    import math
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark import (
+        queries_retrieval as R,
+    )
+
+    ee = R._cosupp_capped_edges(spark, sf_dir).collect()
+    deg: dict = {}
+    by_cust: dict = {}
+    for r in ee:
+        deg[r.supp] = deg.get(r.supp, 0) + 1
+        by_cust.setdefault(r.cust, set()).add(r.supp)
+    pairs = set()
+    for supps in by_cust.values():
+        ss = sorted(supps)
+        for i in range(len(ss)):
+            for jj in range(i + 1, len(ss)):
+                pairs.add((ss[i], ss[jj]))
+    e_cnt = len(pairs)
+    s1 = sum(deg[a] + deg[b] for a, b in pairs)
+    s2 = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in pairs)
+    sxy = sum(deg[a] * deg[b] for a, b in pairs)
+    den = 2.0 * e_cnt * float(s2) - float(s1) * float(s1)
+    expect = (
+        None
+        if den == 0
+        else math.floor(
+            (2.0 * e_cnt * (2.0 * float(sxy)) - float(s1) * float(s1))
+            / den
+            * 1e6
+            + 0.5
+        )
+        / 1e6
+    )
+    row = QUERIES["graph_degree_assortativity"].fn(spark, sf_dir).collect()[0]
+    assert row.n_edges == e_cnt
+    assert row.sum_endpoint_degrees == s1
+    assert row.n_nodes == len({s for p in pairs for s in p})
+    if expect is None:
+        assert row.assortativity is None
+    else:
+        assert abs(row.assortativity - round(expect, 6)) < 1e-9
+        assert -1.0 - 1e-6 <= row.assortativity <= 1.0 + 1e-6

@@ -85,6 +85,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_palma_ratio",
     "similarity_range_search",
     "events_obrien_fleming_boundary",
+    "dq_benford_first_digit",
+    "graph_degree_assortativity",
 )
 
 

@@ -261,6 +261,9 @@ EXTRA = [
     "agg_palma_ratio",
     "similarity_range_search",
     "events_obrien_fleming_boundary",
+    # r14 second batch (forensic DQ + graph degree correlation)
+    "dq_benford_first_digit",
+    "graph_degree_assortativity",
 ]
 
 
