@@ -7902,3 +7902,238 @@ def events_segment_lift_hte(spark, sf_dir):
             " WHEN z_micro IS NOT NULL THEN 0 END AS BIGINT)"
         ).alias("significant_95_unadjusted"),
     ).orderBy("stratum")
+
+
+# --- Qini uplift deciles (round 14) --------------------------------------------
+#
+# The uplift-evaluation readout the targeting literature quotes: rank
+# every user by a PRE-OUTCOME engagement score (click count — not the
+# purchase outcome being measured), sweep the top-decile grid, and at
+# each cut compare cumulative conversions in treatment vs the
+# control's rate scaled to the treatment's exposure:
+#   Qini(k) = C_t(k) − C_c(k) · N_t(k) / N_c(k)
+# A model (here: raw engagement) that concentrates persuadable users
+# early pushes the curve above the random-targeting diagonal. The
+# rank order is (score DESC, user_id DESC) — fully deterministic
+# under ties; deciles are exact rank cuts k_d = (d·n) div 10.
+#
+# Plan: the top-k cells are TOTALS MINUS ascending-prefix cells at
+# rank n − k, and the prefix cells come from the bucket-prefix
+# two-pass (pass 1: per score-range bucket, count + the four cells,
+# metadata-scale collect; pass 2: (score, user_id) window INSIDE the
+# ≤ 10 boundary buckets only, summing the residual-many smallest
+# rows' cells) — the _cust_spend_prefix pattern generalized from one
+# value column to a cell vector. Same tie-mass caveat as every rank
+# kernel here: a single score value holding most of the corpus
+# concentrates its bucket (bucket 0 = the zero-click users), bounded
+# in practice by the engagement distribution's spread. The DuckDB
+# oracle is the naive global window, so the hash proves the
+# decomposition. Qini/lift columns are micro-quantized fixed trees
+# over exact BIGINT cells, NULLIF-guarded for an empty-arm cut.
+
+_QINI_CELLS = ("n_t", "c_t", "n_c", "c_c")
+
+_QINI_USERS_CTE = f"""u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS score,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    )"""
+
+_QINI_QINI_SQL = (
+    "CASE WHEN n_c > 0 THEN"
+    " round(CAST(floor((CAST(c_t AS DOUBLE)"
+    " - CAST(c_c AS DOUBLE) * (CAST(n_t AS DOUBLE) / n_c))"
+    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+)
+_QINI_LIFT_SQL = (
+    "CASE WHEN n_t > 0 AND n_c > 0 THEN"
+    " round(CAST(floor((CAST(c_t AS DOUBLE) / n_t"
+    " - CAST(c_c AS DOUBLE) / n_c)"
+    " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+)
+
+_QINI_ORACLE = f"""
+    WITH {_QINI_USERS_CTE},
+    r AS (
+        SELECT variant, conv,
+               row_number() OVER (ORDER BY score DESC, user_id DESC) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM u
+    ),
+    d AS (SELECT CAST(dd AS BIGINT) AS decile
+          FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10)) t(dd)),
+    cells AS (
+        SELECT d.decile,
+               (d.decile * max(r.n)) // 10 AS k,
+               CAST(sum(CASE WHEN r.rn <= (d.decile * r.n) // 10
+                             AND r.variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_t,
+               CAST(sum(CASE WHEN r.rn <= (d.decile * r.n) // 10
+                             AND r.variant = 'a' THEN r.conv ELSE 0 END)
+                    AS BIGINT) AS c_t,
+               CAST(sum(CASE WHEN r.rn <= (d.decile * r.n) // 10
+                             AND r.variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_c,
+               CAST(sum(CASE WHEN r.rn <= (d.decile * r.n) // 10
+                             AND r.variant = 'b' THEN r.conv ELSE 0 END)
+                    AS BIGINT) AS c_c
+        FROM d CROSS JOIN r GROUP BY d.decile
+    )
+    SELECT decile, k AS top_k_users, n_t, c_t, n_c, c_c,
+           {_QINI_QINI_SQL} AS qini,
+           {_QINI_LIFT_SQL} AS uplift_rate
+    FROM cells ORDER BY decile
+"""
+
+
+@register("events_qini_uplift_deciles", _QINI_ORACLE)
+def events_qini_uplift_deciles(spark, sf_dir):
+    """Qini uplift curve at the decile grid: cumulative treatment vs
+    exposure-scaled control conversions among the top-k users by
+    click-count engagement score (see the section comment for the
+    statistic, the deterministic tie order, and the
+    totals-minus-prefix bucket plan).
+
+    Scale: one user-grain aggregate, one ≤ 4096-row bucket-cell
+    collect, one window bounded to the ≤ 10 boundary buckets — no
+    global sort; the oracle's global window is what the hash match
+    proves equivalent."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("score"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("conv"),
+        )
+        .select(
+            "user_id",
+            F.when(split_is_a("user_id"), "a").otherwise("b").alias(
+                "variant"
+            ),
+            "score",
+            "conv",
+        )
+    )
+    g = _rng_bucketed(u, col="score")
+    cell_exprs = [
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_t"),
+        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_c"),
+    ]
+    pairs = sorted(
+        (
+            (int(r["rng"]), int(r["cnt"]))
+            + tuple(int(r[c]) for c in _QINI_CELLS)
+        )
+        for r in g.groupBy("rng").agg(*cell_exprs).collect()
+    )
+    n = sum(p[1] for p in pairs)
+    totals = [sum(p[i + 2] for p in pairs) for i in range(4)]
+    # ascending-prefix cut m_d = n - k_d; walk the bucket prefix once
+    targets, base = [], {}
+    for dec in range(1, 11):
+        m = n - (dec * n) // 10
+        tag = f"d{dec}"
+        acc = [0, 0, 0, 0]
+        if m > 0:
+            prefix_c = 0
+            for rng, cnt, *cells in pairs:
+                if m <= prefix_c + cnt:
+                    targets.append((rng, tag, m - prefix_c))
+                    break
+                prefix_c += cnt
+                acc = [a + c for a, c in zip(acc, cells)]
+        base[tag] = acc
+    tdf = spark.createDataFrame(
+        targets, "rng bigint, tag string, residual bigint"
+    )
+    w = Window.partitionBy("rng", "tag").orderBy("score", "user_id")
+    part = (
+        g.join(F.broadcast(tdf), "rng")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("residual"))
+        .groupBy("tag")
+        .agg(
+            F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p_nt"),
+            F.sum(
+                F.when(F.col("variant") == "a", F.col("conv")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p_ct"),
+            F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+            .cast("bigint")
+            .alias("p_nc"),
+            F.sum(
+                F.when(F.col("variant") == "b", F.col("conv")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("p_cc"),
+        )
+    )
+    tags_df = spark.createDataFrame(
+        [
+            (
+                f"d{dec}",
+                dec,
+                (dec * n) // 10,
+                *base[f"d{dec}"],
+                *totals,
+            )
+            for dec in range(1, 11)
+        ],
+        "tag string, decile bigint, k bigint, b_nt bigint, b_ct bigint,"
+        " b_nc bigint, b_cc bigint, t_nt bigint, t_ct bigint,"
+        " t_nc bigint, t_cc bigint",
+    )
+    cells = tags_df.join(part, "tag", "left").select(
+        "decile",
+        F.col("k").alias("top_k_users"),
+        (F.col("t_nt") - F.col("b_nt") - F.coalesce("p_nt", F.lit(0)))
+        .cast("bigint")
+        .alias("n_t"),
+        (F.col("t_ct") - F.col("b_ct") - F.coalesce("p_ct", F.lit(0)))
+        .cast("bigint")
+        .alias("c_t"),
+        (F.col("t_nc") - F.col("b_nc") - F.coalesce("p_nc", F.lit(0)))
+        .cast("bigint")
+        .alias("n_c"),
+        (F.col("t_cc") - F.col("b_cc") - F.coalesce("p_cc", F.lit(0)))
+        .cast("bigint")
+        .alias("c_c"),
+    )
+    return cells.select(
+        "decile",
+        "top_k_users",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        F.expr(_QINI_QINI_SQL).alias("qini"),
+        F.expr(_QINI_LIFT_SQL).alias("uplift_rate"),
+    ).orderBy("decile")

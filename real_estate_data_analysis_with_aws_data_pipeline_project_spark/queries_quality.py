@@ -1976,28 +1976,33 @@ def quality_perplexity_drift(spark, sf_dir):
     )
 
 
-# --- Benford first-digit audit (round 14) ---------------------------------------
+# --- Benford chi-square gate (round 14) -----------------------------------------
 #
-# The forensic DQ classic: naturally-occurring multiplicative amounts
-# follow Benford's law P(d) = log10(1 + 1/d); fabricated or
-# systematically-generated amounts don't — auditors run exactly this
-# chi-square on financial totals. Domain: order totals in exact
-# integer cents; the first digit comes from the INTEGER'S decimal
-# string (substring of CAST, digit 1-9 since cents >= 1) — no
-# log10/pow anywhere, so no libm surface at all. The expected
-# probabilities are Python-precomputed double literals embedded in
-# BOTH engines' SQL (repr round-trips exactly), the per-digit
-# chi-square terms (obs − n·p)²/(n·p) are micro-quantized from exact
-# BIGINT counts, and the digit grid is DENSIFIED from a VALUES table
-# on both sides — a digit with zero observations still contributes
-# its n·p term (the r13 split_behavior_chi2 structural-zero lesson,
-# applied at birth).
+# The INFERENTIAL layer on top of the round-8 descriptive audit
+# (dq_benford_firstdigit reports per-digit observed-vs-expected
+# shares and share-scale deviation terms; it renders the picture but
+# issues no verdict). This gate computes the COUNT-scale Pearson
+# chi-square Σ(obs − n·p)²/(n·p) against the df = 8 critical value,
+# plus Nigrini's mean-absolute-deviation of the digit shares with his
+# published conformity bands — the two numbers a forensic reviewer
+# actually acts on. First digit from the INTEGER cents' decimal
+# string (no libm); expected probabilities are Python-precomputed
+# log10(1+1/d) literals embedded identically in both engines; the
+# per-digit chi-square and MAD terms are micro-quantized from exact
+# BIGINT counts and summed as integers; the digit grid is DENSIFIED
+# from a VALUES table on both sides so a digit with zero
+# observations still contributes its n·p term (the r13
+# split_behavior_chi2 structural-zero lesson, applied at birth).
 
 import math as _math
 
 _BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
 # chi2 critical value, df = 8, alpha = 0.05 (micro-quantized literal)
 _BENFORD_CRIT_MICRO = 15_507_313
+# Nigrini MAD conformity bands for first-digit tests (micro units)
+_BENFORD_MAD_CLOSE = 6_000       # < 0.006  close conformity
+_BENFORD_MAD_ACCEPTABLE = 12_000  # < 0.012 acceptable conformity
+_BENFORD_MAD_MARGINAL = 15_000   # < 0.015 marginally acceptable
 
 _BENFORD_DIGITS_SQL = (
     "(VALUES " + ", ".join(f"({d})" for d in range(1, 10)) + ") t(digit)"
@@ -2005,12 +2010,22 @@ _BENFORD_DIGITS_SQL = (
 
 
 def _benford_term_micro(obs: str, n: str, p: str) -> str:
-    """Micro-quantized chi-square term for one digit — ONE builder for
-    both engines (exp = n·p in double, term = (obs − exp)²/exp)."""
+    """Micro-quantized count-scale chi-square term for one digit —
+    ONE builder for both engines (exp = n·p in double, term =
+    (obs − exp)²/exp)."""
     exp = f"(CAST({n} AS DOUBLE) * ({p}))"
     return (
         f"CAST(floor((CAST({obs} AS DOUBLE) - {exp})"
         f" * (CAST({obs} AS DOUBLE) - {exp}) / {exp}"
+        f" * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+
+
+def _benford_mad_term_micro(obs: str, n: str, p: str) -> str:
+    """Micro-quantized |obs/n − p| share-deviation term (Nigrini MAD
+    numerator) — same one-builder contract."""
+    return (
+        f"CAST(floor(abs(CAST({obs} AS DOUBLE) / ({n}) - ({p}))"
         f" * 1000000e0 + 0.5e0) AS BIGINT)"
     )
 
@@ -2021,7 +2036,14 @@ _BENFORD_CASE_P = (
     + " END"
 )
 
-_BENFORD_ORACLE = f"""
+_BENFORD_MAD_BAND_SQL = (
+    f"CASE WHEN mad_micro < {_BENFORD_MAD_CLOSE} THEN 'close'"
+    f" WHEN mad_micro < {_BENFORD_MAD_ACCEPTABLE} THEN 'acceptable'"
+    f" WHEN mad_micro < {_BENFORD_MAD_MARGINAL} THEN 'marginal'"
+    " ELSE 'nonconforming' END"
+)
+
+_BENFORD_GATE_ORACLE = f"""
     WITH amounts AS (
         SELECT CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT) AS cents
         FROM orders
@@ -2045,36 +2067,39 @@ _BENFORD_ORACLE = f"""
     ),
     tot AS (SELECT CAST(sum(obs_count) AS BIGINT) AS n FROM dense),
     terms AS (
-        SELECT dense.digit, dense.obs_count, dense.p, tot.n,
-               {_benford_term_micro('dense.obs_count', 'tot.n',
-                                    'dense.p')} AS term_micro
+        SELECT {_benford_term_micro('dense.obs_count', 'tot.n', 'dense.p')}
+                   AS term_micro,
+               {_benford_mad_term_micro('dense.obs_count', 'tot.n',
+                                        'dense.p')} AS mterm_micro,
+               tot.n
         FROM dense CROSS JOIN tot
     ),
-    chi AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro FROM terms)
-    SELECT terms.digit,
-           terms.n AS n_orders,
-           terms.obs_count,
-           round(CAST(floor(CAST(terms.obs_count AS DOUBLE) / terms.n
-                            * 1000000e0 + 0.5e0) AS BIGINT)
-                 / 1000000e0, 6) AS obs_share,
-           round(CAST(floor(terms.p * 1000000e0 + 0.5e0) AS BIGINT)
-                 / 1000000e0, 6) AS benford_share,
-           round(terms.term_micro / 1000000e0, 6) AS chi2_term,
-           round(chi.chi2_micro / 1000000e0, 6) AS chi2_total,
-           CAST(CASE WHEN chi.chi2_micro > {_BENFORD_CRIT_MICRO}
-                     THEN 1 ELSE 0 END AS BIGINT) AS deviates_95
-    FROM terms CROSS JOIN chi
-    ORDER BY terms.digit
+    s AS (
+        SELECT max(n) AS n,
+               CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+               CAST((CAST(sum(mterm_micro) AS BIGINT) + 4) // 9 AS BIGINT)
+                   AS mad_micro
+        FROM terms
+    )
+    SELECT n AS n_orders,
+           round(chi2_micro / 1000000e0, 6) AS chi2,
+           round({_BENFORD_CRIT_MICRO} / 1000000e0, 6) AS chi2_crit_95,
+           CAST(CASE WHEN chi2_micro > {_BENFORD_CRIT_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS deviates_95,
+           round(mad_micro / 1000000e0, 6) AS nigrini_mad,
+           {_BENFORD_MAD_BAND_SQL} AS mad_conformity
+    FROM s
 """
 
 
-@register("dq_benford_first_digit", _BENFORD_ORACLE)
-def dq_benford_first_digit(spark, sf_dir):
-    """Benford first-digit audit of order totals: per-digit observed
-    vs log10(1+1/d) expected shares, micro-quantized chi-square terms
-    over the DENSIFIED 1-9 grid, the exact chi-square total, and the
-    df=8 95 % deviation flag (see the section comment — first digit
-    from the integer cents' decimal string, no libm anywhere).
+@register("dq_benford_chi2_gate", _BENFORD_GATE_ORACLE)
+def dq_benford_chi2_gate(spark, sf_dir):
+    """One-row Benford DECISION gate over order totals: count-scale
+    chi-square vs the df=8 95 % critical value plus Nigrini MAD with
+    his conformity bands — the verdict layer on the round-8
+    descriptive audit (see the section comment; densified grid, no
+    libm, integer half-up MAD mean so both engines round the /9
+    identically).
 
     Scale: one map-side-combined digit aggregate over the scan (9
     groups), a broadcast 9-row grid, scalar report arithmetic — no
@@ -2106,39 +2131,33 @@ def dq_benford_first_digit(spark, sf_dir):
     )
     tot = dense.agg(F.sum("obs_count").cast("bigint").alias("n"))
     terms = dense.crossJoin(F.broadcast(tot)).select(
-        "digit",
-        "obs_count",
-        "p",
         "n",
         F.expr(_benford_term_micro("obs_count", "n", "p")).alias(
             "term_micro"
         ),
+        F.expr(_benford_mad_term_micro("obs_count", "n", "p")).alias(
+            "mterm_micro"
+        ),
     )
-    chi = terms.agg(F.sum("term_micro").cast("bigint").alias("chi2_micro"))
-    return (
-        terms.crossJoin(F.broadcast(chi))
-        .select(
-            "digit",
-            F.col("n").alias("n_orders"),
-            "obs_count",
-            F.expr(
-                "round(CAST(floor(CAST(obs_count AS DOUBLE) / n"
-                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
-            ).alias("obs_share"),
-            F.expr(
-                "round(CAST(floor(p * 1000000e0 + 0.5e0) AS BIGINT)"
-                " / 1000000e0, 6)"
-            ).alias("benford_share"),
-            F.round(F.col("term_micro") / F.expr("1000000e0"), 6).alias(
-                "chi2_term"
-            ),
-            F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias(
-                "chi2_total"
-            ),
-            F.expr(
-                f"CAST(CASE WHEN chi2_micro > {_BENFORD_CRIT_MICRO}"
-                " THEN 1 ELSE 0 END AS BIGINT)"
-            ).alias("deviates_95"),
-        )
-        .orderBy("digit")
+    s = terms.agg(
+        F.max("n").alias("n"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+        F.expr(
+            "CAST((CAST(sum(mterm_micro) AS BIGINT) + 4) DIV 9 AS BIGINT)"
+        ).alias("mad_micro"),
+    )
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias("chi2"),
+        F.expr(
+            f"round({_BENFORD_CRIT_MICRO} / 1000000e0, 6)"
+        ).alias("chi2_crit_95"),
+        F.expr(
+            f"CAST(CASE WHEN chi2_micro > {_BENFORD_CRIT_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("deviates_95"),
+        F.round(F.col("mad_micro") / F.expr("1000000e0"), 6).alias(
+            "nigrini_mad"
+        ),
+        F.expr(_BENFORD_MAD_BAND_SQL).alias("mad_conformity"),
     )

@@ -265,10 +265,12 @@ def test_wav_audit_matches_utf8_features(spark, sf_dir):
     assert wav == txt
 
 
-def test_benford_recompute(spark, sf_dir):
-    """Driver-side Benford recompute: digit counts from the same
-    half-up cents, chi2 total from the same micro-quantized terms,
-    full 1-9 grid even when a digit never occurs."""
+def test_benford_gate_recompute(spark, sf_dir):
+    """Driver-side Benford gate recompute: count-scale chi2 and
+    Nigrini MAD from the same half-up cents and micro-quantized
+    terms, full 1-9 grid even when a digit never occurs; the gate
+    must also agree with the round-8 descriptive audit's digit
+    counts."""
     import math
     from collections import Counter
 
@@ -280,18 +282,29 @@ def test_benford_recompute(spark, sf_dir):
     ]
     obs = Counter(int(str(c)[0]) for c in cents if c >= 1)
     n = sum(obs.values())
-    chi_micro = 0
+    chi_micro, mad_sum = 0, 0
     for d in range(1, 10):
         p = math.log10(1.0 + 1.0 / d)
         e = n * p
         chi_micro += math.floor((obs.get(d, 0) - e) ** 2 / e * 1e6 + 0.5)
-    rows = QUERIES["dq_benford_first_digit"].fn(spark, sf_dir).collect()
-    assert [r.digit for r in rows] == list(range(1, 10))
-    for r in rows:
-        assert r.obs_count == obs.get(r.digit, 0)
-        assert r.n_orders == n
-        assert abs(r.chi2_total - round(chi_micro / 1e6, 6)) < 1e-9
-        assert r.deviates_95 == (1 if chi_micro > 15_507_313 else 0)
+        mad_sum += math.floor(abs(obs.get(d, 0) / n - p) * 1e6 + 0.5)
+    mad_micro = (mad_sum + 4) // 9
+    r = QUERIES["dq_benford_chi2_gate"].fn(spark, sf_dir).collect()[0]
+    assert r.n_orders == n
+    assert abs(r.chi2 - round(chi_micro / 1e6, 6)) < 1e-9
+    assert r.deviates_95 == (1 if chi_micro > 15_507_313 else 0)
+    assert abs(r.nigrini_mad - round(mad_micro / 1e6, 6)) < 1e-9
+    bands = [(6000, "close"), (12000, "acceptable"), (15000, "marginal")]
+    expect_band = next(
+        (b for lim, b in bands if mad_micro < lim), "nonconforming"
+    )
+    assert r.mad_conformity == expect_band
+    # descriptive audit agreement (round-8 query, same digit domain)
+    desc = {
+        row.digit: row.n
+        for row in QUERIES["dq_benford_firstdigit"].fn(spark, sf_dir).collect()
+    }
+    assert desc == {d: c for d, c in obs.items()}
 
 
 def test_assortativity_recompute(spark, sf_dir):
@@ -341,3 +354,86 @@ def test_assortativity_recompute(spark, sf_dir):
     else:
         assert abs(row.assortativity - round(expect, 6)) < 1e-9
         assert -1.0 - 1e-6 <= row.assortativity <= 1.0 + 1e-6
+
+
+def test_token_hhi_recompute(spark, sf_dir):
+    """Exact driver-side HHI recompute per source from the same
+    tokenizer, plus the Cauchy-Schwarz bounds 1/vocab <= HHI <= 1 and
+    effective_types <= vocab."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(X.tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .collect()
+    )
+    by_src: dict = {}
+    for r in toks:
+        by_src.setdefault(r.source, Counter())[r.tok] += 1
+    rows = QUERIES["text_token_hhi"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        c = by_src[r.source]
+        tot, sq = sum(c.values()), sum(v * v for v in c.values())
+        assert r.n_tokens == tot and r.vocab == len(c)
+        assert r.hhi == round(
+            math.floor(sq / (float(tot) * tot) * 1e6 + 0.5) / 1e6, 6
+        )
+        assert 1.0 / r.vocab - 1e-6 <= r.hhi <= 1.0 + 1e-6
+        assert r.effective_types <= r.vocab + 1e-6
+        assert r.top1_share >= r.hhi - 1e-6  # max share bounds HHI
+
+
+def test_qini_recompute(spark, sf_dir):
+    """Global-sort recompute of the Qini decile cells: the two-pass
+    totals-minus-prefix plan must reproduce the naive (score DESC,
+    user_id DESC) top-k cells exactly; decile 10 must cover every
+    user and its qini equal the overall incremental conversions."""
+    import hashlib
+    import math
+
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    users: dict = {}
+    for r in evs:
+        sc, cv = users.get(r.user_id, (0, 0))
+        users[r.user_id] = (
+            sc + (1 if r.event_type == "click" else 0),
+            max(cv, 1 if r.event_type == "purchase" else 0),
+        )
+    ranked = sorted(
+        users.items(), key=lambda kv: (-kv[1][0], -kv[0])
+    )
+    n = len(ranked)
+    rows = QUERIES["events_qini_uplift_deciles"].fn(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for r in rows:
+        k = (r.decile * n) // 10
+        top = ranked[:k]
+        cells = [0, 0, 0, 0]
+        for uid, (sc, cv) in top:
+            a = hashlib.md5(str(uid).encode()).hexdigest()[:2] < "80"
+            if a:
+                cells[0] += 1
+                cells[1] += cv
+            else:
+                cells[2] += 1
+                cells[3] += cv
+        assert (r.n_t, r.c_t, r.n_c, r.c_c) == tuple(cells), r.decile
+        if r.n_c > 0:
+            q = math.floor(
+                (r.c_t - r.c_c * (float(r.n_t) / r.n_c)) * 1e6 + 0.5
+            ) / 1e6
+            assert abs(r.qini - round(q, 6)) < 1e-9
+    last = rows[-1]
+    assert last.n_t + last.n_c == n  # decile 10 covers everyone
+

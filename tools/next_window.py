@@ -85,8 +85,10 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_palma_ratio",
     "similarity_range_search",
     "events_obrien_fleming_boundary",
-    "dq_benford_first_digit",
+    "dq_benford_chi2_gate",
     "graph_degree_assortativity",
+    "text_token_hhi",
+    "events_qini_uplift_deciles",
 )
 
 

@@ -262,8 +262,11 @@ EXTRA = [
     "similarity_range_search",
     "events_obrien_fleming_boundary",
     # r14 second batch (forensic DQ + graph degree correlation)
-    "dq_benford_first_digit",
+    "dq_benford_chi2_gate",
     "graph_degree_assortativity",
+    # r14 third batch (token concentration + uplift evaluation)
+    "text_token_hhi",
+    "events_qini_uplift_deciles",
 ]
 
 
