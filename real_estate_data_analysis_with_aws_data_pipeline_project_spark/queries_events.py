@@ -5948,7 +5948,14 @@ def events_obrien_fleming_boundary(spark, sf_dir):
 
 _QTE_PCTS = (25, 50, 75, 90)
 _WINS_CAP_PCT = 95
-_SPEND_RANGES = 4096  # value-range buckets for the two-pass rank
+# One home for the two-pass rank machinery since the r14 review
+# (operators/rank_prefix.py); re-exported here because the kernel
+# grew up in this module and historical imports target it.
+from .operators.rank_prefix import (  # noqa: E402
+    _SPEND_RANGES,
+    _rng_bucketed,
+    bucket_prefix_cells,
+)
 
 _USER_SPEND_CTE = f"""u AS (
         SELECT user_id,
@@ -5990,18 +5997,6 @@ def _user_spend_split(spark, sf_dir):
             "m",
         )
     )
-
-
-def _rng_bucketed(df, col="m"):
-    """ONE definition of the two-pass value-range bucketing rule
-    (r13 review: the order-statistic and rank-prefix paths must never
-    desynchronize on width/handling): rng = col div width, width
-    sized off max(col) so there are ≤ _SPEND_RANGES buckets; assumes
-    col ≥ 0 (div on negatives floors differently). One Spark action
-    for the max."""
-    mx = df.agg(F.max(col)).first()[0]
-    width = max(1, (int(mx) if mx is not None else 0) // _SPEND_RANGES + 1)
-    return df.withColumn("rng", F.expr(f"{col} div {width}").cast("bigint"))
 
 
 def _bucket_order_stats(spark, g, ranks_for):
@@ -7918,20 +7913,18 @@ def events_segment_lift_hte(spark, sf_dir):
 # under ties; deciles are exact rank cuts k_d = (d·n) div 10.
 #
 # Plan: the top-k cells are TOTALS MINUS ascending-prefix cells at
-# rank n − k, and the prefix cells come from the bucket-prefix
-# two-pass (pass 1: per score-range bucket, count + the four cells,
-# metadata-scale collect; pass 2: (score, user_id) window INSIDE the
-# ≤ 10 boundary buckets only, summing the residual-many smallest
-# rows' cells) — the _cust_spend_prefix pattern generalized from one
-# value column to a cell vector. Same tie-mass caveat as every rank
+# rank n − k, and the prefix cells come from the shared
+# bucket_prefix_cells kernel (operators/rank_prefix.py — pass 1: per
+# score-range bucket, count + the four cells, metadata-scale
+# collect; pass 2: (score, user_id) window INSIDE the ≤ 10 boundary
+# buckets only, summing the residual-many smallest rows' cells); the
+# spend-prefix queries run the SAME kernel with a one-cell vector. Same tie-mass caveat as every rank
 # kernel here: a single score value holding most of the corpus
 # concentrates its bucket (bucket 0 = the zero-click users), bounded
 # in practice by the engagement distribution's spread. The DuckDB
 # oracle is the naive global window, so the hash proves the
 # decomposition. Qini/lift columns are micro-quantized fixed trees
 # over exact BIGINT cells, NULLIF-guarded for an empty-arm cut.
-
-_QINI_CELLS = ("n_t", "c_t", "n_c", "c_c")
 
 _QINI_USERS_CTE = f"""u AS (
         SELECT user_id,
@@ -8029,73 +8022,33 @@ def events_qini_uplift_deciles(spark, sf_dir):
         )
     )
     g = _rng_bucketed(u, col="score")
-    cell_exprs = [
-        F.count("*").cast("bigint").alias("cnt"),
-        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_t"),
-        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_t"),
-        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_c"),
-        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
-        .cast("bigint")
-        .alias("c_c"),
+    cell_aggs = [
+        ("n_t", F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+            .cast("bigint")),
+        ("c_t", F.sum(F.when(F.col("variant") == "a", F.col("conv"))
+                      .otherwise(0)).cast("bigint")),
+        ("n_c", F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+            .cast("bigint")),
+        ("c_c", F.sum(F.when(F.col("variant") == "b", F.col("conv"))
+                      .otherwise(0)).cast("bigint")),
     ]
-    pairs = sorted(
-        (
-            (int(r["rng"]), int(r["cnt"]))
-            + tuple(int(r[c]) for c in _QINI_CELLS)
-        )
-        for r in g.groupBy("rng").agg(*cell_exprs).collect()
+    # ascending-prefix cut m_d = n - k_d: top-k cells = totals - prefix
+    part, base, n, totals = bucket_prefix_cells(
+        spark,
+        g,
+        cell_aggs,
+        lambda n: {f"d{dec}": n - (dec * n) // 10 for dec in range(1, 11)},
+        order=("score", "user_id"),
     )
-    n = sum(p[1] for p in pairs)
-    totals = [sum(p[i + 2] for p in pairs) for i in range(4)]
-    # ascending-prefix cut m_d = n - k_d; walk the bucket prefix once
-    targets, base = [], {}
-    for dec in range(1, 11):
-        m = n - (dec * n) // 10
-        tag = f"d{dec}"
-        acc = [0, 0, 0, 0]
-        if m > 0:
-            prefix_c = 0
-            for rng, cnt, *cells in pairs:
-                if m <= prefix_c + cnt:
-                    targets.append((rng, tag, m - prefix_c))
-                    break
-                prefix_c += cnt
-                acc = [a + c for a, c in zip(acc, cells)]
-        base[tag] = acc
-    tdf = spark.createDataFrame(
-        targets, "rng bigint, tag string, residual bigint"
+    out_schema = (
+        "decile bigint, top_k_users bigint, n_t bigint, c_t bigint,"
+        " n_c bigint, c_c bigint, qini double, uplift_rate double"
     )
-    w = Window.partitionBy("rng", "tag").orderBy("score", "user_id")
-    part = (
-        g.join(F.broadcast(tdf), "rng")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("residual"))
-        .groupBy("tag")
-        .agg(
-            F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
-            .cast("bigint")
-            .alias("p_nt"),
-            F.sum(
-                F.when(F.col("variant") == "a", F.col("conv")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("p_ct"),
-            F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
-            .cast("bigint")
-            .alias("p_nc"),
-            F.sum(
-                F.when(F.col("variant") == "b", F.col("conv")).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("p_cc"),
-        )
-    )
+    if n == 0:
+        # the oracle's d CROSS JOIN r yields no rows on an empty user
+        # relation — match it (r14 review: the driver-built decile
+        # grid must not invent rows the oracle cannot see)
+        return spark.createDataFrame([], out_schema)
     tags_df = spark.createDataFrame(
         [
             (
@@ -8114,16 +8067,16 @@ def events_qini_uplift_deciles(spark, sf_dir):
     cells = tags_df.join(part, "tag", "left").select(
         "decile",
         F.col("k").alias("top_k_users"),
-        (F.col("t_nt") - F.col("b_nt") - F.coalesce("p_nt", F.lit(0)))
+        (F.col("t_nt") - F.col("b_nt") - F.coalesce("p_n_t", F.lit(0)))
         .cast("bigint")
         .alias("n_t"),
-        (F.col("t_ct") - F.col("b_ct") - F.coalesce("p_ct", F.lit(0)))
+        (F.col("t_ct") - F.col("b_ct") - F.coalesce("p_c_t", F.lit(0)))
         .cast("bigint")
         .alias("c_t"),
-        (F.col("t_nc") - F.col("b_nc") - F.coalesce("p_nc", F.lit(0)))
+        (F.col("t_nc") - F.col("b_nc") - F.coalesce("p_n_c", F.lit(0)))
         .cast("bigint")
         .alias("n_c"),
-        (F.col("t_cc") - F.col("b_cc") - F.coalesce("p_cc", F.lit(0)))
+        (F.col("t_cc") - F.col("b_cc") - F.coalesce("p_c_c", F.lit(0)))
         .cast("bigint")
         .alias("c_c"),
     )

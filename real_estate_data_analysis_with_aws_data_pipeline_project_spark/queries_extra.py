@@ -1695,56 +1695,32 @@ def _cust_spend_prefix(spark, cust, fracs):
     ``fracs`` maps tag -> (num, den). tags_df carries (tag, rank_k,
     base_cents, n, s); part_df carries (tag, part_cents) for the
     in-bucket partial (absent when rank_k lands exactly on a bucket
-    boundary or is 0)."""
-    from pyspark.sql import Window
+    boundary or is 0). Since the r14 review this is a one-cell
+    instantiation of the shared ``bucket_prefix_cells`` kernel
+    (operators/rank_prefix.py) — the Qini query runs the same walk
+    with a four-cell vector."""
+    from .operators.rank_prefix import _rng_bucketed, bucket_prefix_cells
 
-    from .queries_events import _rng_bucketed
-
-    g = cust.select(
-        F.col("o_custkey").alias("key"), F.col("x").alias("m")
+    g = _rng_bucketed(
+        cust.select(F.col("o_custkey").alias("key"), F.col("x").alias("m"))
     )
-    g = _rng_bucketed(g)
-    pairs = sorted(
-        (int(r["rng"]), int(r["c"]), int(r["sx"]))
-        for r in g.groupBy("rng")
-        .agg(
-            F.count("*").alias("c"),
-            F.sum("m").cast("bigint").alias("sx"),
-        )
-        .collect()
+    part, base, n, totals = bucket_prefix_cells(
+        spark,
+        g,
+        [("cents", F.sum("m").cast("bigint"))],
+        lambda n: {tag: (num * n) // den for tag, (num, den) in fracs.items()},
     )
-    n = sum(c for _, c, _ in pairs)
-    s = sum(sx for _, _, sx in pairs)
-    tag_rows, targets = [], []
-    for tag, (num, den) in fracs.items():
-        k = (num * n) // den
-        base = 0
-        if k > 0:
-            prefix_c, prefix_s = 0, 0
-            for rng, c, sx in pairs:
-                if k <= prefix_c + c:
-                    base = prefix_s
-                    targets.append((rng, tag, k - prefix_c))
-                    break
-                prefix_c += c
-                prefix_s += sx
-        tag_rows.append((tag, k, base, n, s))
+    s = totals[0]
     tags_df = spark.createDataFrame(
-        tag_rows,
+        [
+            (tag, (num * n) // den, base[tag][0], n, s)
+            for tag, (num, den) in fracs.items()
+        ],
         "tag string, rank_k bigint, base_cents bigint, n bigint, s bigint",
     )
-    tdf = spark.createDataFrame(
-        targets, "rng bigint, tag string, residual bigint"
+    return tags_df, part.select(
+        "tag", F.col("p_cents").alias("part_cents")
     )
-    w = Window.partitionBy("rng", "tag").orderBy("m", "key")
-    part = (
-        g.join(F.broadcast(tdf), "rng")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= F.col("residual"))
-        .groupBy("tag")
-        .agg(F.sum("m").cast("bigint").alias("part_cents"))
-    )
-    return tags_df, part
 
 
 _SHARE6 = (

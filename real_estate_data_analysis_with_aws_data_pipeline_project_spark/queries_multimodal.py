@@ -162,7 +162,11 @@ def multimodal_wav_audit(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") > 0
     )
-    wav = encode_wav_payloads(docs)
+    # checkpointed: the container relation feeds BOTH join sides
+    # (features and measured sizes) — without it the full encode
+    # mapInPandas runs twice (r14 review; the _seq_day_increments
+    # convention for reused relations)
+    wav = encode_wav_payloads(docs).localCheckpoint(eager=True)
     feats = extract_features(wav)
     sizes = wav.select(
         "doc_id", F.length("payload").cast("bigint").alias("container_bytes")

@@ -437,3 +437,19 @@ def test_qini_recompute(spark, sf_dir):
     last = rows[-1]
     assert last.n_t + last.n_c == n  # decile 10 covers everyone
 
+
+
+def test_qini_empty_events_matches_oracle_shape(spark, sf_dir, tmp_path):
+    """r14 review finding: on an empty events table the oracle's
+    d CROSS JOIN r yields zero rows — the Spark side must not invent
+    a driver-built decile grid."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    pq.write_table(src.slice(0, 0), str(tmp_path / "events.parquet"))
+    out = QUERIES["events_qini_uplift_deciles"].fn(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == [
+        "decile", "top_k_users", "n_t", "c_t", "n_c", "c_c",
+        "qini", "uplift_rate",
+    ]
