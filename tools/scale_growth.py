@@ -197,6 +197,29 @@ QUERIES_UNDER_TEST = [
     # (two aggregates) with per-row scalar z.
     "events_conversion_horizon_lift",
     "events_segment_lift_hte",
+    # round-14: Hoover shares the Theil base exactly (one extra
+    # broadcast-totals term pass); Lorenz runs the shared
+    # bucket_prefix_cells kernel (pass-1 state ≤ 4096 buckets,
+    # pass-2 windows only the ≤ 9 boundary buckets); Qini is the
+    # same kernel with a four-cell vector over the user grain; the
+    # range search is ONE corpus scan against a ~64-row broadcast
+    # probe relation whose mod ladder keeps probe count constant —
+    # wall must stay linear in vectors; assortativity shares the
+    # capped pair expansion + degree join the Jaccard gate bounds;
+    # OBF shares the mSPRT day-cell shape (constant fold state);
+    # HHI is the unigram-entropy shape minus the broadcast-back
+    # join; the Benford gate is one 9-group digit aggregate; the WAV
+    # audit is two mapInPandas passes over one checkpointed linear
+    # relation.
+    "agg_hoover_index",
+    "agg_lorenz_deciles",
+    "events_qini_uplift_deciles",
+    "similarity_range_search",
+    "graph_degree_assortativity",
+    "events_obrien_fleming_boundary",
+    "text_token_hhi",
+    "dq_benford_chi2_gate",
+    "multimodal_wav_audit",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
