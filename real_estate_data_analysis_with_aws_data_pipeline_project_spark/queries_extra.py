@@ -1870,3 +1870,109 @@ def agg_palma_ratio(spark, sf_dir):
             _SHARE6.format(num="top10_cents", den="bottom40_cents")
         ).alias("palma_ratio"),
     )
+
+
+# --- concentration curve: spend by order-frequency rank (round 14) --------------
+#
+# The cross-variable generalization of the Lorenz curve (the
+# health-economics "concentration curve"): customers are ranked by a
+# DIFFERENT variable than the one being accumulated — here order
+# COUNT (frequency) — and the curve reads what share of total SPEND
+# the least-frequent p % of customers carry. Curve ≈ diagonal means
+# frequency and value are decoupled; far below means the frequent
+# buyers are also the heavy spenders (retention is revenue). Third
+# instantiation of the shared bucket_prefix_cells kernel, proving the
+# rank-variable/value-variable split the kernel was generalized for:
+# buckets on the rank variable, cells sum the value variable.
+# Deterministic (order_count, custkey) tie order; exact BIGINT cents.
+
+_CONC_ORACLE = f"""
+    WITH cc AS (
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS r,
+               CAST(sum(CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT))
+                    AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(v) AS BIGINT) AS s FROM cc),
+    rk AS (
+        SELECT v, row_number() OVER (ORDER BY r, o_custkey) AS rn
+        FROM cc
+    ),
+    d AS (SELECT CAST(p AS BIGINT) AS p
+          FROM (VALUES {", ".join(f"({p})" for p in _LORENZ_DECILES)}) t(p)),
+    sel AS (
+        SELECT d.p, (d.p * tot.n) // 100 AS k, tot.n, tot.s
+        FROM d CROSS JOIN tot
+    )
+    SELECT sel.p AS decile_pct,
+           sel.k AS rank_k,
+           sel.n AS n_customers,
+           CAST(coalesce(sum(rk.v), 0) AS BIGINT) AS cum_spend_cents,
+           {_SHARE6.format(num="coalesce(sum(rk.v), 0)", den="sel.s")}
+               AS cum_share
+    FROM sel LEFT JOIN rk ON rk.rn <= sel.k
+    GROUP BY sel.p, sel.k, sel.n, sel.s
+    ORDER BY decile_pct
+"""
+
+
+@register("agg_concentration_curve", _CONC_ORACLE)
+def agg_concentration_curve(spark, sf_dir):
+    """Concentration curve of spend against order-frequency rank at
+    the decile grid: cumulative exact-cents spend of the
+    least-frequent 10..90 % of customers under the deterministic
+    (order_count, custkey) order — the shared bucket_prefix_cells
+    kernel with the rank variable ≠ the accumulated variable (see
+    the section comment).
+
+    Scale: identical plan family to agg_lorenz_deciles — one
+    customer-grain aggregate, ≤ 4096-bucket metadata collect,
+    boundary-bucket-only windows. Tie mass concentrates the
+    low-count buckets (most customers place few orders) — the
+    documented rank-kernel caveat, bounded by the frequency
+    distribution's spread."""
+    from .operators.rank_prefix import _rng_bucketed, bucket_prefix_cells
+
+    cents = F.expr("CAST(floor(o_totalprice * 100e0 + 0.5e0) AS BIGINT)")
+    cc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(cents).cast("bigint").alias("v"),
+        )
+        .select(F.col("o_custkey").alias("key"), "m", "v")
+    )
+    g = _rng_bucketed(cc)
+    part, base, n, totals = bucket_prefix_cells(
+        spark,
+        g,
+        [("cents", F.sum("v").cast("bigint"))],
+        lambda n: {f"p{p}": (p * n) // 100 for p in _LORENZ_DECILES},
+    )
+    s = totals[0]
+    tags_df = spark.createDataFrame(
+        [(f"p{p}", p, (p * n) // 100, base[f"p{p}"][0], n, s)
+         for p in _LORENZ_DECILES],
+        "tag string, decile_pct bigint, rank_k bigint, base_cents bigint,"
+        " n bigint, s bigint",
+    )
+    return (
+        tags_df.join(part, "tag", "left")
+        .select(
+            "decile_pct",
+            "rank_k",
+            F.col("n").alias("n_customers"),
+            (F.col("base_cents") + F.coalesce(F.col("p_cents"), F.lit(0)))
+            .cast("bigint")
+            .alias("cum_spend_cents"),
+            F.expr(
+                _SHARE6.format(
+                    num="base_cents + coalesce(p_cents, 0)", den="s"
+                )
+            ).alias("cum_share"),
+        )
+        .orderBy("decile_pct")
+    )

@@ -861,3 +861,145 @@ def text_token_hhi(spark, sf_dir):
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
         ).alias("top1_share"),
     ).orderBy("source")
+
+
+# --- bigram conditional entropy rate (round 14) ----------------------------------
+#
+# The sequence-structure companion to the unigram diversity pair
+# (entropy/HHI): the conditional entropy H(next | prev) = H(pairs) −
+# H(prev) over ADJACENT token bigrams measures how predictable each
+# source's token sequences are — boilerplate/template sources read
+# low (the next token is nearly determined), natural prose high. The
+# chain-rule subtraction runs on the ALREADY-QUANTIZED micro BIGINT
+# entropy sums (exact integer subtraction — no second float channel),
+# clamped at 0 per the clamp-at-birth convention (term quantization
+# can push the difference a few micro negative on near-deterministic
+# sources). Shannon terms via the ONE shared entropy_term_micro_sql
+# builder. Adjacency is defined on the empty-token-FILTERED sequence,
+# identically in both engines (Spark 0-indexed transform/sequence,
+# DuckDB 1-indexed generate_series — formulations differ, the hash
+# proves the pair multiset agrees).
+
+from .queries_events import entropy_term_micro_sql as _ent_term
+
+_BIGRAM_ENTROPY_ORACLE = f"""
+    WITH docs AS (
+        SELECT source,
+               list_filter({X.tokens_sql()}, x -> x <> '') AS tk
+        FROM documents
+    ),
+    pairs AS (
+        SELECT d.source, d.tk[u.i] AS prev, d.tk[u.i + 1] AS nxt
+        FROM docs d, UNNEST(generate_series(1, len(d.tk) - 1)) AS u(i)
+    ),
+    pc AS (
+        SELECT source, prev, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS distinct_pairs
+        FROM pc GROUP BY 1
+    ),
+    hp AS (
+        SELECT pc.source,
+               CAST(sum({_ent_term("pc.n", "tot.tot")}) AS BIGINT) AS h2
+        FROM pc JOIN tot USING (source) GROUP BY 1
+    ),
+    prevc AS (
+        SELECT source, prev, CAST(sum(n) AS BIGINT) AS np
+        FROM pc GROUP BY 1, 2
+    ),
+    h1 AS (
+        SELECT prevc.source,
+               CAST(sum({_ent_term("prevc.np", "tot.tot")}) AS BIGINT) AS h1
+        FROM prevc JOIN tot USING (source) GROUP BY 1
+    )
+    SELECT tot.source, tot.tot AS n_bigrams, tot.distinct_pairs,
+           round(hp.h2 / 1000000e0, 6) AS h_bigram_bits,
+           round(h1.h1 / 1000000e0, 6) AS h_prev_bits,
+           round(greatest(hp.h2 - h1.h1, 0) / 1000000e0, 6)
+               AS h_cond_bits
+    FROM tot JOIN hp USING (source) JOIN h1 USING (source)
+    ORDER BY source
+"""
+
+
+@register("text_bigram_entropy_rate", _BIGRAM_ENTROPY_ORACLE)
+def text_bigram_entropy_rate(spark, sf_dir):
+    """Per-source bigram conditional entropy H(next|prev) via the
+    chain rule on micro-quantized integer entropy sums (see the
+    section comment for the clamp and the cross-engine adjacency
+    contract) — the sequence-predictability diagnostic beside the
+    unigram entropy/HHI pair.
+
+    Scale: one tokenize + map-side pair explosion (linear in tokens),
+    one (source, prev, nxt) groupBy at pair-vocabulary grain, a
+    prev-marginal rollup OF THE PAIR RELATION (no second scan), and
+    broadcast per-source totals — the unigram-entropy plan with one
+    extra vocabulary-grain aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.filter(X.tokens(), lambda x: x != F.lit("")).alias("tk"),
+    )
+    pairs = (
+        docs.where(F.size("tk") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i-1] AS prev, tk[i] AS nxt))"
+                )
+            ).alias("pr"),
+        )
+        .select("source", F.col("pr.prev").alias("prev"),
+                F.col("pr.nxt").alias("nxt"))
+    )
+    pc = pairs.groupBy("source", "prev", "nxt").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = pc.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("distinct_pairs"),
+    )
+    h2 = (
+        pc.join(F.broadcast(tot.select("source", "tot")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr(_ent_term("n", "tot")))
+            .cast("bigint")
+            .alias("h2")
+        )
+    )
+    prevc = pc.groupBy("source", "prev").agg(
+        F.sum("n").cast("bigint").alias("np")
+    )
+    h1 = (
+        prevc.join(F.broadcast(tot.select("source", "tot")), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(F.expr(_ent_term("np", "tot")))
+            .cast("bigint")
+            .alias("h1")
+        )
+    )
+    return (
+        tot.join(h2, "source")
+        .join(h1, "source")
+        .select(
+            "source",
+            F.col("tot").alias("n_bigrams"),
+            "distinct_pairs",
+            F.round(F.col("h2") / F.expr("1000000e0"), 6).alias(
+                "h_bigram_bits"
+            ),
+            F.round(F.col("h1") / F.expr("1000000e0"), 6).alias(
+                "h_prev_bits"
+            ),
+            F.expr(
+                "round(greatest(h2 - h1, 0) / 1000000e0, 6)"
+            ).alias("h_cond_bits"),
+        )
+        .orderBy("source")
+    )

@@ -453,3 +453,81 @@ def test_qini_empty_events_matches_oracle_shape(spark, sf_dir, tmp_path):
         "decile", "top_k_users", "n_t", "c_t", "n_c", "c_c",
         "qini", "uplift_rate",
     ]
+
+
+def test_concentration_curve_recompute(spark, sf_dir):
+    """Global-sort recompute: cumulative spend of the k least-frequent
+    customers under (order_count, custkey) order — rank variable ≠
+    value variable, the kernel-generality contract."""
+    import math
+    from collections import defaultdict
+
+    agg: dict = defaultdict(lambda: [0, 0])
+    for r in (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .collect()
+    ):
+        a = agg[r.o_custkey]
+        a[0] += 1
+        a[1] += math.floor(float(r.o_totalprice) * 100.0 + 0.5)
+    ranked = sorted(agg.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n = len(ranked)
+    prefix = [0]
+    for _, (_, v) in ranked:
+        prefix.append(prefix[-1] + v)
+    rows = QUERIES["agg_concentration_curve"].fn(spark, sf_dir).collect()
+    assert [r.decile_pct for r in rows] == list(range(10, 100, 10))
+    for r in rows:
+        k = (r.decile_pct * n) // 100
+        assert r.rank_k == k and r.n_customers == n
+        assert r.cum_spend_cents == prefix[k], r.decile_pct
+
+
+def test_bigram_entropy_chain_rule(spark, sf_dir):
+    """Driver-side recompute of the bigram/prev entropies with the
+    same micro-term quantization, plus the chain-rule bounds
+    0 <= H(next|prev) <= H(pairs) and H(prev) <= H(pairs)."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.filter(X.tokens(), lambda x: x != F.lit(""))
+                .alias("tk"))
+        .collect()
+    )
+    pair_c: dict = {}
+    for r in docs:
+        tk = list(r.tk)
+        c = pair_c.setdefault(r.source, Counter())
+        for i in range(len(tk) - 1):
+            c[(tk[i], tk[i + 1])] += 1
+
+    def h_micro(counts, tot):
+        out = 0
+        for nn in counts:
+            p = nn / tot
+            lg = math.floor(math.log2(p) * 1e6 + 0.5) / 1e6
+            out += math.floor(-p * lg * 1e6 + 0.5)
+        return out
+
+    rows = QUERIES["text_bigram_entropy_rate"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(pair_c)
+    for r in rows:
+        c = pair_c[r.source]
+        tot = sum(c.values())
+        assert r.n_bigrams == tot and r.distinct_pairs == len(c)
+        h2 = h_micro(c.values(), tot)
+        prev = Counter()
+        for (p_, _), nn in c.items():
+            prev[p_] += nn
+        h1 = h_micro(prev.values(), tot)
+        assert abs(r.h_bigram_bits - round(h2 / 1e6, 6)) < 1e-9
+        assert abs(r.h_prev_bits - round(h1 / 1e6, 6)) < 1e-9
+        assert abs(r.h_cond_bits - round(max(h2 - h1, 0) / 1e6, 6)) < 1e-9
+        assert 0 <= r.h_cond_bits <= r.h_bigram_bits + 1e-9

@@ -89,6 +89,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "graph_degree_assortativity",
     "text_token_hhi",
     "events_qini_uplift_deciles",
+    "agg_concentration_curve",
+    "text_bigram_entropy_rate",
 )
 
 

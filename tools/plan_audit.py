@@ -267,6 +267,9 @@ EXTRA = [
     # r14 third batch (token concentration + uplift evaluation)
     "text_token_hhi",
     "events_qini_uplift_deciles",
+    # r14 fourth batch (cross-variable concentration + sequence entropy)
+    "agg_concentration_curve",
+    "text_bigram_entropy_rate",
 ]
 
 
