@@ -220,6 +220,12 @@ QUERIES_UNDER_TEST = [
     "text_token_hhi",
     "dq_benford_chi2_gate",
     "multimodal_wav_audit",
+    # r14 fourth batch: the concentration curve is the Lorenz plan
+    # with the rank variable swapped (same kernel, same bounds); the
+    # bigram entropy is the unigram-entropy shape plus one
+    # pair-vocabulary-grain aggregate — linear in tokens.
+    "agg_concentration_curve",
+    "text_bigram_entropy_rate",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
