@@ -53,9 +53,11 @@ def bucket_prefix_cells(spark, g, cell_aggs, ranks_for, order=("m", "key")):
     mapping each tag to its ascending prefix length m ∈ [0, n].
 
     Returns ``(part, base, n, totals)``: ``part`` is a DataFrame
-    (tag, p_<name>… ) holding the boundary-bucket partial cells
-    (tags whose cut lands exactly on a bucket boundary or at m = 0
-    have no row — coalesce to 0); ``base`` maps tag -> full-bucket
+    (tag, p_<name>… ) holding the boundary-bucket partial cells —
+    a cut landing exactly on a bucket boundary emits a part row
+    summing that ENTIRE bucket (residual = bucket count); only
+    m = 0 tags have no part row, so callers coalesce to 0; ``base``
+    maps tag -> full-bucket
     cell prefix list (cell order = ``cell_aggs`` order); ``totals``
     is the whole-relation cell list, so callers can read top-k cells
     as totals − base − part."""

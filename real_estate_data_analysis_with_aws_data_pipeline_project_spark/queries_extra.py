@@ -1694,8 +1694,9 @@ def _cust_spend_prefix(spark, cust, fracs):
     k = (num·n) div den of the (x, o_custkey) order over ``cust``.
     ``fracs`` maps tag -> (num, den). tags_df carries (tag, rank_k,
     base_cents, n, s); part_df carries (tag, part_cents) for the
-    in-bucket partial (absent when rank_k lands exactly on a bucket
-    boundary or is 0). Since the r14 review this is a one-cell
+    in-bucket partial (absent only when rank_k is 0 — a cut landing
+    exactly on a bucket boundary sums that whole bucket as its
+    partial). Since the r14 review this is a one-cell
     instantiation of the shared ``bucket_prefix_cells`` kernel
     (operators/rank_prefix.py) — the Qini query runs the same walk
     with a four-cell vector."""

@@ -880,8 +880,6 @@ def text_token_hhi(spark, sf_dir):
 # DuckDB 1-indexed generate_series — formulations differ, the hash
 # proves the pair multiset agrees).
 
-from .queries_events import entropy_term_micro_sql as _ent_term
-
 _BIGRAM_ENTROPY_ORACLE = f"""
     WITH docs AS (
         SELECT source,
@@ -903,7 +901,7 @@ _BIGRAM_ENTROPY_ORACLE = f"""
     ),
     hp AS (
         SELECT pc.source,
-               CAST(sum({_ent_term("pc.n", "tot.tot")}) AS BIGINT) AS h2
+               CAST(sum({entropy_term_micro_sql("pc.n", "tot.tot")}) AS BIGINT) AS h2
         FROM pc JOIN tot USING (source) GROUP BY 1
     ),
     prevc AS (
@@ -912,7 +910,7 @@ _BIGRAM_ENTROPY_ORACLE = f"""
     ),
     h1 AS (
         SELECT prevc.source,
-               CAST(sum({_ent_term("prevc.np", "tot.tot")}) AS BIGINT) AS h1
+               CAST(sum({entropy_term_micro_sql("prevc.np", "tot.tot")}) AS BIGINT) AS h1
         FROM prevc JOIN tot USING (source) GROUP BY 1
     )
     SELECT tot.source, tot.tot AS n_bigrams, tot.distinct_pairs,
@@ -967,7 +965,7 @@ def text_bigram_entropy_rate(spark, sf_dir):
         pc.join(F.broadcast(tot.select("source", "tot")), "source")
         .groupBy("source")
         .agg(
-            F.sum(F.expr(_ent_term("n", "tot")))
+            F.sum(F.expr(entropy_term_micro_sql("n", "tot")))
             .cast("bigint")
             .alias("h2")
         )
@@ -979,7 +977,7 @@ def text_bigram_entropy_rate(spark, sf_dir):
         prevc.join(F.broadcast(tot.select("source", "tot")), "source")
         .groupBy("source")
         .agg(
-            F.sum(F.expr(_ent_term("np", "tot")))
+            F.sum(F.expr(entropy_term_micro_sql("np", "tot")))
             .cast("bigint")
             .alias("h1")
         )

@@ -503,10 +503,12 @@ def test_bigram_entropy_chain_rule(spark, sf_dir):
     )
     pair_c: dict = {}
     for r in docs:
-        tk = list(r.tk)
-        c = pair_c.setdefault(r.source, Counter())
+        tk = list(r.tk or [])
         for i in range(len(tk) - 1):
-            c[(tk[i], tk[i + 1])] += 1
+            # register a source only once it yields a bigram — both
+            # engines exclude bigram-less sources entirely (r14
+            # second review)
+            pair_c.setdefault(r.source, Counter())[(tk[i], tk[i + 1])] += 1
 
     def h_micro(counts, tot):
         out = 0
