@@ -2161,3 +2161,180 @@ def dq_benford_chi2_gate(spark, sf_dir):
         ),
         F.expr(_BENFORD_MAD_BAND_SQL).alias("mad_conformity"),
     )
+
+
+# --- streaming Benford gate (round 14) -------------------------------------------
+#
+# The dq_benford_chi2_gate statistic run CONTINUOUSLY on the event
+# stream's value column, per event type — the transaction-amount
+# drift monitor a fraud desk keeps open. The stream folds the
+# per-type (day, leading-digit) count cube in ValueState
+# (streaming/jobs.streaming_benford_cube — the SAME processor and
+# state schema as the PSI tier, bucket = leading digit of the value
+# cents, state bounded by calendar × 10 groups, the smallest cube of
+# any tier); this query keeps each key's max-seq cube emission and
+# computes the count-scale χ² + Nigrini MAD gate from it with the
+# SAME _benford_term_micro/_benford_mad_term_micro fragments and
+# critical-value/band literals as the batch gate — so the streaming
+# loop contains zero Python float arithmetic and the full batch
+# oracle applies. Sub-cent / NULL values are the fold's NULL-bucket
+# group, reported as excluded mass on both sides.
+
+_STREAM_BENFORD_ORACLE = f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(floor(value * 100e0 + 0.5e0) AS BIGINT) AS cents
+        FROM events
+    ),
+    obs AS (
+        SELECT event_type,
+               CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+               CAST(count(*) AS BIGINT) AS obs_count
+        FROM base WHERE cents IS NOT NULL AND cents >= 1 GROUP BY 1, 2
+    ),
+    excl AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_excluded
+        FROM base WHERE cents IS NULL OR cents < 1 GROUP BY 1
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT types.event_type, CAST(dg.digit AS BIGINT) AS digit,
+               CAST({_BENFORD_CASE_P.replace('digit',
+                                             'CAST(dg.digit AS BIGINT)')}
+                    AS DOUBLE) AS p
+        FROM types CROSS JOIN {_BENFORD_DIGITS_SQL.replace('t(digit)',
+                                                           'dg(digit)')}
+    ),
+    dense AS (
+        SELECT grid.event_type, grid.digit, grid.p,
+               CAST(coalesce(obs.obs_count, 0) AS BIGINT) AS obs_count
+        FROM grid LEFT JOIN obs
+          ON obs.event_type = grid.event_type AND obs.digit = grid.digit
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(obs_count) AS BIGINT) AS n
+        FROM dense GROUP BY 1
+    ),
+    terms AS (
+        SELECT dense.event_type, tot.n,
+               {_benford_term_micro('dense.obs_count', 'tot.n', 'dense.p')}
+                   AS term_micro,
+               {_benford_mad_term_micro('dense.obs_count', 'tot.n',
+                                        'dense.p')} AS mterm_micro
+        FROM dense JOIN tot USING (event_type)
+        WHERE tot.n > 0
+    ),
+    s AS (
+        SELECT event_type, max(n) AS n,
+               CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+               CAST((CAST(sum(mterm_micro) AS BIGINT) + 4) // 9 AS BIGINT)
+                   AS mad_micro
+        FROM terms GROUP BY 1
+    )
+    SELECT s.event_type,
+           s.n AS n_values,
+           CAST(coalesce(excl.n_excluded, 0) AS BIGINT) AS n_excluded,
+           round(s.chi2_micro / 1000000e0, 6) AS chi2,
+           CAST(CASE WHEN s.chi2_micro > {_BENFORD_CRIT_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS deviates_95,
+           round(s.mad_micro / 1000000e0, 6) AS nigrini_mad,
+           {_BENFORD_MAD_BAND_SQL} AS mad_conformity
+    FROM s LEFT JOIN excl USING (event_type)
+    ORDER BY s.event_type
+"""
+
+
+@register("streaming_benford_gate", _STREAM_BENFORD_ORACLE)
+def q_streaming_benford_gate(spark, sf_dir):
+    """Structured Streaming: the per-type Benford χ²/MAD gate off the
+    streamed leading-digit cube's final state (see the section
+    comment; availableNow over the bounded file source is
+    deterministic and equals the batch statistic, so the query
+    carries the full batch oracle).
+
+    Scale: the stream's state per type is calendar × 10 groups; the
+    sink relation is |types| × updates × that cube — metadata-scale;
+    the gate arithmetic runs on the ≤ 9-row-per-type densified grid
+    with a broadcast digit table."""
+    from pyspark.sql import Window
+
+    from .streaming.jobs import streaming_benford_cube
+
+    cube = streaming_benford_cube(spark, sf_dir)
+    mw = Window.partitionBy("event_type")
+    final = (
+        cube.withColumn("max_seq", F.max("seq").over(mw))
+        .where(F.col("seq") == F.col("max_seq"))
+        .select("event_type", "bucket", "c")
+        # break the memory-sink lineage before the multi-branch
+        # grid/excl joins (the streaming_psi_drift convention);
+        # type × calendar × 10 groups — metadata-scale
+        .localCheckpoint(eager=True)
+    )
+    digits = (
+        final.where(F.col("bucket").isNotNull())
+        .groupBy("event_type", F.col("bucket").alias("digit"))
+        .agg(F.sum("c").cast("bigint").alias("obs_count"))
+    )
+    excl = (
+        final.where(F.col("bucket").isNull())
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("bigint").alias("n_excluded"))
+    )
+    grid_digits = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD_P.items()], "digit bigint, p double"
+    )
+    grid = final.select("event_type").distinct().crossJoin(
+        F.broadcast(grid_digits)
+    )
+    dense = grid.join(digits, ["event_type", "digit"], "left").select(
+        "event_type",
+        "digit",
+        "p",
+        F.coalesce(F.col("obs_count"), F.lit(0)).cast("bigint").alias(
+            "obs_count"
+        ),
+    )
+    tot = dense.groupBy("event_type").agg(
+        F.sum("obs_count").cast("bigint").alias("n")
+    )
+    terms = dense.join(tot, "event_type").where(F.col("n") > 0).select(
+        "event_type",
+        "n",
+        F.expr(_benford_term_micro("obs_count", "n", "p")).alias(
+            "term_micro"
+        ),
+        F.expr(_benford_mad_term_micro("obs_count", "n", "p")).alias(
+            "mterm_micro"
+        ),
+    )
+    s = terms.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+        F.expr(
+            "CAST((CAST(sum(mterm_micro) AS BIGINT) + 4) DIV 9 AS BIGINT)"
+        ).alias("mad_micro"),
+    )
+    return (
+        s.join(excl, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n").alias("n_values"),
+            F.coalesce(F.col("n_excluded"), F.lit(0))
+            .cast("bigint")
+            .alias("n_excluded"),
+            F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias(
+                "chi2"
+            ),
+            F.expr(
+                f"CAST(CASE WHEN chi2_micro > {_BENFORD_CRIT_MICRO}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("deviates_95"),
+            F.round(F.col("mad_micro") / F.expr("1000000e0"), 6).alias(
+                "nigrini_mad"
+            ),
+            F.expr(_BENFORD_MAD_BAND_SQL).alias("mad_conformity"),
+        )
+        .orderBy("event_type")
+    )

@@ -906,24 +906,12 @@ def _psi_fallback_fn(key, pdfs: Iterator[pd.DataFrame], state):
     )
 
 
-def psi_cube_transform(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, bool]:
-    """(unstarted transformed stream, uses_tws) — the PSI cube fold
-    WITHOUT a sink, so callers can attach their own (the registered
-    query runs it to a memory table; the restart-recovery test runs
-    it twice through one checkpointLocation). Split out in r11 so the
-    recovery path of the state every derived tier shares is testable
-    against the production transform, not a re-implementation."""
-    from ..queries_quality import psi_bucket_col
-
-    src = _events_stream(spark, sf_dir).select(
-        "event_type",
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "day"
-        ),
-        psi_bucket_col().alias("bucket"),
-    )
+def _day_bucket_cube_attach(src: DataFrame) -> tuple[DataFrame, bool]:
+    """Attach the (day, bucket) cube fold to a prepared
+    (event_type, day, bucket) stream — ONE definition of the
+    TWS/fallback branch shared by every cube-shaped tier (r14: the
+    Benford digit cube reuses the PSI fold verbatim; the bucket
+    column is opaque to the processor)."""
     if _tws_protocol_available():
         return (
             src.groupBy("event_type").transformWithStateInPandas(
@@ -944,6 +932,76 @@ def psi_cube_transform(
         ),
         False,
     )
+
+
+def psi_cube_transform(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the PSI cube fold
+    WITHOUT a sink, so callers can attach their own (the registered
+    query runs it to a memory table; the restart-recovery test runs
+    it twice through one checkpointLocation). Split out in r11 so the
+    recovery path of the state every derived tier shares is testable
+    against the production transform, not a re-implementation."""
+    from ..queries_quality import psi_bucket_col
+
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        psi_bucket_col().alias("bucket"),
+    )
+    return _day_bucket_cube_attach(src)
+
+
+def benford_digit_col():
+    """Leading decimal digit (1-9) of the value cents as a BIGINT;
+    NULL when the value is NULL or below one cent — NULL stays its
+    own cube group (the fold keeps it), and the gate query reports it
+    as the excluded mass. Digit from the INTEGER cents' decimal
+    string: no libm (the dq_benford_chi2_gate rule)."""
+    cents = "CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)"
+    return F.expr(
+        f"CASE WHEN value IS NOT NULL AND {cents} >= 1"
+        f" THEN CAST(substring(CAST({cents} AS STRING), 1, 1) AS BIGINT)"
+        " END"
+    )
+
+
+def benford_cube_transform(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, bool]:
+    """(unstarted transformed stream, uses_tws) — the Benford
+    leading-digit cube: the SAME day-bucket fold as the PSI tier
+    (shared processor, shared state schema, shared restart story)
+    with bucket = leading digit of the event value's cents. State per
+    key is calendar × (9 digits + the NULL/sub-cent group) — bounded
+    by construction, the smallest cube of any tier."""
+    src = _events_stream(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        benford_digit_col().alias("bucket"),
+    )
+    return _day_bucket_cube_attach(src)
+
+
+def streaming_benford_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Benford tier (round 14): fold the stream into the
+    per-type (day, leading-digit) count cube in ValueState and
+    re-emit with a sequence number — TWS with the
+    applyInPandasWithState fallback, exactly like the PSI cube it
+    shares its processor with. The registered gate query keeps each
+    key's max-seq cube and runs the dq_benford_chi2_gate statistic
+    over it."""
+    result, tws = benford_cube_transform(spark, sf_dir)
+    if tws:
+        _run_with_rocksdb(spark, result, "stream_benford_cube")
+    else:
+        _run_to_memory(result, "stream_benford_cube", "update")
+    return spark.table("stream_benford_cube")
 
 
 def streaming_psi_cube(spark: SparkSession, sf_dir: str) -> DataFrame:

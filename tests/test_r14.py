@@ -533,3 +533,103 @@ def test_bigram_entropy_chain_rule(spark, sf_dir):
         assert abs(r.h_prev_bits - round(h1 / 1e6, 6)) < 1e-9
         assert abs(r.h_cond_bits - round(max(h2 - h1, 0) / 1e6, 6)) < 1e-9
         assert 0 <= r.h_cond_bits <= r.h_bigram_bits + 1e-9
+
+
+def test_benford_cube_state_recovers_across_restart(spark, tmp_path):
+    """Fifth state shape under the restart gate (r14): the Benford
+    leading-digit cube — the PSI fold with the digit bucket column —
+    must continue its fold (not rebuild) across a query restart, and
+    its final state must equal the batch digit cube exactly."""
+    import pyarrow.parquet as pq
+
+    from tests.test_r11 import _run_checkpointed, _split_events_dir
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        benford_cube_transform,
+        benford_digit_col,
+    )
+
+    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "benrestart")
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+    _run_checkpointed(
+        spark, benford_cube_transform(spark, str(d)), ckpt, emitted
+    )
+    run1_max = {}
+    for r in emitted:
+        run1_max[r.event_type] = max(run1_max.get(r.event_type, 0), r.seq)
+    assert set(run1_max) == t0
+    n1 = len(emitted)
+    pq.write_table(p1, str(ev / "part-1.parquet"))
+    _run_checkpointed(
+        spark, benford_cube_transform(spark, str(d)), ckpt, emitted
+    )
+    run2 = emitted[n1:]
+    assert {r.event_type for r in run2} == t1
+    run2_max = {}
+    for r in run2:
+        run2_max[r.event_type] = max(run2_max.get(r.event_type, 0), r.seq)
+    for et in t0 & t1:
+        assert run2_max[et] >= run1_max[et] + 1  # continued fold
+    final = {
+        (r.event_type, r.day, r.bucket): r.c
+        for r in run2
+        if r.seq == run2_max[r.event_type]
+    }
+    expected = {
+        (r.event_type, r.day, r.bucket): r.n
+        for r in load_table(spark, str(d), "events")
+        .select(
+            "event_type",
+            F.date_format(
+                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+            ).alias("day"),
+            benford_digit_col().alias("bucket"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .collect()
+        if r.event_type in t1
+    }
+    assert final == expected
+    assert all(b is None or 1 <= b <= 9 for _, _, b in final)
+
+
+def test_streaming_benford_gate_matches_batch_gate_statistic(spark, sf_dir):
+    """Cross-tier consistency: the per-type streamed gate and a
+    driver-side batch recompute from raw events must agree on every
+    column — the streaming loop adds no arithmetic of its own."""
+    import math
+    from collections import Counter
+
+    vals = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .collect()
+    )
+    obs: dict = {}
+    excl: dict = {}
+    for r in vals:
+        if r.value is None:
+            excl[r.event_type] = excl.get(r.event_type, 0) + 1
+            continue
+        cents = math.floor(float(r.value) * 100.0 + 0.5)
+        if cents < 1:
+            excl[r.event_type] = excl.get(r.event_type, 0) + 1
+            continue
+        obs.setdefault(r.event_type, Counter())[int(str(cents)[0])] += 1
+    rows = QUERIES["streaming_benford_gate"].fn(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(obs)
+    for r in rows:
+        c = obs[r.event_type]
+        n = sum(c.values())
+        chi_micro, mad_sum = 0, 0
+        for dgt in range(1, 10):
+            p = math.log10(1.0 + 1.0 / dgt)
+            e = n * p
+            chi_micro += math.floor((c.get(dgt, 0) - e) ** 2 / e * 1e6 + 0.5)
+            mad_sum += math.floor(abs(c.get(dgt, 0) / n - p) * 1e6 + 0.5)
+        assert r.n_values == n
+        assert r.n_excluded == excl.get(r.event_type, 0)
+        assert abs(r.chi2 - round(chi_micro / 1e6, 6)) < 1e-9
+        assert r.deviates_95 == (1 if chi_micro > 15_507_313 else 0)
+        assert abs(r.nigrini_mad - round(((mad_sum + 4) // 9) / 1e6, 6)) < 1e-9

@@ -91,6 +91,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_qini_uplift_deciles",
     "agg_concentration_curve",
     "text_bigram_entropy_rate",
+    "streaming_benford_gate",
 )
 
 

@@ -270,6 +270,8 @@ EXTRA = [
     # r14 fourth batch (cross-variable concentration + sequence entropy)
     "agg_concentration_curve",
     "text_bigram_entropy_rate",
+    # r14 fifth batch (streaming Benford tier)
+    "streaming_benford_gate",
 ]
 
 
