@@ -2257,8 +2257,6 @@ def q_streaming_benford_gate(spark, sf_dir):
     sink relation is |types| × updates × that cube — metadata-scale;
     the gate arithmetic runs on the ≤ 9-row-per-type densified grid
     with a broadcast digit table."""
-    from pyspark.sql import Window
-
     from .streaming.jobs import streaming_benford_cube
 
     cube = streaming_benford_cube(spark, sf_dir)

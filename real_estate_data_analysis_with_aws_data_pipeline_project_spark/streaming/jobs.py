@@ -962,8 +962,10 @@ def benford_digit_col():
     as the excluded mass. Digit from the INTEGER cents' decimal
     string: no libm (the dq_benford_chi2_gate rule)."""
     cents = "CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)"
+    # a NULL value makes cents NULL, and NULL >= 1 is NULL, so the
+    # CASE already yields NULL — no separate IS NOT NULL guard needed
     return F.expr(
-        f"CASE WHEN value IS NOT NULL AND {cents} >= 1"
+        f"CASE WHEN {cents} >= 1"
         f" THEN CAST(substring(CAST({cents} AS STRING), 1, 1) AS BIGINT)"
         " END"
     )

@@ -1247,34 +1247,33 @@ def _run_checkpointed(spark, transform_pair, ckpt, emitted):
                 spark.conf.set(conf_key, prev)
 
 
-def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
-    """The ONE streamed sufficient statistic thirteen tiers share must
-    survive a query restart (see section comment for the gate's
-    assertions)."""
+def _cube_restart_roundtrip(spark, tmp_path, dirname, transform_fn, bucket_col):
+    """THE day-bucket-cube restart-gate flow (r14 review: the Benford
+    tier's test was a near-verbatim clone of the PSI one) — half the
+    stream, stop, second half, restart from the same
+    checkpointLocation, asserting the state folded ON TOP of the
+    recovered value and the final emission equals the full-data batch
+    recompute under ``bucket_col``. Returns the final
+    {(type, day, bucket): count} map so callers can add shape-specific
+    asserts. Any future cube tier is one call."""
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_quality import (
-        psi_bucket_col,
-    )
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
         load_table,
     )
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
-        psi_cube_transform,
-    )
 
-    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "sfrestart")
+    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, dirname)
     ckpt = str(tmp_path / "ckpt")
     emitted = []
-    _run_checkpointed(spark, psi_cube_transform(spark, str(d)), ckpt, emitted)
+    _run_checkpointed(spark, transform_fn(spark, str(d)), ckpt, emitted)
     run1_max = {}
     for r in emitted:
         run1_max[r.event_type] = max(run1_max.get(r.event_type, 0), r.seq)
     assert set(run1_max) == t0
     n1 = len(emitted)
     pq.write_table(p1, str(ev / "part-1.parquet"))
-    _run_checkpointed(spark, psi_cube_transform(spark, str(d)), ckpt, emitted)
+    _run_checkpointed(spark, transform_fn(spark, str(d)), ckpt, emitted)
     run2 = emitted[n1:]
     assert {r.event_type for r in run2} == t1
     run2_max = {}
@@ -1296,7 +1295,7 @@ def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
             F.date_format(
                 F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
             ).alias("day"),
-            psi_bucket_col().alias("bucket"),
+            bucket_col.alias("bucket"),
         )
         .groupBy("event_type", "day", "bucket")
         .agg(F.count("*").cast("bigint").alias("n"))
@@ -1304,6 +1303,23 @@ def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
         if r.event_type in t1
     }
     assert final == expected
+    return final
+
+
+def test_psi_cube_state_recovers_across_restart(spark, tmp_path):
+    """The ONE streamed sufficient statistic thirteen tiers share must
+    survive a query restart (see section comment for the gate's
+    assertions)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_quality import (
+        psi_bucket_col,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
+        psi_cube_transform,
+    )
+
+    _cube_restart_roundtrip(
+        spark, tmp_path, "sfrestart", psi_cube_transform, psi_bucket_col()
+    )
 
 
 def test_cusum_state_recovers_across_restart(spark, tmp_path):

@@ -539,58 +539,20 @@ def test_benford_cube_state_recovers_across_restart(spark, tmp_path):
     """Fifth state shape under the restart gate (r14): the Benford
     leading-digit cube — the PSI fold with the digit bucket column —
     must continue its fold (not rebuild) across a query restart, and
-    its final state must equal the batch digit cube exactly."""
-    import pyarrow.parquet as pq
-
-    from tests.test_r11 import _run_checkpointed, _split_events_dir
+    its final state must equal the batch digit cube exactly. Runs THE
+    shared roundtrip (tests/test_r11._cube_restart_roundtrip — r14
+    second review: one definition of the gate's assertions) plus the
+    digit-domain assert."""
+    from tests.test_r11 import _cube_restart_roundtrip
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.streaming.jobs import (
         benford_cube_transform,
         benford_digit_col,
     )
 
-    d, ev, p1, t0, t1 = _split_events_dir(tmp_path, "benrestart")
-    ckpt = str(tmp_path / "ckpt")
-    emitted = []
-    _run_checkpointed(
-        spark, benford_cube_transform(spark, str(d)), ckpt, emitted
+    final = _cube_restart_roundtrip(
+        spark, tmp_path, "benrestart", benford_cube_transform,
+        benford_digit_col(),
     )
-    run1_max = {}
-    for r in emitted:
-        run1_max[r.event_type] = max(run1_max.get(r.event_type, 0), r.seq)
-    assert set(run1_max) == t0
-    n1 = len(emitted)
-    pq.write_table(p1, str(ev / "part-1.parquet"))
-    _run_checkpointed(
-        spark, benford_cube_transform(spark, str(d)), ckpt, emitted
-    )
-    run2 = emitted[n1:]
-    assert {r.event_type for r in run2} == t1
-    run2_max = {}
-    for r in run2:
-        run2_max[r.event_type] = max(run2_max.get(r.event_type, 0), r.seq)
-    for et in t0 & t1:
-        assert run2_max[et] >= run1_max[et] + 1  # continued fold
-    final = {
-        (r.event_type, r.day, r.bucket): r.c
-        for r in run2
-        if r.seq == run2_max[r.event_type]
-    }
-    expected = {
-        (r.event_type, r.day, r.bucket): r.n
-        for r in load_table(spark, str(d), "events")
-        .select(
-            "event_type",
-            F.date_format(
-                F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
-            ).alias("day"),
-            benford_digit_col().alias("bucket"),
-        )
-        .groupBy("event_type", "day", "bucket")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .collect()
-        if r.event_type in t1
-    }
-    assert final == expected
     assert all(b is None or 1 <= b <= 9 for _, _, b in final)
 
 
