@@ -5918,6 +5918,137 @@ def events_obrien_fleming_boundary(spark, sf_dir):
     ).orderBy("day")
 
 
+# --- daily SRM trace (round 14) -------------------------------------------------
+#
+# The guardrail's TIME AXIS: events_srm_check answers "is the split
+# broken?" at the end; operations needs "WHEN did it break?" — a
+# redirect bug deployed on day 12 shows as a chi² trace that is flat
+# and then climbs. Per daily look, the 50/50 SRM chi² of the
+# CUMULATIVE entrant cells (the sequential family's shared
+# _seq_day_increments relation), its running maximum, and the
+# per-look α = 0.05 flag — named srm_flag_95_unadjusted because each
+# look's test is marginal (the honest-flag rule from
+# events_segment_lift_hte; the always-valid member of this family is
+# the mSPRT, and a crossing day here is a WHERE-to-look diagnostic,
+# not a sequential-error-controlled verdict).
+#
+# Exactness: the same FP-free integer decomposition as the fixed-n
+# SRM — chi²_micro = (d² div tot)·10⁶ + ((d² mod tot)·10⁶) div tot —
+# with OPERAND-PARAMETERIZED spelling below so the fold lambda can
+# evaluate it over accumulator-updated cells. The fixed-n query's
+# frozen _SRM_D2 text is left untouched (it holds a pinned r14
+# window slot; identical arithmetic, frozen spelling). The running
+# max is an exact integer max carried through the same
+# F.aggregate prefix fold as the mSPRT (no single-partition window).
+
+_SRM_TRACE_FLAG_NAME = "srm_flag_95_unadjusted"
+
+
+def _srm_chi2_micro_named(na: str, nb: str, div: str) -> str:
+    """Operand-parameterized spelling of the _SRM_D2 micro
+    decomposition (see section comment; same overflow discipline:
+    no 10⁶-scaled product of corpus-scale terms is ever formed)."""
+    d2 = f"((({na}) - ({nb})) * (({na}) - ({nb})))"
+    tot = f"NULLIF(({na}) + ({nb}), 0)"
+    return (
+        f"(({d2} {div} {tot}) * 1000000"
+        f" + (({d2} % {tot}) * 1000000) {div} {tot})"
+    )
+
+
+def _srm_flag_named(na: str, nb: str, div: str) -> str:
+    """Exact integer α = 0.05 rule over named operands (the fixed-n
+    query's cross-multiplied decomposition)."""
+    d2 = f"((({na}) - ({nb})) * (({na}) - ({nb})))"
+    return (
+        f"CAST(CASE WHEN {d2}"
+        f" > ({_SRM_CHI2_95_MICRO} * (({na}) + ({nb}))) {div} 1000000"
+        " THEN 1 ELSE 0 END AS BIGINT)"
+    )
+
+
+_SRM_TRACE_ORACLE = f"""
+    WITH {_MSPRT_CELLS_CTES},
+    l AS (
+        SELECT day, n_a, n_b,
+               {_srm_chi2_micro_named("n_a", "n_b", "//")} AS chi2_micro
+        FROM c
+    ),
+    m AS (
+        SELECT *,
+               max(chi2_micro) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS chi2_max
+        FROM l
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_a, n_b,
+           round(chi2_micro / 1000000e0, 6) AS srm_chi2,
+           round(chi2_max / 1000000e0, 6) AS srm_chi2_running_max,
+           {_srm_flag_named("n_a", "n_b", "//")} AS {_SRM_TRACE_FLAG_NAME}
+    FROM m ORDER BY day
+"""
+
+
+@register("events_srm_daily_trace", _SRM_TRACE_ORACLE)
+def events_srm_daily_trace(spark, sf_dir):
+    """Daily sample-ratio-mismatch trace of the hash split: per
+    calendar look, the cumulative-entrant 50/50 chi², its exact
+    integer running maximum, and the marginal α = 0.05 flag (see the
+    section comment for the honest-flag semantics and the frozen
+    fixed-n spelling).
+
+    Scale: identical shape to the mSPRT/OBF siblings — one user-grain
+    aggregate, one day-grain cell aggregate, cumulative cells AND the
+    running max via ONE F.aggregate prefix fold over one sorted
+    calendar-bounded array; FP-free integers end to end. The DuckDB
+    oracle uses the naive window formulation, so the hash match
+    proves the fold reproduces it."""
+    d = _seq_day_increments(spark, sf_dir)
+    arr = d.agg(
+        F.sort_array(
+            F.collect_list(F.struct("day", "na_d", "nb_d"))
+        ).alias("arr")
+    )
+    fold_chi2 = _srm_chi2_micro_named(
+        "a.na + x.na_d", "a.nb + x.nb_d", "DIV"
+    )
+    cum = d.crossJoin(F.broadcast(arr)).select(
+        "day",
+        F.expr(
+            "aggregate(filter(arr, x -> x.day <= day),"
+            " named_struct('na', 0L, 'nb', 0L,"
+            "              'mx', CAST(NULL AS BIGINT)),"
+            " (a, x) -> named_struct("
+            "     'na', a.na + x.na_d, 'nb', a.nb + x.nb_d,"
+            f"    'mx', greatest(a.mx, {fold_chi2})))"
+        ).alias("st"),
+    )
+    l = cum.select(
+        "day",
+        F.col("st.na").alias("n_a"),
+        F.col("st.nb").alias("n_b"),
+        F.col("st.mx").alias("chi2_max"),
+    ).withColumn(
+        "chi2_micro",
+        F.expr(_srm_chi2_micro_named("n_a", "n_b", "DIV")),
+    )
+    return l.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "n_b",
+        F.round(F.col("chi2_micro") / F.expr("1000000e0"), 6).alias(
+            "srm_chi2"
+        ),
+        F.round(F.col("chi2_max") / F.expr("1000000e0"), 6).alias(
+            "srm_chi2_running_max"
+        ),
+        F.expr(_srm_flag_named("n_a", "n_b", "DIV")).alias(
+            _SRM_TRACE_FLAG_NAME
+        ),
+    ).orderBy("day")
+
+
 # --- distributional & robust treatment effects (round 13) ----------------------
 #
 # Two readouts the mean-based suite (z-test/CUPED/DiD) cannot give:

@@ -595,3 +595,47 @@ def test_streaming_benford_gate_matches_batch_gate_statistic(spark, sf_dir):
         assert abs(r.chi2 - round(chi_micro / 1e6, 6)) < 1e-9
         assert r.deviates_95 == (1 if chi_micro > 15_507_313 else 0)
         assert abs(r.nigrini_mad - round(((mad_sum + 4) // 9) / 1e6, 6)) < 1e-9
+
+
+def test_srm_daily_trace_recompute(spark, sf_dir):
+    """Driver-side recompute of the daily SRM trace: cumulative
+    entrant cells from first-event days, the exact integer chi2
+    decomposition, the running max, and the marginal flag; the final
+    look's cells must equal events_srm_check's fixed-n cells and its
+    chi2 match the fixed-n statistic."""
+    import hashlib
+
+    evs = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("e_day"))
+        .collect()
+    )
+    inc: dict = {}
+    for r in evs:
+        day = r.e_day.strftime("%Y-%m-%d")
+        a = hashlib.md5(str(r.user_id).encode()).hexdigest()[:2] < "80"
+        na, nb = inc.get(day, (0, 0))
+        inc[day] = (na + (1 if a else 0), nb + (0 if a else 1))
+    rows = QUERIES["events_srm_daily_trace"].fn(spark, sf_dir).collect()
+    # look days come from the shared sequential cells relation, which
+    # also contains conversion-only days (no new entrants) — every
+    # entry day must appear, and days sort ascending
+    assert set(sorted(inc)) <= {r.day for r in rows}
+    assert [r.day for r in rows] == sorted(r.day for r in rows)
+    mx = None
+    for r in rows:
+        na = sum(a for d, (a, _) in inc.items() if d <= r.day)
+        nb = sum(b for d, (_, b) in inc.items() if d <= r.day)
+        assert (r.n_a, r.n_b) == (na, nb)
+        d2, tot = (na - nb) * (na - nb), na + nb
+        micro = (d2 // tot) * 1_000_000 + ((d2 % tot) * 1_000_000) // tot
+        mx = micro if mx is None else max(mx, micro)
+        assert abs(r.srm_chi2 - round(micro / 1e6, 6)) < 1e-9
+        assert abs(r.srm_chi2_running_max - round(mx / 1e6, 6)) < 1e-9
+        assert r.srm_flag_95_unadjusted == (
+            1 if d2 > (3_841_459 * tot) // 1_000_000 else 0
+        )
+    fixed = QUERIES["events_srm_check"].fn(spark, sf_dir).collect()[0]
+    assert (rows[-1].n_a, rows[-1].n_b) == (fixed.n_a, fixed.n_b)
+    assert rows[-1].srm_chi2 == fixed.srm_chi2

@@ -92,6 +92,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "agg_concentration_curve",
     "text_bigram_entropy_rate",
     "streaming_benford_gate",
+    "events_srm_daily_trace",
 )
 
 

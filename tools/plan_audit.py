@@ -272,6 +272,8 @@ EXTRA = [
     "text_bigram_entropy_rate",
     # r14 fifth batch (streaming Benford tier)
     "streaming_benford_gate",
+    # r14 sixth batch (daily SRM trace)
+    "events_srm_daily_trace",
 ]
 
 
