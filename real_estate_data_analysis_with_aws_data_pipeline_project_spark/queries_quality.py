@@ -2073,6 +2073,7 @@ _BENFORD_GATE_ORACLE = f"""
                                         'dense.p')} AS mterm_micro,
                tot.n
         FROM dense CROSS JOIN tot
+        WHERE tot.n > 0
     ),
     s AS (
         SELECT max(n) AS n,
@@ -2130,7 +2131,11 @@ def dq_benford_chi2_gate(spark, sf_dir):
         ),
     )
     tot = dense.agg(F.sum("obs_count").cast("bigint").alias("n"))
-    terms = dense.crossJoin(F.broadcast(tot)).select(
+    # ADVICE r14: mirror the streaming twin's n > 0 filter so an empty
+    # corpus (every expected count n·p = 0) never reaches the division
+    # — both engines then aggregate zero term rows into one NULL row
+    # instead of diverging on Inf/NaN-to-BIGINT casts.
+    terms = dense.crossJoin(F.broadcast(tot)).where(F.col("n") > 0).select(
         "n",
         F.expr(_benford_term_micro("obs_count", "n", "p")).alias(
             "term_micro"

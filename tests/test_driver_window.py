@@ -408,6 +408,46 @@ ROTATIONS: dict[int, list[str]] = {
         "text_quality_score",
         "text_token_count",
     ],
+    # Round 15 seats the full 15-query never-green front (the r14
+    # post-pin batch: inequality curves, sequential OBF/SRM/Qini,
+    # Benford batch+streaming gates, WAV demux audit, cosine range
+    # search, assortativity, token HHI, bigram entropy, seeded-sample
+    # invariants) and fills the 15 free slots with refresh picks —
+    # STALEST-green first: the remaining r01/r02-green cohort. A green
+    # r15 run closes full driver coverage of the oracle-backed
+    # registry (VERDICT r14 #1).
+    15: [
+        "w2_seeded_sample_invariants",
+        "similarity_range_search",
+        "events_obrien_fleming_boundary",
+        "events_srm_daily_trace",
+        "events_qini_uplift_deciles",
+        "multimodal_wav_audit",
+        "agg_hoover_index",
+        "agg_lorenz_deciles",
+        "agg_palma_ratio",
+        "agg_concentration_curve",
+        "text_token_hhi",
+        "text_bigram_entropy_rate",
+        "dq_benford_chi2_gate",
+        "streaming_benford_gate",
+        "graph_degree_assortativity",
+        "dedup_simhash",
+        "similarity_topk_bruteforce",
+        "dedup_cluster_components",
+        "p4_project_alias",
+        "p6_match_rate",
+        "tpch_q1_pricing_summary",
+        "agg_grouping_sets",
+        "f_date_functions",
+        "similarity_ann_lsh",
+        "dedup_embedding_cosine",
+        "similarity_pq_topk",
+        "events_hypertable_rollup",
+        "events_funnel_analysis",
+        "udf_rowwise_safe_int",
+        "udtf_token_windows",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -510,6 +550,26 @@ REFRESH_OK: dict[int, set[str]] = {
         "f6_f7_sentinel_null_safe",
         "text_quality_score",
         "text_token_count",
+    },
+    # Round 15 continues the STALEST-green-first refresh posture —
+    # these 15 re-verification picks all landed green in rounds 1–3
+    # and have not held a driver slot since.
+    15: {
+        "dedup_simhash",
+        "similarity_topk_bruteforce",
+        "dedup_cluster_components",
+        "p4_project_alias",
+        "p6_match_rate",
+        "tpch_q1_pricing_summary",
+        "agg_grouping_sets",
+        "f_date_functions",
+        "similarity_ann_lsh",
+        "dedup_embedding_cosine",
+        "similarity_pq_topk",
+        "events_hypertable_rollup",
+        "events_funnel_analysis",
+        "udf_rowwise_safe_int",
+        "udtf_token_windows",
     },
 }
 

@@ -74,26 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r14 pin (the 14 r13 post-pin additions now lead the r14
-# rotation's never-green front); append every r14 post-pin registration
+# Reset at the r15 pin (the 15 r14 post-pin additions now lead the r15
+# rotation's never-green front); append every r15 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "multimodal_wav_audit",
-    "w2_seeded_sample_invariants",
-    "agg_hoover_index",
-    "agg_lorenz_deciles",
-    "agg_palma_ratio",
-    "similarity_range_search",
-    "events_obrien_fleming_boundary",
-    "dq_benford_chi2_gate",
-    "graph_degree_assortativity",
-    "text_token_hhi",
-    "events_qini_uplift_deciles",
-    "agg_concentration_curve",
-    "text_bigram_entropy_rate",
-    "streaming_benford_gate",
-    "events_srm_daily_trace",
-)
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
