@@ -551,6 +551,72 @@ def pack_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def encode_mp4_payloads(docs: DataFrame) -> DataFrame:
+    """documents → real ``video/mp4;codecs=raw`` payload table
+    (VERDICT r14 #5): each document's bytes become a single w×1×1
+    RAW0 rawvideo frame (w = byte count, so no padding — the decoded
+    elementary stream equals the original text bytes exactly) wrapped
+    in a genuine ISO-BMFF box tree:
+
+    - ``ftyp`` (16 B: brand ``isom``, minor 0) — the mandatory first
+      box the demuxer checks;
+    - ``moov`` (16 B: sample count + frame count as the minimal
+      self-description payload) — satisfies the structural-validity
+      requirement;
+    - TWO ``mdat`` boxes splitting the RAW0 stream (header + first
+      half, then the rest) — so the audit exercises the demuxer's
+      multi-mdat concatenation, not just a single-box copy.
+
+    Container size is exactly ``57 + n`` bytes for an n-byte document
+    (16 + 16 + 8 + 9 + ⌊n/2⌋ + 8 + (n − ⌊n/2⌋)), which the SQL oracle
+    pins against the measured binary length. RAW0 width is u16, so
+    callers must filter documents to 1..65535 bytes (the audit query
+    filters BOTH engines identically).
+
+    Arrow-batched mapInPandas: container assembly is pure per-row
+    byte work, embarrassingly parallel, no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text, source in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"]
+            ):
+                raw = text.encode("utf-8")
+                n = len(raw)
+                stream = (
+                    _RAWVIDEO_MAGIC + struct.pack(">HHB", n, 1, 1) + raw
+                )
+                half = 9 + n // 2  # RAW0 header + first half of pixels
+                ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+                moov = struct.pack(">I", 16) + b"moov" + struct.pack(">II", n, 1)
+                mdat1 = struct.pack(">I", 8 + half) + b"mdat" + stream[:half]
+                rest = stream[half:]
+                mdat2 = struct.pack(">I", 8 + len(rest)) + b"mdat" + rest
+                payload = ftyp + moov + mdat1 + mdat2
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video/mp4;codecs=raw",
+                        payload,
+                        {
+                            "n_bytes": len(payload),
+                            "checksum": hashlib.md5(payload).hexdigest(),
+                            "source": source,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_format", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text", "source").mapInPandas(
+        fn, schema=PAYLOAD_SCHEMA
+    )
+
+
 def encode_wav_payloads(docs: DataFrame) -> DataFrame:
     """documents → real ``audio/wav`` payload table (VERDICT r13 #4):
     each text byte b becomes one little-endian 16-bit PCM sample

@@ -8114,7 +8114,7 @@ _QINI_ORACLE = f"""
 """
 
 
-@register("events_qini_uplift_deciles", _QINI_ORACLE)
+@register("events_qini_uplift_deciles", _QINI_ORACLE, headline=True)
 def events_qini_uplift_deciles(spark, sf_dir):
     """Qini uplift curve at the decile grid: cumulative treatment vs
     exposure-scaled control conversions among the top-k users by

@@ -1753,7 +1753,7 @@ _LORENZ_ORACLE = f"""
 """
 
 
-@register("agg_lorenz_deciles", _LORENZ_ORACLE)
+@register("agg_lorenz_deciles", _LORENZ_ORACLE, headline=True)
 def agg_lorenz_deciles(spark, sf_dir):
     """Lorenz curve of per-customer order spend at the decile grid:
     cumulative exact-cents spend (and micro-quantized share) of the

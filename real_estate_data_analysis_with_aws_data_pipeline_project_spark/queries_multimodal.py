@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators.multimodal import (
+    encode_mp4_payloads,
     encode_wav_payloads,
     extract_features,
     pack_payloads,
@@ -169,6 +170,77 @@ def multimodal_wav_audit(spark, sf_dir):
     wav = encode_wav_payloads(docs).localCheckpoint(eager=True)
     feats = extract_features(wav)
     sizes = wav.select(
+        "doc_id", F.length("payload").cast("bigint").alias("container_bytes")
+    )
+    f = F.col("features")
+    return (
+        feats.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "media_format",
+            F.col("n_bytes").cast("bigint").alias("n_samples"),
+            "container_bytes",
+            F.round(F.element_at(f, 17), 4).alias("mean_byte"),
+            F.round(F.element_at(f, 18), 4).alias("std_byte"),
+            F.round(F.element_at(f, 7), 4).alias("hist_bin6"),
+        )
+    )
+
+
+@register(
+    "multimodal_mp4_audit",
+    """
+    WITH codes AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_samples,
+               list_transform(string_split(text, ''),
+                              x -> CAST(ascii(x) AS DOUBLE)) AS c
+        FROM documents
+        -- RAW0 frame width is u16, so the audit covers 1..65535-byte
+        -- docs on BOTH sides (the corpus is well inside the bound;
+        -- the filter keeps the contract explicit)
+        WHERE length(text) BETWEEN 1 AND 65535
+    )
+    SELECT doc_id,
+           'video/mp4;codecs=raw' AS media_format,
+           n_samples,
+           -- ftyp(16) + moov(16) + mdat headers(8+8) + RAW0 header(9)
+           -- + 1 byte per pixel sample
+           CAST(57 + n_samples AS BIGINT) AS container_bytes,
+           round(list_aggregate(c, 'avg'), 4) AS mean_byte,
+           round(list_aggregate(c, 'stddev_pop'), 4) AS std_byte,
+           round(CAST(len(list_filter(c, x -> floor(x / 16) = 6))
+                      AS DOUBLE) / n_samples, 4) AS hist_bin6
+    FROM codes
+    """,
+)
+def multimodal_mp4_audit(spark, sf_dir):
+    """Oracle-checked MP4 demux→decode round-trip (VERDICT r14 #5 —
+    the demux-level audit closing the MP4 row the way the WAV audit
+    closed audio): each document's bytes become one w×1×1 RAW0
+    rawvideo frame inside a genuine ISO-BMFF box tree
+    (``encode_mp4_payloads``: ftyp + moov + TWO mdat boxes splitting
+    the elementary stream), then flow back through the registry's
+    ``video/mp4;codecs=raw`` decoder — box-header walk, largesize
+    rules, multi-mdat concatenation, RAW0 geometry check — inside the
+    SAME mapInPandas feature extraction the rows-only query uses. The
+    no-padding geometry (frame width = byte count) makes the decoded
+    pixel stream equal the original text bytes, so DuckDB recomputes
+    every feature from the document characters; ``container_bytes``
+    (measured with F.length on the binary column) pins the exact
+    57 + n box layout, so any drift in the encoder or the demuxer's
+    accounting breaks the hash. Compressed-codec decode (H.264 …)
+    remains the documented external-library boundary — the container
+    and the codec SEAM are now both oracle-audited."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        (F.length("text") >= 1) & (F.length("text") <= 65535)
+    )
+    # checkpointed: the container relation feeds BOTH join sides
+    # (features and measured sizes) — the multimodal_wav_audit
+    # convention for reused mapInPandas relations
+    mp4 = encode_mp4_payloads(docs).localCheckpoint(eager=True)
+    feats = extract_features(mp4)
+    sizes = mp4.select(
         "doc_id", F.length("payload").cast("bigint").alias("container_bytes")
     )
     f = F.col("features")

@@ -2935,7 +2935,7 @@ _RANGE_ORACLE = f"""
 """
 
 
-@register("similarity_range_search", _RANGE_ORACLE)
+@register("similarity_range_search", _RANGE_ORACLE, headline=True)
 def similarity_range_search(spark, sf_dir):
     """Exact cosine range search: all (probe, neighbor) pairs with
     rounded cosine >= tau over a size-derived deterministic probe set

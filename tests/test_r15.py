@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import duckdb
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
     QUERIES,
@@ -70,3 +71,58 @@ def test_benford_gate_subcent_only_matches_oracle(spark, sf_dir, tmp_path):
     s_rows = _norm_rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
     o_rows = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
     assert s_rows == o_rows, (s_rows, o_rows)
+
+
+def test_mp4_encoder_container_layout_and_roundtrip():
+    """The documented 57 + n box layout demuxes with BOTH mdat boxes
+    concatenated and rawvideo-decodes back to the original bytes —
+    including the n = 1 edge where the second mdat carries one byte
+    and the multi-frame-width 257-byte case."""
+    import struct
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        _decode_mp4_rawvideo,
+        _demux_mp4,
+    )
+
+    for text in ["a", "hello world", "x" * 257]:
+        raw = text.encode()
+        n = len(raw)
+        stream = b"RAW0" + struct.pack(">HHB", n, 1, 1) + raw
+        half = 9 + n // 2
+        ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        moov = struct.pack(">I", 16) + b"moov" + struct.pack(">II", n, 1)
+        mdat1 = struct.pack(">I", 8 + half) + b"mdat" + stream[:half]
+        rest = stream[half:]
+        mdat2 = struct.pack(">I", 8 + len(rest)) + b"mdat" + rest
+        payload = ftyp + moov + mdat1 + mdat2
+        assert len(payload) == 57 + n
+        assert _demux_mp4(payload).tobytes() == stream
+        assert _decode_mp4_rawvideo(payload).tobytes() == raw
+
+
+def test_mp4_audit_spark_side_matches_layout(spark, sf_dir):
+    """encode_mp4_payloads on the real documents table: every payload
+    is 57 + n bytes and decodes back to the document text through the
+    registry decoder."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        DECODERS,
+        encode_mp4_payloads,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where((F.length("text") >= 1) & (F.length("text") <= 65535))
+        .limit(20)
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    rows = encode_mp4_payloads(docs).collect()
+    assert len(rows) == len(texts)
+    dec = DECODERS["video/mp4;codecs=raw"]
+    for r in rows:
+        raw = texts[r.doc_id].encode()
+        assert len(bytes(r.payload)) == 57 + len(raw) == r.meta.n_bytes
+        assert dec(bytes(r.payload)).tobytes() == raw

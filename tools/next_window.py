@@ -77,7 +77,9 @@ PRIORITY: tuple[str, ...] = ()
 # Reset at the r15 pin (the 15 r14 post-pin additions now lead the r15
 # rotation's never-green front); append every r15 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "multimodal_mp4_audit",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:
