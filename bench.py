@@ -94,8 +94,14 @@ BASELINE_SEC = {
     "quality_ks_drift": 0.652,
     "dq_order_reconciliation": 0.858,
     "retrieval_query_likelihood": 0.584,
-    "graph_jaccard_similarity": 1.904,
-    "graph_adamic_adar": 1.831,
+    # r15 re-land (VERDICT r14 #4): the graph family now reads the
+    # session-persisted pair-cells relation, so the per-query plan is
+    # a TakeOrderedAndProject / two-broadcast-join read over a
+    # dimension^2-scale cached relation — min of two calm-host runs
+    # (calibrations 1.08->1.07 and 1.02->1.00; BASELINE.md "Round-15
+    # notes").
+    "graph_jaccard_similarity": 0.169,
+    "graph_adamic_adar": 0.08,
     # r14 headline promotions (VERDICT r13 #3): landing baselines from
     # two calm-host full-suite runs (min of the two min-of-3 reads,
     # calibrations 1.09/1.08; same protocol as the r13 wholesale
@@ -103,6 +109,15 @@ BASELINE_SEC = {
     "events_mannwhitney_u": 0.729,
     "events_quantile_treatment_effect": 0.74,
     "events_msprt_always_valid": 0.582,
+    # r15 headline promotions (VERDICT r14 #2): landing baselines from
+    # two calm-host full-suite runs (min of the two min-of-3 reads,
+    # calibrations 1.08/1.00; range_search's first-run read was lost
+    # to output truncation, so its row is the single calibration-1.00
+    # run — the calmest regime recorded; BASELINE.md "Round-15
+    # notes").
+    "events_qini_uplift_deciles": 1.151,
+    "agg_lorenz_deciles": 1.083,
+    "similarity_range_search": 1.24,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,
