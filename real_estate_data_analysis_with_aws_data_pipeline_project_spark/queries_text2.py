@@ -1001,3 +1001,414 @@ def text_bigram_entropy_rate(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --- Gopher-style repetition signals (round 15) ----------------------------------
+#
+# The repetition family of the Gopher/MassiveText quality rules (Rae
+# et al. 2021, table A1 — public paper): highly repetitive documents
+# (boilerplate, scraped menus, keyword stuffing) are filtered before
+# training on two signals computed here exactly:
+#   dup_token_frac  = (n_tokens − vocab) / n_tokens — the token mass
+#                     carried by repeats of an already-seen type;
+#   top_bigram_frac = max adjacent-bigram count / n_bigrams — the
+#                     share of the most common 2-gram (the paper uses
+#                     character share; the token share is the same
+#                     signal on this tokenizer).
+# Both are micro-quantized ratios of exact BIGINT counts; the gate
+# flag applies the published-style thresholds (0.30 / 0.18 — stated
+# here, not tuned on this corpus) as integer micro comparisons so the
+# flag is reproducible bit-for-bit. Docs need ≥ 2 tokens to have a
+# bigram; shorter docs are excluded on BOTH sides (the WAV-audit
+# filter-symmetry convention). Adjacency is on the empty-filtered
+# token sequence exactly like text_bigram_entropy_rate.
+
+_GOPHER_REP_ORACLE = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter({X.tokens_sql()}, x -> x <> '') AS tk
+        FROM documents
+    ),
+    eligible AS (
+        SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens
+        FROM docs WHERE len(tk) >= 2
+    ),
+    vocab AS (
+        SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        FROM (SELECT doc_id, unnest(tk) AS tok FROM eligible)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT e.doc_id, e.tk[u.i] AS prev, e.tk[u.i + 1] AS nxt
+        FROM eligible e,
+             UNNEST(generate_series(1, len(e.tk) - 1)) AS u(i)
+    ),
+    top AS (
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS top_pair,
+               CAST(sum(n) AS BIGINT) AS n_bigrams
+        FROM (
+            SELECT doc_id, prev, nxt, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY 1, 2, 3
+        ) GROUP BY 1
+    ),
+    m AS (
+        SELECT e.doc_id, e.n_tokens, v.vocab, t.n_bigrams,
+               CAST(floor(CAST(e.n_tokens - v.vocab AS DOUBLE) / e.n_tokens
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS dup_micro,
+               CAST(floor(CAST(t.top_pair AS DOUBLE) / t.n_bigrams
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS top2_micro
+        FROM eligible e JOIN vocab v USING (doc_id) JOIN top t USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, vocab, n_bigrams,
+           round(dup_micro / 1000000e0, 6) AS dup_token_frac,
+           round(top2_micro / 1000000e0, 6) AS top_bigram_frac,
+           CAST(CASE WHEN dup_micro > 300000 OR top2_micro > 180000
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetition_flag
+    FROM m ORDER BY doc_id
+"""
+
+
+@register("text_gopher_repetition", _GOPHER_REP_ORACLE)
+def text_gopher_repetition(spark, sf_dir):
+    """Per-document Gopher-style repetition signals and gate flag:
+    duplicate-token mass and top-bigram share, micro-quantized from
+    exact BIGINT counts, thresholds 0.30/0.18 applied as integer
+    micro comparisons (see the section comment for the published-rule
+    provenance and the ≥ 2-token eligibility symmetry).
+
+    Scale: tokenize + per-doc distinct-count + one doc-grain bigram
+    groupBy — all map-side-combinable aggregates at document/bigram
+    grain, no window, no join wider than doc-grain dimension joins;
+    the shape every per-doc quality filter in the suite shares."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(X.tokens(), lambda x: x != F.lit("")).alias("tk"),
+    )
+    eligible = docs.where(F.expr("size(tk) >= 2")).select(
+        "doc_id", "tk", F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens")
+    )
+    vocab = (
+        eligible.select("doc_id", F.explode("tk").alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").cast("bigint").alias("vocab"))
+    )
+    pairs = eligible.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 2),"
+                " i -> struct(tk[i] AS prev, tk[i + 1] AS nxt))"
+            )
+        ).alias("pr"),
+    )
+    top = (
+        pairs.groupBy("doc_id", "pr.prev", "pr.nxt")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("top_pair"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    m = (
+        eligible.select("doc_id", "n_tokens")
+        .join(vocab, "doc_id")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "vocab",
+            "n_bigrams",
+            F.expr(
+                "CAST(floor(CAST(n_tokens - vocab AS DOUBLE) / n_tokens"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("dup_micro"),
+            F.expr(
+                "CAST(floor(CAST(top_pair AS DOUBLE) / n_bigrams"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("top2_micro"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "vocab",
+        "n_bigrams",
+        F.expr("round(dup_micro / 1000000e0, 6)").alias("dup_token_frac"),
+        F.expr("round(top2_micro / 1000000e0, 6)").alias("top_bigram_frac"),
+        F.expr(
+            "CAST(CASE WHEN dup_micro > 300000 OR top2_micro > 180000"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("repetition_flag"),
+    ).orderBy("doc_id")
+
+
+# --- Good–Turing unseen-mass estimate (round 15) ----------------------------------
+#
+# The vocabulary-growth companion to text_vocab_coverage: Good–Turing
+# estimates the probability mass of UNSEEN token types as p0 = N1/N
+# (N1 = hapax legomena count, N = total tokens) — the classic answer
+# to "how much of this source's vocabulary have we not sampled yet",
+# which a corpus curator reads before deciding whether more crawling
+# of a source adds new content or re-treads. Alongside: the
+# Good–Turing adjusted count for singletons r* = 2·N2/N1 (how much a
+# once-seen type's count is discounted; NULL when a source has no
+# hapax — the guarded-division convention), dis legomena N2, and
+# vocabulary. All inputs are exact BIGINTs from one (source, token)
+# aggregate; the two ratios are the only quantized steps.
+
+_GOOD_TURING_ORACLE = f"""
+    WITH w AS (
+        SELECT source, unnest({X.tokens_sql()}) AS tok FROM documents
+    ),
+    c AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        FROM w WHERE tok <> '' GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM c GROUP BY 1
+    )
+    SELECT source, tot AS n_tokens, vocab,
+           n1 AS hapax, n2 AS dis_legomena,
+           round(CAST(floor(CAST(n1 AS DOUBLE) / tot * 1000000e0 + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS gt_unseen_mass,
+           CASE WHEN n1 > 0 THEN
+               round(CAST(floor(2e0 * n2 / n1 * 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6)
+           END AS gt_singleton_rstar
+    FROM t ORDER BY source
+"""
+
+
+@register("text_good_turing_unseen", _GOOD_TURING_ORACLE)
+def text_good_turing_unseen(spark, sf_dir):
+    """Per-source Good–Turing unseen-probability mass N1/N with the
+    singleton discount 2·N2/N1 (NULL when no hapax exists), dis
+    legomena, and vocabulary (see the section comment for the
+    curation reading).
+
+    Scale: ONE (source, token) map-side-combined aggregate then a
+    source-grain rollup of four exact integer sums — the
+    text_token_hhi plan shape, no window, no join."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(X.tokens()).alias("tok")
+    )
+    c = (
+        w.where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.expr("CASE WHEN n = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.expr("CASE WHEN n = 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return t.select(
+        "source",
+        F.col("tot").alias("n_tokens"),
+        "vocab",
+        F.col("n1").alias("hapax"),
+        F.col("n2").alias("dis_legomena"),
+        F.expr(
+            "round(CAST(floor(CAST(n1 AS DOUBLE) / tot * 1000000e0 + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6)"
+        ).alias("gt_unseen_mass"),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN"
+            " round(CAST(floor(2e0 * n2 / n1 * 1000000e0 + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6) END"
+        ).alias("gt_singleton_rstar"),
+    ).orderBy("source")
+
+
+# --- pairwise source Jensen–Shannon divergence (round 15) -------------------------
+#
+# The corpus-MIXING diagnostic beside the drift family (PSI/KS watch
+# one source over time; this compares sources to each other): JSD
+# between every source pair's token-LENGTH distribution (lengths
+# capped at 20 — a fixed 20-bin grid, so the statistic is
+# dimension-bounded at any corpus size). JSD = H(M) − (H(P)+H(Q))/2
+# with M the even mixture; symmetric, bounded in [0, 1] bit. The
+# mixture probability for bin b is (n1·t2 + n2·t1) / (2·t1·t2) — an
+# exact integer numerator/denominator pair, so H(M) terms run through
+# the ONE shared entropy_term_micro_sql builder with no float
+# pre-division (int64-exact to ~2e9 tokens per source; past that,
+# DECIMAL(38) — the ANOVA bound convention). The grid is DENSIFIED
+# (sources × 1..20, zero-count bins kept) and zero-count terms are
+# skipped with an explicit n > 0 CASE on BOTH sides — the
+# structural-zero χ² lesson. The (H(P)+H(Q)) halving is integer DIV 2
+# on non-negative micro sums (same floor semantics in both engines)
+# and the result is clamped at 0 at birth.
+
+_JSD_BINS = 20
+
+_SOURCE_JSD_ORACLE = f"""
+    WITH w AS (
+        SELECT source,
+               least(CAST(length(tok) AS BIGINT), {_JSD_BINS}) AS b
+        FROM (SELECT source, unnest({X.tokens_sql()}) AS tok
+              FROM documents)
+        WHERE tok <> ''
+    ),
+    cnt AS (
+        SELECT source, b, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY 1, 2
+    ),
+    srcs AS (SELECT DISTINCT source FROM w),
+    grid AS (
+        SELECT srcs.source, CAST(g.b AS BIGINT) AS b
+        FROM srcs CROSS JOIN
+             (SELECT unnest(generate_series(1, {_JSD_BINS})) AS b) g
+    ),
+    dense AS (
+        SELECT grid.source, grid.b,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+        FROM grid LEFT JOIN cnt USING (source, b)
+    ),
+    tot AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS t
+        FROM dense GROUP BY 1
+    ),
+    p AS (
+        SELECT d.source, d.b, d.n, tot.t
+        FROM dense d JOIN tot USING (source)
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.b AS bin, a.n AS n1, a.t AS t1, b.n AS n2, b.t AS t2
+        FROM p a JOIN p b ON a.b = b.b AND a.source < b.source
+    ),
+    terms AS (
+        SELECT source_a, source_b, t1, t2,
+               CASE WHEN n1 > 0 THEN
+                   {entropy_term_micro_sql("n1", "t1")} ELSE 0 END AS hp_t,
+               CASE WHEN n2 > 0 THEN
+                   {entropy_term_micro_sql("n2", "t2")} ELSE 0 END AS hq_t,
+               CASE WHEN n1 * t2 + n2 * t1 > 0 THEN
+                   {entropy_term_micro_sql("(n1 * t2 + n2 * t1)",
+                                           "(2 * t1 * t2)")}
+               ELSE 0 END AS hm_t
+        FROM pairs
+    ),
+    s AS (
+        SELECT source_a, source_b,
+               CAST(max(t1) AS BIGINT) AS n_tokens_a,
+               CAST(max(t2) AS BIGINT) AS n_tokens_b,
+               CAST(sum(hp_t) AS BIGINT) AS hp,
+               CAST(sum(hq_t) AS BIGINT) AS hq,
+               CAST(sum(hm_t) AS BIGINT) AS hm
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_tokens_a, n_tokens_b,
+           round(greatest(hm - (hp + hq) // 2, 0) / 1000000e0, 6)
+               AS jsd_bits
+    FROM s ORDER BY source_a, source_b
+"""
+
+
+@register("quality_source_jsd", _SOURCE_JSD_ORACLE)
+def quality_source_jsd(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between sources over the
+    capped token-length distribution (see the section comment for the
+    exact-integer mixture trick, densified grid, and the DIV-2/clamp
+    conventions).
+
+    Scale: one tokenize + (source, bin) aggregate collapses the
+    corpus to |sources| × 20 rows; everything after — the dense grid,
+    the pair join, the entropy terms — is metadata-scale (sources² ×
+    20). The expensive part is the linear scan; the pairwise part
+    can never blow up because the grid, not the corpus, is its
+    input."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(X.tokens()).alias("tok"))
+        .where(F.col("tok") != "")
+        .select(
+            "source",
+            F.expr(
+                f"least(CAST(length(tok) AS BIGINT), {_JSD_BINS})"
+            ).alias("b"),
+        )
+    )
+    cnt = w.groupBy("source", "b").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    srcs = cnt.select("source").distinct()
+    grid = srcs.crossJoin(
+        F.broadcast(
+            spark.range(1, _JSD_BINS + 1).select(
+                F.col("id").cast("bigint").alias("b")
+            )
+        )
+    )
+    dense = grid.join(cnt, ["source", "b"], "left").select(
+        "source",
+        "b",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    tot = dense.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("t")
+    )
+    p = dense.join(tot, "source")
+    a = p.select(
+        F.col("source").alias("source_a"),
+        F.col("b").alias("bin"),
+        F.col("n").alias("n1"),
+        F.col("t").alias("t1"),
+    )
+    bb = p.select(
+        F.col("source").alias("source_b"),
+        F.col("b").alias("bin"),
+        F.col("n").alias("n2"),
+        F.col("t").alias("t2"),
+    )
+    pairs = a.join(bb, "bin").where(F.col("source_a") < F.col("source_b"))
+    terms = pairs.select(
+        "source_a",
+        "source_b",
+        "t1",
+        "t2",
+        F.expr(
+            "CASE WHEN n1 > 0 THEN "
+            + entropy_term_micro_sql("n1", "t1")
+            + " ELSE 0 END"
+        ).alias("hp_t"),
+        F.expr(
+            "CASE WHEN n2 > 0 THEN "
+            + entropy_term_micro_sql("n2", "t2")
+            + " ELSE 0 END"
+        ).alias("hq_t"),
+        F.expr(
+            "CASE WHEN n1 * t2 + n2 * t1 > 0 THEN "
+            + entropy_term_micro_sql(
+                "(n1 * t2 + n2 * t1)", "(2 * t1 * t2)"
+            )
+            + " ELSE 0 END"
+        ).alias("hm_t"),
+    )
+    s = terms.groupBy("source_a", "source_b").agg(
+        F.max("t1").cast("bigint").alias("n_tokens_a"),
+        F.max("t2").cast("bigint").alias("n_tokens_b"),
+        F.sum("hp_t").cast("bigint").alias("hp"),
+        F.sum("hq_t").cast("bigint").alias("hq"),
+        F.sum("hm_t").cast("bigint").alias("hm"),
+    )
+    return s.select(
+        "source_a",
+        "source_b",
+        "n_tokens_a",
+        "n_tokens_b",
+        F.expr(
+            "round(greatest(hm - (hp + hq) DIV 2, 0) / 1000000e0, 6)"
+        ).alias("jsd_bits"),
+    ).orderBy("source_a", "source_b")
