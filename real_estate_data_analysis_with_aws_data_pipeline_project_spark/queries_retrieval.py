@@ -881,8 +881,57 @@ def graph_cosupplier_projection(spark, sf_dir):
 
 _TRI_TOP = 20  # reported nodes
 
-_TRIANGLE_ORACLE = f"""
-    WITH base AS ({_COSUPP_ORACLE}),
+
+def _sparsified_edges(spark, sf_dir):
+    """Undirected (s1 < s2) edge set of the SPARSIFIED co-supplier
+    graph — graph_cosupplier_projection's mutual-top-10 partner
+    relation deduplicated, the ONE edge definition the triangle and
+    clustering-coefficient queries share (r15: factored when the
+    clustering query landed so the sparsification rule lives in one
+    place, the _COSUPP_EDGES_SQL precedent)."""
+    base = graph_cosupplier_projection(spark, sf_dir)
+    return base.select(
+        F.least("supplier", "partner").alias("s1"),
+        F.greatest("supplier", "partner").alias("s2"),
+    ).distinct()
+
+
+def _wedge_triangles(edges):
+    """Each triangle a<b<c exactly once via the key-oriented wedge
+    join e1(a,b) ⋈ e2(b,c) closed against e3(a,c)."""
+    e1 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = edges.select(F.col("s1").alias("b2"), F.col("s2").alias("c"))
+    e3 = edges.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
+    return (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+
+
+def _sparsified_triangle_counts(spark, sf_dir):
+    """Per-node triangle participation counts on the sparsified
+    graph (supplier, n_triangles) — shared by graph_triangle_count
+    and graph_local_clustering."""
+    tri = _wedge_triangles(_sparsified_edges(spark, sf_dir))
+    members = (
+        tri.select(F.col("a").alias("supplier"))
+        .unionAll(tri.select(F.col("b").alias("supplier")))
+        .unionAll(tri.select(F.col("c").alias("supplier")))
+    )
+    return members.groupBy("supplier").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+# ONE SQL spelling of the sparsified-edge/wedge-triangle/per-node-count
+# chain, shared by the triangle and clustering-coefficient oracles
+# (the _COSUPP_EDGES_SQL one-definition precedent, applied at the r15
+# clustering landing).
+_SPARSIFIED_TRI_SQL = f"""base AS ({_COSUPP_ORACLE}),
     edges AS (
         SELECT DISTINCT least(supplier, partner) AS s1,
                greatest(supplier, partner) AS s2
@@ -902,7 +951,10 @@ _TRIANGLE_ORACLE = f"""
     cnt AS (
         SELECT supplier, CAST(count(*) AS BIGINT) AS n_triangles
         FROM members GROUP BY supplier
-    )
+    )"""
+
+_TRIANGLE_ORACLE = f"""
+    WITH {_SPARSIFIED_TRI_SQL}
     SELECT supplier, n_triangles,
            CAST(row_number() OVER (
                ORDER BY n_triangles DESC, supplier
@@ -932,39 +984,108 @@ def graph_triangle_count(spark, sf_dir):
     construction — triangle counting inherits the projection's
     degree-cap and top-k guarantees instead of needing its own; the
     top-20 is TakeOrderedAndProject."""
-    base = graph_cosupplier_projection(spark, sf_dir)
-    edges = (
-        base.select(
-            F.least("supplier", "partner").alias("s1"),
-            F.greatest("supplier", "partner").alias("s2"),
-        )
-        .distinct()
-    )
-    e1 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
-    e2 = edges.select(F.col("s1").alias("b2"), F.col("s2").alias("c"))
-    e3 = edges.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
-        )
-        .select("a", "b", "c")
-    )
-    members = (
-        tri.select(F.col("a").alias("supplier"))
-        .unionAll(tri.select(F.col("b").alias("supplier")))
-        .unionAll(tri.select(F.col("c").alias("supplier")))
-    )
-    cnt = members.groupBy("supplier").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
-    )
+    cnt = _sparsified_triangle_counts(spark, sf_dir)
     w = Window.orderBy(F.desc("n_triangles"), "supplier")
     return (
         cnt.orderBy(F.desc("n_triangles"), "supplier")
         .limit(_TRI_TOP)
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .select("supplier", "n_triangles", "rank")
+    )
+
+
+# --- local clustering coefficient (round 15) ----------------------------------
+#
+# Watts–Strogatz local clustering on the SAME sparsified graph the
+# triangle query counts: c_i = 2·tri_i / (deg_i·(deg_i − 1)) — what
+# fraction of a supplier's neighbor pairs are themselves connected,
+# the node-level "is this a tight community or a star hub" signal
+# that the raw triangle COUNT conflates with degree (a hub in a
+# sparse web can out-count a small clique while being far less
+# clustered). Degrees are the sparsified edge set's — the same
+# relation the triangles close over, so the ratio is internally
+# consistent (the jaccard deg-consistency rule). Nodes need deg ≥ 2
+# to have a neighbor pair; deg-1 nodes are excluded on BOTH sides.
+# tri_i·2 and deg·(deg−1) are exact BIGINTs; the coefficient is one
+# micro-quantized division; top-20 orders on the BIGINT micro key,
+# tie-broken (supplier) — never the raw double.
+
+_LOCAL_CLUSTERING_ORACLE = f"""
+    WITH {_SPARSIFIED_TRI_SQL},
+    deg AS (
+        SELECT supplier, CAST(count(*) AS BIGINT) AS degree
+        FROM (
+            SELECT s1 AS supplier FROM edges
+            UNION ALL SELECT s2 FROM edges
+        ) GROUP BY 1
+    ),
+    m AS (
+        SELECT deg.supplier, deg.degree,
+               CAST(coalesce(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST(floor(2e0 * coalesce(cnt.n_triangles, 0)
+                          / (deg.degree * (deg.degree - 1))
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS cc_micro
+        FROM deg LEFT JOIN cnt USING (supplier)
+        WHERE deg.degree >= 2
+    )
+    SELECT supplier, degree, n_triangles,
+           round(cc_micro / 1000000e0, 6) AS clustering_coeff
+    FROM m ORDER BY cc_micro DESC, supplier LIMIT {_TRI_TOP}
+"""
+
+
+@register("graph_local_clustering", _LOCAL_CLUSTERING_ORACLE)
+def graph_local_clustering(spark, sf_dir):
+    """Top-20 suppliers by Watts–Strogatz local clustering coefficient
+    on the sparsified co-supplier graph (see the section comment for
+    the deg-consistency and deg ≥ 2 contracts; exact integer
+    numerator/denominator, one micro-quantized division, BIGINT
+    ordering key).
+
+    Scale: shares the sparsified edge relation and the wedge-triangle
+    chain with graph_triangle_count (edges ≤ k·|suppliers|, wedge
+    fan-in ≤ (2k)² by the projection's top-k bound — the r15 shared
+    pair-cells relation feeds the projection underneath); degrees are
+    one map-side-combined count over the edge list; the top-20 is
+    TakeOrderedAndProject on the micro key."""
+    edges = _sparsified_edges(spark, sf_dir)
+    cnt = _sparsified_triangle_counts(spark, sf_dir)
+    deg = (
+        edges.select(F.col("s1").alias("supplier"))
+        .unionAll(edges.select(F.col("s2").alias("supplier")))
+        .groupBy("supplier")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    m = (
+        deg.where(F.col("degree") >= 2)
+        .join(cnt, "supplier", "left")
+        .select(
+            "supplier",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+        )
+        .withColumn(
+            "cc_micro",
+            F.expr(
+                "CAST(floor(2e0 * n_triangles"
+                " / (degree * (degree - 1))"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        m.orderBy(F.desc("cc_micro"), "supplier")
+        .limit(_TRI_TOP)
+        .select(
+            "supplier",
+            "degree",
+            "n_triangles",
+            F.expr("round(cc_micro / 1000000e0, 6)").alias(
+                "clustering_coeff"
+            ),
+        )
     )
 
 

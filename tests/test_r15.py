@@ -126,3 +126,162 @@ def test_mp4_audit_spark_side_matches_layout(spark, sf_dir):
         raw = texts[r.doc_id].encode()
         assert len(bytes(r.payload)) == 57 + len(raw) == r.meta.n_bytes
         assert dec(bytes(r.payload)).tobytes() == raw
+
+
+def _doc_tokens(spark, sf_dir):
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.filter(X.tokens(), lambda x: x != F.lit("")).alias("tk"),
+        )
+        .collect()
+    )
+
+
+def test_gopher_repetition_recompute(spark, sf_dir):
+    """Driver-side recompute of both repetition fractions with the
+    same micro quantization, plus the gate flag."""
+    import math
+    from collections import Counter
+
+    docs = {r.doc_id: list(r.tk or []) for r in _doc_tokens(spark, sf_dir)}
+    rows = QUERIES["text_gopher_repetition"].fn(spark, sf_dir).collect()
+    eligible = {d: tk for d, tk in docs.items() if len(tk) >= 2}
+    assert {r.doc_id for r in rows} == set(eligible)
+    for r in rows:
+        tk = eligible[r.doc_id]
+        n = len(tk)
+        vocab = len(set(tk))
+        pairs = Counter(zip(tk, tk[1:]))
+        nb = n - 1
+        dup_micro = math.floor((n - vocab) / n * 1e6 + 0.5)
+        top_micro = math.floor(max(pairs.values()) / nb * 1e6 + 0.5)
+        assert r.n_tokens == n and r.vocab == vocab and r.n_bigrams == nb
+        assert abs(r.dup_token_frac - round(dup_micro / 1e6, 6)) < 1e-9
+        assert abs(r.top_bigram_frac - round(top_micro / 1e6, 6)) < 1e-9
+        assert r.repetition_flag == int(
+            dup_micro > 300_000 or top_micro > 180_000
+        )
+
+
+def test_good_turing_recompute(spark, sf_dir):
+    """Driver-side recompute of hapax/dis counts and both GT ratios,
+    including the N1 = 0 NULL guard."""
+    import math
+    from collections import Counter, defaultdict
+
+    per_src: dict = defaultdict(Counter)
+    for r in _doc_tokens(spark, sf_dir):
+        per_src[r.source].update(r.tk or [])
+    rows = QUERIES["text_good_turing_unseen"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(per_src)
+    for r in rows:
+        c = per_src[r.source]
+        tot = sum(c.values())
+        n1 = sum(1 for v in c.values() if v == 1)
+        n2 = sum(1 for v in c.values() if v == 2)
+        assert (r.n_tokens, r.vocab, r.hapax, r.dis_legomena) == (
+            tot, len(c), n1, n2,
+        )
+        assert abs(
+            r.gt_unseen_mass - round(math.floor(n1 / tot * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        if n1 > 0:
+            assert abs(
+                r.gt_singleton_rstar
+                - round(math.floor(2.0 * n2 / n1 * 1e6 + 0.5) / 1e6, 6)
+            ) < 1e-9
+        else:
+            assert r.gt_singleton_rstar is None
+
+
+def test_source_jsd_recompute_and_bounds(spark, sf_dir):
+    """Driver-side recompute of the JSD micro arithmetic (shared
+    entropy-term quantization, DIV-2, clamp) plus the [0, 1]-bit bound
+    and the full s1 < s2 pair grid."""
+    import math
+    from collections import Counter, defaultdict
+
+    BINS = 20
+    hist: dict = defaultdict(Counter)
+    for r in _doc_tokens(spark, sf_dir):
+        for t in r.tk or []:
+            hist[r.source][min(len(t), BINS)] += 1
+    tot = {s: sum(c.values()) for s, c in hist.items()}
+
+    def term(n, t):
+        if n <= 0:
+            return 0
+        p = n / t
+        lg = math.floor(math.log2(p) * 1e6 + 0.5) / 1e6
+        return math.floor(-p * lg * 1e6 + 0.5)
+
+    rows = QUERIES["quality_source_jsd"].fn(spark, sf_dir).collect()
+    srcs = sorted(hist)
+    assert [(r.source_a, r.source_b) for r in rows] == [
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1:]
+    ]
+    for r in rows:
+        t1, t2 = tot[r.source_a], tot[r.source_b]
+        assert (r.n_tokens_a, r.n_tokens_b) == (t1, t2)
+        hp = hq = hm = 0
+        for b in range(1, BINS + 1):
+            n1 = hist[r.source_a].get(b, 0)
+            n2 = hist[r.source_b].get(b, 0)
+            hp += term(n1, t1)
+            hq += term(n2, t2)
+            hm += term(n1 * t2 + n2 * t1, 2 * t1 * t2)
+        jsd = max(hm - (hp + hq) // 2, 0)
+        assert abs(r.jsd_bits - round(jsd / 1e6, 6)) < 1e-9
+        assert 0.0 <= r.jsd_bits <= 1.000005  # 1-bit bound + quantization
+
+
+def test_local_clustering_recompute(spark, sf_dir):
+    """Independent adjacency-set recompute of per-node triangles,
+    degrees, and the coefficient on the sparsified projection."""
+    import math
+    from collections import defaultdict
+
+    proj = QUERIES["graph_cosupplier_projection"].fn(spark, sf_dir).collect()
+    adj: dict = defaultdict(set)
+    for r in proj:
+        a, b = sorted((r.supplier, r.partner))
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {
+        v: sum(
+            1
+            for i, x in enumerate(sorted(ns))
+            for y in sorted(ns)[i + 1:]
+            if y in adj[x]
+        )
+        for v, ns in adj.items()
+    }
+    expect = sorted(
+        (
+            (
+                -math.floor(
+                    2.0 * tri[v] / (len(ns) * (len(ns) - 1)) * 1e6 + 0.5
+                ),
+                v,
+            )
+            for v, ns in adj.items()
+            if len(ns) >= 2
+        ),
+    )[:20]
+    rows = QUERIES["graph_local_clustering"].fn(spark, sf_dir).collect()
+    assert [(-e[0], e[1]) for e in expect] == [
+        (math.floor(r.clustering_coeff * 1e6 + 0.5), r.supplier) for r in rows
+    ]
+    for r in rows:
+        assert r.degree == len(adj[r.supplier])
+        assert r.n_triangles == tri[r.supplier]

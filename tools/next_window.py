@@ -79,6 +79,10 @@ PRIORITY: tuple[str, ...] = ()
 # below as it lands.
 POST_PIN_ADDITIONS: tuple[str, ...] = (
     "multimodal_mp4_audit",
+    "text_gopher_repetition",
+    "text_good_turing_unseen",
+    "quality_source_jsd",
+    "graph_local_clustering",
 )
 
 
