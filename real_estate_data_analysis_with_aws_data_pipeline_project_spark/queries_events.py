@@ -8221,3 +8221,148 @@ def events_qini_uplift_deciles(spark, sf_dir):
         F.expr(_QINI_QINI_SQL).alias("qini"),
         F.expr(_QINI_LIFT_SQL).alias("uplift_rate"),
     ).orderBy("decile")
+
+
+# --- single changepoint detection on daily volume (round 15) ----------------------
+#
+# The batch changepoint classic beside the streaming CUSUM tier: find
+# the day where the daily event-volume mean shifts, via the CUSUM
+# statistic C_k = |S_k − k·μ̂| maximized over candidate splits
+# k = 1..n−1 (S_k = prefix sum of daily counts, μ̂ = grand mean), and
+# report the split with its Brownian-bridge-normalized test statistic
+#   T = max_k C_k / (σ̂·√n),   σ̂² = (Σc² − (Σc)²/n) / (n−1)
+# against the 95 % Kolmogorov critical value 1.358 (public table
+# literal; flagged _unadjusted per the honest-flag rule — one look,
+# one statistic, but the split is selected by the same scan that
+# tests it). Determinism: the argmax runs on the INTEGER score
+# n·C_k-numerator |n·S_k − k·tot| (exact BIGINT — no division before
+# the ordering; int64-exact to ~4e15 day×event products, then
+# DECIMAL(38) per the ANOVA bound convention), tie-broken earliest
+# day; every reported double is a micro-quantized ratio of exact
+# integers through ±, ×, ÷, √ only (all exactly-rounded IEEE — no
+# libm). Needs n ≥ 2 days; with fewer the candidate relation is
+# empty and the query returns zero rows on BOTH sides.
+
+_CHANGEPOINT_CRIT_MICRO = 1_358_000  # Kolmogorov 95 % (Brownian bridge)
+
+_CHANGEPOINT_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS tot,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM daily
+    ),
+    pre AS (
+        SELECT day, c,
+               CAST(sum(c) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+        FROM daily
+    ),
+    cand AS (
+        SELECT pre.day, pre.k, pre.s, g.n, g.tot, g.sq,
+               CAST(abs(g.n * pre.s - pre.k * g.tot) AS BIGINT) AS cnum
+        FROM pre CROSS JOIN g
+        WHERE pre.k < g.n
+    ),
+    best AS (
+        SELECT * FROM cand
+        ORDER BY cnum DESC, day
+        LIMIT 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS split_day,
+           n AS n_days,
+           k AS days_before,
+           round(CAST(floor(CAST(s AS DOUBLE) / k
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_before,
+           round(CAST(floor(CAST(tot - s AS DOUBLE) / (n - k)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_after,
+           round(CAST(floor(CAST(cnum AS DOUBLE) / n
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS cusum_max,
+           round(CAST(floor(CAST(cnum AS DOUBLE) / n
+                            / (sqrt((sq - CAST(tot AS DOUBLE) * tot / n)
+                                    / (n - 1)) * sqrt(CAST(n AS DOUBLE)))
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS bb_stat,
+           CAST(CASE WHEN CAST(floor(CAST(cnum AS DOUBLE) / n
+                            / (sqrt((sq - CAST(tot AS DOUBLE) * tot / n)
+                                    / (n - 1)) * sqrt(CAST(n AS DOUBLE)))
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                          > {_CHANGEPOINT_CRIT_MICRO}
+                     THEN 1 ELSE 0 END AS BIGINT)
+               AS shift_flag_95_unadjusted
+    FROM best
+"""
+
+
+@register("events_volume_changepoint", _CHANGEPOINT_ORACLE)
+def events_volume_changepoint(spark, sf_dir):
+    """Single CUSUM changepoint on daily event volume with the
+    Brownian-bridge 95 % gate (see the section comment for the
+    integer-argmax, quantization, and n ≥ 2 contracts).
+
+    Scale: ONE map-side-combined daily aggregate collapses the corpus
+    to calendar grain; the prefix window, argmax, and report all run
+    on that bounded days-scale relation — the _seq_day_increments
+    family shape (a window over days is metadata-scale, never a
+    fact-scale window)."""
+    daily = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day")
+    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+    )
+    cand = (
+        pre.crossJoin(F.broadcast(g))
+        .where(F.col("k") < F.col("n"))
+        .withColumn(
+            "cnum",
+            F.expr("CAST(abs(n * s - k * tot) AS BIGINT)"),
+        )
+    )
+    best = cand.orderBy(F.desc("cnum"), "day").limit(1)
+    bb = (
+        "CAST(floor(CAST(cnum AS DOUBLE) / n"
+        " / (sqrt((sq - CAST(tot AS DOUBLE) * tot / n)"
+        " / (n - 1)) * sqrt(CAST(n AS DOUBLE)))"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    return best.select(
+        # string day per the module convention: DuckDB's fetchdf turns
+        # DATE into datetime64, which stringifies differently
+        F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+        F.col("n").alias("n_days"),
+        F.col("k").alias("days_before"),
+        F.expr(
+            "round(CAST(floor(CAST(s AS DOUBLE) / k"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("mean_before"),
+        F.expr(
+            "round(CAST(floor(CAST(tot - s AS DOUBLE) / (n - k)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("mean_after"),
+        F.expr(
+            "round(CAST(floor(CAST(cnum AS DOUBLE) / n"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("cusum_max"),
+        F.expr(f"round({bb} / 1000000e0, 6)").alias("bb_stat"),
+        F.expr(
+            f"CAST(CASE WHEN {bb} > {_CHANGEPOINT_CRIT_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("shift_flag_95_unadjusted"),
+    )

@@ -1977,3 +1977,183 @@ def agg_concentration_curve(spark, sf_dir):
         )
         .orderBy("decile_pct")
     )
+
+
+# --- market-basket association rules (round 15) ----------------------------------
+#
+# The classic co-occurrence mining operator (the MLlib-FPGrowth /
+# Agrawal-Srikant use case) at the 2-itemset level, exact: baskets
+# are orders, items the DISTINCT part BRANDS in each order (brand is
+# the right grain — raw part keys give singleton supports and
+# degenerate rules), and every surviving rule a → b reports
+#   support_pair  (baskets containing both, exact BIGINT),
+#   confidence    = supp(a,b) / supp(a)          (micro-quantized),
+#   lift          = supp(a,b)·N / (supp(a)·supp(b)) (micro-quantized)
+# with a 1 % minimum pair support applied as the INTEGER comparison
+# 100·supp(a,b) >= N (no float threshold channel). Both directions of
+# each unordered pair are emitted (confidence is asymmetric); top-20
+# orders on the BIGINT lift micro key, tie-broken (antecedent,
+# consequent). The pair expansion is map-side over each basket's
+# sorted distinct-brand array (≤ C(basket, 2) per order — baskets are
+# small by construction); the oracle spells the same multiset as a
+# self-join on the distinct (order, brand) relation — formulations
+# differ, the hash proves the pair multiset agrees (the bigram
+# adjacency precedent). supp(a,b)·N ≤ N² — int64-exact to ~3e9
+# baskets; past that, DECIMAL(38) (the ANOVA bound convention).
+
+_BASKET_TOP = 20
+
+_BASKET_RULES_ORACLE = f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob),
+    supp AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS s FROM ob GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.brand AS b1, b.brand AS b2,
+               CAST(count(*) AS BIGINT) AS sp
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    ),
+    rules AS (
+        SELECT b1 AS antecedent, b2 AS consequent, sp FROM pairs
+        UNION ALL
+        SELECT b2 AS antecedent, b1 AS consequent, sp FROM pairs
+    ),
+    scored AS (
+        SELECT r.antecedent, r.consequent, r.sp AS support_pair,
+               sa.s AS support_a, sb.s AS support_b, nb.n AS n_baskets,
+               CAST(floor(CAST(r.sp AS DOUBLE) / sa.s
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS conf_micro,
+               CAST(floor(CAST(r.sp AS DOUBLE) * nb.n
+                          / (CAST(sa.s AS DOUBLE) * sb.s)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS lift_micro
+        FROM rules r
+        JOIN supp sa ON sa.brand = r.antecedent
+        JOIN supp sb ON sb.brand = r.consequent
+        CROSS JOIN nb
+        WHERE 100 * r.sp >= nb.n
+    )
+    SELECT antecedent, consequent, support_pair, support_a, support_b,
+           n_baskets,
+           round(conf_micro / 1000000e0, 6) AS confidence,
+           round(lift_micro / 1000000e0, 6) AS lift
+    FROM scored
+    ORDER BY lift_micro DESC, antecedent, consequent
+    LIMIT {_BASKET_TOP}
+"""
+
+
+@register("basket_brand_rules", _BASKET_RULES_ORACLE)
+def basket_brand_rules(spark, sf_dir):
+    """Top-20 brand→brand association rules by lift over order
+    baskets, with exact integer supports, micro-quantized
+    confidence/lift, and the 1 % min-support gate as an integer
+    comparison (see the section comment for the grain and
+    determinism contracts).
+
+    Scale: the quadratic step runs ONLY within one order's sorted
+    distinct-brand array (map-side transform expansion, ≤ C(basket,2)
+    per order — the cosupp pattern); brand supports and the basket
+    count are map-side-combined aggregates; the rule relation is
+    brand²-bounded (dimension scale) so the support joins broadcast;
+    top-20 is TakeOrderedAndProject on the exact BIGINT lift key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    nb = ob.agg(
+        F.countDistinct("okey").cast("bigint").alias("n")
+    )
+    supp = ob.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("s")
+    )
+    baskets = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)),"
+                    " y -> struct(x AS b1, y AS b2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.b1").alias("b1"), F.col("pr.b2").alias("b2"))
+        .agg(F.count("*").cast("bigint").alias("sp"))
+    )
+    rules = pairs.select(
+        F.col("b1").alias("antecedent"),
+        F.col("b2").alias("consequent"),
+        "sp",
+    ).unionAll(
+        pairs.select(
+            F.col("b2").alias("antecedent"),
+            F.col("b1").alias("consequent"),
+            "sp",
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(
+                supp.select(
+                    F.col("brand").alias("antecedent"),
+                    F.col("s").alias("support_a"),
+                )
+            ),
+            "antecedent",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("brand").alias("consequent"),
+                    F.col("s").alias("support_b"),
+                )
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(nb))
+        .where(F.expr("100 * sp >= n"))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sp").alias("support_pair"),
+            "support_a",
+            "support_b",
+            F.col("n").alias("n_baskets"),
+            F.expr(
+                "CAST(floor(CAST(sp AS DOUBLE) / support_a"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("conf_micro"),
+            F.expr(
+                "CAST(floor(CAST(sp AS DOUBLE) * n"
+                " / (CAST(support_a AS DOUBLE) * support_b)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift_micro"), "antecedent", "consequent")
+        .limit(_BASKET_TOP)
+        .select(
+            "antecedent",
+            "consequent",
+            "support_pair",
+            "support_a",
+            "support_b",
+            "n_baskets",
+            F.expr("round(conf_micro / 1000000e0, 6)").alias("confidence"),
+            F.expr("round(lift_micro / 1000000e0, 6)").alias("lift"),
+        )
+    )

@@ -285,3 +285,90 @@ def test_local_clustering_recompute(spark, sf_dir):
     for r in rows:
         assert r.degree == len(adj[r.supplier])
         assert r.n_triangles == tri[r.supplier]
+
+
+def test_basket_rules_recompute(spark, sf_dir):
+    """Driver-side recompute of supports, confidence, lift, the 1 %
+    integer support gate, and the lift-ordered top-20."""
+    import math
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand = {r.p_partkey: r.p_brand for r in pt.collect()}
+    baskets: dict = defaultdict(set)
+    for r in li.collect():
+        baskets[r.l_orderkey].add(brand[r.l_partkey])
+    n = len(baskets)
+    supp: Counter = Counter()
+    pair: Counter = Counter()
+    for bs in baskets.values():
+        ss = sorted(bs)
+        supp.update(ss)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                pair[(a, b)] += 1
+    scored = []
+    for (a, b), sp in pair.items():
+        if 100 * sp < n:
+            continue
+        for ant, con in ((a, b), (b, a)):
+            lift = math.floor(sp * n / (supp[ant] * supp[con]) * 1e6 + 0.5)
+            conf = math.floor(sp / supp[ant] * 1e6 + 0.5)
+            scored.append((-lift, ant, con, sp, conf))
+    scored.sort()
+    rows = QUERIES["basket_brand_rules"].fn(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(scored))
+    for r, e in zip(rows, scored[:20]):
+        lift, ant, con, sp, conf = -e[0], e[1], e[2], e[3], e[4]
+        assert (r.antecedent, r.consequent) == (ant, con)
+        assert r.support_pair == sp
+        assert (r.support_a, r.support_b) == (supp[ant], supp[con])
+        assert r.n_baskets == n
+        assert abs(r.confidence - round(conf / 1e6, 6)) < 1e-9
+        assert abs(r.lift - round(lift / 1e6, 6)) < 1e-9
+
+
+def test_changepoint_recompute(spark, sf_dir):
+    """Driver-side recompute of the integer CUSUM argmax, both
+    segment means, and the Brownian-bridge statistic."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    days: Counter = Counter()
+    for r in load_table(spark, sf_dir, "events").select("ts").collect():
+        days[r.ts.date()] += 1
+    ds = sorted(days)
+    n, tot = len(ds), sum(days.values())
+    sq = sum(v * v for v in days.values())
+    s, best = 0, None
+    for k, d in enumerate(ds[:-1], start=1):
+        s += days[d]
+        cnum = abs(n * s - k * tot)
+        if best is None or cnum > best[0]:
+            best = (cnum, d, k, s)
+    cnum, day, k, s = best
+    row = QUERIES["events_volume_changepoint"].fn(spark, sf_dir).collect()[0]
+    assert row.split_day == day.isoformat()
+    assert (row.n_days, row.days_before) == (n, k)
+    assert abs(
+        row.mean_before - round(math.floor(s / k * 1e6 + 0.5) / 1e6, 6)
+    ) < 1e-9
+    assert abs(
+        row.mean_after
+        - round(math.floor((tot - s) / (n - k) * 1e6 + 0.5) / 1e6, 6)
+    ) < 1e-9
+    sd = math.sqrt((sq - tot * tot / n) / (n - 1))
+    bb = math.floor(cnum / n / (sd * math.sqrt(n)) * 1e6 + 0.5)
+    assert abs(row.bb_stat - round(bb / 1e6, 6)) < 1e-9
+    assert row.shift_flag_95_unadjusted == int(bb > 1_358_000)

@@ -83,6 +83,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "text_good_turing_unseen",
     "quality_source_jsd",
     "graph_local_clustering",
+    "basket_brand_rules",
+    "events_volume_changepoint",
 )
 
 
