@@ -2156,6 +2156,158 @@ def embedding_covariance_whitening(spark, sf_dir):
     )
 
 
+# --- embedding effective dimensionality (round 15) ----------------------------
+#
+# The participation ratio PR = tr(C)² / tr(C²) = (Σλ)² / Σλ² of the
+# covariance spectrum — "how many dimensions does the embedding cloud
+# actually use" — WITHOUT any eigendecomposition: tr(C) is the sum of
+# variances and tr(C²) = ‖C‖²_F is the (weighted) sum of squared
+# covariances, both linear in the same exact int64 Gramian partials
+# the whitening query merges (one scan, 2080 partial keys). PR = d
+# for isotropic clouds, → 1 as one direction dominates; the number a
+# PQ/IVF/whitening configuration should be tuned against. Each
+# pair's cov is the whitening query's fixed double expression over
+# exact BIGINT sums; the trace terms are micro-quantized and the
+# squared terms pico-quantized (cov² ~ 1e-4-scale — micro would
+# truncate; the Hoover pico precedent) BEFORE the final sums, so the
+# two reductions are exact integer adds — order-proof under any
+# partitioning — and PR is one guarded division of two BIGINTs.
+
+_EFFDIM_ORACLE = f"""
+    WITH pa AS (
+        SELECT CAST(t1.i AS INT) AS dim_i, CAST(t2.j AS INT) AS dim_j,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CAST(round(CAST(e.embedding[CAST(t1.i AS INT)] AS DOUBLE)
+                                   * CAST(e.embedding[CAST(t2.j AS INT)] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sxy
+        FROM embeddings e,
+             range(1, {_EMB_DIM + 1}) t1(i),
+             range(1, {_EMB_DIM + 1}) t2(j)
+        WHERE t2.j >= t1.i
+        GROUP BY 1, 2
+    ),
+    dims AS (
+        SELECT CAST(t.i AS INT) AS dim,
+               CAST(sum(CAST(round(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)
+                                   * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS sx
+        FROM embeddings e, range(1, {_EMB_DIM + 1}) t(i)
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT pa.dim_i, pa.dim_j, pa.n_vectors,
+               (pa.sxy / 1e6) / pa.n_vectors
+                 - ((di.sx / 1e6) / pa.n_vectors)
+                   * ((dj.sx / 1e6) / pa.n_vectors) AS cov
+        FROM pa
+        JOIN dims di ON di.dim = pa.dim_i
+        JOIN dims dj ON dj.dim = pa.dim_j
+    ),
+    q AS (
+        SELECT n_vectors,
+               CASE WHEN dim_i = dim_j THEN
+                   CAST(floor(cov * 1000000e0 + 0.5e0) AS BIGINT)
+               ELSE 0 END AS tr_micro,
+               (CASE WHEN dim_i = dim_j THEN 1 ELSE 2 END)
+                 * CAST(floor(cov * cov * 1000000000000e0 + 0.5e0)
+                        AS BIGINT) AS fr_pico
+        FROM c
+    ),
+    s AS (
+        SELECT CAST(max(n_vectors) AS BIGINT) AS n_vectors,
+               CAST(sum(tr_micro) AS BIGINT) AS tr,
+               CAST(sum(fr_pico) AS BIGINT) AS fr
+        FROM q
+    )
+    SELECT n_vectors,
+           CAST({_EMB_DIM} AS BIGINT) AS n_dims,
+           round(tr / 1000000e0, 6) AS trace_var,
+           round(fr / 1000000000000e0, 6) AS frob_norm_sq,
+           CASE WHEN fr > 0 THEN
+               round(CAST(floor(CAST(tr AS DOUBLE) * tr / fr
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS effective_dim,
+           CASE WHEN fr > 0 THEN
+               round(CAST(floor(CAST(tr AS DOUBLE) * tr / fr / {_EMB_DIM}
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS effective_dim_ratio
+    FROM s
+"""
+
+
+@register("embedding_effective_dim", _EFFDIM_ORACLE)
+def embedding_effective_dim(spark, sf_dir):
+    """Participation-ratio effective dimensionality of the embedding
+    covariance — (Σλ)²/Σλ² via the trace identities, no
+    eigendecomposition (see the section comment for the pico/micro
+    quantization split and the exact-integer reductions).
+
+    Scale: identical to the whitening kernel — one Arrow-batched scan
+    folding exact int64 Gramian partials, one 2080-key metadata-scale
+    merge; the trace/Frobenius reduction is a second metadata-scale
+    aggregate over those 2080 rows. Nothing here grows with the
+    corpus except the linear scan."""
+    v = _vecs(spark, sf_dir).select("embedding")
+    tot = (
+        v.mapInPandas(_gram_partials, schema=_GRAM_SCHEMA)
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_vectors"),
+            F.sum("sxy").cast("bigint").alias("sxy"),
+            F.sum("sx_i").cast("bigint").alias("sx_i"),
+            F.sum("sx_j").cast("bigint").alias("sx_j"),
+        )
+    )
+    n = F.col("n_vectors").cast("double")
+
+    def _mean(c):
+        return (F.col(c).cast("double") / 1e6) / n
+
+    cov = (F.col("sxy").cast("double") / 1e6) / n - _mean("sx_i") * _mean(
+        "sx_j"
+    )
+    # intermediate cov column so the quantized expressions stay
+    # readable SQL (one definition of cov above)
+    q = (
+        tot.withColumn("cov_d", cov)
+        .select(
+            "n_vectors",
+            F.expr(
+                "CASE WHEN dim_i = dim_j THEN"
+                " CAST(floor(cov_d * 1000000e0 + 0.5e0) AS BIGINT)"
+                " ELSE 0 END"
+            ).alias("tr_micro"),
+            F.expr(
+                "(CASE WHEN dim_i = dim_j THEN 1 ELSE 2 END)"
+                " * CAST(floor(cov_d * cov_d * 1000000000000e0 + 0.5e0)"
+                " AS BIGINT)"
+            ).alias("fr_pico"),
+        )
+    )
+    s = q.agg(
+        F.max("n_vectors").cast("bigint").alias("n_vectors"),
+        F.sum("tr_micro").cast("bigint").alias("tr"),
+        F.sum("fr_pico").cast("bigint").alias("fr"),
+    )
+    return s.select(
+        "n_vectors",
+        F.lit(_EMB_DIM).cast("bigint").alias("n_dims"),
+        F.expr("round(tr / 1000000e0, 6)").alias("trace_var"),
+        F.expr("round(fr / 1000000000000e0, 6)").alias("frob_norm_sq"),
+        F.expr(
+            "CASE WHEN fr > 0 THEN"
+            " round(CAST(floor(CAST(tr AS DOUBLE) * tr / fr"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("effective_dim"),
+        F.expr(
+            "CASE WHEN fr > 0 THEN"
+            f" round(CAST(floor(CAST(tr AS DOUBLE) * tr / fr / {_EMB_DIM}"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("effective_dim_ratio"),
+    )
+
+
 # --- per-label centroid drift (round 8) --------------------------------------
 
 _CDRIFT_ORACLE = f"""

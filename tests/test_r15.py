@@ -372,3 +372,51 @@ def test_changepoint_recompute(spark, sf_dir):
     bb = math.floor(cnum / n / (sd * math.sqrt(n)) * 1e6 + 0.5)
     assert abs(row.bb_stat - round(bb / 1e6, 6)) < 1e-9
     assert row.shift_flag_95_unadjusted == int(bb > 1_358_000)
+
+
+def test_effective_dim_recompute_and_bounds(spark, sf_dir):
+    """numpy recompute of the participation ratio from the SAME
+    micro-quantized Gramian arithmetic, plus the 1 <= PR <= d bound."""
+    import math
+
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    X = np.asarray(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    )
+    n, d = X.shape
+
+    def half_away(a):
+        f = np.floor(np.abs(a))
+        return np.copysign(f + (np.abs(a) - f >= 0.5), a).astype(np.int64)
+
+    sxy = half_away(X[:, :, None] * X[:, None, :] * 1e6).sum(axis=0)
+    sx = half_away(X * 1e6).sum(axis=0)
+    tr = fr = 0
+    for i in range(d):
+        for j in range(i, d):
+            cov = (sxy[i, j] / 1e6) / n - ((sx[i] / 1e6) / n) * (
+                (sx[j] / 1e6) / n
+            )
+            if i == j:
+                tr += math.floor(cov * 1e6 + 0.5)
+            fr += (1 if i == j else 2) * math.floor(cov * cov * 1e12 + 0.5)
+    row = QUERIES["embedding_effective_dim"].fn(spark, sf_dir).collect()[0]
+    assert row.n_vectors == n and row.n_dims == d
+    assert abs(row.trace_var - round(tr / 1e6, 6)) < 1e-9
+    assert abs(row.frob_norm_sq - round(fr / 1e12, 6)) < 1e-9
+    pr = math.floor(tr * tr / fr * 1e6 + 0.5)
+    assert abs(row.effective_dim - round(pr / 1e6, 6)) < 1e-9
+    assert 1.0 <= row.effective_dim <= d + 1e-6
+    # ratio is independently micro-quantized, so ratio*d can differ
+    # from effective_dim by up to d * 0.5e-6
+    assert abs(row.effective_dim_ratio * d - row.effective_dim) < d * 1e-6

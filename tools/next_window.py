@@ -85,6 +85,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "graph_local_clustering",
     "basket_brand_rules",
     "events_volume_changepoint",
+    "embedding_effective_dim",
 )
 
 
