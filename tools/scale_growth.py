@@ -226,6 +226,20 @@ QUERIES_UNDER_TEST = [
     # pair-vocabulary-grain aggregate — linear in tokens.
     "agg_concentration_curve",
     "text_bigram_entropy_rate",
+    # r15: Gopher repetition is a per-doc bigram aggregate + two
+    # doc-grain dimension joins — linear in tokens with doc-bounded
+    # groups; Good–Turing is the HHI shape exactly (one
+    # (source, token) aggregate + a source rollup); the source JSD
+    # collapses the corpus to a |sources|×20 grid in one aggregate —
+    # everything after is metadata-scale; the MP4 audit is the WAV
+    # audit's two-mapInPandas shape over the checkpointed container
+    # relation; effective-dim shares the whitening Gramian kernel
+    # (2080-key metadata merge + one reduction).
+    "text_gopher_repetition",
+    "text_good_turing_unseen",
+    "quality_source_jsd",
+    "multimodal_mp4_audit",
+    "embedding_effective_dim",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
