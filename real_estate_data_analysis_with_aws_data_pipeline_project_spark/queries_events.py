@@ -8286,12 +8286,19 @@ _CHANGEPOINT_ORACLE = f"""
            round(CAST(floor(CAST(cnum AS DOUBLE) / n
                             * 1000000e0 + 0.5e0) AS BIGINT)
                  / 1000000e0, 6) AS cusum_max,
-           round(CAST(floor(CAST(cnum AS DOUBLE) / n
+           -- variance > 0 guard as the EXACT integer comparison
+           -- n·Σc² > (Σc)²: with constant daily volume σ̂ = 0 and the
+           -- 0/0 diverges between engines (Spark NaN→BIGINT 0 vs
+           -- DuckDB NULL) — the Benford-gate r14 ADVICE class (r15
+           -- review)
+           CASE WHEN n * sq > tot * tot THEN
+               round(CAST(floor(CAST(cnum AS DOUBLE) / n
                             / (sqrt((sq - CAST(tot AS DOUBLE) * tot / n)
                                     / (n - 1)) * sqrt(CAST(n AS DOUBLE)))
                             * 1000000e0 + 0.5e0) AS BIGINT)
-                 / 1000000e0, 6) AS bb_stat,
-           CAST(CASE WHEN CAST(floor(CAST(cnum AS DOUBLE) / n
+                 / 1000000e0, 6) END AS bb_stat,
+           CAST(CASE WHEN n * sq > tot * tot
+                      AND CAST(floor(CAST(cnum AS DOUBLE) / n
                             / (sqrt((sq - CAST(tot AS DOUBLE) * tot / n)
                                     / (n - 1)) * sqrt(CAST(n AS DOUBLE)))
                             * 1000000e0 + 0.5e0) AS BIGINT)
@@ -8360,9 +8367,15 @@ def events_volume_changepoint(spark, sf_dir):
             "round(CAST(floor(CAST(cnum AS DOUBLE) / n"
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
         ).alias("cusum_max"),
-        F.expr(f"round({bb} / 1000000e0, 6)").alias("bb_stat"),
+        # variance > 0 guard as the exact integer comparison — see the
+        # oracle comment (r15 review; the Benford r14 ADVICE class)
         F.expr(
-            f"CAST(CASE WHEN {bb} > {_CHANGEPOINT_CRIT_MICRO}"
+            f"CASE WHEN n * sq > tot * tot THEN"
+            f" round({bb} / 1000000e0, 6) END"
+        ).alias("bb_stat"),
+        F.expr(
+            f"CAST(CASE WHEN n * sq > tot * tot AND"
+            f" {bb} > {_CHANGEPOINT_CRIT_MICRO}"
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("shift_flag_95_unadjusted"),
     )

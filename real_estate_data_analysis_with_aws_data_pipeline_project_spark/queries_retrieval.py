@@ -912,11 +912,13 @@ def _wedge_triangles(edges):
     )
 
 
-def _sparsified_triangle_counts(spark, sf_dir):
-    """Per-node triangle participation counts on the sparsified
-    graph (supplier, n_triangles) — shared by graph_triangle_count
-    and graph_local_clustering."""
-    tri = _wedge_triangles(_sparsified_edges(spark, sf_dir))
+def _sparsified_triangle_counts(edges):
+    """Per-node triangle participation counts (supplier, n_triangles)
+    over an already-built sparsified edge relation — shared by
+    graph_triangle_count and graph_local_clustering. Takes the edges
+    DataFrame (not spark/sf_dir) so a caller that also needs the edge
+    relation builds the projection subtree ONCE (r15 review)."""
+    tri = _wedge_triangles(edges)
     members = (
         tri.select(F.col("a").alias("supplier"))
         .unionAll(tri.select(F.col("b").alias("supplier")))
@@ -984,7 +986,7 @@ def graph_triangle_count(spark, sf_dir):
     construction — triangle counting inherits the projection's
     degree-cap and top-k guarantees instead of needing its own; the
     top-20 is TakeOrderedAndProject."""
-    cnt = _sparsified_triangle_counts(spark, sf_dir)
+    cnt = _sparsified_triangle_counts(_sparsified_edges(spark, sf_dir))
     w = Window.orderBy(F.desc("n_triangles"), "supplier")
     return (
         cnt.orderBy(F.desc("n_triangles"), "supplier")
@@ -1049,7 +1051,7 @@ def graph_local_clustering(spark, sf_dir):
     one map-side-combined count over the edge list; the top-20 is
     TakeOrderedAndProject on the micro key."""
     edges = _sparsified_edges(spark, sf_dir)
-    cnt = _sparsified_triangle_counts(spark, sf_dir)
+    cnt = _sparsified_triangle_counts(edges)
     deg = (
         edges.select(F.col("s1").alias("supplier"))
         .unionAll(edges.select(F.col("s2").alias("supplier")))

@@ -420,3 +420,39 @@ def test_effective_dim_recompute_and_bounds(spark, sf_dir):
     # ratio is independently micro-quantized, so ratio*d can differ
     # from effective_dim by up to d * 0.5e-6
     assert abs(row.effective_dim_ratio * d - row.effective_dim) < d * 1e-6
+
+
+def test_changepoint_zero_variance_matches_oracle(spark, sf_dir, tmp_path):
+    """r15 review: with constant daily volume σ̂ = 0 and the 0/0
+    Brownian-bridge division diverged between engines (Spark
+    NaN→BIGINT 0 vs DuckDB NULL). Both sides now guard on the exact
+    integer comparison n·Σc² > (Σc)² — bb_stat NULL, flag 0, and the
+    rows must value-hash identically."""
+    import pyarrow as pa
+
+    src = pq.read_table(f"{sf_dir}/events.parquet")
+    tiny = src.slice(0, 6).to_pydict()
+    base = tiny["ts"][0]
+    # 2 days x 3 events: equal counts, zero variance, cnum = 0
+    days = [0, 0, 0, 1, 1, 1]
+    tiny["ts"] = [
+        base.replace(year=2024, month=3, day=10 + d, hour=i % 3)
+        for i, d in enumerate(days)
+    ]
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(pa.table(tiny, schema=src.schema), path)
+
+    spec = QUERIES["events_volume_changepoint"]
+    sdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    odf = con.execute(spec.oracle).fetchdf()
+    assert len(sdf) == len(odf) == 1
+    s_rows = _norm_rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
+    o_rows = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
+    assert s_rows == o_rows, (s_rows, o_rows)
+    row = sdf.iloc[0]
+    assert row["bb_stat"] is None or row["bb_stat"] != row["bb_stat"]  # NULL
+    assert row["shift_flag_95_unadjusted"] == 0
