@@ -274,6 +274,17 @@ EXTRA = [
     "streaming_benford_gate",
     # r14 sixth batch (daily SRM trace)
     "events_srm_daily_trace",
+    # r15 additions (MP4 demux audit, repetition/GT/JSD corpus
+    # diagnostics, local clustering, basket rules, changepoint,
+    # effective dimensionality)
+    "multimodal_mp4_audit",
+    "text_gopher_repetition",
+    "text_good_turing_unseen",
+    "quality_source_jsd",
+    "graph_local_clustering",
+    "basket_brand_rules",
+    "events_volume_changepoint",
+    "embedding_effective_dim",
 ]
 
 
@@ -364,6 +375,12 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     "corpus_mixing_waterfill": (8, "|sources|-row dimension scans ×8"),
     # shares the curriculum's histogram cumsum (same bound).
     "corpus_epoch_schedule": (1, "≤ 10001-row score-value histogram"),
+    # CUSUM prefix sum + candidate row_number over the DAILY count
+    # relation — calendar-bounded (one row per day with events, never
+    # the corpus; the _seq_day_increments family bound). One counted
+    # spec: Catalyst plans both functions in a single Window node over
+    # the shared (ORDER BY day) spec.
+    "events_volume_changepoint": (1, "calendar-day count relation"),
 }
 
 # Unpartitioned windows whose input subtree IS truncated by a plan-
