@@ -1678,6 +1678,155 @@ def retrieval_rank_correlation(spark, sf_dir):
     )
 
 
+# --- retriever rank-biased overlap (round 15) -----------------------------------
+#
+# RBO@k (Webber et al. 2010, truncated — no extrapolation residual):
+# the TOP-WEIGHTED agreement companion to Kendall tau, which weights
+# every common pair equally — two retrievers that agree on ranks
+# 1-5 and scramble 15-20 are near-interchangeable for a user, and
+# only RBO says so. RBO@k = Σ_{d=1..k} (1−p)·p^(d−1) · |A_d ∩ B_d|/d
+# over depth-d prefixes with persistence p = 0.9. The whole statistic
+# collapses to ONE integer sum: a common document entering both
+# prefixes at m = max(r_a, r_b) contributes exactly
+# S[m] = Σ_{d=m..k} (1−p)·p^(d−1)/d, and the k values of S are
+# PYTHON-PRECOMPUTED pico-quantized literals embedded identically in
+# both engines (the _BENFORD_P literal rule — no engine evaluates a
+# power or a division), so the query is exact integer arithmetic on
+# ≤ k rows. Reports the depth-k overlap fraction alongside.
+
+_RBO_P = 0.9
+_RBO_K = _TAU_K
+
+# S[m] = Σ_{d=m..k} floor((1−p)·p^(d−1)/d · 1e12 + 0.5) — suffix sums
+# of the pico-quantized per-depth weights, m = 1..k.
+_RBO_C_PICO = [
+    int(__import__("math").floor(
+        (1.0 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e12 + 0.5))
+    for d in range(1, _RBO_K + 1)
+]
+_RBO_SUFFIX_PICO = {
+    m: sum(_RBO_C_PICO[m - 1:]) for m in range(1, _RBO_K + 1)
+}
+
+_RBO_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN m = {m} THEN {s}" for m, s in _RBO_SUFFIX_PICO.items()
+    )
+    + " ELSE 0 END"
+)
+
+_RBO_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    bmtop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS r_bm
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+              LIMIT {_RBO_K})
+    ),
+    qltop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY qlm DESC, doc_id)
+                            AS BIGINT) AS r_ql
+        FROM (SELECT * FROM qlscored ORDER BY qlm DESC, doc_id
+              LIMIT {_RBO_K})
+    ),
+    common AS (
+        SELECT b.doc_id,
+               CAST(greatest(b.r_bm, q.r_ql) AS BIGINT) AS m
+        FROM bmtop b JOIN qltop q USING (doc_id)
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_common,
+               CAST(coalesce(sum({_RBO_CASE_SQL}), 0) AS BIGINT)
+                   AS rbo_pico
+        FROM common
+    )
+    SELECT CAST({_RBO_K} AS BIGINT) AS depth_k,
+           round({_RBO_P}, 2) AS persistence_p,
+           n_common,
+           round(CAST(floor(CAST(n_common AS DOUBLE) / {_RBO_K}
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS overlap_at_k,
+           round(rbo_pico / 1000000000000e0, 6) AS rbo_at_k
+    FROM s
+"""
+
+
+@register("retrieval_rbo_overlap", _RBO_ORACLE)
+def retrieval_rbo_overlap(spark, sf_dir):
+    """Rank-biased overlap at depth k between the BM25 and
+    query-likelihood top-k lists (see the section comment for the
+    suffix-sum literal construction that makes the whole statistic
+    one exact integer sum).
+
+    Scale: both top-k lists are TakeOrderedAndProject over the
+    session-persisted dual-scored relation (shared with NDCG/tau —
+    one corpus tokenization serves all three evaluators); everything
+    after runs on ≤ k rows."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+    bmtop = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RBO_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+            .cast("bigint")
+            .alias("r_bm"),
+        )
+    )
+    qltop = (
+        scored.orderBy(F.desc("qlm"), "doc_id")
+        .limit(_RBO_K)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("qlm"), "doc_id"))
+            .cast("bigint")
+            .alias("r_ql"),
+        )
+    )
+    common = bmtop.join(qltop, "doc_id").select(
+        F.greatest("r_bm", "r_ql").cast("bigint").alias("m")
+    )
+    s = common.agg(
+        F.count("*").cast("bigint").alias("n_common"),
+        F.coalesce(F.sum(F.expr(_RBO_CASE_SQL)), F.lit(0))
+        .cast("bigint")
+        .alias("rbo_pico"),
+    )
+    return s.select(
+        F.lit(_RBO_K).cast("bigint").alias("depth_k"),
+        F.expr(f"round({_RBO_P}, 2)").alias("persistence_p"),
+        "n_common",
+        F.expr(
+            f"round(CAST(floor(CAST(n_common AS DOUBLE) / {_RBO_K}"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("overlap_at_k"),
+        F.expr("round(rbo_pico / 1000000000000e0, 6)").alias("rbo_at_k"),
+    )
+
+
 # --- MRR / recall@k evaluation (round 10) ------------------------------------
 #
 # The reciprocal-rank companion to retrieval_ndcg_eval: NDCG grades the

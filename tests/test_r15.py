@@ -456,3 +456,33 @@ def test_changepoint_zero_variance_matches_oracle(spark, sf_dir, tmp_path):
     row = sdf.iloc[0]
     assert row["bb_stat"] is None or row["bb_stat"] != row["bb_stat"]  # NULL
     assert row["shift_flag_95_unadjusted"] == 0
+
+
+def test_rbo_recompute_and_bounds(spark, sf_dir):
+    """Driver-side recompute of RBO@k from the two top-k lists with
+    the same suffix-sum pico literals, plus 0 <= RBO <= 1 and the
+    identical-list upper bound (RBO = S[1]·k-ish only when all ranks
+    agree)."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _RBO_K,
+        _RBO_SUFFIX_PICO,
+        retrieval_query_likelihood,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        retrieval_bm25_topk,
+    )
+
+    bm = [r.doc_id for r in retrieval_bm25_topk(spark, sf_dir).collect()]
+    ql = [r.doc_id for r in retrieval_query_likelihood(spark, sf_dir).collect()]
+    assert len(bm) == len(ql) == _RBO_K
+    ra = {d: i + 1 for i, d in enumerate(bm)}
+    rb = {d: i + 1 for i, d in enumerate(ql)}
+    common = set(ra) & set(rb)
+    pico = sum(_RBO_SUFFIX_PICO[max(ra[d], rb[d])] for d in common)
+    row = QUERIES["retrieval_rbo_overlap"].fn(spark, sf_dir).collect()[0]
+    assert row.n_common == len(common)
+    assert abs(row.rbo_at_k - round(pico / 1e12, 6)) < 1e-9
+    assert 0.0 <= row.rbo_at_k <= 1.0
+    # identical lists would score sum over m of S[rank] = full mass
+    full = sum(_RBO_SUFFIX_PICO[m] for m in range(1, _RBO_K + 1))
+    assert row.rbo_at_k <= round(full / 1e12, 6) + 1e-9

@@ -86,6 +86,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "basket_brand_rules",
     "events_volume_changepoint",
     "embedding_effective_dim",
+    "retrieval_rbo_overlap",
 )
 
 

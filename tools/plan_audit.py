@@ -407,6 +407,10 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     "retrieval_ndcg_eval": (3, "ranks over three limit(10) top lists"),
     # two rank windows, one per retriever's limit(10) top list.
     "retrieval_mrr_eval": (2, "ranks over two limit(10) top lists"),
+    # two rank windows, one per retriever's limit(20) top list (the
+    # tau shape without the localCheckpoint — RBO's common relation
+    # feeds a single aggregate, no self-join to shield).
+    "retrieval_rbo_overlap": (2, "ranks over two limit(20) top lists"),
     # (retrieval_rank_correlation's two limit(20) rank windows run at
     # localCheckpoint-creation time — the audited plan roots at the
     # checkpointed <= k-row relation, so no waiver entry is needed.)
