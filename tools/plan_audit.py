@@ -285,6 +285,7 @@ EXTRA = [
     "basket_brand_rules",
     "events_volume_changepoint",
     "embedding_effective_dim",
+    "retrieval_rbo_overlap",
 ]
 
 
