@@ -883,17 +883,24 @@ _TRI_TOP = 20  # reported nodes
 
 
 def _sparsified_edges(spark, sf_dir):
-    """Undirected (s1 < s2) edge set of the SPARSIFIED co-supplier
-    graph — graph_cosupplier_projection's mutual-top-10 partner
-    relation deduplicated, the ONE edge definition the triangle and
-    clustering-coefficient queries share (r15: factored when the
-    clustering query landed so the sparsification rule lives in one
-    place, the _COSUPP_EDGES_SQL precedent)."""
-    base = graph_cosupplier_projection(spark, sf_dir)
-    return base.select(
-        F.least("supplier", "partner").alias("s1"),
-        F.greatest("supplier", "partner").alias("s2"),
-    ).distinct()
+    """SESSION-PERSISTED undirected (s1 < s2) edge set of the
+    SPARSIFIED co-supplier graph — graph_cosupplier_projection's
+    mutual-top-10 partner relation deduplicated, the ONE edge
+    definition the triangle, clustering-coefficient, and
+    orientation-stats queries share (r15: factored when the
+    clustering query landed, then cached alongside the pair cells —
+    ≤ k·|suppliers| rows, dimension-scale, so persisting it is the
+    materialized-similarity-graph pattern, NOT the rejected
+    fact-scale checkpoint)."""
+
+    def build():
+        base = graph_cosupplier_projection(spark, sf_dir)
+        return base.select(
+            F.least("supplier", "partner").alias("s1"),
+            F.greatest("supplier", "partner").alias("s2"),
+        ).distinct()
+
+    return session_cached(spark, "graph_sparsified_edges", sf_dir, build)
 
 
 def _wedge_triangles(edges):
@@ -1278,17 +1285,13 @@ def graph_triangle_orientation_stats(spark, sf_dir):
     orientation itself is two |V|-scale joins; every output aggregate
     is a 1-row broadcast. Integer-only arithmetic — no float channel.
     """
-    base = graph_cosupplier_projection(spark, sf_dir)
-    # NOTE: edges feeds many plan branches, but a localCheckpoint here
-    # was MEASURED SLOWER at sf0.1 (7.2–8.6 s vs 5.7–6.3 s without):
-    # AQE's ReuseExchange already dedups the identical projection
-    # subplans, so the checkpoint only added materialization overhead.
-    # Checkpoint only relations whose branches are NOT common subplans
-    # (the PSI/JSD cube precedent).
-    edges = base.select(
-        F.least("supplier", "partner").alias("s1"),
-        F.greatest("supplier", "partner").alias("s2"),
-    ).distinct()
+    # r15: the edge relation is the session-persisted shared
+    # _sparsified_edges (dimension-scale). The earlier WITHIN-QUERY
+    # localCheckpoint experiment measured SLOWER at sf0.1 (7.2–8.6 s
+    # vs 5.7–6.3 s — AQE ReuseExchange already deduped the identical
+    # projection subplans in one plan); the session cache is the
+    # CROSS-QUERY materialization the family now shares instead.
+    edges = _sparsified_edges(spark, sf_dir)
     nodes = edges.select(F.col("s1").alias("v")).unionAll(
         edges.select(F.col("s2").alias("v"))
     )
