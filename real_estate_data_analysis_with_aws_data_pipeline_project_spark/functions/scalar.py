@@ -99,3 +99,24 @@ def hex_chunk_int_sql(h: str, width: int, fn: str = "strpos") -> str:
         f" AS BIGINT) * {16 ** (width - 1 - i)}"
         for i in range(width)
     ) + ")"
+
+
+def entropy_term_micro_sql(n: str, tot: str) -> str:
+    """-p·log2(p) integerized to BIGINT micro units (p = n/tot) — ONE
+    definition of the Shannon term for every entropy query in either
+    engine (r10 review: four hand copies had accumulated; moved here
+    from queries_events in r15 so any query module can use it without
+    importing another query module). The libm log2 is quantized with
+    floor(x·1e6 + 0.5) rather than round(x, 6): round-on-double is
+    itself a cross-engine channel (Spark HALF_UP on the shortest
+    decimal repr vs DuckDB rounding the binary value — the exact
+    1-micro class the first sf0.001 entropy sweep caught), while
+    floor of an exactly-rounded IEEE product is deterministic
+    everywhere except the same measure-zero boundary, with no second
+    rounding rule in play."""
+    p = f"(CAST({n} AS DOUBLE) / {tot})"
+    lg = (
+        f"(CAST(floor(log2({p}) * 1000000e0 + 0.5e0) AS BIGINT)"
+        " / 1000000e0)"
+    )
+    return f"CAST(floor(-{p} * {lg} * 1000000e0 + 0.5e0) AS BIGINT)"

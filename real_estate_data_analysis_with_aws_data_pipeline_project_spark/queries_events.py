@@ -3458,23 +3458,13 @@ def events_time_to_convert(spark, sf_dir):
 # single-type day's term is -(1)·0.0 = -0.0, which floor(+0.5) sends
 # to 0 in both engines.
 
-def entropy_term_micro_sql(n: str, tot: str) -> str:
-    """-p·log2(p) integerized to BIGINT micro units (p = n/tot) — ONE
-    definition of the Shannon term for every entropy query in either
-    engine (r10 review: four hand copies had accumulated). The libm
-    log2 is quantized with floor(x·1e6 + 0.5) rather than round(x, 6):
-    round-on-double is itself a cross-engine channel (Spark HALF_UP
-    on the shortest decimal repr vs DuckDB rounding the binary value —
-    the exact 1-micro class the first sf0.001 entropy sweep caught),
-    while floor of an exactly-rounded IEEE product is deterministic
-    everywhere except the same measure-zero boundary, with no second
-    rounding rule in play."""
-    p = f"(CAST({n} AS DOUBLE) / {tot})"
-    lg = (
-        f"(CAST(floor(log2({p}) * 1000000e0 + 0.5e0) AS BIGINT)"
-        " / 1000000e0)"
-    )
-    return f"CAST(floor(-{p} * {lg} * 1000000e0 + 0.5e0) AS BIGINT)"
+# entropy_term_micro_sql moved to functions/scalar.py (r15: the
+# cluster-purity query in queries_similarity needs it, and
+# queries_similarity imports BEFORE queries_events in api.py — a
+# cross-query-module import would reorder registration). Re-exported
+# here for the historical import sites (queries_text2/window2) — the
+# rank-prefix back-compat precedent.
+from .functions.scalar import entropy_term_micro_sql  # noqa: E402,F401
 
 
 _TYPE_ENTROPY_ORACLE = f"""

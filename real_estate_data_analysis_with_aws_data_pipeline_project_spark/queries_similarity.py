@@ -11,6 +11,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.scalar import entropy_term_micro_sql
 from .operators import similarity as S
 from .operators.session_cache import session_cached
 from .registry import register
@@ -3022,6 +3023,179 @@ def embedding_cluster_quality(spark, sf_dir):
         ch,
     )
     return spark.createDataFrame([row], schema)
+
+
+# --- cluster purity / NMI vs labels (round 15) ----------------------------------
+#
+# The EXTERNAL cluster-quality companion to Calinski–Harabasz
+# (internal variance ratio): how well does the embedding_kmeans_lloyd
+# partition recover the embeddings table's label column? Purity =
+# Σ_c max_l n_cl / N (the classic "assign each cluster its majority
+# label" accuracy) and normalized mutual information
+# NMI = (H(C) + H(L) − H(C,L)) / ((H(C) + H(L))/2) — the pair every
+# clustering-evaluation writeup reports, and the measurement a
+# SemDeDup/IVF pipeline uses to sanity-check that its cheap k-means
+# structure aligns with known taxonomy. Exactness: the contingency
+# table is exact BIGINT counts at (k × |labels|) grain — bounded,
+# never corpus-scale; the three entropies run through the ONE shared
+# entropy_term_micro_sql builder and MI is their exact integer
+# combination clamped at 0 (quantization can push it a few micro
+# negative on near-independent partitions); the two report ratios are
+# single micro-quantized divisions with H(C)+H(L) > 0 guarded. The
+# assignment relation is the kmeans query's own second-pass argmin
+# (same centroids, same tie rule), so this query cannot drift from
+# the partition it evaluates.
+
+_PURITY_ORACLE = f"""
+    WITH {_KMEANS_CTES},
+    lab AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+    ),
+    ct AS (
+        SELECT a2.cid, lab.label, CAST(count(*) AS BIGINT) AS n
+        FROM a2 JOIN lab USING (vec_id)
+        GROUP BY 1, 2
+    ),
+    rowm AS (
+        SELECT cid, CAST(sum(n) AS BIGINT) AS nc,
+               CAST(max(n) AS BIGINT) AS maj
+        FROM ct GROUP BY 1
+    ),
+    colm AS (
+        SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM ct GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(nc) AS BIGINT) AS n,
+               CAST(sum(maj) AS BIGINT) AS maj_sum
+        FROM rowm
+    ),
+    hc AS (
+        SELECT CAST(sum({entropy_term_micro_sql("rowm.nc", "tot.n")})
+                    AS BIGINT) AS h
+        FROM rowm CROSS JOIN tot
+    ),
+    hl AS (
+        SELECT CAST(sum({entropy_term_micro_sql("colm.nl", "tot.n")})
+                    AS BIGINT) AS h
+        FROM colm CROSS JOIN tot
+    ),
+    hcl AS (
+        SELECT CAST(sum({entropy_term_micro_sql("ct.n", "tot.n")})
+                    AS BIGINT) AS h
+        FROM ct CROSS JOIN tot
+    ),
+    s AS (
+        SELECT tot.n, tot.maj_sum,
+               (SELECT CAST(count(*) AS BIGINT) FROM rowm) AS k_clusters,
+               (SELECT CAST(count(*) AS BIGINT) FROM colm) AS n_labels,
+               hc.h AS hc, hl.h AS hl, hcl.h AS hcl
+        FROM tot CROSS JOIN hc CROSS JOIN hl CROSS JOIN hcl
+        WHERE tot.n > 0
+    )
+    SELECT n AS n_vectors, k_clusters, n_labels,
+           round(CAST(floor(CAST(maj_sum AS DOUBLE) / n
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS purity,
+           round(greatest(hc + hl - hcl, 0) / 1000000e0, 6)
+               AS mutual_info_bits,
+           CASE WHEN hc + hl > 0 THEN
+               round(CAST(floor(2e0 * greatest(hc + hl - hcl, 0)
+                                / (hc + hl)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6)
+           END AS nmi
+    FROM s
+"""
+
+
+@register("embedding_cluster_purity", _PURITY_ORACLE)
+def embedding_cluster_purity(spark, sf_dir):
+    """Purity and normalized mutual information of the
+    embedding_kmeans_lloyd partition against the embeddings table's
+    labels (see the section comment for the entropy quantization,
+    clamp, and guard contracts).
+
+    Scale: one map-only literal-centroid assignment projection (the
+    kmeans shape — bounded driver collect of k centroids), one
+    (k × |labels|)-grain contingency aggregate, and metadata-scale
+    entropy reductions; nothing beyond the assignment scan grows with
+    the corpus."""
+    q, _c0, cents1, _upd = _kmeans_fit(spark, sf_dir)
+    if q is None:
+        return spark.createDataFrame(
+            [],
+            "n_vectors long, k_clusters long, n_labels long,"
+            " purity double, mutual_info_bits double, nmi double",
+        )
+    assign = q.select(
+        "vec_id",
+        F.expr(_kmeans_argmin_expr(cents1) + ".c").alias("cid"),
+    )
+    lab = _vecs(spark, sf_dir).select(
+        "vec_id", F.col("label").cast("bigint").alias("label")
+    )
+    ct = (
+        assign.join(lab, "vec_id")
+        .groupBy("cid", "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        # the contingency is (k x |labels|) metadata-scale and feeds
+        # FIVE aggregate branches — checkpoint so the assignment scan
+        # runs once (the PSI/JSD-cube convention)
+        .localCheckpoint(eager=True)
+    )
+    rowm = ct.groupBy("cid").agg(
+        F.sum("n").cast("bigint").alias("nc"),
+        F.max("n").cast("bigint").alias("maj"),
+    )
+    colm = ct.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    tot = rowm.agg(
+        F.sum("nc").cast("bigint").alias("n"),
+        F.sum("maj").cast("bigint").alias("maj_sum"),
+        F.count("*").cast("bigint").alias("k_clusters"),
+    )
+    n_labels = colm.agg(F.count("*").cast("bigint").alias("n_labels"))
+    hc = (
+        rowm.crossJoin(F.broadcast(tot.select("n")))
+        .select(F.expr(entropy_term_micro_sql("nc", "n")).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("hc"))
+    )
+    hl = (
+        colm.crossJoin(F.broadcast(tot.select("n")))
+        .select(F.expr(entropy_term_micro_sql("nl", "n")).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("hl"))
+    )
+    hcl = (
+        ct.crossJoin(
+            F.broadcast(tot.select(F.col("n").alias("n_total")))
+        )
+        .select(F.expr(entropy_term_micro_sql("n", "n_total")).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("hcl"))
+    )
+    s = (
+        tot.crossJoin(F.broadcast(n_labels))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hcl))
+        .where(F.col("n") > 0)
+    )
+    return s.select(
+        F.col("n").alias("n_vectors"),
+        "k_clusters",
+        "n_labels",
+        F.expr(
+            "round(CAST(floor(CAST(maj_sum AS DOUBLE) / n"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("purity"),
+        F.expr(
+            "round(greatest(hc + hl - hcl, 0) / 1000000e0, 6)"
+        ).alias("mutual_info_bits"),
+        F.expr(
+            "CASE WHEN hc + hl > 0 THEN"
+            " round(CAST(floor(2e0 * greatest(hc + hl - hcl, 0)"
+            " / (hc + hl) * 1000000e0 + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6) END"
+        ).alias("nmi"),
+    )
 
 
 # --- cosine range search (round 14) ----------------------------------------

@@ -486,3 +486,69 @@ def test_rbo_recompute_and_bounds(spark, sf_dir):
     # identical lists would score sum over m of S[rank] = full mass
     full = sum(_RBO_SUFFIX_PICO[m] for m in range(1, _RBO_K + 1))
     assert row.rbo_at_k <= round(full / 1e12, 6) + 1e-9
+
+
+def test_cluster_purity_recompute_and_bounds(spark, sf_dir):
+    """Driver-side recompute of purity and NMI from the kmeans
+    assignment with identical entropy quantization, plus the
+    0 <= purity, NMI <= 1 bounds and contingency consistency with
+    the kmeans cluster sizes."""
+    import math
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _kmeans_argmin_expr,
+        _kmeans_fit,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    q, _c0, cents1, _upd = _kmeans_fit(spark, sf_dir)
+    assign = {
+        r.vec_id: r.cid
+        for r in q.select(
+            "vec_id", F.expr(_kmeans_argmin_expr(cents1) + ".c").alias("cid")
+        ).collect()
+    }
+    labels = {
+        r.vec_id: int(r.label)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    ct: Counter = Counter((assign[v], labels[v]) for v in assign)
+    n = sum(ct.values())
+    rowm: Counter = Counter()
+    colm: Counter = Counter()
+    maj: dict = {}
+    for (c, l), v in ct.items():
+        rowm[c] += v
+        colm[l] += v
+        maj[c] = max(maj.get(c, 0), v)
+
+    def term(x):
+        p = x / n
+        lg = math.floor(math.log2(p) * 1e6 + 0.5) / 1e6
+        return math.floor(-p * lg * 1e6 + 0.5)
+
+    hc = sum(term(v) for v in rowm.values())
+    hl = sum(term(v) for v in colm.values())
+    hcl = sum(term(v) for v in ct.values())
+    mi = max(hc + hl - hcl, 0)
+    row = QUERIES["embedding_cluster_purity"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_vectors, row.k_clusters, row.n_labels) == (
+        n, len(rowm), len(colm),
+    )
+    pur = math.floor(sum(maj.values()) / n * 1e6 + 0.5)
+    assert abs(row.purity - round(pur / 1e6, 6)) < 1e-9
+    assert abs(row.mutual_info_bits - round(mi / 1e6, 6)) < 1e-9
+    nmi = math.floor(2.0 * mi / (hc + hl) * 1e6 + 0.5)
+    assert abs(row.nmi - round(nmi / 1e6, 6)) < 1e-9
+    assert 0.0 <= row.purity <= 1.0 and 0.0 <= row.nmi <= 1.000005
+    # contingency row sums == the kmeans query's cluster sizes
+    km = {
+        r.cluster_id: r.n_members
+        for r in QUERIES["embedding_kmeans_lloyd"].fn(spark, sf_dir).collect()
+    }
+    assert dict(rowm) == km

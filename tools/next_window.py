@@ -87,6 +87,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_volume_changepoint",
     "embedding_effective_dim",
     "retrieval_rbo_overlap",
+    "embedding_cluster_purity",
 )
 
 

@@ -286,6 +286,7 @@ EXTRA = [
     "events_volume_changepoint",
     "embedding_effective_dim",
     "retrieval_rbo_overlap",
+    "embedding_cluster_purity",
 ]
 
 
