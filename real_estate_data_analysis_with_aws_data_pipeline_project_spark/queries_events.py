@@ -3461,10 +3461,9 @@ def events_time_to_convert(spark, sf_dir):
 # entropy_term_micro_sql moved to functions/scalar.py (r15: the
 # cluster-purity query in queries_similarity needs it, and
 # queries_similarity imports BEFORE queries_events in api.py — a
-# cross-query-module import would reorder registration). Re-exported
-# here for the historical import sites (queries_text2/window2) — the
-# rank-prefix back-compat precedent.
-from .functions.scalar import entropy_term_micro_sql  # noqa: E402,F401
+# cross-query-module import would reorder registration). This module
+# keeps using it below via the same canonical import.
+from .functions.scalar import entropy_term_micro_sql  # noqa: E402
 
 
 _TYPE_ENTROPY_ORACLE = f"""

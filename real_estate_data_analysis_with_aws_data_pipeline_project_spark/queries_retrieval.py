@@ -1703,7 +1703,7 @@ _RBO_K = _TAU_K
 # S[m] = Σ_{d=m..k} floor((1−p)·p^(d−1)/d · 1e12 + 0.5) — suffix sums
 # of the pico-quantized per-depth weights, m = 1..k.
 _RBO_C_PICO = [
-    int(__import__("math").floor(
+    int(math.floor(
         (1.0 - _RBO_P) * _RBO_P ** (d - 1) / d * 1e12 + 0.5))
     for d in range(1, _RBO_K + 1)
 ]
@@ -1758,12 +1758,13 @@ _RBO_ORACLE = f"""
         FROM common
     )
     SELECT CAST({_RBO_K} AS BIGINT) AS depth_k,
-           round({_RBO_P}, 2) AS persistence_p,
+           {_RBO_P}e0 AS persistence_p,
            n_common,
            round(CAST(floor(CAST(n_common AS DOUBLE) / {_RBO_K}
                             * 1000000e0 + 0.5e0) AS BIGINT)
                  / 1000000e0, 6) AS overlap_at_k,
-           round(rbo_pico / 1000000000000e0, 6) AS rbo_at_k
+           round(CAST(floor(rbo_pico / 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS rbo_at_k
     FROM s
 """
 
@@ -1820,13 +1821,16 @@ def retrieval_rbo_overlap(spark, sf_dir):
     )
     return s.select(
         F.lit(_RBO_K).cast("bigint").alias("depth_k"),
-        F.expr(f"round({_RBO_P}, 2)").alias("persistence_p"),
+        F.lit(float(_RBO_P)).alias("persistence_p"),
         "n_common",
         F.expr(
             f"round(CAST(floor(CAST(n_common AS DOUBLE) / {_RBO_K}"
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
         ).alias("overlap_at_k"),
-        F.expr("round(rbo_pico / 1000000000000e0, 6)").alias("rbo_at_k"),
+        F.expr(
+            "round(CAST(floor(rbo_pico / 1000000e0 + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6)"
+        ).alias("rbo_at_k"),
     )
 
 

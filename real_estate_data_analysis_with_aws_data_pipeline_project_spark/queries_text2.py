@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from .operators import text as X
 from .queries_dedup import SHINGLES_SQL, cached_shingles
-from .queries_events import entropy_term_micro_sql
+from .functions.scalar import entropy_term_micro_sql
 from .registry import register
 from .sources.catalog import load_table
 

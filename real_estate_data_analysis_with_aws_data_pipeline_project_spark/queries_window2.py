@@ -9,7 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .functions.scalar import hex_chunk_int_sql
-from .queries_events import entropy_term_micro_sql
+from .functions.scalar import entropy_term_micro_sql
 from .registry import register
 from .sources.catalog import load_table
 

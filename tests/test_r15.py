@@ -463,17 +463,33 @@ def test_rbo_recompute_and_bounds(spark, sf_dir):
     the same suffix-sum pico literals, plus 0 <= RBO <= 1 and the
     identical-list upper bound (RBO = S[1]·k-ish only when all ranks
     agree)."""
+    import math
+
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
         _RBO_K,
         _RBO_SUFFIX_PICO,
-        retrieval_query_likelihood,
+        _dual_scored,
+        _tf_projection,
     )
-    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
-        retrieval_bm25_topk,
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
     )
 
-    bm = [r.doc_id for r in retrieval_bm25_topk(spark, sf_dir).collect()]
-    ql = [r.doc_id for r in retrieval_query_likelihood(spark, sf_dir).collect()]
+    # the SAME unfiltered (score desc, doc_id) top-k lists the query's
+    # bmtop/qltop subplans take — retrieval_bm25_topk filters bm25 > 0
+    # and would diverge on a corpus with < k positive-scoring docs
+    # (r15 second review)
+    scored = _dual_scored(
+        _tf_projection(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    bm = [
+        r.doc_id
+        for r in sorted(scored, key=lambda r: (-r.bm25, r.doc_id))[:_RBO_K]
+    ]
+    ql = [
+        r.doc_id
+        for r in sorted(scored, key=lambda r: (-r.qlm, r.doc_id))[:_RBO_K]
+    ]
     assert len(bm) == len(ql) == _RBO_K
     ra = {d: i + 1 for i, d in enumerate(bm)}
     rb = {d: i + 1 for i, d in enumerate(ql)}
@@ -481,11 +497,15 @@ def test_rbo_recompute_and_bounds(spark, sf_dir):
     pico = sum(_RBO_SUFFIX_PICO[max(ra[d], rb[d])] for d in common)
     row = QUERIES["retrieval_rbo_overlap"].fn(spark, sf_dir).collect()[0]
     assert row.n_common == len(common)
-    assert abs(row.rbo_at_k - round(pico / 1e12, 6)) < 1e-9
+    # the query's own quantization (floor(pico/1e6 + 0.5) micro grid),
+    # NOT Python round() — banker's rounding is a third rounding rule
+    # (r15 second review)
+    expect = round(math.floor(pico / 1e6 + 0.5) / 1e6, 6)
+    assert abs(row.rbo_at_k - expect) < 1e-9
     assert 0.0 <= row.rbo_at_k <= 1.0
     # identical lists would score sum over m of S[rank] = full mass
     full = sum(_RBO_SUFFIX_PICO[m] for m in range(1, _RBO_K + 1))
-    assert row.rbo_at_k <= round(full / 1e12, 6) + 1e-9
+    assert row.rbo_at_k <= math.floor(full / 1e6 + 0.5) / 1e6 + 1e-9
 
 
 def test_cluster_purity_recompute_and_bounds(spark, sf_dir):
