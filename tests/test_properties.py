@@ -636,3 +636,95 @@ def test_hex_chunk_int_sql_matches_python_int(value, width):
         assert got == int(hx[:width], 16)
     con.close()
 
+
+
+# --- r15 pure-Python kernel properties --------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(min_size=1, max_size=2000))
+def test_mp4_container_roundtrip_property(raw):
+    """For ANY 1..65535-byte payload, the r15 container layout (ftyp +
+    moov + dual mdat, 57 + n bytes) demuxes back to the exact RAW0
+    stream and rawvideo-decodes back to the original bytes."""
+    import struct
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.multimodal import (
+        _decode_mp4_rawvideo,
+        _demux_mp4,
+    )
+
+    n = len(raw)
+    stream = b"RAW0" + struct.pack(">HHB", n, 1, 1) + raw
+    half = 9 + n // 2
+    payload = (
+        struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+        + struct.pack(">I", 16) + b"moov" + struct.pack(">II", n, 1)
+        + struct.pack(">I", 8 + half) + b"mdat" + stream[:half]
+        + struct.pack(">I", 8 + len(stream) - half) + b"mdat" + stream[half:]
+    )
+    assert len(payload) == 57 + n
+    assert _demux_mp4(payload).tobytes() == stream
+    assert _decode_mp4_rawvideo(payload).tobytes() == raw
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=1, max_value=20),
+        ),
+        min_size=0,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_rbo_suffix_weights_properties(pairs):
+    """RBO invariants on the precomputed suffix-sum literals: S is
+    strictly decreasing in m, every score lands in [0, Σ_d w_d], and
+    moving ANY common doc's max-rank deeper never increases RBO."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _RBO_K,
+        _RBO_SUFFIX_PICO,
+    )
+
+    for m in range(1, _RBO_K):
+        assert _RBO_SUFFIX_PICO[m] > _RBO_SUFFIX_PICO[m + 1]
+    full = _RBO_SUFFIX_PICO[1]
+    score = sum(_RBO_SUFFIX_PICO[max(a, b)] for a, b in pairs)
+    assert 0 <= score <= len(pairs) * full
+    # monotonicity: deepening one doc's max rank cannot raise the score
+    if pairs:
+        a, b = pairs[0]
+        m = max(a, b)
+        if m < _RBO_K:
+            deeper = (
+                score
+                - _RBO_SUFFIX_PICO[m]
+                + _RBO_SUFFIX_PICO[m + 1]
+            )
+            assert deeper <= score
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=60)
+)
+def test_changepoint_integer_argmax_property(counts):
+    """The exact-integer CUSUM ordering key |n·S_k − k·T| identifies
+    the same argmax as the float statistic |S_k − k·T/n| (scale
+    invariance of the argmax under multiplication by n > 0)."""
+    n, tot = len(counts), sum(counts)
+    s = 0
+    best_int, best_float = None, None
+    for k, c in enumerate(counts[:-1], start=1):
+        s += c
+        ci = abs(n * s - k * tot)
+        cf = abs(s - k * tot / n)
+        if best_int is None or ci > best_int[0]:
+            best_int = (ci, k)
+        if best_float is None or cf > best_float[0] + 1e-9:
+            best_float = (cf, k)
+    # ties resolve to the earliest k in both formulations
+    assert best_int[1] == best_float[1]
