@@ -448,6 +448,45 @@ ROTATIONS: dict[int, list[str]] = {
         "udf_rowwise_safe_int",
         "udtf_token_windows",
     ],
+    # Round 16 seats the full 10-query never-green front (the r15
+    # post-pin batch: effective-dim, cluster purity, volume
+    # changepoint, MP4 demux audit, basket rules, Gopher repetition,
+    # Good-Turing unseen mass, source JSD drift, local clustering,
+    # RBO overlap — VERDICT r15 #1) and fills the 20 free slots with
+    # refresh picks — STALEST-green first: the remaining r02/r03-green
+    # cohort that has not held a driver slot since.
+    16: [
+        "embedding_effective_dim",
+        "embedding_cluster_purity",
+        "events_volume_changepoint",
+        "multimodal_mp4_audit",
+        "basket_brand_rules",
+        "text_gopher_repetition",
+        "text_good_turing_unseen",
+        "quality_source_jsd",
+        "graph_local_clustering",
+        "retrieval_rbo_overlap",
+        "udf_cogroup_spend_ratio",
+        "source_json_roundtrip",
+        "rest_census_ingest",
+        "dq_expectation_suite",
+        "cdc_snapshot_diff",
+        "skew_salted_agg",
+        "json_extract_props",
+        "scd2_merge_emulation",
+        "corpus_split_train_val_test",
+        "corpus_pack_token_shards",
+        "corpus_decontamination",
+        "corpus_chunk_documents",
+        "corpus_mixing_sample",
+        "sketch_count_min_tokens",
+        "sketch_misra_gries_heavy_hitters",
+        "pii_detect_redact",
+        "f_higher_order_arrays",
+        "sql_recursive_cte_date_spine",
+        "dedup_simhash_pairs",
+        "similarity_knn_graph",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -570,6 +609,31 @@ REFRESH_OK: dict[int, set[str]] = {
         "events_funnel_analysis",
         "udf_rowwise_safe_int",
         "udtf_token_windows",
+    },
+    # Round 16 continues the STALEST-green-first refresh posture —
+    # these 20 re-verification picks all landed green in rounds 2–3
+    # and have not held a driver slot since.
+    16: {
+        "udf_cogroup_spend_ratio",
+        "source_json_roundtrip",
+        "rest_census_ingest",
+        "dq_expectation_suite",
+        "cdc_snapshot_diff",
+        "skew_salted_agg",
+        "json_extract_props",
+        "scd2_merge_emulation",
+        "corpus_split_train_val_test",
+        "corpus_pack_token_shards",
+        "corpus_decontamination",
+        "corpus_chunk_documents",
+        "corpus_mixing_sample",
+        "sketch_count_min_tokens",
+        "sketch_misra_gries_heavy_hitters",
+        "pii_detect_redact",
+        "f_higher_order_arrays",
+        "sql_recursive_cte_date_spine",
+        "dedup_simhash_pairs",
+        "similarity_knn_graph",
     },
 }
 

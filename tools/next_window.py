@@ -74,21 +74,10 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r15 pin (the 15 r14 post-pin additions now lead the r15
-# rotation's never-green front); append every r15 post-pin registration
+# Reset at the r16 pin (the 10 r15 post-pin additions now lead the r16
+# rotation's never-green front); append every r16 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "multimodal_mp4_audit",
-    "text_gopher_repetition",
-    "text_good_turing_unseen",
-    "quality_source_jsd",
-    "graph_local_clustering",
-    "basket_brand_rules",
-    "events_volume_changepoint",
-    "embedding_effective_dim",
-    "retrieval_rbo_overlap",
-    "embedding_cluster_purity",
-)
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
