@@ -118,6 +118,12 @@ BASELINE_SEC = {
     "events_qini_uplift_deciles": 1.151,
     "agg_lorenz_deciles": 1.083,
     "similarity_range_search": 1.24,
+    # r16 headline promotions (VERDICT r15 #2): landing baselines from
+    # two calm-host full-suite runs (min of the two min-of-3 reads,
+    # calibrations 1.01/0.98; BASELINE.md "Round-16 notes").
+    "embedding_effective_dim": 0.451,
+    "basket_brand_rules": 1.407,
+    "text_gopher_repetition": 0.948,
 }
 REGRESSION_FACTOR = 2.0
 # wall-clock noise floor: a 0.2s query that doubles is scheduler jitter,

@@ -2047,7 +2047,7 @@ _BASKET_RULES_ORACLE = f"""
 """
 
 
-@register("basket_brand_rules", _BASKET_RULES_ORACLE)
+@register("basket_brand_rules", _BASKET_RULES_ORACLE, headline=True)
 def basket_brand_rules(spark, sf_dir):
     """Top-20 brand→brand association rules by lift over order
     baskets, with exact integer supports, micro-quantized

@@ -2237,7 +2237,7 @@ _EFFDIM_ORACLE = f"""
 """
 
 
-@register("embedding_effective_dim", _EFFDIM_ORACLE)
+@register("embedding_effective_dim", _EFFDIM_ORACLE, headline=True)
 def embedding_effective_dim(spark, sf_dir):
     """Participation-ratio effective dimensionality of the embedding
     covariance — (Σλ)²/Σλ² via the trace identities, no

@@ -1068,7 +1068,7 @@ _GOPHER_REP_ORACLE = f"""
 """
 
 
-@register("text_gopher_repetition", _GOPHER_REP_ORACLE)
+@register("text_gopher_repetition", _GOPHER_REP_ORACLE, headline=True)
 def text_gopher_repetition(spark, sf_dir):
     """Per-document Gopher-style repetition signals and gate flag:
     duplicate-token mass and top-bigram share, micro-quantized from
