@@ -8368,3 +8368,288 @@ def events_volume_changepoint(spark, sf_dir):
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("shift_flag_95_unadjusted"),
     )
+
+
+# --- binary-segmentation multi-changepoint (round 16) -------------------------
+#
+# The multi-changepoint extension of events_volume_changepoint
+# (VERDICT r15 #6): depth-2 binary segmentation (Scott & Knott / the
+# greedy PELT relative) on the same daily-volume relation. Stage 1
+# finds the global CUSUM argmax k1 (identical to the single-split
+# query); stage 2 re-runs the SAME integer-argmax kernel inside each
+# resulting segment ([1..k1] and (k1..n]) with segment-local prefix
+# sums, totals, and lengths. Up to three rows come back (root, left,
+# right — a child row exists iff its segment has >= 2 days, which the
+# candidate filter k_local in [1, seg_n−1] enforces for free), each
+# with its segment-local means, CUSUM max, and Brownian-bridge
+# statistic against the same 95 % Kolmogorov literal (flagged
+# _unadjusted: greedy recursive selection multiplies looks — the
+# honest-flag rule). Determinism: every argmax runs on an exact
+# BIGINT score — root |n·S_k − k·T|, left |k1·S_k − k·S_k1|, right
+# |(n−k1)·(S_k−S_k1) − (k−k1)·(T−S_k1)| — tie-broken earliest day;
+# segment variances come from exact prefix sums of c and c² with the
+# n·Σc² > (Σc)² integer zero-variance guard; every reported double is
+# a micro-quantized ratio through ±, ×, ÷, √ only. Score magnitudes
+# are day_count × event_total products — int64-exact to ~4e15, then
+# DECIMAL(38) per the ANOVA bound convention.
+
+_BINSEG_SEGMENT_SQL = """
+        SELECT c.side, c.day, c.kk AS days_before, c.seg_n AS seg_days,
+               c.seg_tot, c.seg_sq, c.ss, c.cnum
+        FROM (
+            SELECT CASE WHEN pre.k < r.k1 THEN 'left' ELSE 'right' END AS side,
+                   pre.day,
+                   CASE WHEN pre.k < r.k1 THEN pre.k
+                        ELSE pre.k - r.k1 END AS kk,
+                   CASE WHEN pre.k < r.k1 THEN r.k1
+                        ELSE r.n - r.k1 END AS seg_n,
+                   CASE WHEN pre.k < r.k1 THEN r.s1
+                        ELSE r.tot - r.s1 END AS seg_tot,
+                   CASE WHEN pre.k < r.k1 THEN r.q1
+                        ELSE r.sq - r.q1 END AS seg_sq,
+                   CASE WHEN pre.k < r.k1 THEN pre.s
+                        ELSE pre.s - r.s1 END AS ss,
+                   CAST(abs(
+                       CASE WHEN pre.k < r.k1
+                            THEN r.k1 * pre.s - pre.k * r.s1
+                            ELSE (r.n - r.k1) * (pre.s - r.s1)
+                                 - (pre.k - r.k1) * (r.tot - r.s1)
+                       END) AS BIGINT) AS cnum
+            FROM pre CROSS JOIN root r
+            WHERE pre.k <> r.k1 AND pre.k < r.n
+        ) c
+"""
+
+# one report-row spelling shared by all three segments: mean before /
+# after the local split, local CUSUM max, Brownian-bridge stat with
+# the exact-integer zero-variance guard (m = segment days, T = segment
+# total, Q = segment sum of squares, k/ss = local split index/prefix)
+_BINSEG_REPORT_SQL = """
+    SELECT role, CAST(role_rank AS BIGINT) AS role_rank,
+           strftime(day, '%Y-%m-%d') AS split_day,
+           seg_days, days_before,
+           round(CAST(floor(CAST(ss AS DOUBLE) / days_before
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_before,
+           round(CAST(floor(CAST(seg_tot - ss AS DOUBLE)
+                            / (seg_days - days_before)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS mean_after,
+           round(CAST(floor(CAST(cnum AS DOUBLE) / seg_days
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS cusum_max,
+           CASE WHEN seg_days * seg_sq > seg_tot * seg_tot THEN
+               round(CAST(floor(CAST(cnum AS DOUBLE) / seg_days
+                        / (sqrt((seg_sq - CAST(seg_tot AS DOUBLE)
+                                          * seg_tot / seg_days)
+                                / (seg_days - 1))
+                           * sqrt(CAST(seg_days AS DOUBLE)))
+                        * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) END AS bb_stat,
+           CAST(CASE WHEN seg_days * seg_sq > seg_tot * seg_tot
+                      AND CAST(floor(CAST(cnum AS DOUBLE) / seg_days
+                        / (sqrt((seg_sq - CAST(seg_tot AS DOUBLE)
+                                          * seg_tot / seg_days)
+                                / (seg_days - 1))
+                           * sqrt(CAST(seg_days AS DOUBLE)))
+                        * 1000000e0 + 0.5e0) AS BIGINT)
+                          > {crit}
+                     THEN 1 ELSE 0 END AS BIGINT)
+               AS shift_flag_95_unadjusted
+    FROM labeled
+    ORDER BY role_rank
+"""
+
+_BINSEG_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS tot,
+               CAST(sum(c * c) AS BIGINT) AS sq
+        FROM daily
+    ),
+    pre AS (
+        SELECT day, c,
+               CAST(sum(c) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s,
+               CAST(sum(c * c) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+        FROM daily
+    ),
+    root AS (
+        SELECT pre.day, pre.k AS k1, pre.s AS s1, pre.q AS q1,
+               g.n, g.tot, g.sq,
+               CAST(abs(g.n * pre.s - pre.k * g.tot) AS BIGINT) AS cnum
+        FROM pre CROSS JOIN g
+        WHERE pre.k < g.n
+        ORDER BY abs(g.n * pre.s - pre.k * g.tot) DESC, pre.day
+        LIMIT 1
+    ),
+    seg AS ({_BINSEG_SEGMENT_SQL}),
+    child AS (
+        SELECT * FROM (
+            SELECT seg.*, row_number() OVER (
+                PARTITION BY side ORDER BY cnum DESC, day) AS rn
+            FROM seg
+        ) WHERE rn = 1
+    ),
+    labeled AS (
+        SELECT 'root' AS role, 1 AS role_rank, day, n AS seg_days,
+               k1 AS days_before, tot AS seg_tot, sq AS seg_sq,
+               s1 AS ss, cnum
+        FROM root
+        UNION ALL
+        SELECT side, CASE side WHEN 'left' THEN 2 ELSE 3 END, day,
+               seg_days, days_before, seg_tot, seg_sq, ss, cnum
+        FROM child
+    )
+    {_BINSEG_REPORT_SQL.format(crit=_CHANGEPOINT_CRIT_MICRO)}
+"""
+
+
+@register("events_volume_binseg", _BINSEG_ORACLE)
+def events_volume_binseg(spark, sf_dir):
+    """Depth-2 binary-segmentation changepoints on daily event volume:
+    the global CUSUM split plus the best split inside each resulting
+    segment, every argmax an exact-integer score and every segment
+    statistic recomputed from segment-local prefix sums (see the
+    section comment for the kernel, guard, and honest-flag
+    contracts).
+
+    Scale: identical to events_volume_changepoint — ONE
+    map-side-combined daily aggregate collapses the corpus to
+    calendar grain; both segmentation stages are windows/argmaxes
+    over that bounded days-scale relation (the per-side row_number
+    window partitions a <= n-days input — metadata-scale, never a
+    fact-scale window)."""
+    daily = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day")
+    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    g = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "day",
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("q"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("k"),
+    )
+    root = (
+        pre.crossJoin(F.broadcast(g))
+        .where(F.col("k") < F.col("n"))
+        .withColumn("cnum", F.expr("CAST(abs(n * s - k * tot) AS BIGINT)"))
+        .orderBy(F.desc("cnum"), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("root_day"),
+            F.col("k").alias("k1"),
+            F.col("s").alias("s1"),
+            F.col("q").alias("q1"),
+            "n", "tot", "sq", "cnum",
+        )
+    )
+    seg = (
+        pre.crossJoin(F.broadcast(root.drop("root_day", "cnum")))
+        .where((F.col("k") != F.col("k1")) & (F.col("k") < F.col("n")))
+        .select(
+            F.expr(
+                "CASE WHEN k < k1 THEN 'left' ELSE 'right' END"
+            ).alias("side"),
+            "day",
+            F.expr("CASE WHEN k < k1 THEN k ELSE k - k1 END").alias(
+                "days_before"
+            ),
+            F.expr("CASE WHEN k < k1 THEN k1 ELSE n - k1 END").alias(
+                "seg_days"
+            ),
+            F.expr("CASE WHEN k < k1 THEN s1 ELSE tot - s1 END").alias(
+                "seg_tot"
+            ),
+            F.expr("CASE WHEN k < k1 THEN q1 ELSE sq - q1 END").alias(
+                "seg_sq"
+            ),
+            F.expr("CASE WHEN k < k1 THEN s ELSE s - s1 END").alias("ss"),
+            F.expr(
+                "CAST(abs(CASE WHEN k < k1 THEN k1 * s - k * s1"
+                " ELSE (n - k1) * (s - s1) - (k - k1) * (tot - s1)"
+                " END) AS BIGINT)"
+            ).alias("cnum"),
+        )
+    )
+    wside = Window.partitionBy("side").orderBy(F.desc("cnum"), "day")
+    child = seg.withColumn("rn", F.row_number().over(wside)).where(
+        F.col("rn") == 1
+    )
+    labeled = (
+        root.select(
+            F.lit("root").alias("role"),
+            F.lit(1).alias("role_rank"),
+            F.col("root_day").alias("day"),
+            F.col("n").alias("seg_days"),
+            F.col("k1").alias("days_before"),
+            F.col("tot").alias("seg_tot"),
+            F.col("sq").alias("seg_sq"),
+            F.col("s1").alias("ss"),
+            "cnum",
+        )
+        .unionAll(
+            child.select(
+                F.col("side").alias("role"),
+                F.expr(
+                    "CASE side WHEN 'left' THEN 2 ELSE 3 END"
+                ).alias("role_rank"),
+                "day",
+                "seg_days",
+                "days_before",
+                "seg_tot",
+                "seg_sq",
+                "ss",
+                "cnum",
+            )
+        )
+    )
+    bb = (
+        "CAST(floor(CAST(cnum AS DOUBLE) / seg_days"
+        " / (sqrt((seg_sq - CAST(seg_tot AS DOUBLE) * seg_tot / seg_days)"
+        " / (seg_days - 1)) * sqrt(CAST(seg_days AS DOUBLE)))"
+        " * 1000000e0 + 0.5e0) AS BIGINT)"
+    )
+    return (
+        labeled.select(
+            "role",
+            F.col("role_rank").cast("bigint").alias("role_rank"),
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            "seg_days",
+            "days_before",
+            F.expr(
+                "round(CAST(floor(CAST(ss AS DOUBLE) / days_before"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("mean_before"),
+            F.expr(
+                "round(CAST(floor(CAST(seg_tot - ss AS DOUBLE)"
+                " / (seg_days - days_before)"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("mean_after"),
+            F.expr(
+                "round(CAST(floor(CAST(cnum AS DOUBLE) / seg_days"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("cusum_max"),
+            F.expr(
+                f"CASE WHEN seg_days * seg_sq > seg_tot * seg_tot THEN"
+                f" round({bb} / 1000000e0, 6) END"
+            ).alias("bb_stat"),
+            F.expr(
+                f"CAST(CASE WHEN seg_days * seg_sq > seg_tot * seg_tot AND"
+                f" {bb} > {_CHANGEPOINT_CRIT_MICRO}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("shift_flag_95_unadjusted"),
+        )
+        .orderBy("role_rank")
+    )

@@ -2157,3 +2157,231 @@ def basket_brand_rules(spark, sf_dir):
             F.expr("round(lift_micro / 1000000e0, 6)").alias("lift"),
         )
     )
+
+
+# --- 3-itemset association rules (round 16) ---------------------------------
+#
+# The FP-growth-style one-level extension of basket_brand_rules
+# (VERDICT r15 #6): rules {a,b} → c over the same order/brand baskets,
+# exact. Each surviving rule reports
+#   support_triple (baskets containing all three, exact BIGINT),
+#   confidence     = supp(a,b,c) / supp(a,b)            (micro-quantized),
+#   lift           = supp(a,b,c)·N / (supp(a,b)·supp(c)) (micro-quantized)
+# with a 0.2 % minimum triple support applied as the INTEGER
+# comparison 500·supp(a,b,c) >= N (the pair query's 1 % gate would be
+# empty at the triple grain — measured: max triple support is ~0.4 %
+# of baskets at sf0.1). All three rotations of each unordered triple
+# are emitted (confidence is asymmetric in the antecedent PAIR; the
+# two antecedent brands are reported sorted, a1 < a2, which the
+# b1<b2<b3 triple orientation gives for free). Top-20 orders on the
+# BIGINT lift micro key, tie-broken (antecedent_1, antecedent_2,
+# consequent). The triple expansion is map-side over each basket's
+# sorted distinct-brand array (≤ C(basket, 3) per order — baskets are
+# small by construction, so the cubic step never leaves the row); the
+# oracle spells the same multiset as a three-way self-join on the
+# distinct (order, brand) relation — formulations differ, the hash
+# proves the triple multiset agrees (the pair query's precedent one
+# grain up). supp·N ≤ N² — int64-exact to ~3e9 baskets, then
+# DECIMAL(38) per the ANOVA bound convention.
+
+_BASKET3_MIN_SUPPORT_DEN = 500  # 500·sp >= N  <=>  support >= 0.2 %
+
+_BASKET_RULES3_ORACLE = f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM ob),
+    supp AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS s FROM ob GROUP BY 1
+    ),
+    pairs AS (
+        SELECT a.brand AS b1, b.brand AS b2,
+               CAST(count(*) AS BIGINT) AS sp
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    ),
+    triples AS (
+        SELECT a.brand AS b1, b.brand AS b2, c.brand AS b3,
+               CAST(count(*) AS BIGINT) AS st
+        FROM ob a
+        JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        JOIN ob c ON b.okey = c.okey AND b.brand < c.brand
+        GROUP BY 1, 2, 3
+    ),
+    rules AS (
+        SELECT b1 AS a1, b2 AS a2, b3 AS cons, st FROM triples
+        UNION ALL
+        SELECT b1, b3, b2, st FROM triples
+        UNION ALL
+        SELECT b2, b3, b1, st FROM triples
+    ),
+    scored AS (
+        SELECT r.a1 AS antecedent_1, r.a2 AS antecedent_2,
+               r.cons AS consequent, r.st AS support_triple,
+               p.sp AS support_ante, sc.s AS support_cons, nb.n AS n_baskets,
+               CAST(floor(CAST(r.st AS DOUBLE) / p.sp
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS conf_micro,
+               CAST(floor(CAST(r.st AS DOUBLE) * nb.n
+                          / (CAST(p.sp AS DOUBLE) * sc.s)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS lift_micro
+        FROM rules r
+        JOIN pairs p ON p.b1 = r.a1 AND p.b2 = r.a2
+        JOIN supp sc ON sc.brand = r.cons
+        CROSS JOIN nb
+        WHERE {_BASKET3_MIN_SUPPORT_DEN} * r.st >= nb.n
+    )
+    SELECT antecedent_1, antecedent_2, consequent, support_triple,
+           support_ante, support_cons, n_baskets,
+           round(conf_micro / 1000000e0, 6) AS confidence,
+           round(lift_micro / 1000000e0, 6) AS lift
+    FROM scored
+    ORDER BY lift_micro DESC, antecedent_1, antecedent_2, consequent
+    LIMIT {_BASKET_TOP}
+"""
+
+
+@register("basket_brand_rules3", _BASKET_RULES3_ORACLE)
+def basket_brand_rules3(spark, sf_dir):
+    """Top-20 {brand,brand}→brand association rules by lift over order
+    baskets — the 3-itemset extension of basket_brand_rules, with
+    exact integer supports, micro-quantized confidence/lift, and the
+    0.2 % min-support gate as an integer comparison (see the section
+    comment for the grain and determinism contracts).
+
+    Scale: the cubic step runs ONLY within one order's sorted
+    distinct-brand array (map-side nested transform expansion,
+    ≤ C(basket,3) per order — the pair query's pattern one grain up);
+    triple supports group on a brand³-bounded key space (≤ C(25,3)
+    = 2300 cells at this dimension — dimension-scale, like the pair
+    relation), so the pair-support and consequent-support joins both
+    broadcast; top-20 is TakeOrderedAndProject on the exact BIGINT
+    lift key."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
+        .select(
+            F.col("l_orderkey").alias("okey"),
+            F.col("p_brand").alias("brand"),
+        )
+        .distinct()
+    )
+    nb = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
+    supp = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("s"))
+    baskets = ob.groupBy("okey").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)),"
+                    " y -> struct(x AS b1, y AS b2))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.b1").alias("b1"), F.col("pr.b2").alias("b2"))
+        .agg(F.count("*").cast("bigint").alias("sp"))
+    )
+    # x at 0-based index i, y at 0-based index j WITHIN x's tail slice
+    # (global index i+1+j), z from the tail after y (1-based start
+    # i+j+3) — each sorted triple emitted exactly once per basket.
+    triples = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(flatten(transform(bs, (x, i) ->"
+                    " transform(slice(bs, i + 2, size(bs)), (y, j) ->"
+                    " transform(slice(bs, i + j + 3, size(bs)),"
+                    " z -> struct(x AS b1, y AS b2, z AS b3))))))"
+                )
+            ).alias("tr")
+        )
+        .groupBy(
+            F.col("tr.b1").alias("b1"),
+            F.col("tr.b2").alias("b2"),
+            F.col("tr.b3").alias("b3"),
+        )
+        .agg(F.count("*").cast("bigint").alias("st"))
+    )
+    rules = (
+        triples.select(
+            F.col("b1").alias("a1"), F.col("b2").alias("a2"),
+            F.col("b3").alias("cons"), "st",
+        )
+        .unionAll(
+            triples.select(
+                F.col("b1").alias("a1"), F.col("b3").alias("a2"),
+                F.col("b2").alias("cons"), "st",
+            )
+        )
+        .unionAll(
+            triples.select(
+                F.col("b2").alias("a1"), F.col("b3").alias("a2"),
+                F.col("b1").alias("cons"), "st",
+            )
+        )
+    )
+    scored = (
+        rules.join(
+            F.broadcast(
+                pairs.select(
+                    F.col("b1").alias("a1"),
+                    F.col("b2").alias("a2"),
+                    F.col("sp").alias("support_ante"),
+                )
+            ),
+            ["a1", "a2"],
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("brand").alias("cons"),
+                    F.col("s").alias("support_cons"),
+                )
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nb))
+        .where(F.expr(f"{_BASKET3_MIN_SUPPORT_DEN} * st >= n"))
+        .select(
+            F.col("a1").alias("antecedent_1"),
+            F.col("a2").alias("antecedent_2"),
+            F.col("cons").alias("consequent"),
+            F.col("st").alias("support_triple"),
+            "support_ante",
+            "support_cons",
+            F.col("n").alias("n_baskets"),
+            F.expr(
+                "CAST(floor(CAST(st AS DOUBLE) / support_ante"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("conf_micro"),
+            F.expr(
+                "CAST(floor(CAST(st AS DOUBLE) * n"
+                " / (CAST(support_ante AS DOUBLE) * support_cons)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("lift_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift_micro"),
+            "antecedent_1",
+            "antecedent_2",
+            "consequent",
+        )
+        .limit(_BASKET_TOP)
+        .select(
+            "antecedent_1",
+            "antecedent_2",
+            "consequent",
+            "support_triple",
+            "support_ante",
+            "support_cons",
+            "n_baskets",
+            F.expr("round(conf_micro / 1000000e0, 6)").alias("confidence"),
+            F.expr("round(lift_micro / 1000000e0, 6)").alias("lift"),
+        )
+    )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from .operators import similarity as S
 from .operators.session_cache import session_cached
 from .operators import text as X
+from .queries_dedup import SHINGLES_SQL, cached_shingles
 from .registry import register
 from .sources.catalog import load_table
 
@@ -2764,4 +2765,201 @@ def graph_degree_distribution(spark, sf_dir):
             F.expr("CAST(shiftleft(1L, log2_bucket) AS BIGINT)")
             > F.lit(_COSUPP_DEG_CAP)
         ).alias("above_cosupp_cap"),
+    )
+
+
+# --- retrieval contamination-overlap evaluator (round 16) --------------------
+#
+# The bridge between the decontamination seam and the retrieval-eval
+# seam (VERDICT r15 #6): for each retriever's top-10 (the same lists
+# the NDCG/RBO evaluators grade), how much of each retrieved TRAIN
+# document's word-3-gram shingle set also occurs in the held-out eval
+# split (doc_id < _EVAL_CUTOFF — corpus_decontamination's index, the
+# other direction: train→eval leakage inflates eval metrics, and the
+# retrieval winners are exactly the docs an eval query surfaces).
+# Retrieved docs that ARE eval docs are counted separately
+# (n_eval_in_topk) and excluded from the rate — their self-overlap is
+# trivially 1. Per-doc rate = |doc shingles ∩ eval index| /
+# |doc shingles| in BIGINT micro-units (both counts exact — shingle
+# arrays are list_distinct per doc); per-retriever mean is the
+# exact-integer ratio floor(Σrate_micro/n + 0.5); the 10 % flag is
+# the integer comparison rate_micro >= 100000.
+
+_CONTAM_K = 10
+_CONTAM_FLAG_MICRO = 100_000  # rate >= 10 %
+
+# THE eval-split cutoff — one definition, owned by the decontamination
+# seam (corpus_decontamination) so the two leak directions can never
+# drift apart.
+from .queries_corpus import _EVAL_CUTOFF as _CONTAM_EVAL_CUTOFF  # noqa: E402
+
+_CONTAM_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    topk AS (
+        SELECT 'bm25' AS retriever, doc_id FROM
+            (SELECT doc_id FROM scored ORDER BY bm25 DESC, doc_id
+             LIMIT {_CONTAM_K})
+        UNION ALL
+        SELECT 'ql', doc_id FROM
+            (SELECT doc_id FROM qlscored ORDER BY qlm DESC, doc_id
+             LIMIT {_CONTAM_K})
+    ),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM documents),
+    eval_idx AS (
+        SELECT DISTINCT unnest(sh) AS shingle FROM s
+        WHERE doc_id < {_CONTAM_EVAL_CUTOFF}
+    ),
+    tr AS (
+        SELECT t.retriever, t.doc_id, CAST(len(s.sh) AS BIGINT) AS n_shingles
+        FROM topk t JOIN s USING (doc_id)
+        WHERE t.doc_id >= {_CONTAM_EVAL_CUTOFF}
+    ),
+    ov AS (
+        SELECT x.retriever, x.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+        FROM (
+            SELECT t.retriever, t.doc_id, unnest(s.sh) AS shingle
+            FROM topk t JOIN s USING (doc_id)
+            WHERE t.doc_id >= {_CONTAM_EVAL_CUTOFF}
+        ) x JOIN eval_idx e ON e.shingle = x.shingle
+        GROUP BY 1, 2
+    ),
+    rate AS (
+        SELECT tr.retriever, tr.doc_id,
+               CASE WHEN tr.n_shingles > 0 THEN
+                   CAST(floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+                              / tr.n_shingles * 1000000e0 + 0.5e0) AS BIGINT)
+               ELSE CAST(0 AS BIGINT) END AS rate_micro
+        FROM tr LEFT JOIN ov
+            ON ov.retriever = tr.retriever AND ov.doc_id = tr.doc_id
+    ),
+    cnt AS (
+        SELECT retriever, CAST(count(*) AS BIGINT) AS n_topk,
+               CAST(sum(CASE WHEN doc_id < {_CONTAM_EVAL_CUTOFF}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_in_topk
+        FROM topk GROUP BY 1
+    )
+    SELECT c.retriever, c.n_topk, c.n_eval_in_topk,
+           CAST(count(r.doc_id) AS BIGINT) AS n_train_docs,
+           CASE WHEN count(r.doc_id) > 0 THEN
+               round(CAST(floor(CAST(sum(r.rate_micro) AS DOUBLE)
+                                / count(r.doc_id) + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS mean_contamination,
+           CASE WHEN count(r.doc_id) > 0 THEN
+               round(max(r.rate_micro) / 1000000e0, 6) END
+               AS max_contamination,
+           CAST(coalesce(sum(CASE WHEN r.rate_micro >= {_CONTAM_FLAG_MICRO}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_flagged_10pct
+    FROM cnt c LEFT JOIN rate r ON r.retriever = c.retriever
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+"""
+
+
+@register("retrieval_contamination_eval", _CONTAM_ORACLE)
+def retrieval_contamination_eval(spark, sf_dir):
+    """Per-retriever contamination report over the BM25 and Dirichlet
+    QL top-10 lists: the fraction of each retrieved train document's
+    shingles that leak from the held-out eval split, aggregated to
+    (mean, max, ≥10 %-flag count) per retriever — the evaluator that
+    tells you whether the retrieval winners an eval query surfaces
+    are winners because of train→eval n-gram leakage (see the section
+    comment for the grain and determinism contracts).
+
+    Scale: the top-10 lists are TakeOrderedAndProject over the
+    session-persisted dual-scored relation (the NDCG/RBO shape); the
+    shingle join runs only over the ≤ 2k retrieved docs' arrays
+    (broadcast the 20-row list side), and the eval index is bounded
+    by the eval split's shingle count (inverted-index semi-overlap,
+    the corpus_decontamination shape restricted to a constant-size
+    probe set — never pairwise, never fact-scale)."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+    topk = (
+        scored.orderBy(F.desc("bm25"), "doc_id")
+        .limit(_CONTAM_K)
+        .select(F.lit("bm25").alias("retriever"), "doc_id")
+        .unionAll(
+            scored.orderBy(F.desc("qlm"), "doc_id")
+            .limit(_CONTAM_K)
+            .select(F.lit("ql").alias("retriever"), "doc_id")
+        )
+    )
+    sh = cached_shingles(spark, sf_dir)
+    eval_idx = (
+        sh.filter(F.col("doc_id") < _CONTAM_EVAL_CUTOFF)
+        .select(F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    retrieved = sh.join(F.broadcast(topk), "doc_id").where(
+        F.col("doc_id") >= _CONTAM_EVAL_CUTOFF
+    )
+    tr = retrieved.select(
+        "retriever", "doc_id", F.size("sh").cast("bigint").alias("n_shingles")
+    )
+    ov = (
+        retrieved.select(
+            "retriever", "doc_id", F.explode("sh").alias("shingle")
+        )
+        .join(eval_idx, "shingle")
+        .groupBy("retriever", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    rate = tr.join(ov, ["retriever", "doc_id"], "left").select(
+        "retriever",
+        "doc_id",
+        F.expr(
+            "CASE WHEN n_shingles > 0 THEN"
+            " CAST(floor(CAST(coalesce(n_overlap, 0) AS DOUBLE)"
+            " / n_shingles * 1000000e0 + 0.5e0) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("rate_micro"),
+    )
+    cnt = topk.groupBy("retriever").agg(
+        F.count("*").cast("bigint").alias("n_topk"),
+        F.sum(
+            F.when(F.col("doc_id") < _CONTAM_EVAL_CUTOFF, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_eval_in_topk"),
+    )
+    return (
+        cnt.join(rate, "retriever", "left")
+        .groupBy("retriever", "n_topk", "n_eval_in_topk")
+        .agg(
+            F.count("doc_id").cast("bigint").alias("n_train_docs"),
+            F.expr(
+                "CASE WHEN count(doc_id) > 0 THEN"
+                " round(CAST(floor(CAST(sum(rate_micro) AS DOUBLE)"
+                " / count(doc_id) + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+            ).alias("mean_contamination"),
+            F.expr(
+                "CASE WHEN count(doc_id) > 0 THEN"
+                " round(max(rate_micro) / 1000000e0, 6) END"
+            ).alias("max_contamination"),
+            F.expr(
+                f"CAST(coalesce(sum(CASE WHEN rate_micro >="
+                f" {_CONTAM_FLAG_MICRO} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+            ).alias("n_flagged_10pct"),
+        )
+        .orderBy("retriever")
     )

@@ -1,0 +1,220 @@
+"""Round-16 operator tests: driver-side recomputes for the 3-itemset
+association rules, the binary-segmentation multi-changepoint, and the
+retrieval contamination evaluator (the VERDICT r15 #6 seam batch).
+Each test recomputes the full kernel from raw collected rows — the
+same double-entry bookkeeping style as tests/test_r15.py — so a bug
+shared by the Spark plan and the DuckDB oracle (same author) still
+gets caught by a third, imperative derivation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import QUERIES
+
+
+def _baskets(spark, sf_dir):
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brand = {r.p_partkey: r.p_brand for r in pt.collect()}
+    baskets: dict = defaultdict(set)
+    for r in li.collect():
+        baskets[r.l_orderkey].add(brand[r.l_partkey])
+    return baskets
+
+
+def test_basket_rules3_recompute(spark, sf_dir):
+    """Recompute triple supports, the 0.2 % integer support gate,
+    confidence vs the antecedent PAIR, lift vs the consequent single,
+    and the lift-ordered top-20."""
+    from collections import Counter
+    from itertools import combinations
+
+    baskets = _baskets(spark, sf_dir)
+    n = len(baskets)
+    supp: Counter = Counter()
+    pair: Counter = Counter()
+    tri: Counter = Counter()
+    for bs in baskets.values():
+        ss = sorted(bs)
+        supp.update(ss)
+        pair.update(combinations(ss, 2))
+        tri.update(combinations(ss, 3))
+    scored = []
+    for (a, b, c), st in tri.items():
+        if 500 * st < n:
+            continue
+        for (a1, a2), cons in (((a, b), c), ((a, c), b), ((b, c), a)):
+            sp = pair[(a1, a2)]
+            conf = math.floor(st / sp * 1e6 + 0.5)
+            lift = math.floor(st * n / (sp * supp[cons]) * 1e6 + 0.5)
+            scored.append((-lift, a1, a2, cons, st, sp, conf))
+    scored.sort()
+    rows = QUERIES["basket_brand_rules3"].fn(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(scored))
+    assert len(rows) > 0  # gate must not silence the query at smoke SF
+    for r, e in zip(rows, scored[:20]):
+        lift, a1, a2, cons, st, sp, conf = -e[0], *e[1:]
+        assert (r.antecedent_1, r.antecedent_2, r.consequent) == (a1, a2, cons)
+        assert r.support_triple == st
+        assert r.support_ante == sp
+        assert r.support_cons == supp[cons]
+        assert r.n_baskets == n
+        assert abs(r.confidence - round(conf / 1e6, 6)) < 1e-9
+        assert abs(r.lift - round(lift / 1e6, 6)) < 1e-9
+
+
+def _binseg_expected(days):
+    """Imperative depth-2 binary segmentation over {day: count}."""
+    ds = sorted(days)
+    cs = [days[d] for d in ds]
+
+    def argmax_segment(lo, hi):  # day indices [lo, hi) — local kernel
+        m = hi - lo
+        tot = sum(cs[lo:hi])
+        sq = sum(v * v for v in cs[lo:hi])
+        best = None
+        s = 0
+        for k in range(1, m):  # local split after k days
+            s += cs[lo + k - 1]
+            cnum = abs(m * s - k * tot)
+            if best is None or cnum > best[0]:
+                best = (cnum, ds[lo + k - 1], k, s)
+        return best, m, tot, sq
+
+    out = {}
+    (cnum, day, k1, s1), n, tot, sq = argmax_segment(0, len(ds))
+    out["root"] = (cnum, day, k1, s1, n, tot, sq)
+    if k1 >= 2:
+        (c2, d2, k2, s2), m, t, q = argmax_segment(0, k1)
+        out["left"] = (c2, d2, k2, s2, m, t, q)
+    if len(ds) - k1 >= 2:
+        (c3, d3, k3, s3), m, t, q = argmax_segment(k1, len(ds))
+        out["right"] = (c3, d3, k3, s3, m, t, q)
+    return out
+
+
+def test_binseg_recompute(spark, sf_dir):
+    """Recompute both segmentation stages: the root argmax must match
+    events_volume_changepoint's, and each child must be the local
+    integer-CUSUM argmax of its own segment with segment-local
+    means/variance/Brownian-bridge statistic."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    days: Counter = Counter()
+    for r in load_table(spark, sf_dir, "events").select("ts").collect():
+        days[r.ts.date()] += 1
+    expect = _binseg_expected(days)
+    rows = {
+        r.role: r
+        for r in QUERIES["events_volume_binseg"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(expect)
+    root = QUERIES["events_volume_changepoint"].fn(spark, sf_dir).collect()[0]
+    assert rows["root"].split_day == root.split_day
+    assert rows["root"].days_before == root.days_before
+    assert abs(rows["root"].cusum_max - root.cusum_max) < 1e-9
+    for role, (cnum, day, k, s, m, tot, sq) in expect.items():
+        r = rows[role]
+        assert r.split_day == day.isoformat()
+        assert (r.seg_days, r.days_before) == (m, k)
+        assert abs(
+            r.mean_before - round(math.floor(s / k * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        assert abs(
+            r.mean_after
+            - round(math.floor((tot - s) / (m - k) * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        assert abs(
+            r.cusum_max - round(math.floor(cnum / m * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        if m * sq > tot * tot:
+            sd = math.sqrt((sq - tot * tot / m) / (m - 1))
+            bb = math.floor(cnum / m / (sd * math.sqrt(m)) * 1e6 + 0.5)
+            assert abs(r.bb_stat - round(bb / 1e6, 6)) < 1e-9
+            assert r.shift_flag_95_unadjusted == int(bb > 1_358_000)
+        else:
+            assert r.bb_stat is None
+            assert r.shift_flag_95_unadjusted == 0
+
+
+def test_contamination_eval_recompute(spark, sf_dir):
+    """Recompute the per-doc shingle-overlap rates for both
+    retrievers' top-10 against the eval-split shingle index, and the
+    per-retriever mean/max/flag aggregation."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _EVAL_CUTOFF,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_dedup import (
+        cached_shingles,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _CONTAM_FLAG_MICRO,
+        _CONTAM_K,
+        _dual_scored,
+        _tf_projection,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    scored = _dual_scored(
+        _tf_projection(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    bmtop = [
+        r.doc_id
+        for r in sorted(scored, key=lambda r: (-r.bm25, r.doc_id))[:_CONTAM_K]
+    ]
+    qltop = [
+        r.doc_id
+        for r in sorted(scored, key=lambda r: (-r.qlm, r.doc_id))[:_CONTAM_K]
+    ]
+    sh = {
+        r.doc_id: list(r.sh)
+        for r in cached_shingles(spark, sf_dir).collect()
+    }
+    eval_idx = set()
+    for d, arr in sh.items():
+        if d < _EVAL_CUTOFF:
+            eval_idx.update(arr)
+    rows = {
+        r.retriever: r
+        for r in QUERIES["retrieval_contamination_eval"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"bm25", "ql"}
+    for name, top in (("bm25", bmtop), ("ql", qltop)):
+        r = rows[name]
+        train = [d for d in top if d >= _EVAL_CUTOFF]
+        rates = []
+        for d in train:
+            arr = sh[d]
+            ov = sum(1 for g in arr if g in eval_idx)
+            rates.append(
+                math.floor(ov / len(arr) * 1e6 + 0.5) if arr else 0
+            )
+        assert r.n_topk == len(top)
+        assert r.n_eval_in_topk == len(top) - len(train)
+        assert r.n_train_docs == len(train)
+        if train:
+            mean = math.floor(sum(rates) / len(rates) + 0.5)
+            assert abs(r.mean_contamination - round(mean / 1e6, 6)) < 1e-9
+            assert abs(r.max_contamination - round(max(rates) / 1e6, 6)) < 1e-9
+            assert r.n_flagged_10pct == sum(
+                1 for x in rates if x >= _CONTAM_FLAG_MICRO
+            )
+        else:
+            assert r.mean_contamination is None
+            assert r.max_contamination is None
+            assert r.n_flagged_10pct == 0

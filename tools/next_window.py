@@ -77,7 +77,11 @@ PRIORITY: tuple[str, ...] = ()
 # Reset at the r16 pin (the 10 r15 post-pin additions now lead the r16
 # rotation's never-green front); append every r16 post-pin registration
 # below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = ()
+POST_PIN_ADDITIONS: tuple[str, ...] = (
+    "basket_brand_rules3",
+    "events_volume_binseg",
+    "retrieval_contamination_eval",
+)
 
 
 def correctness_rounds() -> dict[int, dict]:

@@ -287,6 +287,11 @@ EXTRA = [
     "embedding_effective_dim",
     "retrieval_rbo_overlap",
     "embedding_cluster_purity",
+    # r16 additions (3-itemset rules, depth-2 binary segmentation,
+    # contamination-overlap evaluator)
+    "basket_brand_rules3",
+    "events_volume_binseg",
+    "retrieval_contamination_eval",
 ]
 
 
@@ -383,6 +388,12 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # spec: Catalyst plans both functions in a single Window node over
     # the shared (ORDER BY day) spec.
     "events_volume_changepoint": (1, "calendar-day count relation"),
+    # same calendar-day bound; the prefix-sum subtree (one Window node
+    # carrying sum(c), sum(c²), row_number over the shared ORDER BY
+    # day spec) is planned THREE times — the root-argmax branch, the
+    # segment-candidate branch, and the broadcast copy of root the
+    # segment branch joins against.
+    "events_volume_binseg": (3, "calendar-day count relation ×3"),
 }
 
 # Unpartitioned windows whose input subtree IS truncated by a plan-

@@ -240,6 +240,13 @@ QUERIES_UNDER_TEST = [
     "quality_source_jsd",
     "multimodal_mp4_audit",
     "embedding_effective_dim",
+    # r16: the contamination evaluator is the decontamination
+    # inverted-index semi-overlap restricted to a CONSTANT 20-doc
+    # probe set — the eval index grows with the eval split (fixed
+    # cutoff, so fixed here) and the probe side is top-k-bounded, so
+    # the only corpus-scale work is the dual-scored projection the
+    # NDCG family already measures.
+    "retrieval_contamination_eval",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
