@@ -8653,3 +8653,388 @@ def events_volume_binseg(spark, sf_dir):
         )
         .orderBy("role_rank")
     )
+
+
+# --- day-block jackknife for the ratio metric (round 16) ----------------------
+#
+# The resampling companion to events_ratio_metric_ztest's delta
+# method: the leave-one-DAY-out (block) jackknife of the
+# purchases-per-event ratio R = Σy/Σx — blocks are calendar days, so
+# within-day correlation (sessions, bursts) never biases the variance
+# the way a per-row jackknife would, and the block count m is
+# calendar-bounded. For each day i the replicate is
+# θ_(i) = (Y − y_i)/(X − x_i); the jackknife mean, bias estimate
+# (m−1)(θ̄ − R), standard error √((m−1)/m · Σ(θ_(i) − θ̄)²), and the
+# 95 % CI R ± 1.959964·SE are all derived from TWO exact integer sums
+# of the micro-quantized replicates (S1 = Σt_i, S2 = Σt_i² — each
+# replicate is exact ints through one division, floor-quantized
+# BEFORE the sums, so the reduction is order-proof; the z literal is
+# the micro convention's 1959964). Days with X − x_i = 0 cannot form
+# a replicate and are excluded on both sides; m ≥ 2 contributing days
+# are required, else the jackknife outputs are NULL.
+
+_JACK_Z_MICRO_LIT = "1.959964e0"
+
+_RATIO_JACK_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    g AS (
+        SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(sum(y) AS BIGINT) AS yt
+        FROM daily
+    ),
+    reps AS (
+        SELECT CAST(floor(CAST(g.yt - d.y AS DOUBLE)
+                          / (g.xt - d.x)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS t
+        FROM daily d CROSS JOIN g
+        WHERE g.xt - d.x > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(t) AS BIGINT) AS s1,
+               CAST(sum(t * t) AS BIGINT) AS s2
+        FROM reps
+    )
+    SELECT s.m AS n_days, g.xt AS total_events, g.yt AS total_purchases,
+           CASE WHEN g.xt > 0 THEN
+               round(CAST(floor(CAST(g.yt AS DOUBLE) / g.xt
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS rate,
+           CASE WHEN s.m >= 2 THEN
+               round(CAST(floor(CAST(s.s1 AS DOUBLE) / s.m + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS jack_mean,
+           CASE WHEN s.m >= 2 AND g.xt > 0 THEN
+               round(CAST(floor((s.m - 1)
+                                * (CAST(s.s1 AS DOUBLE) / s.m
+                                   - CAST(g.yt AS DOUBLE) / g.xt
+                                     * 1000000e0) + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS jack_bias,
+           CASE WHEN s.m >= 2 THEN
+               round(CAST(floor(sqrt(
+                       CAST(s.m - 1 AS DOUBLE) / s.m
+                       * (CAST(s.s2 AS DOUBLE)
+                          - CAST(s.s1 AS DOUBLE) * s.s1 / s.m)) + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END AS jack_se,
+           CASE WHEN s.m >= 2 AND g.xt > 0 THEN
+               round(CAST(floor(CAST(g.yt AS DOUBLE) / g.xt * 1000000e0
+                                - {_JACK_Z_MICRO_LIT}
+                                  * floor(sqrt(
+                                      CAST(s.m - 1 AS DOUBLE) / s.m
+                                      * (CAST(s.s2 AS DOUBLE)
+                                         - CAST(s.s1 AS DOUBLE) * s.s1
+                                           / s.m)) + 0.5e0)
+                                + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS ci_lo_95,
+           CASE WHEN s.m >= 2 AND g.xt > 0 THEN
+               round(CAST(floor(CAST(g.yt AS DOUBLE) / g.xt * 1000000e0
+                                + {_JACK_Z_MICRO_LIT}
+                                  * floor(sqrt(
+                                      CAST(s.m - 1 AS DOUBLE) / s.m
+                                      * (CAST(s.s2 AS DOUBLE)
+                                         - CAST(s.s1 AS DOUBLE) * s.s1
+                                           / s.m)) + 0.5e0)
+                                + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS ci_hi_95
+    FROM s CROSS JOIN g
+"""
+
+
+@register("events_ratio_jackknife", _RATIO_JACK_ORACLE)
+def events_ratio_jackknife(spark, sf_dir):
+    """Day-block jackknife mean/bias/SE/95 % CI of the
+    purchases-per-event ratio (see the section comment for the
+    replicate construction and the exact-integer S1/S2 reduction).
+
+    Scale: ONE map-side-combined daily aggregate collapses the corpus
+    to calendar grain; the replicates, their two integer sums, and
+    the report are all metadata-scale over that bounded days relation
+    (the events_volume_changepoint family shape)."""
+    daily = (
+        _events(spark, sf_dir)
+        .select(
+            F.col("ts").cast("date").alias("day"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_p"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("x"),
+            F.sum("is_p").cast("bigint").alias("y"),
+        )
+    )
+    g = daily.agg(
+        F.sum("x").cast("bigint").alias("xt"),
+        F.sum("y").cast("bigint").alias("yt"),
+    )
+    reps = (
+        daily.crossJoin(F.broadcast(g))
+        .where(F.col("xt") - F.col("x") > 0)
+        .select(
+            F.expr(
+                "CAST(floor(CAST(yt - y AS DOUBLE) / (xt - x)"
+                " * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("t")
+        )
+    )
+    s = reps.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("t").cast("bigint").alias("s1"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("s2"),
+    )
+    se = (
+        "floor(sqrt(CAST(m - 1 AS DOUBLE) / m"
+        " * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / m)) + 0.5e0)"
+    )
+    return s.crossJoin(F.broadcast(g)).select(
+        F.col("m").alias("n_days"),
+        F.col("xt").alias("total_events"),
+        F.col("yt").alias("total_purchases"),
+        F.expr(
+            "CASE WHEN xt > 0 THEN"
+            " round(CAST(floor(CAST(yt AS DOUBLE) / xt"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("rate"),
+        F.expr(
+            "CASE WHEN m >= 2 THEN"
+            " round(CAST(floor(CAST(s1 AS DOUBLE) / m + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6) END"
+        ).alias("jack_mean"),
+        F.expr(
+            "CASE WHEN m >= 2 AND xt > 0 THEN"
+            " round(CAST(floor((m - 1) * (CAST(s1 AS DOUBLE) / m"
+            " - CAST(yt AS DOUBLE) / xt * 1000000e0) + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6) END"
+        ).alias("jack_bias"),
+        F.expr(
+            f"CASE WHEN m >= 2 THEN"
+            f" round(CAST({se} AS BIGINT) / 1000000e0, 6) END"
+        ).alias("jack_se"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND xt > 0 THEN"
+            f" round(CAST(floor(CAST(yt AS DOUBLE) / xt * 1000000e0"
+            f" - {_JACK_Z_MICRO_LIT} * {se} + 0.5e0) AS BIGINT)"
+            f" / 1000000e0, 6) END"
+        ).alias("ci_lo_95"),
+        F.expr(
+            f"CASE WHEN m >= 2 AND xt > 0 THEN"
+            f" round(CAST(floor(CAST(yt AS DOUBLE) / xt * 1000000e0"
+            f" + {_JACK_Z_MICRO_LIT} * {se} + 0.5e0) AS BIGINT)"
+            f" / 1000000e0, 6) END"
+        ).alias("ci_hi_95"),
+    )
+
+
+# --- split-conformal interval for daily volume (round 16) ----------------------
+#
+# Distribution-free split-conformal prediction (Vovk; Lei et al.
+# 2018, public): chronological three-way split of the daily-volume
+# series — first ⌊m/2⌋ days TRAIN (fit the point forecast: the train
+# mean), next ⌊m/4⌋ days CALIBRATION (nonconformity scores
+# r_i = |c_i − ŷ| as exact micro ints), remainder TEST. The
+# conformal quantile is the k-th smallest calibration score with
+# k = ⌈(n_cal + 1)·0.8⌉ (the finite-sample-valid rank, level 80 %);
+# the interval ŷ ± q is then scored for empirical coverage on the
+# held-out test days — the end-to-end conformal loop a forecasting
+# pipeline ships. If k > n_cal the finite-sample interval is infinite
+# and every interval output is NULL (documented, both sides).
+# Determinism: the split is the day-order row_number (calendar ties
+# impossible); ŷ is one floor-quantized exact-int ratio; scores,
+# their rank selection, and the coverage count are pure integer
+# comparisons — no float enters until the final displayed ratios.
+
+_CONF_LEVEL_NUM, _CONF_LEVEL_DEN = 4, 5  # 0.8 as an exact rational
+
+_CONFORMAL_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT day, c,
+               CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM daily
+    ),
+    split AS (
+        SELECT *,
+               CAST(floor(m / 2e0) AS BIGINT) AS n_train,
+               CAST(floor(m / 4e0) AS BIGINT) AS n_cal
+        FROM idx
+    ),
+    fc AS (
+        SELECT CAST(max(n_train) AS BIGINT) AS n_train,
+               CAST(max(n_cal) AS BIGINT) AS n_cal,
+               CAST(max(m) AS BIGINT) AS m,
+               CAST(max(m) - max(n_train) - max(n_cal) AS BIGINT) AS n_test,
+               CAST(floor(CAST(sum(CASE WHEN k <= n_train THEN c END)
+                               AS DOUBLE)
+                          / max(n_train) * 1000000e0 + 0.5e0) AS BIGINT)
+                   AS yhat_micro
+        FROM split
+    ),
+    scores AS (
+        SELECT abs(s.c * 1000000 - fc.yhat_micro) AS r,
+               CAST(row_number() OVER (
+                   ORDER BY abs(s.c * 1000000 - fc.yhat_micro), s.day
+               ) AS BIGINT) AS rr
+        FROM split s CROSS JOIN fc
+        WHERE s.k > fc.n_train AND s.k <= fc.n_train + fc.n_cal
+    ),
+    q AS (
+        SELECT fc.*,
+               CAST(ceil((fc.n_cal + 1) * {_CONF_LEVEL_NUM}e0
+                         / {_CONF_LEVEL_DEN}) AS BIGINT) AS kq,
+               (SELECT r FROM scores
+                WHERE rr = CAST(ceil((fc.n_cal + 1) * {_CONF_LEVEL_NUM}e0
+                                     / {_CONF_LEVEL_DEN}) AS BIGINT))
+                   AS qr
+        FROM fc
+    ),
+    cov AS (
+        SELECT q.*,
+               CAST(sum(CASE WHEN abs(s.c * 1000000 - q.yhat_micro)
+                                  <= q.qr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_covered
+        FROM q LEFT JOIN split s
+            ON s.k > q.n_train + q.n_cal
+        GROUP BY ALL
+    )
+    SELECT m AS n_days, n_train, n_cal, n_test,
+           round(yhat_micro / 1000000e0, 6) AS forecast_mean,
+           CASE WHEN qr IS NOT NULL THEN round(qr / 1000000e0, 6) END
+               AS q80_residual,
+           CASE WHEN qr IS NOT NULL THEN
+               round((yhat_micro - qr) / 1000000e0, 6) END AS pi_lo_80,
+           CASE WHEN qr IS NOT NULL THEN
+               round((yhat_micro + qr) / 1000000e0, 6) END AS pi_hi_80,
+           CASE WHEN qr IS NOT NULL AND n_test > 0 THEN
+               round(CAST(floor(CAST(n_covered AS DOUBLE) / n_test
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS test_coverage
+    FROM cov
+"""
+
+
+@register("events_conformal_volume_interval", _CONFORMAL_ORACLE)
+def events_conformal_volume_interval(spark, sf_dir):
+    """Split-conformal 80 % prediction interval for daily event
+    volume with held-out empirical coverage (see the section comment
+    for the chronological split, the finite-sample rank, and the
+    all-integer nonconformity kernel).
+
+    Scale: ONE map-side-combined daily aggregate collapses the corpus
+    to calendar grain; the split indices, score ranking, quantile
+    pick, and coverage count all run on that bounded days-scale
+    relation (the changepoint family shape)."""
+    daily = _events(spark, sf_dir).select(
+        F.col("ts").cast("date").alias("day")
+    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    wday = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        "c",
+        F.row_number().over(wday).cast("bigint").alias("k"),
+    )
+    m = daily.agg(F.count("*").cast("bigint").alias("m"))
+    # the split bounds live ONLY on the 1-row fc relation — idx keeps
+    # (day, c, k) so the crossJoins below never carry two copies of
+    # n_train/n_cal (Spark self-join lineage ambiguity)
+    fc = idx.crossJoin(F.broadcast(m)).agg(
+        F.max(F.expr("CAST(floor(m / 2e0) AS BIGINT)")).alias("n_train"),
+        F.max(F.expr("CAST(floor(m / 4e0) AS BIGINT)")).alias("n_cal"),
+        F.max("m").cast("bigint").alias("m"),
+        (
+            F.max("m")
+            - F.max(F.expr("CAST(floor(m / 2e0) AS BIGINT)"))
+            - F.max(F.expr("CAST(floor(m / 4e0) AS BIGINT)"))
+        )
+        .cast("bigint")
+        .alias("n_test"),
+        F.expr(
+            "CAST(floor(CAST(sum(CASE WHEN k <= CAST(floor(m / 2e0) AS BIGINT)"
+            " THEN c END)"
+            " AS DOUBLE) / max(CAST(floor(m / 2e0) AS BIGINT))"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("yhat_micro"),
+    )
+    wscore = Window.orderBy(
+        F.abs(F.col("c") * 1000000 - F.col("yhat_micro")), F.col("day")
+    )
+    scores = (
+        idx.crossJoin(F.broadcast(fc))
+        .where(
+            (F.col("k") > F.col("n_train"))
+            & (F.col("k") <= F.col("n_train") + F.col("n_cal"))
+        )
+        .select(
+            F.abs(F.col("c") * 1000000 - F.col("yhat_micro")).alias("r"),
+            F.row_number().over(wscore).cast("bigint").alias("rr"),
+        )
+    )
+    kq = F.expr(
+        f"CAST(ceil((n_cal + 1) * {_CONF_LEVEL_NUM}e0"
+        f" / {_CONF_LEVEL_DEN}) AS BIGINT)"
+    )
+    q = (
+        fc.withColumn("kq", kq)
+        .join(
+            F.broadcast(scores.withColumnRenamed("rr", "kq")),
+            "kq",
+            "left",
+        )
+        .withColumnRenamed("r", "qr")
+    )
+    cov = (
+        q.join(
+            F.broadcast(
+                idx.select(
+                    F.col("k").alias("tk"), F.col("c").alias("tc")
+                )
+            ),
+            F.col("tk") > F.col("n_train") + F.col("n_cal"),
+            "left",
+        )
+        .groupBy(
+            "m", "n_train", "n_cal", "n_test", "yhat_micro", "kq", "qr"
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("tc") * 1000000 - F.col("yhat_micro"))
+                    <= F.col("qr"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered")
+        )
+    )
+    return cov.select(
+        F.col("m").alias("n_days"),
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.expr("round(yhat_micro / 1000000e0, 6)").alias("forecast_mean"),
+        F.expr(
+            "CASE WHEN qr IS NOT NULL THEN round(qr / 1000000e0, 6) END"
+        ).alias("q80_residual"),
+        F.expr(
+            "CASE WHEN qr IS NOT NULL THEN"
+            " round((yhat_micro - qr) / 1000000e0, 6) END"
+        ).alias("pi_lo_80"),
+        F.expr(
+            "CASE WHEN qr IS NOT NULL THEN"
+            " round((yhat_micro + qr) / 1000000e0, 6) END"
+        ).alias("pi_hi_80"),
+        F.expr(
+            "CASE WHEN qr IS NOT NULL AND n_test > 0 THEN"
+            " round(CAST(floor(CAST(n_covered AS DOUBLE) / n_test"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("test_coverage"),
+    )

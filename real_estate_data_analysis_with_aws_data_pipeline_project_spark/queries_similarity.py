@@ -3299,3 +3299,152 @@ def similarity_range_search(spark, sf_dir):
         )
         .where(F.col("cos_sim") >= _RANGE_TAU)
     )
+
+
+# --- embedding anisotropy (round 16) ------------------------------------------
+#
+# The Ethayarajh-style anisotropy diagnostic: the EXACT mean pairwise
+# cosine over all n(n−1) ordered pairs of unit-normalized embeddings,
+# computed WITHOUT any pairwise work via the sum-vector identity
+#   Σ_{i≠j} u_i·u_j = ‖Σ_i u_i‖² − Σ_i ‖u_i‖²
+# — the whole corpus collapses to d per-dim sums plus two scalar
+# sums. A healthy isotropic space reads ≈ 0; a collapsed (anisotropic)
+# space — the classic contextual-embedding pathology that degrades
+# cosine retrieval — reads ≫ 0, and the value is also ≈ ‖centroid‖²,
+# which is reported alongside. Determinism: embeddings quantize to
+# int64 micro-units at the source (the whitening convention); the
+# per-row norm² is an exact integer sum; each normalized component is
+# ONE exactly-rounded IEEE divide-by-sqrt, re-quantized to micro ints;
+# from there every reduction (per-dim sums, Σ‖u‖², ‖Σu‖² via
+# 128-bit s_d² products) is exact integer arithmetic — order-proof
+# under any partitioning (the centroid-drift decimal(38)/HUGEINT
+# precedent) — and the three reported ratios are single guarded
+# divisions of exact integers. Zero vectors (norm² = 0) are excluded
+# on both sides; needs n ≥ 2 (the pair denominator guard).
+
+_ANISO_ORACLE = f"""
+    WITH r0 AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0)
+                             AS BIGINT)) AS xm
+        FROM embeddings
+    ),
+    r1 AS (
+        SELECT vec_id, xm,
+               CAST(list_sum(list_transform(xm, v -> v * v)) AS BIGINT)
+                   AS normsq
+        FROM r0
+    ),
+    r2 AS (
+        SELECT vec_id,
+               CAST(floor(sqrt(CAST(normsq AS DOUBLE)) + 0.5e0) AS BIGINT)
+                   AS norm_micro,
+               list_transform(xm,
+                   v -> CAST(floor(CAST(v AS DOUBLE)
+                                   / sqrt(CAST(normsq AS DOUBLE))
+                                   * 1000000e0 + 0.5e0) AS BIGINT)) AS um
+        FROM r1 WHERE normsq > 0
+    ),
+    scal AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(norm_micro) AS BIGINT) AS norm_sum,
+               CAST(sum(CAST(list_sum(list_transform(um, v -> v * v))
+                             AS BIGINT)) AS BIGINT) AS usq
+        FROM r2
+    ),
+    dims AS (
+        SELECT t.pos, CAST(sum(um[CAST(t.pos AS INT)]) AS BIGINT) AS sd
+        FROM r2, range(1, {_EMB_DIM + 1}) t(pos)
+        GROUP BY 1
+    ),
+    ss AS (
+        SELECT sum(CAST(sd AS HUGEINT) * sd) AS ssum FROM dims
+    )
+    SELECT n AS n_vectors,
+           round(CAST(floor(CAST(norm_sum AS DOUBLE) / n + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS mean_norm,
+           round(CAST(floor(sqrt(CAST(ssum AS DOUBLE)) / n + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS centroid_norm,
+           CASE WHEN n >= 2 THEN
+               round(CAST(floor(CAST(ssum - usq AS DOUBLE)
+                                / (n * (n - 1)) / 1000000e0 + 0.5e0)
+                          AS BIGINT) / 1000000e0, 6) END
+               AS mean_pairwise_cosine
+    FROM scal CROSS JOIN ss
+"""
+
+
+@register("embedding_anisotropy", _ANISO_ORACLE)
+def embedding_anisotropy(spark, sf_dir):
+    """Corpus-level embedding anisotropy: the exact mean pairwise
+    cosine over all ordered pairs of unit-normalized embeddings via
+    the sum-vector identity, plus the mean raw norm and centroid norm
+    (see the section comment for the identity and the integer
+    quantization chain).
+
+    Scale: NO pairwise work anywhere — one linear scan computes the
+    per-row quantized unit vectors and two scalar integer sums; one
+    posexplode map-side-combined aggregate folds the corpus to d=64
+    per-dim sums; the ‖Σu‖² reduction runs over those 64 rows with
+    exact decimal(38) products. The identity IS the 100 TB design:
+    the naive mean pairwise cosine is n² and this is one scan."""
+    r1 = _vecs(spark, sf_dir).select(
+        F.expr(
+            "transform(embedding,"
+            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
+        ).alias("xm")
+    ).select(
+        "xm",
+        F.expr(
+            "CAST(aggregate(xm, CAST(0 AS BIGINT),"
+            " (acc, v) -> acc + v * v) AS BIGINT)"
+        ).alias("normsq"),
+    )
+    r2 = r1.where(F.col("normsq") > 0).select(
+        F.expr(
+            "CAST(floor(sqrt(CAST(normsq AS DOUBLE)) + 0.5e0) AS BIGINT)"
+        ).alias("norm_micro"),
+        F.expr(
+            "transform(xm, v -> CAST(floor(CAST(v AS DOUBLE)"
+            " / sqrt(CAST(normsq AS DOUBLE))"
+            " * 1000000e0 + 0.5e0) AS BIGINT))"
+        ).alias("um"),
+    )
+    scal = r2.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("norm_micro").cast("bigint").alias("norm_sum"),
+        F.sum(
+            F.expr(
+                "CAST(aggregate(um, CAST(0 AS BIGINT),"
+                " (acc, v) -> acc + v * v) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("usq"),
+    )
+    dims = (
+        r2.select(F.posexplode("um").alias("pos0", "v"))
+        .groupBy(F.col("pos0").alias("pos"))
+        .agg(F.sum("v").cast("bigint").alias("sd"))
+    )
+    ss = dims.agg(
+        F.sum(F.col("sd").cast("decimal(38,0)") * F.col("sd")).alias("ssum")
+    )
+    return scal.crossJoin(F.broadcast(ss)).select(
+        F.col("n").alias("n_vectors"),
+        F.expr(
+            "round(CAST(floor(CAST(norm_sum AS DOUBLE) / n + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6)"
+        ).alias("mean_norm"),
+        F.expr(
+            "round(CAST(floor(sqrt(CAST(ssum AS DOUBLE)) / n + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6)"
+        ).alias("centroid_norm"),
+        F.expr(
+            "CASE WHEN n >= 2 THEN"
+            " round(CAST(floor(CAST(ssum - usq AS DOUBLE)"
+            " / (n * (n - 1)) / 1000000e0 + 0.5e0)"
+            " AS BIGINT) / 1000000e0, 6) END"
+        ).alias("mean_pairwise_cosine"),
+    )

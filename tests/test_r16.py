@@ -218,3 +218,144 @@ def test_contamination_eval_recompute(spark, sf_dir):
             assert r.mean_contamination is None
             assert r.max_contamination is None
             assert r.n_flagged_10pct == 0
+
+
+def test_anisotropy_recompute_and_bounds(spark, sf_dir):
+    """numpy recompute of the sum-vector identity from the SAME
+    quantization chain, plus |mean cosine| <= 1 and the
+    centroid-norm consistency bound."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    X = np.asarray(
+        [
+            r.embedding
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    xm = np.round(X * 1e6).astype(np.int64)
+    normsq = (xm * xm).sum(axis=1)
+    keep = normsq > 0
+    xm, normsq = xm[keep], normsq[keep]
+    um = np.floor(xm / np.sqrt(normsq)[:, None] * 1e6 + 0.5).astype(np.int64)
+    n = len(um)
+    norm_micro = np.floor(np.sqrt(normsq) + 0.5).astype(np.int64)
+    sd = um.sum(axis=0)
+    ssum = int((sd.astype(object) * sd.astype(object)).sum())
+    usq = int((um.astype(np.int64) ** 2).sum())
+    row = QUERIES["embedding_anisotropy"].fn(spark, sf_dir).collect()[0]
+    assert row.n_vectors == n
+    assert abs(
+        row.mean_norm
+        - round(math.floor(norm_micro.sum() / n + 0.5) / 1e6, 6)
+    ) < 1e-9
+    assert abs(
+        row.centroid_norm
+        - round(math.floor(math.sqrt(ssum) / n + 0.5) / 1e6, 6)
+    ) < 1e-9
+    mpc = math.floor((ssum - usq) / (n * (n - 1)) / 1e6 + 0.5)
+    assert abs(row.mean_pairwise_cosine - round(mpc / 1e6, 6)) < 1e-9
+    assert -1.0 <= row.mean_pairwise_cosine <= 1.0
+    # identity sanity: mean pairwise cosine ~ ||centroid||^2 - 1/n
+    assert abs(
+        row.mean_pairwise_cosine
+        - (row.centroid_norm**2 - 1.0 / n) * n / (n - 1)
+    ) < 1e-2
+
+
+def test_ratio_jackknife_recompute(spark, sf_dir):
+    """Driver-side recompute of the day-block replicates, the S1/S2
+    reduction, and the bias/SE/CI chain."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    x: Counter = Counter()
+    y: Counter = Counter()
+    for r in (
+        load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    ):
+        d = r.ts.date()
+        x[d] += 1
+        if r.event_type == "purchase":
+            y[d] += 1
+    xt, yt = sum(x.values()), sum(y.values())
+    reps = [
+        math.floor((yt - y[d]) / (xt - x[d]) * 1e6 + 0.5)
+        for d in x
+        if xt - x[d] > 0
+    ]
+    m, s1, s2 = len(reps), sum(reps), sum(t * t for t in reps)
+    row = QUERIES["events_ratio_jackknife"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_days, row.total_events, row.total_purchases) == (m, xt, yt)
+    assert abs(
+        row.rate - round(math.floor(yt / xt * 1e6 + 0.5) / 1e6, 6)
+    ) < 1e-9
+    assert abs(row.jack_mean - round(math.floor(s1 / m + 0.5) / 1e6, 6)) < 1e-9
+    bias = math.floor((m - 1) * (s1 / m - yt / xt * 1e6) + 0.5)
+    assert abs(row.jack_bias - round(bias / 1e6, 6)) < 1e-9
+    se = math.floor(math.sqrt((m - 1) / m * (s2 - s1 * s1 / m)) + 0.5)
+    assert abs(row.jack_se - round(se / 1e6, 6)) < 1e-9
+    lo = math.floor(yt / xt * 1e6 - 1.959964 * se + 0.5)
+    hi = math.floor(yt / xt * 1e6 + 1.959964 * se + 0.5)
+    assert abs(row.ci_lo_95 - round(lo / 1e6, 6)) < 1e-9
+    assert abs(row.ci_hi_95 - round(hi / 1e6, 6)) < 1e-9
+    assert row.ci_lo_95 <= row.rate <= row.ci_hi_95
+
+
+def test_conformal_recompute(spark, sf_dir):
+    """Driver-side recompute of the chronological split, the
+    finite-sample conformal rank, the quantile pick, and the test
+    coverage."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    days: Counter = Counter()
+    for r in load_table(spark, sf_dir, "events").select("ts").collect():
+        days[r.ts.date()] += 1
+    ds = sorted(days)
+    cs = [days[d] for d in ds]
+    m = len(cs)
+    n_train, n_cal = math.floor(m / 2), math.floor(m / 4)
+    n_test = m - n_train - n_cal
+    yhat = math.floor(sum(cs[:n_train]) / n_train * 1e6 + 0.5)
+    cal = sorted(
+        abs(c * 1_000_000 - yhat) for c in cs[n_train:n_train + n_cal]
+    )
+    kq = math.ceil((n_cal + 1) * 4 / 5)
+    row = (
+        QUERIES["events_conformal_volume_interval"]
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert (row.n_days, row.n_train, row.n_cal, row.n_test) == (
+        m, n_train, n_cal, n_test,
+    )
+    assert abs(row.forecast_mean - round(yhat / 1e6, 6)) < 1e-9
+    if kq <= n_cal:
+        q = cal[kq - 1]
+        assert abs(row.q80_residual - round(q / 1e6, 6)) < 1e-9
+        assert abs(row.pi_lo_80 - round((yhat - q) / 1e6, 6)) < 1e-9
+        assert abs(row.pi_hi_80 - round((yhat + q) / 1e6, 6)) < 1e-9
+        cov = sum(
+            1
+            for c in cs[n_train + n_cal:]
+            if abs(c * 1_000_000 - yhat) <= q
+        )
+        assert abs(
+            row.test_coverage
+            - round(math.floor(cov / n_test * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+    else:
+        assert row.q80_residual is None

@@ -81,6 +81,9 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "basket_brand_rules3",
     "events_volume_binseg",
     "retrieval_contamination_eval",
+    "embedding_anisotropy",
+    "events_ratio_jackknife",
+    "events_conformal_volume_interval",
 )
 
 

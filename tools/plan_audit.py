@@ -288,10 +288,14 @@ EXTRA = [
     "retrieval_rbo_overlap",
     "embedding_cluster_purity",
     # r16 additions (3-itemset rules, depth-2 binary segmentation,
-    # contamination-overlap evaluator)
+    # contamination-overlap evaluator, anisotropy, day-block
+    # jackknife, split-conformal interval)
     "basket_brand_rules3",
     "events_volume_binseg",
     "retrieval_contamination_eval",
+    "embedding_anisotropy",
+    "events_ratio_jackknife",
+    "events_conformal_volume_interval",
 ]
 
 
@@ -394,6 +398,11 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # segment-candidate branch, and the broadcast copy of root the
     # segment branch joins against.
     "events_volume_binseg": (3, "calendar-day count relation ×3"),
+    # calendar-day bound again: the day-order row_number subtree is
+    # planned once per consumer branch (forecast stats, calibration
+    # scores, test-coverage copy, plus the calibration score-rank
+    # window, itself over ≤ ⌊m/4⌋ calibration days).
+    "events_conformal_volume_interval": (5, "calendar-day relations ×5"),
 }
 
 # Unpartitioned windows whose input subtree IS truncated by a plan-

@@ -245,8 +245,11 @@ QUERIES_UNDER_TEST = [
     # probe set — the eval index grows with the eval split (fixed
     # cutoff, so fixed here) and the probe side is top-k-bounded, so
     # the only corpus-scale work is the dual-scored projection the
-    # NDCG family already measures.
+    # NDCG family already measures. Anisotropy is one linear scan
+    # folding to 64 per-dim sums + two scalars — the sum-vector
+    # identity replaces the n² pairwise mean entirely.
     "retrieval_contamination_eval",
+    "embedding_anisotropy",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
