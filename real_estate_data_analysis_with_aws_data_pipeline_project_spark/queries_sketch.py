@@ -1222,3 +1222,148 @@ def sketch_hll_intersection(spark, sf_dir):
             <= _HLL_IX_REL_ERR * F.col("exact_union").cast("double")
         ).alias("within_envelope"),
     )
+
+
+# --- AMS F2 sketch (round 16) --------------------------------------------------
+#
+# The Alon–Matias–Szegedy second-frequency-moment sketch (STOC 1996,
+# public): each of 63 counters folds the token stream with a salted
+# ±1 hash, c_j = Σ_tokens sign_j(token)·f(token); each c_j² is an
+# unbiased estimator of F2 = Σ f². Two aggregations are reported: the
+# MEAN of the 63 squares (the unbiased primary — std √(2/63)·F2
+# ≈ 0.178·F2) and the classic MEDIAN (variance-tamed but, on this
+# corpus's deliberately tiny 31-token vocabulary, systematically low:
+# the c² distribution is right-skewed when a handful of heavy tokens
+# dominate, and the median sits ~0.5·F2 below the mean — measured at
+# all three SFs before the envelope literal was frozen; the flag
+# therefore gates the MEAN at 3σ = 0.534522·F2, not the median).
+# Everything integer: signs are md5-parity (the CMS hex polyfill),
+# counters are one signed sum each, the median is one element of the
+# sorted 63-array and the mean one floor division — both engines
+# fold bit-identical counters. c² and their 63-sum are int64-exact
+# to ~3.8e8-token streams per counter sign-mass; past that,
+# DECIMAL(38) per the ANOVA bound convention.
+
+_AMS_DEPTH = 63  # odd → the median is ONE array element, no midpoint
+_AMS_3SIGMA = "0.534522e0"  # 3·sqrt(2/63), exactly this literal
+
+
+def _ams_sign_sql(salt: str) -> str:
+    h = f"substr(md5('{salt}:' || token), 1, 8)"
+    return f"(CASE WHEN {_HEX_TO_INT_SQL.format(h=h)} % 2 = 0 THEN 1 ELSE -1 END)"
+
+
+_AMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT unnest({X.tokens_sql()}) AS token FROM documents
+    ),
+    truth AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+        FROM toks
+    ),
+    f2x AS (
+        SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
+        FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY token)
+    ),
+    cnt AS (
+        SELECT {", ".join(
+            f"CAST(sum({_ams_sign_sql(f'ams{j}')}) AS BIGINT) AS c{j}"
+            for j in range(_AMS_DEPTH))}
+        FROM toks
+    ),
+    est AS (
+        SELECT list_sort([{", ".join(
+            f"c{j} * c{j}" for j in range(_AMS_DEPTH))}])
+                   [{_AMS_DEPTH // 2 + 1}] AS ams_f2_median,
+               CAST(floor(CAST(({" + ".join(
+            f"c{j} * c{j}" for j in range(_AMS_DEPTH))}) AS DOUBLE)
+                          / {_AMS_DEPTH} + 0.5e0) AS BIGINT) AS ams_f2_mean
+        FROM cnt
+    )
+    SELECT t.n_tokens, t.n_distinct, x.f2_exact, e.ams_f2_mean,
+           e.ams_f2_median,
+           round(CAST(floor(abs(CAST(e.ams_f2_mean AS DOUBLE) - x.f2_exact)
+                            / x.f2_exact * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS rel_error,
+           CAST(CASE WHEN abs(CAST(e.ams_f2_mean AS DOUBLE) - x.f2_exact)
+                          / x.f2_exact <= {_AMS_3SIGMA}
+                     THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+    FROM truth t CROSS JOIN f2x x CROSS JOIN est e
+"""
+
+
+def _ams_sign_col(salt: str):
+    chunk = F.substring(
+        F.md5(F.concat(F.lit(f"{salt}:"), F.col("token")).cast("binary")),
+        1,
+        8,
+    )
+    v = F.conv(chunk, 16, 10).cast("bigint") % 2
+    return F.when(v == 0, 1).otherwise(-1)
+
+
+@register("sketch_ams_f2", _AMS_ORACLE)
+def sketch_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment sketch over the corpus token
+    stream: 63 md5-sign counters folded in ONE pass; unbiased
+    mean-of-squares estimate (3σ-gated) plus the classic median, vs
+    the exact F2 (see the section comment for why the median reads
+    low on a 31-token vocabulary and the flag gates the mean).
+
+    Scale: the sketch is 63 integers of state built by one map-side-
+    combined aggregate over the stream — constant memory at any
+    corpus size (the count-min shape without even a bucket axis);
+    the exact-F2 reference is one vocabulary-grain aggregate the
+    tf-idf family already pays. Signs are md5-derived so both engines
+    fold bit-identical counters."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(X.tokens()).alias("token")
+    )
+    truth = toks.agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.countDistinct("token").cast("bigint").alias("n_distinct"),
+    )
+    f2x = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"))
+    )
+    cnt = toks.agg(
+        *[
+            F.sum(_ams_sign_col(f"ams{j}")).cast("bigint").alias(f"c{j}")
+            for j in range(_AMS_DEPTH)
+        ]
+    )
+    sq_list = ", ".join(f"c{j} * c{j}" for j in range(_AMS_DEPTH))
+    est = cnt.select(
+        F.expr(
+            f"sort_array(array({sq_list}))[{_AMS_DEPTH // 2}]"
+        ).alias("ams_f2_median"),
+        F.expr(
+            f"CAST(floor(CAST(({sq_list.replace(', ', ' + ')}) AS DOUBLE)"
+            f" / {_AMS_DEPTH} + 0.5e0) AS BIGINT)"
+        ).alias("ams_f2_mean"),
+    )
+    return (
+        truth.crossJoin(F.broadcast(f2x))
+        .crossJoin(F.broadcast(est))
+        .select(
+            "n_tokens",
+            "n_distinct",
+            "f2_exact",
+            "ams_f2_mean",
+            "ams_f2_median",
+            F.expr(
+                "round(CAST(floor(abs(CAST(ams_f2_mean AS DOUBLE)"
+                " - f2_exact)"
+                " / f2_exact * 1000000e0 + 0.5e0) AS BIGINT)"
+                " / 1000000e0, 6)"
+            ).alias("rel_error"),
+            F.expr(
+                "CAST(CASE WHEN abs(CAST(ams_f2_mean AS DOUBLE) - f2_exact)"
+                f" / f2_exact <= {_AMS_3SIGMA}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("within_3sigma"),
+        )
+    )

@@ -1412,3 +1412,115 @@ def quality_source_jsd(spark, sf_dir):
             "round(greatest(hm - (hp + hq) DIV 2, 0) / 1000000e0, 6)"
         ).alias("jsd_bits"),
     ).orderBy("source_a", "source_b")
+
+
+# --- term burstiness (round 16) -------------------------------------------------
+#
+# Church–Gale burstiness ("Poisson mixtures", 1995, public): content
+# words are BURSTY — once a document mentions a term it tends to
+# repeat it — while function words are near-Poisson. Three exact
+# diagnostics per term over the whole corpus, zero-inflated (every
+# document counts, including the ones without the term):
+#   vmr        = Var(tf)/Mean(tf)  (variance-to-mean; 1 = Poisson)
+#   adaptation = P(tf >= 2 | tf >= 1) = df2/df   (Church's measure)
+#   burst_mean = cf/df  (mean occurrences within containing docs)
+# for the top-20 terms by collection frequency. Everything derives
+# from four exact BIGINT sums per term (cf = Σtf, cf2 = Σtf²,
+# df = #docs tf≥1, df2 = #docs tf≥2) plus the corpus doc count; the
+# three ratios are fixed micro-quantized expressions over those
+# integers ((n−1)-denominator sample variance, the module's moment
+# convention). Ordering: cf DESC, token — an exact-int key.
+
+_BURST_TOP = 20
+
+_BURSTINESS_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS f
+        FROM (SELECT doc_id, unnest({X.tokens_sql()}) AS token
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    term AS (
+        SELECT token,
+               CAST(sum(f) AS BIGINT) AS cf,
+               CAST(sum(f * f) AS BIGINT) AS cf2,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS df2
+        FROM tf GROUP BY 1
+    )
+    SELECT token, cf, df, df2, n AS n_docs,
+           round(CAST(floor(
+               ((CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / n)
+                / (n - 1))
+               / (CAST(cf AS DOUBLE) / n)
+               * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) AS vmr,
+           round(CAST(floor(CAST(df2 AS DOUBLE) / df
+               * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)
+               AS adaptation,
+           round(CAST(floor(CAST(cf AS DOUBLE) / df
+               * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)
+               AS burst_mean
+    FROM term CROSS JOIN nd
+    ORDER BY cf DESC, token
+    LIMIT {_BURST_TOP}
+"""
+
+
+@register("text_term_burstiness", _BURSTINESS_ORACLE)
+def text_term_burstiness(spark, sf_dir):
+    """Church–Gale burstiness diagnostics (zero-inflated VMR,
+    adaptation P(tf≥2|tf≥1), within-doc burst mean) for the top-20
+    collection-frequency terms (see the section comment for the
+    four-integer kernel and quantization).
+
+    Scale: one explode to (doc, token) term frequencies — map-side
+    combined on the (doc, token) grain — then ONE vocabulary-grain
+    aggregate (the tf-idf family shape); n ≥ 2 docs holds by corpus
+    construction and the VMR mean-guard is cf ≥ 1 by the tf grain;
+    top-20 is TakeOrderedAndProject on the exact (cf, token) key."""
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(X.tokens()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    term = tf.groupBy("token").agg(
+        F.sum("f").cast("bigint").alias("cf"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("cf2"),
+        F.count("*").cast("bigint").alias("df"),
+        F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("df2"),
+    )
+    return (
+        term.crossJoin(F.broadcast(nd))
+        .orderBy(F.desc("cf"), "token")
+        .limit(_BURST_TOP)
+        .select(
+            "token",
+            "cf",
+            "df",
+            "df2",
+            F.col("n").alias("n_docs"),
+            F.expr(
+                "round(CAST(floor("
+                "((CAST(cf2 AS DOUBLE) - CAST(cf AS DOUBLE) * cf / n)"
+                " / (n - 1))"
+                " / (CAST(cf AS DOUBLE) / n)"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("vmr"),
+            F.expr(
+                "round(CAST(floor(CAST(df2 AS DOUBLE) / df"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("adaptation"),
+            F.expr(
+                "round(CAST(floor(CAST(cf AS DOUBLE) / df"
+                " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("burst_mean"),
+        )
+    )

@@ -359,3 +359,101 @@ def test_conformal_recompute(spark, sf_dir):
         ) < 1e-9
     else:
         assert row.q80_residual is None
+
+
+def test_term_burstiness_recompute(spark, sf_dir):
+    """Driver-side recompute of the four-integer term kernel and the
+    three quantized ratios, plus the Poisson sanity direction
+    (bursty terms: adaptation > global containment rate)."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", X.tokens().alias("toks"))
+        .collect()
+    )
+    n = len(docs)
+    cf: Counter = Counter()
+    cf2: Counter = Counter()
+    df: Counter = Counter()
+    df2: Counter = Counter()
+    for r in docs:
+        tf = Counter(r.toks)
+        for t, f in tf.items():
+            cf[t] += f
+            cf2[t] += f * f
+            df[t] += 1
+            if f >= 2:
+                df2[t] += 1
+    top = sorted(cf, key=lambda t: (-cf[t], t))[:20]
+    rows = QUERIES["text_term_burstiness"].fn(spark, sf_dir).collect()
+    assert [r.token for r in rows] == top
+    for r in rows:
+        t = r.token
+        assert (r.cf, r.df, r.df2, r.n_docs) == (cf[t], df[t], df2[t], n)
+        mean = cf[t] / n
+        var = (cf2[t] - cf[t] * cf[t] / n) / (n - 1)
+        assert abs(
+            r.vmr - round(math.floor(var / mean * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        assert abs(
+            r.adaptation
+            - round(math.floor(df2[t] / df[t] * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        assert abs(
+            r.burst_mean
+            - round(math.floor(cf[t] / df[t] * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        assert r.vmr > 0 and r.burst_mean >= 1.0
+
+
+def test_ams_f2_recompute(spark, sf_dir):
+    """Driver-side md5 recompute of all 63 sign counters, both
+    estimators, and the 3-sigma gate."""
+    import hashlib
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    freq: Counter = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(X.tokens().alias("toks"))
+        .collect()
+    ):
+        freq.update(r.toks)
+    f2 = sum(f * f for f in freq.values())
+
+    def sign(salt, tok):
+        h = hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:8]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    sq = sorted(
+        sum(sign(f"ams{j}", t) * f for t, f in freq.items()) ** 2
+        for j in range(63)
+    )
+    med = sq[31]
+    mean = math.floor(sum(sq) / 63 + 0.5)
+    row = QUERIES["sketch_ams_f2"].fn(spark, sf_dir).collect()[0]
+    assert row.n_tokens == sum(freq.values())
+    assert row.n_distinct == len(freq)
+    assert row.f2_exact == f2
+    assert row.ams_f2_median == med
+    assert row.ams_f2_mean == mean
+    assert abs(
+        row.rel_error
+        - round(math.floor(abs(mean - f2) / f2 * 1e6 + 0.5) / 1e6, 6)
+    ) < 1e-9
+    assert row.within_3sigma == int(abs(mean - f2) / f2 <= 0.534522)

@@ -84,6 +84,8 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "embedding_anisotropy",
     "events_ratio_jackknife",
     "events_conformal_volume_interval",
+    "text_term_burstiness",
+    "sketch_ams_f2",
 )
 
 

@@ -296,6 +296,8 @@ EXTRA = [
     "embedding_anisotropy",
     "events_ratio_jackknife",
     "events_conformal_volume_interval",
+    "text_term_burstiness",
+    "sketch_ams_f2",
 ]
 
 

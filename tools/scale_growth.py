@@ -250,6 +250,11 @@ QUERIES_UNDER_TEST = [
     # identity replaces the n² pairwise mean entirely.
     "retrieval_contamination_eval",
     "embedding_anisotropy",
+    # burstiness: one (doc, token) aggregate + one vocabulary-grain
+    # aggregate (the tf-idf shape); AMS: one 63-integer map-side fold
+    # over the stream + the same vocabulary-grain exact reference.
+    "text_term_burstiness",
+    "sketch_ams_f2",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
