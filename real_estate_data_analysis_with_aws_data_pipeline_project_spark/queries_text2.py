@@ -1524,3 +1524,185 @@ def text_term_burstiness(spark, sf_dir):
             ).alias("burst_mean"),
         )
     )
+
+
+# --- RAKE keyword extraction (round 16) ------------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010, public): split
+# each document's token stream at stopword delimiters (the EN profile
+# — ONE stopword definition shared with the lang-ID heuristic), the
+# maximal stopword-free runs capped at 8 words are the candidate
+# phrases (the standard RAKE length cap: uncapped runs on a
+# stopword-sparse corpus degenerate into ~90-word boilerplate that
+# trivially tops the additive score — measured before the cap was
+# frozen); score each
+# content word by degree/frequency (freq = occurrences across all
+# phrases, degree = Σ over those occurrences of the containing
+# phrase's length — i.e. freq + within-phrase co-occurrence), and
+# each phrase by the sum of its words' scores. Long multi-word
+# technical phrases win — the keyword extractor a corpus-curation
+# pipeline runs for topic inventories. Determinism: phrase membership
+# is positional (doc-partitioned running stopword count — the
+# sessionization shape, partitioned, never global); freq/degree are
+# exact BIGINTs; the word score is ONE micro-quantized division and
+# the phrase score an exact integer SUM of word micros; identical
+# phrase text ⇒ identical word multiset ⇒ identical score, so the
+# phrase-grain group is conflict-free. Top-20 orders on the BIGINT
+# micro score, tie-broken by phrase text.
+
+_RAKE_TOP = 20
+_RAKE_MAX_WORDS = 8  # standard candidate cap: longer runs are boilerplate
+_RAKE_STOP_SQL = " OR ".join(f"token = '{w}'" for w in X.EN_STOPWORDS)
+
+_RAKE_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {X.tokens_sql()} AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(t.pos AS BIGINT) AS pos,
+               toks[CAST(t.pos AS INT)] AS token
+        FROM d, unnest(generate_series(1, len(toks))) AS t(pos)
+    ),
+    marked AS (
+        SELECT doc_id, pos, token,
+               CAST(sum(CASE WHEN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id,
+               CASE WHEN {_RAKE_STOP_SQL} THEN 1 ELSE 0 END AS is_stop
+        FROM pos
+    ),
+    content AS (
+        SELECT doc_id, phrase_id, pos, token FROM marked WHERE is_stop = 0
+    ),
+    plen AS (
+        SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS phrase_len
+        FROM content GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT c.doc_id, c.phrase_id, c.pos, c.token, p.phrase_len
+        FROM content c JOIN plen p USING (doc_id, phrase_id)
+        WHERE p.phrase_len <= {_RAKE_MAX_WORDS}
+    ),
+    word AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(phrase_len) AS BIGINT) AS degree
+        FROM cand
+        GROUP BY 1
+    ),
+    wscore AS (
+        SELECT token,
+               CAST(floor(CAST(degree AS DOUBLE) / freq
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS s_micro
+        FROM word
+    ),
+    pocc AS (
+        SELECT c.doc_id, c.phrase_id,
+               string_agg(c.token, ' ' ORDER BY c.pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(w.s_micro) AS BIGINT) AS score_micro
+        FROM cand c JOIN wscore w USING (token)
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(max(score_micro) AS BIGINT) AS score_micro
+        FROM pocc GROUP BY 1
+    )
+    SELECT phrase, n_words, n_occurrences,
+           round(score_micro / 1000000e0, 6) AS rake_score
+    FROM agg
+    ORDER BY score_micro DESC, phrase
+    LIMIT {_RAKE_TOP}
+"""
+
+
+@register("text_rake_keywords", _RAKE_ORACLE)
+def text_rake_keywords(spark, sf_dir):
+    """Top-20 RAKE keyword phrases over the corpus: stopword-delimited
+    candidate phrases scored by Σ degree/freq of their content words
+    (see the section comment for the exact-integer scoring chain and
+    the shared stopword definition).
+
+    Scale: the positional explode is linear in tokens; the
+    phrase-membership window is PARTITIONED by doc_id (the
+    sessionization shape — no global window); words and phrases are
+    vocabulary/phrase-grain aggregates with map-side combine; the
+    word-score join back to occurrences is a broadcast (vocabulary
+    is dimension-scale); top-20 is TakeOrderedAndProject on the exact
+    micro key."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.tokens().alias("toks")
+    )
+    pos = d.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token"
+    )
+    is_stop = F.col("token").isin(list(X.EN_STOPWORDS))
+    wph = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = pos.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.sum(F.when(is_stop, 1).otherwise(0))
+        .over(wph)
+        .cast("bigint")
+        .alias("phrase_id"),
+        F.when(is_stop, 1).otherwise(0).alias("is_stop"),
+    )
+    content = marked.where(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "pos", "token"
+    )
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("bigint").alias("phrase_len")
+    )
+    cand = content.join(plen, ["doc_id", "phrase_id"]).where(
+        F.col("phrase_len") <= _RAKE_MAX_WORDS
+    )
+    word = cand.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    wscore = word.select(
+        "token",
+        F.expr(
+            "CAST(floor(CAST(degree AS DOUBLE) / freq"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("s_micro"),
+    )
+    pocc = (
+        cand.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x["token"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("s_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    agg = pocc.groupBy("phrase").agg(
+        F.max("n_words").cast("bigint").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("score_micro").cast("bigint").alias("score_micro"),
+    )
+    return (
+        agg.orderBy(F.desc("score_micro"), "phrase")
+        .limit(_RAKE_TOP)
+        .select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.expr("round(score_micro / 1000000e0, 6)").alias("rake_score"),
+        )
+    )

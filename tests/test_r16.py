@@ -457,3 +457,57 @@ def test_ams_f2_recompute(spark, sf_dir):
         - round(math.floor(abs(mean - f2) / f2 * 1e6 + 0.5) / 1e6, 6)
     ) < 1e-9
     assert row.within_3sigma == int(abs(mean - f2) / f2 <= 0.534522)
+
+
+def test_rake_recompute(spark, sf_dir):
+    """Driver-side recompute of the full RAKE chain: phrase splitting
+    on the shared stopword profile, the 8-word candidate cap,
+    degree/freq word scores, and the additive phrase score."""
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    stop = set(X.EN_STOPWORDS)
+    phrases = []  # list of token tuples (candidates, capped)
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(X.tokens().alias("toks"))
+        .collect()
+    ):
+        cur = []
+        for t in list(r.toks) + [next(iter(stop))]:  # sentinel flush
+            if t in stop:
+                if cur and len(cur) <= 8:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+    freq: Counter = Counter()
+    degree: Counter = Counter()
+    for ph in phrases:
+        for t in ph:
+            freq[t] += 1
+            degree[t] += len(ph)
+    smicro = {
+        t: math.floor(degree[t] / freq[t] * 1e6 + 0.5) for t in freq
+    }
+    by_text: defaultdict = defaultdict(list)
+    for ph in phrases:
+        by_text[" ".join(ph)].append(sum(smicro[t] for t in ph))
+    scored = sorted(
+        (-scores[0], text, len(text.split()), len(scores))
+        for text, scores in by_text.items()
+    )
+    rows = QUERIES["text_rake_keywords"].fn(spark, sf_dir).collect()
+    assert len(rows) == min(20, len(scored))
+    for r, e in zip(rows, scored[:20]):
+        sc, text, nw, occ = -e[0], e[1], e[2], e[3]
+        assert r.phrase == text
+        assert r.n_words == nw
+        assert r.n_occurrences == occ
+        assert abs(r.rake_score - round(sc / 1e6, 6)) < 1e-9

@@ -86,6 +86,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_conformal_volume_interval",
     "text_term_burstiness",
     "sketch_ams_f2",
+    "text_rake_keywords",
 )
 
 

@@ -298,6 +298,7 @@ EXTRA = [
     "events_conformal_volume_interval",
     "text_term_burstiness",
     "sketch_ams_f2",
+    "text_rake_keywords",
 ]
 
 

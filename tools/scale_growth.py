@@ -255,6 +255,9 @@ QUERIES_UNDER_TEST = [
     # over the stream + the same vocabulary-grain exact reference.
     "text_term_burstiness",
     "sketch_ams_f2",
+    # RAKE: positional explode (linear in tokens) + a doc-PARTITIONED
+    # phrase window + vocabulary/phrase-grain aggregates.
+    "text_rake_keywords",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
