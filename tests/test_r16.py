@@ -511,3 +511,79 @@ def test_rake_recompute(spark, sf_dir):
         assert r.n_words == nw
         assert r.n_occurrences == occ
         assert abs(r.rake_score - round(sc / 1e6, 6)) < 1e-9
+
+
+def test_graph_expand_recompute(spark, sf_dir):
+    """numpy recompute of the whole graph-expansion chain: sign
+    signatures from the literal planes, Hamming seed lists, the
+    one-hop expansion, both exact reranks, and both recalls — with
+    the same fold order for dots (left-to-right float64) and 6-dp
+    cosine rounding."""
+    import numpy as np
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _GEX_PLANES,
+        _GEX_SEEDS,
+        _KNN_CAP,
+        _KNN_K,
+        _N_QUERIES,
+        _TOP_K,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    recs = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < _KNN_CAP)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    recs.sort(key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in recs]
+    X = np.asarray([r.embedding for r in recs], dtype=np.float64)
+    n = len(ids)
+    nrm = np.sqrt((X * X).sum(axis=1))
+    P = np.asarray(_GEX_PLANES, dtype=np.float64)
+    sig = (X @ P.T) >= 0  # float64 dot; matches the fold to well past sign
+
+    def cos6(i, j):
+        return round(float(X[i] @ X[j]) / (nrm[i] * nrm[j]), 6)
+
+    def topk(q, cands, k):
+        return sorted(cands, key=lambda j: (-cos6(q, j), ids[j]))[:k]
+
+    knn = {
+        i: topk(i, [j for j in range(n) if j != i], _KNN_K)
+        for i in range(n)
+    }
+    out = {}
+    for qi in range(min(_N_QUERIES, n)):
+        others = [j for j in range(n) if j != qi]
+        exact = set(topk(qi, others, _TOP_K))
+        agree = (sig == sig[qi]).sum(axis=1)
+        sd = sorted(others, key=lambda j: (-int(agree[j]), ids[j]))[
+            :_GEX_SEEDS
+        ]
+        exp = set(sd)
+        for s_ in sd:
+            exp.update(knn[s_])
+        exp.discard(qi)
+        top_s = topk(qi, sd, _TOP_K)
+        top_e = topk(qi, sorted(exp), _TOP_K)
+        out[ids[qi]] = (
+            len(sd),
+            len(exp),
+            round(len(set(top_s) & exact) / _TOP_K, 6),
+            round(len(set(top_e) & exact) / _TOP_K, 6),
+        )
+    rows = (
+        QUERIES["similarity_graph_expand_topk"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == len(out)
+    for r in rows:
+        ns, ne, rs, re_ = out[r.query_id]
+        assert (r.n_seeds, r.n_expanded) == (ns, ne)
+        assert abs(r.recall_seed_only - rs) < 1e-9
+        assert abs(r.recall_expanded - re_) < 1e-9

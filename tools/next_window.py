@@ -87,6 +87,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "text_term_burstiness",
     "sketch_ams_f2",
     "text_rake_keywords",
+    "similarity_graph_expand_topk",
 )
 
 

@@ -299,6 +299,7 @@ EXTRA = [
     "text_term_burstiness",
     "sketch_ams_f2",
     "text_rake_keywords",
+    "similarity_graph_expand_topk",
 ]
 
 
