@@ -1327,6 +1327,61 @@ def similarity_pq_topk(spark, sf_dir):
 _KNN_K = 3
 _KNN_CAP = 1000  # exact all-pairs baseline bound; LSH/IVF candidates at scale
 
+
+def _directed_knn(spark, sf_dir):
+    """SESSION-PERSISTED directed top-3 cosine kNN edges under
+    _KNN_CAP — the ONE edge relation the mutual-graph query and the
+    graph-expansion ANN share (r16: factored when the expansion
+    landed; the all-pairs scoring is the expensive step and was
+    re-running per consumer — the triangle-counts r16 lesson applied
+    at registration time). ≤ k·cap rows — bounded, the
+    materialized-similarity-graph pattern."""
+
+    def build():
+        v = (
+            _vecs(spark, sf_dir)
+            .filter(F.col("vec_id") < _KNN_CAP)
+            .select(
+                "vec_id",
+                "embedding",
+                S.norm(F.col("embedding")).alias("nrm"),
+            )
+        )
+        a = v.select(
+            F.col("vec_id").alias("src"),
+            F.col("embedding").alias("a_emb"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        b = v.select(
+            F.col("vec_id").alias("dst"),
+            F.col("embedding").alias("b_emb"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        w = Window.partitionBy("src").orderBy(
+            F.desc("cos_sim"), F.asc("dst")
+        )
+        return (
+            a.join(b, F.col("src") != F.col("dst"))
+            .select(
+                "src",
+                "dst",
+                F.round(
+                    S.cosine(
+                        F.col("a_emb"),
+                        F.col("b_emb"),
+                        F.col("a_nrm"),
+                        F.col("b_nrm"),
+                    ),
+                    6,
+                ).alias("cos_sim"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KNN_K)
+            .select("src", "dst", "cos_sim")
+        )
+
+    return session_cached(spark, "similarity_directed_knn", sf_dir, build)
+
 _KNN_ORACLE = f"""
     WITH v AS (
         SELECT vec_id, embedding, {S.norm_sql('embedding')} AS nrm
@@ -1361,40 +1416,7 @@ def similarity_knn_graph(spark, sf_dir):
     filter. Exact all-pairs scoring under a cap as the correctness
     baseline; at scale the scored pairs come from the LSH/IVF/PQ
     candidate generators instead, same downstream mutuality join."""
-    v = (
-        _vecs(spark, sf_dir)
-        .filter(F.col("vec_id") < _KNN_CAP)
-        .select("vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm"))
-    )
-    a = v.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    scored = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                S.cosine(
-                    F.col("a_emb"), F.col("b_emb"), F.col("a_nrm"), F.col("b_nrm")
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    knn = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KNN_K)
-        .select("src", "dst", "cos_sim")
-    )
+    knn = _directed_knn(spark, sf_dir)
     rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
     return (
         knn.join(rev, ["src", "dst"], "left_semi")
@@ -3596,15 +3618,23 @@ def similarity_graph_expand_topk(spark, sf_dir):
     broadcast join of a constant-size seed list against the k-NN edge
     relation; reranks and recalls are per-query windows over
     ≤ seeds·(k+1) rows."""
-    v = (
-        _vecs(spark, sf_dir)
+    # the 32-plane signature expression must be evaluated ONCE into a
+    # persisted relation (operators/similarity.py project_signs
+    # contract) — v feeds q, the candidate side, AND the Hamming
+    # pairs, so an unpersisted sig would replicate the 32×64-literal
+    # expression into every branch
+    v = session_cached(
+        spark,
+        "gex_signatures",
+        sf_dir,
+        lambda: _vecs(spark, sf_dir)
         .filter(F.col("vec_id") < _KNN_CAP)
         .select(
             "vec_id",
             "embedding",
             S.norm(F.col("embedding")).alias("nrm"),
             S.project_signs(F.col("embedding"), _GEX_PLANES).alias("sig"),
-        )
+        ),
     )
     q = v.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -3644,38 +3674,7 @@ def similarity_graph_expand_topk(spark, sf_dir):
         .filter(F.col("rn") <= _GEX_SEEDS)
         .select("query_id", "cand_id")
     )
-    a = v.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    w_knn = Window.partitionBy("src").orderBy(
-        F.desc("cos_sim"), F.asc("dst")
-    )
-    knn = (
-        a.join(b, F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.round(
-                S.cosine(
-                    F.col("a_emb"),
-                    F.col("b_emb"),
-                    F.col("a_nrm"),
-                    F.col("b_nrm"),
-                ),
-                6,
-            ).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_knn))
-        .filter(F.col("rn") <= _KNN_K)
-        .select("src", "dst")
-    )
+    knn = _directed_knn(spark, sf_dir).select("src", "dst")
     expanded = (
         seeds.unionAll(
             seeds.join(

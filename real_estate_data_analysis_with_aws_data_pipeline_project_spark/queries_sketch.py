@@ -1262,15 +1262,17 @@ _AMS_ORACLE = f"""
                CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
         FROM toks
     ),
+    freq AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1
+    ),
     f2x AS (
-        SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact
-        FROM (SELECT CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY token)
+        SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM freq
     ),
     cnt AS (
         SELECT {", ".join(
-            f"CAST(sum({_ams_sign_sql(f'ams{j}')}) AS BIGINT) AS c{j}"
+            f"CAST(sum({_ams_sign_sql(f'ams{j}')} * f) AS BIGINT) AS c{j}"
             for j in range(_AMS_DEPTH))}
-        FROM toks
+        FROM freq
     ),
     est AS (
         SELECT list_sort([{", ".join(
@@ -1324,14 +1326,22 @@ def sketch_ams_f2(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_tokens"),
         F.countDistinct("token").cast("bigint").alias("n_distinct"),
     )
-    f2x = (
-        toks.groupBy("token")
-        .agg(F.count("*").cast("bigint").alias("f"))
-        .agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"))
+    freq = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("f")
     )
-    cnt = toks.agg(
+    f2x = freq.agg(
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact")
+    )
+    # fold the counters over the VOCABULARY grain, not the stream:
+    # c_j = Σ_tokens sign_j·f is the identical sum regrouped, the 63
+    # md5s run |vocab| times instead of |stream| times (measured 12 s
+    # → sub-second at sf0.1), and at scale the frequency relation is
+    # the one the exact-F2 reference already pays for
+    cnt = freq.agg(
         *[
-            F.sum(_ams_sign_col(f"ams{j}")).cast("bigint").alias(f"c{j}")
+            F.sum(_ams_sign_col(f"ams{j}") * F.col("f"))
+            .cast("bigint")
+            .alias(f"c{j}")
             for j in range(_AMS_DEPTH)
         ]
     )
