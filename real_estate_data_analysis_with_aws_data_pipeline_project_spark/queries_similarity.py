@@ -3433,22 +3433,23 @@ def embedding_anisotropy(spark, sf_dir):
             " * 1000000e0 + 0.5e0) AS BIGINT))"
         ).alias("um"),
     )
-    scal = r2.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("norm_micro").cast("bigint").alias("norm_sum"),
-        F.sum(
-            F.expr(
-                "CAST(aggregate(um, CAST(0 AS BIGINT),"
-                " (acc, v) -> acc + v * v) AS BIGINT)"
-            )
-        )
-        .cast("bigint")
-        .alias("usq"),
+    # ONE pass: the per-dim partial relation carries everything — the
+    # global scalars are derivable from the d=64 partials (every row
+    # contributes once to every pos, so per-pos count and per-pos
+    # Σnorm are each exactly the global n and Σnorm), so the
+    # normalize-quantize chain and the explode run ONCE instead of
+    # once per consumer branch (the project_signs evaluate-once rule)
+    ex = r2.select("norm_micro", F.posexplode("um").alias("pos0", "v"))
+    dims = ex.groupBy(F.col("pos0").alias("pos")).agg(
+        F.sum("v").cast("bigint").alias("sd"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vsq"),
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("norm_micro").cast("bigint").alias("ns"),
     )
-    dims = (
-        r2.select(F.posexplode("um").alias("pos0", "v"))
-        .groupBy(F.col("pos0").alias("pos"))
-        .agg(F.sum("v").cast("bigint").alias("sd"))
+    scal = dims.agg(
+        F.max("cnt").cast("bigint").alias("n"),
+        F.max("ns").cast("bigint").alias("norm_sum"),
+        F.sum("vsq").cast("bigint").alias("usq"),
     )
     ss = dims.agg(
         F.sum(F.col("sd").cast("decimal(38,0)") * F.col("sd")).alias("ssum")
