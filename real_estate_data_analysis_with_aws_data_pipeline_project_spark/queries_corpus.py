@@ -1425,3 +1425,122 @@ def corpus_epoch_schedule(spark, sf_dir):
             F.row_number().over(wpos).cast("bigint").alias("pos_in_shard"),
         )
     )
+
+
+# --- Horvitz–Thompson estimation audit (round 16) ------------------------------
+#
+# The estimation HALF of the weighted-sampling story (Horvitz &
+# Thompson 1952, public): corpus_weighted_doc_sample keeps documents
+# with inclusion probability π_i = min(1, K·w_i/ΣW); this audit
+# estimates the corpus TOKEN TOTAL from that same deterministic
+# sample via the HT estimator Ŷ = Σ_kept y_i/π_i and reports it
+# beside the exact total — the end-to-end check that the sampling
+# weights and the estimation weights actually invert each other
+# (the mistake HT catches is dividing by a different π than the one
+# that sampled). Same exact integer keep decision as the sampler
+# (u6·ΣW < K·w·16⁶ — no floats in membership); each HT term is ONE
+# fixed double expression over exact ints (y·ΣW/(K·w), or y when the
+# probability clamps at 1), micro-quantized BEFORE the sum so the
+# reduction is an order-proof integer add. y·ΣW stays inside the
+# double's exact-integer range to ~9e15 token·char products; past
+# that, DECIMAL(38) per the ANOVA bound convention.
+
+_HT_ORACLE = f"""
+    WITH w AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+               {X.token_count_sql()} AS y
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(sum(wt) AS BIGINT) AS total_w,
+               CAST(sum(y) AS BIGINT) AS total_y,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM w
+    ),
+    kept AS (
+        SELECT CASE WHEN {_WSAMPLE_TARGET} * wt >= total_w THEN
+                   CAST(y * 1000000 AS BIGINT)
+               ELSE
+                   CAST(floor(CAST(y AS DOUBLE) * total_w
+                              / ({_WSAMPLE_TARGET} * wt)
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS t_micro
+        FROM w CROSS JOIN tot
+        WHERE {_u6_int_sql('doc_id')} * total_w
+              < {_WSAMPLE_TARGET} * wt * {16 ** 6}
+    )
+    SELECT t.n_docs,
+           CAST(count(k.t_micro) AS BIGINT) AS n_kept,
+           t.total_y AS exact_total_tokens,
+           round(CAST(sum(k.t_micro) AS BIGINT) / 1000000e0, 6)
+               AS ht_estimate,
+           CASE WHEN t.total_y > 0 THEN
+               round(CAST(floor(abs(CAST(sum(k.t_micro) AS DOUBLE)
+                                    / 1000000e0 - t.total_y)
+                                / t.total_y * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS rel_error
+    FROM tot t LEFT JOIN kept k ON TRUE
+    GROUP BY t.n_docs, t.total_y
+"""
+
+
+@register("corpus_ht_token_estimate", _HT_ORACLE)
+def corpus_ht_token_estimate(spark, sf_dir):
+    """Horvitz–Thompson estimate of the corpus token total from the
+    deterministic length-weighted Bernoulli sample, beside the exact
+    total and relative error (see the section comment for the
+    π-inversion contract and the integer membership/quantization
+    chain).
+
+    Scale: identical to corpus_weighted_doc_sample — ΣW/Σy/N are one
+    broadcast aggregate row, the keep decision and HT term are
+    per-row expressions with no shuffle, and the estimate is one
+    map-side-combined integer sum."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        X.token_count().alias("y"),
+    )
+    tot = docs.agg(
+        F.sum("wt").cast("bigint").alias("total_w"),
+        F.sum("y").cast("bigint").alias("total_y"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    kept = (
+        docs.crossJoin(F.broadcast(tot))
+        .filter(
+            _u6_int_col("doc_id") * F.col("total_w")
+            < F.lit(_WSAMPLE_TARGET) * F.col("wt") * F.lit(16 ** 6)
+        )
+        .select(
+            "n_docs",
+            "total_y",
+            F.expr(
+                f"CASE WHEN {_WSAMPLE_TARGET} * wt >= total_w THEN"
+                " CAST(y * 1000000 AS BIGINT)"
+                " ELSE CAST(floor(CAST(y AS DOUBLE) * total_w"
+                f" / ({_WSAMPLE_TARGET} * wt)"
+                " * 1000000e0 + 0.5e0) AS BIGINT) END"
+            ).alias("t_micro"),
+        )
+    )
+    return (
+        tot.join(kept.drop("n_docs", "total_y"), F.lit(True), "left")
+        .groupBy("n_docs", "total_y")
+        .agg(
+            F.count("t_micro").cast("bigint").alias("n_kept"),
+            F.sum("t_micro").cast("bigint").alias("st"),
+        )
+        .select(
+            "n_docs",
+            "n_kept",
+            F.col("total_y").alias("exact_total_tokens"),
+            F.expr("round(st / 1000000e0, 6)").alias("ht_estimate"),
+            F.expr(
+                "CASE WHEN total_y > 0 THEN"
+                " round(CAST(floor(abs(CAST(st AS DOUBLE) / 1000000e0"
+                " - total_y) / total_y * 1000000e0 + 0.5e0) AS BIGINT)"
+                " / 1000000e0, 6) END"
+            ).alias("rel_error"),
+        )
+    )

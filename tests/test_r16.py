@@ -587,3 +587,47 @@ def test_graph_expand_recompute(spark, sf_dir):
         assert (r.n_seeds, r.n_expanded) == (ns, ne)
         assert abs(r.recall_seed_only - rs) < 1e-9
         assert abs(r.recall_expanded - re_) < 1e-9
+
+
+def test_ht_estimate_recompute(spark, sf_dir):
+    """Driver-side md5 recompute of the deterministic inclusion set,
+    the per-row HT terms (with the pi-clamp branch), and the
+    estimate/error chain."""
+    import hashlib
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _WSAMPLE_TARGET,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    rows_in = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars", X.token_count().alias("y"))
+        .collect()
+    )
+    total_w = sum(r.n_chars for r in rows_in)
+    total_y = sum(r.y for r in rows_in)
+    st = 0
+    n_kept = 0
+    for r in rows_in:
+        u6 = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16)
+        if u6 * total_w < _WSAMPLE_TARGET * r.n_chars * 16**6:
+            n_kept += 1
+            if _WSAMPLE_TARGET * r.n_chars >= total_w:
+                st += r.y * 1_000_000
+            else:
+                st += math.floor(
+                    r.y * total_w / (_WSAMPLE_TARGET * r.n_chars) * 1e6
+                    + 0.5
+                )
+    row = QUERIES["corpus_ht_token_estimate"].fn(spark, sf_dir).collect()[0]
+    assert (row.n_docs, row.n_kept) == (len(rows_in), n_kept)
+    assert row.exact_total_tokens == total_y
+    assert abs(row.ht_estimate - round(st / 1e6, 6)) < 1e-9
+    err = math.floor(abs(st / 1e6 - total_y) / total_y * 1e6 + 0.5)
+    assert abs(row.rel_error - round(err / 1e6, 6)) < 1e-9

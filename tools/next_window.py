@@ -88,6 +88,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "sketch_ams_f2",
     "text_rake_keywords",
     "similarity_graph_expand_topk",
+    "corpus_ht_token_estimate",
 )
 
 

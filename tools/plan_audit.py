@@ -300,6 +300,7 @@ EXTRA = [
     "sketch_ams_f2",
     "text_rake_keywords",
     "similarity_graph_expand_topk",
+    "corpus_ht_token_estimate",
 ]
 
 

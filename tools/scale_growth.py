@@ -258,6 +258,9 @@ QUERIES_UNDER_TEST = [
     # RAKE: positional explode (linear in tokens) + a doc-PARTITIONED
     # phrase window + vocabulary/phrase-grain aggregates.
     "text_rake_keywords",
+    # HT audit: one broadcast stats row + per-row keep/term expressions
+    # + one integer sum (the weighted-sample shape plus an estimate).
+    "corpus_ht_token_estimate",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
