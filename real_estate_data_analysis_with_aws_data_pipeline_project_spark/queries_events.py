@@ -19,6 +19,35 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION-PERSISTED (day, c, y_purchases) calendar-grain volume
+    relation — the ONE daily aggregate the changepoint, binseg,
+    conformal, and jackknife queries share (r16 review: each built
+    its own copy, and the day relation feeds 3-6 plan branches per
+    query, so the events fact scan was re-running per branch —
+    the triangle-counts re-derivation pattern at the fact grain).
+    Calendar-bounded rows: dimension-scale, legal to persist."""
+    from .operators.session_cache import session_cached
+
+    def build():
+        return (
+            _events(spark, sf_dir)
+            .select(
+                F.col("ts").cast("date").alias("day"),
+                F.when(F.col("event_type") == "purchase", 1)
+                .otherwise(0)
+                .alias("is_p"),
+            )
+            .groupBy("day")
+            .agg(
+                F.count("*").cast("bigint").alias("c"),
+                F.sum("is_p").cast("bigint").alias("y_purchases"),
+            )
+        )
+
+    return session_cached(spark, "events_daily_volume", sf_dir, build)
+
+
 @register(
     "events_tumbling_window",
     """
@@ -8309,9 +8338,7 @@ def events_volume_changepoint(spark, sf_dir):
     on that bounded days-scale relation — the _seq_day_increments
     family shape (a window over days is metadata-scale, never a
     fact-scale window)."""
-    daily = _events(spark, sf_dir).select(
-        F.col("ts").cast("date").alias("day")
-    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    daily = _daily_volume(spark, sf_dir).select("day", "c")
     g = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("tot"),
@@ -8526,9 +8553,7 @@ def events_volume_binseg(spark, sf_dir):
     over that bounded days-scale relation (the per-side row_number
     window partitions a <= n-days input — metadata-scale, never a
     fact-scale window)."""
-    daily = _events(spark, sf_dir).select(
-        F.col("ts").cast("date").alias("day")
-    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    daily = _daily_volume(spark, sf_dir).select("day", "c")
     g = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("tot"),
@@ -8754,19 +8779,8 @@ def events_ratio_jackknife(spark, sf_dir):
     to calendar grain; the replicates, their two integer sums, and
     the report are all metadata-scale over that bounded days relation
     (the events_volume_changepoint family shape)."""
-    daily = (
-        _events(spark, sf_dir)
-        .select(
-            F.col("ts").cast("date").alias("day"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("is_p"),
-        )
-        .groupBy("day")
-        .agg(
-            F.count("*").cast("bigint").alias("x"),
-            F.sum("is_p").cast("bigint").alias("y"),
-        )
+    daily = _daily_volume(spark, sf_dir).select(
+        "day", F.col("c").alias("x"), F.col("y_purchases").alias("y")
     )
     g = daily.agg(
         F.sum("x").cast("bigint").alias("xt"),
@@ -8932,9 +8946,7 @@ def events_conformal_volume_interval(spark, sf_dir):
     to calendar grain; the split indices, score ranking, quantile
     pick, and coverage count all run on that bounded days-scale
     relation (the changepoint family shape)."""
-    daily = _events(spark, sf_dir).select(
-        F.col("ts").cast("date").alias("day")
-    ).groupBy("day").agg(F.count("*").cast("bigint").alias("c"))
+    daily = _daily_volume(spark, sf_dir).select("day", "c")
     wday = Window.orderBy("day")
     idx = daily.select(
         "day",

@@ -3344,6 +3344,51 @@ def similarity_range_search(spark, sf_dir):
 # divisions of exact integers. Zero vectors (norm² = 0) are excluded
 # on both sides; needs n ≥ 2 (the pair denominator guard).
 
+_ANISO_SCHEMA = "pos int, sd long, vsq long, cnt long, ns long"
+
+
+def _aniso_partials(batches):
+    """Arrow-batched per-dim partials for the anisotropy identity:
+    per batch, the quantize → normsq → norm_micro → unit-micro chain
+    in vectorized float64 with the IDENTICAL per-element IEEE op
+    order as the Catalyst/DuckDB expressions (quantize via the
+    engines' shared round-half-away; /sqrt, ×1e6, +0.5, floor), then
+    d partial rows (pos, Σu, Σu², n, Σnorm_micro). Partials are exact
+    int64 — associative, batch/partition-order-proof (the
+    _gram_partials contract; the expression-tree first cut evaluated
+    the same chain ~6× slower at sf0.1: 3.9 → ~1 s)."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        X = np.asarray(
+            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+        )
+        xm = _half_away_i64(X * 1e6)
+        normsq = (xm * xm).sum(axis=1)
+        keep = normsq > 0
+        xm, normsq = xm[keep], normsq[keep]
+        if len(xm) == 0:
+            continue
+        d = xm.shape[1]
+        root = np.sqrt(normsq.astype(np.float64))
+        norm_micro = np.floor(root + 0.5).astype(np.int64)
+        um = np.floor(
+            xm.astype(np.float64) / root[:, None] * 1e6 + 0.5
+        ).astype(np.int64)
+        yield pd.DataFrame(
+            {
+                "pos": np.arange(d, dtype=np.int32),
+                "sd": um.sum(axis=0, dtype=np.int64),
+                "vsq": (um * um).sum(axis=0, dtype=np.int64),
+                "cnt": np.full(d, len(um), dtype=np.int64),
+                "ns": np.full(d, norm_micro.sum(), dtype=np.int64),
+            }
+        )
+
+
 _ANISO_ORACLE = f"""
     WITH r0 AS (
         SELECT vec_id,
@@ -3411,50 +3456,33 @@ def embedding_anisotropy(spark, sf_dir):
     per-dim sums; the ‖Σu‖² reduction runs over those 64 rows with
     exact decimal(38) products. The identity IS the 100 TB design:
     the naive mean pairwise cosine is n² and this is one scan."""
-    r1 = _vecs(spark, sf_dir).select(
-        F.expr(
-            "transform(embedding,"
-            " x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0, 0) AS BIGINT))"
-        ).alias("xm")
-    ).select(
-        "xm",
-        F.expr(
-            "CAST(aggregate(xm, CAST(0 AS BIGINT),"
-            " (acc, v) -> acc + v * v) AS BIGINT)"
-        ).alias("normsq"),
+    # ONE Arrow-batched pass folds the corpus to d=64 partial rows per
+    # batch; the 64-key merge carries everything — per-pos count and
+    # per-pos Σnorm are each exactly the global n and Σnorm (every
+    # kept row contributes once to every pos)
+    dims = (
+        _vecs(spark, sf_dir)
+        .select("embedding")
+        .mapInPandas(_aniso_partials, schema=_ANISO_SCHEMA)
+        .groupBy("pos")
+        .agg(
+            F.sum("sd").cast("bigint").alias("sd"),
+            F.sum("vsq").cast("bigint").alias("vsq"),
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("ns").cast("bigint").alias("ns"),
+        )
     )
-    r2 = r1.where(F.col("normsq") > 0).select(
-        F.expr(
-            "CAST(floor(sqrt(CAST(normsq AS DOUBLE)) + 0.5e0) AS BIGINT)"
-        ).alias("norm_micro"),
-        F.expr(
-            "transform(xm, v -> CAST(floor(CAST(v AS DOUBLE)"
-            " / sqrt(CAST(normsq AS DOUBLE))"
-            " * 1000000e0 + 0.5e0) AS BIGINT))"
-        ).alias("um"),
-    )
-    # ONE pass: the per-dim partial relation carries everything — the
-    # global scalars are derivable from the d=64 partials (every row
-    # contributes once to every pos, so per-pos count and per-pos
-    # Σnorm are each exactly the global n and Σnorm), so the
-    # normalize-quantize chain and the explode run ONCE instead of
-    # once per consumer branch (the project_signs evaluate-once rule)
-    ex = r2.select("norm_micro", F.posexplode("um").alias("pos0", "v"))
-    dims = ex.groupBy(F.col("pos0").alias("pos")).agg(
-        F.sum("v").cast("bigint").alias("sd"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("vsq"),
-        F.count("*").cast("bigint").alias("cnt"),
-        F.sum("norm_micro").cast("bigint").alias("ns"),
-    )
+    # ONE aggregate over the 64 partials yields all four scalars —
+    # a separate ssum aggregate + crossJoin made Catalyst plan the
+    # whole scan/normalize/explode subtree twice (column pruning
+    # defeats ReuseExchange; r16 review, plan-verified)
     scal = dims.agg(
         F.max("cnt").cast("bigint").alias("n"),
         F.max("ns").cast("bigint").alias("norm_sum"),
         F.sum("vsq").cast("bigint").alias("usq"),
+        F.sum(F.col("sd").cast("decimal(38,0)") * F.col("sd")).alias("ssum"),
     )
-    ss = dims.agg(
-        F.sum(F.col("sd").cast("decimal(38,0)") * F.col("sd")).alias("ssum")
-    )
-    return scal.crossJoin(F.broadcast(ss)).select(
+    return scal.select(
         F.col("n").alias("n_vectors"),
         F.expr(
             "round(CAST(floor(CAST(norm_sum AS DOUBLE) / n + 0.5e0)"

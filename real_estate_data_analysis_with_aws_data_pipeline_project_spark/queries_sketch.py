@@ -1345,13 +1345,13 @@ def sketch_ams_f2(spark, sf_dir):
             for j in range(_AMS_DEPTH)
         ]
     )
-    sq_list = ", ".join(f"c{j} * c{j}" for j in range(_AMS_DEPTH))
+    sq_terms = [f"c{j} * c{j}" for j in range(_AMS_DEPTH)]
     est = cnt.select(
         F.expr(
-            f"sort_array(array({sq_list}))[{_AMS_DEPTH // 2}]"
+            f"sort_array(array({', '.join(sq_terms)}))[{_AMS_DEPTH // 2}]"
         ).alias("ams_f2_median"),
         F.expr(
-            f"CAST(floor(CAST(({sq_list.replace(', ', ' + ')}) AS DOUBLE)"
+            f"CAST(floor(CAST(({' + '.join(sq_terms)}) AS DOUBLE)"
             f" / {_AMS_DEPTH} + 0.5e0) AS BIGINT)"
         ).alias("ams_f2_mean"),
     )

@@ -239,7 +239,11 @@ def test_anisotropy_recompute_and_bounds(spark, sf_dir):
         ],
         dtype=np.float64,
     )
-    xm = np.round(X * 1e6).astype(np.int64)
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _half_away_i64,
+    )
+
+    xm = _half_away_i64(X * 1e6)  # engines' round(), NOT numpy banker's
     normsq = (xm * xm).sum(axis=1)
     keep = normsq > 0
     xm, normsq = xm[keep], normsq[keep]
