@@ -728,3 +728,170 @@ def test_changepoint_integer_argmax_property(counts):
             best_float = (cf, k)
     # ties resolve to the earliest k in both formulations
     assert best_int[1] == best_float[1]
+
+
+# --- round-16 kernel properties ---------------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=4, max_size=40
+    )
+)
+def test_binseg_children_are_segment_local_argmaxes(counts):
+    """Pure-python binseg: (a) the root split equals the single-split
+    CUSUM argmax, (b) each child is the argmax of the SAME integer
+    kernel restricted to its segment, (c) children never straddle the
+    root split."""
+    n = len(counts)
+
+    def argmax(lo, hi):
+        m = hi - lo
+        tot = sum(counts[lo:hi])
+        best = None
+        s = 0
+        for k in range(1, m):
+            s += counts[lo + k - 1]
+            cnum = abs(m * s - k * tot)
+            if best is None or cnum > best[0]:
+                best = (cnum, k)
+        return best
+
+    _, k1 = argmax(0, n)
+    if k1 >= 2:
+        _, kl = argmax(0, k1)
+        assert 1 <= kl < k1  # left child strictly inside [1, k1)
+    if n - k1 >= 2:
+        _, kr = argmax(k1, n)
+        assert 1 <= kr < n - k1  # right child strictly inside its segment
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=10**4), min_size=2, max_size=30
+    )
+)
+def test_jackknife_constant_series_has_zero_se(xs):
+    """For a ratio with identical per-day cells, every replicate
+    equals the full-sample ratio → SE exactly 0 and mean == rate."""
+    days = [(x, x // 2) for x in [xs[0]] * len(xs)]  # constant day cells
+    xt = sum(x for x, _ in days)
+    yt = sum(y for _, y in days)
+    reps = [
+        math.floor((yt - y) / (xt - x) * 1e6 + 0.5)
+        for x, y in days
+        if xt - x > 0
+    ]
+    m, s1, s2 = len(reps), sum(reps), sum(t * t for t in reps)
+    assert m == len(days)
+    var_num = s2 - s1 * s1 / m
+    assert abs(var_num) < 1e-6  # exact replicates → zero spread
+    assert reps[0] == math.floor(yt / xt * 1e6 + 0.5)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=200))
+def test_conformal_rank_is_finite_sample_valid(n_cal):
+    """k = ceil((n_cal+1)·0.8) gives P(score <= q) >= 0.8 under
+    exchangeability — structurally, k/(n_cal+1) >= 0.8 whenever the
+    rank is realizable (k <= n_cal)."""
+    k = math.ceil((n_cal + 1) * 4 / 5)
+    if k <= n_cal:
+        assert k / (n_cal + 1) >= 0.8 - 1e-12
+    else:
+        # infinite-interval regime: 0.8·(n_cal+1) > n_cal ⇔ n_cal < 4
+        assert n_cal < 4
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet="abcdefghij", min_size=1, max_size=4
+        ),
+        st.integers(min_value=1, max_value=1000),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_ams_sign_fold_grain_invariance(freq):
+    """The vocabulary-grain counter Σ sign(t)·f(t) equals the
+    stream-grain counter Σ_stream sign(token) for any frequency
+    vector — the regrouping the r16 perf fix relies on."""
+    import hashlib
+
+    def sign(salt, tok):
+        h = hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:8]
+        return 1 if int(h, 16) % 2 == 0 else -1
+
+    for j in (0, 7, 14):
+        vocab_grain = sum(sign(f"ams{j}", t) * f for t, f in freq.items())
+        stream_grain = sum(
+            sign(f"ams{j}", t) for t, f in freq.items() for _ in range(f)
+        )
+        assert vocab_grain == stream_grain
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=60
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_rake_phrases_partition_content_tokens(tokens_idx, stop_mod):
+    """RAKE phrase splitting: candidate phrases (uncapped) partition
+    the content tokens exactly — every non-stop token lands in
+    exactly one phrase, phrases contain no stopwords, and order is
+    preserved within a phrase."""
+    vocab = [f"w{i}" for i in range(10)]
+    stop = {v for i, v in enumerate(vocab) if i % 5 == stop_mod % 5}
+    toks = [vocab[i] for i in tokens_idx]
+    phrases = []
+    cur = []
+    for t in toks + [next(iter(stop))]:
+        if t in stop:
+            if cur:
+                phrases.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    assert sum(len(p) for p in phrases) == sum(
+        1 for t in toks if t not in stop
+    )
+    for p in phrases:
+        assert all(t not in stop for t in p)
+    flat = [t for p in phrases for t in p]
+    assert flat == [t for t in toks if t not in stop]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**6),  # weight (n_chars)
+            st.integers(min_value=0, max_value=10**4),  # y (tokens)
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_ht_estimator_exact_when_all_probabilities_clamp(rows):
+    """When K·w_i >= ΣW for every document (inclusion probability
+    clamps to 1), every document is kept and the HT estimate equals
+    the exact total — the π-inversion identity at the degenerate
+    point."""
+    total_w = sum(w for w, _ in rows)
+    K = total_w  # K large enough that K·w >= ΣW for all w >= 1
+    st_sum = 0
+    n_kept = 0
+    for i, (w, y) in enumerate(rows):
+        # u6 < 16^6 always, so u6·ΣW < K·w·16^6 ⇔ u6 < w·16^6 (K=ΣW)
+        # holds for every w >= 1 — all rows kept
+        n_kept += 1
+        assert K * w >= total_w
+        st_sum += y * 1_000_000
+    assert n_kept == len(rows)
+    assert st_sum / 1e6 == sum(y for _, y in rows)
