@@ -2070,6 +2070,18 @@ def _half_away_i64(p):
     return np.copysign(f + (a - f >= 0.5), p).astype(np.int64)
 
 
+def _stack_embeddings(pdf):
+    """float64 row-stack of an Arrow batch's embedding column — the
+    ONE stacking/widening step both Arrow kernels (_gram_partials,
+    _aniso_partials) share, so the float32→float64 widening contract
+    can never diverge between them (r16 review)."""
+    import numpy as np
+
+    return np.asarray(
+        [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+    )
+
+
 def _gram_partials(batches):
     """Arrow-batched partial Gramian: per batch, ONE (d, d) int64
     accumulation of the micro-unit products round(x_i*x_j*1e6) plus the
@@ -2085,9 +2097,7 @@ def _gram_partials(batches):
         n = len(pdf)
         if n == 0:
             continue
-        X = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-        )
+        X = _stack_embeddings(pdf)
         d = X.shape[1]
         gram = np.zeros((d, d), dtype=np.int64)
         sxv = np.zeros(d, dtype=np.int64)
@@ -3363,9 +3373,7 @@ def _aniso_partials(batches):
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        X = np.asarray(
-            [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-        )
+        X = _stack_embeddings(pdf)
         xm = _half_away_i64(X * 1e6)
         normsq = (xm * xm).sum(axis=1)
         keep = normsq > 0
@@ -3477,7 +3485,10 @@ def embedding_anisotropy(spark, sf_dir):
     # whole scan/normalize/explode subtree twice (column pruning
     # defeats ReuseExchange; r16 review, plan-verified)
     scal = dims.agg(
-        F.max("cnt").cast("bigint").alias("n"),
+        # empty/all-zero corpus: dims has no rows, max→NULL, but the
+        # oracle's count(*) over the empty kept set reads 0 — align
+        # the degenerate row (the Benford empty-table ADVICE class)
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("bigint").alias("n"),
         F.max("ns").cast("bigint").alias("norm_sum"),
         F.sum("vsq").cast("bigint").alias("usq"),
         F.sum(F.col("sd").cast("decimal(38,0)") * F.col("sd")).alias("ssum"),

@@ -737,58 +737,79 @@ def test_changepoint_integer_argmax_property(counts):
 @given(
     st.lists(
         st.integers(min_value=0, max_value=10**6), min_size=4, max_size=40
-    )
+    ),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=1, max_value=100),
 )
-def test_binseg_children_are_segment_local_argmaxes(counts):
-    """Pure-python binseg: (a) the root split equals the single-split
-    CUSUM argmax, (b) each child is the argmax of the SAME integer
-    kernel restricted to its segment, (c) children never straddle the
-    root split."""
-    n = len(counts)
+def test_binseg_argmax_translation_and_scale_invariance(counts, shift, mult):
+    """The integer CUSUM score |m·S_k − k·T| is EXACTLY invariant
+    under count translation (S_k += c·k and T += c·m cancel) and
+    scales by m under count scaling — so every binseg split day is
+    identical for counts, counts+shift, and counts·mult. Run through
+    the SAME reference implementation test_r16 ties to the production
+    query (not a local re-derivation)."""
+    import datetime
 
-    def argmax(lo, hi):
-        m = hi - lo
-        tot = sum(counts[lo:hi])
-        best = None
-        s = 0
-        for k in range(1, m):
-            s += counts[lo + k - 1]
-            cnum = abs(m * s - k * tot)
-            if best is None or cnum > best[0]:
-                best = (cnum, k)
-        return best
+    from tests.test_r16 import _binseg_expected
 
-    _, k1 = argmax(0, n)
-    if k1 >= 2:
-        _, kl = argmax(0, k1)
-        assert 1 <= kl < k1  # left child strictly inside [1, k1)
-    if n - k1 >= 2:
-        _, kr = argmax(k1, n)
-        assert 1 <= kr < n - k1  # right child strictly inside its segment
+    base_day = datetime.date(2024, 1, 1)
+    def days_of(vals):
+        return {
+            base_day + datetime.timedelta(days=i): v
+            for i, v in enumerate(vals)
+        }
+
+    ref = _binseg_expected(days_of(counts))
+    shifted = _binseg_expected(days_of([c + shift for c in counts]))
+    scaled = _binseg_expected(days_of([c * mult for c in counts]))
+    assert set(ref) == set(shifted) == set(scaled)
+    for role in ref:
+        # same split day and local index everywhere; the scaled run's
+        # score is exactly mult x the reference score
+        assert ref[role][1] == shifted[role][1] == scaled[role][1]
+        assert ref[role][2] == shifted[role][2] == scaled[role][2]
+        assert scaled[role][0] == ref[role][0] * mult
 
 
 @settings(max_examples=50, deadline=None)
 @given(
     st.lists(
-        st.integers(min_value=1, max_value=10**4), min_size=2, max_size=30
+        st.tuples(
+            st.integers(min_value=1, max_value=10**4),  # x: day events
+            st.integers(min_value=0, max_value=10**4),  # y: day purchases
+        ),
+        min_size=2,
+        max_size=30,
     )
 )
-def test_jackknife_constant_series_has_zero_se(xs):
-    """For a ratio with identical per-day cells, every replicate
-    equals the full-sample ratio → SE exactly 0 and mean == rate."""
-    days = [(x, x // 2) for x in [xs[0]] * len(xs)]  # constant day cells
+def test_jackknife_replicates_double_entry(days):
+    """Each replicate computed two ways — totals-minus-day vs the sum
+    over the OTHER days — must agree exactly; the S1/S2 spread is
+    non-negative; and a constant series yields zero spread with every
+    replicate equal to the full-sample ratio."""
     xt = sum(x for x, _ in days)
     yt = sum(y for _, y in days)
-    reps = [
-        math.floor((yt - y) / (xt - x) * 1e6 + 0.5)
-        for x, y in days
-        if xt - x > 0
-    ]
-    m, s1, s2 = len(reps), sum(reps), sum(t * t for t in reps)
-    assert m == len(days)
-    var_num = s2 - s1 * s1 / m
-    assert abs(var_num) < 1e-6  # exact replicates → zero spread
-    assert reps[0] == math.floor(yt / xt * 1e6 + 0.5)
+    reps = []
+    for i, (x, y) in enumerate(days):
+        if xt - x <= 0:
+            continue
+        other_x = sum(xx for j, (xx, _) in enumerate(days) if j != i)
+        other_y = sum(yy for j, (_, yy) in enumerate(days) if j != i)
+        assert (other_x, other_y) == (xt - x, yt - y)  # double entry
+        reps.append(math.floor((yt - y) / (xt - x) * 1e6 + 0.5))
+    if len(reps) >= 2:
+        m, s1, s2 = len(reps), sum(reps), sum(t * t for t in reps)
+        assert m * s2 - s1 * s1 >= 0  # Cauchy–Schwarz: spread >= 0
+    const = [(days[0][0], days[0][1])] * len(days)
+    cxt = sum(x for x, _ in const)
+    if cxt - const[0][0] > 0:
+        crep = {
+            math.floor(
+                (sum(y for _, y in const) - y) / (cxt - x) * 1e6 + 0.5
+            )
+            for x, y in const
+        }
+        assert len(crep) == 1  # constant series -> all replicates equal
 
 
 @settings(max_examples=50, deadline=None)
@@ -805,33 +826,78 @@ def test_conformal_rank_is_finite_sample_valid(n_cal):
         assert n_cal < 4
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=20, deadline=None)
 @given(
-    st.dictionaries(
-        st.text(
-            alphabet="abcdefghij", min_size=1, max_size=4
-        ),
-        st.integers(min_value=1, max_value=1000),
+    st.lists(
+        st.text(alphabet="abcdefghij0123456789", min_size=1, max_size=8),
         min_size=1,
-        max_size=30,
+        max_size=15,
+        unique=True,
     )
 )
-def test_ams_sign_fold_grain_invariance(freq):
-    """The vocabulary-grain counter Σ sign(t)·f(t) equals the
-    stream-grain counter Σ_stream sign(token) for any frequency
-    vector — the regrouping the r16 perf fix relies on."""
+def test_ams_sign_sql_matches_python_md5(tokens):
+    """Cross-implementation check of the PRODUCTION sign SQL: DuckDB
+    evaluating queries_sketch._ams_sign_sql must produce the same ±1
+    as the python md5 recompute, for every salt index — this pins the
+    salt format, hex-prefix width, and parity modulus the
+    vocabulary-grain fold relies on."""
     import hashlib
 
-    def sign(salt, tok):
-        h = hashlib.md5(f"{salt}:{tok}".encode()).hexdigest()[:8]
-        return 1 if int(h, 16) % 2 == 0 else -1
+    import duckdb
 
-    for j in (0, 7, 14):
-        vocab_grain = sum(sign(f"ams{j}", t) * f for t, f in freq.items())
-        stream_grain = sum(
-            sign(f"ams{j}", t) for t, f in freq.items() for _ in range(f)
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_sketch import (
+        _ams_sign_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT unnest(?) AS token", [tokens]
+    )
+    for j in (0, 31, 62):
+        got = dict(
+            con.execute(
+                f"SELECT token, {_ams_sign_sql(f'ams{j}')} FROM t"
+            ).fetchall()
         )
-        assert vocab_grain == stream_grain
+        for tok in tokens:
+            h = hashlib.md5(f"ams{j}:{tok}".encode()).hexdigest()[:8]
+            want = 1 if int(h, 16) % 2 == 0 else -1
+            assert got[tok] == want, (j, tok)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # doc_id
+            st.integers(min_value=1, max_value=10**6),  # weight
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=50),
+)
+def test_ht_keep_set_monotone_in_target(rows, k_small):
+    """The PRODUCTION keep inequality u6·ΣW < K·w·16⁶ (real md5 u6,
+    the corpus_ht/weighted-sample membership rule) is monotone in the
+    target K: raising K can only ADD documents, never drop one."""
+    import hashlib
+
+    total_w = sum(w for _, w in rows)
+
+    def keep_set(K):
+        out = set()
+        for doc_id, w in rows:
+            u6 = int(
+                hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16
+            )
+            if u6 * total_w < K * w * 16**6:
+                out.add(doc_id)
+        return out
+
+    small, large = keep_set(k_small), keep_set(k_small * 3)
+    assert small <= large
 
 
 @settings(max_examples=50, deadline=None)
@@ -865,33 +931,3 @@ def test_rake_phrases_partition_content_tokens(tokens_idx, stop_mod):
         assert all(t not in stop for t in p)
     flat = [t for p in phrases for t in p]
     assert flat == [t for t in toks if t not in stop]
-
-
-@settings(max_examples=50, deadline=None)
-@given(
-    st.lists(
-        st.tuples(
-            st.integers(min_value=1, max_value=10**6),  # weight (n_chars)
-            st.integers(min_value=0, max_value=10**4),  # y (tokens)
-        ),
-        min_size=1,
-        max_size=50,
-    )
-)
-def test_ht_estimator_exact_when_all_probabilities_clamp(rows):
-    """When K·w_i >= ΣW for every document (inclusion probability
-    clamps to 1), every document is kept and the HT estimate equals
-    the exact total — the π-inversion identity at the degenerate
-    point."""
-    total_w = sum(w for w, _ in rows)
-    K = total_w  # K large enough that K·w >= ΣW for all w >= 1
-    st_sum = 0
-    n_kept = 0
-    for i, (w, y) in enumerate(rows):
-        # u6 < 16^6 always, so u6·ΣW < K·w·16^6 ⇔ u6 < w·16^6 (K=ΣW)
-        # holds for every w >= 1 — all rows kept
-        n_kept += 1
-        assert K * w >= total_w
-        st_sum += y * 1_000_000
-    assert n_kept == len(rows)
-    assert st_sum / 1e6 == sum(y for _, y in rows)

@@ -635,3 +635,33 @@ def test_ht_estimate_recompute(spark, sf_dir):
     assert abs(row.ht_estimate - round(st / 1e6, 6)) < 1e-9
     err = math.floor(abs(st / 1e6 - total_y) / total_y * 1e6 + 0.5)
     assert abs(row.rel_error - round(err / 1e6, 6)) < 1e-9
+
+
+def test_anisotropy_empty_corpus_matches_oracle(spark, sf_dir, tmp_path):
+    """r16 review: with an empty embeddings table the Spark aggregate
+    read n_vectors NULL (max over zero partial rows) while the oracle
+    counted 0 — the Benford empty-table ADVICE class. Both sides now
+    report n_vectors = 0 with NULL statistics and must value-hash
+    identically."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from tests.oracle import _norm_rows
+
+    src = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    empty = str(tmp_path / "embeddings.parquet")
+    pq.write_table(src.slice(0, 0), empty)
+
+    spec = QUERIES["embedding_anisotropy"]
+    sdf = spec.fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{empty}')"
+    )
+    odf = con.execute(spec.oracle).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert len(sdf) == len(odf) == 1
+    s_rows = _norm_rows(list(sdf.columns), sdf.itertuples(index=False, name=None))
+    o_rows = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
+    assert s_rows == o_rows, (s_rows, o_rows)
+    assert sdf.iloc[0]["n_vectors"] == 0
