@@ -1706,3 +1706,198 @@ def text_rake_keywords(spark, sf_dir):
             F.expr("round(score_micro / 1000000e0, 6)").alias("rake_score"),
         )
     )
+
+
+# --- TextRank keywords (round 16) -----------------------------------------------
+#
+# TextRank (Mihalcea & Tarau 2004, public): PageRank over the word
+# co-occurrence graph — nodes are content words (the shared EN
+# stopword profile filters, as in RAKE), an undirected edge joins two
+# distinct content words co-occurring within a window of 2 positions
+# in the raw token stream (adjacent, or separated by one token),
+# WEIGHTED by the co-occurrence count (the paper's weighted variant —
+# the unweighted graph is a near-clique on this corpus's compact
+# vocabulary and ranks degenerate to a constant; measured before the
+# weights were added). Ranking runs the repo's fixed-point INTEGER
+# PageRank kernel (graph_pagerank_orders' conventions: pr in 1e-7
+# units, contribution (pr·w) // strength with truncating division —
+# all values positive, so Spark's div and DuckDB's // agree — damping
+# (85·Σ)//100, teleport 1 500 000 exactly, 3 unrolled iterations), so
+# the result is bit-identical under any partitioning with no float
+# sum-order channel. The pair expansion is map-side over each
+# document's token array (each position looks at the next TWO
+# positions — never a positional self-join); the edge set is
+# vocabulary²-bounded. Top-20 orders on the exact integer pr,
+# tie-broken by token.
+
+_TRANK_SCALE = 10_000_000
+_TRANK_TELEPORT = 1_500_000
+_TRANK_ITERS = 3
+_TRANK_TOP = 20
+_TRANK_STOP = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+
+_TRANK_PAIRS_SQL = f"""
+    d AS (SELECT {X.tokens_sql()} AS toks FROM documents),
+    raw_pairs AS (
+        SELECT p.tu, p.tv
+        FROM d, unnest(list_filter(flatten(list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> [struct_pack(tu := toks[CAST(i AS INT)],
+                                   tv := toks[CAST(i AS INT) + 1]),
+                       struct_pack(tu := toks[CAST(i AS INT)],
+                                   tv := CASE WHEN i + 2 <= len(toks)
+                                              THEN toks[CAST(i AS INT) + 2]
+                                              END)])),
+                 p -> p.tv IS NOT NULL AND p.tu <> p.tv
+                      AND p.tu NOT IN ({_TRANK_STOP})
+                      AND p.tv NOT IN ({_TRANK_STOP}))) AS u(p)
+    ),
+    edges0 AS (
+        SELECT least(tu, tv) AS u, greatest(tu, tv) AS v,
+               CAST(count(*) AS BIGINT) AS w
+        FROM raw_pairs GROUP BY 1, 2
+    ),
+    dir AS (
+        SELECT u AS src, v AS dst, w FROM edges0
+        UNION ALL
+        SELECT v, u, w FROM edges0
+    ),
+    deg AS (
+        SELECT src, CAST(count(*) AS BIGINT) AS outdeg,
+               CAST(sum(w) AS BIGINT) AS strength
+        FROM dir GROUP BY 1
+    )
+"""
+
+
+def _trank_iter_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+        SELECT n.src AS id,
+               CAST({_TRANK_TELEPORT}
+                    + (85 * coalesce(m.s, 0)) // 100 AS BIGINT) AS pr
+        FROM deg n LEFT JOIN (
+            SELECT e.dst, CAST(sum((p.pr * e.w) // d.strength)
+                               AS BIGINT) AS s
+            FROM dir e
+            JOIN {prev} p ON p.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) m ON m.dst = n.src
+    )"""
+
+
+_TEXTRANK_ORACLE = f"""
+    WITH {_TRANK_PAIRS_SQL},
+    pr0 AS (
+        SELECT src AS id, CAST({_TRANK_SCALE} AS BIGINT) AS pr FROM deg
+    ),
+    {",".join(_trank_iter_sql(f"pr{i}", f"pr{i + 1}")
+              for i in range(_TRANK_ITERS))}
+    SELECT p.id AS token, d.outdeg AS degree, p.pr AS textrank_fp
+    FROM pr{_TRANK_ITERS} p JOIN deg d ON d.src = p.id
+    ORDER BY p.pr DESC, p.id
+    LIMIT {_TRANK_TOP}
+"""
+
+
+@register("text_textrank_keywords", _TEXTRANK_ORACLE)
+def text_textrank_keywords(spark, sf_dir):
+    """Top-20 TextRank keywords: 3 unrolled fixed-point integer
+    PageRank iterations over the window-2 content-word co-occurrence
+    graph (see the section comment for the kernel conventions shared
+    with graph_pagerank_orders).
+
+    Scale: the pair expansion is map-side per document (each position
+    inspects the next two — linear in tokens, no positional join);
+    the graph is vocabulary-bounded, so the per-iteration
+    edges⋈rank + groupBy(dst) Pregel step runs on a dimension-scale
+    relation (session-persisted — the pagerank_edges precedent);
+    integer fixed-point removes the float sum-order channel."""
+    from .operators.session_cache import session_cached
+
+    def build_dir():
+        toks = load_table(spark, sf_dir, "documents").select(
+            X.tokens().alias("toks")
+        )
+        stop_list = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+        pairs = toks.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform("
+                    " sequence(1, size(toks) - 1),"
+                    " i -> array("
+                    "   struct(element_at(toks, i) AS tu,"
+                    "          element_at(toks, i + 1) AS tv),"
+                    "   struct(element_at(toks, i) AS tu,"
+                    "          CASE WHEN i + 2 <= size(toks)"
+                    "               THEN element_at(toks, i + 2) END AS tv"
+                    "   )))),"
+                    " p -> p.tv IS NOT NULL AND p.tu <> p.tv"
+                    f" AND p.tu NOT IN ({stop_list})"
+                    f" AND p.tv NOT IN ({stop_list}))"
+                )
+            ).alias("p")
+        )
+        edges0 = (
+            pairs.select(
+                F.least("p.tu", "p.tv").alias("u"),
+                F.greatest("p.tu", "p.tv").alias("v"),
+            )
+            .groupBy("u", "v")
+            .agg(F.count("*").cast("bigint").alias("w"))
+        )
+        return edges0.select(
+            F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+        ).unionAll(
+            edges0.select(
+                F.col("v").alias("src"), F.col("u").alias("dst"), "w"
+            )
+        )
+    dir_edges = session_cached(
+        spark, "textrank_dir_edges", sf_dir, build_dir
+    )
+    deg = session_cached(
+        spark,
+        "textrank_deg",
+        sf_dir,
+        lambda: dir_edges.groupBy("src").agg(
+            F.count("*").cast("bigint").alias("outdeg"),
+            F.sum("w").cast("bigint").alias("strength"),
+        ),
+    )
+    edges_w = dir_edges.join(deg, "src").select(
+        "src", "dst", "w", "strength"
+    )
+    pr = deg.select(
+        F.col("src").alias("id"),
+        F.lit(_TRANK_SCALE).cast("bigint").alias("pr"),
+    )
+    for _ in range(_TRANK_ITERS):
+        contrib = (
+            edges_w.join(pr, pr["id"] == edges_w["src"])
+            .select(
+                "dst", F.expr("(pr * w) div strength").alias("contrib")
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").cast("bigint").alias("s"))
+        )
+        pr = deg.join(
+            contrib, deg["src"] == contrib["dst"], "left"
+        ).select(
+            F.col("src").alias("id"),
+            F.expr(
+                f"CAST({_TRANK_TELEPORT}"
+                " + (85 * coalesce(s, 0)) div 100 AS BIGINT)"
+            ).alias("pr"),
+        )
+    return (
+        pr.join(deg, pr["id"] == deg["src"])
+        .select(
+            F.col("id").alias("token"),
+            F.col("outdeg").alias("degree"),
+            F.col("pr").alias("textrank_fp"),
+        )
+        .orderBy(F.desc("textrank_fp"), "token")
+        .limit(_TRANK_TOP)
+    )

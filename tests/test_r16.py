@@ -665,3 +665,63 @@ def test_anisotropy_empty_corpus_matches_oracle(spark, sf_dir, tmp_path):
     o_rows = _norm_rows(list(odf.columns), odf.itertuples(index=False, name=None))
     assert s_rows == o_rows, (s_rows, o_rows)
     assert sdf.iloc[0]["n_vectors"] == 0
+
+
+def test_textrank_recompute(spark, sf_dir):
+    """Driver-side recompute of the full weighted-TextRank chain:
+    window-2 pair expansion, stopword filter, weighted edges,
+    strength, and the 3 integer fixed-point iterations."""
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators import (
+        text as X,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_text2 import (
+        _TRANK_ITERS,
+        _TRANK_SCALE,
+        _TRANK_TELEPORT,
+        _TRANK_TOP,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    stop = set(X.EN_STOPWORDS)
+    w: Counter = Counter()
+    for r in (
+        load_table(spark, sf_dir, "documents")
+        .select(X.tokens().alias("toks"))
+        .collect()
+    ):
+        toks = list(r.toks)
+        for i, tu in enumerate(toks):
+            for j in (i + 1, i + 2):
+                if j >= len(toks):
+                    continue
+                tv = toks[j]
+                if tu == tv or tu in stop or tv in stop:
+                    continue
+                w[(min(tu, tv), max(tu, tv))] += 1
+    adj: defaultdict = defaultdict(dict)
+    for (u, v), c in w.items():
+        adj[u][v] = c
+        adj[v][u] = c
+    strength = {u: sum(nb.values()) for u, nb in adj.items()}
+    outdeg = {u: len(nb) for u, nb in adj.items()}
+    pr = {u: _TRANK_SCALE for u in adj}
+    for _ in range(_TRANK_ITERS):
+        inbox: Counter = Counter()
+        for u, nb in adj.items():
+            for v, c in nb.items():
+                inbox[v] += (pr[u] * c) // strength[u]
+        pr = {
+            u: _TRANK_TELEPORT + (85 * inbox.get(u, 0)) // 100
+            for u in adj
+        }
+    expect = sorted(((-p, t) for t, p in pr.items()))[:_TRANK_TOP]
+    rows = QUERIES["text_textrank_keywords"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(expect)
+    for r, (negp, t) in zip(rows, expect):
+        assert r.token == t
+        assert r.textrank_fp == -negp
+        assert r.degree == outdeg[t]

@@ -89,6 +89,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "text_rake_keywords",
     "similarity_graph_expand_topk",
     "corpus_ht_token_estimate",
+    "text_textrank_keywords",
 )
 
 

@@ -301,6 +301,7 @@ EXTRA = [
     "text_rake_keywords",
     "similarity_graph_expand_topk",
     "corpus_ht_token_estimate",
+    "text_textrank_keywords",
 ]
 
 

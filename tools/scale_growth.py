@@ -261,6 +261,9 @@ QUERIES_UNDER_TEST = [
     # HT audit: one broadcast stats row + per-row keep/term expressions
     # + one integer sum (the weighted-sample shape plus an estimate).
     "corpus_ht_token_estimate",
+    # TextRank: map-side pair expansion (linear in tokens) + Pregel
+    # iterations over the vocabulary-bounded weighted word graph.
+    "text_textrank_keywords",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
