@@ -1407,3 +1407,141 @@ def join_dynamic_partition_pruning(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --- per-column data profile (round 16) -----------------------------------------
+#
+# The classic data-profiling pass (Abedjan, Golab & Naumann's survey,
+# public): for EVERY column of the orders table, the null count,
+# exact distinct count, uniqueness ratio, mode frequency (the
+# constancy signal), and a candidate-key flag — the profile a
+# pipeline runs before trusting a feed's keys and before choosing
+# partition/bucket columns. Determinism without a value channel: the
+# mode's VALUE never crosses engines (double/timestamp stringification
+# differs between Spark and DuckDB) — only its COUNT does, grouped on
+# the native value inside each engine; nulls are excluded from the
+# mode per convention; ratios are micro-quantized exact-integer
+# divisions; is_candidate_key is the integer conjunction
+# n_distinct = n_rows AND n_nulls = 0. One profile row per column,
+# ordered by column name.
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = f"""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {", ".join(
+                   f"CAST(count(DISTINCT {c}) AS BIGINT) AS d_{c},"
+                   f" CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                   f" AS BIGINT) AS z_{c}"
+                   for c in _PROFILE_COLS)}
+        FROM orders
+    ),
+    {", ".join(
+        f'''m_{c} AS (
+        SELECT CAST(max(cnt) AS BIGINT) AS mc FROM (
+            SELECT count(*) AS cnt FROM orders
+            WHERE {c} IS NOT NULL GROUP BY {c}
+        )
+    )''' for c in _PROFILE_COLS)},
+    prof AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, b.n_rows, b.z_{c} AS n_nulls,"
+            f" b.d_{c} AS n_distinct, m_{c}.mc AS mode_count"
+            f" FROM base b CROSS JOIN m_{c}"
+            for c in _PROFILE_COLS)}
+    )
+    SELECT col_name, n_rows, n_nulls, n_distinct,
+           CASE WHEN n_rows > 0 THEN
+               round(CAST(floor(CAST(n_distinct AS DOUBLE) / n_rows
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS uniqueness,
+           mode_count,
+           CASE WHEN n_rows - n_nulls > 0 THEN
+               round(CAST(floor(CAST(mode_count AS DOUBLE)
+                                / (n_rows - n_nulls)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS mode_share,
+           CAST(CASE WHEN n_distinct = n_rows AND n_nulls = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_candidate_key
+    FROM prof
+    ORDER BY col_name
+"""
+
+
+@register("dq_column_profile", _PROFILE_ORACLE)
+def dq_column_profile(spark, sf_dir):
+    """Per-column profile of the orders feed: nulls, exact distinct,
+    uniqueness, mode frequency, candidate-key flag (see the section
+    comment for why the mode's value never crosses engines).
+
+    Scale: the null/distinct pass is ONE aggregate (Spark plans the
+    multi-distinct via expand — a single scan); each mode is one
+    map-side-combined groupBy collapsed to a 1-row max, broadcast
+    back — |columns| bounded passes over a columnar scan that prunes
+    to one column each, the access pattern profilers run. At
+    warehouse scale the distinct counts would downgrade to HLL
+    (sketch_hll_union's kernel) — exact here, where the correctness
+    bar is exactness."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        *[
+            e
+            for c in _PROFILE_COLS
+            for e in (
+                F.countDistinct(c).cast("bigint").alias(f"d_{c}"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"z_{c}"),
+            )
+        ],
+    )
+    prof = None
+    for c in _PROFILE_COLS:
+        mode_c = (
+            orders.where(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count("*").alias("cnt"))
+            .agg(F.max("cnt").cast("bigint").alias("mode_count"))
+        )
+        row = (
+            base.crossJoin(F.broadcast(mode_c))
+            .select(
+                F.lit(c).alias("col_name"),
+                "n_rows",
+                F.col(f"z_{c}").alias("n_nulls"),
+                F.col(f"d_{c}").alias("n_distinct"),
+                "mode_count",
+            )
+        )
+        prof = row if prof is None else prof.unionAll(row)
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.expr(
+            "CASE WHEN n_rows > 0 THEN"
+            " round(CAST(floor(CAST(n_distinct AS DOUBLE) / n_rows"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("uniqueness"),
+        "mode_count",
+        F.expr(
+            "CASE WHEN n_rows - n_nulls > 0 THEN"
+            " round(CAST(floor(CAST(mode_count AS DOUBLE)"
+            " / (n_rows - n_nulls)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("mode_share"),
+        F.expr(
+            "CAST(CASE WHEN n_distinct = n_rows AND n_nulls = 0"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("is_candidate_key"),
+    ).orderBy("col_name")

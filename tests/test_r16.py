@@ -725,3 +725,47 @@ def test_textrank_recompute(spark, sf_dir):
         assert r.token == t
         assert r.textrank_fp == -negp
         assert r.degree == outdeg[t]
+
+
+def test_column_profile_recompute(spark, sf_dir):
+    """Driver-side recompute of every column's nulls/distinct/mode
+    profile and the candidate-key conjunction."""
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_pipeline import (
+        _PROFILE_COLS,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    data = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS).collect()
+    rows = {
+        r.col_name: r
+        for r in QUERIES["dq_column_profile"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(_PROFILE_COLS)
+    n = len(data)
+    for c in _PROFILE_COLS:
+        vals = [getattr(r, c) for r in data]
+        nulls = sum(1 for v in vals if v is None)
+        nonnull = [v for v in vals if v is not None]
+        distinct = len(set(nonnull)) + (1 if nulls else 0)
+        # countDistinct / count(DISTINCT c) EXCLUDE nulls in both engines
+        distinct = len(set(nonnull))
+        mode_count = max(Counter(nonnull).values()) if nonnull else 0
+        r = rows[c]
+        assert (r.n_rows, r.n_nulls, r.n_distinct) == (n, nulls, distinct)
+        assert r.mode_count == mode_count
+        assert abs(
+            r.uniqueness
+            - round(math.floor(distinct / n * 1e6 + 0.5) / 1e6, 6)
+        ) < 1e-9
+        if n - nulls:
+            assert abs(
+                r.mode_share
+                - round(
+                    math.floor(mode_count / (n - nulls) * 1e6 + 0.5) / 1e6, 6
+                )
+            ) < 1e-9
+        assert r.is_candidate_key == int(distinct == n and nulls == 0)

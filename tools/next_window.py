@@ -90,6 +90,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "similarity_graph_expand_topk",
     "corpus_ht_token_estimate",
     "text_textrank_keywords",
+    "dq_column_profile",
 )
 
 

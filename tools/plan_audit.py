@@ -302,6 +302,7 @@ EXTRA = [
     "similarity_graph_expand_topk",
     "corpus_ht_token_estimate",
     "text_textrank_keywords",
+    "dq_column_profile",
 ]
 
 
