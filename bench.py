@@ -283,12 +283,24 @@ def main() -> None:
             if k in result
         }
     )
+    # Stolen-host guard (r16: a calibration-1.2 run inflated eight
+    # unchanged-plan rows past 2x and tripped the gate; minutes later
+    # the idle probe read 1.81-2.00). The probe is a pure single-
+    # thread Python loop — Spark plan cost cannot move it — so a
+    # ratio past the bar is direct evidence the WALLS are inflated by
+    # the host, not by plans. The regressions are still REPORTED
+    # (tagged), but the non-zero exit is withheld: failing CI on host
+    # weather trains people to ignore the gate.
+    host_stolen = result["host_calibration_ratio"] > 1.5
+    if regressed and host_stolen:
+        result["regressions_unreliable_host_stolen"] = True
+        compact["regressions_unreliable_host_stolen"] = True
     # leading newline: if any earlier write (e.g. a merged-stderr
     # progress fragment under 2>&1 capture) left a partial line, the
     # full JSON still starts at column 0 and stays line-parsable
     print("\n" + json.dumps(result), flush=True)
     print(json.dumps(compact), flush=True)
-    if regressed:
+    if regressed and not host_stolen:
         sys.exit(1)
 
 
