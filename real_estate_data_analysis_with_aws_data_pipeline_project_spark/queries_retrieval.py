@@ -2963,3 +2963,194 @@ def retrieval_contamination_eval(spark, sf_dir):
         )
         .orderBy("retriever")
     )
+
+
+# --- mean-average-precision evaluation (round 16) ------------------------------
+#
+# The rank-position-weighted member completing the offline retrieval
+# dashboard: NDCG grades the whole graded ordering, MRR the first
+# clear hit, recall@10 the coverage, RBO the retriever agreement —
+# average precision (the per-query term of MAP, the TREC headline
+# number) integrates precision over every relevant hit's rank, so it
+# rewards FRONT-LOADING the relevant documents where NDCG's log
+# discount is gentler and MRR stops caring after the first hit.
+#
+# AP@k = sum_{i in top-k, rel_i} P(i) / min(n_relevant, k) with
+# P(i) = cum_rel(i)/i — the bounded-denominator convention (min with
+# k) so a corpus with hundreds of relevant docs can still reach 1.0
+# when the whole window is relevant, the convention trec_eval's
+# judged-at-depth variant and every LLM-retrieval eval harness use.
+# Relevance is the same deterministic term-coverage grade at
+# rel >= _MRR_REL_MIN as the MRR/NDCG twins — label-free by design.
+#
+# Determinism: each precision term cum_rel/i is micro-quantized to
+# BIGINT before the per-retriever sum (cum_rel, i <= 10, so the
+# double path floor(cum*1e6/i + 0.5) is exact); the final division by
+# the bounded denominator happens on the already-summed micro BIGINT
+# and is itself floor-rounded to micro before display — two explicit
+# rounding sites, identical fragments both engines.
+
+_MAP_K = 10
+
+# (is_rel, rnk, cum_rel) -> one micro-quantized precision term; ONE
+# fragment for both engines so the AP term can never drift.
+_AP_TERM_SQL = (
+    "CASE WHEN isr = 1 THEN CAST(floor(CAST(cum_rel AS DOUBLE)"
+    " * 1000000e0 / rnk + 0.5e0) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+)
+
+_MAP_ORACLE = f"""
+    WITH {_BM25_SCORED_SQL},
+    qstats AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS coll_len,
+               {", ".join(
+                   f"CAST(sum(tf{i}) AS BIGINT) AS cf{i}"
+                   for i in range(len(_BM25_TERMS)))}
+        FROM f
+    ),
+    qlscored AS (
+        SELECT doc_id,
+               ({" + ".join(_ql_term_sql(i)
+                            for i in range(len(_BM25_TERMS)))}) AS qlm
+        FROM f CROSS JOIN qstats
+    ),
+    rel AS (
+        SELECT doc_id,
+               CAST({" + ".join(
+                   f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                   for i in range(len(_BM25_TERMS)))} AS BIGINT) AS rel
+        FROM f
+    ),
+    nrel AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_relevant
+        FROM rel WHERE rel >= {_MRR_REL_MIN}
+    ),
+    bmtop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM scored ORDER BY bm25 DESC, doc_id
+              LIMIT {_MAP_K})
+    ),
+    qltop AS (
+        SELECT doc_id, CAST(row_number() OVER (ORDER BY qlm DESC, doc_id)
+                            AS BIGINT) AS rnk
+        FROM (SELECT * FROM qlscored ORDER BY qlm DESC, doc_id
+              LIMIT {_MAP_K})
+    ),
+    bmc AS (
+        SELECT t.rnk,
+               CASE WHEN r.rel >= {_MRR_REL_MIN} THEN 1 ELSE 0 END AS isr,
+               CAST(sum(CASE WHEN r.rel >= {_MRR_REL_MIN} THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t.rnk) AS BIGINT) AS cum_rel
+        FROM bmtop t JOIN rel r USING (doc_id)
+    ),
+    qlc AS (
+        SELECT t.rnk,
+               CASE WHEN r.rel >= {_MRR_REL_MIN} THEN 1 ELSE 0 END AS isr,
+               CAST(sum(CASE WHEN r.rel >= {_MRR_REL_MIN} THEN 1 ELSE 0 END)
+                    OVER (ORDER BY t.rnk) AS BIGINT) AS cum_rel
+        FROM qltop t JOIN rel r USING (doc_id)
+    ),
+    ap AS (
+        SELECT 'bm25' AS retriever,
+               CAST(coalesce(sum(isr), 0) AS BIGINT) AS hits_at_k,
+               CAST(coalesce(sum({_AP_TERM_SQL}), 0) AS BIGINT)
+                   AS sum_p_micro
+        FROM bmc
+        UNION ALL
+        SELECT 'ql',
+               CAST(coalesce(sum(isr), 0) AS BIGINT),
+               CAST(coalesce(sum({_AP_TERM_SQL}), 0) AS BIGINT)
+        FROM qlc
+    )
+    SELECT retriever, hits_at_k, n_relevant,
+           coalesce(round(CAST(floor(CAST(sum_p_micro AS DOUBLE)
+                                     / NULLIF(least(n_relevant, {_MAP_K}), 0)
+                                     + 0.5e0) AS BIGINT)
+                          / 1000000e0, 6), 0e0) AS ap_at_10
+    FROM ap CROSS JOIN nrel
+    ORDER BY retriever
+"""
+
+
+@register("retrieval_map_eval", _MAP_ORACLE)
+def retrieval_map_eval(spark, sf_dir):
+    """Average precision at 10 for both retrievers (BM25 and
+    Dirichlet query likelihood) against the deterministic
+    term-coverage relevance grade — the rank-position-weighted
+    completion of the offline retrieval dashboard beside NDCG
+    (full-ordering), MRR (first hit), recall (coverage), and RBO
+    (agreement). AP@10 = sum of precision-at-relevant-hit terms over
+    min(n_relevant, 10) — the bounded-denominator convention (see the
+    section comment for the quantization contract). A retriever with
+    no relevant doc in its top-10 scores 0, keeping the metric
+    summable into MAP across query sets.
+
+    Scale: both top-10s are TakeOrderedAndProject over the
+    session-persisted dual-scored relation (shared with the NDCG/MRR/
+    tau/RBO evaluators — one corpus tokenization serves all five);
+    the rank and cumulative-relevance windows run over <= 10
+    limit-bounded rows each (counted waiver); the relevant-set count
+    is a 1-row broadcast aggregate."""
+    scored = session_cached(
+        spark,
+        "retrieval_dual_scored",
+        sf_dir,
+        lambda: _dual_scored(
+            _tf_projection(load_table(spark, sf_dir, "documents"))
+        ),
+    )
+    rel_min = F.lit(_MRR_REL_MIN)
+
+    def _ap(score_col, tag):
+        top = (
+            scored.orderBy(F.desc(score_col), "doc_id")
+            .limit(_MAP_K)
+            .select(
+                F.row_number()
+                .over(Window.orderBy(F.desc(score_col), "doc_id"))
+                .cast("bigint")
+                .alias("rnk"),
+                F.when(F.col("rel") >= rel_min, 1).otherwise(0).alias("isr"),
+            )
+        )
+        c = top.withColumn(
+            "cum_rel",
+            F.sum("isr").over(Window.orderBy("rnk")).cast("bigint"),
+        )
+        # aggregate WITHOUT groupBy (the MRR empty-corpus rule): one
+        # row per retriever even on an empty corpus
+        return c.agg(
+            F.coalesce(F.sum("isr"), F.lit(0))
+            .cast("bigint")
+            .alias("hits_at_k"),
+            F.coalesce(F.sum(F.expr(_AP_TERM_SQL)), F.lit(0))
+            .cast("bigint")
+            .alias("sum_p_micro"),
+        ).select(F.lit(tag).alias("retriever"), "*")
+
+    ap = _ap("bm25", "bm25").unionByName(_ap("qlm", "ql"))
+    nrel = scored.where(F.col("rel") >= rel_min).agg(
+        F.count("*").cast("bigint").alias("n_relevant")
+    )
+    return (
+        ap.crossJoin(F.broadcast(nrel))
+        .select(
+            "retriever",
+            "hits_at_k",
+            "n_relevant",
+            F.coalesce(
+                F.round(
+                    F.expr(
+                        "CAST(floor(CAST(sum_p_micro AS DOUBLE)"
+                        f" / NULLIF(least(n_relevant, {_MAP_K}), 0)"
+                        " + 0.5e0) AS BIGINT)"
+                    )
+                    / F.expr("1000000e0"),
+                    6,
+                ),
+                F.lit(0e0),
+            ).alias("ap_at_10"),
+        )
+        .orderBy("retriever")
+    )

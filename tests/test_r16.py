@@ -769,3 +769,51 @@ def test_column_profile_recompute(spark, sf_dir):
                 )
             ) < 1e-9
         assert r.is_candidate_key == int(distinct == n and nulls == 0)
+
+
+def test_map_eval_recompute(spark, sf_dir):
+    """Recompute AP@10 for both retrievers from the collected
+    dual-scored relation: top-10 by (score desc, doc_id), precision
+    terms cum_rel/i micro-quantized per hit, bounded denominator
+    min(n_relevant, 10) — the third derivation beside the Spark plan
+    and the DuckDB oracle."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _MAP_K,
+        _MRR_REL_MIN,
+        _dual_scored,
+        _tf_projection,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    scored = _dual_scored(
+        _tf_projection(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    n_relevant = sum(1 for r in scored if r.rel >= _MRR_REL_MIN)
+    rows = {
+        r.retriever: r
+        for r in QUERIES["retrieval_map_eval"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"bm25", "ql"}
+    for name, key in (("bm25", lambda r: (-r.bm25, r.doc_id)),
+                      ("ql", lambda r: (-r.qlm, r.doc_id))):
+        top = sorted(scored, key=key)[:_MAP_K]
+        cum = 0
+        hits = 0
+        sum_p = 0
+        for i, r in enumerate(top, start=1):
+            if r.rel >= _MRR_REL_MIN:
+                cum += 1
+                hits += 1
+                sum_p += math.floor(cum * 1e6 / i + 0.5)
+        got = rows[name]
+        assert got.hits_at_k == hits
+        assert got.n_relevant == n_relevant
+        den = min(n_relevant, _MAP_K)
+        want = (
+            round(math.floor(sum_p / den + 0.5) / 1e6, 6) if den else 0.0
+        )
+        assert abs(got.ap_at_10 - want) < 1e-9
+        # AP is bounded by precision@k's best case: every term <= 1
+        assert 0.0 <= got.ap_at_10 <= 1.0 + 1e-9

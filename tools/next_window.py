@@ -91,6 +91,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "corpus_ht_token_estimate",
     "text_textrank_keywords",
     "dq_column_profile",
+    "retrieval_map_eval",
 )
 
 

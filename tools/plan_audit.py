@@ -303,6 +303,8 @@ EXTRA = [
     "corpus_ht_token_estimate",
     "text_textrank_keywords",
     "dq_column_profile",
+    # r16 second batch
+    "retrieval_map_eval",
 ]
 
 
@@ -436,6 +438,9 @@ _LIMIT_BOUNDED_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     "retrieval_ndcg_eval": (3, "ranks over three limit(10) top lists"),
     # two rank windows, one per retriever's limit(10) top list.
     "retrieval_mrr_eval": (2, "ranks over two limit(10) top lists"),
+    # rank + cumulative-relevance windows, one pair per retriever's
+    # limit(10) top list.
+    "retrieval_map_eval": (4, "rank + cum-rel over two limit(10) lists"),
     # two rank windows, one per retriever's limit(20) top list (the
     # tau shape without the localCheckpoint — RBO's common relation
     # feeds a single aggregate, no self-join to shield).
