@@ -9050,3 +9050,253 @@ def events_conformal_volume_interval(spark, sf_dir):
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
         ).alias("test_coverage"),
     )
+
+
+# --- Kruskal–Wallis H test across entry-event cohorts (round 16) ---------------
+#
+# The k-sample generalization of the Mann–Whitney rank-sum machinery:
+# where the MWU asks whether the a-arm's spend distribution
+# stochastically dominates the b-arm's, Kruskal–Wallis asks whether
+# ANY of the k first-event-type cohorts (the stratification axis the
+# stratified/HTE readouts use) draws its per-user spend from a
+# different distribution — the omnibus nonparametric ANOVA every
+# segmentation analysis runs before trusting per-cohort contrasts.
+#
+#   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),   H' = H / (1 − S_t/(N³−N))
+#
+# Exactness contract (the MWU doubled-midrank rules, regrouped):
+# midranks over the COMPACTED pooled spend distribution are carried
+# doubled (2·midrank = 2·cb + t + 1, exact BIGINT), so each cohort's
+# doubled rank sum 2R_g = Σ_m n_mg·(2cb+t+1) and the tie sum
+# S_t = Σ(t³−t) are exact int64. Each cohort's H term
+# 3·(2R_g)²/(N(N+1)·n_g) is ONE fixed exactly-rounded IEEE tree over
+# those integers, micro-quantized to BIGINT BEFORE the cross-cohort
+# sum (the Theil per-group rule), so the k-term sum is exact integer
+# addition in any order; −3(N+1) lands as an exact integer micro
+# subtraction. The tie correction divides the already-quantized H by
+# the double 1 − S_t/((N−1)N(N+1)) and re-quantizes — two explicit
+# rounding sites, identical fragments both engines. Past 2^53 the
+# DOUBLE casts of 2R_g round deterministically (exactly-rounded IEEE,
+# same value both engines) — documented, not hidden. Degenerate
+# shapes guard NULL: all users tied at one value → tie_c = 0 → H'
+# NULL; df outside the 1..8 critical table → NULL flag (the
+# split_behavior_chi2 convention); empty events → one all-NULL row.
+# Effect size is epsilon² = max(0, (H' − k + 1)/(N − k)) — the
+# rank-eta² convention clamped at 0 (H < k−1 means below-chance
+# separation; the ANOVA SSB clamp lesson applied, so ε² ∈ [0, 1]
+# by construction in BOTH engines).
+
+_KW_HTERM_SQL = (
+    "CAST(floor(3e0 * CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)"
+    " / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1e0)"
+    "    * CAST(n_g AS DOUBLE))"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+_KW_TIE_C_SQL = (
+    "(1e0 - CAST(s_t AS DOUBLE)"
+    " / NULLIF(CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1e0)"
+    "          * (CAST(nn AS DOUBLE) + 1e0), 0e0))"
+)
+
+_KW_ORACLE = f"""
+    WITH ug AS (
+        SELECT user_id,
+               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
+                   AS grp,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 100e0 + 0.5e0)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS m
+        FROM events GROUP BY 1
+    ),
+    cg AS (
+        SELECT m, grp, CAST(count(*) AS BIGINT) AS n_mg
+        FROM ug GROUP BY 1, 2
+    ),
+    cm AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS t FROM ug GROUP BY 1
+    ),
+    cum AS (
+        SELECT m, t,
+               CAST(coalesce(sum(t) OVER (ORDER BY m
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        FROM cm
+    ),
+    g AS (
+        SELECT grp, CAST(sum(n_mg) AS BIGINT) AS n_g,
+               CAST(sum(n_mg * (2 * cb + t + 1)) AS BIGINT) AS r2_g
+        FROM cg JOIN cum USING (m) GROUP BY 1
+    ),
+    pool AS (
+        SELECT CAST(sum(t) AS BIGINT) AS nn,
+               CAST(sum(t * t * t - t) AS BIGINT) AS s_t
+        FROM cum
+    ),
+    h AS (
+        SELECT CAST(count(*) AS BIGINT) AS k_groups,
+               CAST(sum({_KW_HTERM_SQL}) AS BIGINT) AS hterm_micro
+        FROM g CROSS JOIN pool
+    ),
+    f AS (
+        SELECT k_groups, nn, s_t,
+               hterm_micro - 3 * (nn + 1) * 1000000 AS h_micro,
+               {_KW_TIE_C_SQL} AS tie_c
+        FROM h CROSS JOIN pool
+    ),
+    a AS (
+        SELECT *,
+               CASE WHEN nn > 0 AND tie_c > 0e0 THEN
+                   CAST(floor(CAST(h_micro AS DOUBLE) / tie_c + 0.5e0)
+                        AS BIGINT)
+               END AS h_adj_micro,
+               CASE WHEN k_groups > 0 THEN k_groups - 1 END AS df
+        FROM f
+    )
+    SELECT k_groups, nn AS n_users, df,
+           CASE WHEN nn > 0 THEN round(h_micro / 1000000e0, 6) END
+               AS h_stat,
+           round(h_adj_micro / 1000000e0, 6) AS h_tie_adjusted,
+           CAST(CASE WHEN h_adj_micro IS NULL
+                       OR ({_CHI2_CRIT_CASE}) IS NULL THEN NULL
+                     WHEN h_adj_micro > ({_CHI2_CRIT_CASE}) THEN 1
+                     ELSE 0 END AS BIGINT) AS significant_95,
+           CASE WHEN h_adj_micro IS NOT NULL AND nn > k_groups THEN
+               round(greatest(CAST(floor(CAST(h_adj_micro
+                                     - (k_groups - 1) * 1000000 AS DOUBLE)
+                                / (nn - k_groups) + 0.5e0) AS BIGINT), 0)
+                     / 1000000e0, 6) END AS epsilon_sq
+    FROM a
+"""
+
+
+@register("events_kruskal_wallis", _KW_ORACLE)
+def events_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H test of per-user purchase spend across the
+    first-event-type cohorts: tie-adjusted H against the df-table
+    chi-square critical value, plus the epsilon-squared effect size —
+    the omnibus nonparametric ANOVA beside the two-sample
+    Mann–Whitney (see the section comment for the doubled-midrank
+    exactness contract and the per-cohort micro-quantization rule).
+
+    Scale: one user-grain aggregate (map-side combinable), then the
+    pooled prefix counts cb over the COMPACTED spend distribution via
+    the two-pass bucket machinery (<= 4096 bucket totals collected
+    for a metadata-scale driver prefix; within-bucket windows fan in
+    one bucket's value density — mirrors _spend_rank_cells, kept
+    inline so the pinned MWU/QTE paths stay untouched mid-window);
+    per-(value, cohort) counts join the m-grain prefix relation and
+    collapse to ONE k-row cohort aggregate. The DuckDB oracle uses
+    the naive unpartitioned window — the hash match proves the
+    distributed prefix reproduces it."""
+    ug = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("grp"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        "CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("m"),
+        )
+    )
+    # user-grain compaction feeding both the (m, grp) and m-grain
+    # aggregates (the MWU checkpoint convention)
+    ug = ug.localCheckpoint(eager=True)
+    cg = ug.groupBy("m", "grp").agg(
+        F.count("*").cast("bigint").alias("n_mg")
+    )
+    cells = ug.groupBy("m").agg(F.count("*").cast("bigint").alias("t"))
+    cells = cells.localCheckpoint(eager=True)
+    cells = _rng_bucketed(cells)
+    bt = cells.groupBy("rng").agg(F.sum("t").alias("bt")).collect()
+    offsets, running = [], 0
+    for row in sorted(bt, key=lambda r: r["rng"]):
+        offsets.append((int(row["rng"]), running))
+        running += int(row["bt"])
+    off_df = spark.createDataFrame(offsets, schema="rng bigint, off bigint")
+    w = Window.partitionBy("rng").orderBy("m").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        cells.join(F.broadcast(off_df), "rng")
+        .withColumn(
+            "cb",
+            (
+                F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("off")
+            ).cast("bigint"),
+        )
+        .select("m", "t", "cb")
+    )
+    g = cg.join(cum, "m").groupBy("grp").agg(
+        F.sum("n_mg").cast("bigint").alias("n_g"),
+        F.sum(
+            F.col("n_mg") * (2 * F.col("cb") + F.col("t") + 1)
+        )
+        .cast("bigint")
+        .alias("r2_g"),
+    )
+    pool = cum.agg(
+        F.sum("t").cast("bigint").alias("nn"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("bigint")
+        .alias("s_t"),
+    )
+    h = g.crossJoin(F.broadcast(pool)).agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum(F.expr(_KW_HTERM_SQL)).cast("bigint").alias("hterm_micro"),
+    )
+    f = h.crossJoin(F.broadcast(pool)).select(
+        "k_groups",
+        "nn",
+        "s_t",
+        (
+            F.col("hterm_micro") - 3 * (F.col("nn") + 1) * 1000000
+        ).alias("h_micro"),
+        F.expr(_KW_TIE_C_SQL).alias("tie_c"),
+    )
+    a = f.select(
+        "*",
+        F.expr(
+            "CASE WHEN nn > 0 AND tie_c > 0e0 THEN"
+            " CAST(floor(CAST(h_micro AS DOUBLE) / tie_c + 0.5e0)"
+            " AS BIGINT) END"
+        ).alias("h_adj_micro"),
+        F.expr(
+            "CASE WHEN k_groups > 0 THEN k_groups - 1 END"
+        ).alias("df"),
+    )
+    return a.select(
+        "k_groups",
+        F.col("nn").alias("n_users"),
+        "df",
+        F.expr(
+            "CASE WHEN nn > 0 THEN round(h_micro / 1000000e0, 6) END"
+        ).alias("h_stat"),
+        F.round(F.col("h_adj_micro") / F.expr("1000000e0"), 6).alias(
+            "h_tie_adjusted"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN h_adj_micro IS NULL"
+            f" OR ({_CHI2_CRIT_CASE}) IS NULL THEN NULL"
+            f" WHEN h_adj_micro > ({_CHI2_CRIT_CASE}) THEN 1"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("significant_95"),
+        F.expr(
+            "CASE WHEN h_adj_micro IS NOT NULL AND nn > k_groups THEN"
+            " round(greatest(CAST(floor(CAST(h_adj_micro"
+            " - (k_groups - 1) * 1000000 AS DOUBLE)"
+            " / (nn - k_groups) + 0.5e0) AS BIGINT), 0)"
+            " / 1000000e0, 6) END"
+        ).alias("epsilon_sq"),
+    )

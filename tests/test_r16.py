@@ -817,3 +817,77 @@ def test_map_eval_recompute(spark, sf_dir):
         assert abs(got.ap_at_10 - want) < 1e-9
         # AP is bounded by precision@k's best case: every term <= 1
         assert 0.0 <= got.ap_at_10 <= 1.0 + 1e-9
+
+
+def test_kruskal_wallis_recompute(spark, sf_dir):
+    """Recompute the tie-adjusted Kruskal–Wallis H from collected
+    per-user (first-event-type, spend-cents) rows: pooled doubled
+    midranks, per-cohort micro-quantized H terms, tie correction,
+    df-table flag, and epsilon-squared."""
+    from collections import Counter, defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_events import (
+        _CHI2_CRIT_MICRO,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).collect()
+    first: dict = {}
+    spend: Counter = Counter()
+    for r in ev:
+        k = (r.ts, r.event_id, r.event_type)
+        if r.user_id not in first or k < first[r.user_id]:
+            first[r.user_id] = k
+        if r.event_type == "purchase":
+            spend[r.user_id] += math.floor(r.value * 100 + 0.5)
+    users = [(first[u][2], spend.get(u, 0)) for u in first]
+    nn = len(users)
+    tcnt: Counter = Counter(m for _, m in users)
+    # doubled midranks per distinct value
+    cb = 0
+    dr: dict = {}
+    s_t = 0
+    for m in sorted(tcnt):
+        t = tcnt[m]
+        dr[m] = 2 * cb + t + 1
+        s_t += t * t * t - t
+        cb += t
+    r2: dict = defaultdict(int)
+    ng: Counter = Counter()
+    for g, m in users:
+        r2[g] += dr[m]
+        ng[g] += 1
+    hterm = sum(
+        math.floor(
+            3 * (r2[g] ** 2) / (nn * (nn + 1) * ng[g]) * 1e6 + 0.5
+        )
+        for g in r2
+    )
+    h_micro = hterm - 3 * (nn + 1) * 1000000
+    tie_c = 1 - s_t / (nn * (nn - 1) * (nn + 1))
+    k = len(ng)
+    row = QUERIES["events_kruskal_wallis"].fn(spark, sf_dir).collect()[0]
+    assert row.k_groups == k
+    assert row.n_users == nn
+    assert row.df == k - 1
+    assert abs(row.h_stat - round(h_micro / 1e6, 6)) < 1e-9
+    assert tie_c > 0
+    h_adj = math.floor(h_micro / tie_c + 0.5)
+    assert abs(row.h_tie_adjusted - round(h_adj / 1e6, 6)) < 1e-9
+    crit = _CHI2_CRIT_MICRO.get(k - 1)
+    if crit is not None:
+        assert row.significant_95 == (1 if h_adj > crit else 0)
+    else:
+        assert row.significant_95 is None
+    eps = max(
+        0, math.floor((h_adj - (k - 1) * 1000000) / (nn - k) + 0.5)
+    )
+    assert abs(row.epsilon_sq - round(eps / 1e6, 6)) < 1e-9
+    # H' is a chi-square-scale statistic: nonnegative here (ties
+    # handled); epsilon^2 in [0, 1] by the clamp construction
+    assert row.h_tie_adjusted >= 0
+    assert 0.0 <= row.epsilon_sq <= 1.0

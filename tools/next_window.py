@@ -92,6 +92,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "text_textrank_keywords",
     "dq_column_profile",
     "retrieval_map_eval",
+    "events_kruskal_wallis",
 )
 
 

@@ -305,6 +305,7 @@ EXTRA = [
     "dq_column_profile",
     # r16 second batch
     "retrieval_map_eval",
+    "events_kruskal_wallis",
 ]
 
 
