@@ -1901,3 +1901,295 @@ def text_textrank_keywords(spark, sf_dir):
         .orderBy(F.desc("textrank_fp"), "token")
         .limit(_TRANK_TOP)
     )
+
+# --- Heaps-law vocabulary growth fit (round 16) -----------------------------
+#
+# The growth-side companion to the Zipf rank-frequency fit: Heaps'
+# (Herdan's) law V(N) ≈ K·N^β says type count grows as a sub-linear
+# power of corpus tokens. β near 0 flags a closed templated
+# vocabulary, β near 1 token-noise/IDs — the one-row fingerprint
+# that tells a tokenizer-training or dedup pipeline how fast NEW
+# types keep arriving at 100 TB. The fit runs at TWO grains over the
+# SAME token x-axis: unigram types (the textbook statistic — on this
+# synthetic closed-vocabulary corpus it correctly reads ~0, the
+# templated-corpus flag working as designed) and 3-shingle types
+# (the dedup-relevant grain, which keeps growing), so the pair
+# (β_unigram, β_shingle) separates "closed word vocabulary" from
+# "closed phrase inventory".
+#
+# Prefix points are taken at DYADIC doc-id cutoffs 2^0..2^B (B =
+# ceil(log2(max doc_id)) — ≤ 64 points no matter the corpus size):
+# V_j = types whose FIRST document (min doc_id — the ngram-novelty
+# first-seen idiom) lands at or below the cutoff, N_j = token
+# occurrences in docs at or below it — all via per-bucket counts
+# cumsum'd over the DENSIFIED 0..B grid (the source-JSD densify
+# rule, so both engines fit the same point set; an empty bucket
+# repeats the previous prefix point, weighting that cutoff again —
+# deliberate, identical both ways). ceil(log2(n)) is computed
+# INTEGER-EXACTLY as length(bin(n−1)) (no libm log2; bin() exists
+# in both engines). Each ln V-on-ln N least squares reuses the Zipf
+# determinism contract: 6dp-rounded log terms summed as DECIMAL
+# (exact, associative), slope guarded NULL when the x-variance is
+# zero. Intercepts are reported as ln K (no exp — the libm rule).
+
+_HEAPS_BUCKET = "CASE WHEN {c} <= 1 THEN 0 ELSE length(bin({c} - 1)) END"
+
+
+def _heaps_fit_sql(vcol: str) -> str:
+    """One grain's (n_points, beta, sy, sx) aggregate over the cum
+    relation — ONE builder for both engines and both grains."""
+    return f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_points,
+               CAST(count(*) * sum(xy) - sum(x) * sum(y) AS DOUBLE)
+                   / NULLIF(CAST(count(*) * sum(xx) - sum(x) * sum(x)
+                                 AS DOUBLE), 0e0) AS beta,
+               CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(x) AS DOUBLE) AS sx
+        FROM (
+            SELECT CAST(round(ln(n_j), 6) AS DECIMAL(18, 6)) AS x,
+                   CAST(round(ln({vcol}), 6) AS DECIMAL(18, 6)) AS y,
+                   CAST(round(ln(n_j) * ln({vcol}), 6)
+                        AS DECIMAL(28, 6)) AS xy,
+                   CAST(round(ln(n_j) * ln(n_j), 6)
+                        AS DECIMAL(28, 6)) AS xx
+            FROM cum WHERE n_j > 0 AND {vcol} > 0
+        )
+    """
+
+
+_HEAPS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({X.tokens_sql()}) AS token FROM documents
+    ),
+    tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+    fs AS (
+        SELECT token, CAST(min(doc_id) AS BIGINT) AS fd
+        FROM tk GROUP BY token
+    ),
+    dn AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+        FROM tk GROUP BY doc_id
+    ),
+    shd AS (
+        SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+    ),
+    sfs AS (
+        SELECT shingle, CAST(min(doc_id) AS BIGINT) AS fd
+        FROM shd GROUP BY shingle
+    ),
+    m AS (
+        SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents
+    ),
+    grid AS (
+        SELECT unnest(generate_series(0,
+            {_HEAPS_BUCKET.format(c="mx")})) AS j
+        FROM m WHERE mx IS NOT NULL
+    ),
+    vb AS (
+        SELECT {_HEAPS_BUCKET.format(c="fd")} AS j,
+               CAST(count(*) AS BIGINT) AS v_b
+        FROM fs GROUP BY 1
+    ),
+    sb AS (
+        SELECT {_HEAPS_BUCKET.format(c="fd")} AS j,
+               CAST(count(*) AS BIGINT) AS s_b
+        FROM sfs GROUP BY 1
+    ),
+    nb AS (
+        SELECT {_HEAPS_BUCKET.format(c="doc_id")} AS j,
+               CAST(sum(n_tok) AS BIGINT) AS n_b
+        FROM dn GROUP BY 1
+    ),
+    cum AS (
+        SELECT g.j,
+               CAST(sum(coalesce(v_b, 0)) OVER (ORDER BY g.j) AS BIGINT)
+                   AS v_j,
+               CAST(sum(coalesce(s_b, 0)) OVER (ORDER BY g.j) AS BIGINT)
+                   AS s_j,
+               CAST(sum(coalesce(n_b, 0)) OVER (ORDER BY g.j) AS BIGINT)
+                   AS n_j
+        FROM grid g LEFT JOIN vb ON vb.j = g.j
+                    LEFT JOIN sb ON sb.j = g.j
+                    LEFT JOIN nb ON nb.j = g.j
+    ),
+    fit_u AS ({_heaps_fit_sql("v_j")}),
+    fit_s AS ({_heaps_fit_sql("s_j")}),
+    tot AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM fs) AS vocab_total,
+               (SELECT CAST(count(*) AS BIGINT) FROM sfs)
+                   AS shingle_total,
+               (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM dn)
+                   AS tokens_total
+    )
+    SELECT u.n_points, vocab_total, shingle_total, tokens_total,
+           round(u.beta, 4) AS heaps_beta,
+           CASE WHEN u.beta IS NOT NULL AND u.n_points > 0 THEN
+               round((u.sy - u.beta * u.sx) / u.n_points, 4) END
+               AS heaps_lnk,
+           round(s.beta, 4) AS heaps_beta_shingle,
+           CASE WHEN s.beta IS NOT NULL AND s.n_points > 0 THEN
+               round((s.sy - s.beta * s.sx) / s.n_points, 4) END
+               AS heaps_lnk_shingle
+    FROM fit_u u CROSS JOIN fit_s s CROSS JOIN tot
+"""
+
+
+def _heaps_fit(pts_df):
+    """Spark twin of one grain's fit aggregate: pts_df must carry
+    (x, y, xy, xx) DECIMAL columns."""
+    n = F.count("*")
+    return pts_df.agg(
+        n.cast("bigint").alias("n_points"),
+        (
+            (n * F.sum("xy") - F.sum("x") * F.sum("y")).cast("double")
+            / F.expr(
+                "NULLIF(CAST(count(1) * sum(xx) - sum(x) * sum(x)"
+                " AS DOUBLE), 0e0)"
+            )
+        ).alias("beta"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("x").cast("double").alias("sx"),
+    )
+
+
+def _heaps_pts(cum, vcol):
+    ln_n = F.log(F.col("n_j").cast("double"))
+    ln_v = F.log(F.col(vcol).cast("double"))
+    return cum.where((F.col("n_j") > 0) & (F.col(vcol) > 0)).select(
+        F.round(ln_n, 6).cast("decimal(18,6)").alias("x"),
+        F.round(ln_v, 6).cast("decimal(18,6)").alias("y"),
+        F.round(ln_n * ln_v, 6).cast("decimal(28,6)").alias("xy"),
+        F.round(ln_n * ln_n, 6).cast("decimal(28,6)").alias("xx"),
+    )
+
+
+@register("text_heaps_law", _HEAPS_ORACLE)
+def text_heaps_law(spark, sf_dir):
+    """Heaps-law vocabulary-growth fit at two grains: least-squares
+    beta and ln K of ln(types) on ln(tokens) over dyadic doc-id
+    prefix cutoffs, for unigram types AND 3-shingle types on the
+    shared token x-axis — the growth companion to quality_zipf_slope
+    (see the section comment for the dyadic-grid, integer-log2, and
+    DECIMAL determinism contracts).
+
+    Scale: one exploded token pass feeds the first-seen vocab
+    aggregate (map-side combinable min) and the per-doc token
+    counts; the shingle grain reads the session-persisted
+    cached_shingles relation shared with the whole dedup family.
+    Each collapses to <= 64 dyadic-bucket rows (length(bin(n-1)) is
+    a per-row integer expression, no libm), and the only window is
+    the cumsum over the densified <= 64-row grid (counted
+    bounded-domain waiver). The regressions are 1-row DECIMAL
+    aggregates. Nothing downstream of the first aggregates scales
+    with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.explode(X.tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    # one exploded pass, two consumers (first-seen + per-doc counts)
+    tk = tk.localCheckpoint(eager=True)
+    fs = tk.groupBy("token").agg(
+        F.min("doc_id").cast("bigint").alias("fd")
+    )
+    dn = tk.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tok")
+    )
+    sfs = (
+        cached_shingles(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.min("doc_id").cast("bigint").alias("fd"))
+    )
+    vb = fs.groupBy(
+        F.expr(_HEAPS_BUCKET.format(c="fd")).alias("j")
+    ).agg(F.count("*").cast("bigint").alias("v_b"))
+    sb = sfs.groupBy(
+        F.expr(_HEAPS_BUCKET.format(c="fd")).alias("j")
+    ).agg(F.count("*").cast("bigint").alias("s_b"))
+    nb = dn.groupBy(
+        F.expr(_HEAPS_BUCKET.format(c="doc_id")).alias("j")
+    ).agg(F.sum("n_tok").cast("bigint").alias("n_b"))
+    m = docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    grid = m.where(F.col("mx").isNotNull()).select(
+        F.explode(
+            F.sequence(
+                F.lit(0), F.expr(_HEAPS_BUCKET.format(c="mx"))
+            )
+        ).alias("j")
+    )
+    w = Window.orderBy("j")
+    cum = (
+        grid.join(F.broadcast(vb), "j", "left")
+        .join(F.broadcast(sb), "j", "left")
+        .join(F.broadcast(nb), "j", "left")
+        .select(
+            "j",
+            F.sum(F.coalesce(F.col("v_b"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("v_j"),
+            F.sum(F.coalesce(F.col("s_b"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("s_j"),
+            F.sum(F.coalesce(F.col("n_b"), F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_j"),
+        )
+    )
+    # the ≤ 64-row grid feeds both grains' point sets — build once
+    cum = cum.localCheckpoint(eager=True)
+    fit_u = _heaps_fit(_heaps_pts(cum, "v_j"))
+    fit_s = _heaps_fit(
+        _heaps_pts(cum, "s_j").select(
+            F.col("x"),
+            F.col("y").alias("y"),
+            F.col("xy"),
+            F.col("xx"),
+        )
+    ).select(
+        F.col("n_points").alias("s_n_points"),
+        F.col("beta").alias("s_beta"),
+        F.col("sy").alias("s_sy"),
+        F.col("sx").alias("s_sx"),
+    )
+    tot = (
+        fs.agg(F.count("*").cast("bigint").alias("vocab_total"))
+        .crossJoin(
+            F.broadcast(
+                sfs.agg(
+                    F.count("*").cast("bigint").alias("shingle_total")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                dn.agg(
+                    F.coalesce(F.sum("n_tok"), F.lit(0))
+                    .cast("bigint")
+                    .alias("tokens_total")
+                )
+            )
+        )
+    )
+    return (
+        fit_u.crossJoin(F.broadcast(fit_s))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_points",
+            "vocab_total",
+            "shingle_total",
+            "tokens_total",
+            F.round("beta", 4).alias("heaps_beta"),
+            F.expr(
+                "CASE WHEN beta IS NOT NULL AND n_points > 0 THEN"
+                " round((sy - beta * sx) / n_points, 4) END"
+            ).alias("heaps_lnk"),
+            F.round("s_beta", 4).alias("heaps_beta_shingle"),
+            F.expr(
+                "CASE WHEN s_beta IS NOT NULL AND s_n_points > 0 THEN"
+                " round((s_sy - s_beta * s_sx) / s_n_points, 4) END"
+            ).alias("heaps_lnk_shingle"),
+        )
+    )

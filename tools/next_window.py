@@ -93,6 +93,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "dq_column_profile",
     "retrieval_map_eval",
     "events_kruskal_wallis",
+    "text_heaps_law",
 )
 
 

@@ -306,6 +306,7 @@ EXTRA = [
     # r16 second batch
     "retrieval_map_eval",
     "events_kruskal_wallis",
+    "text_heaps_law",
 ]
 
 

@@ -264,6 +264,11 @@ QUERIES_UNDER_TEST = [
     # TextRank: map-side pair expansion (linear in tokens) + Pregel
     # iterations over the vocabulary-bounded weighted word graph.
     "text_textrank_keywords",
+    # Heaps: one exploded token pass + vocab/shingle first-seen
+    # aggregates folding to a <= 64-row dyadic grid; the fits are
+    # 1-row DECIMAL aggregates — everything past the first
+    # aggregates is metadata-scale.
+    "text_heaps_law",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
