@@ -9300,3 +9300,241 @@ def events_kruskal_wallis(spark, sf_dir):
             " / 1000000e0, 6) END"
         ).alias("epsilon_sq"),
     )
+
+
+# --- calibration audit of the split-trained propensity (round 16) --------------
+#
+# The calibration layer of the experimentation/eval suite: train the
+# simplest deterministic conversion model on split A (per
+# first-event-type conversion rate — exactly the target-encoding
+# statistic at stratum grain), score split B with it, and audit the
+# predictions the way an ML-eval harness does — reliability gaps per
+# prediction bin, ECE/MCE, Brier score, and the Brier skill vs the
+# split-B base rate. Because the model's prediction support is the
+# FINITE stratum set, each distinct predicted value IS its own bin:
+# this is the EXACT ECE, no 10-bin discretization approximation (a
+# fixed-width grid would collapse onto the same <= |event types|
+# occupied cells anyway — stated, not hidden).
+#
+#   ECE  = Σ_b n_b/N · |acc_b − conf_b|      (weighted reliability gap)
+#   MCE  = max_b |acc_b − conf_b|
+#   Brier = 1/N Σ (p̂ − y)²  =  1/N Σ_b (n_b·conf_b² − 2·conf_b·c_b + c_b)
+#   skill = 1 − Brier/(p̄(1−p̄))              (vs the base-rate forecast)
+#
+# Determinism: conf_b and acc_b are micro-quantized BIGINTs (floor
+# +0.5); the ECE numerator Σ n_b·|acc−conf| is exact int64; each
+# bin's Brier term is ONE fixed IEEE tree over the quantized conf
+# micro value and exact counts, micro-quantized BEFORE the
+# cross-bin sum (the Theil per-group rule); every division happens
+# once, on already-summed integers, floor-rounded to micro. Strata
+# unseen in split A have no prediction — they are EXCLUDED from the
+# binned metrics and counted honestly in n_serve_unscored. Empty
+# split B (or no scored strata) → NULL metrics, one row.
+
+_CAL_BRIER_TERM = (
+    "CAST(floor((CAST(n_bs AS DOUBLE) * conf_m * conf_m / 1e12"
+    " - 2e0 * conf_m / 1e6 * CAST(c_bs AS DOUBLE)"
+    " + CAST(c_bs AS DOUBLE))"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_CAL_ORACLE = f"""
+    WITH {_STRAT_CELLS_CTES},
+    b AS (
+        SELECT stratum, n_as, c_as, n_bs, c_bs,
+               CASE WHEN n_as > 0 THEN
+                   CAST(floor(CAST(c_as AS DOUBLE) / n_as
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS conf_m,
+               CASE WHEN n_bs > 0 THEN
+                   CAST(floor(CAST(c_bs AS DOUBLE) / n_bs
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS acc_m
+        FROM st
+    ),
+    s AS (
+        SELECT CAST(coalesce(sum(CASE WHEN conf_m IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_bins,
+               CAST(coalesce(sum(CASE WHEN conf_m IS NOT NULL AND n_bs > 0
+                                      THEN n_bs ELSE 0 END), 0) AS BIGINT)
+                   AS n_serve,
+               CAST(coalesce(sum(CASE WHEN conf_m IS NULL
+                                      THEN n_bs ELSE 0 END), 0) AS BIGINT)
+                   AS n_serve_unscored,
+               CAST(sum(CASE WHEN conf_m IS NOT NULL AND n_bs > 0
+                             THEN n_bs * abs(acc_m - conf_m) END)
+                    AS BIGINT) AS ece_num,
+               CAST(max(CASE WHEN conf_m IS NOT NULL AND n_bs > 0
+                             THEN abs(acc_m - conf_m) END)
+                    AS BIGINT) AS mce_m,
+               CAST(sum(CASE WHEN conf_m IS NOT NULL AND n_bs > 0
+                             THEN {_CAL_BRIER_TERM} END)
+                    AS BIGINT) AS brier_num,
+               CAST(sum(CASE WHEN conf_m IS NOT NULL THEN c_bs END)
+                    AS BIGINT) AS c_serve
+        FROM b
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN n_serve > 0 THEN
+                   CAST(floor(CAST(c_serve AS DOUBLE) / n_serve
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS base_m
+        FROM s
+    ),
+    g AS (
+        SELECT *,
+               CASE WHEN n_serve > 0 THEN
+                   CAST(floor(CAST(ece_num AS DOUBLE) / n_serve + 0.5e0)
+                        AS BIGINT) END AS ece_m,
+               CASE WHEN n_serve > 0 THEN
+                   CAST(floor(CAST(brier_num AS DOUBLE) / n_serve + 0.5e0)
+                        AS BIGINT) END AS brier_m,
+               CASE WHEN base_m IS NOT NULL THEN
+                   CAST(floor(base_m / 1e6 * (1e0 - base_m / 1e6)
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS bbase_m
+        FROM f
+    )
+    SELECT n_bins, n_serve, n_serve_unscored,
+           round(ece_m / 1000000e0, 6) AS ece,
+           round(mce_m / 1000000e0, 6) AS mce,
+           round(brier_m / 1000000e0, 6) AS brier,
+           round(bbase_m / 1000000e0, 6) AS brier_base,
+           CASE WHEN bbase_m > 0 AND brier_m IS NOT NULL THEN
+               round(CAST(floor((1e0 - CAST(brier_m AS DOUBLE) / bbase_m)
+                                * 1000000e0 + 0.5e0) AS BIGINT)
+                     / 1000000e0, 6) END AS brier_skill
+    FROM g
+"""
+
+
+@register("events_calibration_ece", _CAL_ORACLE)
+def events_calibration_ece(spark, sf_dir):
+    """Calibration audit of the split-A-trained first-event-type
+    conversion propensity scored on split B: exact-support ECE and
+    MCE, Brier score, and Brier skill vs the split-B base rate — the
+    reliability layer beside the train/serve drift and target-encoding
+    surfaces (see the section comment for the exact-ECE claim and the
+    per-bin quantization contract).
+
+    Scale: the whole audit runs on the shared stratum-grain cells
+    relation (_strat_cells — one user-grain aggregate + one
+    event-type-vocabulary aggregate, the stratified/HTE kernel), then
+    ONE 1-row reduction; no window, no driver collect, nothing
+    corpus-scale past the first aggregate."""
+    st = _strat_cells(spark, sf_dir)
+    b = st.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_as > 0 THEN"
+            " CAST(floor(CAST(c_as AS DOUBLE) / n_as"
+            " * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ).alias("conf_m"),
+        F.expr(
+            "CASE WHEN n_bs > 0 THEN"
+            " CAST(floor(CAST(c_bs AS DOUBLE) / n_bs"
+            " * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ).alias("acc_m"),
+    )
+    s = b.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("conf_m").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_bins"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("conf_m").isNotNull() & (F.col("n_bs") > 0),
+                    F.col("n_bs"),
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_serve"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("conf_m").isNull(), F.col("n_bs")).otherwise(
+                    0
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_serve_unscored"),
+        F.sum(
+            F.when(
+                F.col("conf_m").isNotNull() & (F.col("n_bs") > 0),
+                F.col("n_bs") * F.abs(F.col("acc_m") - F.col("conf_m")),
+            )
+        )
+        .cast("bigint")
+        .alias("ece_num"),
+        F.max(
+            F.when(
+                F.col("conf_m").isNotNull() & (F.col("n_bs") > 0),
+                F.abs(F.col("acc_m") - F.col("conf_m")),
+            )
+        )
+        .cast("bigint")
+        .alias("mce_m"),
+        F.sum(
+            F.when(
+                F.col("conf_m").isNotNull() & (F.col("n_bs") > 0),
+                F.expr(_CAL_BRIER_TERM),
+            )
+        )
+        .cast("bigint")
+        .alias("brier_num"),
+        F.sum(
+            F.when(F.col("conf_m").isNotNull(), F.col("c_bs"))
+        )
+        .cast("bigint")
+        .alias("c_serve"),
+    )
+    f = s.withColumn(
+        "base_m",
+        F.expr(
+            "CASE WHEN n_serve > 0 THEN"
+            " CAST(floor(CAST(c_serve AS DOUBLE) / n_serve"
+            " * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ),
+    )
+    g = f.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_serve > 0 THEN"
+            " CAST(floor(CAST(ece_num AS DOUBLE) / n_serve + 0.5e0)"
+            " AS BIGINT) END"
+        ).alias("ece_m"),
+        F.expr(
+            "CASE WHEN n_serve > 0 THEN"
+            " CAST(floor(CAST(brier_num AS DOUBLE) / n_serve + 0.5e0)"
+            " AS BIGINT) END"
+        ).alias("brier_m"),
+        F.expr(
+            "CASE WHEN base_m IS NOT NULL THEN"
+            " CAST(floor(base_m / 1e6 * (1e0 - base_m / 1e6)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ).alias("bbase_m"),
+    )
+    return g.select(
+        "n_bins",
+        "n_serve",
+        "n_serve_unscored",
+        F.round(F.col("ece_m") / F.expr("1000000e0"), 6).alias("ece"),
+        F.round(F.col("mce_m") / F.expr("1000000e0"), 6).alias("mce"),
+        F.round(F.col("brier_m") / F.expr("1000000e0"), 6).alias("brier"),
+        F.round(F.col("bbase_m") / F.expr("1000000e0"), 6).alias(
+            "brier_base"
+        ),
+        F.expr(
+            "CASE WHEN bbase_m > 0 AND brier_m IS NOT NULL THEN"
+            " round(CAST(floor((1e0 - CAST(brier_m AS DOUBLE) / bbase_m)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
+        ).alias("brier_skill"),
+    )

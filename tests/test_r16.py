@@ -979,3 +979,77 @@ def test_heaps_law_recompute(spark, sf_dir):
     # growing — pin the separation the two-grain design exists for
     assert 0.0 <= row.heaps_beta < 0.2
     assert 0.05 < row.heaps_beta_shingle < 1.0
+
+
+def test_calibration_ece_recompute(spark, sf_dir):
+    """Recompute the exact-support calibration audit from collected
+    per-user rows: split-A per-stratum conversion rates as
+    predictions, split-B reliability gaps, ECE/MCE/Brier/skill."""
+    import hashlib
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    first: dict = {}
+    conv: set = set()
+    for r in ev:
+        k = (r.ts, r.event_id, r.event_type)
+        if r.user_id not in first or k < first[r.user_id]:
+            first[r.user_id] = k
+        if r.event_type == "purchase":
+            conv.add(r.user_id)
+    cells: dict = defaultdict(lambda: [0, 0, 0, 0])  # na, ca, nb, cb
+    for u, k in first.items():
+        is_a = hashlib.md5(str(u).encode()).hexdigest()[:2] < "80"
+        c = cells[k[2]]
+        if is_a:
+            c[0] += 1
+            c[1] += u in conv
+        else:
+            c[2] += 1
+            c[3] += u in conv
+    n_bins = n_serve = unscored = ece_num = c_serve = 0
+    mce = None
+    brier_num = 0
+    for na, ca, nb, cb in cells.values():
+        if na == 0:
+            unscored += nb
+            continue
+        n_bins += 1
+        conf = math.floor(ca / na * 1e6 + 0.5)
+        c_serve += cb
+        if nb == 0:
+            continue
+        n_serve += nb
+        acc = math.floor(cb / nb * 1e6 + 0.5)
+        gap = abs(acc - conf)
+        ece_num += nb * gap
+        mce = gap if mce is None else max(mce, gap)
+        brier_num += math.floor(
+            (nb * conf * conf / 1e12 - 2 * conf / 1e6 * cb + cb) * 1e6
+            + 0.5
+        )
+    row = QUERIES["events_calibration_ece"].fn(spark, sf_dir).collect()[0]
+    assert row.n_bins == n_bins
+    assert row.n_serve == n_serve
+    assert row.n_serve_unscored == unscored
+    assert n_serve > 0
+    ece = math.floor(ece_num / n_serve + 0.5)
+    brier = math.floor(brier_num / n_serve + 0.5)
+    base = math.floor(c_serve / n_serve * 1e6 + 0.5)
+    bbase = math.floor(base / 1e6 * (1 - base / 1e6) * 1e6 + 0.5)
+    assert abs(row.ece - round(ece / 1e6, 6)) < 1e-9
+    assert abs(row.mce - round(mce / 1e6, 6)) < 1e-9
+    assert abs(row.brier - round(brier / 1e6, 6)) < 1e-9
+    assert abs(row.brier_base - round(bbase / 1e6, 6)) < 1e-9
+    if bbase > 0:
+        skill = math.floor((1 - brier / bbase) * 1e6 + 0.5)
+        assert abs(row.brier_skill - round(skill / 1e6, 6)) < 1e-9
+    # structural bounds: ECE <= MCE <= 1; Brier within [0, 1]
+    assert 0.0 <= row.ece <= row.mce <= 1.0
+    assert 0.0 <= row.brier <= 1.0

@@ -94,6 +94,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "retrieval_map_eval",
     "events_kruskal_wallis",
     "text_heaps_law",
+    "events_calibration_ece",
 )
 
 

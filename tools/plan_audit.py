@@ -307,6 +307,7 @@ EXTRA = [
     "retrieval_map_eval",
     "events_kruskal_wallis",
     "text_heaps_law",
+    "events_calibration_ece",
 ]
 
 
