@@ -8538,22 +8538,12 @@ _BINSEG_ORACLE = f"""
 """
 
 
-@register("events_volume_binseg", _BINSEG_ORACLE)
-def events_volume_binseg(spark, sf_dir):
-    """Depth-2 binary-segmentation changepoints on daily event volume:
-    the global CUSUM split plus the best split inside each resulting
-    segment, every argmax an exact-integer score and every segment
-    statistic recomputed from segment-local prefix sums (see the
-    section comment for the kernel, guard, and honest-flag
-    contracts).
-
-    Scale: identical to events_volume_changepoint — ONE
-    map-side-combined daily aggregate collapses the corpus to
-    calendar grain; both segmentation stages are windows/argmaxes
-    over that bounded days-scale relation (the per-side row_number
-    window partitions a <= n-days input — metadata-scale, never a
-    fact-scale window)."""
-    daily = _daily_volume(spark, sf_dir).select("day", "c")
+def binseg_report_from_daily(daily: DataFrame) -> DataFrame:
+    """Depth-2 binary-segmentation report over a (day DATE, c BIGINT)
+    calendar-grain relation — the WHOLE binseg kernel factored out of
+    events_volume_binseg (r16) so the streamed twin runs the exact
+    batch expressions over the cube-derived day totals and carries
+    the batch oracle, the holt_forecast_from_day_counts convention."""
     g = daily.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("c").cast("bigint").alias("tot"),
@@ -8678,6 +8668,53 @@ def events_volume_binseg(spark, sf_dir):
         )
         .orderBy("role_rank")
     )
+
+
+@register("events_volume_binseg", _BINSEG_ORACLE)
+def events_volume_binseg(spark, sf_dir):
+    """Depth-2 binary-segmentation changepoints on daily event volume:
+    the global CUSUM split plus the best split inside each resulting
+    segment, every argmax an exact-integer score and every segment
+    statistic recomputed from segment-local prefix sums (see the
+    section comment for the kernel, guard, and honest-flag
+    contracts).
+
+    Scale: identical to events_volume_changepoint — ONE
+    map-side-combined daily aggregate collapses the corpus to
+    calendar grain; both segmentation stages are windows/argmaxes
+    over that bounded days-scale relation (the per-side row_number
+    window partitions a <= n-days input — metadata-scale, never a
+    fact-scale window)."""
+    return binseg_report_from_daily(
+        _daily_volume(spark, sf_dir).select("day", "c")
+    )
+
+
+@register("streaming_volume_binseg", _BINSEG_ORACLE)
+def streaming_volume_binseg(spark, sf_dir):
+    """Structured Streaming: the FOURTEENTH report off the ONE
+    streamed sufficient statistic — the PSI tier's per-type
+    (day, bucket) count cube in ValueState sums across buckets AND
+    types to the corpus-wide daily volume the depth-2
+    binary-segmentation monitor runs on, so multi-changepoint
+    detection joins PSI, JSD, CUSUM-per-type, the volume alarms, the
+    trend/Holt forecasts, and the day-over-day reports on the same
+    fold. No new state schema, no new Python in the loop; the
+    segmentation is the batch twin's binseg_report_from_daily
+    expressions verbatim, so the report is bit-identical to
+    events_volume_binseg and carries its full oracle.
+
+    Scale: state stays (calendar x fixed buckets) per event type; the
+    report side is windows/argmaxes over the emitted metadata-scale
+    day relation, exactly the batch plan's bounded shapes."""
+    from .streaming.jobs import psi_cube_day_totals
+
+    daily = (
+        psi_cube_day_totals(spark, sf_dir, day_as_date=True)
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    return binseg_report_from_daily(daily)
 
 
 # --- day-block jackknife for the ratio metric (round 16) ----------------------

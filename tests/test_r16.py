@@ -1053,3 +1053,32 @@ def test_calibration_ece_recompute(spark, sf_dir):
     # structural bounds: ECE <= MCE <= 1; Brier within [0, 1]
     assert 0.0 <= row.ece <= row.mce <= 1.0
     assert 0.0 <= row.brier <= 1.0
+
+
+def test_streaming_binseg_equals_batch(spark, sf_dir):
+    """One streamed sufficient statistic, another report: the binseg
+    tier sums the PSI fold's (day, bucket) cube across buckets AND
+    types to the corpus-wide daily volume, so its depth-2
+    segmentation must equal the batch twin row-for-row."""
+    cols = (
+        "role",
+        "role_rank",
+        "split_day",
+        "seg_days",
+        "days_before",
+        "mean_before",
+        "mean_after",
+        "cusum_max",
+        "bb_stat",
+        "shift_flag_95_unadjusted",
+    )
+    stream = [
+        tuple(getattr(r, c) for c in cols)
+        for r in QUERIES["streaming_volume_binseg"].fn(spark, sf_dir).collect()
+    ]
+    batch = [
+        tuple(getattr(r, c) for c in cols)
+        for r in QUERIES["events_volume_binseg"].fn(spark, sf_dir).collect()
+    ]
+    assert stream == batch
+    assert stream  # non-degenerate fixture

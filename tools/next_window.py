@@ -95,6 +95,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_kruskal_wallis",
     "text_heaps_law",
     "events_calibration_ece",
+    "streaming_volume_binseg",
 )
 
 

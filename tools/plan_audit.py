@@ -308,6 +308,7 @@ EXTRA = [
     "events_kruskal_wallis",
     "text_heaps_law",
     "events_calibration_ece",
+    "streaming_volume_binseg",
 ]
 
 
@@ -410,6 +411,10 @@ _BOUNDED_DOMAIN_WINDOW_WAIVERS: dict[str, tuple[int, str]] = {
     # segment-candidate branch, and the broadcast copy of root the
     # segment branch joins against.
     "events_volume_binseg": (3, "calendar-day count relation ×3"),
+    # the streamed twin runs the identical binseg kernel over the
+    # cube-derived day totals — same three calendar-day prefix
+    # subtrees (the max-seq window is type-partitioned, not counted).
+    "streaming_volume_binseg": (3, "calendar-day count relation ×3"),
     # calendar-day bound again: the day-order row_number subtree is
     # planned once per consumer branch (forecast stats, calibration
     # scores, test-coverage copy, plus the calibration score-rank
