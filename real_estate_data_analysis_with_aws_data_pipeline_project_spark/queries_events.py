@@ -9575,3 +9575,259 @@ def events_calibration_ece(spark, sf_dir):
             " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6) END"
         ).alias("brier_skill"),
     )
+
+
+# --- Stouffer meta-analytic combination across segments (round 16) -------------
+#
+# The meta-analysis layer over the segment drill-downs: combine one
+# independent z statistic per first-event-type segment into the
+# pooled evidence Z = Σ √n_s·z_s / √Σn_s (Stouffer 1949 with the
+# sample-size weights Lipták's generalization recommends), plus the
+# unweighted classic Z_u = Σz_s/√k — the standard way a metrics
+# platform aggregates a segmented readout without re-pooling raw
+# counts (events_stratified_lift is an ESTIMATOR combination; this
+# is a TEST-STATISTIC combination — they disagree exactly when
+# segment variances differ, which is the point of showing both).
+#
+# The per-segment statistic is the Welch z on per-user PURCHASE
+# SPEND (cents) between the hash-split arms. A first draft combined
+# the segment CONVERSION z's and was measured DEGENERATE on this
+# corpus — conversion saturates (every entrant purchases; the OBF
+# variance-anchored-t lesson repeating), so every segment z was NULL
+# and the meta row vacuous; spend varies, so the Welch z is defined
+# wherever both arms have ≥ 2 users and positive variance.
+#
+# Determinism: per segment, six exact int64 sums (n, Σw, Σw² per
+# arm) feed ONE fixed exactly-rounded IEEE Welch tree, micro-
+# quantized; the weighted numerator term √n_s·z_micro is floor-
+# quantized per segment BEFORE the exact cross-segment sums (the
+# Theil per-group rule); the combined z re-quantizes once and the
+# flag compares that integer. Segments with an undefined z (an arm
+# below 2 users, zero pooled variance) are excluded from BOTH sums
+# and counted in n_excluded.
+
+_STOUFFER_VA = (
+    "((CAST(sww_a AS DOUBLE) * n_a - CAST(sw_a AS DOUBLE) * sw_a)"
+    " / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1e0)))"
+)
+_STOUFFER_VB = (
+    "((CAST(sww_b AS DOUBLE) * n_b - CAST(sw_b AS DOUBLE) * sw_b)"
+    " / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1e0)))"
+)
+_STOUFFER_Z = (
+    f"CASE WHEN n_a > 1 AND n_b > 1"
+    f" AND {_STOUFFER_VA} + {_STOUFFER_VB} > 0e0 THEN"
+    f" CAST(floor((CAST(sw_a AS DOUBLE) / n_a"
+    f"             - CAST(sw_b AS DOUBLE) / n_b)"
+    f" / sqrt({_STOUFFER_VA} + {_STOUFFER_VB})"
+    " * 1000000e0 + 0.5e0) AS BIGINT) END"
+)
+
+_STOUFFER_ORACLE = f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
+                   AS stratum,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(floor(value * 100e0 + 0.5e0)
+                                       AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS w
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN variant = 'a' THEN w ELSE 0 END)
+                    AS BIGINT) AS sw_a,
+               CAST(sum(CASE WHEN variant = 'a' THEN w * w ELSE 0 END)
+                    AS BIGINT) AS sww_a,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN variant = 'b' THEN w ELSE 0 END)
+                    AS BIGINT) AS sw_b,
+               CAST(sum(CASE WHEN variant = 'b' THEN w * w ELSE 0 END)
+                    AS BIGINT) AS sww_b
+        FROM u GROUP BY 1
+    ),
+    z AS (
+        SELECT *, n_a + n_b AS n_s, {_STOUFFER_Z} AS z_micro FROM st
+    ),
+    s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(coalesce(sum(CASE WHEN z_micro IS NOT NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_used,
+               CAST(coalesce(sum(CASE WHEN z_micro IS NULL
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_excluded,
+               CAST(sum(CASE WHEN z_micro IS NOT NULL THEN n_s END)
+                    AS BIGINT) AS n_users_used,
+               CAST(sum(CASE WHEN z_micro IS NOT NULL THEN
+                   CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * z_micro
+                              + 0.5e0) AS BIGINT) END) AS BIGINT)
+                   AS t_sum,
+               CAST(sum(CASE WHEN z_micro IS NOT NULL THEN z_micro END)
+                    AS BIGINT) AS z_sum
+        FROM z
+    ),
+    f AS (
+        SELECT *,
+               CASE WHEN n_used > 0 AND n_users_used > 0 THEN
+                   CAST(floor(CAST(t_sum AS DOUBLE)
+                              / sqrt(CAST(n_users_used AS DOUBLE))
+                              + 0.5e0) AS BIGINT)
+               END AS zw_micro,
+               CASE WHEN n_used > 0 THEN
+                   CAST(floor(CAST(z_sum AS DOUBLE)
+                              / sqrt(CAST(n_used AS DOUBLE))
+                              + 0.5e0) AS BIGINT)
+               END AS zu_micro
+        FROM s
+    )
+    SELECT n_strata, n_used, n_excluded, n_users_used,
+           round(zw_micro / 1000000e0, 6) AS stouffer_z,
+           round(zu_micro / 1000000e0, 6) AS stouffer_z_unweighted,
+           CAST(CASE WHEN abs(zw_micro) > 1959964 THEN 1
+                     WHEN zw_micro IS NOT NULL THEN 0 END
+                AS BIGINT) AS significant_95
+    FROM f
+"""
+
+
+@register("events_stouffer_meta", _STOUFFER_ORACLE)
+def events_stouffer_meta(spark, sf_dir):
+    """Stouffer weighted-Z meta-analytic combination of per-segment
+    Welch spend z statistics (√n weights), with the unweighted
+    classic beside it — the test-statistic aggregation layer over
+    the first-event-type segmentation, complementing the
+    estimator-side pooling of events_stratified_lift (see the
+    section comment for why the statistic is the spend Welch z, not
+    the saturated conversion z, and the per-segment quantization
+    contract).
+
+    Scale: one user-grain aggregate (map-side combinable), one
+    stratum-grain six-sum cell aggregate over the event-type
+    vocabulary, then ONE 1-row reduction — no window, no collect."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("stratum"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr(
+                        "CAST(floor(value * 100e0 + 0.5e0) AS BIGINT)"
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a")
+            .otherwise("b")
+            .alias("variant"),
+            "stratum",
+            "w",
+        )
+    )
+    st = u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "a", F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("sw_a"),
+        F.sum(
+            F.when(F.col("variant") == "a", F.col("w") * F.col("w"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sww_a"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "b", F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("sw_b"),
+        F.sum(
+            F.when(F.col("variant") == "b", F.col("w") * F.col("w"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sww_b"),
+    )
+    z = st.select(
+        "*",
+        (F.col("n_a") + F.col("n_b")).alias("n_s"),
+        F.expr(_STOUFFER_Z).alias("z_micro"),
+    )
+    s = z.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.coalesce(
+            F.sum(F.when(F.col("z_micro").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_used"),
+        F.coalesce(
+            F.sum(F.when(F.col("z_micro").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_excluded"),
+        F.sum(F.when(F.col("z_micro").isNotNull(), F.col("n_s")))
+        .cast("bigint")
+        .alias("n_users_used"),
+        F.sum(
+            F.when(
+                F.col("z_micro").isNotNull(),
+                F.expr(
+                    "CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * z_micro"
+                    " + 0.5e0) AS BIGINT)"
+                ),
+            )
+        )
+        .cast("bigint")
+        .alias("t_sum"),
+        F.sum(F.when(F.col("z_micro").isNotNull(), F.col("z_micro")))
+        .cast("bigint")
+        .alias("z_sum"),
+    )
+    f = s.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_used > 0 AND n_users_used > 0 THEN"
+            " CAST(floor(CAST(t_sum AS DOUBLE)"
+            " / sqrt(CAST(n_users_used AS DOUBLE)) + 0.5e0) AS BIGINT)"
+            " END"
+        ).alias("zw_micro"),
+        F.expr(
+            "CASE WHEN n_used > 0 THEN"
+            " CAST(floor(CAST(z_sum AS DOUBLE)"
+            " / sqrt(CAST(n_used AS DOUBLE)) + 0.5e0) AS BIGINT) END"
+        ).alias("zu_micro"),
+    )
+    return f.select(
+        "n_strata",
+        "n_used",
+        "n_excluded",
+        "n_users_used",
+        F.round(F.col("zw_micro") / F.expr("1000000e0"), 6).alias(
+            "stouffer_z"
+        ),
+        F.round(F.col("zu_micro") / F.expr("1000000e0"), 6).alias(
+            "stouffer_z_unweighted"
+        ),
+        F.expr(
+            "CAST(CASE WHEN abs(zw_micro) > 1959964 THEN 1"
+            " WHEN zw_micro IS NOT NULL THEN 0 END AS BIGINT)"
+        ).alias("significant_95"),
+    )

@@ -1082,3 +1082,63 @@ def test_streaming_binseg_equals_batch(spark, sf_dir):
     ]
     assert stream == batch
     assert stream  # non-degenerate fixture
+
+def test_stouffer_meta_recompute(spark, sf_dir):
+    """Recompute the per-segment Welch spend z's and both Stouffer
+    combinations from collected raw rows, and pin the richness the
+    first (conversion-z) draft lacked: at least one segment must
+    contribute a defined z on the smoke fixture."""
+    import hashlib
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    ).collect()
+    first: dict = {}
+    spend: dict = defaultdict(int)
+    for r in ev:
+        k = (r.ts, r.event_id, r.event_type)
+        if r.user_id not in first or k < first[r.user_id]:
+            first[r.user_id] = k
+        if r.event_type == "purchase":
+            spend[r.user_id] += math.floor(r.value * 100 + 0.5)
+    cells: dict = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for u, k in first.items():
+        is_a = hashlib.md5(str(u).encode()).hexdigest()[:2] < "80"
+        w = spend.get(u, 0)
+        c = cells[k[2]]
+        o = 0 if is_a else 3
+        c[o] += 1
+        c[o + 1] += w
+        c[o + 2] += w * w
+    t_sum = z_sum = n_users = used = 0
+    for na, swa, swwa, nb, swb, swwb in cells.values():
+        if na < 2 or nb < 2:
+            continue
+        va = (swwa * na - swa * swa) / (na * na * (na - 1))
+        vb = (swwb * nb - swb * swb) / (nb * nb * (nb - 1))
+        if va + vb <= 0:
+            continue
+        zm = math.floor(
+            (swa / na - swb / nb) / math.sqrt(va + vb) * 1e6 + 0.5
+        )
+        used += 1
+        n_s = na + nb
+        n_users += n_s
+        t_sum += math.floor(math.sqrt(n_s) * zm + 0.5)
+        z_sum += zm
+    row = QUERIES["events_stouffer_meta"].fn(spark, sf_dir).collect()[0]
+    assert row.n_strata == len(cells)
+    assert row.n_used == used
+    assert row.n_excluded == len(cells) - used
+    assert used > 0  # richness guard: the spend z must be defined
+    assert row.n_users_used == n_users
+    zw = math.floor(t_sum / math.sqrt(n_users) + 0.5)
+    zu = math.floor(z_sum / math.sqrt(used) + 0.5)
+    assert abs(row.stouffer_z - round(zw / 1e6, 6)) < 1e-9
+    assert abs(row.stouffer_z_unweighted - round(zu / 1e6, 6)) < 1e-9
+    assert row.significant_95 == (1 if abs(zw) > 1959964 else 0)

@@ -96,6 +96,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "text_heaps_law",
     "events_calibration_ece",
     "streaming_volume_binseg",
+    "events_stouffer_meta",
 )
 
 

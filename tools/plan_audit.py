@@ -309,6 +309,7 @@ EXTRA = [
     "text_heaps_law",
     "events_calibration_ece",
     "streaming_volume_binseg",
+    "events_stouffer_meta",
 ]
 
 
