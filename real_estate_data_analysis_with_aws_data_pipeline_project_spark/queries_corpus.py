@@ -1544,3 +1544,168 @@ def corpus_ht_token_estimate(spark, sf_dir):
             ).alias("rel_error"),
         )
     )
+
+
+# --- DSIR importance weighting (round 16) ------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023, public
+# method): score every candidate training document by how much more
+# likely its hashed bag-of-words is under a TARGET-domain unigram
+# model than under the raw-corpus model,
+#   log w(doc) = Σ_tokens [ln p_target(b(t)) − ln p_raw(b(t))],
+# with tokens hashed into _DSIR_BUCKETS buckets (the hashing trick —
+# vocabulary-independent model size, exactly the paper's hashed
+# n-gram generative model at n=1) and Laplace +1 smoothing on both
+# models. The target here is the held-out eval split the
+# decontamination family already defines (doc_id < _EVAL_CUTOFF);
+# candidates are the rest. Top-scored docs are what DSIR keeps for
+# training — the principled replacement for hand-tuned quality
+# thresholds when a pipeline wants "more like the target domain".
+#
+# Determinism: the per-bucket log-ratio is ONE fixed IEEE tree over
+# exact integer counts, micro-quantized at BUCKET grain (≤
+# _DSIR_BUCKETS rows — the entropy-term convention, so the libm ln
+# runs once per bucket, never per token); each doc's score is then
+# an exact int64 sum of bucket weights, and the top-50 is an exact
+# integer argsort with doc_id tie-break. The per-token-normalized
+# score (DSIR's length-debiasing view) divides the exact sum once
+# and floor-quantizes.
+
+_DSIR_BUCKETS = 1024
+_DSIR_TOP = 50
+
+
+def _dsir_bucket_sql(fn: str) -> str:
+    from .functions.scalar import hex_chunk_int_sql
+
+    return f"({hex_chunk_int_sql('md5(token)', 8, fn=fn)} % {_DSIR_BUCKETS})"
+
+
+_DSIR_LW_SQL = (
+    f"CAST(floor((ln(ct + 1e0) - ln(nt + {_DSIR_BUCKETS}e0)"
+    f" - ln(cr + 1e0) + ln(nr + {_DSIR_BUCKETS}e0))"
+    " * 1000000e0 + 0.5e0) AS BIGINT)"
+)
+
+_DSIR_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, unnest({X.tokens_sql()}) AS token FROM documents
+    ),
+    tk AS (
+        SELECT doc_id, {_dsir_bucket_sql("strpos")} AS b
+        FROM t WHERE token <> ''
+    ),
+    grid AS (
+        SELECT unnest(generate_series(0, {_DSIR_BUCKETS - 1})) AS b
+    ),
+    cnt AS (
+        SELECT b,
+               CAST(sum(CASE WHEN doc_id < {_EVAL_CUTOFF}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ct_b,
+               CAST(sum(CASE WHEN doc_id >= {_EVAL_CUTOFF}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS cr_b
+        FROM tk GROUP BY 1
+    ),
+    dense AS (
+        SELECT g.b, coalesce(ct_b, 0) AS ct, coalesce(cr_b, 0) AS cr
+        FROM grid g LEFT JOIN cnt ON cnt.b = g.b
+    ),
+    tot AS (
+        SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        FROM dense
+    ),
+    lw AS (
+        SELECT b, {_DSIR_LW_SQL} AS lw_micro
+        FROM dense CROSS JOIN tot
+    ),
+    ds AS (
+        SELECT tk.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(lw.lw_micro) AS BIGINT) AS s_micro
+        FROM tk JOIN lw ON lw.b = tk.b
+        WHERE tk.doc_id >= {_EVAL_CUTOFF}
+        GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(s_micro / 1000000e0, 6) AS log_importance,
+           round(CAST(floor(CAST(s_micro AS DOUBLE) / n_tokens + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS log_importance_per_token
+    FROM ds
+    ORDER BY s_micro DESC, doc_id
+    LIMIT {_DSIR_TOP}
+"""
+
+
+@register("corpus_dsir_importance", _DSIR_ORACLE)
+def corpus_dsir_importance(spark, sf_dir):
+    """DSIR importance scores: the top-{k} candidate training docs by
+    hashed-unigram log importance weight toward the held-out target
+    split, with the per-token normalized score beside the raw sum —
+    the importance-resampling data selector (Xie et al. 2023) on the
+    same eval/train split as the decontamination family (see the
+    section comment for the model, smoothing, and quantization
+    contracts).
+
+    Scale: one exploded token pass collapses to (doc, bucket) rows;
+    both models are ONE {b}-bucket aggregate (map-side combinable)
+    densified against a generated grid and broadcast back; each doc's
+    score is an exact int64 sum and the top-50 a distributed
+    TakeOrdered. Nothing pairwise, nothing vocabulary-unbounded —
+    the model size is fixed by construction at any corpus size.""".format(
+        k=_DSIR_TOP, b=_DSIR_BUCKETS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tk = (
+        docs.select("doc_id", F.explode(X.tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .select(
+            "doc_id", F.expr(_dsir_bucket_sql("instr")).alias("b")
+        )
+    )
+    # one exploded pass, two consumers (bucket models + doc scores)
+    tk = tk.localCheckpoint(eager=True)
+    cnt = tk.groupBy("b").agg(
+        F.sum(F.when(F.col("doc_id") < _EVAL_CUTOFF, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ct_b"),
+        F.sum(F.when(F.col("doc_id") >= _EVAL_CUTOFF, 1).otherwise(0))
+        .cast("bigint")
+        .alias("cr_b"),
+    )
+    grid = spark.range(_DSIR_BUCKETS).select(F.col("id").alias("b"))
+    dense = grid.join(F.broadcast(cnt), "b", "left").select(
+        "b",
+        F.coalesce(F.col("ct_b"), F.lit(0)).alias("ct"),
+        F.coalesce(F.col("cr_b"), F.lit(0)).alias("cr"),
+    )
+    tot = dense.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+    )
+    lw = dense.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(_DSIR_LW_SQL).alias("lw_micro")
+    )
+    ds = (
+        tk.where(F.col("doc_id") >= _EVAL_CUTOFF)
+        .join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("lw_micro").cast("bigint").alias("s_micro"),
+        )
+    )
+    return (
+        ds.orderBy(F.desc("s_micro"), "doc_id")
+        .limit(_DSIR_TOP)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s_micro") / F.expr("1000000e0"), 6).alias(
+                "log_importance"
+            ),
+            F.expr(
+                "round(CAST(floor(CAST(s_micro AS DOUBLE) / n_tokens"
+                " + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+            ).alias("log_importance_per_token"),
+        )
+    )

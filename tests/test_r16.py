@@ -1142,3 +1142,83 @@ def test_stouffer_meta_recompute(spark, sf_dir):
     assert abs(row.stouffer_z - round(zw / 1e6, 6)) < 1e-9
     assert abs(row.stouffer_z_unweighted - round(zu / 1e6, 6)) < 1e-9
     assert row.significant_95 == (1 if abs(zw) > 1959964 else 0)
+
+
+def test_dsir_importance_recompute(spark, sf_dir):
+    """Recompute the DSIR hashed-unigram importance scores from
+    collected tokenized docs: md5 bucket hash, Laplace-smoothed
+    bucket log-ratios quantized at bucket grain, exact per-doc sums,
+    and the top-50 integer argsort."""
+    import hashlib
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.text import (
+        tokens,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_corpus import (
+        _DSIR_BUCKETS,
+        _DSIR_TOP,
+        _EVAL_CUTOFF,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens().alias("toks"))
+        .collect()
+    )
+
+    def bucket(tok):
+        return (
+            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            % _DSIR_BUCKETS
+        )
+
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    per_doc: dict = {}
+    for r in docs:
+        bs = [bucket(t) for t in r.toks if t]
+        if r.doc_id < _EVAL_CUTOFF:
+            ct.update(bs)
+        else:
+            cr.update(bs)
+            per_doc[r.doc_id] = bs
+    nt, nr = sum(ct.values()), sum(cr.values())
+    lw = {
+        b: math.floor(
+            (
+                math.log(ct.get(b, 0) + 1.0)
+                - math.log(nt + float(_DSIR_BUCKETS))
+                - math.log(cr.get(b, 0) + 1.0)
+                + math.log(nr + float(_DSIR_BUCKETS))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in range(_DSIR_BUCKETS)
+    }
+    scored = sorted(
+        (
+            (-sum(lw[b] for b in bs), d, len(bs))
+            for d, bs in per_doc.items()
+            if bs
+        ),
+    )[:_DSIR_TOP]
+    rows = QUERIES["corpus_dsir_importance"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(scored)
+    got = {r.doc_id: r for r in rows}
+    for neg_s, d, n in scored:
+        r = got[d]
+        assert r.n_tokens == n
+        assert abs(r.log_importance - round(-neg_s / 1e6, 6)) < 1e-9
+        want_n = math.floor(-neg_s / n + 0.5)
+        assert abs(
+            r.log_importance_per_token - round(want_n / 1e6, 6)
+        ) < 1e-9
+    # target-likeness sanity: scores are finite and the list is the
+    # exact integer argsort (descending)
+    ordered = [r.log_importance for r in rows]
+    assert ordered == sorted(ordered, reverse=True)

@@ -97,6 +97,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_calibration_ece",
     "streaming_volume_binseg",
     "events_stouffer_meta",
+    "corpus_dsir_importance",
 )
 
 

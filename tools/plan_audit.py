@@ -310,6 +310,7 @@ EXTRA = [
     "events_calibration_ece",
     "streaming_volume_binseg",
     "events_stouffer_meta",
+    "corpus_dsir_importance",
 ]
 
 

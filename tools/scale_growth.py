@@ -269,6 +269,10 @@ QUERIES_UNDER_TEST = [
     # 1-row DECIMAL aggregates — everything past the first
     # aggregates is metadata-scale.
     "text_heaps_law",
+    # DSIR: one exploded pass to (doc, bucket), a fixed-1024-bucket
+    # model aggregate broadcast back, exact per-doc sums, top-50
+    # TakeOrdered — model size fixed at any corpus size.
+    "corpus_dsir_importance",
 ]
 ALPHA_TOL = 1.35  # near-linear bar for wall-clock growth
 INCR_FLAT_TOL = 0.5  # fixed-batch incremental-dedup flatness bar
