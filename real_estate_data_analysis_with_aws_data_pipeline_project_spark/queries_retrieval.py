@@ -3154,3 +3154,174 @@ def retrieval_map_eval(spark, sf_dir):
         )
         .orderBy("retriever")
     )
+
+
+# --- k-core of the sparsified co-supplier graph (round 16) ---------------------
+#
+# The cohesion layer of the graph family: the k-core is the maximal
+# subgraph where every node keeps >= k neighbors INSIDE the subgraph
+# (Seidman 1983) — the standard "dense community backbone" extraction
+# a similarity-graph pipeline runs before community detection, and
+# the first genuinely ITERATIVE-TO-FIXPOINT operator in the repo
+# (PageRank runs a fixed 3 iterations; peeling must run until the
+# set stops changing). Each round deletes every node whose
+# within-set degree is < k; the survivors after the fixpoint are the
+# k-core.
+#
+# Iteration contract: BOTH engines run the same bounded loop —
+# _KCORE_MAX_ROUNDS peeling steps (the Spark side breaks early at
+# the fixpoint, which is safe because A_{i+1} ⊆ A_i makes equal
+# COUNTS equal SETS) — and report n_rounds = the first iteration
+# whose set equals the final one, plus an explicit converged flag
+# (final set == previous set). A graph that needs more than the cap
+# reports converged = 0 honestly instead of pretending the truncated
+# set is the core; on the degree-capped sparsified graph (deg <=
+# 2·top_k = 20) peeling converges in a handful of rounds. The DuckDB
+# oracle drives the identical recursion through a single-row
+# RECURSIVE list-state CTE, so the hash match proves the Spark loop
+# and the SQL fixpoint agree round for round.
+
+_KCORE_K = 3
+_KCORE_MAX_ROUNDS = 25
+
+_KCORE_ORACLE = f"""
+    WITH RECURSIVE base AS ({_COSUPP_ORACLE}),
+    edges AS (
+        SELECT DISTINCT least(supplier, partner) AS s1,
+               greatest(supplier, partner) AS s2
+        FROM base
+    ),
+    nodes AS (
+        SELECT DISTINCT supp FROM (
+            SELECT s1 AS supp FROM edges UNION ALL SELECT s2 FROM edges
+        )
+    ),
+    peel(it, alive) AS (
+        SELECT 0, (SELECT coalesce(list(supp ORDER BY supp), [])
+                   FROM nodes)
+        UNION ALL
+        SELECT it + 1,
+            (SELECT coalesce(list(supp ORDER BY supp), []) FROM (
+                SELECT supp FROM (
+                    SELECT s1 AS supp FROM edges
+                    WHERE list_contains(peel.alive, s1)
+                      AND list_contains(peel.alive, s2)
+                    UNION ALL
+                    SELECT s2 FROM edges
+                    WHERE list_contains(peel.alive, s1)
+                      AND list_contains(peel.alive, s2)
+                ) GROUP BY 1 HAVING count(*) >= {_KCORE_K}
+            ))
+        FROM peel WHERE it < {_KCORE_MAX_ROUNDS}
+    ),
+    last AS (
+        SELECT alive FROM peel WHERE it = {_KCORE_MAX_ROUNDS}
+    ),
+    core AS (
+        SELECT unnest((SELECT alive FROM last)) AS supp
+    ),
+    stats AS (
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+            (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+            (SELECT CAST(len(alive) AS BIGINT) FROM last)
+                AS n_core_nodes,
+            (SELECT CAST(count(*) AS BIGINT) FROM edges
+             WHERE s1 IN (SELECT supp FROM core)
+               AND s2 IN (SELECT supp FROM core)) AS n_core_edges,
+            (SELECT CAST(min(it) AS BIGINT) FROM peel
+             WHERE alive = (SELECT alive FROM last)) AS n_rounds,
+            (SELECT CAST(CASE WHEN
+                 (SELECT alive FROM peel
+                  WHERE it = {_KCORE_MAX_ROUNDS})
+                 = (SELECT alive FROM peel
+                    WHERE it = {_KCORE_MAX_ROUNDS - 1})
+                 THEN 1 ELSE 0 END AS BIGINT)) AS converged
+    )
+    SELECT CAST({_KCORE_K} AS BIGINT) AS k_core,
+           CAST({_KCORE_MAX_ROUNDS} AS BIGINT) AS max_rounds,
+           n_nodes, n_edges, n_core_nodes, n_core_edges, n_rounds,
+           converged
+    FROM stats
+"""
+
+
+@register("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark, sf_dir):
+    """{k}-core extraction on the sparsified co-supplier graph:
+    iterative peeling to the fixpoint (bounded at {cap} rounds with
+    an explicit converged flag), reporting the core's node and edge
+    counts and the rounds-to-fixpoint — the repo's first
+    iterate-until-stable graph operator (see the section comment for
+    the loop/recursion equivalence contract).
+
+    Scale: the graph is the session-persisted sparsified edge
+    relation (<= top_k·|suppliers| rows, degree <= 2·top_k by
+    construction — peeling converges in a handful of rounds there);
+    each round is two broadcast-scale semi-joins plus one
+    dimension-grain degree aggregate, and the driver actions are one
+    bounded count per round (<= {cap}), the Lloyd-iteration
+    convention. Nothing fact-scale is touched after the cached
+    projection builds.""".format(k=_KCORE_K, cap=_KCORE_MAX_ROUNDS)
+    edges = _sparsified_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("s1").alias("supp"))
+        .unionAll(edges.select(F.col("s2").alias("supp")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    n_edges = edges.count()
+    alive = nodes
+    prev = n_nodes
+    converged = False
+    n_rounds = _KCORE_MAX_ROUNDS
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        a1 = alive.select(F.col("supp").alias("s1"))
+        a2 = alive.select(F.col("supp").alias("s2"))
+        live = edges.join(F.broadcast(a1), "s1", "left_semi").join(
+            F.broadcast(a2), "s2", "left_semi"
+        )
+        new_alive = (
+            live.select(F.col("s1").alias("supp"))
+            .unionAll(live.select(F.col("s2").alias("supp")))
+            .groupBy("supp")
+            .agg(F.count("*").alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("supp")
+            .localCheckpoint(eager=True)
+        )
+        c = new_alive.count()
+        if c == prev:
+            # A_{i} == A_{i-1}: fixpoint after i-1 effective rounds
+            converged = True
+            n_rounds = i - 1
+            break
+        alive = new_alive
+        prev = c
+    a1 = alive.select(F.col("supp").alias("s1"))
+    a2 = alive.select(F.col("supp").alias("s2"))
+    n_core_edges = (
+        edges.join(F.broadcast(a1), "s1", "left_semi")
+        .join(F.broadcast(a2), "s2", "left_semi")
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                _KCORE_K,
+                _KCORE_MAX_ROUNDS,
+                n_nodes,
+                n_edges,
+                prev,
+                n_core_edges,
+                n_rounds,
+                1 if converged else 0,
+            )
+        ],
+        schema=(
+            "k_core bigint, max_rounds bigint, n_nodes bigint,"
+            " n_edges bigint, n_core_nodes bigint, n_core_edges bigint,"
+            " n_rounds bigint, converged bigint"
+        ),
+    )

@@ -1222,3 +1222,54 @@ def test_dsir_importance_recompute(spark, sf_dir):
     # exact integer argsort (descending)
     ordered = [r.log_importance for r in rows]
     assert ordered == sorted(ordered, reverse=True)
+
+
+def test_kcore_recompute(spark, sf_dir):
+    """Recompute the k-core peeling fixpoint imperatively from the
+    collected sparsified edge set and pin every reported count plus
+    the core invariant (every core node keeps >= k core
+    neighbors)."""
+    from collections import defaultdict
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
+        _KCORE_K,
+        _KCORE_MAX_ROUNDS,
+        _sparsified_edges,
+    )
+
+    edges = [
+        (r.s1, r.s2) for r in _sparsified_edges(spark, sf_dir).collect()
+    ]
+    alive = {s for e in edges for s in e}
+    n_nodes, n_edges = len(alive), len(edges)
+    rounds = _KCORE_MAX_ROUNDS
+    converged = False
+    for i in range(1, _KCORE_MAX_ROUNDS + 1):
+        deg: dict = defaultdict(int)
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        new = {s for s, d in deg.items() if d >= _KCORE_K}
+        if new == alive:
+            converged = True
+            rounds = i - 1
+            break
+        alive = new
+    core_edges = sum(1 for a, b in edges if a in alive and b in alive)
+    row = QUERIES["graph_kcore"].fn(spark, sf_dir).collect()[0]
+    assert row.k_core == _KCORE_K
+    assert row.n_nodes == n_nodes
+    assert row.n_edges == n_edges
+    assert row.n_core_nodes == len(alive)
+    assert row.n_core_edges == core_edges
+    assert row.n_rounds == rounds
+    assert row.converged == (1 if converged else 0)
+    # core invariant: within-core degree >= k for every member
+    if converged and alive:
+        deg = defaultdict(int)
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] += 1
+                deg[b] += 1
+        assert min(deg[s] for s in alive) >= _KCORE_K

@@ -98,6 +98,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "streaming_volume_binseg",
     "events_stouffer_meta",
     "corpus_dsir_importance",
+    "graph_kcore",
 )
 
 

@@ -311,6 +311,7 @@ EXTRA = [
     "streaming_volume_binseg",
     "events_stouffer_meta",
     "corpus_dsir_importance",
+    "graph_kcore",
 ]
 
 
