@@ -3797,3 +3797,220 @@ def similarity_graph_expand_topk(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+# --- Johnson–Lindenstrauss projection distortion audit (round 16) --------------
+#
+# The pre-deployment audit for replacing exact d-dim search with a
+# k-dim random projection: JL (with the Achlioptas ±1 construction —
+# public classic) says a sign-matrix projection y = Sx/√k preserves
+# pairwise squared distances within 1±ε w.h.p. This operator MEASURES
+# that on a bounded probe set before any pipeline swaps its distance
+# computations: for every probe pair, the ratio
+#   ‖y_u − y_v‖² / (k·micro-exact ‖x_u − x_v‖²)
+# (the 1/√k scaling folded into the denominator), reported as
+# mean/min/max distortion and the fraction within ±25 %.
+#
+# Determinism: embeddings are micro-quantized per COMPONENT to exact
+# BIGINTs; the sign s(j,i) is the parity of the first hex digit of
+# md5('j:i') — a data-independent matrix both engines derive
+# identically; projections and both squared distances are exact
+# int64 sums, so the ONLY rounding site is the final per-pair ratio
+# (floor-quantized to micro before the cross-pair aggregates, the
+# Theil per-group rule). Identical-probe pairs (zero distance) are
+# excluded and counted.
+#
+# Scale: everything after the probe filter touches <= _JL_PROBES
+# rows (then pairs of them) — the audit is probe-bounded by
+# construction; the corpus-wide projection it green-lights is a
+# map-only transform at any scale.
+
+_JL_PROBES = 32
+_JL_K = 16
+
+_JL_SIGN_SQL = (
+    "(CASE WHEN (strpos('0123456789abcdef',"
+    " substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))"
+    " - 1) % 2 = 1 THEN 1 ELSE -1 END)"
+)
+_JL_SIGN_SPARK = (
+    "(CASE WHEN (instr('0123456789abcdef',"
+    " substr(md5(concat(CAST(j AS STRING), ':', CAST(i AS STRING))), 1, 1))"
+    " - 1) % 2 = 1 THEN 1 ELSE -1 END)"
+)
+
+_JL_ORACLE = f"""
+    WITH p AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id < {_JL_PROBES}
+    ),
+    pq AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(floor(embedding[i] * 1000000e0 + 0.5e0) AS BIGINT)
+                   AS e
+        FROM p, unnest(generate_series(1, len(embedding))) AS t(i)
+    ),
+    jg AS (SELECT unnest(generate_series(0, {_JL_K - 1})) AS j),
+    proj AS (
+        SELECT vec_id, j,
+               CAST(sum({_JL_SIGN_SQL} * e) AS BIGINT) AS y
+        FROM pq CROSS JOIN jg GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               CAST(sum((a.e - b.e) * (a.e - b.e)) AS BIGINT) AS dd
+        FROM pq a JOIN pq b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    p2 AS (
+        SELECT a.vec_id AS u, b.vec_id AS v,
+               CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS pp
+        FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT d2.u, d2.v, d2.dd, p2.pp,
+               CASE WHEN d2.dd > 0 THEN
+                   CAST(floor(CAST(p2.pp AS DOUBLE)
+                              / ({_JL_K}e0 * d2.dd)
+                              * 1000000e0 + 0.5e0) AS BIGINT)
+               END AS ratio_m
+        FROM d2 JOIN p2 ON p2.u = d2.u AND p2.v = d2.v
+    )
+    SELECT CAST({_JL_K} AS BIGINT) AS k_dims,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(coalesce(sum(CASE WHEN ratio_m IS NULL
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_zero_dist_pairs,
+           round(CAST(floor(CAST(sum(ratio_m) AS DOUBLE)
+                            / NULLIF(count(ratio_m), 0) + 0.5e0)
+                      AS BIGINT) / 1000000e0, 6) AS mean_distortion,
+           round(min(ratio_m) / 1000000e0, 6) AS min_distortion,
+           round(max(ratio_m) / 1000000e0, 6) AS max_distortion,
+           round(CAST(floor(CAST(coalesce(
+                     sum(CASE WHEN ratio_m BETWEEN 750000 AND 1250000
+                              THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                            / NULLIF(count(ratio_m), 0)
+                            * 1000000e0 + 0.5e0) AS BIGINT)
+                 / 1000000e0, 6) AS frac_within_25pct
+    FROM r
+"""
+
+
+@register("embedding_jl_projection_audit", _JL_ORACLE)
+def embedding_jl_projection_audit(spark, sf_dir):
+    """Johnson–Lindenstrauss distortion audit of the deterministic
+    ±1 sign projection to {k} dims on a {p}-probe pair grid:
+    mean/min/max pairwise squared-distance distortion and the
+    fraction of pairs within ±25 % — the measured go/no-go before a
+    pipeline swaps exact distances for projected ones (see the
+    section comment for the exact-integer contract; the only
+    rounding site is the per-pair ratio).
+
+    Scale: probe-bounded by construction — every relation after the
+    vec_id filter holds <= {p} rows, their pairs, or their
+    {k}·d exploded components; the signs are per-(j, i) md5 parities
+    computed on those bounded rows only.""".format(
+        k=_JL_K, p=_JL_PROBES
+    )
+    p = (
+        _vecs(spark, sf_dir)
+        .where(F.col("vec_id") < _JL_PROBES)
+        .select("vec_id", "embedding")
+    )
+    pq = p.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "i",
+        F.expr(
+            "CAST(floor(x * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("e"),
+    )
+    # bounded components feed projections AND exact distances
+    pq = pq.localCheckpoint(eager=True)
+    jg = spark.range(_JL_K).select(F.col("id").alias("j"))
+    proj = (
+        pq.crossJoin(F.broadcast(jg))
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum(F.expr(f"{_JL_SIGN_SPARK} * e"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    a, b = pq.alias("a"), pq.alias("b")
+    d2 = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("u"), F.col("b.vec_id").alias("v")
+        )
+        .agg(
+            F.sum(
+                (F.col("a.e") - F.col("b.e"))
+                * (F.col("a.e") - F.col("b.e"))
+            )
+            .cast("bigint")
+            .alias("dd")
+        )
+    )
+    pa_, pb = proj.alias("pa"), proj.alias("pb")
+    p2 = (
+        pa_.join(
+            pb,
+            (F.col("pa.j") == F.col("pb.j"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("u"), F.col("pb.vec_id").alias("v")
+        )
+        .agg(
+            F.sum(
+                (F.col("pa.y") - F.col("pb.y"))
+                * (F.col("pa.y") - F.col("pb.y"))
+            )
+            .cast("bigint")
+            .alias("pp")
+        )
+    )
+    r = d2.join(p2, ["u", "v"]).select(
+        "dd",
+        "pp",
+        F.expr(
+            "CASE WHEN dd > 0 THEN"
+            f" CAST(floor(CAST(pp AS DOUBLE) / ({_JL_K}e0 * dd)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) END"
+        ).alias("ratio_m"),
+    )
+    return r.agg(
+        F.lit(_JL_K).cast("bigint").alias("k_dims"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("ratio_m").isNull(), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_zero_dist_pairs"),
+        F.expr(
+            "round(CAST(floor(CAST(sum(ratio_m) AS DOUBLE)"
+            " / NULLIF(count(ratio_m), 0) + 0.5e0) AS BIGINT)"
+            " / 1000000e0, 6)"
+        ).alias("mean_distortion"),
+        F.round(F.min("ratio_m") / F.expr("1000000e0"), 6).alias(
+            "min_distortion"
+        ),
+        F.round(F.max("ratio_m") / F.expr("1000000e0"), 6).alias(
+            "max_distortion"
+        ),
+        F.expr(
+            "round(CAST(floor(CAST(coalesce(sum(CASE WHEN ratio_m"
+            " BETWEEN 750000 AND 1250000 THEN 1 ELSE 0 END), 0)"
+            " AS DOUBLE) / NULLIF(count(ratio_m), 0)"
+            " * 1000000e0 + 0.5e0) AS BIGINT) / 1000000e0, 6)"
+        ).alias("frac_within_25pct"),
+    )

@@ -1273,3 +1273,70 @@ def test_kcore_recompute(spark, sf_dir):
                 deg[a] += 1
                 deg[b] += 1
         assert min(deg[s] for s in alive) >= _KCORE_K
+
+
+def test_jl_projection_audit_recompute(spark, sf_dir):
+    """Recompute the JL distortion audit from collected probe
+    embeddings: md5 sign matrix, exact integer projections and
+    distances, per-pair quantized ratios, and the JL sanity that the
+    mean distortion sits near 1."""
+    import hashlib
+    from itertools import combinations
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_similarity import (
+        _JL_K,
+        _JL_PROBES,
+        _vecs,
+    )
+
+    probes = (
+        _vecs(spark, sf_dir)
+        .where(f"vec_id < {_JL_PROBES}")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q = {
+        r.vec_id: [math.floor(x * 1e6 + 0.5) for x in r.embedding]
+        for r in probes
+    }
+
+    def sign(j, i):
+        d = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16)
+        return 1 if d % 2 == 1 else -1
+
+    proj = {
+        v: [
+            sum(sign(j, i) * e for i, e in enumerate(vec))
+            for j in range(_JL_K)
+        ]
+        for v, vec in q.items()
+    }
+    ratios = []
+    zero = 0
+    for u, v in combinations(sorted(q), 2):
+        dd = sum((a - b) ** 2 for a, b in zip(q[u], q[v]))
+        pp = sum((a - b) ** 2 for a, b in zip(proj[u], proj[v]))
+        if dd == 0:
+            zero += 1
+            continue
+        ratios.append(math.floor(pp / (_JL_K * dd) * 1e6 + 0.5))
+    row = (
+        QUERIES["embedding_jl_projection_audit"].fn(spark, sf_dir)
+        .collect()[0]
+    )
+    n_pairs = len(ratios) + zero
+    assert row.k_dims == _JL_K
+    assert row.n_pairs == n_pairs
+    assert row.n_zero_dist_pairs == zero
+    assert ratios
+    mean = math.floor(sum(ratios) / len(ratios) + 0.5)
+    within = sum(1 for r in ratios if 750000 <= r <= 1250000)
+    assert abs(row.mean_distortion - round(mean / 1e6, 6)) < 1e-9
+    assert abs(row.min_distortion - round(min(ratios) / 1e6, 6)) < 1e-9
+    assert abs(row.max_distortion - round(max(ratios) / 1e6, 6)) < 1e-9
+    assert abs(
+        row.frac_within_25pct
+        - round(math.floor(within / len(ratios) * 1e6 + 0.5) / 1e6, 6)
+    ) < 1e-9
+    # JL sanity: an unbiased sign projection concentrates around 1
+    assert 0.5 < row.mean_distortion < 1.5

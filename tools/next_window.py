@@ -99,6 +99,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "events_stouffer_meta",
     "corpus_dsir_importance",
     "graph_kcore",
+    "embedding_jl_projection_audit",
 )
 
 

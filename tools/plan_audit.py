@@ -312,6 +312,7 @@ EXTRA = [
     "events_stouffer_meta",
     "corpus_dsir_importance",
     "graph_kcore",
+    "embedding_jl_projection_audit",
 ]
 
 
