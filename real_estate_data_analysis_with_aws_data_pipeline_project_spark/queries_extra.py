@@ -2385,3 +2385,137 @@ def basket_brand_rules3(spark, sf_dir):
             F.expr("round(lift_micro / 1000000e0, 6)").alias("lift"),
         )
     )
+
+
+# --- per-brand price elasticity of demand (round 16) ---------------------------
+#
+# The classic log-log demand regression, one fit per brand: each
+# lineitem contributes an observation (unit price p = extendedprice /
+# quantity, demand q = quantity), and the brand's price elasticity is
+# the OLS slope of ln q on ln p — the econometric readout every
+# pricing/assortment pipeline derives from exactly this order-line
+# grain, beside the basket-association rules mined from the same
+# feed. R² rides along so a flat-demand brand (no price response)
+# reads as low-fit rather than as a confident zero.
+#
+# Determinism: the Zipf/Heaps regression contract at GROUP grain —
+# per-observation log terms are 6dp-rounded then summed as DECIMAL
+# (exact, associative, partition-order-proof) per brand; slope and R²
+# are one fixed double tree over the group sums, NULLIF-guarded for
+# degenerate brands (constant price or < 3 observations). ln runs on
+# the exactly-computed IEEE division — the 6dp rounding absorbs
+# engine libm ulp differences exactly as the Zipf fit does.
+#
+# Scale: one lineitem-grain projection (the part join prunes to
+# p_partkey/p_brand columns), one brand-grain DECIMAL aggregate (25
+# groups — map-side combinable), per-row scalar output. No window,
+# no collect.
+
+_ELAST_ORACLE = """
+    WITH obs AS (
+        SELECT p.p_brand AS brand,
+               round(ln(l.l_extendedprice / l.l_quantity), 6) AS x,
+               round(ln(l.l_quantity), 6) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    t AS (
+        SELECT brand,
+               CAST(x AS DECIMAL(18, 6)) AS x,
+               CAST(y AS DECIMAL(18, 6)) AS y,
+               CAST(round(x * y, 6) AS DECIMAL(28, 6)) AS xy,
+               CAST(round(x * x, 6) AS DECIMAL(28, 6)) AS xx,
+               CAST(round(y * y, 6) AS DECIMAL(28, 6)) AS yy
+        FROM obs
+    ),
+    g AS (
+        SELECT brand, CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+               CAST(sum(xy) AS DOUBLE) AS sxy,
+               CAST(sum(xx) AS DOUBLE) AS sxx,
+               CAST(sum(yy) AS DOUBLE) AS syy
+        FROM t GROUP BY 1
+    )
+    SELECT brand, n_obs,
+           CASE WHEN n_obs >= 3 THEN
+               round((n_obs * sxy - sx * sy)
+                     / NULLIF(n_obs * sxx - sx * sx, 0e0), 4)
+           END AS elasticity,
+           CASE WHEN n_obs >= 3
+                 AND n_obs * sxx - sx * sx > 0e0
+                 AND n_obs * syy - sy * sy > 0e0 THEN
+               round((n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy)
+                     / ((n_obs * sxx - sx * sx)
+                        * (n_obs * syy - sy * sy)), 4)
+           END AS r_squared
+    FROM g ORDER BY brand
+"""
+
+
+@register("features_price_elasticity", _ELAST_ORACLE)
+def features_price_elasticity(spark, sf_dir):
+    """Per-brand price elasticity of demand: OLS slope of ln(quantity)
+    on ln(unit price) over the brand's order lines, with R² — the
+    log-log demand regression beside the basket rules on the same
+    lineitem×part grain (see the section comment for the DECIMAL
+    group-sum determinism contract and the degenerate-brand guards).
+
+    Scale: one projected lineitem scan joined to the part dimension,
+    one 25-group DECIMAL aggregate (map-side combinable), scalar
+    output — no window, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        li.where(
+            (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+        )
+        .join(pt, F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.round(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("x"),
+            F.round(F.log(F.col("l_quantity")), 6).alias("y"),
+        )
+    )
+    t = obs.select(
+        "brand",
+        F.col("x").cast("decimal(18,6)").alias("xd"),
+        F.col("y").cast("decimal(18,6)").alias("yd"),
+        F.round(F.col("x") * F.col("y"), 6)
+        .cast("decimal(28,6)")
+        .alias("xy"),
+        F.round(F.col("x") * F.col("x"), 6)
+        .cast("decimal(28,6)")
+        .alias("xx"),
+        F.round(F.col("y") * F.col("y"), 6)
+        .cast("decimal(28,6)")
+        .alias("yy"),
+    )
+    g = t.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("xd").cast("double").alias("sx"),
+        F.sum("yd").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    return g.select(
+        "brand",
+        "n_obs",
+        F.expr(
+            "CASE WHEN n_obs >= 3 THEN"
+            " round((n_obs * sxy - sx * sy)"
+            " / NULLIF(n_obs * sxx - sx * sx, 0e0), 4) END"
+        ).alias("elasticity"),
+        F.expr(
+            "CASE WHEN n_obs >= 3"
+            " AND n_obs * sxx - sx * sx > 0e0"
+            " AND n_obs * syy - sy * sy > 0e0 THEN"
+            " round((n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy)"
+            " / ((n_obs * sxx - sx * sx)"
+            " * (n_obs * syy - sy * sy)), 4) END"
+        ).alias("r_squared"),
+    ).orderBy("brand")

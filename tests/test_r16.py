@@ -1340,3 +1340,66 @@ def test_jl_projection_audit_recompute(spark, sf_dir):
     ) < 1e-9
     # JL sanity: an unbiased sign projection concentrates around 1
     assert 0.5 < row.mean_distortion < 1.5
+
+
+def test_price_elasticity_recompute(spark, sf_dir):
+    """Recompute each brand's log-log OLS from collected order lines
+    (6dp-rounded terms, exact decimal-style sums) and pin slope, R²,
+    and the degenerate-brand guards."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).collect()
+    pt = {
+        r.p_partkey: r.p_brand
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    groups: dict = defaultdict(list)
+    for r in li:
+        if r.l_quantity > 0 and r.l_extendedprice > 0:
+            x = round(math.log(r.l_extendedprice / r.l_quantity), 6)
+            y = round(math.log(r.l_quantity), 6)
+            groups[pt[r.l_partkey]].append((x, y))
+    rows = {
+        r.brand: r
+        for r in QUERIES["features_price_elasticity"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(groups)
+    q = Decimal("0.000001")
+    n_fit = 0
+    for brand, obs in groups.items():
+        n = len(obs)
+        sx = float(sum(Decimal(str(x)).quantize(q) for x, _ in obs))
+        sy = float(sum(Decimal(str(y)).quantize(q) for _, y in obs))
+        sxy = float(
+            sum(Decimal(str(round(x * y, 6))).quantize(q) for x, y in obs)
+        )
+        sxx = float(
+            sum(Decimal(str(round(x * x, 6))).quantize(q) for x, _ in obs)
+        )
+        syy = float(
+            sum(Decimal(str(round(y * y, 6))).quantize(q) for _, y in obs)
+        )
+        r = rows[brand]
+        assert r.n_obs == n
+        if n >= 3 and n * sxx - sx * sx != 0:
+            want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+            assert abs(r.elasticity - want) < 2e-4
+            n_fit += 1
+            if n * sxx - sx * sx > 0 and n * syy - sy * sy > 0:
+                r2 = round(
+                    (n * sxy - sx * sy) ** 2
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                    4,
+                )
+                assert abs(r.r_squared - r2) < 2e-4
+                assert -1e-9 <= r.r_squared <= 1.0 + 1e-9
+    assert n_fit > 0  # richness: real fits exist on the smoke fixture

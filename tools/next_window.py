@@ -100,6 +100,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "corpus_dsir_importance",
     "graph_kcore",
     "embedding_jl_projection_audit",
+    "features_price_elasticity",
 )
 
 

@@ -313,6 +313,7 @@ EXTRA = [
     "corpus_dsir_importance",
     "graph_kcore",
     "embedding_jl_projection_audit",
+    "features_price_elasticity",
 ]
 
 
