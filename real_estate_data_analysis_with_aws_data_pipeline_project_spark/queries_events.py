@@ -9339,11 +9339,99 @@ def events_kruskal_wallis(spark, sf_dir):
     )
 
 
+# --- 1-day-horizon conversion cells (round 16, shared calibration kernel) ------
+#
+# Outcome for the calibration family: did the user's first purchase
+# land within _CAL_HORIZON_US of their FIRST event? The any-purchase
+# outcome the stratified/HTE cells use is SATURATED on this corpus
+# (every entrant eventually purchases -- the OBF/Stouffer degeneracy
+# lesson), which would make every calibration statistic vacuously
+# perfect; the next-day horizon varies by entry type (measured
+# ~0.35-1.0 across strata), so miscalibration is observable. A NULL
+# first-purchase time compares NULL and falls to 0 in both engines.
+
+_CAL_HORIZON_US = 86_400_000_000  # 1 day in microseconds
+
+_CALH_CELLS_CTES = f"""u AS (
+        SELECT user_id,
+               CASE WHEN {_SPLIT_A_SQL} THEN 'a' ELSE 'b' END AS variant,
+               (min({{'ts': ts, 'eid': event_id, 'et': event_type}})).et
+                   AS stratum,
+               CAST(CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                       THEN epoch_us(ts) END)
+                              - min(epoch_us(ts)) <= {_CAL_HORIZON_US}
+                         THEN 1 ELSE 0 END AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT stratum,
+               CAST(sum(CASE WHEN variant = 'a' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_as,
+               CAST(sum(CASE WHEN variant = 'a' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_as,
+               CAST(sum(CASE WHEN variant = 'b' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bs,
+               CAST(sum(CASE WHEN variant = 'b' THEN conv ELSE 0 END)
+                    AS BIGINT) AS c_bs
+        FROM u GROUP BY 1
+    )"""
+
+
+def _horizon_cells(spark, sf_dir):
+    """Stratum-grain (stratum, n_as, c_as, n_bs, c_bs) cells for the
+    1-day-horizon outcome -- the Spark twin of _CALH_CELLS_CTES,
+    shared by the calibration audit and the isotonic recalibration
+    table (one fold definition for the family)."""
+    from .functions.scalar import split_is_a
+
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("stratum"),
+            F.min(F.unix_micros("ts")).alias("f_us"),
+            F.min(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.unix_micros("ts"),
+                )
+            ).alias("p_us"),
+        )
+        .select(
+            F.when(split_is_a("user_id"), "a")
+            .otherwise("b")
+            .alias("variant"),
+            "stratum",
+            F.expr(
+                f"CAST(CASE WHEN p_us - f_us <= {_CAL_HORIZON_US}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("conv"),
+        )
+    )
+    return u.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_as"),
+        F.sum(F.when(F.col("variant") == "a", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_as"),
+        F.sum(F.when(F.col("variant") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bs"),
+        F.sum(F.when(F.col("variant") == "b", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c_bs"),
+    )
+
+
 # --- calibration audit of the split-trained propensity (round 16) --------------
 #
 # The calibration layer of the experimentation/eval suite: train the
 # simplest deterministic conversion model on split A (per
-# first-event-type conversion rate — exactly the target-encoding
+# first-event-type 1-DAY-HORIZON conversion rate (the shared kernel
+# above; the saturated any-purchase outcome was measured degenerate) — exactly the target-encoding
 # statistic at stratum grain), score split B with it, and audit the
 # predictions the way an ML-eval harness does — reliability gaps per
 # prediction bin, ECE/MCE, Brier score, and the Brier skill vs the
@@ -9376,7 +9464,7 @@ _CAL_BRIER_TERM = (
 )
 
 _CAL_ORACLE = f"""
-    WITH {_STRAT_CELLS_CTES},
+    WITH {_CALH_CELLS_CTES},
     b AS (
         SELECT stratum, n_as, c_as, n_bs, c_bs,
                CASE WHEN n_as > 0 THEN
@@ -9457,11 +9545,11 @@ def events_calibration_ece(spark, sf_dir):
     per-bin quantization contract).
 
     Scale: the whole audit runs on the shared stratum-grain cells
-    relation (_strat_cells — one user-grain aggregate + one
-    event-type-vocabulary aggregate, the stratified/HTE kernel), then
+    relation (_horizon_cells — one user-grain aggregate + one
+    event-type-vocabulary aggregate; the 1-day-horizon outcome), then
     ONE 1-row reduction; no window, no driver collect, nothing
     corpus-scale past the first aggregate."""
-    st = _strat_cells(spark, sf_dir)
+    st = _horizon_cells(spark, sf_dir)
     b = st.select(
         "*",
         F.expr(
@@ -9830,4 +9918,149 @@ def events_stouffer_meta(spark, sf_dir):
             "CAST(CASE WHEN abs(zw_micro) > 1959964 THEN 1"
             " WHEN zw_micro IS NOT NULL THEN 0 END AS BIGINT)"
         ).alias("significant_95"),
+    )
+
+
+# --- isotonic recalibration of the split propensity (round 16) -----------------
+#
+# The repair step the calibration audit motivates: isotonic
+# regression (PAV) of the split-B observed rates on the split-A
+# predicted ordering — the standard monotone recalibration mapping
+# every ML-serving stack fits when the reliability diagram bends.
+# Rather than iterating pool-adjacent-violators, both engines
+# evaluate the EXACT minimax closed form
+#   iso(i) = max_{j<=i} min_{k>=i} wavg(j..k),
+#   wavg(j..k) = Σ_{j..k} conversions / Σ_{j..k} users
+# (the classical representation of the isotonic fit), which is pure
+# bounded-grid SQL: bins are the model's finite prediction support
+# (the exact-ECE rule), ordered by (predicted rate, stratum), and
+# the (j, k) interval grid is |bins|² rows with |bins| bounded by
+# the event-type vocabulary. Interval averages are micro-quantized
+# BIGINTs; min/max then run on exact integers, so the fit is
+# hash-stable by construction — and monotone by the formula itself.
+#
+# Output is the recalibration TABLE (one row per bin: prediction in,
+# isotonic rate out) — the artifact a serving stack loads.
+
+_ISO_ORACLE = f"""
+    WITH {_CALH_CELLS_CTES},
+    b AS (
+        SELECT stratum, n_bs, c_bs,
+               CAST(floor(CAST(c_as AS DOUBLE) / n_as
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS conf_m,
+               CAST(floor(CAST(c_bs AS DOUBLE) / n_bs
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS acc_m
+        FROM st WHERE n_as > 0 AND n_bs > 0
+    ),
+    o AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY conf_m, stratum)
+                       AS BIGINT) AS i
+        FROM b
+    ),
+    pre AS (
+        SELECT *,
+               CAST(sum(n_bs) OVER (ORDER BY i) AS BIGINT) AS np,
+               CAST(sum(c_bs) OVER (ORDER BY i) AS BIGINT) AS cp
+        FROM o
+    ),
+    iv AS (
+        SELECT j.i AS j, k.i AS k,
+               CAST(floor(CAST(k.cp - j.cp + j.c_bs AS DOUBLE)
+                          / (k.np - j.np + j.n_bs)
+                          * 1000000e0 + 0.5e0) AS BIGINT) AS avg_m
+        FROM pre j JOIN pre k ON j.i <= k.i
+    ),
+    inner_min AS (
+        SELECT o.i, iv.j, CAST(min(iv.avg_m) AS BIGINT) AS m1
+        FROM o JOIN iv ON iv.j <= o.i AND iv.k >= o.i
+        GROUP BY 1, 2
+    ),
+    iso AS (
+        SELECT i, CAST(max(m1) AS BIGINT) AS iso_m
+        FROM inner_min GROUP BY 1
+    )
+    SELECT o.stratum, o.n_bs AS n_serve,
+           round(o.conf_m / 1000000e0, 6) AS predicted,
+           round(o.acc_m / 1000000e0, 6) AS observed,
+           round(iso.iso_m / 1000000e0, 6) AS isotonic_rate
+    FROM o JOIN iso ON iso.i = o.i
+    ORDER BY o.i
+"""
+
+
+@register("events_isotonic_calibration", _ISO_ORACLE)
+def events_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) recalibration table for the split-A-trained
+    first-event-type propensity scored on split B: one row per
+    prediction-support bin with the predicted rate, the observed
+    split-B rate, and the monotone isotonic rate from the exact
+    minimax closed form — the repair artifact beside
+    events_calibration_ece's audit (see the section comment for the
+    formula and the bounded-grid determinism contract).
+
+    Scale: everything past the shared _strat_cells kernel runs at
+    BIN grain — the index/prefix windows and the |bins|² interval
+    grid are bounded by the event-type vocabulary (counted
+    bounded-domain waiver); interval averages quantize before the
+    integer min/max lattice."""
+    st = _horizon_cells(spark, sf_dir)
+    b = st.where((F.col("n_as") > 0) & (F.col("n_bs") > 0)).select(
+        "stratum",
+        "n_bs",
+        "c_bs",
+        F.expr(
+            "CAST(floor(CAST(c_as AS DOUBLE) / n_as"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("conf_m"),
+        F.expr(
+            "CAST(floor(CAST(c_bs AS DOUBLE) / n_bs"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("acc_m"),
+    )
+    wo = Window.orderBy("conf_m", "stratum")
+    o = b.withColumn("i", F.row_number().over(wo).cast("bigint"))
+    # bin-grain relation feeds the interval grid on both sides plus
+    # the final join — build once
+    o = o.localCheckpoint(eager=True)
+    wp = Window.orderBy("i")
+    pre = o.select(
+        "*",
+        F.sum("n_bs").over(wp).cast("bigint").alias("np"),
+        F.sum("c_bs").over(wp).cast("bigint").alias("cp"),
+    ).localCheckpoint(eager=True)
+    j, k = pre.alias("j"), pre.alias("k")
+    iv = j.join(k, F.col("j.i") <= F.col("k.i")).select(
+        F.col("j.i").alias("jj"),
+        F.col("k.i").alias("kk"),
+        F.expr(
+            "CAST(floor(CAST(k.cp - j.cp + j.c_bs AS DOUBLE)"
+            " / (k.np - j.np + j.n_bs)"
+            " * 1000000e0 + 0.5e0) AS BIGINT)"
+        ).alias("avg_m"),
+    )
+    inner_min = (
+        o.select(F.col("i").alias("ii"))
+        .join(iv, (F.col("jj") <= F.col("ii")) & (F.col("kk") >= F.col("ii")))
+        .groupBy("ii", "jj")
+        .agg(F.min("avg_m").cast("bigint").alias("m1"))
+    )
+    iso = inner_min.groupBy("ii").agg(
+        F.max("m1").cast("bigint").alias("iso_m")
+    )
+    return (
+        o.join(iso, F.col("i") == F.col("ii"))
+        .select(
+            "stratum",
+            F.col("n_bs").alias("n_serve"),
+            F.round(F.col("conf_m") / F.expr("1000000e0"), 6).alias(
+                "predicted"
+            ),
+            F.round(F.col("acc_m") / F.expr("1000000e0"), 6).alias(
+                "observed"
+            ),
+            F.round(F.col("iso_m") / F.expr("1000000e0"), 6).alias(
+                "isotonic_rate"
+            ),
+        )
+        .orderBy("predicted", "stratum")
     )

@@ -992,27 +992,37 @@ def test_calibration_ece_recompute(spark, sf_dir):
         load_table,
     )
 
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_events import (
+        _CAL_HORIZON_US,
+    )
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     ).collect()
     first: dict = {}
-    conv: set = set()
+    f_us: dict = {}
+    p_us: dict = {}
     for r in ev:
         k = (r.ts, r.event_id, r.event_type)
         if r.user_id not in first or k < first[r.user_id]:
             first[r.user_id] = k
+        us = int(r.ts.timestamp() * 1_000_000)
+        f_us[r.user_id] = min(f_us.get(r.user_id, us), us)
         if r.event_type == "purchase":
-            conv.add(r.user_id)
+            p_us[r.user_id] = min(p_us.get(r.user_id, us), us)
     cells: dict = defaultdict(lambda: [0, 0, 0, 0])  # na, ca, nb, cb
     for u, k in first.items():
         is_a = hashlib.md5(str(u).encode()).hexdigest()[:2] < "80"
+        y = (
+            u in p_us and p_us[u] - f_us[u] <= _CAL_HORIZON_US
+        )
         c = cells[k[2]]
         if is_a:
             c[0] += 1
-            c[1] += u in conv
+            c[1] += y
         else:
             c[2] += 1
-            c[3] += u in conv
+            c[3] += y
     n_bins = n_serve = unscored = ece_num = c_serve = 0
     mce = None
     brier_num = 0
@@ -1403,3 +1413,48 @@ def test_price_elasticity_recompute(spark, sf_dir):
                 assert abs(r.r_squared - r2) < 2e-4
                 assert -1e-9 <= r.r_squared <= 1.0 + 1e-9
     assert n_fit > 0  # richness: real fits exist on the smoke fixture
+
+
+def test_isotonic_calibration_recompute(spark, sf_dir):
+    """Recompute the isotonic table via an INDEPENDENT algorithm —
+    classic pool-adjacent-violators — and check it matches the
+    engines' minimax closed form bin for bin; pin monotonicity."""
+    rows = (
+        QUERIES["events_isotonic_calibration"].fn(spark, sf_dir).collect()
+    )
+    ece_row = (
+        QUERIES["events_calibration_ece"].fn(spark, sf_dir).collect()[0]
+    )
+    assert len(rows) == ece_row.n_bins
+    if not rows:
+        return
+    # rebuild the weighted (conversions, users) sequence in fit
+    # order, then run classic PAV with per-block member counts so
+    # pooled rates expand back onto their bins
+    seq = [
+        (round(r.observed * r.n_serve), r.n_serve) for r in rows
+    ]
+    blocks = [[c, n, 1] for c, n in seq]
+    i = 0
+    while i < len(blocks) - 1:
+        c1, n1, m1 = blocks[i]
+        c2, n2, m2 = blocks[i + 1]
+        if c1 * n2 > c2 * n1:
+            blocks[i] = [c1 + c2, n1 + n2, m1 + m2]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    pav = []
+    for c, n, m in blocks:
+        r = round(math.floor(c / n * 1e6 + 0.5) / 1e6, 6)
+        pav.extend([r] * m)
+    got = [r.isotonic_rate for r in rows]
+    assert len(got) == len(pav)
+    for g, w in zip(got, pav):
+        # the minimax closed form quantizes interval averages before
+        # the lattice; PAV pools exact integers then quantizes once —
+        # agreement within one micro
+        assert abs(g - w) <= 2e-6
+    # monotone by construction
+    assert got == sorted(got)

@@ -101,6 +101,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "graph_kcore",
     "embedding_jl_projection_audit",
     "features_price_elasticity",
+    "events_isotonic_calibration",
 )
 
 

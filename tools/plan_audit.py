@@ -314,6 +314,7 @@ EXTRA = [
     "graph_kcore",
     "embedding_jl_projection_audit",
     "features_price_elasticity",
+    "events_isotonic_calibration",
 ]
 
 
