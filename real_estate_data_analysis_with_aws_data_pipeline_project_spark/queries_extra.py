@@ -2519,3 +2519,219 @@ def features_price_elasticity(spark, sf_dir):
             " * (n_obs * syy - sy * sy)), 4) END"
         ).alias("r_squared"),
     ).orderBy("brand")
+
+
+# --- IPF survey raking of the hash-split order sample (round 16) ---------------
+#
+# Iterative proportional fitting (raking — Deming & Stephan 1940):
+# reweight the hash-split HALF-sample of orders so its weighted
+# (customer-segment × order-priority) table matches the FULL feed's
+# two one-way margins — the standard survey/panel calibration every
+# measurement pipeline runs when a logged subsample must represent
+# the population. Alternating row- and column-scaling steps are
+# UNROLLED to _IPF_ROUNDS fixed double-steps (the PageRank
+# fixed-iteration convention), with the per-cell weight
+# micro-quantized to BIGINT after every scaling step, so each
+# step's margin sums Σ n·w are EXACT int64 (n·w_micro stays far
+# under 2^63) and the scale factor is one fixed IEEE tree — both
+# engines execute the identical generated CTE chain. Cells absent
+# from the sample stay absent (classic IPF zero-cell behavior);
+# margins whose mass is unreachable leave a residual gap the
+# reported max_margin_gap makes visible instead of hiding.
+
+_IPF_ROUNDS = 6  # row+col double-steps
+
+
+def _ipf_step_sql(prev: str, axis: str, margin: str, out: str) -> str:
+    """One scaling step: w <- w * target_margin / fitted_margin,
+    micro-requantized — ONE builder for both engines."""
+    return f"""{out} AS MATERIALIZED (
+        SELECT c.seg, c.pri, c.n, c.{axis} AS ax, m.t,
+               CAST(floor(CAST(c.w AS DOUBLE) * m.t * 1000000e0
+                          / NULLIF(s.s, 0) + 0.5e0) AS BIGINT) AS w
+        FROM {prev} c
+        JOIN (SELECT {axis} AS ax, CAST(sum(n * w) AS BIGINT) AS s
+              FROM {prev} GROUP BY 1) s ON s.ax = c.{axis}
+        JOIN {margin} m ON m.ax = c.{axis}
+    )"""
+
+
+def _ipf_chain() -> str:
+    steps = []
+    prev = "c0"
+    for r in range(_IPF_ROUNDS):
+        steps.append(_ipf_step_sql(prev, "seg", "rm", f"r{r}"))
+        steps.append(_ipf_step_sql(f"r{r}", "pri", "cm", f"k{r}"))
+        prev = f"k{r}"
+    return ",\n    ".join(steps), prev
+
+
+_IPF_STEPS_SQL, _IPF_LAST = _ipf_chain()
+
+# DuckDB-only hint: the step CTEs and the shared scan are each
+# referenced more than once, and DuckDB's default CTE inlining
+# expands the 12-step chain exponentially (measured: parquet opened
+# 2^12 times). MATERIALIZED pins each step to run once; the Spark
+# side breaks the same lineage with per-step localCheckpoints.
+_IPF_ORACLE = f"""
+    WITH o AS MATERIALIZED (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 2) < '80'
+                   AS in_sample
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    c0 AS MATERIALIZED (
+        SELECT seg, pri, CAST(count(*) AS BIGINT) AS n,
+               CAST(1000000 AS BIGINT) AS w
+        FROM o WHERE in_sample GROUP BY 1, 2
+    ),
+    rm AS MATERIALIZED (
+        SELECT seg AS ax, CAST(count(*) AS BIGINT) AS t
+        FROM o GROUP BY 1
+    ),
+    cm AS MATERIALIZED (
+        SELECT pri AS ax, CAST(count(*) AS BIGINT) AS t
+        FROM o GROUP BY 1
+    ),
+    {_IPF_STEPS_SQL},
+    fin AS MATERIALIZED (
+        SELECT seg, pri, n, w FROM {_IPF_LAST}
+    ),
+    gaps AS (
+        SELECT max(g) AS max_margin_gap_micro FROM (
+            SELECT CAST(floor(abs(CAST(s.s AS DOUBLE) / 1000000e0 - m.t)
+                              / NULLIF(m.t, 0) * 1000000e0 + 0.5e0)
+                        AS BIGINT) AS g
+            FROM (SELECT seg AS ax, CAST(sum(n * w) AS BIGINT) AS s
+                  FROM fin GROUP BY 1) s
+            JOIN rm m ON m.ax = s.ax
+            UNION ALL
+            SELECT CAST(floor(abs(CAST(s.s AS DOUBLE) / 1000000e0 - m.t)
+                              / NULLIF(m.t, 0) * 1000000e0 + 0.5e0)
+                        AS BIGINT)
+            FROM (SELECT pri AS ax, CAST(sum(n * w) AS BIGINT) AS s
+                  FROM fin GROUP BY 1) s
+            JOIN cm m ON m.ax = s.ax
+        )
+    )
+    SELECT seg, pri, n AS n_sample,
+           round(w / 1000000e0, 6) AS weight,
+           CAST(floor(CAST(n AS DOUBLE) * w / 1000000e0
+                      + 0.5e0) AS BIGINT) AS fitted,
+           round(max_margin_gap_micro / 1000000e0, 6) AS max_margin_gap
+    FROM fin CROSS JOIN gaps
+    ORDER BY seg, pri
+"""
+
+
+@register("features_ipf_raking", _IPF_ORACLE)
+def features_ipf_raking(spark, sf_dir):
+    """IPF (raking) calibration weights for the hash-split half-sample
+    of orders against the full feed's segment and priority margins:
+    one row per observed (segment, priority) cell with its sample
+    count, converged weight, fitted count, and the final maximum
+    relative margin gap — the survey-calibration classic (see the
+    section comment for the unrolled-step determinism contract).
+
+    Scale: two map-side-combined aggregates collapse orders to the
+    <= |segments|·|priorities| cell grid and its two margins;
+    every IPF step is a join-aggregate over that bounded grid (the
+    generated chain runs {r} row+column double-steps); nothing
+    downstream scales with the fact table.""".format(r=_IPF_ROUNDS)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+            F.expr(
+                "substr(md5(CAST(o_custkey AS STRING)), 1, 2) < '80'"
+            ).alias("in_sample"),
+        )
+    )
+    # one fact scan feeds the sample cells AND both margins
+    o = o.localCheckpoint(eager=True)
+    c = (
+        o.where("in_sample")
+        .groupBy("seg", "pri")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .withColumn("w", F.lit(1000000).cast("bigint"))
+    )
+    rm = o.groupBy(F.col("seg").alias("ax")).agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+    cm = o.groupBy(F.col("pri").alias("ax")).agg(
+        F.count("*").cast("bigint").alias("t")
+    )
+
+    def step(cells, axis, margin):
+        s = cells.groupBy(F.col(axis).alias("ax")).agg(
+            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
+        )
+        return (
+            cells.join(F.broadcast(s), F.col(axis) == F.col("ax"))
+            .join(
+                F.broadcast(margin.withColumnRenamed("ax", "max_")),
+                F.col(axis) == F.col("max_"),
+            )
+            .select(
+                "seg",
+                "pri",
+                "n",
+                F.expr(
+                    "CAST(floor(CAST(w AS DOUBLE) * t * 1000000e0"
+                    " / NULLIF(s, 0) + 0.5e0) AS BIGINT)"
+                ).alias("w"),
+            )
+        )
+
+    cells = c
+    for _ in range(_IPF_ROUNDS):
+        # checkpoint the 25-row grid each double-step: step() consumes
+        # cells TWICE (margin sum + join), so an unbroken lineage
+        # doubles the plan per step — 2^12 subtree copies by the end
+        cells = step(cells, "seg", rm).localCheckpoint(eager=True)
+        cells = step(cells, "pri", cm).localCheckpoint(eager=True)
+    fin = cells
+
+    def gap(axis, margin):
+        s = fin.groupBy(F.col(axis).alias("ax")).agg(
+            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
+        )
+        return s.join(
+            F.broadcast(margin.withColumnRenamed("ax", "max_")),
+            F.col("ax") == F.col("max_"),
+        ).select(
+            F.expr(
+                "CAST(floor(abs(CAST(s AS DOUBLE) / 1000000e0 - t)"
+                " / NULLIF(t, 0) * 1000000e0 + 0.5e0) AS BIGINT)"
+            ).alias("g")
+        )
+
+    gaps = (
+        gap("seg", rm)
+        .unionAll(gap("pri", cm))
+        .agg(F.max("g").alias("max_margin_gap_micro"))
+    )
+    return (
+        fin.crossJoin(F.broadcast(gaps))
+        .select(
+            "seg",
+            "pri",
+            F.col("n").alias("n_sample"),
+            F.round(F.col("w") / F.expr("1000000e0"), 6).alias("weight"),
+            F.expr(
+                "CAST(floor(CAST(n AS DOUBLE) * w / 1000000e0"
+                " + 0.5e0) AS BIGINT)"
+            ).alias("fitted"),
+            F.round(
+                F.col("max_margin_gap_micro") / F.expr("1000000e0"), 6
+            ).alias("max_margin_gap"),
+        )
+        .orderBy("seg", "pri")
+    )

@@ -1458,3 +1458,79 @@ def test_isotonic_calibration_recompute(spark, sf_dir):
         assert abs(g - w) <= 2e-6
     # monotone by construction
     assert got == sorted(got)
+
+
+def test_ipf_raking_recompute(spark, sf_dir):
+    """Recompute the IPF chain imperatively (same quantization per
+    step) from collected orders and pin weights, fitted counts, and
+    the convergence property: after the rounds, both weighted
+    margins sit within a tiny relative gap of their targets."""
+    import hashlib
+    from collections import Counter
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_extra import (
+        _IPF_ROUNDS,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    ).collect()
+    cust = {
+        r.c_custkey: r.c_mktsegment
+        for r in load_table(spark, sf_dir, "customer").collect()
+    }
+    rows_all = []
+    for r in o:
+        seg = cust[r.o_custkey]
+        ins = (
+            hashlib.md5(str(r.o_custkey).encode()).hexdigest()[:2] < "80"
+        )
+        rows_all.append((seg, r.o_orderpriority, ins))
+    n = Counter((s, p) for s, p, i in rows_all if i)
+    rm = Counter(s for s, _, _ in rows_all)
+    cm = Counter(p for _, p, _ in rows_all)
+    w = {k: 1000000 for k in n}
+
+    def scale(axis_of, margin):
+        sums: Counter = Counter()
+        for k in n:
+            sums[axis_of(k)] += n[k] * w[k]
+        for k in n:
+            ax = axis_of(k)
+            if sums[ax]:
+                w[k] = math.floor(
+                    w[k] * margin[ax] * 1e6 / sums[ax] + 0.5
+                )
+
+    for _ in range(_IPF_ROUNDS):
+        scale(lambda k: k[0], rm)
+        scale(lambda k: k[1], cm)
+    rows = {
+        (r.seg, r.pri): r
+        for r in QUERIES["features_ipf_raking"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(n)
+    gaps = []
+    for ax, tgt, axis_of in (
+        (rm, rm, lambda k: k[0]),
+        (cm, cm, lambda k: k[1]),
+    ):
+        sums: Counter = Counter()
+        for k in n:
+            sums[axis_of(k)] += n[k] * w[k]
+        for a, t in tgt.items():
+            if t and a in sums:
+                gaps.append(
+                    math.floor(abs(sums[a] / 1e6 - t) / t * 1e6 + 0.5)
+                )
+    want_gap = max(gaps)
+    for k, r in rows.items():
+        assert r.n_sample == n[k]
+        assert abs(r.weight - round(w[k] / 1e6, 6)) < 1e-9
+        assert r.fitted == math.floor(n[k] * w[k] / 1e6 + 0.5)
+        assert abs(r.max_margin_gap - round(want_gap / 1e6, 6)) < 1e-9
+    # raking converged: both margins within 0.1% of targets
+    assert want_gap <= 1000

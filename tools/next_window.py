@@ -102,6 +102,7 @@ POST_PIN_ADDITIONS: tuple[str, ...] = (
     "embedding_jl_projection_audit",
     "features_price_elasticity",
     "events_isotonic_calibration",
+    "features_ipf_raking",
 )
 
 

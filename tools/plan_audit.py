@@ -315,6 +315,7 @@ EXTRA = [
     "embedding_jl_projection_audit",
     "features_price_elasticity",
     "events_isotonic_calibration",
+    "features_ipf_raking",
 ]
 
 
