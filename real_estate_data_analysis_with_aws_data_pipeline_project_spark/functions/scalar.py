@@ -81,6 +81,15 @@ def split_is_a(col: Column | str) -> Column:
     return F.substring(deterministic_order_key(col), 1, 2) < "80"
 
 
+def split_a_sql(col: str) -> str:
+    """Oracle-side (SQL-text) spelling of THE md5 hash-split
+    predicate for an arbitrary key column — the parameterized twin
+    of ``split_is_a``; ``queries_events._SPLIT_A_SQL`` is exactly
+    this at col='user_id', so both engines keep ONE rule (r16
+    review: the IPF raking oracle had re-created a hand copy)."""
+    return f"substr(md5(CAST({col} AS VARCHAR)), 1, 2) < '80'"
+
+
 def hex_chunk_int_sql(h: str, width: int, fn: str = "strpos") -> str:
     """Base-16 positional decode of the first ``width`` hex chars of
     expression ``h`` as ONE SQL string usable in either engine

@@ -1646,7 +1646,9 @@ def corpus_dsir_importance(spark, sf_dir):
     section comment for the model, smoothing, and quantization
     contracts).
 
-    Scale: one exploded token pass collapses to (doc, bucket) rows;
+    Scale: one exploded token pass collapses to doc-term rows, the
+    bucket hash runs once per DISTINCT token (vocabulary-grain
+    checkpoint — the only persist);
     both models are ONE {b}-bucket aggregate (map-side combinable)
     densified against a generated grid and broadcast back; each doc's
     score is an exact int64 sum and the top-50 a distributed
@@ -1655,20 +1657,35 @@ def corpus_dsir_importance(spark, sf_dir):
         k=_DSIR_TOP, b=_DSIR_BUCKETS
     )
     docs = load_table(spark, sf_dir, "documents")
-    tk = (
+    occ = (
         docs.select("doc_id", F.explode(X.tokens()).alias("token"))
         .filter(F.col("token") != "")
-        .select(
-            "doc_id", F.expr(_dsir_bucket_sql("instr")).alias("b")
-        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    # one exploded pass, two consumers (bucket models + doc scores)
-    tk = tk.localCheckpoint(eager=True)
+    # md5 at VOCABULARY grain, not per occurrence (perf rule 5:
+    # fold expensive per-row hash expressions at the smallest grain
+    # that preserves the sum), checkpointed — vocabulary-scale, the
+    # legal persist; the doc-term relation itself stays unpersisted
+    # (fact-scale persists are the rejected pattern)
+    vocab = (
+        occ.groupBy("token")
+        .agg(F.count("*").alias("_nd"))
+        .select("token", F.expr(_dsir_bucket_sql("instr")).alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    tk = occ.join(vocab, "token").select("doc_id", "b", "c")
     cnt = tk.groupBy("b").agg(
-        F.sum(F.when(F.col("doc_id") < _EVAL_CUTOFF, 1).otherwise(0))
+        F.sum(
+            F.when(F.col("doc_id") < _EVAL_CUTOFF, F.col("c")).otherwise(0)
+        )
         .cast("bigint")
         .alias("ct_b"),
-        F.sum(F.when(F.col("doc_id") >= _EVAL_CUTOFF, 1).otherwise(0))
+        F.sum(
+            F.when(F.col("doc_id") >= _EVAL_CUTOFF, F.col("c")).otherwise(
+                0
+            )
+        )
         .cast("bigint")
         .alias("cr_b"),
     )
@@ -1690,8 +1707,10 @@ def corpus_dsir_importance(spark, sf_dir):
         .join(F.broadcast(lw), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
-            F.sum("lw_micro").cast("bigint").alias("s_micro"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lw_micro"))
+            .cast("bigint")
+            .alias("s_micro"),
         )
     )
     return (

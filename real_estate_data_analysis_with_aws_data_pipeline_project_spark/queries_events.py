@@ -4406,7 +4406,9 @@ def events_survival_km(spark, sf_dir):
 # threshold, hash) edits exactly one fragment, so the family can
 # never silently analyze two different experiments (r12 second
 # review).
-_SPLIT_A_SQL = "substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'"
+from .functions.scalar import split_a_sql as _split_a_sql  # noqa: E402
+
+_SPLIT_A_SQL = _split_a_sql("user_id")
 
 # ONE definition of the hash-split user-conversion cell counts,
 # shared by the z-test readout and the power/MDE design query (r12

@@ -2573,11 +2573,12 @@ _IPF_STEPS_SQL, _IPF_LAST = _ipf_chain()
 # expands the 12-step chain exponentially (measured: parquet opened
 # 2^12 times). MATERIALIZED pins each step to run once; the Spark
 # side breaks the same lineage with per-step localCheckpoints.
+from .functions.scalar import split_a_sql as _ipf_split_sql  # noqa: E402
+
 _IPF_ORACLE = f"""
     WITH o AS MATERIALIZED (
         SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
-               substr(md5(CAST(o.o_custkey AS VARCHAR)), 1, 2) < '80'
-                   AS in_sample
+               {_ipf_split_sql("o.o_custkey")} AS in_sample
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ),
     c0 AS MATERIALIZED (
@@ -2599,19 +2600,21 @@ _IPF_ORACLE = f"""
     ),
     gaps AS (
         SELECT max(g) AS max_margin_gap_micro FROM (
-            SELECT CAST(floor(abs(CAST(s.s AS DOUBLE) / 1000000e0 - m.t)
+            SELECT CAST(floor(abs(CAST(coalesce(s.s, 0) AS DOUBLE)
+                                  / 1000000e0 - m.t)
                               / NULLIF(m.t, 0) * 1000000e0 + 0.5e0)
                         AS BIGINT) AS g
-            FROM (SELECT seg AS ax, CAST(sum(n * w) AS BIGINT) AS s
-                  FROM fin GROUP BY 1) s
-            JOIN rm m ON m.ax = s.ax
+            FROM rm m
+            LEFT JOIN (SELECT seg AS ax, CAST(sum(n * w) AS BIGINT) AS s
+                       FROM fin GROUP BY 1) s ON s.ax = m.ax
             UNION ALL
-            SELECT CAST(floor(abs(CAST(s.s AS DOUBLE) / 1000000e0 - m.t)
+            SELECT CAST(floor(abs(CAST(coalesce(s.s, 0) AS DOUBLE)
+                                  / 1000000e0 - m.t)
                               / NULLIF(m.t, 0) * 1000000e0 + 0.5e0)
                         AS BIGINT)
-            FROM (SELECT pri AS ax, CAST(sum(n * w) AS BIGINT) AS s
-                  FROM fin GROUP BY 1) s
-            JOIN cm m ON m.ax = s.ax
+            FROM cm m
+            LEFT JOIN (SELECT pri AS ax, CAST(sum(n * w) AS BIGINT) AS s
+                       FROM fin GROUP BY 1) s ON s.ax = m.ax
         )
     )
     SELECT seg, pri, n AS n_sample,
@@ -2638,6 +2641,8 @@ def features_ipf_raking(spark, sf_dir):
     every IPF step is a join-aggregate over that bounded grid (the
     generated chain runs {r} row+column double-steps); nothing
     downstream scales with the fact table.""".format(r=_IPF_ROUNDS)
+    from .functions.scalar import split_is_a
+
     o = (
         load_table(spark, sf_dir, "orders")
         .join(
@@ -2649,9 +2654,7 @@ def features_ipf_raking(spark, sf_dir):
         .select(
             F.col("c_mktsegment").alias("seg"),
             F.col("o_orderpriority").alias("pri"),
-            F.expr(
-                "substr(md5(CAST(o_custkey AS STRING)), 1, 2) < '80'"
-            ).alias("in_sample"),
+            split_is_a("o_custkey").alias("in_sample"),
         )
     )
     # one fact scan feeds the sample cells AND both margins
@@ -2700,15 +2703,19 @@ def features_ipf_raking(spark, sf_dir):
     fin = cells
 
     def gap(axis, margin):
+        # margins LEAD the join (r16 review): an axis value absent
+        # from the half-sample has no fitted row, and a fitted-led
+        # join would silently drop its 100% gap — the exact case the
+        # report exists to surface
         s = fin.groupBy(F.col(axis).alias("ax")).agg(
             F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
         )
-        return s.join(
-            F.broadcast(margin.withColumnRenamed("ax", "max_")),
-            F.col("ax") == F.col("max_"),
+        return margin.withColumnRenamed("ax", "max_").join(
+            F.broadcast(s), F.col("max_") == F.col("ax"), "left"
         ).select(
             F.expr(
-                "CAST(floor(abs(CAST(s AS DOUBLE) / 1000000e0 - t)"
+                "CAST(floor(abs(CAST(coalesce(s, 0) AS DOUBLE)"
+                " / 1000000e0 - t)"
                 " / NULLIF(t, 0) * 1000000e0 + 0.5e0) AS BIGINT)"
             ).alias("g")
         )

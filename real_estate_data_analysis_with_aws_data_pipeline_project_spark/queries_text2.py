@@ -2086,8 +2086,9 @@ def text_heaps_law(spark, sf_dir):
     tk = docs.select(
         "doc_id", F.explode(X.tokens()).alias("token")
     ).filter(F.col("token") != "")
-    # one exploded pass, two consumers (first-seen + per-doc counts)
-    tk = tk.localCheckpoint(eager=True)
+    # two consumers each aggregate the exploded pass themselves (two
+    # linear scans) — persisting the token-occurrence relation would
+    # be the rejected fact-scale checkpoint (r16 review)
     fs = tk.groupBy("token").agg(
         F.min("doc_id").cast("bigint").alias("fd")
     )
@@ -2141,14 +2142,7 @@ def text_heaps_law(spark, sf_dir):
     # the ≤ 64-row grid feeds both grains' point sets — build once
     cum = cum.localCheckpoint(eager=True)
     fit_u = _heaps_fit(_heaps_pts(cum, "v_j"))
-    fit_s = _heaps_fit(
-        _heaps_pts(cum, "s_j").select(
-            F.col("x"),
-            F.col("y").alias("y"),
-            F.col("xy"),
-            F.col("xx"),
-        )
-    ).select(
+    fit_s = _heaps_fit(_heaps_pts(cum, "s_j")).select(
         F.col("n_points").alias("s_n_points"),
         F.col("beta").alias("s_beta"),
         F.col("sy").alias("s_sy"),

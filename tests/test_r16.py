@@ -987,6 +987,7 @@ def test_calibration_ece_recompute(spark, sf_dir):
     predictions, split-B reliability gaps, ECE/MCE/Brier/skill."""
     import hashlib
     from collections import defaultdict
+    from datetime import timezone
 
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
         load_table,
@@ -1006,7 +1007,9 @@ def test_calibration_ece_recompute(spark, sf_dir):
         k = (r.ts, r.event_id, r.event_type)
         if r.user_id not in first or k < first[r.user_id]:
             first[r.user_id] = k
-        us = int(r.ts.timestamp() * 1_000_000)
+        us = int(
+            r.ts.replace(tzinfo=timezone.utc).timestamp() * 1_000_000
+        )
         f_us[r.user_id] = min(f_us.get(r.user_id, us), us)
         if r.event_type == "purchase":
             p_us[r.user_id] = min(p_us.get(r.user_id, us), us)
@@ -1419,20 +1422,29 @@ def test_isotonic_calibration_recompute(spark, sf_dir):
     """Recompute the isotonic table via an INDEPENDENT algorithm —
     classic pool-adjacent-violators — and check it matches the
     engines' minimax closed form bin for bin; pin monotonicity."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_events import (
+        _horizon_cells,
+    )
+
     rows = (
         QUERIES["events_isotonic_calibration"].fn(spark, sf_dir).collect()
     )
-    ece_row = (
-        QUERIES["events_calibration_ece"].fn(spark, sf_dir).collect()[0]
-    )
-    assert len(rows) == ece_row.n_bins
+    cells = {
+        r.stratum: r
+        for r in _horizon_cells(spark, sf_dir).collect()
+        if r.n_as > 0 and r.n_bs > 0
+    }
+    # the isotonic table carries exactly the double-populated bins
+    assert {r.stratum for r in rows} == set(cells)
     if not rows:
         return
     # rebuild the weighted (conversions, users) sequence in fit
-    # order, then run classic PAV with per-block member counts so
-    # pooled rates expand back onto their bins
+    # order from the EXACT cells (inverting the 6dp-rounded observed
+    # rate would break past ~1e6 serve users — r16 review), then run
+    # classic PAV with per-block member counts so pooled rates
+    # expand back onto their bins
     seq = [
-        (round(r.observed * r.n_serve), r.n_serve) for r in rows
+        (cells[r.stratum].c_bs, cells[r.stratum].n_bs) for r in rows
     ]
     blocks = [[c, n, 1] for c, n in seq]
     i = 0
