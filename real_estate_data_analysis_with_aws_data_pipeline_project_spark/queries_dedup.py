@@ -273,12 +273,38 @@ def minhash_signatures(sh: "DataFrame") -> "DataFrame":
     )
 
 
+def cached_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-persisted minhash signature relation (one row per doc,
+    9 short hex columns — doc-scale, the artifact an index build
+    writes out), the exact precedent of dedup_simhash_pairs' cached
+    signature (r16 optimization round). The signature build (shingle
+    explode + 3 md5/shingle + 9-slot min aggregate) is the expensive
+    half of every minhash query, and each of the four consumers fed
+    it into BOTH sides of a band self-join — under Spark 4 AQE the
+    two branches do not exchange-reuse (each wraps the shingle cache
+    in its own TableCacheQueryStage, breaking canonical equality), so
+    it ran twice per invocation per query. Cached, every band branch
+    is a cache read + projection + posexplode."""
+    return session_cached(
+        spark,
+        "minhash_sigs",
+        sf_dir,
+        lambda: minhash_signatures(cached_shingles(spark, sf_dir)),
+    )
+
+
 def minhash_band_keys(sh: "DataFrame") -> "DataFrame":
     """(doc_id, band_idx, band_val) LSH keys from a shingle relation:
     k=9 chunk-derived minhashes arranged as 3 bands of 3.  Shared by
     ``dedup_minhash_lsh`` and the scale-growth harness (which audits
     band-bucket sizes and candidate counts as the corpus grows)."""
-    mh = minhash_signatures(sh)
+    return minhash_band_keys_from_sigs(minhash_signatures(sh))
+
+
+def minhash_band_keys_from_sigs(mh: "DataFrame") -> "DataFrame":
+    """(doc_id, band_idx, band_val) from an already-built signature
+    relation — the banding projection alone, so query paths can feed
+    the session-cached signatures instead of rebuilding them."""
     return mh.select(
         "doc_id",
         F.array(
@@ -303,7 +329,7 @@ def minhash_verified_pairs(spark, sf_dir) -> "DataFrame":
     # the same logical plan and spamming 'already cached' warnings
     # (ADVICE r1).
     sh = cached_shingles(spark, sf_dir)
-    bands = minhash_band_keys(sh)
+    bands = minhash_band_keys_from_sigs(cached_minhash_signatures(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -385,7 +411,7 @@ def incremental_minhash_pairs(spark, sf_dir) -> "DataFrame":
     relation, factored in r7 so the incremental-components query can
     consume the same probe."""
     sh = cached_shingles(spark, sf_dir)
-    bands = minhash_band_keys(sh)
+    bands = minhash_band_keys_from_sigs(cached_minhash_signatures(spark, sf_dir))
     is_batch = (F.col("doc_id") % _INCR_BATCH_MOD) == _INCR_BATCH_REM
     newb = bands.filter(is_batch).alias("a")
     oldb = bands.filter(~is_batch).alias("b")
@@ -885,8 +911,8 @@ def dedup_minhash_accuracy(spark, sf_dir):
     computed on LSH candidates only — the audit costs what the dedup
     itself costs."""
     sh = cached_shingles(spark, sf_dir)
-    sig = minhash_signatures(sh)
-    bands = minhash_band_keys(sh)
+    sig = cached_minhash_signatures(spark, sf_dir)
+    bands = minhash_band_keys_from_sigs(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -981,27 +1007,38 @@ def dedup_span_remediate(spark, sf_dir):
     detection, instead of dropping whole near-dup docs.
 
     Shares window identity with dedup_repeated_substrings via
-    substr_window_hashes. Plan: explode windows WITH positions →
-    groupBy(hash) dup filter → per-doc sorted shared-start list
-    (collect_list bounded by tokens-per-doc, not corpus) → per-row
-    array mask rebuild. Shuffle O(tokens); the mask is per-row
-    O(n_tokens × n_shared_spans) arithmetic with no further shuffle —
-    the only quadratic factor is within one document, the same bound
-    the detector already carries."""
+    substr_window_hashes. Plan (r16 optimization round, guide §2.4):
+    explode windows WITH positions ONCE → ONE groupBy(hash) that both
+    decides dup-ness (count(DISTINCT doc_id) >= 2 ⟺ min(doc_id) !=
+    max(doc_id), exact for the non-null doc_id key) and carries the
+    (doc_id, start) occurrence list through → explode survivors →
+    per-doc sorted shared-start list → per-row array mask rebuild.
+    The previous shape derived the exploded window relation TWICE
+    (once for the dup filter, once to re-join starts against it) —
+    two full tokenize+md5 passes over every document; measured 2.57 s
+    of the query's 2.96 s at sf0.1. The per-hash occurrence list is
+    bounded by the window's corpus frequency (the same bound the
+    detector's count carries), so collect_list stays group-local.
+    Shuffle O(tokens); the mask is per-row O(n_tokens ×
+    n_shared_spans) arithmetic with no further shuffle — the only
+    quadratic factor is within one document, the same bound the
+    detector already carries."""
     t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
     e = t.select(
         "doc_id", F.posexplode(substr_window_hashes()).alias("pos", "h")
     ).select("doc_id", "h", (F.col("pos") + 1).alias("start"))
-    dup = (
-        e.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
+    per_h = e.groupBy("h").agg(
+        F.min("doc_id").alias("d_min"),
+        F.max("doc_id").alias("d_max"),
+        F.collect_list(F.struct("doc_id", "start")).alias("ps"),
     )
-    starts = (
-        e.join(dup, "h")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("start")).alias("ss"))
+    shared = (
+        per_h.filter(F.col("d_min") != F.col("d_max"))
+        .select(F.explode("ps").alias("p"))
+        .select(F.col("p.doc_id").alias("doc_id"), F.col("p.start").alias("start"))
+    )
+    starts = shared.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("start")).alias("ss")
     )
     joined = t.join(starts, "doc_id", "left").select(
         "doc_id",
@@ -1275,7 +1312,7 @@ def dedup_shingle_containment(spark, sf_dir):
     only; the shingle relation is the session-cached one every dedup
     query shares."""
     sh = cached_shingles(spark, sf_dir)
-    bands = minhash_band_keys(sh)
+    bands = minhash_band_keys_from_sigs(cached_minhash_signatures(spark, sf_dir))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -2060,7 +2060,16 @@ def basket_brand_rules(spark, sf_dir):
     per order — the cosupp pattern); brand supports and the basket
     count are map-side-combined aggregates; the rule relation is
     brand²-bounded (dimension scale) so the support joins broadcast;
-    top-20 is TakeOrderedAndProject on the exact BIGINT lift key."""
+    top-20 is TakeOrderedAndProject on the exact BIGINT lift key.
+
+    r16 optimization round (guide §2.4): nb and supp are now derived
+    FROM the per-order basket relation (nb = one row per basket;
+    supp = explode of the distinct-brand set — exactly the distinct
+    (okey, brand) pairs) instead of each re-deriving the
+    lineitem⋈part DISTINCT subtree. All three consumers share the
+    one Exchange(okey) under the collect_set aggregate, which AQE
+    exchange-reuse materializes once — the executed plan carries one
+    600 K-row lineitem scan instead of three."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     ob = (
@@ -2071,14 +2080,26 @@ def basket_brand_rules(spark, sf_dir):
         )
         .distinct()
     )
-    nb = ob.agg(
-        F.countDistinct("okey").cast("bigint").alias("n")
-    )
-    supp = ob.groupBy("brand").agg(
-        F.count("*").cast("bigint").alias("s")
-    )
     baskets = ob.groupBy("okey").agg(
         F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    # one row per distinct okey — identical to count(DISTINCT okey) on
+    # ob. The count must REFERENCE bs through an expression Catalyst
+    # cannot fold away (size(bs) >= 0 is always true for the non-null
+    # collect_set output, but the optimizer cannot prove that):
+    # with a plain count(*) / count(bs) the collect_set is pruned out
+    # of this branch's aggregate, its exchange stops being
+    # canonical-equal to the pairs branch's, and the whole
+    # lineitem⋈part subtree re-runs (observed: 2 scans instead of 1).
+    nb = baskets.agg(
+        F.count(F.when(F.size("bs") >= 0, 1)).cast("bigint").alias("n")
+    )
+    # bs is the distinct brand set of the order, so exploding it yields
+    # exactly the distinct (okey, brand) relation ob again
+    supp = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("s"))
     )
     pairs = (
         baskets.select(
@@ -2267,10 +2288,22 @@ def basket_brand_rules3(spark, sf_dir):
         )
         .distinct()
     )
-    nb = ob.agg(F.countDistinct("okey").cast("bigint").alias("n"))
-    supp = ob.groupBy("brand").agg(F.count("*").cast("bigint").alias("s"))
     baskets = ob.groupBy("okey").agg(
         F.sort_array(F.collect_set("brand")).alias("bs")
+    )
+    # nb and supp derive FROM baskets (r16 optimization round, same
+    # shared-exchange restructure as basket_brand_rules): one row per
+    # distinct okey = count(DISTINCT okey); exploding the distinct
+    # brand set re-yields exactly the distinct (okey, brand) pairs.
+    # The size(bs) >= 0 guard keeps the collect_set un-prunable so
+    # all four consumers reuse ONE Exchange(okey).
+    nb = baskets.agg(
+        F.count(F.when(F.size("bs") >= 0, 1)).cast("bigint").alias("n")
+    )
+    supp = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").cast("bigint").alias("s"))
     )
     pairs = (
         baskets.select(

@@ -184,10 +184,24 @@ def join_interval_overlap(spark, sf_dir):
     the 1 h buckets it touches and equi-joins on bucket with an exact
     overlap filter; a pair sharing several buckets is kept exactly once
     (only the bucket containing max(starts) emits), so the per-session
-    count needs no distinct. Zero-overlap sessions are preserved by a
-    left join back onto the session relation. Oracle is DuckDB's
-    direct non-equi self-join (IEJoin) — quadratic candidates there,
-    bucket-bounded here, identical rows.
+    count needs no distinct. Oracle is DuckDB's direct non-equi
+    self-join (IEJoin) — quadratic candidates there, bucket-bounded
+    here, identical rows.
+
+    r16 optimization round (guide §2.4): the self-pair is now KEPT
+    (no b_user != a_user filter) and 1 subtracted from the per-session
+    count. Equivalence: sessions of one user are strictly time-disjoint
+    by construction (a session break requires ts − prev_ts ≥ GAP, so
+    start_{{i+1}} ≥ end_i + GAP > end_i), hence the only same-user
+    overlap of a session is itself — count(all overlaps) − 1 =
+    count(other-user overlaps) exactly, and every session a overlaps
+    itself, so the groupBy loses no zero-overlap session and the old
+    third plan branch (left join back onto sess) is gone. The previous
+    shape ran the sessionize subtree (events shuffle + two windows +
+    aggregate) THREE times per invocation — the left-join branch did
+    not even reuse the exchange (its scan canonicalized without the
+    join's IsNotNull push) — this shape runs it twice, with the
+    events exchange AQE-reused between the two.
 
     Scale: sessionization is one user_id shuffle; join fan-in per
     bucket is (active sessions that hour)², the intrinsic overlap-join
@@ -227,6 +241,7 @@ def join_interval_overlap(spark, sf_dir):
         F.col("sid").alias("a_sid"),
         F.col("start_us").alias("a_start"),
         F.col("end_us").alias("a_end"),
+        F.col("n_events").alias("a_events"),
     )
     b = sess.select(
         F.col("user_id").alias("b_user"),
@@ -235,26 +250,18 @@ def join_interval_overlap(spark, sf_dir):
     )
     pairs = interval_overlap_join(
         a, b, ("a_start", "a_end"), ("b_start", "b_end"), _OVL_BUCKET_US
-    ).filter(F.col("b_user") != F.col("a_user"))
-    counts = pairs.groupBy("a_user", "a_sid").agg(
-        F.count("*").cast("bigint").alias("n_concurrent")
     )
-    return (
-        sess.join(
-            counts,
-            (F.col("user_id") == F.col("a_user"))
-            & (F.col("sid") == F.col("a_sid")),
-            "left",
-        )
-        .select(
-            "user_id",
-            "start_us",
-            "end_us",
-            "n_events",
-            F.coalesce(F.col("n_concurrent"), F.lit(0))
-            .cast("bigint")
-            .alias("n_concurrent"),
-        )
+    # every session overlaps itself exactly once, and same-user
+    # sessions are otherwise disjoint (docstring proof) — so group on
+    # the full a-side session grain and subtract the self-pair
+    return pairs.groupBy("a_user", "a_sid", "a_start", "a_end", "a_events").agg(
+        (F.count("*") - F.lit(1)).cast("bigint").alias("n_concurrent")
+    ).select(
+        F.col("a_user").alias("user_id"),
+        F.col("a_start").alias("start_us"),
+        F.col("a_end").alias("end_us"),
+        F.col("a_events").alias("n_events"),
+        "n_concurrent",
     )
 
 

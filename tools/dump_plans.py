@@ -1,0 +1,45 @@
+#!/usr/bin/env python
+"""Dump `explain("formatted")` for the given queries (default: all
+headline queries) into plans/r16/<query>_<tag>.txt.
+
+Usage:
+    python tools/dump_plans.py <tag> [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (  # noqa: E402
+    HEADLINE_QUERIES,
+    QUERIES,
+)
+from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    names = sys.argv[2:] or list(HEADLINE_QUERIES)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark(app_name="dump-plans")
+    for name in names:
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        with open(os.path.join(OUT_DIR, f"{name}_{tag}.txt"), "w") as f:
+            f.write(plan)
+        print(name, "ok", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
