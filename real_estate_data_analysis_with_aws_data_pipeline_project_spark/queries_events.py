@@ -8172,6 +8172,11 @@ def events_qini_uplift_deciles(spark, sf_dir):
             "conv",
         )
     )
+    # user-grain; feeds the max-width action, the bucket-cell collect,
+    # and the final job — checkpoint so the events scan + aggregate
+    # run once per invocation, not three times (the _spend_rank_cells
+    # / survival_km convention; r16 optimization round)
+    u = u.localCheckpoint(eager=True)
     g = _rng_bucketed(u, col="score")
     cell_aggs = [
         ("n_t", F.sum(F.when(F.col("variant") == "a", 1).otherwise(0))

@@ -1079,21 +1079,30 @@ def text_gopher_repetition(spark, sf_dir):
     Scale: tokenize + per-doc distinct-count + one doc-grain bigram
     groupBy — all map-side-combinable aggregates at document/bigram
     grain, no window, no join wider than doc-grain dimension joins;
-    the shape every per-doc quality filter in the suite shares."""
+    the shape every per-doc quality filter in the suite shares.
+
+    r16 optimization round (guide §2.4): ONE tokenize pass. vocab is
+    the per-row expression size(array_distinct(tk)) — identical to
+    the oracle's count(DISTINCT tok) for the null-free post-filter
+    token array — and n_tokens/vocab ride THROUGH the bigram
+    aggregates as functionally-dependent grouping keys, so the
+    previous three document scans (vocab explode, bigram explode,
+    final join back) collapse into one explode + two-level aggregate
+    with no join at all."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(X.tokens(), lambda x: x != F.lit("")).alias("tk"),
     )
     eligible = docs.where(F.expr("size(tk) >= 2")).select(
-        "doc_id", "tk", F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens")
-    )
-    vocab = (
-        eligible.select("doc_id", F.explode("tk").alias("tok"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("tok").cast("bigint").alias("vocab"))
+        "doc_id",
+        "tk",
+        F.expr("CAST(size(tk) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(size(array_distinct(tk)) AS BIGINT)").alias("vocab"),
     )
     pairs = eligible.select(
         "doc_id",
+        "n_tokens",
+        "vocab",
         F.explode(
             F.expr(
                 "transform(sequence(0, size(tk) - 2),"
@@ -1101,19 +1110,14 @@ def text_gopher_repetition(spark, sf_dir):
             )
         ).alias("pr"),
     )
-    top = (
-        pairs.groupBy("doc_id", "pr.prev", "pr.nxt")
+    m = (
+        pairs.groupBy("doc_id", "n_tokens", "vocab", "pr.prev", "pr.nxt")
         .agg(F.count("*").cast("bigint").alias("n"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "n_tokens", "vocab")
         .agg(
             F.max("n").cast("bigint").alias("top_pair"),
             F.sum("n").cast("bigint").alias("n_bigrams"),
         )
-    )
-    m = (
-        eligible.select("doc_id", "n_tokens")
-        .join(vocab, "doc_id")
-        .join(top, "doc_id")
         .select(
             "doc_id",
             "n_tokens",
