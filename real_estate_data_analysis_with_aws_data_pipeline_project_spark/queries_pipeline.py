@@ -1504,25 +1504,32 @@ def dq_column_profile(spark, sf_dir):
             )
         ],
     )
-    prof = None
+    # r16 optimization round (guide §2.4): the old per-column loop
+    # crossJoined `base` into each of the six profile rows, so the
+    # multi-distinct expand aggregate was re-planned six times. Unpivot
+    # the single base row into (col_name, n_nulls, n_distinct) with one
+    # stack() instead, and attach the six 1-row mode aggregates as a
+    # broadcast union — base's expand scan now runs once.
+    stack_expr = "stack({n}, {args}) AS (col_name, n_nulls, n_distinct)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(f"'{c}', z_{c}, d_{c}" for c in _PROFILE_COLS),
+    )
+    baseu = base.select(F.col("n_rows"), F.expr(stack_expr))
+    modes = None
     for c in _PROFILE_COLS:
         mode_c = (
             orders.where(F.col(c).isNotNull())
             .groupBy(c)
             .agg(F.count("*").alias("cnt"))
-            .agg(F.max("cnt").cast("bigint").alias("mode_count"))
-        )
-        row = (
-            base.crossJoin(F.broadcast(mode_c))
-            .select(
+            .agg(
                 F.lit(c).alias("col_name"),
-                "n_rows",
-                F.col(f"z_{c}").alias("n_nulls"),
-                F.col(f"d_{c}").alias("n_distinct"),
-                "mode_count",
+                F.max("cnt").cast("bigint").alias("mode_count"),
             )
         )
-        prof = row if prof is None else prof.unionAll(row)
+        modes = mode_c if modes is None else modes.unionAll(mode_c)
+    prof = baseu.join(F.broadcast(modes), "col_name").select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "mode_count"
+    )
     return prof.select(
         "col_name",
         "n_rows",

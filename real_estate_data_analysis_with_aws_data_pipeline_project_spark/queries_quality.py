@@ -1476,17 +1476,20 @@ def quality_ks_drift(spark, sf_dir):
         F.sum("is_early").cast("bigint").alias("c1"),
         F.sum(1 - F.col("is_early")).cast("bigint").alias("c2"),
     )
-    n = g.groupBy("event_type").agg(
-        F.sum("c1").cast("bigint").alias("n1"),
-        F.sum("c2").cast("bigint").alias("n2"),
-    )
+    # r16 optimization round (guide §2.4): the per-type totals are an
+    # UNBOUNDED window over the same event_type partitioning as the
+    # cumulative window, not a separate aggregate joined back — the
+    # old shape's two consumers of g pruned different columns, broke
+    # canonical equality, and re-ran the whole two-pass split (four
+    # event scans per invocation); this shape plans g once.
     w = Window.partitionBy("event_type").orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = g.join(F.broadcast(n), "event_type").select(
+    wfull = Window.partitionBy("event_type")
+    cum = g.select(
         "event_type",
-        "n1",
-        "n2",
+        F.sum("c1").over(wfull).cast("bigint").alias("n1"),
+        F.sum("c2").over(wfull).cast("bigint").alias("n2"),
         F.sum("c1").over(w).alias("cum1"),
         F.sum("c2").over(w).alias("cum2"),
     )

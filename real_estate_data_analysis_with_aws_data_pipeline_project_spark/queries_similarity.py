@@ -3695,25 +3695,37 @@ def similarity_graph_expand_topk(spark, sf_dir):
         ),
         6,
     )
+    agree = F.expr(_gex_agree_sql("q_sig", "c_sig"))
+    # score every (query, candidate) pair ONCE — ≤ queries×cap rows of
+    # four scalars — so the exact top-k and the LSH seed list both read
+    # the materialized scores instead of each re-running the broadcast
+    # cross join over the signature relation
+    scored = pairs.select(
+        "query_id", "cand_id", cos.alias("cos_sim"), agree.alias("agree")
+    ).localCheckpoint(eager=True)
     w_exact = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("cand_id")
     )
     exact = (
-        pairs.select("query_id", "cand_id", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w_exact))
+        scored.withColumn("rn", F.row_number().over(w_exact))
         .filter(F.col("rn") <= _TOP_K)
         .select("query_id", F.col("cand_id").alias("neighbor_id"))
     )
-    agree = F.expr(_gex_agree_sql("q_sig", "c_sig"))
     w_seed = Window.partitionBy("query_id").orderBy(
         F.desc("agree"), F.asc("cand_id")
     )
     seeds = (
-        pairs.select("query_id", "cand_id", agree.alias("agree"))
-        .withColumn("rn", F.row_number().over(w_seed))
+        scored.withColumn("rn", F.row_number().over(w_seed))
         .filter(F.col("rn") <= _GEX_SEEDS)
         .select("query_id", "cand_id")
     )
+    # ≤ queries×seeds rows, consumed by FIVE plan branches (expansion
+    # union ×2, its own rerank, the seed count, and transitively both
+    # expanded consumers) — checkpoint so the signature cross join +
+    # seed window run once per invocation (the _spend_rank_cells
+    # convention; r16 optimization round: the un-checkpointed shape
+    # re-ran them ~6×, 7 embedding scans / 12 windows in one plan)
+    seeds = seeds.localCheckpoint(eager=True)
     knn = _directed_knn(spark, sf_dir).select("src", "dst")
     expanded = (
         seeds.unionAll(
@@ -3724,6 +3736,9 @@ def similarity_graph_expand_topk(spark, sf_dir):
         .where(F.col("cand_id") != F.col("query_id"))
         .distinct()
     )
+    # ≤ queries×seeds×(k+1) rows, consumed by its rerank and the
+    # per-query expansion count
+    expanded = expanded.localCheckpoint(eager=True)
     def rerank(cands, which):
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_sim"), F.asc("cand_id")

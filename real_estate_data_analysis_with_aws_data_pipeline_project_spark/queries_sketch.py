@@ -1322,42 +1322,46 @@ def sketch_ams_f2(spark, sf_dir):
     toks = load_table(spark, sf_dir, "documents").select(
         F.explode(X.tokens()).alias("token")
     )
-    truth = toks.agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.countDistinct("token").cast("bigint").alias("n_distinct"),
-    )
     freq = toks.groupBy("token").agg(
         F.count("*").cast("bigint").alias("f")
-    )
-    f2x = freq.agg(
-        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact")
     )
     # fold the counters over the VOCABULARY grain, not the stream:
     # c_j = Σ_tokens sign_j·f is the identical sum regrouped, the 63
     # md5s run |vocab| times instead of |stream| times (measured 12 s
     # → sub-second at sf0.1), and at scale the frequency relation is
-    # the one the exact-F2 reference already pays for
+    # the one the exact-F2 reference already pays for.
+    # r16 optimization round (guide §2.4): the stream truth
+    # (n_tokens = Σf, n_distinct = |vocab| — the null-free token
+    # grain makes both exact), the exact F2, and the 63 counters are
+    # ONE aggregate over the frequency relation, so the tokenize +
+    # explode + token groupBy run once instead of the previous two
+    # stream passes + two vocabulary aggregates glued by crossJoins.
     cnt = freq.agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2_exact"),
         *[
             F.sum(_ams_sign_col(f"ams{j}") * F.col("f"))
             .cast("bigint")
             .alias(f"c{j}")
             for j in range(_AMS_DEPTH)
-        ]
+        ],
     )
     sq_terms = [f"c{j} * c{j}" for j in range(_AMS_DEPTH)]
-    est = cnt.select(
-        F.expr(
-            f"sort_array(array({', '.join(sq_terms)}))[{_AMS_DEPTH // 2}]"
-        ).alias("ams_f2_median"),
-        F.expr(
-            f"CAST(floor(CAST(({' + '.join(sq_terms)}) AS DOUBLE)"
-            f" / {_AMS_DEPTH} + 0.5e0) AS BIGINT)"
-        ).alias("ams_f2_mean"),
-    )
     return (
-        truth.crossJoin(F.broadcast(f2x))
-        .crossJoin(F.broadcast(est))
+        cnt.select(
+            "n_tokens",
+            "n_distinct",
+            "f2_exact",
+            F.expr(
+                f"sort_array(array({', '.join(sq_terms)}))"
+                f"[{_AMS_DEPTH // 2}]"
+            ).alias("ams_f2_median"),
+            F.expr(
+                f"CAST(floor(CAST(({' + '.join(sq_terms)}) AS DOUBLE)"
+                f" / {_AMS_DEPTH} + 0.5e0) AS BIGINT)"
+            ).alias("ams_f2_mean"),
+        )
         .select(
             "n_tokens",
             "n_distinct",

@@ -1663,12 +1663,16 @@ def text_rake_keywords(spark, sf_dir):
     content = marked.where(F.col("is_stop") == 0).select(
         "doc_id", "phrase_id", "pos", "token"
     )
-    plen = content.groupBy("doc_id", "phrase_id").agg(
-        F.count("*").cast("bigint").alias("phrase_len")
-    )
-    cand = content.join(plen, ["doc_id", "phrase_id"]).where(
-        F.col("phrase_len") <= _RAKE_MAX_WORDS
-    )
+    # r16 optimization round: phrase_len as a window over (doc_id,
+    # phrase_id) instead of a groupBy + self-join — the partitioning
+    # requirement is already satisfied by the phrase-marking window's
+    # doc_id exchange (subset clustering), so this adds a sort but no
+    # exchange and removes one of the three re-computations of the
+    # tokenize→explode→stopword-window chain the join shape planned.
+    wlen = Window.partitionBy("doc_id", "phrase_id")
+    cand = content.withColumn(
+        "phrase_len", F.count("*").over(wlen).cast("bigint")
+    ).where(F.col("phrase_len") <= _RAKE_MAX_WORDS)
     word = cand.groupBy("token").agg(
         F.count("*").cast("bigint").alias("freq"),
         F.sum("phrase_len").cast("bigint").alias("degree"),
