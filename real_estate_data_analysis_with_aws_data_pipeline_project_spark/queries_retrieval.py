@@ -198,10 +198,28 @@ def _dual_scored(f: DataFrame) -> DataFrame:
     )
 
 
-def _bm25_scored(docs: DataFrame) -> DataFrame:
-    """(doc_id, bm25) for every document — Spark twin of
-    ``_BM25_SCORED_SQL``."""
-    f = _tf_projection(docs)
+def cached_tf_projection(spark, sf_dir: str) -> DataFrame:
+    """Session-persisted default-term tf projection (doc_id, dl,
+    tf0..tfN — doc-grain, six integers per document). Every consumer
+    feeds it into BOTH a per-row scoring side and a 1-row stats
+    aggregate; without a materialization those are two independent
+    map-only branches, so the tokenize + per-term array filters ran
+    twice per invocation (r16 optimization round, guide §2.4). At
+    warehouse scale this is the term-frequency projection an index
+    build materializes once."""
+    return session_cached(
+        spark,
+        "tf_projection_default",
+        sf_dir,
+        lambda: _tf_projection(load_table(spark, sf_dir, "documents")),
+    )
+
+
+def _bm25_scored(f: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document, from a tf projection
+    (callers pass ``cached_tf_projection`` so the scoring row side
+    and the 1-row stats aggregate read one materialized relation) —
+    Spark twin of ``_BM25_SCORED_SQL``."""
     scored = f.crossJoin(F.broadcast(_bm_stats(f)))
     term_cols = [F.expr(_bm25_term_sql(i)) for i in range(len(_BM25_TERMS))]
     total = term_cols[0]
@@ -230,7 +248,7 @@ def retrieval_bm25_topk(spark, sf_dir):
     top-k plans as TakeOrderedAndProject. That shape is unchanged at
     100 TB: stats are O(1) state, scoring is embarrassingly parallel.
     """
-    scored = _bm25_scored(load_table(spark, sf_dir, "documents"))
+    scored = _bm25_scored(cached_tf_projection(spark, sf_dir))
     return (
         scored.filter(F.col("bm25") > 0)
         .orderBy(F.desc("bm25"), "doc_id")
@@ -357,7 +375,7 @@ def retrieval_hybrid_rrf(spark, sf_dir):
     ≤ _RRF_CAND rows by construction — bounded, not a scale hazard."""
     docs = load_table(spark, sf_dir, "documents")
     sparse = (
-        _bm25_scored(docs)
+        _bm25_scored(cached_tf_projection(spark, sf_dir))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_RRF_CAND)
         .select(
@@ -626,7 +644,7 @@ def retrieval_rerank_token_f1(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", X.tokens().alias("toks"))
     cand = (
-        _bm25_scored(docs)
+        _bm25_scored(cached_tf_projection(spark, sf_dir))
         .where(F.col("doc_id") != 0)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_RRF_CAND)
@@ -1196,7 +1214,7 @@ def retrieval_query_likelihood(spark, sf_dir):
     floor(x·1e6 + 0.5) (exactly-rounded IEEE ops only — see the
     module comment for why round() is not cross-engine safe here), so
     the score sum is exact integer arithmetic."""
-    f = _tf_projection(load_table(spark, sf_dir, "documents"))
+    f = cached_tf_projection(spark, sf_dir)
     scored = f.crossJoin(F.broadcast(_ql_stats(f)))
     term_cols = [F.expr(_ql_term_sql(i)) for i in range(len(_BM25_TERMS))]
     total = term_cols[0]
@@ -1486,7 +1504,7 @@ def retrieval_ndcg_eval(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
@@ -1621,7 +1639,7 @@ def retrieval_rank_correlation(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     bmtop = (
@@ -1794,7 +1812,7 @@ def retrieval_rbo_overlap(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     bmtop = (
@@ -1948,7 +1966,7 @@ def retrieval_mrr_eval(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     w_bm = Window.orderBy(F.desc("bm25"), "doc_id")
@@ -2492,7 +2510,7 @@ def _prf_candidates(spark, sf_dir) -> DataFrame:
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     top = scored.orderBy(F.desc("bm25"), "doc_id").limit(_PRF_K_DOCS).select(
@@ -2891,7 +2909,7 @@ def retrieval_contamination_eval(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     topk = (
@@ -3097,7 +3115,7 @@ def retrieval_map_eval(spark, sf_dir):
         "retrieval_dual_scored",
         sf_dir,
         lambda: _dual_scored(
-            _tf_projection(load_table(spark, sf_dir, "documents"))
+            cached_tf_projection(spark, sf_dir)
         ),
     )
     rel_min = F.lit(_MRR_REL_MIN)

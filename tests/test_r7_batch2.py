@@ -142,12 +142,13 @@ def test_rerank_is_bounded_and_monotone(spark, sf_dir):
     from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_retrieval import (
         _RRF_CAND,
         _bm25_scored,
+        _tf_projection,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     cand = {
         r.doc_id
-        for r in _bm25_scored(docs)
+        for r in _bm25_scored(_tf_projection(docs))
         .where(F.col("doc_id") != 0)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_RRF_CAND)
