@@ -5,15 +5,20 @@
 Output contract (TWO JSON lines, r12 VERDICT #5 / ADVICE):
   1. the FULL driver-contract line: {"metric": ..., "value":
      total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
-  2. LAST, a short machine-parsable totals line tagged
-     {"compact": true, ...} with metric/value/unit/sf/
-     host_calibration_ratio/vs_baseline_total/regressions but NO
-     per-query dict.
+  2. LAST, a machine-parsable line tagged {"compact": true, ...} with
+     metric/value/unit/sf/host_calibration_ratio/vs_baseline_total/
+     regressions AND (since r17, VERDICT r16 #1) the per-query
+     "queries" dict at ms precision, serialized with tight separators
+     so the whole line stays under the driver's 2000-char tail
+     capture (~1820 chars at 51 queries; a >1900-char line falls back
+     to 2-decimal query values rather than risk truncation).
 Consumers must parse from the END and pick the line shape they need:
 the compact line is last so a tail-truncating capture always
-preserves the totals (BENCH_r11/r12 lost a head-placed line); the
-full line directly precedes it. tools/baseline_reland.py is the
-reference consumer.
+preserves the totals (BENCH_r11/r12 lost a head-placed line; r16 lost
+the per-query dict because only the head-placed full line carried
+it). The full line directly precedes it and keeps the r12-r16 shape
+(human-readable separators, vs_baseline ratios).
+tools/baseline_reland.py is the reference consumer.
 
 Each query is executed to completion via the no-op sink (full plan
 runs, nothing materializes on the driver), which measures engine
@@ -275,6 +280,7 @@ def main() -> None:
                 "metric",
                 "value",
                 "unit",
+                "queries",
                 "sf",
                 "host_calibration_ratio",
                 "vs_baseline_total",
@@ -299,7 +305,19 @@ def main() -> None:
     # progress fragment under 2>&1 capture) left a partial line, the
     # full JSON still starts at column 0 and stays line-parsable
     print("\n" + json.dumps(result), flush=True)
-    print(json.dumps(compact), flush=True)
+    # r17 (VERDICT r16 #1): the compact LAST line now carries the
+    # per-query dict so the driver's 2000-char tail capture retains
+    # per-query seconds (PERF_r16.per_query was empty because only the
+    # head-placed full line had them). Tight separators keep 51
+    # queries at ~1820 chars; if future growth pushes past 1900,
+    # degrade query values to 2 decimals instead of risking the tail
+    # cutting the line's head off (a clipped line is unparsable and
+    # loses the TOTALS too).
+    compact_line = json.dumps(compact, separators=(",", ":"))
+    if len(compact_line) > 1900:
+        compact["queries"] = {n: round(s, 2) for n, s in timings.items()}
+        compact_line = json.dumps(compact, separators=(",", ":"))
+    print(compact_line, flush=True)
     if regressed and not host_stolen:
         sys.exit(1)
 
