@@ -487,6 +487,42 @@ ROTATIONS: dict[int, list[str]] = {
         "dedup_simhash_pairs",
         "similarity_knn_graph",
     ],
+    # Round 17 seats the 25-query never-green front — exactly the r16
+    # post-pin additions (the interrupted-build batch; VERDICT r16
+    # #10) — and fills the 5 free slots with refresh picks, STALEST-
+    # green first (all green in round 4, never re-seated since).
+    17: [
+        "embedding_anisotropy",
+        "similarity_graph_expand_topk",
+        "embedding_jl_projection_audit",
+        "events_volume_binseg",
+        "streaming_volume_binseg",
+        "events_ratio_jackknife",
+        "events_conformal_volume_interval",
+        "events_kruskal_wallis",
+        "events_calibration_ece",
+        "events_stouffer_meta",
+        "events_isotonic_calibration",
+        "dq_column_profile",
+        "basket_brand_rules3",
+        "features_price_elasticity",
+        "features_ipf_raking",
+        "text_term_burstiness",
+        "text_rake_keywords",
+        "text_textrank_keywords",
+        "text_heaps_law",
+        "corpus_ht_token_estimate",
+        "corpus_dsir_importance",
+        "sketch_ams_f2",
+        "retrieval_contamination_eval",
+        "retrieval_map_eval",
+        "graph_kcore",
+        "dedup_semantic_clusters",
+        "events_retention_cohorts",
+        "events_anomaly_zscore",
+        "streaming_click_purchase_join",
+        "join_range_bucketed",
+    ],
 }
 
 # Endgame refresh picks (VERDICT r5 #2): when the never-green pool
@@ -634,6 +670,17 @@ REFRESH_OK: dict[int, set[str]] = {
         "sql_recursive_cte_date_spine",
         "dedup_simhash_pairs",
         "similarity_knn_graph",
+    },
+    # Round 17 continues the STALEST-green-first refresh posture —
+    # these 5 re-verification picks all landed green in round 4 and
+    # have not held a driver slot since (the 25 never-green slots are
+    # the r16 post-pin additions, VERDICT r16 #10).
+    17: {
+        "dedup_semantic_clusters",
+        "events_retention_cohorts",
+        "events_anomaly_zscore",
+        "streaming_click_purchase_join",
+        "join_range_bucketed",
     },
 }
 

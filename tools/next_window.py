@@ -74,36 +74,11 @@ PRIORITY: tuple[str, ...] = ()
 # exclusion is load-bearing. An index cutoff can't express this:
 # QUERIES order is module-import order, so a query appended to an
 # early-imported module lands mid-registry.
-# Reset at the r16 pin (the 10 r15 post-pin additions now lead the r16
-# rotation's never-green front); append every r16 post-pin registration
-# below as it lands.
-POST_PIN_ADDITIONS: tuple[str, ...] = (
-    "basket_brand_rules3",
-    "events_volume_binseg",
-    "retrieval_contamination_eval",
-    "embedding_anisotropy",
-    "events_ratio_jackknife",
-    "events_conformal_volume_interval",
-    "text_term_burstiness",
-    "sketch_ams_f2",
-    "text_rake_keywords",
-    "similarity_graph_expand_topk",
-    "corpus_ht_token_estimate",
-    "text_textrank_keywords",
-    "dq_column_profile",
-    "retrieval_map_eval",
-    "events_kruskal_wallis",
-    "text_heaps_law",
-    "events_calibration_ece",
-    "streaming_volume_binseg",
-    "events_stouffer_meta",
-    "corpus_dsir_importance",
-    "graph_kcore",
-    "embedding_jl_projection_audit",
-    "features_price_elasticity",
-    "events_isotonic_calibration",
-    "features_ipf_raking",
-)
+# Reset at the r17 pin (the 25 r16 post-pin additions now lead the r17
+# rotation's never-green front — VERDICT r16 #10); append every r17
+# post-pin registration below as it lands. r17 is an optimization
+# round, so this should stay empty.
+POST_PIN_ADDITIONS: tuple[str, ...] = ()
 
 
 def correctness_rounds() -> dict[int, dict]:
