@@ -108,3 +108,39 @@ def test_bench_main_emits_queries_on_last_line(monkeypatch, capsys):
     # human-readable default separators)
     assert '", "' not in lines[-1] and '": ' not in lines[-1]
     assert '": ' in lines[0]
+
+
+def test_session_cached_checkpoint_truncates_lineage(spark, sf_dir):
+    """r17 (VERDICT r16 #6): session_cached(checkpoint=True) must (a)
+    return the SAME DataFrame object on repeated calls (one
+    materialization per session), (b) produce identical rows to the
+    plain persist mode, and (c) truncate lineage — the consumer plan
+    reads a Scan ExistingRDD, not the builder's full subtree (the
+    plan-bloat that doubled agg_theil_decomposition's wall)."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.operators.session_cache import (
+        session_cached,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    def build():
+        return (
+            load_table(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    ck1 = session_cached(spark, "r17_test_ck", sf_dir, build, checkpoint=True)
+    ck2 = session_cached(spark, "r17_test_ck", sf_dir, build, checkpoint=True)
+    assert ck1 is ck2  # one entry per (name, sf_dir, fingerprint)
+    plan = ck1._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    assert "FileScan" not in plan  # lineage truncated at the checkpoint
+    expected = {
+        (r["o_custkey"], r["cnt"]) for r in build().collect()
+    }
+    got = {(r["o_custkey"], r["cnt"]) for r in ck1.collect()}
+    assert got == expected
