@@ -2050,6 +2050,46 @@ def agg_concentration_curve(spark, sf_dir):
 
 _BASKET_TOP = 20
 
+
+def _brand_baskets(spark, sf_dir):
+    """Order-grain distinct-brand basket relation (okey, sorted brand
+    set) shared by the 2- and 3-itemset rule queries — the transaction
+    database every association-rule miner materializes once before
+    counting itemsets.
+
+    r17 (VERDICT r16 #3): the r16 shape derived nb/supp/pairs(/triples)
+    from one basket aggregate and relied on AQE exchange reuse to
+    execute the lineitem⋈part subtree once — the final adaptive plans
+    show reuse does NOT fire across the branches (6-7 lineitem scans
+    executed), so the relation is now session-checkpointed (the
+    minhash-signature precedent, guide §5): one build per session,
+    every consumer branch reads a flat Scan ExistingRDD. The explicit
+    brand-not-null filter makes the collect_set/groupBy equivalence
+    unconditional (ADVICE r16: collect_set skips NULLs — p_brand is
+    NOT NULL in TPC-H, so the filter drops nothing, but the basket
+    shape no longer silently assumes it)."""
+    from .operators.session_cache import session_cached
+
+    def build():
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        ob = (
+            lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
+            .filter(F.col("p_brand").isNotNull())
+            .select(
+                F.col("l_orderkey").alias("okey"),
+                F.col("p_brand").alias("brand"),
+            )
+            .distinct()
+        )
+        return ob.groupBy("okey").agg(
+            F.sort_array(F.collect_set("brand")).alias("bs")
+        )
+
+    return session_cached(
+        spark, "brand_baskets", sf_dir, build, checkpoint=True
+    )
+
 _BASKET_RULES_ORACLE = f"""
     WITH ob AS (
         SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
@@ -2109,38 +2149,19 @@ def basket_brand_rules(spark, sf_dir):
     brand²-bounded (dimension scale) so the support joins broadcast;
     top-20 is TakeOrderedAndProject on the exact BIGINT lift key.
 
-    r16 optimization round (guide §2.4): nb and supp are now derived
-    FROM the per-order basket relation (nb = one row per basket;
-    supp = explode of the distinct-brand set — exactly the distinct
-    (okey, brand) pairs) instead of each re-deriving the
-    lineitem⋈part DISTINCT subtree. All three consumers share the
-    one Exchange(okey) under the collect_set aggregate, which AQE
-    exchange-reuse materializes once — the executed plan carries one
-    600 K-row lineitem scan instead of three."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (
-        lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
-    )
-    baskets = ob.groupBy("okey").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs")
-    )
-    # one row per distinct okey — identical to count(DISTINCT okey) on
-    # ob. The count must REFERENCE bs through an expression Catalyst
-    # cannot fold away (size(bs) >= 0 is always true for the non-null
-    # collect_set output, but the optimizer cannot prove that):
-    # with a plain count(*) / count(bs) the collect_set is pruned out
-    # of this branch's aggregate, its exchange stops being
-    # canonical-equal to the pairs branch's, and the whole
-    # lineitem⋈part subtree re-runs (observed: 2 scans instead of 1).
-    nb = baskets.agg(
-        F.count(F.when(F.size("bs") >= 0, 1)).cast("bigint").alias("n")
-    )
+    r16 derived nb and supp FROM the per-order basket relation (nb =
+    one row per basket; supp = explode of the distinct-brand set —
+    exactly the distinct (okey, brand) pairs) counting on AQE
+    exchange reuse; r17 (VERDICT r16 #3) session-checkpoints the
+    basket relation instead, because the final adaptive plan showed
+    reuse never fired (6 executed lineitem scans). Every branch now
+    reads the flat checkpointed relation; the anti-pruning
+    size(bs) >= 0 guard (ADVICE r16: version-fragile) is gone — a
+    materialized relation cannot be pruned."""
+    baskets = _brand_baskets(spark, sf_dir)
+    # one row per distinct okey — identical to count(DISTINCT okey)
+    # on the distinct (okey, brand) relation
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # bs is the distinct brand set of the order, so exploding it yields
     # exactly the distinct (okey, brand) relation ob again
     supp = (
@@ -2325,28 +2346,12 @@ def basket_brand_rules3(spark, sf_dir):
     relation), so the pair-support and consequent-support joins both
     broadcast; top-20 is TakeOrderedAndProject on the exact BIGINT
     lift key."""
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part")
-    ob = (
-        lineitem.join(part, part["p_partkey"] == lineitem["l_partkey"])
-        .select(
-            F.col("l_orderkey").alias("okey"),
-            F.col("p_brand").alias("brand"),
-        )
-        .distinct()
-    )
-    baskets = ob.groupBy("okey").agg(
-        F.sort_array(F.collect_set("brand")).alias("bs")
-    )
-    # nb and supp derive FROM baskets (r16 optimization round, same
-    # shared-exchange restructure as basket_brand_rules): one row per
-    # distinct okey = count(DISTINCT okey); exploding the distinct
-    # brand set re-yields exactly the distinct (okey, brand) pairs.
-    # The size(bs) >= 0 guard keeps the collect_set un-prunable so
-    # all four consumers reuse ONE Exchange(okey).
-    nb = baskets.agg(
-        F.count(F.when(F.size("bs") >= 0, 1)).cast("bigint").alias("n")
-    )
+    baskets = _brand_baskets(spark, sf_dir)
+    # nb and supp derive FROM the session-checkpointed basket relation
+    # (r17, VERDICT r16 #3 — see _brand_baskets): one row per distinct
+    # okey = count(DISTINCT okey); exploding the distinct brand set
+    # re-yields exactly the distinct (okey, brand) pairs.
+    nb = baskets.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     supp = (
         baskets.select(F.explode("bs").alias("brand"))
         .groupBy("brand")

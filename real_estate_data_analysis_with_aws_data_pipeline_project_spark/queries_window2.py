@@ -1025,16 +1025,21 @@ def features_chi2_selection(spark, sf_dir):
             )
         )
     )
-    cells = base.groupBy("feature", "value", "label").agg(
-        F.count("*").cast("bigint").alias("o")
+    # r16 made marginals second-level aggregates OVER the cell relation
+    # — rt(f,v) = Σ_label o; the label marginal and row total read the
+    # 'status' slice, to which every order contributes exactly one row
+    # (a NULL status still lands in a cell) — counting on AQE exchange
+    # reuse for the shared cell exchange. r17 (VERDICT r16 #3): the
+    # final adaptive plan shows reuse never fired (17 executed orders
+    # scans — each consumer re-ran the 3-scan unpivot), so the
+    # cardinality-bounded cell relation (≤ feature·value·label rows) is
+    # eagerly localCheckpointed per invocation: ONE 3-scan unpivot job,
+    # every marginal branch reads the materialized cells (guide §5).
+    cells = (
+        base.groupBy("feature", "value", "label")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
     )
-    # r16 optimization round (guide §2.4): marginals are second-level
-    # aggregates OVER the cell relation, not fresh scans of orders —
-    # rt(f,v) = Σ_label o; the label marginal and row total read the
-    # 'status' slice, to which every order contributes exactly one
-    # row (a NULL status still lands in a cell). All consumers share
-    # cells' one Exchange(feature, value, label), which AQE reuses:
-    # 3 pruned scans of orders (the unpivot) instead of 8.
     rt = cells.groupBy("feature", "value").agg(
         F.sum("o").cast("bigint").alias("rt")
     )
@@ -1205,12 +1210,14 @@ def features_mutual_information(spark, sf_dir):
             )
         )
     )
-    cells = base.groupBy("feature", "value", "label").agg(
-        F.count("*").cast("bigint").alias("o")
+    # same marginal-from-cells restructure as features_chi2_selection
+    # above; r17 checkpoints the cell relation for the same reason
+    # (AQE exchange reuse never fired — 14 executed orders scans).
+    cells = (
+        base.groupBy("feature", "value", "label")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)
     )
-    # r16 optimization round: same marginal-from-cells restructure as
-    # features_chi2_selection above — one shared, AQE-reused cell
-    # exchange instead of 5 more scans of orders.
     rt = cells.groupBy("feature", "value").agg(
         F.sum("o").cast("bigint").alias("rt")
     )
