@@ -17,7 +17,7 @@ all-pairs query is the *correctness baseline* for those (capped input)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import text as X
@@ -799,20 +799,34 @@ _SUBSTR_ORACLE = f"""
 
 
 def substr_window_hashes(toks: "F.Column | str" = "toks") -> "F.Column":
-    """md5 per _SUBSTR_K-token window (1-based window i covers tokens
-    [i, i+K-1]); empty array for docs shorter than one window. Shared
-    by the repeated-substring detector and the span remediator so the
-    two agree on window identity."""
+    """64-bit window id per _SUBSTR_K-token window (1-based window i
+    covers tokens [i, i+K-1]); empty array for docs shorter than one
+    window. Shared by the repeated-substring detector and the span
+    remediator so the two agree on window identity.
+
+    r17 (guide §2.3, shuffle fewer bytes): the id is
+    xxhash64(token-slice array) — an 8-byte BIGINT — where it used to
+    be md5(space-joined string), a 32-char hex STRING. The hash value
+    never reaches any output; it exists only to GROUP equal windows,
+    and two windows are equal iff their token arrays are equal
+    (tokens contain no spaces, so the oracle's space-joined md5
+    grouping induces the identical partition of windows — both
+    engines' groupings coincide with true window equality whenever
+    their hashes are injective on the realized windows, which the
+    cross-engine hash match verifies per run; a 64-bit birthday
+    collision needs ~2^32 distinct windows to become likely). The
+    switch cuts the exploded relation's shuffle key from ~48 bytes to
+    8 and drops ~4 md5 digests per token from the map side: the
+    detector/remediator core measured 1.19 s -> 0.95 s at sf0.1 on
+    the key switch alone."""
     t = F.col(toks) if isinstance(toks, str) else toks
     return F.when(
         F.size(t) >= _SUBSTR_K,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - (_SUBSTR_K - 1)),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(t, i, _SUBSTR_K)).cast("binary")
-            ),
+            lambda i: F.xxhash64(F.slice(t, i, _SUBSTR_K)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 @register("dedup_repeated_substrings", _SUBSTR_ORACLE)
@@ -822,11 +836,19 @@ def dedup_repeated_substrings(spark, sf_dir):
     documents are 'shared spans', and each document reports the
     fraction of its windows that are shared — the span-level dedup
     signal behind substring-dedup of training corpora. Explode →
-    groupBy(hash) → join back: shuffle O(tokens), never pairwise."""
+    groupBy(hash) → join back: shuffle O(tokens), never pairwise.
+
+    r17: the generator input is INLINE, not an aliased projection
+    column — exploding an aliased computed column lets
+    InferFiltersFromGenerate push a size(hs) > 0 filter below the
+    projection, INLINING the whole tokenize+window-hash chain into an
+    interpreted Filter that re-evaluates every window hash per
+    document before the Generate runs it again (measured: 7.6 s vs
+    0.44 s for the identical explode at sf0.1 — the dominant cost of
+    this query's old 17 s wall). With the expression inline the
+    inference rule skips it and the chain is evaluated once."""
     t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
-    e = t.select("doc_id", substr_window_hashes().alias("hs")).select(
-        "doc_id", F.explode("hs").alias("h")
-    )
+    e = t.select("doc_id", F.explode(substr_window_hashes()).alias("h"))
     dup = (
         e.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -1007,35 +1029,36 @@ def dedup_span_remediate(spark, sf_dir):
     detection, instead of dropping whole near-dup docs.
 
     Shares window identity with dedup_repeated_substrings via
-    substr_window_hashes. Plan (r16 optimization round, guide §2.4):
-    explode windows WITH positions ONCE → ONE groupBy(hash) that both
-    decides dup-ness (count(DISTINCT doc_id) >= 2 ⟺ min(doc_id) !=
-    max(doc_id), exact for the non-null doc_id key) and carries the
-    (doc_id, start) occurrence list through → explode survivors →
-    per-doc sorted shared-start list → per-row array mask rebuild.
-    The previous shape derived the exploded window relation TWICE
-    (once for the dup filter, once to re-join starts against it) —
-    two full tokenize+md5 passes over every document; measured 2.57 s
-    of the query's 2.96 s at sf0.1. The per-hash occurrence list is
-    bounded by the window's corpus frequency (the same bound the
-    detector's count carries), so collect_list stays group-local.
-    Shuffle O(tokens); the mask is per-row O(n_tokens ×
-    n_shared_spans) arithmetic with no further shuffle — the only
-    quadratic factor is within one document, the same bound the
-    detector already carries."""
+    substr_window_hashes (a 64-bit xxhash64 window id since r17 —
+    see that helper for the narrower-shuffle-key rationale). Plan
+    (r16 explode-once shape, r17 agg→window): explode windows WITH
+    positions ONCE → a window min/max over the hash partitioning
+    decides dup-ness in place (min(doc_id) != max(doc_id) ⟺
+    count(DISTINCT doc_id) >= 2, exact for the non-null doc_id key)
+    and every surviving row IS a (doc_id, start) occurrence — no
+    per-hash collect_list. The r16 aggregate materialized ALL corpus
+    occurrences of a hash in one aggregation buffer (ADVICE r16: a
+    boilerplate window shared by thousands of docs becomes one huge
+    unspillable array); the window operator streams the partition
+    through a spillable buffer instead, so a pathological hot hash
+    degrades to disk instead of OOM, and the explode-back step
+    disappears. Measured 1.19 s -> 0.58 s for the shared-occurrence
+    core at sf0.1 (key switch + agg→window). The previous r15 shape
+    derived the exploded relation TWICE — two full tokenize+md5
+    passes, 2.57 s of the query's 2.96 s. Shuffle O(tokens); the
+    mask is per-row O(n_tokens × n_shared_spans) arithmetic with no
+    further shuffle — the only quadratic factor is within one
+    document, the same bound the detector already carries."""
     t = _docs(spark, sf_dir).select("doc_id", X.tokens().alias("toks"))
     e = t.select(
         "doc_id", F.posexplode(substr_window_hashes()).alias("pos", "h")
     ).select("doc_id", "h", (F.col("pos") + 1).alias("start"))
-    per_h = e.groupBy("h").agg(
-        F.min("doc_id").alias("d_min"),
-        F.max("doc_id").alias("d_max"),
-        F.collect_list(F.struct("doc_id", "start")).alias("ps"),
-    )
+    hw = Window.partitionBy("h")
     shared = (
-        per_h.filter(F.col("d_min") != F.col("d_max"))
-        .select(F.explode("ps").alias("p"))
-        .select(F.col("p.doc_id").alias("doc_id"), F.col("p.start").alias("start"))
+        e.withColumn("d_min", F.min("doc_id").over(hw))
+        .withColumn("d_max", F.max("doc_id").over(hw))
+        .filter(F.col("d_min") != F.col("d_max"))
+        .select("doc_id", "start")
     )
     starts = shared.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("start")).alias("ss")

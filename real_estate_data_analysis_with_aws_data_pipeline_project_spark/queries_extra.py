@@ -102,9 +102,13 @@ def explode_top_tokens(spark, sf_dir):
     """explode ≙ UNNEST: token frequency top-10 across the corpus —
     the tf building block (explode → groupBy count → top-k)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(X.tokens().alias("toks"))
+    # generator input INLINE (r17): exploding an aliased computed
+    # column lets InferFiltersFromGenerate push an interpreted
+    # size(toks) > 0 filter below the projection, re-tokenizing every
+    # document before the Generate tokenizes it again (the
+    # dedup_repeated_substrings 17 s precedent — see queries_dedup).
     return (
-        toks.select(F.explode("toks").alias("token"))
+        docs.select(F.explode(X.tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("token"))

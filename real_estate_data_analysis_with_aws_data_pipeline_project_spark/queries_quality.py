@@ -401,7 +401,13 @@ def text_pmi_top_pairs(spark, sf_dir):
         ).alias("p")
     ).select("p.a", "p.b")
     pc = pairs.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
-    w = t.select(F.explode("toks").alias("tok"))
+    # generator input INLINE (r17): explode of the aliased toks column
+    # triggers InferFiltersFromGenerate — an interpreted re-tokenize
+    # per document below the projection (the dedup_repeated_substrings
+    # precedent); the inline expression is exempt from the rule.
+    w = load_table(spark, sf_dir, "documents").select(
+        F.explode(X.tokens()).alias("tok")
+    )
     wc = w.groupBy("tok").agg(F.count("*").alias("c"))
     tot = pairs.agg(F.count("*").cast("double").alias("t_pairs")).crossJoin(
         w.agg(F.count("*").cast("double").alias("t_toks"))
@@ -612,9 +618,18 @@ def quality_bigram_lm_ppl(spark, sf_dir):
     train = doc_bi.filter("is_train")
     cab = train.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
     ca = train.groupBy("a").agg(F.count("*").alias("c_a"))
+    # generator input INLINE (r17, same InferFiltersFromGenerate
+    # avoidance as the pairs/PMI sites): re-derive from the source
+    # with the tokenize expression in the explode itself.
     vocab = (
-        t.filter("is_train")
-        .select(F.explode("toks").alias("tok"))
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2
+            )
+            < "cc"
+        )
+        .select(F.explode(X.tokens()).alias("tok"))
         .agg(F.countDistinct("tok").cast("double").alias("v"))
     )
     lp = F.log2(

@@ -1636,11 +1636,12 @@ def text_rake_keywords(spark, sf_dir):
     word-score join back to occurrences is a broadcast (vocabulary
     is dimension-scale); top-20 is TakeOrderedAndProject on the exact
     micro key."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", X.tokens().alias("toks")
-    )
-    pos = d.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "token")
+    # generator input INLINE (r17): posexplode of an aliased toks
+    # column triggers InferFiltersFromGenerate — an interpreted
+    # re-tokenize per document below the projection (the
+    # dedup_repeated_substrings precedent in queries_dedup).
+    pos = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(X.tokens()).alias("pos0", "token")
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "token"
     )

@@ -182,3 +182,33 @@ def test_mi_chi2_cells_checkpoint_and_scan_count(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "orders" not in plan, f"{name} re-scans orders per branch"
         assert "ExistingRDD" in plan, f"{name} lost the checkpoint read"
+
+
+def test_no_inferred_retokenize_filter_on_window_explodes(spark, sf_dir):
+    """r17: exploding an ALIASED computed array column lets Spark's
+    InferFiltersFromGenerate push a size(...)>0 filter below the
+    projection, inlining the whole tokenize/window-hash chain into an
+    interpreted Filter that re-evaluates it per document
+    (dedup_repeated_substrings measured 17 s -> 1.7 s at sf0.1 when
+    the generator input went inline). Guard the fixed call sites: no
+    executed plan may contain a Filter that re-runs the tokenizer
+    (split of a regexp_replace) below the Generate."""
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.api import (
+        QUERIES,
+    )
+
+    for name in (
+        "dedup_repeated_substrings",
+        "dedup_span_remediate",
+        "explode_top_tokens",
+        "text_rake_keywords",
+    ):
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            stripped = line.strip().lstrip("+:- *(0123456789)")
+            assert not (
+                stripped.startswith("Filter")
+                and "regexp_replace" in stripped
+            ), f"{name} re-tokenizes inside an inferred Filter:\n{line}"
