@@ -75,6 +75,49 @@ def _widen(vecs) -> np.ndarray:
     ).astype(np.float64)
 
 
+def make_range_pairs_udf(probe_ids, probe_vecs, probe_nrms, tau) -> "Column":
+    """Cosine range-search pair emitter (r17): for each corpus vector,
+    the (query_id, RAW cosine) pairs against the broadcast probe set
+    whose raw cosine clears ``tau`` minus a one-ulp-scale margin —
+    callers apply the EXACT round(·, 6) >= tau gate in JVM expressions,
+    so the emitted cos_sim channel (and hence the oracle hash) is
+    untouched; the kernel is purely a prefilter + single-evaluation
+    replacement for the BroadcastNestedLoopJoin whose pushed-down
+    predicate evaluated the interpreted zip_with/aggregate cosine fold
+    TWICE per pair (join condition + projection). Raw-cosine parity is
+    the _cos_block contract (identical dim-order float64 chain); the
+    margin is safe because round(x, 6) >= tau requires
+    x >= tau − 5e-7 > tau − 1e-6, so no qualifying pair is dropped and
+    near-miss pairs are re-judged exactly by the JVM round. Self-pairs
+    are excluded by id, mirroring the join's <> condition."""
+    q_ids = np.asarray(probe_ids, dtype=np.int64)
+    q_w = np.asarray(
+        [np.asarray(s, dtype=np.float32) for s in probe_vecs],
+        dtype=np.float32,
+    ).astype(np.float64)  # float32-sourced embeddings, widened like cast
+    q_n = np.asarray(probe_nrms, dtype=np.float64)
+    cut = tau - 1e-6
+
+    @pandas_udf("array<struct<query_id: long, raw: double>>")
+    def _pairs(ids: pd.Series, vecs: pd.Series, nrms: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = _widen(vecs)
+        n = np.asarray(nrms, dtype=np.float64)
+        idv = np.asarray(ids, dtype=np.int64)
+        cos = _cos_block(v, n, q_w, q_n)  # (rows, probes)
+        mask = (cos >= cut) & (idv[:, None] != q_ids[None, :])
+        out = []
+        for r in range(len(v)):
+            cols = np.nonzero(mask[r])[0]
+            out.append(
+                [(int(q_ids[c]), float(cos[r, c])) for c in cols]
+            )
+        return pd.Series(out)
+
+    return _pairs
+
+
 def make_two_level_nearest_udf(
     coarse_ids, coarse_vecs, coarse_nrms,
     fine_ids, fine_vecs, fine_nrms,

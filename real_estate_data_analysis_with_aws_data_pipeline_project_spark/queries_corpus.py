@@ -100,13 +100,22 @@ def corpus_pack_token_shards(spark, sf_dir):
     offset. The offsets come from a 256-row range-totals aggregate
     (bounded by the range count, NOT the corpus size) whose prefix sum
     is computed driver-side and broadcast-joined back. Output is
-    bit-identical to the single-window spec (same oracle)."""
+    bit-identical to the single-window spec (same oracle).
+
+    r17 (guide §5/§1): the doc-grain metadata projection (doc_id,
+    n_tokens, ok, rng) is eagerly checkpointed so the totals pass and
+    the cumsum pass share ONE tokenize scan of documents (the old
+    shape tokenized twice — the guide §8 'fingerprints only' step)."""
     key = deterministic_order_key("doc_id")
-    sized = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        X.token_count().alias("n_tokens"),
-        key.alias("ok"),
-        F.substring(key, 1, 2).alias("rng"),
+    sized = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            X.token_count().alias("n_tokens"),
+            key.alias("ok"),
+            F.substring(key, 1, 2).alias("rng"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     # Pass 1: per-range totals — a tiny (≤256 rows) aggregate; its

@@ -231,11 +231,18 @@ def join_interval_overlap(spark, sf_dir):
             uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    # r17 (guide §5): the session relation feeds BOTH sides of the
+    # overlap self-join; the r16 shape still ran the sessionize
+    # subtree (events shuffle + two windows + aggregate) twice per
+    # invocation because AQE only reused the bottom exchange. The
+    # session-grain relation (one row per session — orders of
+    # magnitude smaller than events) is checkpointed eagerly so the
+    # subtree runs ONCE and both join sides read the materialization.
     sess = s.groupBy("user_id", "sid").agg(
         F.unix_micros(F.min("ts")).cast("bigint").alias("start_us"),
         F.unix_micros(F.max("ts")).cast("bigint").alias("end_us"),
         F.count("*").cast("bigint").alias("n_events"),
-    )
+    ).localCheckpoint(eager=True)
     a = sess.select(
         F.col("user_id").alias("a_user"),
         F.col("sid").alias("a_sid"),

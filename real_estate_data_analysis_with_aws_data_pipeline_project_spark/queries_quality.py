@@ -1770,34 +1770,55 @@ def dq_order_reconciliation(spark, sf_dir):
     shortest-repr HALF_UP channel). Orders with no line items
     reconcile against 0 via the left join instead of vanishing.
 
-    Scale: one lineitem groupBy(orderkey) — the same shuffle every
-    order-grain rollup pays (bucketing both tables by orderkey makes
-    it co-located at 100 TB) — then a status-grain aggregate over one
-    bigint per order."""
+    Scale (r17, guide §2.4 — one exchange, no join): the detail sum
+    and the ledger row meet in ONE union-aggregate keyed on orderkey
+    instead of groupBy + sort-merge join. Each leg projects to
+    (okey, amt | status+total) and partial-aggregates map-side, so
+    one hash exchange carries one row per order from each side and
+    the join's two sorts disappear (the old plan: lineitem exchange +
+    orders exchange + SMJ). max(status)/max(total) are exact because
+    orders is PK-unique on orderkey (exactly one ledger row per
+    group); sum(amt) ignores the ledger row's NULL, so an order with
+    no line items reconciles against 0 via the same coalesce; detail
+    rows without a ledger row (impossible under the FK, dropped by
+    the old left join's orders side) are dropped by the has_order
+    gate — row-for-row the old join relation. Then a status-grain
+    aggregate over one bigint per order."""
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
+        F.col("l_orderkey").alias("okey"),
         (
             F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
             * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
             * (100 + F.round(F.col("l_tax") * 100, 0).cast("bigint"))
         ).alias("amt_e4"),
-    )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sum("amt_e4").cast("bigint").alias("sum_e4")
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("total_e4"),
+        F.lit(0).alias("is_order"),
     )
     o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
+        F.col("o_orderkey").alias("okey"),
+        F.lit(None).cast("bigint").alias("amt_e4"),
         "o_orderstatus",
         (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") * 10000)
             .alias("total_e4"),
+        F.lit(1).alias("is_order"),
     )
-    d = o.join(
-        per_order, o["o_orderkey"] == per_order["l_orderkey"], "left"
-    ).select(
-        "o_orderstatus",
-        (F.coalesce("sum_e4", F.lit(0)) - F.col("total_e4")).alias(
-            "diff_e4"
-        ),
+    d = (
+        li.unionAll(o)
+        .groupBy("okey")
+        .agg(
+            F.sum("amt_e4").alias("sum_e4"),
+            F.max("o_orderstatus").alias("o_orderstatus"),
+            F.max("total_e4").alias("total_e4"),
+            F.max("is_order").alias("has_order"),
+        )
+        .where(F.col("has_order") == 1)
+        .select(
+            "o_orderstatus",
+            (F.coalesce("sum_e4", F.lit(0)) - F.col("total_e4")).alias(
+                "diff_e4"
+            ),
+        )
     )
     return d.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_orders"),

@@ -980,6 +980,13 @@ def similarity_ivf_topk(spark, sf_dir):
     cent = session_cached(
         spark, "ivf_centroids", sf_dir,
         lambda: _ivf_train(v, _train_sample(v, n), k),
+        # checkpoint, don't persist (r17, the theil precedent): the
+        # k-row centroid relation is consumed by the probe branch and
+        # the driver-side model collect; with persist each consumer's
+        # plan embedded (and re-optimized) the whole two-iteration
+        # Lloyd lineage — the executed plan carried ~13 embedding
+        # scan nodes. Checkpointed, consumers read a flat k-row RDD.
+        checkpoint=True,
     )
     # two-level assignment: one Arrow pass against the broadcast model
     # (coarse pick + within-cell refine; -1 = no candidate, mirroring
@@ -3300,34 +3307,50 @@ def similarity_range_search(spark, sf_dir):
     (see the section comment for the probe-mod ladder and the
     rounded-threshold hash contract).
 
-    Scale: ONE corpus scan joined to a broadcast ~64-row probe
-    relation — no shuffle, no window, no candidate explosion; output
-    is tau-selectivity-bounded. The LSH/IVF families remain the
-    sublinear paths; this is the exact primitive they are audited
-    against."""
+    Scale: ONE corpus scan through an Arrow range-pairs kernel against
+    the broadcast ~64-row probe model — no shuffle, no window, no
+    candidate explosion; output is tau-selectivity-bounded. The
+    LSH/IVF families remain the sublinear paths; this is the exact
+    primitive they are audited against.
+
+    r17 (guide §4.2): the broadcast non-equi join evaluated the
+    INTERPRETED zip_with/aggregate cosine fold TWICE per (corpus,
+    probe) pair — Catalyst pushes the threshold into the
+    BroadcastNestedLoopJoin condition and the projection recomputes
+    cos_sim. The kernel (operators/_argmax_udf.make_range_pairs_udf)
+    computes each raw cosine ONCE in vectorized float64 with the
+    identical fold order, prefilters with a safe margin, and the
+    exact round(·,6) >= tau gate stays a JVM expression so the
+    emitted values are bit-identical (1.27 s -> see plans/r17).
+    The probe mod now derives from catalog row stats (table_rows)
+    instead of a count() job — the IVF _quant_k precedent
+    (VERDICT r2 #7: a sizing count() is a full extra scan at
+    100 TB)."""
+    from .operators._argmax_udf import make_range_pairs_udf
+    from .sources.catalog import table_rows
+
     v = _vecs(spark, sf_dir).select(
         "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
     )
-    mod = _range_probe_mod(v.count())
-    q = v.filter(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    mod = _range_probe_mod(table_rows(sf_dir, "embeddings"))
+    q = sorted(
+        (r["vec_id"], list(r["embedding"]), float(r["nrm"]))
+        for r in v.filter(F.col("vec_id") % mod == 0).collect()
+    )
+    pairs_udf = make_range_pairs_udf(
+        [x[0] for x in q], [x[1] for x in q], [x[2] for x in q], _RANGE_TAU
     )
     return (
-        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
+        v.select(
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                S.cosine(
-                    F.col("q_emb"),
-                    F.col("embedding"),
-                    F.col("q_nrm"),
-                    F.col("nrm"),
-                ),
-                6,
-            ).alias("cos_sim"),
+            F.explode(
+                pairs_udf(F.col("vec_id"), F.col("embedding"), F.col("nrm"))
+            ).alias("p"),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            "neighbor_id",
+            F.round(F.col("p.raw"), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= _RANGE_TAU)
     )

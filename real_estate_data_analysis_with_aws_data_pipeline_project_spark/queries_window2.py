@@ -683,12 +683,17 @@ def features_global_equidepth_bins(spark, sf_dir):
     range. Integer ranks and cents end-to-end."""
     from pyspark.sql import Window
 
+    # r17 (guide §5): the (orderkey, cents) projection feeds THREE
+    # actions per invocation (max for the bucket width, the bucket
+    # counts collect, and the final rank pass) — each re-scanned
+    # orders. Checkpoint the narrow order-grain projection once; the
+    # three consumers read the materialization.
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100.0, 0)
         .cast("bigint")
         .alias("cents"),
-    )
+    ).localCheckpoint(eager=True)
     mx = o.agg(F.max("cents").alias("maxc")).first()["maxc"]
     width = max(1, (int(mx) // _GEQD_RANGES) + 1)
     o = o.withColumn("rng", F.expr(f"cents div {width}").cast("bigint"))
