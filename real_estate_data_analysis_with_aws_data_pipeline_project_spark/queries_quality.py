@@ -474,46 +474,56 @@ def min_label_components(pairs: DataFrame, max_iters: int = _CC_MAX_ITERS) -> Da
     oracle only at larger scale). Factored in r7 so near-dup
     clustering and entity resolution share one propagation loop; at
     100 TB the same loop runs with the large-star/small-star
-    optimization."""
+    optimization.
+
+    r17 (guide §5 — localCheckpoint to cut lineage): the doubled edge
+    set and each iteration's labels are EAGER localCheckpoints, not
+    persists. A persisted iterate keeps its full lineage, so
+    iteration k's plan embedded (and Catalyst re-optimized) the whole
+    k−1-deep join chain plus the pair-generation subtree (for
+    er_blocked_parts that is the blocked Levenshtein self-join) —
+    compile cost quadratic in iterations. Checkpointed, every
+    iteration plans against two flat RDD scans; the convergence count
+    reads the same materialization the next iteration consumes."""
     edges = (
         pairs.select("u", "v")
         .union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("u").distinct().select("u", F.col("u").alias("lbl"))
-    try:
-        changed = 0
-        for _ in range(max_iters):
-            prop = (
-                edges.join(
-                    labels.select(
-                        F.col("u").alias("v"), F.col("lbl").alias("nbr_lbl")
-                    ),
-                    "v",
-                )
-                .select("u", F.col("nbr_lbl").alias("lbl"))
-                .union(labels)
+    changed = 0
+    for _ in range(max_iters):
+        prop = (
+            edges.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("lbl").alias("nbr_lbl")
+                ),
+                "v",
             )
-            new_labels = prop.groupBy("u").agg(F.min("lbl").alias("lbl")).persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "u")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            )
-            prev, labels = labels, new_labels
-            prev.unpersist()  # no-op on the unpersisted seed
-            if changed == 0:
-                break
-        if changed != 0:
-            raise RuntimeError(
-                f"connected-components did not converge in {max_iters} "
-                f"iterations ({changed} labels still changing); raise "
-                "max_iters or switch to large-star/small-star"
-            )
-        return labels
-    finally:
-        edges.unpersist()
+            .select("u", F.col("nbr_lbl").alias("lbl"))
+            .union(labels)
+        )
+        new_labels = (
+            prop.groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected-components did not converge in {max_iters} "
+            f"iterations ({changed} labels still changing); raise "
+            "max_iters or switch to large-star/small-star"
+        )
+    return labels
 
 
 @register("dedup_cluster_components", _CC_ORACLE)

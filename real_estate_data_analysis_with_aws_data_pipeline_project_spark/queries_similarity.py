@@ -2685,6 +2685,13 @@ def retrieval_mmr_rerank(spark, sf_dir):
                 .alias("n7"),
             )
         ws = Window.partitionBy("query_id").orderBy(F.desc("n7"), "cand_id")
+        # r17 (guide §5): each greedy step's pick is eagerly
+        # checkpointed (queries×1 rows — metadata-scale). Without it
+        # the unrolled chain re-executed every PRIOR step's
+        # window+anti-join lineage inside each later step and once
+        # more in the final union — O(K²) re-derivation that measured
+        # 5.1 s for K=5 at sf0.1; checkpointed, each step is one flat
+        # job over the checkpointed pool/sims.
         pick = (
             sc.withColumn("rn", F.row_number().over(ws))
             .where(F.col("rn") == 1)
@@ -2695,6 +2702,7 @@ def retrieval_mmr_rerank(spark, sf_dir):
                 "rel6",
                 "n7",
             )
+            .localCheckpoint(eager=True)
         )
         picks.append(pick)
         pick_ids = pick.select("query_id", "cand_id")
