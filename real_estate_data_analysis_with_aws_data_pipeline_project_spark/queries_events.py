@@ -45,7 +45,9 @@ def _daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return session_cached(spark, "events_daily_volume", sf_dir, build)
+    return session_cached(
+        spark, "events_daily_volume", sf_dir, build, checkpoint=True
+    )
 
 
 @register(

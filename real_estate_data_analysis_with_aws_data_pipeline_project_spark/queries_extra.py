@@ -1996,6 +1996,7 @@ def agg_concentration_curve(spark, sf_dir):
             )
             .select(F.col("o_custkey").alias("key"), "m", "v")
         ),
+        checkpoint=True,
     )
     g = _rng_bucketed(cc)
     part, base, n, totals = bucket_prefix_cells(

@@ -835,7 +835,9 @@ def _cosupp_pair_cells(spark, sf_dir):
             F.sum("ra_w").cast("bigint").alias("ra_micro"),
         )
 
-    return session_cached(spark, "graph_pair_cells", sf_dir, build)
+    return session_cached(
+        spark, "graph_pair_cells", sf_dir, build, checkpoint=True
+    )
 
 
 def _cosupp_degrees(spark, sf_dir):
@@ -853,7 +855,9 @@ def _cosupp_degrees(spark, sf_dir):
             .agg(F.count("*").cast("bigint").alias("d"))
         )
 
-    return session_cached(spark, "graph_supplier_degrees", sf_dir, build)
+    return session_cached(
+        spark, "graph_supplier_degrees", sf_dir, build, checkpoint=True
+    )
 
 
 @register("graph_cosupplier_projection", _COSUPP_ORACLE)
@@ -919,7 +923,9 @@ def _sparsified_edges(spark, sf_dir):
             F.greatest("supplier", "partner").alias("s2"),
         ).distinct()
 
-    return session_cached(spark, "graph_sparsified_edges", sf_dir, build)
+    return session_cached(
+        spark, "graph_sparsified_edges", sf_dir, build, checkpoint=True
+    )
 
 
 def _wedge_triangles(edges):
@@ -960,7 +966,9 @@ def _sparsified_triangle_counts(spark, sf_dir):
             F.count("*").cast("bigint").alias("n_triangles")
         )
 
-    return session_cached(spark, "graph_triangle_counts", sf_dir, build)
+    return session_cached(
+        spark, "graph_triangle_counts", sf_dir, build, checkpoint=True
+    )
 
 
 # ONE SQL spelling of the sparsified-edge/wedge-triangle/per-node-count
