@@ -118,6 +118,52 @@ def make_range_pairs_udf(probe_ids, probe_vecs, probe_nrms, tau) -> "Column":
     return _pairs
 
 
+def make_blocked_pairs_udf(
+    probe_ids, probe_labels, probe_vecs, probe_nrms, tau
+) -> "Column":
+    """Label-blocked near-dup pair emitter (r17): like
+    make_range_pairs_udf, but the candidate set is the whole capped
+    corpus (broadcast as a driver model — cap×dim is IVF-model scale)
+    and a pair qualifies only when labels match and the candidate id
+    is strictly greater (the a.label = b.label AND a.vec_id < b.vec_id
+    join). Emits (vec_b, RAW cosine) above tau minus a safe margin;
+    callers apply the exact round(·,6) >= tau gate in JVM expressions,
+    so the emitted values are bit-identical to the join+filter plan
+    that evaluated the interpreted cosine fold twice per pair."""
+    p_ids = np.asarray(probe_ids, dtype=np.int64)
+    p_lab = np.asarray(probe_labels)
+    p_w = np.asarray(
+        [np.asarray(s, dtype=np.float32) for s in probe_vecs],
+        dtype=np.float32,
+    ).astype(np.float64)
+    p_n = np.asarray(probe_nrms, dtype=np.float64)
+    cut = tau - 1e-6
+
+    @pandas_udf("array<struct<vec_b: long, raw: double>>")
+    def _pairs(
+        ids: pd.Series, labels: pd.Series, vecs: pd.Series, nrms: pd.Series
+    ) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = _widen(vecs)
+        n = np.asarray(nrms, dtype=np.float64)
+        idv = np.asarray(ids, dtype=np.int64)
+        lab = np.asarray(labels)
+        cos = _cos_block(v, n, p_w, p_n)
+        mask = (
+            (cos >= cut)
+            & (idv[:, None] < p_ids[None, :])
+            & (lab[:, None] == p_lab[None, :])
+        )
+        out = []
+        for r in range(len(v)):
+            cols = np.nonzero(mask[r])[0]
+            out.append([(int(p_ids[c]), float(cos[r, c])) for c in cols])
+        return pd.Series(out)
+
+    return _pairs
+
+
 def make_two_level_nearest_udf(
     coarse_ids, coarse_vecs, coarse_nrms,
     fine_ids, fine_vecs, fine_nrms,

@@ -144,33 +144,56 @@ _JACCARD_THRESHOLD = 0.5
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard near-dup pairs via shingle-inverted-index
-    join (explode → equi-join on shingle → per-pair common count).
-    Exact but quadratic in co-shingled docs — the correctness baseline
-    for the MinHash path; input capped at doc_id < 1000."""
+    """Word-3-gram Jaccard near-dup pairs via a shingle inverted
+    index. Exact but quadratic in co-shingled docs — the correctness
+    baseline for the MinHash path; input capped at doc_id < 1000.
+
+    r17 (guide §2.4): one exploded pass groups doc ids per shingle
+    and expands each group's sorted id list into its ordered pairs
+    map-side (the basket-pairs pattern) — ONE shingle exchange and
+    one pair exchange. The previous self-join shape (a) exploded an
+    ALIASED shingle column twice, paying the InferFiltersFromGenerate
+    interpreted re-shingle per side (the dedup_repeated_substrings
+    pathology), (b) shuffled the exploded relation into BOTH
+    sort-merge-join sides, and (c) sorted each. Shingles are
+    per-doc distinct (list_distinct) so each doc id appears at most
+    once per group and n_common = the common-shingle count exactly;
+    pairs from the sorted list are strictly doc_a < doc_b. 5.3 s ->
+    see plans/r17. The ≤1000-doc cap bounds the per-shingle group
+    list like the basket arrays."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < _JACCARD_CAP)
-    sh = _doc_shingles(docs)
-    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # generator input INLINE (InferFiltersFromGenerate avoidance)
+    ex = docs.select(
+        "doc_id", F.explode(shingles_col(X.tokens())).alias("shingle")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count("*").alias("n_common"))
+    )
+    sizes = docs.select(
+        "doc_id",
+        F.size(shingles_col(X.tokens())).cast("bigint").alias("n"),
     )
     za, zb = sizes.alias("za"), sizes.alias("zb")
     jac = F.col("n_common").cast("double") / (
         F.col("za.n") + F.col("zb.n") - F.col("n_common")
     ).cast("double")
     return (
-        pairs.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        pairs.join(F.broadcast(za), F.col("doc_a") == F.col("za.doc_id"))
+        .join(F.broadcast(zb), F.col("doc_b") == F.col("zb.doc_id"))
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )

@@ -589,35 +589,55 @@ def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label (the
     partition key stands in for an LSH/IVF blocking key: pairs are
     only scored within a block, never across the full cross product).
-    Capped input for the exact baseline."""
+    Capped input for the exact baseline.
+
+    r17 (guide §4.2, the range-search precedent): the blocked
+    self-join evaluated the interpreted cosine fold TWICE per
+    candidate pair (threshold pushed into the join condition +
+    projection). The capped relation (≤2000 × 64 — IVF-model scale)
+    is collected once as a driver model; an Arrow kernel scores each
+    row against it with the identical fold order, masked to
+    equal-label, greater-id candidates, prefiltered with a safe
+    margin; the exact round(·,6) >= tau gate stays a JVM expression
+    so emitted values are bit-identical. 3.0 s -> see plans/r17."""
+    from .operators._argmax_udf import make_blocked_pairs_udf
+
     v = (
         _vecs(spark, sf_dir)
         .filter(F.col("vec_id") < _NEARDUP_CAP)
         .select("vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm"))
     )
-    a, b = v.alias("a"), v.alias("b")
-    cos = F.round(
-        S.cosine(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            F.col("a.nrm"),
-            F.col("b.nrm"),
-        ),
-        6,
+    model = sorted(
+        (r["vec_id"], r["label"], list(r["embedding"]), float(r["nrm"]))
+        for r in v.collect()
+    )
+    pairs_udf = make_blocked_pairs_udf(
+        [m[0] for m in model],
+        [m[1] for m in model],
+        [m[2] for m in model],
+        [m[3] for m in model],
+        _NEARDUP_THRESHOLD,
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        v.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("label").alias("label"),
+            F.explode(
+                pairs_udf(
+                    F.col("vec_id"),
+                    F.col("label"),
+                    F.col("embedding"),
+                    F.col("nrm"),
+                )
+            ).alias("p"),
         )
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-            cos.alias("cos_sim"),
+            "vec_a",
+            F.col("p.vec_b").alias("vec_b"),
+            "label",
+            F.round(F.col("p.raw"), 6).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
+        .where(F.col("cos_sim") >= _NEARDUP_THRESHOLD)
     )
 
 
