@@ -308,7 +308,24 @@ def sketch_quantile_envelope(spark, sf_dir):
     sketch-comparison convention (never compare approx values raw).
     One pass builds all 4 estimates; the rank check is 4 conditional
     counts in a second single-row aggregate — O(rows) scan both times,
-    O(accuracy) driver state."""
+    O(accuracy) driver state.
+
+    r17 (guide §1.2/§5): the exact reference quantiles no longer run
+    through Spark's `percentile` aggregate — a TypedImperativeAggregate
+    that buffers a value→count map per task and merge-sorts it on one
+    reducer, 2.4 s of the query's 3.9 s at sf0.1. l_extendedprice
+    lives on the 2-dp money grid, so the exact interpolated quantile
+    needs only the order statistics at ranks ⌊q·(n−1)⌋+1 and
+    ⌈q·(n−1)⌉+1 over exact cents — the shared two-pass bucket-rank
+    kernel (_bucket_order_stats, the QTE/equidepth machinery) places
+    those 8 ranks with a ≤4096-row metadata collect and one
+    boundary-bucket window pass. The interpolation is Spark's own
+    Percentile formula ((higher−pos)·lo + (pos−lower)·hi, one IEEE
+    expression) applied to the recovered doubles (cents/100.0 — one
+    correctly-rounded division back onto the stored grid);
+    tests/test_r17.py asserts the recomputed doubles equal
+    F.expr('percentile(...)') bit-for-bit before rounding."""
+    from .queries_events import _bucket_order_stats
     from .sources.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
@@ -318,12 +335,44 @@ def sketch_quantile_envelope(spark, sf_dir):
             F.array(*[F.lit(q) for q in _QS_QUANTILES]),
             F.lit(_QS_ACCURACY),
         ).alias("apx"),
-        F.expr(
-            "percentile(l_extendedprice, array("
-            + ", ".join(str(q) for q in _QS_QUANTILES)
-            + "))"
-        ).alias("exact"),
     )
+    # exact order stats at the interpolation ranks, via the two-pass
+    # kernel over exact cents (one scan + metadata collect + one
+    # boundary-bucket pass). The checkpoint shares the scan between
+    # the kernel's two passes.
+    g = li.select(
+        F.lit("all").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("m"),
+        F.monotonically_increasing_id().alias("user_id"),
+    ).localCheckpoint(eager=True)
+
+    def _ranks(n_by):
+        n = n_by["all"]
+        wanted = {}
+        for q in _QS_QUANTILES:
+            pos = q * (n - 1)
+            lo = int(pos)
+            hi = lo if pos == lo else lo + 1
+            wanted[f"r{lo}"] = lo + 1
+            wanted[f"r{hi}"] = hi + 1
+        return {"all": sorted(wanted.items(), key=lambda t: t[1])}
+
+    os_, n_by = _bucket_order_stats(spark, g, _ranks)
+    n = n_by["all"]
+    cents = {row["tag"]: int(row["m"]) for row in os_.collect()}
+    exact_vals = []
+    for q in _QS_QUANTILES:
+        pos = q * (n - 1)
+        lo = int(pos)
+        hi = lo if pos == lo else lo + 1
+        v_lo = cents[f"r{lo}"] / 100.0
+        v_hi = cents[f"r{hi}"] / 100.0
+        if hi == lo:
+            exact_vals.append(v_lo)
+        else:
+            # Spark Percentile.getPercentile's exact IEEE expression
+            exact_vals.append((hi - pos) * v_lo + (pos - lo) * v_hi)
+
     counts = li.crossJoin(F.broadcast(apx)).agg(
         F.count("*").alias("n"),
         *[
@@ -342,10 +391,8 @@ def sketch_quantile_envelope(spark, sf_dir):
             ).alias(f"lt{i}")
             for i in range(len(_QS_QUANTILES))
         ],
-        F.first("exact").alias("exact"),
     )
     checks = counts.select(
-        "exact",
         *[
             (F.col(f"le{i}") / F.col("n")).alias(f"le_frac{i}")
             for i in range(len(_QS_QUANTILES))
@@ -358,7 +405,7 @@ def sketch_quantile_envelope(spark, sf_dir):
     rows = [
         F.struct(
             F.lit(q).alias("q"),
-            F.round(F.col("exact")[i], 2).alias("exact_value"),
+            F.round(F.lit(exact_vals[i]), 2).alias("exact_value"),
             (
                 (F.col(f"le_frac{i}") >= F.lit(q - _QS_EPS))
                 & (F.col(f"lt_frac{i}") <= F.lit(q + _QS_EPS))

@@ -184,6 +184,52 @@ def test_mi_chi2_cells_checkpoint_and_scan_count(spark, sf_dir):
         assert "ExistingRDD" in plan, f"{name} lost the checkpoint read"
 
 
+def test_quantile_envelope_interpolation_matches_spark_percentile(
+    spark, sf_dir
+):
+    """r17: sketch_quantile_envelope recomputes its exact reference
+    quantiles via the two-pass bucket-rank kernel + Spark's own
+    Percentile interpolation formula ((higher−pos)·lo + (pos−lower)·hi)
+    instead of the buffer-everything `percentile` aggregate. The
+    recomputed doubles must equal F.expr('percentile(...)')
+    BIT-FOR-BIT before the 2-dp round, or the oracle hash contract is
+    at risk."""
+    from pyspark.sql import functions as F
+
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.queries_sketch import (
+        _QS_QUANTILES,
+    )
+    from real_estate_data_analysis_with_aws_data_pipeline_project_spark.sources.catalog import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    ref = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(q) for q in _QS_QUANTILES)
+            + "))"
+        ).alias("e")
+    ).first()["e"]
+    rows = sorted(
+        r["m"]
+        for r in li.select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("m")
+        ).collect()
+    )
+    n = len(rows)
+    for q, expected in zip(_QS_QUANTILES, ref):
+        pos = q * (n - 1)
+        lo = int(pos)
+        hi = lo if pos == lo else lo + 1
+        v_lo = rows[lo] / 100.0
+        v_hi = rows[hi] / 100.0
+        mine = v_lo if hi == lo else (hi - pos) * v_lo + (pos - lo) * v_hi
+        assert mine == expected, (q, mine, expected)
+
+
 def test_no_inferred_retokenize_filter_on_window_explodes(spark, sf_dir):
     """r17: exploding an ALIASED computed array column lets Spark's
     InferFiltersFromGenerate push a size(...)>0 filter below the
