@@ -164,6 +164,53 @@ def make_blocked_pairs_udf(
     return _pairs
 
 
+def make_pq_encode_udf(codebook, m, dsub) -> "Column":
+    """PQ encoder (r17, the IVF-assignment precedent): one Arrow pass
+    emits each vector's M one-byte codes against the broadcast
+    per-subspace codebooks, replacing the broadcast-join + window-rank
+    plan that evaluated the interpreted zip_with/aggregate L2 fold per
+    (subvector, centroid) pair (n·M·k folds) and ranked an n·M·k-row
+    relation per invocation. Parity is engineered like _cos_block:
+    float32 embeddings widen exactly as cast('double'); the
+    subvector normalization is the same per-element x/nrm IEEE divide
+    (0.0 when nrm <= 0); the squared-L2 accumulates dimension-by-
+    dimension in the identical left-to-right order as
+    aggregate(zip_with(...)) and DuckDB's list_sum; argmin with
+    centroid ids pre-sorted ascending reproduces the
+    ORDER BY d, cid tiebreak (numpy first-min).
+
+    ``codebook``: {s: (ids sorted ascending int64, (k, dsub) float64
+    matrix — the 6-dp-rounded Lloyd means, loaded as doubles like the
+    IVF model)}."""
+    cb = {
+        s: (np.asarray(ids, dtype=np.int64), np.asarray(w, dtype=np.float64))
+        for s, (ids, w) in codebook.items()
+    }
+
+    @pandas_udf("array<long>")
+    def _encode(vecs: pd.Series, nrms: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        v = _widen(vecs)
+        n = np.asarray(nrms, dtype=np.float64)
+        safe = n > 0
+        denom = np.where(safe, n, 1.0)[:, None]
+        out = np.empty((len(v), m), dtype=np.int64)
+        for s in range(m):
+            sv = np.where(
+                safe[:, None], v[:, s * dsub : (s + 1) * dsub] / denom, 0.0
+            )
+            ids, w = cb[s]
+            acc = np.zeros((len(v), len(ids)), dtype=np.float64)
+            for d in range(dsub):  # dim-order accumulation = fold order
+                diff = sv[:, d : d + 1] - w[None, :, d]
+                acc += diff * diff
+            out[:, s] = ids[np.argmin(acc, axis=1)]
+        return pd.Series(list(out))
+
+    return _encode
+
+
 def make_two_level_nearest_udf(
     coarse_ids, coarse_vecs, coarse_nrms,
     fine_ids, fine_vecs, fine_nrms,

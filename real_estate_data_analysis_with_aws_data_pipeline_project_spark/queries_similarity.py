@@ -1273,7 +1273,9 @@ def similarity_pq_topk(spark, sf_dir):
         .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
     )
     # M×k-row codebook, consumed by encode AND the ADC LUT; session-
-    # cached (ADVICE r3) so repeated invocations reuse one persisted copy
+    # cached (ADVICE r3) so repeated invocations reuse one persisted
+    # copy — checkpointed (r17) so consumers don't re-plan the Lloyd
+    # lineage (the IVF-centroid precedent)
     cents1 = session_cached(
         spark, "pq_codebook", sf_dir,
         lambda: means.groupBy("s", "cid").agg(
@@ -1282,8 +1284,34 @@ def similarity_pq_topk(spark, sf_dir):
                 lambda st: st["m"],
             ).alias("c")
         ),
+        checkpoint=True,
     )
-    encode = nearest(sub, cents1).withColumnRenamed("cid", "code")
+    # r17 (guide §4.2, the IVF-assignment precedent): encode ran the
+    # interpreted L2 fold per (subvector, centroid) pair and ranked an
+    # n·M·k-row relation per invocation (~8M folds at sf0.1, the
+    # query's dominant cost). One Arrow pass against the collected
+    # M×k codebook (model-scale, the _ivf_model convention) emits the
+    # M codes per vector with engineered fold/tiebreak parity — see
+    # make_pq_encode_udf.
+    from .operators._argmax_udf import make_pq_encode_udf
+
+    cb: dict = {}
+    for r in cents1.collect():
+        cb.setdefault(int(r["s"]), []).append(
+            (int(r["cid"]), [float(x) for x in r["c"]])
+        )
+    codebook = {
+        s: ([cid for cid, _ in sorted(rows_)],
+            [vec for _, vec in sorted(rows_)])
+        for s, rows_ in cb.items()
+    }
+    enc_udf = make_pq_encode_udf(codebook, _PQ_M, _PQ_DSUB)
+    encode = v.select(
+        "vec_id",
+        F.posexplode(enc_udf(F.col("embedding"), F.col("nrm"))).alias(
+            "s", "code"
+        ),
+    )
 
     q_sub = sub.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "s", F.col("sv").alias("qv")
