@@ -2726,11 +2726,21 @@ def features_ipf_raking(spark, sf_dir):
     relative margin gap — the survey-calibration classic (see the
     section comment for the unrolled-step determinism contract).
 
-    Scale: two map-side-combined aggregates collapse orders to the
-    <= |segments|·|priorities| cell grid and its two margins;
-    every IPF step is a join-aggregate over that bounded grid (the
-    generated chain runs {r} row+column double-steps); nothing
-    downstream scales with the fact table.""".format(r=_IPF_ROUNDS)
+    Scale: ONE map-side-combined aggregate collapses orders to the
+    (seg, pri, in_sample) count cube — <= 2·|segments|·|priorities|
+    rows, the complete sufficient statistic for the cells AND both
+    margins — and the IPF iteration runs on that metadata-scale grid
+    DRIVER-SIDE (r17; the bucket-rank-kernel walk precedent): every
+    update is the identical quantized expression
+    floor(((w_d·t)·1e6)/s + 0.5) on exact BIGINTs with the same IEEE
+    op order as the unrolled Catalyst chain it replaces, so the
+    fitted weights are bit-identical (oracle-hash-proven). The r16
+    shape ran {r} row+column double-steps as 2·{r} checkpointed Spark
+    jobs over a 25-row grid — ~3.1 s of pure job latency at sf0.1 for
+    arithmetic on 25 cells; nothing downstream scales with the fact
+    table either way.""".format(r=_IPF_ROUNDS)
+    import math
+
     from .functions.scalar import split_is_a
 
     o = (
@@ -2747,73 +2757,86 @@ def features_ipf_raking(spark, sf_dir):
             split_is_a("o_custkey").alias("in_sample"),
         )
     )
-    # one fact scan feeds the sample cells AND both margins
-    o = o.localCheckpoint(eager=True)
-    c = (
-        o.where("in_sample")
-        .groupBy("seg", "pri")
-        .agg(F.count("*").cast("bigint").alias("n"))
-        .withColumn("w", F.lit(1000000).cast("bigint"))
+    # one fact scan, one aggregate: the (seg, pri, in_sample) cube
+    cube = (
+        o.groupBy("seg", "pri", "in_sample")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .collect()
     )
-    rm = o.groupBy(F.col("seg").alias("ax")).agg(
-        F.count("*").cast("bigint").alias("t")
-    )
-    cm = o.groupBy(F.col("pri").alias("ax")).agg(
-        F.count("*").cast("bigint").alias("t")
-    )
+    cells: dict = {}  # (seg, pri) -> [n, w_micro]
+    rm: dict = {}  # seg -> t
+    cm: dict = {}  # pri -> t
+    for r in cube:
+        key = (r["seg"], r["pri"])
+        rm[r["seg"]] = rm.get(r["seg"], 0) + int(r["c"])
+        cm[r["pri"]] = cm.get(r["pri"], 0) + int(r["c"])
+        if r["in_sample"]:
+            cells[key] = [int(r["c"]), 1000000]
 
-    def step(cells, axis, margin):
-        s = cells.groupBy(F.col(axis).alias("ax")).agg(
-            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
-        )
-        return (
-            cells.join(F.broadcast(s), F.col(axis) == F.col("ax"))
-            .join(
-                F.broadcast(margin.withColumnRenamed("ax", "max_")),
-                F.col(axis) == F.col("max_"),
-            )
-            .select(
-                "seg",
-                "pri",
-                "n",
-                F.expr(
-                    "CAST(floor(CAST(w AS DOUBLE) * t * 1000000e0"
-                    " / NULLIF(s, 0) + 0.5e0) AS BIGINT)"
-                ).alias("w"),
-            )
-        )
+    def _step(axis_of, margin):
+        # s per axis value, then the exact quantized update — the
+        # identical ((w_d * t) * 1e6) / s IEEE chain as the SQL expr
+        s: dict = {}
+        for (seg, pri), (n, w) in cells.items():
+            ax = axis_of(seg, pri)
+            s[ax] = s.get(ax, 0) + n * w
+        for (seg, pri), cell in cells.items():
+            ax = axis_of(seg, pri)
+            if s[ax] == 0:
+                cell[1] = None
+            else:
+                cell[1] = int(
+                    math.floor(
+                        ((float(cell[1]) * float(margin[ax])) * 1e6)
+                        / float(s[ax])
+                        + 0.5
+                    )
+                )
 
-    cells = c
     for _ in range(_IPF_ROUNDS):
-        # checkpoint the 25-row grid each double-step: step() consumes
-        # cells TWICE (margin sum + join), so an unbroken lineage
-        # doubles the plan per step — 2^12 subtree copies by the end
-        cells = step(cells, "seg", rm).localCheckpoint(eager=True)
-        cells = step(cells, "pri", cm).localCheckpoint(eager=True)
-    fin = cells
+        _step(lambda seg, pri: seg, rm)
+        _step(lambda seg, pri: pri, cm)
 
-    def gap(axis, margin):
-        # margins LEAD the join (r16 review): an axis value absent
-        # from the half-sample has no fitted row, and a fitted-led
-        # join would silently drop its 100% gap — the exact case the
-        # report exists to surface
-        s = fin.groupBy(F.col(axis).alias("ax")).agg(
-            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
-        )
-        return margin.withColumnRenamed("ax", "max_").join(
-            F.broadcast(s), F.col("max_") == F.col("ax"), "left"
-        ).select(
-            F.expr(
-                "CAST(floor(abs(CAST(coalesce(s, 0) AS DOUBLE)"
-                " / 1000000e0 - t)"
-                " / NULLIF(t, 0) * 1000000e0 + 0.5e0) AS BIGINT)"
-            ).alias("g")
-        )
+    def _gaps(axis_of, margin):
+        # margins LEAD (r16 review): an axis value absent from the
+        # half-sample has no fitted row and must surface its 100% gap
+        s: dict = {}
+        for (seg, pri), (n, w) in cells.items():
+            ax = axis_of(seg, pri)
+            s[ax] = s.get(ax, 0) + n * w
+        out = []
+        for ax, t in margin.items():
+            sv = s.get(ax, 0)
+            out.append(
+                int(
+                    math.floor(
+                        abs(float(sv) / 1e6 - float(t))
+                        / float(t)
+                        * 1e6
+                        + 0.5
+                    )
+                )
+                if t != 0
+                else None
+            )
+        return out
 
-    gaps = (
-        gap("seg", rm)
-        .unionAll(gap("pri", cm))
-        .agg(F.max("g").alias("max_margin_gap_micro"))
+    gap_vals = [
+        g
+        for g in _gaps(lambda seg, pri: seg, rm)
+        + _gaps(lambda seg, pri: pri, cm)
+        if g is not None
+    ]
+    max_gap = max(gap_vals) if gap_vals else None
+    fin = spark.createDataFrame(
+        [
+            (seg, pri, n, w)
+            for (seg, pri), (n, w) in sorted(cells.items())
+        ],
+        "seg string, pri string, n bigint, w bigint",
+    )
+    gaps = spark.createDataFrame(
+        [(max_gap,)], "max_margin_gap_micro bigint"
     )
     return (
         fin.crossJoin(F.broadcast(gaps))
