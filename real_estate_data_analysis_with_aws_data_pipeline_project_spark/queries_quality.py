@@ -1794,6 +1794,13 @@ def dq_order_reconciliation(spark, sf_dir):
     the old left join's orders side) are dropped by the has_order
     gate — row-for-row the old join relation. Then a status-grain
     aggregate over one bigint per order."""
+    # the ledger row's status travels as its ascii CODE, not the
+    # string: a string in the aggregation buffer forces Spark onto
+    # SortAggregate (immutable buffer field) and re-introduces the
+    # okey sort the union-aggregate exists to remove; the code is a
+    # value-preserving bijection for the CHAR(1) status and char()
+    # restores it after the aggregate. All-numeric buffer ⇒
+    # HashAggregate, no sorts anywhere in the plan.
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("okey"),
         (
@@ -1801,14 +1808,14 @@ def dq_order_reconciliation(spark, sf_dir):
             * (100 - F.round(F.col("l_discount") * 100, 0).cast("bigint"))
             * (100 + F.round(F.col("l_tax") * 100, 0).cast("bigint"))
         ).alias("amt_e4"),
-        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("int").alias("status_code"),
         F.lit(None).cast("bigint").alias("total_e4"),
         F.lit(0).alias("is_order"),
     )
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.lit(None).cast("bigint").alias("amt_e4"),
-        "o_orderstatus",
+        F.ascii("o_orderstatus").alias("status_code"),
         (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") * 10000)
             .alias("total_e4"),
         F.lit(1).alias("is_order"),
@@ -1818,13 +1825,13 @@ def dq_order_reconciliation(spark, sf_dir):
         .groupBy("okey")
         .agg(
             F.sum("amt_e4").alias("sum_e4"),
-            F.max("o_orderstatus").alias("o_orderstatus"),
+            F.max("status_code").alias("status_code"),
             F.max("total_e4").alias("total_e4"),
             F.max("is_order").alias("has_order"),
         )
         .where(F.col("has_order") == 1)
         .select(
-            "o_orderstatus",
+            F.char("status_code").alias("o_orderstatus"),
             (F.coalesce("sum_e4", F.lit(0)) - F.col("total_e4")).alias(
                 "diff_e4"
             ),

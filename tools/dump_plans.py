@@ -1,6 +1,6 @@
 #!/usr/bin/env python
 """Dump `explain("formatted")` for the given queries (default: all
-headline queries) into plans/r16/<query>_<tag>.txt.
+headline queries) into plans/r17/<query>_<tag>.txt.
 
 Usage:
     python tools/dump_plans.py <tag> [query ...]
@@ -21,7 +21,7 @@ from real_estate_data_analysis_with_aws_data_pipeline_project_spark.session impo
     get_spark,
 )
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r17")
 
 
 def main() -> None:
